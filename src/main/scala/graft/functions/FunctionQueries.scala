@@ -1,0 +1,218 @@
+package graft.functions
+
+import org.apache.spark.sql.functions._
+import graft.QueryRegistry._
+import graft.sources.Tables
+
+/** Scalar/array/map function families — SURVEY.md §2.C F1–F9. Covers the
+  * reference's A7 (ts→timestamp UDF — here the built-in timestamp_millis,
+  * with the UDF *mechanism* demoed in F7) and A8 (date parts for the time
+  * dim). Everything except F7/F8 stays on codegen'd built-ins.
+  */
+object FunctionQueries {
+
+  val entries: Seq[Entry] = Seq(
+    // F1: string functions over the documents corpus.
+    Entry(
+      "f1_strings",
+      (s, d) =>
+        Tables.documents(s, d)
+          .select(
+            col("doc_id"),
+            upper(col("lang")).as("lang_up"),
+            length(col("text")).as("text_len"),
+            substring(col("text"), 1, 20).as("head20"),
+            concat_ws("|", col("lang"), col("source")).as("tag"),
+            regexp_replace(col("source"), "[0-9]+", "#").as("src_norm"),
+            regexp_extract(col("text"), "([a-z]+)", 1).as("first_word"),
+            size(split(col("text"), " ")).as("n_tokens"),
+            lpad(col("lang"), 5, "_").as("lang_pad"),
+            trim(lit("  x  ")).as("trimmed"))
+          .orderBy("doc_id"),
+      Some("""SELECT doc_id, upper(lang) AS lang_up, length(text) AS text_len,
+             |substring(text, 1, 20) AS head20,
+             |concat_ws('|', lang, source) AS tag,
+             |regexp_replace(source, '[0-9]+', '#', 'g') AS src_norm,
+             |regexp_extract(text, '([a-z]+)', 1) AS first_word,
+             |CAST(len(string_split(text, ' ')) AS INT) AS n_tokens,
+             |lpad(lang, 5, '_') AS lang_pad,
+             |trim('  x  ') AS trimmed
+             |FROM documents ORDER BY doc_id NULLS FIRST""".stripMargin)
+    ),
+
+    // F2: date/time parts (reference A8 builds the `time` dim this way)
+    // plus the epoch-millis roundtrip that replaces the reference's A7 UDF.
+    Entry(
+      "f2_datetime",
+      (s, d) =>
+        Tables.orders(s, d)
+          .select(
+            col("o_orderkey"),
+            year(col("o_orderdate")).as("y"),
+            month(col("o_orderdate")).as("m"),
+            dayofmonth(col("o_orderdate")).as("dom"),
+            (dayofweek(col("o_orderdate"))).as("dow_sun1"),
+            date_trunc("month", col("o_orderdate")).as("month_start"),
+            date_add(col("o_orderdate").cast("date"), 30).as("plus30"),
+            unix_millis(col("o_orderdate")).as("epoch_ms"),
+            timestamp_millis(unix_millis(col("o_orderdate"))).as("roundtrip"))
+          .orderBy("o_orderkey"),
+      Some("""SELECT o_orderkey, year(o_orderdate) AS y, month(o_orderdate) AS m,
+             |dayofmonth(o_orderdate) AS dom,
+             |CAST(dayofweek(o_orderdate) + 1 AS INT) AS dow_sun1,
+             |date_trunc('month', o_orderdate) AS month_start,
+             |CAST(o_orderdate AS DATE) + 30 AS plus30,
+             |epoch_ms(o_orderdate) AS epoch_ms,
+             |make_timestamp(epoch_ms(o_orderdate) * 1000) AS roundtrip
+             |FROM orders ORDER BY o_orderkey NULLS FIRST""".stripMargin)
+    ),
+
+    // F3: math functions. ln/pow float results rounded to 6 (libm
+    // implementations may differ in the last ulp across engines).
+    Entry(
+      "f3_math",
+      (s, d) =>
+        Tables.lineitem(s, d)
+          .select(
+            col("l_orderkey"), col("l_linenumber"),
+            round(col("l_extendedprice"), 1).as("r1"),
+            abs(col("l_discount") - 0.05).as("adiff"),
+            ceil(col("l_quantity") / 7.0).as("c7"),
+            floor(col("l_quantity") / 7.0).as("f7"),
+            round(pow(col("l_quantity"), 1.5), 6).as("p15"),
+            round(log(col("l_extendedprice")), 6).as("ln_price"),
+            round(sqrt(col("l_quantity")), 6).as("sqrt_qty"),
+            pmod(col("l_orderkey"), lit(7)).as("pm7"))
+          .orderBy("l_orderkey", "l_linenumber"),
+      Some("""SELECT l_orderkey, l_linenumber,
+             |round(l_extendedprice, 1) AS r1,
+             |abs(l_discount - 0.05) AS adiff,
+             |CAST(ceil(l_quantity / 7.0) AS BIGINT) AS c7,
+             |CAST(floor(l_quantity / 7.0) AS BIGINT) AS f7,
+             |round(pow(l_quantity, 1.5), 6) AS p15,
+             |round(ln(l_extendedprice), 6) AS ln_price,
+             |round(sqrt(l_quantity), 6) AS sqrt_qty,
+             |((l_orderkey % 7) + 7) % 7 AS pm7
+             |FROM lineitem ORDER BY l_orderkey NULLS FIRST, l_linenumber NULLS FIRST""".stripMargin)
+    ),
+
+    // F4: conditional / null handling.
+    Entry(
+      "f4_conditional",
+      (s, d) =>
+        Tables.customer(s, d)
+          .select(
+            col("c_custkey"),
+            when(col("c_acctbal") < 0, "debt")
+              .when(col("c_acctbal") < 5000, "mid")
+              .otherwise("rich").as("bal_band"),
+            coalesce(nullif(col("c_mktsegment"), lit("BUILDING")), lit("(bldg)")).as("seg"),
+            greatest(col("c_acctbal"), lit(0.0)).as("bal_pos"),
+            least(col("c_nationkey"), lit(10)).as("nk_cap"))
+          .orderBy("c_custkey"),
+      Some("""SELECT c_custkey,
+             |CASE WHEN c_acctbal < 0 THEN 'debt' WHEN c_acctbal < 5000 THEN 'mid' ELSE 'rich' END AS bal_band,
+             |coalesce(nullif(c_mktsegment, 'BUILDING'), '(bldg)') AS seg,
+             |greatest(c_acctbal, 0.0) AS bal_pos,
+             |least(c_nationkey, 10) AS nk_cap
+             |FROM customer ORDER BY c_custkey NULLS FIRST""".stripMargin)
+    ),
+
+    // F5: array / higher-order functions over the embedding vectors.
+    Entry(
+      "f5_arrays",
+      (s, d) =>
+        Tables.embeddings(s, d)
+          .select(
+            col("vec_id"),
+            size(col("embedding")).as("dim"),
+            round(element_at(col("embedding"), 1).cast("double"), 6).as("e1"),
+            round(
+              aggregate(
+                transform(slice(col("embedding"), 1, 8), x => x.cast("double")),
+                lit(0.0), (a, x) => a + x),
+              6).as("head8_sum"),
+            transform(sort_array(slice(col("embedding"), 1, 3)),
+              x => round(x.cast("double"), 6)).as("sorted3"),
+            aggregate(sequence(lit(1), col("label") + 1), lit(0L), (a, x) => a + x).as("tri"),
+            array_contains(sequence(lit(0), lit(4)), col("label")).as("lab_lt5"))
+          .orderBy("vec_id"),
+      Some("""SELECT vec_id, CAST(len(embedding) AS INT) AS dim,
+             |round(CAST(embedding[1] AS DOUBLE), 6) AS e1,
+             |round(list_sum(list_transform(embedding[1:8], x -> CAST(x AS DOUBLE))), 6) AS head8_sum,
+             |list_transform(list_sort(embedding[1:3]), x -> round(CAST(x AS DOUBLE), 6)) AS sorted3,
+             |list_sum(range(1, label + 2)) AS tri,
+             |label <= 4 AS lab_lt5
+             |FROM embeddings ORDER BY vec_id NULLS FIRST""".stripMargin)
+    ),
+
+    // F6: map/struct construction and access via from_json on events.props.
+    Entry(
+      "f6_map_struct",
+      (s, d) =>
+        Tables.events(s, d)
+          .withColumn("m", from_json(col("props"), lit("map<string,int>")))
+          .select(
+            col("event_id"),
+            element_at(col("m"), "k").as("k_val"),
+            array_join(map_keys(col("m")), ",").as("keys"),
+            struct(col("event_type").as("t"), col("user_id").as("u")).getField("t").as("st_type"))
+          .orderBy("event_id"),
+      Some("""SELECT event_id,
+             |CAST(json_extract_string(props, '$.k') AS INT) AS k_val,
+             |array_to_string(json_keys(props), ',') AS keys,
+             |event_type AS st_type
+             |FROM events ORDER BY event_id NULLS FIRST""".stripMargin)
+    ),
+
+    // F7: the scala UDF *mechanism* (reference A7) — long-word counter.
+    // Kept off the relational hot paths; everything else is built-ins.
+    Entry(
+      "f7_udf",
+      (s, d) => {
+        val longWords = udf((text: String) =>
+          if (text == null) 0 else text.split(" ").count(_.length > 4))
+        Tables.documents(s, d)
+          .select(col("doc_id"), longWords(col("text")).as("n_long_words"))
+          .orderBy("doc_id")
+      },
+      Some("""SELECT doc_id,
+             |CAST(len(list_filter(string_split(text, ' '), w -> length(w) > 4)) AS INT) AS n_long_words
+             |FROM documents ORDER BY doc_id NULLS FIRST""".stripMargin)
+    ),
+
+    // F8: typed Aggregator UDAF — per-label centroid of the embeddings.
+    // Oracle checks two dimensions via 1-indexed element avg.
+    Entry(
+      "f8_udaf_centroid",
+      (s, d) =>
+        Tables.embeddings(s, d)
+          .groupBy("label")
+          .agg(VectorOps.centroid(col("embedding")).as("c"), count(lit(1)).as("n"))
+          .select(
+            col("label"),
+            round(element_at(col("c"), 1), 6).as("c1"),
+            round(element_at(col("c"), 2), 6).as("c2"),
+            col("n"))
+          .orderBy("label"),
+      Some("""SELECT label, round(avg(CAST(embedding[1] AS DOUBLE)), 6) AS c1,
+             |round(avg(CAST(embedding[2] AS DOUBLE)), 6) AS c2, count(*) AS n
+             |FROM embeddings GROUP BY label ORDER BY label NULLS FIRST""".stripMargin)
+    ),
+
+    // F9: generator — explode tokens, global top-20 word counts.
+    Entry(
+      "f9_explode_wordcount",
+      (s, d) =>
+        Tables.documents(s, d)
+          .select(explode(split(col("text"), " ")).as("word"))
+          .groupBy("word")
+          .agg(count(lit(1)).as("cnt"))
+          .orderBy(col("cnt").desc, col("word").asc)
+          .limit(20),
+      Some("""SELECT word, count(*) AS cnt FROM (
+             |SELECT unnest(string_split(text, ' ')) AS word FROM documents)
+             |GROUP BY word ORDER BY cnt DESC NULLS LAST, word NULLS FIRST LIMIT 20""".stripMargin)
+    )
+  )
+}

@@ -1,0 +1,43 @@
+package graft.functions
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Decoded media features — typed output of the decode stage. */
+final case class MediaMeta(
+    doc_id: Long, n_bytes: Int, width: Int, height: Int, brightness: Double)
+
+/** Multimodal column plumbing (SURVEY.md §2.B B6): media as opaque
+  * binary columns + typed metadata, with decode/feature-extraction as a
+  * partition-wise typed map — the Scala analogue of a Pandas
+  * `mapInPandas` batch UDF.
+  *
+  * STUB NOTE: this container has no image/audio codecs, so `decodeStub`
+  * derives deterministic fake features from the raw bytes (length →
+  * dimensions, leading bytes → brightness). The Spark-side plumbing —
+  * binary schema, encoder, partition-wise batching, downstream
+  * relational ops — is real and oracle-checked.
+  */
+object Multimodal {
+
+  /** Attach an opaque binary payload column (here: the utf-8 text bytes;
+    * in production: image/audio blobs read from object storage). */
+  def withPayload(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"), col("text").cast("binary").as("payload"))
+
+  /** Partition-wise decode: Iterator[(id, bytes)] → Iterator[MediaMeta].
+    * Batch shape mirrors mapInPandas — one pass per partition, no
+    * per-row driver round-trips, safe to run on 1000 executors. */
+  def decodeStub(spark: SparkSession, withPayloadDf: DataFrame): Dataset[MediaMeta] = {
+    import spark.implicits._
+    withPayloadDf.select("doc_id", "payload").as[(Long, Array[Byte])]
+      .mapPartitions { it =>
+        it.map { case (id, bytes) =>
+          val n = bytes.length
+          // ??? real codec goes here — deterministic fake below.
+          val brightness = bytes.take(16).map(b => (b & 0xff).toDouble).sum / 16.0 / 255.0
+          MediaMeta(id, n, 1 + n % 64, 1 + (n / 64) % 64, brightness)
+        }
+      }
+  }
+}

@@ -1,0 +1,245 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import graft.QueryRegistry._
+import graft.sources.Tables
+
+/** Aggregation and window functions — SURVEY.md §2.C G1–G7, W1–W4.
+  * All group-bys ride Spark's partial/final HashAggregate (map-side
+  * combine before the shuffle); windows shuffle once on the partition
+  * key. Every output is totally ordered for the driver's hash-compare.
+  */
+object AggWindowQueries {
+
+  /** G1 / flagship: TPC-H Q1-shaped pricing summary. */
+  def pricingSummary: Q = (s, d) =>
+    Tables.lineitem(s, d)
+      .filter(col("l_shipdate") <= lit("2000-12-01").cast("timestamp"))
+      .groupBy("l_returnflag", "l_linestatus")
+      .agg(
+        dsum(col("l_quantity")).as("sum_qty"),
+        dsum(col("l_extendedprice")).as("sum_base_price"),
+        sum((col("l_extendedprice") * (lit(1.0) - col("l_discount"))).cast("decimal(28,6)"))
+          .cast("double").as("sum_disc_price"),
+        sum((col("l_extendedprice") * (lit(1.0) - col("l_discount")) * (lit(1.0) + col("l_tax")))
+          .cast("decimal(28,6)")).cast("double").as("sum_charge"),
+        round(avg(col("l_quantity")), 4).as("avg_qty"),
+        round(avg(col("l_extendedprice")), 4).as("avg_price"),
+        round(avg(col("l_discount")), 4).as("avg_disc"),
+        count(lit(1)).as("count_order"))
+      .orderBy("l_returnflag", "l_linestatus")
+
+  val pricingSummarySql: String =
+    s"""SELECT l_returnflag, l_linestatus,
+       |${dsumSql("l_quantity")} AS sum_qty,
+       |${dsumSql("l_extendedprice")} AS sum_base_price,
+       |CAST(sum(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(28,6))) AS DOUBLE) AS sum_disc_price,
+       |CAST(sum(CAST(l_extendedprice * (1.0 - l_discount) * (1.0 + l_tax) AS DECIMAL(28,6))) AS DOUBLE) AS sum_charge,
+       |round(avg(l_quantity), 4) AS avg_qty,
+       |round(avg(l_extendedprice), 4) AS avg_price,
+       |round(avg(l_discount), 4) AS avg_disc,
+       |count(*) AS count_order
+       |FROM lineitem WHERE l_shipdate <= TIMESTAMP '2000-12-01'
+       |GROUP BY l_returnflag, l_linestatus
+       |ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST""".stripMargin
+
+  val entries: Seq[Entry] = Seq(
+    Entry("g1_pricing_summary", pricingSummary, Some(pricingSummarySql)),
+
+    // G2: distinct aggregate (expand + two-phase agg under the hood).
+    Entry(
+      "g2_distinct_agg",
+      (s, d) =>
+        Tables.events(s, d)
+          .groupBy("event_type")
+          .agg(countDistinct(col("user_id")).as("n_users"), count(lit(1)).as("n_events"))
+          .orderBy("event_type"),
+      Some("""SELECT event_type, count(DISTINCT user_id) AS n_users, count(*) AS n_events
+             |FROM events GROUP BY 1 ORDER BY event_type NULLS FIRST""".stripMargin)
+    ),
+
+    // G3: approx_count_distinct (HLL++) — deterministic for fixed data but
+    // not SQL-equivalent; declared without oracle (rows-only check).
+    Entry(
+      "g3_approx_distinct",
+      (s, d) =>
+        Tables.events(s, d)
+          .groupBy("event_type")
+          .agg(approx_count_distinct(col("user_id")).as("approx_users"))
+          .orderBy("event_type"),
+      None
+    ),
+
+    // G4: rollup + grouping_id.
+    Entry(
+      "g4_rollup",
+      (s, d) =>
+        Tables.orders(s, d)
+          .rollup("o_orderstatus", "o_orderpriority")
+          .agg(count(lit(1)).as("cnt"), dsum(col("o_totalprice")).as("sum_price"),
+               grouping_id().as("gid"))
+          .orderBy(col("o_orderstatus").asc_nulls_first, col("o_orderpriority").asc_nulls_first),
+      Some(s"""SELECT o_orderstatus, o_orderpriority, count(*) AS cnt,
+              |${dsumSql("o_totalprice")} AS sum_price,
+              |CAST(GROUPING(o_orderstatus, o_orderpriority) AS BIGINT) AS gid
+              |FROM orders GROUP BY ROLLUP(o_orderstatus, o_orderpriority)
+              |ORDER BY o_orderstatus NULLS FIRST, o_orderpriority NULLS FIRST""".stripMargin)
+    ),
+
+    // G4b: cube.
+    Entry(
+      "g4_cube",
+      (s, d) =>
+        Tables.lineitem(s, d)
+          .cube("l_returnflag", "l_linestatus")
+          .agg(count(lit(1)).as("cnt"))
+          .orderBy(col("l_returnflag").asc_nulls_first, col("l_linestatus").asc_nulls_first),
+      Some("""SELECT l_returnflag, l_linestatus, count(*) AS cnt
+             |FROM lineitem GROUP BY CUBE(l_returnflag, l_linestatus)
+             |ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST""".stripMargin)
+    ),
+
+    // G5: conditional aggregation — sum(CASE), count_if.
+    Entry(
+      "g5_conditional_agg",
+      (s, d) =>
+        Tables.lineitem(s, d)
+          .groupBy("l_linestatus")
+          .agg(
+            sum(when(col("l_returnflag") === "A", col("l_extendedprice")).cast("decimal(28,6)"))
+              .cast("double").as("sum_returned"),
+            count_if(col("l_quantity") > 25).as("n_bulk"),
+            count(lit(1)).as("n_all"))
+          .orderBy("l_linestatus"),
+      Some("""SELECT l_linestatus,
+             |CAST(sum(CAST(CASE WHEN l_returnflag = 'A' THEN l_extendedprice END AS DECIMAL(28,6))) AS DOUBLE) AS sum_returned,
+             |CAST(count_if(l_quantity > 25) AS BIGINT) AS n_bulk,
+             |count(*) AS n_all
+             |FROM lineitem GROUP BY 1 ORDER BY l_linestatus NULLS FIRST""".stripMargin)
+    ),
+
+    // G6: max_by / ordered collect (unordered collect_list is
+    // non-deterministic → always sort_array; SURVEY.md §5.3).
+    Entry(
+      "g6_maxby_collect",
+      (s, d) =>
+        Tables.nation(s, d)
+          .join(broadcast(Tables.region(s, d)), col("n_regionkey") === col("r_regionkey"))
+          .groupBy("r_name")
+          .agg(
+            max_by(col("n_name"), col("n_nationkey")).as("max_key_nation"),
+            min_by(col("n_name"), col("n_nationkey")).as("min_key_nation"),
+            array_join(sort_array(collect_list(col("n_name"))), ",").as("nations"))
+          .orderBy("r_name"),
+      Some("""SELECT r_name, arg_max(n_name, n_nationkey) AS max_key_nation,
+             |arg_min(n_name, n_nationkey) AS min_key_nation,
+             |string_agg(n_name, ',' ORDER BY n_name) AS nations
+             |FROM nation JOIN region ON n_regionkey = r_regionkey
+             |GROUP BY 1 ORDER BY r_name NULLS FIRST""".stripMargin)
+    ),
+
+    // G7: having.
+    Entry(
+      "g7_having",
+      (s, d) =>
+        Tables.orders(s, d)
+          .groupBy("o_custkey")
+          .agg(count(lit(1)).as("n_orders"), dsum(col("o_totalprice")).as("spend"))
+          .filter(col("n_orders") >= 12)
+          .orderBy("o_custkey"),
+      Some(s"""SELECT o_custkey, count(*) AS n_orders, ${dsumSql("o_totalprice")} AS spend
+              |FROM orders GROUP BY 1 HAVING count(*) >= 12
+              |ORDER BY o_custkey NULLS FIRST""".stripMargin)
+    ),
+
+    // W1: ranking trio. rank/dense_rank rank over a tie-prone key
+    // (p_size) — peers are deterministic; row_number gets a full
+    // tie-breaker of its own.
+    Entry(
+      "w1_ranking",
+      (s, d) => {
+        val peers = Window.partitionBy("p_brand").orderBy(col("p_size").desc)
+        val total = Window.partitionBy("p_brand").orderBy(col("p_size").desc, col("p_partkey").asc)
+        Tables.part(s, d)
+          .select(
+            col("p_brand"), col("p_partkey"), col("p_size"),
+            rank().over(peers).as("rnk"),
+            dense_rank().over(peers).as("drnk"),
+            row_number().over(total).as("rn"))
+          .orderBy("p_brand", "rn")
+      },
+      Some("""SELECT p_brand, p_partkey, p_size,
+             |rank() OVER (PARTITION BY p_brand ORDER BY p_size DESC) AS rnk,
+             |dense_rank() OVER (PARTITION BY p_brand ORDER BY p_size DESC) AS drnk,
+             |row_number() OVER (PARTITION BY p_brand ORDER BY p_size DESC, p_partkey) AS rn
+             |FROM part ORDER BY p_brand NULLS FIRST, rn NULLS FIRST""".stripMargin)
+    ),
+
+    // W2: lag/lead over per-user event sequences.
+    Entry(
+      "w2_lag_lead",
+      (s, d) => {
+        val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+        Tables.events(s, d)
+          .select(
+            col("user_id"), col("event_id"), col("event_type"),
+            round(col("value") - lag(col("value"), 1).over(w), 4).as("value_delta"),
+            lead(col("event_type"), 1).over(w).as("next_type"),
+            first(col("event_type")).over(
+              w.rowsBetween(Window.unboundedPreceding, Window.currentRow)).as("first_type"))
+          .orderBy("user_id", "event_id")
+      },
+      Some("""SELECT user_id, event_id, event_type,
+             |round(value - lag(value, 1) OVER w, 4) AS value_delta,
+             |lead(event_type, 1) OVER w AS next_type,
+             |first_value(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS first_type
+             |FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+             |ORDER BY user_id NULLS FIRST, event_id NULLS FIRST""".stripMargin)
+    ),
+
+    // W3: frame specs — a ROWS frame with a full tie-break, and a RANGE
+    // frame over a numeric day offset (peers included regardless of
+    // order, so no tie-break needed on the range key).
+    Entry(
+      "w3_frames",
+      (s, d) => {
+        val day = datediff(col("o_orderdate"), lit("1970-01-01").cast("date"))
+        val rowsW = Window.partitionBy("o_custkey").orderBy(col("epoch_day").asc, col("o_orderkey").asc)
+          .rowsBetween(-3, 0)
+        val rangeW = Window.partitionBy("o_custkey").orderBy(col("epoch_day").asc)
+          .rangeBetween(-30, 0)
+        Tables.orders(s, d)
+          .withColumn("epoch_day", day)
+          .select(
+            col("o_custkey"), col("o_orderkey"), col("epoch_day"),
+            sum(col("o_totalprice").cast("decimal(28,6)")).over(rowsW).cast("double").as("last4_spend"),
+            sum(col("o_totalprice").cast("decimal(28,6)")).over(rangeW).cast("double").as("spend_30d"))
+          .orderBy("o_custkey", "epoch_day", "o_orderkey")
+      },
+      Some("""SELECT o_custkey, o_orderkey, date_diff('day', DATE '1970-01-01', CAST(o_orderdate AS DATE)) AS epoch_day,
+             |CAST(sum(CAST(o_totalprice AS DECIMAL(28,6))) OVER (PARTITION BY o_custkey ORDER BY date_diff('day', DATE '1970-01-01', CAST(o_orderdate AS DATE)), o_orderkey ROWS BETWEEN 3 PRECEDING AND CURRENT ROW) AS DOUBLE) AS last4_spend,
+             |CAST(sum(CAST(o_totalprice AS DECIMAL(28,6))) OVER (PARTITION BY o_custkey ORDER BY date_diff('day', DATE '1970-01-01', CAST(o_orderdate AS DATE)) RANGE BETWEEN 30 PRECEDING AND CURRENT ROW) AS DOUBLE) AS spend_30d
+             |FROM orders
+             |ORDER BY o_custkey NULLS FIRST, epoch_day NULLS FIRST, o_orderkey NULLS FIRST""".stripMargin)
+    ),
+
+    // W4: top-k per group.
+    Entry(
+      "w4_topk_per_group",
+      (s, d) => {
+        val w = Window.partitionBy("o_custkey").orderBy(col("o_totalprice").desc, col("o_orderkey").asc)
+        Tables.orders(s, d)
+          .withColumn("rn", row_number().over(w))
+          .filter(col("rn") <= 3)
+          .select("o_custkey", "rn", "o_orderkey", "o_totalprice")
+          .orderBy("o_custkey", "rn")
+      },
+      Some("""SELECT o_custkey, rn, o_orderkey, o_totalprice FROM (
+             |SELECT o_custkey, o_orderkey, o_totalprice,
+             |row_number() OVER (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey) AS rn
+             |FROM orders) WHERE rn <= 3
+             |ORDER BY o_custkey NULLS FIRST, rn NULLS FIRST""".stripMargin)
+    )
+  )
+}

@@ -1,0 +1,236 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import graft.QueryRegistry._
+import graft.functions.VectorOps
+import graft.sources.Tables
+
+/** LLM-training-data pipeline operators — SURVEY.md §2.B. Dedup (exact,
+  * MinHash+LSH, SimHash, n-gram Jaccard), similarity search (exact +
+  * LSH-bucketed ANN), text analysis (token stats, quality, language-ID,
+  * fingerprinting). The scale paths: dedup and ANN bucket before joining
+  * (never all-pairs); the exact top-k broadcasts only the bounded query
+  * set; everything is built-in expressions except where typed state is
+  * genuinely needed.
+  */
+object LlmQueries {
+
+  private def words(c: org.apache.spark.sql.Column) = split(c, " ")
+
+  val entries: Seq[Entry] = Seq(
+    // B1: exact dedup by normalized text hash — hash-groupBy, partial agg
+    // before the shuffle; the survivor is the smallest doc_id.
+    Entry(
+      "b1_exact_dedup",
+      (s, d) =>
+        Tables.documents(s, d)
+          .groupBy(md5(lower(trim(col("text")))).as("h"))
+          .agg(min(col("doc_id")).as("doc_id"), count(lit(1)).as("n_copies"))
+          .select("doc_id", "n_copies")
+          .orderBy("doc_id"),
+      Some("""SELECT min(doc_id) AS doc_id, count(*) AS n_copies
+             |FROM documents GROUP BY md5(lower(trim(text)))
+             |ORDER BY doc_id NULLS FIRST""".stripMargin)
+    ),
+
+    // B2: MinHash+LSH fuzzy dedup — band-bucket join, no all-pairs
+    // comparison (non-SQL; semantics unit-tested on planted near-dups).
+    Entry(
+      "b2_minhash_dedup",
+      (s, d) =>
+        MinHash.dupGroups(Tables.documents(s, d), "doc_id", "text", 0.5)
+          .orderBy("doc_id"),
+      None
+    ),
+
+    // B2b: exact n-gram Jaccard between adjacent doc pairs (the verify
+    // step a fuzzy-dedup pipeline runs on LSH candidates).
+    Entry(
+      "b2_ngram_jaccard",
+      (s, d) => {
+        val docs = Tables.documents(s, d)
+          .select(col("doc_id"), array_distinct(MinHash.shingles(col("text"), 3)).as("g"))
+        val a = docs.select((col("doc_id")).as("doc_a"), col("g").as("ga"))
+        val b = docs.select((col("doc_id") - 1).as("doc_a"), col("doc_id").as("doc_b"), col("g").as("gb"))
+        a.join(b, "doc_a")
+          .select(
+            col("doc_a"), col("doc_b"),
+            round(
+              size(array_intersect(col("ga"), col("gb"))).cast("double") /
+              size(array_union(col("ga"), col("gb"))), 6).as("jaccard"))
+          .orderBy("doc_a")
+      },
+      Some("""WITH g AS (SELECT doc_id, list_distinct(list_transform(range(1, len(string_split(text,' ')) - 1),
+             |i -> string_split(text,' ')[i] || ' ' || string_split(text,' ')[i+1] || ' ' || string_split(text,' ')[i+2])) AS grams
+             |FROM documents)
+             |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+             |round(CAST(len(list_intersect(a.grams, b.grams)) AS DOUBLE) /
+             |len(list_distinct(list_concat(a.grams, b.grams))), 6) AS jaccard
+             |FROM g a JOIN g b ON b.doc_id = a.doc_id + 1
+             |ORDER BY doc_a NULLS FIRST""".stripMargin)
+    ),
+
+    // B3: exact top-k cosine similarity — bounded query set broadcast
+    // against the full corpus; norms precomputed once per side; double
+    // math identical to the oracle's list_inner_product.
+    Entry(
+      "b3_cosine_topk",
+      (s, d) => {
+        val e = Tables.embeddings(s, d)
+          .select(col("vec_id"), transform(col("embedding"), _.cast("double")).as("v"))
+          .withColumn("nrm", VectorOps.norm(col("v")))
+        val q = e.filter(col("vec_id") < 10)
+          .select(col("vec_id").as("qid"), col("v").as("qv"), col("nrm").as("qn"))
+        val c = e.select(col("vec_id").as("cid"), col("v").as("cv"), col("nrm").as("cn"))
+        val w = Window.partitionBy("qid").orderBy(col("sim").desc, col("cid").asc)
+        c.join(broadcast(q), col("qid") =!= col("cid"))
+          .select(col("qid"), col("cid"),
+            (VectorOps.dot(col("qv"), col("cv")) / (col("qn") * col("cn"))).as("sim"))
+          .withColumn("rnk", row_number().over(w))
+          .filter(col("rnk") <= 5)
+          .select(col("qid"), col("rnk"), col("cid").as("nid"), round(col("sim"), 4).as("sim"))
+          .orderBy("qid", "rnk")
+      },
+      Some("""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+             |n AS (SELECT vec_id, v, sqrt(list_inner_product(v, v)) AS nrm FROM e),
+             |sims AS (SELECT q.vec_id AS qid, c.vec_id AS cid,
+             |list_inner_product(q.v, c.v) / (q.nrm * c.nrm) AS sim
+             |FROM n q CROSS JOIN n c WHERE q.vec_id < 10 AND q.vec_id <> c.vec_id)
+             |SELECT qid, rnk, cid AS nid, round(sim, 4) AS sim FROM (
+             |SELECT qid, cid, sim, row_number() OVER (PARTITION BY qid ORDER BY sim DESC, cid) AS rnk FROM sims)
+             |WHERE rnk <= 5 ORDER BY qid NULLS FIRST, rnk NULLS FIRST""".stripMargin)
+    ),
+
+    // B4: approximate NN via random-hyperplane LSH — sign-bit bucket from
+    // 8 fixed hyperplanes, equi-join on bucket, exact rerank inside the
+    // bucket only. The O(n²) all-pairs scan never happens (non-SQL:
+    // recall < 1 by construction; bucketing unit-tested).
+    Entry(
+      "b4_lsh_ann",
+      (s, d) => {
+        val rnd = new scala.util.Random(42)
+        val planes: Seq[Seq[Double]] = Seq.fill(8)(Seq.fill(64)(rnd.nextGaussian()))
+        val e = Tables.embeddings(s, d)
+          .select(col("vec_id"), transform(col("embedding"), _.cast("double")).as("v"))
+          .withColumn("nrm", VectorOps.norm(col("v")))
+        val bucket = planes.zipWithIndex
+          .map { case (p, i) =>
+            when(VectorOps.dot(col("v"), typedlit(p)) >= 0, lit(1 << i)).otherwise(lit(0))
+          }
+          .reduce(_ + _)
+        val b = e.withColumn("bucket", bucket)
+        val q = b.filter(col("vec_id") < 10)
+          .select(col("bucket"), col("vec_id").as("qid"), col("v").as("qv"), col("nrm").as("qn"))
+        val c = b.select(col("bucket"), col("vec_id").as("cid"), col("v").as("cv"), col("nrm").as("cn"))
+        val w = Window.partitionBy("qid").orderBy(col("sim").desc, col("cid").asc)
+        c.join(broadcast(q), Seq("bucket"))
+          .filter(col("qid") =!= col("cid"))
+          .select(col("qid"), col("cid"),
+            (VectorOps.dot(col("qv"), col("cv")) / (col("qn") * col("cn"))).as("sim"))
+          .withColumn("rnk", row_number().over(w))
+          .filter(col("rnk") <= 3)
+          .select(col("qid"), col("rnk"), col("cid").as("nid"), round(col("sim"), 4).as("sim"))
+          .orderBy("qid", "rnk")
+      },
+      None
+    ),
+
+    // B5: per-document text analysis — token count, average token length,
+    // stopword ratio, simple quality score.
+    Entry(
+      "b5_text_stats",
+      (s, d) => {
+        val w = words(col("text"))
+        val stop = typedlit(Seq("the", "a", "of", "and", "to", "in", "is", "on"))
+        Tables.documents(s, d)
+          .select(
+            col("doc_id"),
+            size(w).as("n_tokens"),
+            round(aggregate(transform(w, t => length(t).cast("double")), lit(0.0), _ + _) /
+              size(w), 4).as("avg_token_len"),
+            round(size(filter(w, t => array_contains(stop, t))).cast("double") /
+              size(w), 4).as("stopword_ratio"),
+            (size(w) >= 20 && length(col("text")) >= 100).as("quality_pass"))
+          .orderBy("doc_id")
+      },
+      Some("""SELECT doc_id,
+             |CAST(len(string_split(text, ' ')) AS INT) AS n_tokens,
+             |round(list_sum(list_transform(string_split(text, ' '), t -> CAST(length(t) AS DOUBLE))) /
+             |len(string_split(text, ' ')), 4) AS avg_token_len,
+             |round(CAST(len(list_filter(string_split(text, ' '),
+             |t -> list_contains(['the','a','of','and','to','in','is','on'], t))) AS DOUBLE) /
+             |len(string_split(text, ' ')), 4) AS stopword_ratio,
+             |(len(string_split(text, ' ')) >= 20 AND length(text) >= 100) AS quality_pass
+             |FROM documents ORDER BY doc_id NULLS FIRST""".stripMargin)
+    ),
+
+    // B5b: language-ID n-gram/stopword heuristic with a deterministic
+    // tie rule (a real lang-ID model would sit behind the same shape).
+    Entry(
+      "b5_langid",
+      (s, d) => {
+        val w = words(lower(col("text")))
+        def hits(ws: Seq[String]) =
+          size(filter(w, t => array_contains(typedlit(ws), t)))
+        val en = hits(Seq("the", "and", "of", "a"))
+        val es = hits(Seq("el", "la", "de", "que"))
+        val de = hits(Seq("der", "die", "das", "und"))
+        Tables.documents(s, d)
+          .select(
+            col("doc_id"), col("lang"),
+            when(de > en && de > es, "de").when(es > en, "es").otherwise("en").as("pred_lang"))
+          .orderBy("doc_id")
+      },
+      Some("""WITH h AS (SELECT doc_id, lang,
+             |len(list_filter(string_split(lower(text),' '), t -> list_contains(['the','and','of','a'], t))) AS en,
+             |len(list_filter(string_split(lower(text),' '), t -> list_contains(['el','la','de','que'], t))) AS es,
+             |len(list_filter(string_split(lower(text),' '), t -> list_contains(['der','die','das','und'], t))) AS de
+             |FROM documents)
+             |SELECT doc_id, lang,
+             |CASE WHEN de > en AND de > es THEN 'de' WHEN es > en THEN 'es' ELSE 'en' END AS pred_lang
+             |FROM h ORDER BY doc_id NULLS FIRST""".stripMargin)
+    ),
+
+    // B5c: document fingerprint — lexicographic min of shingle digests
+    // (winnowing-style representative hash, join-key friendly).
+    Entry(
+      "b5_fingerprint",
+      (s, d) =>
+        Tables.documents(s, d)
+          .select(
+            col("doc_id"),
+            array_min(transform(MinHash.shingles(col("text"), 3), sh => md5(sh))).as("fingerprint"))
+          .orderBy("doc_id"),
+      Some("""SELECT doc_id,
+             |list_min(list_transform(list_transform(range(1, len(string_split(text,' ')) - 1),
+             |i -> string_split(text,' ')[i] || ' ' || string_split(text,' ')[i+1] || ' ' || string_split(text,' ')[i+2]),
+             |sh -> md5(sh))) AS fingerprint
+             |FROM documents ORDER BY doc_id NULLS FIRST""".stripMargin)
+    ),
+
+    // B6: multimodal/binary columns carried through relational ops —
+    // opaque bytes + typed metadata survive a join and an aggregation
+    // without exploding.
+    Entry(
+      "b6_binary_carry",
+      (s, d) => {
+        val docs = Tables.documents(s, d)
+          .select(col("doc_id"), col("text").cast("binary").as("payload"), col("n_chars"))
+        val emb = Tables.embeddings(s, d).select(col("vec_id"), col("label"))
+        docs.join(emb, col("doc_id") === col("vec_id"))
+          .groupBy("label")
+          .agg(
+            count(lit(1)).as("cnt"),
+            sum(length(col("payload"))).as("sum_bytes"),
+            sum(col("n_chars")).as("sum_chars"))
+          .orderBy("label")
+      },
+      Some("""SELECT label, count(*) AS cnt,
+             |CAST(sum(octet_length(encode(text))) AS BIGINT) AS sum_bytes,
+             |CAST(sum(n_chars) AS BIGINT) AS sum_chars
+             |FROM documents JOIN embeddings ON doc_id = vec_id
+             |GROUP BY label ORDER BY label NULLS FIRST""".stripMargin)
+    )
+  )
+}

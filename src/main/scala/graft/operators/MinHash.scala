@@ -1,0 +1,77 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** MinHash + LSH fuzzy deduplication (SURVEY.md §2.B B2).
+  *
+  * Pipeline: words → n-word shingles → k minhash values (one xxhash64
+  * seed-salt per slot) → band hashes → candidate pairs via equi-join on
+  * (band, bandHash) → signature-overlap Jaccard estimate.
+  *
+  * Scale stance: everything is built-in, codegen'd expressions; the only
+  * shuffle is the band-bucket groupBy/join, which is how LSH avoids the
+  * O(n²) all-pairs comparison at 100 TB. No UDFs, no collect().
+  */
+object MinHash {
+  val NumHashes = 16
+  val Bands     = 4
+  val RowsPerBand: Int = NumHashes / Bands
+
+  /** n-word shingles of a text column; whole text when shorter than n. */
+  def shingles(text: Column, n: Int): Column = {
+    val w = split(text, " ")
+    when(size(w) >= n,
+      transform(
+        sequence(lit(0), size(w) - n),
+        i => concat_ws(" ", slice(w, i + 1, lit(n)))))
+      .otherwise(array(concat_ws(" ", w)))
+  }
+
+  /** k-slot minhash signature: slot i = min over shingles of
+    * xxhash64(shingle, i). Deterministic (fixed internal seed). */
+  def signature(sh: Column, k: Int = NumHashes): Column =
+    array((0 until k).map(i => array_min(transform(sh, s => xxhash64(s, lit(i))))): _*)
+
+  /** doc_id + signature + per-band hashes for a documents-like input. */
+  def signed(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val sig = signature(shingles(lower(trim(col(textCol))), 3))
+    val withSig = docs.select(col(idCol).as("doc_id"), sig.as("sig"))
+    val bands = array((0 until Bands).map { b =>
+      struct(lit(b).as("band"), xxhash64(slice(col("sig"), b * RowsPerBand + 1, RowsPerBand)).as("bh"))
+    }: _*)
+    withSig.withColumn("bands", bands)
+  }
+
+  /** Candidate near-duplicate pairs (doc_a < doc_b) with the estimated
+    * Jaccard = fraction of matching signature slots. */
+  def candidatePairs(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val sg = signed(docs, idCol, textCol)
+      .select(col("doc_id"), col("sig"), explode(col("bands")).as("b"))
+      .select(col("doc_id"), col("sig"), col("b.band").as("band"), col("b.bh").as("bh"))
+    val l = sg.select(col("band"), col("bh"), col("doc_id").as("doc_a"), col("sig").as("sig_a"))
+    val r = sg.select(col("band"), col("bh"), col("doc_id").as("doc_b"), col("sig").as("sig_b"))
+    l.join(r, Seq("band", "bh"))
+      .filter(col("doc_a") < col("doc_b"))
+      .select(col("doc_a"), col("doc_b"),
+        (aggregate(
+          zip_with(col("sig_a"), col("sig_b"), (x, y) => when(x === y, 1).otherwise(0)),
+          lit(0), (acc, v) => acc + v).cast("double") / NumHashes).as("est_jaccard"))
+      .distinct()
+  }
+
+  /** Per-doc dup-group id: the smallest candidate-neighbor id (or self).
+    * One LSH round — a cheap union-find approximation that is exact for
+    * pairwise clusters, which is what planted near-dups produce. */
+  def dupGroups(docs: DataFrame, idCol: String, textCol: String, minJaccard: Double): DataFrame = {
+    val pairs = candidatePairs(docs, idCol, textCol).filter(col("est_jaccard") >= minJaccard)
+    val neighbors =
+      pairs.select(col("doc_a").as("doc_id"), col("doc_b").as("nbr"))
+        .union(pairs.select(col("doc_b").as("doc_id"), col("doc_a").as("nbr")))
+        .groupBy("doc_id").agg(min(col("nbr")).as("min_nbr"))
+    docs.select(col(idCol).as("doc_id"))
+      .join(neighbors, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        least(col("doc_id"), coalesce(col("min_nbr"), col("doc_id"))).as("dup_group"))
+  }
+}

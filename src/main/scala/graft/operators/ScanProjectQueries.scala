@@ -1,0 +1,159 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+import graft.QueryRegistry._
+import graft.sources.Tables
+
+/** Scans, projection, filter, sort/limit, set ops — SURVEY.md §2.C rows
+  * C1–C4, P1–P2, S1–S3. Covers the reference's A1/A2/A3/A4/A5/A9 surface
+  * ([R] etl.py: read.json glob → select/alias/filter → partitioned
+  * parquet write). All scans are declarative so Catalyst pushes filters
+  * and prunes columns down to the parquet reader (SURVEY.md §4.2).
+  */
+object ScanProjectQueries {
+
+  val entries: Seq[Entry] = Seq(
+    // C1: plain parquet scan + projection. Column pruning: only 3 of 11
+    // lineitem columns should appear in ReadSchema.
+    Entry(
+      "c1_scan_projection",
+      (s, d) =>
+        Tables.lineitem(s, d)
+          .select("l_orderkey", "l_linenumber", "l_quantity")
+          .orderBy("l_orderkey", "l_linenumber"),
+      Some("""SELECT l_orderkey, l_linenumber, l_quantity FROM lineitem
+             |ORDER BY l_orderkey NULLS FIRST, l_linenumber NULLS FIRST""".stripMargin)
+    ),
+
+    // C2: glob-path scan (reference A1 reads `song_data/*/*/*/*.json`).
+    Entry(
+      "c2_glob_scan",
+      (s, d) =>
+        s.read.parquet(s"$d/event*.parquet")
+          .select("event_id", "event_type")
+          .orderBy("event_id"),
+      Some("SELECT event_id, event_type FROM events ORDER BY event_id NULLS FIRST")
+    ),
+
+    // C3: JSON-in-string extraction over events.props.
+    Entry(
+      "c3_json_extract",
+      (s, d) =>
+        Tables.events(s, d)
+          .select(
+            col("event_id"),
+            get_json_object(col("props"), "$.k").as("k_str"),
+            get_json_object(col("props"), "$.k").cast("int").as("k_int"))
+          .orderBy("event_id"),
+      Some("""SELECT event_id, json_extract_string(props, '$.k') AS k_str,
+             |CAST(json_extract_string(props, '$.k') AS INT) AS k_int
+             |FROM events ORDER BY event_id NULLS FIRST""".stripMargin)
+    ),
+
+    // C4: partitioned parquet write → re-read with partition pruning
+    // (reference A2: write.partitionBy(...).mode("overwrite").parquet).
+    // Oracle runs the equivalent query on the original table — the
+    // roundtrip must be lossless.
+    Entry(
+      "c4_partitioned_roundtrip",
+      (s, d) => {
+        val out = s"${sys.props("java.io.tmpdir")}/graft_c4_${new java.io.File(d).getName}"
+        Tables.lineitem(s, d)
+          .withColumn("ship_year", year(col("l_shipdate")))
+          .write.mode("overwrite").partitionBy("ship_year").parquet(out)
+        s.read.parquet(out)
+          .filter(col("ship_year").between(1996, 1998))
+          .groupBy("ship_year", "l_returnflag")
+          .agg(count(lit(1)).as("cnt"), dsum(col("l_quantity")).as("sum_qty"))
+          .orderBy("ship_year", "l_returnflag")
+      },
+      Some(s"""SELECT year(l_shipdate) AS ship_year, l_returnflag, count(*) AS cnt,
+              |${dsumSql("l_quantity")} AS sum_qty
+              |FROM lineitem WHERE year(l_shipdate) BETWEEN 1996 AND 1998
+              |GROUP BY 1, 2 ORDER BY ship_year NULLS FIRST, l_returnflag NULLS FIRST""".stripMargin)
+    ),
+
+    // P1: projection + rename + computed column (reference A4/A9).
+    Entry(
+      "p1_project_compute",
+      (s, d) =>
+        Tables.lineitem(s, d)
+          .select(
+            col("l_orderkey").as("okey"),
+            col("l_linenumber").as("line"),
+            round(col("l_extendedprice") * (lit(1.0) - col("l_discount")), 2).as("revenue"),
+            (col("l_quantity") + lit(1.0)).as("qty_plus1"))
+          .orderBy("okey", "line"),
+      Some("""SELECT l_orderkey AS okey, l_linenumber AS line,
+             |round(l_extendedprice * (1.0 - l_discount), 2) AS revenue,
+             |l_quantity + 1.0 AS qty_plus1
+             |FROM lineitem ORDER BY okey NULLS FIRST, line NULLS FIRST""".stripMargin)
+    ),
+
+    // P2: predicate zoo — AND/OR, BETWEEN, IN, LIKE, IS NULL (reference A5).
+    Entry(
+      "p2_filters",
+      (s, d) =>
+        Tables.lineitem(s, d)
+          .filter(
+            col("l_quantity").between(10, 20) &&
+            col("l_returnflag").isin("A", "R") &&
+            (col("l_linestatus") === "F" || col("l_discount") < 0.05) &&
+            col("l_shipdate") >= lit("1997-01-01").cast("timestamp") &&
+            nullif(col("l_returnflag"), lit("N")).isNotNull &&
+            col("l_returnflag").like("%A%"))
+          .select("l_orderkey", "l_linenumber", "l_quantity", "l_discount")
+          .orderBy("l_orderkey", "l_linenumber"),
+      Some("""SELECT l_orderkey, l_linenumber, l_quantity, l_discount FROM lineitem
+             |WHERE l_quantity BETWEEN 10 AND 20 AND l_returnflag IN ('A','R')
+             |AND (l_linestatus = 'F' OR l_discount < 0.05)
+             |AND l_shipdate >= TIMESTAMP '1997-01-01'
+             |AND nullif(l_returnflag, 'N') IS NOT NULL
+             |AND l_returnflag LIKE '%A%'
+             |ORDER BY l_orderkey NULLS FIRST, l_linenumber NULLS FIRST""".stripMargin)
+    ),
+
+    // S1: global top-k — Spark plans TakeOrderedAndProject, no full sort.
+    Entry(
+      "s1_top_n",
+      (s, d) =>
+        Tables.orders(s, d)
+          .orderBy(col("o_totalprice").desc, col("o_orderkey").asc)
+          .select("o_orderkey", "o_custkey", "o_totalprice")
+          .limit(100),
+      Some("""SELECT o_orderkey, o_custkey, o_totalprice FROM orders
+             |ORDER BY o_totalprice DESC NULLS LAST, o_orderkey NULLS FIRST LIMIT 100""".stripMargin)
+    ),
+
+    // S2: unionByName of two heterogeneous projections.
+    Entry(
+      "s2_union",
+      (s, d) => {
+        val c = Tables.customer(s, d)
+          .select(lit("cust").as("kind"), col("c_name").as("name"), col("c_acctbal").as("bal"))
+        val p = Tables.supplier(s, d)
+          .select(col("s_acctbal").as("bal"), lit("supp").as("kind"), col("s_name").as("name"))
+        c.unionByName(p).orderBy("kind", "name")
+      },
+      Some("""SELECT 'cust' AS kind, c_name AS name, c_acctbal AS bal FROM customer
+             |UNION ALL SELECT 'supp', s_name, s_acctbal FROM supplier
+             |ORDER BY kind NULLS FIRST, name NULLS FIRST""".stripMargin)
+    ),
+
+    // S3: intersect / except (set semantics).
+    Entry(
+      "s3_intersect_except",
+      (s, d) => {
+        val ck = Tables.customer(s, d).select(col("c_nationkey").as("k"))
+        val sk = Tables.supplier(s, d).select(col("s_nationkey").as("k"))
+        val both = ck.intersect(sk).select(lit("both").as("kind"), col("k"))
+        val only = ck.except(sk).select(lit("cust_only").as("kind"), col("k"))
+        both.unionByName(only).orderBy("kind", "k")
+      },
+      Some("""WITH b AS (SELECT c_nationkey AS k FROM customer INTERSECT SELECT s_nationkey FROM supplier),
+             |e AS (SELECT c_nationkey AS k FROM customer EXCEPT SELECT s_nationkey FROM supplier)
+             |SELECT 'both' AS kind, k FROM b UNION ALL SELECT 'cust_only' AS kind, k FROM e
+             |ORDER BY kind NULLS FIRST, k NULLS FIRST""".stripMargin)
+    )
+  )
+}
