@@ -42,9 +42,13 @@ object FunctionQueries {
 
     // F2: date/time parts (reference A8 builds the `time` dim this way)
     // plus the epoch-millis roundtrip that replaces the reference's A7 UDF.
+    // o_orderdate is parquet TIMESTAMP_NTZ — cast to (UTC-session)
+    // TIMESTAMP for the epoch functions; timestamp-valued outputs are
+    // emitted as epoch millis so both engines compare plain longs.
     Entry(
       "f2_datetime",
-      (s, d) =>
+      (s, d) => {
+        val ots = col("o_orderdate").cast("timestamp")
         Tables.orders(s, d)
           .select(
             col("o_orderkey"),
@@ -52,18 +56,19 @@ object FunctionQueries {
             month(col("o_orderdate")).as("m"),
             dayofmonth(col("o_orderdate")).as("dom"),
             (dayofweek(col("o_orderdate"))).as("dow_sun1"),
-            date_trunc("month", col("o_orderdate")).as("month_start"),
-            date_add(col("o_orderdate").cast("date"), 30).as("plus30"),
-            unix_millis(col("o_orderdate")).as("epoch_ms"),
-            timestamp_millis(unix_millis(col("o_orderdate"))).as("roundtrip"))
-          .orderBy("o_orderkey"),
+            unix_millis(date_trunc("month", ots)).as("month_start_ms"),
+            date_add(col("o_orderdate").cast("date"), 30).cast("string").as("plus30"),
+            unix_millis(ots).as("epoch_ms"),
+            unix_millis(timestamp_millis(unix_millis(ots))).as("roundtrip_ms"))
+          .orderBy("o_orderkey")
+      },
       Some("""SELECT o_orderkey, year(o_orderdate) AS y, month(o_orderdate) AS m,
              |dayofmonth(o_orderdate) AS dom,
              |CAST(dayofweek(o_orderdate) + 1 AS INT) AS dow_sun1,
-             |date_trunc('month', o_orderdate) AS month_start,
-             |CAST(o_orderdate AS DATE) + 30 AS plus30,
+             |epoch_ms(date_trunc('month', o_orderdate)) AS month_start_ms,
+             |CAST(CAST(o_orderdate AS DATE) + 30 AS VARCHAR) AS plus30,
              |epoch_ms(o_orderdate) AS epoch_ms,
-             |make_timestamp(epoch_ms(o_orderdate) * 1000) AS roundtrip
+             |epoch_ms(o_orderdate) AS roundtrip_ms
              |FROM orders ORDER BY o_orderkey NULLS FIRST""".stripMargin)
     ),
 
@@ -132,15 +137,21 @@ object FunctionQueries {
                 transform(slice(col("embedding"), 1, 8), x => x.cast("double")),
                 lit(0.0), (a, x) => a + x),
               6).as("head8_sum"),
-            transform(sort_array(slice(col("embedding"), 1, 3)),
-              x => round(x.cast("double"), 6)).as("sorted3"),
+            // sorted3 elements emitted as scalars: the driver's pandas
+            // hash-compare cannot sort/hash a raw array column
+            // (ADVICE.md r01 — f5 was effectively unverified).
+            round(element_at(sort_array(slice(col("embedding"), 1, 3)), 1).cast("double"), 6).as("s3a"),
+            round(element_at(sort_array(slice(col("embedding"), 1, 3)), 2).cast("double"), 6).as("s3b"),
+            round(element_at(sort_array(slice(col("embedding"), 1, 3)), 3).cast("double"), 6).as("s3c"),
             aggregate(sequence(lit(1), col("label") + 1), lit(0L), (a, x) => a + x).as("tri"),
             array_contains(sequence(lit(0), lit(4)), col("label")).as("lab_lt5"))
           .orderBy("vec_id"),
       Some("""SELECT vec_id, CAST(len(embedding) AS INT) AS dim,
              |round(CAST(embedding[1] AS DOUBLE), 6) AS e1,
              |round(list_sum(list_transform(embedding[1:8], x -> CAST(x AS DOUBLE))), 6) AS head8_sum,
-             |list_transform(list_sort(embedding[1:3]), x -> round(CAST(x AS DOUBLE), 6)) AS sorted3,
+             |round(CAST(list_sort(embedding[1:3])[1] AS DOUBLE), 6) AS s3a,
+             |round(CAST(list_sort(embedding[1:3])[2] AS DOUBLE), 6) AS s3b,
+             |round(CAST(list_sort(embedding[1:3])[3] AS DOUBLE), 6) AS s3c,
              |list_sum(range(1, label + 2)) AS tri,
              |label <= 4 AS lab_lt5
              |FROM embeddings ORDER BY vec_id NULLS FIRST""".stripMargin)

@@ -3,9 +3,10 @@ package graft.functions
 import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
 
-/** Decoded media features — typed output of the decode stage. */
+/** Decoded media features — typed output of the decode stage.
+  * brightness is None for payloads shorter than 16 bytes. */
 final case class MediaMeta(
-    doc_id: Long, n_bytes: Int, width: Int, height: Int, brightness: Double)
+    doc_id: Long, n_bytes: Int, width: Int, height: Int, brightness: Option[Double])
 
 /** Multimodal column plumbing (SURVEY.md §2.B B6): media as opaque
   * binary columns + typed metadata, with decode/feature-extraction as a
@@ -34,8 +35,12 @@ object Multimodal {
       .mapPartitions { it =>
         it.map { case (id, bytes) =>
           val n = bytes.length
-          // ??? real codec goes here — deterministic fake below.
-          val brightness = bytes.take(16).map(b => (b & 0xff).toDouble).sum / 16.0 / 255.0
+          // ??? real codec goes here — deterministic fake below. All
+          // feature math is BYTE-based (UTF-8), not character-based, so
+          // the oracle comparison stays valid for non-ASCII payloads.
+          val brightness =
+            if (n >= 16) Some(bytes.take(16).map(b => (b & 0xff).toDouble).sum / 16.0 / 255.0)
+            else None
           MediaMeta(id, n, 1 + n % 64, 1 + (n / 64) % 64, brightness)
         }
       }

@@ -133,10 +133,10 @@ object JoinQueries {
             col("o_orderkey") === col("l_orderkey") &&
             col("l_shipdate") >= col("o_orderdate") &&
             col("l_shipdate") <= col("o_orderdate") + expr("INTERVAL 90 DAYS"))
-          .groupBy(date_trunc("month", col("o_orderdate")).as("om"))
+          .groupBy(unix_millis(date_trunc("month", col("o_orderdate").cast("timestamp"))).as("om"))
           .agg(count(lit(1)).as("cnt"))
           .orderBy("om"),
-      Some("""SELECT date_trunc('month', o_orderdate) AS om, count(*) AS cnt
+      Some("""SELECT epoch_ms(date_trunc('month', o_orderdate)) AS om, count(*) AS cnt
              |FROM orders JOIN lineitem ON o_orderkey = l_orderkey
              |AND l_shipdate >= o_orderdate AND l_shipdate <= o_orderdate + INTERVAL 90 DAY
              |GROUP BY 1 ORDER BY om NULLS FIRST""".stripMargin)

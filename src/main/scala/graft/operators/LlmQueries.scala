@@ -61,9 +61,10 @@ object LlmQueries {
               size(array_union(col("ga"), col("gb"))), 6).as("jaccard"))
           .orderBy("doc_a")
       },
-      Some("""WITH g AS (SELECT doc_id, list_distinct(list_transform(range(1, len(string_split(text,' ')) - 1),
-             |i -> string_split(text,' ')[i] || ' ' || string_split(text,' ')[i+1] || ' ' || string_split(text,' ')[i+2])) AS grams
-             |FROM documents)
+      Some("""WITH w AS (SELECT doc_id, string_split(text,' ') AS ws FROM documents),
+             |g AS (SELECT doc_id, list_distinct(CASE WHEN len(ws) < 3 THEN [array_to_string(ws, ' ')]
+             |ELSE list_transform(range(1, len(ws) - 1), i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2]) END) AS grams
+             |FROM w)
              |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
              |round(CAST(len(list_intersect(a.grams, b.grams)) AS DOUBLE) /
              |len(list_distinct(list_concat(a.grams, b.grams))), 6) AS jaccard
@@ -202,11 +203,12 @@ object LlmQueries {
             col("doc_id"),
             array_min(transform(MinHash.shingles(col("text"), 3), sh => md5(sh))).as("fingerprint"))
           .orderBy("doc_id"),
-      Some("""SELECT doc_id,
-             |list_min(list_transform(list_transform(range(1, len(string_split(text,' ')) - 1),
-             |i -> string_split(text,' ')[i] || ' ' || string_split(text,' ')[i+1] || ' ' || string_split(text,' ')[i+2]),
+      Some("""WITH w AS (SELECT doc_id, string_split(text,' ') AS ws FROM documents)
+             |SELECT doc_id,
+             |list_min(list_transform(CASE WHEN len(ws) < 3 THEN [array_to_string(ws, ' ')]
+             |ELSE list_transform(range(1, len(ws) - 1), i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2]) END,
              |sh -> md5(sh))) AS fingerprint
-             |FROM documents ORDER BY doc_id NULLS FIRST""".stripMargin)
+             |FROM w ORDER BY doc_id NULLS FIRST""".stripMargin)
     ),
 
     // B6: multimodal/binary columns carried through relational ops —

@@ -34,11 +34,17 @@ object MediaDedupQueries {
             round(col("brightness"), 6).as("brightness"))
           .orderBy("doc_id")
       },
-      Some("""SELECT doc_id, CAST(length(text) AS INT) AS n_bytes,
-             |CAST(1 + length(text) % 64 AS INT) AS width,
-             |CAST(1 + (length(text) // 64) % 64 AS INT) AS height,
-             |round(list_sum(list_transform(range(1, 17), i -> CAST(ord(substring(text, CAST(i AS INT), 1)) AS DOUBLE))) / 16.0 / 255.0, 6) AS brightness
-             |FROM documents ORDER BY doc_id NULLS FIRST""".stripMargin)
+      // Oracle in BYTE semantics (octet_length + hex-pair decode of the
+      // UTF-8 bytes), guarded for payloads < 16 bytes — char-based
+      // length/ord would drift on non-ASCII documents (ADVICE.md r01).
+      Some("""WITH h AS (SELECT doc_id, hex(encode(text)) AS hx, octet_length(encode(text)) AS n FROM documents)
+             |SELECT doc_id, CAST(n AS INT) AS n_bytes,
+             |CAST(1 + n % 64 AS INT) AS width,
+             |CAST(1 + (n // 64) % 64 AS INT) AS height,
+             |round(CASE WHEN n >= 16 THEN list_sum(list_transform(range(1, 17), i ->
+             |CAST((strpos('0123456789ABCDEF', substring(hx, CAST(2*i-1 AS INT), 1)) - 1) * 16 +
+             |(strpos('0123456789ABCDEF', substring(hx, CAST(2*i AS INT), 1)) - 1) AS DOUBLE))) / 16.0 / 255.0 END, 6) AS brightness
+             |FROM h ORDER BY doc_id NULLS FIRST""".stripMargin)
     )
   )
 }

@@ -74,6 +74,10 @@ object ScanProjectQueries {
     ),
 
     // P1: projection + rename + computed column (reference A4/A9).
+    // Revenue rounds through an exact DECIMAL(28,6): double products land
+    // on exact .xx5 half-way points where Spark's HALF_UP and DuckDB's
+    // rounding disagree (ADVICE.md r01); the decimal path makes both
+    // engines round the same exact value.
     Entry(
       "p1_project_compute",
       (s, d) =>
@@ -81,11 +85,12 @@ object ScanProjectQueries {
           .select(
             col("l_orderkey").as("okey"),
             col("l_linenumber").as("line"),
-            round(col("l_extendedprice") * (lit(1.0) - col("l_discount")), 2).as("revenue"),
+            round((col("l_extendedprice") * (lit(1.0) - col("l_discount")))
+              .cast("decimal(28,6)"), 2).cast("double").as("revenue"),
             (col("l_quantity") + lit(1.0)).as("qty_plus1"))
           .orderBy("okey", "line"),
       Some("""SELECT l_orderkey AS okey, l_linenumber AS line,
-             |round(l_extendedprice * (1.0 - l_discount), 2) AS revenue,
+             |CAST(round(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(28,6)), 2) AS DOUBLE) AS revenue,
              |l_quantity + 1.0 AS qty_plus1
              |FROM lineitem ORDER BY okey NULLS FIRST, line NULLS FIRST""".stripMargin)
     ),
