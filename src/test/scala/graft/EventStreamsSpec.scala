@@ -1,0 +1,72 @@
+package graft
+
+import java.sql.Timestamp
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.scalatest.funsuite.AnyFunSuite
+import graft.streaming.EventStreams
+
+case class Ev(event_id: Long, ts: Timestamp, user_id: Long, event_type: String, value: Double)
+
+/** T4/T5 Structured Streaming semantics (non-oracle — SURVEY.md §5.3.4):
+  * watermarked tumbling windows emit on watermark passage and drop late
+  * rows; stateful dedup keeps the first arrival of each event_id.
+  */
+class EventStreamsSpec extends AnyFunSuite with SparkFixture {
+  import spark.implicits._
+
+  private def ts(hhmm: String): Timestamp =
+    Timestamp.valueOf(s"2026-01-01 $hhmm:00")
+
+  test("T4: watermarked tumbling window emits closed windows, drops late rows") {
+    implicit val ctx = spark.sqlContext
+    val in = MemoryStream[Ev]
+    val q = EventStreams.hourlyCounts(in.toDF(), withWatermark = true)
+      .writeStream.format("memory").queryName("t4_sink").outputMode("append").start()
+    try {
+      in.addData(
+        Ev(1, ts("10:05"), 1, "view", 1.0),
+        Ev(2, ts("10:40"), 1, "view", 1.0))
+      q.processAllAvailable()
+      // watermark still inside the 10:00 window → nothing finalized yet
+      assert(spark.table("t4_sink").count() === 0)
+
+      // event at 12:00 pushes watermark past 11:00 → 10:00 window closes
+      in.addData(Ev(3, ts("12:00"), 1, "view", 1.0))
+      q.processAllAvailable()
+      val closed = spark.table("t4_sink")
+        .collect().map(r => (r.getTimestamp(0), r.getString(1), r.getLong(2)))
+      assert(closed.toSeq === Seq((ts("10:00"), "view", 2L)))
+
+      // a late row for the already-closed 10:00 window is dropped
+      in.addData(Ev(4, ts("10:30"), 1, "view", 1.0))
+      q.processAllAvailable()
+      assert(spark.table("t4_sink").count() === 1)
+    } finally q.stop()
+  }
+
+  test("T5: dropDuplicatesWithinWatermark keeps first arrival per event_id") {
+    implicit val ctx = spark.sqlContext
+    val in = MemoryStream[Ev]
+    val q = EventStreams.dedupEvents(in.toDF(), streaming = true)
+      .writeStream.format("memory").queryName("t5_sink").outputMode("append").start()
+    try {
+      in.addData(
+        Ev(1, ts("10:00"), 1, "view", 1.0),
+        Ev(1, ts("10:01"), 1, "view", 2.0), // same id, same batch
+        Ev(2, ts("10:02"), 1, "click", 1.0))
+      q.processAllAvailable()
+      in.addData(Ev(1, ts("10:03"), 1, "view", 3.0)) // same id, later batch, inside watermark
+      q.processAllAvailable()
+      val ids = spark.table("t5_sink").select("event_id").collect().map(_.getLong(0)).sorted
+      assert(ids.toSeq === Seq(1L, 2L))
+    } finally q.stop()
+  }
+
+  test("T5 batch fallback: dropDuplicates on event_id") {
+    val df = Seq(
+      Ev(1, ts("10:00"), 1, "view", 1.0),
+      Ev(1, ts("10:01"), 1, "view", 2.0),
+      Ev(2, ts("10:02"), 2, "click", 1.0)).toDF()
+    assert(EventStreams.dedupEvents(df, streaming = false).count() === 2)
+  }
+}

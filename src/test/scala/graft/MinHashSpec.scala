@@ -1,0 +1,54 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.operators.MinHash
+
+/** B2 MinHash+LSH fuzzy dedup on planted near-duplicates. */
+class MinHashSpec extends AnyFunSuite with SparkFixture {
+  import spark.implicits._
+
+  private val base =
+    "the quick brown fox jumps over the lazy dog near the river bank today"
+  private val nearDup =
+    "the quick brown fox jumps over the lazy dog near the river bank tonight"
+  private val unrelated =
+    "completely different subject matter about databases and distributed query engines"
+
+  private def docs = Seq(
+    (1L, base), (2L, nearDup), (3L, unrelated), (4L, "tiny doc")
+  ).toDF("doc_id", "text")
+
+  test("shingles: n-word windows, whole-text fallback under n tokens") {
+    val out = docs.select(col("doc_id"), MinHash.shingles(col("text"), 3).as("sh"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[String](1)).toMap
+    assert(out(1L).length === base.split(" ").length - 2)
+    assert(out(1L).head === "the quick brown")
+    assert(out(4L) === Seq("tiny doc")) // < 3 tokens → whole text
+  }
+
+  test("signature is deterministic and k-long") {
+    val sig = docs.select(MinHash.signature(MinHash.shingles(col("text"), 3)).as("s"))
+      .collect().map(_.getSeq[Long](0))
+    assert(sig.forall(_.length === MinHash.NumHashes))
+    val again = docs.select(MinHash.signature(MinHash.shingles(col("text"), 3)).as("s"))
+      .collect().map(_.getSeq[Long](0))
+    assert(sig.toSeq === again.toSeq)
+  }
+
+  test("candidate pairs find the planted near-dup, not the unrelated doc") {
+    val pairs = MinHash.candidatePairs(docs, "doc_id", "text")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    assert(pairs.exists { case (a, b, j) => a == 1L && b == 2L && j > 0.5 })
+    assert(!pairs.exists { case (a, b, _) => Set(a, b).contains(3L) && Set(a, b).intersect(Set(1L, 2L)).nonEmpty })
+  }
+
+  test("dupGroups clusters the near-dups under the smallest id") {
+    val g = MinHash.dupGroups(docs, "doc_id", "text", 0.5)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(g(1L) === 1L)
+    assert(g(2L) === 1L) // clustered with doc 1
+    assert(g(3L) === 3L) // singleton
+    assert(g(4L) === 4L)
+  }
+}
