@@ -17,6 +17,7 @@ object SparkEntry {
     graft.functions.FunctionQueries.entries ++
     graft.operators.LlmQueries.entries ++
     graft.operators.MediaDedupQueries.entries ++
+    graft.operators.PipelineQueries.entries ++
     graft.streaming.StreamingQueries.entries
 
   /** Flagship query on sf0.001; driver smoke-checks rows>0. */
