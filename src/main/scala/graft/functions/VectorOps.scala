@@ -14,16 +14,18 @@ import org.apache.spark.sql.{Encoder, Encoders}
   */
 object VectorOps {
 
-  /** dot(a, b) accumulated left-to-right in double. */
-  def dot(a: Column, b: Column): Column =
-    aggregate(
-      zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
-      lit(0.0),
-      (acc, v) => acc + v)
+  /** dot(a, b) accumulated left-to-right in double — native codegen'd
+    * [[DotProduct]] expression (accepts float or double arrays; float
+    * values widen exactly, so results match the former
+    * `aggregate(zip_with(...))` formulation bit-for-bit). */
+  def dot(a: Column, b: Column): Column = {
+    import org.apache.spark.sql.graftbridge.ColumnBridge
+    ColumnBridge.column(
+      DotProduct(ColumnBridge.expression(a), ColumnBridge.expression(b)))
+  }
 
   /** Euclidean norm in double. */
-  def norm(a: Column): Column =
-    sqrt(aggregate(a, lit(0.0), (acc, v) => acc + v.cast("double") * v.cast("double")))
+  def norm(a: Column): Column = sqrt(dot(a, a))
 
   /** cosine(a, b) in double; null-safe only in that 0-norm yields null. */
   def cosine(a: Column, b: Column): Column = dot(a, b) / (norm(a) * norm(b))

@@ -79,7 +79,7 @@ object LlmQueries {
       "b3_cosine_topk",
       (s, d) => {
         val e = Tables.embeddings(s, d)
-          .select(col("vec_id"), transform(col("embedding"), _.cast("double")).as("v"))
+          .select(col("vec_id"), col("embedding").as("v"))
           .withColumn("nrm", VectorOps.norm(col("v")))
         val q = e.filter(col("vec_id") < 10)
           .select(col("vec_id").as("qid"), col("v").as("qv"), col("nrm").as("qn"))
@@ -113,7 +113,7 @@ object LlmQueries {
         val rnd = new scala.util.Random(42)
         val planes: Seq[Seq[Double]] = Seq.fill(8)(Seq.fill(64)(rnd.nextGaussian()))
         val e = Tables.embeddings(s, d)
-          .select(col("vec_id"), transform(col("embedding"), _.cast("double")).as("v"))
+          .select(col("vec_id"), col("embedding").as("v"))
           .withColumn("nrm", VectorOps.norm(col("v")))
         val bucket = planes.zipWithIndex
           .map { case (p, i) =>

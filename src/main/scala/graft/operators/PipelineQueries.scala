@@ -41,6 +41,9 @@ object PipelineQueries {
         val out = s"${sys.props("java.io.tmpdir")}/graft_a1_${new java.io.File(d).getName}"
         // A2: partitioned overwrite write; A3: parquet re-read.
         fact.select("songplay_id", "event_id", "user_id", "c_mktsegment", "value", "year", "month")
+          // one writer per (year, month): avoids tasks×partitions
+          // small-file explosion on the partitioned sink.
+          .repartition(col("year"), col("month"))
           .write.mode("overwrite").partitionBy("year", "month").parquet(out)
         s.read.parquet(out)
           .groupBy("year", "month", "c_mktsegment")
@@ -80,9 +83,10 @@ object PipelineQueries {
     Entry(
       "b2_cosine_neardup",
       (s, d) => {
+        // raw float arrays go straight into the codegen'd dot product —
+        // no per-element cast pass; widening happens inside the loop.
         val e = Tables.embeddings(s, d)
-          .select(col("vec_id"), col("label"),
-            transform(col("embedding"), _.cast("double")).as("v"))
+          .select(col("vec_id"), col("label"), col("embedding").as("v"))
           .withColumn("nrm", VectorOps.norm(col("v")))
         val a = e.select(col("label"), col("vec_id").as("id_a"), col("v").as("va"), col("nrm").as("na"))
         val b = e.select(col("label"), col("vec_id").as("id_b"), col("v").as("vb"), col("nrm").as("nb"))

@@ -60,6 +60,10 @@ object ScanProjectQueries {
         val out = s"${sys.props("java.io.tmpdir")}/graft_c4_${new java.io.File(d).getName}"
         Tables.lineitem(s, d)
           .withColumn("ship_year", year(col("l_shipdate")))
+          // one writer per partition value: without this, every one of
+          // the N shuffle tasks writes a file into every ship_year dir
+          // (N×years small files — the classic small-file explosion).
+          .repartition(col("ship_year"))
           .write.mode("overwrite").partitionBy("ship_year").parquet(out)
         s.read.parquet(out)
           .filter(col("ship_year").between(1996, 1998))
