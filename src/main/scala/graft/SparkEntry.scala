@@ -18,6 +18,7 @@ object SparkEntry {
     graft.operators.LlmQueries.entries ++
     graft.operators.MediaDedupQueries.entries ++
     graft.operators.PipelineQueries.entries ++
+    graft.operators.ScaleQueries.entries ++
     graft.streaming.StreamingQueries.entries
 
   /** Flagship query on sf0.001; driver smoke-checks rows>0. */

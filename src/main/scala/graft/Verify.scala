@@ -15,6 +15,8 @@ object Verify {
       // physical type unless it is surfaced as a long (Tables.events then
       // converts ns → µs TimestampType explicitly).
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.sql.warehouse.dir",
+        s"${sys.props("java.io.tmpdir")}/graft_warehouse")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
