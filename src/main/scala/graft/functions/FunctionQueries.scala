@@ -72,6 +72,31 @@ object FunctionQueries {
              |FROM orders ORDER BY o_orderkey NULLS FIRST""".stripMargin)
     ),
 
+    // F2b: calendar functions beyond the reference's time-dim set —
+    // quarter/dayofyear/ISO week, last_day, ISO-Monday week truncation.
+    // (months_between deliberately omitted: no DuckDB twin with
+    // fractional-month semantics.)
+    Entry(
+      "f2b_calendar",
+      (s, d) =>
+        Tables.orders(s, d)
+          .select(
+            col("o_orderkey"),
+            quarter(col("o_orderdate")).as("q"),
+            dayofyear(col("o_orderdate")).as("doy"),
+            weekofyear(col("o_orderdate")).as("iso_week"),
+            last_day(col("o_orderdate").cast("date")).cast("string").as("month_end"),
+            unix_millis(date_trunc("week", col("o_orderdate").cast("timestamp"))).as("week_start_ms"))
+          .orderBy("o_orderkey"),
+      Some("""SELECT o_orderkey,
+             |CAST(quarter(o_orderdate) AS INT) AS q,
+             |CAST(dayofyear(o_orderdate) AS INT) AS doy,
+             |CAST(weekofyear(o_orderdate) AS INT) AS iso_week,
+             |CAST(last_day(CAST(o_orderdate AS DATE)) AS VARCHAR) AS month_end,
+             |epoch_ms(date_trunc('week', o_orderdate)) AS week_start_ms
+             |FROM orders ORDER BY o_orderkey NULLS FIRST""".stripMargin)
+    ),
+
     // F3: math functions. ln/pow float results rounded to 6 (libm
     // implementations may differ in the last ulp across engines).
     Entry(
@@ -174,6 +199,28 @@ object FunctionQueries {
              |array_to_string(json_keys(props), ',') AS keys,
              |event_type AS st_type
              |FROM events ORDER BY event_id NULLS FIRST""".stripMargin)
+    ),
+
+    // F10: hash digests + bitwise ops (join-key engineering, sharding,
+    // signature building blocks for the dedup family).
+    Entry(
+      "f10_hash_bitwise",
+      (s, d) =>
+        Tables.documents(s, d)
+          .select(
+            col("doc_id"),
+            md5(col("text")).as("h_md5"),
+            sha2(col("text"), 256).as("h_sha256"),
+            col("doc_id").bitwiseAND(lit(255L)).as("band_and"),
+            col("doc_id").bitwiseOR(lit(16L)).as("b_or"),
+            col("doc_id").bitwiseXOR(lit(21L)).as("b_xor"),
+            shiftleft(col("doc_id"), 3).as("b_shl"),
+            shiftright(col("doc_id"), 2).as("b_shr"))
+          .orderBy("doc_id"),
+      Some("""SELECT doc_id, md5(text) AS h_md5, sha256(text) AS h_sha256,
+             |doc_id & 255 AS band_and, doc_id | 16 AS b_or,
+             |xor(doc_id, 21) AS b_xor, doc_id << 3 AS b_shl, doc_id >> 2 AS b_shr
+             |FROM documents ORDER BY doc_id NULLS FIRST""".stripMargin)
     ),
 
     // F7: the scala UDF *mechanism* (reference A7) — long-word counter.

@@ -224,6 +224,52 @@ object AggWindowQueries {
              |ORDER BY o_custkey NULLS FIRST, epoch_day NULLS FIRST, o_orderkey NULLS FIRST""".stripMargin)
     ),
 
+    // G9: statistical aggregates. Rounded to 4: variance/correlation
+    // merge order differs across engines in the low bits.
+    Entry(
+      "g9_stats",
+      (s, d) =>
+        Tables.lineitem(s, d)
+          .groupBy("l_returnflag")
+          .agg(
+            round(stddev_samp(col("l_quantity")), 4).as("sd_qty"),
+            round(var_samp(col("l_extendedprice")), 4).as("var_price"),
+            round(corr(col("l_quantity"), col("l_extendedprice")), 4).as("corr_qp"),
+            round(covar_samp(col("l_quantity"), col("l_discount")), 4).as("cov_qd"),
+            count(lit(1)).as("n"))
+          .orderBy("l_returnflag"),
+      Some("""SELECT l_returnflag,
+             |round(stddev_samp(l_quantity), 4) AS sd_qty,
+             |round(var_samp(l_extendedprice), 4) AS var_price,
+             |round(corr(l_quantity, l_extendedprice), 4) AS corr_qp,
+             |round(covar_samp(l_quantity, l_discount), 4) AS cov_qd,
+             |count(*) AS n
+             |FROM lineitem GROUP BY 1 ORDER BY l_returnflag NULLS FIRST""".stripMargin)
+    ),
+
+    // W5: distribution window functions — ntile over a total order,
+    // percent_rank/cume_dist over a tie-prone key (peers deterministic).
+    Entry(
+      "w5_distribution",
+      (s, d) => {
+        val total = Window.partitionBy("o_orderstatus").orderBy(col("o_totalprice").asc, col("o_orderkey").asc)
+        val peers = Window.partitionBy("o_orderstatus").orderBy(col("o_orderpriority").asc)
+        Tables.orders(s, d)
+          .select(
+            col("o_orderstatus"), col("o_orderkey"),
+            ntile(4).over(total).as("quartile"),
+            round(percent_rank().over(peers), 6).as("prk"),
+            round(cume_dist().over(peers), 6).as("cd"))
+          .orderBy("o_orderstatus", "o_orderkey")
+      },
+      Some("""SELECT o_orderstatus, o_orderkey,
+             |CAST(ntile(4) OVER (PARTITION BY o_orderstatus ORDER BY o_totalprice, o_orderkey) AS INT) AS quartile,
+             |round(percent_rank() OVER (PARTITION BY o_orderstatus ORDER BY o_orderpriority), 6) AS prk,
+             |round(cume_dist() OVER (PARTITION BY o_orderstatus ORDER BY o_orderpriority), 6) AS cd
+             |FROM orders
+             |ORDER BY o_orderstatus NULLS FIRST, o_orderkey NULLS FIRST""".stripMargin)
+    ),
+
     // W4: top-k per group.
     Entry(
       "w4_topk_per_group",

@@ -72,6 +72,28 @@ object LlmQueries {
              |ORDER BY doc_a NULLS FIRST""".stripMargin)
     ),
 
+    // B2c: edit distance between adjacent doc pairs — the character-
+    // level verify step for dedup candidates (exact Levenshtein; both
+    // engines implement the classic DP).
+    Entry(
+      "b2_edit_distance",
+      (s, d) => {
+        val docs = Tables.documents(s, d).select(col("doc_id"), col("text"))
+        val a = docs.select(col("doc_id").as("doc_a"), col("text").as("ta"))
+        val b = docs.select((col("doc_id") - 1).as("doc_a"), col("doc_id").as("doc_b"), col("text").as("tb"))
+        a.join(b, "doc_a")
+          .select(col("doc_a"), col("doc_b"),
+            levenshtein(col("ta"), col("tb")).as("edit_dist"),
+            length(col("ta")).as("len_a"))
+          .orderBy("doc_a")
+      },
+      Some("""SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+             |CAST(levenshtein(a.text, b.text) AS INT) AS edit_dist,
+             |length(a.text) AS len_a
+             |FROM documents a JOIN documents b ON b.doc_id = a.doc_id + 1
+             |ORDER BY doc_a NULLS FIRST""".stripMargin)
+    ),
+
     // B3: exact top-k cosine similarity — bounded query set broadcast
     // against the full corpus; norms precomputed once per side; double
     // math identical to the oracle's list_inner_product.
