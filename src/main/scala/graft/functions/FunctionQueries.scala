@@ -258,6 +258,20 @@ object FunctionQueries {
              |FROM embeddings GROUP BY label ORDER BY label NULLS FIRST""".stripMargin)
     ),
 
+    // F9b: positional generator — posexplode keeps the element index
+    // (the oracle zips unnest with a 0-based range).
+    Entry(
+      "f9b_posexplode",
+      (s, d) =>
+        Tables.documents(s, d)
+          .filter(col("doc_id") < 50)
+          .select(col("doc_id"), posexplode(split(col("text"), " ")).as(Seq("pos", "word")))
+          .orderBy("doc_id", "pos"),
+      Some("""WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents WHERE doc_id < 50)
+             |SELECT doc_id, CAST(unnest(range(0, len(ws))) AS INT) AS pos, unnest(ws) AS word
+             |FROM w ORDER BY doc_id NULLS FIRST, pos NULLS FIRST""".stripMargin)
+    ),
+
     // F9: generator — explode tokens, global top-20 word counts.
     Entry(
       "f9_explode_wordcount",

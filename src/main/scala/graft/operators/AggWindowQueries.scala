@@ -247,6 +247,23 @@ object AggWindowQueries {
              |FROM lineitem GROUP BY 1 ORDER BY l_returnflag NULLS FIRST""".stripMargin)
     ),
 
+    // G10: pivot — explicit value list (never pivot on unbounded
+    // cardinality at scale; the value list bounds the output schema).
+    Entry(
+      "g10_pivot",
+      (s, d) =>
+        Tables.lineitem(s, d)
+          .groupBy("l_linestatus")
+          .pivot("l_returnflag", Seq("A", "N", "R"))
+          .agg(dsum(col("l_quantity")))
+          .orderBy("l_linestatus"),
+      Some(s"""SELECT l_linestatus,
+              |CAST(sum(CAST(l_quantity AS DECIMAL(28,6))) FILTER (WHERE l_returnflag = 'A') AS DOUBLE) AS "A",
+              |CAST(sum(CAST(l_quantity AS DECIMAL(28,6))) FILTER (WHERE l_returnflag = 'N') AS DOUBLE) AS "N",
+              |CAST(sum(CAST(l_quantity AS DECIMAL(28,6))) FILTER (WHERE l_returnflag = 'R') AS DOUBLE) AS "R"
+              |FROM lineitem GROUP BY 1 ORDER BY l_linestatus NULLS FIRST""".stripMargin)
+    ),
+
     // W5: distribution window functions — ntile over a total order,
     // percent_rank/cume_dist over a tie-prone key (peers deterministic).
     Entry(

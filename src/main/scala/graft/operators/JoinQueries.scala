@@ -166,6 +166,27 @@ object JoinQueries {
              |ORDER BY user_id NULLS FIRST, event_id NULLS FIRST""".stripMargin)
     ),
 
+    // J10: null-safe equi-join (<=>): NULL keys match each other —
+    // still hash-joinable (null-safe equality is an equi predicate),
+    // unlike an OR-of-IS-NULL rewrite which would nested-loop.
+    Entry(
+      "j10_null_safe_join",
+      (s, d) => {
+        val a = Tables.customer(s, d)
+          .select(when(col("c_nationkey") < 5, lit(null)).otherwise(col("c_nationkey")).as("ka"))
+        val b = Tables.supplier(s, d)
+          .select(when(col("s_nationkey") < 5, lit(null)).otherwise(col("s_nationkey")).as("kb"))
+        a.join(b, col("ka") <=> col("kb"))
+          .groupBy("ka")
+          .agg(count(lit(1)).as("n_pairs"))
+          .orderBy(col("ka").asc_nulls_first)
+      },
+      Some("""WITH a AS (SELECT CASE WHEN c_nationkey < 5 THEN NULL ELSE c_nationkey END AS ka FROM customer),
+             |b AS (SELECT CASE WHEN s_nationkey < 5 THEN NULL ELSE s_nationkey END AS kb FROM supplier)
+             |SELECT ka, count(*) AS n_pairs FROM a JOIN b ON ka IS NOT DISTINCT FROM kb
+             |GROUP BY 1 ORDER BY ka NULLS FIRST""".stripMargin)
+    ),
+
     // J7: cross join — only legal over bounded dims (5 × 25 rows).
     Entry(
       "j7_cross",

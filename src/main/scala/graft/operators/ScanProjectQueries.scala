@@ -77,6 +77,23 @@ object ScanProjectQueries {
               |GROUP BY 1, 2 ORDER BY ship_year NULLS FIRST, l_returnflag NULLS FIRST""".stripMargin)
     ),
 
+    // C7: deterministic systematic sample — key-mod filtering instead of
+    // rand(): reproducible across runs/engines, pushes down to the scan,
+    // and at 100 TB gives an unbiased ~5% slice without a shuffle (the
+    // standard trick for training-data subsampling pipelines).
+    Entry(
+      "c7_systematic_sample",
+      (s, d) =>
+        Tables.lineitem(s, d)
+          .filter(pmod(col("l_orderkey"), lit(97)) < 5)
+          .agg(count(lit(1)).as("n_sampled"),
+               dsum(col("l_quantity")).as("sum_qty"),
+               countDistinct(col("l_orderkey")).as("n_orders")),
+      Some(s"""SELECT count(*) AS n_sampled, ${dsumSql("l_quantity")} AS sum_qty,
+              |count(DISTINCT l_orderkey) AS n_orders
+              |FROM lineitem WHERE l_orderkey % 97 < 5""".stripMargin)
+    ),
+
     // P1: projection + rename + computed column (reference A4/A9).
     // Revenue rounds through an exact DECIMAL(28,6): double products land
     // on exact .xx5 half-way points where Spark's HALF_UP and DuckDB's
