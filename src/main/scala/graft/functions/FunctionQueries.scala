@@ -223,6 +223,27 @@ object FunctionQueries {
              |FROM documents ORDER BY doc_id NULLS FIRST""".stripMargin)
     ),
 
+    // F6b: from_json with an explicit STRUCT schema (the typed,
+    // 100 TB-preferred alternative to F6's map inference) + named_struct
+    // round-trip through a struct-typed column.
+    Entry(
+      "f6b_json_struct",
+      (s, d) =>
+        Tables.events(s, d)
+          .withColumn("p", from_json(col("props"), lit("k INT")))
+          .select(
+            col("event_id"),
+            col("p.k").as("k_int"),
+            struct(col("event_type").as("t"), col("user_id").as("u")).as("st"))
+          .select(col("event_id"), col("k_int"),
+            col("st.t").as("st_type"), col("st.u").as("st_user"))
+          .orderBy("event_id"),
+      Some("""SELECT event_id,
+             |CAST(json_extract_string(props, '$.k') AS INT) AS k_int,
+             |event_type AS st_type, user_id AS st_user
+             |FROM events ORDER BY event_id NULLS FIRST""".stripMargin)
+    ),
+
     // F7: the scala UDF *mechanism* (reference A7) — long-word counter.
     // Kept off the relational hot paths; everything else is built-ins.
     Entry(

@@ -166,6 +166,52 @@ object ScanProjectQueries {
              |ORDER BY kind NULLS FIRST, name NULLS FIRST""".stripMargin)
     ),
 
+    // S2b: UNION with set semantics (distinct across inputs).
+    Entry(
+      "s2_union_distinct",
+      (s, d) => {
+        val c = Tables.customer(s, d).select(col("c_nationkey").as("k"))
+        val p = Tables.supplier(s, d).select(col("s_nationkey").as("k"))
+        c.union(p).distinct().orderBy("k")
+      },
+      Some("""SELECT c_nationkey AS k FROM customer
+             |UNION SELECT s_nationkey FROM supplier
+             |ORDER BY k NULLS FIRST""".stripMargin)
+    ),
+
+    // S4: multiset (bag) semantics — EXCEPT ALL / INTERSECT ALL keep
+    // duplicate multiplicity, unlike S3's set semantics.
+    Entry(
+      "s4_multiset_ops",
+      (s, d) => {
+        val a = Tables.lineitem(s, d).select(col("l_quantity").cast("int").as("q")).filter(col("q") <= 10)
+        val b = Tables.lineitem(s, d).select(col("l_quantity").cast("int").as("q")).filter(col("q").between(5, 15))
+        val ex = a.exceptAll(b).groupBy("q").agg(count(lit(1)).as("n")).withColumn("op", lit("except_all"))
+        val in = a.intersectAll(b).groupBy("q").agg(count(lit(1)).as("n")).withColumn("op", lit("intersect_all"))
+        ex.unionByName(in).orderBy("op", "q")
+      },
+      Some("""WITH a AS (SELECT CAST(l_quantity AS INT) AS q FROM lineitem WHERE l_quantity <= 10),
+             |b AS (SELECT CAST(l_quantity AS INT) AS q FROM lineitem WHERE l_quantity BETWEEN 5 AND 15),
+             |ex AS (SELECT q, count(*) AS n, 'except_all' AS op FROM (SELECT q FROM a EXCEPT ALL SELECT q FROM b) GROUP BY q),
+             |ia AS (SELECT q, count(*) AS n, 'intersect_all' AS op FROM (SELECT q FROM a INTERSECT ALL SELECT q FROM b) GROUP BY q)
+             |SELECT * FROM ex UNION ALL SELECT * FROM ia
+             |ORDER BY op NULLS FIRST, q NULLS FIRST""".stripMargin)
+    ),
+
+    // S5: limit + offset pagination over a total order.
+    Entry(
+      "s5_limit_offset",
+      (s, d) =>
+        Tables.orders(s, d)
+          .orderBy(col("o_totalprice").desc, col("o_orderkey").asc)
+          .select("o_orderkey", "o_totalprice")
+          .offset(100)
+          .limit(50),
+      Some("""SELECT o_orderkey, o_totalprice FROM orders
+             |ORDER BY o_totalprice DESC NULLS LAST, o_orderkey NULLS FIRST
+             |LIMIT 50 OFFSET 100""".stripMargin)
+    ),
+
     // S3: intersect / except (set semantics).
     Entry(
       "s3_intersect_except",
