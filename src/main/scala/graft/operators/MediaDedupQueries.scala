@@ -22,6 +22,34 @@ object MediaDedupQueries {
       None
     ),
 
+    // B6c: frame sampling over opaque binary payloads — every 8th-byte
+    // offset yields a 4-byte "frame" (the batch shape of video
+    // frame-sampling / audio windowing: pure expressions, one generator,
+    // no UDF; a real codec would replace the substring with a decode).
+    Entry(
+      "b6_frame_sample",
+      (s, d) => {
+        val docs = Tables.documents(s, d)
+          .filter(col("doc_id") < 100)
+          .select(col("doc_id"), col("text").cast("binary").as("payload"))
+          .filter(length(col("payload")) >= 4)
+        docs
+          .withColumn("frames",
+            transform(
+              expr("sequence(0, CAST((length(payload) - 4) / 8 AS INT))"),
+              f => hex(col("payload").substr(f * 8 + 1, lit(4)))))
+          .select(col("doc_id"), posexplode(col("frames")).as(Seq("frame_idx", "frame_hex")))
+          .orderBy("doc_id", "frame_idx")
+      },
+      Some("""WITH h AS (SELECT doc_id, hex(encode(text)) AS hx, octet_length(encode(text)) AS n
+             |FROM documents WHERE doc_id < 100 AND octet_length(encode(text)) >= 4)
+             |SELECT doc_id,
+             |CAST(unnest(range(0, (n - 4) // 8 + 1)) AS INT) AS frame_idx,
+             |unnest(list_transform(range(0, (n - 4) // 8 + 1),
+             |f -> substring(hx, CAST(8 * 2 * f + 1 AS INT), 8))) AS frame_hex
+             |FROM h ORDER BY doc_id NULLS FIRST, frame_idx NULLS FIRST""".stripMargin)
+    ),
+
     // B6b: partition-wise typed decode of binary payloads (mapInPandas
     // analogue). The stub's arithmetic is mirrored exactly in SQL so the
     // plumbing is oracle-checked end to end.

@@ -1,0 +1,44 @@
+package graft
+
+import org.scalacheck.{Gen, Properties}
+import org.scalacheck.Prop.forAll
+import org.apache.spark.sql.functions._
+
+/** Algebraic laws from SURVEY.md §5.3.2: dedup idempotence, epoch-ms
+  * roundtrip, set-op cardinality. */
+object EngineProps extends Properties("engine") {
+
+  private lazy val spark = SparkFixture.session
+  import spark.implicits._
+
+  private val smallTexts =
+    Gen.nonEmptyListOf(Gen.oneOf("aa bb", "cc dd", "aa  bb", "x", "Y z"))
+
+  property("exact dedup is idempotent") = forAll(smallTexts) { texts =>
+    val df = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }.toDF("doc_id", "text")
+    def dedup(d: org.apache.spark.sql.DataFrame) =
+      d.groupBy(md5(lower(trim(col("text")))).as("h"))
+        .agg(min(col("doc_id")).as("doc_id"))
+    val once = dedup(df).count()
+    val twice = dedup(dedup(df).join(df, "doc_id").select("doc_id", "text")).count()
+    once == twice
+  }
+
+  property("timestamp_millis ∘ unix_millis = identity on ms-precision instants") =
+    forAll(Gen.choose(0L, 4102444800000L)) { ms => // 1970..2100
+      val r = Seq(ms).toDF("ms")
+        .select(unix_millis(timestamp_millis(col("ms"))).as("back"))
+        .collect().head.getLong(0)
+      r == ms
+    }
+
+  property("|A ∪all B| = |A| + |B| and |A ∩ B| + |A except B| = |distinct A|") =
+    forAll(Gen.listOf(Gen.choose(0, 20)), Gen.listOf(Gen.choose(0, 20))) { (xs, ys) =>
+      val a = xs.toDF("v")
+      val b = ys.toDF("v")
+      val unionAll = a.union(b).count() == xs.length + ys.length
+      val partition =
+        a.intersect(b).count() + a.except(b).count() == a.distinct().count()
+      unionAll && partition
+    }
+}

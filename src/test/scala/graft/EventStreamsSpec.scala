@@ -62,6 +62,26 @@ class EventStreamsSpec extends AnyFunSuite with SparkFixture {
     } finally q.stop()
   }
 
+  test("T4b: file-source stream over parquet events matches the batch result") {
+    // end-to-end streaming from files (the production shape): copy the
+    // events table into a stream-source dir, run the same transform with
+    // AvailableNow, compare against the batch run.
+    val src = graft.sources.Tables.events(spark, "/root/testdata/sf0.001")
+    val dir = java.nio.file.Files.createTempDirectory("graft_stream_src").toString
+    src.write.mode("overwrite").parquet(dir)
+    val stream = spark.readStream.schema(src.schema).parquet(dir)
+    val q = EventStreams.hourlyCounts(stream)
+      .writeStream.format("memory").queryName("t4b_sink").outputMode("complete")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+    try q.awaitTermination() finally q.stop()
+    val streamed = spark.table("t4b_sink")
+      .collect().map(r => (r.getTimestamp(0), r.getString(1), r.getLong(2))).toSet
+    val batch = EventStreams.hourlyCounts(src)
+      .collect().map(r => (r.getTimestamp(0), r.getString(1), r.getLong(2))).toSet
+    assert(streamed === batch)
+    assert(batch.nonEmpty)
+  }
+
   test("T5 batch fallback: dropDuplicates on event_id") {
     val df = Seq(
       Ev(1, ts("10:00"), 1, "view", 1.0),
