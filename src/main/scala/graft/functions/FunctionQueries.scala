@@ -40,6 +40,37 @@ object FunctionQueries {
              |FROM documents ORDER BY doc_id NULLS FIRST""".stripMargin)
     ),
 
+    // F1b: second string family — translate/reverse/repeat/split_part,
+    // prefix/suffix/containment predicates, bounded add_months.
+    Entry(
+      "f1b_strings_extra",
+      (s, d) =>
+        Tables.documents(s, d)
+          .select(
+            col("doc_id"),
+            translate(col("lang"), "aeiou", "01234").as("lang_tr"),
+            reverse(col("source")).as("src_rev"),
+            repeat(col("lang"), 2).as("lang2"),
+            expr("split_part(source, 'c', 2)").as("src_num"),
+            expr("left(text, 5)").as("head5"),
+            expr("right(text, 5)").as("tail5"),
+            col("source").startsWith("src1").as("is_src1x"),
+            col("source").endsWith("0").as("ends0"),
+            col("text").contains("the").as("has_the"))
+          .orderBy("doc_id"),
+      Some("""SELECT doc_id,
+             |translate(lang, 'aeiou', '01234') AS lang_tr,
+             |reverse(source) AS src_rev,
+             |repeat(lang, 2) AS lang2,
+             |split_part(source, 'c', 2) AS src_num,
+             |left(text, 5) AS head5,
+             |right(text, 5) AS tail5,
+             |starts_with(source, 'src1') AS is_src1x,
+             |ends_with(source, '0') AS ends0,
+             |contains(text, 'the') AS has_the
+             |FROM documents ORDER BY doc_id NULLS FIRST""".stripMargin)
+    ),
+
     // F2: date/time parts (reference A8 builds the `time` dim this way)
     // plus the epoch-millis roundtrip that replaces the reference's A7 UDF.
     // o_orderdate is parquet TIMESTAMP_NTZ — cast to (UTC-session)

@@ -247,6 +247,25 @@ object AggWindowQueries {
              |FROM lineitem GROUP BY 1 ORDER BY l_returnflag NULLS FIRST""".stripMargin)
     ),
 
+    // G11: mergeable sketches — the 100 TB pattern for distinct counts
+    // and quantiles: per-partition DataSketches HLL sketches merge
+    // associatively (partial agg before the shuffle, union across
+    // partitions/days), unlike exact COUNT(DISTINCT)'s expand-shuffle.
+    // Non-SQL (sketch estimates); accuracy asserted vs exact counts in
+    // AggSketchSpec.
+    Entry(
+      "g11_sketches",
+      (s, d) =>
+        Tables.events(s, d)
+          .groupBy("event_type")
+          .agg(
+            hll_sketch_estimate(hll_sketch_agg(col("user_id"))).as("approx_users"),
+            round(percentile_approx(col("value"), lit(0.5), lit(1000)), 4).as("p50_value"),
+            count(lit(1)).as("n"))
+          .orderBy("event_type"),
+      None
+    ),
+
     // G10: pivot — explicit value list (never pivot on unbounded
     // cardinality at scale; the value list bounds the output schema).
     Entry(

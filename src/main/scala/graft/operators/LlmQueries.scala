@@ -125,32 +125,42 @@ object LlmQueries {
              |WHERE rnk <= 5 ORDER BY qid NULLS FIRST, rnk NULLS FIRST""".stripMargin)
     ),
 
-    // B4: approximate NN via random-hyperplane LSH — sign-bit bucket from
-    // 8 fixed hyperplanes, equi-join on bucket, exact rerank inside the
-    // bucket only. The O(n²) all-pairs scan never happens (non-SQL:
-    // recall < 1 by construction; bucketing unit-tested).
+    // B4: approximate NN via multi-table random-hyperplane LSH — L=6
+    // independent tables of B=6 sign bits; a query's candidates are the
+    // union over tables of its bucket-mates. (A single wide signature
+    // has recall ≈ 0 here: for a ~60° true neighbor every one of 8
+    // hyperplanes must agree, p ≈ (2/3)^8 — measured and fixed; per-
+    // table collision is now (2/3)^6 with 6 chances.) Equi-join on
+    // (table, bucket), pair-dedup, exact rerank — the O(n²) all-pairs
+    // scan never happens (non-SQL; recall floor asserted in
+    // AggSketchSpec).
     Entry(
       "b4_lsh_ann",
       (s, d) => {
+        val L = 6; val B = 6
         val rnd = new scala.util.Random(42)
-        val planes: Seq[Seq[Double]] = Seq.fill(8)(Seq.fill(64)(rnd.nextGaussian()))
+        val planes: Seq[Seq[Double]] = Seq.fill(L * B)(Seq.fill(64)(rnd.nextGaussian()))
         val e = Tables.embeddings(s, d)
           .select(col("vec_id"), col("embedding").as("v"))
           .withColumn("nrm", VectorOps.norm(col("v")))
-        val bucket = planes.zipWithIndex
-          .map { case (p, i) =>
-            when(VectorOps.dot(col("v"), typedlit(p)) >= 0, lit(1 << i)).otherwise(lit(0))
-          }
-          .reduce(_ + _)
-        val b = e.withColumn("bucket", bucket)
+        val tables = array((0 until L).map { t =>
+          val bits = (0 until B).map { i =>
+            when(VectorOps.dot(col("v"), typedlit(planes(t * B + i))) >= 0, lit(1 << i)).otherwise(lit(0))
+          }.reduce(_ + _)
+          struct(lit(t).as("tbl"), bits.as("bkt"))
+        }: _*)
+        val b = e.withColumn("bk", explode(tables))
+          .select(col("bk.tbl").as("tbl"), col("bk.bkt").as("bkt"),
+            col("vec_id"), col("v"), col("nrm"))
         val q = b.filter(col("vec_id") < 10)
-          .select(col("bucket"), col("vec_id").as("qid"), col("v").as("qv"), col("nrm").as("qn"))
-        val c = b.select(col("bucket"), col("vec_id").as("cid"), col("v").as("cv"), col("nrm").as("cn"))
+          .select(col("tbl"), col("bkt"), col("vec_id").as("qid"), col("v").as("qv"), col("nrm").as("qn"))
+        val c = b.select(col("tbl"), col("bkt"), col("vec_id").as("cid"), col("v").as("cv"), col("nrm").as("cn"))
         val w = Window.partitionBy("qid").orderBy(col("sim").desc, col("cid").asc)
-        c.join(broadcast(q), Seq("bucket"))
+        c.join(broadcast(q), Seq("tbl", "bkt"))
           .filter(col("qid") =!= col("cid"))
           .select(col("qid"), col("cid"),
             (VectorOps.dot(col("qv"), col("cv")) / (col("qn") * col("cn"))).as("sim"))
+          .groupBy("qid", "cid").agg(max(col("sim")).as("sim")) // dedupe pairs seen in >1 table
           .withColumn("rnk", row_number().over(w))
           .filter(col("rnk") <= 3)
           .select(col("qid"), col("rnk"), col("cid").as("nid"), round(col("sim"), 4).as("sim"))
