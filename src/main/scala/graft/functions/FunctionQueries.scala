@@ -310,6 +310,28 @@ object FunctionQueries {
              |FROM embeddings GROUP BY label ORDER BY label NULLS FIRST""".stripMargin)
     ),
 
+    // F11: ANSI-safe arithmetic — Spark 4 runs ANSI mode by default, so
+    // pipeline code uses try_* to get NULL-on-error instead of job
+    // aborts (the robustness posture for dirty data at 100 TB).
+    Entry(
+      "f11_try_ops",
+      (s, d) =>
+        Tables.lineitem(s, d)
+          .select(
+            col("l_orderkey"), col("l_linenumber"),
+            round(try_divide(col("l_quantity"), col("l_linenumber") - 1), 6).as("qty_per"),
+            try_element_at(split(col("l_returnflag"), ","), lit(2)).as("missing_elem"),
+            expr("try_cast(concat('x', l_returnflag) AS INT)").as("bad_int"),
+            expr("try_cast(l_quantity AS INT)").as("qty_int"))
+          .orderBy("l_orderkey", "l_linenumber"),
+      Some("""SELECT l_orderkey, l_linenumber,
+             |round(l_quantity / nullif(l_linenumber - 1, 0), 6) AS qty_per,
+             |string_split(l_returnflag, ',')[2] AS missing_elem,
+             |TRY_CAST(concat('x', l_returnflag) AS INT) AS bad_int,
+             |TRY_CAST(l_quantity AS INT) AS qty_int
+             |FROM lineitem ORDER BY l_orderkey NULLS FIRST, l_linenumber NULLS FIRST""".stripMargin)
+    ),
+
     // F9b: positional generator — posexplode keeps the element index
     // (the oracle zips unnest with a 0-based range).
     Entry(

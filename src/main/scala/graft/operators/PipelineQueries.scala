@@ -130,6 +130,30 @@ object PipelineQueries {
              |FROM documents ORDER BY doc_id NULLS FIRST""".stripMargin)
     ),
 
+    // The SQL API surface: users of the engine can register the tables
+    // as views and run plain SQL through spark.sql — same Catalyst
+    // plan as the DataFrame construction, same oracle.
+    Entry(
+      "q_sql_surface",
+      (s, d) => {
+        Tables.lineitem(s, d).createOrReplaceTempView("v_lineitem")
+        Tables.orders(s, d).createOrReplaceTempView("v_orders")
+        s.sql("""
+          SELECT o_orderpriority,
+                 CAST(sum(CAST(l_quantity AS DECIMAL(28,6))) AS DOUBLE) AS sum_qty,
+                 count(*) AS cnt
+          FROM v_lineitem JOIN v_orders ON l_orderkey = o_orderkey
+          WHERE o_orderdate >= TIMESTAMP '1996-01-01'
+          GROUP BY o_orderpriority
+          ORDER BY o_orderpriority
+        """)
+      },
+      Some(s"""SELECT o_orderpriority, ${dsumSql("l_quantity")} AS sum_qty, count(*) AS cnt
+              |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+              |WHERE o_orderdate >= TIMESTAMP '1996-01-01'
+              |GROUP BY o_orderpriority ORDER BY o_orderpriority NULLS FIRST""".stripMargin)
+    ),
+
     Entry(
       "g8_percentiles",
       (s, d) =>

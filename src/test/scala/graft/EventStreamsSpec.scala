@@ -62,6 +62,28 @@ class EventStreamsSpec extends AnyFunSuite with SparkFixture {
     } finally q.stop()
   }
 
+  test("T3 streaming: session windows merge events within the gap, split across it") {
+    implicit val ctx = spark.sqlContext
+    val in = MemoryStream[Ev]
+    val q = EventStreams.sessions(in.toDF(), withWatermark = true)
+      .writeStream.format("memory").queryName("t3_sink").outputMode("append").start()
+    try {
+      in.addData(
+        Ev(1, ts("10:00"), 1, "view", 1.0),
+        Ev(2, ts("10:05"), 1, "view", 1.0),  // same session (gap < 10 min)
+        Ev(3, ts("10:30"), 1, "view", 1.0))  // new session (gap >= 10 min)
+      q.processAllAvailable()
+      in.addData(Ev(4, ts("12:00"), 1, "view", 1.0)) // advance watermark, close sessions
+      q.processAllAvailable()
+      val sessions = spark.table("t3_sink")
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).sortBy(_._2)
+      // sessions: [10:00,10:05] with 2 events, [10:30] with 1
+      assert(sessions.take(2).toSeq === Seq(
+        (1L, ts("10:00").getTime / 1000, 2L),
+        (1L, ts("10:30").getTime / 1000, 1L)))
+    } finally q.stop()
+  }
+
   test("T4b: file-source stream over parquet events matches the batch result") {
     // end-to-end streaming from files (the production shape): copy the
     // events table into a stream-source dir, run the same transform with
