@@ -77,6 +77,49 @@ object ScanProjectQueries {
               |GROUP BY 1, 2 ORDER BY ship_year NULLS FIRST, l_returnflag NULLS FIRST""".stripMargin)
     ),
 
+    // C8: CSV roundtrip with an EXPLICIT schema — the 100 TB ingest
+    // stance (schema inference over CSV reads the data twice and
+    // guesses; a declared StructType reads once and fails fast).
+    Entry(
+      "c8_csv_ingest",
+      (s, d) => {
+        import org.apache.spark.sql.types._
+        val out = s"${sys.props("java.io.tmpdir")}/graft_c8_${new java.io.File(d).getName}"
+        Tables.orders(s, d).select("o_orderkey", "o_orderstatus", "o_totalprice")
+          .write.mode("overwrite").option("header", "true").csv(out)
+        val schema = StructType(Seq(
+          StructField("o_orderkey", LongType),
+          StructField("o_orderstatus", StringType),
+          StructField("o_totalprice", DoubleType)))
+        s.read.schema(schema).option("header", "true").csv(out)
+          .groupBy("o_orderstatus")
+          .agg(count(lit(1)).as("n"), dsum(col("o_totalprice")).as("sum_price"))
+          .orderBy("o_orderstatus")
+      },
+      Some(s"""SELECT o_orderstatus, count(*) AS n, ${dsumSql("o_totalprice")} AS sum_price
+              |FROM orders GROUP BY 1 ORDER BY o_orderstatus NULLS FIRST""".stripMargin)
+    ),
+
+    // C9: ORC roundtrip — the second columnar at-rest format Spark
+    // ships natively; written sorted-by-key within files so min/max
+    // stripe statistics stay selective.
+    Entry(
+      "c9_orc_roundtrip",
+      (s, d) => {
+        val out = s"${sys.props("java.io.tmpdir")}/graft_c9_${new java.io.File(d).getName}"
+        Tables.customer(s, d).sortWithinPartitions("c_custkey")
+          .write.mode("overwrite").orc(out)
+        s.read.orc(out)
+          .filter(col("c_acctbal") > 0)
+          .groupBy("c_mktsegment")
+          .agg(count(lit(1)).as("n"), dsum(col("c_acctbal")).as("sum_bal"))
+          .orderBy("c_mktsegment")
+      },
+      Some(s"""SELECT c_mktsegment, count(*) AS n, ${dsumSql("c_acctbal")} AS sum_bal
+              |FROM customer WHERE c_acctbal > 0
+              |GROUP BY 1 ORDER BY c_mktsegment NULLS FIRST""".stripMargin)
+    ),
+
     // C7: deterministic systematic sample — key-mod filtering instead of
     // rand(): reproducible across runs/engines, pushes down to the scan,
     // and at 100 TB gives an unbiased ~5% slice without a shuffle (the
