@@ -120,6 +120,29 @@ object ScanProjectQueries {
               |GROUP BY 1 ORDER BY c_mktsegment NULLS FIRST""".stripMargin)
     ),
 
+    // C10: schema evolution — a later batch adds a column; mergeSchema
+    // reconciles the footers and back-fills nulls (the data-lake
+    // reality the reference's overwrite-only pipeline never faces).
+    Entry(
+      "c10_schema_evolution",
+      (s, d) => {
+        val out = s"${sys.props("java.io.tmpdir")}/graft_c10_${new java.io.File(d).getName}"
+        val c = Tables.customer(s, d)
+        c.filter(col("c_custkey") < 750).select("c_custkey", "c_name")
+          .write.mode("overwrite").parquet(s"$out/batch=1")
+        c.filter(col("c_custkey") >= 750).select("c_custkey", "c_name", "c_acctbal")
+          .write.mode("overwrite").parquet(s"$out/batch=2")
+        s.read.option("mergeSchema", "true").option("basePath", out).parquet(out)
+          .groupBy("batch")
+          .agg(count(lit(1)).as("n"), count(col("c_acctbal")).as("n_bal"))
+          .orderBy("batch")
+      },
+      Some("""SELECT 1 AS batch, count(*) AS n, 0 AS n_bal FROM customer WHERE c_custkey < 750
+             |UNION ALL
+             |SELECT 2, count(*), count(c_acctbal) FROM customer WHERE c_custkey >= 750
+             |ORDER BY batch""".stripMargin)
+    ),
+
     // C7: deterministic systematic sample — key-mod filtering instead of
     // rand(): reproducible across runs/engines, pushes down to the scan,
     // and at 100 TB gives an unbiased ~5% slice without a shuffle (the
