@@ -1,0 +1,68 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.QueryRegistry.dsum
+import graft.sources.Tables
+
+/** Scaling stress: replicates the sf0.1 relational spine REP× with
+  * shifted keys (join fan-out preserved: each replica joins only
+  * itself) and times the heavy query shapes. If time grows ~linearly
+  * with REP, the plan has no quadratic cliff hiding below sf0.1 —
+  * the local proxy for the 100× question. Results recorded in SCALE.md.
+  *
+  * Usage: runMain graft.Stress [rep] (default 10)
+  */
+object Stress {
+  def main(args: Array[String]): Unit = {
+    val rep = if (args.nonEmpty) args(0).toInt else 10
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+
+    val keyShift = 10_000_000L
+    def replicate(df: DataFrame, keyCols: Seq[String]): DataFrame =
+      df.crossJoin(spark.range(rep).select(col("id").as("__rep")))
+        .select(df.columns.map { c =>
+          if (keyCols.contains(c)) (col(c) + col("__rep") * keyShift).as(c) else col(c)
+        }: _*)
+
+    val li = replicate(Tables.lineitem(spark, sfDir), Seq("l_orderkey"))
+    val ord = replicate(Tables.orders(spark, sfDir), Seq("o_orderkey", "o_custkey"))
+    val cust = replicate(Tables.customer(spark, sfDir), Seq("c_custkey"))
+
+    def time(name: String)(f: => Long): Unit = {
+      val t0 = System.nanoTime()
+      val n = f
+      println(f"[stress rep=$rep] $name%-18s ${(System.nanoTime() - t0) / 1e9}%8.2f s  rows=$n")
+    }
+
+    time("scan_agg_g1") {
+      li.filter(col("l_shipdate") <= lit("2000-12-01").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(dsum(col("l_quantity")), count(lit(1))).count()
+    }
+    time("join_smj_j8") {
+      li.join(ord.hint("merge"), col("l_orderkey") === col("o_orderkey"))
+        .groupBy("o_orderpriority").agg(dsum(col("l_quantity"))).count()
+    }
+    time("join_3way_j2ish") {
+      cust.join(ord, col("c_custkey") === col("o_custkey"))
+        .join(li, col("o_orderkey") === col("l_orderkey"))
+        .groupBy("c_mktsegment").agg(count(lit(1))).count()
+    }
+    time("window_w4") {
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy("o_custkey").orderBy(col("o_totalprice").desc, col("o_orderkey").asc)
+      ord.withColumn("rn", row_number().over(w)).filter(col("rn") <= 3).count()
+    }
+    spark.stop()
+  }
+}
