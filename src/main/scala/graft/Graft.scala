@@ -1,0 +1,115 @@
+package graft
+
+import org.apache.spark.sql.{Column, DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.functions.{Multimodal, MediaMeta, SimHash, VectorOps}
+import graft.operators.{IvfAnn, MinHash, Similarity}
+import graft.streaming.{EventRow, EventStreams, StatefulOps, UserRunning}
+
+/** The public face of the engine: one object a user of the reference
+  * project can import to run every operation it supports — plus the
+  * training-data-pipeline layer — as plain DataFrame transforms.
+  *
+  * Everything returns a lazy DataFrame/Dataset; nothing collects to
+  * the driver (bounded model state like IVF centroids excepted).
+  * Judged query shapes live in SparkEntry and the operators package;
+  * this facade is the stable library API over the same implementations.
+  */
+object Graft {
+
+  // ---- sources -----------------------------------------------------
+  /** Typed loaders for the testdata tables (parquet, footer schema). */
+  val tables: graft.sources.Tables.type = graft.sources.Tables
+
+  /** Session builder with the engine's required configs (UTC, ns-as-
+    * long events, SQL extensions with dot_product registered). */
+  def session(master: String = "local[*]", shufflePartitions: Int = 32): SparkSession =
+    SparkSession.builder()
+      .master(master)
+      .config("spark.sql.shuffle.partitions", shufflePartitions)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .withExtensions(new GraftExtensions)
+      .getOrCreate()
+
+  // ---- deduplication ----------------------------------------------
+  /** Exact dedup: one surviving row (smallest id) per normalized-text
+    * digest, with the duplicate count. */
+  def dedupExact(docs: DataFrame, idCol: String = "doc_id", textCol: String = "text"): DataFrame =
+    docs.groupBy(md5(lower(trim(col(textCol)))).as("h"))
+      .agg(min(col(idCol)).as(idCol), count(lit(1)).as("n_copies"))
+      .select(idCol, "n_copies")
+
+  /** MinHash+LSH fuzzy dedup: per-doc group id (smallest near-dup
+    * neighbor). `minJaccard` filters candidate pairs by estimated
+    * signature overlap. */
+  def dedupFuzzy(docs: DataFrame, minJaccard: Double = 0.5,
+                 idCol: String = "doc_id", textCol: String = "text"): DataFrame =
+    MinHash.dupGroups(docs, idCol, textCol, minJaccard)
+
+  /** Candidate near-duplicate pairs with estimated Jaccard (the stage
+    * before exact verification). */
+  def nearDupCandidates(docs: DataFrame, idCol: String = "doc_id",
+                        textCol: String = "text"): DataFrame =
+    MinHash.candidatePairs(docs, idCol, textCol)
+
+  /** 32-bit SimHash fingerprint column. */
+  def simhash(text: Column): Column = SimHash.simhash(text)
+
+  /** Hamming distance between two simhash values. */
+  def hamming(a: Column, b: Column): Column = SimHash.hamming(a, b)
+
+  // ---- similarity search ------------------------------------------
+  /** Exact cosine top-k for a bounded (broadcastable) query set. */
+  def cosineTopK(embeddings: DataFrame, queryPred: Column, k: Int): DataFrame =
+    Similarity.cosineTopK(embeddings, queryPred, k)
+
+  /** IVF-cell approximate top-k (k-means coarse quantizer). */
+  def annIvf(embeddings: DataFrame, nQueries: Int, k: Int,
+             cells: Int = 8, iters: Int = 2): DataFrame =
+    IvfAnn.topK(embeddings, nQueries, k, cells, iters)
+
+  /** Codegen'd dot product / norm / cosine over array columns. */
+  def dot(a: Column, b: Column): Column = VectorOps.dot(a, b)
+  def norm(a: Column): Column = VectorOps.norm(a)
+  def cosine(a: Column, b: Column): Column = VectorOps.cosine(a, b)
+
+  /** Per-group mean vector (typed UDAF, partial-merging). */
+  def centroid(c: Column): Column = VectorOps.centroid(c)
+
+  // ---- text analysis ----------------------------------------------
+  /** n-word shingles with whole-text fallback for short docs. */
+  def shingles(text: Column, n: Int = 3): Column = MinHash.shingles(text, n)
+
+  /** Whitespace token count. */
+  def tokenCount(text: Column): Column = size(split(text, " "))
+
+  /** BPE-ish regex token count (letters / digits / punctuation). */
+  def tokenCountBpe(text: Column): Column =
+    size(regexp_extract_all(text, lit("[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\\s]"), lit(0)))
+
+  // ---- multimodal -------------------------------------------------
+  /** Attach an opaque binary payload column. */
+  def withPayload(docs: DataFrame): DataFrame = Multimodal.withPayload(docs)
+
+  /** Partition-wise typed decode (stubbed codec; real plumbing). */
+  def decode(spark: SparkSession, docs: DataFrame): Dataset[MediaMeta] =
+    Multimodal.decodeStub(spark, docs)
+
+  // ---- streaming ---------------------------------------------------
+  /** Tumbling 1-hour windows (watermarked when streaming). */
+  def hourlyCounts(events: DataFrame, withWatermark: Boolean = false): DataFrame =
+    EventStreams.hourlyCounts(events, withWatermark)
+
+  /** 10-minute-gap session windows per user. */
+  def sessions(events: DataFrame, withWatermark: Boolean = false): DataFrame =
+    EventStreams.sessions(events, withWatermark)
+
+  /** Stateful dedup (watermark-bounded when streaming). */
+  def dedupEvents(events: DataFrame, streaming: Boolean): DataFrame =
+    EventStreams.dedupEvents(events, streaming)
+
+  /** transformWithState running per-user (count, sum). */
+  def runningCounts(events: Dataset[EventRow]): Dataset[UserRunning] =
+    StatefulOps.runningCounts(events)
+}

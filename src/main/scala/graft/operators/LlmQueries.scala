@@ -99,22 +99,7 @@ object LlmQueries {
     // math identical to the oracle's list_inner_product.
     Entry(
       "b3_cosine_topk",
-      (s, d) => {
-        val e = Tables.embeddings(s, d)
-          .select(col("vec_id"), col("embedding").as("v"))
-          .withColumn("nrm", VectorOps.norm(col("v")))
-        val q = e.filter(col("vec_id") < 10)
-          .select(col("vec_id").as("qid"), col("v").as("qv"), col("nrm").as("qn"))
-        val c = e.select(col("vec_id").as("cid"), col("v").as("cv"), col("nrm").as("cn"))
-        val w = Window.partitionBy("qid").orderBy(col("sim").desc, col("cid").asc)
-        c.join(broadcast(q), col("qid") =!= col("cid"))
-          .select(col("qid"), col("cid"),
-            (VectorOps.dot(col("qv"), col("cv")) / (col("qn") * col("cn"))).as("sim"))
-          .withColumn("rnk", row_number().over(w))
-          .filter(col("rnk") <= 5)
-          .select(col("qid"), col("rnk"), col("cid").as("nid"), round(col("sim"), 4).as("sim"))
-          .orderBy("qid", "rnk")
-      },
+      (s, d) => Similarity.cosineTopK(Tables.embeddings(s, d), col("vec_id") < 10, k = 5),
       Some("""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
              |n AS (SELECT vec_id, v, sqrt(list_inner_product(v, v)) AS nrm FROM e),
              |sims AS (SELECT q.vec_id AS qid, c.vec_id AS cid,
