@@ -60,18 +60,47 @@ object MinHash {
       .distinct()
   }
 
-  /** Per-doc dup-group id: the smallest candidate-neighbor id (or self).
-    * One LSH round — a cheap union-find approximation that is exact for
-    * pairwise clusters, which is what planted near-dups produce. */
+  /** Per-doc dup-group id: connected components over the near-dup
+    * candidate graph via iterative min-label propagation — each round
+    * is one join + groupBy (the scalable CC pattern; rounds needed =
+    * O(log component-diameter), dedup chains are shallow). The result
+    * is the unique fixpoint (component-minimum id), so it is
+    * deterministic regardless of execution order. Lineage is truncated
+    * per round with localCheckpoint so the plan cannot grow unboundedly. */
   def dupGroups(docs: DataFrame, idCol: String, textCol: String, minJaccard: Double): DataFrame = {
-    val pairs = candidatePairs(docs, idCol, textCol).filter(col("est_jaccard") >= minJaccard)
-    val neighbors =
-      pairs.select(col("doc_a").as("doc_id"), col("doc_b").as("nbr"))
-        .union(pairs.select(col("doc_b").as("doc_id"), col("doc_a").as("nbr")))
-        .groupBy("doc_id").agg(min(col("nbr")).as("min_nbr"))
-    docs.select(col(idCol).as("doc_id"))
-      .join(neighbors, Seq("doc_id"), "left")
-      .select(col("doc_id"),
-        least(col("doc_id"), coalesce(col("min_nbr"), col("doc_id"))).as("dup_group"))
+    val pairs = candidatePairs(docs, idCol, textCol)
+      .filter(col("est_jaccard") >= minJaccard)
+      .select(col("doc_a"), col("doc_b"))
+    connectedComponents(docs.select(col(idCol).as("doc_id")), pairs)
+  }
+
+  /** Connected components over an undirected edge list (doc_a, doc_b):
+    * iterative min-label propagation, one join + groupBy per round
+    * (rounds = O(log diameter)). Converges to the component-minimum
+    * id — a unique fixpoint, so the result is deterministic. */
+  def connectedComponents(ids: DataFrame, pairs: DataFrame): DataFrame = {
+    val edges = pairs.select(col("doc_a").as("src"), col("doc_b").as("dst"))
+      .union(pairs.select(col("doc_b").as("src"), col("doc_a").as("dst")))
+      .localCheckpoint(true)
+    var labels = ids.select(col("doc_id"), col("doc_id").as("dup_group"))
+      .localCheckpoint(true)
+    var converged = false
+    var rounds = 0
+    while (!converged && rounds < 10) {
+      val nbrMin = edges.join(labels, edges("dst") === labels("doc_id"))
+        .groupBy(col("src").as("doc_id2")).agg(min(col("dup_group")).as("nbr_min"))
+      val next = labels
+        .join(nbrMin, labels("doc_id") === nbrMin("doc_id2"), "left")
+        .select(col("doc_id"),
+          least(col("dup_group"), coalesce(col("nbr_min"), col("dup_group"))).as("dup_group"))
+        .localCheckpoint(true)
+      converged = next.alias("n")
+        .join(labels.alias("o"), col("n.doc_id") === col("o.doc_id"))
+        .filter(col("n.dup_group") =!= col("o.dup_group"))
+        .isEmpty
+      labels = next
+      rounds += 1
+    }
+    labels
   }
 }

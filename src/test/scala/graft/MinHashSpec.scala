@@ -51,4 +51,23 @@ class MinHashSpec extends AnyFunSuite with SparkFixture {
     assert(g(3L) === 3L) // singleton
     assert(g(4L) === 4L)
   }
+
+  test("connectedComponents closes transitive chains and leaves singletons") {
+    // chain 1-2, 2-3 (1≁3 directly), separate pair 7-9, singleton 5
+    val ids = Seq(1L, 2L, 3L, 5L, 7L, 9L).toDF("doc_id")
+    val edges = Seq((1L, 2L), (2L, 3L), (7L, 9L)).toDF("doc_a", "doc_b")
+    val g = MinHash.connectedComponents(ids, edges)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(g === Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 5L -> 5L, 7L -> 7L, 9L -> 7L))
+  }
+
+  test("connectedComponents handles a long path needing several rounds") {
+    // path 9-8-7-...-0: component min (0) must propagate the full length
+    val n = 10
+    val ids = (0L until n).toDF("doc_id")
+    val edges = (0L until n - 1).map(i => (i, i + 1)).toDF("doc_a", "doc_b")
+    val g = MinHash.connectedComponents(ids, edges)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(g === (0L until n).map(_ -> 0L).toMap)
+  }
 }
