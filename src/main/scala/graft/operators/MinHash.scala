@@ -29,8 +29,18 @@ object MinHash {
   }
 
   /** k-slot minhash signature: slot i = min over shingles of
-    * xxhash64(shingle, i). Deterministic (fixed internal seed). */
-  def signature(sh: Column, k: Int = NumHashes): Column =
+    * xxhash64(shingle, i). Deterministic (fixed internal seed).
+    * One-pass codegen'd expression — hash-identical to the built-in
+    * formulation [[signatureHof]], 16× less shingling work. */
+  def signature(sh: Column, k: Int = NumHashes): Column = {
+    import org.apache.spark.sql.graftbridge.ColumnBridge
+    ColumnBridge.column(
+      graft.functions.MinHashSignature(ColumnBridge.expression(sh), k))
+  }
+
+  /** Built-in-only formulation of [[signature]] (duplicates the shingle
+    * subtree per slot — kept as the equivalence oracle for tests). */
+  def signatureHof(sh: Column, k: Int = NumHashes): Column =
     array((0 until k).map(i => array_min(transform(sh, s => xxhash64(s, lit(i))))): _*)
 
   /** doc_id + signature + per-band hashes for a documents-like input. */
@@ -46,9 +56,13 @@ object MinHash {
   /** Candidate near-duplicate pairs (doc_a < doc_b) with the estimated
     * Jaccard = fraction of matching signature slots. */
   def candidatePairs(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    // materialize signatures once: both sides of the self-join (and
+    // every CC round downstream) would otherwise re-shingle + re-hash
+    // the full corpus.
     val sg = signed(docs, idCol, textCol)
       .select(col("doc_id"), col("sig"), explode(col("bands")).as("b"))
       .select(col("doc_id"), col("sig"), col("b.band").as("band"), col("b.bh").as("bh"))
+      .localCheckpoint(true)
     val l = sg.select(col("band"), col("bh"), col("doc_id").as("doc_a"), col("sig").as("sig_a"))
     val r = sg.select(col("band"), col("bh"), col("doc_id").as("doc_b"), col("sig").as("sig_b"))
     l.join(r, Seq("band", "bh"))

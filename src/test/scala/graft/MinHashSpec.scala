@@ -36,6 +36,14 @@ class MinHashSpec extends AnyFunSuite with SparkFixture {
     assert(sig.toSeq === again.toSeq)
   }
 
+  test("codegen'd signature is hash-identical to the built-in formulation") {
+    val fast = docs.select(MinHash.signature(MinHash.shingles(col("text"), 3)).as("s"))
+      .collect().map(_.getSeq[Long](0)).toSeq
+    val hof = docs.select(MinHash.signatureHof(MinHash.shingles(col("text"), 3)).as("s"))
+      .collect().map(_.getSeq[Long](0)).toSeq
+    assert(fast === hof)
+  }
+
   test("candidate pairs find the planted near-dup, not the unrelated doc") {
     val pairs = MinHash.candidatePairs(docs, "doc_id", "text")
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
