@@ -53,16 +53,33 @@ object IvfAnn {
     cs
   }
 
-  /** Top-k neighbors for query vectors (vec_id < nQueries), probing one
-    * IVF cell per query with exact cosine rerank inside it. */
-  def topK(embeddings: DataFrame, nQueries: Int, k: Int, cells: Int, iters: Int): DataFrame = {
+  /** The query's nProbe nearest cells, best first (ties → larger k,
+    * matching [[assign]]'s rule for the top cell). */
+  def probeCells(v: Column, centroids: Seq[Seq[Double]], nProbe: Int): Column = {
+    val scored = centroids.zipWithIndex.map { case (c, k) =>
+      struct(
+        (VectorOps.dot(v, typedlit(c)) - lit(c.map(x => x * x).sum / 2)).as("s"),
+        lit(k).as("k"))
+    }
+    transform(
+      slice(reverse(array_sort(array(scored: _*))), 1, nProbe),
+      s => s.getField("k"))
+  }
+
+  /** Top-k neighbors for query vectors (vec_id < nQueries): each query
+    * probes its nProbe nearest IVF cells (candidates stay in exactly
+    * one cell) with exact cosine rerank — the standard IVF recall/cost
+    * knob. */
+  def topK(embeddings: DataFrame, nQueries: Int, k: Int, cells: Int, iters: Int,
+           nProbe: Int = 2): DataFrame = {
     val cs = centroids(embeddings, cells, iters)
     val e = embeddings
       .select(col("vec_id"), col("embedding").as("v"))
       .withColumn("cell", assign(col("v"), cs))
       .withColumn("nrm", VectorOps.norm(col("v")))
     val q = e.filter(col("vec_id") < nQueries)
-      .select(col("cell"), col("vec_id").as("qid"), col("v").as("qv"), col("nrm").as("qn"))
+      .withColumn("probe", explode(probeCells(col("v"), cs, nProbe)))
+      .select(col("probe").as("cell"), col("vec_id").as("qid"), col("v").as("qv"), col("nrm").as("qn"))
     val c = e.select(col("cell"), col("vec_id").as("cid"), col("v").as("cv"), col("nrm").as("cn"))
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy("qid").orderBy(col("sim").desc, col("cid").asc)
