@@ -222,10 +222,14 @@ object LlmQueries {
     Entry(
       "b5_fingerprint",
       (s, d) =>
+        // explode → codegen'd md5 → min-agg beats md5 inside an
+        // interpreted transform lambda: every expression stays in
+        // whole-stage codegen and the min partial-aggregates before the
+        // (per-doc single row) shuffle.
         Tables.documents(s, d)
-          .select(
-            col("doc_id"),
-            array_min(transform(MinHash.shingles(col("text"), 3), sh => md5(sh))).as("fingerprint"))
+          .select(col("doc_id"), explode(MinHash.shingles(col("text"), 3)).as("sh"))
+          .groupBy("doc_id")
+          .agg(min(md5(col("sh"))).as("fingerprint"))
           .orderBy("doc_id"),
       Some("""WITH w AS (SELECT doc_id, string_split(text,' ') AS ws FROM documents)
              |SELECT doc_id,

@@ -85,7 +85,17 @@ object MinHash {
     val pairs = candidatePairs(docs, idCol, textCol)
       .filter(col("est_jaccard") >= minJaccard)
       .select(col("doc_a"), col("doc_b"))
-    connectedComponents(docs.select(col(idCol).as("doc_id")), pairs)
+      .localCheckpoint(true)
+    // label-propagate only over docs that HAVE a candidate edge (near
+    // dups are a small fraction of any real corpus); everything else is
+    // its own singleton group via the final left join.
+    val members = pairs.select(col("doc_a").as("doc_id"))
+      .union(pairs.select(col("doc_b").as("doc_id"))).distinct()
+    val comp = connectedComponents(members, pairs)
+      .select(col("doc_id").as("m_id"), col("dup_group").as("m_grp"))
+    docs.select(col(idCol).as("doc_id"))
+      .join(comp, col("doc_id") === col("m_id"), "left")
+      .select(col("doc_id"), coalesce(col("m_grp"), col("doc_id")).as("dup_group"))
   }
 
   /** Connected components over an undirected edge list (doc_a, doc_b):
