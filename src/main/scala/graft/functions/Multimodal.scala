@@ -26,6 +26,21 @@ object Multimodal {
   def withPayload(docs: DataFrame): DataFrame =
     docs.select(col("doc_id"), col("text").cast("binary").as("payload"))
 
+  /** Resize stage stub: maps decoded metadata to thumbnail dimensions
+    * preserving aspect ratio within a maxSide box (the real kernel —
+    * pixel resampling — would replace the body; the typed Dataset
+    * plumbing and the arithmetic contract are what downstream stages
+    * depend on). */
+  def resizeStub(decoded: Dataset[MediaMeta], maxSide: Int = 16): Dataset[(Long, Int, Int)] = {
+    import decoded.sparkSession.implicits._
+    decoded.map { m =>
+      val scale = math.min(1.0, maxSide.toDouble / math.max(m.width, m.height))
+      (m.doc_id,
+        math.max(1, math.round(m.width * scale).toInt),
+        math.max(1, math.round(m.height * scale).toInt))
+    }
+  }
+
   /** Partition-wise decode: Iterator[(id, bytes)] → Iterator[MediaMeta].
     * Batch shape mirrors mapInPandas — one pass per partition, no
     * per-row driver round-trips, safe to run on 1000 executors. */

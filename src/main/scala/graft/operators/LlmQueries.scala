@@ -239,6 +239,35 @@ object LlmQueries {
              |FROM w ORDER BY doc_id NULLS FIRST""".stripMargin)
     ),
 
+    // B5d: rolling-hash document fingerprint — polynomial (Rabin-Karp)
+    // hash over the first 32 UTF-8 bytes, the O(1)-update hash family
+    // used for content-defined chunking. Byte extraction mirrors the
+    // b6 hex-pair trick so both engines hash identical bytes.
+    Entry(
+      "b5_rolling_hash",
+      (s, d) => {
+        val byteAt = (i: org.apache.spark.sql.Column) =>
+          conv(hex(col("payload").substr(i, lit(1))), 16, 10).cast("long")
+        Tables.documents(s, d)
+          .select(col("doc_id"), col("text").cast("binary").as("payload"))
+          .select(
+            col("doc_id"),
+            aggregate(
+              sequence(lit(1), least(length(col("payload")), lit(32))),
+              lit(0L),
+              (acc, i) => (acc * 131 + byteAt(i)) % 1000000007L).as("rhash"))
+          .orderBy("doc_id")
+      },
+      Some("""WITH h AS (SELECT doc_id, hex(encode(text)) AS hx,
+             |least(octet_length(encode(text)), 32) AS n FROM documents)
+             |SELECT doc_id,
+             |list_reduce(list_transform(range(1, n + 1), i ->
+             |CAST((strpos('0123456789ABCDEF', substring(hx, CAST(2*i-1 AS INT), 1)) - 1) * 16 +
+             |(strpos('0123456789ABCDEF', substring(hx, CAST(2*i AS INT), 1)) - 1) AS BIGINT)),
+             |(a, b) -> (a * 131 + b) % 1000000007) AS rhash
+             |FROM h ORDER BY doc_id NULLS FIRST""".stripMargin)
+    ),
+
     // B6: multimodal/binary columns carried through relational ops —
     // opaque bytes + typed metadata survive a join and an aggregation
     // without exploding.

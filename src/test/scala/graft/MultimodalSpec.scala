@@ -29,6 +29,16 @@ class MultimodalSpec extends AnyFunSuite with SparkFixture {
     assert(out(3L).n_bytes === bytes3.length) // byte length, not char count
   }
 
+  test("resizeStub preserves aspect ratio inside the box") {
+    val docs = Seq((1L, "a" * 200)).toDF("doc_id", "text") // w=9, h=4
+    val out = Multimodal.resizeStub(
+      Multimodal.decodeStub(spark, Multimodal.withPayload(docs)), maxSide = 3)
+      .collect().head
+    assert(out._1 === 1L)
+    assert(math.max(out._2, out._3) === 3)
+    assert(out._2 >= 1 && out._3 >= 1)
+  }
+
   test("decoded features survive downstream relational ops") {
     val docs = Seq((1L, "a" * 40), (2L, "b" * 40), (3L, "c" * 100)).toDF("doc_id", "text")
     val agg = Multimodal.decodeStub(spark, Multimodal.withPayload(docs)).toDF()
