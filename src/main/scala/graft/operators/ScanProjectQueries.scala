@@ -128,18 +128,19 @@ object ScanProjectQueries {
       (s, d) => {
         val out = s"${sys.props("java.io.tmpdir")}/graft_c10_${new java.io.File(d).getName}"
         val c = Tables.customer(s, d)
-        c.filter(col("c_custkey") < 750).select("c_custkey", "c_name")
+        // modulo split: both batches non-empty at every scale factor
+        c.filter(col("c_custkey") % 2 === 0).select("c_custkey", "c_name")
           .write.mode("overwrite").parquet(s"$out/batch=1")
-        c.filter(col("c_custkey") >= 750).select("c_custkey", "c_name", "c_acctbal")
+        c.filter(col("c_custkey") % 2 === 1).select("c_custkey", "c_name", "c_acctbal")
           .write.mode("overwrite").parquet(s"$out/batch=2")
         s.read.option("mergeSchema", "true").option("basePath", out).parquet(out)
           .groupBy("batch")
           .agg(count(lit(1)).as("n"), count(col("c_acctbal")).as("n_bal"))
           .orderBy("batch")
       },
-      Some("""SELECT 1 AS batch, count(*) AS n, 0 AS n_bal FROM customer WHERE c_custkey < 750
+      Some("""SELECT 1 AS batch, count(*) AS n, 0 AS n_bal FROM customer WHERE c_custkey % 2 = 0
              |UNION ALL
-             |SELECT 2, count(*), count(c_acctbal) FROM customer WHERE c_custkey >= 750
+             |SELECT 2, count(*), count(c_acctbal) FROM customer WHERE c_custkey % 2 = 1
              |ORDER BY batch""".stripMargin)
     ),
 
