@@ -43,9 +43,18 @@ object MinHash {
   def signatureHof(sh: Column, k: Int = NumHashes): Column =
     array((0 until k).map(i => array_min(transform(sh, s => xxhash64(s, lit(i))))): _*)
 
+  /** Fused words→signature column: shingle construction and hashing in
+    * one codegen'd pass (semantics identical to
+    * signature(shingles(text, n))). */
+  def fusedSignature(text: Column, n: Int = 3, k: Int = NumHashes): Column = {
+    import org.apache.spark.sql.graftbridge.ColumnBridge
+    ColumnBridge.column(
+      graft.functions.ShingleMinHash(ColumnBridge.expression(split(text, " ")), n, k))
+  }
+
   /** doc_id + signature + per-band hashes for a documents-like input. */
   def signed(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
-    val sig = signature(shingles(lower(trim(col(textCol))), 3))
+    val sig = fusedSignature(lower(trim(col(textCol))), 3)
     val withSig = docs.select(col(idCol).as("doc_id"), sig.as("sig"))
     val bands = array((0 until Bands).map { b =>
       struct(lit(b).as("band"), xxhash64(slice(col("sig"), b * RowsPerBand + 1, RowsPerBand)).as("bh"))

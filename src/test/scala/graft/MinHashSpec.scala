@@ -44,6 +44,16 @@ class MinHashSpec extends AnyFunSuite with SparkFixture {
     assert(fast === hof)
   }
 
+  test("fused shingle+minhash is identical to signature∘shingles (incl. short docs)") {
+    val weird = docs.union(Seq((9L, "single"), (8L, "two words")).toDF("doc_id", "text"))
+    val fused = weird.select(col("doc_id"), MinHash.fusedSignature(col("text"), 3).as("s"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+    val staged = weird.select(col("doc_id"),
+        MinHash.signature(MinHash.shingles(col("text"), 3)).as("s"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+    assert(fused === staged)
+  }
+
   test("candidate pairs find the planted near-dup, not the unrelated doc") {
     val pairs = MinHash.candidatePairs(docs, "doc_id", "text")
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
