@@ -24,12 +24,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(ext: SparkSessionExtensions): Unit = {
     ext.injectFunction((
       new FunctionIdentifier("dot_product"),
-      new ExpressionInfo(
-        classOf[DotProduct].getName,
-        null,
-        "dot_product",
-        "dot_product(a, b) - dot product of two float/double arrays, accumulated in double",
-        ""),
+      new ExpressionInfo(classOf[DotProduct].getName, null, "dot_product"),
       (children: Seq[Expression]) => {
         require(children.length == 2, "dot_product takes exactly 2 arguments")
         DotProduct(children.head, children(1))

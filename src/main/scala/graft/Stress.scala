@@ -30,7 +30,7 @@ object Stress {
     val keyShift = 10_000_000L
     def replicate(df: DataFrame, keyCols: Seq[String]): DataFrame =
       df.crossJoin(spark.range(rep).select(col("id").as("__rep")))
-        .select(df.columns.map { c =>
+        .select(df.columns.toIndexedSeq.map { c =>
           if (keyCols.contains(c)) (col(c) + col("__rep") * keyShift).as(c) else col(c)
         }: _*)
 
