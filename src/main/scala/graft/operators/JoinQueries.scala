@@ -187,6 +187,43 @@ object JoinQueries {
              |GROUP BY 1 ORDER BY ka NULLS FIRST""".stripMargin)
     ),
 
+    // J6b: two-table as-of join — each event attributed to the user's
+    // latest at-or-before order. Implemented as a union-merge: tag both
+    // streams, one shuffle on the user key, a single ordered window
+    // scan carries the last order forward (kind 0 sorts before kind 1
+    // at equal timestamps → the boundary is inclusive, matching ASOF's
+    // <=). The per-user self-join formulation would be quadratic; this
+    // is one shuffle + one sort regardless of fan-out. Ties (several
+    // orders on one date) emit the date itself, so the result is
+    // deterministic. Oracle: DuckDB's native ASOF LEFT JOIN.
+    Entry(
+      "j6b_asof_join",
+      (s, d) => {
+        val o = Tables.orders(s, d).select(
+          col("o_custkey").as("uid"),
+          col("o_orderdate").cast("timestamp").as("t"),
+          lit(null).cast("long").as("event_id"),
+          lit(0).as("kind"))
+        val e = Tables.events(s, d).select(
+          col("user_id").as("uid"),
+          col("ts").as("t"),
+          col("event_id"),
+          lit(1).as("kind"))
+        val w = Window.partitionBy("uid").orderBy(col("t").asc, col("kind").asc)
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        o.unionByName(e)
+          .withColumn("last_order_ms",
+            last(when(col("kind") === 0, unix_millis(col("t"))), ignoreNulls = true).over(w))
+          .filter(col("kind") === 1)
+          .select(col("event_id"), col("uid").as("user_id"), col("last_order_ms"))
+          .orderBy("event_id")
+      },
+      Some("""SELECT e.event_id, e.user_id, epoch_ms(o.o_orderdate) AS last_order_ms
+             |FROM events e ASOF LEFT JOIN orders o
+             |ON e.user_id = o.o_custkey AND o.o_orderdate <= CAST(e.ts AS TIMESTAMP)
+             |ORDER BY event_id NULLS FIRST""".stripMargin)
+    ),
+
     // J7: cross join — only legal over bounded dims (5 × 25 rows).
     Entry(
       "j7_cross",
