@@ -48,23 +48,30 @@ object Bench {
     // left-join + count plan collapsed to a bare scan and measured
     // 0.6s for a 100s query) — the noop sink forces every output
     // column of the declared query to be fully computed.
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
-      val times = (1 to 2).map { _ =>
-        val t0 = System.nanoTime()
-        try { fn(spark, sfDir).write.format("noop").mode("overwrite").save() } catch {
-          case e: Throwable =>
-            if (!failed.contains(name)) {
-              failed ::= name
-              System.err.println(s"[bench] $name FAILED: ${e.getMessage}")
-            }
+    // A failed query reports null (not the exception-path duration —
+    // ADVICE.md r02: min-of-2 could pick a meaningless fast failure
+    // time) and contributes nothing to "value".
+    val results: Seq[(String, Option[Double])] =
+      SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+        val times = (1 to 2).flatMap { _ =>
+          val t0 = System.nanoTime()
+          try {
+            fn(spark, sfDir).write.format("noop").mode("overwrite").save()
+            Some((System.nanoTime() - t0) / 1e9)
+          } catch {
+            case e: Throwable =>
+              if (!failed.contains(name)) {
+                failed ::= name
+                System.err.println(s"[bench] $name FAILED: ${e.getMessage}")
+              }
+              None
+          }
         }
-        (System.nanoTime() - t0) / 1e9
+        name -> times.sorted.headOption
       }
-      name -> times.min
-    }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
+    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v.fold("null")(_.toString) }
       .mkString("{", ",", "}")
-    val total = results.map(_._2).sum
+    val total = results.flatMap(_._2).sum
     val failedJson = failed.sorted.map("\"" + _ + "\"").mkString("[", ",", "]")
     println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$failedJson,"sf":"$sfDir"}""")
     spark.stop()

@@ -19,9 +19,16 @@ import org.apache.spark.sql.types._
   *
   * Accumulation is left-to-right in double, float values widened
   * exactly — bit-identical to the previous HOF path and to DuckDB's
-  * `list_inner_product(CAST(v AS DOUBLE[]), ...)` oracle.
+  * `list_inner_product(CAST(v AS DOUBLE[]), ...)` oracle. Mismatched
+  * dimensions return NULL, matching `aggregate(zip_with(a,b,_*_),...)`
+  * where zip_with null-pads the shorter array and the sum goes null
+  * (ADVICE.md r02: a silent min-length partial sum looked like a valid
+  * similarity to SQL users).
   */
 case class DotProduct(left: Expression, right: Expression) extends BinaryExpression {
+
+  // NULL on dimension mismatch even when both inputs are non-null.
+  override def nullable: Boolean = true
 
   private def elemType(e: Expression): Option[DataType] = e.dataType match {
     case ArrayType(t @ (FloatType | DoubleType), _) => Some(t)
@@ -40,7 +47,8 @@ case class DotProduct(left: Expression, right: Expression) extends BinaryExpress
     val y = b.asInstanceOf[ArrayData]
     val lf = elemType(left).contains(FloatType)
     val rf = elemType(right).contains(FloatType)
-    val n = math.min(x.numElements(), y.numElements())
+    if (x.numElements() != y.numElements()) return null
+    val n = x.numElements()
     var s = 0.0
     var i = 0
     while (i < n) {
@@ -60,12 +68,16 @@ case class DotProduct(left: Expression, right: Expression) extends BinaryExpress
       def get(arr: String, e: Expression) =
         if (elemType(e).contains(FloatType)) s"(double) $arr.getFloat($i)" else s"$arr.getDouble($i)"
       s"""
-         |int $n = Math.min($a.numElements(), $b.numElements());
-         |double $s = 0.0;
-         |for (int $i = 0; $i < $n; $i++) {
-         |  $s += ${get(a, left)} * ${get(b, right)};
+         |if ($a.numElements() != $b.numElements()) {
+         |  ${ev.isNull} = true;
+         |} else {
+         |  int $n = $a.numElements();
+         |  double $s = 0.0;
+         |  for (int $i = 0; $i < $n; $i++) {
+         |    $s += ${get(a, left)} * ${get(b, right)};
+         |  }
+         |  ${ev.value} = $s;
          |}
-         |${ev.value} = $s;
        """.stripMargin
     })
 

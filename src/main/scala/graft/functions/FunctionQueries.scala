@@ -208,7 +208,7 @@ object FunctionQueries {
              |round(CAST(list_sort(embedding[1:3])[1] AS DOUBLE), 6) AS s3a,
              |round(CAST(list_sort(embedding[1:3])[2] AS DOUBLE), 6) AS s3b,
              |round(CAST(list_sort(embedding[1:3])[3] AS DOUBLE), 6) AS s3c,
-             |list_sum(range(1, label + 2)) AS tri,
+             |CAST(list_sum(range(1, label + 2)) AS BIGINT) AS tri,
              |label <= 4 AS lab_lt5
              |FROM embeddings ORDER BY vec_id NULLS FIRST""".stripMargin)
     ),

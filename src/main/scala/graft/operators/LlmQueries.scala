@@ -252,18 +252,25 @@ object LlmQueries {
           .select(col("doc_id"), col("text").cast("binary").as("payload"))
           .select(
             col("doc_id"),
-            aggregate(
-              sequence(lit(1), least(length(col("payload")), lit(32))),
-              lit(0L),
-              (acc, i) => (acc * 131 + byteAt(i)) % 1000000007L).as("rhash"))
+            // Empty payload: Spark sequence(1, 0) is DESCENDING [1, 0]
+            // and DuckDB list_reduce errors on an empty list
+            // (ADVICE.md r02) — both sides define hash("") = 0.
+            when(length(col("payload")) === 0, lit(0L)).otherwise(
+              aggregate(
+                sequence(lit(1), least(length(col("payload")), lit(32))),
+                lit(0L),
+                (acc, i) => (acc * 131 + byteAt(i)) % 1000000007L)).as("rhash"))
           .orderBy("doc_id")
       },
+      // list_prepend(0, bytes) makes list_reduce a fold with init 0 —
+      // identical to Spark's aggregate (0*131+b1 = b1) and never
+      // applied to an empty list, so hash("") = 0 on both engines.
       Some("""WITH h AS (SELECT doc_id, hex(encode(text)) AS hx,
              |least(octet_length(encode(text)), 32) AS n FROM documents)
              |SELECT doc_id,
-             |list_reduce(list_transform(range(1, n + 1), i ->
+             |list_reduce(list_prepend(CAST(0 AS BIGINT), list_transform(range(1, n + 1), i ->
              |CAST((strpos('0123456789ABCDEF', substring(hx, CAST(2*i-1 AS INT), 1)) - 1) * 16 +
-             |(strpos('0123456789ABCDEF', substring(hx, CAST(2*i AS INT), 1)) - 1) AS BIGINT)),
+             |(strpos('0123456789ABCDEF', substring(hx, CAST(2*i AS INT), 1)) - 1) AS BIGINT))),
              |(a, b) -> (a * 131 + b) % 1000000007) AS rhash
              |FROM h ORDER BY doc_id NULLS FIRST""".stripMargin)
     ),

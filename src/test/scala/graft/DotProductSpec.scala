@@ -32,6 +32,24 @@ class DotProductSpec extends AnyFunSuite with SparkFixture {
     assert(math.abs(r - (0.5 - 2.0 + 6.0)) < 1e-12)
   }
 
+  test("mismatched dimensions yield null (matches zip_with null-pad), both paths") {
+    val df = Seq((Seq(1.0f, 2.0f, 3.0f), Seq(1.0f, 2.0f))).toDF("a", "b")
+    // HOF reference: zip_with pads with null -> product null -> sum null.
+    val hof = df.select(hofDot(col("a"), col("b"))).collect().head
+    assert(hof.isNullAt(0))
+    val gen = df.select(VectorOps.dot(col("a"), col("b"))).collect().head
+    assert(gen.isNullAt(0))
+    spark.conf.set("spark.sql.codegen.wholeStage", "false")
+    spark.conf.set("spark.sql.codegen.factoryMode", "NO_CODEGEN")
+    try {
+      val interp = df.select(VectorOps.dot(col("a"), col("b"))).collect().head
+      assert(interp.isNullAt(0))
+    } finally {
+      spark.conf.set("spark.sql.codegen.wholeStage", "true")
+      spark.conf.set("spark.sql.codegen.factoryMode", "FALLBACK")
+    }
+  }
+
   test("null array yields null") {
     val df = Seq((Some(Seq(1.0f)), Option.empty[Seq[Float]])).toDF("a", "b")
     val r = df.select(VectorOps.dot(col("a"), col("b"))).collect().head

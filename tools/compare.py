@@ -13,9 +13,10 @@ import duckdb, pandas as pd
 import numpy as np
 
 def canon(df: pd.DataFrame) -> pd.DataFrame:
-    df = df.reindex(sorted(df.columns), axis=1)
-    df = df.sort_values(by=list(df.columns)).reset_index(drop=True)
-    return df
+    # Column order first; row sort happens AFTER norm() so that float
+    # columns are rounded before ordering — raw low-bit differences
+    # between engines must not reorder rows (ADVICE.md r02).
+    return df.reindex(sorted(df.columns), axis=1)
 
 def norm(df: pd.DataFrame) -> pd.DataFrame:
     out = {}
@@ -64,6 +65,8 @@ def main(outdir, sfdir):
                 print(f"{name:28s} SCHEMA {list(a.columns)} vs {list(b.columns)}")
                 continue
             an, bn = norm(a), norm(b)
+            an = an.sort_values(by=list(an.columns)).reset_index(drop=True)
+            bn = bn.sort_values(by=list(bn.columns)).reset_index(drop=True)
             eq = True
             for c in an.columns:
                 x, y = an[c], bn[c]
