@@ -19,6 +19,7 @@ object SparkEntry {
     graft.operators.MediaDedupQueries.entries ++
     graft.operators.PipelineQueries.entries ++
     graft.operators.ScaleQueries.entries ++
+    graft.operators.LakehouseQueries.entries ++
     graft.streaming.StreamingQueries.entries
 
   /** Flagship query on sf0.001; driver smoke-checks rows>0. */

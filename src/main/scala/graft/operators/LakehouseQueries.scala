@@ -1,0 +1,216 @@
+package graft.operators
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.QueryRegistry._
+import graft.functions.VectorOps
+import graft.sources.Tables
+
+/** Data-lake maintenance operators (SURVEY.md §2 round-3 additions).
+  *
+  * The reference family is a lake ETL ([R] etl.py: build dim/fact
+  * parquet tables from raw events) — these are the operations the same
+  * lake needs on day 2: a generated calendar dimension (the reference
+  * builds its `time` dim from observed timestamps), CDC latest-wins
+  * MERGE into a dimension, wide→long unpivot for metric tables,
+  * Z-order clustering keys for file layout, and connected-components
+  * duplicate clustering (the grouping step behind fuzzy dedup, here
+  * oracle-checked end-to-end against a DuckDB recursive CTE).
+  *
+  * Scale stance: the spine explodes from a 1-row min/max aggregate
+  * (driver-side-constant sized output, never a shuffle of the fact);
+  * the MERGE is one shuffle on the key (AQE picks broadcast when the
+  * changelog is small); zkey is 32 codegen'd bit ops per row, no
+  * shuffle; CC propagates labels only over edge members — at 100 TB
+  * the edge list is the tiny near-dup fraction, not the corpus.
+  */
+object LakehouseQueries {
+
+  /** 16-bit × 2 Morton/Z-order interleave — bit i of x lands at 2i, of
+    * y at 2i+1. Static unroll keeps it inside whole-stage codegen. */
+  def zkey16(x: Column, y: Column): Column =
+    (0 until 16).map { i =>
+      shiftleft(shiftrightunsigned(x.cast("long"), i).bitwiseAND(lit(1L)), 2 * i) +
+        shiftleft(shiftrightunsigned(y.cast("long"), i).bitwiseAND(lit(1L)), 2 * i + 1)
+    }.reduce(_ + _)
+
+  val entries: Seq[Entry] = Seq(
+
+    // C11: generated calendar dimension ("date spine") — explode a
+    // day sequence between the fact's min/max date. The reference
+    // derives its time dim from observed rows ([R] etl.py
+    // process_log_data); a spine also covers days with no activity,
+    // which is what gap-free reporting joins need.
+    Entry(
+      "c11_date_spine",
+      (s, d) => {
+        val bounds = Tables.orders(s, d)
+          .agg(min(col("o_orderdate").cast("date")).as("lo"),
+            max(col("o_orderdate").cast("date")).as("hi"))
+        bounds
+          .select(explode(sequence(col("lo"), col("hi"), expr("interval 1 day"))).as("d"))
+          .select(
+            date_format(col("d"), "yyyy-MM-dd").as("day"),
+            year(col("d")).as("y"),
+            month(col("d")).as("m"),
+            dayofmonth(col("d")).as("dom"),
+            (weekday(col("d")) + 1).as("dow"), // ISO: 1=Mon..7=Sun
+            (weekday(col("d")) + 1 >= 6).as("is_weekend"))
+          .orderBy("day")
+      },
+      Some("""WITH b AS (SELECT CAST(min(o_orderdate) AS DATE) AS lo,
+             |CAST(max(o_orderdate) AS DATE) AS hi FROM orders),
+             |s AS (SELECT CAST(unnest(generate_series(lo, hi, INTERVAL 1 DAY)) AS DATE) AS d FROM b)
+             |SELECT strftime(d, '%Y-%m-%d') AS day, CAST(year(d) AS INT) AS y,
+             |CAST(month(d) AS INT) AS m, CAST(dayofmonth(d) AS INT) AS dom,
+             |CAST(isodow(d) AS INT) AS dow, isodow(d) >= 6 AS is_weekend
+             |FROM s ORDER BY day NULLS FIRST""".stripMargin)
+    ),
+
+    // C12: CDC latest-wins MERGE (upsert) into a dimension — the lake
+    // maintenance primitive behind MERGE INTO. Changelog = latest
+    // purchase event per user (row_number on ms-truncated ts,
+    // event_id tie-break — identical total order on both engines),
+    // plus synthetic new-customer keys to exercise the INSERT branch.
+    // op marks what MERGE did per row: U=updated, K=kept, I=inserted.
+    Entry(
+      "c12_upsert_latest",
+      (s, d) => {
+        val w = Window.partitionBy("user_id")
+          .orderBy(col("tms").desc, col("event_id").desc)
+        val latest = Tables.events(s, d)
+          .filter(col("event_type") === "purchase")
+          .select(col("user_id"), col("value"),
+            unix_millis(col("ts")).as("tms"), col("event_id"))
+          .withColumn("rn", row_number().over(w))
+          .filter(col("rn") === 1)
+          .select(col("user_id"), col("value"))
+        val changelog = latest.unionAll(
+          latest.filter(col("user_id") % 50 === 0)
+            .select((col("user_id") + 1000000L).as("user_id"), col("value")))
+        Tables.customer(s, d)
+          .join(changelog, col("c_custkey") === col("user_id"), "full_outer")
+          .select(
+            coalesce(col("c_custkey"), col("user_id")).as("key"),
+            coalesce(col("c_name"), lit("NEW")).as("name"),
+            round(coalesce(col("value"), col("c_acctbal")), 2).as("acctbal"),
+            when(col("c_custkey").isNull, "I")
+              .when(col("user_id").isNull, "K")
+              .otherwise("U").as("op"))
+          .orderBy("key")
+      },
+      Some("""WITH u0 AS (
+             |  SELECT user_id, value FROM (
+             |    SELECT user_id, value,
+             |      row_number() OVER (PARTITION BY user_id ORDER BY epoch_ms(ts) DESC, event_id DESC) AS rn
+             |    FROM events WHERE event_type = 'purchase') WHERE rn = 1),
+             |upd AS (SELECT * FROM u0
+             |  UNION ALL SELECT user_id + 1000000, value FROM u0 WHERE user_id % 50 = 0)
+             |SELECT coalesce(c.c_custkey, u.user_id) AS key,
+             |coalesce(c.c_name, 'NEW') AS name,
+             |round(coalesce(u.value, c.c_acctbal), 2) AS acctbal,
+             |CASE WHEN c.c_custkey IS NULL THEN 'I'
+             |     WHEN u.user_id IS NULL THEN 'K' ELSE 'U' END AS op
+             |FROM customer c FULL OUTER JOIN upd u ON c.c_custkey = u.user_id
+             |ORDER BY key NULLS FIRST""".stripMargin)
+    ),
+
+    // G12: unpivot/melt — wide metric columns back to long (name,
+    // value) rows; the inverse of g10_pivot. All value columns must
+    // share one type, so counts are cast to double up front.
+    Entry(
+      "g12_unpivot",
+      (s, d) =>
+        Tables.lineitem(s, d)
+          .groupBy("l_returnflag")
+          .agg(
+            dsum(col("l_quantity")).as("sum_qty"),
+            dsum(col("l_extendedprice")).as("sum_price"),
+            count(lit(1)).cast("double").as("cnt"))
+          .unpivot(
+            Array(col("l_returnflag")),
+            Array(col("sum_qty"), col("sum_price"), col("cnt")),
+            "metric", "val")
+          .orderBy("l_returnflag", "metric"),
+      Some(s"""WITH agg AS (SELECT l_returnflag,
+              |${dsumSql("l_quantity")} AS sum_qty,
+              |${dsumSql("l_extendedprice")} AS sum_price,
+              |CAST(count(*) AS DOUBLE) AS cnt
+              |FROM lineitem GROUP BY 1)
+              |SELECT l_returnflag, metric, val
+              |FROM agg UNPIVOT (val FOR metric IN (sum_qty, sum_price, cnt))
+              |ORDER BY l_returnflag NULLS FIRST, metric NULLS FIRST""".stripMargin)
+    ),
+
+    // S6: Z-order (Morton) clustering key over (l_partkey, l_suppkey)
+    // — sorting files by zkey co-locates both dimensions so min/max
+    // file stats prune scans filtered on EITHER key (the data-layout
+    // move behind OPTIMIZE ZORDER BY at 100 TB). The key itself is
+    // pure codegen'd bit arithmetic; verified bit-for-bit vs DuckDB.
+    Entry(
+      "s6_zorder_key",
+      (s, d) =>
+        Tables.lineitem(s, d)
+          .select(col("l_orderkey"), col("l_linenumber"),
+            zkey16(col("l_partkey"), col("l_suppkey")).as("zkey"))
+          .orderBy("zkey", "l_orderkey", "l_linenumber"),
+      Some("""SELECT l_orderkey, l_linenumber,
+             |CAST(list_sum(list_transform(range(0,16), i ->
+             |(((l_partkey >> i) & 1) << (2*i)) + (((l_suppkey >> i) & 1) << (2*i+1)))) AS BIGINT) AS zkey
+             |FROM lineitem
+             |ORDER BY zkey NULLS FIRST, l_orderkey NULLS FIRST, l_linenumber NULLS FIRST""".stripMargin)
+    ),
+
+    // B2f: duplicate CLUSTERS, oracle-checked end-to-end — edges are
+    // the b2_cosine_neardup pair set (exact blocked cosine >= 0.35),
+    // grouping is distributed min-label propagation
+    // (MinHash.connectedComponents — the same engine code the
+    // rows-only minhash dedup uses), and the oracle recomputes
+    // components in DuckDB with a recursive CTE. Multi-hop chains
+    // (size-3 components exist at sf0.01) verify transitive
+    // propagation, not just single edges.
+    Entry(
+      "b2_cc_clusters",
+      (s, d) => {
+        val e = Tables.embeddings(s, d)
+          .select(col("vec_id"), col("label"), col("embedding").as("v"))
+          .withColumn("nrm", VectorOps.norm(col("v")))
+        val a = e.select(col("label"), col("vec_id").as("id_a"), col("v").as("va"), col("nrm").as("na"))
+        val b = e.select(col("label"), col("vec_id").as("id_b"), col("v").as("vb"), col("nrm").as("nb"))
+        val pairs = a.join(b, Seq("label"))
+          .filter(col("id_a") < col("id_b"))
+          .withColumn("cos", VectorOps.dot(col("va"), col("vb")) / (col("na") * col("nb")))
+          .filter(col("cos") >= 0.35)
+          .select(col("id_a").as("doc_a"), col("id_b").as("doc_b"))
+          // the blocked-cosine self-join feeds members AND every CC
+          // round — materialize it once, not once per consumer
+          .localCheckpoint(true)
+        val members = pairs.select(col("doc_a").as("doc_id"))
+          .union(pairs.select(col("doc_b").as("doc_id"))).distinct()
+        val comp = MinHash.connectedComponents(members, pairs)
+          .select(col("doc_id").as("m_id"), col("dup_group").as("m_grp"))
+        Tables.embeddings(s, d).select(col("vec_id"))
+          .join(comp, col("vec_id") === col("m_id"), "left")
+          .select(col("vec_id"), coalesce(col("m_grp"), col("vec_id")).as("dup_group"))
+          .orderBy("vec_id")
+      },
+      Some("""WITH RECURSIVE
+             |n AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v,
+             |      sqrt(list_inner_product(CAST(embedding AS DOUBLE[]), CAST(embedding AS DOUBLE[]))) AS nrm
+             |      FROM embeddings),
+             |pairs AS (SELECT a.vec_id AS id_a, b.vec_id AS id_b
+             |          FROM n a JOIN n b ON a.label = b.label AND a.vec_id < b.vec_id
+             |          WHERE list_inner_product(a.v, b.v) / (a.nrm * b.nrm) >= 0.35),
+             |edges AS (SELECT id_a AS src, id_b AS dst FROM pairs
+             |          UNION ALL SELECT id_b, id_a FROM pairs),
+             |walk(vec_id, lbl) AS (
+             |  SELECT vec_id, vec_id FROM embeddings
+             |  UNION
+             |  SELECT e.src, w.lbl FROM edges e JOIN walk w ON e.dst = w.vec_id WHERE w.lbl < e.src
+             |)
+             |SELECT vec_id, min(lbl) AS dup_group FROM walk GROUP BY vec_id
+             |ORDER BY vec_id NULLS FIRST""".stripMargin)
+    )
+  )
+}
