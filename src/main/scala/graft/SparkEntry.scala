@@ -20,6 +20,7 @@ object SparkEntry {
     graft.operators.PipelineQueries.entries ++
     graft.operators.ScaleQueries.entries ++
     graft.operators.LakehouseQueries.entries ++
+    graft.operators.TrainingDataQueries.entries ++
     graft.streaming.StreamingQueries.entries
 
   /** Flagship query on sf0.001; driver smoke-checks rows>0. */

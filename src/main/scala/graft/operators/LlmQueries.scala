@@ -144,7 +144,14 @@ object LlmQueries {
         val b = e.withColumn("bk", explode(tables))
           .select(col("bk.tbl").as("tbl"), col("bk.bkt").as("bkt"),
             col("vec_id"), col("v"), col("nrm"))
+        // Multi-probe: each query also probes the B buckets at Hamming
+        // distance 1 (one sign bit flipped) — near-boundary neighbors
+        // land there. Only the bounded query side expands (×(B+1)
+        // before broadcast); the corpus side stays one row per table.
+        val probes = array(col("bkt") +: (0 until B).map(i =>
+          col("bkt").bitwiseXOR(lit(1 << i))): _*)
         val q = b.filter(col("vec_id") < 10)
+          .withColumn("bkt", explode(probes))
           .select(col("tbl"), col("bkt"), col("vec_id").as("qid"), col("v").as("qv"), col("nrm").as("qn"))
         val c = b.select(col("tbl"), col("bkt"), col("vec_id").as("cid"), col("v").as("cv"), col("nrm").as("cn"))
         val w = Window.partitionBy("qid").orderBy(col("sim").desc, col("cid").asc)

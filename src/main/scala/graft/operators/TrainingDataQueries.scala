@@ -1,0 +1,119 @@
+package graft.operators
+
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.QueryRegistry._
+import graft.sources.Tables
+
+/** Training-data preparation operators (SURVEY.md §2.B round-3
+  * additions): TF-IDF term scoring, token-budget sequence packing, and
+  * fixed-width document chunking — the corpus-shaping steps between
+  * dedup/quality filtering and tokenizer output in an LLM pipeline.
+  *
+  * Scale stance: TF-IDF is two hash aggregations plus a broadcast of
+  * the 1-row corpus count — the document-frequency table is vocabulary-
+  * sized (tiny vs the corpus), so the join broadcasts. Chunking is a
+  * pure per-row generator (no shuffle). Packing uses a global running
+  * sum — at 100 TB that becomes per-shard packing (partitionBy on a
+  * shard key); the judged query keeps the single-sequence form the
+  * oracle can express.
+  */
+object TrainingDataQueries {
+
+  val entries: Seq[Entry] = Seq(
+
+    // B5e: TF-IDF top-3 terms per document. Ranking compares the
+    // ROUNDED score (6 dp) with the term as tie-break: ln() differs in
+    // the last ulp across engines, and mathematically-equal scores
+    // (2·ln(x) vs ln(x²)) must not rank differently on either side.
+    Entry(
+      "b5_tfidf",
+      (s, d) => {
+        val docs = Tables.documents(s, d)
+        val words = docs.select(col("doc_id"), explode(split(col("text"), " ")).as("w"))
+        val tf = words.groupBy("doc_id", "w").agg(count(lit(1)).as("tf"))
+        val dfw = words.groupBy("w").agg(countDistinct(col("doc_id")).as("df"))
+        val n = docs.agg(count(lit(1)).as("n_docs"))
+        val rk = Window.partitionBy("doc_id").orderBy(col("tfidf").desc, col("w").asc)
+        tf.join(broadcast(dfw), "w")
+          .crossJoin(broadcast(n))
+          .withColumn("tfidf",
+            round(col("tf") * log(col("n_docs").cast("double") / col("df")), 6))
+          .withColumn("rk", row_number().over(rk))
+          .filter(col("rk") <= 3)
+          .select(col("doc_id"), col("rk"), col("w"), col("tfidf"))
+          .orderBy("doc_id", "rk")
+      },
+      Some("""WITH words AS (SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents),
+             |tf AS (SELECT doc_id, w, count(*) AS tf FROM words GROUP BY 1, 2),
+             |df AS (SELECT w, count(DISTINCT doc_id) AS df FROM words GROUP BY 1),
+             |n AS (SELECT count(*) AS n_docs FROM documents),
+             |scored AS (
+             |  SELECT tf.doc_id, tf.w,
+             |    round(tf.tf * ln(CAST(n.n_docs AS DOUBLE) / df.df), 6) AS tfidf
+             |  FROM tf JOIN df USING (w) CROSS JOIN n),
+             |ranked AS (
+             |  SELECT doc_id, w, tfidf,
+             |    row_number() OVER (PARTITION BY doc_id ORDER BY tfidf DESC, w ASC) AS rk
+             |  FROM scored)
+             |SELECT doc_id, CAST(rk AS INT) AS rk, w, tfidf FROM ranked WHERE rk <= 3
+             |ORDER BY doc_id NULLS FIRST, rk NULLS FIRST""".stripMargin)
+    ),
+
+    // B7a: sequence packing — assign documents (in doc_id order) to
+    // fixed token-budget packs by running token count; pack_id and the
+    // document's offset inside its pack come straight from the
+    // cumulative sum. Budget 2048 whitespace tokens.
+    Entry(
+      "b7_pack",
+      (s, d) => {
+        val w = Window.orderBy("doc_id")
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        Tables.documents(s, d)
+          .select(col("doc_id"),
+            size(split(col("text"), " ")).cast("long").as("n_tokens"))
+          .withColumn("cum_before", sum(col("n_tokens")).over(w) - col("n_tokens"))
+          .select(col("doc_id"), col("n_tokens"),
+            expr("cum_before div 2048").as("pack_id"),
+            (col("cum_before") % 2048).as("pack_offset"))
+          .orderBy("doc_id")
+      },
+      Some("""WITH t AS (SELECT doc_id, CAST(len(string_split(text,' ')) AS BIGINT) AS n_tokens
+             |FROM documents),
+             |c AS (SELECT doc_id, n_tokens,
+             |  sum(n_tokens) OVER (ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+             |    - n_tokens AS cum_before
+             |  FROM t)
+             |SELECT doc_id, n_tokens, CAST(cum_before // 2048 AS BIGINT) AS pack_id,
+             |  CAST(cum_before % 2048 AS BIGINT) AS pack_offset
+             |FROM c ORDER BY doc_id NULLS FIRST""".stripMargin)
+    ),
+
+    // B7b: fixed-width chunking — split every document into 80-char
+    // windows (context-window shaping); generator-only, no shuffle.
+    // greatest(...,1) keeps empty documents as one empty chunk on both
+    // engines (Spark sequence(0,-1) would run DESCENDING otherwise).
+    Entry(
+      "b7_chunk",
+      (s, d) =>
+        Tables.documents(s, d)
+          .select(col("doc_id"), col("text"),
+            greatest(ceil(length(col("text")) / 80.0).cast("long"), lit(1L)).as("n_chunks"))
+          .select(col("doc_id"), col("text"),
+            explode(sequence(lit(0L), col("n_chunks") - 1)).as("i"))
+          .select(
+            col("doc_id"),
+            col("i").cast("int").as("chunk_idx"),
+            col("text").substr((col("i") * 80 + 1).cast("int"), lit(80)).as("chunk"))
+          .withColumn("chunk_len", length(col("chunk")))
+          .orderBy("doc_id", "chunk_idx"),
+      Some("""WITH c AS (SELECT doc_id, text,
+             |greatest(CAST(ceil(length(text) / 80.0) AS BIGINT), 1) AS n_chunks FROM documents)
+             |SELECT doc_id, CAST(i AS INT) AS chunk_idx,
+             |substring(text, CAST(i*80+1 AS INT), 80) AS chunk,
+             |CAST(length(substring(text, CAST(i*80+1 AS INT), 80)) AS INT) AS chunk_len
+             |FROM c, unnest(range(0, n_chunks)) AS u(i)
+             |ORDER BY doc_id NULLS FIRST, chunk_idx NULLS FIRST""".stripMargin)
+    )
+  )
+}
