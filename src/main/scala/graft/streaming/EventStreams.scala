@@ -43,4 +43,60 @@ object EventStreams {
     if (streaming)
       events.withWatermark("ts", "10 minutes").dropDuplicatesWithinWatermark("event_id")
     else events.dropDuplicates("event_id")
+
+  /** T6: stream-static enrichment — join each micro-batch against a
+    * static dimension. The dim side is broadcast, so the stream never
+    * shuffles; at scale the dim is re-broadcast per batch, which is
+    * exactly the semantics a slowly-refreshed lookup table wants. */
+  def enrich(events: DataFrame, dim: DataFrame): DataFrame =
+    events.join(
+      broadcast(dim.select(col("c_custkey"), col("c_mktsegment"))),
+      events("user_id") === col("c_custkey"), "left")
+      .select(events("event_id"), events("user_id"),
+        col("c_mktsegment").as("segment"), events("value"))
+
+  /** T7: latest-wins MERGE of one micro-batch into a parquet target —
+    * the body of a foreachBatch upsert sink (streaming twin of the
+    * judged c12_upsert_latest). Within the batch the highest
+    * (ts, event_id) wins per user; rows for unseen users pass through
+    * as inserts. The merged frame is materialized (localCheckpoint)
+    * before the overwrite so the write never reads its own input. */
+  def mergeBatchIntoTarget(batch: DataFrame, targetDir: String): Unit = {
+    val spark = batch.sparkSession
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("user_id")
+      .orderBy(col("ts").desc, col("event_id").desc)
+    val latest = batch
+      .withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+      .select(col("user_id").as("u_key"), col("value").as("u_value"))
+    val existing =
+      try spark.read.parquet(targetDir)
+      catch { case _: Exception =>
+        spark.createDataFrame(
+          spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+          org.apache.spark.sql.types.StructType(Seq(
+            org.apache.spark.sql.types.StructField("user_id",
+              org.apache.spark.sql.types.LongType),
+            org.apache.spark.sql.types.StructField("value",
+              org.apache.spark.sql.types.DoubleType))))
+      }
+    val merged = existing
+      .join(latest, col("user_id") === col("u_key"), "full_outer")
+      .select(
+        coalesce(col("user_id"), col("u_key")).as("user_id"),
+        coalesce(col("u_value"), col("value")).as("value"))
+      .localCheckpoint(true)
+    merged.write.mode("overwrite").parquet(targetDir)
+  }
+
+  /** T7 driver: attach the upsert sink to a stream via foreachBatch. */
+  def upsertSink(stream: DataFrame, targetDir: String,
+      checkpointDir: String): org.apache.spark.sql.streaming.StreamingQuery =
+    stream.writeStream
+      .outputMode("update")
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        mergeBatchIntoTarget(batch, targetDir)
+      }
+      .start()
 }

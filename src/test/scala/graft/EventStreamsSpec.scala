@@ -104,6 +104,48 @@ class EventStreamsSpec extends AnyFunSuite with SparkFixture {
     assert(batch.nonEmpty)
   }
 
+  test("T6: stream-static join enriches each micro-batch from the static dim") {
+    implicit val ctx = spark.sqlContext
+    import org.apache.spark.sql.functions.col
+    val dim = Seq((1L, "AUTO"), (2L, "HOUSE"))
+      .toDF("c_custkey", "c_mktsegment")
+    val in = MemoryStream[Ev]
+    val q = EventStreams.enrich(in.toDF(), dim)
+      .writeStream.format("memory").queryName("t6_sink").outputMode("append").start()
+    try {
+      in.addData(
+        Ev(1, ts("10:00"), 1, "view", 1.0),
+        Ev(2, ts("10:01"), 2, "view", 2.0),
+        Ev(3, ts("10:02"), 9, "view", 3.0)) // no dim row -> null segment
+      q.processAllAvailable()
+      val rows = spark.table("t6_sink")
+        .select(col("event_id"), col("segment"))
+        .collect().map(r => (r.getLong(0), Option(r.getString(1)))).sortBy(_._1)
+      assert(rows.toSeq === Seq(
+        (1L, Some("AUTO")), (2L, Some("HOUSE")), (3L, None)))
+    } finally q.stop()
+  }
+
+  test("T7: foreachBatch upsert sink applies latest-wins merges across micro-batches") {
+    implicit val ctx = spark.sqlContext
+    val target = java.nio.file.Files.createTempDirectory("graft_t7_target").toString + "/tbl"
+    val ckpt = java.nio.file.Files.createTempDirectory("graft_t7_ckpt").toString
+    val in = MemoryStream[Ev]
+    val q = EventStreams.upsertSink(in.toDF(), target, ckpt)
+    try {
+      in.addData(
+        Ev(1, ts("10:00"), 1, "purchase", 10.0),
+        Ev(2, ts("10:01"), 1, "purchase", 11.0), // same user, later -> wins batch 1
+        Ev(3, ts("10:00"), 2, "purchase", 20.0))
+      q.processAllAvailable()
+      in.addData(Ev(4, ts("10:05"), 2, "purchase", 25.0)) // update user 2
+      q.processAllAvailable()
+      val state = spark.read.parquet(target)
+        .collect().map(r => (r.getLong(0), r.getDouble(1))).sortBy(_._1)
+      assert(state.toSeq === Seq((1L, 11.0), (2L, 25.0)))
+    } finally q.stop()
+  }
+
   test("T5 batch fallback: dropDuplicates on event_id") {
     val df = Seq(
       Ev(1, ts("10:00"), 1, "view", 1.0),

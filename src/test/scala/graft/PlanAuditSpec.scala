@@ -44,6 +44,29 @@ class PlanAuditSpec extends AnyFunSuite with SparkFixture {
     assert(p.contains("partial_sum") || p.contains("partial"), s"no partial agg in:\n$p")
   }
 
+  test("b5_tfidf: document-frequency table joins by broadcast, corpus count by 1-row BNLJ") {
+    val p = plan("b5_tfidf")
+    assert(p.contains("BroadcastHashJoin"), s"df-table join should broadcast:\n$p")
+  }
+
+  test("b7_chunk: generator-only — no hash-partition shuffle anywhere") {
+    val p = plan("b7_chunk")
+    assert(!p.contains("hashpartitioning"), s"chunking must not shuffle:\n$p")
+    assert(p.contains("Generate"), "expected an explode Generate node")
+  }
+
+  test("s6_zorder_key: bit interleave stays inside whole-stage codegen") {
+    // AQE shows codegen spans only in the final plan — execute first.
+    val df = SparkEntry.queries("s6_zorder_key")(spark, sf)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString
+    // '*(n)' is the WholeStageCodegen span marker in the final plan;
+    // the interleave must stay a plain Project of built-in bit ops.
+    assert(p.contains("*("), s"no codegen span in final plan:\n$p")
+    assert(p.contains("shiftleft"), s"zkey expression not inlined:\n$p")
+    assert(!p.contains("hashpartitioning"), s"zkey must not add a hash shuffle:\n$p")
+  }
+
   test("no accidental cartesian products anywhere") {
     for (name <- SparkEntry.queries.keys.toSeq.sorted
          if name != "j7_cross" && name != "b3_cosine_topk") {
