@@ -1,7 +1,7 @@
 package graft.functions
 
 import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
-import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression, XXH64, XxHash64Function}
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression, XXH64}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
 import org.apache.spark.sql.types._
@@ -40,7 +40,7 @@ case class MinHashSignature(child: Expression, k: Int) extends UnaryExpression {
         val s = arr.getUTF8String(j)
         // exact replica of xxhash64(s, lit(i)): fold seed 42 through
         // the string, then through the slot index (hashed as int).
-        val base = XxHash64Function.hash(s, StringType, 42L)
+        val base = XXH64.hashUTF8String(s, 42L)
         var i = 0
         while (i < k) {
           val h = XXH64.hashInt(i, base)
@@ -62,7 +62,10 @@ case class MinHashSignature(child: Expression, k: Int) extends UnaryExpression {
       val s = ctx.freshName("s")
       val h = ctx.freshName("h")
       val base = ctx.freshName("base")
-      val hashFn = XxHash64Function.getClass.getName.stripSuffix("$") + ".MODULE$"
+      // XXH64 is a plain Java class: its statics resolve from Janino
+      // (the Scala object XxHash64Function's MODULE$ does not — that
+      // reference failed to compile and silently dropped the whole
+      // stage out of codegen).
       val xxh64 = classOf[XXH64].getName
       s"""
          |long[] $mins = new long[$k];
@@ -71,7 +74,7 @@ case class MinHashSignature(child: Expression, k: Int) extends UnaryExpression {
          |for (int $j = 0; $j < $n; $j++) {
          |  if (!$arr.isNullAt($j)) {
          |    UTF8String $s = $arr.getUTF8String($j);
-         |    long $base = $hashFn.hash($s, org.apache.spark.sql.types.StringType$$.MODULE$$, 42L);
+         |    long $base = $xxh64.hashUTF8String($s, 42L);
          |    for (int $i = 0; $i < $k; $i++) {
          |      long $h = $xxh64.hashInt($i, $base);
          |      if ($h < $mins[$i]) $mins[$i] = $h;

@@ -1,7 +1,7 @@
 package graft.functions
 
 import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
-import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression, XXH64, XxHash64Function}
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression, XXH64}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
 import org.apache.spark.sql.types._
@@ -30,7 +30,7 @@ case class ShingleMinHash(child: Expression, n: Int, k: Int) extends UnaryExpres
   @transient private lazy val space = UTF8String.fromString(" ")
 
   private def updateMins(sh: UTF8String, mins: Array[Long]): Unit = {
-    val base = XxHash64Function.hash(sh, StringType, 42L)
+    val base = XXH64.hashUTF8String(sh, 42L)
     var i = 0
     while (i < k) {
       val h = XXH64.hashInt(i, base)
@@ -84,7 +84,8 @@ case class ShingleMinHash(child: Expression, n: Int, k: Int) extends UnaryExpres
       val base = ctx.freshName("base")
       val h = ctx.freshName("h")
       val spaceRef = ctx.addReferenceObj("shingleSpace", space, classOf[UTF8String].getName)
-      val hashFn = XxHash64Function.getClass.getName.stripSuffix("$") + ".MODULE$"
+      // XXH64 statics resolve from Janino; the Scala object's MODULE$
+      // does not (see MinHashSignature).
       val xxh64 = classOf[XXH64].getName
       val wordAt = (idx: String) =>
         s"($arr.isNullAt($idx) ? UTF8String.EMPTY_UTF8 : $arr.getUTF8String($idx))"
@@ -99,7 +100,7 @@ case class ShingleMinHash(child: Expression, n: Int, k: Int) extends UnaryExpres
          |    if ($j < $nw - 1) $segs[2 * $j + 1] = $spaceRef;
          |  }
          |  UTF8String $sh = $nw == 0 ? UTF8String.EMPTY_UTF8 : UTF8String.concat($segs);
-         |  long $base = $hashFn.hash($sh, org.apache.spark.sql.types.StringType$$.MODULE$$, 42L);
+         |  long $base = $xxh64.hashUTF8String($sh, 42L);
          |  for (int $i = 0; $i < $k; $i++) {
          |    long $h = $xxh64.hashInt($i, $base);
          |    if ($h < $mins[$i]) $mins[$i] = $h;
@@ -112,7 +113,7 @@ case class ShingleMinHash(child: Expression, n: Int, k: Int) extends UnaryExpres
          |      if ($t < $n - 1) $segs[2 * $t + 1] = $spaceRef;
          |    }
          |    UTF8String $sh = UTF8String.concat($segs);
-         |    long $base = $hashFn.hash($sh, org.apache.spark.sql.types.StringType$$.MODULE$$, 42L);
+         |    long $base = $xxh64.hashUTF8String($sh, 42L);
          |    for (int $i = 0; $i < $k; $i++) {
          |      long $h = $xxh64.hashInt($i, $base);
          |      if ($h < $mins[$i]) $mins[$i] = $h;
