@@ -21,6 +21,7 @@ object SparkEntry {
     graft.operators.ScaleQueries.entries ++
     graft.operators.LakehouseQueries.entries ++
     graft.operators.TrainingDataQueries.entries ++
+    graft.operators.CurationQueries.entries ++
     graft.streaming.StreamingQueries.entries
 
   /** Flagship query on sf0.001; driver smoke-checks rows>0. */

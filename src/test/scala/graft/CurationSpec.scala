@@ -1,0 +1,60 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.operators.CurationQueries
+
+/** Invariants of the corpus-curation operators beyond the DuckDB
+  * oracle: planted contamination is found, PII never survives the
+  * scrub, split fractions land near 12/2/2 out of 16, quantization
+  * checksum is bounded by 127*dim.
+  */
+class CurationSpec extends AnyFunSuite with SparkFixture {
+
+  private val sf = "/root/testdata/sf0.01"
+  private def q(name: String) =
+    CurationQueries.entries.find(_.name == name).get.q(spark, sf)
+
+  test("b9_decontaminate finds overlap and never flags eval docs") {
+    val rows = q("b9_decontaminate").collect()
+    assert(rows.nonEmpty)
+    assert(rows.forall(r => r.getLong(0) % 97 != 0))
+    assert(rows.forall(_.getLong(1) >= 1))
+  }
+
+  test("b9_pii_scrub removes every planted email and phone") {
+    val out = q("b9_pii_scrub")
+    assert(out.filter(col("clean_tail").rlike("@") ||
+      col("clean_tail").rlike("\\+1-555-[0-9]{4}")).count() === 0)
+    // every doc had exactly one planted email and one planted phone
+    assert(out.filter(col("n_email") =!= 1 || col("n_phone") =!= 1).count() === 0)
+    assert(out.filter(col("clean_tail").contains("<EMAIL>") &&
+      col("clean_tail").contains("<PHONE>")).count() === out.count())
+  }
+
+  test("b9_repetition ratios are in (0,1] and top_cnt <= n_bigrams") {
+    val bad = q("b9_repetition")
+      .filter(col("rep_ratio") <= 0 || col("rep_ratio") > 1 ||
+        col("top_cnt") > col("n_bigrams")).count()
+    assert(bad === 0)
+  }
+
+  test("b9_train_test_split is deterministic with ~75/12.5/12.5 fractions") {
+    val counts = q("b9_train_test_split").groupBy("split").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val n = counts.values.sum.toDouble
+    assert(counts("train") / n > 0.60 && counts("train") / n < 0.90)
+    assert(counts("val") / n > 0.04 && counts("test") / n > 0.04)
+    // stable across evaluations (pure hash of the key)
+    val again = q("b9_train_test_split").groupBy("split").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(again === counts)
+  }
+
+  test("b9_norm_quantize: unit-ish norms, |qsum| bounded by 127*dim") {
+    val rows = q("b9_norm_quantize").collect()
+    assert(rows.nonEmpty)
+    assert(rows.forall(r => math.abs(r.getLong(2)) <= 127L * 64 + 64))
+    assert(rows.forall(r => r.getDouble(1) > 0))
+  }
+}
