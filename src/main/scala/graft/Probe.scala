@@ -1,0 +1,53 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+
+/** Ad-hoc timing probe: runs the named queries N times each against a
+  * noop sink and prints per-run wall-clock, so a slow bench entry can
+  * be decomposed (e.g. with/without its final orderBy) without a full
+  * Bench pass. Usage: runMain graft.Probe <sfDir> <name> [name ...]
+  */
+object Probe {
+  def main(args: Array[String]): Unit = {
+    val sfDir = args(0)
+    val names = args.drop(1).toSeq
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.sql.warehouse.dir",
+        s"${sys.props("java.io.tmpdir")}/graft_warehouse")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    import org.apache.spark.sql.functions._
+    // scratch decompositions, not judged queries
+    val extra: Map[String, (SparkSession, String) => org.apache.spark.sql.DataFrame] = Map(
+      "f3_nosort" -> ((s, d) => graft.sources.Tables.lineitem(s, d)
+        .select(col("l_orderkey"), col("l_linenumber"),
+          round(col("l_extendedprice"), 1).as("r1"),
+          abs(col("l_discount") - 0.05).as("adiff"),
+          ceil(col("l_quantity") / 7.0).as("c7"),
+          floor(col("l_quantity") / 7.0).as("f7"),
+          round(pow(col("l_quantity"), 1.5), 6).as("p15"),
+          round(log(col("l_extendedprice")), 6).as("ln_price"),
+          round(sqrt(col("l_quantity")), 6).as("sqrt_qty"),
+          pmod(col("l_orderkey"), lit(7)).as("pm7"))),
+      "f3_sortonly" -> ((s, d) => graft.sources.Tables.lineitem(s, d)
+        .select(col("l_orderkey"), col("l_linenumber"), col("l_quantity"))
+        .orderBy("l_orderkey", "l_linenumber")),
+      "scan_only" -> ((s, d) => graft.sources.Tables.lineitem(s, d)))
+    names.foreach { name =>
+      val fn = extra.getOrElse(name, SparkEntry.queries(name))
+      val times = (1 to 3).map { _ =>
+        val t0 = System.nanoTime()
+        fn(spark, sfDir).write.format("noop").mode("overwrite").save()
+        (System.nanoTime() - t0) / 1e9
+      }
+      println(f"$name%-28s ${times.map(t => f"$t%.2f").mkString(" ")}")
+    }
+    spark.stop()
+  }
+}

@@ -89,6 +89,29 @@ object EventStreams {
     merged.write.mode("overwrite").parquet(targetDir)
   }
 
+  /** T8: stream-stream interval join — attribute each purchase to the
+    * same user's views in the preceding 5 minutes. Both sides carry
+    * watermarks, so join state is bounded: a buffered view can be
+    * evicted once the purchase-side watermark passes view_ts + 5 min.
+    * At scale both streams shuffle on user_id once and the join is
+    * per-key local — no broadcast, no unbounded buffer. */
+  def attributePurchases(views: DataFrame, purchases: DataFrame): DataFrame = {
+    val v = views.filter(col("event_type") === "view")
+      .withWatermark("ts", "10 minutes")
+      .select(col("event_id").as("view_id"), col("user_id").as("v_user"),
+        col("ts").as("view_ts"))
+    val p = purchases.filter(col("event_type") === "purchase")
+      .withWatermark("ts", "10 minutes")
+      .select(col("event_id").as("purchase_id"), col("user_id").as("p_user"),
+        col("ts").as("purchase_ts"), col("value"))
+    p.join(v,
+      col("p_user") === col("v_user") &&
+        col("view_ts") <= col("purchase_ts") &&
+        col("view_ts") >= col("purchase_ts") - expr("interval 5 minutes"))
+      .select(col("purchase_id"), col("view_id"), col("p_user").as("user_id"),
+        col("value"))
+  }
+
   /** T7 driver: attach the upsert sink to a stream via foreachBatch. */
   def upsertSink(stream: DataFrame, targetDir: String,
       checkpointDir: String): org.apache.spark.sql.streaming.StreamingQuery =

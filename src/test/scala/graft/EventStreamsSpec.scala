@@ -126,6 +126,25 @@ class EventStreamsSpec extends AnyFunSuite with SparkFixture {
     } finally q.stop()
   }
 
+  test("T8: stream-stream interval join attributes purchases to recent views") {
+    implicit val ctx = spark.sqlContext
+    val in = MemoryStream[Ev]
+    val df = in.toDF()
+    val q = EventStreams.attributePurchases(df, df)
+      .writeStream.format("memory").queryName("t8_sink").outputMode("append").start()
+    try {
+      in.addData(
+        Ev(1, ts("10:00"), 1, "view", 0.0),
+        Ev(2, ts("10:03"), 1, "purchase", 9.99),  // 3 min after view 1 -> match
+        Ev(3, ts("10:10"), 1, "purchase", 5.00),  // 10 min after view 1 -> outside window
+        Ev(4, ts("10:02"), 2, "purchase", 7.00))  // other user, no view -> no match
+      q.processAllAvailable()
+      val rows = spark.table("t8_sink")
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).sortBy(_._1)
+      assert(rows.toSeq === Seq((2L, 1L, 1L)))
+    } finally q.stop()
+  }
+
   test("T7: foreachBatch upsert sink applies latest-wins merges across micro-batches") {
     implicit val ctx = spark.sqlContext
     val target = java.nio.file.Files.createTempDirectory("graft_t7_target").toString + "/tbl"

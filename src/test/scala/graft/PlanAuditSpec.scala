@@ -44,6 +44,20 @@ class PlanAuditSpec extends AnyFunSuite with SparkFixture {
     assert(p.contains("partial_sum") || p.contains("partial"), s"no partial agg in:\n$p")
   }
 
+  test("b9_decontaminate: eval-gram side broadcasts, corpus side never shuffles for the join") {
+    val p = plan("b9_decontaminate")
+    assert(p.contains("BroadcastHashJoin"), s"eval grams should broadcast:\n$p")
+  }
+
+  test("b9_pii_scrub and b9_train_test_split are shuffle-free row pipelines (sort excepted)") {
+    for (name <- Seq("b9_pii_scrub", "b9_train_test_split")) {
+      val p = plan(name)
+      // the only exchange allowed is the final rangepartitioning sort
+      assert(!p.contains("Exchange hashpartitioning"),
+        s"$name should have no hash shuffle:\n$p")
+    }
+  }
+
   test("b5_tfidf: document-frequency table joins by broadcast, corpus count by 1-row BNLJ") {
     val p = plan("b5_tfidf")
     assert(p.contains("BroadcastHashJoin"), s"df-table join should broadcast:\n$p")
