@@ -63,6 +63,20 @@ object Stress {
       val w = Window.partitionBy("o_custkey").orderBy(col("o_totalprice").desc, col("o_orderkey").asc)
       ord.withColumn("rn", row_number().over(w)).filter(col("rn") <= 3).count()
     }
+
+    // Text path: fused shingle+minhash signatures (codegen'd) and the
+    // LSH band self-join candidate count over a rep×-replicated corpus.
+    // The one that must NOT go quadratic: candidates come from band
+    // buckets, never a doc×doc comparison.
+    val docs = replicate(Tables.documents(spark, sfDir), Seq("doc_id"))
+    time("minhash_sign_b2") {
+      docs.select(col("doc_id"),
+          graft.operators.MinHash.fusedSignature(col("text")).as("sig"))
+        .select(sum(element_at(col("sig"), 1))).count()
+    }
+    time("lsh_candidates_b2") {
+      graft.operators.MinHash.candidatePairs(docs, "doc_id", "text").count()
+    }
     spark.stop()
   }
 }

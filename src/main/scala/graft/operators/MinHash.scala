@@ -62,6 +62,17 @@ object MinHash {
     withSig.withColumn("bands", bands)
   }
 
+  /** All-pairs-within-bucket cap: buckets at or under this size emit
+    * every pair (exact candidate semantics); larger buckets emit star
+    * edges to the bucket-minimum doc instead. A bucket of size c
+    * otherwise costs c²/2 pairs — and a boilerplate document repeated
+    * a million times at 100 TB is a single bucket, i.e. 5·10¹¹ pairs.
+    * Star edges keep the SAME connected components (every member links
+    * to the min), so downstream dup-grouping is unaffected; only the
+    * per-pair jaccard listing is thinned, and only for clusters so
+    * dense that any linking is correct anyway. */
+  val BucketPairCap = 64
+
   /** Candidate near-duplicate pairs (doc_a < doc_b) with the estimated
     * Jaccard = fraction of matching signature slots. */
   def candidatePairs(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
@@ -72,10 +83,26 @@ object MinHash {
       .select(col("doc_id"), col("sig"), explode(col("bands")).as("b"))
       .select(col("doc_id"), col("sig"), col("b.band").as("band"), col("b.bh").as("bh"))
       .localCheckpoint(true)
-    val l = sg.select(col("band"), col("bh"), col("doc_id").as("doc_a"), col("sig").as("sig_a"))
-    val r = sg.select(col("band"), col("bh"), col("doc_id").as("doc_b"), col("sig").as("sig_b"))
-    l.join(r, Seq("band", "bh"))
+    val stats = sg.groupBy("band", "bh")
+      .agg(count(lit(1)).as("bsize"), min(col("doc_id")).as("rep_id"))
+    val tagged = sg.join(stats, Seq("band", "bh"))
+    // small buckets: exact all-pairs self-join on (band, bh)
+    val small = tagged.filter(col("bsize") <= BucketPairCap)
+    val l = small.select(col("band"), col("bh"), col("doc_id").as("doc_a"), col("sig").as("sig_a"))
+    val r = small.select(col("band"), col("bh"), col("doc_id").as("doc_b"), col("sig").as("sig_b"))
+    val smallPairs = l.join(r, Seq("band", "bh"))
       .filter(col("doc_a") < col("doc_b"))
+      .select(col("doc_a"), col("sig_a"), col("doc_b"), col("sig_b"))
+    // oversize buckets: star edges (bucket-min -> member), linear in size
+    val big = tagged.filter(col("bsize") > BucketPairCap)
+    val bigPairs = big.filter(col("doc_id") =!= col("rep_id"))
+      .select(col("band"), col("bh"), col("doc_id").as("doc_b"), col("sig").as("sig_b"))
+      .join(
+        big.filter(col("doc_id") === col("rep_id"))
+          .select(col("band"), col("bh"), col("doc_id").as("doc_a"), col("sig").as("sig_a")),
+        Seq("band", "bh"))
+      .select(col("doc_a"), col("sig_a"), col("doc_b"), col("sig_b"))
+    smallPairs.union(bigPairs)
       .select(col("doc_a"), col("doc_b"),
         (aggregate(
           zip_with(col("sig_a"), col("sig_b"), (x, y) => when(x === y, 1).otherwise(0)),

@@ -79,6 +79,23 @@ class MinHashSpec extends AnyFunSuite with SparkFixture {
     assert(g === Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 5L -> 5L, 7L -> 7L, 9L -> 7L))
   }
 
+  test("oversize buckets emit linear star edges, same dup group, no pair blowup") {
+    // 200 identical docs: one LSH bucket per band, size far above the
+    // all-pairs cap. Pairs must stay ~linear (star edges), NOT ~200²/2,
+    // and dup-grouping must still put every copy in one group.
+    val n = 200
+    val docs = (0 until n)
+      .map(i => (i.toLong, "the very same boilerplate text repeated everywhere"))
+      .toDF("doc_id", "text")
+    val pairs = MinHash.candidatePairs(docs, "doc_id", "text")
+    val cnt = pairs.count()
+    assert(cnt <= 2L * n, s"expected ~linear star edges, got $cnt")
+    assert(cnt >= n - 1L)
+    val groups = MinHash.dupGroups(docs, "doc_id", "text", 0.8)
+      .select("dup_group").distinct().collect().map(_.getLong(0))
+    assert(groups.toSeq === Seq(0L))
+  }
+
   test("connectedComponents handles a long path needing several rounds") {
     // path 9-8-7-...-0: component min (0) must propagate the full length
     val n = 10
