@@ -88,6 +88,27 @@ object Graft {
   def tokenCountBpe(text: Column): Column =
     size(regexp_extract_all(text, lit("[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\\s]"), lit(0)))
 
+  // ---- corpus curation ---------------------------------------------
+  /** Per-training-doc count of distinct n-grams shared with the eval
+    * subset (benchmark decontamination). */
+  def contamination(docs: DataFrame, isEval: Column, n: Int = 4): DataFrame =
+    graft.operators.Curation.contamination(docs, isEval, n)
+
+  /** Redact emails/phones; count PII hits. */
+  def scrubPii(text: Column): Column = graft.operators.Curation.scrubPii(text)
+  def piiCount(text: Column): Column = graft.operators.Curation.piiCount(text)
+
+  /** Gopher-style top-bigram repetition ratio per doc. */
+  def repetitionScores(docs: DataFrame): DataFrame =
+    graft.operators.Curation.repetitionScores(docs)
+
+  /** Deterministic md5-hash train/val/test assignment. */
+  def splitAssign(key: Column, salt: String = ":graft"): Column =
+    graft.operators.Curation.splitAssign(key, salt)
+
+  /** Symmetric int8 quantization codes for an embedding column. */
+  def quantize(vec: Column): Column = graft.operators.Curation.quantize(vec)
+
   // ---- multimodal -------------------------------------------------
   /** Attach an opaque binary payload column. */
   def withPayload(docs: DataFrame): DataFrame = Multimodal.withPayload(docs)

@@ -27,10 +27,7 @@ import graft.sources.Tables
   */
 object CurationQueries {
 
-  /** Email-ish and planted-phone patterns, portable across Java regex
-    * (Spark) and RE2 (DuckDB): no lookaround, no backrefs. */
-  private val EmailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+"
-  private val PhoneRe = "\\+1-555-[0-9]{4}"
+  import Curation.{EmailRe, PhoneRe}
 
   val entries: Seq[Entry] = Seq(
 
@@ -42,24 +39,9 @@ object CurationQueries {
     // and how many distinct eval grams it shares.
     Entry(
       "b9_decontaminate",
-      (s, d) => {
-        val grams = Tables.documents(s, d)
-          .select(col("doc_id"), split(col("text"), " ").as("ws"))
-          .filter(size(col("ws")) >= 4)
-          .select(col("doc_id"),
-            explode(sequence(lit(1), size(col("ws")) - 3)).as("i"),
-            col("ws"))
-          .select(col("doc_id"),
-            array_join(slice(col("ws"), col("i"), lit(4)), " ").as("ng"))
-        val evalGrams = grams.filter(col("doc_id") % 97 === 0)
-          .select("ng").distinct()
-        grams.filter(col("doc_id") % 97 =!= 0)
-          .select("doc_id", "ng").distinct()
-          .join(broadcast(evalGrams), "ng")
-          .groupBy("doc_id")
-          .agg(count(lit(1)).as("n_shared"))
-          .orderBy("doc_id")
-      },
+      (s, d) =>
+        Curation.contamination(Tables.documents(s, d), col("doc_id") % 97 === 0)
+          .orderBy("doc_id"),
       Some("""WITH g AS (
              |  SELECT doc_id, array_to_string(list_slice(ws, i, i + 3), ' ') AS ng
              |  FROM (SELECT doc_id, string_split(text, ' ') AS ws FROM documents) t,
@@ -86,8 +68,7 @@ object CurationQueries {
           .select(col("doc_id"),
             size(regexp_extract_all(col("raw"), lit(EmailRe), lit(0))).as("n_email"),
             size(regexp_extract_all(col("raw"), lit(PhoneRe), lit(0))).as("n_phone"),
-            regexp_replace(regexp_replace(col("raw"), EmailRe, "<EMAIL>"),
-              PhoneRe, "<PHONE>").as("clean"))
+            Curation.scrubPii(col("raw")).as("clean"))
           .select(col("doc_id"), col("n_email"), col("n_phone"),
             substring(col("clean"), -34, 34).as("clean_tail"))
           .orderBy("doc_id"),
@@ -112,19 +93,8 @@ object CurationQueries {
     Entry(
       "b9_repetition",
       (s, d) =>
-        Tables.documents(s, d)
-          .select(col("doc_id"), split(col("text"), " ").as("ws"))
-          .filter(size(col("ws")) >= 2)
-          .select(col("doc_id"),
-            explode(transform(sequence(lit(2), size(col("ws"))),
-              i => concat(element_at(col("ws"), i - 1), lit(" "),
-                element_at(col("ws"), i)))).as("bg"))
-          .groupBy("doc_id", "bg").agg(count(lit(1)).as("cnt"))
-          .groupBy("doc_id")
-          .agg(max(col("cnt")).as("top_cnt"),
-            sum(col("cnt")).as("n_bigrams"))
-          .select(col("doc_id"), col("top_cnt"), col("n_bigrams"),
-            round(col("top_cnt") / col("n_bigrams"), 6).as("rep_ratio"),
+        Curation.repetitionScores(Tables.documents(s, d))
+          .select(col("doc_id"), col("top_cnt"), col("n_bigrams"), col("rep_ratio"),
             (col("top_cnt") / col("n_bigrams") > 0.2).as("flagged"))
           .orderBy("doc_id"),
       Some("""WITH b AS (
@@ -147,12 +117,7 @@ object CurationQueries {
       "b9_train_test_split",
       (s, d) =>
         Tables.documents(s, d)
-          .select(col("doc_id"),
-            substring(md5(concat(col("doc_id").cast("string"), lit(":graft"))), 1, 1).as("h"))
-          .select(col("doc_id"),
-            when(col("h") < "c", "train")
-              .when(col("h") < "e", "val")
-              .otherwise("test").as("split"))
+          .select(col("doc_id"), Curation.splitAssign(col("doc_id")).as("split"))
           .orderBy("doc_id"),
       Some("""SELECT doc_id,
              |  CASE WHEN h < 'c' THEN 'train' WHEN h < 'e' THEN 'val'
@@ -177,13 +142,9 @@ object CurationQueries {
           transform(col("embedding"), x => x.cast("double") * x.cast("double")),
           lit(0.0), (acc, v) => acc + v)
         Tables.embeddings(s, d)
-          .withColumn("l2raw", sqrt(sq))
           .select(col("vec_id"),
-            round(col("l2raw"), 6).as("l2"),
-            aggregate(
-              transform(col("embedding"),
-                x => floor(x.cast("double") * 127 / nullif(col("l2raw"), lit(0.0)) + 0.5)
-                  .cast("long")),
+            round(sqrt(sq), 6).as("l2"),
+            aggregate(Curation.quantize(col("embedding")),
               lit(0L), (acc, v) => acc + v).as("qsum"))
           .orderBy("vec_id")
       },
