@@ -83,9 +83,13 @@ object MinHash {
       .select(col("doc_id"), col("sig"), explode(col("bands")).as("b"))
       .select(col("doc_id"), col("sig"), col("b.band").as("band"), col("b.bh").as("bh"))
       .localCheckpoint(true)
-    val stats = sg.groupBy("band", "bh")
-      .agg(count(lit(1)).as("bsize"), min(col("doc_id")).as("rep_id"))
-    val tagged = sg.join(stats, Seq("band", "bh"))
+    // tag rows with bucket size + representative via one window pass:
+    // the (band, bh) exchange it introduces is the same partitioning
+    // the self-join needs, so Spark reuses it instead of re-shuffling.
+    val w = org.apache.spark.sql.expressions.Window.partitionBy("band", "bh")
+    val tagged = sg
+      .withColumn("bsize", count(lit(1)).over(w))
+      .withColumn("rep_id", min(col("doc_id")).over(w))
     // small buckets: exact all-pairs self-join on (band, bh)
     val small = tagged.filter(col("bsize") <= BucketPairCap)
     val l = small.select(col("band"), col("bh"), col("doc_id").as("doc_a"), col("sig").as("sig_a"))

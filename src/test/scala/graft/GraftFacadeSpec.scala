@@ -21,6 +21,23 @@ class GraftFacadeSpec extends AnyFunSuite with SparkFixture {
     assert(toks.forall(r => r.getInt(1) >= r.getInt(0))) // BPE splits punct
   }
 
+  test("curation through the facade: scrub, split, repetition, quantize, contamination") {
+    val docs = Graft.tables.documents(spark, sf)
+    val pii = docs.select(
+      Graft.piiCount(concat(col("text"), lit(" a@b.co"))).as("n"),
+      Graft.scrubPii(concat(col("text"), lit(" a@b.co"))).as("clean"))
+    assert(pii.filter(col("n") =!= 1).count() === 0)
+    assert(pii.filter(col("clean").rlike("@")).count() === 0)
+    val splits = docs.select(Graft.splitAssign(col("doc_id")).as("s"))
+      .distinct().collect().map(_.getString(0)).toSet
+    assert(splits.subsetOf(Set("train", "val", "test")))
+    assert(Graft.repetitionScores(docs).count() > 0)
+    val emb = Graft.tables.embeddings(spark, sf)
+    val q = emb.select(size(Graft.quantize(col("embedding"))).as("n")).collect()
+    assert(q.forall(_.getInt(0) === 64))
+    assert(Graft.contamination(docs, col("doc_id") % 7 === 0, n = 3).count() > 0)
+  }
+
   test("facade session builder registers dot_product for SQL") {
     val prev = org.apache.spark.sql.SparkSession.getDefaultSession
     org.apache.spark.sql.SparkSession.clearDefaultSession()
