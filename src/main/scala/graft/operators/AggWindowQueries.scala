@@ -283,6 +283,30 @@ object AggWindowQueries {
               |FROM lineitem GROUP BY 1 ORDER BY l_linestatus NULLS FIRST""".stripMargin)
     ),
 
+    // G13: fixed-width histogram — 10 equal buckets over the observed
+    // [min, max] of o_totalprice. The 1-row bounds aggregate crosses in
+    // as a broadcast, so the fact side is one scan + one partial-agg
+    // pass at any scale. least(...,9) folds the x == max row into the
+    // top bucket on both engines.
+    Entry(
+      "g13_histogram",
+      (s, d) => {
+        val bounds = Tables.orders(s, d)
+          .agg(min(col("o_totalprice")).as("mn"), max(col("o_totalprice")).as("mx"))
+        Tables.orders(s, d)
+          .crossJoin(broadcast(bounds))
+          .select(least(
+            floor((col("o_totalprice") - col("mn")) / ((col("mx") - col("mn")) / 10.0))
+              .cast("long"), lit(9L)).as("bucket"))
+          .groupBy("bucket").agg(count(lit(1)).as("n"))
+          .orderBy("bucket")
+      },
+      Some("""WITH s AS (SELECT min(o_totalprice) AS mn, max(o_totalprice) AS mx FROM orders)
+             |SELECT least(CAST(floor((o_totalprice - mn) / ((mx - mn) / 10.0)) AS BIGINT), 9) AS bucket,
+             |count(*) AS n
+             |FROM orders, s GROUP BY 1 ORDER BY bucket NULLS FIRST""".stripMargin)
+    ),
+
     // W5: distribution window functions — ntile over a total order,
     // percent_rank/cume_dist over a tie-prone key (peers deterministic).
     Entry(
