@@ -109,6 +109,36 @@ object CurationQueries {
              |FROM c GROUP BY doc_id ORDER BY doc_id NULLS FIRST""".stripMargin)
     ),
 
+    // B9f: text cleaning — lowercase, strip punctuation, collapse
+    // whitespace, drop stopwords. The normalize-before-everything pass
+    // of a crawl pipeline; pure per-row regex + array ops, no shuffle.
+    Entry(
+      "b9_clean_text",
+      (s, d) => {
+        val stop = Seq("the", "a", "an", "and", "or", "of", "to", "in", "is", "it")
+        val norm = regexp_replace(
+          regexp_replace(lower(col("text")), "[^a-z0-9 ]+", " "), " +", " ")
+        Tables.documents(s, d)
+          .select(col("doc_id"),
+            array_join(
+              filter(split(norm, " "),
+                w => !w.isin(stop: _*) && w =!= ""), " ").as("clean"))
+          .select(col("doc_id"), col("clean"),
+            size(split(col("clean"), " ")).as("n_tokens"))
+          .orderBy("doc_id")
+      },
+      Some("""SELECT doc_id, clean,
+             |CAST(len(string_split(clean, ' ')) AS INT) AS n_tokens
+             |FROM (SELECT doc_id,
+             |  array_to_string(list_filter(
+             |    string_split(regexp_replace(regexp_replace(lower(text),
+             |      '[^a-z0-9 ]+', ' ', 'g'), ' +', ' ', 'g'), ' '),
+             |    w -> w NOT IN ('the','a','an','and','or','of','to','in','is','it')
+             |         AND w <> ''), ' ') AS clean
+             |  FROM documents) t
+             |ORDER BY doc_id NULLS FIRST""".stripMargin)
+    ),
+
     // B9d: deterministic train/val/test split — first hex char of
     // md5(doc_id || salt): 0-9ab train (12/16), c-d val (2/16),
     // e-f test (2/16). Pure per-row hash: stable under re-runs,

@@ -37,6 +37,36 @@ object LakehouseQueries {
 
   val entries: Seq[Entry] = Seq(
 
+    // C13: small-file compaction (the lake's OPTIMIZE pass). First
+    // write partitionBy WITHOUT pre-repartitioning — every shuffle task
+    // writes into every partition dir, the small-file explosion as it
+    // actually happens — then compact by re-reading and rewriting with
+    // one writer per partition value. The judged output proves data
+    // fidelity through both rewrites; CompactionSpec asserts the file
+    // count actually collapses (at 100 TB this is the difference
+    // between a NameNode/S3-listing meltdown and ~one file per
+    // partition per write).
+    Entry(
+      "c13_compaction",
+      (s, d) => {
+        val base = s"${sys.props("java.io.tmpdir")}/graft_c13_${new java.io.File(d).getName}"
+        val ev = Tables.events(s, d)
+          .select(col("event_id"), col("event_type"), col("value"),
+            col("ts").cast("long").as("ts_us"))
+        ev.repartition(8, col("event_id"))
+          .write.mode("overwrite").partitionBy("event_type").parquet(s"$base/raw")
+        s.read.parquet(s"$base/raw")
+          .repartition(col("event_type"))
+          .write.mode("overwrite").partitionBy("event_type").parquet(s"$base/compact")
+        s.read.parquet(s"$base/compact")
+          .groupBy("event_type")
+          .agg(count(lit(1)).as("cnt"), dsum(col("value")).as("sum_value"))
+          .orderBy("event_type")
+      },
+      Some(s"""SELECT event_type, count(*) AS cnt, ${dsumSql("value")} AS sum_value
+              |FROM events GROUP BY 1 ORDER BY event_type NULLS FIRST""".stripMargin)
+    ),
+
     // C11: generated calendar dimension ("date spine") — explode a
     // day sequence between the fact's min/max date. The reference
     // derives its time dim from observed rows ([R] etl.py

@@ -154,6 +154,34 @@ object PipelineQueries {
               |GROUP BY o_orderpriority ORDER BY o_orderpriority NULLS FIRST""".stripMargin)
     ),
 
+    // G14: GROUPING SETS through the SQL surface — the general form
+    // rollup/cube specialize; grouping() markers disambiguate the
+    // all-rows from genuine NULL keys.
+    Entry(
+      "g14_grouping_sets",
+      (s, d) => {
+        Tables.lineitem(s, d).createOrReplaceTempView("v_lineitem")
+        s.sql("""
+          SELECT coalesce(l_returnflag, '(all)') AS rf,
+                 coalesce(l_linestatus, '(all)') AS ls,
+                 CAST(grouping(l_returnflag) AS INT) AS g_rf,
+                 CAST(grouping(l_linestatus) AS INT) AS g_ls,
+                 count(*) AS n,
+                 CAST(sum(CAST(l_quantity AS DECIMAL(28,6))) AS DOUBLE) AS sum_qty
+          FROM v_lineitem
+          GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
+          ORDER BY g_rf, g_ls, rf, ls
+        """)
+      },
+      Some(s"""SELECT coalesce(l_returnflag, '(all)') AS rf,
+              |coalesce(l_linestatus, '(all)') AS ls,
+              |CAST(grouping(l_returnflag) AS INT) AS g_rf,
+              |CAST(grouping(l_linestatus) AS INT) AS g_ls,
+              |count(*) AS n, ${dsumSql("l_quantity")} AS sum_qty
+              |FROM lineitem GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
+              |ORDER BY g_rf NULLS FIRST, g_ls NULLS FIRST, rf NULLS FIRST, ls NULLS FIRST""".stripMargin)
+    ),
+
     Entry(
       "g8_percentiles",
       (s, d) =>
