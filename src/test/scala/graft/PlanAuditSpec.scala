@@ -81,6 +81,35 @@ class PlanAuditSpec extends AnyFunSuite with SparkFixture {
     assert(!p.contains("hashpartitioning"), s"zkey must not add a hash shuffle:\n$p")
   }
 
+  test("runtime bloom-filter injection triggers on selective shuffle joins") {
+    // The 100 TB lever this pins down: when a selective dim filter
+    // feeds a SHUFFLE join, Catalyst pre-filters the fact side with a
+    // bloom filter of the dim keys — a semi-join reduction before the
+    // shuffle moves fact rows. Conditions (worth knowing at scale):
+    // the join must not be broadcast-able, and the fact scan must
+    // exceed applicationSideScanSizeThreshold (10 GB default — lowered
+    // here because sf0.1 is MB-scale).
+    import org.apache.spark.sql.functions._
+    val confs = Seq(
+      "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold" -> "1MB",
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1")
+    val saved = confs.map { case (k, _) => k -> spark.conf.getOption(k) }
+    confs.foreach { case (k, v) => spark.conf.set(k, v) }
+    try {
+      val li = graft.sources.Tables.lineitem(spark, "/root/testdata/sf0.1")
+      val ord = graft.sources.Tables.orders(spark, "/root/testdata/sf0.1")
+        .filter(col("o_orderpriority") === "1-URGENT")
+      val j = li.join(ord, col("l_orderkey") === col("o_orderkey"))
+        .groupBy("o_orderstatus").count()
+      val p = j.queryExecution.optimizedPlan.toString
+      assert(p.contains("bloom_filter_agg") && p.contains("might_contain"),
+        s"expected injected runtime bloom filter in:\n$p")
+    } finally saved.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None) => spark.conf.unset(k)
+    }
+  }
+
   test("no accidental cartesian products anywhere") {
     for (name <- SparkEntry.queries.keys.toSeq.sorted
          if name != "j7_cross" && name != "b3_cosine_topk") {
