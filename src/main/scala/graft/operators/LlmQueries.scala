@@ -44,6 +44,82 @@ object LlmQueries {
       None
     ),
 
+    // B2a': the same fuzzy-dedup pipeline, ORACLE-CHECKED end-to-end.
+    // The production path above hashes with the codegen'd xxhash64
+    // expressions (not DuckDB-expressible); this variant derives the
+    // 8-slot signature from md5 — one digest per shingle, slot i =
+    // min over shingles of hex chars [4i, 4i+4) — so DuckDB replays
+    // shingle → signature → 4-band LSH buckets → slot-agreement
+    // filter → connected components (recursive CTE) bit-for-bit.
+    Entry(
+      "b2_minhash_md5_groups",
+      (s, d) => {
+        val docs = Tables.documents(s, d)
+        val slotCols = (0 until 8).map(i => min(substring(col("dg"), i * 4 + 1, 4)).as(s"s$i"))
+        val sig = docs
+          .select(col("doc_id"),
+            explode(array_distinct(MinHash.shingles(lower(trim(col("text"))), 3))).as("g"))
+          .select(col("doc_id"), md5(col("g")).as("dg"))
+          .groupBy("doc_id")
+          .agg(slotCols.head, slotCols.tail: _*)
+        val slots = (0 until 8).map(i => col(s"s$i"))
+        val bands = sig.select(col("doc_id") +: slots :+
+          explode(array((0 until 4).map(b =>
+            struct(lit(b).as("band"), concat(col(s"s${2 * b}"), col(s"s${2 * b + 1}")).as("bk"))): _*)).as("bs"): _*)
+          .select(col("doc_id") +: slots :+ col("bs.band").as("band") :+ col("bs.bk").as("bk"): _*)
+          .localCheckpoint(true)
+        val a = bands.toDF(bands.columns.map(c => if (c == "band" || c == "bk") c else s"a_$c"): _*)
+        val b = bands.toDF(bands.columns.map(c => if (c == "band" || c == "bk") c else s"b_$c"): _*)
+        val agree = (0 until 8).map(i =>
+          when(col(s"a_s$i") === col(s"b_s$i"), 1).otherwise(0)).reduce(_ + _)
+        val pairs = a.join(b, Seq("band", "bk"))
+          .filter(col("a_doc_id") < col("b_doc_id"))
+          .filter(agree >= 4)
+          .select(col("a_doc_id").as("doc_a"), col("b_doc_id").as("doc_b"))
+          .distinct()
+          .localCheckpoint(true)
+        val members = pairs.select(col("doc_a").as("doc_id"))
+          .union(pairs.select(col("doc_b").as("doc_id"))).distinct()
+        val comp = MinHash.connectedComponents(members, pairs)
+          .select(col("doc_id").as("m_id"), col("dup_group").as("m_grp"))
+        docs.select(col("doc_id"))
+          .join(comp, col("doc_id") === col("m_id"), "left")
+          .select(col("doc_id"), coalesce(col("m_grp"), col("doc_id")).as("dup_group"))
+          .orderBy("doc_id")
+      },
+      Some("""WITH RECURSIVE
+             |w AS (SELECT doc_id, string_split(lower(trim(text)), ' ') AS ws FROM documents),
+             |sh AS (SELECT doc_id, CASE WHEN len(ws) < 3 THEN [array_to_string(ws, ' ')]
+             |       ELSE list_transform(range(1, len(ws) - 1), i -> ws[i]||' '||ws[i+1]||' '||ws[i+2]) END AS gs
+             |       FROM w),
+             |dig AS (SELECT DISTINCT doc_id, md5(unnest(gs)) AS dg FROM sh),
+             |sig AS (SELECT doc_id,
+             |  min(substring(dg,1,4)) AS s0, min(substring(dg,5,4)) AS s1,
+             |  min(substring(dg,9,4)) AS s2, min(substring(dg,13,4)) AS s3,
+             |  min(substring(dg,17,4)) AS s4, min(substring(dg,21,4)) AS s5,
+             |  min(substring(dg,25,4)) AS s6, min(substring(dg,29,4)) AS s7
+             |  FROM dig GROUP BY doc_id),
+             |bands AS (SELECT doc_id, s0,s1,s2,s3,s4,s5,s6,s7, b,
+             |  CASE b WHEN 0 THEN s0||s1 WHEN 1 THEN s2||s3
+             |         WHEN 2 THEN s4||s5 ELSE s6||s7 END AS bk
+             |  FROM sig, unnest(range(0, 4)) AS u(b)),
+             |pairs AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+             |  FROM bands a JOIN bands b ON a.b = b.b AND a.bk = b.bk AND a.doc_id < b.doc_id
+             |  WHERE (CASE WHEN a.s0=b.s0 THEN 1 ELSE 0 END + CASE WHEN a.s1=b.s1 THEN 1 ELSE 0 END +
+             |         CASE WHEN a.s2=b.s2 THEN 1 ELSE 0 END + CASE WHEN a.s3=b.s3 THEN 1 ELSE 0 END +
+             |         CASE WHEN a.s4=b.s4 THEN 1 ELSE 0 END + CASE WHEN a.s5=b.s5 THEN 1 ELSE 0 END +
+             |         CASE WHEN a.s6=b.s6 THEN 1 ELSE 0 END + CASE WHEN a.s7=b.s7 THEN 1 ELSE 0 END) >= 4),
+             |edges AS (SELECT id_a AS src, id_b AS dst FROM pairs
+             |          UNION ALL SELECT id_b, id_a FROM pairs),
+             |walk(doc_id, lbl) AS (
+             |  SELECT doc_id, doc_id FROM documents
+             |  UNION
+             |  SELECT e.src, k.lbl FROM edges e JOIN walk k ON e.dst = k.doc_id WHERE k.lbl < e.src
+             |)
+             |SELECT doc_id, min(lbl) AS dup_group FROM walk GROUP BY doc_id
+             |ORDER BY doc_id NULLS FIRST""".stripMargin)
+    ),
+
     // B2b: exact n-gram Jaccard between adjacent doc pairs (the verify
     // step a fuzzy-dedup pipeline runs on LSH candidates).
     Entry(
