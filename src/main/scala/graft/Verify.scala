@@ -23,11 +23,22 @@ object Verify {
     new java.io.File(outDir).mkdirs()
     var failed = List.empty[String]
     SparkEntry.queries.foreach { case (name, fn) =>
-      try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
-        .parquet(s"$outDir/$name")
-      catch { case e: Throwable =>
+      // one retry: a transient failure (fs hiccup, codegen cache race)
+      // would otherwise silently drop the query from the round's
+      // correctness file — a missing output dir is scored as absent.
+      val attempts = Iterator.range(0, 2).map { i =>
+        try {
+          fn(spark, sfDir).coalesce(1).write.mode("overwrite")
+            .parquet(s"$outDir/$name")
+          None
+        } catch { case e: Throwable =>
+          System.err.println(s"[verify] $name attempt ${i + 1} failed: ${e.getMessage}")
+          Some(e)
+        }
+      }
+      if (attempts.find(_.isEmpty).isEmpty) {
         failed ::= name
-        System.err.println(s"[verify] $name FAILED: ${e.getMessage}")
+        System.err.println(s"[verify] $name FAILED after retry")
       }
     }
     if (failed.nonEmpty)
