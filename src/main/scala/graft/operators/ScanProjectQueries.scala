@@ -35,6 +35,34 @@ object ScanProjectQueries {
       Some("SELECT event_id, event_type FROM events ORDER BY event_id NULLS FIRST")
     ),
 
+    // C14: dirty-record ingestion — every 7th props payload is
+    // corrupted at the head, then parsed permissively: valid rows keep
+    // their extracted field, malformed rows surface as valid=false
+    // instead of failing the job (crawl data is never clean). Spark's
+    // PERMISSIVE from_json yields a struct with null FIELDS on
+    // malformed input (never a null struct), so validity is defined at
+    // field level — every clean record here carries k, making
+    // k-extraction ≡ DuckDB's json_valid.
+    Entry(
+      "c14_dirty_ingest",
+      (s, d) => {
+        val j = when(col("event_id") % 7 === 0, concat(lit("{broken"), col("props")))
+          .otherwise(col("props"))
+        Tables.events(s, d)
+          .select(col("event_id"), from_json(j, lit("k INT")).as("p"))
+          .select(col("event_id"),
+            col("p.k").isNotNull.as("valid"),
+            col("p.k").as("k"))
+          .orderBy("event_id")
+      },
+      Some("""SELECT event_id, json_valid(j) AS valid,
+             |CASE WHEN json_valid(j) THEN CAST(json_extract(j, '$.k') AS INT) END AS k
+             |FROM (SELECT event_id,
+             |  CASE WHEN event_id % 7 = 0 THEN '{broken' || props ELSE props END AS j
+             |  FROM events) t
+             |ORDER BY event_id NULLS FIRST""".stripMargin)
+    ),
+
     // C3: JSON-in-string extraction over events.props.
     Entry(
       "c3_json_extract",
