@@ -22,6 +22,50 @@ object MediaDedupQueries {
       None
     ),
 
+    // B2d': SimHash, ORACLE-CHECKED twin — 16-bit fingerprint whose
+    // per-token bits come from md5 hex nibbles instead of xxhash64, so
+    // DuckDB replays the whole vote-and-sign pipeline. Same semantics
+    // as SimHash.simhash: distinct tokens of lower(trim(text)), vote
+    // +1/-1 per bit, signature bit set iff the vote sum is > 0.
+    Entry(
+      "b2_simhash_md5",
+      (s, d) => {
+        // bit b of a token = bit (3 - b%4) of hex nibble b/4 of md5(token)
+        val voteCols = (0 until 16).map { b =>
+          val nib = conv(substring(col("dg"), b / 4 + 1, 1), 16, 10).cast("int")
+          val bit = shiftright(nib, 3 - b % 4).bitwiseAND(lit(1))
+          sum(bit * 2 - 1).as(s"n$b")
+        }
+        val fp = (0 until 16).map { b =>
+          when(col(s"n$b") > 0, lit(1L << (15 - b))).otherwise(lit(0L))
+        }.reduce(_ + _)
+        Tables.documents(s, d)
+          .select(col("doc_id"),
+            explode(array_distinct(split(lower(trim(col("text"))), " "))).as("tok"))
+          .select(col("doc_id"), md5(col("tok")).as("dg"))
+          .groupBy("doc_id")
+          .agg(voteCols.head, voteCols.tail: _*)
+          .select(col("doc_id"), fp.as("simhash16"))
+          .orderBy("doc_id")
+      },
+      Some {
+        val votes = (0 until 16).map { b =>
+          val nib = s"(strpos('0123456789abcdef', substring(dg, ${b / 4 + 1}, 1)) - 1)"
+          s"sum((($nib >> ${3 - b % 4}) & 1) * 2 - 1) AS n$b"
+        }.mkString(",\n|  ")
+        val fp = (0 until 16).map(b => s"CASE WHEN n$b > 0 THEN ${1L << (15 - b)} ELSE 0 END")
+          .mkString(" + ")
+        s"""WITH toks AS (SELECT DISTINCT doc_id, unnest(string_split(lower(trim(text)), ' ')) AS tok
+           |FROM documents),
+           |dig AS (SELECT doc_id, md5(tok) AS dg FROM toks),
+           |votes AS (SELECT doc_id,
+           |  $votes
+           |  FROM dig GROUP BY doc_id)
+           |SELECT doc_id, CAST($fp AS BIGINT) AS simhash16 FROM votes
+           |ORDER BY doc_id NULLS FIRST""".stripMargin
+      }
+    ),
+
     // B6c: frame sampling over opaque binary payloads — every 8th-byte
     // offset yields a 4-byte "frame" (the batch shape of video
     // frame-sampling / audio windowing: pure expressions, one generator,
