@@ -244,6 +244,77 @@ object LlmQueries {
       None
     ),
 
+    // B4': approximate NN, ORACLE-CHECKED twin — the same bucketed
+    // random-hyperplane design as b4_lsh_ann, but the hyperplanes are
+    // small INTEGER vectors inlined as literals into BOTH engines
+    // (integer components survive decimal text exactly; the Gaussian
+    // planes of the production path don't), so DuckDB replays code
+    // assignment, bucket join, and exact rerank bit-for-bit.
+    Entry(
+      "b4_ann_verified",
+      (s, d) => {
+        val L = 4; val B = 6
+        val rnd = new scala.util.Random(7)
+        val planes: Seq[Seq[Int]] =
+          Seq.fill(L * B)(Seq.fill(64)(rnd.nextInt(31) - 15))
+        val e = Tables.embeddings(s, d)
+          .select(col("vec_id"), col("embedding").as("v"))
+          .withColumn("nrm", VectorOps.norm(col("v")))
+        val tables = array((0 until L).map { t =>
+          val bits = (0 until B).map { i =>
+            when(VectorOps.dot(col("v"),
+              typedlit(planes(t * B + i).map(_.toDouble))) >= 0, lit(1 << i)).otherwise(lit(0))
+          }.reduce(_ + _)
+          struct(lit(t).as("tbl"), bits.as("bkt"))
+        }: _*)
+        val b = e.withColumn("bk", explode(tables))
+          .select(col("bk.tbl").as("tbl"), col("bk.bkt").as("bkt"),
+            col("vec_id"), col("v"), col("nrm"))
+        val q = b.filter(col("vec_id") < 10)
+          .select(col("tbl"), col("bkt"), col("vec_id").as("qid"),
+            col("v").as("qv"), col("nrm").as("qn"))
+        val c = b.select(col("tbl"), col("bkt"), col("vec_id").as("cid"),
+          col("v").as("cv"), col("nrm").as("cn"))
+        val w = Window.partitionBy("qid").orderBy(col("sim").desc, col("cid").asc)
+        c.join(broadcast(q), Seq("tbl", "bkt"))
+          .filter(col("qid") =!= col("cid"))
+          .select(col("qid"), col("cid"),
+            (VectorOps.dot(col("qv"), col("cv")) / (col("qn") * col("cn"))).as("sim"))
+          .groupBy("qid", "cid").agg(max(col("sim")).as("sim"))
+          .withColumn("rnk", row_number().over(w))
+          .filter(col("rnk") <= 3)
+          .select(col("qid"), col("rnk"), col("cid").as("nid"), round(col("sim"), 4).as("sim"))
+          .orderBy("qid", "rnk")
+      },
+      Some {
+        val L = 4; val B = 6
+        val rnd = new scala.util.Random(7)
+        val planes: Seq[Seq[Int]] =
+          Seq.fill(L * B)(Seq.fill(64)(rnd.nextInt(31) - 15))
+        def planeLit(p: Seq[Int]) = p.map(x => s"$x.0").mkString("[", ", ", "]")
+        val codeSelects = (0 until L).map { t =>
+          val bits = (0 until B).map { i =>
+            s"(CASE WHEN list_inner_product(v, ${planeLit(planes(t * B + i))}) >= 0 THEN ${1 << i} ELSE 0 END)"
+          }.mkString(" + ")
+          s"SELECT vec_id, v, nrm, $t AS tbl, $bits AS bkt FROM n"
+        }.mkString("\n|UNION ALL\n|")
+        s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+           |n AS (SELECT vec_id, v, sqrt(list_inner_product(v, v)) AS nrm FROM e),
+           |codes AS (
+           |$codeSelects),
+           |sims AS (SELECT q.vec_id AS qid, c.vec_id AS cid,
+           |  max(list_inner_product(q.v, c.v) / (q.nrm * c.nrm)) AS sim
+           |  FROM codes q JOIN codes c ON q.tbl = c.tbl AND q.bkt = c.bkt
+           |  WHERE q.vec_id < 10 AND c.vec_id <> q.vec_id
+           |  GROUP BY 1, 2)
+           |SELECT qid, rnk, cid AS nid, round(sim, 4) AS sim FROM (
+           |  SELECT qid, cid, sim,
+           |    row_number() OVER (PARTITION BY qid ORDER BY sim DESC, cid) AS rnk
+           |  FROM sims)
+           |WHERE rnk <= 3 ORDER BY qid NULLS FIRST, rnk NULLS FIRST""".stripMargin
+      }
+    ),
+
     // B5: per-document text analysis — token count, average token length,
     // stopword ratio, simple quality score.
     Entry(
