@@ -158,6 +158,111 @@ object CurationQueries {
              |ORDER BY doc_id NULLS FIRST""".stripMargin)
     ),
 
+    // B9g: domain mixing — resample the corpus toward a target domain
+    // mixture (DoReMi/Pile-style reweighting). Each source gets a
+    // literal mixture weight; the keep-rate per source is
+    // min(1, target_share * total / n_docs), and the keep decision is
+    // a stateless md5-derived uniform in [0,1) — so any executor
+    // routes any row with no coordination and the sample is stable
+    // under re-runs. At 100 TB the rate table is domain-cardinality
+    // (broadcast); the corpus side is one scan + one partial agg.
+    Entry(
+      "b9_domain_mix",
+      (s, d) => {
+        val docs = Tables.documents(s, d)
+        val counts = docs.groupBy("source").agg(count(lit(1)).as("n_docs"))
+          .withColumn("w", lit(1) + (substring(col("source"), 4, 10).cast("int") % 4))
+        val tots = counts.agg(sum("n_docs").as("total"), sum("w").as("sum_w"))
+        val rates = counts.crossJoin(broadcast(tots))
+          .select(col("source"), col("n_docs"), col("w"),
+            least(lit(1.0),
+              col("w").cast("double") / col("sum_w") * col("total") / col("n_docs"))
+              .as("rate"))
+        val u = conv(substring(md5(concat(col("doc_id").cast("string"), lit(":mix"))),
+            1, 8), 16, 10).cast("long").cast("double") / lit(4294967296.0)
+        val kept = docs.join(broadcast(rates.select("source", "rate")), Seq("source"))
+          .filter(u < col("rate"))
+          .groupBy("source").agg(count(lit(1)).as("n_kept"))
+        rates.join(kept, Seq("source"), "left")
+          .select(col("source"), col("n_docs"), col("w"),
+            round(col("rate"), 6).as("rate"),
+            coalesce(col("n_kept"), lit(0L)).as("n_kept"))
+          .orderBy("source")
+      },
+      Some("""WITH c AS (
+             |  SELECT source, count(*) AS n_docs,
+             |    1 + (CAST(substring(source, 4) AS INT) % 4) AS w
+             |  FROM documents GROUP BY 1),
+             |t AS (SELECT sum(n_docs) AS total, sum(w) AS sum_w FROM c),
+             |r AS (SELECT source, n_docs, w,
+             |        least(1.0, CAST(w AS DOUBLE) / sum_w * total / n_docs) AS rate
+             |      FROM c, t),
+             |k AS (SELECT d.source, count(*) AS n_kept
+             |      FROM documents d JOIN r USING (source)
+             |      WHERE CAST(('0x' || substring(md5(CAST(d.doc_id AS VARCHAR) || ':mix'), 1, 8)) AS BIGINT)
+             |            / 4294967296.0 < rate
+             |      GROUP BY 1)
+             |SELECT source, n_docs, w, round(rate, 6) AS rate,
+             |  coalesce(n_kept, 0) AS n_kept
+             |FROM r LEFT JOIN k USING (source)
+             |ORDER BY source NULLS FIRST""".stripMargin)
+    ),
+
+    // B9h: model-based quality gate — a fastText/CCNet-style LINEAR
+    // classifier over per-document features (sqrt token count,
+    // type-token ratio, stopword ratio, mean word length) with fixed
+    // literal weights; keep = logit > 0. Every op in the feature and
+    // score pipeline is IEEE-exact (sqrt and division are correctly
+    // rounded; no exp/log), so both engines produce bit-identical
+    // doubles and the decision boundary cannot drift. Per-row codegen'd
+    // pipeline: zero shuffle — at 100 TB this is a pure scan pass, and
+    // swapping literal weights for a broadcast weight vector is the
+    // only change a trained model needs.
+    Entry(
+      "b9_quality_classifier",
+      (s, d) => {
+        val stop = Seq("the", "a", "an", "and", "or", "of", "to", "in", "is", "it")
+        val toks = split(col("text"), " ")
+        Tables.documents(s, d)
+          .select(col("doc_id"), col("text"),
+            size(toks).as("n_tok"),
+            size(array_distinct(toks)).as("n_distinct"),
+            size(filter(toks, w => w.isin(stop: _*))).as("n_stop"))
+          .select(col("doc_id"), col("n_tok"),
+            (col("n_distinct").cast("double") / col("n_tok")).as("ttr"),
+            (col("n_stop").cast("double") / col("n_tok")).as("stop_ratio"),
+            (length(translate(col("text"), " ", "")).cast("double") / col("n_tok"))
+              .as("mean_wlen"))
+          .select(col("doc_id"), col("n_tok"),
+            round(col("ttr"), 6).as("ttr"),
+            round(col("stop_ratio"), 6).as("stop_ratio"),
+            round(col("mean_wlen"), 6).as("mean_wlen"),
+            round(lit(-2.0) + lit(0.35) * sqrt(col("n_tok").cast("double"))
+              + lit(2.0) * col("ttr") - lit(1.2) * col("stop_ratio")
+              + lit(0.15) * col("mean_wlen"), 6).as("score"),
+            (lit(-2.0) + lit(0.35) * sqrt(col("n_tok").cast("double"))
+              + lit(2.0) * col("ttr") - lit(1.2) * col("stop_ratio")
+              + lit(0.15) * col("mean_wlen") > 0).as("keep"))
+          .orderBy("doc_id")
+      },
+      Some("""WITH f AS (
+             |  SELECT doc_id,
+             |    CAST(len(ws) AS INT) AS n_tok,
+             |    CAST(len(list_distinct(ws)) AS DOUBLE) / len(ws) AS ttr,
+             |    CAST(len(list_filter(ws, w -> w IN
+             |      ('the','a','an','and','or','of','to','in','is','it'))) AS DOUBLE)
+             |      / len(ws) AS stop_ratio,
+             |    CAST(len(replace(text, ' ', '')) AS DOUBLE) / len(ws) AS mean_wlen
+             |  FROM (SELECT doc_id, text, string_split(text, ' ') AS ws FROM documents) t)
+             |SELECT doc_id, n_tok, round(ttr, 6) AS ttr,
+             |  round(stop_ratio, 6) AS stop_ratio, round(mean_wlen, 6) AS mean_wlen,
+             |  round(-2.0 + 0.35 * sqrt(CAST(n_tok AS DOUBLE)) + 2.0 * ttr
+             |    - 1.2 * stop_ratio + 0.15 * mean_wlen, 6) AS score,
+             |  (-2.0 + 0.35 * sqrt(CAST(n_tok AS DOUBLE)) + 2.0 * ttr
+             |    - 1.2 * stop_ratio + 0.15 * mean_wlen) > 0 AS keep
+             |FROM f ORDER BY doc_id NULLS FIRST""".stripMargin)
+    ),
+
     // B9e: embedding L2 norm + symmetric int8 quantization — the
     // storage/serving transform for ANN shards. Emits the norm and the
     // quantized-vector checksum (sum of int8 codes) rather than the

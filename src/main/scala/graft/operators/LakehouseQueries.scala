@@ -241,6 +241,72 @@ object LakehouseQueries {
              |)
              |SELECT vec_id, min(lbl) AS dup_group FROM walk GROUP BY vec_id
              |ORDER BY vec_id NULLS FIRST""".stripMargin)
+    ),
+
+    // B2g: canonical-document selection — after dup-cluster grouping,
+    // keep exactly one representative per cluster: the member with the
+    // largest L2 norm (quality proxy; ties broken by id). This is the
+    // "which copy survives" step a dedup pipeline runs after
+    // clustering. Same cosine edge graph + CC as b2_cc_clusters; the
+    // selection itself is one window over clusters (keys = cluster
+    // ids, cardinality ≪ corpus), so at 100 TB its shuffle moves only
+    // cluster members, and the norm ordering makes the survivor set
+    // deterministic under any execution order.
+    Entry(
+      "b2_canonical_keep",
+      (s, d) => {
+        val e = Tables.embeddings(s, d)
+          .select(col("vec_id"), col("label"), col("embedding").as("v"))
+          .withColumn("nrm", VectorOps.norm(col("v")))
+        val a = e.select(col("label"), col("vec_id").as("id_a"), col("v").as("va"), col("nrm").as("na"))
+        val b = e.select(col("label"), col("vec_id").as("id_b"), col("v").as("vb"), col("nrm").as("nb"))
+        val pairs = a.join(b, Seq("label"))
+          .filter(col("id_a") < col("id_b"))
+          .withColumn("cos", VectorOps.dot(col("va"), col("vb")) / (col("na") * col("nb")))
+          .filter(col("cos") >= 0.35)
+          .select(col("id_a").as("doc_a"), col("id_b").as("doc_b"))
+          .localCheckpoint(true)
+        val members = pairs.select(col("doc_a").as("doc_id"))
+          .union(pairs.select(col("doc_b").as("doc_id"))).distinct()
+        val comp = MinHash.connectedComponents(members, pairs)
+        val w = Window.partitionBy("dup_group")
+          .orderBy(col("nrm").desc, col("vec_id").asc)
+        comp.join(e.select(col("vec_id"), col("nrm")),
+            comp("doc_id") === col("vec_id"))
+          .select(col("dup_group"), col("vec_id"), col("nrm"))
+          .withColumn("n_members",
+            count(lit(1)).over(Window.partitionBy("dup_group")))
+          .withColumn("rn", row_number().over(w))
+          .filter(col("rn") === 1 && col("n_members") >= 2)
+          .select(col("dup_group"), col("n_members"),
+            col("vec_id").as("canonical_id"), round(col("nrm"), 6).as("canon_l2"))
+          .orderBy("dup_group")
+      },
+      Some("""WITH RECURSIVE
+             |n AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v,
+             |      sqrt(list_inner_product(CAST(embedding AS DOUBLE[]), CAST(embedding AS DOUBLE[]))) AS nrm
+             |      FROM embeddings),
+             |pairs AS (SELECT a.vec_id AS id_a, b.vec_id AS id_b
+             |          FROM n a JOIN n b ON a.label = b.label AND a.vec_id < b.vec_id
+             |          WHERE list_inner_product(a.v, b.v) / (a.nrm * b.nrm) >= 0.35),
+             |edges AS (SELECT id_a AS src, id_b AS dst FROM pairs
+             |          UNION ALL SELECT id_b, id_a FROM pairs),
+             |walk(vec_id, lbl) AS (
+             |  SELECT vec_id, vec_id FROM embeddings
+             |  UNION
+             |  SELECT e.src, w.lbl FROM edges e JOIN walk w ON e.dst = w.vec_id WHERE w.lbl < e.src
+             |),
+             |grp AS (SELECT vec_id, min(lbl) AS dup_group FROM walk GROUP BY vec_id),
+             |m AS (SELECT g.dup_group, g.vec_id, n.nrm FROM grp g JOIN n USING (vec_id)),
+             |sel AS (SELECT dup_group, vec_id, nrm,
+             |          count(*) OVER (PARTITION BY dup_group) AS n_members,
+             |          row_number() OVER (PARTITION BY dup_group
+             |            ORDER BY nrm DESC, vec_id) AS rn
+             |        FROM m)
+             |SELECT dup_group, n_members, vec_id AS canonical_id,
+             |  round(nrm, 6) AS canon_l2
+             |FROM sel WHERE rn = 1 AND n_members >= 2
+             |ORDER BY dup_group NULLS FIRST""".stripMargin)
     )
   )
 }
