@@ -1,5 +1,6 @@
 package graft.operators
 
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.QueryRegistry._
 import graft.sources.Tables
@@ -261,6 +262,56 @@ object CurationQueries {
              |  (-2.0 + 0.35 * sqrt(CAST(n_tok AS DOUBLE)) + 2.0 * ttr
              |    - 1.2 * stop_ratio + 0.15 * mean_wlen) > 0 AS keep
              |FROM f ORDER BY doc_id NULLS FIRST""".stripMargin)
+    ),
+
+    // B9i: LM-based quality scoring (CCNet-style) — train a bigram
+    // language model on the corpus itself (two hash aggregations),
+    // then score every document by average log-probability and
+    // perplexity under that model. High-ppl documents are the
+    // out-of-distribution / garbage candidates a crawl pipeline
+    // drops or down-weights. Per-bigram log-probs go through the
+    // DECIMAL(28,6) exact-sum convention so Spark's partial-agg order
+    // cannot drift from DuckDB's sequential sum. At 100 TB the model
+    // table is vocabulary²-bounded (≪ corpus; broadcast or
+    // hash-joined), and training + scoring are two scans — this is
+    // the same plan shape a real KenLM-filter pass has, with the
+    // model swapped for a learned one.
+    Entry(
+      "b9_lm_perplexity",
+      (s, d) => {
+        val inst = Tables.documents(s, d)
+          .select(col("doc_id"), split(col("text"), " ").as("ws"))
+          .filter(size(col("ws")) >= 2)
+          .select(col("doc_id"),
+            explode(transform(sequence(lit(2), size(col("ws"))),
+              i => concat(element_at(col("ws"), i - 1), lit(" "),
+                element_at(col("ws"), i)))).as("bg"))
+        val probs = inst.groupBy("bg").agg(count(lit(1)).as("cnt"))
+          .withColumn("prob", col("cnt").cast("double") /
+            sum("cnt").over(Window.partitionBy(substring_index(col("bg"), " ", 1))))
+          .select(col("bg"), col("prob"))
+        inst.join(broadcast(probs), Seq("bg"))
+          .groupBy("doc_id")
+          .agg(dsum(log(col("prob"))).as("slp"), count(lit(1)).as("n_bigrams"))
+          .select(col("doc_id"), col("n_bigrams"),
+            round(col("slp") / col("n_bigrams"), 6).as("avg_lp"),
+            round(exp(-(col("slp") / col("n_bigrams"))), 4).as("ppl"))
+          .orderBy("doc_id")
+      },
+      Some(s"""WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+             |b AS (SELECT doc_id, unnest(list_transform(range(2, len(ws) + 1),
+             |        i -> ws[i - 1] || ' ' || ws[i])) AS bg
+             |      FROM w WHERE len(ws) >= 2),
+             |c AS (SELECT bg, count(*) AS cnt FROM b GROUP BY 1),
+             |p AS (SELECT bg, CAST(cnt AS DOUBLE) /
+             |        sum(cnt) OVER (PARTITION BY string_split(bg, ' ')[1]) AS prob
+             |      FROM c),
+             |s AS (SELECT doc_id, ${dsumSql("ln(prob)")} AS slp,
+             |        count(*) AS n_bigrams
+             |      FROM b JOIN p USING (bg) GROUP BY doc_id)
+             |SELECT doc_id, n_bigrams, round(slp / n_bigrams, 6) AS avg_lp,
+             |  round(exp(-(slp / n_bigrams)), 4) AS ppl
+             |FROM s ORDER BY doc_id NULLS FIRST""".stripMargin)
     ),
 
     // B9e: embedding L2 norm + symmetric int8 quantization — the
