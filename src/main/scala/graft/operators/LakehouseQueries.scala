@@ -307,6 +307,79 @@ object LakehouseQueries {
              |  round(nrm, 6) AS canon_l2
              |FROM sel WHERE rn = 1 AND n_members >= 2
              |ORDER BY dup_group NULLS FIRST""".stripMargin)
+    ),
+
+    // B2h: graph importance scoring — 5 power-iteration steps of
+    // PageRank (d=0.85) over the undirected cosine-similarity graph,
+    // the iterative-compute pattern behind reference-corpus weighting
+    // and graph-based data valuation. Each step is one join + one
+    // aggregation; per-node incoming contributions are summed through
+    // the exact DECIMAL(28,6) accumulator, so Spark's partial-agg
+    // order and DuckDB's sequential sum produce bit-identical ranks
+    // at every iteration (order-independence is what makes an
+    // iterative float computation verifiable at all). At 100 TB the
+    // edge list is the near-dup graph (≪ corpus); the iteration count
+    // is fixed, giving O(iters) shuffles of O(edges) — the standard
+    // distributed PR shape, with the materialized edge list reused
+    // across all iterations instead of recomputed.
+    Entry(
+      "b2_graph_rank",
+      (s, d) => {
+        val e = Tables.embeddings(s, d)
+          .select(col("vec_id"), col("label"), col("embedding").as("v"))
+          .withColumn("nrm", VectorOps.norm(col("v")))
+        val a = e.select(col("label"), col("vec_id").as("id_a"), col("v").as("va"), col("nrm").as("na"))
+        val b = e.select(col("label"), col("vec_id").as("id_b"), col("v").as("vb"), col("nrm").as("nb"))
+        val pairs = a.join(b, Seq("label"))
+          .filter(col("id_a") < col("id_b"))
+          .withColumn("cos", VectorOps.dot(col("va"), col("vb")) / (col("na") * col("nb")))
+          .filter(col("cos") >= 0.35)
+          .select(col("id_a"), col("id_b"))
+        val edges = pairs.select(col("id_a").as("src"), col("id_b").as("dst"))
+          .union(pairs.select(col("id_b").as("src"), col("id_a").as("dst")))
+          .localCheckpoint(true)
+        val deg = edges.groupBy("src").agg(count(lit(1)).as("deg"))
+          .localCheckpoint(true)
+        val ids = Tables.embeddings(s, d).select(col("vec_id"))
+        var pr = ids.withColumn("pr", lit(1.0))
+        for (_ <- 1 to 5) {
+          val contrib = edges
+            .join(pr, edges("src") === pr("vec_id"))
+            .join(deg, Seq("src"))
+            .select(col("dst"), (col("pr") / col("deg")).as("c"))
+            .groupBy("dst").agg(dsum(col("c")).as("contrib"))
+          pr = ids.join(contrib, ids("vec_id") === contrib("dst"), "left")
+            .select(col("vec_id"),
+              (lit(0.15) + lit(0.85) * coalesce(col("contrib"), lit(0.0))).as("pr"))
+        }
+        pr.select(col("vec_id"), round(col("pr"), 6).as("pr"))
+          .orderBy("vec_id")
+      },
+      Some {
+        val base =
+          """WITH n AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v,
+            |      sqrt(list_inner_product(CAST(embedding AS DOUBLE[]), CAST(embedding AS DOUBLE[]))) AS nrm
+            |      FROM embeddings),
+            |pairs AS (SELECT a.vec_id AS id_a, b.vec_id AS id_b
+            |          FROM n a JOIN n b ON a.label = b.label AND a.vec_id < b.vec_id
+            |          WHERE list_inner_product(a.v, b.v) / (a.nrm * b.nrm) >= 0.35),
+            |edges AS (SELECT id_a AS src, id_b AS dst FROM pairs
+            |          UNION ALL SELECT id_b, id_a FROM pairs),
+            |deg AS (SELECT src, count(*) AS deg FROM edges GROUP BY 1),
+            |pr0 AS (SELECT vec_id, 1.0::DOUBLE AS pr FROM embeddings),
+            |""".stripMargin
+        val iters = (1 to 5).map { i =>
+          s"""pr$i AS (SELECT p.vec_id, 0.15 + 0.85 * coalesce(s.contrib, 0.0) AS pr
+             |  FROM pr0 p LEFT JOIN (
+             |    SELECT e.dst AS vec_id,
+             |      CAST(sum(CAST(q.pr / dg.deg AS DECIMAL(28,6))) AS DOUBLE) AS contrib
+             |    FROM edges e JOIN pr${i - 1} q ON e.src = q.vec_id
+             |    JOIN deg dg ON dg.src = e.src
+             |    GROUP BY e.dst) s USING (vec_id))""".stripMargin
+        }.mkString(",\n")
+        base + iters +
+          "\nSELECT vec_id, round(pr, 6) AS pr FROM pr5 ORDER BY vec_id NULLS FIRST"
+      }
     )
   )
 }

@@ -189,6 +189,36 @@ object ScanProjectQueries {
               |FROM lineitem WHERE l_orderkey % 97 < 5""".stripMargin)
     ),
 
+    // C15: stratified fixed-quota sampling — exactly k docs per
+    // (source, lang) stratum, chosen by md5 order (deterministic,
+    // coordination-free "random"). This is how eval/holdout sets are
+    // carved from a training corpus with guaranteed per-stratum
+    // representation. One shuffle on the stratum key; the per-stratum
+    // heap is k-bounded, so at 100 TB the window state is
+    // O(strata × k), not O(corpus).
+    Entry(
+      "c15_stratified_sample",
+      (s, d) => {
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy("source", "lang")
+          .orderBy(md5(concat(col("doc_id").cast("string"), lit(":strat"))),
+            col("doc_id"))
+        Tables.documents(s, d)
+          .select(col("source"), col("lang"), col("doc_id"))
+          .withColumn("rn", row_number().over(w))
+          .filter(col("rn") <= 3)
+          .select(col("source"), col("lang"), col("doc_id"))
+          .orderBy("source", "lang", "doc_id")
+      },
+      Some("""SELECT source, lang, doc_id FROM (
+             |  SELECT source, lang, doc_id,
+             |    row_number() OVER (PARTITION BY source, lang
+             |      ORDER BY md5(CAST(doc_id AS VARCHAR) || ':strat'), doc_id) AS rn
+             |  FROM documents)
+             |WHERE rn <= 3
+             |ORDER BY source NULLS FIRST, lang NULLS FIRST, doc_id NULLS FIRST""".stripMargin)
+    ),
+
     // P1: projection + rename + computed column (reference A4/A9).
     // Revenue rounds through an exact DECIMAL(28,6): double products land
     // on exact .xx5 half-way points where Spark's HALF_UP and DuckDB's

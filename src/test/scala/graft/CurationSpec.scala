@@ -32,6 +32,48 @@ class CurationSpec extends AnyFunSuite with SparkFixture {
       col("clean_tail").contains("<PHONE>")).count() === out.count())
   }
 
+  test("b9_domain_mix rates are valid and kept counts bounded by stratum size") {
+    val rows = q("b9_domain_mix").collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (nDocs, rate, nKept) = (r.getLong(1), r.getDouble(3), r.getLong(4))
+      assert(rate > 0 && rate <= 1.0)
+      assert(nKept <= nDocs)
+      // a capped rate keeps everything: md5-uniform < 1.0 always
+      if (rate == 1.0) assert(nKept === nDocs)
+    }
+    // stateless hash decision: identical on re-evaluation
+    assert(q("b9_domain_mix").collect().toSeq === rows.toSeq)
+  }
+
+  test("b9_quality_classifier features are in range and keep matches score sign") {
+    val rows = q("b9_quality_classifier").collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (ttr, stopR, score, keep) =
+        (r.getDouble(2), r.getDouble(3), r.getDouble(5), r.getBoolean(6))
+      assert(ttr > 0 && ttr <= 1.0)
+      assert(stopR >= 0 && stopR <= 1.0)
+      // keep is the sign decision on the unrounded logit; away from the
+      // boundary it must agree with the rounded score
+      if (math.abs(score) > 1e-5) assert(keep === (score > 0))
+    }
+  }
+
+  test("b9_lm_perplexity scores are well-formed LM outputs") {
+    val rows = q("b9_lm_perplexity").collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (n, avgLp, ppl) = (r.getLong(1), r.getDouble(2), r.getDouble(3))
+      assert(n >= 1)
+      assert(avgLp < 0)    // every bigram prob < 1 on this corpus
+      assert(ppl > 1.0)    // exp(-avg_lp) with avg_lp < 0
+      // perplexity is bounded by the worst single-bigram probability
+      // bound: no prob can be below 1/total_bigrams
+      assert(ppl < 1e6)
+    }
+  }
+
   test("b9_repetition ratios are in (0,1] and top_cnt <= n_bigrams") {
     val bad = q("b9_repetition")
       .filter(col("rep_ratio") <= 0 || col("rep_ratio") > 1 ||

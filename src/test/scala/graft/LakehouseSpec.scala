@@ -90,6 +90,39 @@ class LakehouseSpec extends AnyFunSuite with SparkFixture {
     assert(viaLocal.find(_._1 == 99L).get._2 === 99L) // singleton keeps itself
   }
 
+  test("b2_canonical_keep picks one max-norm member per multi-member cluster") {
+    val sf = "/root/testdata/sf0.01"
+    def q(n: String) = LakehouseQueries.entries.find(_.name == n).get.q(spark, sf)
+    val clusters = q("b2_cc_clusters")
+      .groupBy("dup_group").count().filter(col("count") >= 2)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val keep = q("b2_canonical_keep").collect()
+    // exactly the multi-member clusters appear, with matching sizes
+    assert(keep.map(_.getLong(0)).toSet === clusters.keySet)
+    keep.foreach { r =>
+      assert(r.getLong(1) === clusters(r.getLong(0)))
+      assert(r.getDouble(3) > 0)
+    }
+    // one row per cluster
+    assert(keep.map(_.getLong(0)).distinct.length === keep.length)
+  }
+
+  test("b2_graph_rank: isolated nodes hold the teleport mass, linked nodes exceed it") {
+    val sf = "/root/testdata/sf0.01"
+    def q(n: String) = LakehouseQueries.entries.find(_.name == n).get.q(spark, sf)
+    // members of any dup cluster are exactly the nodes with edges
+    val linked = q("b2_cc_clusters")
+      .groupBy("dup_group").count().filter(col("count") >= 2)
+      .join(q("b2_cc_clusters"), "dup_group")
+      .select("vec_id").collect().map(_.getLong(0)).toSet
+    val pr = q("b2_graph_rank").collect()
+      .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    pr.foreach { case (id, p) =>
+      if (linked(id)) assert(p > 0.15, s"linked node $id")
+      else assert(p === 0.15, s"isolated node $id")
+    }
+  }
+
   test("unpivot emits one long row per metric column") {
     val wide = Seq(("A", 1.0, 2.0)).toDF("k", "m1", "m2")
     val long = wide.unpivot(Array(col("k")), Array(col("m1"), col("m2")), "metric", "val")
