@@ -63,6 +63,22 @@ class PlanAuditSpec extends AnyFunSuite with SparkFixture {
     assert(p.contains("BroadcastHashJoin"), s"df-table join should broadcast:\n$p")
   }
 
+  test("b9_lm_perplexity: the LM model table joins by broadcast") {
+    val p = plan("b9_lm_perplexity")
+    assert(p.contains("BroadcastHashJoin"), s"model table should broadcast:\n$p")
+  }
+
+  test("b9_domain_mix: rate table broadcasts — corpus never shuffles for the join") {
+    val p = plan("b9_domain_mix")
+    assert(p.contains("BroadcastHashJoin"), s"rate table should broadcast:\n$p")
+  }
+
+  test("b9_quality_classifier is a shuffle-free scan pass (sort excepted)") {
+    val p = plan("b9_quality_classifier")
+    assert(!p.contains("Exchange hashpartitioning"),
+      s"classifier should be a pure row pipeline:\n$p")
+  }
+
   test("b7_chunk: generator-only — no hash-partition shuffle anywhere") {
     val p = plan("b7_chunk")
     assert(!p.contains("hashpartitioning"), s"chunking must not shuffle:\n$p")
