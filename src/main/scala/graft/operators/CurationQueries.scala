@@ -264,6 +264,45 @@ object CurationQueries {
              |FROM f ORDER BY doc_id NULLS FIRST""".stripMargin)
     ),
 
+    // B9j: within-corpus n-gram novelty — for every document, the
+    // share of its distinct 4-grams whose FIRST occurrence (minimum
+    // doc_id) is this document. Low-novelty docs are boilerplate /
+    // internal near-copies; this is the corpus-internal complement of
+    // b9_decontaminate's external eval check. Plan: one gram
+    // generator + distinct, one groupBy(gram) min, one equi-join back
+    // on the gram, one per-doc agg. The gram table here is
+    // corpus-sized, so unlike decontamination the join is a genuine
+    // shuffle hash join on the gram key — at 100 TB the gram strings
+    // become xxhash64 longs (~10× narrower shuffle rows); the judged
+    // query keeps raw strings so DuckDB can replay it.
+    Entry(
+      "b9_novelty",
+      (s, d) => {
+        val grams = Curation.wordGrams(Tables.documents(s, d), 4, "doc_id", "text")
+          .select(col("doc_id"), col("ng")).distinct()
+        val first = grams.groupBy("ng").agg(min("doc_id").as("first_doc"))
+        grams.join(first, Seq("ng"))
+          .groupBy("doc_id")
+          .agg(count(lit(1)).as("n_grams"),
+            count(when(col("first_doc") === col("doc_id"), lit(1))).as("n_novel"))
+          .select(col("doc_id"), col("n_grams"), col("n_novel"),
+            round(col("n_novel").cast("double") / col("n_grams"), 6).as("novelty"))
+          .orderBy("doc_id")
+      },
+      Some("""WITH g AS (
+             |  SELECT DISTINCT doc_id, ng FROM (
+             |    SELECT doc_id, array_to_string(list_slice(ws, i, i + 3), ' ') AS ng
+             |    FROM (SELECT doc_id, string_split(text, ' ') AS ws FROM documents) t,
+             |         unnest(range(1, greatest(len(ws) - 3, 0) + 1)) AS u(i))),
+             |f AS (SELECT ng, min(doc_id) AS first_doc FROM g GROUP BY 1)
+             |SELECT g.doc_id, count(*) AS n_grams,
+             |  count(*) FILTER (WHERE f.first_doc = g.doc_id) AS n_novel,
+             |  round(CAST(count(*) FILTER (WHERE f.first_doc = g.doc_id) AS DOUBLE)
+             |    / count(*), 6) AS novelty
+             |FROM g JOIN f USING (ng)
+             |GROUP BY g.doc_id ORDER BY doc_id NULLS FIRST""".stripMargin)
+    ),
+
     // B9i: LM-based quality scoring (CCNet-style) — train a bigram
     // language model on the corpus itself (two hash aggregations),
     // then score every document by average log-probability and

@@ -34,6 +34,45 @@ object LlmQueries {
              |ORDER BY doc_id NULLS FIRST""".stripMargin)
     ),
 
+    // B1b: INCREMENTAL exact dedup — the daily-ingest shape: a new
+    // batch (fresh docs plus a planted re-crawl of every fifth
+    // existing doc under a new id) is deduplicated AGAINST the
+    // existing corpus with a left-anti join on the normalized text
+    // digest, without ever re-clustering the corpus itself. At
+    // 100 TB the corpus side never broadcasts — the anti-join
+    // shuffles 16-byte digests (~1% of corpus bytes), or degrades to
+    // a bloom-filter pre-filter of the batch when even that is too
+    // much; assignment is per-row and idempotent, so re-running an
+    // ingest cannot double-admit.
+    Entry(
+      "b1_incremental_dedup",
+      (s, d) => {
+        val docs = Tables.documents(s, d)
+          .withColumn("h", substring(md5(concat(col("doc_id").cast("string"), lit(":inc"))), 1, 1))
+        val oldHashes = docs.filter(col("h") < "c")
+          .select(md5(lower(trim(col("text")))).as("dh")).distinct()
+        val newBatch = docs.filter(col("h") >= "c")
+          .select(col("doc_id").as("new_id"), col("text"))
+          .union(docs.filter(col("h") < "c" && col("doc_id") % 5 === 0)
+            .select((col("doc_id") + 10000000L).as("new_id"), col("text")))
+        newBatch.withColumn("dh", md5(lower(trim(col("text")))))
+          .join(oldHashes, Seq("dh"), "left_anti")
+          .select(col("new_id"))
+          .orderBy("new_id")
+      },
+      Some("""WITH s AS (SELECT doc_id, text,
+             |    substring(md5(CAST(doc_id AS VARCHAR) || ':inc'), 1, 1) AS h
+             |  FROM documents),
+             |old AS (SELECT DISTINCT md5(lower(trim(text))) AS dh FROM s WHERE h < 'c'),
+             |newb AS (SELECT doc_id AS new_id, text FROM s WHERE h >= 'c'
+             |         UNION ALL
+             |         SELECT doc_id + 10000000, text FROM s WHERE h < 'c' AND doc_id % 5 = 0)
+             |SELECT new_id FROM newb
+             |WHERE NOT EXISTS (SELECT 1 FROM old
+             |                  WHERE old.dh = md5(lower(trim(newb.text))))
+             |ORDER BY new_id NULLS FIRST""".stripMargin)
+    ),
+
     // B2: MinHash+LSH fuzzy dedup — band-bucket join, no all-pairs
     // comparison (non-SQL; semantics unit-tested on planted near-dups).
     Entry(
