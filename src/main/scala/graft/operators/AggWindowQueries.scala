@@ -346,6 +346,89 @@ object AggWindowQueries {
              |row_number() OVER (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey) AS rn
              |FROM orders) WHERE rn <= 3
              |ORDER BY o_custkey NULLS FIRST, rn NULLS FIRST""".stripMargin)
+    ),
+
+    // W6: ordered funnel analysis — per user, the furthest stage of
+    // view → click-after-view → purchase-after-that reached, with the
+    // stage timestamps (µs epoch; events are µs-granular so the ns→µs
+    // read conversion is lossless). Three chained windowed minima over
+    // the SAME user partition: one shuffle total, the dependent
+    // thresholds (t2 needs t1, t3 needs t2) ride the same exchange.
+    // The final per-user collapse reuses that partitioning too — at
+    // 100 TB of events this is a single shuffle on user_id, with
+    // window state bounded per user.
+    Entry(
+      "w6_funnel",
+      (s, d) => {
+        val wu = Window.partitionBy("user_id")
+        Tables.events(s, d)
+          .withColumn("t1",
+            min(when(col("event_type") === "view", col("ts"))).over(wu))
+          .withColumn("t2",
+            min(when(col("event_type") === "click" && col("ts") > col("t1"),
+              col("ts"))).over(wu))
+          .withColumn("t3",
+            min(when(col("event_type") === "purchase" && col("ts") > col("t2"),
+              col("ts"))).over(wu))
+          .groupBy("user_id")
+          .agg(max(col("t1")).as("mt1"), max(col("t2")).as("mt2"),
+            max(col("t3")).as("mt3"))
+          .select(col("user_id"),
+            when(col("mt3").isNotNull, 3).when(col("mt2").isNotNull, 2)
+              .when(col("mt1").isNotNull, 1).otherwise(0).as("stage"),
+            unix_micros(col("mt1")).as("view_us"),
+            unix_micros(col("mt2")).as("click_us"),
+            unix_micros(col("mt3")).as("purchase_us"))
+          .orderBy("user_id")
+      },
+      Some("""WITH a AS (SELECT user_id, ts, event_type,
+             |    min(CASE WHEN event_type = 'view' THEN ts END)
+             |      OVER (PARTITION BY user_id) AS t1 FROM events),
+             |b AS (SELECT *, min(CASE WHEN event_type = 'click' AND ts > t1 THEN ts END)
+             |      OVER (PARTITION BY user_id) AS t2 FROM a),
+             |c AS (SELECT *, min(CASE WHEN event_type = 'purchase' AND ts > t2 THEN ts END)
+             |      OVER (PARTITION BY user_id) AS t3 FROM b)
+             |SELECT user_id,
+             |  CASE WHEN max(t3) IS NOT NULL THEN 3 WHEN max(t2) IS NOT NULL THEN 2
+             |       WHEN max(t1) IS NOT NULL THEN 1 ELSE 0 END AS stage,
+             |  epoch_us(max(t1)) AS view_us, epoch_us(max(t2)) AS click_us,
+             |  epoch_us(max(t3)) AS purchase_us
+             |FROM c GROUP BY user_id
+             |ORDER BY user_id NULLS FIRST""".stripMargin)
+    ),
+
+    // W7: cohort retention — users grouped by first-activity week
+    // (the cohort), then distinct active users per (cohort, week
+    // offset). Two aggregations sharing the user_id shuffle (the
+    // cohort join is a fact⋈per-user-aggregate equi-join on the same
+    // key). Cohort weeks are emitted as µs epochs, never raw dates
+    // (driver hash-compare rule); date_trunc('week') starts Monday in
+    // both engines, and week offsets divide exactly on week
+    // boundaries.
+    Entry(
+      "w7_cohort",
+      (s, d) => {
+        val ev = Tables.events(s, d)
+          .select(col("user_id"), date_trunc("week", col("ts")).as("wk"))
+        val cohort = ev.groupBy("user_id").agg(min(col("wk")).as("cw"))
+        ev.join(cohort, Seq("user_id"))
+          .groupBy("cw", "wk")
+          .agg(countDistinct(col("user_id")).as("n_users"))
+          .select(unix_micros(col("cw")).as("cohort_us"),
+            ((unix_micros(col("wk")) - unix_micros(col("cw"))) /
+              lit(604800000000L)).cast("int").as("week_offset"),
+            col("n_users"))
+          .orderBy("cohort_us", "week_offset")
+      },
+      Some("""WITH e AS (SELECT user_id, date_trunc('week', ts) AS wk FROM events),
+             |c AS (SELECT user_id, min(wk) AS cw FROM e GROUP BY 1)
+             |SELECT epoch_us(CAST(cw AS TIMESTAMP)) AS cohort_us,
+             |  CAST((epoch_us(CAST(wk AS TIMESTAMP)) - epoch_us(CAST(cw AS TIMESTAMP)))
+             |    / 604800000000 AS INT) AS week_offset,
+             |  count(DISTINCT e.user_id) AS n_users
+             |FROM e JOIN c USING (user_id)
+             |GROUP BY cw, wk
+             |ORDER BY cohort_us NULLS FIRST, week_offset NULLS FIRST""".stripMargin)
     )
   )
 }

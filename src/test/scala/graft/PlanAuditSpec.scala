@@ -79,6 +79,12 @@ class PlanAuditSpec extends AnyFunSuite with SparkFixture {
       s"classifier should be a pure row pipeline:\n$p")
   }
 
+  test("w6_funnel: three dependent windows + per-user agg share ONE user_id shuffle") {
+    val p = plan("w6_funnel")
+    val n = "Exchange hashpartitioning".r.findAllIn(p).length
+    assert(n === 1, s"expected exactly one hash exchange:\n$p")
+  }
+
   test("b7_chunk: generator-only — no hash-partition shuffle anywhere") {
     val p = plan("b7_chunk")
     assert(!p.contains("hashpartitioning"), s"chunking must not shuffle:\n$p")
