@@ -109,6 +109,66 @@ object Graft {
   /** Symmetric int8 quantization codes for an embedding column. */
   def quantize(vec: Column): Column = graft.operators.Curation.quantize(vec)
 
+  /** Dedup a new batch against an existing corpus (anti-join on the
+    * normalized digest; idempotent daily-ingest shape). */
+  def dedupAgainst(newBatch: DataFrame, corpus: DataFrame,
+                   textCol: String = "text"): DataFrame =
+    graft.operators.Curation.dedupAgainst(newBatch, corpus, textCol)
+
+  /** One canonical survivor per dup cluster (highest quality, ties by id). */
+  def canonicalPerCluster(members: DataFrame, groupCol: String, idCol: String,
+                          qualityCol: String): DataFrame =
+    graft.operators.Curation.canonicalPerCluster(members, groupCol, idCol, qualityCol)
+
+  /** Resample toward a target domain mixture (stateless md5 keep
+    * decision; rate table broadcasts). */
+  def domainMix(docs: DataFrame, weight: Column, stratumCol: String,
+                keyCol: String): DataFrame =
+    graft.operators.Curation.domainMix(docs, weight, stratumCol, keyCol)
+
+  /** Per-stratum keep-rates toward a target mixture. */
+  def mixRates(docs: DataFrame, weight: Column, stratumCol: String): DataFrame =
+    graft.operators.Curation.mixRates(docs, weight, stratumCol)
+
+  /** md5-derived uniform in [0,1) — the stateless sampling primitive. */
+  def hashUniform(key: Column, salt: String): Column =
+    graft.operators.Curation.hashUniform(key, salt)
+
+  /** Exactly k rows per stratum by md5 order (deterministic stratified
+    * sampling, O(strata × k) state). */
+  def stratifiedSample(df: DataFrame, strata: Seq[String], k: Int,
+                       keyCol: String): DataFrame =
+    graft.operators.Curation.stratifiedSample(df, strata, k, keyCol)
+
+  /** Linear-classifier quality features / logit (IEEE-exact ops only). */
+  def qualityFeatures(docs: DataFrame): DataFrame =
+    graft.operators.Curation.qualityFeatures(docs)
+  def qualityLogit(nTok: Column, ttr: Column, stopRatio: Column,
+                   meanWlen: Column): Column =
+    graft.operators.Curation.qualityLogit(nTok, ttr, stopRatio, meanWlen)
+
+  /** Corpus-trained bigram-LM average log-prob + perplexity per doc. */
+  def lmPerplexity(docs: DataFrame): DataFrame =
+    graft.operators.Curation.lmPerplexity(docs)
+
+  /** Within-corpus first-seen n-gram novelty share per doc. */
+  def noveltyScores(docs: DataFrame, n: Int = 4): DataFrame =
+    graft.operators.Curation.noveltyScores(docs, n)
+
+  // ---- graph / analytics --------------------------------------------
+  /** Fixed-iteration PageRank over an edge list (exact-decimal
+    * contribution sums — order-independent, hash-verifiable). */
+  def pageRank(nodes: DataFrame, edges: DataFrame, iters: Int = 5): DataFrame =
+    graft.operators.Similarity.pageRank(nodes, edges, iters)
+
+  /** Per-user ordered funnel over an event log. */
+  def funnel(events: DataFrame, stages: Seq[String]): DataFrame =
+    graft.operators.Analytics.funnel(events, stages)
+
+  /** First-activity-week cohort × week-offset retention counts. */
+  def cohortRetention(events: DataFrame): DataFrame =
+    graft.operators.Analytics.cohortRetention(events)
+
   // ---- multimodal -------------------------------------------------
   /** Attach an opaque binary payload column. */
   def withPayload(docs: DataFrame): DataFrame = Multimodal.withPayload(docs)

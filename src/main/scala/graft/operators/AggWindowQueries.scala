@@ -359,28 +359,13 @@ object AggWindowQueries {
     // window state bounded per user.
     Entry(
       "w6_funnel",
-      (s, d) => {
-        val wu = Window.partitionBy("user_id")
-        Tables.events(s, d)
-          .withColumn("t1",
-            min(when(col("event_type") === "view", col("ts"))).over(wu))
-          .withColumn("t2",
-            min(when(col("event_type") === "click" && col("ts") > col("t1"),
-              col("ts"))).over(wu))
-          .withColumn("t3",
-            min(when(col("event_type") === "purchase" && col("ts") > col("t2"),
-              col("ts"))).over(wu))
-          .groupBy("user_id")
-          .agg(max(col("t1")).as("mt1"), max(col("t2")).as("mt2"),
-            max(col("t3")).as("mt3"))
-          .select(col("user_id"),
-            when(col("mt3").isNotNull, 3).when(col("mt2").isNotNull, 2)
-              .when(col("mt1").isNotNull, 1).otherwise(0).as("stage"),
-            unix_micros(col("mt1")).as("view_us"),
-            unix_micros(col("mt2")).as("click_us"),
-            unix_micros(col("mt3")).as("purchase_us"))
-          .orderBy("user_id")
-      },
+      (s, d) =>
+        Analytics.funnel(Tables.events(s, d), Seq("view", "click", "purchase"))
+          .select(col("user_id"), col("stage"),
+            unix_micros(col("t1")).as("view_us"),
+            unix_micros(col("t2")).as("click_us"),
+            unix_micros(col("t3")).as("purchase_us"))
+          .orderBy("user_id"),
       Some("""WITH a AS (SELECT user_id, ts, event_type,
              |    min(CASE WHEN event_type = 'view' THEN ts END)
              |      OVER (PARTITION BY user_id) AS t1 FROM events),
@@ -407,19 +392,9 @@ object AggWindowQueries {
     // boundaries.
     Entry(
       "w7_cohort",
-      (s, d) => {
-        val ev = Tables.events(s, d)
-          .select(col("user_id"), date_trunc("week", col("ts")).as("wk"))
-        val cohort = ev.groupBy("user_id").agg(min(col("wk")).as("cw"))
-        ev.join(cohort, Seq("user_id"))
-          .groupBy("cw", "wk")
-          .agg(countDistinct(col("user_id")).as("n_users"))
-          .select(unix_micros(col("cw")).as("cohort_us"),
-            ((unix_micros(col("wk")) - unix_micros(col("cw"))) /
-              lit(604800000000L)).cast("int").as("week_offset"),
-            col("n_users"))
-          .orderBy("cohort_us", "week_offset")
-      },
+      (s, d) =>
+        Analytics.cohortRetention(Tables.events(s, d))
+          .orderBy("cohort_us", "week_offset"),
       Some("""WITH e AS (SELECT user_id, date_trunc('week', ts) AS wk FROM events),
              |c AS (SELECT user_id, min(wk) AS cw FROM e GROUP BY 1)
              |SELECT epoch_us(CAST(cw AS TIMESTAMP)) AS cohort_us,

@@ -1,0 +1,58 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** User-behavior analytics over event streams — ordered funnels and
+  * cohort retention. Both are single-shuffle-on-user_id shapes: the
+  * funnel's dependent stage thresholds are chained window minima over
+  * the SAME partition (one exchange feeds every window and the final
+  * per-user collapse, pinned in PlanAuditSpec), and retention's
+  * cohort join is a fact⋈per-user-aggregate on the same key.
+  */
+object Analytics {
+
+  /** Per-user ordered funnel: for `stages = Seq(s1, s2, ...)`, t1 is
+    * the first s1 event, t2 the first s2 event strictly after t1, and
+    * so on. Output: (userCol, t1..tN timestamp columns, stage = the
+    * furthest 1-based stage reached, 0 if none). */
+  def funnel(events: DataFrame, stages: Seq[String],
+             userCol: String = "user_id", tsCol: String = "ts",
+             typeCol: String = "event_type"): DataFrame = {
+    require(stages.nonEmpty, "funnel needs at least one stage")
+    val wu = Window.partitionBy(userCol)
+    var df = events
+    stages.zipWithIndex.foreach { case (st, i) =>
+      val base = col(typeCol) === st
+      val cond = if (i == 0) base else base && col(tsCol) > col(s"t$i")
+      df = df.withColumn(s"t${i + 1}",
+        min(when(cond, col(tsCol))).over(wu))
+    }
+    val ts = stages.indices.map(i => s"t${i + 1}")
+    // fold stage-1 first so the FINAL expression tests the deepest
+    // stage first: when(max(tN) nonnull, N).otherwise(... t1 ...)
+    val stage = ts.zipWithIndex
+      .foldLeft(lit(0)) { case (acc, (t, i)) =>
+        when(max(col(t)).isNotNull, i + 1).otherwise(acc)
+      }
+    df.groupBy(userCol)
+      .agg(stage.as("stage"), ts.map(t => max(col(t)).as(t)): _*)
+  }
+
+  /** Cohort retention: users grouped by first-activity week; output
+    * one row per (cohort week, week offset) with the distinct active
+    * user count. Weeks are emitted as µs epochs (hash-compare-safe). */
+  def cohortRetention(events: DataFrame, userCol: String = "user_id",
+                      tsCol: String = "ts"): DataFrame = {
+    val ev = events.select(col(userCol), date_trunc("week", col(tsCol)).as("wk"))
+    val cohort = ev.groupBy(userCol).agg(min(col("wk")).as("cw"))
+    ev.join(cohort, Seq(userCol))
+      .groupBy("cw", "wk")
+      .agg(countDistinct(col(userCol)).as("n_users"))
+      .select(unix_micros(col("cw")).as("cohort_us"),
+        ((unix_micros(col("wk")) - unix_micros(col("cw"))) /
+          lit(604800000000L)).cast("int").as("week_offset"),
+        col("n_users"))
+  }
+}

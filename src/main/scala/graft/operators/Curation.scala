@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Reusable corpus-curation transforms — the implementations behind
@@ -83,5 +84,144 @@ object Curation {
       lit(0.0), (acc, v) => acc + v))
     transform(vec,
       x => floor(x.cast("double") * 127 / nullif(l2, lit(0.0)) + 0.5).cast("long"))
+  }
+
+  /** md5-derived uniform in [0, 1) from a row key — the stateless
+    * "random" behind every sampling/mixing decision here: any executor
+    * routes any row with no RNG state, and decisions survive re-runs
+    * and late-arriving shards unchanged. */
+  def hashUniform(key: Column, salt: String): Column =
+    conv(substring(md5(concat(key.cast("string"), lit(salt))), 1, 8), 16, 10)
+      .cast("long").cast("double") / lit(4294967296.0)
+
+  /** Per-stratum keep-rates toward a target mixture (DoReMi/Pile-style
+    * reweighting): rate = min(1, (w/Σw) · N / n_stratum). Output is
+    * stratum-cardinality — broadcast it. */
+  def mixRates(docs: DataFrame, weight: Column, stratumCol: String): DataFrame = {
+    val counts = docs.groupBy(stratumCol).agg(count(lit(1)).as("n_docs"))
+      .withColumn("w", weight)
+    val tots = counts.agg(sum("n_docs").as("total"), sum("w").as("sum_w"))
+    counts.crossJoin(broadcast(tots))
+      .select(col(stratumCol), col("n_docs"), col("w"),
+        least(lit(1.0),
+          col("w").cast("double") / col("sum_w") * col("total") / col("n_docs"))
+          .as("rate"))
+  }
+
+  /** Resample a corpus toward the target mixture: one scan, one small
+    * broadcast, a stateless per-row keep decision. */
+  def domainMix(docs: DataFrame, weight: Column, stratumCol: String,
+                keyCol: String, salt: String = ":mix"): DataFrame =
+    docs.join(broadcast(mixRates(docs, weight, stratumCol)
+        .select(stratumCol, "rate")), Seq(stratumCol))
+      .filter(hashUniform(col(keyCol), salt) < col("rate"))
+
+  /** Stopword list shared by the quality features and text cleaning. */
+  val QualityStopwords: Seq[String] =
+    Seq("the", "a", "an", "and", "or", "of", "to", "in", "is", "it")
+
+  /** Per-document linear-classifier features — every op IEEE-exact
+    * (division/sqrt only), so scores are bit-identical across engines. */
+  def qualityFeatures(docs: DataFrame, idCol: String = "doc_id",
+                      textCol: String = "text"): DataFrame = {
+    val toks = split(col(textCol), " ")
+    docs.select(col(idCol), col(textCol),
+        size(toks).as("n_tok"),
+        size(array_distinct(toks)).as("n_distinct"),
+        size(filter(toks, w => w.isin(QualityStopwords: _*))).as("n_stop"))
+      .select(col(idCol), col("n_tok"),
+        (col("n_distinct").cast("double") / col("n_tok")).as("ttr"),
+        (col("n_stop").cast("double") / col("n_tok")).as("stop_ratio"),
+        (length(translate(col(textCol), " ", "")).cast("double") / col("n_tok"))
+          .as("mean_wlen"))
+  }
+
+  /** fastText/CCNet-style linear quality logit over the features of
+    * [[qualityFeatures]]; keep = logit > 0. Swap the literal weights
+    * for a broadcast trained vector without changing the plan shape. */
+  def qualityLogit(nTok: Column, ttr: Column, stopRatio: Column,
+                   meanWlen: Column): Column =
+    lit(-2.0) + lit(0.35) * sqrt(nTok.cast("double")) +
+      lit(2.0) * ttr - lit(1.2) * stopRatio + lit(0.15) * meanWlen
+
+  /** Corpus-trained bigram-LM scoring: per-doc average log-prob and
+    * perplexity under the corpus's own bigram model (two hash aggs +
+    * one broadcast join; log-probs summed through the exact DECIMAL
+    * accumulator so partial-agg order cannot drift). */
+  def lmPerplexity(docs: DataFrame, idCol: String = "doc_id",
+                   textCol: String = "text"): DataFrame = {
+    val inst = docs
+      .select(col(idCol), split(col(textCol), " ").as("ws"))
+      .filter(size(col("ws")) >= 2)
+      .select(col(idCol),
+        explode(transform(sequence(lit(2), size(col("ws"))),
+          i => concat(element_at(col("ws"), i - 1), lit(" "),
+            element_at(col("ws"), i)))).as("bg"))
+    val probs = inst.groupBy("bg").agg(count(lit(1)).as("cnt"))
+      .withColumn("prob", col("cnt").cast("double") /
+        sum("cnt").over(Window.partitionBy(substring_index(col("bg"), " ", 1))))
+      .select(col("bg"), col("prob"))
+    inst.join(broadcast(probs), Seq("bg"))
+      .groupBy(idCol)
+      .agg(graft.QueryRegistry.dsum(log(col("prob"))).as("slp"),
+        count(lit(1)).as("n_bigrams"))
+      .select(col(idCol), col("n_bigrams"),
+        round(col("slp") / col("n_bigrams"), 6).as("avg_lp"),
+        round(exp(-(col("slp") / col("n_bigrams"))), 4).as("ppl"))
+  }
+
+  /** Within-corpus novelty: share of a doc's distinct n-grams whose
+    * first occurrence (min id) is the doc itself. The gram join is a
+    * genuine shuffle (gram table is corpus-sized); at 100 TB hash the
+    * gram strings to xxhash64 longs first. */
+  def noveltyScores(docs: DataFrame, n: Int = 4, idCol: String = "doc_id",
+                    textCol: String = "text"): DataFrame = {
+    val grams = wordGrams(docs, n, idCol, textCol)
+      .select(col(idCol), col("ng")).distinct()
+    val first = grams.groupBy("ng").agg(min(idCol).as("first_doc"))
+    grams.join(first, Seq("ng"))
+      .groupBy(idCol)
+      .agg(count(lit(1)).as("n_grams"),
+        count(when(col("first_doc") === col(idCol), lit(1))).as("n_novel"))
+      .select(col(idCol), col("n_grams"), col("n_novel"),
+        round(col("n_novel").cast("double") / col("n_grams"), 6).as("novelty"))
+  }
+
+  /** Deduplicate a new batch AGAINST an existing corpus (daily-ingest
+    * shape): left-anti join on the normalized-text digest — only
+    * 16-byte digests shuffle, the corpus is never broadcast, and
+    * re-running an ingest cannot double-admit. */
+  def dedupAgainst(newBatch: DataFrame, corpus: DataFrame,
+                   textCol: String = "text"): DataFrame = {
+    val oldHashes = corpus
+      .select(md5(lower(trim(col(textCol)))).as("__dh")).distinct()
+    newBatch.withColumn("__dh", md5(lower(trim(col(textCol)))))
+      .join(oldHashes, Seq("__dh"), "left_anti").drop("__dh")
+  }
+
+  /** Exactly k rows per stratum, chosen by md5 order — deterministic
+    * stratified sampling with O(strata × k) rank state. */
+  def stratifiedSample(df: DataFrame, strata: Seq[String], k: Int,
+                       keyCol: String, salt: String = ":strat"): DataFrame = {
+    val w = Window.partitionBy(strata.map(col): _*)
+      .orderBy(md5(concat(col(keyCol).cast("string"), lit(salt))), col(keyCol))
+    df.withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") <= k).drop("__rn")
+  }
+
+  /** One canonical survivor per cluster: the member with the highest
+    * quality value (ties by id). Input: (idCol, groupCol, qualityCol).
+    * Output: (groupCol, n_members, canonical id, quality) for
+    * clusters with >= minMembers members. */
+  def canonicalPerCluster(members: DataFrame, groupCol: String, idCol: String,
+                          qualityCol: String, minMembers: Int = 2): DataFrame = {
+    val w = Window.partitionBy(groupCol)
+      .orderBy(col(qualityCol).desc, col(idCol).asc)
+    members
+      .withColumn("n_members",
+        count(lit(1)).over(Window.partitionBy(groupCol)))
+      .withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1 && col("n_members") >= minMembers)
+      .select(col(groupCol), col("n_members"), col(idCol), col(qualityCol))
   }
 }

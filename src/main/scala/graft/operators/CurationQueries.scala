@@ -171,18 +171,9 @@ object CurationQueries {
       "b9_domain_mix",
       (s, d) => {
         val docs = Tables.documents(s, d)
-        val counts = docs.groupBy("source").agg(count(lit(1)).as("n_docs"))
-          .withColumn("w", lit(1) + (substring(col("source"), 4, 10).cast("int") % 4))
-        val tots = counts.agg(sum("n_docs").as("total"), sum("w").as("sum_w"))
-        val rates = counts.crossJoin(broadcast(tots))
-          .select(col("source"), col("n_docs"), col("w"),
-            least(lit(1.0),
-              col("w").cast("double") / col("sum_w") * col("total") / col("n_docs"))
-              .as("rate"))
-        val u = conv(substring(md5(concat(col("doc_id").cast("string"), lit(":mix"))),
-            1, 8), 16, 10).cast("long").cast("double") / lit(4294967296.0)
-        val kept = docs.join(broadcast(rates.select("source", "rate")), Seq("source"))
-          .filter(u < col("rate"))
+        val weight = lit(1) + (substring(col("source"), 4, 10).cast("int") % 4)
+        val rates = Curation.mixRates(docs, weight, "source")
+        val kept = Curation.domainMix(docs, weight, "source", "doc_id")
           .groupBy("source").agg(count(lit(1)).as("n_kept"))
         rates.join(kept, Seq("source"), "left")
           .select(col("source"), col("n_docs"), col("w"),
@@ -222,28 +213,15 @@ object CurationQueries {
     Entry(
       "b9_quality_classifier",
       (s, d) => {
-        val stop = Seq("the", "a", "an", "and", "or", "of", "to", "in", "is", "it")
-        val toks = split(col("text"), " ")
-        Tables.documents(s, d)
-          .select(col("doc_id"), col("text"),
-            size(toks).as("n_tok"),
-            size(array_distinct(toks)).as("n_distinct"),
-            size(filter(toks, w => w.isin(stop: _*))).as("n_stop"))
-          .select(col("doc_id"), col("n_tok"),
-            (col("n_distinct").cast("double") / col("n_tok")).as("ttr"),
-            (col("n_stop").cast("double") / col("n_tok")).as("stop_ratio"),
-            (length(translate(col("text"), " ", "")).cast("double") / col("n_tok"))
-              .as("mean_wlen"))
+        val logit = Curation.qualityLogit(col("n_tok"), col("ttr"),
+          col("stop_ratio"), col("mean_wlen"))
+        Curation.qualityFeatures(Tables.documents(s, d))
           .select(col("doc_id"), col("n_tok"),
             round(col("ttr"), 6).as("ttr"),
             round(col("stop_ratio"), 6).as("stop_ratio"),
             round(col("mean_wlen"), 6).as("mean_wlen"),
-            round(lit(-2.0) + lit(0.35) * sqrt(col("n_tok").cast("double"))
-              + lit(2.0) * col("ttr") - lit(1.2) * col("stop_ratio")
-              + lit(0.15) * col("mean_wlen"), 6).as("score"),
-            (lit(-2.0) + lit(0.35) * sqrt(col("n_tok").cast("double"))
-              + lit(2.0) * col("ttr") - lit(1.2) * col("stop_ratio")
-              + lit(0.15) * col("mean_wlen") > 0).as("keep"))
+            round(logit, 6).as("score"),
+            (logit > 0).as("keep"))
           .orderBy("doc_id")
       },
       Some("""WITH f AS (
@@ -277,18 +255,8 @@ object CurationQueries {
     // query keeps raw strings so DuckDB can replay it.
     Entry(
       "b9_novelty",
-      (s, d) => {
-        val grams = Curation.wordGrams(Tables.documents(s, d), 4, "doc_id", "text")
-          .select(col("doc_id"), col("ng")).distinct()
-        val first = grams.groupBy("ng").agg(min("doc_id").as("first_doc"))
-        grams.join(first, Seq("ng"))
-          .groupBy("doc_id")
-          .agg(count(lit(1)).as("n_grams"),
-            count(when(col("first_doc") === col("doc_id"), lit(1))).as("n_novel"))
-          .select(col("doc_id"), col("n_grams"), col("n_novel"),
-            round(col("n_novel").cast("double") / col("n_grams"), 6).as("novelty"))
-          .orderBy("doc_id")
-      },
+      (s, d) =>
+        Curation.noveltyScores(Tables.documents(s, d)).orderBy("doc_id"),
       Some("""WITH g AS (
              |  SELECT DISTINCT doc_id, ng FROM (
              |    SELECT doc_id, array_to_string(list_slice(ws, i, i + 3), ' ') AS ng
@@ -317,26 +285,8 @@ object CurationQueries {
     // model swapped for a learned one.
     Entry(
       "b9_lm_perplexity",
-      (s, d) => {
-        val inst = Tables.documents(s, d)
-          .select(col("doc_id"), split(col("text"), " ").as("ws"))
-          .filter(size(col("ws")) >= 2)
-          .select(col("doc_id"),
-            explode(transform(sequence(lit(2), size(col("ws"))),
-              i => concat(element_at(col("ws"), i - 1), lit(" "),
-                element_at(col("ws"), i)))).as("bg"))
-        val probs = inst.groupBy("bg").agg(count(lit(1)).as("cnt"))
-          .withColumn("prob", col("cnt").cast("double") /
-            sum("cnt").over(Window.partitionBy(substring_index(col("bg"), " ", 1))))
-          .select(col("bg"), col("prob"))
-        inst.join(broadcast(probs), Seq("bg"))
-          .groupBy("doc_id")
-          .agg(dsum(log(col("prob"))).as("slp"), count(lit(1)).as("n_bigrams"))
-          .select(col("doc_id"), col("n_bigrams"),
-            round(col("slp") / col("n_bigrams"), 6).as("avg_lp"),
-            round(exp(-(col("slp") / col("n_bigrams"))), 4).as("ppl"))
-          .orderBy("doc_id")
-      },
+      (s, d) =>
+        Curation.lmPerplexity(Tables.documents(s, d)).orderBy("doc_id"),
       Some(s"""WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
              |b AS (SELECT doc_id, unnest(list_transform(range(2, len(ws) + 1),
              |        i -> ws[i - 1] || ' ' || ws[i])) AS bg

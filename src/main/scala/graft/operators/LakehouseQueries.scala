@@ -269,15 +269,10 @@ object LakehouseQueries {
         val members = pairs.select(col("doc_a").as("doc_id"))
           .union(pairs.select(col("doc_b").as("doc_id"))).distinct()
         val comp = MinHash.connectedComponents(members, pairs)
-        val w = Window.partitionBy("dup_group")
-          .orderBy(col("nrm").desc, col("vec_id").asc)
-        comp.join(e.select(col("vec_id"), col("nrm")),
+        val m = comp.join(e.select(col("vec_id"), col("nrm")),
             comp("doc_id") === col("vec_id"))
           .select(col("dup_group"), col("vec_id"), col("nrm"))
-          .withColumn("n_members",
-            count(lit(1)).over(Window.partitionBy("dup_group")))
-          .withColumn("rn", row_number().over(w))
-          .filter(col("rn") === 1 && col("n_members") >= 2)
+        Curation.canonicalPerCluster(m, "dup_group", "vec_id", "nrm")
           .select(col("dup_group"), col("n_members"),
             col("vec_id").as("canonical_id"), round(col("nrm"), 6).as("canon_l2"))
           .orderBy("dup_group")
@@ -338,21 +333,9 @@ object LakehouseQueries {
         val edges = pairs.select(col("id_a").as("src"), col("id_b").as("dst"))
           .union(pairs.select(col("id_b").as("src"), col("id_a").as("dst")))
           .localCheckpoint(true)
-        val deg = edges.groupBy("src").agg(count(lit(1)).as("deg"))
-          .localCheckpoint(true)
-        val ids = Tables.embeddings(s, d).select(col("vec_id"))
-        var pr = ids.withColumn("pr", lit(1.0))
-        for (_ <- 1 to 5) {
-          val contrib = edges
-            .join(pr, edges("src") === pr("vec_id"))
-            .join(deg, Seq("src"))
-            .select(col("dst"), (col("pr") / col("deg")).as("c"))
-            .groupBy("dst").agg(dsum(col("c")).as("contrib"))
-          pr = ids.join(contrib, ids("vec_id") === contrib("dst"), "left")
-            .select(col("vec_id"),
-              (lit(0.15) + lit(0.85) * coalesce(col("contrib"), lit(0.0))).as("pr"))
-        }
-        pr.select(col("vec_id"), round(col("pr"), 6).as("pr"))
+        val ids = Tables.embeddings(s, d).select(col("vec_id").as("id"))
+        Similarity.pageRank(ids, edges, iters = 5)
+          .select(col("id").as("vec_id"), round(col("pr"), 6).as("pr"))
           .orderBy("vec_id")
       },
       Some {

@@ -49,14 +49,12 @@ object LlmQueries {
       (s, d) => {
         val docs = Tables.documents(s, d)
           .withColumn("h", substring(md5(concat(col("doc_id").cast("string"), lit(":inc"))), 1, 1))
-        val oldHashes = docs.filter(col("h") < "c")
-          .select(md5(lower(trim(col("text")))).as("dh")).distinct()
+        val corpus = docs.filter(col("h") < "c")
         val newBatch = docs.filter(col("h") >= "c")
           .select(col("doc_id").as("new_id"), col("text"))
-          .union(docs.filter(col("h") < "c" && col("doc_id") % 5 === 0)
+          .union(corpus.filter(col("doc_id") % 5 === 0)
             .select((col("doc_id") + 10000000L).as("new_id"), col("text")))
-        newBatch.withColumn("dh", md5(lower(trim(col("text")))))
-          .join(oldHashes, Seq("dh"), "left_anti")
+        Curation.dedupAgainst(newBatch, corpus)
           .select(col("new_id"))
           .orderBy("new_id")
       },

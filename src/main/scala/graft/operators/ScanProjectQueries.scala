@@ -198,18 +198,11 @@ object ScanProjectQueries {
     // O(strata × k), not O(corpus).
     Entry(
       "c15_stratified_sample",
-      (s, d) => {
-        val w = org.apache.spark.sql.expressions.Window
-          .partitionBy("source", "lang")
-          .orderBy(md5(concat(col("doc_id").cast("string"), lit(":strat"))),
-            col("doc_id"))
-        Tables.documents(s, d)
-          .select(col("source"), col("lang"), col("doc_id"))
-          .withColumn("rn", row_number().over(w))
-          .filter(col("rn") <= 3)
-          .select(col("source"), col("lang"), col("doc_id"))
-          .orderBy("source", "lang", "doc_id")
-      },
+      (s, d) =>
+        Curation.stratifiedSample(
+            Tables.documents(s, d).select(col("source"), col("lang"), col("doc_id")),
+            Seq("source", "lang"), 3, "doc_id")
+          .orderBy("source", "lang", "doc_id"),
       Some("""SELECT source, lang, doc_id FROM (
              |  SELECT source, lang, doc_id,
              |    row_number() OVER (PARTITION BY source, lang

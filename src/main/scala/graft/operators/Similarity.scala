@@ -37,4 +37,30 @@ object Similarity {
       .select(col("qid"), col("rnk"), col("cid").as("nid"), round(col("sim"), 4).as("sim"))
       .orderBy("qid", "rnk")
   }
+
+  /** Fixed-iteration PageRank (damping 0.85) over a directed edge
+    * list; pass both directions for an undirected graph. `nodes` must
+    * carry an `id` column covering every vertex. Per-node incoming
+    * contributions sum through the exact DECIMAL(28,6) accumulator,
+    * making every iteration order-independent (and therefore
+    * hash-verifiable against a sequential engine). O(iters) shuffles
+    * of O(edges); materialize `edges` (localCheckpoint) before calling
+    * when it is the product of an expensive candidate join. */
+  def pageRank(nodes: DataFrame, edges: DataFrame, iters: Int = 5): DataFrame = {
+    val deg = edges.groupBy("src").agg(count(lit(1)).as("deg"))
+      .localCheckpoint(true)
+    val ids = nodes.select(col("id"))
+    var pr = ids.withColumn("pr", lit(1.0))
+    for (_ <- 1 to iters) {
+      val contrib = edges
+        .join(pr, edges("src") === pr("id"))
+        .join(deg, Seq("src"))
+        .select(col("dst"), (col("pr") / col("deg")).as("c"))
+        .groupBy("dst").agg(graft.QueryRegistry.dsum(col("c")).as("contrib"))
+      pr = ids.join(contrib, ids("id") === contrib("dst"), "left")
+        .select(col("id"),
+          (lit(0.15) + lit(0.85) * coalesce(col("contrib"), lit(0.0))).as("pr"))
+    }
+    pr
+  }
 }
