@@ -193,4 +193,9 @@ object Graft {
   /** transformWithState running per-user (count, sum). */
   def runningCounts(events: Dataset[EventRow]): Dataset[UserRunning] =
     StatefulOps.runningCounts(events)
+
+  /** transformWithState streaming funnel progress (streaming twin of
+    * the batch [[funnel]]). */
+  def funnelProgress(events: Dataset[EventRow]): Dataset[graft.streaming.FunnelUpdate] =
+    StatefulOps.funnelProgress(events)
 }

@@ -77,6 +77,36 @@ object Stress {
     time("lsh_candidates_b2") {
       graft.operators.MinHash.candidatePairs(docs, "doc_id", "text").count()
     }
+
+    // Curation round-3b shapes: the perplexity model join (gram-keyed
+    // broadcast), the novelty gram self-join (corpus-sized shuffle),
+    // and fixed-iteration PageRank (O(iters) shuffles of O(edges) —
+    // the replicated similarity graph multiplies edges linearly).
+    time("lm_perplexity_b9") {
+      graft.operators.Curation.lmPerplexity(docs).count()
+    }
+    time("novelty_b9") {
+      graft.operators.Curation.noveltyScores(docs).count()
+    }
+    // label is shifted too: each replica's similarity graph is
+    // self-contained (block sizes preserved, edges grow linearly)
+    val emb = replicate(Tables.embeddings(spark, sfDir), Seq("vec_id", "label"))
+    time("pagerank_b2") {
+      import graft.functions.VectorOps
+      val e = emb.select(col("vec_id"), col("label"), col("embedding").as("v"))
+        .withColumn("nrm", VectorOps.norm(col("v")))
+      val a = e.select(col("label"), col("vec_id").as("id_a"), col("v").as("va"), col("nrm").as("na"))
+      val b = e.select(col("label"), col("vec_id").as("id_b"), col("v").as("vb"), col("nrm").as("nb"))
+      val pairs = a.join(b, Seq("label"))
+        .filter(col("id_a") < col("id_b"))
+        .filter(VectorOps.dot(col("va"), col("vb")) / (col("na") * col("nb")) >= 0.35)
+        .select(col("id_a"), col("id_b"))
+      val edges = pairs.select(col("id_a").as("src"), col("id_b").as("dst"))
+        .union(pairs.select(col("id_b").as("src"), col("id_a").as("dst")))
+        .localCheckpoint(true)
+      graft.operators.Similarity.pageRank(
+        emb.select(col("vec_id").as("id")), edges).count()
+    }
     spark.stop()
   }
 }

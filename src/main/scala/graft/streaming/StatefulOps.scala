@@ -37,6 +37,53 @@ class RunningCountProcessor extends StatefulProcessor[Long, EventRow, UserRunnin
   }
 }
 
+/** Per-user funnel progress emitted each micro-batch: furthest stage
+  * reached and the stage timestamps (µs epoch, -1 = not reached). */
+case class FunnelUpdate(user_id: Long, stage: Int, t1_us: Long, t2_us: Long, t3_us: Long)
+
+/** Streaming twin of the batch w6_funnel query: per-user ordered
+  * funnel (s1 → s2-after-s1 → s3-after-that) with the three stage
+  * timestamps as ValueState. Rows are processed in ts order within
+  * each batch; cross-batch late data refines t1/t2 downward but
+  * cannot resurrect a candidate discarded in an earlier batch — the
+  * same boundedness tradeoff the watermark-scoped dedup makes, and
+  * exact whenever per-user arrival is ts-ordered across batches
+  * (within-batch disorder is always handled). State is three longs
+  * per user in RocksDB — O(users), not O(events).
+  */
+class FunnelProcessor(s1: String = "view", s2: String = "click",
+                      s3: String = "purchase")
+    extends StatefulProcessor[Long, EventRow, FunnelUpdate] {
+  @transient private var state: ValueState[(Long, Long, Long)] = _
+  private val None_ = Long.MaxValue
+
+  override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+    state = getHandle.getValueState[(Long, Long, Long)](
+      "funnel", Encoders.product[(Long, Long, Long)], TTLConfig.NONE)
+
+  override def handleInputRows(
+      key: Long,
+      rows: Iterator[EventRow],
+      timerValues: TimerValues): Iterator[FunnelUpdate] = {
+    var (t1, t2, t3) =
+      if (state.exists()) state.get() else (None_, None_, None_)
+    // java.sql.Timestamp: getTime is ms-granular; sub-ms lives in
+    // getNanos — compose the full µs value (events are µs-granular)
+    def micros(r: EventRow): Long =
+      Math.floorDiv(r.ts.getTime, 1000L) * 1000000L + r.ts.getNanos / 1000L
+    rows.toSeq.sortBy(r => (micros(r), r.event_id)).foreach { r =>
+      val us = micros(r)
+      if (r.event_type == s1 && us < t1) t1 = us
+      else if (r.event_type == s2 && t1 != None_ && us > t1 && us < t2) t2 = us
+      else if (r.event_type == s3 && t2 != None_ && us > t2 && us < t3) t3 = us
+    }
+    state.update((t1, t2, t3))
+    val stage = if (t3 != None_) 3 else if (t2 != None_) 2 else if (t1 != None_) 1 else 0
+    def out(t: Long) = if (t == None_) -1L else t
+    Iterator.single(FunnelUpdate(key, stage, out(t1), out(t2), out(t3)))
+  }
+}
+
 object StatefulOps {
   /** Running per-user (count, sum) over a stream of events, one update
     * row per key per micro-batch. */
@@ -45,5 +92,14 @@ object StatefulOps {
     events
       .groupByKey(_.user_id)
       .transformWithState(new RunningCountProcessor, TimeMode.None(), OutputMode.Update())
+  }
+
+  /** Streaming per-user funnel progress (stage + stage timestamps),
+    * one update row per key per micro-batch. */
+  def funnelProgress(events: Dataset[EventRow]): Dataset[FunnelUpdate] = {
+    import events.sparkSession.implicits._
+    events
+      .groupByKey(_.user_id)
+      .transformWithState(new FunnelProcessor, TimeMode.None(), OutputMode.Update())
   }
 }

@@ -33,4 +33,58 @@ class StatefulOpsSpec extends AnyFunSuite with SparkFixture {
       assert(last(2L) === ((2L, 1L, 10.0)))
     } finally q.stop()
   }
+
+  private def tev(id: Long, user: Long, tpe: String, sec: Int) =
+    EventRow(id, Timestamp.valueOf(f"2026-01-01 10:00:$sec%02d"), user, tpe, 0.0)
+
+  test("streaming funnel advances stages across batches and enforces ordering") {
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    implicit val ctx = spark.sqlContext
+    val in = MemoryStream[EventRow]
+    val q = StatefulOps.funnelProgress(in.toDS())
+      .writeStream.format("memory").queryName("funnel_sink").outputMode("update").start()
+    try {
+      // user 1: view@10 then click@20 (stage 2 after batch 1);
+      // user 2: click@05 BEFORE any view — must stay stage 0, then
+      //         view@10 in the same batch cannot retro-admit click@05
+      //         (ordering is strict: click must follow the view);
+      // user 3: view@10, click@20, purchase@15 — purchase precedes the
+      //         click so it must NOT count.
+      in.addData(
+        tev(1, 1, "view", 10), tev(2, 1, "click", 20),
+        tev(3, 2, "click", 5), tev(4, 2, "view", 10),
+        tev(5, 3, "view", 10), tev(6, 3, "click", 20), tev(7, 3, "purchase", 15))
+      q.processAllAvailable()
+      // batch 2: user 1 completes; user 2 clicks after its view;
+      // user 3's purchase now arrives after the click
+      in.addData(
+        tev(8, 1, "purchase", 30),
+        tev(9, 2, "click", 12),
+        tev(10, 3, "purchase", 25))
+      q.processAllAvailable()
+      val rows = spark.table("funnel_sink")
+        .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+      val batch1 = rows.groupBy(_._1).map { case (u, rs) => u -> rs.minBy(_._2) }
+      val last = rows.groupBy(_._1).map { case (u, rs) => u -> rs.maxBy(_._2) }
+      assert(batch1(1L)._2 === 2)          // view+click in batch 1
+      assert(last(1L)._2 === 3)            // purchase completes in batch 2
+      assert(batch1(2L)._2 === 1)          // early click never admitted
+      assert(last(2L)._2 === 2)            // later click (after view) is
+      assert(batch1(3L)._2 === 2)          // out-of-order purchase rejected
+      assert(last(3L)._2 === 3)
+      // stage timestamps are µs epochs in funnel order
+      val (_, _, t1, t2, t3) = last(3L)
+      assert(t1 < t2 && t2 < t3)
+      // streaming result agrees with the batch funnel on the union of inputs
+      val batchDf = graft.operators.Analytics.funnel(
+        Seq(tev(1, 1, "view", 10), tev(2, 1, "click", 20), tev(8, 1, "purchase", 30),
+          tev(3, 2, "click", 5), tev(4, 2, "view", 10), tev(9, 2, "click", 12),
+          tev(5, 3, "view", 10), tev(6, 3, "click", 20), tev(7, 3, "purchase", 15),
+          tev(10, 3, "purchase", 25)).toDF(),
+        Seq("view", "click", "purchase"))
+        .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+      assert(batchDf === last.map { case (u, r) => u -> r._2 })
+    } finally q.stop()
+  }
 }
