@@ -169,6 +169,11 @@ object Graft {
   def cohortRetention(events: DataFrame): DataFrame =
     graft.operators.Analytics.cohortRetention(events)
 
+  /** Gap-based sessionization: one row per (user, session) with
+    * count/span/value-sum/conversion. */
+  def sessionize(events: DataFrame, gapUs: Long = 30L * 60 * 1000000): DataFrame =
+    graft.operators.Analytics.sessionize(events, gapUs)
+
   // ---- multimodal -------------------------------------------------
   /** Attach an opaque binary payload column. */
   def withPayload(docs: DataFrame): DataFrame = Multimodal.withPayload(docs)

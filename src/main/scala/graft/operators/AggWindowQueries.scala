@@ -404,6 +404,34 @@ object AggWindowQueries {
              |FROM e JOIN c USING (user_id)
              |GROUP BY cw, wk
              |ORDER BY cohort_us NULLS FIRST, week_offset NULLS FIRST""".stripMargin)
+    ),
+
+    // W8: gap-based sessionization — the canonical gaps-and-islands
+    // shape: lag → new-session flag → running sum → collapse. All
+    // four steps ride ONE user_id exchange (HashPartitioning(user_id)
+    // satisfies the (user_id, session_idx) clustered distribution, so
+    // the final groupBy adds no shuffle — pinned in PlanAuditSpec).
+    // value sums go through the DECIMAL(28,6) accumulator; DuckDB's
+    // window SUM of INTEGER is HUGEINT, hence the BIGINT cast.
+    Entry(
+      "w8_sessionization",
+      (s, d) =>
+        Analytics.sessionize(Tables.events(s, d))
+          .orderBy("user_id", "session_idx"),
+      Some(s"""WITH e AS (SELECT user_id, event_id, event_type, value,
+             |  epoch_us(ts) AS us FROM events),
+             |f AS (SELECT *, CASE WHEN us - lag(us) OVER w > 1800000000
+             |    OR lag(us) OVER w IS NULL THEN 1 ELSE 0 END AS new_s
+             |  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY us, event_id)),
+             |g AS (SELECT *, CAST(sum(new_s) OVER (PARTITION BY user_id
+             |    ORDER BY us, event_id ROWS UNBOUNDED PRECEDING) AS BIGINT)
+             |    AS session_idx FROM f)
+             |SELECT user_id, session_idx, count(*) AS n_events,
+             |  min(us) AS start_us, max(us) AS end_us,
+             |  ${dsumSql("value")} AS sum_value,
+             |  max(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS converted
+             |FROM g GROUP BY user_id, session_idx
+             |ORDER BY user_id NULLS FIRST, session_idx NULLS FIRST""".stripMargin)
     )
   )
 }

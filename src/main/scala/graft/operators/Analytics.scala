@@ -40,6 +40,39 @@ object Analytics {
       .agg(stage.as("stage"), ts.map(t => max(col(t)).as(t)): _*)
   }
 
+  /** Gap-based sessionization: split each user's event sequence into
+    * sessions wherever the inter-event gap exceeds `gapUs`, then
+    * collapse to one row per session (count, span, value sum,
+    * converted flag). Single shuffle on userCol: the lag, the running
+    * session counter, and the final collapse all reuse the same
+    * hash-partitioning — HashPartitioning(user) satisfies the
+    * (user, session_idx) clustered distribution, so the groupBy adds
+    * no exchange. State per row is O(1); at 100 TB the cost is one
+    * sort within each user partition, which AQE sizes.
+    */
+  def sessionize(events: DataFrame, gapUs: Long = 30L * 60 * 1000000,
+                 userCol: String = "user_id", tsCol: String = "ts",
+                 convertType: String = "purchase"): DataFrame = {
+    import graft.QueryRegistry.dsum
+    val wu = Window.partitionBy(userCol).orderBy(col("us"), col("event_id"))
+    events
+      .withColumn("us", unix_micros(col(tsCol)))
+      .withColumn("prev_us", lag(col("us"), 1).over(wu))
+      .withColumn("new_s",
+        when(col("prev_us").isNull || col("us") - col("prev_us") > gapUs, 1)
+          .otherwise(0))
+      .withColumn("session_idx",
+        sum(col("new_s")).over(wu.rowsBetween(Window.unboundedPreceding, 0)))
+      .groupBy(col(userCol), col("session_idx"))
+      .agg(
+        count(lit(1)).as("n_events"),
+        min(col("us")).as("start_us"),
+        max(col("us")).as("end_us"),
+        dsum(col("value")).as("sum_value"),
+        max(when(col("event_type") === convertType, 1).otherwise(0))
+          .as("converted"))
+  }
+
   /** Cohort retention: users grouped by first-activity week; output
     * one row per (cohort week, week offset) with the distinct active
     * user count. Weeks are emitted as µs epochs (hash-compare-safe). */

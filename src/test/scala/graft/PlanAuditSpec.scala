@@ -85,6 +85,15 @@ class PlanAuditSpec extends AnyFunSuite with SparkFixture {
     assert(n === 1, s"expected exactly one hash exchange:\n$p")
   }
 
+  test("w8_sessionization: lag + running sum + session collapse share ONE user_id shuffle") {
+    // HashPartitioning(user_id) must satisfy the (user_id, session_idx)
+    // clustered distribution of the final groupBy — a second exchange
+    // here would reshuffle the whole corpus per sessionization pass.
+    val p = plan("w8_sessionization")
+    val n = "Exchange hashpartitioning".r.findAllIn(p).length
+    assert(n === 1, s"expected exactly one hash exchange:\n$p")
+  }
+
   test("b7_chunk: generator-only — no hash-partition shuffle anywhere") {
     val p = plan("b7_chunk")
     assert(!p.contains("hashpartitioning"), s"chunking must not shuffle:\n$p")
