@@ -109,6 +109,13 @@ object Graft {
   /** Symmetric int8 quantization codes for an embedding column. */
   def quantize(vec: Column): Column = graft.operators.Curation.quantize(vec)
 
+  /** End-to-end curation pipeline: lang gate → normalize → quality
+    * gate → exact dedup → deterministic split → per-(split, source)
+    * doc/token accounting, as one lazy plan. */
+  def curatePipeline(docs: DataFrame, lang: String = "en",
+                     minTokens: Int = 20, maxRep: Double = 0.2): DataFrame =
+    graft.operators.Curation.pipeline(docs, lang, minTokens, maxRep)
+
   /** Dedup a new batch against an existing corpus (anti-join on the
     * normalized digest; idempotent daily-ingest shape). */
   def dedupAgainst(newBatch: DataFrame, corpus: DataFrame,

@@ -224,4 +224,35 @@ object Curation {
       .filter(col("__rn") === 1 && col("n_members") >= minMembers)
       .select(col(groupCol), col("n_members"), col(idCol), col(qualityCol))
   }
+
+  /** End-to-end curation pipeline — the composition a pretraining run
+    * actually executes, chained as ONE lazy plan: language gate →
+    * text normalization → repetition + length quality gate → exact
+    * dedup (min doc_id per cleaned-text md5) → deterministic split →
+    * per-(split, source) doc/token accounting.
+    *
+    * Scale: the lang filter is pushed to the scan; normalization is a
+    * codegen'd row pipeline; the repetition join is doc_id-keyed (its
+    * (doc, bigram) agg map-side combines); the dedup window shuffles
+    * once on the text hash; the final agg is split×source-sized. No
+    * stage materializes the corpus more than once.
+    */
+  def pipeline(docs: DataFrame, lang: String = "en", minTokens: Int = 20,
+               maxRep: Double = 0.2): DataFrame = {
+    val norm = regexp_replace(
+      regexp_replace(lower(col("text")), "[^a-z0-9 ]+", " "), " +", " ")
+    val en = docs.filter(col("lang") === lang)
+      .select(col("doc_id"), col("source"), trim(norm).as("t"))
+    val rep = repetitionScores(en, "doc_id", "t")
+      .select(col("doc_id"), col("rep_ratio"))
+    val q = en.join(rep, "doc_id")
+      .filter(size(split(col("t"), " ")) >= minTokens &&
+        col("rep_ratio") <= maxRep)
+    val w = Window.partitionBy(md5(col("t"))).orderBy("doc_id")
+    q.withColumn("__rn", row_number().over(w)).filter(col("__rn") === 1)
+      .withColumn("split", splitAssign(col("doc_id")))
+      .groupBy("split", "source")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(size(split(col("t"), " ")).cast("long")).as("n_tokens"))
+  }
 }

@@ -333,6 +333,43 @@ object CurationQueries {
              |    x -> CAST(floor(CAST(x AS DOUBLE) * 127 / nullif(l2raw, 0) + 0.5) AS BIGINT)),
              |    'sum') AS BIGINT) AS qsum
              |FROM n ORDER BY vec_id NULLS FIRST""".stripMargin)
+    ),
+
+    // B9k: the full curation pipeline as ONE query — language gate →
+    // normalization → repetition/length quality gate → exact dedup →
+    // md5 split → per-(split, source) doc/token accounting. Every
+    // stage is individually judged elsewhere; this entry proves the
+    // composition (one lazy plan, corpus scanned once) matches the
+    // same composition replayed stage-by-stage in DuckDB.
+    Entry(
+      "b9_pipeline",
+      (s, d) =>
+        Curation.pipeline(Tables.documents(s, d))
+          .orderBy("split", "source"),
+      Some("""WITH en AS (SELECT doc_id, source,
+             |    trim(regexp_replace(regexp_replace(lower(text),
+             |      '[^a-z0-9 ]+', ' ', 'g'), ' +', ' ', 'g')) AS t
+             |  FROM documents WHERE lang = 'en'),
+             |bg AS (SELECT doc_id, ws[i] || ' ' || ws[i + 1] AS bg
+             |  FROM (SELECT doc_id, string_split(t, ' ') AS ws FROM en) x,
+             |       unnest(range(1, len(ws))) AS u(i)),
+             |rep AS (SELECT doc_id,
+             |    round(CAST(max(cnt) AS DOUBLE) / sum(cnt), 6) AS rep_ratio
+             |  FROM (SELECT doc_id, bg, count(*) AS cnt FROM bg GROUP BY 1, 2) c
+             |  GROUP BY 1),
+             |q AS (SELECT en.* FROM en JOIN rep USING (doc_id)
+             |  WHERE len(string_split(t, ' ')) >= 20 AND rep_ratio <= 0.2),
+             |k AS (SELECT * FROM (SELECT *, row_number() OVER (
+             |    PARTITION BY md5(t) ORDER BY doc_id) AS rn FROM q) y
+             |  WHERE rn = 1),
+             |s AS (SELECT *, CASE WHEN h < 'c' THEN 'train'
+             |    WHEN h < 'e' THEN 'val' ELSE 'test' END AS split
+             |  FROM (SELECT *, substring(md5(CAST(doc_id AS VARCHAR) || ':graft'),
+             |    1, 1) AS h FROM k) z)
+             |SELECT split, source, count(*) AS n_docs,
+             |  CAST(sum(len(string_split(t, ' '))) AS BIGINT) AS n_tokens
+             |FROM s GROUP BY split, source
+             |ORDER BY split NULLS FIRST, source NULLS FIRST""".stripMargin)
     )
   )
 }

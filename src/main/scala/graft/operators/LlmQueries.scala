@@ -488,6 +488,53 @@ object LlmQueries {
              |CAST(sum(n_chars) AS BIGINT) AS sum_chars
              |FROM documents JOIN embeddings ON doc_id = vec_id
              |GROUP BY label ORDER BY label NULLS FIRST""".stripMargin)
+    ),
+
+    // B5f: per-source vocabulary profile (Zipf-style corpus analysis)
+    // — token count, vocabulary size, type-token ratio, the modal
+    // token (deterministic tie-break: count DESC, token ASC) and the
+    // head mass carried by the top-10 types. Two shuffles total:
+    // (source, tok) hash-agg with map-side combine (the corpus-sized
+    // one, combine ratio ≈ tokens/vocab), then the vocab-sized window
+    // + final collapse share one hashpartitioning(source) exchange.
+    Entry(
+      "b5_vocab",
+      (s, d) => {
+        import org.apache.spark.sql.expressions.Window
+        val tok = Tables.documents(s, d)
+          .select(col("source"), explode(words(col("text"))).as("tok"))
+          .filter(length(col("tok")) > 0)
+        val counts = tok.groupBy("source", "tok").agg(count(lit(1)).as("n"))
+        val w = Window.partitionBy("source").orderBy(col("n").desc, col("tok"))
+        counts.withColumn("rk", row_number().over(w))
+          .groupBy("source")
+          .agg(
+            sum(col("n")).as("n_tokens"),
+            count(lit(1)).as("vocab_size"),
+            round(count(lit(1)).cast("double") / sum(col("n")), 6).as("ttr"),
+            max(when(col("rk") === 1, col("tok"))).as("top_token"),
+            round(max(when(col("rk") === 1, col("n"))).cast("double") /
+              sum(col("n")), 6).as("top_share"),
+            round(sum(when(col("rk") <= 10, col("n")).otherwise(0L)).cast("double") /
+              sum(col("n")), 6).as("top10_mass"))
+          .orderBy("source")
+      },
+      Some("""WITH t AS (SELECT source, tok FROM (
+             |    SELECT source, unnest(string_split(text, ' ')) AS tok
+             |    FROM documents) u WHERE len(tok) > 0),
+             |c AS (SELECT source, tok, count(*) AS n FROM t GROUP BY 1, 2),
+             |r AS (SELECT *, row_number() OVER (
+             |    PARTITION BY source ORDER BY n DESC, tok) AS rk FROM c)
+             |SELECT source, CAST(sum(n) AS BIGINT) AS n_tokens,
+             |  count(*) AS vocab_size,
+             |  round(CAST(count(*) AS DOUBLE) / sum(n), 6) AS ttr,
+             |  max(CASE WHEN rk = 1 THEN tok END) AS top_token,
+             |  round(CAST(max(CASE WHEN rk = 1 THEN n END) AS DOUBLE) / sum(n), 6)
+             |    AS top_share,
+             |  round(CAST(sum(CASE WHEN rk <= 10 THEN n ELSE 0 END) AS DOUBLE)
+             |    / sum(n), 6) AS top10_mass
+             |FROM r GROUP BY source
+             |ORDER BY source NULLS FIRST""".stripMargin)
     )
   )
 }

@@ -93,6 +93,26 @@ class CurationSpec extends AnyFunSuite with SparkFixture {
     assert(again === counts)
   }
 
+  test("b9_pipeline composes the gates: dedup, lang, length, repetition all bite") {
+    import spark.implicits._
+    val long = (1 to 30).map(i => s"tok$i").mkString(" ")
+    val docs = Seq(
+      (1L, long, "en", "srcA"),            // survives
+      (2L, long, "en", "srcA"),            // exact dup of 1 → dropped
+      (3L, long, "fr", "srcA"),            // wrong lang → dropped
+      (4L, "short text", "en", "srcA"),    // under min tokens → dropped
+      (5L, Seq.fill(30)("spam").mkString(" "), "en", "srcB"), // repetitive → dropped
+      (6L, long + " extra", "en", "srcB")  // survives
+    ).toDF("doc_id", "text", "lang", "source")
+    val out = graft.operators.Curation.pipeline(docs)
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getLong(3)))
+    // only docs 1 and 6 survive: one srcA row, one srcB row
+    assert(out.map(_._3).sum === 2)
+    assert(out.map(t => (t._2, t._3)).toSet === Set(("srcA", 1L), ("srcB", 1L)))
+    assert(out.forall(t => Set("train", "val", "test")(t._1)))
+    assert(out.collectFirst { case (_, "srcA", _, n) => n }.get === 30L)
+  }
+
   test("b9_norm_quantize: unit-ish norms, |qsum| bounded by 127*dim") {
     val rows = q("b9_norm_quantize").collect()
     assert(rows.nonEmpty)
