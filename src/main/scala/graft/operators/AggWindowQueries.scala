@@ -432,6 +432,52 @@ object AggWindowQueries {
              |  max(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS converted
              |FROM g GROUP BY user_id, session_idx
              |ORDER BY user_id NULLS FIRST, session_idx NULLS FIRST""".stripMargin)
+    ),
+
+    // W9: last-touch attribution — each purchase is credited to the
+    // user's most recent preceding non-purchase event (channel), via
+    // last_value(IGNORE NULLS) over a ROWS frame ending 1 PRECEDING.
+    // One user_id shuffle feeds the window; the channel rollup is
+    // channel-cardinality. Purchases with no preceding touch fall in
+    // the 'none' bucket. Revenue sums ride DECIMAL(28,6); latency
+    // sums are exact integer µs.
+    Entry(
+      "w9_attribution",
+      (s, d) => {
+        val ev = Tables.events(s, d)
+          .select(col("user_id"), col("event_id"), col("event_type"),
+            unix_micros(col("ts")).as("us"), col("value"))
+        val frame = Window.partitionBy("user_id")
+          .orderBy(col("us"), col("event_id"))
+          .rowsBetween(Window.unboundedPreceding, -1)
+        val touch = when(col("event_type") =!= "purchase", col("event_type"))
+        val touchUs = when(col("event_type") =!= "purchase", col("us"))
+        ev.withColumn("src_type", last(touch, ignoreNulls = true).over(frame))
+          .withColumn("src_us", last(touchUs, ignoreNulls = true).over(frame))
+          .filter(col("event_type") === "purchase")
+          .groupBy(coalesce(col("src_type"), lit("none")).as("channel"))
+          .agg(
+            count(lit(1)).as("n_purchases"),
+            dsum(col("value")).as("revenue"),
+            sum(col("us") - col("src_us")).as("latency_us_total"))
+          .orderBy("channel")
+      },
+      Some(s"""WITH e AS (SELECT user_id, event_id, event_type, value,
+             |  epoch_us(ts) AS us FROM events),
+             |a AS (SELECT *,
+             |  last_value(CASE WHEN event_type <> 'purchase' THEN event_type END
+             |    IGNORE NULLS) OVER w AS src_type,
+             |  last_value(CASE WHEN event_type <> 'purchase' THEN us END
+             |    IGNORE NULLS) OVER w AS src_us
+             |  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY us, event_id
+             |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING))
+             |SELECT coalesce(src_type, 'none') AS channel,
+             |  count(*) AS n_purchases,
+             |  ${dsumSql("value")} AS revenue,
+             |  CAST(sum(us - src_us) AS BIGINT) AS latency_us_total
+             |FROM a WHERE event_type = 'purchase'
+             |GROUP BY coalesce(src_type, 'none')
+             |ORDER BY channel NULLS FIRST""".stripMargin)
     )
   )
 }

@@ -535,6 +535,45 @@ object LlmQueries {
              |    / sum(n), 6) AS top10_mass
              |FROM r GROUP BY source
              |ORDER BY source NULLS FIRST""".stripMargin)
+    ),
+
+    // B5g: per-document token entropy — the Shannon-entropy quality
+    // signal (low entropy = repetitive/templated text). Each term
+    // p·ln p rides the DECIMAL(28,6) accumulator, so Spark's partial
+    // aggregation order and DuckDB's sequential order cannot drift;
+    // the 1e-6 term quantization also absorbs any ulp-level ln()
+    // difference between the engines. Same two-agg shape as b5_vocab:
+    // (doc, tok) count with map-side combine, then window + collapse
+    // on one doc_id exchange.
+    Entry(
+      "b5_entropy",
+      (s, d) => {
+        import org.apache.spark.sql.expressions.Window
+        val tok = Tables.documents(s, d)
+          .select(col("doc_id"), explode(words(col("text"))).as("tok"))
+          .filter(length(col("tok")) > 0)
+        val p = col("n") / col("ntok")
+        tok.groupBy("doc_id", "tok").agg(count(lit(1)).as("n"))
+          .withColumn("ntok",
+            sum(col("n")).over(Window.partitionBy("doc_id")))
+          .groupBy("doc_id")
+          .agg(
+            max(col("ntok")).as("n_tokens"),
+            count(lit(1)).as("n_types"),
+            round(-dsum(p * log(p)), 6).as("entropy_nats"))
+          .orderBy("doc_id")
+      },
+      Some(s"""WITH t AS (SELECT doc_id, tok FROM (
+             |    SELECT doc_id, unnest(string_split(text, ' ')) AS tok
+             |    FROM documents) u WHERE len(tok) > 0),
+             |c AS (SELECT doc_id, tok, count(*) AS n FROM t GROUP BY 1, 2),
+             |g AS (SELECT *, sum(n) OVER (PARTITION BY doc_id) AS ntok FROM c)
+             |SELECT doc_id, CAST(max(ntok) AS BIGINT) AS n_tokens,
+             |  count(*) AS n_types,
+             |  round(-${dsumSql("(CAST(n AS DOUBLE) / ntok) * ln(CAST(n AS DOUBLE) / ntok)")}, 6)
+             |    AS entropy_nats
+             |FROM g GROUP BY doc_id
+             |ORDER BY doc_id NULLS FIRST""".stripMargin)
     )
   )
 }
