@@ -370,6 +370,51 @@ object CurationQueries {
              |  CAST(sum(len(string_split(t, ' '))) AS BIGINT) AS n_tokens
              |FROM s GROUP BY split, source
              |ORDER BY split NULLS FIRST, source NULLS FIRST""".stripMargin)
+    ),
+
+    // B1c: URL-canonicalization dedup (RefinedWeb-style): documents
+    // reached via scheme/www/tracking-param variants of the same URL
+    // are duplicates. A synthetic URL is planted per doc_id (so both
+    // engines build identical inputs; %3 adds www., %2 adds tracking
+    // params, %200 forces real collisions); canonical = lowercased
+    // host sans www. + path sans query. Spark exercises the built-in
+    // parse_url; DuckDB replays it with regexes. Stateless per-row
+    // canonicalization + one hash-agg — at 100 TB the canonical
+    // string becomes the dedup shuffle key exactly like b1's digest.
+    Entry(
+      "b1_url_dedup",
+      (s, d) => {
+        val url = concat(lit("https://"),
+          when(col("doc_id") % 3 === 0, lit("www.")).otherwise(lit("")),
+          lit("site"), (col("doc_id") % 200).cast("string"),
+          lit(".example.com/page/"), (col("doc_id") % 50).cast("string"),
+          when(col("doc_id") % 2 === 0,
+            concat(lit("?utm_source=x&ref="), col("doc_id").cast("string")))
+            .otherwise(lit("")))
+        Tables.documents(s, d)
+          .select(col("doc_id"), url.as("url"))
+          .select(col("doc_id"),
+            concat(
+              regexp_replace(lower(parse_url(col("url"), lit("HOST"))),
+                "^www\\.", ""),
+              lower(parse_url(col("url"), lit("PATH")))).as("canonical_url"))
+          .groupBy("canonical_url")
+          .agg(count(lit(1)).as("n_docs"), min(col("doc_id")).as("keeper_id"))
+          .orderBy("canonical_url")
+      },
+      Some("""WITH u AS (SELECT doc_id,
+             |  'https://' || CASE WHEN doc_id % 3 = 0 THEN 'www.' ELSE '' END ||
+             |  'site' || (doc_id % 200) || '.example.com/page/' || (doc_id % 50) ||
+             |  CASE WHEN doc_id % 2 = 0 THEN '?utm_source=x&ref=' || doc_id
+             |       ELSE '' END AS url FROM documents),
+             |c AS (SELECT doc_id,
+             |  regexp_replace(lower(regexp_extract(url, 'https?://([^/?]+)', 1)),
+             |    '^www\.', '') ||
+             |  lower(regexp_extract(url, 'https?://[^/?]+([^?]*)', 1)) AS canonical_url
+             |  FROM u)
+             |SELECT canonical_url, count(*) AS n_docs, min(doc_id) AS keeper_id
+             |FROM c GROUP BY canonical_url
+             |ORDER BY canonical_url NULLS FIRST""".stripMargin)
     )
   )
 }

@@ -28,6 +28,34 @@ class GraftExtensionsSpec extends AnyFunSuite with SparkFixture {
         "SELECT dot_product(CAST(array(1.0, 0.5) AS ARRAY<FLOAT>), CAST(array(2.0, 4.0) AS ARRAY<FLOAT>)) AS d")
         .collect().head.getDouble(0)
       assert(farr === 4.0)
+      // minhash_signature / shingle_minhash: SQL results must be
+      // hash-identical to the built-in xxhash64(s, i) chain.
+      val sig = ext.sql(
+        "SELECT minhash_signature(array('ab', 'cd'), 4) AS sig")
+        .collect().head.getSeq[Long](0)
+      val expected = ext.sql(
+        """SELECT array(
+          |  least(xxhash64('ab', 0), xxhash64('cd', 0)),
+          |  least(xxhash64('ab', 1), xxhash64('cd', 1)),
+          |  least(xxhash64('ab', 2), xxhash64('cd', 2)),
+          |  least(xxhash64('ab', 3), xxhash64('cd', 3))) AS sig""".stripMargin)
+        .collect().head.getSeq[Long](0)
+      assert(sig === expected)
+      val sh = ext.sql(
+        "SELECT shingle_minhash(array('a', 'b', 'c'), 2, 3) AS sig")
+        .collect().head.getSeq[Long](0)
+      val shExpected = ext.sql(
+        """SELECT array(
+          |  least(xxhash64('a b', 0), xxhash64('b c', 0)),
+          |  least(xxhash64('a b', 1), xxhash64('b c', 1)),
+          |  least(xxhash64('a b', 2), xxhash64('b c', 2))) AS sig""".stripMargin)
+        .collect().head.getSeq[Long](0)
+      assert(sh === shExpected)
+      // non-literal k must be rejected (k shapes the output schema)
+      intercept[Exception] {
+        ext.sql("SELECT minhash_signature(array('x'), CAST(rand() * 4 AS INT))")
+          .collect()
+      }
       // do NOT stop ext — it shares the fixture's SparkContext.
     } finally {
       SparkSession.clearActiveSession()
