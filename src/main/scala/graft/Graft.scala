@@ -168,6 +168,11 @@ object Graft {
   def pageRank(nodes: DataFrame, edges: DataFrame, iters: Int = 5): DataFrame =
     graft.operators.Similarity.pageRank(nodes, edges, iters)
 
+  /** Distributed fixed-iteration k-means over int8-quantized
+    * embeddings; one row per cluster (cid, n_members, inertia). */
+  def kmeans(embeddings: DataFrame, k: Int = 4, iters: Int = 2): DataFrame =
+    graft.operators.Similarity.kmeansQuantized(embeddings, k, iters)
+
   /** Per-user ordered funnel over an event log. */
   def funnel(events: DataFrame, stages: Seq[String]): DataFrame =
     graft.operators.Analytics.funnel(events, stages)

@@ -78,6 +78,42 @@ object Stress {
       graft.operators.MinHash.candidatePairs(docs, "doc_id", "text").count()
     }
 
+    // Analytics shapes over a rep×-replicated event log (user space
+    // grows rep×, per-user history constant — the 100 TB shape): the
+    // sessionization single-exchange claim and the attribution frame.
+    val ev = replicate(Tables.events(spark, sfDir), Seq("event_id", "user_id"))
+    time("sessionize_w8") {
+      graft.operators.Analytics.sessionize(ev).count()
+    }
+    time("attribution_w9") {
+      import org.apache.spark.sql.expressions.Window
+      val frame = Window.partitionBy("user_id")
+        .orderBy(col("us"), col("event_id"))
+        .rowsBetween(Window.unboundedPreceding, -1)
+      val touch = when(col("event_type") =!= "purchase", col("event_type"))
+      ev.select(col("user_id"), col("event_id"), col("event_type"),
+          unix_micros(col("ts")).as("us"), col("value"))
+        .withColumn("src_type", last(touch, ignoreNulls = true).over(frame))
+        .filter(col("event_type") === "purchase")
+        .groupBy(coalesce(col("src_type"), lit("none")))
+        .agg(count(lit(1))).count()
+    }
+    // Corpus-profile shapes: replication multiplies token instances
+    // while vocabulary stays fixed — the map-side-combine claim is
+    // exactly that post-combine state is vocab-sized, so time must be
+    // linear in the corpus and the agg state flat. The pipeline's
+    // dedup window sees rep-sized duplicate groups (replicas are
+    // exact dups) — collapse must stay linear.
+    time("vocab_b5") {
+      docs.select(col("source"), explode(split(col("text"), " ")).as("tok"))
+        .filter(length(col("tok")) > 0)
+        .groupBy("source", "tok").agg(count(lit(1)).as("n"))
+        .groupBy("source").agg(sum("n"), count(lit(1))).count()
+    }
+    time("curation_pipeline_b9") {
+      graft.operators.Curation.pipeline(docs).count()
+    }
+
     // Curation round-3b shapes: the perplexity model join (gram-keyed
     // broadcast), the novelty gram self-join (corpus-sized shuffle),
     // and fixed-iteration PageRank (O(iters) shuffles of O(edges) —

@@ -574,6 +574,53 @@ object LlmQueries {
              |    AS entropy_nats
              |FROM g GROUP BY doc_id
              |ORDER BY doc_id NULLS FIRST""".stripMargin)
+    ),
+
+    // B4c: oracle-checked distributed k-means (2 Lloyd iterations,
+    // k=4, init = vec_id < k) over int8-quantized embeddings. Exact
+    // integer centroid sums + one IEEE division + DECIMAL(28,6)
+    // distance accumulators make every assignment total-ordered and
+    // engine-independent — DuckDB replays init → assign → update →
+    // assign → update → assign CTE-by-CTE and the cluster sizes and
+    // inertia hash-match. The honest-scale twin of the rows-only
+    // b4_ivf_ann quantizer.
+    Entry(
+      "b4_kmeans",
+      (s, d) =>
+        Similarity.kmeansQuantized(Tables.embeddings(s, d)).orderBy("cid"),
+      Some {
+        def assign(c: String) =
+          s"""SELECT vec_id, cid, dist FROM (
+             |  SELECT vec_id, cid, dist, row_number() OVER (
+             |    PARTITION BY vec_id ORDER BY dist, cid) AS rn
+             |  FROM (SELECT x.vec_id, c.cid,
+             |      sum(CAST((x.xv - c.cv) * (x.xv - c.cv) AS DECIMAL(28, 6))) AS dist
+             |    FROM x JOIN $c c USING (pos)
+             |    GROUP BY x.vec_id, c.cid) d) r
+             |WHERE rn = 1""".stripMargin
+        def update(a: String) =
+          s"""SELECT cid, pos, round(CAST(sum(xv) AS DOUBLE) / count(*), 6) AS cv
+             |FROM x JOIN $a USING (vec_id) GROUP BY cid, pos""".stripMargin
+        s"""WITH x AS (SELECT vec_id, i - 1 AS pos,
+           |    CAST(floor(CAST(embedding[i] AS DOUBLE) * 127 / nullif(l2, 0)
+           |      + 0.5) AS BIGINT) AS xv
+           |  FROM (SELECT vec_id, embedding,
+           |      sqrt(list_aggregate(list_transform(embedding,
+           |        v -> CAST(v AS DOUBLE) * CAST(v AS DOUBLE)), 'sum')) AS l2
+           |    FROM embeddings) e,
+           |    unnest(range(1, len(embedding) + 1)) AS u(i)
+           |  WHERE l2 > 0),
+           |c0 AS (SELECT CAST(vec_id AS INT) AS cid, pos, CAST(xv AS DOUBLE) AS cv
+           |  FROM x WHERE vec_id < 4),
+           |a1 AS (${assign("c0")}),
+           |c1 AS (${update("a1")}),
+           |a2 AS (${assign("c1")}),
+           |c2 AS (${update("a2")}),
+           |a3 AS (${assign("c2")})
+           |SELECT cid, count(*) AS n_members,
+           |  round(CAST(sum(dist) AS DOUBLE), 4) AS inertia
+           |FROM a3 GROUP BY cid ORDER BY cid NULLS FIRST""".stripMargin
+      }
     )
   )
 }

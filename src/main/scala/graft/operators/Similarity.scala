@@ -63,4 +63,54 @@ object Similarity {
     }
     pr
   }
+
+  /** Fixed-iteration Lloyd k-means, fully distributed AND exactly
+    * reproducible across engines — the trick is arithmetic that no
+    * summation order can perturb:
+    *  - vectors are int8-quantized first ([[Curation.quantize]]), so
+    *    centroid numerators are EXACT integer sums;
+    *  - centroid elements are round(sum/count, 6) — one IEEE division
+    *    of identical integers, identical everywhere;
+    *  - squared-distance terms are quantized to DECIMAL(28,6) and
+    *    summed exactly, so the argmin (ties → lower cid) is total.
+    * Deterministic init: clusters seed from vec_id < k. Assignment is
+    * a pos-equi-join against the broadcast k×dim centroid table +
+    * map-side-combining (vec, cid) agg; the update is an integer agg
+    * on (cid, pos). O(iters) passes, no driver-side loop over rows —
+    * only the k×dim centroid table is ever checkpointed.
+    * Output: one row per cluster (cid, n_members, inertia). */
+  def kmeansQuantized(embeddings: DataFrame, k: Int = 4, iters: Int = 2,
+                      idCol: String = "vec_id",
+                      vecCol: String = "embedding"): DataFrame = {
+    import org.apache.spark.sql.types.DecimalType
+    val xe = embeddings
+      .filter(VectorOps.norm(col(vecCol)) > 0)
+      .select(col(idCol).as("vec_id"),
+        posexplode(graft.operators.Curation.quantize(col(vecCol))))
+      .toDF("vec_id", "pos", "xv")
+      .localCheckpoint(true)
+    def assign(cent: DataFrame): DataFrame =
+      xe.join(broadcast(cent), Seq("pos"))
+        .select(col("vec_id"), col("cid"),
+          ((col("xv") - col("cv")) * (col("xv") - col("cv")))
+            .cast(DecimalType(28, 6)).as("term"))
+        .groupBy("vec_id", "cid")
+        .agg(sum(col("term")).as("dist"))
+        .withColumn("__rn", row_number().over(
+          Window.partitionBy("vec_id").orderBy(col("dist").asc, col("cid").asc)))
+        .filter(col("__rn") === 1)
+        .select(col("vec_id"), col("cid"), col("dist"))
+    var cent = xe.filter(col("vec_id") < k)
+      .select(col("vec_id").cast("int").as("cid"), col("pos"),
+        col("xv").cast("double").as("cv"))
+    for (_ <- 1 to iters)
+      cent = xe.join(assign(cent).select("vec_id", "cid"), Seq("vec_id"))
+        .groupBy("cid", "pos")
+        .agg(round(sum(col("xv")).cast("double") / count(lit(1)), 6).as("cv"))
+        .localCheckpoint(true)
+    assign(cent)
+      .groupBy("cid")
+      .agg(count(lit(1)).as("n_members"),
+        round(sum(col("dist")).cast("double"), 4).as("inertia"))
+  }
 }

@@ -43,4 +43,24 @@ class AggSketchSpec extends AnyFunSuite with SparkFixture {
       assert(mean >= floor, f"$name mean recall@3 $mean%.2f below floor $floor")
     }
   }
+
+  test("b4_kmeans separates planted clusters and is run-stable") {
+    import spark.implicits._
+    // two tight planted clusters far apart; seeds 0 and 1 land one in
+    // each, so k=2 must recover the planting exactly
+    val vecs = (0L until 40L).map { i =>
+      val base = if (i % 2 == 0) 1.0f else -1.0f
+      (i, Array.fill(8)(base + (i % 5) * 0.001f))
+    }.toDF("vec_id", "embedding")
+    val out = graft.operators.Similarity.kmeansQuantized(vecs, k = 2, iters = 2)
+      .collect().map(r => (r.getInt(0), r.getLong(1), r.getDouble(2)))
+    assert(out.map(_._1).sorted === Array(0, 1))
+    assert(out.map(_._2).sum === 40L)
+    assert(out.forall(_._2 === 20L), s"expected 20/20 split: ${out.toSeq}")
+    // tight clusters → near-zero inertia; and a re-run is bit-stable
+    assert(out.forall(_._3 < 100.0))
+    val again = graft.operators.Similarity.kmeansQuantized(vecs, k = 2, iters = 2)
+      .collect().map(r => (r.getInt(0), r.getLong(1), r.getDouble(2)))
+    assert(again.sortBy(_._1) === out.sortBy(_._1))
+  }
 }
