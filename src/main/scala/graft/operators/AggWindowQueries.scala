@@ -478,6 +478,52 @@ object AggWindowQueries {
              |FROM a WHERE event_type = 'purchase'
              |GROUP BY coalesce(src_type, 'none')
              |ORDER BY channel NULLS FIRST""".stripMargin)
+    ),
+
+    // G15: per-user least-squares trend (value vs days-since-first-
+    // event) computed from first principles — NOT regr_slope, whose
+    // internal float sums are aggregation-order-dependent and would
+    // drift between engines. Each moment (Σx, Σy, Σx², Σxy) rides the
+    // DECIMAL(28,6) accumulator; the closed-form slope/intercept then
+    // divide identical doubles identically. Degenerate users (n<3 or
+    // zero x-variance) are filtered on the SAME den expression both
+    // sides.
+    Entry(
+      "g15_regression",
+      (s, d) => {
+        val ev = Tables.events(s, d)
+          .select(col("user_id"), unix_micros(col("ts")).as("us"), col("value"))
+        val w = Window.partitionBy("user_id")
+        val slope = (col("n") * col("sxy") - col("sx") * col("sy")) / col("den")
+        ev.withColumn("x",
+            (col("us") - min(col("us")).over(w)).cast("double") / lit(86400e6))
+          .groupBy("user_id")
+          .agg(
+            count(lit(1)).as("n"),
+            dsum(col("x")).as("sx"), dsum(col("value")).as("sy"),
+            dsum(col("x") * col("x")).as("sxx"),
+            dsum(col("x") * col("value")).as("sxy"))
+          .withColumn("den", col("n") * col("sxx") - col("sx") * col("sx"))
+          .filter(col("n") >= 3 && col("den") > 1e-9)
+          .select(col("user_id"), col("n"),
+            round(slope, 6).as("slope"),
+            round((col("sy") - slope * col("sx")) / col("n"), 6).as("intercept"))
+          .orderBy("user_id")
+      },
+      Some(s"""WITH e AS (SELECT user_id, epoch_us(ts) AS us, value FROM events),
+             |d AS (SELECT user_id, value,
+             |  CAST(us - min(us) OVER (PARTITION BY user_id) AS DOUBLE)
+             |    / 86400000000.0 AS x FROM e),
+             |a AS (SELECT user_id, count(*) AS n,
+             |  ${dsumSql("x")} AS sx, ${dsumSql("value")} AS sy,
+             |  ${dsumSql("x * x")} AS sxx, ${dsumSql("x * value")} AS sxy
+             |  FROM d GROUP BY user_id),
+             |b AS (SELECT *, n * sxx - sx * sx AS den FROM a)
+             |SELECT user_id, n,
+             |  round((n * sxy - sx * sy) / den, 6) AS slope,
+             |  round((sy - ((n * sxy - sx * sy) / den) * sx) / n, 6) AS intercept
+             |FROM b WHERE n >= 3 AND den > 1e-9
+             |ORDER BY user_id NULLS FIRST""".stripMargin)
     )
   )
 }
