@@ -215,4 +215,8 @@ object Graft {
     * the batch [[funnel]]). */
   def funnelProgress(events: Dataset[EventRow]): Dataset[graft.streaming.FunnelUpdate] =
     StatefulOps.funnelProgress(events)
+
+  /** transformWithState ListState per-user streaming top-k purchases. */
+  def topPurchases(events: Dataset[EventRow], k: Int = 3): Dataset[graft.streaming.TopPurchase] =
+    StatefulOps.topPurchases(events, k)
 }

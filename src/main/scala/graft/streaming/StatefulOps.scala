@@ -84,6 +84,39 @@ class FunnelProcessor(s1: String = "view", s2: String = "click",
   }
 }
 
+/** One maintained top-k row per user per micro-batch. */
+case class TopPurchase(user_id: Long, rank: Int, value: Double, event_id: Long)
+
+/** T10: per-user streaming top-k purchases via ListState — the
+  * bounded-collection state flavor (ValueState holds scalars, this
+  * holds the k best (value, event_id) pairs; k rows per key in
+  * RocksDB regardless of stream length). Order: value DESC, then
+  * event_id ASC so replays and cross-batch merges are deterministic.
+  */
+class TopKPurchaseProcessor(k: Int = 3)
+    extends StatefulProcessor[Long, EventRow, TopPurchase] {
+  @transient private var state: ListState[(Double, Long)] = _
+
+  override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+    state = getHandle.getListState[(Double, Long)](
+      "topk", Encoders.product[(Double, Long)], TTLConfig.NONE)
+
+  override def handleInputRows(
+      key: Long,
+      rows: Iterator[EventRow],
+      timerValues: TimerValues): Iterator[TopPurchase] = {
+    val merged = (state.get().toSeq ++
+        rows.filter(_.event_type == "purchase").map(r => (r.value, r.event_id)))
+      .sortBy { case (v, id) => (-v, id) }
+      .take(k)
+    state.clear()
+    if (merged.nonEmpty) state.appendList(merged.toArray)
+    merged.iterator.zipWithIndex.map { case ((v, id), i) =>
+      TopPurchase(key, i + 1, v, id)
+    }
+  }
+}
+
 object StatefulOps {
   /** Running per-user (count, sum) over a stream of events, one update
     * row per key per micro-batch. */
@@ -101,5 +134,14 @@ object StatefulOps {
     events
       .groupByKey(_.user_id)
       .transformWithState(new FunnelProcessor, TimeMode.None(), OutputMode.Update())
+  }
+
+  /** Streaming per-user top-k purchases (ListState), re-emitted each
+    * micro-batch the key appears in. */
+  def topPurchases(events: Dataset[EventRow], k: Int = 3): Dataset[TopPurchase] = {
+    import events.sparkSession.implicits._
+    events
+      .groupByKey(_.user_id)
+      .transformWithState(new TopKPurchaseProcessor(k), TimeMode.None(), OutputMode.Update())
   }
 }

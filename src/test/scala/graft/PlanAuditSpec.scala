@@ -94,6 +94,23 @@ class PlanAuditSpec extends AnyFunSuite with SparkFixture {
     assert(n === 1, s"expected exactly one hash exchange:\n$p")
   }
 
+  test("g15_regression: window min + moment agg share ONE user_id shuffle") {
+    val p = plan("g15_regression")
+    val n = "Exchange hashpartitioning".r.findAllIn(p).length
+    assert(n === 1, s"expected exactly one hash exchange:\n$p")
+  }
+
+  test("b5_vocab / b5_entropy: corpus agg map-side combines (partial before shuffle)") {
+    // the (key, token) hash-agg must be two-phase: a partial
+    // HashAggregate below its exchange is what turns a corpus-sized
+    // shuffle into a vocab-sized one at 100 TB.
+    for (name <- Seq("b5_vocab", "b5_entropy")) {
+      val p = plan(name)
+      assert(p.contains("HashAggregate"), s"$name should hash-aggregate:\n$p")
+      assert(p.contains("partial_count"), s"$name should have a partial aggregate:\n$p")
+    }
+  }
+
   test("b7_chunk: generator-only — no hash-partition shuffle anywhere") {
     val p = plan("b7_chunk")
     assert(!p.contains("hashpartitioning"), s"chunking must not shuffle:\n$p")

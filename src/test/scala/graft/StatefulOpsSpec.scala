@@ -37,6 +37,33 @@ class StatefulOpsSpec extends AnyFunSuite with SparkFixture {
   private def tev(id: Long, user: Long, tpe: String, sec: Int) =
     EventRow(id, Timestamp.valueOf(f"2026-01-01 10:00:$sec%02d"), user, tpe, 0.0)
 
+  test("streaming top-k purchases: ListState merges across batches, k-bounded") {
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    implicit val ctx = spark.sqlContext
+    def pev(id: Long, user: Long, tpe: String, v: Double) =
+      EventRow(id, Timestamp.valueOf("2026-01-01 10:00:00"), user, tpe, v)
+    val in = MemoryStream[EventRow]
+    val q = StatefulOps.topPurchases(in.toDS(), k = 3)
+      .writeStream.format("memory").queryName("topk_sink").outputMode("update").start()
+    try {
+      def snap() = spark.table("topk_sink")
+        .collect().map(r => (r.getInt(1), r.getDouble(2), r.getLong(3))).toSeq
+      in.addData(
+        pev(1, 1, "purchase", 5.0), pev(2, 1, "purchase", 9.0),
+        pev(3, 1, "view", 99.0),              // non-purchase ignored
+        pev(4, 1, "purchase", 7.0), pev(5, 1, "purchase", 1.0))
+      q.processAllAvailable()
+      assert(snap().sorted === Seq((1, 9.0, 2L), (2, 7.0, 4L), (3, 5.0, 1L)))
+      // batch 2: 8.0 displaces 5.0; a tie at 9.0 breaks by event_id —
+      // 9.0(id 2) keeps rank 1 over 9.0(id 7)
+      in.addData(pev(6, 1, "purchase", 8.0), pev(7, 1, "purchase", 9.0))
+      q.processAllAvailable()
+      val batch2 = snap().diff(Seq((1, 9.0, 2L), (2, 7.0, 4L), (3, 5.0, 1L)))
+      assert(batch2.sorted === Seq((1, 9.0, 2L), (2, 9.0, 7L), (3, 8.0, 6L)))
+    } finally q.stop()
+  }
+
   test("streaming funnel advances stages across batches and enforces ordering") {
     spark.conf.set("spark.sql.streaming.stateStore.providerClass",
       "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
