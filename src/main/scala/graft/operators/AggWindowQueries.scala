@@ -524,6 +524,40 @@ object AggWindowQueries {
              |  round((sy - ((n * sxy - sx * sy) / den) * sx) / n, 6) AS intercept
              |FROM b WHERE n >= 3 AND den > 1e-9
              |ORDER BY user_id NULLS FIRST""".stripMargin)
+    ),
+
+    // W10: behavior-flow transition matrix — per-user lag pairs
+    // (prev event type → next) rolled into global counts and row-
+    // normalized probabilities. One user_id exchange for the lag; the
+    // transition agg is (types×types)-sized, so its shuffle is
+    // constant-size at any corpus scale. Probabilities divide two
+    // exact longs as doubles — identical IEEE division both engines.
+    Entry(
+      "w10_transitions",
+      (s, d) => {
+        val ev = Tables.events(s, d)
+          .select(col("user_id"), col("event_id"), col("event_type"),
+            unix_micros(col("ts")).as("us"))
+        val w = Window.partitionBy("user_id").orderBy(col("us"), col("event_id"))
+        ev.withColumn("prev", lag(col("event_type"), 1).over(w))
+          .filter(col("prev").isNotNull)
+          .groupBy(col("prev"), col("event_type").as("next"))
+          .agg(count(lit(1)).as("n"))
+          .withColumn("p",
+            round(col("n").cast("double") /
+              sum(col("n")).over(Window.partitionBy("prev")).cast("double"), 6))
+          .orderBy("prev", "next")
+      },
+      Some("""WITH e AS (SELECT user_id, event_id, event_type,
+             |  epoch_us(ts) AS us FROM events),
+             |t AS (SELECT lag(event_type) OVER (PARTITION BY user_id
+             |    ORDER BY us, event_id) AS prev, event_type AS next FROM e),
+             |c AS (SELECT prev, next, count(*) AS n FROM t
+             |  WHERE prev IS NOT NULL GROUP BY prev, next)
+             |SELECT prev, next, n,
+             |  round(CAST(n AS DOUBLE) /
+             |    CAST(sum(n) OVER (PARTITION BY prev) AS DOUBLE), 6) AS p
+             |FROM c ORDER BY prev NULLS FIRST, next NULLS FIRST""".stripMargin)
     )
   )
 }
