@@ -363,6 +363,38 @@ object LakehouseQueries {
         base + iters +
           "\nSELECT vec_id, round(pr, 6) AS pr FROM pr5 ORDER BY vec_id NULLS FIRST"
       }
+    ),
+
+    // C16: dynamic partition overwrite — the lake-maintenance rewrite
+    // that replaces ONLY the partitions present in the incoming batch
+    // (partitionOverwriteMode=dynamic) and must leave every other
+    // partition untouched. The patch bumps n_chars for lang='en' docs;
+    // the read-back per-lang rollup proves 'en' changed and the other
+    // four languages survived byte-identical. At 100 TB this is the
+    // daily-refresh primitive: rewrite one day's partition, never the
+    // table.
+    Entry(
+      "c16_dynamic_overwrite",
+      (s, d) => {
+        val base = s"${sys.props("java.io.tmpdir")}/graft_c16_${new java.io.File(d).getName}"
+        val docs = Tables.documents(s, d)
+          .select(col("doc_id"), col("source"), col("n_chars"), col("lang"))
+        docs.write.mode("overwrite").partitionBy("lang").parquet(base)
+        docs.filter(col("lang") === "en")
+          .withColumn("n_chars", col("n_chars") + 1000)
+          .write.mode("overwrite")
+          .option("partitionOverwriteMode", "dynamic")
+          .partitionBy("lang").parquet(base)
+        s.read.parquet(base)
+          .groupBy("lang")
+          .agg(count(lit(1)).as("cnt"), sum(col("n_chars")).as("sum_chars"))
+          .orderBy("lang")
+      },
+      Some("""SELECT lang, count(*) AS cnt,
+             |  CAST(sum(CASE WHEN lang = 'en' THEN n_chars + 1000
+             |           ELSE n_chars END) AS BIGINT) AS sum_chars
+             |FROM documents GROUP BY lang
+             |ORDER BY lang NULLS FIRST""".stripMargin)
     )
   )
 }
