@@ -363,6 +363,41 @@ object FunctionQueries {
       Some("""SELECT word, count(*) AS cnt FROM (
              |SELECT unnest(string_split(text, ' ')) AS word FROM documents)
              |GROUP BY word ORDER BY cnt DESC NULLS LAST, word NULLS FIRST LIMIT 20""".stripMargin)
+    ),
+
+    // F12: the Spark 4 VARIANT type — parse_json into a variant,
+    // path-extract typed fields (incl. a nested object), aggregate on
+    // them. The JSON is assembled by string concat from columns so
+    // both engines parse IDENTICAL text (to_json's float formatting
+    // would drift). DuckDB replays with json_extract_string. Variant
+    // decode is codegen'd row work; the rollup is types-sized.
+    Entry(
+      "f12_variant",
+      (s, d) => {
+        val js = concat(lit("{\"t\":\""), col("event_type"),
+          lit("\",\"nest\":{\"u\":"), col("user_id"),
+          lit("},\"k\":"), get_json_object(col("props"), "$.k"), lit("}"))
+        Tables.events(s, d)
+          .select(parse_json(js).as("v"))
+          .select(
+            variant_get(col("v"), "$.t", "string").as("t"),
+            variant_get(col("v"), "$.nest.u", "long").as("u"),
+            variant_get(col("v"), "$.k", "int").as("k"))
+          .groupBy("t")
+          .agg(count(lit(1)).as("cnt"), sum(col("k")).as("sum_k"),
+            max(col("u")).as("max_u"))
+          .orderBy("t")
+      },
+      Some("""WITH j AS (SELECT
+             |  '{"t":"' || event_type || '","nest":{"u":' || user_id ||
+             |    '},"k":' || json_extract_string(props, '$.k') || '}' AS js
+             |  FROM events),
+             |x AS (SELECT json_extract_string(js, '$.t') AS t,
+             |  CAST(json_extract_string(js, '$.nest.u') AS BIGINT) AS u,
+             |  CAST(json_extract_string(js, '$.k') AS INT) AS k FROM j)
+             |SELECT t, count(*) AS cnt, CAST(sum(k) AS BIGINT) AS sum_k,
+             |  max(u) AS max_u
+             |FROM x GROUP BY t ORDER BY t NULLS FIRST""".stripMargin)
     )
   )
 }

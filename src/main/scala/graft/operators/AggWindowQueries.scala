@@ -558,6 +558,27 @@ object AggWindowQueries {
              |  round(CAST(n AS DOUBLE) /
              |    CAST(sum(n) OVER (PARTITION BY prev) AS DOUBLE), 6) AS p
              |FROM c ORDER BY prev NULLS FIRST, next NULLS FIRST""".stripMargin)
+    ),
+
+    // G16: mergeable DataSketches HLL — the sketch-union pattern that
+    // makes distinct counting compose at 100 TB: per-partition (here
+    // per-event-type) sketches are built independently, then UNIONED
+    // (not recounted) into a global estimate. Declared rows-only (the
+    // sketch is approximate and DuckDB-inexpressible); AggSketchSpec
+    // bounds the union estimate against the exact distinct count.
+    Entry(
+      "g16_hll_merge",
+      (s, d) => {
+        val sketches = Tables.events(s, d)
+          .groupBy("event_type")
+          .agg(hll_sketch_agg(col("user_id")).as("sk"),
+            countDistinct(col("user_id")).as("exact_per_type"))
+        sketches.agg(
+          hll_sketch_estimate(hll_union_agg(col("sk"))).as("est_users"),
+          sum(col("exact_per_type")).as("sum_per_type"),
+          count(lit(1)).as("n_sketches"))
+      },
+      None
     )
   )
 }

@@ -44,6 +44,19 @@ class AggSketchSpec extends AnyFunSuite with SparkFixture {
     }
   }
 
+  test("g16: unioned per-type HLL sketches estimate global distinct within 5%") {
+    val row = SparkEntry.queries("g16_hll_merge")(spark, sf).collect().head
+    val est = row.getLong(0)
+    val globalExact = graft.sources.Tables.events(spark, sf)
+      .select(countDistinct(col("user_id"))).collect().head.getLong(0)
+    assert(math.abs(est - globalExact).toDouble / globalExact < 0.05,
+      s"union estimate $est vs exact $globalExact")
+    // the union must NOT be the sum of per-type counts (users overlap
+    // across types) — that it lands near the true global distinct is
+    // exactly what mergeability buys
+    assert(row.getLong(1) > est)
+  }
+
   test("b4_kmeans separates planted clusters and is run-stable") {
     import spark.implicits._
     // two tight planted clusters far apart; seeds 0 and 1 land one in
