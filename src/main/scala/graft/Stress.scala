@@ -127,6 +127,14 @@ object Stress {
     // label is shifted too: each replica's similarity graph is
     // self-contained (block sizes preserved, edges grow linearly)
     val emb = replicate(Tables.embeddings(spark, sfDir), Seq("vec_id", "label"))
+    // k-means over the rep×-replicated corpus: assignment is a
+    // pos-join against a broadcast k×dim table, update an integer agg
+    // — both O(corpus × dim) per iteration, nothing cluster-count- or
+    // corpus-squared-shaped.
+    time("kmeans_b4") {
+      graft.operators.Similarity.kmeansQuantized(
+        emb.select(col("vec_id"), col("embedding")), k = 4, iters = 2).count()
+    }
     time("pagerank_b2") {
       import graft.functions.VectorOps
       val e = emb.select(col("vec_id"), col("label"), col("embedding").as("v"))

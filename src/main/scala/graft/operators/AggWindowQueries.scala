@@ -579,6 +579,44 @@ object AggWindowQueries {
           count(lit(1)).as("n_sketches"))
       },
       None
+    ),
+
+    // W11: time-weighted average — the step-function integral (each
+    // value holds until the user's next event; VWAP-style metric).
+    // value·dt products ride the DECIMAL(28,6) accumulator; the span
+    // is an exact integer-µs sum, so the final division is one IEEE
+    // op on identical numbers. Same one-exchange shape as W8: lead +
+    // collapse share the user_id partitioning.
+    Entry(
+      "w11_time_weighted",
+      (s, d) => {
+        val ev = Tables.events(s, d)
+          .select(col("user_id"), col("event_id"),
+            unix_micros(col("ts")).as("us"), col("value"))
+        val w = Window.partitionBy("user_id").orderBy(col("us"), col("event_id"))
+        ev.withColumn("next_us", lead(col("us"), 1).over(w))
+          .filter(col("next_us").isNotNull)
+          .withColumn("dt", col("next_us") - col("us"))
+          .groupBy("user_id")
+          .agg(dsum(col("value") * col("dt")).as("area"),
+            sum(col("dt")).as("span_us"))
+          .filter(col("span_us") > 0)
+          .select(col("user_id"), col("span_us"),
+            round(col("area") / col("span_us").cast("double"), 6).as("twa"))
+          .orderBy("user_id")
+      },
+      Some(s"""WITH e AS (SELECT user_id, event_id, value,
+             |  epoch_us(ts) AS us FROM events),
+             |x AS (SELECT *, lead(us) OVER (PARTITION BY user_id
+             |    ORDER BY us, event_id) AS next_us FROM e),
+             |a AS (SELECT user_id,
+             |    ${dsumSql("value * (next_us - us)")} AS area,
+             |    CAST(sum(next_us - us) AS BIGINT) AS span_us
+             |  FROM x WHERE next_us IS NOT NULL GROUP BY user_id)
+             |SELECT user_id, span_us,
+             |  round(area / CAST(span_us AS DOUBLE), 6) AS twa
+             |FROM a WHERE span_us > 0
+             |ORDER BY user_id NULLS FIRST""".stripMargin)
     )
   )
 }
