@@ -415,6 +415,41 @@ object CurationQueries {
              |SELECT canonical_url, count(*) AS n_docs, min(doc_id) AS keeper_id
              |FROM c GROUP BY canonical_url
              |ORDER BY canonical_url NULLS FIRST""".stripMargin)
+    ),
+
+    // B9l: weighted priority sampling (exponential-clocks / A-ES):
+    // key_i = -ln(u_i) / w_i with u_i a stateless md5 uniform — the
+    // k smallest keys ARE a weighted sample without replacement, and
+    // any executor can score any row. keys are rounded to 9 dp on
+    // BOTH sides so a libm ulp difference can never flip the top-k
+    // cut; ties (equal rounded keys) break on doc_id. The top-k
+    // itself is TakeOrderedAndProject — distributed heap-select, no
+    // global sort, no single-partition window. Weight = n_chars, so
+    // long docs are overrepresented; the per-source rollup makes that
+    // visible and keeps raw sample rows out of the judged output.
+    Entry(
+      "b9_weighted_sample",
+      (s, d) =>
+        Tables.documents(s, d)
+          .select(col("doc_id"), col("source"), col("n_chars"))
+          .withColumn("key",
+            round(-log(Curation.hashUniform(col("doc_id"), ":wsample")) /
+              col("n_chars").cast("double"), 9))
+          .orderBy(col("key").asc, col("doc_id").asc).limit(200)
+          .groupBy("source")
+          .agg(count(lit(1)).as("n_sampled"),
+            sum(col("n_chars")).as("sum_chars"))
+          .orderBy("source"),
+      Some("""WITH k AS (SELECT doc_id, source, n_chars,
+             |  round(-ln(CAST(('0x' || substring(md5(CAST(doc_id AS VARCHAR)
+             |      || ':wsample'), 1, 8)) AS BIGINT) / 4294967296.0)
+             |    / CAST(n_chars AS DOUBLE), 9) AS key
+             |  FROM documents),
+             |s AS (SELECT * FROM k ORDER BY key, doc_id LIMIT 200)
+             |SELECT source, count(*) AS n_sampled,
+             |  CAST(sum(n_chars) AS BIGINT) AS sum_chars
+             |FROM s GROUP BY source
+             |ORDER BY source NULLS FIRST""".stripMargin)
     )
   )
 }

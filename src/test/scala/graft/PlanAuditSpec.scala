@@ -111,6 +111,12 @@ class PlanAuditSpec extends AnyFunSuite with SparkFixture {
     }
   }
 
+  test("b9_weighted_sample: top-k cut is TakeOrderedAndProject, not a global sort") {
+    val p = plan("b9_weighted_sample")
+    assert(p.contains("TakeOrderedAndProject"),
+      s"weighted sample must heap-select, not globally sort:\n$p")
+  }
+
   test("b7_chunk: generator-only — no hash-partition shuffle anywhere") {
     val p = plan("b7_chunk")
     assert(!p.contains("hashpartitioning"), s"chunking must not shuffle:\n$p")
