@@ -41,4 +41,33 @@ object EngineProps extends Properties("engine") {
         a.intersect(b).count() + a.except(b).count() == a.distinct().count()
       unionAll && partition
     }
+
+  // random per-user event offsets (seconds within an hour)
+  private val eventSets: Gen[List[(Long, Int)]] =
+    Gen.nonEmptyListOf(for {
+      user <- Gen.choose(1L, 4L)
+      sec <- Gen.choose(0, 3599)
+    } yield (user, sec))
+
+  property("sessionize: events conserved, one session per user at infinite gap") =
+    forAll(eventSets) { evs =>
+      val df = evs.zipWithIndex.map { case ((u, sec), i) =>
+        (i.toLong, java.sql.Timestamp.from(
+          java.time.Instant.parse("2026-01-01T00:00:00Z").plusSeconds(sec)),
+          u, "view", 1.0, "{}")
+      }.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      val sessions = graft.operators.Analytics.sessionize(df, gapUs = 60L * 1000000)
+        .collect()
+      val users = evs.map(_._1).toSet
+      val conserved = sessions.map(_.getLong(2)).sum == evs.length
+      val oneAtInfinite = graft.operators.Analytics
+        .sessionize(df, gapUs = Long.MaxValue / 2).count() == users.size
+      // within a session, span is consistent: end >= start and bounded
+      // by the hour of generated data
+      val sane = sessions.forall { r =>
+        val (st, en) = (r.getLong(3), r.getLong(4))
+        en >= st && en - st <= 3600L * 1000000
+      }
+      conserved && oneAtInfinite && sane
+    }
 }
