@@ -1,0 +1,62 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Degenerate-input behavior: operators must terminate cleanly (empty
+  * or partial results, never throw) on empty frames, under-populated
+  * clusters, unmatched stages, and single-row corpora — the states a
+  * 100 TB pipeline hits on its first/last shard of the day.
+  */
+class EdgeCaseSpec extends AnyFunSuite with SparkFixture {
+  import spark.implicits._
+
+  private def events(rows: (Long, String, Long, String, Double)*) =
+    rows.map { case (id, t, u, tpe, v) =>
+      (id, java.sql.Timestamp.valueOf(t), u, tpe, v)
+    }.toDF("event_id", "ts", "user_id", "event_type", "value")
+
+  test("sessionize on an empty frame yields no sessions") {
+    val empty = events().filter(lit(false))
+    assert(graft.operators.Analytics.sessionize(empty).count() === 0)
+  }
+
+  test("funnel with a stage type that never occurs reports stage 0 for every user") {
+    val ev = events(
+      (1L, "2026-01-01 10:00:00", 1L, "view", 1.0),
+      (2L, "2026-01-01 10:01:00", 2L, "click", 1.0))
+    val out = graft.operators.Analytics.funnel(ev, Seq("nope"))
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    assert(out === Map(1L -> 0, 2L -> 0))
+  }
+
+  test("kmeans with fewer vectors than k terminates with the populated clusters") {
+    val vecs = Seq(
+      (0L, Array.fill(4)(1.0f)),
+      (1L, Array.fill(4)(-1.0f))).toDF("vec_id", "embedding")
+    val out = graft.operators.Similarity.kmeansQuantized(vecs, k = 4, iters = 2)
+      .collect()
+    assert(out.map(_.getLong(1)).sum === 2L)
+    assert(out.length <= 4)
+  }
+
+  test("LSH candidate pairs on a single-doc corpus is empty") {
+    val docs = Seq((1L, "alpha beta gamma delta epsilon")).toDF("doc_id", "text")
+    assert(graft.operators.MinHash.candidatePairs(docs, "doc_id", "text").count() === 0)
+  }
+
+  test("curation pipeline with no qualifying language returns an empty rollup") {
+    val docs = Seq((1L, "some text here", "fr", "src"))
+      .toDF("doc_id", "text", "lang", "source")
+    assert(graft.operators.Curation.pipeline(docs).count() === 0)
+  }
+
+  test("weighted-sample key is null-safe on the empty corpus") {
+    val docs = Seq.empty[(Long, String, Long)].toDF("doc_id", "source", "n_chars")
+    val out = docs.withColumn("key",
+      round(-log(graft.operators.Curation.hashUniform(col("doc_id"), ":t")) /
+        col("n_chars").cast("double"), 9))
+      .orderBy("key").limit(5)
+    assert(out.count() === 0)
+  }
+}
