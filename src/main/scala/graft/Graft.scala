@@ -163,8 +163,9 @@ object Graft {
     graft.operators.Curation.noveltyScores(docs, n)
 
   // ---- graph / analytics --------------------------------------------
-  /** Fixed-iteration PageRank over an edge list (exact-decimal
-    * contribution sums — order-independent, hash-verifiable). */
+  /** Fixed-iteration PageRank over an edge list. State is fixed-point
+    * micro-units (`pr_micro` = pr·10⁶, long) — integer arithmetic
+    * only, so iterations are order- and engine-independent. */
   def pageRank(nodes: DataFrame, edges: DataFrame, iters: Int = 5): DataFrame =
     graft.operators.Similarity.pageRank(nodes, edges, iters)
 

@@ -86,17 +86,7 @@ object Stress {
       graft.operators.Analytics.sessionize(ev).count()
     }
     time("attribution_w9") {
-      import org.apache.spark.sql.expressions.Window
-      val frame = Window.partitionBy("user_id")
-        .orderBy(col("us"), col("event_id"))
-        .rowsBetween(Window.unboundedPreceding, -1)
-      val touch = when(col("event_type") =!= "purchase", col("event_type"))
-      ev.select(col("user_id"), col("event_id"), col("event_type"),
-          unix_micros(col("ts")).as("us"), col("value"))
-        .withColumn("src_type", last(touch, ignoreNulls = true).over(frame))
-        .filter(col("event_type") === "purchase")
-        .groupBy(coalesce(col("src_type"), lit("none")))
-        .agg(count(lit(1))).count()
+      graft.operators.Analytics.attribution(ev).count()
     }
     // Corpus-profile shapes: replication multiplies token instances
     // while vocabulary stays fixed — the map-side-combine claim is
@@ -136,17 +126,8 @@ object Stress {
         emb.select(col("vec_id"), col("embedding")), k = 4, iters = 2).count()
     }
     time("pagerank_b2") {
-      import graft.functions.VectorOps
-      val e = emb.select(col("vec_id"), col("label"), col("embedding").as("v"))
-        .withColumn("nrm", VectorOps.norm(col("v")))
-      val a = e.select(col("label"), col("vec_id").as("id_a"), col("v").as("va"), col("nrm").as("na"))
-      val b = e.select(col("label"), col("vec_id").as("id_b"), col("v").as("vb"), col("nrm").as("nb"))
-      val pairs = a.join(b, Seq("label"))
-        .filter(col("id_a") < col("id_b"))
-        .filter(VectorOps.dot(col("va"), col("vb")) / (col("na") * col("nb")) >= 0.35)
-        .select(col("id_a"), col("id_b"))
-      val edges = pairs.select(col("id_a").as("src"), col("id_b").as("dst"))
-        .union(pairs.select(col("id_b").as("src"), col("id_a").as("dst")))
+      val edges = graft.operators.Similarity
+        .similarityEdges(emb, threshold = 0.35)
         .localCheckpoint(true)
       graft.operators.Similarity.pageRank(
         emb.select(col("vec_id").as("id")), edges).count()

@@ -443,25 +443,8 @@ object AggWindowQueries {
     // sums are exact integer µs.
     Entry(
       "w9_attribution",
-      (s, d) => {
-        val ev = Tables.events(s, d)
-          .select(col("user_id"), col("event_id"), col("event_type"),
-            unix_micros(col("ts")).as("us"), col("value"))
-        val frame = Window.partitionBy("user_id")
-          .orderBy(col("us"), col("event_id"))
-          .rowsBetween(Window.unboundedPreceding, -1)
-        val touch = when(col("event_type") =!= "purchase", col("event_type"))
-        val touchUs = when(col("event_type") =!= "purchase", col("us"))
-        ev.withColumn("src_type", last(touch, ignoreNulls = true).over(frame))
-          .withColumn("src_us", last(touchUs, ignoreNulls = true).over(frame))
-          .filter(col("event_type") === "purchase")
-          .groupBy(coalesce(col("src_type"), lit("none")).as("channel"))
-          .agg(
-            count(lit(1)).as("n_purchases"),
-            dsum(col("value")).as("revenue"),
-            sum(col("us") - col("src_us")).as("latency_us_total"))
-          .orderBy("channel")
-      },
+      (s, d) =>
+        Analytics.attribution(Tables.events(s, d)).orderBy("channel"),
       Some(s"""WITH e AS (SELECT user_id, event_id, event_type, value,
              |  epoch_us(ts) AS us FROM events),
              |a AS (SELECT *,

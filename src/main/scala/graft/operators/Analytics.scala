@@ -52,25 +52,55 @@ object Analytics {
     */
   def sessionize(events: DataFrame, gapUs: Long = 30L * 60 * 1000000,
                  userCol: String = "user_id", tsCol: String = "ts",
-                 convertType: String = "purchase"): DataFrame = {
+                 convertType: String = "purchase",
+                 idCol: String = "event_id", valueCol: String = "value",
+                 typeCol: String = "event_type"): DataFrame = {
     import graft.QueryRegistry.dsum
-    val wu = Window.partitionBy(userCol).orderBy(col("us"), col("event_id"))
+    // internal columns are __-prefixed so caller frames that already
+    // carry us/prev_us/session_idx columns are never silently clobbered
+    val wu = Window.partitionBy(userCol).orderBy(col("__us"), col(idCol))
     events
-      .withColumn("us", unix_micros(col(tsCol)))
-      .withColumn("prev_us", lag(col("us"), 1).over(wu))
-      .withColumn("new_s",
-        when(col("prev_us").isNull || col("us") - col("prev_us") > gapUs, 1)
+      .withColumn("__us", unix_micros(col(tsCol)))
+      .withColumn("__prev_us", lag(col("__us"), 1).over(wu))
+      .withColumn("__new_s",
+        when(col("__prev_us").isNull || col("__us") - col("__prev_us") > gapUs, 1)
           .otherwise(0))
       .withColumn("session_idx",
-        sum(col("new_s")).over(wu.rowsBetween(Window.unboundedPreceding, 0)))
+        sum(col("__new_s")).over(wu.rowsBetween(Window.unboundedPreceding, 0)))
       .groupBy(col(userCol), col("session_idx"))
       .agg(
         count(lit(1)).as("n_events"),
-        min(col("us")).as("start_us"),
-        max(col("us")).as("end_us"),
-        dsum(col("value")).as("sum_value"),
-        max(when(col("event_type") === convertType, 1).otherwise(0))
+        min(col("__us")).as("start_us"),
+        max(col("__us")).as("end_us"),
+        dsum(col(valueCol)).as("sum_value"),
+        max(when(col(typeCol) === convertType, 1).otherwise(0))
           .as("converted"))
+  }
+
+  /** Last-touch attribution: each conversion credited to the user's
+    * most recent strictly-preceding non-conversion event (its type is
+    * the channel; no preceding touch → 'none'). Output per channel:
+    * conversion count, exact-decimal revenue, exact integer-µs
+    * latency total. One user_id exchange feeds the frame; the rollup
+    * is channel-cardinality. */
+  def attribution(events: DataFrame,
+                  convertType: String = "purchase"): DataFrame = {
+    import graft.QueryRegistry.dsum
+    val ev = events.select(col("user_id"), col("event_id"), col("event_type"),
+      unix_micros(col("ts")).as("us"), col("value"))
+    val frame = Window.partitionBy("user_id")
+      .orderBy(col("us"), col("event_id"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val touch = when(col("event_type") =!= convertType, col("event_type"))
+    val touchUs = when(col("event_type") =!= convertType, col("us"))
+    ev.withColumn("src_type", last(touch, ignoreNulls = true).over(frame))
+      .withColumn("src_us", last(touchUs, ignoreNulls = true).over(frame))
+      .filter(col("event_type") === convertType)
+      .groupBy(coalesce(col("src_type"), lit("none")).as("channel"))
+      .agg(
+        count(lit(1)).as("n_purchases"),
+        dsum(col("value")).as("revenue"),
+        sum(col("us") - col("src_us")).as("latency_us_total"))
   }
 
   /** Cohort retention: users grouped by first-activity week; output

@@ -420,7 +420,10 @@ object CurationQueries {
     // B9l: weighted priority sampling (exponential-clocks / A-ES):
     // key_i = -ln(u_i) / w_i with u_i a stateless md5 uniform — the
     // k smallest keys ARE a weighted sample without replacement, and
-    // any executor can score any row. keys are rounded to 9 dp on
+    // any executor can score any row. u gets a half-ulp shift
+    // ((h + 0.5) / 2^32) so it can never be exactly 0 — Spark's
+    // log(0) would return a NULL that sorts into the sample while
+    // DuckDB's ln(0) errors outright. keys are rounded to 9 dp on
     // BOTH sides so a libm ulp difference can never flip the top-k
     // cut; ties (equal rounded keys) break on doc_id. The top-k
     // itself is TakeOrderedAndProject — distributed heap-select, no
@@ -429,20 +432,23 @@ object CurationQueries {
     // visible and keeps raw sample rows out of the judged output.
     Entry(
       "b9_weighted_sample",
-      (s, d) =>
+      (s, d) => {
+        val u = (conv(substring(md5(concat(col("doc_id").cast("string"),
+          lit(":wsample"))), 1, 8), 16, 10).cast("long").cast("double") + 0.5) /
+          lit(4294967296.0)
         Tables.documents(s, d)
           .select(col("doc_id"), col("source"), col("n_chars"))
           .withColumn("key",
-            round(-log(Curation.hashUniform(col("doc_id"), ":wsample")) /
-              col("n_chars").cast("double"), 9))
+            round(-log(u) / col("n_chars").cast("double"), 9))
           .orderBy(col("key").asc, col("doc_id").asc).limit(200)
           .groupBy("source")
           .agg(count(lit(1)).as("n_sampled"),
             sum(col("n_chars")).as("sum_chars"))
-          .orderBy("source"),
+          .orderBy("source")
+      },
       Some("""WITH k AS (SELECT doc_id, source, n_chars,
-             |  round(-ln(CAST(('0x' || substring(md5(CAST(doc_id AS VARCHAR)
-             |      || ':wsample'), 1, 8)) AS BIGINT) / 4294967296.0)
+             |  round(-ln((CAST(('0x' || substring(md5(CAST(doc_id AS VARCHAR)
+             |      || ':wsample'), 1, 8)) AS BIGINT) + 0.5) / 4294967296.0)
              |    / CAST(n_chars AS DOUBLE), 9) AS key
              |  FROM documents),
              |s AS (SELECT * FROM k ORDER BY key, doc_id LIMIT 200)

@@ -211,7 +211,7 @@ object LakehouseQueries {
         val pairs = a.join(b, Seq("label"))
           .filter(col("id_a") < col("id_b"))
           .withColumn("cos", VectorOps.dot(col("va"), col("vb")) / (col("na") * col("nb")))
-          .filter(col("cos") >= 0.35)
+          .filter(round(col("cos"), 6) >= 0.35)
           .select(col("id_a").as("doc_a"), col("id_b").as("doc_b"))
           // the blocked-cosine self-join feeds members AND every CC
           // round — materialize it once, not once per consumer
@@ -231,7 +231,7 @@ object LakehouseQueries {
              |      FROM embeddings),
              |pairs AS (SELECT a.vec_id AS id_a, b.vec_id AS id_b
              |          FROM n a JOIN n b ON a.label = b.label AND a.vec_id < b.vec_id
-             |          WHERE list_inner_product(a.v, b.v) / (a.nrm * b.nrm) >= 0.35),
+             |          WHERE round(list_inner_product(a.v, b.v) / (a.nrm * b.nrm), 6) >= 0.35),
              |edges AS (SELECT id_a AS src, id_b AS dst FROM pairs
              |          UNION ALL SELECT id_b, id_a FROM pairs),
              |walk(vec_id, lbl) AS (
@@ -263,7 +263,7 @@ object LakehouseQueries {
         val pairs = a.join(b, Seq("label"))
           .filter(col("id_a") < col("id_b"))
           .withColumn("cos", VectorOps.dot(col("va"), col("vb")) / (col("na") * col("nb")))
-          .filter(col("cos") >= 0.35)
+          .filter(round(col("cos"), 6) >= 0.35)
           .select(col("id_a").as("doc_a"), col("id_b").as("doc_b"))
           .localCheckpoint(true)
         val members = pairs.select(col("doc_a").as("doc_id"))
@@ -283,7 +283,7 @@ object LakehouseQueries {
              |      FROM embeddings),
              |pairs AS (SELECT a.vec_id AS id_a, b.vec_id AS id_b
              |          FROM n a JOIN n b ON a.label = b.label AND a.vec_id < b.vec_id
-             |          WHERE list_inner_product(a.v, b.v) / (a.nrm * b.nrm) >= 0.35),
+             |          WHERE round(list_inner_product(a.v, b.v) / (a.nrm * b.nrm), 6) >= 0.35),
              |edges AS (SELECT id_a AS src, id_b AS dst FROM pairs
              |          UNION ALL SELECT id_b, id_a FROM pairs),
              |walk(vec_id, lbl) AS (
@@ -308,34 +308,25 @@ object LakehouseQueries {
     // PageRank (d=0.85) over the undirected cosine-similarity graph,
     // the iterative-compute pattern behind reference-corpus weighting
     // and graph-based data valuation. Each step is one join + one
-    // aggregation; per-node incoming contributions are summed through
-    // the exact DECIMAL(28,6) accumulator, so Spark's partial-agg
-    // order and DuckDB's sequential sum produce bit-identical ranks
-    // at every iteration (order-independence is what makes an
-    // iterative float computation verifiable at all). At 100 TB the
-    // edge list is the near-dup graph (≪ corpus); the iteration count
-    // is fixed, giving O(iters) shuffles of O(edges) — the standard
-    // distributed PR shape, with the materialized edge list reused
-    // across all iterations instead of recomputed.
+    // aggregation; the state is FIXED-POINT micro-units (pr·10⁶ as
+    // longs: integer division per contribution, exact long sums,
+    // (85·x) DIV 100 damping), so every iteration is independent of
+    // summation order AND of either engine's double→decimal rounding
+    // — the earlier decimal-accumulator formulation diverged at sf0.1
+    // when one contribution's ×10⁶ product double-rounded onto an
+    // exact .5. At 100 TB the edge list is the near-dup graph
+    // (≪ corpus); the iteration count is fixed, giving O(iters)
+    // shuffles of O(edges) — the standard distributed PR shape, with
+    // the materialized edge list reused across all iterations.
     Entry(
       "b2_graph_rank",
       (s, d) => {
-        val e = Tables.embeddings(s, d)
-          .select(col("vec_id"), col("label"), col("embedding").as("v"))
-          .withColumn("nrm", VectorOps.norm(col("v")))
-        val a = e.select(col("label"), col("vec_id").as("id_a"), col("v").as("va"), col("nrm").as("na"))
-        val b = e.select(col("label"), col("vec_id").as("id_b"), col("v").as("vb"), col("nrm").as("nb"))
-        val pairs = a.join(b, Seq("label"))
-          .filter(col("id_a") < col("id_b"))
-          .withColumn("cos", VectorOps.dot(col("va"), col("vb")) / (col("na") * col("nb")))
-          .filter(col("cos") >= 0.35)
-          .select(col("id_a"), col("id_b"))
-        val edges = pairs.select(col("id_a").as("src"), col("id_b").as("dst"))
-          .union(pairs.select(col("id_b").as("src"), col("id_a").as("dst")))
+        val edges = Similarity
+          .similarityEdges(Tables.embeddings(s, d), threshold = 0.35)
           .localCheckpoint(true)
         val ids = Tables.embeddings(s, d).select(col("vec_id").as("id"))
         Similarity.pageRank(ids, edges, iters = 5)
-          .select(col("id").as("vec_id"), round(col("pr"), 6).as("pr"))
+          .select(col("id").as("vec_id"), col("pr_micro"))
           .orderBy("vec_id")
       },
       Some {
@@ -345,23 +336,24 @@ object LakehouseQueries {
             |      FROM embeddings),
             |pairs AS (SELECT a.vec_id AS id_a, b.vec_id AS id_b
             |          FROM n a JOIN n b ON a.label = b.label AND a.vec_id < b.vec_id
-            |          WHERE list_inner_product(a.v, b.v) / (a.nrm * b.nrm) >= 0.35),
+            |          WHERE round(list_inner_product(a.v, b.v) / (a.nrm * b.nrm), 6) >= 0.35),
             |edges AS (SELECT id_a AS src, id_b AS dst FROM pairs
             |          UNION ALL SELECT id_b, id_a FROM pairs),
             |deg AS (SELECT src, count(*) AS deg FROM edges GROUP BY 1),
-            |pr0 AS (SELECT vec_id, 1.0::DOUBLE AS pr FROM embeddings),
+            |pr0 AS (SELECT vec_id, CAST(1000000 AS BIGINT) AS pr_micro FROM embeddings),
             |""".stripMargin
         val iters = (1 to 5).map { i =>
-          s"""pr$i AS (SELECT p.vec_id, 0.15 + 0.85 * coalesce(s.contrib, 0.0) AS pr
+          s"""pr$i AS (SELECT p.vec_id,
+             |    CAST(150000 + (85 * coalesce(s.contrib, 0)) // 100 AS BIGINT) AS pr_micro
              |  FROM pr0 p LEFT JOIN (
              |    SELECT e.dst AS vec_id,
-             |      CAST(sum(CAST(q.pr / dg.deg AS DECIMAL(28,6))) AS DOUBLE) AS contrib
+             |      CAST(sum(q.pr_micro // dg.deg) AS BIGINT) AS contrib
              |    FROM edges e JOIN pr${i - 1} q ON e.src = q.vec_id
              |    JOIN deg dg ON dg.src = e.src
              |    GROUP BY e.dst) s USING (vec_id))""".stripMargin
         }.mkString(",\n")
         base + iters +
-          "\nSELECT vec_id, round(pr, 6) AS pr FROM pr5 ORDER BY vec_id NULLS FIRST"
+          "\nSELECT vec_id, pr_micro FROM pr5 ORDER BY vec_id NULLS FIRST"
       }
     ),
 
@@ -376,7 +368,11 @@ object LakehouseQueries {
     Entry(
       "c16_dynamic_overwrite",
       (s, d) => {
-        val base = s"${sys.props("java.io.tmpdir")}/graft_c16_${new java.io.File(d).getName}"
+        // PID-scoped path: the overwrite phase deletes partition files,
+        // so a concurrent JVM reading the same path would hit
+        // FileNotFound mid-scan (unlike the append-only c4/c5 temps)
+        val base = s"${sys.props("java.io.tmpdir")}/graft_c16_" +
+          s"${new java.io.File(d).getName}_${ProcessHandle.current().pid()}"
         val docs = Tables.documents(s, d)
           .select(col("doc_id"), col("source"), col("n_chars"), col("lang"))
         docs.write.mode("overwrite").partitionBy("lang").parquet(base)

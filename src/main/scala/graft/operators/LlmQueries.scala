@@ -577,7 +577,8 @@ object LlmQueries {
     ),
 
     // B4c: oracle-checked distributed k-means (2 Lloyd iterations,
-    // k=4, init = vec_id < k) over int8-quantized embeddings. Exact
+    // k=4, init = the k smallest surviving ids) over int8-quantized
+    // embeddings. Exact
     // integer centroid sums + one IEEE division + DECIMAL(28,6)
     // distance accumulators make every assignment total-ordered and
     // engine-independent — DuckDB replays init → assign → update →
@@ -610,8 +611,11 @@ object LlmQueries {
            |    FROM embeddings) e,
            |    unnest(range(1, len(embedding) + 1)) AS u(i)
            |  WHERE l2 > 0),
-           |c0 AS (SELECT CAST(vec_id AS INT) AS cid, pos, CAST(xv AS DOUBLE) AS cv
-           |  FROM x WHERE vec_id < 4),
+           |sd AS (SELECT vec_id, CAST(row_number() OVER (ORDER BY vec_id) - 1
+           |    AS INT) AS cid
+           |  FROM (SELECT DISTINCT vec_id FROM x ORDER BY vec_id LIMIT 4) q),
+           |c0 AS (SELECT sd.cid, x.pos, CAST(x.xv AS DOUBLE) AS cv
+           |  FROM x JOIN sd USING (vec_id)),
            |a1 AS (${assign("c0")}),
            |c1 AS (${update("a1")}),
            |a2 AS (${assign("c1")}),

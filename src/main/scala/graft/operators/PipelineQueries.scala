@@ -96,7 +96,7 @@ object PipelineQueries {
         a.join(b, Seq("label"))
           .filter(col("id_a") < col("id_b"))
           .withColumn("cos", VectorOps.dot(col("va"), col("vb")) / (col("na") * col("nb")))
-          .filter(col("cos") >= 0.35)
+          .filter(round(col("cos"), 6) >= 0.35)
           .select(col("id_a"), col("id_b"), col("label"), round(col("cos"), 4).as("cos"))
           .orderBy("id_a", "id_b")
       },
@@ -106,7 +106,7 @@ object PipelineQueries {
              |SELECT a.vec_id AS id_a, b.vec_id AS id_b, a.label,
              |round(list_inner_product(a.v, b.v) / (a.nrm * b.nrm), 4) AS cos
              |FROM n a JOIN n b ON a.label = b.label AND a.vec_id < b.vec_id
-             |WHERE list_inner_product(a.v, b.v) / (a.nrm * b.nrm) >= 0.35
+             |WHERE round(list_inner_product(a.v, b.v) / (a.nrm * b.nrm), 6) >= 0.35
              |ORDER BY id_a NULLS FIRST, id_b NULLS FIRST""".stripMargin)
     ),
 

@@ -38,28 +38,58 @@ object Similarity {
       .orderBy("qid", "rnk")
   }
 
+  /** Cosine-threshold similarity edges within blocks, both directions
+    * per undirected pair. Shared by the judged b2_graph_rank and the
+    * replicated Stress shape so the two can never drift. The cosine
+    * is rounded to 6 dp BEFORE thresholding (mirrored in every DuckDB
+    * twin): the two engines' inner-product summation orders differ by
+    * ulps, and at sf0.1 a pair sits exactly at the 0.35 boundary —
+    * raw comparison flips it between engines. */
+  def similarityEdges(embeddings: DataFrame, threshold: Double,
+                      blockCol: String = "label", idCol: String = "vec_id",
+                      vecCol: String = "embedding"): DataFrame = {
+    val e = embeddings
+      .select(col(blockCol).as("__b"), col(idCol).as("__id"), col(vecCol).as("__v"))
+      .withColumn("__n", VectorOps.norm(col("__v")))
+    val a = e.select(col("__b"), col("__id").as("id_a"), col("__v").as("va"), col("__n").as("na"))
+    val b = e.select(col("__b"), col("__id").as("id_b"), col("__v").as("vb"), col("__n").as("nb"))
+    val pairs = a.join(b, Seq("__b"))
+      .filter(col("id_a") < col("id_b"))
+      .withColumn("cos", VectorOps.dot(col("va"), col("vb")) / (col("na") * col("nb")))
+      .filter(round(col("cos"), 6) >= threshold)
+      .select(col("id_a"), col("id_b"))
+    pairs.select(col("id_a").as("src"), col("id_b").as("dst"))
+      .union(pairs.select(col("id_b").as("src"), col("id_a").as("dst")))
+  }
+
   /** Fixed-iteration PageRank (damping 0.85) over a directed edge
     * list; pass both directions for an undirected graph. `nodes` must
-    * carry an `id` column covering every vertex. Per-node incoming
-    * contributions sum through the exact DECIMAL(28,6) accumulator,
-    * making every iteration order-independent (and therefore
-    * hash-verifiable against a sequential engine). O(iters) shuffles
-    * of O(edges); materialize `edges` (localCheckpoint) before calling
-    * when it is the product of an expensive candidate join. */
+    * carry an `id` column covering every vertex.
+    *
+    * Runs entirely in FIXED-POINT micro-units (`pr_micro` = pr·10⁶,
+    * LongType): contributions are integer divisions, sums are exact
+    * long sums, damping is `(85·x) DIV 100`. No float touches the
+    * state, so every iteration is order-independent AND engine-
+    * independent — an earlier DECIMAL(28,6)-accumulator version died
+    * at sf0.1 because a contribution's ×10⁶ product double-rounded
+    * onto an exact .5 and Spark/DuckDB round that cast differently.
+    * O(iters) shuffles of O(edges); materialize `edges`
+    * (localCheckpoint) before calling when it is the product of an
+    * expensive candidate join. */
   def pageRank(nodes: DataFrame, edges: DataFrame, iters: Int = 5): DataFrame = {
     val deg = edges.groupBy("src").agg(count(lit(1)).as("deg"))
       .localCheckpoint(true)
     val ids = nodes.select(col("id"))
-    var pr = ids.withColumn("pr", lit(1.0))
+    var pr = ids.withColumn("pr_micro", lit(1000000L))
     for (_ <- 1 to iters) {
       val contrib = edges
         .join(pr, edges("src") === pr("id"))
         .join(deg, Seq("src"))
-        .select(col("dst"), (col("pr") / col("deg")).as("c"))
-        .groupBy("dst").agg(graft.QueryRegistry.dsum(col("c")).as("contrib"))
+        .select(col("dst"), expr("pr_micro DIV deg").as("c"))
+        .groupBy("dst").agg(sum(col("c")).as("contrib"))
       pr = ids.join(contrib, ids("id") === contrib("dst"), "left")
         .select(col("id"),
-          (lit(0.15) + lit(0.85) * coalesce(col("contrib"), lit(0.0))).as("pr"))
+          expr("150000 + (85 * coalesce(contrib, 0)) DIV 100").as("pr_micro"))
     }
     pr
   }
@@ -73,7 +103,8 @@ object Similarity {
     *    of identical integers, identical everywhere;
     *  - squared-distance terms are quantized to DECIMAL(28,6) and
     *    summed exactly, so the argmin (ties → lower cid) is total.
-    * Deterministic init: clusters seed from vec_id < k. Assignment is
+    * Deterministic init: clusters seed from the k smallest surviving
+    * ids (works for any id domain, not just 0-based). Assignment is
     * a pos-equi-join against the broadcast k×dim centroid table +
     * map-side-combining (vec, cid) agg; the update is an integer agg
     * on (cid, pos). O(iters) passes, no driver-side loop over rows —
@@ -100,9 +131,12 @@ object Similarity {
           Window.partitionBy("vec_id").orderBy(col("dist").asc, col("cid").asc)))
         .filter(col("__rn") === 1)
         .select(col("vec_id"), col("cid"), col("dist"))
-    var cent = xe.filter(col("vec_id") < k)
-      .select(col("vec_id").cast("int").as("cid"), col("pos"),
-        col("xv").cast("double").as("cv"))
+    val seeds = xe.select("vec_id").distinct()
+      .orderBy("vec_id").limit(k)
+      .withColumn("cid", (row_number().over(
+        Window.orderBy("vec_id")) - 1).cast("int"))
+    var cent = xe.join(broadcast(seeds), Seq("vec_id"))
+      .select(col("cid"), col("pos"), col("xv").cast("double").as("cv"))
     for (_ <- 1 to iters)
       cent = xe.join(assign(cent).select("vec_id", "cid"), Seq("vec_id"))
         .groupBy("cid", "pos")

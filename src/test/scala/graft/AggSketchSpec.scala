@@ -51,10 +51,11 @@ class AggSketchSpec extends AnyFunSuite with SparkFixture {
       .select(countDistinct(col("user_id"))).collect().head.getLong(0)
     assert(math.abs(est - globalExact).toDouble / globalExact < 0.05,
       s"union estimate $est vs exact $globalExact")
-    // the union must NOT be the sum of per-type counts (users overlap
-    // across types) — that it lands near the true global distinct is
-    // exactly what mergeability buys
-    assert(row.getLong(1) > est)
+    // the per-type sum can only overcount (users overlap across
+    // types) — compare against the exact global distinct, not the
+    // sketch estimate, so an in-bounds HLL over-estimate cannot fail
+    // the suite
+    assert(row.getLong(1) >= globalExact)
   }
 
   test("b4_kmeans separates planted clusters and is run-stable") {
