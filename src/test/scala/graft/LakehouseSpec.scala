@@ -116,10 +116,10 @@ class LakehouseSpec extends AnyFunSuite with SparkFixture {
       .join(q("b2_cc_clusters"), "dup_group")
       .select("vec_id").collect().map(_.getLong(0)).toSet
     val pr = q("b2_graph_rank").collect()
-      .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
     pr.foreach { case (id, p) =>
-      if (linked(id)) assert(p > 0.15, s"linked node $id")
-      else assert(p === 0.15, s"isolated node $id")
+      if (linked(id)) assert(p > 150000L, s"linked node $id")
+      else assert(p === 150000L, s"isolated node $id") // teleport mass in micro-units
     }
   }
 
