@@ -578,13 +578,13 @@ object LlmQueries {
 
     // B4c: oracle-checked distributed k-means (2 Lloyd iterations,
     // k=4, init = the k smallest surviving ids) over int8-quantized
-    // embeddings. Exact
-    // integer centroid sums + one IEEE division + DECIMAL(28,6)
-    // distance accumulators make every assignment total-ordered and
-    // engine-independent — DuckDB replays init → assign → update →
-    // assign → update → assign CTE-by-CTE and the cluster sizes and
-    // inertia hash-match. The honest-scale twin of the rows-only
-    // b4_ivf_ann quantizer.
+    // embeddings. All-integer state (micro-unit centroids via DIV,
+    // exact long squared distances) makes every assignment
+    // total-ordered and engine-independent with NO rounding anywhere
+    // — DuckDB replays init → assign → update → assign → update →
+    // assign CTE-by-CTE and the cluster sizes and inertia
+    // hash-match. The honest-scale twin of the rows-only b4_ivf_ann
+    // quantizer.
     Entry(
       "b4_kmeans",
       (s, d) =>
@@ -595,12 +595,14 @@ object LlmQueries {
              |  SELECT vec_id, cid, dist, row_number() OVER (
              |    PARTITION BY vec_id ORDER BY dist, cid) AS rn
              |  FROM (SELECT x.vec_id, c.cid,
-             |      sum(CAST((x.xv - c.cv) * (x.xv - c.cv) AS DECIMAL(28, 6))) AS dist
+             |      CAST(sum((x.xv * 1000000 - c.cv_micro) *
+             |               (x.xv * 1000000 - c.cv_micro)) AS BIGINT) AS dist
              |    FROM x JOIN $c c USING (pos)
              |    GROUP BY x.vec_id, c.cid) d) r
              |WHERE rn = 1""".stripMargin
         def update(a: String) =
-          s"""SELECT cid, pos, round(CAST(sum(xv) AS DOUBLE) / count(*), 6) AS cv
+          s"""SELECT cid, pos,
+             |  CAST((sum(xv) * 1000000) // count(*) AS BIGINT) AS cv_micro
              |FROM x JOIN $a USING (vec_id) GROUP BY cid, pos""".stripMargin
         s"""WITH x AS (SELECT vec_id, i - 1 AS pos,
            |    CAST(floor(CAST(embedding[i] AS DOUBLE) * 127 / nullif(l2, 0)
@@ -614,7 +616,7 @@ object LlmQueries {
            |sd AS (SELECT vec_id, CAST(row_number() OVER (ORDER BY vec_id) - 1
            |    AS INT) AS cid
            |  FROM (SELECT DISTINCT vec_id FROM x ORDER BY vec_id LIMIT 4) q),
-           |c0 AS (SELECT sd.cid, x.pos, CAST(x.xv AS DOUBLE) AS cv
+           |c0 AS (SELECT sd.cid, x.pos, x.xv * 1000000 AS cv_micro
            |  FROM x JOIN sd USING (vec_id)),
            |a1 AS (${assign("c0")}),
            |c1 AS (${update("a1")}),
@@ -622,7 +624,7 @@ object LlmQueries {
            |c2 AS (${update("a2")}),
            |a3 AS (${assign("c2")})
            |SELECT cid, count(*) AS n_members,
-           |  round(CAST(sum(dist) AS DOUBLE), 4) AS inertia
+           |  CAST(sum(dist // 1000000) AS BIGINT) AS inertia_micro
            |FROM a3 GROUP BY cid ORDER BY cid NULLS FIRST""".stripMargin
       }
     )

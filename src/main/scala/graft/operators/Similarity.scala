@@ -113,18 +113,22 @@ object Similarity {
   def kmeansQuantized(embeddings: DataFrame, k: Int = 4, iters: Int = 2,
                       idCol: String = "vec_id",
                       vecCol: String = "embedding"): DataFrame = {
-    import org.apache.spark.sql.types.DecimalType
     val xe = embeddings
       .filter(VectorOps.norm(col(vecCol)) > 0)
       .select(col(idCol).as("vec_id"),
         posexplode(graft.operators.Curation.quantize(col(vecCol))))
       .toDF("vec_id", "pos", "xv")
       .localCheckpoint(true)
+    // all-integer state, like pageRank: centroid elements are
+    // micro-units ((Σxv·10⁶) DIV n — Spark DIV and DuckDB // both
+    // truncate toward zero, incl. negatives), distances are exact
+    // long sums of (xv·10⁶ − cv_micro)² — max 64·(2.54e8)² ≈ 4.1e18
+    // fits a long — so the argmin is total and engine-independent.
     def assign(cent: DataFrame): DataFrame =
       xe.join(broadcast(cent), Seq("pos"))
         .select(col("vec_id"), col("cid"),
-          ((col("xv") - col("cv")) * (col("xv") - col("cv")))
-            .cast(DecimalType(28, 6)).as("term"))
+          ((col("xv") * 1000000L - col("cv_micro")) *
+            (col("xv") * 1000000L - col("cv_micro"))).as("term"))
         .groupBy("vec_id", "cid")
         .agg(sum(col("term")).as("dist"))
         .withColumn("__rn", row_number().over(
@@ -136,15 +140,19 @@ object Similarity {
       .withColumn("cid", (row_number().over(
         Window.orderBy("vec_id")) - 1).cast("int"))
     var cent = xe.join(broadcast(seeds), Seq("vec_id"))
-      .select(col("cid"), col("pos"), col("xv").cast("double").as("cv"))
+      .select(col("cid"), col("pos"), (col("xv") * 1000000L).as("cv_micro"))
     for (_ <- 1 to iters)
       cent = xe.join(assign(cent).select("vec_id", "cid"), Seq("vec_id"))
         .groupBy("cid", "pos")
-        .agg(round(sum(col("xv")).cast("double") / count(lit(1)), 6).as("cv"))
+        .agg(sum(col("xv")).as("sx"), count(lit(1)).as("n"))
+        .select(col("cid"), col("pos"),
+          expr("(sx * 1000000) DIV n").as("cv_micro"))
         .localCheckpoint(true)
+    // inertia reported in micro-units of the original squared-code
+    // scale: per-member dist DIV 10⁶ (≤ 4.1e12) summed exactly
     assign(cent)
       .groupBy("cid")
       .agg(count(lit(1)).as("n_members"),
-        round(sum(col("dist")).cast("double"), 4).as("inertia"))
+        sum(expr("dist DIV 1000000")).as("inertia_micro"))
   }
 }

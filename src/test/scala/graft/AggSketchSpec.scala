@@ -67,14 +67,15 @@ class AggSketchSpec extends AnyFunSuite with SparkFixture {
       (i, Array.fill(8)(base + (i % 5) * 0.001f))
     }.toDF("vec_id", "embedding")
     val out = graft.operators.Similarity.kmeansQuantized(vecs, k = 2, iters = 2)
-      .collect().map(r => (r.getInt(0), r.getLong(1), r.getDouble(2)))
+      .collect().map(r => (r.getInt(0), r.getLong(1), r.getLong(2)))
     assert(out.map(_._1).sorted === Array(0, 1))
     assert(out.map(_._2).sum === 40L)
     assert(out.forall(_._2 === 20L), s"expected 20/20 split: ${out.toSeq}")
-    // tight clusters → near-zero inertia; and a re-run is bit-stable
-    assert(out.forall(_._3 < 100.0))
+    // tight clusters → near-zero inertia (micro-units of squared-code
+    // scale); and a re-run is bit-stable
+    assert(out.forall(_._3 < 100L * 1000000))
     val again = graft.operators.Similarity.kmeansQuantized(vecs, k = 2, iters = 2)
-      .collect().map(r => (r.getInt(0), r.getLong(1), r.getDouble(2)))
+      .collect().map(r => (r.getInt(0), r.getLong(1), r.getLong(2)))
     assert(again.sortBy(_._1) === out.sortBy(_._1))
   }
 }
