@@ -110,6 +110,35 @@ object PipelineQueries {
              |ORDER BY id_a NULLS FIRST, id_b NULLS FIRST""".stripMargin)
     ),
 
+    // B5h: tokenizer fertility by language — BPE-ish tokens per
+    // whitespace word, the standard multilingual-tokenizer cost
+    // metric (high fertility = a language pays more tokens per word).
+    // Exact long sums; one IEEE division of identical integers.
+    Entry(
+      "b5_fertility",
+      (s, d) => {
+        val bpe = "[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\\s]"
+        Tables.documents(s, d)
+          .select(col("lang"),
+            size(split(col("text"), " ")).cast("long").as("ws"),
+            size(regexp_extract_all(col("text"), lit(bpe), lit(0)))
+              .cast("long").as("bpe"))
+          .groupBy("lang")
+          .agg(sum(col("ws")).as("n_words"), sum(col("bpe")).as("n_tokens"))
+          .select(col("lang"), col("n_words"), col("n_tokens"),
+            round(col("n_tokens").cast("double") / col("n_words"), 6)
+              .as("fertility"))
+          .orderBy("lang")
+      },
+      Some("""SELECT lang,
+             |  CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS n_words,
+             |  CAST(sum(len(regexp_extract_all(text, '[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\s]'))) AS BIGINT) AS n_tokens,
+             |  round(CAST(sum(len(regexp_extract_all(text, '[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\s]'))) AS DOUBLE)
+             |    / sum(len(string_split(text, ' '))), 6) AS fertility
+             |FROM documents GROUP BY lang
+             |ORDER BY lang NULLS FIRST""".stripMargin)
+    ),
+
     Entry(
       "b5_tokenize",
       (s, d) => {
