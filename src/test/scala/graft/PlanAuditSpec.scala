@@ -111,6 +111,40 @@ class PlanAuditSpec extends AnyFunSuite with SparkFixture {
     }
   }
 
+  test("w11_time_weighted / b5_fertility / b1_url_dedup: ONE corpus-sized hash shuffle each") {
+    for (name <- Seq("w11_time_weighted", "b5_fertility", "b1_url_dedup")) {
+      val p = plan(name)
+      val n = "Exchange hashpartitioning".r.findAllIn(p).length
+      assert(n === 1, s"$name expected exactly one hash exchange:\n$p")
+    }
+  }
+
+  test("w9_attribution: the corpus shuffles once; the channel rollup exchange is post-aggregation") {
+    // Exchange 1 = the user_id window (corpus-sized, unavoidable).
+    // Exchange 2 = the per-channel rollup — it must sit ABOVE a partial
+    // HashAggregate so only channel-count rows move.
+    val p = plan("w9_attribution")
+    val n = "Exchange hashpartitioning".r.findAllIn(p).length
+    assert(n === 2, s"expected two hash exchanges (window + tiny rollup):\n$p")
+    assert(p.contains("partial"), s"channel rollup must map-side combine:\n$p")
+  }
+
+  test("w10_transitions: shuffle sizes shrink stage over stage — lag, pair agg, row-normalize") {
+    // 3 exchanges: user_id lag (corpus), (prev,next) count (post-partial,
+    // transition-matrix-sized), prev-row normalize window (matrix-sized).
+    // A 4th exchange means someone reshuffled the corpus.
+    val p = plan("w10_transitions")
+    val n = "Exchange hashpartitioning".r.findAllIn(p).length
+    assert(n <= 3, s"expected at most three hash exchanges:\n$p")
+    assert(p.contains("partial"), s"pair agg must map-side combine:\n$p")
+  }
+
+  test("b4_kmeans: centroid table broadcasts every iteration — the corpus never shuffles for assignment") {
+    val p = plan("b4_kmeans")
+    assert(p.contains("BroadcastHashJoin"), s"centroid join must broadcast:\n$p")
+    assert(!p.contains("SortMergeJoin"), s"no corpus-sized join shuffle allowed:\n$p")
+  }
+
   test("b9_weighted_sample: top-k cut is TakeOrderedAndProject, not a global sort") {
     val p = plan("b9_weighted_sample")
     assert(p.contains("TakeOrderedAndProject"),
