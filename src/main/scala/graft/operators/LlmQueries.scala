@@ -627,6 +627,74 @@ object LlmQueries {
            |  CAST(sum(dist // 1000000) AS BIGINT) AS inertia_micro
            |FROM a3 GROUP BY cid ORDER BY cid NULLS FIRST""".stripMargin
       }
+    ),
+
+    // B4''': IVF ANN, ORACLE-CHECKED end to end — coarse quantizer =
+    // the all-integer b4_kmeans state, probe ranking = the same exact
+    // long cell distance (nProbe=2 of k=4 cells), rerank = exact
+    // integer dot product of the int8 codes. No float anywhere, so
+    // DuckDB replays index build, probing, and rerank bit-for-bit —
+    // the verified twin of the rows-only b4_ivf_ann scale path.
+    Entry(
+      "b4_ivf_verified",
+      (s, d) =>
+        Similarity.ivfVerified(Tables.embeddings(s, d), col("vec_id") < 10),
+      Some {
+        def assign(c: String) =
+          s"""SELECT vec_id, cid, dist FROM (
+             |  SELECT vec_id, cid, dist, row_number() OVER (
+             |    PARTITION BY vec_id ORDER BY dist, cid) AS rn
+             |  FROM (SELECT x.vec_id, c.cid,
+             |      CAST(sum((x.xv * 1000000 - c.cv_micro) *
+             |               (x.xv * 1000000 - c.cv_micro)) AS BIGINT) AS dist
+             |    FROM x JOIN $c c USING (pos)
+             |    GROUP BY x.vec_id, c.cid) d) r
+             |WHERE rn = 1""".stripMargin
+        def update(a: String) =
+          s"""SELECT cid, pos,
+             |  CAST((sum(xv) * 1000000) // count(*) AS BIGINT) AS cv_micro
+             |FROM x JOIN $a USING (vec_id) GROUP BY cid, pos""".stripMargin
+        s"""WITH x AS (SELECT vec_id, i - 1 AS pos,
+           |    CAST(floor(CAST(embedding[i] AS DOUBLE) * 127 / nullif(l2, 0)
+           |      + 0.5) AS BIGINT) AS xv
+           |  FROM (SELECT vec_id, embedding,
+           |      sqrt(list_aggregate(list_transform(embedding,
+           |        v -> CAST(v AS DOUBLE) * CAST(v AS DOUBLE)), 'sum')) AS l2
+           |    FROM embeddings) e,
+           |    unnest(range(1, len(embedding) + 1)) AS u(i)
+           |  WHERE l2 > 0),
+           |sd AS (SELECT vec_id, CAST(row_number() OVER (ORDER BY vec_id) - 1
+           |    AS INT) AS cid
+           |  FROM (SELECT DISTINCT vec_id FROM x ORDER BY vec_id LIMIT 4) q),
+           |c0 AS (SELECT sd.cid, x.pos, x.xv * 1000000 AS cv_micro
+           |  FROM x JOIN sd USING (vec_id)),
+           |a1 AS (${assign("c0")}),
+           |c1 AS (${update("a1")}),
+           |a2 AS (${assign("c1")}),
+           |c2 AS (${update("a2")}),
+           |d3 AS (SELECT vec_id, cid, dist, row_number() OVER (
+           |    PARTITION BY vec_id ORDER BY dist, cid) AS rn
+           |  FROM (SELECT x.vec_id, c.cid,
+           |      CAST(sum((x.xv * 1000000 - c.cv_micro) *
+           |               (x.xv * 1000000 - c.cv_micro)) AS BIGINT) AS dist
+           |    FROM x JOIN c2 c USING (pos)
+           |    GROUP BY x.vec_id, c.cid) d),
+           |cells AS (SELECT vec_id, cid FROM d3 WHERE rn = 1),
+           |probes AS (SELECT vec_id AS qid, cid FROM d3
+           |  WHERE vec_id < 10 AND rn <= 2),
+           |cand AS (SELECT p.qid, c.vec_id AS nid
+           |  FROM probes p JOIN cells c USING (cid) WHERE c.vec_id <> p.qid),
+           |dots AS (SELECT cand.qid, cand.nid,
+           |    CAST(sum(cx.xv * qx.xv) AS BIGINT) AS dot
+           |  FROM cand JOIN x cx ON cx.vec_id = cand.nid
+           |            JOIN x qx ON qx.vec_id = cand.qid AND qx.pos = cx.pos
+           |  GROUP BY cand.qid, cand.nid)
+           |SELECT qid, rnk, nid, dot FROM (
+           |  SELECT qid, nid, dot, CAST(row_number() OVER (
+           |    PARTITION BY qid ORDER BY dot DESC, nid) AS INT) AS rnk
+           |  FROM dots) r
+           |WHERE rnk <= 3 ORDER BY qid NULLS FIRST, rnk NULLS FIRST""".stripMargin
+      }
     )
   )
 }

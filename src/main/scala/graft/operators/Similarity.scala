@@ -99,10 +99,12 @@ object Similarity {
     * summation order can perturb:
     *  - vectors are int8-quantized first ([[Curation.quantize]]), so
     *    centroid numerators are EXACT integer sums;
-    *  - centroid elements are round(sum/count, 6) — one IEEE division
-    *    of identical integers, identical everywhere;
-    *  - squared-distance terms are quantized to DECIMAL(28,6) and
-    *    summed exactly, so the argmin (ties → lower cid) is total.
+    *  - centroid elements are fixed-point micro-units:
+    *    (Σxv·10⁶) DIV n — Spark's DIV and DuckDB's // both truncate
+    *    toward zero (incl. negatives), identical everywhere;
+    *  - squared distances are exact long sums of (xv·10⁶ − cv_micro)²
+    *    — max 64·(2.54e8)² ≈ 4.1e18 fits a long — so the argmin
+    *    (ties → lower cid) is total and engine-independent.
     * Deterministic init: clusters seed from the k smallest surviving
     * ids (works for any id domain, not just 0-based). Assignment is
     * a pos-equi-join against the broadcast k×dim centroid table +
@@ -113,28 +115,28 @@ object Similarity {
   def kmeansQuantized(embeddings: DataFrame, k: Int = 4, iters: Int = 2,
                       idCol: String = "vec_id",
                       vecCol: String = "embedding"): DataFrame = {
+    val (xe, cent) = kmeansState(embeddings, k, iters, idCol, vecCol)
+    // inertia reported in micro-units of the original squared-code
+    // scale: per-member dist DIV 10⁶ (≤ 4.1e12) summed exactly
+    cellDistances(xe, cent).filter(col("__rn") === 1)
+      .groupBy("cid")
+      .agg(count(lit(1)).as("n_members"),
+        sum(expr("dist DIV 1000000")).as("inertia_micro"))
+  }
+
+  /** The quantized corpus and the post-iteration centroid table the
+    * summary above aggregates — exposed so the IVF index
+    * ([[ivfVerified]]) can build on the identical integer state.
+    * Returns (codes (vec_id, pos, xv), centroids (cid, pos, cv_micro)). */
+  def kmeansState(embeddings: DataFrame, k: Int = 4, iters: Int = 2,
+                  idCol: String = "vec_id",
+                  vecCol: String = "embedding"): (DataFrame, DataFrame) = {
     val xe = embeddings
       .filter(VectorOps.norm(col(vecCol)) > 0)
       .select(col(idCol).as("vec_id"),
         posexplode(graft.operators.Curation.quantize(col(vecCol))))
       .toDF("vec_id", "pos", "xv")
       .localCheckpoint(true)
-    // all-integer state, like pageRank: centroid elements are
-    // micro-units ((Σxv·10⁶) DIV n — Spark DIV and DuckDB // both
-    // truncate toward zero, incl. negatives), distances are exact
-    // long sums of (xv·10⁶ − cv_micro)² — max 64·(2.54e8)² ≈ 4.1e18
-    // fits a long — so the argmin is total and engine-independent.
-    def assign(cent: DataFrame): DataFrame =
-      xe.join(broadcast(cent), Seq("pos"))
-        .select(col("vec_id"), col("cid"),
-          ((col("xv") * 1000000L - col("cv_micro")) *
-            (col("xv") * 1000000L - col("cv_micro"))).as("term"))
-        .groupBy("vec_id", "cid")
-        .agg(sum(col("term")).as("dist"))
-        .withColumn("__rn", row_number().over(
-          Window.partitionBy("vec_id").orderBy(col("dist").asc, col("cid").asc)))
-        .filter(col("__rn") === 1)
-        .select(col("vec_id"), col("cid"), col("dist"))
     val seeds = xe.select("vec_id").distinct()
       .orderBy("vec_id").limit(k)
       .withColumn("cid", (row_number().over(
@@ -142,17 +144,67 @@ object Similarity {
     var cent = xe.join(broadcast(seeds), Seq("vec_id"))
       .select(col("cid"), col("pos"), (col("xv") * 1000000L).as("cv_micro"))
     for (_ <- 1 to iters)
-      cent = xe.join(assign(cent).select("vec_id", "cid"), Seq("vec_id"))
+      cent = xe.join(
+          cellDistances(xe, cent).filter(col("__rn") === 1)
+            .select("vec_id", "cid"), Seq("vec_id"))
         .groupBy("cid", "pos")
         .agg(sum(col("xv")).as("sx"), count(lit(1)).as("n"))
         .select(col("cid"), col("pos"),
           expr("(sx * 1000000) DIV n").as("cv_micro"))
         .localCheckpoint(true)
-    // inertia reported in micro-units of the original squared-code
-    // scale: per-member dist DIV 10⁶ (≤ 4.1e12) summed exactly
-    assign(cent)
-      .groupBy("cid")
-      .agg(count(lit(1)).as("n_members"),
-        sum(expr("dist DIV 1000000")).as("inertia_micro"))
+    (xe, cent)
+  }
+
+  /** Exact integer distance of every vector to every centroid:
+    * (vec_id, cid, dist, __rn) with __rn ranking cells per vector by
+    * (dist asc, cid asc) — __rn = 1 is the Lloyd assignment, __rn ≤ p
+    * is IVF's nProbe probe set. All-long arithmetic (see
+    * [[kmeansQuantized]]); k×corpus rows, map-side-combined. */
+  def cellDistances(xe: DataFrame, cent: DataFrame): DataFrame =
+    xe.join(broadcast(cent), Seq("pos"))
+      .select(col("vec_id"), col("cid"),
+        ((col("xv") * 1000000L - col("cv_micro")) *
+          (col("xv") * 1000000L - col("cv_micro"))).as("term"))
+      .groupBy("vec_id", "cid")
+      .agg(sum(col("term")).as("dist"))
+      .withColumn("__rn", row_number().over(
+        Window.partitionBy("vec_id").orderBy(col("dist").asc, col("cid").asc)))
+
+  /** IVF approximate nearest neighbors, fully oracle-checkable: the
+    * coarse quantizer is the all-integer [[kmeansState]] k-means, the
+    * probe ranking is the same exact long distance, and the rerank is
+    * an EXACT integer dot product of the int8 codes — no float
+    * anywhere, so DuckDB replays index build, probing, and rerank
+    * bit-for-bit. Query side (`queryPred`, bounded) probes its
+    * `nProbe` nearest cells and reranks only members of those cells:
+    * the corpus is touched by one index-build pass and one
+    * candidate-side semi-join against the BROADCAST probe set — at
+    * 100 TB the index build amortizes over every query batch and no
+    * corpus-sized shuffle depends on query count.
+    * Output: (qid, rnk, nid, dot) with a total order. */
+  def ivfVerified(embeddings: DataFrame, queryPred: Column,
+                  k: Int = 4, iters: Int = 2, nProbe: Int = 2,
+                  topK: Int = 3,
+                  idCol: String = "vec_id",
+                  vecCol: String = "embedding"): DataFrame = {
+    val (xe, cent) = kmeansState(embeddings, k, iters, idCol, vecCol)
+    val dists = cellDistances(xe, cent).localCheckpoint(true)
+    val cells = dists.filter(col("__rn") === 1).select(col("vec_id"), col("cid"))
+    val probes = dists.filter(queryPred && col("__rn") <= nProbe)
+      .select(col("vec_id").as("qid"), col("cid"))
+    val cand = cells.join(broadcast(probes), Seq("cid"))
+      .filter(col("vec_id") =!= col("qid"))
+      .select(col("qid"), col("vec_id").as("nid"))
+    val qcodes = xe.filter(queryPred)
+      .select(col("vec_id").as("qid"), col("pos"), col("xv").as("qv"))
+    val w = Window.partitionBy("qid").orderBy(col("dot").desc, col("nid").asc)
+    cand.join(xe, col("nid") === xe("vec_id"))
+      .join(broadcast(qcodes), Seq("qid", "pos"))
+      .groupBy("qid", "nid")
+      .agg(sum(col("xv") * col("qv")).as("dot"))
+      .withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= topK)
+      .select(col("qid"), col("rnk"), col("nid"), col("dot"))
+      .orderBy("qid", "rnk")
   }
 }
