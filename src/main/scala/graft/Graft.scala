@@ -84,9 +84,11 @@ object Graft {
   /** Whitespace token count. */
   def tokenCount(text: Column): Column = size(split(text, " "))
 
-  /** BPE-ish regex token count (letters / digits / punctuation). */
+  /** BPE-ish regex token count (letters / digits / punctuation).
+    * Whitespace is enumerated rather than \s so the count replays
+    * identically under RE2-class engines (Java's \s includes \x0B). */
   def tokenCountBpe(text: Column): Column =
-    size(regexp_extract_all(text, lit("[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\\s]"), lit(0)))
+    size(regexp_extract_all(text, lit("[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9 \\t\\n\\r\\f]"), lit(0)))
 
   // ---- corpus curation ---------------------------------------------
   /** Per-training-doc count of distinct n-grams shared with the eval
@@ -170,7 +172,9 @@ object Graft {
     graft.operators.Similarity.pageRank(nodes, edges, iters)
 
   /** Distributed fixed-iteration k-means over int8-quantized
-    * embeddings; one row per cluster (cid, n_members, inertia). */
+    * embeddings; one row per cluster
+    * (cid, n_members, inertia_micro: long, micro-units of the
+    * squared-code scale). */
   def kmeans(embeddings: DataFrame, k: Int = 4, iters: Int = 2): DataFrame =
     graft.operators.Similarity.kmeansQuantized(embeddings, k, iters)
 

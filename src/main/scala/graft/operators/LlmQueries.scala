@@ -18,6 +18,46 @@ object LlmQueries {
 
   private def words(c: org.apache.spark.sql.Column) = split(c, " ")
 
+  // Shared DuckDB replay of the all-integer k-means state
+  // (Similarity.kmeansState): quantize → seed → (assign → update) × 2.
+  // b4_kmeans aggregates the final assignment; b4_ivf_verified probes
+  // from the same c2 centroids — ONE definition, two consumers, so the
+  // twins cannot drift. Sums run in DuckDB's HUGEINT (mirroring the
+  // Spark side's DECIMAL(38,0) accumulators).
+  private def kmAssignSql(c: String) =
+    s"""SELECT vec_id, cid, dist FROM (
+       |  SELECT vec_id, cid, dist, row_number() OVER (
+       |    PARTITION BY vec_id ORDER BY dist, cid) AS rn
+       |  FROM (SELECT x.vec_id, c.cid,
+       |      CAST(sum((x.xv * 1000000 - c.cv_micro) *
+       |               (x.xv * 1000000 - c.cv_micro)) AS BIGINT) AS dist
+       |    FROM x JOIN $c c USING (pos)
+       |    GROUP BY x.vec_id, c.cid) d) r
+       |WHERE rn = 1""".stripMargin
+  private def kmUpdateSql(a: String) =
+    s"""SELECT cid, pos,
+       |  CAST((sum(xv) * 1000000) // count(*) AS BIGINT) AS cv_micro
+       |FROM x JOIN $a USING (vec_id) GROUP BY cid, pos""".stripMargin
+  private val kmStateSql =
+    s"""WITH x AS (SELECT vec_id, i - 1 AS pos,
+       |    CAST(floor(CAST(embedding[i] AS DOUBLE) * 127 / nullif(l2, 0)
+       |      + 0.5) AS BIGINT) AS xv
+       |  FROM (SELECT vec_id, embedding,
+       |      sqrt(list_aggregate(list_transform(embedding,
+       |        v -> CAST(v AS DOUBLE) * CAST(v AS DOUBLE)), 'sum')) AS l2
+       |    FROM embeddings) e,
+       |    unnest(range(1, len(embedding) + 1)) AS u(i)
+       |  WHERE l2 > 0),
+       |sd AS (SELECT vec_id, CAST(row_number() OVER (ORDER BY vec_id) - 1
+       |    AS INT) AS cid
+       |  FROM (SELECT DISTINCT vec_id FROM x ORDER BY vec_id LIMIT 4) q),
+       |c0 AS (SELECT sd.cid, x.pos, x.xv * 1000000 AS cv_micro
+       |  FROM x JOIN sd USING (vec_id)),
+       |a1 AS (${kmAssignSql("c0")}),
+       |c1 AS (${kmUpdateSql("a1")}),
+       |a2 AS (${kmAssignSql("c1")}),
+       |c2 AS (${kmUpdateSql("a2")})""".stripMargin
+
   val entries: Seq[Entry] = Seq(
     // B1: exact dedup by normalized text hash — hash-groupBy, partial agg
     // before the shuffle; the survivor is the smallest doc_id.
@@ -589,44 +629,12 @@ object LlmQueries {
       "b4_kmeans",
       (s, d) =>
         Similarity.kmeansQuantized(Tables.embeddings(s, d)).orderBy("cid"),
-      Some {
-        def assign(c: String) =
-          s"""SELECT vec_id, cid, dist FROM (
-             |  SELECT vec_id, cid, dist, row_number() OVER (
-             |    PARTITION BY vec_id ORDER BY dist, cid) AS rn
-             |  FROM (SELECT x.vec_id, c.cid,
-             |      CAST(sum((x.xv * 1000000 - c.cv_micro) *
-             |               (x.xv * 1000000 - c.cv_micro)) AS BIGINT) AS dist
-             |    FROM x JOIN $c c USING (pos)
-             |    GROUP BY x.vec_id, c.cid) d) r
-             |WHERE rn = 1""".stripMargin
-        def update(a: String) =
-          s"""SELECT cid, pos,
-             |  CAST((sum(xv) * 1000000) // count(*) AS BIGINT) AS cv_micro
-             |FROM x JOIN $a USING (vec_id) GROUP BY cid, pos""".stripMargin
-        s"""WITH x AS (SELECT vec_id, i - 1 AS pos,
-           |    CAST(floor(CAST(embedding[i] AS DOUBLE) * 127 / nullif(l2, 0)
-           |      + 0.5) AS BIGINT) AS xv
-           |  FROM (SELECT vec_id, embedding,
-           |      sqrt(list_aggregate(list_transform(embedding,
-           |        v -> CAST(v AS DOUBLE) * CAST(v AS DOUBLE)), 'sum')) AS l2
-           |    FROM embeddings) e,
-           |    unnest(range(1, len(embedding) + 1)) AS u(i)
-           |  WHERE l2 > 0),
-           |sd AS (SELECT vec_id, CAST(row_number() OVER (ORDER BY vec_id) - 1
-           |    AS INT) AS cid
-           |  FROM (SELECT DISTINCT vec_id FROM x ORDER BY vec_id LIMIT 4) q),
-           |c0 AS (SELECT sd.cid, x.pos, x.xv * 1000000 AS cv_micro
-           |  FROM x JOIN sd USING (vec_id)),
-           |a1 AS (${assign("c0")}),
-           |c1 AS (${update("a1")}),
-           |a2 AS (${assign("c1")}),
-           |c2 AS (${update("a2")}),
-           |a3 AS (${assign("c2")})
+      Some(
+        s"""$kmStateSql,
+           |a3 AS (${kmAssignSql("c2")})
            |SELECT cid, count(*) AS n_members,
-           |  CAST(sum(dist // 1000000) AS BIGINT) AS inertia_micro
-           |FROM a3 GROUP BY cid ORDER BY cid NULLS FIRST""".stripMargin
-      }
+           |  CAST(sum(dist) // 1000000 AS BIGINT) AS inertia_micro
+           |FROM a3 GROUP BY cid ORDER BY cid NULLS FIRST""".stripMargin)
     ),
 
     // B4''': IVF ANN, ORACLE-CHECKED end to end — coarse quantizer =
@@ -639,39 +647,8 @@ object LlmQueries {
       "b4_ivf_verified",
       (s, d) =>
         Similarity.ivfVerified(Tables.embeddings(s, d), col("vec_id") < 10),
-      Some {
-        def assign(c: String) =
-          s"""SELECT vec_id, cid, dist FROM (
-             |  SELECT vec_id, cid, dist, row_number() OVER (
-             |    PARTITION BY vec_id ORDER BY dist, cid) AS rn
-             |  FROM (SELECT x.vec_id, c.cid,
-             |      CAST(sum((x.xv * 1000000 - c.cv_micro) *
-             |               (x.xv * 1000000 - c.cv_micro)) AS BIGINT) AS dist
-             |    FROM x JOIN $c c USING (pos)
-             |    GROUP BY x.vec_id, c.cid) d) r
-             |WHERE rn = 1""".stripMargin
-        def update(a: String) =
-          s"""SELECT cid, pos,
-             |  CAST((sum(xv) * 1000000) // count(*) AS BIGINT) AS cv_micro
-             |FROM x JOIN $a USING (vec_id) GROUP BY cid, pos""".stripMargin
-        s"""WITH x AS (SELECT vec_id, i - 1 AS pos,
-           |    CAST(floor(CAST(embedding[i] AS DOUBLE) * 127 / nullif(l2, 0)
-           |      + 0.5) AS BIGINT) AS xv
-           |  FROM (SELECT vec_id, embedding,
-           |      sqrt(list_aggregate(list_transform(embedding,
-           |        v -> CAST(v AS DOUBLE) * CAST(v AS DOUBLE)), 'sum')) AS l2
-           |    FROM embeddings) e,
-           |    unnest(range(1, len(embedding) + 1)) AS u(i)
-           |  WHERE l2 > 0),
-           |sd AS (SELECT vec_id, CAST(row_number() OVER (ORDER BY vec_id) - 1
-           |    AS INT) AS cid
-           |  FROM (SELECT DISTINCT vec_id FROM x ORDER BY vec_id LIMIT 4) q),
-           |c0 AS (SELECT sd.cid, x.pos, x.xv * 1000000 AS cv_micro
-           |  FROM x JOIN sd USING (vec_id)),
-           |a1 AS (${assign("c0")}),
-           |c1 AS (${update("a1")}),
-           |a2 AS (${assign("c1")}),
-           |c2 AS (${update("a2")}),
+      Some(
+        s"""$kmStateSql,
            |d3 AS (SELECT vec_id, cid, dist, row_number() OVER (
            |    PARTITION BY vec_id ORDER BY dist, cid) AS rn
            |  FROM (SELECT x.vec_id, c.cid,
@@ -693,8 +670,7 @@ object LlmQueries {
            |  SELECT qid, nid, dot, CAST(row_number() OVER (
            |    PARTITION BY qid ORDER BY dot DESC, nid) AS INT) AS rnk
            |  FROM dots) r
-           |WHERE rnk <= 3 ORDER BY qid NULLS FIRST, rnk NULLS FIRST""".stripMargin
-      }
+           |WHERE rnk <= 3 ORDER BY qid NULLS FIRST, rnk NULLS FIRST""".stripMargin)
     )
   )
 }

@@ -113,11 +113,16 @@ object PipelineQueries {
     // B5h: tokenizer fertility by language — BPE-ish tokens per
     // whitespace word, the standard multilingual-tokenizer cost
     // metric (high fertility = a language pays more tokens per word).
-    // Exact long sums; one IEEE division of identical integers.
+    // Fixed-point micro-units like b2_graph_rank: exact (HUGEINT-safe)
+    // sums, one truncating division — no double ever touches the
+    // judged value, so no half-boundary rounding divergence. The
+    // whitespace class is ENUMERATED, not \s: Java's \s includes
+    // \x0B, RE2's (DuckDB) does not — a vertical tab in scraped text
+    // would tokenize differently between engines.
     Entry(
       "b5_fertility",
       (s, d) => {
-        val bpe = "[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\\s]"
+        val bpe = "[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9 \\t\\n\\r\\f]"
         Tables.documents(s, d)
           .select(col("lang"),
             size(split(col("text"), " ")).cast("long").as("ws"),
@@ -126,15 +131,15 @@ object PipelineQueries {
           .groupBy("lang")
           .agg(sum(col("ws")).as("n_words"), sum(col("bpe")).as("n_tokens"))
           .select(col("lang"), col("n_words"), col("n_tokens"),
-            round(col("n_tokens").cast("double") / col("n_words"), 6)
-              .as("fertility"))
+            expr("CAST((CAST(n_tokens AS DECIMAL(38,0)) * 1000000) DIV n_words AS BIGINT)")
+              .as("fertility_micro"))
           .orderBy("lang")
       },
       Some("""SELECT lang,
              |  CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS n_words,
-             |  CAST(sum(len(regexp_extract_all(text, '[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\s]'))) AS BIGINT) AS n_tokens,
-             |  round(CAST(sum(len(regexp_extract_all(text, '[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\s]'))) AS DOUBLE)
-             |    / sum(len(string_split(text, ' '))), 6) AS fertility
+             |  CAST(sum(len(regexp_extract_all(text, '[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9 \t\n\r\f]'))) AS BIGINT) AS n_tokens,
+             |  CAST((sum(len(regexp_extract_all(text, '[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9 \t\n\r\f]'))) * 1000000)
+             |    // sum(len(string_split(text, ' '))) AS BIGINT) AS fertility_micro
              |FROM documents GROUP BY lang
              |ORDER BY lang NULLS FIRST""".stripMargin)
     ),
@@ -142,7 +147,8 @@ object PipelineQueries {
     Entry(
       "b5_tokenize",
       (s, d) => {
-        val bpe = "[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\\s]"
+        // enumerated whitespace, not \s — see b5_fertility
+        val bpe = "[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9 \\t\\n\\r\\f]"
         val toks = regexp_extract_all(col("text"), lit(bpe), lit(0))
         Tables.documents(s, d)
           .select(
@@ -154,8 +160,8 @@ object PipelineQueries {
       },
       Some("""SELECT doc_id,
              |CAST(len(string_split(text, ' ')) AS INT) AS n_ws_tokens,
-             |CAST(len(regexp_extract_all(text, '[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\s]')) AS INT) AS n_bpe_tokens,
-             |CAST(len(list_distinct(regexp_extract_all(text, '[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\s]'))) AS INT) AS n_distinct_bpe
+             |CAST(len(regexp_extract_all(text, '[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9 \t\n\r\f]')) AS INT) AS n_bpe_tokens,
+             |CAST(len(list_distinct(regexp_extract_all(text, '[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9 \t\n\r\f]'))) AS INT) AS n_distinct_bpe
              |FROM documents ORDER BY doc_id NULLS FIRST""".stripMargin)
     ),
 

@@ -73,6 +73,10 @@ object Similarity {
     * independent — an earlier DECIMAL(28,6)-accumulator version died
     * at sf0.1 because a contribution's ×10⁶ product double-rounded
     * onto an exact .5 and Spark/DuckDB round that cast differently.
+    * Overflow headroom: total rank mass is conserved at n·10⁶
+    * micro-units, so the damping product 85·x stays inside a long for
+    * graphs up to ~10¹¹ vertices even if all mass concentrates on one
+    * node; beyond that, shrink the per-vertex unit (10⁶ → 10³).
     * O(iters) shuffles of O(edges); materialize `edges`
     * (localCheckpoint) before calling when it is the product of an
     * expensive candidate join. */
@@ -117,11 +121,17 @@ object Similarity {
                       vecCol: String = "embedding"): DataFrame = {
     val (xe, cent) = kmeansState(embeddings, k, iters, idCol, vecCol)
     // inertia reported in micro-units of the original squared-code
-    // scale: per-member dist DIV 10⁶ (≤ 4.1e12) summed exactly
+    // scale. The accumulator is DECIMAL(38,0) — per-member dist is
+    // ≤ 4.1e18, so a LONG sum would overflow (ANSI abort) beyond
+    // ~2 members-at-max-distance and silently caps real clusters at
+    // ~10⁶ far members; DECIMAL(38,0) is exact to 10³⁸ (DuckDB sums
+    // BIGINT into HUGEINT — same headroom), and the single trailing
+    // DIV truncates identically in both engines.
     cellDistances(xe, cent).filter(col("__rn") === 1)
       .groupBy("cid")
       .agg(count(lit(1)).as("n_members"),
-        sum(expr("dist DIV 1000000")).as("inertia_micro"))
+        expr("CAST(sum(CAST(dist AS DECIMAL(38,0))) DIV 1000000 AS BIGINT)")
+          .as("inertia_micro"))
   }
 
   /** The quantized corpus and the post-iteration centroid table the
@@ -148,9 +158,13 @@ object Similarity {
           cellDistances(xe, cent).filter(col("__rn") === 1)
             .select("vec_id", "cid"), Seq("vec_id"))
         .groupBy("cid", "pos")
-        .agg(sum(col("xv")).as("sx"), count(lit(1)).as("n"))
+        // sx is exact in long only to ~7e16 members (|xv| ≤ 127), but
+        // sx·10⁶ would overflow long at ~7e10 — go through
+        // DECIMAL(38,0) for the scale-up (DuckDB's HUGEINT sum has
+        // the same headroom); cv_micro itself fits comfortably.
+        .agg(sum(col("xv").cast("decimal(38,0)")).as("sx"), count(lit(1)).as("n"))
         .select(col("cid"), col("pos"),
-          expr("(sx * 1000000) DIV n").as("cv_micro"))
+          expr("CAST((sx * 1000000) DIV n AS BIGINT)").as("cv_micro"))
         .localCheckpoint(true)
     (xe, cent)
   }

@@ -139,10 +139,26 @@ class PlanAuditSpec extends AnyFunSuite with SparkFixture {
     assert(p.contains("partial"), s"pair agg must map-side combine:\n$p")
   }
 
-  test("b4_kmeans: centroid table broadcasts every iteration — the corpus never shuffles for assignment") {
-    val p = plan("b4_kmeans")
+  test("b4_kmeans assignment pass: centroid table broadcasts — the corpus never shuffles for the join") {
+    // b4_kmeans's own executed plan truncates at the localCheckpoints
+    // (each iteration materializes), so auditing it would only ever see
+    // the LAST pass. Audit the per-iteration building block directly on
+    // non-checkpointed inputs — this is the join shape every Lloyd
+    // iteration runs.
+    import org.apache.spark.sql.functions._
+    val xe = graft.sources.Tables.embeddings(spark, sf)
+      .filter(graft.functions.VectorOps.norm(col("embedding")) > 0)
+      .select(col("vec_id"),
+        posexplode(graft.operators.Curation.quantize(col("embedding"))))
+      .toDF("vec_id", "pos", "xv")
+    val cent = xe.filter(col("vec_id") < 4)
+      .select(col("vec_id").cast("int").as("cid"), col("pos"),
+        (col("xv") * 1000000L).as("cv_micro"))
+    val p = graft.operators.Similarity.cellDistances(xe, cent)
+      .queryExecution.executedPlan.toString
     assert(p.contains("BroadcastHashJoin"), s"centroid join must broadcast:\n$p")
-    assert(!p.contains("SortMergeJoin"), s"no corpus-sized join shuffle allowed:\n$p")
+    assert(!p.contains("SortMergeJoin") && !p.contains("ShuffledHashJoin"),
+      s"no corpus-sized join shuffle allowed:\n$p")
   }
 
   test("b9_weighted_sample: top-k cut is TakeOrderedAndProject, not a global sort") {
