@@ -40,6 +40,27 @@ class EdgeCaseSpec extends AnyFunSuite with SparkFixture {
     assert(out.length <= 4)
   }
 
+  test("ivfVerified with fewer vectors than k still returns each query's neighbors") {
+    val vecs = Seq(
+      (0L, Array.fill(4)(1.0f)),
+      (1L, Array(1.0f, 1.0f, 1.0f, 0.9f)),
+      (2L, Array.fill(4)(-1.0f))).toDF("vec_id", "embedding")
+    val out = graft.operators.Similarity
+      .ivfVerified(vecs, col("vec_id") < 3, k = 4, iters = 2, nProbe = 2)
+      .collect()
+    // every query finds at least its probed-cell co-members; no self-pairs
+    assert(out.nonEmpty)
+    assert(out.forall(r => r.getLong(0) != r.getLong(2)))
+  }
+
+  test("ivfVerified with an empty query set is empty, not a crash") {
+    val vecs = Seq(
+      (0L, Array.fill(4)(1.0f)),
+      (1L, Array.fill(4)(-1.0f))).toDF("vec_id", "embedding")
+    assert(graft.operators.Similarity
+      .ivfVerified(vecs, lit(false), k = 2, iters = 1).count() === 0)
+  }
+
   test("LSH candidate pairs on a single-doc corpus is empty") {
     val docs = Seq((1L, "alpha beta gamma delta epsilon")).toDF("doc_id", "text")
     assert(graft.operators.MinHash.candidatePairs(docs, "doc_id", "text").count() === 0)
