@@ -32,8 +32,11 @@ class AggSketchSpec extends AnyFunSuite with SparkFixture {
       .collect().map(r => (r.getLong(0), r.getLong(2)))
       .groupBy(_._1).map { case (q, rs) => q -> rs.map(_._2).toSet }
     // floors set from measured values (LSH 0.87 with Hamming-1
-    // multi-probe — was 0.37 single-probe; IVF 0.90) minus margin.
-    for ((name, floor) <- Seq("b4_lsh_ann" -> 0.6, "b4_ivf_ann" -> 0.5)) {
+    // multi-probe — was 0.37 single-probe; IVF 0.90; oracle-checked
+    // IVF twin 0.90 — int8-dot rerank ≈ cosine on the normalized
+    // codes) minus margin.
+    for ((name, floor) <- Seq("b4_lsh_ann" -> 0.6, "b4_ivf_ann" -> 0.5,
+        "b4_ivf_verified" -> 0.6)) {
       val approx = neighbors(name)
       val recalls = exact.toSeq.map { case (q, truth) =>
         approx.get(q).map(a => a.intersect(truth).size.toDouble / truth.size).getOrElse(0.0)
