@@ -132,6 +132,15 @@ object Stress {
       graft.operators.Similarity.pageRank(
         emb.select(col("vec_id").as("id")), edges).count()
     }
+    // IVF probe path: index build (k-means + cell assignment) is
+    // linear in corpus; the query side stays the SAME 10 vectors at
+    // every rep, so probe+rerank cost must stay bounded by probed-cell
+    // size — time growth beyond the build is the thing to watch.
+    time("ivf_ann_b4") {
+      graft.operators.Similarity.ivfVerified(
+        emb.select(col("vec_id"), col("embedding")),
+        col("vec_id") < 10).count()
+    }
     spark.stop()
   }
 }
