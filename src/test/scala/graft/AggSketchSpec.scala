@@ -34,9 +34,10 @@ class AggSketchSpec extends AnyFunSuite with SparkFixture {
     // floors set from measured values (LSH 0.87 with Hamming-1
     // multi-probe — was 0.37 single-probe; IVF 0.90; oracle-checked
     // IVF twin 0.90 — int8-dot rerank ≈ cosine on the normalized
-    // codes) minus margin.
+    // codes; PQ 0.93 with the top-100 ADC shortlist reranked exactly
+    // — raw ADC order alone measured 0.23) minus margin.
     for ((name, floor) <- Seq("b4_lsh_ann" -> 0.6, "b4_ivf_ann" -> 0.5,
-        "b4_ivf_verified" -> 0.6)) {
+        "b4_ivf_verified" -> 0.6, "b4_pq_verified" -> 0.7)) {
       val approx = neighbors(name)
       val recalls = exact.toSeq.map { case (q, truth) =>
         approx.get(q).map(a => a.intersect(truth).size.toDouble / truth.size).getOrElse(0.0)

@@ -61,6 +61,31 @@ class EdgeCaseSpec extends AnyFunSuite with SparkFixture {
       .ivfVerified(vecs, lit(false), k = 2, iters = 1).count() === 0)
   }
 
+  test("pqVerified under-populated codebook (k > corpus) still answers; no self-pairs") {
+    val vecs = Seq(
+      (0L, Array.fill(8)(1.0f)),
+      (1L, Array(1.0f, 1.0f, 1.0f, 0.9f, 1.0f, 1.0f, 1.0f, 0.9f)),
+      (2L, Array.fill(8)(-1.0f))).toDF("vec_id", "embedding")
+    val out = graft.operators.Similarity
+      .pqVerified(vecs, col("vec_id") < 3, subDim = 4, k = 16, iters = 2,
+        shortlist = 10, topK = 2)
+      .collect()
+    assert(out.nonEmpty)
+    assert(out.forall(r => r.getLong(0) != r.getLong(2)))
+    // 0 and 1 are near-identical, 2 is their antipode: each of 0/1 must
+    // rank the other first by the exact-dot refine
+    val first = out.filter(_.getInt(1) == 1).map(r => r.getLong(0) -> r.getLong(2)).toMap
+    assert(first(0L) === 1L && first(1L) === 0L)
+  }
+
+  test("pqVerified with an empty query set is empty, not a crash") {
+    val vecs = Seq(
+      (0L, Array.fill(8)(1.0f)),
+      (1L, Array.fill(8)(-1.0f))).toDF("vec_id", "embedding")
+    assert(graft.operators.Similarity
+      .pqVerified(vecs, lit(false), subDim = 4, k = 2, iters = 1).count() === 0)
+  }
+
   test("LSH candidate pairs on a single-doc corpus is empty") {
     val docs = Seq((1L, "alpha beta gamma delta epsilon")).toDF("doc_id", "text")
     assert(graft.operators.MinHash.candidatePairs(docs, "doc_id", "text").count() === 0)
