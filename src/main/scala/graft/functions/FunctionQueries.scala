@@ -398,6 +398,83 @@ object FunctionQueries {
              |SELECT t, count(*) AS cnt, CAST(sum(k) AS BIGINT) AS sum_k,
              |  max(u) AS max_u
              |FROM x GROUP BY t ORDER BY t NULLS FIRST""".stripMargin)
+    ),
+
+    // F13: the higher-order-function family on array columns —
+    // exists/forall, predicate filter (incl. the index-aware lambda;
+    // Spark indices are 0-based, DuckDB's 1-based, offset in the
+    // oracle), zip_with, transform+array_max. All codegen'd lambda
+    // evaluation over the in-row array: no explode, no shuffle — at
+    // 100 TB this family is the difference between per-row vector math
+    // and a corpus×dim row explosion.
+    Entry(
+      "f13_hof",
+      (s, d) => {
+        val v = col("embedding")
+        val h8 = slice(v, 1, 8)
+        Tables.embeddings(s, d)
+          .select(
+            col("vec_id"),
+            exists(v, x => x.cast("double") > 0.5).as("has_big"),
+            forall(v, x => abs(x.cast("double")) < 1.0).as("all_small"),
+            size(filter(v, x => x.cast("double") > 0)).as("n_pos"),
+            size(filter(v, (x, i) => (x.cast("double") < 0) && i % 2 === 0)).as("n_neg_even"),
+            round(
+              aggregate(
+                zip_with(h8, reverse(h8), (x, y) => x.cast("double") * y.cast("double")),
+                lit(0.0), (a, x) => a + x),
+              6).as("rev_dot"),
+            round(array_max(transform(v, x => abs(x.cast("double")))), 6).as("max_abs"))
+          .orderBy("vec_id")
+      },
+      Some("""SELECT vec_id,
+             |len(list_filter(embedding, x -> CAST(x AS DOUBLE) > 0.5)) > 0 AS has_big,
+             |len(list_filter(embedding, x -> NOT (abs(CAST(x AS DOUBLE)) < 1.0))) = 0 AS all_small,
+             |CAST(len(list_filter(embedding, x -> CAST(x AS DOUBLE) > 0)) AS INT) AS n_pos,
+             |CAST(len(list_filter(embedding, (x, i) ->
+             |  CAST(x AS DOUBLE) < 0 AND (i - 1) % 2 = 0)) AS INT) AS n_neg_even,
+             |round(list_sum(list_transform(range(1, 9), i ->
+             |  CAST(embedding[CAST(i AS INT)] AS DOUBLE) *
+             |  CAST(embedding[CAST(9 - i AS INT)] AS DOUBLE))), 6) AS rev_dot,
+             |round(list_max(list_transform(embedding,
+             |  x -> abs(CAST(x AS DOUBLE)))), 6) AS max_abs
+             |FROM embeddings ORDER BY vec_id NULLS FIRST""".stripMargin)
+    ),
+
+    // F13b: the map higher-order functions — map built from data
+    // (from_json ∪ a computed entry via map_concat), transform_values,
+    // map_filter, map_keys. Output rendered as sorted scalars so the
+    // hash-compare never sees a raw map column. DuckDB has no map
+    // lambdas over JSON — the oracle replays the two entries'
+    // semantics explicitly (equivalent SQL, same result).
+    Entry(
+      "f13b_map_hof",
+      (s, d) => {
+        val m = map_concat(
+          from_json(col("props"), lit("map<string,int>")),
+          map(lit("u"), (col("user_id") % 100).cast("int")))
+        Tables.events(s, d)
+          .withColumn("mv", transform_values(m, (_, v) => v * 2))
+          .withColumn("keep", map_filter(col("mv"), (_, v) => v >= 60))
+          .select(
+            col("event_id"),
+            size(col("keep")).as("n_kept"),
+            array_join(sort_array(map_keys(col("keep"))), ",").as("kept_keys"),
+            coalesce(element_at(col("mv"), "k"), lit(-1)).as("k2"))
+          .orderBy("event_id")
+      },
+      Some("""WITH b AS (SELECT event_id,
+             |    CAST(json_extract_string(props, '$.k') AS INT) * 2 AS kv,
+             |    CAST(user_id % 100 AS INT) * 2 AS uv
+             |  FROM events)
+             |SELECT event_id,
+             |CAST((CASE WHEN kv >= 60 THEN 1 ELSE 0 END) +
+             |     (CASE WHEN uv >= 60 THEN 1 ELSE 0 END) AS INT) AS n_kept,
+             |coalesce(array_to_string(list_sort(
+             |  (CASE WHEN kv >= 60 THEN ['k'] ELSE [] END) ||
+             |  (CASE WHEN uv >= 60 THEN ['u'] ELSE [] END)), ','), '') AS kept_keys,
+             |coalesce(kv, -1) AS k2
+             |FROM b ORDER BY event_id NULLS FIRST""".stripMargin)
     )
   )
 }
