@@ -267,6 +267,71 @@ object LlmQueries {
              |ORDER BY doc_a NULLS FIRST""".stripMargin)
     ),
 
+    // B2e: MinHash Jaccard ESTIMATE vs exact — the sketch-accuracy
+    // query: per adjacent doc pair, the 8-slot md5-minhash agreement
+    // fraction (the estimator LSH banding thresholds on) next to the
+    // exact shingle Jaccard and the absolute error. The estimate needs
+    // only the 32-byte signatures — at 100 TB the exact column is the
+    // audit (computable for sampled pairs), the estimate is what every
+    // candidate pair actually pays for. Oracle replays both sides.
+    Entry(
+      "b2_jaccard_est",
+      (s, d) => {
+        val docs = Tables.documents(s, d)
+          .select(col("doc_id"),
+            array_distinct(MinHash.shingles(lower(trim(col("text"))), 3)).as("g"))
+          .localCheckpoint(true)
+        val sig = docs
+          .select(col("doc_id"), explode(col("g")).as("gr"))
+          .select(col("doc_id"), md5(col("gr")).as("dg"))
+          .groupBy("doc_id")
+          .agg((0 until 8).map(i => min(substring(col("dg"), i * 4 + 1, 4)).as(s"s$i")).head,
+            (0 until 8).map(i => min(substring(col("dg"), i * 4 + 1, 4)).as(s"s$i")).tail: _*)
+        val withSig = docs.join(sig, "doc_id")
+        val a = withSig.toDF(withSig.columns.map(c => s"a_$c"): _*)
+        val b = withSig.toDF(withSig.columns.map(c => s"b_$c"): _*)
+        val agree = (0 until 8).map(i =>
+          when(col(s"a_s$i") === col(s"b_s$i"), 1).otherwise(0)).reduce(_ + _)
+        a.join(b, col("b_doc_id") === col("a_doc_id") + 1)
+          .select(
+            col("a_doc_id").as("doc_a"), col("b_doc_id").as("doc_b"),
+            (agree.cast("double") / 8).as("est_j"),
+            (size(array_intersect(col("a_g"), col("b_g"))).cast("double") /
+              size(array_union(col("a_g"), col("b_g")))).as("exact_j"))
+          .select(col("doc_a"), col("doc_b"),
+            round(col("est_j"), 6).as("est_j"),
+            round(col("exact_j"), 6).as("exact_j"),
+            round(abs(col("est_j") - col("exact_j")), 6).as("abs_err"))
+          .orderBy("doc_a")
+      },
+      Some("""WITH w AS (SELECT doc_id, string_split(lower(trim(text)), ' ') AS ws FROM documents),
+             |g AS (SELECT doc_id, list_distinct(CASE WHEN len(ws) < 3 THEN [array_to_string(ws, ' ')]
+             |  ELSE list_transform(range(1, len(ws) - 1), i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2]) END) AS grams
+             |  FROM w),
+             |dig AS (SELECT DISTINCT doc_id, md5(unnest(grams)) AS dg FROM g),
+             |sig AS (SELECT doc_id,
+             |  min(substring(dg,1,4)) AS s0, min(substring(dg,5,4)) AS s1,
+             |  min(substring(dg,9,4)) AS s2, min(substring(dg,13,4)) AS s3,
+             |  min(substring(dg,17,4)) AS s4, min(substring(dg,21,4)) AS s5,
+             |  min(substring(dg,25,4)) AS s6, min(substring(dg,29,4)) AS s7
+             |  FROM dig GROUP BY doc_id),
+             |p AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+             |  CAST(CASE WHEN sa.s0=sb.s0 THEN 1 ELSE 0 END + CASE WHEN sa.s1=sb.s1 THEN 1 ELSE 0 END +
+             |       CASE WHEN sa.s2=sb.s2 THEN 1 ELSE 0 END + CASE WHEN sa.s3=sb.s3 THEN 1 ELSE 0 END +
+             |       CASE WHEN sa.s4=sb.s4 THEN 1 ELSE 0 END + CASE WHEN sa.s5=sb.s5 THEN 1 ELSE 0 END +
+             |       CASE WHEN sa.s6=sb.s6 THEN 1 ELSE 0 END + CASE WHEN sa.s7=sb.s7 THEN 1 ELSE 0 END
+             |    AS DOUBLE) / 8 AS est_j,
+             |  CAST(len(list_intersect(a.grams, b.grams)) AS DOUBLE) /
+             |    len(list_distinct(list_concat(a.grams, b.grams))) AS exact_j
+             |  FROM g a JOIN g b ON b.doc_id = a.doc_id + 1
+             |  JOIN sig sa ON sa.doc_id = a.doc_id
+             |  JOIN sig sb ON sb.doc_id = b.doc_id)
+             |SELECT doc_a, doc_b, round(est_j, 6) AS est_j,
+             |  round(exact_j, 6) AS exact_j,
+             |  round(abs(est_j - exact_j), 6) AS abs_err
+             |FROM p ORDER BY doc_a NULLS FIRST""".stripMargin)
+    ),
+
     // B2c: edit distance between adjacent doc pairs — the character-
     // level verify step for dedup candidates (exact Levenshtein; both
     // engines implement the classic DP).

