@@ -161,6 +161,24 @@ class PlanAuditSpec extends AnyFunSuite with SparkFixture {
       s"no corpus-sized join shuffle allowed:\n$p")
   }
 
+  test("b4_pq_verified final stage: codes join the broadcast ADC table — no corpus shuffle for the scan") {
+    // like b4_kmeans, the full query truncates at localCheckpoints; the
+    // judged plan is the post-codebook stage. Its two joins — codes ⋈
+    // LUT and shortlist ⋈ codes-for-rerank — must both broadcast the
+    // bounded query-derived side; the only corpus-sized exchanges are
+    // the per-(vector,sub) aggregations.
+    val p = plan("b4_pq_verified")
+    assert(p.contains("BroadcastHashJoin"), s"ADC lookup must broadcast:\n$p")
+    assert(!p.contains("SortMergeJoin") && !p.contains("ShuffledHashJoin"),
+      s"no corpus-sized join shuffle in the ADC scan:\n$p")
+  }
+
+  test("f13_hof: array lambdas are a shuffle-free scan pass (sort excepted)") {
+    val p = plan("f13_hof")
+    assert(!p.contains("hashpartitioning"),
+      s"in-row lambda evaluation must not shuffle:\n$p")
+  }
+
   test("b9_weighted_sample: top-k cut is TakeOrderedAndProject, not a global sort") {
     val p = plan("b9_weighted_sample")
     assert(p.contains("TakeOrderedAndProject"),
