@@ -234,6 +234,39 @@ object PipelineQueries {
              |round(quantile_cont(o_totalprice, 0.99), 4) AS p99,
              |count(*) AS n
              |FROM orders GROUP BY 1 ORDER BY o_orderstatus NULLS FIRST""".stripMargin)
+    ),
+
+    // G17: median + deterministic mode. Spark's mode(col, true) pins
+    // ties to the LOWEST value; DuckDB's mode is tie-arbitrary, so the
+    // oracle replays the same rule explicitly (count DESC, value ASC).
+    // Both medians are exact interpolated percentile-0.5 over the same
+    // doubles — identical arithmetic, rounded defensively.
+    Entry(
+      "g17_mode_median",
+      (s, d) =>
+        Tables.lineitem(s, d)
+          .groupBy("l_returnflag")
+          .agg(
+            count(lit(1)).as("n"),
+            round(expr("median(l_quantity)"), 4).as("med_qty"),
+            expr("mode(l_quantity, true)").as("mode_qty"),
+            expr("mode(l_linestatus, true)").as("mode_status"))
+          .orderBy("l_returnflag"),
+      Some("""WITH cq AS (SELECT l_returnflag, l_quantity AS v, count(*) AS c
+             |    FROM lineitem GROUP BY 1, 2),
+             |rq AS (SELECT l_returnflag, v, row_number() OVER (
+             |    PARTITION BY l_returnflag ORDER BY c DESC, v) AS rk FROM cq),
+             |cs AS (SELECT l_returnflag, l_linestatus AS v, count(*) AS c
+             |    FROM lineitem GROUP BY 1, 2),
+             |rs AS (SELECT l_returnflag, v, row_number() OVER (
+             |    PARTITION BY l_returnflag ORDER BY c DESC, v) AS rk FROM cs)
+             |SELECT l.l_returnflag, count(*) AS n,
+             |  round(median(l.l_quantity), 4) AS med_qty,
+             |  max(rq.v) AS mode_qty, max(rs.v) AS mode_status
+             |FROM lineitem l
+             |JOIN rq ON rq.l_returnflag = l.l_returnflag AND rq.rk = 1
+             |JOIN rs ON rs.l_returnflag = l.l_returnflag AND rs.rk = 1
+             |GROUP BY 1 ORDER BY l.l_returnflag NULLS FIRST""".stripMargin)
     )
   )
 }
