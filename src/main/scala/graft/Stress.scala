@@ -141,6 +141,16 @@ object Stress {
         emb.select(col("vec_id"), col("embedding")),
         col("vec_id") < 10).count()
     }
+    // PQ path: codebook training + code assignment are linear in
+    // corpus (per-subspace joins against a broadcast k×dim table);
+    // the ADC scan is O(corpus × m) against a broadcast per-query LUT
+    // and the refine touches only shortlist×dim rows per query — the
+    // same bounded-query-side shape as IVF, nothing quadratic.
+    time("pq_ann_b4") {
+      graft.operators.Similarity.pqVerified(
+        emb.select(col("vec_id"), col("embedding")),
+        col("vec_id") < 10).count()
+    }
     spark.stop()
   }
 }

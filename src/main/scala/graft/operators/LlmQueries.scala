@@ -610,6 +610,47 @@ object LlmQueries {
              |FROM h ORDER BY doc_id NULLS FIRST""".stripMargin)
     ),
 
+    // B5h: readability scoring — Flesch reading-ease and Flesch-Kincaid
+    // grade from whole-doc counts (words, sentences, vowel-group
+    // syllable proxy). The three counts are exact integers from
+    // identical regex semantics ('[aeiouy]+' and '[.!?]' mean the same
+    // in Java regex and RE2), so the score arithmetic is the same IEEE
+    // doubles on both engines; rounded defensively.
+    Entry(
+      "b5_readability",
+      (s, d) => {
+        val nWords = size(split(col("text"), " "))
+        val nSents = greatest(lit(1),
+          size(filter(split(col("text"), "[.!?]"), x => length(trim(x)) > 0)))
+        val nSyll = greatest(lit(1),
+          size(regexp_extract_all(lower(col("text")), lit("[aeiouy]+"), lit(0))))
+        Tables.documents(s, d)
+          .select(col("doc_id"),
+            nWords.as("n_words"), nSents.as("n_sents"), nSyll.as("n_syll"))
+          .select(col("doc_id"), col("n_words"), col("n_sents"), col("n_syll"),
+            round(lit(206.835)
+              - lit(1.015) * col("n_words").cast("double") / col("n_sents")
+              - lit(84.6) * col("n_syll").cast("double") / col("n_words"), 4)
+              .as("flesch_ease"),
+            round(lit(0.39) * col("n_words").cast("double") / col("n_sents")
+              + lit(11.8) * col("n_syll").cast("double") / col("n_words")
+              - lit(15.59), 4).as("fk_grade"))
+          .orderBy("doc_id")
+      },
+      Some("""WITH c AS (SELECT doc_id,
+             |    CAST(len(string_split(text, ' ')) AS INT) AS n_words,
+             |    CAST(greatest(1, len(list_filter(string_split_regex(text, '[.!?]'),
+             |      x -> length(trim(x)) > 0))) AS INT) AS n_sents,
+             |    CAST(greatest(1, len(regexp_extract_all(lower(text), '[aeiouy]+'))) AS INT) AS n_syll
+             |  FROM documents)
+             |SELECT doc_id, n_words, n_sents, n_syll,
+             |round(206.835 - 1.015 * CAST(n_words AS DOUBLE) / n_sents
+             |  - 84.6 * CAST(n_syll AS DOUBLE) / n_words, 4) AS flesch_ease,
+             |round(0.39 * CAST(n_words AS DOUBLE) / n_sents
+             |  + 11.8 * CAST(n_syll AS DOUBLE) / n_words - 15.59, 4) AS fk_grade
+             |FROM c ORDER BY doc_id NULLS FIRST""".stripMargin)
+    ),
+
     // B6: multimodal/binary columns carried through relational ops —
     // opaque bytes + typed metadata survive a join and an aggregation
     // without exploding.
