@@ -600,6 +600,49 @@ object AggWindowQueries {
              |  round(area / CAST(span_us AS DOUBLE), 6) AS twa
              |FROM a WHERE span_us > 0
              |ORDER BY user_id NULLS FIRST""".stripMargin)
+    ),
+
+    // W12: time-series gap-fill — per-user hourly resample: generate
+    // the hour spine between each user's first and last active hour,
+    // left-join the observed hourly sums, carry the last observation
+    // forward (LOCF, exact — no interpolation arithmetic to drift).
+    // The spine is a generator off a per-user 2-row aggregate; the
+    // fill shares the one user_id exchange with the join. At 100 TB
+    // the spine is O(users × span-hours) — rows are created AFTER
+    // aggregation, never corpus-sized.
+    Entry(
+      "w12_gapfill",
+      (s, d) => {
+        val hourly = Tables.events(s, d)
+          .filter(col("user_id") < 50)
+          .groupBy(col("user_id"), date_trunc("hour", col("ts")).as("h"))
+          .agg(dsum(col("value")).as("v"))
+        val spine = hourly.groupBy("user_id")
+          .agg(min(col("h")).as("h0"), max(col("h")).as("h1"))
+          .select(col("user_id"),
+            explode(sequence(col("h0"), col("h1"), expr("interval 1 hour"))).as("h"))
+        val w = Window.partitionBy("user_id").orderBy("h")
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        spine.join(hourly, Seq("user_id", "h"), "left")
+          .withColumn("v_fill", last(col("v"), ignoreNulls = true).over(w))
+          .select(col("user_id"), unix_millis(col("h")).as("h_ms"),
+            round(col("v_fill"), 4).as("v_fill"), col("v").isNull.as("filled"))
+          .orderBy("user_id", "h_ms")
+      },
+      Some(s"""WITH e AS (SELECT user_id, date_trunc('hour', ts) AS h,
+             |    ${dsumSql("value")} AS v
+             |  FROM events WHERE user_id < 50 GROUP BY 1, 2),
+             |s AS (SELECT user_id, min(h) AS h0, max(h) AS h1 FROM e GROUP BY 1),
+             |sp AS (SELECT user_id, unnest(generate_series(h0, h1,
+             |    INTERVAL 1 HOUR)) AS h FROM s),
+             |j AS (SELECT sp.user_id, sp.h, e.v FROM sp
+             |  LEFT JOIN e ON e.user_id = sp.user_id AND e.h = sp.h)
+             |SELECT user_id, epoch_ms(h) AS h_ms,
+             |  round(last_value(v IGNORE NULLS) OVER (PARTITION BY user_id
+             |    ORDER BY h ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 4)
+             |    AS v_fill,
+             |  v IS NULL AS filled
+             |FROM j ORDER BY user_id NULLS FIRST, h_ms NULLS FIRST""".stripMargin)
     )
   )
 }
