@@ -248,6 +248,59 @@ object JoinQueries {
       Some(s"""SELECT o_orderpriority, ${dsumSql("l_quantity")} AS sum_qty
               |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
               |GROUP BY 1 ORDER BY o_orderpriority NULLS FIRST""".stripMargin)
+    ),
+
+    // J11: interval-overlap join (range × range — j5 is point-in-range)
+    // — user sessions overlapping per-type "campaign" windows (first
+    // occurrence + 2 h). The scale path is the classic bucket-equi
+    // decomposition: both interval sets explode to the hour buckets
+    // they cover, the join is an EQUI join on bucket with the overlap
+    // predicate as residual, and pair dedup collapses multi-bucket
+    // matches — never a nested-loop theta join. The campaign side is
+    // type-cardinality → broadcast; sessions explode to ~1 bucket each
+    // (30-min gap cap keeps spans short). DuckDB replays with the
+    // direct theta join — same semantics, feasible at oracle scale.
+    Entry(
+      "j11_interval_overlap",
+      (s, d) => {
+        val H = 3600L * 1000000L
+        val sess = Analytics.sessionize(Tables.events(s, d))
+          .select(col("user_id"), col("session_idx"), col("start_us"), col("end_us"))
+        val camp = Tables.events(s, d)
+          .groupBy("event_type")
+          .agg(min(unix_micros(col("ts"))).as("c0"))
+          .select(col("event_type"), col("c0"), (col("c0") + 2 * H).as("c1"))
+        val sb = sess.withColumn("bkt",
+          explode(sequence(expr(s"start_us DIV $H"), expr(s"end_us DIV $H"))))
+        val cb = camp.withColumn("bkt",
+          explode(sequence(expr(s"c0 DIV $H"), expr(s"c1 DIV $H"))))
+        sb.join(broadcast(cb), Seq("bkt"))
+          .filter(col("start_us") <= col("c1") && col("c0") <= col("end_us"))
+          .select("user_id", "session_idx", "event_type").distinct()
+          .groupBy("event_type")
+          .agg(count(lit(1)).as("n_sessions"),
+            countDistinct(col("user_id")).as("n_users"))
+          .orderBy("event_type")
+      },
+      Some(s"""WITH e AS (SELECT user_id, event_id, event_type, value,
+             |  epoch_us(ts) AS us FROM events),
+             |f AS (SELECT *, CASE WHEN us - lag(us) OVER w > 1800000000
+             |    OR lag(us) OVER w IS NULL THEN 1 ELSE 0 END AS new_s
+             |  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY us, event_id)),
+             |g AS (SELECT *, CAST(sum(new_s) OVER (PARTITION BY user_id
+             |    ORDER BY us, event_id ROWS UNBOUNDED PRECEDING) AS BIGINT)
+             |    AS session_idx FROM f),
+             |sess AS (SELECT user_id, session_idx, min(us) AS start_us,
+             |    max(us) AS end_us FROM g GROUP BY 1, 2),
+             |camp AS (SELECT event_type, min(epoch_us(ts)) AS c0,
+             |    min(epoch_us(ts)) + ${2 * 3600L * 1000000L} AS c1
+             |  FROM events GROUP BY 1),
+             |hits AS (SELECT DISTINCT s.user_id, s.session_idx, c.event_type
+             |  FROM sess s JOIN camp c
+             |    ON s.start_us <= c.c1 AND c.c0 <= s.end_us)
+             |SELECT event_type, count(*) AS n_sessions,
+             |  count(DISTINCT user_id) AS n_users
+             |FROM hits GROUP BY 1 ORDER BY event_type NULLS FIRST""".stripMargin)
     )
   )
 }
