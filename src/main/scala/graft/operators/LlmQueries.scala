@@ -610,6 +610,33 @@ object LlmQueries {
              |FROM h ORDER BY doc_id NULLS FIRST""".stripMargin)
     ),
 
+    // B5i: BPE pair statistics — the first tokenizer-training step:
+    // corpus-wide adjacent character-pair frequencies within
+    // whitespace words (the merge a byte-pair encoder would apply
+    // first), top-20 with full tie-breaks. Generator → hash agg with
+    // map-side combine (post-combine state is pair-vocabulary-sized,
+    // like b5_vocab) → TakeOrderedAndProject.
+    Entry(
+      "b5_bpe_pairs",
+      (s, d) =>
+        Tables.documents(s, d)
+          .select(explode(split(lower(col("text")), " ")).as("w"))
+          .filter(length(col("w")) >= 2)
+          .select(explode(sequence(lit(1), length(col("w")) - 1)).as("i"), col("w"))
+          .select(col("w").substr(col("i"), lit(2)).as("pair"))
+          .groupBy("pair")
+          .agg(count(lit(1)).as("cnt"))
+          .orderBy(col("cnt").desc, col("pair").asc)
+          .limit(20),
+      Some("""WITH w AS (SELECT unnest(string_split(lower(text), ' ')) AS w
+             |    FROM documents),
+             |p AS (SELECT substring(w, CAST(i AS INT), 2) AS pair
+             |  FROM w, unnest(range(1, length(w))) AS u(i)
+             |  WHERE length(w) >= 2)
+             |SELECT pair, count(*) AS cnt FROM p GROUP BY pair
+             |ORDER BY cnt DESC NULLS LAST, pair NULLS FIRST LIMIT 20""".stripMargin)
+    ),
+
     // B5h: readability scoring — Flesch reading-ease and Flesch-Kincaid
     // grade from whole-doc counts (words, sentences, vowel-group
     // syllable proxy). The three counts are exact integers from
