@@ -69,6 +69,14 @@ object Graft {
              cells: Int = 8, iters: Int = 2): DataFrame =
     IvfAnn.topK(embeddings, nQueries, k, cells, iters)
 
+  /** Product-quantization approximate top-k: per-subspace integer
+    * codebooks, ADC lookup-table scan over sub-codes, exact-dot refine
+    * of the per-query shortlist (the residency-compression ANN path). */
+  def annPq(embeddings: DataFrame, queryPred: Column,
+            subDim: Int = 8, k: Int = 16, iters: Int = 2,
+            shortlist: Int = 100, topK: Int = 3): DataFrame =
+    Similarity.pqVerified(embeddings, queryPred, subDim, k, iters, shortlist, topK)
+
   /** Codegen'd dot product / norm / cosine over array columns. */
   def dot(a: Column, b: Column): Column = VectorOps.dot(a, b)
   def norm(a: Column): Column = VectorOps.norm(a)
@@ -190,6 +198,12 @@ object Graft {
     * count/span/value-sum/conversion. */
   def sessionize(events: DataFrame, gapUs: Long = 30L * 60 * 1000000): DataFrame =
     graft.operators.Analytics.sessionize(events, gapUs)
+
+  /** Per-user hourly gap-fill: generated hour spine between first and
+    * last active hour, observed hourly sums, LOCF fill (the judged
+    * w12_gapfill shape). */
+  def gapFillHourly(events: DataFrame, userPred: Column = lit(true)): DataFrame =
+    graft.operators.Analytics.gapFillHourly(events, userPred)
 
   // ---- multimodal -------------------------------------------------
   /** Attach an opaque binary payload column. */

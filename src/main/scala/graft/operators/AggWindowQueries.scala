@@ -612,23 +612,11 @@ object AggWindowQueries {
     // aggregation, never corpus-sized.
     Entry(
       "w12_gapfill",
-      (s, d) => {
-        val hourly = Tables.events(s, d)
-          .filter(col("user_id") < 50)
-          .groupBy(col("user_id"), date_trunc("hour", col("ts")).as("h"))
-          .agg(dsum(col("value")).as("v"))
-        val spine = hourly.groupBy("user_id")
-          .agg(min(col("h")).as("h0"), max(col("h")).as("h1"))
-          .select(col("user_id"),
-            explode(sequence(col("h0"), col("h1"), expr("interval 1 hour"))).as("h"))
-        val w = Window.partitionBy("user_id").orderBy("h")
-          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-        spine.join(hourly, Seq("user_id", "h"), "left")
-          .withColumn("v_fill", last(col("v"), ignoreNulls = true).over(w))
+      (s, d) =>
+        Analytics.gapFillHourly(Tables.events(s, d), col("user_id") < 50)
           .select(col("user_id"), unix_millis(col("h")).as("h_ms"),
-            round(col("v_fill"), 4).as("v_fill"), col("v").isNull.as("filled"))
-          .orderBy("user_id", "h_ms")
-      },
+            round(col("v_fill"), 4).as("v_fill"), col("filled"))
+          .orderBy("user_id", "h_ms"),
       Some(s"""WITH e AS (SELECT user_id, date_trunc('hour', ts) AS h,
              |    ${dsumSql("value")} AS v
              |  FROM events WHERE user_id < 50 GROUP BY 1, 2),

@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -117,5 +117,31 @@ object Analytics {
         ((unix_micros(col("wk")) - unix_micros(col("cw"))) /
           lit(604800000000L)).cast("int").as("week_offset"),
         col("n_users"))
+  }
+
+  /** Per-user hourly gap-fill (time-series resample): hour spine
+    * between each user's first and last active hour, observed hourly
+    * value sums, last observation carried forward (LOCF — exact, no
+    * interpolation arithmetic to drift across engines). The spine
+    * generator runs on a per-user 2-row aggregate, so generated rows
+    * appear after aggregation, never at corpus scale; the fill shares
+    * the user_id exchange with the join. Shared by the judged
+    * w12_gapfill and the Graft facade. */
+  def gapFillHourly(events: DataFrame, userPred: Column = lit(true),
+                    userCol: String = "user_id", tsCol: String = "ts",
+                    valueCol: String = "value"): DataFrame = {
+    import graft.QueryRegistry.dsum
+    val hourly = events.filter(userPred)
+      .groupBy(col(userCol), date_trunc("hour", col(tsCol)).as("h"))
+      .agg(dsum(col(valueCol)).as("v"))
+    val spine = hourly.groupBy(userCol)
+      .agg(min(col("h")).as("h0"), max(col("h")).as("h1"))
+      .select(col(userCol),
+        explode(sequence(col("h0"), col("h1"), expr("interval 1 hour"))).as("h"))
+    val w = Window.partitionBy(userCol).orderBy("h")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    spine.join(hourly, Seq(userCol, "h"), "left")
+      .withColumn("v_fill", last(col("v"), ignoreNulls = true).over(w))
+      .withColumn("filled", col("v").isNull)
   }
 }

@@ -21,6 +21,24 @@ class GraftFacadeSpec extends AnyFunSuite with SparkFixture {
     assert(toks.forall(r => r.getInt(1) >= r.getInt(0))) // BPE splits punct
   }
 
+  test("PQ ANN and hourly gap-fill through the facade") {
+    val emb = Graft.tables.embeddings(spark, sf)
+    val pq = Graft.annPq(emb, col("vec_id") < 3, shortlist = 10, topK = 2).collect()
+    assert(pq.nonEmpty)
+    assert(pq.forall(r => r.getLong(0) != r.getLong(2))) // no self-pairs
+    val ev = Graft.tables.events(spark, sf)
+    val gf = Graft.gapFillHourly(ev, col("user_id") < 5)
+    // every user's spine is contiguous: row count == span hours + 1
+    val bad = gf.groupBy("user_id")
+      .agg(count(lit(1)).as("n"),
+        ((unix_millis(max(col("h"))) - unix_millis(min(col("h")))) / 3600000L + 1).as("want"))
+      .filter(col("n") =!= col("want")).count()
+    assert(bad === 0)
+    // filled rows carry the previous observation, so v_fill is never
+    // null after the first observed hour
+    assert(gf.filter(col("filled") && col("v_fill").isNull).count() === 0)
+  }
+
   test("curation through the facade: scrub, split, repetition, quantize, contamination") {
     val docs = Graft.tables.documents(spark, sf)
     val pii = docs.select(
