@@ -344,6 +344,63 @@ object ScanProjectQueries {
              |e AS (SELECT c_nationkey AS k FROM customer EXCEPT SELECT s_nationkey FROM supplier)
              |SELECT 'both' AS kind, k FROM b UNION ALL SELECT 'cust_only' AS kind, k FROM e
              |ORDER BY kind NULLS FIRST, k NULLS FIRST""".stripMargin)
+    ),
+
+    // C17: table profiling — the ANALYZE/data-quality primitive: one
+    // long-format stats row per column (nulls, exact distinct, min,
+    // max as canonical strings). ONE scan computes every column's
+    // aggregates (Catalyst evaluates them as a single multi-aggregate
+    // pass — at 100 TB profiling must not scan per column); the
+    // long-format pivot is a constant-size literal explode on the
+    // 1-row aggregate output. Doubles are rounded before string-
+    // rendering so both engines print identical canonical text.
+    Entry(
+      "c17_profile",
+      (s, d) => {
+        val cols = Seq("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice")
+        def canon(c: org.apache.spark.sql.Column) = c.cast("string")
+        val agg = Tables.orders(s, d)
+          .select(col("o_orderkey"), col("o_custkey"), col("o_orderstatus"),
+            round(col("o_totalprice"), 4).as("o_totalprice"))
+          .agg(
+            count(lit(1)).as("n_rows"),
+            cols.flatMap(c => Seq(
+              sum(when(col(c).isNull, 1L).otherwise(0L)).as(s"${c}__nulls"),
+              countDistinct(col(c)).as(s"${c}__distinct"),
+              canon(min(col(c))).as(s"${c}__min"),
+              canon(max(col(c))).as(s"${c}__max"))): _*)
+        agg.select(col("n_rows"), explode(array(cols.map(c =>
+            struct(lit(c).as("column"),
+              col(s"${c}__nulls").as("n_nulls"),
+              col(s"${c}__distinct").as("n_distinct"),
+              col(s"${c}__min").as("min_val"),
+              col(s"${c}__max").as("max_val"))): _*)).as("st"))
+          .select(col("st.column").as("column"), col("n_rows"),
+            col("st.n_nulls"), col("st.n_distinct"),
+            col("st.min_val"), col("st.max_val"))
+          .orderBy("column")
+      },
+      Some("""WITH a AS (SELECT count(*) AS n_rows,
+             |  CAST(sum(CASE WHEN o_orderkey IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS k_n,
+             |  count(DISTINCT o_orderkey) AS k_d,
+             |  CAST(min(o_orderkey) AS VARCHAR) AS k_mn, CAST(max(o_orderkey) AS VARCHAR) AS k_mx,
+             |  CAST(sum(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS c_n,
+             |  count(DISTINCT o_custkey) AS c_d,
+             |  CAST(min(o_custkey) AS VARCHAR) AS c_mn, CAST(max(o_custkey) AS VARCHAR) AS c_mx,
+             |  CAST(sum(CASE WHEN o_orderstatus IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS s_n,
+             |  count(DISTINCT o_orderstatus) AS s_d,
+             |  min(o_orderstatus) AS s_mn, max(o_orderstatus) AS s_mx,
+             |  CAST(sum(CASE WHEN round(o_totalprice, 4) IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS t_n,
+             |  count(DISTINCT round(o_totalprice, 4)) AS t_d,
+             |  CAST(min(round(o_totalprice, 4)) AS VARCHAR) AS t_mn,
+             |  CAST(max(round(o_totalprice, 4)) AS VARCHAR) AS t_mx
+             |  FROM orders)
+             |SELECT 'o_custkey' AS "column", n_rows, c_n AS n_nulls, c_d AS n_distinct,
+             |  c_mn AS min_val, c_mx AS max_val FROM a
+             |UNION ALL SELECT 'o_orderkey', n_rows, k_n, k_d, k_mn, k_mx FROM a
+             |UNION ALL SELECT 'o_orderstatus', n_rows, s_n, s_d, s_mn, s_mx FROM a
+             |UNION ALL SELECT 'o_totalprice', n_rows, t_n, t_d, t_mn, t_mx FROM a
+             |ORDER BY "column" NULLS FIRST""".stripMargin)
     )
   )
 }
