@@ -267,6 +267,64 @@ object LlmQueries {
              |ORDER BY doc_a NULLS FIRST""".stripMargin)
     ),
 
+    // B2f: prefix-filtered similarity join (PPJoin-style) — the exact
+    // set-similarity-join technique: shingle sets ordered by global
+    // document frequency (rarest first), each doc indexed only by its
+    // PREFIX (n − ceil(t·n) + 1 rarest shingles); two docs can reach
+    // Jaccard ≥ t only if their prefixes share a shingle, so the
+    // candidate join touches rare-shingle collisions instead of all
+    // pairs. Candidates then verify exactly. The DuckDB oracle computes
+    // the BRUTE-FORCE definition (inverted-index intersection counts,
+    // no prefix restriction) — the hash match PROVES the prefix filter
+    // dropped no qualifying pair. Complements LSH: exact (no recall
+    // loss) where LSH is probabilistic.
+    Entry(
+      "b2_prefix_join",
+      (s, d) => {
+        val t = 0.5
+        val docs = Tables.documents(s, d)
+          .select(col("doc_id"),
+            array_distinct(MinHash.shingles(lower(trim(col("text"))), 3)).as("g"))
+          .localCheckpoint(true)
+        val ex = docs.select(col("doc_id"), explode(col("g")).as("sh"))
+        val freq = ex.groupBy("sh").agg(count(lit(1)).as("df"))
+        val wd = Window.partitionBy("doc_id")
+        val prefix = ex.join(freq, "sh")
+          .withColumn("rk", row_number().over(
+            wd.orderBy(col("df").asc, col("sh").asc)))
+          .withColumn("n", count(lit(1)).over(wd))
+          .filter(col("rk") <= col("n") - ceil(col("n") * t) + 1)
+          .select(col("doc_id"), col("sh"))
+        val cand = prefix.select(col("doc_id").as("a"), col("sh"))
+          .join(prefix.select(col("doc_id").as("b"), col("sh")), "sh")
+          .filter(col("a") < col("b"))
+          .select("a", "b").distinct()
+        cand
+          .join(docs.select(col("doc_id").as("a"), col("g").as("ga")), "a")
+          .join(docs.select(col("doc_id").as("b"), col("g").as("gb")), "b")
+          .select(col("a").as("doc_a"), col("b").as("doc_b"),
+            (size(array_intersect(col("ga"), col("gb"))).cast("double") /
+              size(array_union(col("ga"), col("gb")))).as("j"))
+          .filter(round(col("j"), 6) >= t)
+          .select(col("doc_a"), col("doc_b"), round(col("j"), 6).as("jaccard"))
+          .orderBy("doc_a", "doc_b")
+      },
+      Some("""WITH w AS (SELECT doc_id, string_split(lower(trim(text)), ' ') AS ws FROM documents),
+             |sh AS (SELECT doc_id, list_distinct(CASE WHEN len(ws) < 3 THEN [array_to_string(ws, ' ')]
+             |  ELSE list_transform(range(1, len(ws) - 1), i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2]) END) AS g
+             |  FROM w),
+             |ex AS (SELECT doc_id, len(g) AS n, unnest(g) AS s FROM sh),
+             |i AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+             |    max(a.n) AS na, max(b.n) AS nb, count(*) AS ix
+             |  FROM ex a JOIN ex b ON a.s = b.s AND a.doc_id < b.doc_id
+             |  GROUP BY 1, 2)
+             |SELECT doc_a, doc_b,
+             |  round(CAST(ix AS DOUBLE) / (na + nb - ix), 6) AS jaccard
+             |FROM i
+             |WHERE round(CAST(ix AS DOUBLE) / (na + nb - ix), 6) >= 0.5
+             |ORDER BY doc_a NULLS FIRST, doc_b NULLS FIRST""".stripMargin)
+    ),
+
     // B2e: MinHash Jaccard ESTIMATE vs exact — the sketch-accuracy
     // query: per adjacent doc pair, the 8-slot md5-minhash agreement
     // fraction (the estimator LSH banding thresholds on) next to the
