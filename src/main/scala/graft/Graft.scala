@@ -53,6 +53,13 @@ object Graft {
                         textCol: String = "text"): DataFrame =
     MinHash.candidatePairs(docs, idCol, textCol)
 
+  /** EXACT similarity join (all pairs with shingle Jaccard ≥ t) via
+    * PPJoin-style prefix filtering — no all-pairs scan, recall 1.0 by
+    * construction. */
+  def similarityJoin(docs: DataFrame, t: Double = 0.5,
+                     idCol: String = "doc_id", textCol: String = "text"): DataFrame =
+    MinHash.prefixJoin(docs, idCol, textCol, t)
+
   /** 32-bit SimHash fingerprint column. */
   def simhash(text: Column): Column = SimHash.simhash(text)
 

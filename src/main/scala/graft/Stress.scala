@@ -77,6 +77,14 @@ object Stress {
     time("lsh_candidates_b2") {
       graft.operators.MinHash.candidatePairs(docs, "doc_id", "text").count()
     }
+    // Exact prefix-filtered similarity join under replication: replicas
+    // are exact duplicates, so the QUALIFYING OUTPUT itself grows
+    // rep²·clusters — an exact join must emit every pair by definition.
+    // The claim to check is that runtime stays proportional to pairs
+    // EMITTED (linear in output), not corpus².
+    time("prefix_join_b2") {
+      graft.operators.MinHash.prefixJoin(docs).count()
+    }
 
     // Analytics shapes over a rep×-replicated event log (user space
     // grows rep×, per-user history constant — the 100 TB shape): the

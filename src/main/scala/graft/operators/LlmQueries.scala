@@ -280,35 +280,10 @@ object LlmQueries {
     // loss) where LSH is probabilistic.
     Entry(
       "b2_prefix_join",
-      (s, d) => {
-        val t = 0.5
-        val docs = Tables.documents(s, d)
-          .select(col("doc_id"),
-            array_distinct(MinHash.shingles(lower(trim(col("text"))), 3)).as("g"))
-          .localCheckpoint(true)
-        val ex = docs.select(col("doc_id"), explode(col("g")).as("sh"))
-        val freq = ex.groupBy("sh").agg(count(lit(1)).as("df"))
-        val wd = Window.partitionBy("doc_id")
-        val prefix = ex.join(freq, "sh")
-          .withColumn("rk", row_number().over(
-            wd.orderBy(col("df").asc, col("sh").asc)))
-          .withColumn("n", count(lit(1)).over(wd))
-          .filter(col("rk") <= col("n") - ceil(col("n") * t) + 1)
-          .select(col("doc_id"), col("sh"))
-        val cand = prefix.select(col("doc_id").as("a"), col("sh"))
-          .join(prefix.select(col("doc_id").as("b"), col("sh")), "sh")
-          .filter(col("a") < col("b"))
-          .select("a", "b").distinct()
-        cand
-          .join(docs.select(col("doc_id").as("a"), col("g").as("ga")), "a")
-          .join(docs.select(col("doc_id").as("b"), col("g").as("gb")), "b")
-          .select(col("a").as("doc_a"), col("b").as("doc_b"),
-            (size(array_intersect(col("ga"), col("gb"))).cast("double") /
-              size(array_union(col("ga"), col("gb")))).as("j"))
-          .filter(round(col("j"), 6) >= t)
+      (s, d) =>
+        MinHash.prefixJoin(Tables.documents(s, d), t = 0.5)
           .select(col("doc_a"), col("doc_b"), round(col("j"), 6).as("jaccard"))
-          .orderBy("doc_a", "doc_b")
-      },
+          .orderBy("doc_a", "doc_b"),
       Some("""WITH w AS (SELECT doc_id, string_split(lower(trim(text)), ' ') AS ws FROM documents),
              |sh AS (SELECT doc_id, list_distinct(CASE WHEN len(ws) < 3 THEN [array_to_string(ws, ' ')]
              |  ELSE list_transform(range(1, len(ws) - 1), i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2]) END) AS g

@@ -61,6 +61,20 @@ class MinHashSpec extends AnyFunSuite with SparkFixture {
     assert(!pairs.exists { case (a, b, _) => Set(a, b).contains(3L) && Set(a, b).intersect(Set(1L, 2L)).nonEmpty })
   }
 
+  test("prefix join finds exactly the planted near-dup pair, with exact jaccard") {
+    val out = MinHash.prefixJoin(docs, t = 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    // 14 words → 12 shingles each; only the final shingle contains the
+    // differing last word → intersection 11, union 13
+    assert(out.map(p => (p._1, p._2)).toSeq === Seq((1L, 2L)))
+    val expected = 11.0 / 13.0
+    assert(math.abs(out.head._3 - expected) < 1e-9)
+    // a lower threshold must not invent pairs with the unrelated doc
+    val loose = MinHash.prefixJoin(docs, t = 0.1)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(!loose.exists { case (a, b) => a == 3L || b == 3L })
+  }
+
   test("dupGroups clusters the near-dups under the smallest id") {
     val g = MinHash.dupGroups(docs, "doc_id", "text", 0.5)
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
