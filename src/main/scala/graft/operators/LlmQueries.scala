@@ -53,14 +53,14 @@ object LlmQueries {
        |sd AS (SELECT vec_id, CAST(row_number() OVER (ORDER BY vec_id) - 1
        |    AS INT) AS cid
        |  FROM (SELECT DISTINCT vec_id FROM x ORDER BY vec_id LIMIT 4) q)""".stripMargin
-  private val kmStateSql =
-    s"""$kmBaseSql,
-       |c0 AS (SELECT sd.cid, x.pos, x.xv * 1000000 AS cv_micro
+  private val kmChainSql =
+    s"""c0 AS (SELECT sd.cid, x.pos, x.xv * 1000000 AS cv_micro
        |  FROM x JOIN sd USING (vec_id)),
        |a1 AS (${kmAssignSql("c0")}),
        |c1 AS (${kmUpdateSql("a1")}),
        |a2 AS (${kmAssignSql("c1")}),
        |c2 AS (${kmUpdateSql("a2")})""".stripMargin
+  private val kmStateSql = s"$kmBaseSql,\n$kmChainSql"
 
   // DuckDB replay of the per-subspace PQ codebook training
   // (Similarity.pqVerified): the k-means assign/update pair with the
@@ -84,9 +84,8 @@ object LlmQueries {
        |  CAST((sum(xv) * 1000000) // count(*) AS BIGINT) AS cv_micro
        |FROM x JOIN $a a ON x.vec_id = a.vec_id AND x.pos // $PqSubDim = a.sub
        |GROUP BY cid, pos""".stripMargin
-  private val pqStateSql =
-    s"""$kmBaseSql,
-       |psd AS (SELECT vec_id, CAST(row_number() OVER (ORDER BY vec_id) - 1
+  private val pqChainSql =
+    s"""psd AS (SELECT vec_id, CAST(row_number() OVER (ORDER BY vec_id) - 1
        |    AS INT) AS cid
        |  FROM (SELECT DISTINCT vec_id FROM x ORDER BY vec_id LIMIT $PqK) q),
        |pc0 AS (SELECT CAST(x.pos // $PqSubDim AS INT) AS sub, psd.cid, x.pos,
@@ -96,6 +95,7 @@ object LlmQueries {
        |pc1 AS (${pqUpdateSql("pa1")}),
        |pa2 AS (${pqAssignSql("pc1")}),
        |pc2 AS (${pqUpdateSql("pa2")})""".stripMargin
+  private val pqStateSql = s"$kmBaseSql,\n$pqChainSql"
 
   val entries: Seq[Entry] = Seq(
     // B1: exact dedup by normalized text hash — hash-groupBy, partial agg
@@ -910,6 +910,62 @@ object LlmQueries {
            |      PARTITION BY qid ORDER BY adist, nid) AS srn
            |    FROM adc) s
            |  WHERE srn <= $PqShortlist),
+           |dots AS (SELECT short.qid, short.nid,
+           |    CAST(sum(cx.xv * qx.xv) AS BIGINT) AS dot
+           |  FROM short JOIN x cx ON cx.vec_id = short.nid
+           |             JOIN x qx ON qx.vec_id = short.qid AND qx.pos = cx.pos
+           |  GROUP BY 1, 2)
+           |SELECT qid, rnk, nid, dot FROM (
+           |  SELECT qid, nid, dot, CAST(row_number() OVER (
+           |    PARTITION BY qid ORDER BY dot DESC, nid) AS INT) AS rnk
+           |  FROM dots) r
+           |WHERE rnk <= 3 ORDER BY qid NULLS FIRST, rnk NULLS FIRST""".stripMargin)
+    ),
+
+    // B4''''': the COMPOSED IVF+PQ index, oracle-checked end to end —
+    // the full FAISS-style design assembled from the two verified
+    // halves: IVF cells prune the scan (candidates = members of the
+    // query's nProbe cells), PQ sub-codes shrink what the scan reads
+    // (m ADC lookups per candidate), exact int8-dot refine of the ADC
+    // shortlist. One DuckDB query replays BOTH index builds plus
+    // probing, the restricted ADC scan, and the rerank bit-for-bit.
+    Entry(
+      "b4_ivfpq_verified",
+      (s, d) =>
+        Similarity.ivfPqVerified(Tables.embeddings(s, d), col("vec_id") < 10),
+      Some(
+        s"""$kmBaseSql,
+           |$kmChainSql,
+           |$pqChainSql,
+           |d3 AS (SELECT vec_id, cid, dist, row_number() OVER (
+           |    PARTITION BY vec_id ORDER BY dist, cid) AS rn
+           |  FROM (SELECT x.vec_id, c.cid,
+           |      CAST(sum((x.xv * 1000000 - c.cv_micro) *
+           |               (x.xv * 1000000 - c.cv_micro)) AS BIGINT) AS dist
+           |    FROM x JOIN c2 c USING (pos)
+           |    GROUP BY x.vec_id, c.cid) d),
+           |cells AS (SELECT vec_id, cid FROM d3 WHERE rn = 1),
+           |probes AS (SELECT vec_id AS qid, cid FROM d3
+           |  WHERE vec_id < 10 AND rn <= 2),
+           |cand AS (SELECT p.qid, c.vec_id AS nid
+           |  FROM probes p JOIN cells c USING (cid) WHERE c.vec_id <> p.qid),
+           |p3 AS (${pqAssignSql("pc2")}),
+           |lut AS (SELECT q.vec_id AS qid, c.sub, c.cid,
+           |    CAST(sum((q.xv * 1000000 - c.cv_micro) *
+           |             (q.xv * 1000000 - c.cv_micro)) AS BIGINT) AS ldist
+           |  FROM x q JOIN pc2 c USING (pos)
+           |  WHERE q.vec_id < 10 GROUP BY 1, 2, 3),
+           |adc AS (SELECT cand.qid, cand.nid,
+           |    CAST(sum(l.ldist) AS BIGINT) AS adist
+           |  FROM cand JOIN p3 a ON a.vec_id = cand.nid
+           |            JOIN lut l ON l.qid = cand.qid
+           |                     AND l.sub = a.sub AND l.cid = a.cid
+           |  GROUP BY 1, 2),
+           |short AS (SELECT qid, nid FROM (
+           |    SELECT qid, nid, row_number() OVER (
+           |      PARTITION BY qid ORDER BY adist, nid) AS srn
+           |    FROM adc) s
+           |  WHERE srn <= 50),
            |dots AS (SELECT short.qid, short.nid,
            |    CAST(sum(cx.xv * qx.xv) AS BIGINT) AS dot
            |  FROM short JOIN x cx ON cx.vec_id = short.nid

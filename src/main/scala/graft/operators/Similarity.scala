@@ -169,6 +169,65 @@ object Similarity {
     (xe, cent)
   }
 
+  /** The composed IVF+PQ index — the full FAISS-style vector-search
+    * design, assembled from the two independently-verified halves and
+    * still fully oracle-checkable:
+    *  - IVF ([[kmeansState]] cells) prunes the SCAN: a query touches
+    *    only members of its nProbe nearest cells;
+    *  - PQ ([[pqCodebook]] sub-codes) shrinks what the scan READS:
+    *    candidates are scored by m ADC table lookups over their
+    *    m-byte codes, never their vectors;
+    *  - the ADC top-`shortlist` is reranked with the exact integer
+    *    dot product (refine).
+    * All-integer arithmetic end to end, so DuckDB replays cell
+    * training, probing, codebook training, code assignment, the
+    * restricted ADC scan, and the rerank bit-for-bit. At 100 TB the
+    * per-query cost is O(cells·dim) probe + O(k·dim) LUT +
+    * O(candidates·m) lookups + O(shortlist·dim) refine, where
+    * candidates ≈ n·nProbe/cells — each factor tunable independently.
+    * Output: (qid, rnk, nid, dot) with a total order. */
+  def ivfPqVerified(embeddings: DataFrame, queryPred: Column,
+                    cells: Int = 4, cellIters: Int = 2,
+                    subDim: Int = 8, k: Int = 16, pqIters: Int = 2,
+                    nProbe: Int = 2, shortlist: Int = 50, topK: Int = 3,
+                    idCol: String = "vec_id",
+                    vecCol: String = "embedding"): DataFrame = {
+    val (xe0, coarse) = kmeansState(embeddings, cells, cellIters, idCol, vecCol)
+    val dists = cellDistances(xe0, coarse).localCheckpoint(true)
+    val cellOf = dists.filter(col("__rn") === 1)
+      .select(col("vec_id"), col("cid").as("cell"))
+    val probes = dists.filter(queryPred && col("__rn") <= nProbe)
+      .select(col("vec_id").as("qid"), col("cid").as("cell"))
+    val cand = cellOf.join(broadcast(probes), Seq("cell"))
+      .filter(col("vec_id") =!= col("qid"))
+      .select(col("qid"), col("vec_id").as("nid"))
+    val xe = xe0.withColumn("sub", expr(s"pos DIV $subDim").cast("int"))
+    val cent = pqCodebook(xe, subDim, k, pqIters)
+    val codes = pqAssign(xe, cent)
+    val lut = pqLut(xe, cent, queryPred)
+    // ADC restricted to probed-cell members: candidates pick up their
+    // m codes, each code row becomes one broadcast-LUT lookup
+    val short = cand.join(codes, col("nid") === codes("vec_id"))
+      .join(broadcast(lut), Seq("qid", "sub", "cid"))
+      .groupBy("qid", "nid")
+      .agg(sum(col("ldist")).as("adist"))
+      .withColumn("srn", row_number().over(
+        Window.partitionBy("qid").orderBy(col("adist").asc, col("nid").asc)))
+      .filter(col("srn") <= shortlist)
+      .select("qid", "nid")
+    val qcodes = xe0.filter(queryPred)
+      .select(col("vec_id").as("qid"), col("pos"), col("xv").as("qv"))
+    val w = Window.partitionBy("qid").orderBy(col("dot").desc, col("nid").asc)
+    short.join(xe0, col("nid") === xe0("vec_id"))
+      .join(broadcast(qcodes), Seq("qid", "pos"))
+      .groupBy("qid", "nid")
+      .agg(sum(col("xv") * col("qv")).as("dot"))
+      .withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= topK)
+      .select(col("qid"), col("rnk"), col("nid"), col("dot"))
+      .orderBy("qid", "rnk")
+  }
+
   /** Exact integer distance of every vector to every centroid:
     * (vec_id, cid, dist, __rn) with __rn ranking cells per vector by
     * (dist asc, cid asc) — __rn = 1 is the Lloyd assignment, __rn ≤ p
@@ -224,48 +283,10 @@ object Similarity {
       .toDF("vec_id", "pos", "xv")
       .withColumn("sub", expr(s"pos DIV $subDim").cast("int"))
       .localCheckpoint(true)
-    val seeds = xe.select("vec_id").distinct()
-      .orderBy("vec_id").limit(k)
-      .withColumn("cid", (row_number().over(
-        Window.orderBy("vec_id")) - 1).cast("int"))
-    // codebook: (sub, cid, pos, cv_micro) — k centroids per subspace,
-    // k×dim rows total (bounded model state, broadcast like kmeansState)
-    var cent = xe.join(broadcast(seeds), Seq("vec_id"))
-      .select(col("sub"), col("cid"), col("pos"),
-        (col("xv") * 1000000L).as("cv_micro"))
-    // per-subspace Lloyd assignment under codebook `c`: argmin cell of
-    // the exact long distance, independently for each (vector, sub)
-    def assign(c: DataFrame): DataFrame =
-      xe.drop("sub").join(broadcast(c), Seq("pos"))
-        .select(col("vec_id"), col("sub"), col("cid"),
-          ((col("xv") * 1000000L - col("cv_micro")) *
-            (col("xv") * 1000000L - col("cv_micro"))).as("term"))
-        .groupBy("vec_id", "sub", "cid")
-        .agg(sum(col("term")).as("dist"))
-        .withColumn("rn", row_number().over(
-          Window.partitionBy("vec_id", "sub")
-            .orderBy(col("dist").asc, col("cid").asc)))
-        .filter(col("rn") === 1)
-        .select("vec_id", "sub", "cid")
-    for (_ <- 1 to iters)
-      cent = xe.join(assign(cent), Seq("vec_id", "sub"))
-        .groupBy("cid", "pos") // pos determines sub: (cid, pos) is unique
-        .agg(sum(col("xv").cast("decimal(38,0)")).as("sx"), count(lit(1)).as("n"))
-        .select(expr(s"pos DIV $subDim").cast("int").as("sub"),
-          col("cid"), col("pos"),
-          expr("CAST((sx * 1000000) DIV n AS BIGINT)").as("cv_micro"))
-        .localCheckpoint(true)
+    val cent = pqCodebook(xe, subDim, k, iters)
     // the PQ index: m sub-codes per vector
-    val codes = assign(cent)
-    // ADC lookup table: exact integer distance from each query's own
-    // codes to every sub-centroid — |queries|×m×k rows, broadcastable
-    val lut = xe.filter(queryPred).drop("sub")
-      .join(broadcast(cent), Seq("pos"))
-      .select(col("vec_id").as("qid"), col("sub"), col("cid"),
-        ((col("xv") * 1000000L - col("cv_micro")) *
-          (col("xv") * 1000000L - col("cv_micro"))).as("term"))
-      .groupBy("qid", "sub", "cid")
-      .agg(sum(col("term")).as("ldist"))
+    val codes = pqAssign(xe, cent)
+    val lut = pqLut(xe, cent, queryPred)
     // ADC scan: m lookups per corpus vector, shortlist per query
     val short = codes.join(broadcast(lut), Seq("sub", "cid"))
       .filter(col("vec_id") =!= col("qid"))
@@ -288,6 +309,58 @@ object Similarity {
       .select(col("qid"), col("rnk"), col("nid"), col("dot"))
       .orderBy("qid", "rnk")
   }
+
+  /** Per-subspace PQ codebook over quantized codes. `xe` must carry
+    * (vec_id, pos, xv, sub); returns (sub, cid, pos, cv_micro) — k
+    * centroids per subspace, k×dim rows total (bounded model state,
+    * broadcast everywhere it is used). Same all-integer Lloyd
+    * arithmetic as [[kmeansState]]. */
+  def pqCodebook(xe: DataFrame, subDim: Int, k: Int, iters: Int): DataFrame = {
+    val seeds = xe.select("vec_id").distinct()
+      .orderBy("vec_id").limit(k)
+      .withColumn("cid", (row_number().over(
+        Window.orderBy("vec_id")) - 1).cast("int"))
+    var cent = xe.join(broadcast(seeds), Seq("vec_id"))
+      .select(col("sub"), col("cid"), col("pos"),
+        (col("xv") * 1000000L).as("cv_micro"))
+    for (_ <- 1 to iters)
+      cent = xe.join(pqAssign(xe, cent), Seq("vec_id", "sub"))
+        .groupBy("cid", "pos") // pos determines sub: (cid, pos) is unique
+        .agg(sum(col("xv").cast("decimal(38,0)")).as("sx"), count(lit(1)).as("n"))
+        .select(expr(s"pos DIV $subDim").cast("int").as("sub"),
+          col("cid"), col("pos"),
+          expr("CAST((sx * 1000000) DIV n AS BIGINT)").as("cv_micro"))
+        .localCheckpoint(true)
+    cent
+  }
+
+  /** Per-subspace Lloyd assignment under codebook `c`: argmin cell of
+    * the exact long distance, independently per (vector, sub). Output
+    * (vec_id, sub, cid). */
+  def pqAssign(xe: DataFrame, c: DataFrame): DataFrame =
+    xe.drop("sub").join(broadcast(c), Seq("pos"))
+      .select(col("vec_id"), col("sub"), col("cid"),
+        ((col("xv") * 1000000L - col("cv_micro")) *
+          (col("xv") * 1000000L - col("cv_micro"))).as("term"))
+      .groupBy("vec_id", "sub", "cid")
+      .agg(sum(col("term")).as("dist"))
+      .withColumn("rn", row_number().over(
+        Window.partitionBy("vec_id", "sub")
+          .orderBy(col("dist").asc, col("cid").asc)))
+      .filter(col("rn") === 1)
+      .select("vec_id", "sub", "cid")
+
+  /** ADC lookup table: exact integer distance from each query's OWN
+    * codes to every sub-centroid — |queries|×m×k rows, broadcastable.
+    * Output (qid, sub, cid, ldist). */
+  def pqLut(xe: DataFrame, cent: DataFrame, queryPred: Column): DataFrame =
+    xe.filter(queryPred).drop("sub")
+      .join(broadcast(cent), Seq("pos"))
+      .select(col("vec_id").as("qid"), col("sub"), col("cid"),
+        ((col("xv") * 1000000L - col("cv_micro")) *
+          (col("xv") * 1000000L - col("cv_micro"))).as("term"))
+      .groupBy("qid", "sub", "cid")
+      .agg(sum(col("term")).as("ldist"))
 
   /** IVF approximate nearest neighbors, fully oracle-checkable: the
     * coarse quantizer is the all-integer [[kmeansState]] k-means, the

@@ -36,8 +36,12 @@ class AggSketchSpec extends AnyFunSuite with SparkFixture {
     // IVF twin 0.90 — int8-dot rerank ≈ cosine on the normalized
     // codes; PQ 0.93 with the top-100 ADC shortlist reranked exactly
     // — raw ADC order alone measured 0.23) minus margin.
+    // composed IVF+PQ measured 0.83: it pays BOTH approximations
+    // (probed-cell pruning AND code quantization), the price of
+    // scanning only probed cells through m-byte codes.
     for ((name, floor) <- Seq("b4_lsh_ann" -> 0.6, "b4_ivf_ann" -> 0.5,
-        "b4_ivf_verified" -> 0.6, "b4_pq_verified" -> 0.7)) {
+        "b4_ivf_verified" -> 0.6, "b4_pq_verified" -> 0.7,
+        "b4_ivfpq_verified" -> 0.6)) {
       val approx = neighbors(name)
       val recalls = exact.toSeq.map { case (q, truth) =>
         approx.get(q).map(a => a.intersect(truth).size.toDouble / truth.size).getOrElse(0.0)
