@@ -631,6 +631,85 @@ object AggWindowQueries {
              |    AS v_fill,
              |  v IS NULL AS filled
              |FROM j ORDER BY user_id NULLS FIRST, h_ms NULLS FIRST""".stripMargin)
+    ),
+
+    // G18: EXACT mergeable distinct counting via bitmaps — the precise
+    // twin of the approximate G16 HLL union. User ids map to (bucket,
+    // bit) positions; per-(type, bucket) bitmaps build with one hash
+    // agg, per-type counts are bitmap popcounts, and the '*' row
+    // demonstrates the merge law: OR-ing the per-type bitmaps yields
+    // the exact global distinct WITHOUT rescanning rows — at 100 TB
+    // bitmaps compose across partitions/days exactly like sketches,
+    // but with no error bar. Oracle: plain count(DISTINCT).
+    Entry(
+      "g18_bitmap_distinct",
+      (s, d) => {
+        val bm = Tables.events(s, d)
+          .select(col("event_type"), col("user_id"))
+          .withColumn("buck", expr("bitmap_bucket_number(user_id)"))
+          .groupBy("event_type", "buck")
+          .agg(expr("bitmap_construct_agg(bitmap_bit_position(user_id))").as("bm"))
+        val perType = bm.groupBy("event_type")
+          .agg(sum(expr("bitmap_count(bm)")).as("n_users"))
+        val global = bm.groupBy("buck")
+          .agg(expr("bitmap_or_agg(bm)").as("obm"))
+          .agg(sum(expr("bitmap_count(obm)")).as("n_users"))
+          .select(lit("*").as("event_type"), col("n_users"))
+        perType.unionByName(global).orderBy("event_type")
+      },
+      Some("""SELECT event_type, count(DISTINCT user_id) AS n_users
+             |FROM events GROUP BY 1
+             |UNION ALL
+             |SELECT '*' AS event_type, count(DISTINCT user_id) AS n_users
+             |FROM events
+             |ORDER BY event_type NULLS FIRST""".stripMargin)
+    ),
+
+    // W13: rolling z-score anomaly detection — each event scored
+    // against its user's trailing 8-event window (current row
+    // excluded: the candidate must not contaminate its own baseline).
+    // Window sums ride the exact DECIMAL(28,6) accumulator, so the
+    // mean/variance inputs are bit-identical across engines and the
+    // remaining double ops (one sqrt, two divisions) are IEEE-exact;
+    // the anomaly gate thresholds the ROUNDED score (§7.4 discipline).
+    // One user_id exchange serves all three window aggregates.
+    Entry(
+      "w13_anomaly",
+      (s, d) => {
+        val w = Window.partitionBy("user_id")
+          .orderBy(col("ts"), col("event_id"))
+          .rowsBetween(-8, -1)
+        Tables.events(s, d)
+          .select(col("event_id"), col("user_id"), col("ts"), col("value"))
+          .withColumn("n_prev", count(col("value")).over(w))
+          .withColumn("s1", sum(col("value").cast("decimal(28,6)")).over(w).cast("double"))
+          .withColumn("s2", sum((col("value") * col("value")).cast("decimal(28,6)")).over(w).cast("double"))
+          .filter(col("n_prev") >= 4)
+          .withColumn("mean", col("s1") / col("n_prev"))
+          .withColumn("std",
+            sqrt((col("s2") - col("s1") * col("s1") / col("n_prev")) / (col("n_prev") - 1)))
+          .withColumn("z", (col("value") - col("mean")) / nullif(col("std"), lit(0.0)))
+          .select(col("event_id"), col("user_id"), col("n_prev"),
+            round(col("mean"), 6).as("roll_mean"),
+            round(col("z"), 4).as("z"),
+            (abs(round(col("z"), 6)) >= 2.0).as("is_anomaly"))
+          .orderBy("event_id")
+      },
+      Some("""WITH b AS (SELECT event_id, user_id, value,
+             |    count(value) OVER w AS n_prev,
+             |    CAST(sum(CAST(value AS DECIMAL(28,6))) OVER w AS DOUBLE) AS s1,
+             |    CAST(sum(CAST(value * value AS DECIMAL(28,6))) OVER w AS DOUBLE) AS s2
+             |  FROM events
+             |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+             |    ROWS BETWEEN 8 PRECEDING AND 1 PRECEDING)),
+             |z AS (SELECT event_id, user_id, n_prev, s1 / n_prev AS mean,
+             |    (value - s1 / n_prev) /
+             |      nullif(sqrt((s2 - s1 * s1 / n_prev) / (n_prev - 1)), 0) AS z
+             |  FROM b WHERE n_prev >= 4)
+             |SELECT event_id, user_id, n_prev,
+             |  round(mean, 6) AS roll_mean, round(z, 4) AS z,
+             |  abs(round(z, 6)) >= 2.0 AS is_anomaly
+             |FROM z ORDER BY event_id NULLS FIRST""".stripMargin)
     )
   )
 }

@@ -976,6 +976,123 @@ object LlmQueries {
            |    PARTITION BY qid ORDER BY dot DESC, nid) AS INT) AS rnk
            |  FROM dots) r
            |WHERE rnk <= 3 ORDER BY qid NULLS FIRST, rnk NULLS FIRST""".stripMargin)
+    ),
+
+    // B2': SemDeDup-style SEMANTIC dedup (cluster-then-compare): the
+    // all-integer k-means cells bound the pairwise comparison (Σ cellᵢ²
+    // candidates, never n²) and the exact int8-code dot decides
+    // near-duplication — a vector is removed when a smaller-id cell
+    // mate scores ≥ 5000 (≈ cosine 0.31 at the 127-norm code scale).
+    // Every stage is integer-exact, so DuckDB replays clustering, pair
+    // scoring, and survivor choice bit-for-bit.
+    Entry(
+      "b2_semantic_dedup",
+      (s, d) =>
+        Similarity.semanticDedup(Tables.embeddings(s, d)),
+      Some(
+        s"""$kmStateSql,
+           |a3 AS (${kmAssignSql("c2")}),
+           |dots AS (SELECT aa.cid, aa.vec_id AS id_a, ab.vec_id AS id_b,
+           |    CAST(sum(xa.xv * xb.xv) AS BIGINT) AS dot
+           |  FROM a3 aa JOIN a3 ab ON aa.cid = ab.cid AND aa.vec_id < ab.vec_id
+           |       JOIN x xa ON xa.vec_id = aa.vec_id
+           |       JOIN x xb ON xb.vec_id = ab.vec_id AND xb.pos = xa.pos
+           |  GROUP BY 1, 2, 3
+           |  HAVING sum(xa.xv * xb.xv) >= 5000)
+           |SELECT vec_id, cell, kept_id, dot FROM (
+           |  SELECT id_b AS vec_id, cid AS cell, id_a AS kept_id, dot,
+           |    row_number() OVER (PARTITION BY id_b ORDER BY dot DESC, id_a) AS rn
+           |  FROM dots) r
+           |WHERE rn = 1 ORDER BY vec_id NULLS FIRST""".stripMargin)
+    ),
+
+    // B3': ColBERT-style late-interaction retrieval (MaxSim): each
+    // embedding acts as 8 token sub-vectors of 8 dims; score(q, d) =
+    // Σ_qsub max_dsub (qsub · dsub) over the exact int8 codes. The
+    // interaction is asymmetric and non-linear (max inside sum), so it
+    // is NOT expressible as one dot product — the defining operator of
+    // multi-vector retrieval. Bounded query side broadcasts; sub-dots
+    // combine map-side; all-integer scores rank totally.
+    Entry(
+      "b3_maxsim",
+      (s, d) =>
+        Similarity.maxSimTopK(Tables.embeddings(s, d), col("vec_id") < 5),
+      Some(
+        s"""$kmBaseSql
+           |, xs AS (SELECT vec_id, pos, xv, CAST(pos // 8 AS INT) AS sub,
+           |    CAST(pos % 8 AS INT) AS off FROM x),
+           |sdt AS (SELECT q.vec_id AS qid, c.vec_id AS nid, q.sub AS qsub,
+           |    c.sub AS dsub, CAST(sum(q.xv * c.xv) AS BIGINT) AS sdot
+           |  FROM xs q JOIN xs c ON q.off = c.off AND c.vec_id <> q.vec_id
+           |  WHERE q.vec_id < 5 GROUP BY 1, 2, 3, 4),
+           |ms AS (SELECT qid, nid, qsub, max(sdot) AS msim
+           |  FROM sdt GROUP BY 1, 2, 3),
+           |sc AS (SELECT qid, nid, CAST(sum(msim) AS BIGINT) AS score
+           |  FROM ms GROUP BY 1, 2)
+           |SELECT qid, rnk, nid, score FROM (
+           |  SELECT qid, nid, score, CAST(row_number() OVER (
+           |    PARTITION BY qid ORDER BY score DESC, nid) AS INT) AS rnk
+           |  FROM sc) r
+           |WHERE rnk <= 3 ORDER BY qid NULLS FIRST, rnk NULLS FIRST""".stripMargin)
+    ),
+
+    // B3'': reciprocal-rank fusion — the standard hybrid-retrieval
+    // combiner (Cormack et al. 2009): two rankers' top-10 lists (exact
+    // cosine + MaxSim late interaction) fuse by Σ 1e6 DIV (60 + rank).
+    // Contributions are integer micro-units, so the fused ranking is
+    // total and engine-exact; a candidate missing from one list simply
+    // contributes 0 (the full-outer join IS the fusion semantics).
+    Entry(
+      "b3_rrf_fusion",
+      (s, d) => {
+        val e = Tables.embeddings(s, d)
+        val cos = Similarity.cosineTopK(e, col("vec_id") < 5, k = 10)
+          .select(col("qid"), col("nid"), col("rnk").as("rc"))
+        val ms = Similarity.maxSimTopK(e, col("vec_id") < 5, topK = 10)
+          .select(col("qid"), col("nid"), col("rnk").as("rm"))
+        val w = Window.partitionBy("qid").orderBy(col("rrf_micro").desc, col("nid").asc)
+        cos.join(ms, Seq("qid", "nid"), "full_outer")
+          .withColumn("rrf_micro",
+            coalesce(expr("CAST(1000000 DIV (60 + rc) AS BIGINT)"), lit(0L)) +
+              coalesce(expr("CAST(1000000 DIV (60 + rm) AS BIGINT)"), lit(0L)))
+          .withColumn("rnk", row_number().over(w))
+          .filter(col("rnk") <= 5)
+          .select(col("qid"), col("rnk"), col("nid"), col("rrf_micro"))
+          .orderBy("qid", "rnk")
+      },
+      Some(
+        s"""$kmBaseSql
+           |, xs AS (SELECT vec_id, pos, xv, CAST(pos // 8 AS INT) AS sub,
+           |    CAST(pos % 8 AS INT) AS off FROM x),
+           |sdt AS (SELECT q.vec_id AS qid, c.vec_id AS nid, q.sub AS qsub,
+           |    c.sub AS dsub, CAST(sum(q.xv * c.xv) AS BIGINT) AS sdot
+           |  FROM xs q JOIN xs c ON q.off = c.off AND c.vec_id <> q.vec_id
+           |  WHERE q.vec_id < 5 GROUP BY 1, 2, 3, 4),
+           |msc AS (SELECT qid, nid, CAST(sum(msim) AS BIGINT) AS score FROM (
+           |    SELECT qid, nid, qsub, max(sdot) AS msim FROM sdt GROUP BY 1, 2, 3) m
+           |  GROUP BY 1, 2),
+           |mr AS (SELECT qid, nid, rm FROM (
+           |    SELECT qid, nid, CAST(row_number() OVER (
+           |      PARTITION BY qid ORDER BY score DESC, nid) AS INT) AS rm
+           |    FROM msc) r WHERE rm <= 10),
+           |e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+           |n AS (SELECT vec_id, v, sqrt(list_inner_product(v, v)) AS nrm FROM e),
+           |sims AS (SELECT q.vec_id AS qid, c.vec_id AS nid,
+           |    list_inner_product(q.v, c.v) / (q.nrm * c.nrm) AS sim
+           |  FROM n q CROSS JOIN n c WHERE q.vec_id < 5 AND q.vec_id <> c.vec_id),
+           |cr AS (SELECT qid, nid, rc FROM (
+           |    SELECT qid, nid, CAST(row_number() OVER (
+           |      PARTITION BY qid ORDER BY sim DESC, nid) AS INT) AS rc
+           |    FROM sims) r WHERE rc <= 10),
+           |f AS (SELECT qid, nid,
+           |    CAST(coalesce(1000000 // (60 + rc), 0) +
+           |         coalesce(1000000 // (60 + rm), 0) AS BIGINT) AS rrf_micro
+           |  FROM cr FULL OUTER JOIN mr USING (qid, nid))
+           |SELECT qid, rnk, nid, rrf_micro FROM (
+           |  SELECT qid, nid, rrf_micro, CAST(row_number() OVER (
+           |    PARTITION BY qid ORDER BY rrf_micro DESC, nid) AS INT) AS rnk
+           |  FROM f) r
+           |WHERE rnk <= 5 ORDER BY qid NULLS FIRST, rnk NULLS FIRST""".stripMargin)
     )
   )
 }

@@ -189,6 +189,41 @@ object PipelineQueries {
               |GROUP BY o_orderpriority ORDER BY o_orderpriority NULLS FIRST""".stripMargin)
     ),
 
+    // Q2: correlated LATERAL subquery through the SQL surface — the
+    // per-row dependent-subquery shape (top-2 orders per customer).
+    // Catalyst DECORRELATES it (DecorrelateInnerQuery + window
+    // rewrite) into one join + ranking, so at scale this runs as a
+    // single shuffle, never a per-customer nested loop.
+    Entry(
+      "q2_lateral",
+      (s, d) => {
+        Tables.customer(s, d).createOrReplaceTempView("v_customer")
+        Tables.orders(s, d).createOrReplaceTempView("v_orders")
+        s.sql("""
+          SELECT c.c_custkey, o.o_orderkey, o.o_totalprice
+          FROM v_customer c,
+          LATERAL (
+            SELECT o_orderkey, o_totalprice FROM v_orders
+            WHERE o_custkey = c.c_custkey
+            ORDER BY o_totalprice DESC, o_orderkey ASC
+            LIMIT 2
+          ) o
+          WHERE c.c_custkey <= 100
+          ORDER BY c.c_custkey, o.o_totalprice DESC, o.o_orderkey
+        """)
+      },
+      Some("""SELECT c.c_custkey, o.o_orderkey, o.o_totalprice
+             |FROM customer c,
+             |LATERAL (
+             |  SELECT o_orderkey, o_totalprice FROM orders
+             |  WHERE o_custkey = c.c_custkey
+             |  ORDER BY o_totalprice DESC, o_orderkey ASC
+             |  LIMIT 2
+             |) o
+             |WHERE c.c_custkey <= 100
+             |ORDER BY c.c_custkey NULLS FIRST, o.o_totalprice DESC, o.o_orderkey""".stripMargin)
+    ),
+
     // G14: GROUPING SETS through the SQL surface — the general form
     // rollup/cube specialize; grouping() markers disambiguate the
     // all-rows from genuine NULL keys.

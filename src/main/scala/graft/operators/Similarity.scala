@@ -362,6 +362,88 @@ object Similarity {
       .groupBy("qid", "sub", "cid")
       .agg(sum(col("term")).as("ldist"))
 
+  /** SemDeDup-style semantic deduplication (Abbas et al. 2023): cluster
+    * the corpus with the all-integer [[kmeansState]] k-means, then
+    * compare pairs ONLY within a cluster — the clustering bounds the
+    * quadratic blow-up (Σ cellᵢ² vs n²; at 100 TB cells number in the
+    * thousands, so each stays join-able). A vector is REMOVED when a
+    * smaller-id member of its cell has exact integer-dot similarity
+    * ≥ `minDot` over the int8 codes (dot of two L2-127-normalized int8
+    * vectors ≈ cosine·127²). Codes ride as arrays through the pair join
+    * — the dot is one codegen'd DotProduct per pair, and int8 products
+    * summed over 64 dims stay exact in double (≪ 2^53), so the LongType
+    * result is engine-exact and DuckDB replays clustering and pair
+    * scoring bit-for-bit.
+    * Output: one row per removed vector (vec_id, cell, kept_id, dot)
+    * where kept_id is its strongest smaller-id partner (ties → lower
+    * id), totally ordered. */
+  def semanticDedup(embeddings: DataFrame, k: Int = 4, iters: Int = 2,
+                    minDot: Long = 5000L,
+                    idCol: String = "vec_id",
+                    vecCol: String = "embedding"): DataFrame = {
+    val (xe, cent) = kmeansState(embeddings, k, iters, idCol, vecCol)
+    val cells = cellDistances(xe, cent).filter(col("__rn") === 1)
+      .select(col("vec_id"), col("cid"))
+    val coded = embeddings
+      .filter(VectorOps.norm(col(vecCol)) > 0)
+      .select(col(idCol).as("vec_id"),
+        transform(graft.operators.Curation.quantize(col(vecCol)),
+          _.cast("double")).as("qv"))
+      .join(cells, Seq("vec_id"))
+    val a = coded.select(col("cid"), col("vec_id").as("id_a"), col("qv").as("qa"))
+    val b = coded.select(col("cid"), col("vec_id").as("id_b"), col("qv").as("qb"))
+    val w = Window.partitionBy("id_b").orderBy(col("dot").desc, col("id_a").asc)
+    a.join(b, Seq("cid"))
+      .filter(col("id_a") < col("id_b"))
+      .withColumn("dot", VectorOps.dot(col("qa"), col("qb")).cast("long"))
+      .filter(col("dot") >= minDot)
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select(col("id_b").as("vec_id"), col("cid").as("cell"),
+        col("id_a").as("kept_id"), col("dot"))
+      .orderBy("vec_id")
+  }
+
+  /** ColBERT-style late-interaction scoring (MaxSim): each 64-dim
+    * embedding is treated as `dim/subDim` token sub-vectors; a
+    * query–document score is Σ over query sub-vectors of the MAX dot
+    * product against any document sub-vector. All arithmetic is exact
+    * integer over the int8 codes (sub-dot ≤ 8·127² ≈ 1.3e5, score ≤
+    * 8·that — far inside long), so the ranking is total and
+    * engine-independent. The bounded query side broadcasts; the corpus
+    * is touched once (sub-dots group map-side before the max/sum
+    * cascade) — per-query cost is O(n·m²) sub-dot terms with m = 8
+    * sub-vectors, never a corpus×corpus product.
+    * Output: (qid, rnk, nid, score) with a total order. */
+  def maxSimTopK(embeddings: DataFrame, queryPred: Column,
+                 subDim: Int = 8, topK: Int = 3,
+                 idCol: String = "vec_id",
+                 vecCol: String = "embedding"): DataFrame = {
+    val xe = embeddings
+      .filter(VectorOps.norm(col(vecCol)) > 0)
+      .select(col(idCol).as("vec_id"),
+        posexplode(graft.operators.Curation.quantize(col(vecCol))))
+      .toDF("vec_id", "pos", "xv")
+      .withColumn("sub", expr(s"pos DIV $subDim").cast("int"))
+      .withColumn("off", (col("pos") % subDim).cast("int"))
+    val q = xe.filter(queryPred)
+      .select(col("vec_id").as("qid"), col("sub").as("qsub"),
+        col("off"), col("xv").as("qv"))
+    val w = Window.partitionBy("qid").orderBy(col("score").desc, col("nid").asc)
+    xe.join(broadcast(q), Seq("off"))
+      .filter(col("vec_id") =!= col("qid"))
+      .groupBy(col("qid"), col("vec_id").as("nid"), col("qsub"), col("sub"))
+      .agg(sum(col("qv") * col("xv")).as("sdot"))
+      .groupBy("qid", "nid", "qsub")
+      .agg(max(col("sdot")).as("msim"))
+      .groupBy("qid", "nid")
+      .agg(sum(col("msim")).as("score"))
+      .withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= topK)
+      .select(col("qid"), col("rnk"), col("nid"), col("score"))
+      .orderBy("qid", "rnk")
+  }
+
   /** IVF approximate nearest neighbors, fully oracle-checkable: the
     * coarse quantizer is the all-integer [[kmeansState]] k-means, the
     * probe ranking is the same exact long distance, and the rerank is

@@ -114,6 +114,108 @@ object TrainingDataQueries {
              |CAST(length(substring(text, CAST(i*80+1 AS INT), 80)) AS INT) AS chunk_len
              |FROM c, unnest(range(0, n_chunks)) AS u(i)
              |ORDER BY doc_id NULLS FIRST, chunk_idx NULLS FIRST""".stripMargin)
+    ),
+
+    // B5f: BM25 relevance scoring — the classic lexical retrieval
+    // scorer (Robertson/Spärck Jones; k1=1.2, b=0.75) for a fixed
+    // 3-term query over the corpus. tf/df/dl/avgdl all reduce from
+    // exact integer aggregates; the per-term float score is cast to
+    // DECIMAL(28,6) before the per-doc sum (summation-order-proof,
+    // like every dsum) and ranking uses the ROUNDED score with doc_id
+    // tie-break (ln() ulp discipline, same as b5_tfidf). Scale shape:
+    // term postings shrink to the 3 query terms at the first filter;
+    // df and corpus stats are broadcast scalars; the top-20 cut is
+    // TakeOrderedAndProject, never a global sort.
+    Entry(
+      "b5_bm25",
+      (s, d) => {
+        val terms = Seq("vector", "hash", "merge")
+        val docs = Tables.documents(s, d)
+          .select(col("doc_id"), split(col("text"), " ").as("tk"))
+        val dd = docs.select(col("doc_id"), size(col("tk")).cast("long").as("dl"), col("tk"))
+        val tf = dd.select(col("doc_id"), col("dl"), explode(col("tk")).as("w"))
+          .filter(col("w").isin(terms: _*))
+          .groupBy("doc_id", "dl", "w").agg(count(lit(1)).as("tf"))
+        val dfw = tf.groupBy("w").agg(countDistinct(col("doc_id")).as("df"))
+        val st = docs.agg(count(lit(1)).as("n_docs"),
+          sum(size(col("tk")).cast("long")).as("sum_dl"))
+        tf.join(broadcast(dfw), "w")
+          .crossJoin(broadcast(st))
+          .withColumn("avgdl", col("sum_dl").cast("double") / col("n_docs"))
+          .withColumn("s",
+            log((col("n_docs") - col("df") + 0.5) / (col("df") + 0.5) + 1.0) *
+              (col("tf") * lit(2.2)) /
+              (col("tf") + lit(1.2) *
+                (lit(1.0) - lit(0.75) + lit(0.75) * col("dl").cast("double") / col("avgdl"))))
+          .groupBy("doc_id")
+          .agg(round(sum(col("s").cast("decimal(28,6)")).cast("double"), 6).as("score"),
+            count(lit(1)).as("n_terms"))
+          .orderBy(col("score").desc, col("doc_id").asc)
+          .limit(20)
+      },
+      Some("""WITH d AS (SELECT doc_id, string_split(text, ' ') AS tk FROM documents),
+             |tf AS (SELECT doc_id, CAST(len(tk) AS BIGINT) AS dl, w, count(*) AS tf
+             |  FROM (SELECT doc_id, tk, unnest(tk) AS w FROM d) h
+             |  WHERE w IN ('vector', 'hash', 'merge') GROUP BY 1, 2, 3),
+             |dfw AS (SELECT w, count(DISTINCT doc_id) AS df FROM tf GROUP BY 1),
+             |st AS (SELECT count(*) AS n_docs,
+             |    CAST(sum(CAST(len(tk) AS BIGINT)) AS BIGINT) AS sum_dl FROM d),
+             |sc AS (SELECT tf.doc_id,
+             |    ln((st.n_docs - dfw.df + 0.5) / (dfw.df + 0.5) + 1.0) *
+             |      (tf.tf * 2.2) /
+             |      (tf.tf + 1.2 * (1.0 - 0.75 + 0.75 * CAST(tf.dl AS DOUBLE) /
+             |        (CAST(st.sum_dl AS DOUBLE) / st.n_docs))) AS s
+             |  FROM tf JOIN dfw USING (w) CROSS JOIN st)
+             |SELECT doc_id,
+             |  round(CAST(sum(CAST(s AS DECIMAL(28,6))) AS DOUBLE), 6) AS score,
+             |  count(*) AS n_terms
+             |FROM sc GROUP BY 1
+             |ORDER BY score DESC, doc_id LIMIT 20""".stripMargin)
+    ),
+
+    // B1c: repeated-SPAN detection — the substring-level dedup signal
+    // of "Deduplicating Training Data Makes Language Models Better"
+    // (Lee et al. 2022): every 8-token sliding span is fingerprinted;
+    // a span position is duplicated when its fingerprint occurs in ≥ 2
+    // DISTINCT documents. Per-document output: span count, duplicated
+    // positions, and the duplication ratio — the gate a curation
+    // pipeline thresholds on. Scale shape: one generator pass (no
+    // shuffle) to spans, one hash agg over fingerprints, one equi-join
+    // back — span fingerprints are 32-byte md5s, so the shuffled bytes
+    // are O(tokens), independent of document length skew.
+    Entry(
+      "b1_span_dedup",
+      (s, d) => {
+        val docs = Tables.documents(s, d)
+          .select(col("doc_id"), split(col("text"), " ").as("tk"))
+          .filter(size(col("tk")) >= 8)
+        val spans = docs
+          .select(col("doc_id"),
+            explode(sequence(lit(1), size(col("tk")) - 7)).as("i"),
+            col("tk"))
+          .select(col("doc_id"),
+            md5(array_join(slice(col("tk"), col("i"), lit(8)), " ")).as("h"))
+        val dupSpans = spans.groupBy("h")
+          .agg(countDistinct(col("doc_id")).as("nd"))
+        spans.join(dupSpans, Seq("h"))
+          .groupBy("doc_id")
+          .agg(
+            count(lit(1)).as("n_spans"),
+            count_if(col("nd") >= 2).as("n_dup"),
+            round(count_if(col("nd") >= 2).cast("double") / count(lit(1)), 6)
+              .as("dup_ratio"))
+          .orderBy("doc_id")
+      },
+      Some("""WITH t AS (SELECT doc_id, string_split(text, ' ') AS tk FROM documents
+             |  WHERE len(string_split(text, ' ')) >= 8),
+             |s AS (SELECT doc_id, md5(array_to_string(tk[i:i+7], ' ')) AS h
+             |  FROM t, unnest(range(1, len(tk) - 6)) AS u(i)),
+             |d AS (SELECT h, count(DISTINCT doc_id) AS nd FROM s GROUP BY 1)
+             |SELECT s.doc_id, count(*) AS n_spans,
+             |  CAST(count_if(d.nd >= 2) AS BIGINT) AS n_dup,
+             |  round(CAST(count_if(d.nd >= 2) AS DOUBLE) / count(*), 6) AS dup_ratio
+             |FROM s JOIN d USING (h) GROUP BY s.doc_id
+             |ORDER BY doc_id NULLS FIRST""".stripMargin)
     )
   )
 }

@@ -232,6 +232,37 @@ class PlanAuditSpec extends AnyFunSuite with SparkFixture {
     }
   }
 
+  test("b3_maxsim: query sub-codes broadcast; sub-dot agg is two-phase") {
+    val p = plan("b3_maxsim")
+    assert(p.contains("BroadcastHashJoin") || p.contains("BroadcastExchange"),
+      s"expected the bounded query side to broadcast:\n$p")
+    assert(p.contains("partial_sum") || p.contains("partial sum"),
+      s"expected map-side partial aggregation of sub-dots:\n$p")
+  }
+
+  test("b2_semantic_dedup: centroid table broadcasts; the pair join never broadcasts the corpus") {
+    val p = plan("b2_semantic_dedup")
+    // the within-cell pair join must be a shuffle join on cid (both
+    // sides are corpus-sized) — a broadcast there would ship the corpus
+    assert(p.contains("SortMergeJoin") || p.contains("ShuffledHashJoin"),
+      s"expected a shuffle join for the within-cell pairs:\n$p")
+  }
+
+  test("w13_anomaly: all three rolling aggregates share ONE user_id window pass") {
+    val p = plan("w13_anomaly")
+    val n = "Window".r.findAllIn(p).length
+    assert(n <= 2, s"expected one Window operator (n_prev/s1/s2 fused):\n$p")
+    val ex = "Exchange hashpartitioning".r.findAllIn(p).length
+    assert(ex === 1, s"expected exactly one hash exchange:\n$p")
+  }
+
+  test("q2_lateral decorrelates: ranking join, no per-row subquery loop") {
+    val p = plan("q2_lateral")
+    assert(!p.contains("CartesianProduct"), s"lateral stayed correlated:\n$p")
+    assert(p.contains("Window") || p.contains("TakeOrdered") || p.contains("Limit"),
+      s"expected a decorrelated ranking shape:\n$p")
+  }
+
   test("no accidental cartesian products anywhere") {
     for (name <- SparkEntry.queries.keys.toSeq.sorted
          if name != "j7_cross" && name != "b3_cosine_topk") {
