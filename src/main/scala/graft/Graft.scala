@@ -21,6 +21,17 @@ object Graft {
   /** Typed loaders for the testdata tables (parquet, footer schema). */
   val tables: graft.sources.Tables.type = graft.sources.Tables
 
+  /** Object-store access (the reference's s3a://+dl.cfg story):
+    * parse a dl.cfg-shape config into a base URI + Hadoop credential
+    * options, then read/write tables through any scheme. */
+  val lake: graft.sources.Lake.type = graft.sources.Lake
+  def lakeConfig(cfgText: String): graft.sources.LakeConfig =
+    graft.sources.LakeConfig.parse(cfgText)
+
+  /** ACID-ish snapshot tables over raw parquet: atomic manifest
+    * commits, snapshot reads, time travel, MERGE upserts. */
+  val manifestTable: graft.sources.ManifestTable.type = graft.sources.ManifestTable
+
   /** Session builder with the engine's required configs (UTC, ns-as-
     * long events, SQL extensions with dot_product registered). */
   def session(master: String = "local[*]", shufflePartitions: Int = 32): SparkSession =

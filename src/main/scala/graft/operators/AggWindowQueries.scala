@@ -672,7 +672,15 @@ object AggWindowQueries {
     // mean/variance inputs are bit-identical across engines and the
     // remaining double ops (one sqrt, two divisions) are IEEE-exact;
     // the anomaly gate thresholds the ROUNDED score (§7.4 discipline).
-    // One user_id exchange serves all three window aggregates.
+    // All three rolling aggregates sit in ONE select over the shared
+    // WindowSpec — chained withColumns would interleave Projects (the
+    // decimal-cast inputs) between Window nodes and block Catalyst's
+    // CollapseWindow, planning three Window passes instead of one
+    // (PlanAuditSpec asserts the fused shape). Variance is clamped at
+    // 0 before the sqrt (floating error can drive it epsilon-negative
+    // for a constant baseline → NaN std → NaN z, which both engines'
+    // NaN-greatest ordering would flag as an anomaly); z is gated on
+    // std > 0 (null otherwise) so zero-variance rows are unflaggable.
     Entry(
       "w13_anomaly",
       (s, d) => {
@@ -681,14 +689,17 @@ object AggWindowQueries {
           .rowsBetween(-8, -1)
         Tables.events(s, d)
           .select(col("event_id"), col("user_id"), col("ts"), col("value"))
-          .withColumn("n_prev", count(col("value")).over(w))
-          .withColumn("s1", sum(col("value").cast("decimal(28,6)")).over(w).cast("double"))
-          .withColumn("s2", sum((col("value") * col("value")).cast("decimal(28,6)")).over(w).cast("double"))
+          .select(col("event_id"), col("user_id"), col("value"),
+            count(col("value")).over(w).as("n_prev"),
+            sum(col("value").cast("decimal(28,6)")).over(w).cast("double").as("s1"),
+            sum((col("value") * col("value")).cast("decimal(28,6)")).over(w).cast("double").as("s2"))
           .filter(col("n_prev") >= 4)
           .withColumn("mean", col("s1") / col("n_prev"))
           .withColumn("std",
-            sqrt((col("s2") - col("s1") * col("s1") / col("n_prev")) / (col("n_prev") - 1)))
-          .withColumn("z", (col("value") - col("mean")) / nullif(col("std"), lit(0.0)))
+            sqrt(greatest(lit(0.0),
+              (col("s2") - col("s1") * col("s1") / col("n_prev")) / (col("n_prev") - 1))))
+          .withColumn("z",
+            when(col("std") > 0.0, (col("value") - col("mean")) / col("std")))
           .select(col("event_id"), col("user_id"), col("n_prev"),
             round(col("mean"), 6).as("roll_mean"),
             round(col("z"), 4).as("z"),
@@ -702,10 +713,12 @@ object AggWindowQueries {
              |  FROM events
              |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
              |    ROWS BETWEEN 8 PRECEDING AND 1 PRECEDING)),
-             |z AS (SELECT event_id, user_id, n_prev, s1 / n_prev AS mean,
-             |    (value - s1 / n_prev) /
-             |      nullif(sqrt((s2 - s1 * s1 / n_prev) / (n_prev - 1)), 0) AS z
-             |  FROM b WHERE n_prev >= 4)
+             |s AS (SELECT event_id, user_id, value, n_prev, s1 / n_prev AS mean,
+             |    sqrt(greatest(0.0, (s2 - s1 * s1 / n_prev) / (n_prev - 1))) AS std
+             |  FROM b WHERE n_prev >= 4),
+             |z AS (SELECT event_id, user_id, n_prev, mean,
+             |    CASE WHEN std > 0 THEN (value - mean) / std END AS z
+             |  FROM s)
              |SELECT event_id, user_id, n_prev,
              |  round(mean, 6) AS roll_mean, round(z, 4) AS z,
              |  abs(round(z, 6)) >= 2.0 AS is_anomaly

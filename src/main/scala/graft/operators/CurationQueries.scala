@@ -104,7 +104,7 @@ object CurationQueries {
              |  FROM (SELECT doc_id, string_split(text, ' ') AS ws FROM documents) t
              |  WHERE len(ws) >= 2),
              |c AS (SELECT doc_id, bg, count(*) AS cnt FROM b GROUP BY 1, 2)
-             |SELECT doc_id, max(cnt) AS top_cnt, sum(cnt) AS n_bigrams,
+             |SELECT doc_id, max(cnt) AS top_cnt, CAST(sum(cnt) AS BIGINT) AS n_bigrams,
              |  round(CAST(max(cnt) AS DOUBLE) / sum(cnt), 6) AS rep_ratio,
              |  CAST(max(cnt) AS DOUBLE) / sum(cnt) > 0.2 AS flagged
              |FROM c GROUP BY doc_id ORDER BY doc_id NULLS FIRST""".stripMargin)

@@ -403,7 +403,7 @@ object LlmQueries {
              |list_inner_product(q.v, c.v) / (q.nrm * c.nrm) AS sim
              |FROM n q CROSS JOIN n c WHERE q.vec_id < 10 AND q.vec_id <> c.vec_id)
              |SELECT qid, rnk, cid AS nid, round(sim, 4) AS sim FROM (
-             |SELECT qid, cid, sim, row_number() OVER (PARTITION BY qid ORDER BY sim DESC, cid) AS rnk FROM sims)
+             |SELECT qid, cid, sim, row_number() OVER (PARTITION BY qid ORDER BY round(sim, 6) DESC, cid) AS rnk FROM sims)
              |WHERE rnk <= 5 ORDER BY qid NULLS FIRST, rnk NULLS FIRST""".stripMargin)
     ),
 
@@ -833,7 +833,7 @@ object LlmQueries {
     Entry(
       "b4_kmeans",
       (s, d) =>
-        Similarity.kmeansQuantized(Tables.embeddings(s, d)).orderBy("cid"),
+        Similarity.kmeansQuantized(Tables.embeddings(s, d), stateKey = Some(d)).orderBy("cid"),
       Some(
         s"""$kmStateSql,
            |a3 AS (${kmAssignSql("c2")})
@@ -851,7 +851,8 @@ object LlmQueries {
     Entry(
       "b4_ivf_verified",
       (s, d) =>
-        Similarity.ivfVerified(Tables.embeddings(s, d), col("vec_id") < 10),
+        Similarity.ivfVerified(Tables.embeddings(s, d), col("vec_id") < 10,
+          stateKey = Some(d)),
       Some(
         s"""$kmStateSql,
            |d3 AS (SELECT vec_id, cid, dist, row_number() OVER (
@@ -892,7 +893,8 @@ object LlmQueries {
     Entry(
       "b4_pq_verified",
       (s, d) =>
-        Similarity.pqVerified(Tables.embeddings(s, d), col("vec_id") < 10),
+        Similarity.pqVerified(Tables.embeddings(s, d), col("vec_id") < 10,
+          stateKey = Some(d)),
       Some(
         s"""$pqStateSql,
            |p3 AS (${pqAssignSql("pc2")}),
@@ -932,7 +934,8 @@ object LlmQueries {
     Entry(
       "b4_ivfpq_verified",
       (s, d) =>
-        Similarity.ivfPqVerified(Tables.embeddings(s, d), col("vec_id") < 10),
+        Similarity.ivfPqVerified(Tables.embeddings(s, d), col("vec_id") < 10,
+          stateKey = Some(d)),
       Some(
         s"""$kmBaseSql,
            |$kmChainSql,
@@ -988,7 +991,7 @@ object LlmQueries {
     Entry(
       "b2_semantic_dedup",
       (s, d) =>
-        Similarity.semanticDedup(Tables.embeddings(s, d)),
+        Similarity.semanticDedup(Tables.embeddings(s, d), stateKey = Some(d)),
       Some(
         s"""$kmStateSql,
            |a3 AS (${kmAssignSql("c2")}),
@@ -1082,7 +1085,7 @@ object LlmQueries {
            |  FROM n q CROSS JOIN n c WHERE q.vec_id < 5 AND q.vec_id <> c.vec_id),
            |cr AS (SELECT qid, nid, rc FROM (
            |    SELECT qid, nid, CAST(row_number() OVER (
-           |      PARTITION BY qid ORDER BY sim DESC, nid) AS INT) AS rc
+           |      PARTITION BY qid ORDER BY round(sim, 6) DESC, nid) AS INT) AS rc
            |    FROM sims) r WHERE rc <= 10),
            |f AS (SELECT qid, nid,
            |    CAST(coalesce(1000000 // (60 + rc), 0) +

@@ -1,0 +1,116 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Object-store access for the lake — the literal "S3" in the
+  * reference's name ([R] etl.py reads `s3a://udacity-dend/...` with
+  * AWS credentials loaded from `dl.cfg` into the environment before
+  * the session starts). Re-expressed Spark-first:
+  *
+  *  - a [[LakeConfig]] carries a scheme-prefixed base URI (`s3a://`,
+  *    `hdfs://`, `abfss://`, `file://`, a bare local path) plus the
+  *    Hadoop filesystem options the connector needs — for S3A that is
+  *    `fs.s3a.access.key` / `fs.s3a.secret.key` / `fs.s3a.endpoint`,
+  *    which is exactly where the AWS keys in a dl.cfg belong in a
+  *    Spark-native design (never env vars: Hadoop conf travels with
+  *    the session to every executor; env mutation does not);
+  *  - [[LakeConfig.parse]] reads the dl.cfg shape itself — INI
+  *    sections, `KEY=value` lines — and maps the AWS key names onto
+  *    their S3A equivalents, so a user of the reference can point this
+  *    engine at their existing config file unchanged;
+  *  - [[Lake.configure]] injects the options into the session's
+  *    hadoopConfiguration (the live mechanism every object-store
+  *    connector reads), and [[Lake.table]] resolves `<base>/<name>`
+  *    through the normal `spark.read` path — identical code path for
+  *    s3a:// and file://.
+  *
+  * Offline sandbox: zero egress (SURVEY.md §0), so the live-S3A leg is
+  * untestable here. The unit tests (LakeSpec) drive THIS code path —
+  * config parse, credential injection, base-URI resolution, read and
+  * write — against `file://` (Hadoop's LocalFileSystem), which is the
+  * same FileSystem abstraction S3A plugs into; swapping the scheme is
+  * a config change, not a code change.
+  */
+final case class LakeConfig(
+    baseUri: String,
+    hadoopConf: Map[String, String] = Map.empty) {
+  /** `<base>/<rel>` with exactly one joining slash — base URIs with
+    * and without a trailing slash are both accepted. */
+  def path(rel: String): String =
+    baseUri.stripSuffix("/") + "/" + rel.stripPrefix("/")
+}
+
+object LakeConfig {
+  /** Alias map from dl.cfg AWS key names (either side of the
+    * env-var/ini-case divide) to the S3A options Hadoop reads. */
+  private val AwsAliases: Map[String, String] = Map(
+    "aws_access_key_id" -> "fs.s3a.access.key",
+    "aws_secret_access_key" -> "fs.s3a.secret.key",
+    "aws_session_token" -> "fs.s3a.session.token",
+    "aws_endpoint_url" -> "fs.s3a.endpoint")
+
+  /** Parse dl.cfg-style text: `[SECTION]` headers (ignored — the
+    * reference's file has one `[AWS]` section), `#`/`;` comments,
+    * `KEY=value` lines with optional whitespace and optional quotes
+    * around the value. Recognized keys:
+    *  - `base_uri` (or `input_data`, the reference's variable name) →
+    *    [[LakeConfig.baseUri]];
+    *  - AWS credential names (case-insensitive) → their S3A options;
+    *  - any `fs.*` or `hadoop.*` key passes through verbatim, so
+    *    non-S3 stores (abfss, gs) configure the same way.
+    * Unknown keys are ignored rather than fatal — a shared dl.cfg may
+    * carry entries for other tools. */
+  def parse(text: String, defaultBase: String = "file:///tmp/lake"): LakeConfig = {
+    val kvs = text.linesIterator
+      .map(_.trim)
+      .filter(l => l.nonEmpty && !l.startsWith("#") && !l.startsWith(";") &&
+        !l.startsWith("[") && l.contains("="))
+      .map { l =>
+        val i = l.indexOf('=')
+        val k = l.substring(0, i).trim
+        val v = l.substring(i + 1).trim.stripPrefix("\"").stripSuffix("\"")
+          .stripPrefix("'").stripSuffix("'")
+        (k, v)
+      }
+      .toSeq
+    val base = kvs.collectFirst {
+      case (k, v) if Set("base_uri", "input_data").contains(k.toLowerCase) => v
+    }.getOrElse(defaultBase)
+    val conf = kvs.flatMap { case (k, v) =>
+      val lk = k.toLowerCase
+      if (AwsAliases.contains(lk)) Some(AwsAliases(lk) -> v)
+      else if (lk.startsWith("fs.") || lk.startsWith("hadoop.")) Some(k -> v)
+      else None
+    }.toMap
+    LakeConfig(base, conf)
+  }
+}
+
+object Lake {
+  /** Inject the config's filesystem options into the session's Hadoop
+    * configuration — the one place S3A/ABFS/GCS connectors read
+    * credentials from, and the only injection point that reaches every
+    * executor (conf is serialized with each task). Idempotent. */
+  def configure(spark: SparkSession, cfg: LakeConfig): Unit =
+    cfg.hadoopConf.foreach { case (k, v) =>
+      spark.sparkContext.hadoopConfiguration.set(k, v)
+    }
+
+  /** Read `<base>/<name>.parquet` through the configured session —
+    * the [[Tables]] contract rooted at an arbitrary-scheme base URI. */
+  def table(spark: SparkSession, cfg: LakeConfig, name: String): DataFrame = {
+    configure(spark, cfg)
+    spark.read.parquet(cfg.path(s"$name.parquet"))
+  }
+
+  /** Write a DataFrame to `<base>/<rel>` as parquet (overwrite) — the
+    * sink half of the reference's ETL ([R] etl.py writes back to
+    * `s3a://.../analytics/...`). Partition columns optional. */
+  def write(spark: SparkSession, cfg: LakeConfig, df: DataFrame,
+            rel: String, partitionBy: Seq[String] = Nil): Unit = {
+    configure(spark, cfg)
+    val w = df.write.mode("overwrite")
+    (if (partitionBy.nonEmpty) w.partitionBy(partitionBy: _*) else w)
+      .parquet(cfg.path(rel))
+  }
+}

@@ -110,6 +110,36 @@ class MinHashSpec extends AnyFunSuite with SparkFixture {
     assert(groups.toSeq === Seq(0L))
   }
 
+  test("corpus-level dup-group recall floor on planted near-duplicates") {
+    // End-to-end quality gate for the judged b2_minhash_dedup path
+    // (candidatePairs → jaccard filter → CC → groups), which has no
+    // SQL oracle by design: plant 40 near-dup pairs (50-word docs, one
+    // word perturbed → shingle Jaccard ≈ 0.89) inside 160 unrelated
+    // docs and require the pipeline to group ≥ 85% of the planted
+    // pairs (banding theory: P[candidate] = 1−(1−j⁴)⁴ ≈ 0.98 at
+    // j≈0.89) with zero cross-contamination of unrelated docs.
+    // Deterministic: fixed RNG seed + fixed hash seeds, so this is a
+    // stable measurement, not a flaky statistical bound.
+    val rnd = new scala.util.Random(7)
+    val vocab = (0 until 1000).map(i => s"w$i")
+    def doc(): String = Seq.fill(50)(vocab(rnd.nextInt(vocab.length))).mkString(" ")
+    val bases = (0 until 200).map(i => (i.toLong, doc()))
+    val planted = bases.take(40).map { case (id, text) =>
+      val ws = text.split(" "); ws(25) = "perturbed"
+      (id + 1000L, ws.mkString(" "))
+    }
+    val corpus = (bases ++ planted).toDF("doc_id", "text")
+    val g = MinHash.dupGroups(corpus, "doc_id", "text", 0.5)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val hits = (0 until 40).count(i => g(i.toLong) == g(i + 1000L))
+    info(s"planted-pair recall = $hits/40")
+    assert(hits >= 34, s"recall $hits/40 below the 85% floor")
+    // precision: unrelated docs stay singleton groups
+    val unrelated = (40 until 200).map(_.toLong)
+    assert(unrelated.forall(id => g(id) == id),
+      "an unrelated doc was absorbed into a dup group")
+  }
+
   test("connectedComponents handles a long path needing several rounds") {
     // path 9-8-7-...-0: component min (0) must propagate the full length
     val n = 10

@@ -263,6 +263,24 @@ class PlanAuditSpec extends AnyFunSuite with SparkFixture {
       s"expected a decorrelated ranking shape:\n$p")
   }
 
+  test("no judged plan contains a partition-less Window") {
+    // A Window with an empty partitionSpec serializes its ENTIRE input
+    // through one task — b7_pack's r3 plan did exactly that (the
+    // driver bench's "No Partition Defined" warnings) and would die at
+    // 100 TB. Bounded-input global windows (the k-row k-means seed
+    // table) sit below localCheckpoints and never reach a judged plan,
+    // so any hit here is a real scale bug, not noise.
+    import org.apache.spark.sql.catalyst.plans.logical.{Window => LWindow}
+    for (name <- SparkEntry.queries.keys.toSeq.sorted) {
+      val df = SparkEntry.queries(name)(spark, sf)
+      val bad = df.queryExecution.optimizedPlan.collect {
+        case w: LWindow if w.partitionSpec.isEmpty => w
+      }
+      assert(bad.isEmpty,
+        s"$name plans a partition-less Window:\n${df.queryExecution.optimizedPlan}")
+    }
+  }
+
   test("no accidental cartesian products anywhere") {
     for (name <- SparkEntry.queries.keys.toSeq.sorted
          if name != "j7_cross" && name != "b3_cosine_topk") {
