@@ -38,7 +38,47 @@ object Probe {
       "f3_sortonly" -> ((s, d) => graft.sources.Tables.lineitem(s, d)
         .select(col("l_orderkey"), col("l_linenumber"), col("l_quantity"))
         .orderBy("l_orderkey", "l_linenumber")),
-      "scan_only" -> ((s, d) => graft.sources.Tables.lineitem(s, d)))
+      "scan_only" -> ((s, d) => graft.sources.Tables.lineitem(s, d)),
+      // prefix-join stage decomposition (b2_prefix_join = 4 stages)
+      "pj_dd" -> ((s, d) => graft.sources.Tables.documents(s, d)
+        .select(col("doc_id"),
+          array_distinct(graft.operators.MinHash.shingles(
+            lower(trim(col("text"))), 3)).as("g"))),
+      "pj_prefix" -> ((s, d) => {
+        import org.apache.spark.sql.expressions.Window
+        val dd = graft.sources.Tables.documents(s, d)
+          .select(col("doc_id"),
+            array_distinct(graft.operators.MinHash.shingles(
+              lower(trim(col("text"))), 3)).as("g"))
+        val ex = dd.select(col("doc_id"), size(col("g")).as("n"), explode(col("g")).as("sh"))
+        ex.withColumn("df", count(lit(1)).over(Window.partitionBy("sh")))
+          .withColumn("rk", row_number().over(
+            Window.partitionBy("doc_id").orderBy(col("df").asc, col("sh").asc)))
+          .filter(col("rk") <= col("n") - ceil(col("n") * 0.5) + 1)
+          .select(col("doc_id"), col("sh"))
+      }),
+      "pj_cand" -> ((s, d) => {
+        import org.apache.spark.sql.expressions.Window
+        val dd = graft.sources.Tables.documents(s, d)
+          .select(col("doc_id"),
+            array_distinct(graft.operators.MinHash.shingles(
+              lower(trim(col("text"))), 3)).as("g"))
+          .localCheckpoint(true)
+        val ex = dd.select(col("doc_id"), size(col("g")).as("n"), explode(col("g")).as("sh"))
+        val prefix = ex
+          .withColumn("df", count(lit(1)).over(Window.partitionBy("sh")))
+          .withColumn("rk", row_number().over(
+            Window.partitionBy("doc_id").orderBy(col("df").asc, col("sh").asc)))
+          .filter(col("rk") <= col("n") - ceil(col("n") * 0.5) + 1)
+          .select(col("doc_id"), col("sh"))
+          .localCheckpoint(true)
+        prefix.select(col("doc_id").as("a"), col("sh"))
+          .join(prefix.select(col("doc_id").as("b"), col("sh")), "sh")
+          .filter(col("a") < col("b"))
+          .select("a", "b").distinct()
+      }),
+      "pj_full" -> ((s, d) => graft.operators.MinHash.prefixJoin(
+        graft.sources.Tables.documents(s, d))))
     names.foreach { name =>
       val fn = extra.getOrElse(name, SparkEntry.queries(name))
       val times = (1 to 3).map { _ =>

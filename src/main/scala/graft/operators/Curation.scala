@@ -171,15 +171,17 @@ object Curation {
   }
 
   /** Within-corpus novelty: share of a doc's distinct n-grams whose
-    * first occurrence (min id) is the doc itself. The gram join is a
-    * genuine shuffle (gram table is corpus-sized); at 100 TB hash the
-    * gram strings to xxhash64 longs first. */
+    * first occurrence (min id) is the doc itself. first_doc is a min
+    * window over the gram partition — the distinct gram table shuffles
+    * by ng ONCE, where a groupBy+join would shuffle it twice AND
+    * recompute the explode+distinct for both sides. At 100 TB hash the
+    * gram strings to xxhash64 longs first (~10× narrower shuffle). */
   def noveltyScores(docs: DataFrame, n: Int = 4, idCol: String = "doc_id",
                     textCol: String = "text"): DataFrame = {
     val grams = wordGrams(docs, n, idCol, textCol)
       .select(col(idCol), col("ng")).distinct()
-    val first = grams.groupBy("ng").agg(min(idCol).as("first_doc"))
-    grams.join(first, Seq("ng"))
+    grams.withColumn("first_doc",
+        min(col(idCol)).over(Window.partitionBy("ng")))
       .groupBy(idCol)
       .agg(count(lit(1)).as("n_grams"),
         count(when(col("first_doc") === col(idCol), lit(1))).as("n_novel"))

@@ -391,6 +391,67 @@ object LakehouseQueries {
              |           ELSE n_chars END) AS BIGINT) AS sum_chars
              |FROM documents GROUP BY lang
              |ORDER BY lang NULLS FIRST""".stripMargin)
+    ),
+
+    // C18: config-driven object-store scan — the reference's literal
+    // entry point ([R] etl.py: credentials from dl.cfg, tables under
+    // an s3a:// base URI). The judged query drives the REAL code path
+    // (dl.cfg parse → Hadoop-conf credential injection → base-URI
+    // resolution → spark.read) with a file:// base, the same
+    // FileSystem abstraction s3a:// plugs into (offline sandbox: no
+    // egress). Oracle reads the same table directly.
+    Entry(
+      "c18_lake_config_scan",
+      (s, d) => {
+        val cfgText =
+          s"""[AWS]
+             |AWS_ACCESS_KEY_ID='offline-demo-key'
+             |AWS_SECRET_ACCESS_KEY='offline-demo-secret'
+             |base_uri = file://${new java.io.File(d).getAbsolutePath}
+             |""".stripMargin
+        val cfg = graft.sources.LakeConfig.parse(cfgText)
+        graft.sources.Lake.table(s, cfg, "nation")
+          .select(col("n_nationkey"), col("n_name"), col("n_regionkey"))
+          .orderBy("n_nationkey")
+      },
+      Some("""SELECT n_nationkey, n_name, n_regionkey FROM nation
+             |ORDER BY n_nationkey NULLS FIRST""".stripMargin)
+    ),
+
+    // C19: ACID MERGE through the manifest-commit protocol — base
+    // snapshot (overwrite) + keyed upsert, read back from the LATEST
+    // manifest. Construction is idempotent (the overwrite resets the
+    // head each run; versions accumulate but the final snapshot is
+    // identical), so repeated bench/verify runs hash the same. The
+    // oracle computes the post-merge image directly from `customer`.
+    // Demonstrates what c12_upsert_latest emulates, with real
+    // isolation: a reader never sees base+updates interleaved, only a
+    // committed snapshot (ManifestTableSpec proves the torn cases).
+    Entry(
+      "c19_manifest_merge",
+      (s, d) => {
+        import org.apache.spark.sql.SaveMode
+        val t = s"${sys.props("java.io.tmpdir")}/graft_c19_" +
+          s"${new java.io.File(d).getName}_${ProcessHandle.current().pid()}"
+        val cust = Tables.customer(s, d)
+          .select(col("c_custkey"), col("c_name"), col("c_acctbal"))
+        graft.sources.ManifestTable.commit(s, t,
+          cust.filter(col("c_custkey") <= 1000), SaveMode.Overwrite)
+        graft.sources.ManifestTable.upsert(s, t,
+          cust.filter(col("c_custkey").between(500, 1500))
+            .withColumn("c_acctbal", col("c_acctbal") + 100),
+          Seq("c_custkey"))
+        graft.sources.ManifestTable.read(s, t)
+          .select(col("c_custkey"), col("c_name"),
+            round(col("c_acctbal"), 2).as("bal"))
+          .orderBy("c_custkey")
+      },
+      Some("""SELECT c_custkey, c_name,
+             |  round(CASE WHEN c_custkey BETWEEN 500 AND 1500
+             |        THEN c_acctbal + 100 ELSE c_acctbal END, 2) AS bal
+             |FROM customer
+             |WHERE c_custkey <= 1000 OR c_custkey BETWEEN 500 AND 1500
+             |ORDER BY c_custkey NULLS FIRST""".stripMargin)
     )
   )
 }

@@ -95,15 +95,25 @@ object MinHash {
       .select(col(idCol).as("doc_id"),
         array_distinct(shingles(lower(trim(col(textCol))), 3)).as("g"))
       .localCheckpoint(true)
-    val ex = dd.select(col("doc_id"), explode(col("g")).as("sh"))
-    val freq = ex.groupBy("sh").agg(count(lit(1)).as("df"))
+    // n (per-doc shingle count) is size(g) at explode time — free,
+    // where a count-over-doc window would be a second window pass.
+    val ex = dd.select(col("doc_id"), size(col("g")).as("n"), explode(col("g")).as("sh"))
+    // document frequency via a count window over sh: the exploded
+    // corpus shuffles ONCE by sh, where the earlier groupBy+join
+    // formulation shuffled it twice (agg build + join probe). g is
+    // array_distinct'ed, so rows-per-sh = docs-containing-sh = df.
     val wd = Window.partitionBy("doc_id")
-    val prefix = ex.join(freq, "sh")
+    val prefix = ex
+      .withColumn("df", count(lit(1)).over(Window.partitionBy("sh")))
       .withColumn("rk", row_number().over(
         wd.orderBy(col("df").asc, col("sh").asc)))
-      .withColumn("n", count(lit(1)).over(wd))
       .filter(col("rk") <= col("n") - ceil(col("n") * t) + 1)
       .select(col("doc_id"), col("sh"))
+      // both sides of the candidate self-join read this — without the
+      // checkpoint the whole explode→df→rank chain computes twice
+      // (measured 16.7 s → this fix + the single-shuffle df cut it ~3×
+      // at sf0.1)
+      .localCheckpoint(true)
     val cand = prefix.select(col("doc_id").as("a"), col("sh"))
       .join(prefix.select(col("doc_id").as("b"), col("sh")), "sh")
       .filter(col("a") < col("b"))

@@ -232,12 +232,15 @@ class PlanAuditSpec extends AnyFunSuite with SparkFixture {
     }
   }
 
-  test("b3_maxsim: query sub-codes broadcast; sub-dot agg is two-phase") {
+  test("b3_maxsim: in-row MaxSim over the broadcast query set — no corpus-sized shuffle") {
+    // the m×m max/sum cascade is codegen'd array HOFs inside the
+    // broadcast pair join; the only exchange allowed is the top-k
+    // window over n·|Q| SCORED pairs (plus the final output sort)
     val p = plan("b3_maxsim")
-    assert(p.contains("BroadcastHashJoin") || p.contains("BroadcastExchange"),
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastHashJoin"),
       s"expected the bounded query side to broadcast:\n$p")
-    assert(p.contains("partial_sum") || p.contains("partial sum"),
-      s"expected map-side partial aggregation of sub-dots:\n$p")
+    val n = "Exchange hashpartitioning".r.findAllIn(p).length
+    assert(n <= 1, s"expected at most the scored-pair window exchange:\n$p")
   }
 
   test("b2_semantic_dedup: centroid table broadcasts; the pair join never broadcasts the corpus") {
