@@ -166,6 +166,23 @@ object Similarity {
           .as("inertia_micro"))
   }
 
+  /** The k smallest surviving ids numbered 0..k-1 — the
+    * deterministic Lloyd seed set. Numbering happens on the DRIVER
+    * over the collected ≤ k rows (the bounded model-state collect
+    * class): a rank window over a k-row frame would plan with an
+    * empty partition spec — Catalyst folds constant partition keys —
+    * and every re-evaluation under the iteration checkpoints spams
+    * WindowExec's single-partition warning into bench logs. */
+  private def seedTable(xe: DataFrame, k: Int): DataFrame = {
+    val ids = xe.select("vec_id").distinct().orderBy("vec_id").limit(k)
+    val rows = ids.collect().zipWithIndex.map { case (r, i) =>
+      org.apache.spark.sql.Row(r.get(0), i)
+    }
+    xe.sparkSession.createDataFrame(
+      java.util.Arrays.asList(rows: _*),
+      ids.schema.add("cid", org.apache.spark.sql.types.IntegerType, false))
+  }
+
   /** Vector→cell distance table under the shared memo: checkpointed
     * and reused across the b4 / b2_semantic_dedup family when
     * `stateKey` is set (the table is the single most recomputed
@@ -195,13 +212,7 @@ object Similarity {
         posexplode(graft.operators.Curation.quantize(col(vecCol))))
       .toDF("vec_id", "pos", "xv")
       .localCheckpoint(true)
-    val seeds = xe.select("vec_id").distinct()
-      .orderBy("vec_id").limit(k)
-      // constant partition key: the input is ≤ k rows post-limit, so a
-      // single-partition window is the point — naming the partition
-      // just keeps WindowExec's no-partition warning out of bench logs
-      .withColumn("cid", (row_number().over(
-        Window.partitionBy(lit(1)).orderBy("vec_id")) - 1).cast("int"))
+    val seeds = seedTable(xe, k)
     var cent = xe.join(broadcast(seeds), Seq("vec_id"))
       .select(col("cid"), col("pos"), (col("xv") * 1000000L).as("cv_micro"))
     for (_ <- 1 to iters)
@@ -397,13 +408,7 @@ object Similarity {
     * broadcast everywhere it is used). Same all-integer Lloyd
     * arithmetic as [[kmeansState]]. */
   def pqCodebook(xe: DataFrame, subDim: Int, k: Int, iters: Int): DataFrame = {
-    val seeds = xe.select("vec_id").distinct()
-      .orderBy("vec_id").limit(k)
-      // constant partition key: the input is ≤ k rows post-limit, so a
-      // single-partition window is the point — naming the partition
-      // just keeps WindowExec's no-partition warning out of bench logs
-      .withColumn("cid", (row_number().over(
-        Window.partitionBy(lit(1)).orderBy("vec_id")) - 1).cast("int"))
+    val seeds = seedTable(xe, k)
     var cent = xe.join(broadcast(seeds), Seq("vec_id"))
       .select(col("sub"), col("cid"), col("pos"),
         (col("xv") * 1000000L).as("cv_micro"))

@@ -122,4 +122,33 @@ object EventStreams {
         mergeBatchIntoTarget(batch, targetDir)
       }
       .start()
+
+  /** T7': streaming ACID ingest — each micro-batch MERGEs into a
+    * [[graft.sources.ManifestTable]] by key through one atomic
+    * manifest commit, so a concurrent reader always sees a committed
+    * snapshot boundary, never half a batch (the raw-parquet
+    * `upsertSink` can expose a partially-rewritten target between its
+    * delete and write). foreachBatch + the commit protocol's
+    * optimistic version loop compose to exactly-once-per-batch at the
+    * snapshot level: a replayed batch after a crash re-merges the same
+    * keys and converges to the same head state. Standard MERGE
+    * precondition: the batch must be key-unique (pre-reduce with a
+    * latest-wins agg upstream when the stream can repeat keys in one
+    * trigger). */
+  def manifestUpsertSink(stream: DataFrame, table: String,
+      checkpointDir: String,
+      keys: Seq[String]): org.apache.spark.sql.streaming.StreamingQuery =
+    stream.writeStream
+      .outputMode("update")
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        val spark = batch.sparkSession
+        if (graft.sources.ManifestTable.currentVersion(spark, table) == 0)
+          graft.sources.ManifestTable.commit(spark, table, batch,
+            org.apache.spark.sql.SaveMode.Overwrite)
+        else
+          graft.sources.ManifestTable.upsert(spark, table, batch, keys)
+        ()
+      }
+      .start()
 }

@@ -165,6 +165,32 @@ class EventStreamsSpec extends AnyFunSuite with SparkFixture {
     } finally q.stop()
   }
 
+  test("T7': manifest sink commits one atomic snapshot per micro-batch; replays converge") {
+    implicit val ctx = spark.sqlContext
+    val table = java.nio.file.Files.createTempDirectory("graft_t7m").toString + "/tbl"
+    val ckpt = java.nio.file.Files.createTempDirectory("graft_t7m_ckpt").toString
+    val in = MemoryStream[Ev]
+    val q = EventStreams.manifestUpsertSink(in.toDF(), table, ckpt, Seq("user_id"))
+    try {
+      in.addData(
+        Ev(1, ts("10:00"), 1, "purchase", 10.0),
+        Ev(3, ts("10:00"), 2, "purchase", 20.0))
+      q.processAllAvailable()
+      val v1 = graft.sources.ManifestTable.currentVersion(spark, table)
+      in.addData(Ev(4, ts("10:05"), 2, "purchase", 25.0)) // update user 2
+      q.processAllAvailable()
+      val head = graft.sources.ManifestTable.read(spark, table)
+        .select("user_id", "value")
+        .collect().map(r => (r.getLong(0), r.getDouble(1))).sortBy(_._1)
+      assert(head.toSeq === Seq((1L, 10.0), (2L, 25.0)))
+      // batch 1's snapshot is still intact below the head (time travel)
+      assert(graft.sources.ManifestTable.read(spark, table, version = v1)
+        .select("user_id", "value")
+        .collect().map(r => (r.getLong(0), r.getDouble(1))).sortBy(_._1)
+        .toSeq === Seq((1L, 10.0), (2L, 20.0)))
+    } finally q.stop()
+  }
+
   test("T5 batch fallback: dropDuplicates on event_id") {
     val df = Seq(
       Ev(1, ts("10:00"), 1, "view", 1.0),
