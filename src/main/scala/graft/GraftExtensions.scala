@@ -4,7 +4,7 @@ import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
 import org.apache.spark.sql.types.IntegerType
-import graft.functions.{DotProduct, MinHashSignature, ShingleMinHash}
+import graft.functions.{DotProduct, MaxSimScore, MinHashSignature, ShingleMinHash}
 
 /** SparkSessionExtensions entry point: exposes graft's custom Catalyst
   * expressions to SQL users, so a session built with
@@ -36,6 +36,13 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       (children: Seq[Expression]) => {
         require(children.length == 2, "minhash_signature(tokens_array, k)")
         MinHashSignature(children.head, intArg(children(1), "k"))
+      }))
+    ext.injectFunction((
+      new FunctionIdentifier("max_sim"),
+      new ExpressionInfo(classOf[MaxSimScore].getName, null, "max_sim"),
+      (children: Seq[Expression]) => {
+        require(children.length == 3, "max_sim(q_codes, c_codes, sub_dim)")
+        MaxSimScore(children.head, children(1), intArg(children(2), "sub_dim"))
       }))
     ext.injectFunction((
       new FunctionIdentifier("shingle_minhash"),

@@ -159,6 +159,16 @@ object Stress {
         emb.select(col("vec_id"), col("embedding")),
         col("vec_id") < 10).count()
     }
+    // MaxSim late interaction (r4 in-row form): the m×m max/sum
+    // cascade runs inside the broadcast pair join — corpus grows rep×,
+    // the query side stays 5 vectors, so time must be linear in corpus
+    // with ZERO corpus-sized shuffles (only the scored-pair top-k
+    // window moves n·|Q| rows).
+    time("maxsim_b3") {
+      graft.operators.Similarity.maxSimTopK(
+        emb.select(col("vec_id"), col("embedding")),
+        col("vec_id") < 5).count()
+    }
     spark.stop()
   }
 }

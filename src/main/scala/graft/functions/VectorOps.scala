@@ -27,6 +27,16 @@ object VectorOps {
   /** Euclidean norm in double. */
   def norm(a: Column): Column = sqrt(dot(a, a))
 
+  /** ColBERT MaxSim score over two array<bigint> code columns —
+    * native codegen'd [[MaxSimScore]] (three primitive loops in
+    * whole-stage codegen; the HOF formulation interpreted ~1,500
+    * lambdas per pair). Exact long arithmetic. */
+  def maxSim(q: Column, c: Column, subDim: Int): Column = {
+    import org.apache.spark.sql.graftbridge.ColumnBridge
+    ColumnBridge.column(MaxSimScore(
+      ColumnBridge.expression(q), ColumnBridge.expression(c), subDim))
+  }
+
   /** cosine(a, b) in double; null-safe only in that 0-norm yields null. */
   def cosine(a: Column, b: Column): Column = dot(a, b) / (norm(a) * norm(b))
 

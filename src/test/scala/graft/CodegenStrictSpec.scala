@@ -55,4 +55,20 @@ class CodegenStrictSpec extends AnyFunSuite with SparkFixture {
       assert(r === 11.0)
     }
   }
+
+  test("MaxSimScore compiles and matches a hand-computed MaxSim") {
+    strict {
+      // q = [1,0 | 0,2], c = [0,3 | 1,1]  (subDim = 2, two sub-vectors
+      // each). sub-dots: q0·c0=0, q0·c1=1 → max 1; q1·c0=6, q1·c1=2 →
+      // max 6. MaxSim = 7. Degenerate inputs (empty / non-multiple)
+      // must be NULL, not garbage.
+      val df = Seq((Seq(1L, 0L, 0L, 2L), Seq(0L, 3L, 1L, 1L))).toDF("q", "c")
+      assert(df.select(VectorOps.maxSim(col("q"), col("c"), 2))
+        .collect().head.getLong(0) === 7L)
+      val bad = Seq((Seq(1L, 0L, 0L), Seq(0L, 3L)), (Seq.empty[Long], Seq(1L, 2L)))
+        .toDF("q", "c")
+      assert(bad.select(VectorOps.maxSim(col("q"), col("c"), 2))
+        .collect().forall(_.isNullAt(0)))
+    }
+  }
 }

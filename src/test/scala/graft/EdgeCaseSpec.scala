@@ -86,6 +86,26 @@ class EdgeCaseSpec extends AnyFunSuite with SparkFixture {
       .pqVerified(vecs, lit(false), subDim = 4, k = 2, iters = 1).count() === 0)
   }
 
+  test("maxSimTopK with an empty query set is empty, not a crash") {
+    val vecs = Seq(
+      (0L, Array.fill(16)(1.0f)),
+      (1L, Array.fill(16)(-1.0f))).toDF("vec_id", "embedding")
+    assert(graft.operators.Similarity
+      .maxSimTopK(vecs, lit(false), subDim = 8).count() === 0)
+  }
+
+  test("maxSimTopK on a 2-vector corpus returns the single cross pair both ways") {
+    val vecs = Seq(
+      (0L, Array.fill(16)(1.0f)),
+      (1L, Array.fill(16)(1.0f))).toDF("vec_id", "embedding")
+    val out = graft.operators.Similarity
+      .maxSimTopK(vecs, lit(true), subDim = 8, topK = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(2), r.getLong(3)))
+    assert(out.toSet === Set((0L, 1L, out.head._3), (1L, 0L, out.head._3)))
+    // identical unit-ish vectors: score = m × subDim × code² > 0
+    assert(out.head._3 > 0L)
+  }
+
   test("LSH candidate pairs on a single-doc corpus is empty") {
     val docs = Seq((1L, "alpha beta gamma delta epsilon")).toDF("doc_id", "text")
     assert(graft.operators.MinHash.candidatePairs(docs, "doc_id", "text").count() === 0)

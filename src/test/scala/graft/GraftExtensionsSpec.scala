@@ -51,6 +51,12 @@ class GraftExtensionsSpec extends AnyFunSuite with SparkFixture {
           |  least(xxhash64('a b', 2), xxhash64('b c', 2))) AS sig""".stripMargin)
         .collect().head.getSeq[Long](0)
       assert(sh === shExpected)
+      // max_sim: SQL result must match the hand-computed cascade
+      // (q=[1,0|0,2], c=[0,3|1,1], subDim 2 → max(0,1)+max(6,2)=7)
+      val ms = ext.sql(
+        "SELECT max_sim(array(1L, 0L, 0L, 2L), array(0L, 3L, 1L, 1L), 2) AS s")
+        .collect().head.getLong(0)
+      assert(ms === 7L)
       // non-literal k must be rejected (k shapes the output schema)
       intercept[Exception] {
         ext.sql("SELECT minhash_signature(array('x'), CAST(rand() * 4 AS INT))")
