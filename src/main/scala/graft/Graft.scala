@@ -110,6 +110,17 @@ object Graft {
   /** Whitespace token count. */
   def tokenCount(text: Column): Column = size(split(text, " "))
 
+  /** Iterative BPE merge training over the word vocabulary — N
+    * deterministic merges (freq desc, lexicographic tie-break), early
+    * stop when no pair repeats. Output (rank, left, right, freq). */
+  def bpeTrainMerges(docs: DataFrame, nMerges: Int): DataFrame =
+    graft.operators.Bpe.trainMerges(docs, nMerges)
+
+  /** Tokenize with a trained merge table (rank-ordered pairs) — the
+    * single corpus pass that consumes [[bpeTrainMerges]]'s model. */
+  def bpeTokenize(docs: DataFrame, merges: Seq[(String, String)]): DataFrame =
+    graft.operators.Bpe.tokenize(docs, merges)
+
   /** BPE-ish regex token count (letters / digits / punctuation).
     * Whitespace is enumerated rather than \s so the count replays
     * identically under RE2-class engines (Java's \s includes \x0B). */

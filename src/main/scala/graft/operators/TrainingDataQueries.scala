@@ -196,6 +196,21 @@ object TrainingDataQueries {
              |ORDER BY score DESC, doc_id LIMIT 20""".stripMargin)
     ),
 
+    // B5j: the full iterative BPE merge loop — b5_bpe_pairs is round
+    // 1's statistic; this learns the merge TABLE (Sennrich et al.
+    // 2016): one corpus pass to the word vocabulary, then N
+    // vocab-table rounds of count-weighted pair stats → total
+    // tie-break selection → merge rewrite. Non-SQL by contract (round
+    // k's learned pair feeds round k+1's sequential list rewrite —
+    // not expressible in DuckDB); BpeSpec pins hand-computed merge
+    // sequences, the lexicographic tie-break, early stop, and the
+    // train→tokenize round trip.
+    Entry(
+      "b5_bpe_train",
+      (s, d) => Bpe.trainMerges(Tables.documents(s, d), 8),
+      None
+    ),
+
     // B1c: repeated-SPAN detection — the substring-level dedup signal
     // of "Deduplicating Training Data Makes Language Models Better"
     // (Lee et al. 2022): every 8-token sliding span is fingerprinted;
