@@ -53,14 +53,18 @@ object ManifestTable {
     p.getName.stripPrefix("v").stripSuffix(".json").toInt
   private def manifestPath(table: String, v: Int) =
     new Path(manifestDir(table), f"v$v%08d.json")
+  // only fully-published manifests count: a crashed writer's temp file
+  // (.tmp-*) or any foreign file in _manifests/ must be invisible to
+  // readers, not a parse crash
+  private def isManifest(p: Path): Boolean = p.getName.matches("v\\d{8}\\.json")
 
   /** Highest committed version, or 0 if the table has no commits. */
   def currentVersion(spark: SparkSession, table: String): Int = {
     val dir = manifestDir(table)
     val f = fs(spark, dir)
     if (!f.exists(dir)) 0
-    else f.listStatus(dir).map(s => versionOf(s.getPath))
-      .foldLeft(0)(math.max)
+    else f.listStatus(dir).map(_.getPath).filter(isManifest)
+      .map(versionOf).foldLeft(0)(math.max)
   }
 
   /** The complete data-file list of `version` (default: head). Empty

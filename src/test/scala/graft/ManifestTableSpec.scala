@@ -62,6 +62,19 @@ class ManifestTableSpec extends AnyFunSuite with SparkFixture {
       .filter(col("v") === "old").count() === 1)
   }
 
+  test("a crashed writer's temp manifest is invisible — not a parse crash") {
+    val t = freshTable()
+    ManifestTable.commit(spark, t, df(1L -> "a"))
+    // simulate a crash between temp-manifest write and the rename
+    val stray = new java.io.File(new java.io.File(t, "_manifests"), ".tmp-dead-2.json")
+    val w = new java.io.PrintWriter(stray)
+    try w.write("""{"version": 2, "files": ["/nowhere.parquet"]}""") finally w.close()
+    assert(ManifestTable.currentVersion(spark, t) === 1)
+    assert(ManifestTable.read(spark, t).count() === 1)
+    // and the next commit lands on v2 normally
+    assert(ManifestTable.commit(spark, t, df(2L -> "b")) === 2)
+  }
+
   test("optimistic concurrency: a squatted version slot forces a retry, not a clobber") {
     val t = freshTable()
     ManifestTable.commit(spark, t, df(1L -> "a"))
