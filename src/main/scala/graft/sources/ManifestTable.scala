@@ -1,7 +1,7 @@
 package graft.sources
 
 import org.apache.hadoop.fs.{FileSystem, Path}
-import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SaveMode, SparkSession}
 
 /** A minimal manifest-commit table format over raw parquet — the ACID
   * story a lake user expects from a Delta/Iceberg-class table, built
@@ -15,33 +15,42 @@ import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
   *   <table>/_manifests/v00000042.json    -- snapshot manifests
   * }}}
   *
+  * Manifests record file paths RELATIVE to the table root and readers
+  * re-qualify them against the root at read time — so a table is
+  * location-independent: move/copy it, read it through a session whose
+  * default filesystem differs from the one that wrote it (file:// vs
+  * hdfs:// vs s3a://), and the snapshot still resolves. Delta and
+  * Iceberg store table-relative paths for exactly this reason;
+  * absolute paths break the moment the table and the session disagree
+  * about the default FS.
+  *
   * Protocol (writer):
   *  1. write the new data files COMPLETELY, under a fresh uuid dir no
   *     manifest references yet — crash here leaves garbage, never a
-  *     torn table;
+  *     torn table (garbage is reclaimed by [[expire]]);
   *  2. compose the next SNAPSHOT manifest (the complete file list of
   *     the new version — append = old list + new files, overwrite =
-  *     new files only, delete-by-predicate = old list minus victims);
-  *  3. write it to a temp name, then RENAME to `v<N+1>.json`. The
-  *     rename is the commit point: it is atomic on HDFS-class
-  *     filesystems and object stores with atomic metadata ops, so a
-  *     manifest is either absent or complete — a reader can never
-  *     observe half a commit. If `v<N+1>` already exists (concurrent
-  *     writer won), re-read the head and retry against N+2 —
-  *     optimistic concurrency, exactly the Delta/Iceberg commit loop.
+  *     new files only, delete = old list with victims rewritten);
+  *  3. publish it into the `v<N+1>.json` slot EXCLUSIVELY. On
+  *     HDFS-class filesystems rename-without-overwrite is the atomic
+  *     primitive; on the local FS POSIX rename() overwrites silently,
+  *     so the publish uses link(2) instead — hard-linking the temp
+  *     manifest into the slot fails with EEXIST exactly when a
+  *     concurrent writer won, making the commit point genuinely
+  *     atomic-exclusive for any number of local processes. (On S3A
+  *     the equivalent is a conditional PUT / commit coordinator.)
+  *     A manifest is either absent or complete — a reader can never
+  *     observe half a commit. A lost slot means a concurrent writer
+  *     committed first: [[commit]] re-reads the head and retries
+  *     (append recomposes; overwrite is last-writer-wins by its own
+  *     semantics), while [[upsert]]/[[deleteWhere]] re-DERIVE their
+  *     snapshot against the new head before retrying — a stale-read
+  *     merge is never silently published (the Delta/Iceberg
+  *     optimistic-conflict rule, not just its retry loop).
   *
   * Protocol (reader): list `_manifests/`, take the HIGHEST version,
   * read exactly the files it names. Time travel falls out for free:
   * pass an older version. Readers touch no lock and block no writer.
-  *
-  * Caveats, stated honestly: on S3A the rename-as-commit needs the
-  * store's conditional-put (or a commit coordinator) to be truly
-  * atomic; local-FS rename overwrites silently, so the exclusive-
-  * version check is best-effort there. The PROTOCOL — full data write
-  * → atomic manifest publish → monotonic versions — is the real
-  * content, and is what the spec exercises (ManifestTableSpec,
-  * including a torn-write drill where data files exist with no
-  * manifest and readers still see the old snapshot).
   */
 object ManifestTable {
 
@@ -58,89 +67,239 @@ object ManifestTable {
   // readers, not a parse crash
   private def isManifest(p: Path): Boolean = p.getName.matches("v\\d{8}\\.json")
 
-  /** Highest committed version, or 0 if the table has no commits. */
-  def currentVersion(spark: SparkSession, table: String): Int = {
+  /** Committed manifest versions present on disk, ascending (after
+    * [[expire]] the low end is truncated). */
+  def versions(spark: SparkSession, table: String): Seq[Int] = {
     val dir = manifestDir(table)
     val f = fs(spark, dir)
-    if (!f.exists(dir)) 0
+    if (!f.exists(dir)) Nil
     else f.listStatus(dir).map(_.getPath).filter(isManifest)
-      .map(versionOf).foldLeft(0)(math.max)
+      .map(versionOf).toSeq.sorted
   }
 
-  /** The complete data-file list of `version` (default: head). Empty
-    * for version 0 (the empty table). */
+  /** Highest committed version, or 0 if the table has no commits. */
+  def currentVersion(spark: SparkSession, table: String): Int =
+    versions(spark, table).lastOption.getOrElse(0)
+
+  /** The data-file list of `version` (default: head), as table-root-
+    * RELATIVE paths — exactly what the manifest records. Empty for
+    * version 0 (the empty table); error for an [[expire]]d version. */
   def snapshotFiles(spark: SparkSession, table: String,
                     version: Int = -1): Seq[String] = {
     val v = if (version < 0) currentVersion(spark, table) else version
     if (v == 0) Nil
     else {
       val p = manifestPath(table, v)
+      require(fs(spark, p).exists(p),
+        s"version $v of $table is expired or was never committed")
       val in = fs(spark, p).open(p)
       val text = try scala.io.Source.fromInputStream(in, "UTF-8").mkString
       finally in.close()
-      // manifest grammar is ours and trivial: one quoted path per line
-      // inside "files": [...] — no JSON dep needed to write or read it
-      "\"(/[^\"]+)\"".r.findAllMatchIn(text).map(_.group(1)).toSeq
+      // manifest grammar is ours and trivial: one quoted table-relative
+      // path per line inside "files": [...] — every data file lives
+      // under data/, which is what distinguishes a path from the
+      // "version"/"files" keys; no JSON dep needed to write or read it
+      "\"(data/[^\"]+)\"".r.findAllMatchIn(text).map(_.group(1)).toSeq
     }
   }
 
-  /** Read the table at `version` (default head). Version 0 / an empty
-    * file list yields an empty-but-typed read only if `schemaFrom` has
-    * at least one committed version — callers read what they wrote. */
+  /** Read the table at `version` (default head), re-qualifying the
+    * manifest's relative paths against the table root — the read works
+    * through any session/default-FS combination that can reach the
+    * root URI. */
   def read(spark: SparkSession, table: String, version: Int = -1): DataFrame = {
     val files = snapshotFiles(spark, table, version)
     require(files.nonEmpty, s"no committed snapshot in $table")
-    spark.read.parquet(files: _*)
+    spark.read.parquet(files.map(f => new Path(table, f).toString): _*)
   }
 
-  /** Commit `df` as the next version. `SaveMode.Append` unions the new
-    * files with the head snapshot's; `SaveMode.Overwrite` replaces it.
-    * Returns the committed version number. */
-  def commit(spark: SparkSession, table: String, df: DataFrame,
-             mode: SaveMode = SaveMode.Append): Int = {
-    // 1. full data write under a fresh uuid — unreferenced until step 3
+  /** Step 1: full data write under a fresh uuid dir — unreferenced (and
+    * so invisible) until a manifest names it. Returns the relative
+    * file list. */
+  private def writeData(spark: SparkSession, table: String,
+                        df: DataFrame): (String, Seq[String]) = {
     val uuid = java.util.UUID.randomUUID().toString
     val dataDir = new Path(table, s"data/$uuid")
     df.write.mode(SaveMode.ErrorIfExists).parquet(dataDir.toString)
-    val f = fs(spark, dataDir)
-    val newFiles = f.listStatus(dataDir)
-      .filter(s => s.getPath.getName.endsWith(".parquet"))
-      .map(s => Path.getPathWithoutSchemeAndAuthority(s.getPath).toString)
+    val files = fs(spark, dataDir).listStatus(dataDir)
+      .filter(_.getPath.getName.endsWith(".parquet"))
+      .map(s => s"data/$uuid/${s.getPath.getName}")
       .toSeq.sorted
-    // 2+3. publish: compose snapshot against the CURRENT head, rename
-    // into the next version slot, retry on a concurrent winner
+    (uuid, files)
+  }
+
+  /** Step 3: exclusive publish of `files` as version `head + 1`.
+    * True iff this writer won the slot. */
+  private def tryPublish(spark: SparkSession, table: String, head: Int,
+                         files: Seq[String], tag: String): Boolean = {
+    val body =
+      s"""{
+         |  "version": ${head + 1},
+         |  "files": [
+         |${files.map(p => s"    \"$p\"").mkString(",\n")}
+         |  ]
+         |}""".stripMargin
+    val target = manifestPath(table, head + 1)
+    val tmp = new Path(manifestDir(table), s".tmp-$tag-${head + 1}.json")
+    val f = fs(spark, target)
+    val out = f.create(tmp, true)
+    try out.write(body.getBytes("UTF-8")) finally out.close()
+    val won = f match {
+      case _: org.apache.hadoop.fs.LocalFileSystem |
+           _: org.apache.hadoop.fs.RawLocalFileSystem =>
+        // POSIX rename() overwrites silently — link(2) is the local
+        // atomic-exclusive primitive (EEXIST exactly when a concurrent
+        // writer, in ANY process, already owns the slot)
+        try {
+          java.nio.file.Files.createLink(
+            java.nio.file.Paths.get(target.toUri.getPath),
+            java.nio.file.Paths.get(tmp.toUri.getPath))
+          true
+        } catch { case _: java.nio.file.FileAlreadyExistsException => false }
+      case _ =>
+        // HDFS-class: rename refuses an existing destination atomically
+        !f.exists(target) && f.rename(tmp, target)
+    }
+    f.delete(tmp, false)
+    won
+  }
+
+  /** Commit `df` as the next version. `SaveMode.Append` unions the new
+    * files with the head snapshot's (recomposed on a lost race);
+    * `SaveMode.Overwrite` replaces the snapshot (a lost race retries
+    * into the next slot — last-writer-wins is what overwrite MEANS;
+    * conditional callers use [[upsert]]/[[deleteWhere]], which
+    * re-derive instead). Returns the committed version number. */
+  def commit(spark: SparkSession, table: String, df: DataFrame,
+             mode: SaveMode = SaveMode.Append): Int = {
+    val (uuid, newFiles) = writeData(spark, table, df)
     var committed = -1
     while (committed < 0) {
       val head = currentVersion(spark, table)
-      val base = if (mode == SaveMode.Append) snapshotFiles(spark, table, head) else Nil
-      val files = (base ++ newFiles).map(p => s"    \"$p\"").mkString(",\n")
-      val body =
-        s"""{
-           |  "version": ${head + 1},
-           |  "files": [
-           |$files
-           |  ]
-           |}""".stripMargin
-      val target = manifestPath(table, head + 1)
-      val tmp = new Path(manifestDir(table), s".tmp-$uuid-${head + 1}.json")
-      val out = f.create(tmp, true)
-      try out.write(body.getBytes("UTF-8")) finally out.close()
-      if (!f.exists(target) && f.rename(tmp, target)) committed = head + 1
-      else f.delete(tmp, false) // lost the race — recompose against new head
+      val base =
+        if (mode == SaveMode.Append) snapshotFiles(spark, table, head) else Nil
+      if (tryPublish(spark, table, head, base ++ newFiles, uuid))
+        committed = head + 1
     }
     committed
   }
 
+  /** Conditional commit: publish `files` (relative paths, typically
+    * from [[writeData]]) as version `expectedHead + 1`, or report the
+    * conflict. This is the primitive [[upsert]] and [[deleteWhere]]
+    * build their re-derive loops on: a snapshot computed from a read
+    * of version N may only ever become version N+1. */
+  private def commitIfHead(spark: SparkSession, table: String,
+                           files: Seq[String], expectedHead: Int,
+                           tag: String): Option[Int] =
+    if (currentVersion(spark, table) != expectedHead) None
+    else if (tryPublish(spark, table, expectedHead, files, tag))
+      Some(expectedHead + 1)
+    else None
+
   /** MERGE-style upsert: rows of `updates` replace current rows with
     * equal `keys`; unmatched update rows insert. One new snapshot —
     * readers see the pre-image until the commit point, the full
-    * post-image after, never a mix (the c12_upsert_latest semantics
-    * with real isolation). */
+    * post-image after, never a mix. MERGE precondition: `updates` must
+    * be key-unique (both copies of a repeated key would insert).
+    *
+    * Concurrency: the survivor anti-join is derived from a read of the
+    * head; the commit is CONDITIONAL on that head still being current
+    * ([[commitIfHead]]). A lost race re-derives against the new head
+    * and rewrites — never publishes a merge of a stale snapshot (the
+    * data files of a lost attempt become unreferenced garbage for
+    * [[expire]]). An empty table is the same loop with head 0 and no
+    * survivors, so first-batch initialization races resolve inside the
+    * commit protocol too. */
   def upsert(spark: SparkSession, table: String, updates: DataFrame,
-             keys: Seq[String]): Int = {
-    val survivors = read(spark, table).join(
-      updates.select(keys.map(org.apache.spark.sql.functions.col): _*).distinct(),
-      keys, "left_anti")
-    commit(spark, table, survivors.unionByName(updates), SaveMode.Overwrite)
+             keys: Seq[String], maxAttempts: Int = 5): Int = {
+    var attempt = 0
+    while (attempt < maxAttempts) {
+      attempt += 1
+      val head = currentVersion(spark, table)
+      val merged =
+        if (head == 0) updates
+        else read(spark, table, head).join(
+          updates.select(keys.map(org.apache.spark.sql.functions.col): _*)
+            .distinct(),
+          keys, "left_anti").unionByName(updates)
+      val (uuid, files) = writeData(spark, table, merged)
+      commitIfHead(spark, table, files, head, uuid) match {
+        case Some(v) => return v
+        case None => // lost the race — discard this attempt's data, re-derive
+          fs(spark, new Path(table)).delete(new Path(table, s"data/$uuid"), true)
+      }
+    }
+    throw new java.util.ConcurrentModificationException(
+      s"upsert on $table lost $maxAttempts commit races")
+  }
+
+  /** Delete-by-predicate as one committed snapshot, with file-level
+    * pruning (the Delta shape): only files that CONTAIN matching rows
+    * are rewritten (their surviving rows re-packed into new files);
+    * untouched files carry over by reference. No matching rows → no
+    * new version (returns the current head). Same conditional-commit
+    * re-derive loop as [[upsert]]. */
+  def deleteWhere(spark: SparkSession, table: String, pred: Column,
+                  maxAttempts: Int = 5): Int = {
+    import org.apache.spark.sql.functions.{col, element_at, split}
+    var attempt = 0
+    while (attempt < maxAttempts) {
+      attempt += 1
+      val head = currentVersion(spark, table)
+      val rel = snapshotFiles(spark, table, head)
+      if (rel.isEmpty) return head
+      val withFile = read(spark, table, head).withColumn("__f",
+        // absolute scan path → the manifest's relative form: data files
+        // always sit exactly at data/<uuid>/<part>, so the last three
+        // path segments ARE the relative path (root-prefix stripping
+        // would have to re-guess the reader's qualification of the root)
+        {
+          val parts = split(col("_metadata.file_path"), "/")
+          org.apache.spark.sql.functions.concat_ws("/",
+            element_at(parts, -3), element_at(parts, -2), element_at(parts, -1))
+        })
+      val affected = withFile.filter(pred).select("__f").distinct()
+        .collect().map(_.getString(0)).toSet // bounded: ≤ |snapshot files|
+      if (affected.isEmpty) return head
+      val survivorsOfAffected =
+        withFile.filter(col("__f").isin(affected.toSeq: _*)).filter(!pred)
+          .drop("__f")
+      val (uuid, newFiles) = writeData(spark, table, survivorsOfAffected)
+      val files = rel.filterNot(affected) ++ newFiles
+      commitIfHead(spark, table, files, head, uuid) match {
+        case Some(v) => return v
+        case None =>
+          fs(spark, new Path(table)).delete(new Path(table, s"data/$uuid"), true)
+      }
+    }
+    throw new java.util.ConcurrentModificationException(
+      s"deleteWhere on $table lost $maxAttempts commit races")
+  }
+
+  /** Retention: keep the last `keepLast` versions' manifests, delete
+    * older manifests, then delete every `data/<uuid>` directory no
+    * surviving manifest references (which also reclaims crashed and
+    * lost-race writers' orphan dirs). Expired versions become
+    * unreadable; the surviving ones — the head above all — are
+    * untouched. Run from a single maintenance process with no writer
+    * in flight: an in-flight writer's data dir is unreferenced by
+    * definition until its manifest publishes (Delta's VACUUM has the
+    * same constraint, softened by a retention clock). */
+  def expire(spark: SparkSession, table: String, keepLast: Int): Unit = {
+    require(keepLast >= 1, "must keep at least the head version")
+    val vs = versions(spark, table)
+    val f = fs(spark, new Path(table))
+    val (drop, keep) = vs.splitAt(math.max(0, vs.size - keepLast))
+    drop.foreach(v => f.delete(manifestPath(table, v), false))
+    val referenced: Set[String] = keep
+      .flatMap(v => snapshotFiles(spark, table, v))
+      .map(_.split("/")(1)) // data/<uuid>/<part> → uuid
+      .toSet
+    val dataRoot = new Path(table, "data")
+    if (f.exists(dataRoot))
+      f.listStatus(dataRoot).map(_.getPath)
+        .filterNot(p => referenced.contains(p.getName))
+        .foreach(p => f.delete(p, true))
   }
 }

@@ -131,23 +131,36 @@ object EventStreams {
     * delete and write). foreachBatch + the commit protocol's
     * optimistic version loop compose to exactly-once-per-batch at the
     * snapshot level: a replayed batch after a crash re-merges the same
-    * keys and converges to the same head state. Standard MERGE
-    * precondition: the batch must be key-unique (pre-reduce with a
-    * latest-wins agg upstream when the stream can repeat keys in one
-    * trigger). */
+    * keys and converges to the same head state.
+    *
+    * MERGE's key-unique-batch precondition is ENFORCED here, not
+    * assumed: a trigger that delivers several rows for one key (a hot
+    * key updated twice between triggers) is pre-reduced latest-wins —
+    * highest `latestBy` tuple per key survives, the c12_upsert_latest
+    * rule — before the merge, so a repeated key can never double-insert
+    * through `upsert`. The empty-table case is decided INSIDE the
+    * commit retry loop (ManifestTable.upsert handles head 0), so two
+    * sink instances racing table creation resolve through the
+    * conditional-commit protocol rather than a check-then-act branch
+    * here. */
   def manifestUpsertSink(stream: DataFrame, table: String,
       checkpointDir: String,
-      keys: Seq[String]): org.apache.spark.sql.streaming.StreamingQuery =
+      keys: Seq[String],
+      latestBy: Seq[String] = Seq("ts", "event_id"))
+      : org.apache.spark.sql.streaming.StreamingQuery =
     stream.writeStream
       .outputMode("update")
       .option("checkpointLocation", checkpointDir)
       .foreachBatch { (batch: DataFrame, _: Long) =>
         val spark = batch.sparkSession
-        if (graft.sources.ManifestTable.currentVersion(spark, table) == 0)
-          graft.sources.ManifestTable.commit(spark, table, batch,
-            org.apache.spark.sql.SaveMode.Overwrite)
-        else
-          graft.sources.ManifestTable.upsert(spark, table, batch, keys)
+        import org.apache.spark.sql.expressions.Window
+        val w = Window.partitionBy(keys.map(col): _*)
+          .orderBy(latestBy.map(col(_).desc): _*)
+        val unique = batch
+          .withColumn("__rn", row_number().over(w))
+          .filter(col("__rn") === 1).drop("__rn")
+        if (!batch.isEmpty)
+          graft.sources.ManifestTable.upsert(spark, table, unique, keys)
         ()
       }
       .start()

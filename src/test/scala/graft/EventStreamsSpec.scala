@@ -191,6 +191,30 @@ class EventStreamsSpec extends AnyFunSuite with SparkFixture {
     } finally q.stop()
   }
 
+  test("T7': a batch repeating a key is pre-reduced latest-wins — one row per key at head") {
+    implicit val ctx = spark.sqlContext
+    val table = java.nio.file.Files.createTempDirectory("graft_t7k").toString + "/tbl"
+    val ckpt = java.nio.file.Files.createTempDirectory("graft_t7k_ckpt").toString
+    val in = MemoryStream[Ev]
+    val q = EventStreams.manifestUpsertSink(in.toDF(), table, ckpt, Seq("user_id"))
+    try {
+      // one trigger, user 1 updated twice: without the in-sink pre-reduce
+      // both rows would insert through the MERGE (double row per key)
+      in.addData(
+        Ev(1, ts("10:00"), 1, "purchase", 10.0),
+        Ev(2, ts("10:03"), 1, "purchase", 12.0), // same key, later ts -> wins
+        Ev(3, ts("10:01"), 2, "purchase", 20.0))
+      q.processAllAvailable()
+      val head = graft.sources.ManifestTable.read(spark, table)
+      assert(head.groupBy("user_id").count()
+        .filter(org.apache.spark.sql.functions.col("count") > 1).count() === 0,
+        "a repeated key leaked through the MERGE as a duplicate row")
+      val got = head.select("user_id", "value")
+        .collect().map(r => (r.getLong(0), r.getDouble(1))).sortBy(_._1)
+      assert(got.toSeq === Seq((1L, 12.0), (2L, 20.0)))
+    } finally q.stop()
+  }
+
   test("T5 batch fallback: dropDuplicates on event_id") {
     val df = Seq(
       Ev(1, ts("10:00"), 1, "view", 1.0),

@@ -75,6 +75,111 @@ class ManifestTableSpec extends AnyFunSuite with SparkFixture {
     assert(ManifestTable.commit(spark, t, df(2L -> "b")) === 2)
   }
 
+  test("deleteWhere rewrites only affected files; untouched files carry over by reference") {
+    val t = freshTable()
+    ManifestTable.commit(spark, t, df(1L -> "a", 2L -> "b"))          // file set A
+    ManifestTable.commit(spark, t, df(3L -> "c", 4L -> "d"))          // file set B
+    val before = ManifestTable.snapshotFiles(spark, t)
+    val v = ManifestTable.deleteWhere(spark, t, col("id") === 3L)
+    assert(v === 3)
+    val got = ManifestTable.read(spark, t).orderBy("id").collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    assert(got.toSeq === Seq((1L, "a"), (2L, "b"), (4L, "d")))
+    // file-level pruning: commit-1's files (no row matched) must appear
+    // UNCHANGED in the new snapshot; commit-2's were rewritten
+    val after = ManifestTable.snapshotFiles(spark, t).toSet
+    val carried = before.toSet.intersect(after)
+    assert(carried.nonEmpty, "expected untouched files carried by reference")
+    assert(ManifestTable.read(spark, t, version = v - 1).count() === 4,
+      "pre-delete snapshot must stay readable (time travel)")
+    // no matching rows -> no new version
+    assert(ManifestTable.deleteWhere(spark, t, col("id") === 999L) === v)
+  }
+
+  test("deleteWhere relative-path mapping survives a moved table root") {
+    // manifests store table-relative paths: physically relocating the
+    // whole table directory must leave every version readable
+    val t = freshTable()
+    ManifestTable.commit(spark, t, df(1L -> "a", 2L -> "b"))
+    ManifestTable.deleteWhere(spark, t, col("id") === 1L)
+    val moved = freshTable() + "_moved"
+    java.nio.file.Files.move(java.nio.file.Paths.get(t),
+      java.nio.file.Paths.get(moved))
+    assert(ManifestTable.read(spark, moved).collect().map(_.getLong(0)).toSeq
+      === Seq(2L))
+    assert(ManifestTable.read(spark, moved, version = 1).count() === 2)
+  }
+
+  test("expire keeps the last N versions and reclaims unreferenced data dirs") {
+    val t = freshTable()
+    ManifestTable.commit(spark, t, df(1L -> "a"), SaveMode.Overwrite)  // v1
+    ManifestTable.commit(spark, t, df(2L -> "b"), SaveMode.Overwrite)  // v2 (orphans v1's files)
+    ManifestTable.commit(spark, t, df(3L -> "c"))                      // v3 = v2+new
+    // plus a crashed writer's orphan dir — expire must reclaim it too
+    df(99L -> "junk").write.parquet(s"$t/data/crashed-orphan")
+    ManifestTable.expire(spark, t, keepLast = 2)
+    assert(ManifestTable.versions(spark, t) === Seq(2, 3))
+    assert(intercept[IllegalArgumentException](
+      ManifestTable.read(spark, t, version = 1)).getMessage.contains("expired"))
+    // head and its predecessor unaffected
+    assert(ManifestTable.read(spark, t).orderBy("id").collect()
+      .map(_.getString(1)).toSeq === Seq("b", "c"))
+    assert(ManifestTable.read(spark, t, version = 2).count() === 1)
+    // v1's data dir and the crashed orphan are gone; referenced dirs survive
+    val dirs = new java.io.File(t, "data").listFiles().map(_.getName).toSet
+    assert(!dirs.contains("crashed-orphan"))
+    val referenced = ManifestTable.versions(spark, t)
+      .flatMap(v => ManifestTable.snapshotFiles(spark, t, v))
+      .map(_.split("/")(1)).toSet
+    assert(dirs === referenced, "exactly the referenced data dirs survive")
+  }
+
+  test("two concurrent appenders: gap-free monotonic versions, both snapshots in the lineage") {
+    val t = freshTable()
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(2)
+    implicit val ec: scala.concurrent.ExecutionContext =
+      scala.concurrent.ExecutionContext.fromExecutor(pool)
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.duration._
+    // 2 writers x 3 appends racing for version slots; link(2)-exclusive
+    // publish means exactly one wins each slot and the loser recomposes
+    val fa = Future((1 to 3).map(i => ManifestTable.commit(spark, t, df(i.toLong -> "A"))))
+    val fb = Future((1 to 3).map(i => ManifestTable.commit(spark, t, df((10 + i).toLong -> "B"))))
+    val versions = Await.result(fa, 5.minutes) ++ Await.result(fb, 5.minutes)
+    pool.shutdown()
+    assert(versions.sorted === Seq(1, 2, 3, 4, 5, 6), s"got $versions")
+    // every append survived into the head snapshot — no lost updates
+    val ids = ManifestTable.read(spark, t).collect().map(_.getLong(0)).sorted
+    assert(ids.toSeq === Seq(1L, 2L, 3L, 11L, 12L, 13L))
+    // and the lineage is strictly growing: each version adds one file set
+    val sizes = (1 to 6).map(v => ManifestTable.snapshotFiles(spark, t, v).size)
+    assert(sizes === sizes.sorted && sizes.distinct === sizes,
+      s"snapshot file counts must strictly grow: $sizes")
+  }
+
+  test("two concurrent upserters on the SAME key: no lost update, one key at head") {
+    val t = freshTable()
+    ManifestTable.commit(spark, t, df(1L -> "base", 2L -> "keep"))
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(2)
+    implicit val ec: scala.concurrent.ExecutionContext =
+      scala.concurrent.ExecutionContext.fromExecutor(pool)
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.duration._
+    val fa = Future(ManifestTable.upsert(spark, t, df(1L -> "A", 3L -> "insA"), Seq("id")))
+    val fb = Future(ManifestTable.upsert(spark, t, df(1L -> "B", 4L -> "insB"), Seq("id")))
+    val (va, vb) = (Await.result(fa, 5.minutes), Await.result(fb, 5.minutes))
+    pool.shutdown()
+    assert(Set(va, vb) === Set(2, 3), s"got $va, $vb")
+    val got = ManifestTable.read(spark, t).orderBy("id").collect()
+      .map(r => (r.getLong(0), r.getString(1))).toMap
+    // the conditional commit forces the loser to re-derive against the
+    // winner's head: BOTH inserts survive (a stale-read merge would
+    // have dropped the winner's), and key 1 holds exactly the later value
+    assert(got.keySet === Set(1L, 2L, 3L, 4L))
+    assert(got(2L) === "keep" && got(3L) === "insA" && got(4L) === "insB")
+    assert(ManifestTable.read(spark, t).filter(col("id") === 1L).count() === 1)
+  }
+
   test("optimistic concurrency: a squatted version slot forces a retry, not a clobber") {
     val t = freshTable()
     ManifestTable.commit(spark, t, df(1L -> "a"))
