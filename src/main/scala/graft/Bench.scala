@@ -74,6 +74,11 @@ object Bench {
     val total = results.flatMap(_._2).sum
     val failedJson = failed.sorted.map("\"" + _ + "\"").mkString("[", ",", "]")
     println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$failedJson,"sf":"$sfDir"}""")
+    // The per-query line above is one very long JSON record; the
+    // driver's tail capture has truncated its LEADING fields (the r4
+    // artifact lost the headline total). Repeat the gate numbers as a
+    // final COMPACT line so they always survive a tail of any length.
+    println(s"""{"metric":"total","value":$total,"unit":"sec","n":${results.size},"n_timed":${results.count(_._2.isDefined)},"failed":$failedJson,"sf":"$sfDir"}""")
     spark.stop()
     if (failed.nonEmpty) sys.exit(1)
   }

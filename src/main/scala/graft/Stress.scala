@@ -11,11 +11,12 @@ import graft.sources.Tables
   * with REP, the plan has no quadratic cliff hiding below sf0.1 —
   * the local proxy for the 100× question. Results recorded in SCALE.md.
   *
-  * Usage: runMain graft.Stress [rep] (default 10)
+  * Usage: runMain graft.Stress [rep] [rowSubstring] (default 10, all)
   */
 object Stress {
   def main(args: Array[String]): Unit = {
     val rep = if (args.nonEmpty) args(0).toInt else 10
+    val only: Option[String] = args.drop(1).headOption
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()
@@ -38,11 +39,12 @@ object Stress {
     val ord = replicate(Tables.orders(spark, sfDir), Seq("o_orderkey", "o_custkey"))
     val cust = replicate(Tables.customer(spark, sfDir), Seq("c_custkey"))
 
-    def time(name: String)(f: => Long): Unit = {
-      val t0 = System.nanoTime()
-      val n = f
-      println(f"[stress rep=$rep] $name%-18s ${(System.nanoTime() - t0) / 1e9}%8.2f s  rows=$n")
-    }
+    def time(name: String)(f: => Long): Unit =
+      if (only.forall(name.contains)) {
+        val t0 = System.nanoTime()
+        val n = f
+        println(f"[stress rep=$rep] $name%-18s ${(System.nanoTime() - t0) / 1e9}%8.2f s  rows=$n")
+      }
 
     time("scan_agg_g1") {
       li.filter(col("l_shipdate") <= lit("2000-12-01").cast("timestamp"))
@@ -158,6 +160,30 @@ object Stress {
       graft.operators.Similarity.pqVerified(
         emb.select(col("vec_id"), col("embedding")),
         col("vec_id") < 10).count()
+    }
+    // SemDeDup with corpus-scaled cells (Similarity.semanticCells,
+    // r5): k grows with n so cells stay ~500 members, and the
+    // within-cell CANDIDATE pair count — the term a fixed k lets
+    // degrade to n²/k — must stay ~flat PER VECTOR (≈ targetCell/2)
+    // as the corpus replicates. Printed explicitly so SCALE.md can
+    // record pairs/vec across rep; the timed body then runs the full
+    // judged dedup at that k. (The O(n·k·d) assign step is the
+    // accepted SemDeDup cost — sample-trained / IVF-pruned assignment
+    // replaces it at extreme scale, the pair bound is what k buys.)
+    val semE = emb.select(col("vec_id"), col("embedding"))
+    val semN = semE.filter(graft.functions.VectorOps.norm(col("embedding")) > 0).count()
+    val semK = graft.operators.Similarity.semanticCells(semN)
+    time(s"semdedup_cells_b2") {
+      val pairs = graft.operators.Similarity
+        .kmeansQuantized(semE, k = semK, iters = 2)
+        .select(sum(expr("n_members * (n_members - 1) DIV 2")).as("p"))
+        .first().getLong(0)
+      println(f"[stress rep=$rep] semdedup n=$semN k=$semK " +
+        f"cand_pairs=$pairs pairs_per_vec=${pairs.toDouble / semN}%.1f")
+      pairs
+    }
+    time("semdedup_b2") {
+      graft.operators.Similarity.semanticDedup(semE, k = semK).count()
     }
     // MaxSim late interaction (r4 in-row form): the m×m max/sum
     // cascade runs inside the broadcast pair join — corpus grows rep×,

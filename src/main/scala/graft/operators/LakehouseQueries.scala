@@ -452,6 +452,40 @@ object LakehouseQueries {
              |FROM customer
              |WHERE c_custkey <= 1000 OR c_custkey BETWEEN 500 AND 1500
              |ORDER BY c_custkey NULLS FIRST""".stripMargin)
+    ),
+
+    // C20: time travel through the manifest protocol — the same
+    // base-overwrite + keyed-upsert construction as c19, read back at
+    // version HEAD−1: the pre-upsert image, byte-identical to the base
+    // commit no matter how many earlier runs' versions precede it
+    // (each run's overwrite+upsert pair means head−1 is always this
+    // run's base). The oracle recomputes that pre-image directly from
+    // `customer`, so the snapshot-isolation claim is hash-verified,
+    // not just spec'd: if the upsert leaked into the old version — or
+    // the old version's files were clobbered — the hash moves.
+    Entry(
+      "c20_time_travel",
+      (s, d) => {
+        import org.apache.spark.sql.SaveMode
+        val t = s"${sys.props("java.io.tmpdir")}/graft_c20_" +
+          s"${new java.io.File(d).getName}_${ProcessHandle.current().pid()}"
+        val cust = Tables.customer(s, d)
+          .select(col("c_custkey"), col("c_name"), col("c_acctbal"))
+        graft.sources.ManifestTable.commit(s, t,
+          cust.filter(col("c_custkey") <= 1000), SaveMode.Overwrite)
+        graft.sources.ManifestTable.upsert(s, t,
+          cust.filter(col("c_custkey").between(500, 1500))
+            .withColumn("c_acctbal", col("c_acctbal") + 100),
+          Seq("c_custkey"))
+        val head = graft.sources.ManifestTable.currentVersion(s, t)
+        graft.sources.ManifestTable.read(s, t, version = head - 1)
+          .select(col("c_custkey"), col("c_name"),
+            round(col("c_acctbal"), 2).as("bal"))
+          .orderBy("c_custkey")
+      },
+      Some("""SELECT c_custkey, c_name, round(c_acctbal, 2) AS bal
+             |FROM customer WHERE c_custkey <= 1000
+             |ORDER BY c_custkey NULLS FIRST""".stripMargin)
     )
   )
 }

@@ -38,9 +38,9 @@ object LlmQueries {
     s"""SELECT cid, pos,
        |  CAST((sum(xv) * 1000000) // count(*) AS BIGINT) AS cv_micro
        |FROM x JOIN $a USING (vec_id) GROUP BY cid, pos""".stripMargin
-  // Shared quantize + seed prefix (x = int8 codes, sd = k smallest ids)
-  // — consumed by both the k-means/IVF state and the PQ codebook replay.
-  private val kmBaseSql =
+  // Shared quantize prefix (x = int8 codes) — consumed by the k-means/
+  // IVF state, the PQ codebook replay, and the corpus-scaled SemDeDup.
+  private val xSql =
     s"""WITH x AS (SELECT vec_id, i - 1 AS pos,
        |    CAST(floor(CAST(embedding[i] AS DOUBLE) * 127 / nullif(l2, 0)
        |      + 0.5) AS BIGINT) AS xv
@@ -49,10 +49,25 @@ object LlmQueries {
        |        v -> CAST(v AS DOUBLE) * CAST(v AS DOUBLE)), 'sum')) AS l2
        |    FROM embeddings) e,
        |    unnest(range(1, len(embedding) + 1)) AS u(i)
-       |  WHERE l2 > 0),
+       |  WHERE l2 > 0)""".stripMargin
+  // Fixed-k seed table (sd = k smallest ids numbered 0..k-1) for the
+  // b4 index family, and the corpus-scaled variant replaying
+  // Similarity.semanticCells: k = greatest(4, ceil(n/500)) computed
+  // from the SAME nonzero-norm count the Spark entry uses, so the two
+  // engines derive identical k at every scale factor.
+  private val kmBaseSql =
+    s"""$xSql,
        |sd AS (SELECT vec_id, CAST(row_number() OVER (ORDER BY vec_id) - 1
        |    AS INT) AS cid
        |  FROM (SELECT DISTINCT vec_id FROM x ORDER BY vec_id LIMIT 4) q)""".stripMargin
+  private val semSeedSql =
+    s"""kk AS (SELECT greatest(4, CAST(ceil(count(DISTINCT vec_id) / 500.0)
+       |    AS BIGINT)) AS k FROM x),
+       |sd AS (SELECT vec_id, cid FROM (
+       |    SELECT vec_id, CAST(row_number() OVER (ORDER BY vec_id) - 1
+       |      AS INT) AS cid
+       |    FROM (SELECT DISTINCT vec_id FROM x) q) r, kk
+       |  WHERE r.cid < kk.k)""".stripMargin
   private val kmChainSql =
     s"""c0 AS (SELECT sd.cid, x.pos, x.xv * 1000000 AS cv_micro
        |  FROM x JOIN sd USING (vec_id)),
@@ -987,13 +1002,24 @@ object LlmQueries {
     // near-duplication — a vector is removed when a smaller-id cell
     // mate scores ≥ 5000 (≈ cosine 0.31 at the 127-norm code scale).
     // Every stage is integer-exact, so DuckDB replays clustering, pair
-    // scoring, and survivor choice bit-for-bit.
+    // scoring, and survivor choice bit-for-bit. The cell count SCALES
+    // WITH THE CORPUS (Similarity.semanticCells: k = max(4, ceil(n/500))
+    // over nonzero-norm vectors; same formula in the twin's kk CTE), so
+    // within-cell pair work stays ~n·500 — linear — instead of the
+    // ~n²/k a fixed k degrades to; the count that derives k is a
+    // single-column scan, amortized by the per-JVM index memo.
     Entry(
       "b2_semantic_dedup",
-      (s, d) =>
-        Similarity.semanticDedup(Tables.embeddings(s, d), stateKey = Some(d)),
+      (s, d) => {
+        val emb = Tables.embeddings(s, d)
+        val n = emb.filter(VectorOps.norm(col("embedding")) > 0).count()
+        Similarity.semanticDedup(emb, k = Similarity.semanticCells(n),
+          stateKey = Some(d))
+      },
       Some(
-        s"""$kmStateSql,
+        s"""$xSql,
+           |$semSeedSql,
+           |$kmChainSql,
            |a3 AS (${kmAssignSql("c2")}),
            |dots AS (SELECT aa.cid, aa.vec_id AS id_a, ab.vec_id AS id_b,
            |    CAST(sum(xa.xv * xb.xv) AS BIGINT) AS dot

@@ -90,17 +90,55 @@ object Lake {
   /** Inject the config's filesystem options into the session's Hadoop
     * configuration — the one place S3A/ABFS/GCS connectors read
     * credentials from, and the only injection point that reaches every
-    * executor (conf is serialized with each task). Idempotent. */
-  def configure(spark: SparkSession, cfg: LakeConfig): Unit =
-    cfg.hadoopConf.foreach { case (k, v) =>
-      spark.sparkContext.hadoopConfiguration.set(k, v)
+    * executor (conf is serialized with each task). Idempotent.
+    *
+    * The Hadoop conf is SESSION-GLOBAL, so when the base is `s3a://`
+    * the `fs.s3a.*` options are rewritten to S3A's per-bucket form
+    * (`fs.s3a.bucket.<bucket>.*` — S3AUtils.propagateBucketOptions
+    * overlays them per filesystem instance): two LakeConfigs with
+    * different credentials/endpoints for different buckets coexist in
+    * one session instead of clobbering each other last-write-wins,
+    * and a demo config can never leak its keys onto OTHER s3a tables
+    * the session touches. Non-s3a bases (file://, hdfs://) have no
+    * bucket axis — their keys apply as given, one lake config per
+    * session for those schemes. */
+  def configure(spark: SparkSession, cfg: LakeConfig): Unit = {
+    val bucket = new java.net.URI(cfg.baseUri) match {
+      case u if u.getScheme == "s3a" && u.getHost != null => Some(u.getHost)
+      case _ => None
     }
+    cfg.hadoopConf.foreach { case (k, v) =>
+      val key = (bucket, k) match {
+        case (Some(b), k) if k.startsWith("fs.s3a.") &&
+            !k.startsWith("fs.s3a.bucket.") =>
+          s"fs.s3a.bucket.$b.${k.stripPrefix("fs.s3a.")}"
+        case _ => k
+      }
+      spark.sparkContext.hadoopConfiguration.set(key, v)
+    }
+  }
 
   /** Read `<base>/<name>.parquet` through the configured session —
     * the [[Tables]] contract rooted at an arbitrary-scheme base URI. */
   def table(spark: SparkSession, cfg: LakeConfig, name: String): DataFrame = {
     configure(spark, cfg)
     spark.read.parquet(cfg.path(s"$name.parquet"))
+  }
+
+  /** Read newline-delimited JSON at `<base>/<glob>` with inferred
+    * schema — the reference's ACTUAL ingest shape composed with the
+    * object-store config ([R] etl.py: input_data + a multi-level
+    * `song_data` JSON glob over s3a://): A1 (JSON scan, inference, glob
+    * expansion) rooted at A13 (credentialed base URI). Globs resolve
+    * through the same FileSystem listing as parquet paths, so the
+    * s3a://-vs-file:// argument is unchanged. Schema inference costs
+    * one extra pass — at 100 TB ingest scale, pass an explicit
+    * `schema` (the production shape; inference is for exploration). */
+  def json(spark: SparkSession, cfg: LakeConfig, glob: String,
+           schema: Option[org.apache.spark.sql.types.StructType] = None): DataFrame = {
+    configure(spark, cfg)
+    val r = spark.read
+    schema.fold(r)(r.schema).json(cfg.path(glob))
   }
 
   /** Write a DataFrame to `<base>/<rel>` as parquet (overwrite) — the
