@@ -211,6 +211,34 @@ object TrainingDataQueries {
       None
     ),
 
+    // B5k: the CONSUMER pass of the trained tokenizer — encode the
+    // whole corpus with the merge table b5_bpe_train produced and emit
+    // per-document token statistics (arrays never leave the plan —
+    // §5.3 hash-compare discipline). The merge table is bounded model
+    // state (≤ nMerges rows, driver-collected, broadcast inside the
+    // map lambda's closure); the encode itself is one shuffle-free
+    // corpus pass, so at 100 TB tokenization cost is a single scan —
+    // the shape every production tokenizer job has. Rows-only by
+    // design (the symbolic merge loop has no SQL twin); BpeSpec pins
+    // encode determinism across parallelism and the lossless
+    // concat-round-trip property.
+    Entry(
+      "b5_bpe_tokenize",
+      (s, d) => {
+        val docs = Tables.documents(s, d)
+        val merges = Bpe.trainMerges(docs, 8).collect()
+          .map(r => (r.getString(1), r.getString(2))).toSeq
+        Bpe.tokenize(docs, merges)
+          .select(col("id").as("doc_id"),
+            size(col("tokens")).as("n_tokens"),
+            size(array_distinct(col("tokens"))).as("n_distinct"),
+            coalesce(array_max(transform(col("tokens"), t => length(t))),
+              lit(0)).as("max_token_len"))
+          .orderBy("doc_id")
+      },
+      None
+    ),
+
     // B1c: repeated-SPAN detection — the substring-level dedup signal
     // of "Deduplicating Training Data Makes Language Models Better"
     // (Lee et al. 2022): every 8-token sliding span is fingerprinted;

@@ -54,4 +54,38 @@ class BpeSpec extends AnyFunSuite with SparkFixture {
     assert(toks(1L) === Seq("abab", "ab", "abab"))
     assert(toks(2L) === Seq("abab"))
   }
+
+  test("tokenize round trip: concatenated tokens reconstruct every word; encode is parallelism-invariant") {
+    val docs = Seq(
+      (1L, "the quick brown fox the the quick"),
+      (2L, "brown brown fox the quick"),
+      (3L, "unseensymbols zz")).toDF("doc_id", "text")
+    val m = Bpe.trainMerges(docs, 6).collect()
+      .map(r => (r.getString(1), r.getString(2))).toSeq
+    def encode(parts: Int) =
+      Bpe.tokenize(docs.repartition(parts), m).collect()
+        .map(r => r.getLong(0) -> r.getSeq[String](1)).toMap
+    val one = encode(1)
+    // losslessness: merges only ever CONCATENATE adjacent symbols, so
+    // joining a word's tokens must give back the word, char for char
+    for ((id, text) <- Seq(1L -> "the quick brown fox the the quick",
+                           2L -> "brown brown fox the quick",
+                           3L -> "unseensymbols zz")) {
+      val words = text.split(" ").toSeq
+      val rebuilt = {
+        // token stream has no word boundaries; re-split greedily by
+        // consuming each word's length from the stream
+        var rest = one(id)
+        words.map { w =>
+          var acc = ""
+          while (acc.length < w.length) { acc += rest.head; rest = rest.tail }
+          acc
+        }
+      }
+      assert(rebuilt === words, s"doc $id round trip")
+    }
+    // determinism: the encode pass is a pure per-row map — 1, 3, and 8
+    // partitions must produce bit-identical token streams
+    assert(encode(3) === one && encode(8) === one)
+  }
 }
