@@ -486,6 +486,64 @@ object LakehouseQueries {
       Some("""SELECT c_custkey, c_name, round(c_acctbal, 2) AS bal
              |FROM customer WHERE c_custkey <= 1000
              |ORDER BY c_custkey NULLS FIRST""".stripMargin)
+    ),
+
+    // C21: the reference's ACTUAL ingest shape, judged — a multi-level
+    // JSON glob rooted at a LakeConfig base URI (A1 ∘ A13, Lake.json).
+    // The query materializes documents as lang-partitioned JSON under
+    // a file:// lake base, then reads it back through the config-driven
+    // glob path (schema inference included) and rolls up per source —
+    // any loss or duplication in glob expansion, inference, or the
+    // base-URI resolution moves the hash. Oracle recomputes from the
+    // original table.
+    Entry(
+      "c21_lake_json_ingest",
+      (s, d) => {
+        val base = s"${sys.props("java.io.tmpdir")}/graft_c21_" +
+          s"${new java.io.File(d).getName}_${ProcessHandle.current().pid()}"
+        Tables.documents(s, d)
+          .select(col("doc_id"), col("source"), col("lang"), col("n_chars"))
+          .write.mode("overwrite").partitionBy("lang")
+          .json(s"$base/log_data")
+        val cfg = graft.sources.LakeConfig(s"file://$base")
+        graft.sources.Lake.json(s, cfg, "log_data/*/*.json")
+          .groupBy("source")
+          .agg(count(lit(1)).as("cnt"), sum(col("n_chars")).as("sum_chars"))
+          .orderBy("source")
+      },
+      Some("""SELECT source, count(*) AS cnt,
+             |  CAST(sum(n_chars) AS BIGINT) AS sum_chars
+             |FROM documents GROUP BY source
+             |ORDER BY source NULLS FIRST""".stripMargin)
+    ),
+
+    // C22: the manifest lifecycle end to end, judged — base commit →
+    // delete-by-predicate (file-pruned rewrite) → version expiry →
+    // head read. After expire(keepLast = 1) only the post-delete
+    // manifest survives, so the final read proves the delete semantics
+    // AND that expiry left the head lineage intact (carried-by-
+    // reference files from the base commit must survive the reclaim).
+    Entry(
+      "c22_delete_expire",
+      (s, d) => {
+        import org.apache.spark.sql.SaveMode
+        val t = s"${sys.props("java.io.tmpdir")}/graft_c22_" +
+          s"${new java.io.File(d).getName}_${ProcessHandle.current().pid()}"
+        val cust = Tables.customer(s, d)
+          .select(col("c_custkey"), col("c_name"), col("c_acctbal"))
+        graft.sources.ManifestTable.commit(s, t,
+          cust.filter(col("c_custkey") <= 2000), SaveMode.Overwrite)
+        graft.sources.ManifestTable.deleteWhere(s, t, col("c_acctbal") < 0)
+        graft.sources.ManifestTable.expire(s, t, keepLast = 1)
+        graft.sources.ManifestTable.read(s, t)
+          .select(col("c_custkey"), col("c_name"),
+            round(col("c_acctbal"), 2).as("bal"))
+          .orderBy("c_custkey")
+      },
+      Some("""SELECT c_custkey, c_name, round(c_acctbal, 2) AS bal
+             |FROM customer
+             |WHERE c_custkey <= 2000 AND c_acctbal >= 0
+             |ORDER BY c_custkey NULLS FIRST""".stripMargin)
     )
   )
 }
