@@ -277,6 +277,36 @@ object ManifestTable {
       s"deleteWhere on $table lost $maxAttempts commit races")
   }
 
+  /** OPTIMIZE-style compaction: rewrite the head snapshot into
+    * `targetFiles` larger files (optionally range-sorted by `sortBy` —
+    * pair with a z-order key column for multi-dimensional locality, as
+    * c13/s6 demonstrate on raw parquet), published as one conditional
+    * commit. Prior versions keep referencing the small files until
+    * [[expire]] reclaims them, so time travel is unaffected and readers
+    * never block. A concurrent writer winning the slot ABORTS the
+    * compaction (no retry: maintenance is idempotent — re-run it;
+    * retrying here would immediately clobber the writer's new data).
+    * Returns the committed version. */
+  def compact(spark: SparkSession, table: String, targetFiles: Int = 1,
+              sortBy: Seq[Column] = Nil): Int = {
+    require(targetFiles >= 1, "targetFiles must be positive")
+    val head = currentVersion(spark, table)
+    val df0 = read(spark, table, head)
+    val df =
+      if (sortBy.nonEmpty)
+        df0.repartitionByRange(targetFiles, sortBy: _*)
+          .sortWithinPartitions(sortBy: _*)
+      else df0.repartition(targetFiles)
+    val (uuid, files) = writeData(spark, table, df)
+    commitIfHead(spark, table, files, head, uuid) match {
+      case Some(v) => v
+      case None =>
+        fs(spark, new Path(table)).delete(new Path(table, s"data/$uuid"), true)
+        throw new java.util.ConcurrentModificationException(
+          s"compaction of $table lost the commit race to a concurrent writer; re-run")
+    }
+  }
+
   /** Retention: keep the last `keepLast` versions' manifests, delete
     * older manifests, then delete every `data/<uuid>` directory no
     * surviving manifest references (which also reclaims crashed and

@@ -134,6 +134,29 @@ class ManifestTableSpec extends AnyFunSuite with SparkFixture {
     assert(dirs === referenced, "exactly the referenced data dirs survive")
   }
 
+  test("compact collapses the head's small files into one, preserves rows, leaves time travel intact") {
+    val t = freshTable()
+    ManifestTable.commit(spark, t, df(1L -> "a"))
+    ManifestTable.commit(spark, t, df(2L -> "b"))
+    ManifestTable.commit(spark, t, df(3L -> "c"))
+    val before = ManifestTable.snapshotFiles(spark, t)
+    assert(before.size >= 3, "setup: head should reference several small files")
+    val v = ManifestTable.compact(spark, t, targetFiles = 1,
+      sortBy = Seq(col("id")))
+    assert(v === 4)
+    assert(ManifestTable.snapshotFiles(spark, t).size === 1)
+    assert(ManifestTable.read(spark, t).orderBy("id").collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSeq
+      === Seq((1L, "a"), (2L, "b"), (3L, "c")))
+    // pre-compaction version still reads the original small files
+    assert(ManifestTable.read(spark, t, version = 3).count() === 3)
+    assert(ManifestTable.snapshotFiles(spark, t, 3) === before)
+    // and expire afterwards reclaims the superseded small files
+    ManifestTable.expire(spark, t, keepLast = 1)
+    val dirs = new java.io.File(t, "data").listFiles().map(_.getName).toSet
+    assert(dirs.size === 1, s"expected only the compacted dir, got $dirs")
+  }
+
   test("two concurrent appenders: gap-free monotonic versions, both snapshots in the lineage") {
     val t = freshTable()
     val pool = java.util.concurrent.Executors.newFixedThreadPool(2)
