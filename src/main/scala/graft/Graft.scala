@@ -95,6 +95,28 @@ object Graft {
             shortlist: Int = 100, topK: Int = 3): DataFrame =
     Similarity.pqVerified(embeddings, queryPred, subDim, k, iters, shortlist, topK)
 
+  /** SemDeDup semantic dedup: k-means cells bound the pairwise
+    * comparison to within-cell members; a vector is removed when a
+    * smaller-id cell mate's int8-code dot clears `minDot`. With
+    * `k = 0` (the default) the cell count is derived from the corpus
+    * size ([[Similarity.semanticCells]]) so the pair join stays linear
+    * in the corpus — pass an explicit k only to pin the geometry. */
+  def dedupSemantic(embeddings: DataFrame, k: Int = 0,
+                    minDot: Long = 5000L): DataFrame = {
+    val cells =
+      if (k > 0) k
+      else Similarity.semanticCells(
+        embeddings.filter(VectorOps.norm(col("embedding")) > 0).count())
+    Similarity.semanticDedup(embeddings, k = cells, minDot = minDot)
+  }
+
+  /** ColBERT-style late-interaction (MaxSim) top-k for a bounded query
+    * set: per-pair m×m max/sum cascade inside one codegen'd
+    * expression, zero corpus-sized shuffles. */
+  def maxSimTopK(embeddings: DataFrame, queryPred: Column,
+                 topK: Int = 3): DataFrame =
+    Similarity.maxSimTopK(embeddings, queryPred, topK = topK)
+
   /** Codegen'd dot product / norm / cosine over array columns. */
   def dot(a: Column, b: Column): Column = VectorOps.dot(a, b)
   def norm(a: Column): Column = VectorOps.norm(a)

@@ -29,25 +29,42 @@ object Similarity {
     * a later session in the same JVM; `stateKey = None` (the default,
     * and every unit test) bypasses the memo entirely.
     *
-    * CONSTRAINT (by design, stated where stateKey is accepted): the
-    * key carries no dataset fingerprint, so if the files under a
-    * stateKey path are REWRITTEN within one application, memoized
-    * queries keep serving the state trained on the old bytes — call
-    * [[clearIndexState]] after rewriting a corpus in place. The
-    * judged/bench corpora are immutable per run, and a production
-    * index-over-mutable-table would version the table (ManifestTable)
-    * and key state by snapshot version rather than fingerprint files. */
+    * The key also carries a cheap DATASET FINGERPRINT of the stateKey
+    * path (file names + lengths + mtimes from one directory listing,
+    * no data read): rewriting the corpus in place within one
+    * application changes the fingerprint and naturally invalidates the
+    * stale index — no silent serving of state trained on dead bytes.
+    * Old entries linger until [[clearIndexState]] or app exit (they
+    * are localCheckpoint blocks, reclaimed with the app); a production
+    * index-over-mutable-table would key by ManifestTable snapshot
+    * version instead, which this composes with (the version IS a
+    * perfect fingerprint). */
   private val memo = scala.collection.concurrent.TrieMap.empty[String, AnyRef]
 
-  /** Drop every memoized index (all stateKeys): required after
-    * rewriting data under a stateKey path in-place within one
-    * application; otherwise never needed. */
+  /** Drop every memoized index (all stateKeys) — a manual override;
+    * in-place corpus rewrites are already caught by the listing
+    * fingerprint in the memo key. */
   def clearIndexState(): Unit = memo.clear()
+
+  /** One-listing fingerprint of the data under `path`: any add,
+    * delete, rename, resize, or touch changes it. Non-path stateKeys
+    * (or listing failures) degrade to a constant — the r4 behavior. */
+  private def fingerprint(spark: org.apache.spark.sql.SparkSession,
+                          path: String): String =
+    try {
+      val p = new org.apache.hadoop.fs.Path(path)
+      val f = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      if (!f.exists(p)) "absent"
+      else f.listStatus(p)
+        .map(s => s"${s.getPath.getName}:${s.getLen}:${s.getModificationTime}")
+        .sorted.mkString("|").hashCode.toHexString
+    } catch { case scala.util.control.NonFatal(_) => "nofs" }
   private def memoized[T <: AnyRef](spark: org.apache.spark.sql.SparkSession,
       key: Option[String], tag: String)(build: => T): T =
     key match {
       case Some(k) => memo.getOrElseUpdate(
-        s"${spark.sparkContext.applicationId}|$tag|$k", build).asInstanceOf[T]
+        s"${spark.sparkContext.applicationId}|$tag|$k|${fingerprint(spark, k)}",
+        build).asInstanceOf[T]
       case None => build
     }
 

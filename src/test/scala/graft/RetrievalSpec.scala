@@ -37,6 +37,25 @@ class RetrievalSpec extends AnyFunSuite with SparkFixture {
     assert(removed.head.getLong(3) >= 15000L)
   }
 
+  test("index memo: rewriting the stateKey data in place invalidates the cached state") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_memo_fp").toString
+    def write(rows: Seq[(Long, Array[Float])]): Unit =
+      embDF(rows).write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
+    def members(): Long = {
+      val e = spark.read.parquet(s"$dir/embeddings.parquet")
+      Similarity.kmeansQuantized(e, k = 2, iters = 1, stateKey = Some(dir))
+        .agg(sum("n_members")).first().getLong(0)
+    }
+    write(Seq(0L -> vec(0), 1L -> vec(1), 2L -> vec(2)))
+    assert(members() === 3L)
+    // in-place rewrite with MORE vectors: a fingerprint-less memo would
+    // keep serving the 3-member state (the r4 behavior the advisor
+    // flagged); the listing fingerprint must retrain on the new bytes
+    write(Seq(0L -> vec(0), 1L -> vec(1), 2L -> vec(2),
+      3L -> vec(3), 4L -> vec(0), 5L -> vec(1)))
+    assert(members() === 6L)
+  }
+
   test("b2_semantic_dedup: removed ids are unique, partners are smaller, dots over threshold") {
     val rows = q("b2_semantic_dedup").collect()
     assert(rows.nonEmpty, "expected at least one semantic near-dup at sf0.01")
