@@ -172,6 +172,25 @@ object ManifestTable {
     * re-derive instead). Returns the committed version number. */
   def commit(spark: SparkSession, table: String, df: DataFrame,
              mode: SaveMode = SaveMode.Append): Int = {
+    // schema enforcement (the Delta rule): an append whose column
+    // name/type set differs from the table's would leave the snapshot
+    // a mixed-schema parquet union — readers silently drop or null the
+    // divergent columns. Fail the writer instead; overwrite replaces
+    // the schema by definition and stays unchecked.
+    if (mode == SaveMode.Append) {
+      // one footer is enough: enforcement keeps snapshots homogeneous,
+      // so at 100 TB this never touches the other 100k files. An empty
+      // snapshot (or empty table) constrains nothing.
+      val headFiles = snapshotFiles(spark, table)
+      headFiles.headOption.foreach { f =>
+        val have = spark.read.parquet(new Path(table, f).toString)
+          .schema.map(x => (x.name, x.dataType)).toSet
+        val incoming = df.schema.map(x => (x.name, x.dataType)).toSet
+        require(have == incoming,
+          s"append schema mismatch on $table: table has $have, batch has $incoming" +
+            " (overwrite to change the schema)")
+      }
+    }
     val (uuid, newFiles) = writeData(spark, table, df)
     var committed = -1
     while (committed < 0) {
@@ -275,6 +294,31 @@ object ManifestTable {
     }
     throw new java.util.ConcurrentModificationException(
       s"deleteWhere on $table lost $maxAttempts commit races")
+  }
+
+  /** Change feed (file-granular, the Delta CDF shape without
+    * per-row _change_type bookkeeping): all rows living in files that
+    * version `sinceVersion + 1 .. toVersion` ADDED to the lineage.
+    * For an append-only table this is exactly the rows committed in
+    * that range — the incremental-consumer primitive (downstream jobs
+    * read `changes(lastSeen)` instead of re-scanning the table). For
+    * upsert/deleteWhere commits it includes the rewritten survivors
+    * too (file granularity is the honest unit here; row-level diffs
+    * need the pre-image, which time travel already provides:
+    * anti-join `changes` against `read(table, sinceVersion)`).
+    * Empty range or no added files → empty frame with the head
+    * schema. */
+  def changes(spark: SparkSession, table: String, sinceVersion: Int,
+              toVersion: Int = -1): DataFrame = {
+    val to = if (toVersion < 0) currentVersion(spark, table) else toVersion
+    require(sinceVersion <= to,
+      s"sinceVersion $sinceVersion is beyond version $to of $table")
+    val before = snapshotFiles(spark, table, sinceVersion).toSet
+    val added = (sinceVersion + 1 to to)
+      .flatMap(v => snapshotFiles(spark, table, v))
+      .distinct.filterNot(before)
+    if (added.isEmpty) read(spark, table, to).limit(0)
+    else spark.read.parquet(added.map(f => new Path(table, f).toString): _*)
   }
 
   /** OPTIMIZE-style compaction: rewrite the head snapshot into

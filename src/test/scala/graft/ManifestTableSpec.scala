@@ -134,6 +134,60 @@ class ManifestTableSpec extends AnyFunSuite with SparkFixture {
     assert(dirs === referenced, "exactly the referenced data dirs survive")
   }
 
+  test("a scheme-prefixed table root (file://) commits, merges, and time-travels") {
+    // the relative-path manifests must qualify against an EXPLICIT
+    // scheme URI, not just bare local paths — the non-default-FS story
+    val t = java.nio.file.Files.createTempDirectory("graft_mtab_uri").toUri.toString
+      .stripSuffix("/") + "/tbl"
+    assert(t.startsWith("file:///"))
+    ManifestTable.commit(spark, t, df(1L -> "a", 2L -> "b"))
+    ManifestTable.upsert(spark, t, df(2L -> "B", 3L -> "c"), Seq("id"))
+    assert(ManifestTable.read(spark, t).orderBy("id").collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSeq
+      === Seq((1L, "a"), (2L, "B"), (3L, "c")))
+    assert(ManifestTable.read(spark, t, version = 1).count() === 2)
+  }
+
+  test("append with a divergent schema is refused; overwrite replaces the schema") {
+    import spark.implicits._
+    val t = freshTable()
+    ManifestTable.commit(spark, t, df(1L -> "a"))
+    val widened = Seq((2L, "b", 3.5)).toDF("id", "v", "extra")
+    val e = intercept[IllegalArgumentException](
+      ManifestTable.commit(spark, t, widened))
+    assert(e.getMessage.contains("schema mismatch"))
+    assert(ManifestTable.currentVersion(spark, t) === 1,
+      "refused append must not commit a version")
+    // same columns, different type — also refused
+    val retyped = Seq((3, "c")).toDF("id", "v") // id is Int, table has Long
+    assert(intercept[IllegalArgumentException](
+      ManifestTable.commit(spark, t, retyped)).getMessage.contains("schema mismatch"))
+    // overwrite is the sanctioned schema-change path
+    assert(ManifestTable.commit(spark, t, widened, SaveMode.Overwrite) === 2)
+    assert(ManifestTable.read(spark, t).columns.sorted.toSeq === Seq("extra", "id", "v"))
+  }
+
+  test("changes() returns exactly the appended rows; upsert changes are the rewritten snapshot") {
+    val t = freshTable()
+    ManifestTable.commit(spark, t, df(1L -> "a"))                      // v1
+    ManifestTable.commit(spark, t, df(2L -> "b"))                      // v2
+    ManifestTable.commit(spark, t, df(3L -> "c"))                      // v3
+    assert(ManifestTable.changes(spark, t, sinceVersion = 1).orderBy("id")
+      .collect().map(_.getLong(0)).toSeq === Seq(2L, 3L))
+    assert(ManifestTable.changes(spark, t, 1, toVersion = 2)
+      .collect().map(_.getLong(0)).toSeq === Seq(2L))
+    assert(ManifestTable.changes(spark, t, 3).count() === 0) // empty, typed
+    assert(ManifestTable.changes(spark, t, 3).columns.toSeq === Seq("id", "v"))
+    // an upsert rewrites the snapshot: file-granular changes = new snapshot
+    ManifestTable.upsert(spark, t, df(2L -> "B"), Seq("id"))           // v4
+    assert(ManifestTable.changes(spark, t, 3).count() === 3)
+    // row-level delta via the documented time-travel anti-join
+    val delta = ManifestTable.changes(spark, t, 3)
+      .except(ManifestTable.read(spark, t, version = 3))
+    assert(delta.collect().map(r => (r.getLong(0), r.getString(1))).toSeq
+      === Seq((2L, "B")))
+  }
+
   test("compact collapses the head's small files into one, preserves rows, leaves time travel intact") {
     val t = freshTable()
     ManifestTable.commit(spark, t, df(1L -> "a"))
