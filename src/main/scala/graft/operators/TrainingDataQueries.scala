@@ -139,6 +139,54 @@ object TrainingDataQueries {
              |ORDER BY doc_id NULLS FIRST, chunk_idx NULLS FIRST""".stripMargin)
     ),
 
+    // B7c: deterministic training-shard assignment — the LAST step of
+    // every corpus pipeline: give each document a pseudo-random but
+    // fully reproducible shard (md5-mod, the stateless hashUniform
+    // discipline — any executor routes any row, re-runs and
+    // late-arriving data land identically) and a deterministic
+    // position within its shard. This IS the training-data writer
+    // shape at 100 TB: ONE hash shuffle on shard + a within-shard
+    // sort (what `repartition(shard).sortWithinPartitions` executes) —
+    // no global sort, no partition-less window, shard sizes
+    // binomially even. Judged output pins the whole function: per
+    // shard, the doc count, char mass, hash range, and an
+    // order-signature Σ hk·rank that moves if ANY document lands in a
+    // different shard OR position.
+    Entry(
+      "b7_shard",
+      (s, d) => {
+        val nShards = 8
+        val hk = conv(substring(md5(concat(col("doc_id").cast("string"),
+          lit(":shard"))), 1, 8), 16, 10).cast("long")
+        Tables.documents(s, d)
+          .select(col("doc_id"), col("n_chars"))
+          .withColumn("hk", hk)
+          .withColumn("shard", (col("hk") % nShards).cast("int"))
+          .withColumn("rn", row_number().over(
+            Window.partitionBy("shard").orderBy(col("hk"), col("doc_id"))))
+          .groupBy("shard")
+          .agg(count(lit(1)).as("n_docs"),
+            sum(col("n_chars")).as("sum_chars"),
+            min(col("hk")).as("min_hk"), max(col("hk")).as("max_hk"),
+            sum(col("hk") * col("rn")).as("order_sig"))
+          .orderBy("shard")
+      },
+      Some("""WITH h AS (SELECT doc_id, n_chars,
+             |    CAST(('0x' || substring(md5(CAST(doc_id AS VARCHAR)
+             |      || ':shard'), 1, 8)) AS BIGINT) AS hk
+             |  FROM documents),
+             |w AS (SELECT *, CAST(hk % 8 AS INT) AS shard,
+             |    row_number() OVER (PARTITION BY hk % 8
+             |      ORDER BY hk, doc_id) AS rn
+             |  FROM h)
+             |SELECT shard, count(*) AS n_docs,
+             |  CAST(sum(n_chars) AS BIGINT) AS sum_chars,
+             |  min(hk) AS min_hk, max(hk) AS max_hk,
+             |  CAST(sum(hk * rn) AS BIGINT) AS order_sig
+             |FROM w GROUP BY shard
+             |ORDER BY shard NULLS FIRST""".stripMargin)
+    ),
+
     // B5f: BM25 relevance scoring — the classic lexical retrieval
     // scorer (Robertson/Spärck Jones; k1=1.2, b=0.75) for a fixed
     // 3-term query over the corpus. tf/df/dl/avgdl all reduce from
