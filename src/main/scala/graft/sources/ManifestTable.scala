@@ -261,7 +261,7 @@ object ManifestTable {
     * re-derive loop as [[upsert]]. */
   def deleteWhere(spark: SparkSession, table: String, pred: Column,
                   maxAttempts: Int = 5): Int = {
-    import org.apache.spark.sql.functions.{col, element_at, split}
+    import org.apache.spark.sql.functions.{coalesce, col, element_at, lit, split}
     var attempt = 0
     while (attempt < maxAttempts) {
       attempt += 1
@@ -282,7 +282,11 @@ object ManifestTable {
         .collect().map(_.getString(0)).toSet // bounded: ≤ |snapshot files|
       if (affected.isEmpty) return head
       val survivorsOfAffected =
-        withFile.filter(col("__f").isin(affected.toSeq: _*)).filter(!pred)
+        // delete rows where pred is TRUE; a NULL predicate keeps the
+        // row (SQL DELETE semantics — bare `!pred` would silently drop
+        // null-pred rows from rewritten files)
+        withFile.filter(col("__f").isin(affected.toSeq: _*))
+          .filter(!coalesce(pred, lit(false)))
           .drop("__f")
       val (uuid, newFiles) = writeData(spark, table, survivorsOfAffected)
       val files = rel.filterNot(affected) ++ newFiles

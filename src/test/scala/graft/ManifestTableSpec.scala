@@ -96,6 +96,18 @@ class ManifestTableSpec extends AnyFunSuite with SparkFixture {
     assert(ManifestTable.deleteWhere(spark, t, col("id") === 999L) === v)
   }
 
+  test("deleteWhere keeps rows whose predicate is NULL (SQL DELETE semantics)") {
+    import spark.implicits._
+    val t = freshTable()
+    val rows = Seq((1L, Some(5)), (2L, None), (3L, Some(-1)))
+      .toDF("id", "score") // row 2: score IS NULL -> pred NULL -> keep
+    ManifestTable.commit(spark, t, rows)
+    ManifestTable.deleteWhere(spark, t, col("score") < 0)
+    assert(ManifestTable.read(spark, t).select("id").collect()
+      .map(_.getLong(0)).sorted.toSeq === Seq(1L, 2L),
+      "a NULL predicate row was dropped from a rewritten file")
+  }
+
   test("deleteWhere relative-path mapping survives a moved table root") {
     // manifests store table-relative paths: physically relocating the
     // whole table directory must leave every version readable
