@@ -79,6 +79,25 @@ object Bench {
     // artifact lost the headline total). Repeat the gate numbers as a
     // final COMPACT line so they always survive a tail of any length.
     println(s"""{"metric":"total","value":$total,"unit":"sec","n":${results.size},"n_timed":${results.count(_._2.isDefined)},"failed":$failedJson,"sf":"$sfDir"}""")
+    // The stdout record is tail-truncated by the driver's capture (r5
+    // lost keys a1…f8); also write the full sorted per-query map into
+    // the repo tree, where it survives verbatim and gets committed.
+    val artifact = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "bench_full.json")
+    try {
+      val body = new StringBuilder
+      body.append("{\n  \"metric\": \"total\",\n")
+      body.append(s"""  "value": $total,\n  "unit": "sec",\n""")
+      body.append(s"""  "n": ${results.size}, "n_timed": ${results.count(_._2.isDefined)},\n""")
+      body.append(s"""  "failed": $failedJson,\n  "sf": "$sfDir",\n""")
+      body.append("  \"queries\": {\n")
+      body.append(results.map { case (k, v) =>
+        s"""    "$k": ${v.fold("null")(t => f"$t%.3f")}"""
+      }.mkString(",\n"))
+      body.append("\n  }\n}\n")
+      java.nio.file.Files.write(java.nio.file.Paths.get(artifact),
+        body.toString.getBytes("UTF-8"))
+    } catch { case e: Throwable =>
+      System.err.println(s"[bench] could not write $artifact: ${e.getMessage}") }
     spark.stop()
     if (failed.nonEmpty) sys.exit(1)
   }

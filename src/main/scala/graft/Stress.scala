@@ -110,6 +110,30 @@ object Stress {
         .groupBy("source", "tok").agg(count(lit(1)).as("n"))
         .groupBy("source").agg(sum("n"), count(lit(1))).count()
     }
+    // b7_pack two-phase prefix sum: the driver-side subtotal table
+    // must stay BOUNDED as the corpus grows. packBucketWidth derives
+    // the bucket width from n (max(64, n/4096)), so driver rows =
+    // min(~n/64, ~4096) plus one boundary bucket per replica id-block
+    // (replication shifts ids by 10M, so blocks are sparse). The ×10
+    // inner replication pushes n past the cap's knee to show the
+    // flattening the static r5 width (div 64, O(n/64) driver rows)
+    // could not have.
+    time("pack_b7") {
+      val (plan, driverRows) =
+        graft.operators.TrainingDataQueries.packAssignments(docs)
+      println(s"[stress rep=$rep] pack_b7 driver_subtotal_rows=$driverRows")
+      plan.count()
+    }
+    time("pack_b7_x10") {
+      val docs10 = docs
+        .crossJoin(spark.range(10).select(col("id").as("__r2")))
+        .withColumn("doc_id", col("doc_id") + col("__r2") * 1_000_000_000L)
+        .drop("__r2")
+      val (plan, driverRows) =
+        graft.operators.TrainingDataQueries.packAssignments(docs10)
+      println(s"[stress rep=${rep * 10}] pack_b7 driver_subtotal_rows=$driverRows")
+      plan.count()
+    }
     time("curation_pipeline_b9") {
       graft.operators.Curation.pipeline(docs).count()
     }

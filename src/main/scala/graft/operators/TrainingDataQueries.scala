@@ -20,6 +20,52 @@ import graft.sources.Tables
   */
 object TrainingDataQueries {
 
+  /** Prefix-sum bucket width for [[packAssignments]]: grows with the
+    * corpus so the driver-side subtotal table stays ≤ ~4096 rows at
+    * any scale (the semanticCells precedent — Similarity.semanticCells
+    * derives k the same way). n=10¹⁰ docs → width ≈ 2.4M → 4096 driver
+    * rows, vs the r5 static 64 which put n/64 ≈ 1.5×10⁸ rows on the
+    * driver at that corpus.
+    */
+  def packBucketWidth(n: Long): Long = math.max(64L, n / 4096L)
+
+  /** Two-phase parallel prefix sum for token-budget sequence packing.
+    * Phase 1 buckets doc_ids into contiguous ranges of
+    * [[packBucketWidth]] ids and runs the running sum PER BUCKET (all
+    * buckets in parallel); the per-bucket subtotals — bounded ≤ ~4096
+    * rows regardless of corpus size — prefix-sum on the driver and
+    * broadcast back as each bucket's starting offset. Output is
+    * identical to a global Window.orderBy cumulative sum (the oracle
+    * computes exactly that) but never serializes the corpus through
+    * one task. Returns the plan plus the driver-subtotal row count so
+    * Stress can assert the bound under replication.
+    */
+  def packAssignments(docs: org.apache.spark.sql.DataFrame,
+                      budget: Long = 2048L): (org.apache.spark.sql.DataFrame, Int) = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val width = packBucketWidth(docs.count())
+    val t = docs
+      .select(col("doc_id"),
+        size(split(col("text"), " ")).cast("long").as("n_tokens"))
+      .withColumn("bucket", expr(s"doc_id div $width"))
+    val subs = t.groupBy("bucket").agg(sum(col("n_tokens")).as("bsum"))
+      .orderBy("bucket").collect()
+    var acc = 0L
+    val offs = subs.toSeq.map { r =>
+      val o = (r.getLong(0), acc); acc += r.getLong(1); o
+    }
+    val wLocal = Window.partitionBy("bucket").orderBy("doc_id")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val out = t.join(broadcast(offs.toDF("bucket", "boff")), Seq("bucket"))
+      .withColumn("cum_before",
+        col("boff") + sum(col("n_tokens")).over(wLocal) - col("n_tokens"))
+      .select(col("doc_id"), col("n_tokens"),
+        expr(s"cum_before div $budget").as("pack_id"),
+        (col("cum_before") % budget).as("pack_offset"))
+    (out, subs.length)
+  }
+
   val entries: Seq[Entry] = Seq(
 
     // B5e: TF-IDF top-3 terms per document. Ranking compares the
@@ -74,33 +120,16 @@ object TrainingDataQueries {
     // row per bucket — prefix-sum on the driver (the same bounded
     // model-state collect class as IvfAnn's centroids) and broadcast
     // back as each bucket's starting offset. Identical output to the
-    // global window, embarrassingly parallel; at larger corpora the
-    // bucket width grows with corpus/parallelism (or the subtotal
-    // prefix recurses) so the driver table stays thousands of rows.
+    // global window, embarrassingly parallel; the bucket width is
+    // CORPUS-DERIVED (packBucketWidth: max(64, n/4096)) so the driver
+    // table is bounded ≤ ~4096 rows at any corpus size — the output is
+    // invariant to the width, so the oracle stays the plain global
+    // window. Stress's pack_b7 row measures the bound under
+    // replication. See packAssignments above.
     Entry(
       "b7_pack",
-      (s, d) => {
-        import s.implicits._
-        val t = Tables.documents(s, d)
-          .select(col("doc_id"),
-            size(split(col("text"), " ")).cast("long").as("n_tokens"))
-          .withColumn("bucket", expr("doc_id div 64"))
-        val subs = t.groupBy("bucket").agg(sum(col("n_tokens")).as("bsum"))
-          .orderBy("bucket").collect()
-        var acc = 0L
-        val offs = subs.toSeq.map { r =>
-          val o = (r.getLong(0), acc); acc += r.getLong(1); o
-        }
-        val wLocal = Window.partitionBy("bucket").orderBy("doc_id")
-          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-        t.join(broadcast(offs.toDF("bucket", "boff")), Seq("bucket"))
-          .withColumn("cum_before",
-            col("boff") + sum(col("n_tokens")).over(wLocal) - col("n_tokens"))
-          .select(col("doc_id"), col("n_tokens"),
-            expr("cum_before div 2048").as("pack_id"),
-            (col("cum_before") % 2048).as("pack_offset"))
-          .orderBy("doc_id")
-      },
+      (s, d) =>
+        packAssignments(Tables.documents(s, d))._1.orderBy("doc_id"),
       Some("""WITH t AS (SELECT doc_id, CAST(len(string_split(text,' ')) AS BIGINT) AS n_tokens
              |FROM documents),
              |c AS (SELECT doc_id, n_tokens,

@@ -98,8 +98,26 @@ object ManifestTable {
       // manifest grammar is ours and trivial: one quoted table-relative
       // path per line inside "files": [...] — every data file lives
       // under data/, which is what distinguishes a path from the
-      // "version"/"files" keys; no JSON dep needed to write or read it
-      "\"(data/[^\"]+)\"".r.findAllMatchIn(text).map(_.group(1)).toSeq
+      // "version"/"files" keys; no JSON dep needed to write or read it.
+      // LEGACY GUARD (ADVICE r5): manifests written before the
+      // relative-path format stored absolute paths, which the data/
+      // regex silently skips — a legacy table would read as empty with
+      // no hint of the cause. Any quoted path-shaped entry NOT under
+      // data/ is either re-relativized (absolute path that still
+      // contains a /data/<uuid>/<part> tail — the layout never changed,
+      // only the recording) or an explicit format error.
+      val rel = "\"(data/[^\"]+)\"".r.findAllMatchIn(text).map(_.group(1)).toSeq
+      val foreign = "\"([^\"]*/[^\"]+)\"".r.findAllMatchIn(text).map(_.group(1))
+        .filterNot(_.startsWith("data/")).toSeq
+      val migrated = foreign.map { abs =>
+        val i = abs.lastIndexOf("/data/")
+        require(i >= 0,
+          s"manifest v$v of $table contains unrecognized path '$abs' — " +
+            "not table-relative (data/...) and not a legacy absolute path " +
+            "with a data/<uuid>/<file> tail; unknown or corrupt manifest format")
+        abs.substring(i + 1)
+      }
+      rel ++ migrated
     }
   }
 
@@ -142,6 +160,22 @@ object ManifestTable {
     val target = manifestPath(table, head + 1)
     val tmp = new Path(manifestDir(table), s".tmp-$tag-${head + 1}.json")
     val f = fs(spark, target)
+    // Commit-point safety gate (ADVICE r5): the non-local branch below
+    // is check-then-act (exists + rename). That is atomic-exclusive
+    // ONLY where rename refuses an existing destination (HDFS-class);
+    // on S3A-class object stores two writers can both pass the exists
+    // check and the copy-based rename clobbers. Refuse those schemes
+    // unless the caller explicitly opts in (accepting last-writer-wins
+    // torn races) — the real fix there is a conditional PUT
+    // (If-None-Match) or a commit coordinator, which the sandbox's
+    // Hadoop FS API does not expose.
+    val isLocal = f.isInstanceOf[org.apache.hadoop.fs.LocalFileSystem] ||
+      f.isInstanceOf[org.apache.hadoop.fs.RawLocalFileSystem]
+    if (!isLocal)
+      requireAtomicPublish(
+        Option(target.toUri.getScheme).getOrElse(f.getScheme),
+        spark.sparkContext.hadoopConfiguration
+          .getBoolean("graft.manifest.allowNonAtomicPublish", false))
     val out = f.create(tmp, true)
     try out.write(body.getBytes("UTF-8")) finally out.close()
     val won = f match {
@@ -164,6 +198,19 @@ object ManifestTable {
     won
   }
 
+  /** The publish-gate decision (visible for tests): schemes whose
+    * rename refuses an existing destination atomically may take the
+    * exists+rename branch; object-store schemes (s3a, gs, abfs, …)
+    * have copy-based renames where two writers can both pass the
+    * exists check — refused unless the caller opts into
+    * single-writer-only semantics. */
+  private[graft] def requireAtomicPublish(scheme: String, optIn: Boolean): Unit =
+    require(Set("hdfs", "webhdfs", "viewfs", "file").contains(scheme) || optIn,
+      s"manifest publish on scheme '$scheme' has no atomic-exclusive " +
+        "rename: concurrent writers could clobber the commit point. Use " +
+        "an HDFS-class store, or set graft.manifest.allowNonAtomicPublish" +
+        "=true to accept single-writer-only semantics on this table")
+
   /** Commit `df` as the next version. `SaveMode.Append` unions the new
     * files with the head snapshot's (recomposed on a lost race);
     * `SaveMode.Overwrite` replaces the snapshot (a lost race retries
@@ -171,34 +218,54 @@ object ManifestTable {
     * conditional callers use [[upsert]]/[[deleteWhere]], which
     * re-derive instead). Returns the committed version number. */
   def commit(spark: SparkSession, table: String, df: DataFrame,
-             mode: SaveMode = SaveMode.Append): Int = {
+             mode: SaveMode = SaveMode.Append, maxAttempts: Int = 50): Int = {
     // schema enforcement (the Delta rule): an append whose column
     // name/type set differs from the table's would leave the snapshot
     // a mixed-schema parquet union — readers silently drop or null the
     // divergent columns. Fail the writer instead; overwrite replaces
-    // the schema by definition and stays unchecked.
-    if (mode == SaveMode.Append) {
-      // one footer is enough: enforcement keeps snapshots homogeneous,
-      // so at 100 TB this never touches the other 100k files. An empty
-      // snapshot (or empty table) constrains nothing.
-      val headFiles = snapshotFiles(spark, table)
-      headFiles.headOption.foreach { f =>
-        val have = spark.read.parquet(new Path(table, f).toString)
-          .schema.map(x => (x.name, x.dataType)).toSet
-        val incoming = df.schema.map(x => (x.name, x.dataType)).toSet
-        require(have == incoming,
-          s"append schema mismatch on $table: table has $have, batch has $incoming" +
-            " (overwrite to change the schema)")
-      }
+    // the schema by definition and stays unchecked. Validated INSIDE
+    // the publish loop against the CURRENT head (ADVICE r5): a
+    // concurrent Overwrite can change the table schema between
+    // attempts, and a lost-race recompose must not publish a
+    // mixed-schema snapshot the pre-write check happened to miss.
+    // One footer read per attempt is enough (enforcement keeps
+    // snapshots homogeneous, so at 100 TB this never touches the other
+    // 100k files); an empty snapshot constrains nothing.
+    def validateAppend(base: Seq[String]): Unit = base.headOption.foreach { f =>
+      val have = spark.read.parquet(new Path(table, f).toString)
+        .schema.map(x => (x.name, x.dataType)).toSet
+      val incoming = df.schema.map(x => (x.name, x.dataType)).toSet
+      require(have == incoming,
+        s"append schema mismatch on $table: table has $have, batch has $incoming" +
+          " (overwrite to change the schema)")
     }
+    if (mode == SaveMode.Append) validateAppend(snapshotFiles(spark, table))
     val (uuid, newFiles) = writeData(spark, table, df)
     var committed = -1
+    var attempt = 0
     while (committed < 0) {
+      attempt += 1
       val head = currentVersion(spark, table)
       val base =
         if (mode == SaveMode.Append) snapshotFiles(spark, table, head) else Nil
+      if (mode == SaveMode.Append && attempt > 1) validateAppend(base)
       if (tryPublish(spark, table, head, base ++ newFiles, uuid))
         committed = head + 1
+      else {
+        // A lost race means another writer occupied slot head+1, so the
+        // head MUST now read ≥ head+1. If it does not, the publish
+        // failed for a persistent non-race reason (permissions, FS
+        // quirk) — spinning would write temp manifests forever
+        // (ADVICE r5): fail fast instead, like upsert/deleteWhere do.
+        if (currentVersion(spark, table) <= head)
+          throw new java.io.IOException(
+            s"manifest publish of $table v${head + 1} failed although no " +
+              "concurrent commit advanced the head — non-race failure " +
+              "(permissions or filesystem misbehavior), not retrying")
+        if (attempt >= maxAttempts)
+          throw new java.util.ConcurrentModificationException(
+            s"commit on $table lost $maxAttempts publish races")
+      }
     }
     committed
   }
@@ -310,8 +377,10 @@ object ManifestTable {
     * too (file granularity is the honest unit here; row-level diffs
     * need the pre-image, which time travel already provides:
     * anti-join `changes` against `read(table, sinceVersion)`).
-    * Empty range or no added files → empty frame with the head
-    * schema. */
+    * Empty range or no added files → empty frame with the head schema
+    * (a never-committed table has no schema to offer: schemaless empty
+    * frame, so the documented consumer pattern of starting from
+    * `lastSeen = 0` works before the first commit too — ADVICE r5). */
   def changes(spark: SparkSession, table: String, sinceVersion: Int,
               toVersion: Int = -1): DataFrame = {
     val to = if (toVersion < 0) currentVersion(spark, table) else toVersion
@@ -321,8 +390,10 @@ object ManifestTable {
     val added = (sinceVersion + 1 to to)
       .flatMap(v => snapshotFiles(spark, table, v))
       .distinct.filterNot(before)
-    if (added.isEmpty) read(spark, table, to).limit(0)
-    else spark.read.parquet(added.map(f => new Path(table, f).toString): _*)
+    if (added.nonEmpty)
+      spark.read.parquet(added.map(f => new Path(table, f).toString): _*)
+    else if (to == 0) spark.emptyDataFrame
+    else read(spark, table, to).limit(0)
   }
 
   /** OPTIMIZE-style compaction: rewrite the head snapshot into

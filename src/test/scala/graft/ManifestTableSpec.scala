@@ -269,6 +269,82 @@ class ManifestTableSpec extends AnyFunSuite with SparkFixture {
     assert(ManifestTable.read(spark, t).filter(col("id") === 1L).count() === 1)
   }
 
+  test("compact racing an upsert: no committed version loses the upsert; compact lands or aborts cleanly") {
+    // maintenance must never clobber data: compact's conditional commit
+    // either wins a slot whose base already includes the upsert, or
+    // loses the race and ABORTS (no retry — retrying would republish
+    // the pre-upsert image). Run the race several times; assert the
+    // invariant on every committed version at or above the upsert's.
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.duration._
+    import scala.util.{Failure, Success, Try}
+    (1 to 3).foreach { round =>
+      val t = freshTable()
+      ManifestTable.commit(spark, t, df(1L -> "a", 2L -> "b"))
+      ManifestTable.commit(spark, t, df(3L -> "c"))
+      val pool = java.util.concurrent.Executors.newFixedThreadPool(2)
+      implicit val ec: scala.concurrent.ExecutionContext =
+        scala.concurrent.ExecutionContext.fromExecutor(pool)
+      val fUp = Future(ManifestTable.upsert(spark, t,
+        df(2L -> "UP", 4L -> "ins"), Seq("id")))
+      val fCo = Future(Try(ManifestTable.compact(spark, t, targetFiles = 1)))
+      val vUp = Await.result(fUp, 5.minutes)
+      val co = Await.result(fCo, 5.minutes)
+      pool.shutdown()
+      co match {
+        case Success(vCo) => assert(vCo !== vUp, s"round $round: slot collision")
+        case Failure(e) =>
+          assert(e.isInstanceOf[java.util.ConcurrentModificationException],
+            s"round $round: compact must abort with CME, got $e")
+      }
+      val head = ManifestTable.currentVersion(spark, t)
+      (vUp to head).foreach { v =>
+        val got = ManifestTable.read(spark, t, v).collect()
+          .map(r => (r.getLong(0), r.getString(1))).toMap
+        assert(got === Map(1L -> "a", 2L -> "UP", 3L -> "c", 4L -> "ins"),
+          s"round $round: version $v lost the upsert (compact=$co, upsert=$vUp)")
+      }
+    }
+  }
+
+  test("a legacy absolute-path manifest is re-relativized; unknown path formats fail loudly") {
+    val t = freshTable()
+    ManifestTable.commit(spark, t, df(1L -> "a", 2L -> "b"))
+    val files = ManifestTable.snapshotFiles(spark, t)
+    def writeManifest(v: Int, paths: Seq[String]): Unit = {
+      val w = new java.io.PrintWriter(
+        new java.io.File(new java.io.File(t, "_manifests"), f"v$v%08d.json"))
+      try w.write(
+        s"""{\n  "version": $v,\n  "files": [\n${paths.map(p => s"""    "$p"""").mkString(",\n")}\n  ]\n}""")
+      finally w.close()
+    }
+    // v2 in the pre-r5 format: absolute paths to the same data files
+    writeManifest(2, files.map(f => s"$t/$f"))
+    assert(ManifestTable.read(spark, t, version = 2).count() === 2,
+      "legacy absolute paths must be re-relativized, not silently skipped")
+    assert(ManifestTable.snapshotFiles(spark, t, 2).toSet === files.toSet)
+    // v3 with a path that is neither relative nor a data/-tailed
+    // absolute path: explicit format error, not an empty read
+    writeManifest(3, Seq("/else/where/part-0.parquet"))
+    val e = intercept[IllegalArgumentException](ManifestTable.read(spark, t, version = 3))
+    assert(e.getMessage.contains("manifest format"))
+  }
+
+  test("changes() on a never-committed table is empty — consumers start at lastSeen = 0") {
+    val t = freshTable()
+    assert(ManifestTable.changes(spark, t, sinceVersion = 0).count() === 0)
+  }
+
+  test("publish gate: object-store schemes are refused without the explicit opt-in") {
+    ManifestTable.requireAtomicPublish("hdfs", optIn = false)   // atomic rename: fine
+    ManifestTable.requireAtomicPublish("s3a", optIn = true)     // explicit opt-in: fine
+    val e = intercept[IllegalArgumentException](
+      ManifestTable.requireAtomicPublish("s3a", optIn = false))
+    assert(e.getMessage.contains("no atomic-exclusive"))
+    intercept[IllegalArgumentException](
+      ManifestTable.requireAtomicPublish("gs", optIn = false))
+  }
+
   test("optimistic concurrency: a squatted version slot forces a retry, not a clobber") {
     val t = freshTable()
     ManifestTable.commit(spark, t, df(1L -> "a"))
