@@ -544,6 +544,54 @@ object LakehouseQueries {
              |FROM customer
              |WHERE c_custkey <= 2000 AND c_acctbal >= 0
              |ORDER BY c_custkey NULLS FIRST""".stripMargin)
+    ),
+
+    // C23: the change-feed consumer pattern, judged — base commit →
+    // keyed upsert → delete-by-predicate, then ONE incremental read of
+    // `changes(sinceVersion = base)` instead of a table re-scan. The
+    // feed is file-granular (the Delta CDF shape); `distinct` collapses
+    // the file-level duplication between the upsert's full rewrite and
+    // the delete's survivor rewrite into exactly the post-upsert image
+    // — deterministic regardless of how rows were split across files —
+    // and the documented anti-join against the live head classifies
+    // each changed row as still-live or later-deleted. Oracle replays
+    // merge + delete directly from `customer`; any leak of base files
+    // into the feed, loss of a mutation, or misclassification moves
+    // the hash.
+    Entry(
+      "c23_change_feed",
+      (s, d) => {
+        import org.apache.spark.sql.SaveMode
+        val t = s"${sys.props("java.io.tmpdir")}/graft_c23_" +
+          s"${new java.io.File(d).getName}_${ProcessHandle.current().pid()}"
+        val cust = Tables.customer(s, d)
+          .select(col("c_custkey"), col("c_name"), col("c_acctbal"))
+        val vBase = graft.sources.ManifestTable.commit(s, t,
+          cust.filter(col("c_custkey") <= 1000), SaveMode.Overwrite)
+        graft.sources.ManifestTable.upsert(s, t,
+          cust.filter(col("c_custkey").between(500, 1500))
+            .withColumn("c_acctbal", col("c_acctbal") + 100),
+          Seq("c_custkey"))
+        graft.sources.ManifestTable.deleteWhere(s, t, col("c_acctbal") < 0)
+        val feed = graft.sources.ManifestTable.changes(s, t, vBase).distinct()
+        val live = graft.sources.ManifestTable.read(s, t)
+          .select(col("c_custkey"), lit(1).as("__live"))
+        feed.join(live, Seq("c_custkey"), "left")
+          .select(col("c_custkey"), col("c_name"),
+            round(col("c_acctbal"), 2).as("bal"),
+            when(col("__live").isNotNull, lit("live"))
+              .otherwise(lit("deleted")).as("change_type"))
+          .orderBy("c_custkey")
+      },
+      Some("""WITH merged AS (
+             |  SELECT c_custkey, c_name,
+             |    CASE WHEN c_custkey BETWEEN 500 AND 1500
+             |         THEN c_acctbal + 100 ELSE c_acctbal END AS bal0
+             |  FROM customer
+             |  WHERE c_custkey <= 1000 OR c_custkey BETWEEN 500 AND 1500)
+             |SELECT c_custkey, c_name, round(bal0, 2) AS bal,
+             |  CASE WHEN bal0 < 0 THEN 'deleted' ELSE 'live' END AS change_type
+             |FROM merged ORDER BY c_custkey NULLS FIRST""".stripMargin)
     )
   )
 }

@@ -56,6 +56,46 @@ object StreamingQueries {
              |SELECT user_id, epoch_ms(min(ts)) // 1000 AS session_start_s, count(*) AS n_events
              |FROM y GROUP BY user_id, sid
              |ORDER BY user_id NULLS FIRST, session_start_s NULLS FIRST""".stripMargin)
+    ),
+
+    // T8 batch twin: the stream-stream interval join
+    // (EventStreams.attributePurchases) computed at rest — each
+    // purchase joined to the same user's views in the preceding 5
+    // minutes, rolled up per purchase so the judged output is bounded
+    // and deterministic. Scale shape is identical to the streaming
+    // plan: ONE shuffle on user_id, then a per-key local interval
+    // filter — exactly the state the streaming side's watermark bounds
+    // (a buffered view dies when the purchase watermark passes
+    // view_ts + 5 min). Interval arithmetic in integer micros on both
+    // engines, so timestamp-precision skew cannot move the hash.
+    Entry(
+      "t8_interval_join",
+      (s, d) => {
+        val e = Tables.events(s, d)
+        val v = e.filter(col("event_type") === "view")
+          .select(col("event_id").as("view_id"), col("user_id"),
+            unix_micros(col("ts")).as("v_us"))
+        val p = e.filter(col("event_type") === "purchase")
+          .select(col("event_id").as("purchase_id"), col("user_id"),
+            unix_micros(col("ts")).as("p_us"))
+        p.join(v, Seq("user_id"))
+          .filter(col("v_us") <= col("p_us") &&
+            col("v_us") >= col("p_us") - lit(300000000L))
+          .groupBy("purchase_id", "user_id")
+          .agg(count(lit(1)).as("n_views"),
+            min(col("view_id")).as("first_view"),
+            max(col("view_id")).as("last_view"))
+          .orderBy("purchase_id")
+      },
+      Some("""WITH v AS (SELECT event_id AS view_id, user_id, epoch_us(ts) AS v_us
+             |  FROM events WHERE event_type = 'view'),
+             |p AS (SELECT event_id AS purchase_id, user_id, epoch_us(ts) AS p_us
+             |  FROM events WHERE event_type = 'purchase')
+             |SELECT p.purchase_id, p.user_id, count(*) AS n_views,
+             |  min(v.view_id) AS first_view, max(v.view_id) AS last_view
+             |FROM p JOIN v ON p.user_id = v.user_id
+             |  AND v.v_us <= p.p_us AND v.v_us >= p.p_us - 300000000
+             |GROUP BY 1, 2 ORDER BY purchase_id NULLS FIRST""".stripMargin)
     )
   )
 }
