@@ -197,21 +197,65 @@ object Similarity {
           .as("inertia_micro"))
   }
 
+  /** Above this k, [[seedTable]] ranks seeds distributively instead of
+    * collecting k rows — the driver never holds more than ~this many
+    * rows either way. */
+  private[graft] val seedDriverCap = 4096
+
   /** The k smallest surviving ids numbered 0..k-1 — the
-    * deterministic Lloyd seed set. Numbering happens on the DRIVER
-    * over the collected ≤ k rows (the bounded model-state collect
-    * class): a rank window over a k-row frame would plan with an
-    * empty partition spec — Catalyst folds constant partition keys —
-    * and every re-evaluation under the iteration checkpoints spams
-    * WindowExec's single-partition warning into bench logs. */
-  private def seedTable(xe: DataFrame, k: Int): DataFrame = {
-    val ids = xe.select("vec_id").distinct().orderBy("vec_id").limit(k)
-    val rows = ids.collect().zipWithIndex.map { case (r, i) =>
-      org.apache.spark.sql.Row(r.get(0), i)
+    * deterministic Lloyd seed set. For k ≤ `cap`, numbering happens on
+    * the DRIVER over the collected ≤ k rows (the bounded model-state
+    * collect class): a rank window over a k-row frame would plan with
+    * an empty partition spec — Catalyst folds constant partition keys
+    * — and every re-evaluation under the iteration checkpoints spams
+    * WindowExec's single-partition warning into bench logs.
+    *
+    * For k > `cap` (k = ⌈n/500⌉ crosses it at ~2M vectors) the SAME
+    * seed set is ranked distributively with the two-phase prefix the
+    * pack operator uses (TrainingDataQueries.packAssignments): ids
+    * bucket into ≤ ~cap value ranges, per-bucket counts prefix-sum on
+    * the driver, and rank = bucket offset + intra-bucket row_number.
+    * Bit-identical output to the driver path at any k (SeedingSpec
+    * proves it), so this supersedes a sample-train fallback — sampling
+    * would change the seeds; the distributed rank doesn't. Driver
+    * state: ≤ ~cap subtotal rows, never k. Requires a numeric id
+    * (every corpus here keys vectors by a long). */
+  private[graft] def seedTable(xe: DataFrame, k: Int,
+                               cap: Int = seedDriverCap): DataFrame = {
+    if (k <= cap) {
+      val ids = xe.select("vec_id").distinct().orderBy("vec_id").limit(k)
+      val rows = ids.collect().zipWithIndex.map { case (r, i) =>
+        org.apache.spark.sql.Row(r.get(0), i)
+      }
+      xe.sparkSession.createDataFrame(
+        java.util.Arrays.asList(rows: _*),
+        ids.schema.add("cid", org.apache.spark.sql.types.IntegerType, false))
+    } else {
+      val sp = xe.sparkSession
+      import sp.implicits._
+      val ids = xe.select(col("vec_id")).distinct()
+      val mm = ids.agg(min(col("vec_id")).cast("long").as("lo"),
+        max(col("vec_id")).cast("long").as("hi")).first()
+      if (mm.isNullAt(0))
+        return xe.sparkSession.createDataFrame(
+          java.util.Collections.emptyList[org.apache.spark.sql.Row](),
+          ids.schema.add("cid", org.apache.spark.sql.types.IntegerType, false))
+      val (lo, hi) = (mm.getLong(0), mm.getLong(1))
+      val width = math.max(1L, (hi - lo) / cap + 1)
+      val withB = ids.withColumn("__b",
+        expr(s"(CAST(vec_id AS BIGINT) - $lo) DIV $width"))
+      val counts = withB.groupBy("__b").agg(count(lit(1)).as("c"))
+        .orderBy("__b").collect() // bounded: ≤ cap + 1 buckets
+      var acc = 0L
+      val offs = counts.toSeq.map { r =>
+        val o = (r.getLong(0), acc); acc += r.getLong(1); o
+      }
+      val w = Window.partitionBy("__b").orderBy("vec_id")
+      withB.join(broadcast(offs.toDF("__b", "__off")), Seq("__b"))
+        .withColumn("__rk", col("__off") + row_number().over(w) - 1)
+        .filter(col("__rk") < k)
+        .select(col("vec_id"), col("__rk").cast("int").as("cid"))
     }
-    xe.sparkSession.createDataFrame(
-      java.util.Arrays.asList(rows: _*),
-      ids.schema.add("cid", org.apache.spark.sql.types.IntegerType, false))
   }
 
   /** Vector→cell distance table under the shared memo: checkpointed
