@@ -592,6 +592,45 @@ object LakehouseQueries {
              |SELECT c_custkey, c_name, round(bal0, 2) AS bal,
              |  CASE WHEN bal0 < 0 THEN 'deleted' ELSE 'live' END AS change_type
              |FROM merged ORDER BY c_custkey NULLS FIRST""".stripMargin)
+    ),
+
+    // C24: TWO differently-credentialed lake roots in ONE plan — the
+    // cross-account join every multi-tenant pipeline runs (raw bucket
+    // ⋈ curated bucket). Each LakeConfig carries its own credentials
+    // in S3A's per-bucket form (exactly what Lake.configure rewrites
+    // plain fs.s3a.* keys into for an s3a:// base — LakeSpec proves
+    // the rewrite and two-bucket coexistence; file:// drives the same
+    // FileSystem abstraction offline). The corpus is split across the
+    // two roots by doc_id parity, read back through both configs, and
+    // unioned — any loss, duplication, or cross-config clobbering
+    // moves the per-lang rollup hash. Oracle recomputes from the
+    // undivided table.
+    Entry(
+      "c24_two_lakes",
+      (s, d) => {
+        val base = s"${sys.props("java.io.tmpdir")}/graft_c24_" +
+          s"${new java.io.File(d).getName}_${ProcessHandle.current().pid()}"
+        val docs = Tables.documents(s, d)
+          .select(col("doc_id"), col("source"), col("lang"), col("n_chars"))
+        docs.filter(col("doc_id") % 2 === 0)
+          .write.mode("overwrite").parquet(s"$base/lake_a/documents.parquet")
+        docs.filter(col("doc_id") % 2 === 1)
+          .write.mode("overwrite").parquet(s"$base/lake_b/documents.parquet")
+        val cfgA = graft.sources.LakeConfig(s"file://$base/lake_a",
+          Map("fs.s3a.bucket.lake-a.access.key" -> "KEY-A"))
+        val cfgB = graft.sources.LakeConfig(s"file://$base/lake_b",
+          Map("fs.s3a.bucket.lake-b.access.key" -> "KEY-B",
+            "fs.s3a.bucket.lake-b.endpoint" -> "minio.internal:9000"))
+        graft.sources.Lake.table(s, cfgA, "documents")
+          .unionByName(graft.sources.Lake.table(s, cfgB, "documents"))
+          .groupBy("lang")
+          .agg(count(lit(1)).as("cnt"), sum(col("n_chars")).as("sum_chars"))
+          .orderBy("lang")
+      },
+      Some("""SELECT lang, count(*) AS cnt,
+             |  CAST(sum(n_chars) AS BIGINT) AS sum_chars
+             |FROM documents GROUP BY lang
+             |ORDER BY lang NULLS FIRST""".stripMargin)
     )
   )
 }
