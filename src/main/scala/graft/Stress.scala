@@ -118,10 +118,16 @@ object Stress {
     // inner replication pushes n past the cap's knee to show the
     // flattening the static r5 width (div 64, O(n/64) driver rows)
     // could not have.
+    // bound: ≤ the 4096-bucket cap + one boundary bucket per sparse
+    // replica id-block + 1 (measured: 3×→237, 10×→790, 30×→2370,
+    // 100×→4196 — flat at the cap once n crosses the 64-width floor,
+    // where the r5 static width would keep growing as n/64 forever)
     time("pack_b7") {
       val (plan, driverRows) =
         graft.operators.TrainingDataQueries.packAssignments(docs)
       println(s"[stress rep=$rep] pack_b7 driver_subtotal_rows=$driverRows")
+      require(driverRows <= 4096 + rep + 1,
+        s"driver subtotal table unbounded: $driverRows rows at rep=$rep")
       plan.count()
     }
     time("pack_b7_x10") {
@@ -132,6 +138,8 @@ object Stress {
       val (plan, driverRows) =
         graft.operators.TrainingDataQueries.packAssignments(docs10)
       println(s"[stress rep=${rep * 10}] pack_b7 driver_subtotal_rows=$driverRows")
+      require(driverRows <= 4096 + rep * 10 + 1,
+        s"driver subtotal table unbounded: $driverRows rows at rep=${rep * 10}")
       plan.count()
     }
     time("curation_pipeline_b9") {
@@ -185,6 +193,73 @@ object Stress {
         emb.select(col("vec_id"), col("embedding")),
         col("vec_id") < 10).count()
     }
+    // IVF+PQ TUNING CURVE: recall@3 × scanned-candidate rows across
+    // nProbe ∈ {1,2,4} (of 4 cells) × refine shortlist ∈ {50,100,200}
+    // at this replication — the single judged operating point
+    // (nProbe=2, shortlist=50) becomes the cost/recall surface a
+    // 100 TB operator tunes on. Ground truth is the EXACT integer-dot
+    // top-3 (what the index converges to as nProbe→cells and
+    // shortlist→corpus). Monotone-end requirements: scan rows strictly
+    // grow with nProbe (probe sets are supersets), and the fully-open
+    // corner (4, 200) must dominate the cheapest corner (1, 50).
+    // Trained state is memoized once and shared across the 9 points —
+    // exactly how a deployed index serves many operating points.
+    time("ivfpq_curve_b4") {
+      val sk = Some(s"$sfDir") // memo: train once, probe 9 ways
+      val embQ = emb.select(col("vec_id"), col("embedding"))
+      val pred = col("vec_id") < 10
+      val xeT = embQ
+        .filter(graft.functions.VectorOps.norm(col("embedding")) > 0)
+        .select(col("vec_id"),
+          posexplode(graft.operators.Curation.quantize(col("embedding"))))
+        .toDF("vec_id", "pos", "xv").localCheckpoint(true)
+      val q = xeT.filter(pred)
+        .select(col("vec_id").as("qid"), col("pos"), col("xv").as("qv"))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("qid").orderBy(col("dot").desc, col("vec_id").asc)
+      val truth = xeT.join(broadcast(q), Seq("pos"))
+        .filter(col("vec_id") =!= col("qid"))
+        .groupBy("qid", "vec_id").agg(sum(col("xv") * col("qv")).as("dot"))
+        .withColumn("rnk", row_number().over(w)).filter(col("rnk") <= 3)
+        .select("qid", "vec_id").collect()
+        .groupBy(_.getLong(0)).map { case (k, rs) => k -> rs.map(_.getLong(1)).toSet }
+      val (xe0, coarse) = graft.operators.Similarity.kmeansState(
+        embQ, k = 4, iters = 2, stateKey = sk)
+      val dists = graft.operators.Similarity.cellDistances(xe0, coarse)
+        .localCheckpoint(true)
+      val cellOf = dists.filter(col("__rn") === 1)
+        .select(col("vec_id"), col("cid").as("cell"))
+      val curve = for (np <- Seq(1, 2, 4)) yield {
+        val probes = dists.filter(pred && col("__rn") <= np)
+          .select(col("vec_id").as("qid"), col("cid").as("cell"))
+        val scanRows = cellOf.join(broadcast(probes), Seq("cell"))
+          .filter(col("vec_id") =!= col("qid")).count()
+        val recalls = for (sl <- Seq(50, 100, 200)) yield {
+          val got = graft.operators.Similarity
+            .ivfPqVerified(embQ, pred, nProbe = np, shortlist = sl, stateKey = sk)
+            .collect().map(r => (r.getLong(0), r.getLong(2)))
+            .groupBy(_._1).map { case (k, rs) => k -> rs.map(_._2).toSet }
+          val rec = truth.toSeq.map { case (k, t) =>
+            got.get(k).map(_.intersect(t).size.toDouble / t.size).getOrElse(0.0) }
+          val recall = rec.sum / rec.size
+          println(f"[stress rep=$rep] ivfpq_curve np=$np sl=$sl " +
+            f"recall@3=$recall%.3f scan_rows=$scanRows")
+          recall
+        }
+        (np, scanRows, recalls)
+      }
+      val scans = curve.map(_._2)
+      require(scans(0) < scans(1) && scans(1) < scans(2),
+        s"probe supersets must scan strictly more: $scans")
+      val cheap = curve.head._3.head    // (np=1, sl=50)
+      val open = curve.last._3.last     // (np=4, sl=200)
+      require(open + 1e-9 >= cheap,
+        f"open corner recall $open%.3f below cheapest corner $cheap%.3f")
+      require(open >= 0.9,
+        f"fully-open corner should approach exact: recall $open%.3f")
+      curve.map(_._2).sum
+    }
+
     // SemDeDup with corpus-scaled cells (Similarity.semanticCells,
     // r5): k grows with n so cells stay ~500 members, and the
     // within-cell CANDIDATE pair count — the term a fixed k lets
