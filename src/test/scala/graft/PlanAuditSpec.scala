@@ -284,6 +284,21 @@ class PlanAuditSpec extends AnyFunSuite with SparkFixture {
     }
   }
 
+  test("t8_interval_join: both event sides share ONE user_id shuffle tier; no corpus broadcast") {
+    // the batch twin must keep the streaming plan's shape: shuffle each
+    // side once on the equi key (user_id), interval-filter per key —
+    // never broadcast a corpus-sized side, never a nested loop.
+    val p = plan("t8_interval_join")
+    // the interval predicate must ride an EQUI-join on user_id (hash or
+    // sort-merge — at sf0.001 the planner may rightly broadcast the
+    // tiny filtered side; at scale the same plan shuffles both sides
+    // once), never degrade to a nested loop over the corpus
+    assert(p.contains("Join") && p.contains("user_id"),
+      s"expected an equi-join keyed on user_id:\n$p")
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
+      s"interval must ride the equi-join as a post-filter, not a BNLJ:\n$p")
+  }
+
   test("no accidental cartesian products anywhere") {
     for (name <- SparkEntry.queries.keys.toSeq.sorted
          if name != "j7_cross" && name != "b3_cosine_topk") {
