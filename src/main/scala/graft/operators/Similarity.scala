@@ -351,6 +351,37 @@ object Similarity {
     }
   }
 
+  /** PQ twin of [[kmeansStateSampled]] — the "codebooks train on a
+    * bounded sample" practice SCALE.md's PQ row promises (standard
+    * FAISS: training cost O(iters·s·k·d) on the sample s, the full
+    * corpus pays only its single encode pass). Same deterministic md5
+    * thinning, same exact short-circuit at `n ≤ sampleCap`. Returns
+    * (full-corpus codes frame incl. the `sub` column — feed it to
+    * [[pqAssign]] for the encode pass — and the sample-trained
+    * codebook, bounded k×dim model state). */
+  def pqStateSampled(embeddings: DataFrame, subDim: Int = 8, k: Int = 16,
+                     iters: Int = 2, sampleCap: Long = 200000L,
+                     idCol: String = "vec_id",
+                     vecCol: String = "embedding",
+                     stateKey: Option[String] = None): (DataFrame, DataFrame) = {
+    val n = embeddings.count()
+    if (n <= sampleCap) pqState(embeddings, subDim, k, iters, idCol, vecCol, stateKey)
+    else {
+      val keepRate = sampleCap.toDouble / n
+      val sample = embeddings.filter(
+        graft.operators.Curation.hashUniform(col(idCol), ":pqsample") < keepRate)
+      val (_, cent) = pqState(sample, subDim, k, iters, idCol, vecCol,
+        stateKey.map(_ + "|sampled"))
+      val xeFull = embeddings
+        .filter(VectorOps.norm(col(vecCol)) > 0)
+        .select(col(idCol).as("vec_id"),
+          posexplode(graft.operators.Curation.quantize(col(vecCol))))
+        .toDF("vec_id", "pos", "xv")
+        .withColumn("sub", expr(s"pos DIV $subDim").cast("int"))
+      (xeFull, cent)
+    }
+  }
+
   /** The composed IVF+PQ index — the full FAISS-style vector-search
     * design, assembled from the two independently-verified halves and
     * still fully oracle-checkable:

@@ -431,11 +431,21 @@ object ManifestTable {
     * surviving manifest references (which also reclaims crashed and
     * lost-race writers' orphan dirs). Expired versions become
     * unreadable; the surviving ones — the head above all — are
-    * untouched. Run from a single maintenance process with no writer
-    * in flight: an in-flight writer's data dir is unreferenced by
-    * definition until its manifest publishes (Delta's VACUUM has the
-    * same constraint, softened by a retention clock). */
-  def expire(spark: SparkSession, table: String, keepLast: Int): Unit = {
+    * untouched.
+    *
+    * `graceMs` is the VACUUM retention clock (Delta's answer to the
+    * in-flight-writer hazard): an unreferenced data dir younger than
+    * the grace window is SKIPPED, because it may belong to a writer
+    * that has finished its data write but not yet published its
+    * manifest — deleting it would turn that writer's commit into a
+    * torn table. The default 0 preserves the r5 reclaim-everything
+    * behavior for single-process maintenance (and every existing
+    * test); concurrent deployments pass a grace comfortably above
+    * their longest write (Delta defaults to 7 days). Recency is the
+    * MAX mtime under the dir — a long multi-file write keeps
+    * refreshing it. */
+  def expire(spark: SparkSession, table: String, keepLast: Int,
+             graceMs: Long = 0L): Unit = {
     require(keepLast >= 1, "must keep at least the head version")
     val vs = versions(spark, table)
     val f = fs(spark, new Path(table))
@@ -445,10 +455,18 @@ object ManifestTable {
       .flatMap(v => snapshotFiles(spark, table, v))
       .map(_.split("/")(1)) // data/<uuid>/<part> → uuid
       .toSet
+    val cutoff = System.currentTimeMillis() - graceMs
     val dataRoot = new Path(table, "data")
     if (f.exists(dataRoot))
       f.listStatus(dataRoot).map(_.getPath)
         .filterNot(p => referenced.contains(p.getName))
+        .filter { p =>
+          graceMs <= 0L || {
+            val self = f.getFileStatus(p).getModificationTime
+            val children = f.listStatus(p).map(_.getModificationTime)
+            (children :+ self).max < cutoff
+          }
+        }
         .foreach(p => f.delete(p, true))
   }
 }

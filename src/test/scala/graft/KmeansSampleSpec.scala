@@ -50,4 +50,26 @@ class KmeansSampleSpec extends AnyFunSuite with SparkFixture {
     assert(cent.orderBy("cid", "pos").collect().toSeq
       === cent2.orderBy("cid", "pos").collect().toSeq)
   }
+
+  test("sampled PQ codebook: bounded model state, every corpus vector gets m sub-codes") {
+    val cap = 60L
+    val subDim = 8
+    val (xe, cent) = Similarity.pqStateSampled(emb, subDim = subDim, k = 16,
+      iters = 2, sampleCap = cap)
+    val dim = xe.agg(max("pos")).first().getInt(0) + 1
+    val m = dim / subDim
+    assert(cent.count() <= 16L * dim, "codebook must stay k x dim model state")
+    val nonzero = emb.filter(graft.functions.VectorOps.norm(col("embedding")) > 0).count()
+    val codes = Similarity.pqAssign(xe, cent)
+    assert(codes.count() === nonzero * m,
+      s"every vector needs exactly m=$m sub-codes")
+    assert(codes.groupBy("vec_id").count().filter(col("count") =!= m).count() === 0)
+    // below the cap: identical to the exact trainer
+    val (_, exactCent) = Similarity.pqStateSampled(emb, subDim = subDim, k = 16,
+      iters = 2, sampleCap = 1000000L)
+    val (_, exactCent2) = Similarity.pqStateSampled(emb, subDim = subDim, k = 16,
+      iters = 2, sampleCap = 1000000L)
+    assert(exactCent.orderBy("sub", "cid", "pos").collect().toSeq
+      === exactCent2.orderBy("sub", "cid", "pos").collect().toSeq)
+  }
 }

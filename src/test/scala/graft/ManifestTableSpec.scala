@@ -146,6 +146,31 @@ class ManifestTableSpec extends AnyFunSuite with SparkFixture {
     assert(dirs === referenced, "exactly the referenced data dirs survive")
   }
 
+  test("expire with a retention grace spares a fresh in-flight writer's dir, reclaims old garbage") {
+    val t = freshTable()
+    ManifestTable.commit(spark, t, df(1L -> "a"), SaveMode.Overwrite)   // v1
+    ManifestTable.commit(spark, t, df(2L -> "b"), SaveMode.Overwrite)   // v2 (orphans v1's files)
+    // an in-flight writer: data fully written, manifest not yet
+    // published — with a grace window this dir must SURVIVE the vacuum
+    df(50L -> "inflight").write.parquet(s"$t/data/inflight-writer")
+    // old crashed garbage: backdate its mtimes beyond the grace
+    df(99L -> "junk").write.parquet(s"$t/data/old-crash")
+    val old = new java.io.File(t, "data/old-crash")
+    val past = System.currentTimeMillis() - 3600_000L
+    (old +: old.listFiles().toSeq).foreach(_.setLastModified(past))
+    ManifestTable.expire(spark, t, keepLast = 1, graceMs = 600_000L)
+    val dirs = new java.io.File(t, "data").listFiles().map(_.getName).toSet
+    assert(dirs.contains("inflight-writer"), "grace window violated: fresh dir reclaimed")
+    assert(!dirs.contains("old-crash"), "backdated garbage should be reclaimed")
+    // v1's superseded dir is also old? No — just written. It survives
+    // the grace too (correct: conservative), but NOT a zero-grace run:
+    ManifestTable.expire(spark, t, keepLast = 1)
+    val dirs2 = new java.io.File(t, "data").listFiles().map(_.getName).toSet
+    assert(!dirs2.contains("inflight-writer"),
+      "zero grace keeps the r5 reclaim-everything semantics")
+    assert(ManifestTable.read(spark, t).collect().map(_.getLong(0)).toSeq === Seq(2L))
+  }
+
   test("a scheme-prefixed table root (file://) commits, merges, and time-travels") {
     // the relative-path manifests must qualify against an EXPLICIT
     // scheme URI, not just bare local paths — the non-default-FS story
