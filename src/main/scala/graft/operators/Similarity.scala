@@ -351,6 +351,61 @@ object Similarity {
     }
   }
 
+  /** Two-level (coarse→fine) cell ASSIGNMENT — the IVF-pruned
+    * assignment SCALE.md's SemDeDup row promises for extreme scale,
+    * where even one exact pass of n vectors × k centroids is the
+    * bottleneck (SemDeDup's k grows with n, so exact assignment is
+    * O(n·k·d) = O(n²·d/500): quadratic at 10¹⁰ vectors even though
+    * the pair join it feeds is linear).
+    *
+    * Every stride-th fine centroid serves as a coarse representative
+    * (deterministic — no extra training). Fine centroids route to
+    * their nearest representative (centroid×representative work:
+    * model-sized); each vector probes its `wProbe` nearest
+    * representatives (O(n·(k/stride)·d)) and computes exact distances
+    * ONLY against fine centroids routed there (O(n·cand·d)). With
+    * stride ≈ √k both terms are O(n·√k·d) — the square-root cut that
+    * makes corpus-scaled-k assignment affordable. Approximate by
+    * construction (a vector whose true cell routes to an unprobed
+    * representative is mis-assigned to its best candidate);
+    * TwoLevelAssignSpec measures the agreement floor vs exact and
+    * pins coverage + determinism. Same fixed-point arithmetic as
+    * [[cellDistances]], so the result is engine-exact for whatever it
+    * assigns. Output: (vec_id, cid), one row per vector. */
+  def assignTwoLevel(xe: DataFrame, cent: DataFrame,
+                     stride: Int, wProbe: Int = 2): DataFrame = {
+    require(stride >= 1 && wProbe >= 1)
+    val coarse = cent.filter(col("cid") % stride === 0)
+      .select(col("cid").as("ccid"), col("pos"), col("cv_micro").as("cc_micro"))
+    val w = Window.partitionBy("cid").orderBy(col("d").asc, col("ccid").asc)
+    val f2c = cent.join(broadcast(coarse), Seq("pos"))
+      .select(col("cid"), col("ccid"),
+        ((col("cv_micro") - col("cc_micro")) *
+          (col("cv_micro") - col("cc_micro"))).as("t"))
+      .groupBy("cid", "ccid").agg(sum(col("t")).as("d"))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1).select("cid", "ccid")
+    val wv = Window.partitionBy("vec_id").orderBy(col("d").asc, col("ccid").asc)
+    val v2c = xe.join(broadcast(coarse), Seq("pos"))
+      .select(col("vec_id"), col("ccid"),
+        ((col("xv") * 1000000L - col("cc_micro")) *
+          (col("xv") * 1000000L - col("cc_micro"))).as("t"))
+      .groupBy("vec_id", "ccid").agg(sum(col("t")).as("d"))
+      .withColumn("rn", row_number().over(wv))
+      .filter(col("rn") <= wProbe).select("vec_id", "ccid")
+    val candCells = v2c.join(broadcast(f2c), Seq("ccid"))
+      .select("vec_id", "cid")
+    val wf = Window.partitionBy("vec_id").orderBy(col("dist").asc, col("cid").asc)
+    candCells.join(xe, Seq("vec_id"))
+      .join(broadcast(cent), Seq("cid", "pos"))
+      .select(col("vec_id"), col("cid"),
+        ((col("xv") * 1000000L - col("cv_micro")) *
+          (col("xv") * 1000000L - col("cv_micro"))).as("t"))
+      .groupBy("vec_id", "cid").agg(sum(col("t")).as("dist"))
+      .withColumn("rn", row_number().over(wf))
+      .filter(col("rn") === 1).select("vec_id", "cid")
+  }
+
   /** PQ twin of [[kmeansStateSampled]] — the "codebooks train on a
     * bounded sample" practice SCALE.md's PQ row promises (standard
     * FAISS: training cost O(iters·s·k·d) on the sample s, the full
@@ -634,10 +689,13 @@ object Similarity {
     * entry derives k from a cheap corpus count through this function
     * and the DuckDB twin computes the identical `greatest(4,
     * ceil(n/500.0))` from its own scan, so the two engines can never
-    * disagree about k. Seed numbering collects k rows on the driver
-    * (seedTable) — at k ≈ n/500 that stays bounded model-state until
-    * the corpus is ~10¹² vectors, at which point hierarchical seeding
-    * (sample → cluster the sample) replaces it. */
+    * disagree about k. The extreme-scale legs are all code now, not
+    * prose (r6): seed numbering is driver-bounded at any k
+    * ([[seedTable]]'s distributed two-phase rank above
+    * `seedDriverCap`), centroid TRAINING caps at a deterministic
+    * sample ([[kmeansStateSampled]]), and the O(n·k·d) ASSIGNMENT pass
+    * prunes to O(n·√k·d) via coarse representatives
+    * ([[assignTwoLevel]]). */
   def semanticCells(n: Long, targetCell: Long = 500L): Int =
     math.max(4L, (n + targetCell - 1) / targetCell).toInt
 
