@@ -24,20 +24,20 @@ object LlmQueries {
   // from the same c2 centroids — ONE definition, two consumers, so the
   // twins cannot drift. Sums run in DuckDB's HUGEINT (mirroring the
   // Spark side's DECIMAL(38,0) accumulators).
-  private def kmAssignSql(c: String) =
+  private def kmAssignSql(c: String, xT: String = "x") =
     s"""SELECT vec_id, cid, dist FROM (
        |  SELECT vec_id, cid, dist, row_number() OVER (
        |    PARTITION BY vec_id ORDER BY dist, cid) AS rn
-       |  FROM (SELECT x.vec_id, c.cid,
-       |      CAST(sum((x.xv * 1000000 - c.cv_micro) *
-       |               (x.xv * 1000000 - c.cv_micro)) AS BIGINT) AS dist
-       |    FROM x JOIN $c c USING (pos)
-       |    GROUP BY x.vec_id, c.cid) d) r
+       |  FROM (SELECT $xT.vec_id, c.cid,
+       |      CAST(sum(($xT.xv * 1000000 - c.cv_micro) *
+       |               ($xT.xv * 1000000 - c.cv_micro)) AS BIGINT) AS dist
+       |    FROM $xT JOIN $c c USING (pos)
+       |    GROUP BY $xT.vec_id, c.cid) d) r
        |WHERE rn = 1""".stripMargin
-  private def kmUpdateSql(a: String) =
+  private def kmUpdateSql(a: String, xT: String = "x") =
     s"""SELECT cid, pos,
        |  CAST((sum(xv) * 1000000) // count(*) AS BIGINT) AS cv_micro
-       |FROM x JOIN $a USING (vec_id) GROUP BY cid, pos""".stripMargin
+       |FROM $xT JOIN $a USING (vec_id) GROUP BY cid, pos""".stripMargin
   // Shared quantize prefix (x = int8 codes) — consumed by the k-means/
   // IVF state, the PQ codebook replay, and the corpus-scaled SemDeDup.
   private val xSql =
@@ -76,6 +76,14 @@ object LlmQueries {
        |a2 AS (${kmAssignSql("c1")}),
        |c2 AS (${kmUpdateSql("a2")})""".stripMargin
   private val kmStateSql = s"$kmBaseSql,\n$kmChainSql"
+  // k-parameterized variant (the chain itself is k-independent: it
+  // iterates whatever cids the seed table carries)
+  private def kmStateSqlK(k: Int) =
+    s"""$xSql,
+       |sd AS (SELECT vec_id, CAST(row_number() OVER (ORDER BY vec_id) - 1
+       |    AS INT) AS cid
+       |  FROM (SELECT DISTINCT vec_id FROM x ORDER BY vec_id LIMIT $k) q),
+       |$kmChainSql""".stripMargin
 
   // DuckDB replay of the per-subspace PQ codebook training
   // (Similarity.pqVerified): the k-means assign/update pair with the
@@ -855,6 +863,104 @@ object LlmQueries {
            |SELECT cid, count(*) AS n_members,
            |  CAST(sum(dist) // 1000000 AS BIGINT) AS inertia_micro
            |FROM a3 GROUP BY cid ORDER BY cid NULLS FIRST""".stripMargin)
+    ),
+
+    // B4c': SAMPLE-TRAINED k-means, ORACLE-CHECKED end to end — the
+    // extreme-scale training fallback (kmeansStateSampled) judged,
+    // not just spec'd: centroids learn on a deterministic md5-thinned
+    // ~40-vector sample (the stateless hashUniform discipline — the
+    // identical '0x'||md5 arithmetic lands in the oracle, so both
+    // engines draw the SAME sample), then the FULL corpus is assigned
+    // against them. DuckDB replays thinning → seed → 2 Lloyd rounds
+    // on the sample → full-corpus assignment bit-for-bit. This is the
+    // 100 TB shape: training cost capped at the sample, the corpus
+    // pays one assignment pass.
+    Entry(
+      "b4_kmeans_sampled",
+      (s, d) => {
+        val (xe, cent) = Similarity.kmeansStateSampled(Tables.embeddings(s, d),
+          k = 4, iters = 2, sampleCap = 40, stateKey = Some(d))
+        Similarity.cellDistances(xe, cent)
+          .filter(col("__rn") === 1)
+          .groupBy("cid")
+          .agg(count(lit(1)).as("n_members"),
+            expr("CAST(sum(CAST(dist AS DECIMAL(38,0))) DIV 1000000 AS BIGINT)")
+              .as("inertia_micro"))
+          .orderBy("cid")
+      },
+      Some(
+        s"""$xSql,
+           |rate AS (SELECT 40.0 / count(*) AS r FROM embeddings),
+           |xs AS (SELECT x.* FROM x, rate
+           |  WHERE CAST(('0x' || substring(md5(CAST(vec_id AS VARCHAR)
+           |      || ':kmsample'), 1, 8)) AS BIGINT) / 4294967296.0 < rate.r),
+           |sd AS (SELECT vec_id, CAST(row_number() OVER (ORDER BY vec_id) - 1
+           |    AS INT) AS cid
+           |  FROM (SELECT DISTINCT vec_id FROM xs ORDER BY vec_id LIMIT 4) q),
+           |c0 AS (SELECT sd.cid, xs.pos, xs.xv * 1000000 AS cv_micro
+           |  FROM xs JOIN sd USING (vec_id)),
+           |a1 AS (${kmAssignSql("c0", "xs")}),
+           |c1 AS (${kmUpdateSql("a1", "xs")}),
+           |a2 AS (${kmAssignSql("c1", "xs")}),
+           |c2 AS (${kmUpdateSql("a2", "xs")}),
+           |af AS (${kmAssignSql("c2", "x")})
+           |SELECT cid, count(*) AS n_members,
+           |  CAST(sum(dist) // 1000000 AS BIGINT) AS inertia_micro
+           |FROM af GROUP BY cid ORDER BY cid NULLS FIRST""".stripMargin)
+    ),
+
+    // B4t: TWO-LEVEL (coarse→fine) cell assignment, ORACLE-CHECKED —
+    // the IVF-pruned assignment pass for corpus-scaled k
+    // (Similarity.assignTwoLevel) judged end to end: every 3rd fine
+    // centroid serves as a coarse representative, vectors probe their
+    // 2 nearest representatives, and exact integer distances are
+    // computed ONLY against fine cells routed there — O(n·√k·d) where
+    // exact assignment is O(n·k·d). All-integer, so DuckDB replays
+    // training (k=8), centroid routing, vector probing, the pruned
+    // candidate distances, and the final argmin bit-for-bit. The
+    // id_sum column pins exact per-cell MEMBERSHIP: any vector
+    // landing in a different cell moves the hash.
+    Entry(
+      "b4_twolevel_verified",
+      (s, d) => {
+        val (xe, cent) = Similarity.kmeansState(Tables.embeddings(s, d),
+          k = 8, iters = 2, stateKey = Some(d))
+        Similarity.assignTwoLevel(xe, cent, stride = 3, wProbe = 2)
+          .groupBy("cid")
+          .agg(count(lit(1)).as("n_members"), sum(col("vec_id")).as("id_sum"))
+          .orderBy("cid")
+      },
+      Some(
+        s"""${kmStateSqlK(8)},
+           |co AS (SELECT cid AS ccid, pos, cv_micro AS cc_micro
+           |  FROM c2 WHERE cid % 3 = 0),
+           |f2d AS (SELECT f.cid, co.ccid,
+           |    CAST(sum((f.cv_micro - co.cc_micro) *
+           |             (f.cv_micro - co.cc_micro)) AS BIGINT) AS d
+           |  FROM c2 f JOIN co USING (pos) GROUP BY f.cid, co.ccid),
+           |f2c AS (SELECT cid, ccid FROM (SELECT cid, ccid, row_number()
+           |    OVER (PARTITION BY cid ORDER BY d, ccid) AS rn FROM f2d) r
+           |  WHERE rn = 1),
+           |v2d AS (SELECT x.vec_id, co.ccid,
+           |    CAST(sum((x.xv * 1000000 - co.cc_micro) *
+           |             (x.xv * 1000000 - co.cc_micro)) AS BIGINT) AS d
+           |  FROM x JOIN co USING (pos) GROUP BY x.vec_id, co.ccid),
+           |v2c AS (SELECT vec_id, ccid FROM (SELECT vec_id, ccid, row_number()
+           |    OVER (PARTITION BY vec_id ORDER BY d, ccid) AS rn FROM v2d) r
+           |  WHERE rn <= 2),
+           |cc AS (SELECT v.vec_id, f.cid FROM v2c v JOIN f2c f USING (ccid)),
+           |ad AS (SELECT cc.vec_id, cc.cid,
+           |    CAST(sum((x.xv * 1000000 - c.cv_micro) *
+           |             (x.xv * 1000000 - c.cv_micro)) AS BIGINT) AS dist
+           |  FROM cc JOIN x ON x.vec_id = cc.vec_id
+           |          JOIN c2 c ON c.cid = cc.cid AND c.pos = x.pos
+           |  GROUP BY cc.vec_id, cc.cid),
+           |af AS (SELECT vec_id, cid FROM (SELECT vec_id, cid, row_number()
+           |    OVER (PARTITION BY vec_id ORDER BY dist, cid) AS rn FROM ad) z
+           |  WHERE rn = 1)
+           |SELECT cid, count(*) AS n_members,
+           |  CAST(sum(vec_id) AS BIGINT) AS id_sum
+           |FROM af GROUP BY cid ORDER BY cid NULLS FIRST""".stripMargin)
     ),
 
     // B4''': IVF ANN, ORACLE-CHECKED end to end — coarse quantizer =
