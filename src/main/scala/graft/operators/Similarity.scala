@@ -340,6 +340,11 @@ object Similarity {
       val keepRate = sampleCap.toDouble / n
       val sample = embeddings.filter(
         graft.operators.Curation.hashUniform(col(idCol), ":kmsample") < keepRate)
+      // "|sampled" keeps this memo entry DISJOINT from an exact
+      // kmeansState on the same corpus+params (same tag, same key —
+      // first caller would otherwise poison the other). The suffix is
+      // not a listable path, so the entry degrades to the constant
+      // fingerprint — acceptable: both entries die with the app.
       val (_, cent) = kmeansState(sample, k, iters, idCol, vecCol,
         stateKey.map(_ + "|sampled"))
       val xeFull = embeddings
