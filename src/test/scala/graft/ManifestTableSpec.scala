@@ -360,6 +360,32 @@ class ManifestTableSpec extends AnyFunSuite with SparkFixture {
     assert(ManifestTable.changes(spark, t, sinceVersion = 0).count() === 0)
   }
 
+  test("the link(2) commit point is atomic-exclusive ACROSS PROCESSES, not just threads") {
+    // the scaladoc claims the local commit point is exclusive "for any
+    // number of local processes" — the thread races above share a JVM,
+    // so prove the OS primitive itself: N separate processes race
+    // hard-linking their own temp manifests into ONE version slot;
+    // exactly one may win, and the slot must hold that winner's bytes
+    // intact (link is all-or-nothing — no interleaving possible).
+    (1 to 3).foreach { round =>
+      val dir = java.nio.file.Files.createTempDirectory(s"graft_link_race_$round")
+      val slot = dir.resolve("v00000001.json")
+      val procs = (1 to 8).map { i =>
+        val tmp = dir.resolve(s".tmp-$i.json")
+        java.nio.file.Files.write(tmp, s"""{"writer": $i}""".getBytes("UTF-8"))
+        // bash sleep-barrier packs the 8 link attempts tightly together
+        new ProcessBuilder("bash", "-c",
+          s"sleep 0.2; exec ln '$tmp' '$slot'").start()
+      }
+      val exits = procs.map(_.waitFor())
+      assert(exits.count(_ == 0) === 1,
+        s"round $round: exactly one ln must win the slot, exits=$exits")
+      val content = new String(java.nio.file.Files.readAllBytes(slot), "UTF-8")
+      assert(content.matches("""\{"writer": \d\}"""),
+        s"round $round: torn or foreign slot content: $content")
+    }
+  }
+
   test("publish gate: object-store schemes are refused without the explicit opt-in") {
     ManifestTable.requireAtomicPublish("hdfs", optIn = false)   // atomic rename: fine
     ManifestTable.requireAtomicPublish("s3a", optIn = true)     // explicit opt-in: fine
