@@ -289,4 +289,60 @@ object Graft {
   /** transformWithState ListState per-user streaming top-k purchases. */
   def topPurchases(events: Dataset[EventRow], k: Int = 3): Dataset[graft.streaming.TopPurchase] =
     StatefulOps.topPurchases(events, k)
+
+  // ---- lakehouse (ACID manifest-commit tables) --------------------
+  /** Commit `df` as the table's next version (append or overwrite);
+    * returns the committed version. */
+  def commitTable(spark: SparkSession, table: String, df: DataFrame,
+                  mode: org.apache.spark.sql.SaveMode =
+                    org.apache.spark.sql.SaveMode.Append): Int =
+    graft.sources.ManifestTable.commit(spark, table, df, mode)
+
+  /** Read a committed snapshot (default: head; pass an older version
+    * for time travel). */
+  def readTable(spark: SparkSession, table: String, version: Int = -1): DataFrame =
+    graft.sources.ManifestTable.read(spark, table, version)
+
+  /** MERGE-style keyed upsert as one atomic snapshot. */
+  def upsertTable(spark: SparkSession, table: String, updates: DataFrame,
+                  keys: Seq[String]): Int =
+    graft.sources.ManifestTable.upsert(spark, table, updates, keys)
+
+  /** Delete-by-predicate with file-level pruning, one atomic snapshot. */
+  def deleteFromTable(spark: SparkSession, table: String, pred: Column): Int =
+    graft.sources.ManifestTable.deleteWhere(spark, table, pred)
+
+  /** File-granular change feed: rows added in versions
+    * `sinceVersion+1 .. toVersion` (the incremental-consumer read). */
+  def changeFeed(spark: SparkSession, table: String, sinceVersion: Int,
+                 toVersion: Int = -1): DataFrame =
+    graft.sources.ManifestTable.changes(spark, table, sinceVersion, toVersion)
+
+  /** OPTIMIZE-style compaction (aborts cleanly if a writer races it). */
+  def compactTable(spark: SparkSession, table: String, targetFiles: Int = 1,
+                   sortBy: Seq[Column] = Nil): Int =
+    graft.sources.ManifestTable.compact(spark, table, targetFiles, sortBy)
+
+  /** Retention: keep the last N versions; `graceMs` spares data dirs
+    * younger than the window (in-flight writers). */
+  def expireTable(spark: SparkSession, table: String, keepLast: Int,
+                  graceMs: Long = 0L): Unit =
+    graft.sources.ManifestTable.expire(spark, table, keepLast, graceMs)
+
+  // ---- corpus shaping / extreme-scale index fallbacks -------------
+  /** Token-budget sequence packing via the two-phase parallel prefix
+    * sum (driver state bounded at any corpus size). */
+  def packSequences(docs: DataFrame, budget: Long = 2048L): DataFrame =
+    graft.operators.TrainingDataQueries.packAssignments(docs, budget)._1
+
+  /** k-means state with centroids trained on a bounded deterministic
+    * sample — the corpus pays one assignment pass. */
+  def kmeansSampled(embeddings: DataFrame, k: Int = 4, iters: Int = 2,
+                    sampleCap: Long = 200000L): (DataFrame, DataFrame) =
+    graft.operators.Similarity.kmeansStateSampled(embeddings, k, iters, sampleCap)
+
+  /** IVF-pruned O(n·√k·d) cell assignment for corpus-scaled k. */
+  def assignTwoLevel(codes: DataFrame, centroids: DataFrame,
+                     stride: Int, wProbe: Int = 2): DataFrame =
+    graft.operators.Similarity.assignTwoLevel(codes, centroids, stride, wProbe)
 }

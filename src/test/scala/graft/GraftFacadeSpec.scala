@@ -56,6 +56,37 @@ class GraftFacadeSpec extends AnyFunSuite with SparkFixture {
     assert(Graft.contamination(docs, col("doc_id") % 7 === 0, n = 3).count() > 0)
   }
 
+  test("lakehouse lifecycle through the facade: commit, upsert, delete, feed, travel, compact, expire") {
+    val t = java.nio.file.Files.createTempDirectory("graft_facade_tbl").toString
+    val base = Seq((1L, "a"), (2L, "b"), (3L, "c")).toDF("id", "v")
+    val v1 = Graft.commitTable(spark, t, base,
+      org.apache.spark.sql.SaveMode.Overwrite)
+    assert(v1 === 1)
+    Graft.upsertTable(spark, t, Seq((2L, "B"), (4L, "d")).toDF("id", "v"), Seq("id"))
+    Graft.deleteFromTable(spark, t, col("id") === 3L)
+    assert(Graft.readTable(spark, t).orderBy("id").collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSeq
+      === Seq((1L, "a"), (2L, "B"), (4L, "d")))
+    assert(Graft.readTable(spark, t, version = v1).count() === 3) // time travel
+    assert(Graft.changeFeed(spark, t, sinceVersion = v1).distinct().count() === 4)
+    val vc = Graft.compactTable(spark, t, sortBy = Seq(col("id")))
+    assert(Graft.readTable(spark, t, vc).count() === 3)
+    Graft.expireTable(spark, t, keepLast = 1)
+    assert(Graft.readTable(spark, t).count() === 3)
+  }
+
+  test("packing and extreme-scale index fallbacks through the facade") {
+    val docs = Graft.tables.documents(spark, sf)
+    val packed = Graft.packSequences(docs)
+    assert(packed.columns.toSeq === Seq("doc_id", "n_tokens", "pack_id", "pack_offset"))
+    assert(packed.count() === docs.count())
+    val emb = Graft.tables.embeddings(spark, sf)
+    val (codes, cent) = Graft.kmeansSampled(emb, k = 4, iters = 2, sampleCap = 30L)
+    val assigned = Graft.assignTwoLevel(codes, cent, stride = 2, wProbe = 1)
+    assert(assigned.select("vec_id").distinct().count() === assigned.count())
+    assert(assigned.count() > 0)
+  }
+
   test("facade session builder registers dot_product for SQL") {
     val prev = org.apache.spark.sql.SparkSession.getDefaultSession
     org.apache.spark.sql.SparkSession.clearDefaultSession()
