@@ -874,7 +874,11 @@ object LlmQueries {
     // against them. DuckDB replays thinning → seed → 2 Lloyd rounds
     // on the sample → full-corpus assignment bit-for-bit. This is the
     // 100 TB shape: training cost capped at the sample, the corpus
-    // pays one assignment pass.
+    // pays one assignment pass. sampleCap=40 is sized to FORCE the
+    // thinned path at every test SF (sf0.001's 50 vectors included);
+    // the production default is 200k — at n ≤ cap the trainer
+    // short-circuits to exact training, and the oracle agrees by
+    // construction (rate ≥ 1 keeps every row).
     Entry(
       "b4_kmeans_sampled",
       (s, d) => {
