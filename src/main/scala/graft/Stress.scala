@@ -111,22 +111,19 @@ object Stress {
         .groupBy("source").agg(sum("n"), count(lit(1))).count()
     }
     // b7_pack two-phase prefix sum: the driver-side subtotal table
-    // must stay BOUNDED as the corpus grows. packBucketWidth derives
-    // the bucket width from n (max(64, n/4096)), so driver rows =
-    // min(~n/64, ~4096) plus one boundary bucket per replica id-block
-    // (replication shifts ids by 10M, so blocks are sparse). The ×10
-    // inner replication pushes n past the cap's knee to show the
-    // flattening the static r5 width (div 64, O(n/64) driver rows)
-    // could not have.
-    // bound: ≤ the 4096-bucket cap + one boundary bucket per sparse
-    // replica id-block + 1 (measured: 3×→237, 10×→790, 30×→2370,
-    // 100×→4196 — flat at the cap once n crosses the 64-width floor,
-    // where the r5 static width would keep growing as n/64 forever)
+    // must stay BOUNDED as the corpus grows. packBucketWidth (r7)
+    // derives the bucket width from the observed doc_id RANGE
+    // (span/4096 + 1), so non-empty buckets are ≤ 4098 BY CONSTRUCTION
+    // at any id density — the r6 count-derived width only met the
+    // bound because replicas were dense id-blocks; sparse/snowflake
+    // ids would have pushed driver rows toward n (ADVICE r6). The
+    // replication here shifts ids by 10⁹ per replica — exactly the
+    // sparse-domain shape the count-derived width mis-sized.
     time("pack_b7") {
       val (plan, driverRows) =
         graft.operators.TrainingDataQueries.packAssignments(docs)
       println(s"[stress rep=$rep] pack_b7 driver_subtotal_rows=$driverRows")
-      require(driverRows <= 4096 + rep + 1,
+      require(driverRows <= 4098,
         s"driver subtotal table unbounded: $driverRows rows at rep=$rep")
       plan.count()
     }
@@ -138,7 +135,7 @@ object Stress {
       val (plan, driverRows) =
         graft.operators.TrainingDataQueries.packAssignments(docs10)
       println(s"[stress rep=${rep * 10}] pack_b7 driver_subtotal_rows=$driverRows")
-      require(driverRows <= 4096 + rep * 10 + 1,
+      require(driverRows <= 4098,
         s"driver subtotal table unbounded: $driverRows rows at rep=${rep * 10}")
       plan.count()
     }

@@ -233,6 +233,13 @@ object Similarity {
     } else {
       val sp = xe.sparkSession
       import sp.implicits._
+      // the distributed rank buckets by id VALUE — a non-numeric id
+      // would otherwise surface as an opaque NPE at the counts getLong
+      // below (ADVICE r6); fail with the actual contract instead
+      require(xe.schema("vec_id").dataType
+          .isInstanceOf[org.apache.spark.sql.types.NumericType],
+        s"seedTable's distributed rank (k > $cap) requires a numeric id " +
+          s"column; vec_id is ${xe.schema("vec_id").dataType.simpleString}")
       val ids = xe.select(col("vec_id")).distinct()
       val mm = ids.agg(min(col("vec_id")).cast("long").as("lo"),
         max(col("vec_id")).cast("long").as("hi")).first()
@@ -241,11 +248,18 @@ object Similarity {
           java.util.Collections.emptyList[org.apache.spark.sql.Row](),
           ids.schema.add("cid", org.apache.spark.sql.types.IntegerType, false))
       val (lo, hi) = (mm.getLong(0), mm.getLong(1))
-      val width = math.max(1L, (hi - lo) / cap + 1)
+      // span through BigInt: (hi - lo) overflows Long when the id
+      // domain covers more than half the Long range (hashed ids over
+      // [Long.Min, Long.Max]), yielding a negative width (ADVICE r6)
+      val width = ((BigInt(hi) - BigInt(lo)) / cap + 1).max(1).toLong
+      // bucket by vec_id DIV width directly (no lo-subtraction — the
+      // same overflow, dodged): DIV truncates toward zero, which is
+      // still monotone in vec_id, so bucket order = id order and
+      // non-empty buckets ≤ span/width + 2 ≤ cap + 2
       val withB = ids.withColumn("__b",
-        expr(s"(CAST(vec_id AS BIGINT) - $lo) DIV $width"))
+        expr(s"CAST(vec_id AS BIGINT) DIV $width"))
       val counts = withB.groupBy("__b").agg(count(lit(1)).as("c"))
-        .orderBy("__b").collect() // bounded: ≤ cap + 1 buckets
+        .orderBy("__b").collect() // bounded: ≤ cap + 2 buckets
       var acc = 0L
       val offs = counts.toSeq.map { r =>
         val o = (r.getLong(0), acc); acc += r.getLong(1); o
@@ -280,7 +294,21 @@ object Similarity {
                   idCol: String = "vec_id",
                   vecCol: String = "embedding",
                   stateKey: Option[String] = None): (DataFrame, DataFrame) =
-    memoized(embeddings.sparkSession, stateKey, s"km|$k|$iters|$idCol|$vecCol") {
+    kmeansStateTagged(embeddings, k, iters, idCol, vecCol, stateKey, "")
+
+  /** [[kmeansState]] with a memo-tag discriminator: `tagSuffix` keeps a
+    * variant's entry (e.g. the sampled trainer's) disjoint from the
+    * exact one WITHOUT touching the stateKey — the key must stay the
+    * real corpus path so the dataset fingerprint still invalidates on
+    * an in-place rewrite (ADVICE r6: a "|sampled" suffix on the KEY
+    * resolved a nonexistent path, degrading the fingerprint to a
+    * constant and serving stale centroids after a rewrite). */
+  private def kmeansStateTagged(embeddings: DataFrame, k: Int, iters: Int,
+                  idCol: String, vecCol: String,
+                  stateKey: Option[String],
+                  tagSuffix: String): (DataFrame, DataFrame) =
+    memoized(embeddings.sparkSession, stateKey,
+        s"km|$k|$iters|$idCol|$vecCol$tagSuffix") {
     val xe = embeddings
       .filter(VectorOps.norm(col(vecCol)) > 0)
       .select(col(idCol).as("vec_id"),
@@ -340,13 +368,13 @@ object Similarity {
       val keepRate = sampleCap.toDouble / n
       val sample = embeddings.filter(
         graft.operators.Curation.hashUniform(col(idCol), ":kmsample") < keepRate)
-      // "|sampled" keeps this memo entry DISJOINT from an exact
-      // kmeansState on the same corpus+params (same tag, same key —
-      // first caller would otherwise poison the other). The suffix is
-      // not a listable path, so the entry degrades to the constant
-      // fingerprint — acceptable: both entries die with the app.
-      val (_, cent) = kmeansState(sample, k, iters, idCol, vecCol,
-        stateKey.map(_ + "|sampled"))
+      // the "|sampled" discriminator lives in the memo TAG, keeping
+      // this entry disjoint from an exact kmeansState on the same
+      // corpus+params while the stateKey stays the real corpus path —
+      // so the dataset fingerprint still invalidates on an in-place
+      // rewrite (ADVICE r6)
+      val (_, cent) = kmeansStateTagged(sample, k, iters, idCol, vecCol,
+        stateKey, "|sampled")
       val xeFull = embeddings
         .filter(VectorOps.norm(col(vecCol)) > 0)
         .select(col(idCol).as("vec_id"),
@@ -430,8 +458,10 @@ object Similarity {
       val keepRate = sampleCap.toDouble / n
       val sample = embeddings.filter(
         graft.operators.Curation.hashUniform(col(idCol), ":pqsample") < keepRate)
+      // tag-level discriminator, real-path stateKey — see
+      // [[kmeansStateTagged]] (ADVICE r6)
       val (_, cent) = pqState(sample, subDim, k, iters, idCol, vecCol,
-        stateKey.map(_ + "|sampled"))
+        stateKey, tagSuffix = "|sampled")
       val xeFull = embeddings
         .filter(VectorOps.norm(col(vecCol)) > 0)
         .select(col(idCol).as("vec_id"),
@@ -585,9 +615,10 @@ object Similarity {
     * identical default (subDim, k, iters). */
   private def pqState(embeddings: DataFrame, subDim: Int, k: Int, iters: Int,
                       idCol: String, vecCol: String,
-                      stateKey: Option[String]): (DataFrame, DataFrame) =
+                      stateKey: Option[String],
+                      tagSuffix: String = ""): (DataFrame, DataFrame) =
     memoized(embeddings.sparkSession, stateKey,
-        s"pq|$subDim|$k|$iters|$idCol|$vecCol") {
+        s"pq|$subDim|$k|$iters|$idCol|$vecCol$tagSuffix") {
       val xe = embeddings
         .filter(VectorOps.norm(col(vecCol)) > 0)
         .select(col(idCol).as("vec_id"),

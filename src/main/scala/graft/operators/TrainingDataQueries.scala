@@ -20,14 +20,19 @@ import graft.sources.Tables
   */
 object TrainingDataQueries {
 
-  /** Prefix-sum bucket width for [[packAssignments]]: grows with the
-    * corpus so the driver-side subtotal table stays ≤ ~4096 rows at
-    * any scale (the semanticCells precedent — Similarity.semanticCells
-    * derives k the same way). n=10¹⁰ docs → width ≈ 2.4M → 4096 driver
-    * rows, vs the r5 static 64 which put n/64 ≈ 1.5×10⁸ rows on the
-    * driver at that corpus.
+  /** Prefix-sum bucket width for [[packAssignments]], derived from the
+    * observed doc_id RANGE (ADVICE r6): buckets are id ranges, so a
+    * count-derived width bounds the subtotal table only when ids are
+    * dense — snowflake-style ids, heavy deletions, or ids spaced wider
+    * than the bucket put one doc per bucket and the driver collect
+    * approaches n rows. Width = span/4096 + 1 bounds NON-EMPTY buckets
+    * by ≤ 4098 by construction, for ANY id density (the same sizing
+    * [[Similarity.seedTable]]'s distributed path uses). The span goes
+    * through BigInt so an id domain covering more than half the Long
+    * range (hashed ids) cannot overflow into a negative width.
     */
-  def packBucketWidth(n: Long): Long = math.max(64L, n / 4096L)
+  def packBucketWidth(lo: Long, hi: Long): Long =
+    ((BigInt(hi) - BigInt(lo)) / 4096 + 1).max(64).toLong
 
   /** Two-phase parallel prefix sum for token-budget sequence packing.
     * Phase 1 buckets doc_ids into contiguous ranges of
@@ -44,7 +49,12 @@ object TrainingDataQueries {
                       budget: Long = 2048L): (org.apache.spark.sql.DataFrame, Int) = {
     val spark = docs.sparkSession
     import spark.implicits._
-    val width = packBucketWidth(docs.count())
+    val mm = docs.agg(min(col("doc_id")).cast("long").as("lo"),
+      max(col("doc_id")).cast("long").as("hi")).first()
+    val width = if (mm.isNullAt(0)) 64L else packBucketWidth(mm.getLong(0), mm.getLong(1))
+    // bucket by doc_id DIV width (no lo-subtraction: monotone in
+    // doc_id, and immune to the (hi - lo) subtraction overflowing when
+    // the id domain spans more than half the Long range)
     val t = docs
       .select(col("doc_id"),
         size(split(col("text"), " ")).cast("long").as("n_tokens"))
