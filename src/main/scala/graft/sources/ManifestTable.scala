@@ -2,6 +2,7 @@ package graft.sources
 
 import org.apache.hadoop.fs.{FileSystem, Path}
 import org.apache.spark.sql.{Column, DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.types.{DataType, StructField, StructType}
 
 /** A minimal manifest-commit table format over raw parquet — the ACID
   * story a lake user expects from a Delta/Iceberg-class table, built
@@ -89,16 +90,16 @@ object ManifestTable {
     val v = if (version < 0) currentVersion(spark, table) else version
     if (v == 0) Nil
     else {
-      val p = manifestPath(table, v)
-      require(fs(spark, p).exists(p),
-        s"version $v of $table is expired or was never committed")
-      val in = fs(spark, p).open(p)
-      val text = try scala.io.Source.fromInputStream(in, "UTF-8").mkString
-      finally in.close()
+      val text = manifestText(spark, table, v)
       // manifest grammar is ours and trivial: one quoted table-relative
       // path per line inside "files": [...] — every data file lives
       // under data/, which is what distinguishes a path from the
       // "version"/"files" keys; no JSON dep needed to write or read it.
+      // The path regexes are SCOPED to the files block: the manifest
+      // may also carry "stats" (whose keys repeat the data/ paths) and
+      // "schemaB64" sections — an unscoped scan would double-count
+      // every file that has stats and read it twice.
+      val filesBlock = filesSection(text, table, v)
       // LEGACY GUARD (ADVICE r5): manifests written before the
       // relative-path format stored absolute paths, which the data/
       // regex silently skips — a legacy table would read as empty with
@@ -106,8 +107,8 @@ object ManifestTable {
       // data/ is either re-relativized (absolute path that still
       // contains a /data/<uuid>/<part> tail — the layout never changed,
       // only the recording) or an explicit format error.
-      val rel = "\"(data/[^\"]+)\"".r.findAllMatchIn(text).map(_.group(1)).toSeq
-      val foreign = "\"([^\"]*/[^\"]+)\"".r.findAllMatchIn(text).map(_.group(1))
+      val rel = "\"(data/[^\"]+)\"".r.findAllMatchIn(filesBlock).map(_.group(1)).toSeq
+      val foreign = "\"([^\"]*/[^\"]+)\"".r.findAllMatchIn(filesBlock).map(_.group(1))
         .filterNot(_.startsWith("data/")).toSeq
       val migrated = foreign.map { abs =>
         val i = abs.lastIndexOf("/data/")
@@ -121,6 +122,70 @@ object ManifestTable {
     }
   }
 
+  private def manifestText(spark: SparkSession, table: String, v: Int): String = {
+    val p = manifestPath(table, v)
+    require(fs(spark, p).exists(p),
+      s"version $v of $table is expired or was never committed")
+    val in = fs(spark, p).open(p)
+    try scala.io.Source.fromInputStream(in, "UTF-8").mkString
+    finally in.close()
+  }
+
+  /** The `"files": [ ... ]` block of a manifest (every format the table
+    * has ever written — including legacy absolute-path manifests — has
+    * one; its absence means corruption, not an empty snapshot). */
+  private def filesSection(text: String, table: String, v: Int): String = {
+    val start = text.indexOf("\"files\"")
+    require(start >= 0, s"manifest v$v of $table has no files section")
+    val open = text.indexOf('[', start)
+    val close = text.indexOf(']', open)
+    require(open >= 0 && close > open,
+      s"manifest v$v of $table has a malformed files section")
+    text.substring(open, close)
+  }
+
+  /** The snapshot schema recorded at commit time (Delta-style: the log,
+    * not per-file footer sniffing, is the source of truth — at 100 TB a
+    * mergeSchema read would touch 100k footers before the first row).
+    * None for legacy manifests written before schema tracking. */
+  def snapshotSchema(spark: SparkSession, table: String,
+                     version: Int = -1): Option[StructType] = {
+    val v = if (version < 0) currentVersion(spark, table) else version
+    if (v == 0) None
+    else "\"schemaB64\"\\s*:\\s*\"([^\"]+)\"".r
+      .findFirstMatchIn(manifestText(spark, table, v))
+      .map { m =>
+        val json = new String(
+          java.util.Base64.getDecoder.decode(m.group(1)), "UTF-8")
+        DataType.fromJson(json).asInstanceOf[StructType]
+      }
+  }
+
+  /** Per-file column (min, max) ranges recorded at write time —
+    * `relPath -> col -> (min, max)` as doubles. Files or columns absent
+    * from the map simply have no stats (they are never pruned). */
+  def snapshotStats(spark: SparkSession, table: String, version: Int = -1)
+      : Map[String, Map[String, (Double, Double)]] = {
+    val v = if (version < 0) currentVersion(spark, table) else version
+    if (v == 0) Map.empty
+    else {
+      val text = manifestText(spark, table, v)
+      val start = text.indexOf("\"stats\"")
+      if (start < 0) Map.empty
+      else {
+        // one `"data/...": {"col":[mn,mx],...}` entry per line — the
+        // writer guarantees the shape, so per-line regexes suffice
+        val entry = "\"(data/[^\"]+)\"\\s*:\\s*\\{([^}]*)\\}".r
+        val range = "\"([^\"]+)\"\\s*:\\s*\\[([^,\\]]+),([^\\]]+)\\]".r
+        entry.findAllMatchIn(text.substring(start)).map { m =>
+          m.group(1) -> range.findAllMatchIn(m.group(2)).map { r =>
+            r.group(1) -> (r.group(2).trim.toDouble, r.group(3).trim.toDouble)
+          }.toMap
+        }.toMap
+      }
+    }
+  }
+
   /** Read the table at `version` (default head), re-qualifying the
     * manifest's relative paths against the table root — the read works
     * through any session/default-FS combination that can reach the
@@ -128,14 +193,62 @@ object ManifestTable {
   def read(spark: SparkSession, table: String, version: Int = -1): DataFrame = {
     val files = snapshotFiles(spark, table, version)
     require(files.nonEmpty, s"no committed snapshot in $table")
-    spark.read.parquet(files.map(f => new Path(table, f).toString): _*)
+    readFiles(spark, table, files, snapshotSchema(spark, table, version))
+  }
+
+  private def readFiles(spark: SparkSession, table: String,
+                        files: Seq[String], schema: Option[StructType]): DataFrame = {
+    val paths = files.map(f => new Path(table, f).toString)
+    // the recorded snapshot schema makes evolved tables readable (files
+    // predating an added column yield null for it) without mergeSchema's
+    // per-file footer pass; legacy manifests fall back to inference
+    schema.fold(spark.read)(s => spark.read.schema(s)).parquet(paths: _*)
+  }
+
+  /** Read `version` scanning ONLY the files whose recorded per-file
+    * (min, max) stats intersect EVERY given `col -> (lo, hi)` range —
+    * the manifest-level data-skipping a filtered read of a 100 TB table
+    * lives on: the pruning decision happens on the manifest's stats,
+    * BEFORE Spark lists or opens any file. Files without stats for a
+    * constrained column are conservatively kept, so the result equals
+    * `read(...).filter(every col BETWEEN lo AND hi …)` minus nothing —
+    * callers still apply the row-level predicate; this prunes I/O, not
+    * rows. Pair with [[compact]]`(sortBy = zkey16(...))`: z-ordered
+    * files hold tight ranges on BOTH dimensions, so a 2-D box keeps
+    * only the files owning its tiles (ZOrderSkipSpec measures the
+    * payoff; StatsSkipSpec pins this read path). */
+  def readRange(spark: SparkSession, table: String,
+                ranges: Seq[(String, Double, Double)],
+                version: Int = -1): DataFrame = {
+    val (kept, _) = pruneFiles(spark, table, ranges, version)
+    if (kept.isEmpty) read(spark, table, version).limit(0)
+    else readFiles(spark, table, kept, snapshotSchema(spark, table, version))
+  }
+
+  /** The pruning decision behind [[readRange]], visible for tests:
+    * (files kept, total files in the snapshot). */
+  def pruneFiles(spark: SparkSession, table: String,
+                 ranges: Seq[(String, Double, Double)],
+                 version: Int = -1): (Seq[String], Int) = {
+    val files = snapshotFiles(spark, table, version)
+    val stats = snapshotStats(spark, table, version)
+    val kept = files.filter { f =>
+      ranges.forall { case (c, lo, hi) =>
+        stats.get(f).flatMap(_.get(c)) match {
+          case Some((mn, mx)) => mn <= hi && mx >= lo
+          case None => true // no stats -> never pruned
+        }
+      }
+    }
+    (kept, files.size)
   }
 
   /** Step 1: full data write under a fresh uuid dir — unreferenced (and
     * so invisible) until a manifest names it. Returns the relative
     * file list. */
-  private def writeData(spark: SparkSession, table: String,
-                        df: DataFrame): (String, Seq[String]) = {
+  private def writeData(spark: SparkSession, table: String, df: DataFrame,
+                        statsColumns: Seq[String] = Nil)
+      : (String, Seq[String], Map[String, Map[String, (Double, Double)]]) = {
     val uuid = java.util.UUID.randomUUID().toString
     val dataDir = new Path(table, s"data/$uuid")
     df.write.mode(SaveMode.ErrorIfExists).parquet(dataDir.toString)
@@ -143,17 +256,68 @@ object ManifestTable {
       .filter(_.getPath.getName.endsWith(".parquet"))
       .map(s => s"data/$uuid/${s.getPath.getName}")
       .toSeq.sorted
-    (uuid, files)
+    // per-file (min, max) of the requested stats columns, in ONE pass
+    // over just the new files (the footer-stat collection Delta does at
+    // write time; at 100 TB this touches the new batch, never the other
+    // 100k files). Numeric columns only — the ranges land as doubles.
+    val stats: Map[String, Map[String, (Double, Double)]] =
+      if (statsColumns.isEmpty || files.isEmpty) Map.empty
+      else {
+        import org.apache.spark.sql.functions.{col, element_at, max, min, split, concat_ws}
+        val present = df.schema.map(_.name).toSet
+        val cols = statsColumns.filter(present)
+        if (cols.isEmpty) Map.empty
+        else {
+          val parts = split(col("_metadata.file_path"), "/")
+          val rel = concat_ws("/",
+            element_at(parts, -3), element_at(parts, -2), element_at(parts, -1))
+          val aggs = cols.flatMap(c => Seq(
+            min(col(c).cast("double")).as(s"__mn_$c"),
+            max(col(c).cast("double")).as(s"__mx_$c")))
+          spark.read.parquet(dataDir.toString)
+            .groupBy(rel.as("__f"))
+            .agg(aggs.head, aggs.tail: _*)
+            .collect() // bounded: one row per NEW file
+            .map { r =>
+              r.getAs[String]("__f") -> cols.flatMap { c =>
+                val mn = r.getAs[Any](s"__mn_$c")
+                val mx = r.getAs[Any](s"__mx_$c")
+                if (mn == null || mx == null) None
+                else Some(c -> (mn.asInstanceOf[Double], mx.asInstanceOf[Double]))
+              }.toMap
+            }.toMap
+        }
+      }
+    (uuid, files, stats)
   }
 
   /** Step 3: exclusive publish of `files` as version `head + 1`.
     * True iff this writer won the slot. */
   private def tryPublish(spark: SparkSession, table: String, head: Int,
-                         files: Seq[String], tag: String): Boolean = {
+                         files: Seq[String], tag: String,
+                         schema: Option[StructType] = None,
+                         stats: Map[String, Map[String, (Double, Double)]] = Map.empty)
+      : Boolean = {
+    // schema rides base64-encoded (its JSON is full of quotes the
+    // regex-grammar manifest must not see); stats are one file-entry
+    // per line, only for files still in THIS snapshot
+    val schemaLine = schema.map { s =>
+      val b64 = java.util.Base64.getEncoder.encodeToString(s.json.getBytes("UTF-8"))
+      s"""  "schemaB64": "$b64",\n"""
+    }.getOrElse("")
+    val fileSet = files.toSet
+    val live = stats.filter { case (f, m) => m.nonEmpty && fileSet.contains(f) }
+    val statsBlock =
+      if (live.isEmpty) ""
+      else live.toSeq.sortBy(_._1).map { case (f, m) =>
+        val cols = m.toSeq.sortBy(_._1)
+          .map { case (c, (mn, mx)) => s""""$c":[$mn,$mx]""" }.mkString(",")
+        s"""    "$f": {$cols}"""
+      }.mkString("  \"stats\": {\n", ",\n", "\n  },\n")
     val body =
       s"""{
          |  "version": ${head + 1},
-         |  "files": [
+         |$schemaLine$statsBlock  "files": [
          |${files.map(p => s"    \"$p\"").mkString(",\n")}
          |  ]
          |}""".stripMargin
@@ -218,29 +382,55 @@ object ManifestTable {
     * conditional callers use [[upsert]]/[[deleteWhere]], which
     * re-derive instead). Returns the committed version number. */
   def commit(spark: SparkSession, table: String, df: DataFrame,
-             mode: SaveMode = SaveMode.Append, maxAttempts: Int = 50): Int = {
+             mode: SaveMode = SaveMode.Append, maxAttempts: Int = 50,
+             mergeSchema: Boolean = false,
+             statsColumns: Seq[String] = Nil): Int = {
     // schema enforcement (the Delta rule): an append whose column
     // name/type set differs from the table's would leave the snapshot
     // a mixed-schema parquet union — readers silently drop or null the
     // divergent columns. Fail the writer instead; overwrite replaces
     // the schema by definition and stays unchecked. Validated INSIDE
     // the publish loop against the CURRENT head (ADVICE r5): a
-    // concurrent Overwrite can change the table schema between
-    // attempts, and a lost-race recompose must not publish a
-    // mixed-schema snapshot the pre-write check happened to miss.
-    // One footer read per attempt is enough (enforcement keeps
-    // snapshots homogeneous, so at 100 TB this never touches the other
-    // 100k files); an empty snapshot constrains nothing.
-    def validateAppend(base: Seq[String]): Unit = base.headOption.foreach { f =>
-      val have = spark.read.parquet(new Path(table, f).toString)
-        .schema.map(x => (x.name, x.dataType)).toSet
-      val incoming = df.schema.map(x => (x.name, x.dataType)).toSet
-      require(have == incoming,
-        s"append schema mismatch on $table: table has $have, batch has $incoming" +
-          " (overwrite to change the schema)")
-    }
-    if (mode == SaveMode.Append) validateAppend(snapshotFiles(spark, table))
-    val (uuid, newFiles) = writeData(spark, table, df)
+    // concurrent Overwrite can change the schema between attempts, and
+    // a lost-race recompose must not publish a mixed-schema snapshot
+    // the pre-write check happened to miss. The recorded snapshot
+    // schema is the source of truth; only legacy tables fall back to
+    // one footer read (enforcement keeps snapshots homogeneous, so at
+    // 100 TB this never touches the other 100k files).
+    //
+    // `mergeSchema = true` is the Delta evolution rule: an append may
+    // ADD columns (the widened schema is recorded; files predating a
+    // column read it as null) and may OMIT existing ones (nulled the
+    // same way) — but may never RETYPE a shared column, which would
+    // corrupt both old and new reads.
+    def baseSchemaOf(head: Int, base: Seq[String]): Option[StructType] =
+      snapshotSchema(spark, table, head).orElse(base.headOption.map(f =>
+        spark.read.parquet(new Path(table, f).toString).schema))
+    def widened(head: Int, base: Seq[String]): StructType =
+      baseSchemaOf(head, base) match {
+        case None => df.schema // first commit constrains nothing
+        case Some(have) =>
+          val haveTypes = have.map(x => (x.name, x.dataType)).toMap
+          if (mergeSchema) {
+            df.schema.foreach(f => haveTypes.get(f.name).foreach(t =>
+              require(t == f.dataType,
+                s"append on $table would retype column ${f.name}: " +
+                  s"table has $t, batch has ${f.dataType} — evolution may " +
+                  "only add columns, never change them")))
+            StructType(have.fields ++
+              df.schema.filterNot(f => haveTypes.contains(f.name)))
+          } else {
+            val incoming = df.schema.map(x => (x.name, x.dataType)).toSet
+            require(haveTypes.toSet == incoming,
+              s"append schema mismatch on $table: table has ${haveTypes.toSet}, " +
+                s"batch has $incoming (mergeSchema=true to add columns, " +
+                "overwrite to replace the schema)")
+            have
+          }
+      }
+    if (mode == SaveMode.Append)
+      widened(currentVersion(spark, table), snapshotFiles(spark, table))
+    val (uuid, newFiles, newStats) = writeData(spark, table, df, statsColumns)
     var committed = -1
     var attempt = 0
     while (committed < 0) {
@@ -248,8 +438,12 @@ object ManifestTable {
       val head = currentVersion(spark, table)
       val base =
         if (mode == SaveMode.Append) snapshotFiles(spark, table, head) else Nil
-      if (mode == SaveMode.Append && attempt > 1) validateAppend(base)
-      if (tryPublish(spark, table, head, base ++ newFiles, uuid))
+      val schema =
+        if (mode == SaveMode.Append) widened(head, base) else df.schema
+      val carried =
+        if (mode == SaveMode.Append) snapshotStats(spark, table, head) else Map.empty
+      if (tryPublish(spark, table, head, base ++ newFiles, uuid,
+          Some(schema), carried ++ newStats))
         committed = head + 1
       else {
         // A lost race means another writer occupied slot head+1, so the
