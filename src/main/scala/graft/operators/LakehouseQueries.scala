@@ -631,6 +631,224 @@ object LakehouseQueries {
              |  CAST(sum(n_chars) AS BIGINT) AS sum_chars
              |FROM documents GROUP BY lang
              |ORDER BY lang NULLS FIRST""".stripMargin)
+    ),
+
+    // C25: manifest-level data skipping, judged — the scan-pruning a
+    // real table format exists for. The commit records per-file
+    // (min,max) of o_orderkey (`statsColumns`); the write is range-
+    // partitioned so each file owns a tight key range; `readRange`
+    // prunes files on the MANIFEST's stats, before Spark lists or
+    // opens anything (StatsSkipSpec asserts the reader is handed
+    // strictly fewer files than the snapshot holds). Pruning is
+    // I/O-level, so the row-level predicate still applies on top —
+    // the hash proves pruning lost no qualifying row and leaked no
+    // pruned one. At 100 TB this is the difference between listing
+    // 100k files and listing the ~3 owning the predicate's range.
+    Entry(
+      "c25_stats_skip",
+      (s, d) => {
+        import org.apache.spark.sql.SaveMode
+        val t = s"${sys.props("java.io.tmpdir")}/graft_c25_" +
+          s"${new java.io.File(d).getName}_${ProcessHandle.current().pid()}"
+        val ord = Tables.orders(s, d)
+          .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"),
+            col("o_orderpriority"))
+        graft.sources.ManifestTable.commit(s, t,
+          ord.repartitionByRange(8, col("o_orderkey")), SaveMode.Overwrite,
+          statsColumns = Seq("o_orderkey"))
+        graft.sources.ManifestTable
+          .readRange(s, t, Seq(("o_orderkey", 1000.0, 5000.0)))
+          .filter(col("o_orderkey").between(1000, 5000))
+          .groupBy("o_orderpriority")
+          .agg(count(lit(1)).as("cnt"),
+            round(sum(col("o_totalprice")), 2).as("sum_price"))
+          .orderBy("o_orderpriority")
+      },
+      Some("""SELECT o_orderpriority, count(*) AS cnt,
+             |  round(sum(o_totalprice), 2) AS sum_price
+             |FROM orders WHERE o_orderkey BETWEEN 1000 AND 5000
+             |GROUP BY o_orderpriority
+             |ORDER BY o_orderpriority NULLS FIRST""".stripMargin)
+    ),
+
+    // C26: schema evolution on append, judged — the Delta mergeSchema
+    // rule: an append may ADD columns; files written before the column
+    // read it as null through the recorded (widened) snapshot schema,
+    // with no per-file footer pass. The oracle replays the widened
+    // union (NULL for the pre-evolution half) directly from `customer`
+    // — a reader that dropped the old files, nulled the wrong half, or
+    // footer-sniffed its way to a mixed schema moves the hash.
+    // ManifestTableSpec pins the time-travel view (v1 still reads the
+    // narrow schema).
+    Entry(
+      "c26_schema_evolve",
+      (s, d) => {
+        import org.apache.spark.sql.SaveMode
+        val t = s"${sys.props("java.io.tmpdir")}/graft_c26_" +
+          s"${new java.io.File(d).getName}_${ProcessHandle.current().pid()}"
+        val cust = Tables.customer(s, d)
+        graft.sources.ManifestTable.commit(s, t,
+          cust.filter(col("c_custkey") <= 1000)
+            .select(col("c_custkey"), col("c_name")),
+          SaveMode.Overwrite)
+        graft.sources.ManifestTable.commit(s, t,
+          cust.filter(col("c_custkey") > 1000 && col("c_custkey") <= 2000)
+            .select(col("c_custkey"), col("c_name"), col("c_acctbal")),
+          SaveMode.Append, mergeSchema = true)
+        graft.sources.ManifestTable.read(s, t)
+          .select(col("c_custkey"), col("c_name"),
+            round(col("c_acctbal"), 2).as("bal"))
+          .orderBy("c_custkey")
+      },
+      Some("""SELECT c_custkey, c_name, CAST(NULL AS DOUBLE) AS bal
+             |FROM customer WHERE c_custkey <= 1000
+             |UNION ALL
+             |SELECT c_custkey, c_name, round(c_acctbal, 2) AS bal
+             |FROM customer WHERE c_custkey > 1000 AND c_custkey <= 2000
+             |ORDER BY c_custkey NULLS FIRST""".stripMargin)
+    ),
+
+    // C27: ROW-level change feed, judged — c23's hand-rolled
+    // feed-classification as one API call. rowChanges diffs the churned
+    // files of base→head by key and labels each row insert /
+    // update_post / delete (post-image for the first two, pre-image
+    // for the last), with rewritten-but-identical survivors filtered
+    // by null-safe struct equality. The oracle replays merge + delete
+    // from `customer` and classifies against the base image — a missed
+    // mutation, a survivor leaking into the feed, or a pre/post-image
+    // mixup all move the hash.
+    Entry(
+      "c27_row_cdf",
+      (s, d) => {
+        import org.apache.spark.sql.SaveMode
+        val t = s"${sys.props("java.io.tmpdir")}/graft_c27_" +
+          s"${new java.io.File(d).getName}_${ProcessHandle.current().pid()}"
+        val cust = Tables.customer(s, d)
+          .select(col("c_custkey"), col("c_name"), col("c_acctbal"))
+        val vBase = graft.sources.ManifestTable.commit(s, t,
+          cust.filter(col("c_custkey") <= 1000), SaveMode.Overwrite)
+        graft.sources.ManifestTable.upsert(s, t,
+          cust.filter(col("c_custkey").between(500, 1500))
+            .withColumn("c_acctbal", col("c_acctbal") + 100),
+          Seq("c_custkey"))
+        graft.sources.ManifestTable.deleteWhere(s, t, col("c_acctbal") < 0)
+        graft.sources.ManifestTable.rowChanges(s, t, vBase, Seq("c_custkey"))
+          .select(col("c_custkey"), col("c_name"),
+            round(col("c_acctbal"), 2).as("bal"), col("_change_type"))
+          .orderBy("c_custkey")
+      },
+      Some("""WITH base AS (
+             |  SELECT c_custkey, c_name, c_acctbal FROM customer
+             |  WHERE c_custkey <= 1000),
+             |upd AS (
+             |  SELECT c_custkey, c_name, c_acctbal + 100 AS bal
+             |  FROM customer WHERE c_custkey BETWEEN 500 AND 1500),
+             |merged AS (
+             |  SELECT b.c_custkey, b.c_name, b.c_acctbal AS bal FROM base b
+             |  WHERE b.c_custkey NOT IN (SELECT c_custkey FROM upd)
+             |  UNION ALL SELECT * FROM upd),
+             |head AS (SELECT * FROM merged WHERE bal >= 0)
+             |SELECT c_custkey, c_name, round(bal, 2) AS bal, _change_type
+             |FROM (
+             |  SELECT h.c_custkey, h.c_name, h.bal,
+             |    CASE WHEN b.c_custkey IS NULL THEN 'insert'
+             |         ELSE 'update_post' END AS _change_type
+             |  FROM head h LEFT JOIN base b USING (c_custkey)
+             |  WHERE b.c_custkey IS NULL OR h.bal IS DISTINCT FROM b.c_acctbal
+             |  UNION ALL
+             |  SELECT b.c_custkey, b.c_name, b.c_acctbal, 'delete'
+             |  FROM base b
+             |  WHERE b.c_custkey NOT IN (SELECT c_custkey FROM head))
+             |ORDER BY c_custkey NULLS FIRST""".stripMargin)
+    ),
+
+    // C28: conditional MERGE, judged — the full Delta matched-clause
+    // shape in one commit: matched + (src bal < 0)  → DELETE; matched +
+    // (src bal > current) → UPDATE to the source row; matched,
+    // neither → keep; unmatched source keys → INSERT. With src bal =
+    // 2×current, the three clauses partition target rows by sign of
+    // c_acctbal (negative deletes, positive doubles, zero keeps), so
+    // every clause is exercised with rows the oracle's CASE replays
+    // exactly. Conditions reference BOTH sides (`_src.<col>` vs plain
+    // target column) — the API contract ManifestTableSpec pins.
+    Entry(
+      "c28_conditional_merge",
+      (s, d) => {
+        import org.apache.spark.sql.SaveMode
+        val t = s"${sys.props("java.io.tmpdir")}/graft_c28_" +
+          s"${new java.io.File(d).getName}_${ProcessHandle.current().pid()}"
+        val cust = Tables.customer(s, d)
+          .select(col("c_custkey"), col("c_name"), col("c_acctbal"))
+        graft.sources.ManifestTable.commit(s, t,
+          cust.filter(col("c_custkey") <= 2000), SaveMode.Overwrite)
+        graft.sources.ManifestTable.merge(s, t,
+          cust.filter(col("c_custkey").between(1000, 3000))
+            .withColumn("c_acctbal", col("c_acctbal") * 2),
+          Seq("c_custkey"),
+          whenMatchedUpdate = Some(col("_src.c_acctbal") > col("c_acctbal")),
+          whenMatchedDelete = Some(col("_src.c_acctbal") < 0))
+        graft.sources.ManifestTable.read(s, t)
+          .select(col("c_custkey"), col("c_name"),
+            round(col("c_acctbal"), 2).as("bal"))
+          .orderBy("c_custkey")
+      },
+      Some("""SELECT c_custkey, c_name, round(bal, 2) AS bal FROM (
+             |  SELECT c_custkey, c_name,
+             |    CASE WHEN c_custkey >= 1000 AND c_acctbal * 2 > c_acctbal
+             |         THEN c_acctbal * 2 ELSE c_acctbal END AS bal
+             |  FROM customer
+             |  WHERE c_custkey <= 2000
+             |    AND NOT (c_custkey >= 1000 AND c_acctbal * 2 < 0)
+             |  UNION ALL
+             |  SELECT c_custkey, c_name, c_acctbal * 2 AS bal
+             |  FROM customer WHERE c_custkey > 2000 AND c_custkey <= 3000)
+             |ORDER BY c_custkey NULLS FIRST""".stripMargin)
+    ),
+
+    // C29: the OPTIMIZE-ZORDER lifecycle, judged end to end — ingest
+    // (unclustered commit), `compact(sortBy = zkey16(part, supp),
+    // statsColumns = part, supp)` (one conditional commit: z-sorted
+    // larger files WITH their recorded 2-D ranges), then a 2-D box
+    // read through `readRange` on the head. Z-ordered files hold tight
+    // ranges on BOTH dimensions, so the box keeps only the files
+    // owning its tiles (StatsSkipSpec asserts the skip count against
+    // this exact layout); the hash proves the full lifecycle —
+    // compaction rewrote losslessly AND pruning was sound. This is
+    // c13/s6/ZOrderSkipSpec's demonstration promoted into the table
+    // format's own read path.
+    Entry(
+      "c29_zorder_optimize",
+      (s, d) => {
+        import org.apache.spark.sql.SaveMode
+        val t = s"${sys.props("java.io.tmpdir")}/graft_c29_" +
+          s"${new java.io.File(d).getName}_${ProcessHandle.current().pid()}"
+        val li = Tables.lineitem(s, d)
+          .select(col("l_orderkey"), col("l_linenumber"),
+            col("l_partkey"), col("l_suppkey"), col("l_quantity"))
+        // ingest order (by orderkey) is uncorrelated with the later
+        // predicate dims — the layout OPTIMIZE exists to fix
+        graft.sources.ManifestTable.commit(s, t,
+          li.repartitionByRange(16, col("l_orderkey"), col("l_linenumber")),
+          SaveMode.Overwrite)
+        graft.sources.ManifestTable.compact(s, t, targetFiles = 16,
+          sortBy = Seq(zkey16(col("l_partkey"), col("l_suppkey"))),
+          statsColumns = Seq("l_partkey", "l_suppkey"))
+        graft.sources.ManifestTable.readRange(s, t,
+            Seq(("l_partkey", 100.0, 400.0), ("l_suppkey", 10.0, 40.0)))
+          .filter(col("l_partkey").between(100, 400) &&
+            col("l_suppkey").between(10, 40))
+          .groupBy("l_suppkey")
+          .agg(count(lit(1)).as("cnt"),
+            round(sum(col("l_quantity")), 2).as("sum_qty"))
+          .orderBy("l_suppkey")
+      },
+      Some("""SELECT l_suppkey, count(*) AS cnt,
+             |  round(sum(l_quantity), 2) AS sum_qty
+             |FROM lineitem
+             |WHERE l_partkey BETWEEN 100 AND 400
+             |  AND l_suppkey BETWEEN 10 AND 40
+             |GROUP BY l_suppkey
+             |ORDER BY l_suppkey NULLS FIRST""".stripMargin)
     )
   )
 }

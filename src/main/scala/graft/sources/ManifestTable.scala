@@ -2,7 +2,7 @@ package graft.sources
 
 import org.apache.hadoop.fs.{FileSystem, Path}
 import org.apache.spark.sql.{Column, DataFrame, SaveMode, SparkSession}
-import org.apache.spark.sql.types.{DataType, StructField, StructType}
+import org.apache.spark.sql.types.{DataType, StructType}
 
 /** A minimal manifest-commit table format over raw parquet — the ACID
   * story a lake user expects from a Delta/Iceberg-class table, built
@@ -440,7 +440,7 @@ object ManifestTable {
         if (mode == SaveMode.Append) snapshotFiles(spark, table, head) else Nil
       val schema =
         if (mode == SaveMode.Append) widened(head, base) else df.schema
-      val carried =
+      val carried: Map[String, Map[String, (Double, Double)]] =
         if (mode == SaveMode.Append) snapshotStats(spark, table, head) else Map.empty
       if (tryPublish(spark, table, head, base ++ newFiles, uuid,
           Some(schema), carried ++ newStats))
@@ -471,47 +471,101 @@ object ManifestTable {
     * of version N may only ever become version N+1. */
   private def commitIfHead(spark: SparkSession, table: String,
                            files: Seq[String], expectedHead: Int,
-                           tag: String): Option[Int] =
+                           tag: String,
+                           schema: Option[StructType] = None,
+                           stats: Map[String, Map[String, (Double, Double)]] = Map.empty)
+      : Option[Int] =
     if (currentVersion(spark, table) != expectedHead) None
-    else if (tryPublish(spark, table, expectedHead, files, tag))
+    else if (tryPublish(spark, table, expectedHead, files, tag, schema, stats))
       Some(expectedHead + 1)
     else None
+
+  /** Column names the head snapshot carries stats for — derived
+    * commits ([[upsert]]/[[deleteWhere]]/[[compact]]) keep collecting
+    * the same set for their rewritten files, so stats-tracking
+    * survives the table's whole lifecycle without a separate
+    * table-property store. */
+  private def statsColumnsOf(
+      stats: Map[String, Map[String, (Double, Double)]]): Seq[String] =
+    stats.valuesIterator.flatMap(_.keysIterator).toSeq.distinct.sorted
 
   /** MERGE-style upsert: rows of `updates` replace current rows with
     * equal `keys`; unmatched update rows insert. One new snapshot —
     * readers see the pre-image until the commit point, the full
     * post-image after, never a mix. MERGE precondition: `updates` must
     * be key-unique (both copies of a repeated key would insert).
+    * The unconditional special case of [[merge]]. */
+  def upsert(spark: SparkSession, table: String, updates: DataFrame,
+             keys: Seq[String], maxAttempts: Int = 5): Int =
+    merge(spark, table, updates, keys, maxAttempts = maxAttempts)
+
+  /** Conditional MERGE (the full Delta `MERGE INTO` matched-clause
+    * shape): for each current row whose `keys` match an `updates` row,
+    *  - if `whenMatchedDelete` evaluates true  → the row is deleted;
+    *  - else if `whenMatchedUpdate` evaluates true (default: always)
+    *                                           → replaced by the
+    *    matching update row;
+    *  - else                                   → kept unchanged.
+    * Update rows matching no current key INSERT. Conditions are
+    * evaluated over the matched pair: TARGET columns by plain name,
+    * the matching SOURCE row's fields as `col("_src.<name>")` — e.g.
+    * `col("_src.ts") > col("ts")` is latest-wins CDC. A NULL condition
+    * is false (SQL semantics: no silent delete/update on null).
     *
-    * Concurrency: the survivor anti-join is derived from a read of the
-    * head; the commit is CONDITIONAL on that head still being current
+    * Concurrency: the post-image is derived from a read of the head;
+    * the commit is CONDITIONAL on that head still being current
     * ([[commitIfHead]]). A lost race re-derives against the new head
     * and rewrites — never publishes a merge of a stale snapshot (the
     * data files of a lost attempt become unreferenced garbage for
     * [[expire]]). An empty table is the same loop with head 0 and no
-    * survivors, so first-batch initialization races resolve inside the
-    * commit protocol too. */
-  def upsert(spark: SparkSession, table: String, updates: DataFrame,
-             keys: Seq[String], maxAttempts: Int = 5): Int = {
+    * matches, so first-batch initialization races resolve inside the
+    * commit protocol too.
+    *
+    * Scale stance: ONE shuffle on `keys` (the left join; AQE broadcasts
+    * a small changelog), no driver-side row state; the clause logic is
+    * row-local projection/filter inside whole-stage codegen. */
+  def merge(spark: SparkSession, table: String, updates: DataFrame,
+            keys: Seq[String],
+            whenMatchedUpdate: Option[Column] = None,
+            whenMatchedDelete: Option[Column] = None,
+            maxAttempts: Int = 5): Int = {
+    import org.apache.spark.sql.functions.{coalesce, col, lit, struct}
     var attempt = 0
     while (attempt < maxAttempts) {
       attempt += 1
       val head = currentVersion(spark, table)
       val merged =
         if (head == 0) updates
-        else read(spark, table, head).join(
-          updates.select(keys.map(org.apache.spark.sql.functions.col): _*)
-            .distinct(),
-          keys, "left_anti").unionByName(updates)
-      val (uuid, files) = writeData(spark, table, merged)
-      commitIfHead(spark, table, files, head, uuid) match {
+        else {
+          val tgt = read(spark, table, head)
+          val srcCols = updates.columns.toSeq
+          val src = updates
+            .select(struct(srcCols.map(col): _*).as("_src"))
+            .select(keys.map(k => col(s"_src.$k").as(k)) :+ col("_src"): _*)
+          val joined = tgt.join(src, keys, "left")
+          val matched = col("_src").isNotNull
+          val del = coalesce(whenMatchedDelete.getOrElse(lit(false)), lit(false))
+          val upd = coalesce(whenMatchedUpdate.getOrElse(lit(true)), lit(false))
+          val kept = joined.filter(!matched || (!del && !upd))
+            .select(tgt.columns.toSeq.map(col): _*)
+          val replaced = joined.filter(matched && !del && upd)
+            .select(srcCols.map(c => col(s"_src.$c").as(c)): _*)
+          val inserted = updates.join(
+            tgt.select(keys.map(col): _*).distinct(), keys, "left_anti")
+          kept.unionByName(replaced).unionByName(inserted)
+        }
+      val headStats = snapshotStats(spark, table, head)
+      val (uuid, files, newStats) =
+        writeData(spark, table, merged, statsColumnsOf(headStats))
+      commitIfHead(spark, table, files, head, uuid,
+          Some(merged.schema), newStats) match {
         case Some(v) => return v
         case None => // lost the race — discard this attempt's data, re-derive
           fs(spark, new Path(table)).delete(new Path(table, s"data/$uuid"), true)
       }
     }
     throw new java.util.ConcurrentModificationException(
-      s"upsert on $table lost $maxAttempts commit races")
+      s"merge on $table lost $maxAttempts commit races")
   }
 
   /** Delete-by-predicate as one committed snapshot, with file-level
@@ -549,9 +603,17 @@ object ManifestTable {
         withFile.filter(col("__f").isin(affected.toSeq: _*))
           .filter(!coalesce(pred, lit(false)))
           .drop("__f")
-      val (uuid, newFiles) = writeData(spark, table, survivorsOfAffected)
+      val headStats = snapshotStats(spark, table, head)
+      val (uuid, newFiles, newStats) =
+        writeData(spark, table, survivorsOfAffected, statsColumnsOf(headStats))
       val files = rel.filterNot(affected) ++ newFiles
-      commitIfHead(spark, table, files, head, uuid) match {
+      // carried-over files keep their recorded stats (tryPublish drops
+      // entries for files no longer in the snapshot); rewritten files
+      // get fresh ranges from the write above
+      commitIfHead(spark, table, files, head, uuid,
+          snapshotSchema(spark, table, head)
+            .orElse(Some(survivorsOfAffected.schema)),
+          headStats ++ newStats) match {
         case Some(v) => return v
         case None =>
           fs(spark, new Path(table)).delete(new Path(table, s"data/$uuid"), true)
@@ -590,6 +652,56 @@ object ManifestTable {
     else read(spark, table, to).limit(0)
   }
 
+  /** Row-level change feed (the Delta CDF read shape): what happened
+    * to each KEY between `sinceVersion` and `toVersion`, as the table's
+    * columns plus `_change_type` ∈ {insert, update_post, delete} —
+    * insert and update_post carry the post-image row, delete the
+    * pre-image. Rows untouched between the versions are absent.
+    * Derived, not bookkept: [[changes]]' file-granular diff narrows
+    * both sides to the CHURNED files only (rows in files added to the
+    * lineage vs rows in files dropped from it), and a full-outer join
+    * on `keys` classifies each — a rewritten-but-identical survivor
+    * (same key, null-safe-equal row) is filtered out, which is exactly
+    * the spurious duplication c23's hand-rolled feed had to `distinct`
+    * away. Precondition (same as [[upsert]]): keys are unique per
+    * snapshot. At 100 TB the join cost is bounded by the churned file
+    * volume, never the table — an append touches only the new files;
+    * only a full rewrite pays a full diff. */
+  def rowChanges(spark: SparkSession, table: String, sinceVersion: Int,
+                 keys: Seq[String], toVersion: Int = -1): DataFrame = {
+    import org.apache.spark.sql.functions.{col, lit, struct, when}
+    val to = if (toVersion < 0) currentVersion(spark, table) else toVersion
+    require(sinceVersion <= to,
+      s"sinceVersion $sinceVersion is beyond version $to of $table")
+    val before = snapshotFiles(spark, table, sinceVersion)
+    val after = snapshotFiles(spark, table, to)
+    val added = after.filterNot(before.toSet)
+    val removed = before.filterNot(after.toSet)
+    // both sides read with the TO-version schema so the row structs
+    // align under schema evolution (pre-evolution files null the added
+    // columns on both sides of the comparison)
+    val schema = snapshotSchema(spark, table, to)
+    def side(files: Seq[String]): DataFrame =
+      if (files.nonEmpty) readFiles(spark, table, files, schema)
+      else read(spark, table, to).limit(0)
+    val post = side(added)
+    val cols = post.columns.toSeq
+    def keyed(df: DataFrame, as: String): DataFrame =
+      df.select(keys.map(col) :+ struct(cols.map(col): _*).as(as): _*)
+    keyed(post, "_post").join(keyed(side(removed), "_pre"), keys, "full_outer")
+      .withColumn("_change_type",
+        when(col("_pre").isNull, lit("insert"))
+          .when(col("_post").isNull, lit("delete"))
+          .otherwise(lit("update_post")))
+      .filter(col("_change_type") =!= "update_post" ||
+        !(col("_post") <=> col("_pre")))
+      // whole-row pick, not per-column coalesce: an update that sets a
+      // column to NULL must surface that NULL, not the pre-image value
+      .withColumn("_row",
+        when(col("_post").isNull, col("_pre")).otherwise(col("_post")))
+      .select(cols.map(c => col(s"_row.$c").as(c)) :+ col("_change_type"): _*)
+  }
+
   /** OPTIMIZE-style compaction: rewrite the head snapshot into
     * `targetFiles` larger files (optionally range-sorted by `sortBy` —
     * pair with a z-order key column for multi-dimensional locality, as
@@ -601,7 +713,8 @@ object ManifestTable {
     * retrying here would immediately clobber the writer's new data).
     * Returns the committed version. */
   def compact(spark: SparkSession, table: String, targetFiles: Int = 1,
-              sortBy: Seq[Column] = Nil): Int = {
+              sortBy: Seq[Column] = Nil,
+              statsColumns: Seq[String] = Nil): Int = {
     require(targetFiles >= 1, "targetFiles must be positive")
     val head = currentVersion(spark, table)
     val df0 = read(spark, table, head)
@@ -610,8 +723,17 @@ object ManifestTable {
         df0.repartitionByRange(targetFiles, sortBy: _*)
           .sortWithinPartitions(sortBy: _*)
       else df0.repartition(targetFiles)
-    val (uuid, files) = writeData(spark, table, df)
-    commitIfHead(spark, table, files, head, uuid) match {
+    // OPTIMIZE is also where stats collection can BEGIN on a table
+    // that never recorded any (`statsColumns`), on top of whatever the
+    // head already tracks — the z-order payoff needs both: sorted
+    // layout (tight per-file ranges) and recorded ranges to prune on
+    val cols =
+      (statsColumnsOf(snapshotStats(spark, table, head)) ++ statsColumns)
+        .distinct.sorted
+    val (uuid, files, newStats) = writeData(spark, table, df, cols)
+    commitIfHead(spark, table, files, head, uuid,
+        snapshotSchema(spark, table, head).orElse(Some(df.schema)),
+        newStats) match {
       case Some(v) => v
       case None =>
         fs(spark, new Path(table)).delete(new Path(table, s"data/$uuid"), true)

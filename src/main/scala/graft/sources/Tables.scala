@@ -21,16 +21,26 @@ object Tables {
   def part(spark: SparkSession, dir: String): DataFrame      = table(spark, dir, "part")
   def orders(spark: SparkSession, dir: String): DataFrame    = table(spark, dir, "orders")
   def lineitem(spark: SparkSession, dir: String): DataFrame  = table(spark, dir, "lineitem")
-  /** events.ts is parquet TIMESTAMP(NANOS), which Spark's vectorized
-    * reader rejects outright. With spark.sql.legacy.parquet.nanosAsLong
-    * (set by every graft session) it surfaces as epoch-nanos LongType;
-    * convert here to µs TimestampType — identical to DuckDB's
-    * ns→TIMESTAMP truncation, so oracles can use `ts` directly. */
+  /** events.ts normalization — the generator's at-rest form has varied
+    * across driver versions, and every variant lands here as µs
+    * TimestampType (LTZ) so the whole engine and its oracles see ONE
+    * type:
+    *  - TIMESTAMP(NANOS): Spark's vectorized reader rejects it; with
+    *    spark.sql.legacy.parquet.nanosAsLong (set by every graft
+    *    session) it surfaces as epoch-nanos LongType → convert to µs
+    *    (identical to DuckDB's ns→TIMESTAMP truncation);
+    *  - TIMESTAMP(MICROS, isAdjustedToUTC=false): Spark 4 infers
+    *    TIMESTAMP_NTZ (inferTimestampNTZ defaults on) → cast to
+    *    TimestampType, which under the fixture's UTC session timezone
+    *    keeps the same wall-clock instant DuckDB's naive read sees. */
   def events(spark: SparkSession, dir: String): DataFrame = {
     val raw = table(spark, dir, "events")
     raw.schema("ts").dataType match {
       case org.apache.spark.sql.types.LongType =>
         raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      case org.apache.spark.sql.types.TimestampNTZType =>
+        raw.withColumn("ts",
+          col("ts").cast(org.apache.spark.sql.types.TimestampType))
       case _ => raw
     }
   }

@@ -411,4 +411,96 @@ class ManifestTableSpec extends AnyFunSuite with SparkFixture {
     assert(scala.io.Source.fromFile(squat).mkString.contains("\"files\": []"))
     assert(ManifestTable.read(spark, t).count() === 1)
   }
+
+  import org.apache.spark.sql.functions.{col, lit}
+
+  private def dfN(rows: (Long, String, Double)*): DataFrame = {
+    import spark.implicits._
+    rows.toSeq.toDF("id", "v", "x")
+  }
+
+  private def readN(t: String): Set[(Long, String, Double)] =
+    ManifestTable.read(spark, t).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getDouble(2))).toSet
+
+  test("merge clauses: delete wins over update; unconditional otherwise; unmatched inserts") {
+    val t = freshTable()
+    ManifestTable.commit(spark, t,
+      dfN((1L, "a", 1.0), (2L, "b", -1.0), (3L, "c", 0.0)))
+    // src doubles x; delete matched negatives, update matched where src
+    // x beats current (x>0), keep the rest (x=0); key 4 inserts
+    ManifestTable.merge(spark, t,
+      dfN((1L, "A", 2.0), (2L, "B", -2.0), (3L, "C", 0.0), (4L, "D", 4.0)),
+      Seq("id"),
+      whenMatchedUpdate = Some(col("_src.x") > col("x")),
+      whenMatchedDelete = Some(col("_src.x") < 0))
+    assert(readN(t) === Set(
+      (1L, "A", 2.0),  // updated (2.0 > 1.0)
+      // 2 deleted (-2.0 < 0)
+      (3L, "c", 0.0),  // kept: neither clause fired (0.0 > 0.0 false)
+      (4L, "D", 4.0))) // inserted
+  }
+
+  test("merge delete-only: whenMatchedUpdate = false leaves non-deleted matches untouched") {
+    val t = freshTable()
+    ManifestTable.commit(spark, t, dfN((1L, "a", 1.0), (2L, "b", 2.0)))
+    ManifestTable.merge(spark, t,
+      dfN((1L, "ZAP", 9.0), (2L, "ZAP", 9.0)),
+      Seq("id"),
+      whenMatchedUpdate = Some(lit(false)),
+      whenMatchedDelete = Some(col("x") > 1.5)) // target column: pre-image x
+    assert(readN(t) === Set((1L, "a", 1.0))) // 2 deleted; 1 NOT renamed
+  }
+
+  test("merge: a NULL clause condition is false (no silent delete or update)") {
+    val t = freshTable()
+    ManifestTable.commit(spark, t, dfN((1L, "a", 1.0)))
+    ManifestTable.merge(spark, t, dfN((1L, "A", 9.0)), Seq("id"),
+      whenMatchedUpdate = Some(lit(null).cast("boolean")),
+      whenMatchedDelete = Some(lit(null).cast("boolean")))
+    assert(readN(t) === Set((1L, "a", 1.0)))
+  }
+
+  test("mergeSchema append widens: old files read the new column as null; time travel keeps the narrow schema") {
+    val t = freshTable()
+    ManifestTable.commit(spark, t, df(1L -> "a"))
+    ManifestTable.commit(spark, t, dfN((2L, "b", 5.0)), mergeSchema = true)
+    val head = ManifestTable.read(spark, t)
+    assert(head.columns.toSeq === Seq("id", "v", "x"))
+    val got = head.collect()
+      .map(r => (r.getLong(0), r.getString(1), Option(r.get(2)))).toSet
+    assert(got === Set((1L, "a", None), (2L, "b", Some(5.0))))
+    // pre-evolution version still reads its own (narrow) schema
+    assert(ManifestTable.read(spark, t, version = 1).columns.toSeq === Seq("id", "v"))
+    // retype is refused even under mergeSchema
+    import spark.implicits._
+    val retyped = Seq((3L, 7)).toDF("id", "v") // v: int, table has string
+    intercept[IllegalArgumentException](
+      ManifestTable.commit(spark, t, retyped, mergeSchema = true))
+  }
+
+  test("rowChanges classifies insert / update_post / delete by key; identical survivors are absent") {
+    val t = freshTable()
+    val v1 = ManifestTable.commit(spark, t,
+      dfN((1L, "keep", 1.0), (2L, "upd", 2.0), (3L, "del", 3.0)))
+    // upsert rewrites the whole table (key 1 carried verbatim), then a
+    // delete removes key 3 — the feed must show exactly two changes
+    ManifestTable.upsert(spark, t, dfN((2L, "upd", 20.0), (4L, "new", 4.0)), Seq("id"))
+    ManifestTable.deleteWhere(spark, t, col("id") === 3L)
+    val feed = ManifestTable.rowChanges(spark, t, v1, Seq("id"))
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getDouble(2),
+        r.getString(3))).toSet
+    assert(feed === Set(
+      (2L, "upd", 20.0, "update_post"),
+      (3L, "del", 3.0, "delete"),
+      (4L, "new", 4.0, "insert")))
+  }
+
+  test("rowChanges from version 0 is all-insert; empty range is empty") {
+    val t = freshTable()
+    val v1 = ManifestTable.commit(spark, t, dfN((1L, "a", 1.0)))
+    val all = ManifestTable.rowChanges(spark, t, 0, Seq("id")).collect()
+    assert(all.map(_.getString(3)).toSeq === Seq("insert"))
+    assert(ManifestTable.rowChanges(spark, t, v1, Seq("id")).count() === 0)
+  }
 }

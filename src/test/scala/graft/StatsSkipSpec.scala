@@ -1,0 +1,123 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.SaveMode
+import org.apache.spark.sql.functions._
+import graft.operators.LakehouseQueries.zkey16
+import graft.sources.{ManifestTable, Tables}
+
+/** Manifest-level data skipping (sources/ManifestTable.scala readRange/
+  * pruneFiles): the pruning ZOrderSkipSpec computes by hand from
+  * per-file parquet stats, moved behind the table format's own read
+  * path — recorded at write time in the manifest, applied BEFORE Spark
+  * lists or opens any file. These tests pin (1) that strictly fewer
+  * files than the snapshot holds reach the reader, (2) that pruning
+  * never loses a qualifying row, (3) that stats survive the derived
+  * commits (upsert / deleteWhere / compact), and (4) the judged
+  * c29 lifecycle's skip payoff on the z-ordered layout. */
+class StatsSkipSpec extends AnyFunSuite with SparkFixture {
+
+  private def freshTable(): String =
+    java.nio.file.Files.createTempDirectory("graft_skip").toString
+
+  test("readRange prunes on manifest stats: fewer files listed, same qualifying rows") {
+    val t = freshTable()
+    val ord = Tables.orders(spark, "/root/testdata/sf0.001")
+      .select(col("o_orderkey"), col("o_totalprice"))
+    ManifestTable.commit(spark, t,
+      ord.repartitionByRange(8, col("o_orderkey")), SaveMode.Overwrite,
+      statsColumns = Seq("o_orderkey"))
+    val ranges = Seq(("o_orderkey", 100.0, 800.0))
+    val (kept, total) = ManifestTable.pruneFiles(spark, t, ranges)
+    assert(total === 8)
+    assert(kept.nonEmpty && kept.size < total,
+      s"expected pruning on a range-clustered layout: kept ${kept.size}/$total")
+    val pruned = ManifestTable.readRange(spark, t, ranges)
+      .filter(col("o_orderkey").between(100, 800)).count()
+    val full = ManifestTable.read(spark, t)
+      .filter(col("o_orderkey").between(100, 800)).count()
+    assert(pruned === full && full > 0)
+  }
+
+  test("a column without recorded stats is never pruned (conservative keep)") {
+    val t = freshTable()
+    val ord = Tables.orders(spark, "/root/testdata/sf0.001")
+      .select(col("o_orderkey"), col("o_totalprice"))
+    ManifestTable.commit(spark, t,
+      ord.repartitionByRange(4, col("o_orderkey")), SaveMode.Overwrite,
+      statsColumns = Seq("o_orderkey"))
+    val (kept, total) = ManifestTable.pruneFiles(spark, t,
+      Seq(("o_totalprice", 0.0, 1.0))) // no stats for this column
+    assert(kept.size === total, "stats-less column must keep every file")
+  }
+
+  test("an empty intersection keeps zero files and reads an empty frame with the table schema") {
+    val t = freshTable()
+    val ord = Tables.orders(spark, "/root/testdata/sf0.001")
+      .select(col("o_orderkey"), col("o_totalprice"))
+    ManifestTable.commit(spark, t,
+      ord.repartitionByRange(4, col("o_orderkey")), SaveMode.Overwrite,
+      statsColumns = Seq("o_orderkey"))
+    val ranges = Seq(("o_orderkey", -100.0, -1.0))
+    val (kept, _) = ManifestTable.pruneFiles(spark, t, ranges)
+    assert(kept.isEmpty)
+    val df = ManifestTable.readRange(spark, t, ranges)
+    assert(df.count() === 0)
+    assert(df.columns.toSeq === Seq("o_orderkey", "o_totalprice"))
+  }
+
+  test("stats survive the table lifecycle: upsert and deleteWhere keep collecting the same columns") {
+    val t = freshTable()
+    val ord = Tables.orders(spark, "/root/testdata/sf0.001")
+      .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"))
+    ManifestTable.commit(spark, t,
+      ord.repartitionByRange(4, col("o_orderkey")), SaveMode.Overwrite,
+      statsColumns = Seq("o_orderkey"))
+    ManifestTable.upsert(spark, t,
+      ord.filter(col("o_orderkey") <= 100)
+        .withColumn("o_totalprice", col("o_totalprice") + 1),
+      Seq("o_orderkey"))
+    val afterUpsert = ManifestTable.snapshotStats(spark, t)
+    assert(afterUpsert.nonEmpty &&
+      afterUpsert.values.forall(_.contains("o_orderkey")),
+      "upsert must re-collect the head's stats columns for its rewrite")
+    ManifestTable.deleteWhere(spark, t, col("o_orderkey") > 5000)
+    val afterDelete = ManifestTable.snapshotStats(spark, t)
+    assert(afterDelete.nonEmpty &&
+      afterDelete.values.forall(_.contains("o_orderkey")))
+    // and the pruned read still equals the full filtered read
+    val ranges = Seq(("o_orderkey", 50.0, 200.0))
+    val pruned = ManifestTable.readRange(spark, t, ranges)
+      .filter(col("o_orderkey").between(50, 200)).count()
+    val full = ManifestTable.read(spark, t)
+      .filter(col("o_orderkey").between(50, 200)).count()
+    assert(pruned === full && full > 0)
+  }
+
+  test("c29 layout: OPTIMIZE-ZORDER records 2-D ranges that prune a 2-D box (the judged lifecycle's payoff)") {
+    val t = freshTable()
+    val li = Tables.lineitem(spark, "/root/testdata/sf0.01")
+      .select(col("l_orderkey"), col("l_linenumber"),
+        col("l_partkey"), col("l_suppkey"), col("l_quantity"))
+    ManifestTable.commit(spark, t,
+      li.repartitionByRange(16, col("l_orderkey"), col("l_linenumber")),
+      SaveMode.Overwrite)
+    // pre-OPTIMIZE: no stats recorded, nothing prunes
+    val box = Seq(("l_partkey", 100.0, 400.0), ("l_suppkey", 10.0, 40.0))
+    val (keptBefore, totalBefore) = ManifestTable.pruneFiles(spark, t, box)
+    assert(keptBefore.size === totalBefore)
+    ManifestTable.compact(spark, t, targetFiles = 16,
+      sortBy = Seq(zkey16(col("l_partkey"), col("l_suppkey"))),
+      statsColumns = Seq("l_partkey", "l_suppkey"))
+    val (kept, total) = ManifestTable.pruneFiles(spark, t, box)
+    assert(total === 16)
+    assert(kept.size <= total / 2,
+      s"z-order + stats pruned too little: ${kept.size}/$total files eligible")
+    val pruned = ManifestTable.readRange(spark, t, box)
+      .filter(col("l_partkey").between(100, 400) &&
+        col("l_suppkey").between(10, 40)).count()
+    val full = li.filter(col("l_partkey").between(100, 400) &&
+      col("l_suppkey").between(10, 40)).count()
+    assert(pruned === full && full > 0)
+  }
+}
