@@ -1,0 +1,117 @@
+package graft.streaming
+
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import graft.sources.ManifestTable
+
+/** The manifest table's change feed as a STREAM — the incremental
+  * consumer c23 models with a polling loop, promoted to Structured
+  * Streaming so downstream jobs get triggers, checkpoints, and
+  * exactly-once sinks for free.
+  *
+  * Spark's file source cannot tail the table directly: data files land
+  * under `data/<uuid>/` BEFORE the commit point, so a file stream on
+  * the table root would read uncommitted (possibly never-committed)
+  * files — a torn read the manifest protocol exists to prevent. The
+  * composition here keeps the commit point authoritative:
+  *
+  *  1. [[publishPending]] (the pump; run from a scheduler or the
+  *     [[pump]] daemon thread) reads `changes(lastPublished, head)` —
+  *     committed rows only — and publishes them into
+  *     `feedDir/data/v<lo>_<hi>/` via write-to-temp + atomic rename.
+  *     The range dir IS the progress marker: lastPublished is re-derived
+  *     from the published dir names, so there is no separate progress
+  *     file to fall out of sync with the data. A crash before the
+  *     rename leaves an invisible `.tmp-*` dir (hidden from Spark's
+  *     file listing, reclaimed on the next tick); a crash after is a
+  *     completed publish. Re-running a tick is a no-op: consecutive
+  *     version ranges never overlap and an existing range dir is never
+  *     re-published — so the pump is idempotent and crash-safe, and
+  *     TWO racing pumps publish a range at most once (the loser's
+  *     rename nests its temp dir INSIDE the winner's as a dot-prefixed
+  *     — hence invisible — child).
+  *  2. [[readChangeStream]] is a plain parquet file-source stream over
+  *     `feedDir/data/v*`, schema-pinned to the table's recorded head
+  *     schema. The file source's own checkpoint tracks which feed
+  *     files each sink consumed — restart-safe, exactly-once into
+  *     transactional sinks.
+  *
+  * At 100 TB each tick moves only the files the commits in
+  * `(lastPublished, head]` added — append cost, never a table scan;
+  * the feed dir is a bounded spill the operator prunes with ordinary
+  * retention once consumers pass it. */
+object ChangeFeedStream {
+
+  private def fs(spark: SparkSession, p: Path) =
+    p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+
+  private val RangeDir = "v(\\d+)_(\\d+)".r
+
+  /** Highest table version already published into `feedDir`, derived
+    * from the range-dir names (0 when the feed is empty). */
+  def publishedUpTo(spark: SparkSession, feedDir: String): Int = {
+    val dataDir = new Path(feedDir, "data")
+    val f = fs(spark, dataDir)
+    if (!f.exists(dataDir)) 0
+    else f.listStatus(dataDir).map(_.getPath.getName).collect {
+      case RangeDir(_, hi) => hi.toInt
+    }.foldLeft(0)(math.max)
+  }
+
+  /** One pump tick: publish `changes(lastPublished, head)` into the
+    * feed, atomically. Returns the version the feed now reaches.
+    * Idempotent — call it from any scheduler, as often as you like. */
+  def publishPending(spark: SparkSession, table: String, feedDir: String): Int = {
+    val head = ManifestTable.currentVersion(spark, table)
+    val last = publishedUpTo(spark, feedDir)
+    if (head <= last) return last
+    val dataDir = new Path(feedDir, "data")
+    val f = fs(spark, dataDir)
+    f.mkdirs(dataDir)
+    // reclaim any previous crashed tick's invisible temp dir
+    f.listStatus(dataDir).map(_.getPath)
+      .filter(_.getName.startsWith(".tmp-"))
+      .foreach(p => f.delete(p, true))
+    val batch = ManifestTable.changes(spark, table, last, head)
+    val tmp = new Path(dataDir, s".tmp-${java.util.UUID.randomUUID()}")
+    batch.write.mode("overwrite").parquet(tmp.toString)
+    val target = new Path(dataDir, s"v${last + 1}_$head")
+    if (f.exists(target)) f.delete(tmp, true) // another pump won this range
+    else f.rename(tmp, target)
+    head
+  }
+
+  /** The feed as a streaming DataFrame (parquet file source over the
+    * published range dirs), schema-pinned to the table's recorded head
+    * schema so pre-evolution feed files surface added columns as null
+    * exactly like the batch read path. */
+  def readChangeStream(spark: SparkSession, table: String,
+                       feedDir: String): DataFrame = {
+    fs(spark, new Path(feedDir, "data")).mkdirs(new Path(feedDir, "data"))
+    val schema = ManifestTable.snapshotSchema(spark, table)
+      .getOrElse(ManifestTable.read(spark, table).schema)
+    spark.readStream.schema(schema).parquet(s"$feedDir/data/v*")
+  }
+
+  /** Continuous pump: a daemon thread ticking [[publishPending]] every
+    * `pollIntervalMs`. Close to stop. One pump per feed is the intended
+    * deployment; racing pumps stay correct (see object doc), they just
+    * waste work. */
+  def pump(spark: SparkSession, table: String, feedDir: String,
+           pollIntervalMs: Long = 1000L): AutoCloseable = {
+    @volatile var running = true
+    val t = new Thread(() => {
+      while (running) {
+        try publishPending(spark, table, feedDir)
+        catch { case _: InterruptedException => running = false
+                case e: Throwable =>
+                  System.err.println(s"[change-feed pump] tick failed: ${e.getMessage}") }
+        try Thread.sleep(pollIntervalMs)
+        catch { case _: InterruptedException => running = false }
+      }
+    }, s"graft-change-feed-pump")
+    t.setDaemon(true)
+    t.start()
+    () => { running = false; t.interrupt(); t.join(5000) }
+  }
+}
