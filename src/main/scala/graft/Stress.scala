@@ -87,6 +87,18 @@ object Stress {
     time("prefix_join_b2") {
       graft.operators.MinHash.prefixJoin(docs).count()
     }
+    // The PPJoin length bound's payoff, measured: prefix collisions vs
+    // collisions surviving t·max(|A|,|B|) ≤ min(|A|,|B|). Replication
+    // preserves sizes, so the REDUCTION RATIO should hold at any rep —
+    // the bound must never grow the candidate set.
+    if (only.forall("prefix_candidates_b2".contains)) {
+      val (rawC, boundedC) =
+        graft.operators.MinHash.prefixCandidateCounts(docs)
+      println(f"[stress rep=$rep] prefix_candidates_b2 raw=$rawC bounded=$boundedC " +
+        f"cut=${100.0 * (rawC - boundedC) / math.max(1, rawC)}%.1f%%")
+      require(boundedC <= rawC,
+        "length bound may only shrink the candidate set")
+    }
 
     // Analytics shapes over a rep×-replicated event log (user space
     // grows rep×, per-user history constant — the 100 TB shape): the

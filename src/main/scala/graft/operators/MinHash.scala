@@ -88,9 +88,60 @@ object MinHash {
     * must emit every pair) — for those corpora use [[candidatePairs]]
     * + the star-edge cap instead.
     * Output: (doc_a, doc_b, j) with j the raw double Jaccard. */
+  /** Candidate-pair volume of [[prefixJoin]]'s self-join BEFORE exact
+    * verification: (prefix collisions, collisions surviving the PPJoin
+    * length bound). Stress reports both at 10× — the bound's value is
+    * this gap, bought with one integer compare per collision row. */
+  private[graft] def prefixCandidateCounts(docs: DataFrame,
+      idCol: String = "doc_id", textCol: String = "text",
+      t: Double = 0.5): (Long, Long) = {
+    val dd = distinctShingleSets(docs, textCol)
+    val prefix = prefixFrame(dd, t)
+    val raw = prefix.select(col("h").as("ha"), col("n").as("na"), col("sh"))
+      .join(prefix.select(col("h").as("hb"), col("n").as("nb"), col("sh")), "sh")
+      .filter(col("ha") < col("hb"))
+    (raw.select("ha", "hb").distinct().count(),
+      raw.filter(greatest(col("na"), col("nb")) * t <= least(col("na"), col("nb")))
+        .select("ha", "hb").distinct().count())
+  }
+
+  /** Distinct-text shingle sets (h = md5 of normalized text, g = its
+    * distinct 3-shingles), checkpointed: every expensive prefix-join
+    * stage runs once per DISTINCT text. */
+  private def distinctShingleSets(docs: DataFrame, textCol: String): DataFrame = {
+    val norm = lower(trim(col(textCol)))
+    docs
+      .select(md5(norm).as("h"),
+        array_distinct(shingles(norm, 3)).as("g"))
+      .groupBy("h").agg(first(col("g")).as("g")) // all g equal per h
+      .localCheckpoint(true)
+  }
+
+  /** The ranked-prefix frame (h, shingle count n, prefix shingle sh),
+    * checkpointed — the self-join input of [[prefixJoin]] and
+    * [[prefixCandidateCounts]]. n rides along from size(g) at explode
+    * time — free, where a count-over-text window would be a second
+    * window pass. Document frequency via a count window over sh: the
+    * exploded distinct-text corpus shuffles ONCE by sh, where a
+    * groupBy+join formulation shuffled it twice (agg build + join
+    * probe). g is array_distinct'ed, so rows-per-sh = texts-containing-
+    * sh = df — any consistent global shingle order keeps the prefix
+    * bound valid; rarest-first keeps the candidate set small. */
+  private def prefixFrame(dd: DataFrame, t: Double): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    dd.select(col("h"), size(col("g")).as("n"), explode(col("g")).as("sh"))
+      .withColumn("df", count(lit(1)).over(Window.partitionBy("sh")))
+      .withColumn("rk", row_number().over(
+        Window.partitionBy("h").orderBy(col("df").asc, col("sh").asc)))
+      .filter(col("rk") <= col("n") - ceil(col("n") * t) + 1)
+      .select(col("h"), col("n"), col("sh"))
+      // both sides of the candidate self-join read this — without the
+      // checkpoint the whole explode→df→rank chain computes twice
+      .localCheckpoint(true)
+  }
+
   def prefixJoin(docs: DataFrame, idCol: String = "doc_id",
                  textCol: String = "text", t: Double = 0.5): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
     val norm = lower(trim(col(textCol)))
     // EXACT-DUPLICATE COLLAPSE first: identical texts have identical
     // shingle sets, so every expensive stage — prefix ranking, the
@@ -103,32 +154,18 @@ object MinHash {
     // This is the exact-path analogue of the LSH star-edge cap.
     val keyed = docs.select(col(idCol).as("doc_id"), md5(norm).as("h"))
       .localCheckpoint(true)
-    val dd = docs
-      .select(md5(norm).as("h"),
-        array_distinct(shingles(norm, 3)).as("g"))
-      .groupBy("h").agg(first(col("g")).as("g")) // all g equal per h
-      .localCheckpoint(true)
-    // n (per-text shingle count) is size(g) at explode time — free,
-    // where a count-over-text window would be a second window pass.
-    val ex = dd.select(col("h"), size(col("g")).as("n"), explode(col("g")).as("sh"))
-    // document frequency via a count window over sh: the exploded
-    // distinct-text corpus shuffles ONCE by sh, where a groupBy+join
-    // formulation shuffled it twice (agg build + join probe). g is
-    // array_distinct'ed, so rows-per-sh = texts-containing-sh = df —
-    // any consistent global shingle order keeps the prefix bound
-    // valid; rarest-first keeps the candidate set small.
-    val prefix = ex
-      .withColumn("df", count(lit(1)).over(Window.partitionBy("sh")))
-      .withColumn("rk", row_number().over(
-        Window.partitionBy("h").orderBy(col("df").asc, col("sh").asc)))
-      .filter(col("rk") <= col("n") - ceil(col("n") * t) + 1)
-      .select(col("h"), col("sh"))
-      // both sides of the candidate self-join read this — without the
-      // checkpoint the whole explode→df→rank chain computes twice
-      .localCheckpoint(true)
-    val cand = prefix.select(col("h").as("ha"), col("sh"))
-      .join(prefix.select(col("h").as("hb"), col("sh")), "sh")
-      .filter(col("ha") < col("hb"))
+    val dd = distinctShingleSets(docs, textCol)
+    val prefix = prefixFrame(dd, t)
+    // PPJoin length bound: J(A,B) ≥ t forces t·max(|A|,|B|) ≤
+    // min(|A|,|B|) (|A∩B| ≤ min, |A∪B| ≥ max), so size-incompatible
+    // prefix collisions drop BEFORE the distinct and the set-overlap
+    // verification — on a corpus with both tweets and books nearly
+    // every cross-length collision dies here for the cost of one
+    // integer compare per candidate row.
+    val cand = prefix.select(col("h").as("ha"), col("n").as("na"), col("sh"))
+      .join(prefix.select(col("h").as("hb"), col("n").as("nb"), col("sh")), "sh")
+      .filter(col("ha") < col("hb") &&
+        greatest(col("na"), col("nb")) * t <= least(col("na"), col("nb")))
       .select("ha", "hb").distinct()
     // exact verification, once per distinct-text pair
     val rpairs = cand
