@@ -28,4 +28,30 @@ object QueryRegistry {
   /** SQL twin of [[dsum]]. */
   def dsumSql(expr: String): String =
     s"CAST(sum(CAST($expr AS DECIMAL(28,6))) AS DOUBLE)"
+
+  /** Pid-tagged scratch dir for a judged query that materializes state
+    * (manifest tables, lake roots), WITH teardown: stale same-tag dirs
+    * left by earlier processes are deleted on the way in. Our own dir
+    * must outlive this call — the returned DataFrame reads it lazily —
+    * so the sweep only touches other pids' dirs, and only ones idle
+    * for 30+ minutes (a concurrently-running driver/bench JVM keeps
+    * its dirs fresh). Result: /tmp holds at most one generation of
+    * scratch per query family instead of one per historical run. */
+  def scratchDir(tag: String, sfDir: String): String = {
+    val tmp = new java.io.File(sys.props("java.io.tmpdir"))
+    val pid = ProcessHandle.current().pid()
+    val prefix = s"graft_${tag}_"
+    val cutoff = System.currentTimeMillis() - 30L * 60 * 1000
+    def rmRf(f: java.io.File): Unit = {
+      Option(f.listFiles()).getOrElse(Array.empty).foreach(rmRf)
+      f.delete(); ()
+    }
+    Option(tmp.listFiles()).getOrElse(Array.empty)
+      .filter { f =>
+        f.getName.startsWith(prefix) && !f.getName.endsWith(s"_$pid") &&
+          f.lastModified() < cutoff
+      }
+      .foreach(rmRf)
+    s"${tmp.getAbsolutePath}/$prefix${new java.io.File(sfDir).getName}_$pid"
+  }
 }

@@ -371,8 +371,7 @@ object LakehouseQueries {
         // PID-scoped path: the overwrite phase deletes partition files,
         // so a concurrent JVM reading the same path would hit
         // FileNotFound mid-scan (unlike the append-only c4/c5 temps)
-        val base = s"${sys.props("java.io.tmpdir")}/graft_c16_" +
-          s"${new java.io.File(d).getName}_${ProcessHandle.current().pid()}"
+        val base = scratchDir("c16", d)
         val docs = Tables.documents(s, d)
           .select(col("doc_id"), col("source"), col("n_chars"), col("lang"))
         docs.write.mode("overwrite").partitionBy("lang").parquet(base)
@@ -431,8 +430,7 @@ object LakehouseQueries {
       "c19_manifest_merge",
       (s, d) => {
         import org.apache.spark.sql.SaveMode
-        val t = s"${sys.props("java.io.tmpdir")}/graft_c19_" +
-          s"${new java.io.File(d).getName}_${ProcessHandle.current().pid()}"
+        val t = scratchDir("c19", d)
         val cust = Tables.customer(s, d)
           .select(col("c_custkey"), col("c_name"), col("c_acctbal"))
         graft.sources.ManifestTable.commit(s, t,
@@ -467,8 +465,7 @@ object LakehouseQueries {
       "c20_time_travel",
       (s, d) => {
         import org.apache.spark.sql.SaveMode
-        val t = s"${sys.props("java.io.tmpdir")}/graft_c20_" +
-          s"${new java.io.File(d).getName}_${ProcessHandle.current().pid()}"
+        val t = scratchDir("c20", d)
         val cust = Tables.customer(s, d)
           .select(col("c_custkey"), col("c_name"), col("c_acctbal"))
         graft.sources.ManifestTable.commit(s, t,
@@ -499,8 +496,7 @@ object LakehouseQueries {
     Entry(
       "c21_lake_json_ingest",
       (s, d) => {
-        val base = s"${sys.props("java.io.tmpdir")}/graft_c21_" +
-          s"${new java.io.File(d).getName}_${ProcessHandle.current().pid()}"
+        val base = scratchDir("c21", d)
         Tables.documents(s, d)
           .select(col("doc_id"), col("source"), col("lang"), col("n_chars"))
           .write.mode("overwrite").partitionBy("lang")
@@ -527,8 +523,7 @@ object LakehouseQueries {
       "c22_delete_expire",
       (s, d) => {
         import org.apache.spark.sql.SaveMode
-        val t = s"${sys.props("java.io.tmpdir")}/graft_c22_" +
-          s"${new java.io.File(d).getName}_${ProcessHandle.current().pid()}"
+        val t = scratchDir("c22", d)
         val cust = Tables.customer(s, d)
           .select(col("c_custkey"), col("c_name"), col("c_acctbal"))
         graft.sources.ManifestTable.commit(s, t,
@@ -562,8 +557,7 @@ object LakehouseQueries {
       "c23_change_feed",
       (s, d) => {
         import org.apache.spark.sql.SaveMode
-        val t = s"${sys.props("java.io.tmpdir")}/graft_c23_" +
-          s"${new java.io.File(d).getName}_${ProcessHandle.current().pid()}"
+        val t = scratchDir("c23", d)
         val cust = Tables.customer(s, d)
           .select(col("c_custkey"), col("c_name"), col("c_acctbal"))
         val vBase = graft.sources.ManifestTable.commit(s, t,
@@ -608,8 +602,7 @@ object LakehouseQueries {
     Entry(
       "c24_two_lakes",
       (s, d) => {
-        val base = s"${sys.props("java.io.tmpdir")}/graft_c24_" +
-          s"${new java.io.File(d).getName}_${ProcessHandle.current().pid()}"
+        val base = scratchDir("c24", d)
         val docs = Tables.documents(s, d)
           .select(col("doc_id"), col("source"), col("lang"), col("n_chars"))
         docs.filter(col("doc_id") % 2 === 0)
@@ -620,7 +613,7 @@ object LakehouseQueries {
           Map("fs.s3a.bucket.lake-a.access.key" -> "KEY-A"))
         val cfgB = graft.sources.LakeConfig(s"file://$base/lake_b",
           Map("fs.s3a.bucket.lake-b.access.key" -> "KEY-B",
-            "fs.s3a.bucket.lake-b.endpoint" -> "minio.internal:9000"))
+            "fs.s3a.bucket.lake-b.endpoint" -> "localhost:9000"))
         graft.sources.Lake.table(s, cfgA, "documents")
           .unionByName(graft.sources.Lake.table(s, cfgB, "documents"))
           .groupBy("lang")
@@ -648,8 +641,7 @@ object LakehouseQueries {
       "c25_stats_skip",
       (s, d) => {
         import org.apache.spark.sql.SaveMode
-        val t = s"${sys.props("java.io.tmpdir")}/graft_c25_" +
-          s"${new java.io.File(d).getName}_${ProcessHandle.current().pid()}"
+        val t = scratchDir("c25", d)
         val ord = Tables.orders(s, d)
           .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"),
             col("o_orderpriority"))
@@ -684,8 +676,7 @@ object LakehouseQueries {
       "c26_schema_evolve",
       (s, d) => {
         import org.apache.spark.sql.SaveMode
-        val t = s"${sys.props("java.io.tmpdir")}/graft_c26_" +
-          s"${new java.io.File(d).getName}_${ProcessHandle.current().pid()}"
+        val t = scratchDir("c26", d)
         val cust = Tables.customer(s, d)
         graft.sources.ManifestTable.commit(s, t,
           cust.filter(col("c_custkey") <= 1000)
@@ -721,8 +712,7 @@ object LakehouseQueries {
       "c27_row_cdf",
       (s, d) => {
         import org.apache.spark.sql.SaveMode
-        val t = s"${sys.props("java.io.tmpdir")}/graft_c27_" +
-          s"${new java.io.File(d).getName}_${ProcessHandle.current().pid()}"
+        val t = scratchDir("c27", d)
         val cust = Tables.customer(s, d)
           .select(col("c_custkey"), col("c_name"), col("c_acctbal"))
         val vBase = graft.sources.ManifestTable.commit(s, t,
@@ -775,8 +765,7 @@ object LakehouseQueries {
       "c28_conditional_merge",
       (s, d) => {
         import org.apache.spark.sql.SaveMode
-        val t = s"${sys.props("java.io.tmpdir")}/graft_c28_" +
-          s"${new java.io.File(d).getName}_${ProcessHandle.current().pid()}"
+        val t = scratchDir("c28", d)
         val cust = Tables.customer(s, d)
           .select(col("c_custkey"), col("c_name"), col("c_acctbal"))
         graft.sources.ManifestTable.commit(s, t,
@@ -820,8 +809,7 @@ object LakehouseQueries {
       "c29_zorder_optimize",
       (s, d) => {
         import org.apache.spark.sql.SaveMode
-        val t = s"${sys.props("java.io.tmpdir")}/graft_c29_" +
-          s"${new java.io.File(d).getName}_${ProcessHandle.current().pid()}"
+        val t = scratchDir("c29", d)
         val li = Tables.lineitem(s, d)
           .select(col("l_orderkey"), col("l_linenumber"),
             col("l_partkey"), col("l_suppkey"), col("l_quantity"))

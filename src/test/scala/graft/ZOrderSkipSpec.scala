@@ -53,6 +53,12 @@ class ZOrderSkipSpec extends AnyFunSuite with SparkFixture {
     }
     val (eligLin, totLin, rowsLin) = stats(s"$base/linear")
     val (eligZ, totZ, rowsZ) = stats(s"$base/zorder")
+    // teardown: both layouts are fully consumed by the collects above
+    def rmRf(f: java.io.File): Unit = {
+      Option(f.listFiles()).getOrElse(Array.empty).foreach(rmRf)
+      f.delete(); ()
+    }
+    rmRf(new java.io.File(base))
     assert(rowsLin === rowsZ, "layouts must hold identical data")
     assert(rowsZ > 0, "predicate must actually select rows")
     assert(totLin === nFiles && totZ === nFiles)
