@@ -29,8 +29,18 @@ object Graft {
     graft.sources.LakeConfig.parse(cfgText)
 
   /** ACID-ish snapshot tables over raw parquet: atomic manifest
-    * commits, snapshot reads, time travel, MERGE upserts. */
+    * commits, snapshot reads, time travel, conditional MERGE
+    * (matched-clause update/delete), row-level change feed
+    * (rowChanges), schema evolution on append, per-file stats with
+    * manifest-level data skipping (readRange), OPTIMIZE/Z-ORDER
+    * compaction, retention. */
   val manifestTable: graft.sources.ManifestTable.type = graft.sources.ManifestTable
+
+  /** The manifest change feed as a Structured Stream: an idempotent
+    * pump publishes committed increments; consumers get checkpointed
+    * exactly-once file-source delivery. */
+  val changeFeed: graft.streaming.ChangeFeedStream.type =
+    graft.streaming.ChangeFeedStream
 
   /** Session builder with the engine's required configs (UTC, ns-as-
     * long events, SQL extensions with dot_product registered). */
