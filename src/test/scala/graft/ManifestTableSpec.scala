@@ -503,4 +503,23 @@ class ManifestTableSpec extends AnyFunSuite with SparkFixture {
     assert(all.map(_.getString(3)).toSeq === Seq("insert"))
     assert(ManifestTable.rowChanges(spark, t, v1, Seq("id")).count() === 0)
   }
+
+  test("rowChanges across a schema evolution: both sides compare under the TO-version schema") {
+    val t = freshTable()
+    val v1 = ManifestTable.commit(spark, t, df(1L -> "a", 2L -> "b"))
+    // widen with x, and rewrite key 2 through the widened schema — key 1
+    // stays only in the pre-evolution file
+    ManifestTable.commit(spark, t, dfN((3L, "c", 3.0)), mergeSchema = true)
+    ManifestTable.upsert(spark, t,
+      dfN((2L, "B", 2.0), (3L, "c", 3.0)), Seq("id"))
+    val feed = ManifestTable.rowChanges(spark, t, v1, Seq("id"))
+      .collect()
+      .map(r => (r.getLong(0), r.getString(1), Option(r.get(2)), r.getString(3)))
+      .toSet
+    // key 1: carried verbatim (null x on both sides of the comparison)
+    // → absent; key 2: gained a value for x → update_post; key 3: new
+    assert(feed === Set(
+      (2L, "B", Some(2.0), "update_post"),
+      (3L, "c", Some(3.0), "insert")))
+  }
 }

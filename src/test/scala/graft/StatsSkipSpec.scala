@@ -32,8 +32,11 @@ class StatsSkipSpec extends AnyFunSuite with SparkFixture {
     assert(total === 8)
     assert(kept.nonEmpty && kept.size < total,
       s"expected pruning on a range-clustered layout: kept ${kept.size}/$total")
-    val pruned = ManifestTable.readRange(spark, t, ranges)
-      .filter(col("o_orderkey").between(100, 800)).count()
+    val prunedDf = ManifestTable.readRange(spark, t, ranges)
+    // the SCAN itself receives only the kept files — the pruning is
+    // I/O-level, not a post-scan filter
+    assert(prunedDf.inputFiles.length === kept.size)
+    val pruned = prunedDf.filter(col("o_orderkey").between(100, 800)).count()
     val full = ManifestTable.read(spark, t)
       .filter(col("o_orderkey").between(100, 800)).count()
     assert(pruned === full && full > 0)
@@ -113,7 +116,9 @@ class StatsSkipSpec extends AnyFunSuite with SparkFixture {
     assert(total === 16)
     assert(kept.size <= total / 2,
       s"z-order + stats pruned too little: ${kept.size}/$total files eligible")
-    val pruned = ManifestTable.readRange(spark, t, box)
+    val prunedDf = ManifestTable.readRange(spark, t, box)
+    assert(prunedDf.inputFiles.length === kept.size)
+    val pruned = prunedDf
       .filter(col("l_partkey").between(100, 400) &&
         col("l_suppkey").between(10, 40)).count()
     val full = li.filter(col("l_partkey").between(100, 400) &&
