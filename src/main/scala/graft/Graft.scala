@@ -39,7 +39,7 @@ object Graft {
   /** The manifest change feed as a Structured Stream: an idempotent
     * pump publishes committed increments; consumers get checkpointed
     * exactly-once file-source delivery. */
-  val changeFeed: graft.streaming.ChangeFeedStream.type =
+  val changeFeedStream: graft.streaming.ChangeFeedStream.type =
     graft.streaming.ChangeFeedStream
 
   /** Session builder with the engine's required configs (UTC, ns-as-

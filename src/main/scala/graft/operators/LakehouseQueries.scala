@@ -544,15 +544,19 @@ object LakehouseQueries {
     // C23: the change-feed consumer pattern, judged — base commit →
     // keyed upsert → delete-by-predicate, then ONE incremental read of
     // `changes(sinceVersion = base)` instead of a table re-scan. The
-    // feed is file-granular (the Delta CDF shape); `distinct` collapses
-    // the file-level duplication between the upsert's full rewrite and
-    // the delete's survivor rewrite into exactly the post-upsert image
-    // — deterministic regardless of how rows were split across files —
-    // and the documented anti-join against the live head classifies
-    // each changed row as still-live or later-deleted. Oracle replays
-    // merge + delete directly from `customer`; any leak of base files
-    // into the feed, loss of a mutation, or misclassification moves
-    // the hash.
+    // feed is file-granular and, since the r8 touched-file MERGE,
+    // bounded by CHURN: carried base files never enter it, so its
+    // exact content is layout-dependent (a carried-along neighbor row
+    // appears iff it shared a file with a changed row). The consumer
+    // therefore restricts to the key range its mutation batch touched
+    // — every such key is PROVABLY in the feed (upsert wrote its
+    // post-image file) — and classifies live/deleted via the anti-join
+    // against the head. `distinct` collapses the upsert-file /
+    // delete-survivor-file duplication (both hold the identical
+    // post-upsert image). Row-level classification beyond the batch's
+    // range — including deletes in untouched files — is c27
+    // rowChanges' job. Oracle replays the upsert range directly from
+    // `customer`; a lost mutation or misclassification moves the hash.
     Entry(
       "c23_change_feed",
       (s, d) => {
@@ -568,6 +572,7 @@ object LakehouseQueries {
           Seq("c_custkey"))
         graft.sources.ManifestTable.deleteWhere(s, t, col("c_acctbal") < 0)
         val feed = graft.sources.ManifestTable.changes(s, t, vBase).distinct()
+          .filter(col("c_custkey").between(500, 1500))
         val live = graft.sources.ManifestTable.read(s, t)
           .select(col("c_custkey"), lit(1).as("__live"))
         feed.join(live, Seq("c_custkey"), "left")
@@ -577,15 +582,12 @@ object LakehouseQueries {
               .otherwise(lit("deleted")).as("change_type"))
           .orderBy("c_custkey")
       },
-      Some("""WITH merged AS (
-             |  SELECT c_custkey, c_name,
-             |    CASE WHEN c_custkey BETWEEN 500 AND 1500
-             |         THEN c_acctbal + 100 ELSE c_acctbal END AS bal0
-             |  FROM customer
-             |  WHERE c_custkey <= 1000 OR c_custkey BETWEEN 500 AND 1500)
+      Some("""WITH upd AS (
+             |  SELECT c_custkey, c_name, c_acctbal + 100 AS bal0
+             |  FROM customer WHERE c_custkey BETWEEN 500 AND 1500)
              |SELECT c_custkey, c_name, round(bal0, 2) AS bal,
              |  CASE WHEN bal0 < 0 THEN 'deleted' ELSE 'live' END AS change_type
-             |FROM merged ORDER BY c_custkey NULLS FIRST""".stripMargin)
+             |FROM upd ORDER BY c_custkey NULLS FIRST""".stripMargin)
     ),
 
     // C24: TWO differently-credentialed lake roots in ONE plan — the

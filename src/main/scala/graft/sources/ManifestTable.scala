@@ -430,7 +430,18 @@ object ManifestTable {
       }
     if (mode == SaveMode.Append)
       widened(currentVersion(spark, table), snapshotFiles(spark, table))
-    val (uuid, newFiles, newStats) = writeData(spark, table, df, statsColumns)
+    // stats continuity: a stats-tracking table keeps tracking through
+    // plain appends/overwrites even when the caller passes no
+    // statsColumns — otherwise every routine append would silently
+    // decay the manifest's skipping power file by file. (Read before
+    // the write; a concurrent commit changing the tracked set between
+    // here and publish costs at most one batch of extra/missing
+    // ranges, never correctness — pruning treats absent stats as
+    // keep.)
+    val cols = (statsColumnsOf(
+        snapshotStats(spark, table, currentVersion(spark, table))) ++
+      statsColumns).distinct.sorted
+    val (uuid, newFiles, newStats) = writeData(spark, table, df, cols)
     var committed = -1
     var attempt = 0
     while (committed < 0) {
@@ -521,27 +532,52 @@ object ManifestTable {
     * matches, so first-batch initialization races resolve inside the
     * commit protocol too.
     *
-    * Scale stance: ONE shuffle on `keys` (the left join; AQE broadcasts
-    * a small changelog), no driver-side row state; the clause logic is
-    * row-local projection/filter inside whole-stage codegen. */
+    * Scale stance — TOUCHED-FILE pruning, the shape that makes MERGE
+    * deployable at 100 TB (a full-table rewrite per merge is not):
+    * pass 1 finds the files containing matched keys via a column-
+    * pruned key scan + semi-join (parquet reads only the key columns);
+    * pass 2 re-reads ONLY those files, applies the clause logic (one
+    * shuffle on `keys`; AQE broadcasts a small changelog; row-local
+    * projection/filter inside whole-stage codegen), and writes their
+    * post-image plus the inserts; every untouched file carries into
+    * the new snapshot by reference with its stats. Write volume is
+    * O(files containing matched keys), not O(table). */
   def merge(spark: SparkSession, table: String, updates: DataFrame,
             keys: Seq[String],
             whenMatchedUpdate: Option[Column] = None,
             whenMatchedDelete: Option[Column] = None,
             maxAttempts: Int = 5): Int = {
-    import org.apache.spark.sql.functions.{coalesce, col, lit, struct}
+    import org.apache.spark.sql.functions.{coalesce, col, concat_ws, element_at, lit, split, struct}
+    val srcCols = updates.columns.toSeq
     var attempt = 0
     while (attempt < maxAttempts) {
       attempt += 1
       val head = currentVersion(spark, table)
-      val merged =
-        if (head == 0) updates
+      val rel = snapshotFiles(spark, table, head)
+      val schema = snapshotSchema(spark, table, head)
+      val relFile = {
+        val parts = split(col("_metadata.file_path"), "/")
+        concat_ws("/",
+          element_at(parts, -3), element_at(parts, -2), element_at(parts, -1))
+      }
+      val (merged, affected) =
+        if (head == 0 || rel.isEmpty) (updates, Set.empty[String])
         else {
-          val tgt = read(spark, table, head)
-          val srcCols = updates.columns.toSeq
           val src = updates
             .select(struct(srcCols.map(col): _*).as("_src"))
             .select(keys.map(k => col(s"_src.$k").as(k)) :+ col("_src"): _*)
+          // pass 1: which files hold a matched key? Column-pruned to
+          // the keys; bounded driver state (≤ |snapshot files|).
+          val tgtKeys = readFiles(spark, table, rel, schema)
+            .select(keys.map(col) :+ relFile.as("__f"): _*)
+          val affected = tgtKeys
+            .join(src.select(keys.map(col): _*).distinct(), keys, "left_semi")
+            .select("__f").distinct()
+            .collect().map(_.getString(0)).toSet
+          // pass 2: clause logic over ONLY the affected files' rows
+          val tgt =
+            if (affected.isEmpty) read(spark, table, head).limit(0)
+            else readFiles(spark, table, affected.toSeq.sorted, schema)
           val joined = tgt.join(src, keys, "left")
           val matched = col("_src").isNotNull
           val del = coalesce(whenMatchedDelete.getOrElse(lit(false)), lit(false))
@@ -551,14 +587,17 @@ object ManifestTable {
           val replaced = joined.filter(matched && !del && upd)
             .select(srcCols.map(c => col(s"_src.$c").as(c)): _*)
           val inserted = updates.join(
-            tgt.select(keys.map(col): _*).distinct(), keys, "left_anti")
-          kept.unionByName(replaced).unionByName(inserted)
+            tgtKeys.select(keys.map(col): _*).distinct(), keys, "left_anti")
+          (kept.unionByName(replaced).unionByName(inserted), affected)
         }
       val headStats = snapshotStats(spark, table, head)
-      val (uuid, files, newStats) =
+      val (uuid, newFiles, newStats) =
         writeData(spark, table, merged, statsColumnsOf(headStats))
+      val files = rel.filterNot(affected) ++ newFiles
+      // carried files keep their recorded stats; rewritten + inserted
+      // files get fresh ranges from the write above
       commitIfHead(spark, table, files, head, uuid,
-          Some(merged.schema), newStats) match {
+          schema.orElse(Some(merged.schema)), headStats ++ newStats) match {
         case Some(v) => return v
         case None => // lost the race — discard this attempt's data, re-derive
           fs(spark, new Path(table)).delete(new Path(table, s"data/$uuid"), true)
@@ -573,9 +612,20 @@ object ManifestTable {
     * are rewritten (their surviving rows re-packed into new files);
     * untouched files carry over by reference. No matching rows → no
     * new version (returns the current head). Same conditional-commit
-    * re-derive loop as [[upsert]]. */
+    * re-derive loop as [[upsert]].
+    *
+    * `scanRanges`: optional manifest-stats pruning of the AFFECTED-FILE
+    * SCAN itself — files whose recorded (min,max) miss every given
+    * `col -> (lo, hi)` box are skipped without being read, the same
+    * decision [[readRange]] makes. CALLER-ASSERTED implication: `pred`
+    * must be false outside the ranges (e.g. pred = `ts BETWEEN a AND b
+    * AND flag`, ranges = ts box) — a matching row hiding in a pruned
+    * file is simply not deleted. At 100 TB this turns DELETE's
+    * find-the-victims pass from a full scan into reading the few files
+    * owning the predicate's range. */
   def deleteWhere(spark: SparkSession, table: String, pred: Column,
-                  maxAttempts: Int = 5): Int = {
+                  maxAttempts: Int = 5,
+                  scanRanges: Seq[(String, Double, Double)] = Nil): Int = {
     import org.apache.spark.sql.functions.{coalesce, col, element_at, lit, split}
     var attempt = 0
     while (attempt < maxAttempts) {
@@ -583,7 +633,12 @@ object ManifestTable {
       val head = currentVersion(spark, table)
       val rel = snapshotFiles(spark, table, head)
       if (rel.isEmpty) return head
-      val withFile = read(spark, table, head).withColumn("__f",
+      val candidates =
+        if (scanRanges.isEmpty) rel
+        else pruneFiles(spark, table, scanRanges, head)._1
+      if (candidates.isEmpty) return head
+      val withFile = readFiles(spark, table, candidates,
+        snapshotSchema(spark, table, head)).withColumn("__f",
         // absolute scan path → the manifest's relative form: data files
         // always sit exactly at data/<uuid>/<part>, so the last three
         // path segments ARE the relative path (root-prefix stripping

@@ -68,7 +68,13 @@ class GraftFacadeSpec extends AnyFunSuite with SparkFixture {
       .map(r => (r.getLong(0), r.getString(1))).toSeq
       === Seq((1L, "a"), (2L, "B"), (4L, "d")))
     assert(Graft.readTable(spark, t, version = v1).count() === 3) // time travel
-    assert(Graft.changeFeed(spark, t, sinceVersion = v1).distinct().count() === 4)
+    // the feed is churn-bounded (r8 touched-file MERGE): the mutated
+    // keys' post-images are provably in it; carried-along neighbors are
+    // layout-dependent, so the consumer restricts to its batch's keys
+    val feed = Graft.changeFeed(spark, t, sinceVersion = v1).distinct()
+      .filter(col("id").isin(2L, 4L)).orderBy("id").collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    assert(feed.toSeq === Seq((2L, "B"), (4L, "d")))
     val vc = Graft.compactTable(spark, t, sortBy = Seq(col("id")))
     assert(Graft.readTable(spark, t, vc).count() === 3)
     Graft.expireTable(spark, t, keepLast = 1)

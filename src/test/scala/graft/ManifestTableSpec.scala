@@ -215,14 +215,23 @@ class ManifestTableSpec extends AnyFunSuite with SparkFixture {
       .collect().map(_.getLong(0)).toSeq === Seq(2L))
     assert(ManifestTable.changes(spark, t, 3).count() === 0) // empty, typed
     assert(ManifestTable.changes(spark, t, 3).columns.toSeq === Seq("id", "v"))
-    // an upsert rewrites the snapshot: file-granular changes = new snapshot
+    // an upsert rewrites only the TOUCHED files (r8): each single-row
+    // commit made one file, so the feed after upserting key 2 is that
+    // key's rewritten file — keys 1 and 3 carry by reference, outside
+    // the feed
     ManifestTable.upsert(spark, t, df(2L -> "B"), Seq("id"))           // v4
-    assert(ManifestTable.changes(spark, t, 3).count() === 3)
+    assert(ManifestTable.changes(spark, t, 3)
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSeq
+      === Seq((2L, "B")))
     // row-level delta via the documented time-travel anti-join
     val delta = ManifestTable.changes(spark, t, 3)
       .except(ManifestTable.read(spark, t, version = 3))
     assert(delta.collect().map(r => (r.getLong(0), r.getString(1))).toSeq
       === Seq((2L, "B")))
+    // and the untouched keys are still at head, via their carried files
+    assert(ManifestTable.read(spark, t).orderBy("id")
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSeq
+      === Seq((1L, "a"), (2L, "B"), (3L, "c")))
   }
 
   test("compact collapses the head's small files into one, preserves rows, leaves time travel intact") {

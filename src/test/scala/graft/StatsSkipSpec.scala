@@ -97,6 +97,45 @@ class StatsSkipSpec extends AnyFunSuite with SparkFixture {
     assert(pruned === full && full > 0)
   }
 
+  test("append continuity: a stats-tracking table keeps collecting stats through plain appends") {
+    val t = freshTable()
+    val ord = Tables.orders(spark, "/root/testdata/sf0.001")
+      .select(col("o_orderkey"), col("o_totalprice"))
+    ManifestTable.commit(spark, t,
+      ord.filter(col("o_orderkey") <= 1000), SaveMode.Overwrite,
+      statsColumns = Seq("o_orderkey"))
+    // no statsColumns on the append — tracking must continue anyway
+    ManifestTable.commit(spark, t, ord.filter(col("o_orderkey") > 1000))
+    val stats = ManifestTable.snapshotStats(spark, t)
+    val files = ManifestTable.snapshotFiles(spark, t)
+    assert(files.nonEmpty &&
+      files.forall(f => stats.get(f).exists(_.contains("o_orderkey"))),
+      s"append decayed stats coverage: ${stats.size}/${files.size} files have stats")
+  }
+
+  test("deleteWhere scanRanges: the victim scan skips non-intersecting files; the delete is exact") {
+    val t = freshTable()
+    val ord = Tables.orders(spark, "/root/testdata/sf0.001")
+      .select(col("o_orderkey"), col("o_totalprice"))
+    ManifestTable.commit(spark, t,
+      ord.repartitionByRange(8, col("o_orderkey")), SaveMode.Overwrite,
+      statsColumns = Seq("o_orderkey"))
+    val before = ManifestTable.snapshotFiles(spark, t)
+    val (candidates, total) = ManifestTable.pruneFiles(spark, t,
+      Seq(("o_orderkey", 100.0, 300.0)))
+    assert(candidates.size < total)
+    ManifestTable.deleteWhere(spark, t,
+      col("o_orderkey").between(100, 300),
+      scanRanges = Seq(("o_orderkey", 100.0, 300.0)))
+    val after = ManifestTable.snapshotFiles(spark, t).toSet
+    // non-candidate files carried by reference, untouched
+    assert(before.filterNot(candidates.contains).forall(after.contains))
+    // the delete itself is exact
+    val got = ManifestTable.read(spark, t).count()
+    val want = ord.filter(!col("o_orderkey").between(100, 300)).count()
+    assert(got === want)
+  }
+
   test("c29 layout: OPTIMIZE-ZORDER records 2-D ranges that prune a 2-D box (the judged lifecycle's payoff)") {
     val t = freshTable()
     val li = Tables.lineitem(spark, "/root/testdata/sf0.01")
