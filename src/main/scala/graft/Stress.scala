@@ -100,6 +100,38 @@ object Stress {
         "length bound may only shrink the candidate set")
     }
 
+    // r8: MERGE touched-file pruning — write volume must be O(files
+    // holding matched keys), not O(table). The table is the rep×
+    // replicated orders range-clustered into many files; the update
+    // batch touches ONE base-key range (one replication stripe), so
+    // as the table grows rep×, the REWRITTEN file count must stay
+    // bounded while carried-by-reference files grow with the table.
+    if (only.forall("merge_pruned".contains)) {
+      import graft.sources.ManifestTable
+      import org.apache.spark.sql.SaveMode
+      val t = java.nio.file.Files.createTempDirectory("graft_stress_merge").toString
+      val nFiles = 8 * rep
+      ManifestTable.commit(spark, t,
+        ord.repartitionByRange(nFiles, col("o_orderkey")), SaveMode.Overwrite,
+        statsColumns = Seq("o_orderkey"))
+      val before = ManifestTable.snapshotFiles(spark, t).toSet
+      val batch = ord.filter(col("o_orderkey") <= 2000)
+        .withColumn("o_totalprice", col("o_totalprice") + 1)
+      val t0 = System.nanoTime()
+      ManifestTable.upsert(spark, t, batch, Seq("o_orderkey"))
+      val sec = (System.nanoTime() - t0) / 1e9
+      val after = ManifestTable.snapshotFiles(spark, t).toSet
+      val rewrittenOrNew = (after -- before).size
+      val carried = (after intersect before).size
+      println(f"[stress rep=$rep] merge_pruned $sec%8.2f s  " +
+        f"files carried=$carried rewritten+new=$rewrittenOrNew of ${before.size}")
+      require(carried > before.size / 2,
+        s"MERGE rewrote ${before.size - carried}/${before.size} files for a " +
+          "one-stripe update batch — touched-file pruning is not holding")
+      val cnt = ManifestTable.read(spark, t).count()
+      require(cnt == ord.count(), s"merge changed row count: $cnt")
+    }
+
     // Analytics shapes over a rep×-replicated event log (user space
     // grows rep×, per-user history constant — the 100 TB shape): the
     // sessionization single-exchange claim and the attribution frame.

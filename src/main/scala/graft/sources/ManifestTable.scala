@@ -259,7 +259,10 @@ object ManifestTable {
     // per-file (min, max) of the requested stats columns, in ONE pass
     // over just the new files (the footer-stat collection Delta does at
     // write time; at 100 TB this touches the new batch, never the other
-    // 100k files). Numeric columns only — the ranges land as doubles.
+    // 100k files). The ranges land as doubles via cast: numerics
+    // directly, timestamps as epoch seconds (time-boxed readRange uses
+    // the same cast — StatsSkipSpec); a non-castable column (string)
+    // yields null ranges and is simply never pruned on.
     val stats: Map[String, Map[String, (Double, Double)]] =
       if (statsColumns.isEmpty || files.isEmpty) Map.empty
       else {

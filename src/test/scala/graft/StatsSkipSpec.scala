@@ -136,6 +136,32 @@ class StatsSkipSpec extends AnyFunSuite with SparkFixture {
     assert(got === want)
   }
 
+  test("timestamp columns stats-track via the epoch-seconds cast: time-range scans prune files") {
+    // the ingest-time pattern a 100 TB event table lives on: files
+    // arrive roughly time-clustered, the manifest records ts ranges
+    // (as epoch-second doubles — writeData's cast covers numerics AND
+    // timestamps), and a time-boxed read prunes to the files owning
+    // the window
+    val t = freshTable()
+    val ev = Tables.events(spark, "/root/testdata/sf0.001")
+      .select(col("event_id"), col("ts"), col("value"))
+    ManifestTable.commit(spark, t,
+      ev.repartitionByRange(8, col("ts")), SaveMode.Overwrite,
+      statsColumns = Seq("ts"))
+    val Array(mn, mx) = ev
+      .agg(min(col("ts").cast("double")), max(col("ts").cast("double")))
+      .collect().head.toSeq.map(_.asInstanceOf[Double]).toArray
+    val (lo, hi) = (mn + 0.1 * (mx - mn), mn + 0.2 * (mx - mn))
+    val (kept, total) = ManifestTable.pruneFiles(spark, t, Seq(("ts", lo, hi)))
+    assert(total === 8)
+    assert(kept.nonEmpty && kept.size < total,
+      s"time-clustered layout must prune a time box: kept ${kept.size}/$total")
+    val pruned = ManifestTable.readRange(spark, t, Seq(("ts", lo, hi)))
+      .filter(col("ts").cast("double").between(lo, hi)).count()
+    val full = ev.filter(col("ts").cast("double").between(lo, hi)).count()
+    assert(pruned === full && full > 0)
+  }
+
   test("c29 layout: OPTIMIZE-ZORDER records 2-D ranges that prune a 2-D box (the judged lifecycle's payoff)") {
     val t = freshTable()
     val li = Tables.lineitem(spark, "/root/testdata/sf0.01")
