@@ -258,6 +258,27 @@ class EventStreamsSpec extends AnyFunSuite with SparkFixture {
     assert(got.toSeq === (1L to 18L))
   }
 
+  test("T9c: a stream started on an EMPTY feed picks up the first publish") {
+    import graft.sources.ManifestTable
+    import graft.streaming.ChangeFeedStream
+    def tmp(tag: String) =
+      java.nio.file.Files.createTempDirectory(s"graft_cdfe_$tag").toString
+    val (table, feed, ckpt) = (tmp("tab"), tmp("feed"), tmp("ckpt"))
+    // the consumer deploys first: table committed, nothing published yet
+    ManifestTable.commit(spark, table, Seq((1L, "a")).toDF("id", "v"))
+    val q = ChangeFeedStream.readChangeStream(spark, table, feed)
+      .writeStream.format("memory").queryName("t9c_sink")
+      .option("checkpointLocation", ckpt).start()
+    try {
+      q.processAllAvailable()
+      assert(spark.table("t9c_sink").count() === 0) // empty feed, no crash
+      ChangeFeedStream.publishPending(spark, table, feed)
+      q.processAllAvailable()
+      assert(spark.table("t9c_sink").collect()
+        .map(r => (r.getLong(0), r.getString(1))).toSeq === Seq((1L, "a")))
+    } finally q.stop()
+  }
+
   test("T9b: the continuous pump picks up commits without an explicit tick") {
     import graft.sources.ManifestTable
     import graft.streaming.ChangeFeedStream
