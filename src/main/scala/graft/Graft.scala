@@ -313,14 +313,40 @@ object Graft {
   def readTable(spark: SparkSession, table: String, version: Int = -1): DataFrame =
     graft.sources.ManifestTable.read(spark, table, version)
 
-  /** MERGE-style keyed upsert as one atomic snapshot. */
+  /** Filtered snapshot read with AUTOMATIC manifest-stats skipping:
+    * range constraints are extracted from the predicate itself and
+    * files outside them are never listed. */
+  def readTableWhere(spark: SparkSession, table: String, pred: Column,
+                     version: Int = -1): DataFrame =
+    graft.sources.ManifestTable.readWhere(spark, table, pred, version)
+
+  /** MERGE-style keyed upsert as one atomic snapshot (touched-file
+    * pruned: only files holding matched keys rewrite). */
   def upsertTable(spark: SparkSession, table: String, updates: DataFrame,
                   keys: Seq[String]): Int =
     graft.sources.ManifestTable.upsert(spark, table, updates, keys)
 
-  /** Delete-by-predicate with file-level pruning, one atomic snapshot. */
-  def deleteFromTable(spark: SparkSession, table: String, pred: Column): Int =
-    graft.sources.ManifestTable.deleteWhere(spark, table, pred)
+  /** Conditional MERGE: matched-clause update/delete conditions over
+    * target columns (plain names) and the source row (`_src.<col>`). */
+  def mergeTable(spark: SparkSession, table: String, updates: DataFrame,
+                 keys: Seq[String],
+                 whenMatchedUpdate: Option[Column] = None,
+                 whenMatchedDelete: Option[Column] = None): Int =
+    graft.sources.ManifestTable.merge(spark, table, updates, keys,
+      whenMatchedUpdate, whenMatchedDelete)
+
+  /** Row-level change feed: insert / update_post / delete by key. */
+  def rowChangeFeed(spark: SparkSession, table: String, sinceVersion: Int,
+                    keys: Seq[String], toVersion: Int = -1): DataFrame =
+    graft.sources.ManifestTable.rowChanges(spark, table, sinceVersion, keys, toVersion)
+
+  /** Delete-by-predicate with file-level pruning, one atomic snapshot.
+    * `scanRanges` additionally skips stats-incompatible files in the
+    * victim scan (caller asserts pred implies the ranges). */
+  def deleteFromTable(spark: SparkSession, table: String, pred: Column,
+                      scanRanges: Seq[(String, Double, Double)] = Nil): Int =
+    graft.sources.ManifestTable.deleteWhere(spark, table, pred,
+      scanRanges = scanRanges)
 
   /** File-granular change feed: rows added in versions
     * `sinceVersion+1 .. toVersion` (the incremental-consumer read). */

@@ -796,6 +796,44 @@ object LakehouseQueries {
              |ORDER BY c_custkey NULLS FIRST""".stripMargin)
     ),
 
+    // C30: AUTOMATIC data skipping from the predicate itself, judged —
+    // the Delta UX on top of c25's machinery: the caller hands
+    // `readWhere` one composite predicate; the table extracts the
+    // conjunctive o_orderkey range from its expression tree, prunes
+    // files on the manifest stats, and applies the full predicate
+    // row-level. The string-equality conjunct is deliberately
+    // unrecognizable to the extractor (no stats, non-numeric) — it
+    // must constrain nothing and still filter rows. The hash proves
+    // extraction+pruning lost no qualifying row; StatsSkipSpec pins
+    // that the scan actually shrank and the extractor's fold rules.
+    Entry(
+      "c30_predicate_skip",
+      (s, d) => {
+        import org.apache.spark.sql.SaveMode
+        val t = scratchDir("c30", d)
+        val ord = Tables.orders(s, d)
+          .select(col("o_orderkey"), col("o_totalprice"),
+            col("o_orderpriority"), col("o_orderstatus"))
+        graft.sources.ManifestTable.commit(s, t,
+          ord.repartitionByRange(8, col("o_orderkey")), SaveMode.Overwrite,
+          statsColumns = Seq("o_orderkey"))
+        graft.sources.ManifestTable.readWhere(s, t,
+            col("o_orderkey").between(1000, 5000) &&
+            col("o_orderpriority") === "1-URGENT")
+          .groupBy("o_orderstatus")
+          .agg(count(lit(1)).as("cnt"),
+            round(sum(col("o_totalprice")), 2).as("sum_price"))
+          .orderBy("o_orderstatus")
+      },
+      Some("""SELECT o_orderstatus, count(*) AS cnt,
+             |  round(sum(o_totalprice), 2) AS sum_price
+             |FROM orders
+             |WHERE o_orderkey BETWEEN 1000 AND 5000
+             |  AND o_orderpriority = '1-URGENT'
+             |GROUP BY o_orderstatus
+             |ORDER BY o_orderstatus NULLS FIRST""".stripMargin)
+    ),
+
     // C29: the OPTIMIZE-ZORDER lifecycle, judged end to end — ingest
     // (unclustered commit), `compact(sortBy = zkey16(part, supp),
     // statsColumns = part, supp)` (one conditional commit: z-sorted

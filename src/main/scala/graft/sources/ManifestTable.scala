@@ -225,6 +225,96 @@ object ManifestTable {
     else readFiles(spark, table, kept, snapshotSchema(spark, table, version))
   }
 
+  /** Filtered read with AUTOMATIC data skipping (the Delta shape —
+    * the caller hands over the predicate, the table derives the
+    * pruning): conjunctive range/equality constraints on stats-tracked
+    * columns are extracted from `pred`'s expression tree
+    * ([[extractRanges]]), files outside them are skipped via the
+    * manifest, and `pred` is applied row-level on the survivors —
+    * result ≡ `read(...).filter(pred)` by construction (extraction is
+    * conservative: anything it cannot read — OR branches, casts,
+    * string literals, function calls — contributes no constraint and
+    * prunes nothing). */
+  def readWhere(spark: SparkSession, table: String, pred: Column,
+                version: Int = -1): DataFrame = {
+    // the constraint tree must be RESOLVED before it is walkable
+    // (Spark 4 Columns convert lazily); one driver-side optimize pass
+    // of scan+filter yields constant-folded catalyst comparisons
+    val probe = read(spark, table, version).filter(pred)
+    val ranges = probe.queryExecution.optimizedPlan.collect {
+      case f: org.apache.spark.sql.catalyst.plans.logical.Filter => f.condition
+    }.flatMap(extractRanges)
+    if (ranges.isEmpty) probe
+    else readRange(spark, table, ranges, version).filter(pred)
+  }
+
+  /** Conservative range extraction from a predicate tree: walks the
+    * top-level AND conjuncts and folds `col <op> literal` /
+    * `literal <op> col` comparisons into per-column [lo, hi] bounds
+    * (strict and non-strict alike — keeping one boundary file extra is
+    * sound). Numeric literals read directly; timestamp literals
+    * convert internal µs → the epoch SECONDS the stats store. Any
+    * shape it does not recognize contributes nothing. */
+  private[graft] def extractRanges(e: org.apache.spark.sql.catalyst.expressions.Expression)
+      : Seq[(String, Double, Double)] = {
+    import org.apache.spark.sql.catalyst.expressions._
+    import org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute
+    import org.apache.spark.sql.types.{Decimal, TimestampType}
+    def conjuncts(x: Expression): Seq[Expression] = x match {
+      case And(l, r) => conjuncts(l) ++ conjuncts(r)
+      case other => Seq(other)
+    }
+    def attr(x: Expression): Option[String] = x match {
+      case a: UnresolvedAttribute => Some(a.name)
+      case a: AttributeReference => Some(a.name)
+      case _ => None
+    }
+    def lit(x: Expression): Option[Double] = x match {
+      case Literal(v, TimestampType) => v match {
+        case us: java.lang.Long => Some(us.toDouble / 1e6)
+        case _ => None
+      }
+      case Literal(v, _) => v match {
+        case n: java.lang.Number => Some(n.doubleValue())
+        case d: Decimal => Some(d.toDouble)
+        case _ => None
+      }
+      case _ => None
+    }
+    val lo = scala.collection.mutable.Map.empty[String, Double]
+    val hi = scala.collection.mutable.Map.empty[String, Double]
+    def atLeast(c: String, v: Double): Unit = lo(c) = math.max(v, lo.getOrElse(c, Double.NegativeInfinity))
+    def atMost(c: String, v: Double): Unit = hi(c) = math.min(v, hi.getOrElse(c, Double.PositiveInfinity))
+    conjuncts(e).foreach {
+      case GreaterThanOrEqual(a, l) if attr(a).isDefined =>
+        for (c <- attr(a); v <- lit(l)) atLeast(c, v)
+      case GreaterThan(a, l) if attr(a).isDefined =>
+        for (c <- attr(a); v <- lit(l)) atLeast(c, v)
+      case LessThanOrEqual(a, l) if attr(a).isDefined =>
+        for (c <- attr(a); v <- lit(l)) atMost(c, v)
+      case LessThan(a, l) if attr(a).isDefined =>
+        for (c <- attr(a); v <- lit(l)) atMost(c, v)
+      case EqualTo(a, l) if attr(a).isDefined =>
+        for (c <- attr(a); v <- lit(l)) { atLeast(c, v); atMost(c, v) }
+      case EqualTo(l, a) if attr(a).isDefined =>
+        for (c <- attr(a); v <- lit(l)) { atLeast(c, v); atMost(c, v) }
+      // literal-on-the-left comparison forms flip the bound
+      case GreaterThanOrEqual(l, a) if attr(a).isDefined =>
+        for (c <- attr(a); v <- lit(l)) atMost(c, v)
+      case GreaterThan(l, a) if attr(a).isDefined =>
+        for (c <- attr(a); v <- lit(l)) atMost(c, v)
+      case LessThanOrEqual(l, a) if attr(a).isDefined =>
+        for (c <- attr(a); v <- lit(l)) atLeast(c, v)
+      case LessThan(l, a) if attr(a).isDefined =>
+        for (c <- attr(a); v <- lit(l)) atLeast(c, v)
+      case _ => ()
+    }
+    (lo.keySet ++ hi.keySet).toSeq.sorted.map { c =>
+      (c, lo.getOrElse(c, Double.NegativeInfinity),
+        hi.getOrElse(c, Double.PositiveInfinity))
+    }
+  }
+
   /** The pruning decision behind [[readRange]], visible for tests:
     * (files kept, total files in the snapshot). */
   def pruneFiles(spark: SparkSession, table: String,

@@ -79,6 +79,18 @@ class GraftFacadeSpec extends AnyFunSuite with SparkFixture {
     assert(Graft.readTable(spark, t, vc).count() === 3)
     Graft.expireTable(spark, t, keepLast = 1)
     assert(Graft.readTable(spark, t).count() === 3)
+    // r8 surface: conditional merge, row CDF, predicate-skipping read
+    val vm = Graft.mergeTable(spark, t,
+      Seq((2L, "BB"), (9L, "i")).toDF("id", "v"), Seq("id"),
+      whenMatchedDelete = Some(col("id") === 2L))
+    assert(Graft.readTable(spark, t).orderBy("id").collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSeq
+      === Seq((1L, "a"), (4L, "d"), (9L, "i")))
+    val cdf = Graft.rowChangeFeed(spark, t, vm - 1, Seq("id"))
+      .collect().map(r => (r.getLong(0), r.getString(2))).sortBy(_._1)
+    assert(cdf.toSeq === Seq((2L, "delete"), (9L, "insert")))
+    assert(Graft.readTableWhere(spark, t, col("id") >= 4L).collect()
+      .map(_.getLong(0)).sorted.toSeq === Seq(4L, 9L))
   }
 
   test("packing and extreme-scale index fallbacks through the facade") {

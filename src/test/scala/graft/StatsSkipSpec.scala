@@ -97,6 +97,40 @@ class StatsSkipSpec extends AnyFunSuite with SparkFixture {
     assert(pruned === full && full > 0)
   }
 
+  test("readWhere derives the skip from the predicate itself; unrecognized shapes prune nothing") {
+    val t = freshTable()
+    val ord = Tables.orders(spark, "/root/testdata/sf0.001")
+      .select(col("o_orderkey"), col("o_totalprice"))
+    ManifestTable.commit(spark, t,
+      ord.repartitionByRange(8, col("o_orderkey")), SaveMode.Overwrite,
+      statsColumns = Seq("o_orderkey"))
+    val pred = col("o_orderkey") >= 100 && col("o_orderkey") <= 800 &&
+      col("o_totalprice") > 0 // no stats for this one — no constraint
+    val df = ManifestTable.readWhere(spark, t, pred)
+    assert(df.inputFiles.length < 8, "predicate-derived pruning did not engage")
+    val want = ManifestTable.read(spark, t).filter(pred).count()
+    assert(df.count() === want && want > 0)
+    // extraction unit checks on resolved catalyst nodes (what the
+    // optimized Filter condition holds): conjunct folding, flipped
+    // literal side, equality, and the conservative no-ops
+    import org.apache.spark.sql.catalyst.expressions._
+    import org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute
+    val (x, y, s) = (UnresolvedAttribute("x"), UnresolvedAttribute("y"),
+      UnresolvedAttribute("s"))
+    assert(ManifestTable.extractRanges(
+      And(And(GreaterThan(x, Literal(5)), LessThan(Literal(3), x)),
+        LessThanOrEqual(x, Literal(10))))
+      === Seq(("x", 5.0, 10.0)))
+    assert(ManifestTable.extractRanges(EqualTo(x, Literal(7)))
+      === Seq(("x", 7.0, 7.0)))
+    assert(ManifestTable.extractRanges(
+      Or(GreaterThan(x, Literal(5)), LessThan(y, Literal(2)))).isEmpty,
+      "OR must not constrain")
+    assert(ManifestTable.extractRanges(GreaterThan(x, y)).isEmpty)
+    assert(ManifestTable.extractRanges(
+      EqualTo(s, Literal.create("a"))).isEmpty)
+  }
+
   test("append continuity: a stats-tracking table keeps collecting stats through plain appends") {
     val t = freshTable()
     val ord = Tables.orders(spark, "/root/testdata/sf0.001")
