@@ -237,16 +237,24 @@ object ManifestTable {
     * prunes nothing). */
   def readWhere(spark: SparkSession, table: String, pred: Column,
                 version: Int = -1): DataFrame = {
-    // the constraint tree must be RESOLVED before it is walkable
-    // (Spark 4 Columns convert lazily); one driver-side optimize pass
-    // of scan+filter yields constant-folded catalyst comparisons
-    val probe = read(spark, table, version).filter(pred)
-    val ranges = probe.queryExecution.optimizedPlan.collect {
-      case f: org.apache.spark.sql.catalyst.plans.logical.Filter => f.condition
-    }.flatMap(extractRanges)
-    if (ranges.isEmpty) probe
+    val ranges = predicateRanges(spark, table, pred, version)
+    if (ranges.isEmpty) read(spark, table, version).filter(pred)
     else readRange(spark, table, ranges, version).filter(pred)
   }
+
+  /** The range constraints `pred` itself implies, ready for
+    * [[pruneFiles]] — sound by construction (a predicate implies each
+    * of its conjuncts, so a file outside them cannot hold a matching
+    * row). The constraint tree must be RESOLVED before it is walkable
+    * (Spark 4 Columns convert lazily); one driver-side optimize pass
+    * of scan+filter yields constant-folded catalyst comparisons. */
+  private def predicateRanges(spark: SparkSession, table: String,
+                              pred: Column, version: Int)
+      : Seq[(String, Double, Double)] =
+    read(spark, table, version).filter(pred)
+      .queryExecution.optimizedPlan.collect {
+        case f: org.apache.spark.sql.catalyst.plans.logical.Filter => f.condition
+      }.flatMap(extractRanges)
 
   /** Conservative range extraction from a predicate tree: walks the
     * top-level AND conjuncts and folds `col <op> literal` /
@@ -707,15 +715,14 @@ object ManifestTable {
     * new version (returns the current head). Same conditional-commit
     * re-derive loop as [[upsert]].
     *
-    * `scanRanges`: optional manifest-stats pruning of the AFFECTED-FILE
-    * SCAN itself — files whose recorded (min,max) miss every given
-    * `col -> (lo, hi)` box are skipped without being read, the same
-    * decision [[readRange]] makes. CALLER-ASSERTED implication: `pred`
-    * must be false outside the ranges (e.g. pred = `ts BETWEEN a AND b
-    * AND flag`, ranges = ts box) — a matching row hiding in a pruned
-    * file is simply not deleted. At 100 TB this turns DELETE's
-    * find-the-victims pass from a full scan into reading the few files
-    * owning the predicate's range. */
+    * The find-the-victims scan is AUTOMATICALLY stats-pruned: range
+    * constraints extracted from `pred` itself (the [[readWhere]]
+    * machinery — sound by construction, since `pred` implies each of
+    * its own conjuncts, a file outside them cannot hold a matching
+    * row) plus any explicit `scanRanges` skip files without reading
+    * them. `scanRanges` stays CALLER-ASSERTED: pred must be false
+    * outside them. At 100 TB this turns DELETE's victim scan from a
+    * full read into the few files owning the predicate's range. */
   def deleteWhere(spark: SparkSession, table: String, pred: Column,
                   maxAttempts: Int = 5,
                   scanRanges: Seq[(String, Double, Double)] = Nil): Int = {
@@ -726,9 +733,10 @@ object ManifestTable {
       val head = currentVersion(spark, table)
       val rel = snapshotFiles(spark, table, head)
       if (rel.isEmpty) return head
+      val ranges = predicateRanges(spark, table, pred, head) ++ scanRanges
       val candidates =
-        if (scanRanges.isEmpty) rel
-        else pruneFiles(spark, table, scanRanges, head)._1
+        if (ranges.isEmpty) rel
+        else pruneFiles(spark, table, ranges, head)._1
       if (candidates.isEmpty) return head
       val withFile = readFiles(spark, table, candidates,
         snapshotSchema(spark, table, head)).withColumn("__f",

@@ -147,6 +147,25 @@ class StatsSkipSpec extends AnyFunSuite with SparkFixture {
       s"append decayed stats coverage: ${stats.size}/${files.size} files have stats")
   }
 
+  test("deleteWhere auto-prunes its victim scan from the predicate itself (no scanRanges needed)") {
+    val t = freshTable()
+    val ord = Tables.orders(spark, "/root/testdata/sf0.001")
+      .select(col("o_orderkey"), col("o_totalprice"))
+    ManifestTable.commit(spark, t,
+      ord.repartitionByRange(8, col("o_orderkey")), SaveMode.Overwrite,
+      statsColumns = Seq("o_orderkey"))
+    val before = ManifestTable.snapshotFiles(spark, t)
+    val (candidates, total) = ManifestTable.pruneFiles(spark, t,
+      Seq(("o_orderkey", 100.0, 300.0)))
+    assert(candidates.size < total)
+    ManifestTable.deleteWhere(spark, t, col("o_orderkey").between(100, 300))
+    val after = ManifestTable.snapshotFiles(spark, t).toSet
+    // files the predicate's own range cannot touch carried by reference
+    assert(before.filterNot(candidates.contains).forall(after.contains))
+    assert(ManifestTable.read(spark, t).count() ===
+      ord.filter(!col("o_orderkey").between(100, 300)).count())
+  }
+
   test("deleteWhere scanRanges: the victim scan skips non-intersecting files; the delete is exact") {
     val t = freshTable()
     val ord = Tables.orders(spark, "/root/testdata/sf0.001")
