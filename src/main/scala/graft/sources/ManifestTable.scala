@@ -592,6 +592,26 @@ object ManifestTable {
       Some(expectedHead + 1)
     else None
 
+  /** The changelog's per-key-column (min, max) as [[pruneFiles]]
+    * ranges — one tiny agg over the (small by assumption) changelog.
+    * Numeric/timestamp keys only: a non-castable key yields no bound
+    * (and so prunes nothing). */
+  private def keyEnvelope(updates: DataFrame, keys: Seq[String])
+      : Seq[(String, Double, Double)] = {
+    import org.apache.spark.sql.functions.{col, max, min}
+    if (keys.isEmpty) return Nil
+    val aggs = keys.flatMap(k => Seq(
+      min(col(k).cast("double")).as(s"__mn_$k"),
+      max(col(k).cast("double")).as(s"__mx_$k")))
+    val row = updates.agg(aggs.head, aggs.tail: _*).collect().head
+    keys.flatMap { k =>
+      val mn = row.getAs[Any](s"__mn_$k")
+      val mx = row.getAs[Any](s"__mx_$k")
+      if (mn == null || mx == null) None
+      else Some((k, mn.asInstanceOf[Double], mx.asInstanceOf[Double]))
+    }
+  }
+
   /** Column names the head snapshot carries stats for — derived
     * commits ([[upsert]]/[[deleteWhere]]/[[compact]]) keep collecting
     * the same set for their rewritten files, so stats-tracking
@@ -635,10 +655,15 @@ object ManifestTable {
     *
     * Scale stance — TOUCHED-FILE pruning, the shape that makes MERGE
     * deployable at 100 TB (a full-table rewrite per merge is not):
-    * pass 1 finds the files containing matched keys via a column-
-    * pruned key scan + semi-join (parquet reads only the key columns);
-    * pass 2 re-reads ONLY those files, applies the clause logic (one
-    * shuffle on `keys`; AQE broadcasts a small changelog; row-local
+    * pass 0 computes the changelog's per-key-column (min,max) in one
+    * tiny agg and prunes the manifest to files whose recorded key
+    * stats intersect it (a file outside the changelog's key range
+    * cannot hold a match — so even the key SCAN skips most of a
+    * key-clustered table); pass 1 finds the files containing matched
+    * keys among the candidates via a column-pruned key scan +
+    * semi-join (parquet reads only the key columns); pass 2 re-reads
+    * ONLY those files, applies the clause logic (one shuffle on
+    * `keys`; AQE broadcasts a small changelog; row-local
     * projection/filter inside whole-stage codegen), and writes their
     * post-image plus the inserts; every untouched file carries into
     * the new snapshot by reference with its stats. Write volume is
@@ -650,6 +675,7 @@ object ManifestTable {
             maxAttempts: Int = 5): Int = {
     import org.apache.spark.sql.functions.{coalesce, col, concat_ws, element_at, lit, split, struct}
     val srcCols = updates.columns.toSeq
+    val bounds = keyEnvelope(updates, keys) // head-independent: once
     var attempt = 0
     while (attempt < maxAttempts) {
       attempt += 1
@@ -667,10 +693,24 @@ object ManifestTable {
           val src = updates
             .select(struct(srcCols.map(col): _*).as("_src"))
             .select(keys.map(k => col(s"_src.$k").as(k)) :+ col("_src"): _*)
+          // pass 0: the changelog's key envelope prunes the candidate
+          // files before anything is read (sound: a file whose
+          // recorded key range misses the envelope cannot match — and
+          // a matched key being inside the envelope by definition,
+          // keys absent from every candidate are absent from the
+          // table, so the INSERT anti-join over candidate keys stays
+          // exact; non-numeric keys yield no bound and prune nothing)
+          val candidates =
+            if (bounds.isEmpty) rel
+            else pruneFiles(spark, table, bounds, head)._1
           // pass 1: which files hold a matched key? Column-pruned to
           // the keys; bounded driver state (≤ |snapshot files|).
-          val tgtKeys = readFiles(spark, table, rel, schema)
-            .select(keys.map(col) :+ relFile.as("__f"): _*)
+          val tgtKeys =
+            if (candidates.isEmpty) read(spark, table, head).limit(0)
+              .select(keys.map(col) :+
+                org.apache.spark.sql.functions.lit("").as("__f"): _*)
+            else readFiles(spark, table, candidates, schema)
+              .select(keys.map(col) :+ relFile.as("__f"): _*)
           val affected = tgtKeys
             .join(src.select(keys.map(col): _*).distinct(), keys, "left_semi")
             .select("__f").distinct()
