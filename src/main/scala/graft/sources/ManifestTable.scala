@@ -825,10 +825,13 @@ object ManifestTable {
     * For an append-only table this is exactly the rows committed in
     * that range — the incremental-consumer primitive (downstream jobs
     * read `changes(lastSeen)` instead of re-scanning the table). For
-    * upsert/deleteWhere commits it includes the rewritten survivors
-    * too (file granularity is the honest unit here; row-level diffs
-    * need the pre-image, which time travel already provides:
-    * anti-join `changes` against `read(table, sinceVersion)`).
+    * upsert/merge/deleteWhere commits it includes the rewritten
+    * survivors of the TOUCHED files (file granularity is the honest
+    * unit here) — and, since the touched-file MERGE, is BOUNDED BY
+    * CHURN: rows in carried-by-reference files never appear, so a
+    * changed row is always in the feed but an unchanged neighbor is
+    * only if it shared a file with one. Row-level classification is
+    * [[rowChanges]]' job. */
     * Empty range or no added files → empty frame with the head schema
     * (a never-committed table has no schema to offer: schemaless empty
     * frame, so the documented consumer pattern of starting from
