@@ -831,7 +831,7 @@ object ManifestTable {
     * CHURN: rows in carried-by-reference files never appear, so a
     * changed row is always in the feed but an unchanged neighbor is
     * only if it shared a file with one. Row-level classification is
-    * [[rowChanges]]' job. */
+    * [[rowChanges]]' job.
     * Empty range or no added files → empty frame with the head schema
     * (a never-committed table has no schema to offer: schemaless empty
     * frame, so the documented consumer pattern of starting from
