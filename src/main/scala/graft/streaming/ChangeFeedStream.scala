@@ -93,6 +93,29 @@ object ChangeFeedStream {
     spark.readStream.schema(schema).parquet(s"$feedDir/data/v*")
   }
 
+  /** Feed retention: drop all but the newest `keepLast` published
+    * range dirs — consumed history a checkpointed consumer never
+    * re-reads (the file source remembers processed files and never
+    * re-lists deleted ones, so running and restarted streams are
+    * unaffected). A NEW consumer starting after expiry sees only the
+    * retained tail; bootstrap one from a snapshot instead:
+    * `ManifestTable.read(table)` + a stream from the current head. */
+  def expireFeed(spark: SparkSession, feedDir: String, keepLast: Int): Unit = {
+    // the newest range dir IS the progress marker (publishedUpTo):
+    // dropping it would reset lastSeen to 0 and the next tick would
+    // republish history as new files — duplicates for every consumer
+    require(keepLast >= 1, "must keep at least the newest range (the progress marker)")
+    val dataDir = new Path(feedDir, "data")
+    val f = fs(spark, dataDir)
+    if (!f.exists(dataDir)) return
+    val ranges = f.listStatus(dataDir).map(_.getPath)
+      .flatMap(p => p.getName match {
+        case RangeDir(_, hi) => Some((hi.toInt, p))
+        case _ => None
+      }).sortBy(_._1)
+    ranges.dropRight(keepLast).foreach { case (_, p) => f.delete(p, true) }
+  }
+
   /** Continuous pump: a daemon thread ticking [[publishPending]] every
     * `pollIntervalMs`. Close to stop. One pump per feed is the intended
     * deployment; racing pumps stay correct (see object doc), they just

@@ -279,6 +279,36 @@ class EventStreamsSpec extends AnyFunSuite with SparkFixture {
     } finally q.stop()
   }
 
+  test("T9d: feed retention keeps the progress marker; a running consumer is unaffected") {
+    import graft.sources.ManifestTable
+    import graft.streaming.ChangeFeedStream
+    def tmp(tag: String) =
+      java.nio.file.Files.createTempDirectory(s"graft_cdfr_$tag").toString
+    val (table, feed, ckpt, out) = (tmp("tab"), tmp("feed"), tmp("ckpt"), tmp("out"))
+    def rows(lo: Int, hi: Int) = (lo to hi).map(i => (i.toLong, s"r$i")).toDF("id", "v")
+    (1 to 3).foreach { i =>
+      ManifestTable.commit(spark, table, rows(i * 10, i * 10 + 1))
+      ChangeFeedStream.publishPending(spark, table, feed)
+    }
+    val q = ChangeFeedStream.readChangeStream(spark, table, feed)
+      .writeStream.format("parquet").option("path", out)
+      .option("checkpointLocation", ckpt).start()
+    try {
+      q.processAllAvailable()
+      assert(spark.read.parquet(out).count() === 6)
+      ChangeFeedStream.expireFeed(spark, feed, keepLast = 1)
+      // progress marker survives: nothing republishes, nothing re-delivers
+      assert(ChangeFeedStream.publishedUpTo(spark, feed) === 3)
+      assert(ChangeFeedStream.publishPending(spark, table, feed) === 3)
+      ManifestTable.commit(spark, table, rows(40, 41))
+      ChangeFeedStream.publishPending(spark, table, feed)
+      q.processAllAvailable()
+      assert(spark.read.parquet(out).count() === 8)
+    } finally q.stop()
+    intercept[IllegalArgumentException](
+      ChangeFeedStream.expireFeed(spark, feed, keepLast = 0))
+  }
+
   test("T9b: the continuous pump picks up commits without an explicit tick") {
     import graft.sources.ManifestTable
     import graft.streaming.ChangeFeedStream
