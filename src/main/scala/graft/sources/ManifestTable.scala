@@ -643,6 +643,10 @@ object ManifestTable {
     * the matching SOURCE row's fields as `col("_src.<name>")` — e.g.
     * `col("_src.ts") > col("ts")` is latest-wins CDC. A NULL condition
     * is false (SQL semantics: no silent delete/update on null).
+    * `mergeSchema = true` applies [[commit]]'s evolution rule to
+    * MERGE: updates may ADD columns (kept rows and pre-evolution
+    * files read them as null through the recorded widened schema),
+    * never retype one.
     *
     * Concurrency: the post-image is derived from a read of the head;
     * the commit is CONDITIONAL on that head still being current
@@ -672,7 +676,8 @@ object ManifestTable {
             keys: Seq[String],
             whenMatchedUpdate: Option[Column] = None,
             whenMatchedDelete: Option[Column] = None,
-            maxAttempts: Int = 5): Int = {
+            maxAttempts: Int = 5,
+            mergeSchema: Boolean = false): Int = {
     import org.apache.spark.sql.functions.{coalesce, col, concat_ws, element_at, lit, split, struct}
     val srcCols = updates.columns.toSeq
     val bounds = keyEnvelope(updates, keys) // head-independent: once
@@ -719,6 +724,17 @@ object ManifestTable {
           val tgt =
             if (affected.isEmpty) read(spark, table, head).limit(0)
             else readFiles(spark, table, affected.toSeq.sorted, schema)
+          // evolution (the commit() mergeSchema rule applied to MERGE):
+          // updates may ADD columns — kept target rows read them as
+          // null through the widened union — but never RETYPE one
+          if (mergeSchema) {
+            val haveTypes = tgt.schema.map(f => (f.name, f.dataType)).toMap
+            updates.schema.foreach(f => haveTypes.get(f.name).foreach(t =>
+              require(t == f.dataType,
+                s"merge on $table would retype column ${f.name}: " +
+                  s"table has $t, batch has ${f.dataType} — evolution may " +
+                  "only add columns, never change them")))
+          }
           val joined = tgt.join(src, keys, "left")
           val matched = col("_src").isNotNull
           val del = coalesce(whenMatchedDelete.getOrElse(lit(false)), lit(false))
@@ -729,7 +745,9 @@ object ManifestTable {
             .select(srcCols.map(c => col(s"_src.$c").as(c)): _*)
           val inserted = updates.join(
             tgtKeys.select(keys.map(col): _*).distinct(), keys, "left_anti")
-          (kept.unionByName(replaced).unionByName(inserted), affected)
+          def u(a: DataFrame, b: DataFrame) =
+            a.unionByName(b, allowMissingColumns = mergeSchema)
+          (u(u(kept, replaced), inserted), affected)
         }
       val headStats = snapshotStats(spark, table, head)
       val (uuid, newFiles, newStats) =
@@ -737,8 +755,13 @@ object ManifestTable {
       val files = rel.filterNot(affected) ++ newFiles
       // carried files keep their recorded stats; rewritten + inserted
       // files get fresh ranges from the write above
+      // under evolution the WIDENED union schema must be recorded —
+      // keeping the narrow recorded one would make readers drop the
+      // added columns silently
       commitIfHead(spark, table, files, head, uuid,
-          schema.orElse(Some(merged.schema)), headStats ++ newStats) match {
+          if (mergeSchema) Some(merged.schema)
+          else schema.orElse(Some(merged.schema)),
+          headStats ++ newStats) match {
         case Some(v) => return v
         case None => // lost the race — discard this attempt's data, re-derive
           fs(spark, new Path(table)).delete(new Path(table, s"data/$uuid"), true)

@@ -513,6 +513,29 @@ class ManifestTableSpec extends AnyFunSuite with SparkFixture {
     assert(ManifestTable.rowChanges(spark, t, v1, Seq("id")).count() === 0)
   }
 
+  test("merge with mergeSchema widens: kept rows null the added column; retype still refused") {
+    val t = freshTable()
+    ManifestTable.commit(spark, t, df(1L -> "a", 2L -> "b"))
+    // updates add column x; key 2 replaced (gets x), key 1 kept (null x),
+    // key 3 inserts (has x)
+    ManifestTable.merge(spark, t,
+      dfN((2L, "B", 2.0), (3L, "c", 3.0)), Seq("id"), mergeSchema = true)
+    val head = ManifestTable.read(spark, t)
+    assert(head.columns.toSeq === Seq("id", "v", "x"))
+    val got = head.collect()
+      .map(r => (r.getLong(0), r.getString(1), Option(r.get(2)))).toSet
+    assert(got === Set(
+      (1L, "a", None), (2L, "B", Some(2.0)), (3L, "c", Some(3.0))))
+    // retype refused even under evolution
+    import spark.implicits._
+    intercept[IllegalArgumentException](
+      ManifestTable.merge(spark, t, Seq((4L, 9)).toDF("id", "v"),
+        Seq("id"), mergeSchema = true))
+    // strict mode still refuses a divergent batch outright
+    intercept[Exception](
+      ManifestTable.merge(spark, t, Seq((5L, "e")).toDF("id", "v"), Seq("id")))
+  }
+
   test("rowChanges across a schema evolution: both sides compare under the TO-version schema") {
     val t = freshTable()
     val v1 = ManifestTable.commit(spark, t, df(1L -> "a", 2L -> "b"))
