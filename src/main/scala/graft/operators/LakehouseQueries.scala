@@ -557,6 +557,9 @@ object LakehouseQueries {
     // range — including deletes in untouched files — is c27
     // rowChanges' job. Oracle replays the upsert range directly from
     // `customer`; a lost mutation or misclassification moves the hash.
+    // Bench note: this query's cost is three REAL manifest commits
+    // (write + publish) before one incremental read — write cost, not
+    // plan cost; do not chase it as a read-path regression.
     Entry(
       "c23_change_feed",
       (s, d) => {
