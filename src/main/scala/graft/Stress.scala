@@ -130,6 +130,23 @@ object Stress {
           "one-stripe update batch — touched-file pruning is not holding")
       val cnt = ManifestTable.read(spark, t).count()
       require(cnt == ord.count(), s"merge changed row count: $cnt")
+      // r8: row-level CDF over the same churn — the diff join must be
+      // bounded by the churned files, so its output is exactly the
+      // updated batch (identical rewritten survivors cancel; carried
+      // files never enter), independent of how large the table grew
+      val t1 = System.nanoTime()
+      val feed = ManifestTable.rowChanges(spark, t, 1, Seq("o_orderkey"))
+      val byType = feed.groupBy("_change_type").count()
+        .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+      val cdfSec = (System.nanoTime() - t1) / 1e9
+      println(f"[stress rep=$rep] row_cdf_c27 $cdfSec%8.2f s  " +
+        s"update_post=${byType.getOrElse("update_post", 0L)} " +
+        s"insert=${byType.getOrElse("insert", 0L)} " +
+        s"delete=${byType.getOrElse("delete", 0L)}")
+      require(byType.getOrElse("insert", 0L) == 0 &&
+        byType.getOrElse("delete", 0L) == 0 &&
+        byType.getOrElse("update_post", 0L) == batch.count(),
+        s"row CDF must be exactly the updated batch, got $byType")
     }
 
     // Analytics shapes over a rep×-replicated event log (user space
