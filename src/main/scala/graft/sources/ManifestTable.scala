@@ -282,6 +282,13 @@ object ManifestTable {
         case us: java.lang.Long => Some(us.toDouble / 1e6)
         case _ => None
       }
+      case Literal(v, org.apache.spark.sql.types.StringType) => v match {
+        // string stats live in [[stringBound]]'s enc-space — encode the
+        // literal the same way (monotone, so range tests stay sound)
+        case s: org.apache.spark.unsafe.types.UTF8String =>
+          Some(stringBound(s.toString))
+        case _ => None
+      }
       case Literal(v, _) => v match {
         case n: java.lang.Number => Some(n.doubleValue())
         case d: Decimal => Some(d.toDouble)
@@ -357,10 +364,12 @@ object ManifestTable {
     // per-file (min, max) of the requested stats columns, in ONE pass
     // over just the new files (the footer-stat collection Delta does at
     // write time; at 100 TB this touches the new batch, never the other
-    // 100k files). The ranges land as doubles via cast: numerics
-    // directly, timestamps as epoch seconds (time-boxed readRange uses
-    // the same cast — StatsSkipSpec); a non-castable column (string)
-    // yields null ranges and is simply never pruned on.
+    // 100k files). The ranges land as doubles: numerics via cast,
+    // timestamps as epoch seconds (time-boxed readRange uses the same
+    // cast), STRINGS through the order-preserving 6-byte-prefix
+    // encoding ([[stringBound]] — min/max of a monotone encoding bound
+    // every row's encoding, so intersection tests in enc-space are
+    // sound); any other type yields null ranges and is never pruned on.
     val stats: Map[String, Map[String, (Double, Double)]] =
       if (statsColumns.isEmpty || files.isEmpty) Map.empty
       else {
@@ -372,9 +381,13 @@ object ManifestTable {
           val parts = split(col("_metadata.file_path"), "/")
           val rel = concat_ws("/",
             element_at(parts, -3), element_at(parts, -2), element_at(parts, -1))
+          val enc: String => Column = c => df.schema(c).dataType match {
+            case org.apache.spark.sql.types.StringType => stringBoundCol(col(c))
+            case _ => col(c).cast("double")
+          }
           val aggs = cols.flatMap(c => Seq(
-            min(col(c).cast("double")).as(s"__mn_$c"),
-            max(col(c).cast("double")).as(s"__mx_$c")))
+            min(enc(c)).as(s"__mn_$c"),
+            max(enc(c)).as(s"__mx_$c")))
           spark.read.parquet(dataDir.toString)
             .groupBy(rel.as("__f"))
             .agg(aggs.head, aggs.tail: _*)
@@ -592,6 +605,35 @@ object ManifestTable {
       Some(expectedHead + 1)
     else None
 
+  /** Order-preserving STRING → double encoding for manifest stats:
+    * the first 6 UTF-8 bytes, zero-padded, as an unsigned 48-bit
+    * integer — exact in a double's 52-bit mantissa, and monotone
+    * non-decreasing under Spark's bytewise-unsigned string order
+    * (a shorter string zero-pads, and 0x00 is the smallest byte).
+    * Monotone means min/max of the encoding bound every row's
+    * encoding, so [minEnc, maxEnc] intersection tests against an
+    * encoded predicate range are sound — strings sharing a 6-byte
+    * prefix collapse to one value, which only ever KEEPS extra files.
+    * [[stringBound]] is the JVM twin used on the QUERY side
+    * ([[extractRanges]] encodes string literals with it); a spec pins
+    * that both sides produce identical values. */
+  private def stringBoundCol(c: Column): Column = {
+    import org.apache.spark.sql.functions.{concat, conv, encode, hex, lit, substring}
+    conv(hex(substring(
+      concat(encode(c, "UTF-8"), lit(Array.fill[Byte](6)(0))), 1, 6)), 16, 10)
+      .cast("double")
+  }
+
+  /** JVM twin of [[stringBoundCol]] — encode a string literal into the
+    * same enc-space the manifest records for string columns. */
+  private[graft] def stringBound(s: String): Double = {
+    val b = s.getBytes("UTF-8")
+    var v = 0L
+    var i = 0
+    while (i < 6) { v = (v << 8) | (if (i < b.length) b(i) & 0xffL else 0L); i += 1 }
+    v.toDouble
+  }
+
   /** The changelog's per-key-column (min, max) as [[pruneFiles]]
     * ranges — one tiny agg over the (small by assumption) changelog.
     * Numeric/timestamp keys only: a non-castable key yields no bound
@@ -600,9 +642,14 @@ object ManifestTable {
       : Seq[(String, Double, Double)] = {
     import org.apache.spark.sql.functions.{col, max, min}
     if (keys.isEmpty) return Nil
+    val enc: String => Column = k =>
+      updates.schema.find(_.name == k).map(_.dataType) match {
+        case Some(org.apache.spark.sql.types.StringType) => stringBoundCol(col(k))
+        case _ => col(k).cast("double")
+      }
     val aggs = keys.flatMap(k => Seq(
-      min(col(k).cast("double")).as(s"__mn_$k"),
-      max(col(k).cast("double")).as(s"__mx_$k")))
+      min(enc(k)).as(s"__mn_$k"),
+      max(enc(k)).as(s"__mx_$k")))
     val row = updates.agg(aggs.head, aggs.tail: _*).collect().head
     keys.flatMap { k =>
       val mn = row.getAs[Any](s"__mn_$k")

@@ -127,8 +127,53 @@ class StatsSkipSpec extends AnyFunSuite with SparkFixture {
       Or(GreaterThan(x, Literal(5)), LessThan(y, Literal(2)))).isEmpty,
       "OR must not constrain")
     assert(ManifestTable.extractRanges(GreaterThan(x, y)).isEmpty)
-    assert(ManifestTable.extractRanges(
-      EqualTo(s, Literal.create("a"))).isEmpty)
+    // string literals constrain in enc-space (r8 string stats)
+    assert(ManifestTable.extractRanges(EqualTo(s, Literal.create("a")))
+      === Seq(("s", ManifestTable.stringBound("a"), ManifestTable.stringBound("a"))))
+  }
+
+  test("string columns stats-track via the order-preserving prefix encoding; string predicates prune") {
+    val t = freshTable()
+    val ord = Tables.orders(spark, "/root/testdata/sf0.001")
+      .select(col("o_orderkey"), col("o_orderstatus"), col("o_totalprice"))
+    ManifestTable.commit(spark, t,
+      ord.repartitionByRange(6, col("o_orderstatus"), col("o_orderkey")),
+      SaveMode.Overwrite, statsColumns = Seq("o_orderstatus"))
+    // equality on a status value: only the files whose enc-range owns it
+    val df = ManifestTable.readWhere(spark, t, col("o_orderstatus") === "F")
+    val (kept, total) = ManifestTable.pruneFiles(spark, t,
+      Seq(("o_orderstatus",
+        ManifestTable.stringBound("F"), ManifestTable.stringBound("F"))))
+    assert(total === 6 && kept.size < total,
+      s"status-clustered layout must prune a status equality: ${kept.size}/$total")
+    assert(df.count() === ord.filter(col("o_orderstatus") === "F").count())
+    // a string RANGE predicate prunes and stays exact too
+    val r = ManifestTable.readWhere(spark, t,
+      col("o_orderstatus") >= "O" && col("o_orderstatus") <= "P")
+    assert(r.count() ===
+      ord.filter(col("o_orderstatus") >= "O" && col("o_orderstatus") <= "P").count())
+  }
+
+  test("the write-side string encoding equals the JVM twin for every shape of string") {
+    // the soundness of string pruning rests on BOTH sides encoding
+    // identically — one-file-per-commit makes the recorded (mn,mx)
+    // directly comparable to stringBound
+    val t = freshTable()
+    import spark.implicits._
+    val samples = Seq("", "a", "ab", "abcdefgh", "zz", "élément", "F")
+    samples.zipWithIndex.foreach { case (s, i) =>
+      ManifestTable.commit(spark, t,
+        Seq((i.toLong, s)).toDF("id", "s").coalesce(1),
+        statsColumns = Seq("s"),
+        mode = if (i == 0) SaveMode.Overwrite else SaveMode.Append)
+    }
+    val recorded = ManifestTable.snapshotStats(spark, t)
+      .values.flatMap(_.get("s")).toSet
+    assert(recorded === samples.map(s =>
+      (ManifestTable.stringBound(s), ManifestTable.stringBound(s))).toSet)
+    // and the encoding is monotone on a sorted sample
+    val sorted = samples.sorted
+    assert(sorted.map(ManifestTable.stringBound) === sorted.map(ManifestTable.stringBound).sorted)
   }
 
   test("append continuity: a stats-tracking table keeps collecting stats through plain appends") {
