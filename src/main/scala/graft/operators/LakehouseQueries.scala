@@ -804,9 +804,10 @@ object LakehouseQueries {
     // `readWhere` one composite predicate; the table extracts the
     // conjunctive o_orderkey range from its expression tree, prunes
     // files on the manifest stats, and applies the full predicate
-    // row-level. The string-equality conjunct is deliberately
-    // unrecognizable to the extractor (no stats, non-numeric) — it
-    // must constrain nothing and still filter rows. The hash proves
+    // row-level. The string-equality conjunct extracts too (enc-space,
+    // since r8 string stats) but its column is deliberately UNTRACKED
+    // — pruning must conservatively ignore it yet still filter its
+    // rows. The hash proves
     // extraction+pruning lost no qualifying row; StatsSkipSpec pins
     // that the scan actually shrank and the extractor's fold rules.
     Entry(
