@@ -790,8 +790,13 @@ object ManifestTable {
             .select(tgt.columns.toSeq.map(col): _*)
           val replaced = joined.filter(matched && !del && upd)
             .select(srcCols.map(c => col(s"_src.$c").as(c)): _*)
+          // anti-join against the AFFECTED files' keys only: a source
+          // key present anywhere in the table is a match, and a match
+          // makes its file affected — so source keys absent from the
+          // affected files are absent from the table. This avoids a
+          // second scan of every candidate file's key column.
           val inserted = updates.join(
-            tgtKeys.select(keys.map(col): _*).distinct(), keys, "left_anti")
+            tgt.select(keys.map(col): _*).distinct(), keys, "left_anti")
           def u(a: DataFrame, b: DataFrame) =
             a.unionByName(b, allowMissingColumns = mergeSchema)
           (u(u(kept, replaced), inserted), affected)
