@@ -838,6 +838,40 @@ object LakehouseQueries {
              |ORDER BY o_orderstatus NULLS FIRST""".stripMargin)
     ),
 
+    // C31: STRING data skipping, judged — the categorical-predicate
+    // pattern (status/tenant/source columns): string stats ride the
+    // same manifest double-range format through the order-preserving
+    // 6-byte-prefix encoding (monotone under Spark's bytewise string
+    // order, so min/max of the encoding bound every row's and prefix
+    // collisions only ever KEEP files); readWhere encodes the string
+    // literal identically and prunes to the files whose enc-range owns
+    // the value. A status-clustered layout makes the skip real
+    // (StatsSkipSpec pins kept < total and write-side ≡ query-side
+    // encoding); the hash proves it lost no row of any status.
+    Entry(
+      "c31_string_skip",
+      (s, d) => {
+        import org.apache.spark.sql.SaveMode
+        val t = scratchDir("c31", d)
+        val ord = Tables.orders(s, d)
+          .select(col("o_orderkey"), col("o_orderstatus"), col("o_totalprice"))
+        graft.sources.ManifestTable.commit(s, t,
+          ord.repartitionByRange(6, col("o_orderstatus"), col("o_orderkey")),
+          SaveMode.Overwrite, statsColumns = Seq("o_orderstatus"))
+        graft.sources.ManifestTable.readWhere(s, t,
+            col("o_orderstatus") === "F")
+          .groupBy("o_orderstatus")
+          .agg(count(lit(1)).as("cnt"),
+            round(sum(col("o_totalprice")), 2).as("sum_price"))
+          .orderBy("o_orderstatus")
+      },
+      Some("""SELECT o_orderstatus, count(*) AS cnt,
+             |  round(sum(o_totalprice), 2) AS sum_price
+             |FROM orders WHERE o_orderstatus = 'F'
+             |GROUP BY o_orderstatus
+             |ORDER BY o_orderstatus NULLS FIRST""".stripMargin)
+    ),
+
     // C29: the OPTIMIZE-ZORDER lifecycle, judged end to end — ingest
     // (unclustered commit), `compact(sortBy = zkey16(part, supp),
     // statsColumns = part, supp)` (one conditional commit: z-sorted

@@ -61,7 +61,23 @@ object ChangeFeedStream {
   /** One pump tick: publish `changes(lastPublished, head)` into the
     * feed, atomically. Returns the version the feed now reaches.
     * Idempotent — call it from any scheduler, as often as you like. */
-  def publishPending(spark: SparkSession, table: String, feedDir: String): Int = {
+  def publishPending(spark: SparkSession, table: String, feedDir: String): Int =
+    publishWith(spark, table, feedDir)(
+      (last, head) => ManifestTable.changes(spark, table, last, head))
+
+  /** Row-level variant: each published range holds the CLASSIFIED diff
+    * of [[ManifestTable.rowChanges]] (table columns + `_change_type` ∈
+    * insert / update_post / delete) instead of the file-granular added
+    * rows — streaming row-level CDC. One MODE per feedDir (the two
+    * publish different schemas); consume with
+    * [[readRowChangeStream]]. Same idempotent crash-safe protocol. */
+  def publishPendingRows(spark: SparkSession, table: String,
+                         feedDir: String, keys: Seq[String]): Int =
+    publishWith(spark, table, feedDir)(
+      (last, head) => ManifestTable.rowChanges(spark, table, last, keys, head))
+
+  private def publishWith(spark: SparkSession, table: String, feedDir: String)(
+      batchOf: (Int, Int) => DataFrame): Int = {
     val head = ManifestTable.currentVersion(spark, table)
     val last = publishedUpTo(spark, feedDir)
     if (head <= last) return last
@@ -72,7 +88,7 @@ object ChangeFeedStream {
     f.listStatus(dataDir).map(_.getPath)
       .filter(_.getName.startsWith(".tmp-"))
       .foreach(p => f.delete(p, true))
-    val batch = ManifestTable.changes(spark, table, last, head)
+    val batch = batchOf(last, head)
     val tmp = new Path(dataDir, s".tmp-${java.util.UUID.randomUUID()}")
     batch.write.mode("overwrite").parquet(tmp.toString)
     val target = new Path(dataDir, s"v${last + 1}_$head")
@@ -90,6 +106,19 @@ object ChangeFeedStream {
     fs(spark, new Path(feedDir, "data")).mkdirs(new Path(feedDir, "data"))
     val schema = ManifestTable.snapshotSchema(spark, table)
       .getOrElse(ManifestTable.read(spark, table).schema)
+    spark.readStream.schema(schema).parquet(s"$feedDir/data/v*")
+  }
+
+  /** The row-level feed as a streaming DataFrame — the table's columns
+    * plus `_change_type`, for feeds fed by [[publishPendingRows]]. */
+  def readRowChangeStream(spark: SparkSession, table: String,
+                          feedDir: String): DataFrame = {
+    fs(spark, new Path(feedDir, "data")).mkdirs(new Path(feedDir, "data"))
+    val base = ManifestTable.snapshotSchema(spark, table)
+      .getOrElse(ManifestTable.read(spark, table).schema)
+    val schema = org.apache.spark.sql.types.StructType(base.fields :+
+      org.apache.spark.sql.types.StructField("_change_type",
+        org.apache.spark.sql.types.StringType))
     spark.readStream.schema(schema).parquet(s"$feedDir/data/v*")
   }
 

@@ -309,6 +309,42 @@ class EventStreamsSpec extends AnyFunSuite with SparkFixture {
       ChangeFeedStream.expireFeed(spark, feed, keepLast = 0))
   }
 
+  test("T9e: the row-level CDC stream delivers classified events exactly once") {
+    import graft.sources.ManifestTable
+    import graft.streaming.ChangeFeedStream
+    def tmp(tag: String) =
+      java.nio.file.Files.createTempDirectory(s"graft_cdc_$tag").toString
+    val (table, feed, ckpt, out) = (tmp("tab"), tmp("feed"), tmp("ckpt"), tmp("out"))
+    val keys = Seq("id")
+    ManifestTable.commit(spark, table,
+      Seq((1L, "a"), (2L, "b"), (3L, "c")).toDF("id", "v"))
+    ChangeFeedStream.publishPendingRows(spark, table, feed, keys)
+    val q = ChangeFeedStream.readRowChangeStream(spark, table, feed)
+      .writeStream.format("parquet").option("path", out)
+      .option("checkpointLocation", ckpt).start()
+    try {
+      q.processAllAvailable()
+      // bootstrap range: everything is an insert
+      assert(spark.read.parquet(out).groupBy("_change_type").count()
+        .collect().map(r => (r.getString(0), r.getLong(1))).toMap
+        === Map("insert" -> 3L))
+      // mutations while the stream runs: update key 2, delete key 3,
+      // insert key 4 — ONE classified event each, nothing re-delivered
+      ManifestTable.upsert(spark, table,
+        Seq((2L, "B"), (4L, "d")).toDF("id", "v"), keys)
+      ManifestTable.deleteWhere(spark, table,
+        org.apache.spark.sql.functions.col("id") === 3L)
+      ChangeFeedStream.publishPendingRows(spark, table, feed, keys)
+      q.processAllAvailable()
+      val events = spark.read.parquet(out).collect()
+        .map(r => (r.getLong(0), r.getString(1), r.getString(2))).toSet
+      assert(events === Set(
+        (1L, "a", "insert"), (2L, "b", "insert"), (3L, "c", "insert"),
+        (2L, "B", "update_post"), (3L, "c", "delete"), (4L, "d", "insert")))
+      assert(spark.read.parquet(out).count() === 6) // exactly once each
+    } finally q.stop()
+  }
+
   test("T9b: the continuous pump picks up commits without an explicit tick") {
     import graft.sources.ManifestTable
     import graft.streaming.ChangeFeedStream
