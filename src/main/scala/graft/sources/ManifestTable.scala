@@ -313,6 +313,38 @@ object ManifestTable {
         for (c <- attr(a); v <- lit(l)) { atLeast(c, v); atMost(c, v) }
       case EqualTo(l, a) if attr(a).isDefined =>
         for (c <- attr(a); v <- lit(l)) { atLeast(c, v); atMost(c, v) }
+      // null-safe equality against a NON-null literal is plain equality
+      // (a null literal selects null rows, which min/max stats cannot
+      // see — lit() yields None there, so it constrains nothing)
+      case EqualNullSafe(a, l) if attr(a).isDefined =>
+        for (c <- attr(a); v <- lit(l)) { atLeast(c, v); atMost(c, v) }
+      case EqualNullSafe(l, a) if attr(a).isDefined =>
+        for (c <- attr(a); v <- lit(l)) { atLeast(c, v); atMost(c, v) }
+      // IN-list: col ∈ {v…} implies min(v…) ≤ col ≤ max(v…) — only when
+      // EVERY element is a recognized literal (one opaque element and
+      // the bound no longer holds)
+      case In(a, list) if attr(a).isDefined && list.nonEmpty =>
+        val vs = list.flatMap(lit(_))
+        if (vs.size == list.size)
+          attr(a).foreach { c => atLeast(c, vs.min); atMost(c, vs.max) }
+      // larger IN-lists optimize to InSet, which drops the Literal
+      // wrappers — interpret the raw internal values BY THE ATTRIBUTE'S
+      // TYPE (a raw Long under TimestampType is µs, not a number; any
+      // uninterpretable element voids the bound)
+      case InSet(a: AttributeReference, hset) if hset.nonEmpty =>
+        val vs = hset.toSeq.map(v => (v, a.dataType) match {
+          case (us: java.lang.Long, TimestampType) => Some(us.toDouble / 1e6)
+          case (s: org.apache.spark.unsafe.types.UTF8String,
+              org.apache.spark.sql.types.StringType) =>
+            Some(stringBound(s.toString))
+          case (n: java.lang.Number, _) => Some(n.doubleValue())
+          case (d: Decimal, _) => Some(d.toDouble)
+          case _ => None
+        })
+        if (vs.forall(_.isDefined)) {
+          val ds = vs.flatten
+          atLeast(a.name, ds.min); atMost(a.name, ds.max)
+        }
       // literal-on-the-left comparison forms flip the bound
       case GreaterThanOrEqual(l, a) if attr(a).isDefined =>
         for (c <- attr(a); v <- lit(l)) atMost(c, v)

@@ -130,6 +130,16 @@ class StatsSkipSpec extends AnyFunSuite with SparkFixture {
     // string literals constrain in enc-space (r8 string stats)
     assert(ManifestTable.extractRanges(EqualTo(s, Literal.create("a")))
       === Seq(("s", ManifestTable.stringBound("a"), ManifestTable.stringBound("a"))))
+    // IN-list bounds by its min/max; an opaque element voids the bound
+    assert(ManifestTable.extractRanges(
+      In(x, Seq(Literal(7), Literal(3), Literal(9))))
+      === Seq(("x", 3.0, 9.0)))
+    assert(ManifestTable.extractRanges(In(x, Seq(Literal(7), y))).isEmpty)
+    // null-safe equality: non-null literal constrains, null does not
+    assert(ManifestTable.extractRanges(EqualNullSafe(x, Literal(5)))
+      === Seq(("x", 5.0, 5.0)))
+    assert(ManifestTable.extractRanges(
+      EqualNullSafe(x, Literal.create(null, org.apache.spark.sql.types.IntegerType))).isEmpty)
   }
 
   test("string columns stats-track via the order-preserving prefix encoding; string predicates prune") {
