@@ -46,10 +46,17 @@ object QueryRegistry {
       Option(f.listFiles()).getOrElse(Array.empty).foreach(rmRf)
       f.delete(); ()
     }
+    // idleness = the NEWEST mtime anywhere in the tree: a live JVM's
+    // writes land in nested data/<uuid>/ dirs and never refresh the
+    // top-level dir's mtime, so a top-level-only check would reap a
+    // concurrent session's scratch mid-query
+    def newestMtime(f: java.io.File): Long =
+      (f.lastModified() +:
+        Option(f.listFiles()).getOrElse(Array.empty).map(newestMtime).toSeq).max
     Option(tmp.listFiles()).getOrElse(Array.empty)
       .filter { f =>
         f.getName.startsWith(prefix) && !f.getName.endsWith(s"_$pid") &&
-          f.lastModified() < cutoff
+          newestMtime(f) < cutoff
       }
       .foreach(rmRf)
     s"${tmp.getAbsolutePath}/$prefix${new java.io.File(sfDir).getName}_$pid"

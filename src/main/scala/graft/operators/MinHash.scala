@@ -93,8 +93,7 @@ object MinHash {
     * length bound). Stress reports both at 10× — the bound's value is
     * this gap, bought with one integer compare per collision row. */
   private[graft] def prefixCandidateCounts(docs: DataFrame,
-      idCol: String = "doc_id", textCol: String = "text",
-      t: Double = 0.5): (Long, Long) = {
+      textCol: String = "text", t: Double = 0.5): (Long, Long) = {
     val dd = distinctShingleSets(docs, textCol)
     val prefix = prefixFrame(dd, t)
     val raw = prefix.select(col("h").as("ha"), col("n").as("na"), col("sh"))

@@ -88,37 +88,52 @@ object ManifestTable {
   def snapshotFiles(spark: SparkSession, table: String,
                     version: Int = -1): Seq[String] = {
     val v = if (version < 0) currentVersion(spark, table) else version
-    if (v == 0) Nil
+    if (v == 0) Nil else filesFromText(manifestText(spark, table, v), table, v)
+  }
+
+  private def filesFromText(text: String, table: String, v: Int): Seq[String] = {
+    // manifest grammar is ours and trivial: one quoted table-relative
+    // path per line inside "files": [...] — every data file lives
+    // under data/, which is what distinguishes a path from the
+    // "version"/"files" keys; no JSON dep needed to write or read it.
+    // The path regexes are SCOPED to the files block: the manifest
+    // may also carry "stats" (whose keys repeat the data/ paths) and
+    // "schemaB64" sections — an unscoped scan would double-count
+    // every file that has stats and read it twice.
+    val filesBlock = filesSection(text, table, v)
+    // LEGACY GUARD (ADVICE r5): manifests written before the
+    // relative-path format stored absolute paths, which the data/
+    // regex silently skips — a legacy table would read as empty with
+    // no hint of the cause. Any quoted path-shaped entry NOT under
+    // data/ is either re-relativized (absolute path that still
+    // contains a /data/<uuid>/<part> tail — the layout never changed,
+    // only the recording) or an explicit format error.
+    val rel = "\"(data/[^\"]+)\"".r.findAllMatchIn(filesBlock).map(_.group(1)).toSeq
+    val foreign = "\"([^\"]*/[^\"]+)\"".r.findAllMatchIn(filesBlock).map(_.group(1))
+      .filterNot(_.startsWith("data/")).toSeq
+    val migrated = foreign.map { abs =>
+      val i = abs.lastIndexOf("/data/")
+      require(i >= 0,
+        s"manifest v$v of $table contains unrecognized path '$abs' — " +
+          "not table-relative (data/...) and not a legacy absolute path " +
+          "with a data/<uuid>/<file> tail; unknown or corrupt manifest format")
+      abs.substring(i + 1)
+    }
+    rel ++ migrated
+  }
+
+  /** One read + one parse of a version's manifest, for the hot derived
+    * commits ([[merge]]/[[deleteWhere]]) and pruned reads that need
+    * files AND schema AND stats — calling the three public accessors
+    * separately re-reads and re-regexes the same (at 100k-file scale,
+    * megabytes-long) manifest text each time. */
+  private def snapshotAll(spark: SparkSession, table: String, version: Int)
+      : (Seq[String], Option[StructType], Map[String, Map[String, (Double, Double)]]) = {
+    val v = if (version < 0) currentVersion(spark, table) else version
+    if (v == 0) (Nil, None, Map.empty)
     else {
       val text = manifestText(spark, table, v)
-      // manifest grammar is ours and trivial: one quoted table-relative
-      // path per line inside "files": [...] — every data file lives
-      // under data/, which is what distinguishes a path from the
-      // "version"/"files" keys; no JSON dep needed to write or read it.
-      // The path regexes are SCOPED to the files block: the manifest
-      // may also carry "stats" (whose keys repeat the data/ paths) and
-      // "schemaB64" sections — an unscoped scan would double-count
-      // every file that has stats and read it twice.
-      val filesBlock = filesSection(text, table, v)
-      // LEGACY GUARD (ADVICE r5): manifests written before the
-      // relative-path format stored absolute paths, which the data/
-      // regex silently skips — a legacy table would read as empty with
-      // no hint of the cause. Any quoted path-shaped entry NOT under
-      // data/ is either re-relativized (absolute path that still
-      // contains a /data/<uuid>/<part> tail — the layout never changed,
-      // only the recording) or an explicit format error.
-      val rel = "\"(data/[^\"]+)\"".r.findAllMatchIn(filesBlock).map(_.group(1)).toSeq
-      val foreign = "\"([^\"]*/[^\"]+)\"".r.findAllMatchIn(filesBlock).map(_.group(1))
-        .filterNot(_.startsWith("data/")).toSeq
-      val migrated = foreign.map { abs =>
-        val i = abs.lastIndexOf("/data/")
-        require(i >= 0,
-          s"manifest v$v of $table contains unrecognized path '$abs' — " +
-            "not table-relative (data/...) and not a legacy absolute path " +
-            "with a data/<uuid>/<file> tail; unknown or corrupt manifest format")
-        abs.substring(i + 1)
-      }
-      rel ++ migrated
+      (filesFromText(text, table, v), schemaFromText(text), statsFromText(text))
     }
   }
 
@@ -151,15 +166,17 @@ object ManifestTable {
   def snapshotSchema(spark: SparkSession, table: String,
                      version: Int = -1): Option[StructType] = {
     val v = if (version < 0) currentVersion(spark, table) else version
-    if (v == 0) None
-    else "\"schemaB64\"\\s*:\\s*\"([^\"]+)\"".r
-      .findFirstMatchIn(manifestText(spark, table, v))
+    if (v == 0) None else schemaFromText(manifestText(spark, table, v))
+  }
+
+  private def schemaFromText(text: String): Option[StructType] =
+    "\"schemaB64\"\\s*:\\s*\"([^\"]+)\"".r
+      .findFirstMatchIn(text)
       .map { m =>
         val json = new String(
           java.util.Base64.getDecoder.decode(m.group(1)), "UTF-8")
         DataType.fromJson(json).asInstanceOf[StructType]
       }
-  }
 
   /** Per-file column (min, max) ranges recorded at write time —
     * `relPath -> col -> (min, max)` as doubles. Files or columns absent
@@ -167,22 +184,23 @@ object ManifestTable {
   def snapshotStats(spark: SparkSession, table: String, version: Int = -1)
       : Map[String, Map[String, (Double, Double)]] = {
     val v = if (version < 0) currentVersion(spark, table) else version
-    if (v == 0) Map.empty
+    if (v == 0) Map.empty else statsFromText(manifestText(spark, table, v))
+  }
+
+  private def statsFromText(text: String)
+      : Map[String, Map[String, (Double, Double)]] = {
+    val start = text.indexOf("\"stats\"")
+    if (start < 0) Map.empty
     else {
-      val text = manifestText(spark, table, v)
-      val start = text.indexOf("\"stats\"")
-      if (start < 0) Map.empty
-      else {
-        // one `"data/...": {"col":[mn,mx],...}` entry per line — the
-        // writer guarantees the shape, so per-line regexes suffice
-        val entry = "\"(data/[^\"]+)\"\\s*:\\s*\\{([^}]*)\\}".r
-        val range = "\"([^\"]+)\"\\s*:\\s*\\[([^,\\]]+),([^\\]]+)\\]".r
-        entry.findAllMatchIn(text.substring(start)).map { m =>
-          m.group(1) -> range.findAllMatchIn(m.group(2)).map { r =>
-            r.group(1) -> (r.group(2).trim.toDouble, r.group(3).trim.toDouble)
-          }.toMap
+      // one `"data/...": {"col":[mn,mx],...}` entry per line — the
+      // writer guarantees the shape, so per-line regexes suffice
+      val entry = "\"(data/[^\"]+)\"\\s*:\\s*\\{([^}]*)\\}".r
+      val range = "\"([^\"]+)\"\\s*:\\s*\\[([^,\\]]+),([^\\]]+)\\]".r
+      entry.findAllMatchIn(text.substring(start)).map { m =>
+        m.group(1) -> range.findAllMatchIn(m.group(2)).map { r =>
+          r.group(1) -> (r.group(2).trim.toDouble, r.group(3).trim.toDouble)
         }.toMap
-      }
+      }.toMap
     }
   }
 
@@ -191,9 +209,9 @@ object ManifestTable {
     * through any session/default-FS combination that can reach the
     * root URI. */
   def read(spark: SparkSession, table: String, version: Int = -1): DataFrame = {
-    val files = snapshotFiles(spark, table, version)
+    val (files, schema, _) = snapshotAll(spark, table, version)
     require(files.nonEmpty, s"no committed snapshot in $table")
-    readFiles(spark, table, files, snapshotSchema(spark, table, version))
+    readFiles(spark, table, files, schema)
   }
 
   private def readFiles(spark: SparkSession, table: String,
@@ -220,9 +238,11 @@ object ManifestTable {
   def readRange(spark: SparkSession, table: String,
                 ranges: Seq[(String, Double, Double)],
                 version: Int = -1): DataFrame = {
-    val (kept, _) = pruneFiles(spark, table, ranges, version)
-    if (kept.isEmpty) read(spark, table, version).limit(0)
-    else readFiles(spark, table, kept, snapshotSchema(spark, table, version))
+    val (files, schema, stats) = snapshotAll(spark, table, version)
+    require(files.nonEmpty, s"no committed snapshot in $table")
+    val kept = pruneWith(files, stats, ranges)
+    if (kept.isEmpty) readFiles(spark, table, files, schema).limit(0)
+    else readFiles(spark, table, kept, schema)
   }
 
   /** Filtered read with AUTOMATIC data skipping (the Delta shape —
@@ -237,24 +257,53 @@ object ManifestTable {
     * prunes nothing). */
   def readWhere(spark: SparkSession, table: String, pred: Column,
                 version: Int = -1): DataFrame = {
-    val ranges = predicateRanges(spark, table, pred, version)
-    if (ranges.isEmpty) read(spark, table, version).filter(pred)
-    else readRange(spark, table, ranges, version).filter(pred)
+    val (files, schema, stats) = snapshotAll(spark, table, version)
+    require(files.nonEmpty, s"no committed snapshot in $table")
+    val ranges = predicateRangesWith(spark, table, pred, files, schema)
+    val kept = if (ranges.isEmpty) files else pruneWith(files, stats, ranges)
+    val base =
+      if (kept.isEmpty) readFiles(spark, table, files, schema).limit(0)
+      else readFiles(spark, table, kept, schema)
+    base.filter(pred)
   }
 
   /** The range constraints `pred` itself implies, ready for
     * [[pruneFiles]] — sound by construction (a predicate implies each
     * of its conjuncts, so a file outside them cannot hold a matching
     * row). The constraint tree must be RESOLVED before it is walkable
-    * (Spark 4 Columns convert lazily); one driver-side optimize pass
-    * of scan+filter yields constant-folded catalyst comparisons. */
+    * (Spark 4 Columns convert lazily), so the predicate is analyzed
+    * against an EMPTY frame carrying the recorded snapshot schema —
+    * resolving through a real read would list every snapshot file just
+    * to name the columns, defeating the skip's purpose (only legacy
+    * schemaless manifests read one file's footer). The ANALYZED plan
+    * keeps the Filter (the optimizer would fold an empty relation's
+    * Filter away entirely); foldable subtrees — casts of literals,
+    * arithmetic — fold here so comparisons expose plain Literals. */
   private def predicateRanges(spark: SparkSession, table: String,
                               pred: Column, version: Int)
-      : Seq[(String, Double, Double)] =
-    read(spark, table, version).filter(pred)
-      .queryExecution.optimizedPlan.collect {
-        case f: org.apache.spark.sql.catalyst.plans.logical.Filter => f.condition
-      }.flatMap(extractRanges)
+      : Seq[(String, Double, Double)] = {
+    val (files, schema, _) = snapshotAll(spark, table, version)
+    predicateRangesWith(spark, table, pred, files, schema)
+  }
+
+  /** [[predicateRanges]] over an already-parsed snapshot. */
+  private def predicateRangesWith(spark: SparkSession, table: String,
+                                  pred: Column, files: Seq[String],
+                                  schema: Option[StructType])
+      : Seq[(String, Double, Double)] = {
+    import org.apache.spark.sql.catalyst.expressions.Literal
+    val sch = schema.orElse(files.headOption.map(fl =>
+      spark.read.parquet(new Path(table, fl).toString).schema))
+    if (sch.isEmpty) return Nil
+    val probe = spark.createDataFrame(
+      new java.util.ArrayList[org.apache.spark.sql.Row](), sch.get).filter(pred)
+    probe.queryExecution.analyzed.collect {
+      case f: org.apache.spark.sql.catalyst.plans.logical.Filter => f.condition
+    }.map(_.transformUp {
+      case e if e.foldable && !e.isInstanceOf[Literal] =>
+        Literal.create(e.eval(), e.dataType)
+    }).flatMap(extractRanges)
+  }
 
   /** Conservative range extraction from a predicate tree: walks the
     * top-level AND conjuncts and folds `col <op> literal` /
@@ -367,9 +416,15 @@ object ManifestTable {
   def pruneFiles(spark: SparkSession, table: String,
                  ranges: Seq[(String, Double, Double)],
                  version: Int = -1): (Seq[String], Int) = {
-    val files = snapshotFiles(spark, table, version)
-    val stats = snapshotStats(spark, table, version)
-    val kept = files.filter { f =>
+    val (files, _, stats) = snapshotAll(spark, table, version)
+    (pruneWith(files, stats, ranges), files.size)
+  }
+
+  /** The pure pruning decision over an already-parsed snapshot. */
+  private def pruneWith(files: Seq[String],
+                        stats: Map[String, Map[String, (Double, Double)]],
+                        ranges: Seq[(String, Double, Double)]): Seq[String] =
+    files.filter { f =>
       ranges.forall { case (c, lo, hi) =>
         stats.get(f).flatMap(_.get(c)) match {
           case Some((mn, mx)) => mn <= hi && mx >= lo
@@ -377,8 +432,6 @@ object ManifestTable {
         }
       }
     }
-    (kept, files.size)
-  }
 
   /** Step 1: full data write under a fresh uuid dir — unreferenced (and
     * so invisible) until a manifest names it. Returns the relative
@@ -764,8 +817,7 @@ object ManifestTable {
     while (attempt < maxAttempts) {
       attempt += 1
       val head = currentVersion(spark, table)
-      val rel = snapshotFiles(spark, table, head)
-      val schema = snapshotSchema(spark, table, head)
+      val (rel, schema, headStats) = snapshotAll(spark, table, head)
       val relFile = {
         val parts = split(col("_metadata.file_path"), "/")
         concat_ws("/",
@@ -786,12 +838,12 @@ object ManifestTable {
           // exact; non-numeric keys yield no bound and prune nothing)
           val candidates =
             if (bounds.isEmpty) rel
-            else pruneFiles(spark, table, bounds, head)._1
+            else pruneWith(rel, headStats, bounds)
           // pass 1: which files hold a matched key? Column-pruned to
           // the keys; bounded driver state (≤ |snapshot files|).
           val tgtKeys =
-            if (candidates.isEmpty) read(spark, table, head).limit(0)
-              .select(keys.map(col) :+
+            if (candidates.isEmpty) readFiles(spark, table, rel, schema)
+              .limit(0).select(keys.map(col) :+
                 org.apache.spark.sql.functions.lit("").as("__f"): _*)
             else readFiles(spark, table, candidates, schema)
               .select(keys.map(col) :+ relFile.as("__f"): _*)
@@ -801,7 +853,7 @@ object ManifestTable {
             .collect().map(_.getString(0)).toSet
           // pass 2: clause logic over ONLY the affected files' rows
           val tgt =
-            if (affected.isEmpty) read(spark, table, head).limit(0)
+            if (affected.isEmpty) readFiles(spark, table, rel, schema).limit(0)
             else readFiles(spark, table, affected.toSeq.sorted, schema)
           // evolution (the commit() mergeSchema rule applied to MERGE):
           // updates may ADD columns — kept target rows read them as
@@ -833,7 +885,6 @@ object ManifestTable {
             a.unionByName(b, allowMissingColumns = mergeSchema)
           (u(u(kept, replaced), inserted), affected)
         }
-      val headStats = snapshotStats(spark, table, head)
       val (uuid, newFiles, newStats) =
         writeData(spark, table, merged, statsColumnsOf(headStats))
       val files = rel.filterNot(affected) ++ newFiles
@@ -878,15 +929,14 @@ object ManifestTable {
     while (attempt < maxAttempts) {
       attempt += 1
       val head = currentVersion(spark, table)
-      val rel = snapshotFiles(spark, table, head)
+      val (rel, schema, headStats) = snapshotAll(spark, table, head)
       if (rel.isEmpty) return head
-      val ranges = predicateRanges(spark, table, pred, head) ++ scanRanges
+      val ranges = predicateRangesWith(spark, table, pred, rel, schema) ++ scanRanges
       val candidates =
         if (ranges.isEmpty) rel
-        else pruneFiles(spark, table, ranges, head)._1
+        else pruneWith(rel, headStats, ranges)
       if (candidates.isEmpty) return head
-      val withFile = readFiles(spark, table, candidates,
-        snapshotSchema(spark, table, head)).withColumn("__f",
+      val withFile = readFiles(spark, table, candidates, schema).withColumn("__f",
         // absolute scan path → the manifest's relative form: data files
         // always sit exactly at data/<uuid>/<part>, so the last three
         // path segments ARE the relative path (root-prefix stripping
@@ -906,7 +956,6 @@ object ManifestTable {
         withFile.filter(col("__f").isin(affected.toSeq: _*))
           .filter(!coalesce(pred, lit(false)))
           .drop("__f")
-      val headStats = snapshotStats(spark, table, head)
       val (uuid, newFiles, newStats) =
         writeData(spark, table, survivorsOfAffected, statsColumnsOf(headStats))
       val files = rel.filterNot(affected) ++ newFiles
@@ -914,8 +963,7 @@ object ManifestTable {
       // entries for files no longer in the snapshot); rewritten files
       // get fresh ranges from the write above
       commitIfHead(spark, table, files, head, uuid,
-          snapshotSchema(spark, table, head)
-            .orElse(Some(survivorsOfAffected.schema)),
+          schema.orElse(Some(survivorsOfAffected.schema)),
           headStats ++ newStats) match {
         case Some(v) => return v
         case None =>

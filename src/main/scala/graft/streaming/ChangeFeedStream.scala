@@ -18,18 +18,18 @@ import graft.sources.ManifestTable
   *  1. [[publishPending]] (the pump; run from a scheduler or the
   *     [[pump]] daemon thread) reads `changes(lastPublished, head)` —
   *     committed rows only — and publishes them into
-  *     `feedDir/data/v<lo>_<hi>/` via write-to-temp + atomic rename.
-  *     The range dir IS the progress marker: lastPublished is re-derived
-  *     from the published dir names, so there is no separate progress
-  *     file to fall out of sync with the data. A crash before the
-  *     rename leaves an invisible `.tmp-*` dir (hidden from Spark's
-  *     file listing, reclaimed on the next tick); a crash after is a
-  *     completed publish. Re-running a tick is a no-op: consecutive
-  *     version ranges never overlap and an existing range dir is never
-  *     re-published — so the pump is idempotent and crash-safe, and
-  *     TWO racing pumps publish a range at most once (the loser's
-  *     rename nests its temp dir INSIDE the winner's as a dot-prefixed
-  *     — hence invisible — child).
+  *     `feedDir/data/v<lo>/` (covered hi rides inside as a `_hi_<n>`
+  *     marker) via write-to-temp + atomic rename. The range dir IS the
+  *     progress marker: lastPublished is re-derived from the published
+  *     dirs, so there is no separate progress file to fall out of sync
+  *     with the data. A crash before the rename leaves an invisible
+  *     `.tmp-*` dir (hidden from Spark's file listing, reclaimed after
+  *     a 30-min grace); a crash after is a completed publish.
+  *     Re-running a tick is a no-op, and because the commit point is
+  *     keyed on LO alone, two pumps that both observed the same
+  *     lastPublished — even with different heads — target the SAME dir
+  *     name: at most one publish per lo ever becomes visible, so
+  *     ranges cannot overlap and no row is ever delivered twice.
   *  2. [[readChangeStream]] is a plain parquet file-source stream over
   *     `feedDir/data/v*`, schema-pinned to the table's recorded head
   *     schema. The file source's own checkpoint tracks which feed
@@ -45,18 +45,42 @@ object ChangeFeedStream {
   private def fs(spark: SparkSession, p: Path) =
     p.getFileSystem(spark.sparkContext.hadoopConfiguration)
 
-  private val RangeDir = "v(\\d+)_(\\d+)".r
+  // Range dirs are named BY THEIR LOWER BOUND ONLY (`v<lo>`), with the
+  // covered upper bound riding inside as a `_hi_<n>` marker file
+  // (underscore-prefixed → invisible to Spark's readers) written
+  // BEFORE the atomic rename. Keying the commit point on lo is what
+  // makes racing pumps safe: two pumps that both read lastPublished=N
+  // target the SAME dir name, so at most one publish per lo becomes
+  // visible and ranges can never overlap — a hi-keyed name
+  // (`v<lo>_<hi>`, the legacy form, still parsed) let two pumps that
+  // observed different heads publish overlapping ranges as two
+  // distinct dirs, permanently duplicating rows for every consumer.
+  private val LegacyRangeDir = "v(\\d+)_(\\d+)".r
+  private val LoRangeDir = "v(\\d+)".r
+  private val HiMarker = "_hi_(\\d+)".r
 
-  /** Highest table version already published into `feedDir`, derived
-    * from the range-dir names (0 when the feed is empty). */
-  def publishedUpTo(spark: SparkSession, feedDir: String): Int = {
+  /** The published ranges: (hi, dir path) per visible range dir. */
+  private def publishedRanges(spark: SparkSession,
+                              feedDir: String): Seq[(Int, Path)] = {
     val dataDir = new Path(feedDir, "data")
     val f = fs(spark, dataDir)
-    if (!f.exists(dataDir)) 0
-    else f.listStatus(dataDir).map(_.getPath.getName).collect {
-      case RangeDir(_, hi) => hi.toInt
-    }.foldLeft(0)(math.max)
+    if (!f.exists(dataDir)) Nil
+    else f.listStatus(dataDir).map(_.getPath).toSeq.flatMap { p =>
+      p.getName match {
+        case LegacyRangeDir(_, hi) => Some((hi.toInt, p))
+        case LoRangeDir(_) =>
+          f.listStatus(p).map(_.getPath.getName).collectFirst {
+            case HiMarker(hi) => (hi.toInt, p)
+          }
+        case _ => None
+      }
+    }
   }
+
+  /** Highest table version already published into `feedDir` (0 when
+    * the feed is empty). */
+  def publishedUpTo(spark: SparkSession, feedDir: String): Int =
+    publishedRanges(spark, feedDir).map(_._1).foldLeft(0)(math.max)
 
   /** One pump tick: publish `changes(lastPublished, head)` into the
     * feed, atomically. Returns the version the feed now reaches.
@@ -81,20 +105,45 @@ object ChangeFeedStream {
     val head = ManifestTable.currentVersion(spark, table)
     val last = publishedUpTo(spark, feedDir)
     if (head <= last) return last
+    // wedge guard: continuing incrementally needs manifests last..head
+    // on the TABLE side — if retention (ManifestTable.expire) dropped
+    // one, every future tick would throw identically, so fail with the
+    // operational answer instead of letting the pump spin on it
+    if (last > 0) {
+      val avail = ManifestTable.versions(spark, table).toSet
+      val missing = (last to head).filterNot(avail)
+      if (missing.nonEmpty) throw new IllegalStateException(
+        s"change feed of $table is at v$last but table versions " +
+          s"${missing.mkString(", ")} are expired — the incremental feed " +
+          "cannot continue; bootstrap a NEW feedDir from a snapshot " +
+          "(ManifestTable.read + a fresh feed from the current head)")
+    }
     val dataDir = new Path(feedDir, "data")
     val f = fs(spark, dataDir)
     f.mkdirs(dataDir)
-    // reclaim any previous crashed tick's invisible temp dir
+    // reclaim crashed ticks' temp dirs — but only ones idle 30+ min:
+    // a fresh .tmp may be a CONCURRENT pump's in-flight write, and
+    // deleting it would fail that pump's publish out from under it
+    val cutoff = System.currentTimeMillis() - 30L * 60 * 1000
     f.listStatus(dataDir).map(_.getPath)
-      .filter(_.getName.startsWith(".tmp-"))
+      .filter(p => p.getName.startsWith(".tmp-") &&
+        f.getFileStatus(p).getModificationTime < cutoff)
       .foreach(p => f.delete(p, true))
     val batch = batchOf(last, head)
     val tmp = new Path(dataDir, s".tmp-${java.util.UUID.randomUUID()}")
     batch.write.mode("overwrite").parquet(tmp.toString)
-    val target = new Path(dataDir, s"v${last + 1}_$head")
-    if (f.exists(target)) f.delete(tmp, true) // another pump won this range
-    else f.rename(tmp, target)
-    head
+    // hi marker INSIDE the dir, before the atomic publish
+    f.create(new Path(tmp, s"_hi_$head"), true).close()
+    val target = new Path(dataDir, s"v${last + 1}")
+    // lo-keyed commit point: one visible publish per lo, ever. (In the
+    // worst exists→rename race a loser's rename may NEST its tmp inside
+    // the winner's dir — dot-prefixed, so invisible to readers, and its
+    // marker is not a direct child, so invisible to publishedUpTo too.)
+    val won = !f.exists(target) && f.rename(tmp, target)
+    if (!won) f.delete(tmp, true)
+    // report the feed's TRUE reach, not this tick's aspiration — on a
+    // lost race the winner may have covered a shorter range
+    publishedUpTo(spark, feedDir)
   }
 
   /** The feed as a streaming DataFrame (parquet file source over the
@@ -134,15 +183,9 @@ object ChangeFeedStream {
     // dropping it would reset lastSeen to 0 and the next tick would
     // republish history as new files — duplicates for every consumer
     require(keepLast >= 1, "must keep at least the newest range (the progress marker)")
-    val dataDir = new Path(feedDir, "data")
-    val f = fs(spark, dataDir)
-    if (!f.exists(dataDir)) return
-    val ranges = f.listStatus(dataDir).map(_.getPath)
-      .flatMap(p => p.getName match {
-        case RangeDir(_, hi) => Some((hi.toInt, p))
-        case _ => None
-      }).sortBy(_._1)
-    ranges.dropRight(keepLast).foreach { case (_, p) => f.delete(p, true) }
+    val f = fs(spark, new Path(feedDir, "data"))
+    publishedRanges(spark, feedDir).sortBy(_._1)
+      .dropRight(keepLast).foreach { case (_, p) => f.delete(p, true) }
   }
 
   /** Continuous pump: a daemon thread ticking [[publishPending]] every
@@ -156,6 +199,11 @@ object ChangeFeedStream {
       while (running) {
         try publishPending(spark, table, feedDir)
         catch { case _: InterruptedException => running = false
+                case e: IllegalStateException =>
+                  // unrecoverable by retrying (expired table versions):
+                  // stop instead of spinning on the same error forever
+                  System.err.println(s"[change-feed pump] stopping: ${e.getMessage}")
+                  running = false
                 case e: Throwable =>
                   System.err.println(s"[change-feed pump] tick failed: ${e.getMessage}") }
         try Thread.sleep(pollIntervalMs)

@@ -345,6 +345,22 @@ class EventStreamsSpec extends AnyFunSuite with SparkFixture {
     } finally q.stop()
   }
 
+  test("T9f: table-side expiry past the feed's position fails the tick loudly, not a spin") {
+    import graft.sources.ManifestTable
+    import graft.streaming.ChangeFeedStream
+    def tmp(tag: String) =
+      java.nio.file.Files.createTempDirectory(s"graft_cdfx_$tag").toString
+    val (table, feed) = (tmp("tab"), tmp("feed"))
+    ManifestTable.commit(spark, table, Seq((1L, "a")).toDF("id", "v")) // v1
+    ChangeFeedStream.publishPending(spark, table, feed)                // feed at 1
+    ManifestTable.commit(spark, table, Seq((2L, "b")).toDF("id", "v")) // v2
+    ManifestTable.commit(spark, table, Seq((3L, "c")).toDF("id", "v")) // v3
+    ManifestTable.expire(spark, table, keepLast = 1) // v1, v2 gone
+    val e = intercept[IllegalStateException](
+      ChangeFeedStream.publishPending(spark, table, feed))
+    assert(e.getMessage.contains("expired"))
+  }
+
   test("T9b: the continuous pump picks up commits without an explicit tick") {
     import graft.sources.ManifestTable
     import graft.streaming.ChangeFeedStream
@@ -359,7 +375,7 @@ class EventStreamsSpec extends AnyFunSuite with SparkFixture {
       while (ChangeFeedStream.publishedUpTo(spark, feed) < 1 &&
         System.currentTimeMillis() < deadline) Thread.sleep(50)
       assert(ChangeFeedStream.publishedUpTo(spark, feed) === 1)
-      assert(spark.read.parquet(s"$feed/data/v1_1").count() === 2)
+      assert(spark.read.parquet(s"$feed/data/v1").count() === 2)
     } finally pump.close()
   }
 }
