@@ -279,14 +279,6 @@ object ManifestTable {
     * keeps the Filter (the optimizer would fold an empty relation's
     * Filter away entirely); foldable subtrees — casts of literals,
     * arithmetic — fold here so comparisons expose plain Literals. */
-  private def predicateRanges(spark: SparkSession, table: String,
-                              pred: Column, version: Int)
-      : Seq[(String, Double, Double)] = {
-    val (files, schema, _) = snapshotAll(spark, table, version)
-    predicateRangesWith(spark, table, pred, files, schema)
-  }
-
-  /** [[predicateRanges]] over an already-parsed snapshot. */
   private def predicateRangesWith(spark: SparkSession, table: String,
                                   pred: Column, files: Seq[String],
                                   schema: Option[StructType])
@@ -324,6 +316,16 @@ object ManifestTable {
     def attr(x: Expression): Option[String] = x match {
       case a: UnresolvedAttribute => Some(a.name)
       case a: AttributeReference => Some(a.name)
+      // the analyzer widens the ATTRIBUTE side of a mixed-type
+      // comparison (int col vs long/double literal → Cast(col, wider)).
+      // A lossless numeric up-cast is monotone and value-preserving in
+      // the stats' double space, so the bound on the cast value IS a
+      // bound on the raw column; anything else (string↔numeric, down-
+      // casts) stays unextracted — conservative, never wrong
+      case c: Cast if Cast.canUpCast(c.child.dataType, c.dataType) &&
+          c.child.dataType.isInstanceOf[org.apache.spark.sql.types.NumericType] &&
+          c.dataType.isInstanceOf[org.apache.spark.sql.types.NumericType] =>
+        attr(c.child)
       case _ => None
     }
     def lit(x: Expression): Option[Double] = x match {

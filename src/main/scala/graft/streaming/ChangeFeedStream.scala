@@ -87,7 +87,10 @@ object ChangeFeedStream {
     * Idempotent — call it from any scheduler, as often as you like. */
   def publishPending(spark: SparkSession, table: String, feedDir: String): Int =
     publishWith(spark, table, feedDir)(
-      (last, head) => ManifestTable.changes(spark, table, last, head))
+      (last, head) => ManifestTable.changes(spark, table, last, head),
+      // changes() reads the base manifest (when last > 0) and every
+      // manifest in (last, head]
+      (last, head) => math.max(last, 1) to head)
 
   /** Row-level variant: each published range holds the CLASSIFIED diff
     * of [[ManifestTable.rowChanges]] (table columns + `_change_type` ∈
@@ -98,37 +101,55 @@ object ChangeFeedStream {
   def publishPendingRows(spark: SparkSession, table: String,
                          feedDir: String, keys: Seq[String]): Int =
     publishWith(spark, table, feedDir)(
-      (last, head) => ManifestTable.rowChanges(spark, table, last, keys, head))
+      (last, head) => ManifestTable.rowChanges(spark, table, last, keys, head),
+      // rowChanges diffs exactly TWO snapshots — intermediates lost
+      // out-of-band do not block a rows feed
+      (last, head) => Seq(last).filter(_ > 0) :+ head)
+
+  /** The wedge signal: the table no longer holds the manifests this
+    * feed needs — retrying cannot recover, a NEW feedDir must be
+    * bootstrapped from a snapshot. A dedicated type so [[pump]] stops
+    * on exactly this and nothing else. */
+  final class FeedWedgedException(msg: String)
+    extends IllegalStateException(msg)
 
   private def publishWith(spark: SparkSession, table: String, feedDir: String)(
-      batchOf: (Int, Int) => DataFrame): Int = {
+      batchOf: (Int, Int) => DataFrame,
+      neededVersions: (Int, Int) => Seq[Int]): Int = {
     val head = ManifestTable.currentVersion(spark, table)
     val last = publishedUpTo(spark, feedDir)
     if (head <= last) return last
-    // wedge guard: continuing incrementally needs manifests last..head
-    // on the TABLE side — if retention (ManifestTable.expire) dropped
-    // one, every future tick would throw identically, so fail with the
-    // operational answer instead of letting the pump spin on it
-    if (last > 0) {
-      val avail = ManifestTable.versions(spark, table).toSet
-      val missing = (last to head).filterNot(avail)
-      if (missing.nonEmpty) throw new IllegalStateException(
-        s"change feed of $table is at v$last but table versions " +
-          s"${missing.mkString(", ")} are expired — the incremental feed " +
-          "cannot continue; bootstrap a NEW feedDir from a snapshot " +
-          "(ManifestTable.read + a fresh feed from the current head)")
-    }
+    // wedge guard: continuing needs this feed kind's manifests on the
+    // TABLE side — if retention (ManifestTable.expire) dropped one,
+    // every future tick would throw identically, so fail with the
+    // operational answer instead of letting the pump spin on it. This
+    // covers the bootstrap case too (a fresh feed against a table
+    // whose early versions are already expired).
+    val avail = ManifestTable.versions(spark, table).toSet
+    val missing = neededVersions(last, head).filterNot(avail)
+    if (missing.nonEmpty) throw new FeedWedgedException(
+      s"change feed of $table is at v$last but table versions " +
+        s"${missing.mkString(", ")} are expired — the incremental feed " +
+        "cannot continue; bootstrap a NEW feedDir from a snapshot " +
+        "(ManifestTable.read + a fresh feed from the current head)")
     val dataDir = new Path(feedDir, "data")
     val f = fs(spark, dataDir)
     f.mkdirs(dataDir)
-    // reclaim crashed ticks' temp dirs — but only ones idle 30+ min:
-    // a fresh .tmp may be a CONCURRENT pump's in-flight write, and
-    // deleting it would fail that pump's publish out from under it
+    // reclaim crashed ticks' temp dirs — but only ones whose WHOLE TREE
+    // is idle 30+ min: a fresh .tmp may be a CONCURRENT pump's
+    // in-flight write, and its task output lands nested under
+    // _temporary/ without refreshing the top-level mtime (the same
+    // top-level-only trap scratchDir and expire() avoid)
     val cutoff = System.currentTimeMillis() - 30L * 60 * 1000
-    f.listStatus(dataDir).map(_.getPath)
-      .filter(p => p.getName.startsWith(".tmp-") &&
-        f.getFileStatus(p).getModificationTime < cutoff)
-      .foreach(p => f.delete(p, true))
+    def newestMtime(p: Path): Long = {
+      val st = f.getFileStatus(p)
+      (st.getModificationTime +: (if (st.isDirectory)
+        f.listStatus(p).map(x => newestMtime(x.getPath)).toSeq else Nil)).max
+    }
+    f.listStatus(dataDir)
+      .filter(st => st.getPath.getName.startsWith(".tmp-") &&
+        newestMtime(st.getPath) < cutoff)
+      .foreach(st => f.delete(st.getPath, true))
     val batch = batchOf(last, head)
     val tmp = new Path(dataDir, s".tmp-${java.util.UUID.randomUUID()}")
     batch.write.mode("overwrite").parquet(tmp.toString)
@@ -141,9 +162,9 @@ object ChangeFeedStream {
     // marker is not a direct child, so invisible to publishedUpTo too.)
     val won = !f.exists(target) && f.rename(tmp, target)
     if (!won) f.delete(tmp, true)
-    // report the feed's TRUE reach, not this tick's aspiration — on a
-    // lost race the winner may have covered a shorter range
-    publishedUpTo(spark, feedDir)
+    // a won rename proves the feed reaches head — only a lost race needs
+    // the (O(range dirs)) relisting to learn the winner's actual reach
+    if (won) head else publishedUpTo(spark, feedDir)
   }
 
   /** The feed as a streaming DataFrame (parquet file source over the
@@ -199,9 +220,12 @@ object ChangeFeedStream {
       while (running) {
         try publishPending(spark, table, feedDir)
         catch { case _: InterruptedException => running = false
-                case e: IllegalStateException =>
+                case e: FeedWedgedException =>
                   // unrecoverable by retrying (expired table versions):
-                  // stop instead of spinning on the same error forever
+                  // stop instead of spinning on the same error forever —
+                  // ONLY on the dedicated wedge signal, so a transient
+                  // IllegalStateException from Spark internals does not
+                  // silently kill the feed
                   System.err.println(s"[change-feed pump] stopping: ${e.getMessage}")
                   running = false
                 case e: Throwable =>

@@ -110,6 +110,15 @@ class StatsSkipSpec extends AnyFunSuite with SparkFixture {
     assert(df.inputFiles.length < 8, "predicate-derived pruning did not engage")
     val want = ManifestTable.read(spark, t).filter(pred).count()
     assert(df.count() === want && want > 0)
+    // a DOUBLE literal against the bigint column makes the analyzer
+    // cast the ATTRIBUTE side — extraction must see through the
+    // lossless numeric up-cast or the skip silently dies
+    val predCast = col("o_orderkey") >= 100.0 && col("o_orderkey") <= 800.0
+    val dfCast = ManifestTable.readWhere(spark, t, predCast)
+    assert(dfCast.inputFiles.length < 8,
+      "attr-side up-cast defeated predicate extraction")
+    assert(dfCast.count() ===
+      ManifestTable.read(spark, t).filter(predCast).count())
     // extraction unit checks on resolved catalyst nodes (what the
     // optimized Filter condition holds): conjunct folding, flipped
     // literal side, equality, and the conservative no-ops
