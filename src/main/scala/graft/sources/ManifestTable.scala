@@ -148,9 +148,17 @@ object ManifestTable {
 
   /** The `"files": [ ... ]` block of a manifest (every format the table
     * has ever written — including legacy absolute-path manifests — has
-    * one; its absence means corruption, not an empty snapshot). */
+    * one; its absence means corruption, not an empty snapshot).
+    * Anchored on the LAST `"files"` occurrence (ADVICE r8): the stats
+    * block precedes the files section and repeats raw COLUMN names as
+    * keys, so a stats-tracked column literally named `files` would
+    * otherwise shadow the section key — snapshotFiles would silently
+    * return Nil and [[expire]] would then reclaim live data. The files
+    * section is always the manifest's final section and its entries
+    * are uuid paths that cannot contain a quoted `"files"` key, so the
+    * last occurrence is unambiguous. */
   private def filesSection(text: String, table: String, v: Int): String = {
-    val start = text.indexOf("\"files\"")
+    val start = text.lastIndexOf("\"files\"")
     require(start >= 0, s"manifest v$v of $table has no files section")
     val open = text.indexOf('[', start)
     val close = text.indexOf(']', open)
@@ -463,6 +471,13 @@ object ManifestTable {
         import org.apache.spark.sql.functions.{col, element_at, max, min, split, concat_ws}
         val present = df.schema.map(_.name).toSet
         val cols = statsColumns.filter(present)
+        // the manifest grammar is quote-delimited and line-oriented: a
+        // column name carrying a quote, backslash, or newline would be
+        // written unescaped and corrupt the stats block for EVERY
+        // reader of this snapshot — refuse at the write, not the read
+        cols.foreach(c => require(!c.exists(ch => ch == '"' || ch == '\\' || ch == '\n' || ch == '\r'),
+          s"stats column name '$c' contains characters the manifest " +
+            "grammar cannot carry (quote, backslash, or newline)"))
         if (cols.isEmpty) Map.empty
         else {
           val parts = split(col("_metadata.file_path"), "/")
@@ -1003,7 +1018,13 @@ object ManifestTable {
       .flatMap(v => snapshotFiles(spark, table, v))
       .distinct.filterNot(before)
     if (added.nonEmpty)
-      spark.read.parquet(added.map(f => new Path(table, f).toString): _*)
+      // read under the TO-version recorded schema, not footer inference
+      // (ADVICE r8): a feed range spanning a mergeSchema evolution would
+      // otherwise take an arbitrary file's footer as the schema and
+      // silently drop (or nondeterministically carry) the added column —
+      // and publishPending would persist that lossy batch into the feed.
+      // rowChanges pins the to-version schema for exactly this reason.
+      readFiles(spark, table, added, snapshotSchema(spark, table, to))
     else if (to == 0) spark.emptyDataFrame
     else read(spark, table, to).limit(0)
   }

@@ -554,4 +554,45 @@ class ManifestTableSpec extends AnyFunSuite with SparkFixture {
       (2L, "B", Some(2.0), "update_post"),
       (3L, "c", Some(3.0), "insert")))
   }
+
+  test("a stats column literally named 'files' cannot shadow the files section (ADVICE r8)") {
+    // the stats block precedes the files section and repeats raw column
+    // names as keys — before the lastIndexOf anchor, a column named
+    // `files` made snapshotFiles return Nil and expire() then reclaimed
+    // LIVE data. This pins the whole blast radius: listing, read, expire.
+    val t = freshTable()
+    import spark.implicits._
+    val rows = Seq((1L, 10.0), (2L, 20.0), (3L, 30.0))
+      .toDF("id", "files") // a legitimate, if unfortunate, column name
+    ManifestTable.commit(spark, t, rows, statsColumns = Seq("files"))
+    assert(ManifestTable.snapshotFiles(spark, t).nonEmpty,
+      "stats key shadowed the files section")
+    assert(ManifestTable.read(spark, t).count() === 3)
+    // stats for the column are still recorded and usable
+    val stats = ManifestTable.snapshotStats(spark, t)
+    assert(stats.values.exists(_.contains("files")))
+    // expire must NOT treat the data dirs as unreferenced
+    ManifestTable.expire(spark, t, keepLast = 1)
+    assert(ManifestTable.read(spark, t).count() === 3)
+    // and a column name the grammar cannot carry is refused at the write
+    intercept[IllegalArgumentException](
+      ManifestTable.commit(spark, t,
+        Seq((4L, 1.0)).toDF("id", "files").withColumnRenamed("files", "a\"b"),
+        statsColumns = Seq("a\"b"), mode = SaveMode.Overwrite))
+  }
+
+  test("changes() across a schema evolution reads under the TO-version schema (ADVICE r8)") {
+    val t = freshTable()
+    ManifestTable.commit(spark, t, df(1L -> "a"))
+    // v2 widens with x: the feed range 0→2 spans the evolution, so a
+    // footer-inferred read could drop x or null it nondeterministically
+    ManifestTable.commit(spark, t, dfN((2L, "b", 5.0)), mergeSchema = true)
+    val feed = ManifestTable.changes(spark, t, 0)
+    assert(feed.columns.toSeq === Seq("id", "v", "x"),
+      "feed schema must be the to-version recorded schema")
+    val got = feed.collect()
+      .map(r => (r.getLong(0), r.getString(1), Option(r.get(2)))).toSet
+    assert(got === Set((1L, "a", None), (2L, "b", Some(5.0))),
+      "the evolved column's values must survive the feed read")
+  }
 }
