@@ -39,6 +39,27 @@ object Bench {
       li.limit(10).write.mode("overwrite")
         .parquet(s"${sys.props("java.io.tmpdir")}/graft_bench_warmup")
     } catch { case _: Throwable => () }
+    // Calibration probe (r9, VERDICT r8 item 5): a CONSTANT reference
+    // scan — full-width lineitem aggregate, a plan no round's code
+    // changes touch — timed min-of-2 right after warm-up and recorded
+    // in the artifact as "probe_sec". Same-code artifact refreshes in
+    // r8 varied 109.6–115.1 s and the driver's window sat 34% above a
+    // fresh run: window-to-window machine drift swamps real plan
+    // regressions. Dividing any query's time by probe_sec of ITS OWN
+    // artifact normalizes the machine out, so cross-round comparison
+    // becomes arithmetic instead of archaeology.
+    val probeSec: Double = {
+      import org.apache.spark.sql.functions._
+      def once(): Double = {
+        val t0 = System.nanoTime()
+        graft.sources.Tables.lineitem(spark, sfDir)
+          .groupBy("l_returnflag", "l_linestatus")
+          .agg(sum("l_quantity"), sum("l_extendedprice"), count(lit(1)))
+          .write.format("noop").mode("overwrite").save()
+        (System.nanoTime() - t0) / 1e9
+      }
+      try math.min(once(), once()) catch { case _: Throwable => -1.0 }
+    }
     var failed = List.empty[String]
     // min of 2 runs per query: the first run of a query JIT-compiles its
     // generated code; the min is the steady-state number a warmed
@@ -75,32 +96,38 @@ object Bench {
       SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
         name -> (1 to 2).flatMap(_ => timeOnce(name, fn)).sorted.headOption
       }
-    // Tail stabilization: the slowest committed numbers have measured up
-    // to ~1.8× above a fresh-JVM run of the same query — accumulated GC
-    // and code-cache pressure from the ~170 queries that ran before
-    // them, not plan cost. Re-measure the slowest handful LAST, after a
-    // full GC, and keep the per-query min: the artifact then reports
-    // steady-state cost for exactly the queries a reader checks first.
+    // Tail stabilization, now in a SEPARATE field (ADVICE r8): the
+    // slowest committed numbers have measured up to ~1.8× above a
+    // fresh-JVM run — accumulated GC and code-cache pressure from the
+    // ~170 queries before them, not plan cost. r8 folded the post-GC
+    // re-measure INTO the per-query numbers, which mixed two
+    // measurement protocols and broke cross-round comparability. Now
+    // "queries"/"value" are the uniform min-of-2 protocol every round
+    // used through r7, and the post-GC re-measure of the 5 slowest
+    // lands in "stabilized" alongside — steady-state evidence without
+    // contaminating the comparable series.
     val slowest = firstPass.collect { case (n, Some(t)) => (n, t) }
       .sortBy(-_._2).take(5).map(_._1).toSet
     val byName = SparkEntry.queries
     System.gc()
-    val results: Seq[(String, Option[Double])] = firstPass.map {
+    val stabilized: Seq[(String, Double)] = firstPass.collect {
       case (name, Some(t)) if slowest(name) =>
-        name -> Some(math.min(t,
-          timeOnce(name, byName(name), recordFailure = false).getOrElse(t)))
-      case other => other
+        name -> math.min(t,
+          timeOnce(name, byName(name), recordFailure = false).getOrElse(t))
     }
+    val results: Seq[(String, Option[Double])] = firstPass
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v.fold("null")(_.toString) }
       .mkString("{", ",", "}")
     val total = results.flatMap(_._2).sum
+    val stabJson = stabilized.map { case (k, v) => s"\"" + k + "\":" + v }
+      .mkString("{", ",", "}")
     val failedJson = failed.sorted.map("\"" + _ + "\"").mkString("[", ",", "]")
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$failedJson,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","probe_sec":$probeSec,"queries":$qs,"stabilized":$stabJson,"failed":$failedJson,"sf":"$sfDir"}""")
     // The per-query line above is one very long JSON record; the
     // driver's tail capture has truncated its LEADING fields (the r4
     // artifact lost the headline total). Repeat the gate numbers as a
     // final COMPACT line so they always survive a tail of any length.
-    println(s"""{"metric":"total","value":$total,"unit":"sec","n":${results.size},"n_timed":${results.count(_._2.isDefined)},"failed":$failedJson,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","probe_sec":$probeSec,"n":${results.size},"n_timed":${results.count(_._2.isDefined)},"failed":$failedJson,"sf":"$sfDir"}""")
     // The stdout record is tail-truncated by the driver's capture (r5
     // lost keys a1…f8); also write the full sorted per-query map into
     // the repo tree, where it survives verbatim and gets committed.
@@ -109,9 +136,13 @@ object Bench {
       val body = new StringBuilder
       body.append("{\n  \"metric\": \"total\",\n")
       body.append(s"""  "value": $total,\n  "unit": "sec",\n""")
+      body.append(f"""  "probe_sec": $probeSec%.3f,\n""")
       body.append(s"""  "n": ${results.size}, "n_timed": ${results.count(_._2.isDefined)},\n""")
       body.append(s"""  "failed": $failedJson,\n  "sf": "$sfDir",\n""")
-      body.append("  \"queries\": {\n")
+      body.append("  \"stabilized\": {")
+      body.append(stabilized.map { case (k, v) =>
+        f""""$k": $v%.3f""" }.mkString(", "))
+      body.append("},\n  \"queries\": {\n")
       body.append(results.map { case (k, v) =>
         s"""    "$k": ${v.fold("null")(t => f"$t%.3f")}"""
       }.mkString(",\n"))

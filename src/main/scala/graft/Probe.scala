@@ -78,7 +78,51 @@ object Probe {
           .select("a", "b").distinct()
       }),
       "pj_full" -> ((s, d) => graft.operators.MinHash.prefixJoin(
-        graft.sources.Tables.documents(s, d))))
+        graft.sources.Tables.documents(s, d))),
+      // the r7 prefixJoin formulation verbatim (no n column through the
+      // self-join, no PPJoin length bound) — the A/B baseline for the
+      // r8 regression hunt; judged-query wrapping included for fairness
+      "pj_r7" -> ((s, d) => {
+        import org.apache.spark.sql.expressions.Window
+        val docs = graft.sources.Tables.documents(s, d)
+        val norm = lower(trim(col("text")))
+        val keyed = docs.select(col("doc_id"), md5(norm).as("h"))
+          .localCheckpoint(true)
+        val dd = docs.select(md5(norm).as("h"),
+            array_distinct(graft.operators.MinHash.shingles(norm, 3)).as("g"))
+          .groupBy("h").agg(first(col("g")).as("g")).localCheckpoint(true)
+        val ex = dd.select(col("h"), size(col("g")).as("n"), explode(col("g")).as("sh"))
+        val prefix = ex
+          .withColumn("df", count(lit(1)).over(Window.partitionBy("sh")))
+          .withColumn("rk", row_number().over(
+            Window.partitionBy("h").orderBy(col("df").asc, col("sh").asc)))
+          .filter(col("rk") <= col("n") - ceil(col("n") * 0.5) + 1)
+          .select(col("h"), col("sh"))
+          .localCheckpoint(true)
+        val cand = prefix.select(col("h").as("ha"), col("sh"))
+          .join(prefix.select(col("h").as("hb"), col("sh")), "sh")
+          .filter(col("ha") < col("hb"))
+          .select("ha", "hb").distinct()
+        val rpairs = cand
+          .join(dd.select(col("h").as("ha"), col("g").as("ga")), "ha")
+          .join(dd.select(col("h").as("hb"), col("g").as("gb")), "hb")
+          .select(col("ha"), col("hb"),
+            (size(array_intersect(col("ga"), col("gb"))).cast("double") /
+              size(array_union(col("ga"), col("gb")))).as("j"))
+          .filter(round(col("j"), 6) >= 0.5)
+        val cross = rpairs
+          .join(keyed.select(col("h").as("ha"), col("doc_id").as("ida")), "ha")
+          .join(keyed.select(col("h").as("hb"), col("doc_id").as("idb")), "hb")
+          .select(least(col("ida"), col("idb")).as("doc_a"),
+            greatest(col("ida"), col("idb")).as("doc_b"), col("j"))
+        val within = keyed.select(col("h"), col("doc_id").as("doc_a"))
+          .join(keyed.select(col("h"), col("doc_id").as("doc_b")), "h")
+          .filter(col("doc_a") < col("doc_b"))
+          .select(col("doc_a"), col("doc_b"), lit(1.0).as("j"))
+        cross.unionByName(within)
+          .select(col("doc_a"), col("doc_b"), round(col("j"), 6).as("jaccard"))
+          .orderBy("doc_a", "doc_b")
+      }))
     names.foreach { name =>
       val fn = extra.getOrElse(name, SparkEntry.queries(name))
       val times = (1 to 3).map { _ =>

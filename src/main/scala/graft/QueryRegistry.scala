@@ -53,10 +53,19 @@ object QueryRegistry {
     def newestMtime(f: java.io.File): Long =
       (f.lastModified() +:
         Option(f.listFiles()).getOrElse(Array.empty).map(newestMtime).toSeq).max
+    // liveness beats mtime (ADVICE r8): a concurrent JVM suspended,
+    // swapped, or stalled past the idle window mid-query would have its
+    // LIVE scratch reaped underneath it. The dir name ends in the
+    // owner's pid — skip dirs whose owner still runs; the mtime cutoff
+    // remains only as the fallback for dead-pid (crashed) dirs.
+    def ownerAlive(name: String): Boolean =
+      name.substring(prefix.length).split('_').lastOption
+        .flatMap(p => scala.util.Try(p.toLong).toOption)
+        .exists(p => ProcessHandle.of(p).map[Boolean](_.isAlive).orElse(false))
     Option(tmp.listFiles()).getOrElse(Array.empty)
       .filter { f =>
         f.getName.startsWith(prefix) && !f.getName.endsWith(s"_$pid") &&
-          newestMtime(f) < cutoff
+          !ownerAlive(f.getName) && newestMtime(f) < cutoff
       }
       .foreach(rmRf)
     s"${tmp.getAbsolutePath}/$prefix${new java.io.File(sfDir).getName}_$pid"

@@ -106,13 +106,20 @@ object MinHash {
 
   /** Distinct-text shingle sets (h = md5 of normalized text, g = its
     * distinct 3-shingles), checkpointed: every expensive prefix-join
-    * stage runs once per DISTINCT text. */
+    * stage runs once per DISTINCT text. Deduplicates on the NORMALIZED
+    * TEXT first and shingles after the shuffle (r9): the exchange moves
+    * raw text (one string per row) instead of per-doc shingle arrays
+    * (~5× the bytes), the map-side partial distinct collapses replicas
+    * before they travel, and the shingle expression itself runs once
+    * per DISTINCT text rather than once per document — on a replicated
+    * corpus the old groupBy(h).first(g) formulation shingled every copy
+    * just to throw the duplicates away at the shuffle. */
   private def distinctShingleSets(docs: DataFrame, textCol: String): DataFrame = {
     val norm = lower(trim(col(textCol)))
     docs
-      .select(md5(norm).as("h"),
-        array_distinct(shingles(norm, 3)).as("g"))
-      .groupBy("h").agg(first(col("g")).as("g")) // all g equal per h
+      .select(norm.as("_t")).distinct()
+      .select(md5(col("_t")).as("h"),
+        array_distinct(shingles(col("_t"), 3)).as("g"))
       .localCheckpoint(true)
   }
 

@@ -51,13 +51,13 @@ class LakeSpec extends AnyFunSuite with SparkFixture {
   test("two bucket configs coexist — no last-write-wins clobber") {
     val a = LakeConfig("s3a://lake-a/", Map("fs.s3a.access.key" -> "KEY-A"))
     val b = LakeConfig("s3a://lake-b/", Map("fs.s3a.access.key" -> "KEY-B",
-      "fs.s3a.endpoint" -> "minio.internal:9000"))
+      "fs.s3a.endpoint" -> "localhost:9000"))
     Lake.configure(spark, a)
     Lake.configure(spark, b)
     val hc = spark.sparkContext.hadoopConfiguration
     assert(hc.get("fs.s3a.bucket.lake-a.access.key") === "KEY-A")
     assert(hc.get("fs.s3a.bucket.lake-b.access.key") === "KEY-B")
-    assert(hc.get("fs.s3a.bucket.lake-b.endpoint") === "minio.internal:9000")
+    assert(hc.get("fs.s3a.bucket.lake-b.endpoint") === "localhost:9000")
   }
 
   test("JSON ingest leg: glob over a file:// base resolves, infers, reads (A1+A13)") {
