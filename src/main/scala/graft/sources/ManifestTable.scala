@@ -255,20 +255,21 @@ object ManifestTable {
 
   /** Filtered read with AUTOMATIC data skipping (the Delta shape —
     * the caller hands over the predicate, the table derives the
-    * pruning): conjunctive range/equality constraints on stats-tracked
-    * columns are extracted from `pred`'s expression tree
-    * ([[extractRanges]]), files outside them are skipped via the
-    * manifest, and `pred` is applied row-level on the survivors —
-    * result ≡ `read(...).filter(pred)` by construction (extraction is
-    * conservative: anything it cannot read — OR branches, casts,
-    * string literals, function calls — contributes no constraint and
-    * prunes nothing). */
+    * pruning): range/equality constraints on stats-tracked columns are
+    * extracted from `pred`'s expression tree as a bounded DISJUNCTION
+    * of conjunctive range sets ([[extractDnf]] — so `a = 1 OR a = 5`
+    * and even mixed-column ORs prune), files outside every disjunct
+    * are skipped via the manifest, and `pred` is applied row-level on
+    * the survivors — result ≡ `read(...).filter(pred)` by construction
+    * (extraction is conservative: any subtree it cannot read — casts
+    * it cannot see through, function calls, too-wide OR fans —
+    * contributes an unconstrained branch and prunes nothing). */
   def readWhere(spark: SparkSession, table: String, pred: Column,
                 version: Int = -1): DataFrame = {
     val (files, schema, stats) = snapshotAll(spark, table, version)
     require(files.nonEmpty, s"no committed snapshot in $table")
-    val ranges = predicateRangesWith(spark, table, pred, files, schema)
-    val kept = if (ranges.isEmpty) files else pruneWith(files, stats, ranges)
+    val dnf = predicateDnfWith(spark, table, pred, files, schema)
+    val kept = pruneDnf(files, stats, dnf)
     val base =
       if (kept.isEmpty) readFiles(spark, table, files, schema).limit(0)
       else readFiles(spark, table, kept, schema)
@@ -287,14 +288,13 @@ object ManifestTable {
     * keeps the Filter (the optimizer would fold an empty relation's
     * Filter away entirely); foldable subtrees — casts of literals,
     * arithmetic — fold here so comparisons expose plain Literals. */
-  private def predicateRangesWith(spark: SparkSession, table: String,
-                                  pred: Column, files: Seq[String],
-                                  schema: Option[StructType])
-      : Seq[(String, Double, Double)] = {
+  private def predicateDnfWith(spark: SparkSession, table: String,
+                               pred: Column, files: Seq[String],
+                               schema: Option[StructType]): Dnf = {
     import org.apache.spark.sql.catalyst.expressions.Literal
     val sch = schema.orElse(files.headOption.map(fl =>
       spark.read.parquet(new Path(table, fl).toString).schema))
-    if (sch.isEmpty) return Nil
+    if (sch.isEmpty) return Seq(Map.empty)
     val probe = spark.createDataFrame(
       new java.util.ArrayList[org.apache.spark.sql.Row](), sch.get).filter(pred)
     probe.queryExecution.analyzed.collect {
@@ -302,25 +302,98 @@ object ManifestTable {
     }.map(_.transformUp {
       case e if e.foldable && !e.isInstanceOf[Literal] =>
         Literal.create(e.eval(), e.dataType)
-    }).flatMap(extractRanges)
+    }).map(extractDnf).foldLeft(Seq(Map.empty): Dnf)(andDnf)
   }
 
-  /** Conservative range extraction from a predicate tree: walks the
-    * top-level AND conjuncts and folds `col <op> literal` /
-    * `literal <op> col` comparisons into per-column [lo, hi] bounds
-    * (strict and non-strict alike — keeping one boundary file extra is
-    * sound). Numeric literals read directly; timestamp literals
-    * convert internal µs → the epoch SECONDS the stats store. Any
-    * shape it does not recognize contributes nothing. */
+  /** One conjunctive constraint set: per-column [lo, hi] interval in
+    * the stats' double space. An EMPTY map constrains nothing (keeps
+    * every file); an empty interval (lo > hi) keeps none. */
+  private[graft] type Conj = Map[String, (Double, Double)]
+
+  /** A disjunction of [[Conj]]s over-approximating a predicate: a file
+    * may hold matching rows only if its stats intersect SOME disjunct.
+    * `Seq(Map.empty)` is the universal DNF (no pruning); `Seq()` is
+    * the empty predicate (prunes everything — only ever produced by
+    * genuinely unsatisfiable range conjunctions). */
+  private[graft] type Dnf = Seq[Conj]
+
+  /** AND of two conjunctive constraint sets: per-column interval
+    * intersection. */
+  private def andConj(a: Conj, b: Conj): Conj =
+    (a.keySet ++ b.keySet).iterator.map { c =>
+      val (alo, ahi) = a.getOrElse(c, (Double.NegativeInfinity, Double.PositiveInfinity))
+      val (blo, bhi) = b.getOrElse(c, (Double.NegativeInfinity, Double.PositiveInfinity))
+      c -> (math.max(alo, blo), math.min(ahi, bhi))
+    }.toMap
+
+  /** Upper bound on disjunct fan-out. AND cross-products and OR unions
+    * past it collapse to a sound coarser form — pruning power degrades
+    * gracefully, the decision cost stays O(files × DNF_CAP) however
+    * adversarial the predicate. */
+  private val DnfCap = 32
+
+  /** AND of two DNFs: the cross-product of disjuncts (capped — past
+    * the cap the SMALLER side alone is returned, which is sound:
+    * And(A, B) matches only rows matching A). */
+  private def andDnf(a: Dnf, b: Dnf): Dnf =
+    if (a.size.toLong * b.size <= DnfCap)
+      for (x <- a; y <- b) yield andConj(x, y)
+    else if (a.size <= b.size) a else b
+
+  /** Recursive DNF extraction from a predicate tree — the OR-capable
+    * generalization of the old conjunct walk: `And` cross-merges the
+    * branch DNFs, `Or` unions them (so `status = 'A' OR status = 'B'`
+    * prunes exactly like the IN-list form, and mixed-column ORs prune
+    * files outside BOTH branches), and every leaf comparison becomes a
+    * one-disjunct constraint via [[leafBounds]]. Unrecognized leaves
+    * yield the unconstrained disjunct, so any OR containing one
+    * correctly prunes nothing. */
+  private[graft] def extractDnf(e: org.apache.spark.sql.catalyst.expressions.Expression)
+      : Dnf = {
+    import org.apache.spark.sql.catalyst.expressions.{And, Or}
+    e match {
+      case And(l, r) => andDnf(extractDnf(l), extractDnf(r))
+      case Or(l, r) =>
+        val u = extractDnf(l) ++ extractDnf(r)
+        // a universal disjunct absorbs the union; past the cap the
+        // whole OR goes universal
+        if (u.exists(_.isEmpty) || u.size > DnfCap) Seq(Map.empty) else u
+      case leaf => Seq(leafBounds(leaf))
+    }
+  }
+
+  /** Conservative CONJUNCTIVE range extraction — the per-column hull
+    * of [[extractDnf]]: a column is bounded only when EVERY disjunct
+    * bounds it (lo = min of los, hi = max of his); `a = 1 OR a = 5`
+    * hulls to a ∈ [1, 5], any disjunct not mentioning a column
+    * unbounds it. Kept as the Seq-shaped entry point for callers and
+    * specs that want one conjunctive range list ([[readRange]]'s
+    * input shape). */
   private[graft] def extractRanges(e: org.apache.spark.sql.catalyst.expressions.Expression)
       : Seq[(String, Double, Double)] = {
+    val dnf = extractDnf(e)
+    if (dnf.isEmpty) return Nil
+    val common = dnf.map(_.keySet).reduce(_ intersect _)
+    common.toSeq.sorted.map { c =>
+      val ivs = dnf.map(_(c))
+      (c, ivs.map(_._1).min, ivs.map(_._2).max)
+    }.filter { case (_, lo, hi) =>
+      lo > Double.NegativeInfinity || hi < Double.PositiveInfinity }
+  }
+
+  /** Per-column bounds a single leaf comparison implies: folds
+    * `col <op> literal` / `literal <op> col` comparisons into a
+    * [lo, hi] interval (strict and non-strict alike — keeping one
+    * boundary file extra is sound). Numeric literals read directly;
+    * timestamp literals convert internal µs → the epoch SECONDS the
+    * stats store; string literals encode into [[stringBound]]'s
+    * enc-space. Any shape it does not recognize contributes nothing
+    * (the empty, keep-everything map). */
+  private def leafBounds(e: org.apache.spark.sql.catalyst.expressions.Expression)
+      : Conj = {
     import org.apache.spark.sql.catalyst.expressions._
     import org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute
     import org.apache.spark.sql.types.{Decimal, TimestampType}
-    def conjuncts(x: Expression): Seq[Expression] = x match {
-      case And(l, r) => conjuncts(l) ++ conjuncts(r)
-      case other => Seq(other)
-    }
     def attr(x: Expression): Option[String] = x match {
       case a: UnresolvedAttribute => Some(a.name)
       case a: AttributeReference => Some(a.name)
@@ -359,7 +432,7 @@ object ManifestTable {
     val hi = scala.collection.mutable.Map.empty[String, Double]
     def atLeast(c: String, v: Double): Unit = lo(c) = math.max(v, lo.getOrElse(c, Double.NegativeInfinity))
     def atMost(c: String, v: Double): Unit = hi(c) = math.min(v, hi.getOrElse(c, Double.PositiveInfinity))
-    conjuncts(e).foreach {
+    e match {
       case GreaterThanOrEqual(a, l) if attr(a).isDefined =>
         for (c <- attr(a); v <- lit(l)) atLeast(c, v)
       case GreaterThan(a, l) if attr(a).isDefined =>
@@ -415,10 +488,10 @@ object ManifestTable {
         for (c <- attr(a); v <- lit(l)) atLeast(c, v)
       case _ => ()
     }
-    (lo.keySet ++ hi.keySet).toSeq.sorted.map { c =>
-      (c, lo.getOrElse(c, Double.NegativeInfinity),
+    (lo.keySet ++ hi.keySet).map { c =>
+      c -> (lo.getOrElse(c, Double.NegativeInfinity),
         hi.getOrElse(c, Double.PositiveInfinity))
-    }
+    }.toMap
   }
 
   /** The pruning decision behind [[readRange]], visible for tests:
@@ -441,6 +514,20 @@ object ManifestTable {
           case None => true // no stats -> never pruned
         }
       }
+    }
+
+  /** DNF pruning: a file survives iff SOME disjunct's every interval
+    * intersects its stats (absent stats intersect everything). */
+  private def pruneDnf(files: Seq[String],
+                       stats: Map[String, Map[String, (Double, Double)]],
+                       dnf: Dnf): Seq[String] =
+    files.filter { f =>
+      dnf.exists(_.forall { case (c, (lo, hi)) =>
+        stats.get(f).flatMap(_.get(c)) match {
+          case Some((mn, mx)) => mn <= hi && mx >= lo
+          case None => true
+        }
+      })
     }
 
   /** Step 1: full data write under a fresh uuid dir — unreferenced (and
@@ -948,10 +1035,13 @@ object ManifestTable {
       val head = currentVersion(spark, table)
       val (rel, schema, headStats) = snapshotAll(spark, table, head)
       if (rel.isEmpty) return head
-      val ranges = predicateRangesWith(spark, table, pred, rel, schema) ++ scanRanges
-      val candidates =
-        if (ranges.isEmpty) rel
-        else pruneWith(rel, headStats, ranges)
+      // extracted DNF ∧ caller-asserted conjunctive scanRanges: every
+      // disjunct is narrowed by the asserted conjuncts
+      val scanConj = scanRanges.foldLeft(Map.empty: Conj)((m, r) =>
+        andConj(m, Map(r._1 -> (r._2, r._3))))
+      val dnf = predicateDnfWith(spark, table, pred, rel, schema)
+        .map(andConj(_, scanConj))
+      val candidates = pruneDnf(rel, headStats, dnf)
       if (candidates.isEmpty) return head
       val withFile = readFiles(spark, table, candidates, schema).withColumn("__f",
         // absolute scan path → the manifest's relative form: data files

@@ -151,6 +151,62 @@ class StatsSkipSpec extends AnyFunSuite with SparkFixture {
       EqualNullSafe(x, Literal.create(null, org.apache.spark.sql.types.IntegerType))).isEmpty)
   }
 
+  test("OR branches prune through the DNF extractor (r9): disjunct union, not abandonment") {
+    val t = freshTable()
+    val ord = Tables.orders(spark, "/root/testdata/sf0.001")
+      .select(col("o_orderkey"), col("o_totalprice"))
+    ManifestTable.commit(spark, t,
+      ord.repartitionByRange(8, col("o_orderkey")), SaveMode.Overwrite,
+      statsColumns = Seq("o_orderkey"))
+    // same-column equality disjunction: only the files owning either
+    // value survive — the shape `status = 'A' OR status = 'B'` takes
+    val p1 = col("o_orderkey") === 10 || col("o_orderkey") === 5900
+    val df1 = ManifestTable.readWhere(spark, t, p1)
+    assert(df1.inputFiles.length < 8,
+      s"OR of two point lookups kept ${df1.inputFiles.length}/8 files")
+    assert(df1.count() === ManifestTable.read(spark, t).filter(p1).count())
+    // same-column open ranges: a < lo OR a > hi keeps only the edges
+    val p2 = col("o_orderkey") < 300 || col("o_orderkey") > 5500
+    val df2 = ManifestTable.readWhere(spark, t, p2)
+    assert(df2.inputFiles.length < 8)
+    assert(df2.count() === ManifestTable.read(spark, t).filter(p2).count())
+    // mixed-column OR: o_totalprice carries no stats, so ITS branch is
+    // unconstrained and the union must keep every file — sound, never
+    // wrong
+    val p3 = col("o_orderkey") === 10 || col("o_totalprice") > 0
+    val df3 = ManifestTable.readWhere(spark, t, p3)
+    assert(df3.inputFiles.length === 8,
+      "an unconstrained OR branch must disable pruning")
+    assert(df3.count() === ManifestTable.read(spark, t).filter(p3).count())
+    // unit checks on the catalyst shapes
+    import org.apache.spark.sql.catalyst.expressions._
+    import org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute
+    val (x, y) = (UnresolvedAttribute("x"), UnresolvedAttribute("y"))
+    // hull of `x=1 OR x=5` is x ∈ [1, 5]
+    assert(ManifestTable.extractRanges(
+      Or(EqualTo(x, Literal(1)), EqualTo(x, Literal(5))))
+      === Seq(("x", 1.0, 5.0)))
+    // DNF keeps the disjuncts distinct (a file with x-range [2,4]
+    // intersects the hull but NO disjunct)
+    assert(ManifestTable.extractDnf(
+      Or(EqualTo(x, Literal(1)), EqualTo(x, Literal(5))))
+      === Seq(Map("x" -> (1.0, 1.0)), Map("x" -> (5.0, 5.0))))
+    // AND distributes over OR (cross-product): (x=1 OR x=5) AND y>2
+    assert(ManifestTable.extractDnf(
+      And(Or(EqualTo(x, Literal(1)), EqualTo(x, Literal(5))),
+        GreaterThan(y, Literal(2))))
+      === Seq(Map("x" -> (1.0, 1.0), "y" -> (2.0, Double.PositiveInfinity)),
+        Map("x" -> (5.0, 5.0), "y" -> (2.0, Double.PositiveInfinity))))
+    // an unrecognizable branch is universal and absorbs the whole OR
+    assert(ManifestTable.extractDnf(
+      Or(EqualTo(x, Literal(1)), GreaterThan(x, y)))
+      === Seq(Map.empty[String, (Double, Double)]))
+    // a too-wide OR fan collapses to the universal DNF, not an error
+    val wide = (1 to 40).map(i => EqualTo(x, Literal(i)): Expression)
+      .reduce(Or(_, _))
+    assert(ManifestTable.extractDnf(wide) === Seq(Map.empty[String, (Double, Double)]))
+  }
+
   test("string columns stats-track via the order-preserving prefix encoding; string predicates prune") {
     val t = freshTable()
     val ord = Tables.orders(spark, "/root/testdata/sf0.001")
