@@ -212,6 +212,44 @@ object ManifestTable {
     }
   }
 
+  /** Wall-clock commit time of `version`, epoch millis — recorded in
+    * the manifest at publish time, STRICTLY increasing along the
+    * version line (a commit landing in the same millisecond as its
+    * parent records parentMs + 1, the in-commit-timestamp monotonicity
+    * adjustment Delta makes), so timestamp-as-of resolution is total.
+    * None for legacy manifests written before timestamp tracking. */
+  def commitTimeMs(spark: SparkSession, table: String,
+                   version: Int = -1): Option[Long] = {
+    val v = if (version < 0) currentVersion(spark, table) else version
+    if (v == 0) None else commitMsFromText(manifestText(spark, table, v))
+  }
+
+  private def commitMsFromText(text: String): Option[Long] =
+    "\"commitMs\"\\s*:\\s*(\\d+)".r.findFirstMatchIn(text).map(_.group(1).toLong)
+
+  /** The newest committed version whose commit time is ≤ `asOfMillis`
+    * (the Delta `TIMESTAMP AS OF` resolution rule). Walks versions
+    * newest-first, so the common head-of-line probe reads ONE
+    * manifest. Legacy manifests without a recorded time count as
+    * epoch 0 (always eligible — a pre-tracking snapshot is by
+    * definition older than any queryable instant). Errors when every
+    * version is newer than `asOfMillis` (the table did not exist
+    * then). */
+  def versionAsOf(spark: SparkSession, table: String, asOfMillis: Long): Int = {
+    val vs = versions(spark, table)
+    vs.reverse.find(v =>
+        commitTimeMs(spark, table, v).getOrElse(0L) <= asOfMillis)
+      .getOrElse(throw new IllegalArgumentException(
+        s"no version of $table existed at epoch-ms $asOfMillis — the " +
+          s"earliest surviving commit is v${vs.headOption.getOrElse(0)} at " +
+          s"${vs.headOption.flatMap(commitTimeMs(spark, table, _)).getOrElse(0L)}"))
+  }
+
+  /** Timestamp-as-of time travel: the snapshot that was current at
+    * `asOfMillis` ([[versionAsOf]] ∘ [[read]]). */
+  def readAsOf(spark: SparkSession, table: String, asOfMillis: Long): DataFrame =
+    read(spark, table, versionAsOf(spark, table, asOfMillis))
+
   /** Read the table at `version` (default head), re-qualifying the
     * manifest's relative paths against the table root — the read works
     * through any session/default-FS combination that can reach the
@@ -617,9 +655,18 @@ object ManifestTable {
           .map { case (c, (mn, mx)) => s""""$c":[$mn,$mx]""" }.mkString(",")
         s"""    "$f": {$cols}"""
       }.mkString("  \"stats\": {\n", ",\n", "\n  },\n")
+    // commit wall-clock, forced STRICTLY past the parent's so
+    // timestamp-as-of resolution is total even for same-millisecond
+    // commit bursts (the Delta in-commit-timestamp monotonicity rule);
+    // one extra head-manifest read per publish, amortized by the write
+    val parentMs =
+      if (head == 0) 0L
+      else commitMsFromText(manifestText(spark, table, head)).getOrElse(0L)
+    val commitMs = math.max(System.currentTimeMillis(), parentMs + 1)
     val body =
       s"""{
          |  "version": ${head + 1},
+         |  "commitMs": $commitMs,
          |$schemaLine$statsBlock  "files": [
          |${files.map(p => s"    \"$p\"").mkString(",\n")}
          |  ]

@@ -581,6 +581,53 @@ class ManifestTableSpec extends AnyFunSuite with SparkFixture {
         statsColumns = Seq("a\"b"), mode = SaveMode.Overwrite))
   }
 
+  test("timestamp-as-of: strictly increasing commit times resolve every instant to one version (r9)") {
+    val t = freshTable()
+    // burst of commits, almost certainly sharing wall-clock ms — the
+    // parentMs+1 adjustment must keep the recorded times strictly
+    // increasing anyway, or as-of resolution ties arbitrarily
+    ManifestTable.commit(spark, t, df(1L -> "a"))
+    ManifestTable.commit(spark, t, df(2L -> "b"))
+    ManifestTable.commit(spark, t, df(3L -> "c"))
+    val ms = ManifestTable.versions(spark, t)
+      .map(v => ManifestTable.commitTimeMs(spark, t, v).get)
+    assert(ms === ms.sorted && ms.distinct.size === ms.size,
+      s"commit times must be strictly increasing, got $ms")
+    // exact-instant resolution: as-of each commit's own time IS that
+    // version (Delta's TIMESTAMP AS OF rule: newest version ≤ instant)
+    ManifestTable.versions(spark, t).foreach { v =>
+      assert(ManifestTable.versionAsOf(spark, t,
+        ManifestTable.commitTimeMs(spark, t, v).get) === v)
+    }
+    // between commits: still the earlier version
+    assert(ManifestTable.versionAsOf(spark, t, ms(1) - 1) === 1)
+    // far future: the head
+    assert(ManifestTable.versionAsOf(spark, t, ms.last + 1000000L) === 3)
+    // before the first commit: the table did not exist — loud error
+    intercept[IllegalArgumentException] {
+      ManifestTable.versionAsOf(spark, t, ms.head - 1)
+    }
+    // and the read itself returns the as-of snapshot's rows
+    val rows = ManifestTable.readAsOf(spark, t, ms(1)).collect()
+      .map(_.getLong(0)).toSet
+    assert(rows === Set(1L, 2L))
+  }
+
+  test("timestamp-as-of after expire: resolution works over the surviving tail") {
+    val t = freshTable()
+    ManifestTable.commit(spark, t, df(1L -> "a"))
+    ManifestTable.commit(spark, t, df(2L -> "b"))
+    ManifestTable.commit(spark, t, df(3L -> "c"))
+    val msHead = ManifestTable.commitTimeMs(spark, t, 3).get
+    ManifestTable.expire(spark, t, keepLast = 2)
+    // the expired v1's instant now predates every surviving version
+    intercept[IllegalArgumentException] {
+      ManifestTable.versionAsOf(spark, t,
+        ManifestTable.commitTimeMs(spark, t, 2).get - 1)
+    }
+    assert(ManifestTable.versionAsOf(spark, t, msHead) === 3)
+  }
+
   test("changes() across a schema evolution reads under the TO-version schema (ADVICE r8)") {
     val t = freshTable()
     ManifestTable.commit(spark, t, df(1L -> "a"))
