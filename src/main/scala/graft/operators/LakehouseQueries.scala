@@ -872,6 +872,43 @@ object LakehouseQueries {
              |ORDER BY o_orderstatus NULLS FIRST""".stripMargin)
     ),
 
+    // C32: PARTITIONED manifest table, judged — the reference's own
+    // Hive-layout idiom (A2, judged raw as c4) composed with the ACID
+    // format: `commit(partitionBy = lang, statsColumns = doc_id)`
+    // writes `lang=<v>/` dirs under the committed uuid, the manifest
+    // records the partition spec and each file's partition value as a
+    // degenerate stats range, and `readWhere(lang = 'en' AND doc_id <
+    // 2000)` prunes BY PARTITION first, then by the doc_id range
+    // WITHIN the partition — stacked, one mechanism
+    // (PartitionedTableSpec asserts both prune steps shrink the scan).
+    // The partition column itself lives only in the paths; the read
+    // derives it Delta-style (typed from the recorded schema), so the
+    // hash also proves path→column materialization is lossless. At
+    // 100 TB this is the default deployment: a date-partitioned fact
+    // table whose queries touch one partition's few files.
+    Entry(
+      "c32_partitioned_table",
+      (s, d) => {
+        import org.apache.spark.sql.SaveMode
+        val t = scratchDir("c32", d)
+        val docs = Tables.documents(s, d)
+          .select(col("doc_id"), col("source"), col("lang"), col("n_chars"))
+          .repartitionByRange(4, col("doc_id"))
+        graft.sources.ManifestTable.commit(s, t, docs, SaveMode.Overwrite,
+          partitionBy = Seq("lang"), statsColumns = Seq("doc_id"))
+        graft.sources.ManifestTable.readWhere(s, t,
+            col("lang") === "en" && col("doc_id") < 2000)
+          .groupBy("source", "lang")
+          .agg(count(lit(1)).as("cnt"), sum(col("n_chars")).as("sum_chars"))
+          .orderBy("source")
+      },
+      Some("""SELECT source, lang, count(*) AS cnt,
+             |  CAST(sum(n_chars) AS BIGINT) AS sum_chars
+             |FROM documents WHERE lang = 'en' AND doc_id < 2000
+             |GROUP BY source, lang
+             |ORDER BY source NULLS FIRST""".stripMargin)
+    ),
+
     // C33: TIMESTAMP-as-of time travel, judged — c20's version-pinned
     // pre-image read, re-resolved through the commit wall-clock the
     // manifest records (the Delta `TIMESTAMP AS OF` UX): the consumer

@@ -128,14 +128,30 @@ object ManifestTable {
     * separately re-reads and re-regexes the same (at 100k-file scale,
     * megabytes-long) manifest text each time. */
   private def snapshotAll(spark: SparkSession, table: String, version: Int)
-      : (Seq[String], Option[StructType], Map[String, Map[String, (Double, Double)]]) = {
+      : (Seq[String], Option[StructType],
+         Map[String, Map[String, (Double, Double)]], Seq[String]) = {
     val v = if (version < 0) currentVersion(spark, table) else version
-    if (v == 0) (Nil, None, Map.empty)
+    if (v == 0) (Nil, None, Map.empty, Nil)
     else {
       val text = manifestText(spark, table, v)
-      (filesFromText(text, table, v), schemaFromText(text), statsFromText(text))
+      (filesFromText(text, table, v), schemaFromText(text),
+        statsFromText(text), partitionByFromText(text))
     }
   }
+
+  /** The partition columns `version`'s snapshot was written with
+    * (Hive-style `<col>=<value>/` data layout), empty for an
+    * unpartitioned table. */
+  def partitionColumns(spark: SparkSession, table: String,
+                       version: Int = -1): Seq[String] = {
+    val v = if (version < 0) currentVersion(spark, table) else version
+    if (v == 0) Nil else partitionByFromText(manifestText(spark, table, v))
+  }
+
+  private def partitionByFromText(text: String): Seq[String] =
+    "\"partitionBy\"\\s*:\\s*\\[([^\\]]*)\\]".r.findFirstMatchIn(text)
+      .map(m => "\"([^\"]+)\"".r.findAllMatchIn(m.group(1)).map(_.group(1)).toSeq)
+      .getOrElse(Nil)
 
   private def manifestText(spark: SparkSession, table: String, v: Int): String = {
     val p = manifestPath(table, v)
@@ -255,18 +271,56 @@ object ManifestTable {
     * through any session/default-FS combination that can reach the
     * root URI. */
   def read(spark: SparkSession, table: String, version: Int = -1): DataFrame = {
-    val (files, schema, _) = snapshotAll(spark, table, version)
+    val (files, schema, _, partBy) = snapshotAll(spark, table, version)
     require(files.nonEmpty, s"no committed snapshot in $table")
-    readFiles(spark, table, files, schema)
+    readFiles(spark, table, files, schema, partBy)
   }
 
   private def readFiles(spark: SparkSession, table: String,
-                        files: Seq[String], schema: Option[StructType]): DataFrame = {
+                        files: Seq[String], schema: Option[StructType],
+                        partitionBy: Seq[String] = Nil): DataFrame = {
     val paths = files.map(f => new Path(table, f).toString)
     // the recorded snapshot schema makes evolved tables readable (files
     // predating an added column yield null for it) without mergeSchema's
-    // per-file footer pass; legacy manifests fall back to inference
-    schema.fold(spark.read)(s => spark.read.schema(s)).parquet(paths: _*)
+    // per-file footer pass; legacy manifests fall back to inference.
+    if (partitionBy.isEmpty)
+      schema.fold(spark.read)(s => spark.read.schema(s)).parquet(paths: _*)
+    else {
+      // Partitioned snapshots: the partition columns exist ONLY in the
+      // file paths (`<col>=<value>/` dirs). Spark's own partition
+      // DISCOVERY cannot express this snapshot — it requires all leaf
+      // dirs to share one directory structure, and a manifest lineage
+      // spans many `data/<uuid>/` roots ("conflicting directory
+      // structures"). So, like Delta's file index, the table derives
+      // the columns itself: scan the files under the data-only schema
+      // and compute each partition column from `_metadata.file_path`,
+      // typed by the recorded schema. url_decode reverses the writer's
+      // %-escaping exactly (a literal `+` is legal unescaped in a
+      // path, so it is pre-masked to survive the URL decoder's
+      // plus-is-space rule).
+      import org.apache.spark.sql.functions.{col, lit, regexp_extract, url_decode, when}
+      val dataSchema = schema.map(s =>
+        StructType(s.fields.filterNot(f => partitionBy.contains(f.name))))
+      val base = dataSchema.fold(spark.read)(s => spark.read.schema(s))
+        .parquet(paths: _*)
+      partitionBy.foldLeft(base) { (df, c) =>
+        val pat = "/" + java.util.regex.Pattern.quote(c) + "=([^/]+)/"
+        val raw = regexp_extract(col("_metadata.file_path"), pat, 1)
+        // the value is DOUBLY %XX-encoded in file_path: the writer
+        // hive-escapes it into the dir name (%-including), and the
+        // path URI re-encodes each '%' as %25 — decode twice, masking
+        // the legal-unescaped '+' each round against the URL decoder's
+        // plus-is-space rule
+        def dec1(x: Column): Column = url_decode(
+          org.apache.spark.sql.functions.replace(x, lit("+"), lit("%2B")))
+        val dec = dec1(dec1(raw))
+        val v = when(raw === "" || dec === "__HIVE_DEFAULT_PARTITION__",
+          lit(null)).otherwise(dec)
+        val typed = schema.flatMap(_.fields.find(_.name == c))
+          .map(f => v.cast(f.dataType)).getOrElse(v)
+        df.withColumn(c, typed)
+      }
+    }
   }
 
   /** Read `version` scanning ONLY the files whose recorded per-file
@@ -284,11 +338,11 @@ object ManifestTable {
   def readRange(spark: SparkSession, table: String,
                 ranges: Seq[(String, Double, Double)],
                 version: Int = -1): DataFrame = {
-    val (files, schema, stats) = snapshotAll(spark, table, version)
+    val (files, schema, stats, partBy) = snapshotAll(spark, table, version)
     require(files.nonEmpty, s"no committed snapshot in $table")
     val kept = pruneWith(files, stats, ranges)
-    if (kept.isEmpty) readFiles(spark, table, files, schema).limit(0)
-    else readFiles(spark, table, kept, schema)
+    if (kept.isEmpty) readFiles(spark, table, files, schema, partBy).limit(0)
+    else readFiles(spark, table, kept, schema, partBy)
   }
 
   /** Filtered read with AUTOMATIC data skipping (the Delta shape —
@@ -304,13 +358,13 @@ object ManifestTable {
     * contributes an unconstrained branch and prunes nothing). */
   def readWhere(spark: SparkSession, table: String, pred: Column,
                 version: Int = -1): DataFrame = {
-    val (files, schema, stats) = snapshotAll(spark, table, version)
+    val (files, schema, stats, partBy) = snapshotAll(spark, table, version)
     require(files.nonEmpty, s"no committed snapshot in $table")
     val dnf = predicateDnfWith(spark, table, pred, files, schema)
     val kept = pruneDnf(files, stats, dnf)
     val base =
-      if (kept.isEmpty) readFiles(spark, table, files, schema).limit(0)
-      else readFiles(spark, table, kept, schema)
+      if (kept.isEmpty) readFiles(spark, table, files, schema, partBy).limit(0)
+      else readFiles(spark, table, kept, schema, partBy)
     base.filter(pred)
   }
 
@@ -537,7 +591,7 @@ object ManifestTable {
   def pruneFiles(spark: SparkSession, table: String,
                  ranges: Seq[(String, Double, Double)],
                  version: Int = -1): (Seq[String], Int) = {
-    val (files, _, stats) = snapshotAll(spark, table, version)
+    val (files, _, stats, _) = snapshotAll(spark, table, version)
     (pruneWith(files, stats, ranges), files.size)
   }
 
@@ -568,19 +622,69 @@ object ManifestTable {
       })
     }
 
+  /** The scan path → manifest-relative form, as a Column: everything
+    * from the LAST `/data/` on is the relative path (data files sit at
+    * `data/<uuid>/…` whatever the partition-dir depth; a table root
+    * containing `/data/` itself still resolves, because the uuid dir's
+    * own `/data/` is the final occurrence — partition VALUES cannot
+    * smuggle one in, the writer %-escapes `/`). */
+  private def relFileCol: Column = {
+    import org.apache.spark.sql.functions.{col, concat, element_at, lit, split}
+    concat(lit("data/"),
+      element_at(split(col("_metadata.file_path"), "/data/"), -1))
+  }
+
   /** Step 1: full data write under a fresh uuid dir — unreferenced (and
     * so invisible) until a manifest names it. Returns the relative
-    * file list. */
+    * file list. With `partitionBy`, the write uses the Hive
+    * `<col>=<value>/` layout and every file's partition values are
+    * recorded as degenerate [v, v] stats ranges — partition pruning IS
+    * stats pruning here, one mechanism, so equality/IN/range predicates
+    * on partition columns prune through the same manifest machinery
+    * and COMPOSE with data-column ranges. */
   private def writeData(spark: SparkSession, table: String, df: DataFrame,
-                        statsColumns: Seq[String] = Nil)
+                        statsColumns: Seq[String] = Nil,
+                        partitionBy: Seq[String] = Nil)
       : (String, Seq[String], Map[String, Map[String, (Double, Double)]]) = {
     val uuid = java.util.UUID.randomUUID().toString
     val dataDir = new Path(table, s"data/$uuid")
-    df.write.mode(SaveMode.ErrorIfExists).parquet(dataDir.toString)
-    val files = fs(spark, dataDir).listStatus(dataDir)
-      .filter(_.getPath.getName.endsWith(".parquet"))
-      .map(s => s"data/$uuid/${s.getPath.getName}")
-      .toSeq.sorted
+    val w = df.write.mode(SaveMode.ErrorIfExists)
+    (if (partitionBy.nonEmpty) w.partitionBy(partitionBy: _*) else w)
+      .parquet(dataDir.toString)
+    val f = fs(spark, dataDir)
+    def walk(p: Path): Seq[Path] =
+      f.listStatus(p).toSeq.flatMap(s =>
+        if (s.isDirectory) walk(s.getPath)
+        else if (s.getPath.getName.endsWith(".parquet")) Seq(s.getPath)
+        else Nil)
+    // manifest-relative form via the same last-/data/ convention as
+    // [[relFileCol]] (URI relativize is scheme-sensitive; the string
+    // split is not)
+    val files = walk(dataDir)
+      .map(p => "data/" + p.toString.split("/data/").last)
+      .sorted
+    // partition values, parsed from each file's own path — free
+    // (driver-side, one entry per new file) and exact: a partition
+    // file's min = max = its value by construction
+    val partStats: Map[String, Map[String, (Double, Double)]] =
+      if (partitionBy.isEmpty) Map.empty
+      else {
+        val types = df.schema.map(x => (x.name, x.dataType)).toMap
+        files.map { rel =>
+          rel -> rel.split("/").drop(2).dropRight(1).flatMap { seg =>
+            val i = seg.indexOf('=')
+            if (i <= 0) None
+            else {
+              // rel came from Path.toString: URI-encoded on top of the
+              // writer's hive escaping — unescape twice (see readFiles)
+              val (k, raw) =
+                (seg.substring(0, i), unescapePath(unescapePath(seg.substring(i + 1))))
+              if (raw == "__HIVE_DEFAULT_PARTITION__") None
+              else partitionValueBound(raw, types.get(k)).map(v => k -> (v, v))
+            }
+          }.toMap
+        }.toMap
+      }
     // per-file (min, max) of the requested stats columns, in ONE pass
     // over just the new files (the footer-stat collection Delta does at
     // write time; at 100 TB this touches the new batch, never the other
@@ -590,12 +694,14 @@ object ManifestTable {
     // encoding ([[stringBound]] — min/max of a monotone encoding bound
     // every row's encoding, so intersection tests in enc-space are
     // sound); any other type yields null ranges and is never pruned on.
-    val stats: Map[String, Map[String, (Double, Double)]] =
+    val scanStats: Map[String, Map[String, (Double, Double)]] =
       if (statsColumns.isEmpty || files.isEmpty) Map.empty
       else {
-        import org.apache.spark.sql.functions.{col, element_at, max, min, split, concat_ws}
+        import org.apache.spark.sql.functions.{col, max, min}
         val present = df.schema.map(_.name).toSet
-        val cols = statsColumns.filter(present)
+        // partition columns already carry exact path-derived ranges —
+        // and do not exist inside the data files to scan
+        val cols = statsColumns.filter(present).filterNot(partitionBy.contains)
         // the manifest grammar is quote-delimited and line-oriented: a
         // column name carrying a quote, backslash, or newline would be
         // written unescaped and corrupt the stats block for EVERY
@@ -605,9 +711,6 @@ object ManifestTable {
             "grammar cannot carry (quote, backslash, or newline)"))
         if (cols.isEmpty) Map.empty
         else {
-          val parts = split(col("_metadata.file_path"), "/")
-          val rel = concat_ws("/",
-            element_at(parts, -3), element_at(parts, -2), element_at(parts, -1))
           val enc: String => Column = c => df.schema(c).dataType match {
             case org.apache.spark.sql.types.StringType => stringBoundCol(col(c))
             case _ => col(c).cast("double")
@@ -616,7 +719,7 @@ object ManifestTable {
             min(enc(c)).as(s"__mn_$c"),
             max(enc(c)).as(s"__mx_$c")))
           spark.read.parquet(dataDir.toString)
-            .groupBy(rel.as("__f"))
+            .groupBy(relFileCol.as("__f"))
             .agg(aggs.head, aggs.tail: _*)
             .collect() // bounded: one row per NEW file
             .map { r =>
@@ -629,7 +732,45 @@ object ManifestTable {
             }.toMap
         }
       }
+    val stats = (scanStats.keySet ++ partStats.keySet).iterator.map(f =>
+      f -> (scanStats.getOrElse(f, Map.empty) ++ partStats.getOrElse(f, Map.empty))
+    ).toMap
     (uuid, files, stats)
+  }
+
+  /** Hive path-name unescape (`%XX` → char): the writer %-escapes
+    * special characters — `/`, `:`, control chars — in partition
+    * values; reversing it recovers the exact value for the stats
+    * encoding. */
+  private def unescapePath(s: String): String = {
+    val sb = new StringBuilder(s.length)
+    var i = 0
+    while (i < s.length) {
+      val c = s.charAt(i)
+      if (c == '%' && i + 3 <= s.length) {
+        try { sb.append(Integer.parseInt(s.substring(i + 1, i + 3), 16).toChar); i += 3 }
+        catch { case _: NumberFormatException => sb.append(c); i += 1 }
+      } else { sb.append(c); i += 1 }
+    }
+    sb.toString
+  }
+
+  /** A partition VALUE string → the stats' double enc-space, typed by
+    * the table column: strings through [[stringBound]] (matching what
+    * [[leafBounds]] does to string literals), dates as epoch DAYS
+    * (matching DateType literals' internal day-int), numerics
+    * directly. Unparseable or untyped values record no stats — the
+    * file is simply never pruned on that column. */
+  private def partitionValueBound(raw: String, dt: Option[DataType]): Option[Double] = {
+    import org.apache.spark.sql.types._
+    dt.flatMap {
+      case StringType => Some(stringBound(raw))
+      case DateType => scala.util.Try(
+        java.time.LocalDate.parse(raw).toEpochDay.toDouble).toOption
+      case _: NumericType => raw.toDoubleOption
+      case BooleanType => raw.toBooleanOption.map(b => if (b) 1.0 else 0.0)
+      case _ => None
+    }
   }
 
   /** Step 3: exclusive publish of `files` as version `head + 1`.
@@ -637,7 +778,8 @@ object ManifestTable {
   private def tryPublish(spark: SparkSession, table: String, head: Int,
                          files: Seq[String], tag: String,
                          schema: Option[StructType] = None,
-                         stats: Map[String, Map[String, (Double, Double)]] = Map.empty)
+                         stats: Map[String, Map[String, (Double, Double)]] = Map.empty,
+                         partitionBy: Seq[String] = Nil)
       : Boolean = {
     // schema rides base64-encoded (its JSON is full of quotes the
     // regex-grammar manifest must not see); stats are one file-entry
@@ -646,6 +788,14 @@ object ManifestTable {
       val b64 = java.util.Base64.getEncoder.encodeToString(s.json.getBytes("UTF-8"))
       s"""  "schemaB64": "$b64",\n"""
     }.getOrElse("")
+    partitionBy.foreach(c => require(!c.exists(ch =>
+        ch == '"' || ch == '\\' || ch == '\n' || ch == '\r'),
+      s"partition column name '$c' contains characters the manifest " +
+        "grammar cannot carry (quote, backslash, or newline)"))
+    val partitionLine =
+      if (partitionBy.isEmpty) ""
+      else partitionBy.map(c => s""""$c"""")
+        .mkString("  \"partitionBy\": [", ", ", "],\n")
     val fileSet = files.toSet
     val live = stats.filter { case (f, m) => m.nonEmpty && fileSet.contains(f) }
     val statsBlock =
@@ -667,7 +817,7 @@ object ManifestTable {
       s"""{
          |  "version": ${head + 1},
          |  "commitMs": $commitMs,
-         |$schemaLine$statsBlock  "files": [
+         |$partitionLine$schemaLine$statsBlock  "files": [
          |${files.map(p => s"    \"$p\"").mkString(",\n")}
          |  ]
          |}""".stripMargin
@@ -734,7 +884,24 @@ object ManifestTable {
   def commit(spark: SparkSession, table: String, df: DataFrame,
              mode: SaveMode = SaveMode.Append, maxAttempts: Int = 50,
              mergeSchema: Boolean = false,
-             statsColumns: Seq[String] = Nil): Int = {
+             statsColumns: Seq[String] = Nil,
+             partitionBy: Seq[String] = Nil): Int = {
+    // partitioning discipline: one layout per snapshot LINE — an
+    // append inherits the table's recorded partition columns when the
+    // caller passes none, and is refused when it names different ones
+    // (a mixed flat/partitioned snapshot would make Spark's partition
+    // discovery fail on read); overwrite replaces the layout like it
+    // replaces the schema.
+    val headPartBy = partitionColumns(spark, table)
+    val partBy =
+      if (mode == SaveMode.Append && partitionBy.isEmpty) headPartBy
+      else partitionBy
+    if (mode == SaveMode.Append && currentVersion(spark, table) > 0)
+      require(partBy == headPartBy,
+        s"append on $table with partitionBy=$partBy but the table is " +
+          s"partitioned by $headPartBy — overwrite to change the layout")
+    partBy.foreach(c => require(df.schema.map(_.name).contains(c),
+      s"partition column '$c' is not in the batch schema"))
     // schema enforcement (the Delta rule): an append whose column
     // name/type set differs from the table's would leave the snapshot
     // a mixed-schema parquet union — readers silently drop or null the
@@ -791,7 +958,7 @@ object ManifestTable {
     val cols = (statsColumnsOf(
         snapshotStats(spark, table, currentVersion(spark, table))) ++
       statsColumns).distinct.sorted
-    val (uuid, newFiles, newStats) = writeData(spark, table, df, cols)
+    val (uuid, newFiles, newStats) = writeData(spark, table, df, cols, partBy)
     var committed = -1
     var attempt = 0
     while (committed < 0) {
@@ -800,11 +967,12 @@ object ManifestTable {
       val base =
         if (mode == SaveMode.Append) snapshotFiles(spark, table, head) else Nil
       val schema =
-        if (mode == SaveMode.Append) widened(head, base) else df.schema
+        if (mode == SaveMode.Append) widened(head, base)
+        else recordedSchema(df.schema, partBy)
       val carried: Map[String, Map[String, (Double, Double)]] =
         if (mode == SaveMode.Append) snapshotStats(spark, table, head) else Map.empty
       if (tryPublish(spark, table, head, base ++ newFiles, uuid,
-          Some(schema), carried ++ newStats))
+          Some(schema), carried ++ newStats, partBy))
         committed = head + 1
       else {
         // A lost race means another writer occupied slot head+1, so the
@@ -825,6 +993,16 @@ object ManifestTable {
     committed
   }
 
+  /** The schema a manifest records, in the order a partitioned read
+    * produces: data columns first, partition columns last (Spark's
+    * file relations always surface discovered partition columns at
+    * the end — recording any other order would make the recorded
+    * schema disagree with every read). */
+  private def recordedSchema(s: StructType, partitionBy: Seq[String]): StructType =
+    if (partitionBy.isEmpty) s
+    else StructType(s.fields.filterNot(f => partitionBy.contains(f.name)) ++
+      partitionBy.flatMap(c => s.fields.find(_.name == c)))
+
   /** Conditional commit: publish `files` (relative paths, typically
     * from [[writeData]]) as version `expectedHead + 1`, or report the
     * conflict. This is the primitive [[upsert]] and [[deleteWhere]]
@@ -834,10 +1012,12 @@ object ManifestTable {
                            files: Seq[String], expectedHead: Int,
                            tag: String,
                            schema: Option[StructType] = None,
-                           stats: Map[String, Map[String, (Double, Double)]] = Map.empty)
+                           stats: Map[String, Map[String, (Double, Double)]] = Map.empty,
+                           partitionBy: Seq[String] = Nil)
       : Option[Int] =
     if (currentVersion(spark, table) != expectedHead) None
-    else if (tryPublish(spark, table, expectedHead, files, tag, schema, stats))
+    else if (tryPublish(spark, table, expectedHead, files, tag, schema, stats,
+        partitionBy))
       Some(expectedHead + 1)
     else None
 
@@ -961,20 +1141,15 @@ object ManifestTable {
             whenMatchedDelete: Option[Column] = None,
             maxAttempts: Int = 5,
             mergeSchema: Boolean = false): Int = {
-    import org.apache.spark.sql.functions.{coalesce, col, concat_ws, element_at, lit, split, struct}
+    import org.apache.spark.sql.functions.{coalesce, col, lit, struct}
     val srcCols = updates.columns.toSeq
     val bounds = keyEnvelope(updates, keys) // head-independent: once
     var attempt = 0
     while (attempt < maxAttempts) {
       attempt += 1
       val head = currentVersion(spark, table)
-      val (rel, schema, headStats) = snapshotAll(spark, table, head)
-      val relFile = {
-        val parts = split(col("_metadata.file_path"), "/")
-        concat_ws("/",
-          element_at(parts, -3), element_at(parts, -2), element_at(parts, -1))
-      }
-      val (merged, affected) =
+      val (rel, schema, headStats, partBy) = snapshotAll(spark, table, head)
+            val (merged, affected) =
         if (head == 0 || rel.isEmpty) (updates, Set.empty[String])
         else {
           val src = updates
@@ -993,19 +1168,19 @@ object ManifestTable {
           // pass 1: which files hold a matched key? Column-pruned to
           // the keys; bounded driver state (≤ |snapshot files|).
           val tgtKeys =
-            if (candidates.isEmpty) readFiles(spark, table, rel, schema)
+            if (candidates.isEmpty) readFiles(spark, table, rel, schema, partBy)
               .limit(0).select(keys.map(col) :+
                 org.apache.spark.sql.functions.lit("").as("__f"): _*)
-            else readFiles(spark, table, candidates, schema)
-              .select(keys.map(col) :+ relFile.as("__f"): _*)
+            else readFiles(spark, table, candidates, schema, partBy)
+              .select(keys.map(col) :+ relFileCol.as("__f"): _*)
           val affected = tgtKeys
             .join(src.select(keys.map(col): _*).distinct(), keys, "left_semi")
             .select("__f").distinct()
             .collect().map(_.getString(0)).toSet
           // pass 2: clause logic over ONLY the affected files' rows
           val tgt =
-            if (affected.isEmpty) readFiles(spark, table, rel, schema).limit(0)
-            else readFiles(spark, table, affected.toSeq.sorted, schema)
+            if (affected.isEmpty) readFiles(spark, table, rel, schema, partBy).limit(0)
+            else readFiles(spark, table, affected.toSeq.sorted, schema, partBy)
           // evolution (the commit() mergeSchema rule applied to MERGE):
           // updates may ADD columns — kept target rows read them as
           // null through the widened union — but never RETYPE one
@@ -1037,7 +1212,7 @@ object ManifestTable {
           (u(u(kept, replaced), inserted), affected)
         }
       val (uuid, newFiles, newStats) =
-        writeData(spark, table, merged, statsColumnsOf(headStats))
+        writeData(spark, table, merged, statsColumnsOf(headStats), partBy)
       val files = rel.filterNot(affected) ++ newFiles
       // carried files keep their recorded stats; rewritten + inserted
       // files get fresh ranges from the write above
@@ -1045,9 +1220,9 @@ object ManifestTable {
       // keeping the narrow recorded one would make readers drop the
       // added columns silently
       commitIfHead(spark, table, files, head, uuid,
-          if (mergeSchema) Some(merged.schema)
-          else schema.orElse(Some(merged.schema)),
-          headStats ++ newStats) match {
+          if (mergeSchema) Some(recordedSchema(merged.schema, partBy))
+          else schema.orElse(Some(recordedSchema(merged.schema, partBy))),
+          headStats ++ newStats, partBy) match {
         case Some(v) => return v
         case None => // lost the race — discard this attempt's data, re-derive
           fs(spark, new Path(table)).delete(new Path(table, s"data/$uuid"), true)
@@ -1075,12 +1250,12 @@ object ManifestTable {
   def deleteWhere(spark: SparkSession, table: String, pred: Column,
                   maxAttempts: Int = 5,
                   scanRanges: Seq[(String, Double, Double)] = Nil): Int = {
-    import org.apache.spark.sql.functions.{coalesce, col, element_at, lit, split}
+    import org.apache.spark.sql.functions.{coalesce, col, lit}
     var attempt = 0
     while (attempt < maxAttempts) {
       attempt += 1
       val head = currentVersion(spark, table)
-      val (rel, schema, headStats) = snapshotAll(spark, table, head)
+      val (rel, schema, headStats, partBy) = snapshotAll(spark, table, head)
       if (rel.isEmpty) return head
       // extracted DNF ∧ caller-asserted conjunctive scanRanges: every
       // disjunct is narrowed by the asserted conjuncts
@@ -1090,16 +1265,11 @@ object ManifestTable {
         .map(andConj(_, scanConj))
       val candidates = pruneDnf(rel, headStats, dnf)
       if (candidates.isEmpty) return head
-      val withFile = readFiles(spark, table, candidates, schema).withColumn("__f",
-        // absolute scan path → the manifest's relative form: data files
-        // always sit exactly at data/<uuid>/<part>, so the last three
-        // path segments ARE the relative path (root-prefix stripping
-        // would have to re-guess the reader's qualification of the root)
-        {
-          val parts = split(col("_metadata.file_path"), "/")
-          org.apache.spark.sql.functions.concat_ws("/",
-            element_at(parts, -3), element_at(parts, -2), element_at(parts, -1))
-        })
+      // absolute scan path → the manifest's relative form via
+      // [[relFileCol]] (everything from the last /data/ on — correct
+      // at any partition-dir depth)
+      val withFile = readFiles(spark, table, candidates, schema, partBy)
+        .withColumn("__f", relFileCol)
       val affected = withFile.filter(pred).select("__f").distinct()
         .collect().map(_.getString(0)).toSet // bounded: ≤ |snapshot files|
       if (affected.isEmpty) return head
@@ -1111,14 +1281,15 @@ object ManifestTable {
           .filter(!coalesce(pred, lit(false)))
           .drop("__f")
       val (uuid, newFiles, newStats) =
-        writeData(spark, table, survivorsOfAffected, statsColumnsOf(headStats))
+        writeData(spark, table, survivorsOfAffected, statsColumnsOf(headStats),
+          partBy)
       val files = rel.filterNot(affected) ++ newFiles
       // carried-over files keep their recorded stats (tryPublish drops
       // entries for files no longer in the snapshot); rewritten files
       // get fresh ranges from the write above
       commitIfHead(spark, table, files, head, uuid,
-          schema.orElse(Some(survivorsOfAffected.schema)),
-          headStats ++ newStats) match {
+          schema.orElse(Some(recordedSchema(survivorsOfAffected.schema, partBy))),
+          headStats ++ newStats, partBy) match {
         case Some(v) => return v
         case None =>
           fs(spark, new Path(table)).delete(new Path(table, s"data/$uuid"), true)
@@ -1161,7 +1332,8 @@ object ManifestTable {
       // silently drop (or nondeterministically carry) the added column —
       // and publishPending would persist that lossy batch into the feed.
       // rowChanges pins the to-version schema for exactly this reason.
-      readFiles(spark, table, added, snapshotSchema(spark, table, to))
+      readFiles(spark, table, added, snapshotSchema(spark, table, to),
+        partitionColumns(spark, table, to))
     else if (to == 0) spark.emptyDataFrame
     else read(spark, table, to).limit(0)
   }
@@ -1195,8 +1367,9 @@ object ManifestTable {
     // align under schema evolution (pre-evolution files null the added
     // columns on both sides of the comparison)
     val schema = snapshotSchema(spark, table, to)
+    val partedBy = partitionColumns(spark, table, to)
     def side(files: Seq[String]): DataFrame =
-      if (files.nonEmpty) readFiles(spark, table, files, schema)
+      if (files.nonEmpty) readFiles(spark, table, files, schema, partedBy)
       else read(spark, table, to).limit(0)
     val post = side(added)
     val cols = post.columns.toSeq
@@ -1231,11 +1404,18 @@ object ManifestTable {
               statsColumns: Seq[String] = Nil): Int = {
     require(targetFiles >= 1, "targetFiles must be positive")
     val head = currentVersion(spark, table)
+    val partBy = partitionColumns(spark, table, head)
     val df0 = read(spark, table, head)
     val df =
       if (sortBy.nonEmpty)
         df0.repartitionByRange(targetFiles, sortBy: _*)
           .sortWithinPartitions(sortBy: _*)
+      else if (partBy.nonEmpty)
+        // partitioned OPTIMIZE: shuffle ON the partition columns so
+        // each task owns whole partition values — one output file per
+        // value, not targetFiles × values small files
+        df0.repartition(targetFiles,
+          partBy.map(org.apache.spark.sql.functions.col): _*)
       else df0.repartition(targetFiles)
     // OPTIMIZE is also where stats collection can BEGIN on a table
     // that never recorded any (`statsColumns`), on top of whatever the
@@ -1244,10 +1424,11 @@ object ManifestTable {
     val cols =
       (statsColumnsOf(snapshotStats(spark, table, head)) ++ statsColumns)
         .distinct.sorted
-    val (uuid, files, newStats) = writeData(spark, table, df, cols)
+    val (uuid, files, newStats) = writeData(spark, table, df, cols, partBy)
     commitIfHead(spark, table, files, head, uuid,
-        snapshotSchema(spark, table, head).orElse(Some(df.schema)),
-        newStats) match {
+        snapshotSchema(spark, table, head)
+          .orElse(Some(recordedSchema(df.schema, partBy))),
+        newStats, partBy) match {
       case Some(v) => v
       case None =>
         fs(spark, new Path(table)).delete(new Path(table, s"data/$uuid"), true)
