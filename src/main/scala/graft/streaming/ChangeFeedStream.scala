@@ -108,10 +108,53 @@ object ChangeFeedStream {
 
   /** The wedge signal: the table no longer holds the manifests this
     * feed needs — retrying cannot recover, a NEW feedDir must be
-    * bootstrapped from a snapshot. A dedicated type so [[pump]] stops
-    * on exactly this and nothing else. */
+    * bootstrapped from a snapshot ([[bootstrap]]). A dedicated type so
+    * [[pump]] stops on exactly this and nothing else. */
   final class FeedWedgedException(msg: String)
     extends IllegalStateException(msg)
+
+  /** Bootstrap a NEW feed from the table's current snapshot — the
+    * recovery the wedge message prescribes, as an API instead of
+    * manual surgery: the full head snapshot is published as the feed's
+    * FIRST range (lo-keyed `v1`, hi = the head version), so a fresh
+    * consumer reads the snapshot once through the ordinary stream and
+    * every later [[publishPending]] tick continues INCREMENTALLY from
+    * the head — no expired-manifest dependence, exactly-once
+    * accounting from the snapshot on. Requires an EMPTY feedDir: a
+    * feed that already delivered ranges cannot absorb a snapshot
+    * without re-delivering history to its checkpointed consumers
+    * (abandon the wedged dir; its consumers restart on the new one
+    * with a fresh checkpoint). Same crash-safe publish protocol as the
+    * pump. Returns the table version the feed now reaches (0 for an
+    * empty table — nothing to publish, nothing wedged). */
+  def bootstrap(spark: SparkSession, table: String, feedDir: String): Int =
+    bootstrapWith(spark, table, feedDir)((head: Int) =>
+      ManifestTable.read(spark, table, head))
+
+  /** [[bootstrap]] for ROW-level feeds ([[publishPendingRows]] /
+    * [[readRowChangeStream]]): the snapshot publishes as `insert`
+    * events — exactly what rowChanges(0, head) would classify. */
+  def bootstrapRows(spark: SparkSession, table: String, feedDir: String): Int =
+    bootstrapWith(spark, table, feedDir)((head: Int) =>
+      ManifestTable.read(spark, table, head).withColumn("_change_type",
+        org.apache.spark.sql.functions.lit("insert")))
+
+  private def bootstrapWith(spark: SparkSession, table: String,
+                            feedDir: String)(snapshotOf: Int => DataFrame): Int = {
+    require(publishedRanges(spark, feedDir).isEmpty,
+      s"feed $feedDir already holds published ranges — bootstrap needs " +
+        "a NEW (empty) feedDir: re-publishing a snapshot into a " +
+        "consumed feed would re-deliver history to every checkpointed " +
+        "consumer. Point the bootstrap (and the consumers, with fresh " +
+        "checkpoints) at a new directory")
+    val head = ManifestTable.currentVersion(spark, table)
+    if (head == 0) return 0
+    // the snapshot read needs only the HEAD manifest — expired early
+    // versions (the wedge cause) are irrelevant by construction
+    publishWith(spark, table, feedDir)(
+      (_, h) => snapshotOf(h),
+      (_, _) => Seq(head))
+  }
 
   private def publishWith(spark: SparkSession, table: String, feedDir: String)(
       batchOf: (Int, Int) => DataFrame,
@@ -130,8 +173,8 @@ object ChangeFeedStream {
     if (missing.nonEmpty) throw new FeedWedgedException(
       s"change feed of $table is at v$last but table versions " +
         s"${missing.mkString(", ")} are expired — the incremental feed " +
-        "cannot continue; bootstrap a NEW feedDir from a snapshot " +
-        "(ManifestTable.read + a fresh feed from the current head)")
+        "cannot continue; run ChangeFeedStream.bootstrap(table, " +
+        "NEW feedDir) to restart consumers from the current snapshot")
     val dataDir = new Path(feedDir, "data")
     val f = fs(spark, dataDir)
     f.mkdirs(dataDir)

@@ -361,6 +361,81 @@ class EventStreamsSpec extends AnyFunSuite with SparkFixture {
     assert(e.getMessage.contains("expired"))
   }
 
+  test("T9g: a wedged feed recovers via bootstrap into a NEW feedDir, exactly once (r9)") {
+    import graft.sources.ManifestTable
+    import graft.streaming.ChangeFeedStream
+    def tmp(tag: String) =
+      java.nio.file.Files.createTempDirectory(s"graft_cdfb_$tag").toString
+    val (table, feed, ckpt, out) = (tmp("tab"), tmp("feed"), tmp("ckpt"), tmp("out"))
+    def rows(lo: Int, hi: Int) = (lo to hi).map(i => (i.toLong, s"r$i")).toDF("id", "v")
+    // wedge the original feed: it consumed v1, then retention dropped
+    // the manifests its next tick needs
+    ManifestTable.commit(spark, table, rows(1, 3))   // v1
+    ChangeFeedStream.publishPending(spark, table, feed)
+    ManifestTable.commit(spark, table, rows(4, 6))   // v2
+    ManifestTable.commit(spark, table, rows(7, 9))   // v3
+    ManifestTable.expire(spark, table, keepLast = 1)
+    intercept[ChangeFeedStream.FeedWedgedException](
+      ChangeFeedStream.publishPending(spark, table, feed))
+    // bootstrap refuses the consumed feedDir (would re-deliver history)
+    intercept[IllegalArgumentException](
+      ChangeFeedStream.bootstrap(spark, table, feed))
+    // ...and seeds a NEW one with the head snapshot as its first range
+    val feed2 = tmp("feed2")
+    assert(ChangeFeedStream.bootstrap(spark, table, feed2) === 3)
+    // bootstrap is not repeatable either — the snapshot range is history
+    intercept[IllegalArgumentException](
+      ChangeFeedStream.bootstrap(spark, table, feed2))
+    val q = ChangeFeedStream.readChangeStream(spark, table, feed2)
+      .writeStream.format("parquet").option("path", out)
+      .option("checkpointLocation", ckpt).start()
+    try {
+      q.processAllAvailable()
+      assert(spark.read.parquet(out).count() === 9, "snapshot rows once")
+      // the feed continues INCREMENTALLY from the bootstrap head
+      ManifestTable.commit(spark, table, rows(10, 12)) // v4
+      assert(ChangeFeedStream.publishPending(spark, table, feed2) === 4)
+      q.processAllAvailable()
+      val got = spark.read.parquet(out).select("id").collect().map(_.getLong(0)).sorted
+      assert(got.toSeq === (1L to 12L), "exactly-once: snapshot + increment")
+    } finally q.stop()
+    // an empty table bootstraps to nothing, harmlessly
+    val (t2, f3) = (tmp("tab2"), tmp("feed3"))
+    assert(ChangeFeedStream.bootstrap(spark, t2, f3) === 0)
+  }
+
+  test("T9h: bootstrapRows seeds a row-level feed with insert events (r9)") {
+    import graft.sources.ManifestTable
+    import graft.streaming.ChangeFeedStream
+    def tmp(tag: String) =
+      java.nio.file.Files.createTempDirectory(s"graft_cdbr_$tag").toString
+    val (table, feed, ckpt, out) = (tmp("tab"), tmp("feed"), tmp("ckpt"), tmp("out"))
+    val keys = Seq("id")
+    ManifestTable.commit(spark, table,
+      Seq((1L, "a"), (2L, "b")).toDF("id", "v"))
+    ManifestTable.upsert(spark, table, Seq((2L, "B")).toDF("id", "v"), keys)
+    assert(ChangeFeedStream.bootstrapRows(spark, table, feed) === 2)
+    val q = ChangeFeedStream.readRowChangeStream(spark, table, feed)
+      .writeStream.format("parquet").option("path", out)
+      .option("checkpointLocation", ckpt).start()
+    try {
+      q.processAllAvailable()
+      // the snapshot arrives as inserts of the POST-upsert image
+      assert(spark.read.parquet(out).collect()
+        .map(r => (r.getLong(0), r.getString(1), r.getString(2))).toSet
+        === Set((1L, "a", "insert"), (2L, "B", "insert")))
+      // and the row feed continues with classified increments
+      ManifestTable.deleteWhere(spark, table,
+        org.apache.spark.sql.functions.col("id") === 1L)
+      ChangeFeedStream.publishPendingRows(spark, table, feed, keys)
+      q.processAllAvailable()
+      assert(spark.read.parquet(out).count() === 3)
+      assert(spark.read.parquet(out)
+        .filter(org.apache.spark.sql.functions.col("_change_type") === "delete")
+        .collect().map(_.getLong(0)).toSeq === Seq(1L))
+    } finally q.stop()
+  }
+
   test("T9b: the continuous pump picks up commits without an explicit tick") {
     import graft.sources.ManifestTable
     import graft.streaming.ChangeFeedStream
