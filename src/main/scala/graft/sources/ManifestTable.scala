@@ -1021,6 +1021,68 @@ object ManifestTable {
       Some(expectedHead + 1)
     else None
 
+  /** Test seam: invoked after a conditional writer finishes its data
+    * write, immediately before its conditional commit — lets specs
+    * interleave an interloper's commit at the exact point an optimistic
+    * race happens, making the reconcile-vs-re-derive paths
+    * deterministic instead of stochastic. A no-op in production (one
+    * virtual call per derive attempt, nowhere near any per-row path). */
+  @volatile private[graft] var beforeConditionalCommit: () => Unit = () => ()
+
+  /** Conflict-aware retry after a lost commit race (the Delta
+    * OptimisticTransaction shape): a writer that derived its result
+    * from `baseRel` and lost the slot does NOT have to discard the
+    * derivation — if every file it removed is still in the new head
+    * (nobody else rewrote its victims), the table's schema and
+    * partition spec are unchanged, and the files interlopers ADDED
+    * don't semantically conflict (`addedConflict`, caller-defined:
+    * MERGE checks them for its source keys, DELETE for rows matching
+    * its predicate, OPTIMIZE carries them unconditionally), then
+    * publishing `(newHead.files \ removed) ++ newFiles` against the
+    * new head is EQUAL to re-deriving: it serializes this transaction
+    * after the interleaved ones. The reconcile loop itself moves no
+    * data — each attempt is a manifest read plus the caller's
+    * O(interloper-churn) conflict scan — which is what breaks the
+    * livelock blind re-derive invites: a slow full-rewrite transaction
+    * racing fast appenders would otherwise re-derive forever, each
+    * derivation outdated by the time it publishes (measured in
+    * Stress `maintenance_drill`: a merger starved through 50 straight
+    * re-derives under an append+compact storm).
+    * Returns None when a semantic conflict demands a true re-derive
+    * (or attempts ran out); the caller then falls back to its outer
+    * derive loop. */
+  private def reconcilePublish(
+      spark: SparkSession, table: String,
+      baseRel: Seq[String], baseSchema: Option[StructType],
+      basePartBy: Seq[String],
+      removed: Set[String], newFiles: Seq[String],
+      newStats: Map[String, Map[String, (Double, Double)]],
+      recordSchema: Option[StructType], uuid: String,
+      addedConflict: (Seq[String], Option[StructType],
+        Map[String, Map[String, (Double, Double)]], Seq[String]) => Boolean,
+      maxAttempts: Int = 5): Option[Int] = {
+    val baseSet = baseRel.toSet
+    var attempt = 0
+    while (attempt < maxAttempts) {
+      attempt += 1
+      val head2 = currentVersion(spark, table)
+      val (rel2, schema2, stats2, partBy2) = snapshotAll(spark, table, head2)
+      val rel2Set = rel2.toSet
+      val added = rel2.filterNot(baseSet)
+      val structuralOk =
+        partBy2 == basePartBy && schema2 == baseSchema &&
+          removed.forall(rel2Set)
+      if (!structuralOk || addedConflict(added, schema2, stats2, partBy2))
+        return None
+      commitIfHead(spark, table, rel2.filterNot(removed) ++ newFiles, head2,
+          uuid, recordSchema, stats2 ++ newStats, partBy2) match {
+        case Some(v) => return Some(v)
+        case None => // head moved while reconciling — re-check against it
+      }
+    }
+    None
+  }
+
   /** Order-preserving STRING → double encoding for manifest stats:
     * the first 6 UTF-8 bytes, zero-padded, as an unsigned 48-bit
     * integer — exact in a double's 52-bit mantissa, and monotone
@@ -1113,12 +1175,16 @@ object ManifestTable {
     *
     * Concurrency: the post-image is derived from a read of the head;
     * the commit is CONDITIONAL on that head still being current
-    * ([[commitIfHead]]). A lost race re-derives against the new head
-    * and rewrites — never publishes a merge of a stale snapshot (the
-    * data files of a lost attempt become unreferenced garbage for
-    * [[expire]]). An empty table is the same loop with head 0 and no
-    * matches, so first-batch initialization races resolve inside the
-    * commit protocol too.
+    * ([[commitIfHead]]). A lost race first tries to RECONCILE
+    * ([[reconcilePublish]]): if no interloper touched an affected file
+    * and no interloper-added file holds one of this merge's source
+    * keys, the already-derived result republishes against the new head
+    * without moving data; a semantic conflict re-derives against the
+    * new head and rewrites — never publishes a merge of a stale
+    * snapshot (the data files of a lost attempt become unreferenced
+    * garbage for [[expire]]). An empty table is the same loop with
+    * head 0 and no matches, so first-batch initialization races
+    * resolve inside the commit protocol too.
     *
     * Scale stance — TOUCHED-FILE pruning, the shape that makes MERGE
     * deployable at 100 TB (a full-table rewrite per merge is not):
@@ -1219,13 +1285,38 @@ object ManifestTable {
       // under evolution the WIDENED union schema must be recorded —
       // keeping the narrow recorded one would make readers drop the
       // added columns silently
-      commitIfHead(spark, table, files, head, uuid,
-          if (mergeSchema) Some(recordedSchema(merged.schema, partBy))
-          else schema.orElse(Some(recordedSchema(merged.schema, partBy))),
+      val recordSchema =
+        if (mergeSchema) Some(recordedSchema(merged.schema, partBy))
+        else schema.orElse(Some(recordedSchema(merged.schema, partBy)))
+      beforeConditionalCommit()
+      commitIfHead(spark, table, files, head, uuid, recordSchema,
           headStats ++ newStats, partBy) match {
         case Some(v) => return v
-        case None => // lost the race — discard this attempt's data, re-derive
-          fs(spark, new Path(table)).delete(new Path(table, s"data/$uuid"), true)
+        case None =>
+          // Lost the race. Before discarding the derivation, try to
+          // RECONCILE (see [[reconcilePublish]]): valid iff no
+          // interloper rewrote an affected file and no file they added
+          // holds one of this merge's source keys — a source key in an
+          // interloper file would change what matches (update) vs
+          // inserts, so that forces the re-derive. The check is
+          // envelope-pruned then column-pruned: O(interloper churn).
+          val srcKeyRows = updates.select(keys.map(col): _*).distinct()
+          val conflicts = (added: Seq[String], schema2: Option[StructType],
+              stats2: Map[String, Map[String, (Double, Double)]],
+              partBy2: Seq[String]) => added.nonEmpty && {
+            val cand =
+              if (bounds.isEmpty) added else pruneWith(added, stats2, bounds)
+            cand.nonEmpty && !readFiles(spark, table, cand, schema2, partBy2)
+              .select(keys.map(col): _*)
+              .join(srcKeyRows, keys, "left_semi")
+              .isEmpty
+          }
+          reconcilePublish(spark, table, rel, schema, partBy, affected,
+              newFiles, newStats, recordSchema, uuid, conflicts) match {
+            case Some(v) => return v
+            case None => // semantic conflict — discard the data, re-derive
+              fs(spark, new Path(table)).delete(new Path(table, s"data/$uuid"), true)
+          }
       }
     }
     throw new java.util.ConcurrentModificationException(
@@ -1287,12 +1378,34 @@ object ManifestTable {
       // carried-over files keep their recorded stats (tryPublish drops
       // entries for files no longer in the snapshot); rewritten files
       // get fresh ranges from the write above
-      commitIfHead(spark, table, files, head, uuid,
-          schema.orElse(Some(recordedSchema(survivorsOfAffected.schema, partBy))),
+      val recordSchema =
+        schema.orElse(Some(recordedSchema(survivorsOfAffected.schema, partBy)))
+      beforeConditionalCommit()
+      commitIfHead(spark, table, files, head, uuid, recordSchema,
           headStats ++ newStats, partBy) match {
         case Some(v) => return v
         case None =>
-          fs(spark, new Path(table)).delete(new Path(table, s"data/$uuid"), true)
+          // Lost the race — reconcile unless an interloper rewrote a
+          // victim file or added a file holding rows this predicate
+          // would delete (those rows would survive a carried publish);
+          // the check prunes the interloper files through the same DNF
+          // before reading them.
+          val conflicts = (added: Seq[String], schema2: Option[StructType],
+              stats2: Map[String, Map[String, (Double, Double)]],
+              partBy2: Seq[String]) => added.nonEmpty && {
+            val dnf2 = predicateDnfWith(spark, table, pred, added, schema2)
+              .map(andConj(_, scanConj))
+            val cand = pruneDnf(added, stats2, dnf2)
+            cand.nonEmpty &&
+              !readFiles(spark, table, cand, schema2, partBy2)
+                .filter(pred).isEmpty
+          }
+          reconcilePublish(spark, table, rel, schema, partBy, affected,
+              newFiles, newStats, recordSchema, uuid, conflicts) match {
+            case Some(v) => return v
+            case None =>
+              fs(spark, new Path(table)).delete(new Path(table, s"data/$uuid"), true)
+          }
       }
     }
     throw new java.util.ConcurrentModificationException(
@@ -1404,8 +1517,9 @@ object ManifestTable {
               statsColumns: Seq[String] = Nil): Int = {
     require(targetFiles >= 1, "targetFiles must be positive")
     val head = currentVersion(spark, table)
-    val partBy = partitionColumns(spark, table, head)
-    val df0 = read(spark, table, head)
+    val (rel0, schema0, stats0, partBy) = snapshotAll(spark, table, head)
+    require(rel0.nonEmpty, s"no committed snapshot in $table")
+    val df0 = readFiles(spark, table, rel0, schema0, partBy)
     val df =
       if (sortBy.nonEmpty)
         df0.repartitionByRange(targetFiles, sortBy: _*)
@@ -1421,19 +1535,31 @@ object ManifestTable {
     // that never recorded any (`statsColumns`), on top of whatever the
     // head already tracks — the z-order payoff needs both: sorted
     // layout (tight per-file ranges) and recorded ranges to prune on
-    val cols =
-      (statsColumnsOf(snapshotStats(spark, table, head)) ++ statsColumns)
-        .distinct.sorted
+    val cols = (statsColumnsOf(stats0) ++ statsColumns).distinct.sorted
     val (uuid, files, newStats) = writeData(spark, table, df, cols, partBy)
-    commitIfHead(spark, table, files, head, uuid,
-        snapshotSchema(spark, table, head)
-          .orElse(Some(recordedSchema(df.schema, partBy))),
+    val recordSchema = schema0.orElse(Some(recordedSchema(df.schema, partBy)))
+    beforeConditionalCommit()
+    commitIfHead(spark, table, files, head, uuid, recordSchema,
         newStats, partBy) match {
       case Some(v) => v
       case None =>
-        fs(spark, new Path(table)).delete(new Path(table, s"data/$uuid"), true)
-        throw new java.util.ConcurrentModificationException(
-          s"compaction of $table lost the commit race to a concurrent writer; re-run")
+        // Lost the race. OPTIMIZE removes every base file, so the only
+        // reconcilable interleaving is pure ADDITION (appends, or a
+        // merge/delete that touched no base file — impossible, so in
+        // practice: appends): carry the interloper files alongside the
+        // compacted image unconditionally (they are merely not yet
+        // compacted — the next OPTIMIZE picks them up, the Delta
+        // OPTIMIZE-vs-ingest rule). Any rewrite of a base file means
+        // the compacted image holds stale rows → give up loudly.
+        reconcilePublish(spark, table, rel0, schema0, partBy, rel0.toSet,
+            files, newStats, recordSchema, uuid,
+            (_, _, _, _) => false) match {
+          case Some(v) => v
+          case None =>
+            fs(spark, new Path(table)).delete(new Path(table, s"data/$uuid"), true)
+            throw new java.util.ConcurrentModificationException(
+              s"compaction of $table lost the commit race to a concurrent writer; re-run")
+        }
     }
   }
 
