@@ -273,6 +273,50 @@ object Stress {
         s"head_rows=${counts.last}")
     }
 
+    // r9: incremental small-file OPTIMIZE — the claim is work =
+    // O(small bytes), never O(table). The range-clustered base grows
+    // rep× while the straggler count stays fixed (24 micro-batch
+    // residue files), so compactSmall's rewritten-bytes fraction must
+    // SHRINK as the table grows; base files must carry by reference,
+    // and planning must come from the manifest's recorded sizes (no
+    // per-file stat). A full-table compact here would read 1.5M rows
+    // to fix ~300.
+    if (only.forall("small_files".contains)) {
+      import graft.sources.ManifestTable
+      import org.apache.spark.sql.SaveMode
+      val t = java.nio.file.Files.createTempDirectory("graft_stress_smallf").toString
+      ManifestTable.commit(spark, t,
+        ord.repartitionByRange(4, col("o_orderkey")), SaveMode.Overwrite,
+        statsColumns = Seq("o_orderkey"))
+      val baseFiles = ManifestTable.snapshotFiles(spark, t).toSet
+      val baseSizes = ManifestTable.snapshotSizes(spark, t)
+      var stragglerRows = 0L
+      (0 until 24).foreach { i =>
+        val slice = ord.filter(col("o_orderkey").between(i * 50 + 1, i * 50 + 50))
+          .coalesce(1)
+        stragglerRows += slice.count()
+        ManifestTable.commit(spark, t, slice)
+      }
+      val t0 = System.nanoTime()
+      val bins = ManifestTable.compactSmall(spark, t,
+        minFileBytes = baseSizes.values.min, maxBinBytes = 64L << 20)
+      val sec = (System.nanoTime() - t0) / 1e9
+      require(bins >= 1, "stragglers must pack into at least one bin")
+      val after = ManifestTable.snapshotFiles(spark, t).toSet
+      require(baseFiles.subsetOf(after),
+        "base files must carry by reference through small-file OPTIMIZE")
+      val afterSizes = ManifestTable.snapshotSizes(spark, t)
+      val rewritten = afterSizes.filter(e => !baseFiles.contains(e._1)).values.sum
+      val total = afterSizes.values.sum
+      require(rewritten * 5 < total,
+        s"small-file OPTIMIZE rewrote $rewritten of $total bytes — not O(small)")
+      val cnt = ManifestTable.read(spark, t).count()
+      require(cnt == ord.count() + stragglerRows, s"row count drifted: $cnt")
+      println(f"[stress rep=$rep] small_files $sec%8.2f s  bins=$bins " +
+        f"files ${baseFiles.size + 24}->${after.size} " +
+        f"rewritten_frac=${rewritten.toDouble / total}%.4f")
+    }
+
     // Analytics shapes over a rep×-replicated event log (user space
     // grows rep×, per-user history constant — the 100 TB shape): the
     // sessionization single-exchange claim and the attribution frame.

@@ -945,6 +945,67 @@ object LakehouseQueries {
              |ORDER BY c_custkey NULLS FIRST""".stripMargin)
     ),
 
+    // C34: INCREMENTAL small-file OPTIMIZE, judged — the steady-state
+    // maintenance pass a 100 TB table actually runs. A well-sized base
+    // (2 range-clustered files over the first 40% of the key space)
+    // accumulates 6 straggler commits (1%-of-keyspace slices, one tiny
+    // file each — the shape every micro-batch ingest leaves behind);
+    // `compactSmall` then plans ENTIRELY from the manifest's recorded
+    // per-file byte sizes (no file is stat'ed), packs the 6 stragglers
+    // into ONE bin committed as its own conditional snapshot, and
+    // carries both base files BY REFERENCE — work is O(small files),
+    // never O(table), and a conflicting concurrent writer would skip
+    // the bin, not abort the pass (SmallFileCompactionSpec drives
+    // those races deterministically). The requires pin the structural
+    // claims (1 bin, base carried, 3 files at head); the hash proves
+    // the repack was lossless. The oracle rebuilds the same key
+    // domain: keys ≤ 2/5·max plus the six 1% slices above it —
+    // telescoping to one contiguous range both engines floor-divide
+    // identically (all values positive).
+    Entry(
+      "c34_small_files",
+      (s, d) => {
+        import org.apache.spark.sql.SaveMode
+        val t = scratchDir("c34", d)
+        val ord = Tables.orders(s, d)
+          .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"))
+        val mx = ord.agg(max(col("o_orderkey"))).first().getLong(0)
+        val cut = mx * 2 / 5
+        graft.sources.ManifestTable.commit(s, t,
+          ord.filter(col("o_orderkey") <= cut)
+            .repartitionByRange(2, col("o_orderkey")),
+          SaveMode.Overwrite, statsColumns = Seq("o_orderkey"))
+        val baseFiles = graft.sources.ManifestTable.snapshotFiles(s, t).toSet
+        val baseSizes = graft.sources.ManifestTable.snapshotSizes(s, t)
+        (0 until 6).foreach { i =>
+          val lo = cut + (mx - cut) * i / 100
+          val hi = cut + (mx - cut) * (i + 1) / 100
+          graft.sources.ManifestTable.commit(s, t,
+            ord.filter(col("o_orderkey") > lo && col("o_orderkey") <= hi)
+              .coalesce(1))
+        }
+        val bins = graft.sources.ManifestTable.compactSmall(s, t,
+          minFileBytes = baseSizes.values.min, maxBinBytes = 1L << 30)
+        require(bins == 1, s"6 stragglers must pack into one bin, got $bins")
+        val after = graft.sources.ManifestTable.snapshotFiles(s, t)
+        require(baseFiles.subsetOf(after.toSet),
+          "base files must carry by reference, not rewrite")
+        require(after.size == baseFiles.size + 1,
+          s"head must be base + one packed file, got ${after.size}")
+        graft.sources.ManifestTable.read(s, t)
+          .groupBy((col("o_orderkey") % 10).as("bucket"))
+          .agg(count(lit(1)).as("cnt"), dsum(col("o_totalprice")).as("sum_price"))
+          .orderBy("bucket")
+      },
+      Some(s"""WITH m AS (SELECT max(o_orderkey) AS mx, max(o_orderkey)*2//5 AS cut
+             |           FROM orders)
+             |SELECT o_orderkey % 10 AS bucket, count(*) AS cnt,
+             |  ${dsumSql("o_totalprice")} AS sum_price
+             |FROM orders, m
+             |WHERE o_orderkey <= cut + (mx - cut)*6//100
+             |GROUP BY 1 ORDER BY bucket NULLS FIRST""".stripMargin)
+    ),
+
     // C29: the OPTIMIZE-ZORDER lifecycle, judged end to end — ingest
     // (unclustered commit), `compact(sortBy = zkey16(part, supp),
     // statsColumns = part, supp)` (one conditional commit: z-sorted

@@ -651,18 +651,22 @@ object ManifestTable {
     val w = df.write.mode(SaveMode.ErrorIfExists)
     (if (partitionBy.nonEmpty) w.partitionBy(partitionBy: _*) else w)
       .parquet(dataDir.toString)
+    require(!df.schema.names.contains(SizeKey),
+      s"column name '$SizeKey' is reserved for the manifest's per-file " +
+        "size metadata")
     val f = fs(spark, dataDir)
-    def walk(p: Path): Seq[Path] =
+    def walk(p: Path): Seq[org.apache.hadoop.fs.FileStatus] =
       f.listStatus(p).toSeq.flatMap(s =>
         if (s.isDirectory) walk(s.getPath)
-        else if (s.getPath.getName.endsWith(".parquet")) Seq(s.getPath)
+        else if (s.getPath.getName.endsWith(".parquet")) Seq(s)
         else Nil)
     // manifest-relative form via the same last-/data/ convention as
     // [[relFileCol]] (URI relativize is scheme-sensitive; the string
     // split is not)
-    val files = walk(dataDir)
-      .map(p => "data/" + p.toString.split("/data/").last)
-      .sorted
+    val sizeOfNew: Map[String, Long] = walk(dataDir)
+      .map(s => ("data/" + s.getPath.toString.split("/data/").last,
+        s.getLen)).toMap
+    val files = sizeOfNew.keysIterator.toSeq.sorted
     // partition values, parsed from each file's own path — free
     // (driver-side, one entry per new file) and exact: a partition
     // file's min = max = its value by construction
@@ -732,8 +736,16 @@ object ManifestTable {
             }.toMap
         }
       }
-    val stats = (scanStats.keySet ++ partStats.keySet).iterator.map(f =>
-      f -> (scanStats.getOrElse(f, Map.empty) ++ partStats.getOrElse(f, Map.empty))
+    // every new file's byte size rides in the stats map as a reserved
+    // degenerate range (SizeKey, (len, len)) — recorded at write time
+    // like Delta's log does, so maintenance planning ([[compactSmall]])
+    // never stats files. The reserved name is refused as a data column
+    // above; carried files keep their entry through the same
+    // stats-carry paths every rewrite already uses.
+    val stats = files.iterator.map(fn =>
+      fn -> (scanStats.getOrElse(fn, Map.empty) ++
+        partStats.getOrElse(fn, Map.empty) +
+        (SizeKey -> (sizeOfNew(fn).toDouble, sizeOfNew(fn).toDouble)))
     ).toMap
     (uuid, files, stats)
   }
@@ -1137,14 +1149,33 @@ object ManifestTable {
     }
   }
 
+  /** Reserved stats pseudo-column carrying each file's byte size as a
+    * degenerate (len, len) range — recorded by [[writeData]] on every
+    * commit, carried with the rest of a file's stats through rewrites,
+    * surfaced by [[snapshotSizes]]. Reserved: a DATA column with this
+    * name is refused at the write (its recorded range would otherwise
+    * collide with real column stats and mis-prune). */
+  private[graft] val SizeKey = "__graft_bytes"
+
+  /** Per-file byte sizes recorded in `version`'s manifest — the
+    * metadata [[compactSmall]] plans on without ever stat-ing a file.
+    * Files committed before size tracking are simply absent. */
+  def snapshotSizes(spark: SparkSession, table: String,
+                    version: Int = -1): Map[String, Long] =
+    snapshotStats(spark, table, version).flatMap { case (f, m) =>
+      m.get(SizeKey).map(r => f -> r._1.toLong)
+    }
+
   /** Column names the head snapshot carries stats for — derived
     * commits ([[upsert]]/[[deleteWhere]]/[[compact]]) keep collecting
     * the same set for their rewritten files, so stats-tracking
     * survives the table's whole lifecycle without a separate
-    * table-property store. */
+    * table-property store. The size pseudo-entry is NOT a column to
+    * scan — writeData records sizes on its own. */
   private def statsColumnsOf(
       stats: Map[String, Map[String, (Double, Double)]]): Seq[String] =
-    stats.valuesIterator.flatMap(_.keysIterator).toSeq.distinct.sorted
+    stats.valuesIterator.flatMap(_.keysIterator)
+      .filterNot(_ == SizeKey).toSeq.distinct.sorted
 
   /** MERGE-style upsert: rows of `updates` replace current rows with
     * equal `keys`; unmatched update rows insert. One new snapshot —
@@ -1561,6 +1592,91 @@ object ManifestTable {
               s"compaction of $table lost the commit race to a concurrent writer; re-run")
         }
     }
+  }
+
+  /** Incremental bin-packing OPTIMIZE (the Delta OPTIMIZE bin model):
+    * compacts only files smaller than `minFileBytes`, packing them
+    * into bins of ≤ `maxBinBytes` (within a partition — bins never mix
+    * partition values, so each bin lands as one file) and committing
+    * EACH BIN as its own conditional snapshot. Three properties a
+    * 100 TB table needs that the full-table [[compact]] cannot give:
+    *  - work is O(small files), not O(table): a steady-state table
+    *    accumulating a few straggler files per ingest batch compacts
+    *    in seconds while the petabytes of already-right-sized files
+    *    are never read;
+    *  - each commit removes only its bin's files, so it conflicts only
+    *    with a writer touching THOSE files: concurrent appends
+    *    reconcile ([[reconcilePublish]]), and a bin invalidated by an
+    *    interleaved rewrite is skipped — the pass commits what it can
+    *    and reports how many bins landed, never aborting wholesale,
+    *    which is what lets OPTIMIZE run continuously beside ingest
+    *    (the full-table compact hard-conflicts with every concurrent
+    *    merge in both directions — see Stress `maintenance_drill`);
+    *  - planning reads NO file metadata: sizes come from the manifest
+    *    ([[snapshotSizes]], recorded at write time); only files from
+    *    legacy pre-size manifests fall back to a getFileStatus.
+    * Returns the number of bins committed. */
+  def compactSmall(spark: SparkSession, table: String,
+                   minFileBytes: Long = 32L << 20,
+                   maxBinBytes: Long = 128L << 20,
+                   statsColumns: Seq[String] = Nil): Int = {
+    require(minFileBytes > 0 && maxBinBytes >= minFileBytes,
+      "need 0 < minFileBytes <= maxBinBytes")
+    val head0 = currentVersion(spark, table)
+    if (head0 == 0) return 0
+    val sizes0 = snapshotSizes(spark, table, head0)
+    val rel0 = snapshotFiles(spark, table, head0)
+    val f0 = fs(spark, new Path(table))
+    def sizeOf(rel: String): Long = sizes0.getOrElse(rel,
+      f0.getFileStatus(new Path(table, rel)).getLen)
+    val small = rel0.map(r => r -> sizeOf(r)).filter(_._2 < minFileBytes)
+    // partition-local bins: group by the file's partition dir prefix
+    // (everything between data/<uuid>/ and the file name)
+    def partKey(rel: String): String =
+      rel.split("/").drop(2).dropRight(1).mkString("/")
+    val bins = small.groupBy(e => partKey(e._1)).toSeq.sortBy(_._1)
+      .flatMap { case (_, group) =>
+        // first-fit-decreasing, deterministic via the (size, path) sort
+        val acc = scala.collection.mutable.ArrayBuffer
+          .empty[(Long, scala.collection.mutable.ArrayBuffer[String])]
+        group.sortBy { case (r, s) => (-s, r) }.foreach { case (r, s) =>
+          acc.find(_._1 + s <= maxBinBytes) match {
+            case Some(bin) =>
+              acc(acc.indexOf(bin)) = (bin._1 + s, bin._2 += r)
+            case None =>
+              acc += ((s, scala.collection.mutable.ArrayBuffer(r)))
+          }
+        }
+        acc.map(_._2.toSeq).filter(_.size >= 2) // a singleton bin gains nothing
+      }
+    var committed = 0
+    bins.foreach { binFiles =>
+      // per-bin transaction against the CURRENT head (which already
+      // includes this pass's previous bins and any interleaved commits)
+      val head = currentVersion(spark, table)
+      val (rel, schema, headStats, partBy) = snapshotAll(spark, table, head)
+      val relSet = rel.toSet
+      if (binFiles.forall(relSet)) { // else: an interleaved rewrite ate the bin — skip
+        // one task per bin (coalesce, no shuffle): the bin is bounded by
+        // maxBinBytes, and one output file is the entire point of packing
+        val df = readFiles(spark, table, binFiles, schema, partBy).coalesce(1)
+        val cols = (statsColumnsOf(headStats) ++ statsColumns).distinct.sorted
+        val (uuid, newFiles, newStats) = writeData(spark, table, df, cols, partBy)
+        val recordSchema = schema.orElse(Some(recordedSchema(df.schema, partBy)))
+        val binSet = binFiles.toSet
+        beforeConditionalCommit()
+        commitIfHead(spark, table, rel.filterNot(binSet) ++ newFiles, head,
+            uuid, recordSchema, headStats ++ newStats, partBy)
+          .orElse(reconcilePublish(spark, table, rel, schema, partBy, binSet,
+            newFiles, newStats, recordSchema, uuid,
+            (_, _, _, _) => false)) match {
+          case Some(_) => committed += 1
+          case None => // bin lost to a conflicting rewrite — drop it, move on
+            fs(spark, new Path(table)).delete(new Path(table, s"data/$uuid"), true)
+        }
+      }
+    }
+    committed
   }
 
   /** Retention: keep the last `keepLast` versions' manifests, delete
