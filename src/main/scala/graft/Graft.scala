@@ -29,11 +29,15 @@ object Graft {
     graft.sources.LakeConfig.parse(cfgText)
 
   /** ACID-ish snapshot tables over raw parquet: atomic manifest
-    * commits, snapshot reads, time travel, conditional MERGE
-    * (matched-clause update/delete), row-level change feed
-    * (rowChanges), schema evolution on append, per-file stats with
-    * manifest-level data skipping (readRange), OPTIMIZE/Z-ORDER
-    * compaction, retention. */
+    * commits, snapshot reads, time travel (version and timestamp),
+    * partition columns, conditional MERGE (matched-clause
+    * update/delete) with commit reconciliation on lost races,
+    * row-level change feed (rowChanges), schema evolution on append,
+    * per-file stats/sizes with manifest-level data skipping
+    * (readRange/readWhere incl. strings and OR predicates),
+    * OPTIMIZE/Z-ORDER compaction, incremental small-file OPTIMIZE
+    * (compactSmall), RESTORE rollback, CHECK constraints
+    * (addConstraint/dropConstraint), retention. */
   val manifestTable: graft.sources.ManifestTable.type = graft.sources.ManifestTable
 
   /** The manifest change feed as a Structured Stream: an idempotent

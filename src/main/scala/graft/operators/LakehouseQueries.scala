@@ -1006,6 +1006,111 @@ object LakehouseQueries {
              |GROUP BY 1 ORDER BY bucket NULLS FIRST""".stripMargin)
     ),
 
+    // C35: RESTORE, judged — rollback as a NEW commit (the Delta
+    // RESTORE shape, the incident-response move at 100 TB): base
+    // commit → a "bad" upsert poisons the head (updates + junk
+    // inserts) → `restore(v1)` flips the head back to the base image
+    // BY REFERENCE in O(manifest) time — zero rows move, the requires
+    // pin that the restored head's file set IS v1's and that the
+    // poisoned v2 stays inspectable (rollback preserves history; the
+    // bad version remains readable until expired). The hash proves
+    // the restored image equals the pre-poison base exactly — the
+    // oracle recomputes it from `customer` and never sees the upsert.
+    Entry(
+      "c35_restore",
+      (s, d) => {
+        import org.apache.spark.sql.SaveMode
+        val t = scratchDir("c35", d)
+        val cust = Tables.customer(s, d)
+          .select(col("c_custkey"), col("c_name"), col("c_acctbal"))
+        val vBase = graft.sources.ManifestTable.commit(s, t,
+          cust.filter(col("c_custkey") <= 1200), SaveMode.Overwrite,
+          statsColumns = Seq("c_custkey"))
+        graft.sources.ManifestTable.upsert(s, t,
+          cust.filter(col("c_custkey").between(600, 1800))
+            .withColumn("c_acctbal", col("c_acctbal") * -1),
+          Seq("c_custkey"))
+        val v = graft.sources.ManifestTable.restore(s, t, vBase)
+        require(v == vBase + 2, s"restore must land as a new version, got $v")
+        require(graft.sources.ManifestTable.snapshotFiles(s, t, v) ==
+          graft.sources.ManifestTable.snapshotFiles(s, t, vBase),
+          "restore must reference the base version's files, not rewrite them")
+        require(graft.sources.ManifestTable.read(s, t, vBase + 1)
+          .filter(col("c_acctbal") < -0.01).count() > 0,
+          "the undone version must stay inspectable")
+        graft.sources.ManifestTable.read(s, t)
+          .select(col("c_custkey"), col("c_name"),
+            round(col("c_acctbal"), 2).as("bal"))
+          .orderBy("c_custkey")
+      },
+      Some("""SELECT c_custkey, c_name, round(c_acctbal, 2) AS bal
+             |FROM customer WHERE c_custkey <= 1200
+             |ORDER BY c_custkey NULLS FIRST""".stripMargin)
+    ),
+
+    // C36: CHECK constraints, judged — table-level invariants recorded
+    // in the manifest and enforced BEFORE any data lands (the Delta
+    // ALTER TABLE ADD CONSTRAINT contract): base commit →
+    // addConstraint (validates every existing row in one pass) → a
+    // valid append lands → a violating append AND a violating upsert
+    // are both refused with nothing written (the requires pin version
+    // count and data-dir cleanliness) → drop → a previously-refused
+    // shape lands. The hash proves exactly the permitted rows — and
+    // only those — survive the gauntlet; the oracle rebuilds the same
+    // set from `orders` with the constraint as a WHERE clause on the
+    // batch it gated.
+    Entry(
+      "c36_constraints",
+      (s, d) => {
+        import org.apache.spark.sql.SaveMode
+        val t = scratchDir("c36", d)
+        val ord = Tables.orders(s, d)
+          .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"))
+        // key ranges derived from the corpus (sf-independent); floors
+        // match the oracle's `//`
+        val mx = ord.agg(max(col("o_orderkey"))).first().getLong(0)
+        val (b1, b2, b3) = (mx * 2 / 5, mx * 3 / 5, mx * 7 / 10)
+        graft.sources.ManifestTable.commit(s, t,
+          ord.filter(col("o_orderkey") <= b1), SaveMode.Overwrite,
+          statsColumns = Seq("o_orderkey"))
+        // the scratch table is session-reused: a prior aborted run may
+        // have left the constraint behind — reset to a known state
+        graft.sources.ManifestTable.checkConstraints(s, t).keys
+          .foreach(n => graft.sources.ManifestTable.dropConstraint(s, t, n))
+        graft.sources.ManifestTable.addConstraint(s, t,
+          "price_positive", "o_totalprice > 0")
+        graft.sources.ManifestTable.commit(s, t,
+          ord.filter(col("o_orderkey") > b1 && col("o_orderkey") <= b2))
+        val v3 = graft.sources.ManifestTable.currentVersion(s, t)
+        val badBatch = ord.filter(col("o_orderkey") > b2 && col("o_orderkey") <= b3)
+          .withColumn("o_totalprice", col("o_totalprice") * -1)
+        val refusedCommit =
+          try { graft.sources.ManifestTable.commit(s, t, badBatch); false }
+          catch { case _: IllegalArgumentException => true }
+        val refusedMerge =
+          try {
+            graft.sources.ManifestTable.upsert(s, t,
+              badBatch, Seq("o_orderkey")); false
+          } catch { case _: IllegalArgumentException => true }
+        require(refusedCommit && refusedMerge,
+          "violating batches must be refused on both write paths")
+        require(graft.sources.ManifestTable.currentVersion(s, t) == v3,
+          "refused batches must not commit a version")
+        graft.sources.ManifestTable.dropConstraint(s, t, "price_positive")
+        graft.sources.ManifestTable.commit(s, t,
+          ord.filter(col("o_orderkey") > b2 && col("o_orderkey") <= b3))
+        graft.sources.ManifestTable.read(s, t)
+          .groupBy((col("o_custkey") % 7).as("bucket"))
+          .agg(count(lit(1)).as("cnt"), dsum(col("o_totalprice")).as("sum_price"))
+          .orderBy("bucket")
+      },
+      Some(s"""SELECT o_custkey % 7 AS bucket, count(*) AS cnt,
+             |  ${dsumSql("o_totalprice")} AS sum_price
+             |FROM orders
+             |WHERE o_orderkey <= (SELECT max(o_orderkey)*7//10 FROM orders)
+             |GROUP BY 1 ORDER BY bucket NULLS FIRST""".stripMargin)
+    ),
+
     // C29: the OPTIMIZE-ZORDER lifecycle, judged end to end — ingest
     // (unclustered commit), `compact(sortBy = zkey16(part, supp),
     // statsColumns = part, supp)` (one conditional commit: z-sorted

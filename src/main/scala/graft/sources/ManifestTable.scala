@@ -243,6 +243,92 @@ object ManifestTable {
   private def commitMsFromText(text: String): Option[Long] =
     "\"commitMs\"\\s*:\\s*(\\d+)".r.findFirstMatchIn(text).map(_.group(1).toLong)
 
+  private def b64(s: String): String =
+    java.util.Base64.getEncoder.encodeToString(s.getBytes("UTF-8"))
+  private def unb64(s: String): String =
+    new String(java.util.Base64.getDecoder.decode(s), "UTF-8")
+
+  /** The CHECK constraints `version`'s snapshot is bound by —
+    * `name -> SQL boolean expression`. Every writer path enforces and
+    * carries them (see [[addConstraint]]). */
+  def checkConstraints(spark: SparkSession, table: String,
+                       version: Int = -1): Map[String, String] = {
+    val v = if (version < 0) currentVersion(spark, table) else version
+    if (v == 0) Map.empty else checksFromText(manifestText(spark, table, v))
+  }
+
+  private def checksFromText(text: String): Map[String, String] =
+    "\"checksB64\"\\s*:\\s*\\{([^}]*)\\}".r.findFirstMatchIn(text)
+      .map(m => "\"([A-Za-z0-9+/=]+)\"\\s*:\\s*\"([A-Za-z0-9+/=]*)\"".r
+        .findAllMatchIn(m.group(1))
+        .map(e => unb64(e.group(1)) -> unb64(e.group(2))).toMap)
+      .getOrElse(Map.empty)
+
+  /** SQL CHECK semantics: a row violates only when the expression is
+    * FALSE — NULL passes (the standard's unknown-is-ok rule). One
+    * short-circuiting job per constraint, run BEFORE any data is
+    * written, so a refused batch leaves no garbage. */
+  private def requireSatisfied(df: DataFrame, cons: Map[String, String],
+                               ctx: String): Unit =
+    cons.toSeq.sortBy(_._1).foreach { case (name, sql) =>
+      import org.apache.spark.sql.functions.{coalesce, expr, lit, not}
+      val violated =
+        !df.filter(not(coalesce(expr(sql), lit(true)))).isEmpty
+      require(!violated,
+        s"CHECK constraint '$name' ($sql) violated by $ctx")
+    }
+
+  /** Add a named CHECK constraint: the ENTIRE current table must
+    * already satisfy it (one stats-pruned scan, refused otherwise),
+    * after which every commit/merge validates its written rows against
+    * it and every publish carries it forward — the Delta
+    * `ALTER TABLE ADD CONSTRAINT` contract. Conditional commit: a
+    * lost race re-validates against the new head. */
+  def addConstraint(spark: SparkSession, table: String,
+                    name: String, exprSql: String,
+                    maxAttempts: Int = 5): Int = {
+    require(name.nonEmpty && exprSql.nonEmpty, "need a name and an expression")
+    var attempt = 0
+    while (attempt < maxAttempts) {
+      attempt += 1
+      val head = currentVersion(spark, table)
+      require(head >= 1, s"no committed snapshot in $table")
+      val (files, schema, stats, partBy) = snapshotAll(spark, table, head)
+      val cons = checkConstraints(spark, table, head)
+      require(!cons.contains(name),
+        s"constraint '$name' already exists on $table")
+      requireSatisfied(readFiles(spark, table, files, schema, partBy),
+        Map(name -> exprSql), s"existing rows of $table")
+      if (currentVersion(spark, table) == head &&
+          tryPublish(spark, table, head, files, s"addcheck-${b64(name)}",
+            schema, stats, partBy, Some(cons + (name -> exprSql))))
+        return head + 1
+    }
+    throw new java.util.ConcurrentModificationException(
+      s"addConstraint on $table lost $maxAttempts commit races")
+  }
+
+  /** Drop a named CHECK constraint (no validation needed — loosening
+    * can't invalidate anything). */
+  def dropConstraint(spark: SparkSession, table: String, name: String,
+                     maxAttempts: Int = 5): Int = {
+    var attempt = 0
+    while (attempt < maxAttempts) {
+      attempt += 1
+      val head = currentVersion(spark, table)
+      require(head >= 1, s"no committed snapshot in $table")
+      val (files, schema, stats, partBy) = snapshotAll(spark, table, head)
+      val cons = checkConstraints(spark, table, head)
+      require(cons.contains(name), s"no constraint '$name' on $table")
+      if (currentVersion(spark, table) == head &&
+          tryPublish(spark, table, head, files, s"dropcheck-${b64(name)}",
+            schema, stats, partBy, Some(cons - name)))
+        return head + 1
+    }
+    throw new java.util.ConcurrentModificationException(
+      s"dropConstraint on $table lost $maxAttempts commit races")
+  }
+
   /** The newest committed version whose commit time is ≤ `asOfMillis`
     * (the Delta `TIMESTAMP AS OF` resolution rule). Walks versions
     * newest-first, so the common head-of-line probe reads ONE
@@ -791,7 +877,8 @@ object ManifestTable {
                          files: Seq[String], tag: String,
                          schema: Option[StructType] = None,
                          stats: Map[String, Map[String, (Double, Double)]] = Map.empty,
-                         partitionBy: Seq[String] = Nil)
+                         partitionBy: Seq[String] = Nil,
+                         constraints: Option[Map[String, String]] = None)
       : Boolean = {
     // schema rides base64-encoded (its JSON is full of quotes the
     // regex-grammar manifest must not see); stats are one file-entry
@@ -821,15 +908,28 @@ object ManifestTable {
     // timestamp-as-of resolution is total even for same-millisecond
     // commit bursts (the Delta in-commit-timestamp monotonicity rule);
     // one extra head-manifest read per publish, amortized by the write
+    val parentText = if (head == 0) "" else manifestText(spark, table, head)
     val parentMs =
-      if (head == 0) 0L
-      else commitMsFromText(manifestText(spark, table, head)).getOrElse(0L)
+      if (head == 0) 0L else commitMsFromText(parentText).getOrElse(0L)
     val commitMs = math.max(System.currentTimeMillis(), parentMs + 1)
+    // CHECK constraints are table metadata: every commit CARRIES the
+    // parent's set unless the caller explicitly replaces it
+    // (addConstraint/dropConstraint) — like the Delta metadata action,
+    // so a constraint added once binds every later writer with zero
+    // call-site cooperation. Names and exprs ride base64 (arbitrary
+    // SQL text must not meet the regex-grammar manifest).
+    val cons = constraints.getOrElse(
+      if (head == 0) Map.empty[String, String] else checksFromText(parentText))
+    val consLine =
+      if (cons.isEmpty) ""
+      else cons.toSeq.sortBy(_._1).map { case (n, e) =>
+        s""""${b64(n)}": "${b64(e)}""""
+      }.mkString("  \"checksB64\": {", ", ", "},\n")
     val body =
       s"""{
          |  "version": ${head + 1},
          |  "commitMs": $commitMs,
-         |$partitionLine$schemaLine$statsBlock  "files": [
+         |$consLine$partitionLine$schemaLine$statsBlock  "files": [
          |${files.map(p => s"    \"$p\"").mkString(",\n")}
          |  ]
          |}""".stripMargin
@@ -970,12 +1070,23 @@ object ManifestTable {
     val cols = (statsColumnsOf(
         snapshotStats(spark, table, currentVersion(spark, table))) ++
       statsColumns).distinct.sorted
+    // CHECK enforcement happens BEFORE any data is written (a refused
+    // batch leaves nothing to vacuum); a lost race re-validates iff
+    // the constraint set changed under us
+    var validatedCons =
+      checkConstraints(spark, table, currentVersion(spark, table))
+    requireSatisfied(df, validatedCons, s"a batch committed to $table")
     val (uuid, newFiles, newStats) = writeData(spark, table, df, cols, partBy)
     var committed = -1
     var attempt = 0
     while (committed < 0) {
       attempt += 1
       val head = currentVersion(spark, table)
+      val consNow = checkConstraints(spark, table, head)
+      if (consNow != validatedCons) {
+        requireSatisfied(df, consNow, s"a batch committed to $table")
+        validatedCons = consNow
+      }
       val base =
         if (mode == SaveMode.Append) snapshotFiles(spark, table, head) else Nil
       val schema =
@@ -1072,6 +1183,7 @@ object ManifestTable {
       recordSchema: Option[StructType], uuid: String,
       addedConflict: (Seq[String], Option[StructType],
         Map[String, Map[String, (Double, Double)]], Seq[String]) => Boolean,
+      baseConstraints: Map[String, String] = Map.empty,
       maxAttempts: Int = 5): Option[Int] = {
     val baseSet = baseRel.toSet
     var attempt = 0
@@ -1083,6 +1195,9 @@ object ManifestTable {
       val added = rel2.filterNot(baseSet)
       val structuralOk =
         partBy2 == basePartBy && schema2 == baseSchema &&
+          // a constraint added mid-derive means this post-image was
+          // never validated against it — re-derive does that
+          checkConstraints(spark, table, head2) == baseConstraints &&
           removed.forall(rel2Set)
       if (!structuralOk || addedConflict(added, schema2, stats2, partBy2))
         return None
@@ -1308,6 +1423,11 @@ object ManifestTable {
             a.unionByName(b, allowMissingColumns = mergeSchema)
           (u(u(kept, replaced), inserted), affected)
         }
+      // CHECK enforcement on the post-image before anything is written
+      // (kept rows re-validate too — they're bounded by churn, and a
+      // constraint added since their file was written must still hold)
+      val headCons = checkConstraints(spark, table, head)
+      requireSatisfied(merged, headCons, s"the MERGE post-image for $table")
       val (uuid, newFiles, newStats) =
         writeData(spark, table, merged, statsColumnsOf(headStats), partBy)
       val files = rel.filterNot(affected) ++ newFiles
@@ -1343,7 +1463,8 @@ object ManifestTable {
               .isEmpty
           }
           reconcilePublish(spark, table, rel, schema, partBy, affected,
-              newFiles, newStats, recordSchema, uuid, conflicts) match {
+              newFiles, newStats, recordSchema, uuid, conflicts,
+              headCons) match {
             case Some(v) => return v
             case None => // semantic conflict — discard the data, re-derive
               fs(spark, new Path(table)).delete(new Path(table, s"data/$uuid"), true)
@@ -1432,7 +1553,8 @@ object ManifestTable {
                 .filter(pred).isEmpty
           }
           reconcilePublish(spark, table, rel, schema, partBy, affected,
-              newFiles, newStats, recordSchema, uuid, conflicts) match {
+              newFiles, newStats, recordSchema, uuid, conflicts,
+              checkConstraints(spark, table, head)) match {
             case Some(v) => return v
             case None =>
               fs(spark, new Path(table)).delete(new Path(table, s"data/$uuid"), true)
@@ -1584,7 +1706,8 @@ object ManifestTable {
         // the compacted image holds stale rows → give up loudly.
         reconcilePublish(spark, table, rel0, schema0, partBy, rel0.toSet,
             files, newStats, recordSchema, uuid,
-            (_, _, _, _) => false) match {
+            (_, _, _, _) => false,
+            checkConstraints(spark, table, head)) match {
           case Some(v) => v
           case None =>
             fs(spark, new Path(table)).delete(new Path(table, s"data/$uuid"), true)
@@ -1593,6 +1716,51 @@ object ManifestTable {
         }
     }
   }
+
+  /** RESTORE the table to the image of `version`, as a NEW commit —
+    * rollback that PRESERVES history (the Delta RESTORE shape): the
+    * new head references the target version's files BY REFERENCE
+    * (zero rows move), together with its recorded schema, stats,
+    * sizes, and partition spec. Readers of intermediate versions are
+    * untouched, time travel still sees the pre-restore lineage, and
+    * [[expire]]'s reachability keeps the restored files live even
+    * after the target version's own manifest ages out. Like
+    * Overwrite, restore is declarative ("make the head this image"),
+    * so a lost race retries into the next slot — last-writer-wins is
+    * what it means. At 100 TB this is the incident-response move: an
+    * ingest bug poisons the head, restore flips back in O(manifest)
+    * time, the bad versions stay inspectable until expired. */
+  def restore(spark: SparkSession, table: String, version: Int,
+              maxAttempts: Int = 50): Int = {
+    require(version >= 1, "cannot restore to version 0 (pre-first-commit)")
+    val (files, schema, stats, partBy) = snapshotAll(spark, table, version)
+    require(files.nonEmpty, s"version $version of $table has no snapshot")
+    // restore is the whole table STATE: the target's constraint set
+    // comes back too (its data was validated under that set, not under
+    // whatever was added since)
+    val cons = checkConstraints(spark, table, version)
+    var attempt = 0
+    while (attempt < maxAttempts) {
+      attempt += 1
+      val head = currentVersion(spark, table)
+      if (tryPublish(spark, table, head, files, s"restore-$version",
+          schema, stats, partBy, Some(cons)))
+        return head + 1
+      if (currentVersion(spark, table) <= head)
+        throw new java.io.IOException(
+          s"manifest publish of $table v${head + 1} failed although no " +
+            "concurrent commit advanced the head — non-race failure " +
+            "(permissions or filesystem misbehavior), not retrying")
+    }
+    throw new java.util.ConcurrentModificationException(
+      s"restore on $table lost $maxAttempts publish races")
+  }
+
+  /** [[restore]] addressed by wall-clock instead of version number —
+    * "put the table back the way it was at 14:00". */
+  def restoreAsOf(spark: SparkSession, table: String, asOfMillis: Long,
+                  maxAttempts: Int = 50): Int =
+    restore(spark, table, versionAsOf(spark, table, asOfMillis), maxAttempts)
 
   /** Incremental bin-packing OPTIMIZE (the Delta OPTIMIZE bin model):
     * compacts only files smaller than `minFileBytes`, packing them
@@ -1669,7 +1837,8 @@ object ManifestTable {
             uuid, recordSchema, headStats ++ newStats, partBy)
           .orElse(reconcilePublish(spark, table, rel, schema, partBy, binSet,
             newFiles, newStats, recordSchema, uuid,
-            (_, _, _, _) => false)) match {
+            (_, _, _, _) => false,
+            checkConstraints(spark, table, head))) match {
           case Some(_) => committed += 1
           case None => // bin lost to a conflicting rewrite — drop it, move on
             fs(spark, new Path(table)).delete(new Path(table, s"data/$uuid"), true)
