@@ -221,9 +221,8 @@ object Stress {
         // concurrent merge in BOTH directions — no optimistic protocol
         // can serialize two continuous full-rewrite streams, and the
         // un-paced variant measurably starved the merger through 50
-        // straight re-derives. Frequent compaction belongs to the
-        // bin-level incremental OPTIMIZE, whose commits touch only
-        // small files (exercised in its own scenario below).
+        // straight re-derives. CONTINUOUS compaction belongs to the
+        // bin-level incremental OPTIMIZE — the zero-gap thread below.
         while (writersLive.get() > 0) {
           Thread.sleep(1200)
           compactAttempts.incrementAndGet()
@@ -235,8 +234,27 @@ object Stress {
           }
         }
       }
+      // Zero-gap incremental OPTIMIZE: compactSmall is the op that IS
+      // safe to run continuously beside ingest — each bin only removes
+      // sub-threshold files, conflicts skip the bin (no exception, no
+      // abort), and appends reconcile. The drill runs it flat-out the
+      // whole storm; its committed bins join the version accounting.
+      val binsDone = new AtomicInteger(0)
+      val smallOptimizer = new Thread(() => {
+        try {
+          while (writersLive.get() > 0) {
+            val n = ManifestTable.compactSmall(spark, t,
+              minFileBytes = 256L << 10, maxBinBytes = 64L << 20)
+            binsDone.addAndGet(n)
+            if (n == 0) Thread.sleep(100) // nothing small right now
+          }
+        } catch { case e: Throwable => failures.add(e) }
+      }, "small-optimizer")
+      smallOptimizer.start()
       appender.join(600_000); merger.join(600_000); compactor.join(600_000)
-      require(!appender.isAlive && !merger.isAlive && !compactor.isAlive,
+      smallOptimizer.join(600_000)
+      require(!appender.isAlive && !merger.isAlive && !compactor.isAlive &&
+          !smallOptimizer.isAlive,
         "maintenance drill: a thread failed to finish (liveness)")
       if (compactsDone.get() == 0) { // storm never left a free slot — quiesced retry
         compactAttempts.incrementAndGet()
@@ -249,7 +267,8 @@ object Stress {
         s"maintenance drill: ${failures.size} thread(s) died"
       })
       val vs = ManifestTable.versions(spark, t)
-      val ops = appendsDone.get() + mergesDone.get() + compactsDone.get()
+      val ops = appendsDone.get() + mergesDone.get() + compactsDone.get() +
+        binsDone.get()
       require(vs.size == 1 + ops,
         s"lost or phantom commits: ${vs.size} versions for 1 seed + $ops ops")
       // every committed version stays readable, and no version ever
@@ -270,7 +289,7 @@ object Stress {
       println(f"[stress rep=$rep] maintenance_drill $sec%8.2f s  " +
         s"versions=${vs.size} appends=${appendsDone.get()} merges=${mergesDone.get()} " +
         s"compacts=${compactsDone.get()}/${compactAttempts.get()} attempts " +
-        s"head_rows=${counts.last}")
+        s"small_bins=${binsDone.get()} head_rows=${counts.last}")
     }
 
     // r9: incremental small-file OPTIMIZE — the claim is work =
