@@ -1111,6 +1111,61 @@ object LakehouseQueries {
              |GROUP BY 1 ORDER BY bucket NULLS FIRST""".stripMargin)
     ),
 
+    // C37: DESCRIBE HISTORY, judged — the audit-trail UX every
+    // lakehouse operator lives in. Each publish records its operation
+    // kind in the manifest; `history()` assembles version/op/clock/
+    // file/byte/churn rows ENTIRELY from manifests — O(versions)
+    // driver-side, zero data touched at any table size. The query runs
+    // the full 8-op lifecycle (overwrite → append → merge → delete →
+    // compact → restore → add-constraint → drop-constraint) and emits
+    // the op sequence; the scratch table is session-reused, so the
+    // judged output takes the LAST 8 versions renumbered 1..8 — every
+    // rerun appends the identical suffix. The oracle is the literal
+    // expected sequence: any mislabeled, missing, or phantom commit
+    // moves the hash.
+    Entry(
+      "c37_history",
+      (s, d) => {
+        import org.apache.spark.sql.SaveMode
+        val t = scratchDir("c37", d)
+        val M = graft.sources.ManifestTable
+        val cust = Tables.customer(s, d)
+          .select(col("c_custkey"), col("c_name"), col("c_acctbal"))
+        val mx = cust.agg(max(col("c_custkey"))).first().getLong(0)
+        // session-reused scratch: clear any constraint a prior aborted
+        // run left behind BEFORE the lifecycle's first version lands,
+        // so the judged suffix stays contiguous
+        if (M.currentVersion(s, t) >= 1)
+          M.checkConstraints(s, t).keys.foreach(n => M.dropConstraint(s, t, n))
+        M.commit(s, t, cust.filter(col("c_custkey") <= mx / 2)
+            .repartitionByRange(2, col("c_custkey")),
+          SaveMode.Overwrite, statsColumns = Seq("c_custkey"))
+        val tail0 = M.currentVersion(s, t) // overwrite lands the suffix's row 1
+        M.commit(s, t,
+          cust.filter(col("c_custkey") > mx / 2 && col("c_custkey") <= mx * 6 / 10)
+            .coalesce(1))
+        M.upsert(s, t,
+          cust.filter(col("c_custkey") <= mx / 10)
+            .withColumn("c_acctbal", col("c_acctbal") + 1), Seq("c_custkey"))
+        M.deleteWhere(s, t,
+          col("c_custkey") > mx * 4 / 10 && col("c_custkey") <= mx / 2)
+        M.compact(s, t, targetFiles = 2)
+        M.restore(s, t, tail0)
+        M.addConstraint(s, t, "key_nonneg", "c_custkey >= 0")
+        M.dropConstraint(s, t, "key_nonneg")
+        val h = M.history(s, t).filter(col("version") >= tail0)
+        require(h.count() == 8, "the lifecycle must land exactly 8 versions")
+        h.select((col("version") - lit(tail0) + 1).cast("long").as("seq"),
+            col("op"))
+          .orderBy("seq")
+      },
+      Some("""SELECT CAST(seq AS BIGINT) AS seq, op FROM (VALUES
+             |  (1, 'overwrite'), (2, 'append'), (3, 'merge'),
+             |  (4, 'delete'), (5, 'compact'), (6, 'restore'),
+             |  (7, 'add-constraint'), (8, 'drop-constraint')) AS t(seq, op)
+             |ORDER BY seq""".stripMargin)
+    ),
+
     // C29: the OPTIMIZE-ZORDER lifecycle, judged end to end — ingest
     // (unclustered commit), `compact(sortBy = zkey16(part, supp),
     // statsColumns = part, supp)` (one conditional commit: z-sorted

@@ -243,6 +243,48 @@ object ManifestTable {
   private def commitMsFromText(text: String): Option[Long] =
     "\"commitMs\"\\s*:\\s*(\\d+)".r.findFirstMatchIn(text).map(_.group(1).toLong)
 
+  /** The operation that produced `version` — append / overwrite /
+    * merge / delete / compact / compact-small / restore /
+    * add-constraint / drop-constraint — recorded at publish. None for
+    * legacy manifests written before op tracking. */
+  def commitOp(spark: SparkSession, table: String,
+               version: Int = -1): Option[String] = {
+    val v = if (version < 0) currentVersion(spark, table) else version
+    if (v == 0) None else opFromText(manifestText(spark, table, v))
+  }
+
+  private def opFromText(text: String): Option[String] =
+    "\"op\"\\s*:\\s*\"([a-z-]+)\"".r.findFirstMatchIn(text).map(_.group(1))
+
+  /** DESCRIBE HISTORY: one row per surviving version — version, op,
+    * commit wall-clock, file/byte totals, and the files added/removed
+    * vs the parent. Entirely manifest-derived: O(versions) driver-side
+    * manifest reads, zero data touched, at any table size. Expired
+    * versions are simply absent (their row count starts where
+    * retention left off). */
+  def history(spark: SparkSession, table: String): DataFrame = {
+    import spark.implicits._
+    val vs = versions(spark, table) // contiguous: expiry drops a prefix
+    var prev = Set.empty[String]
+    val rows = vs.zipWithIndex.map { case (v, i) =>
+      val text = manifestText(spark, table, v)
+      val fileSet = filesFromText(text, table, v).toSet
+      val bytes = statsFromText(text).valuesIterator
+        .flatMap(_.get(SizeKey)).map(_._1.toLong).sum
+      // added/removed diff against the parent snapshot — unknowable
+      // only for the oldest surviving version when its parent expired
+      val known = v == 1 || i > 0
+      val added = if (known) Some((fileSet -- prev).size.toLong) else None
+      val removed = if (known) Some((prev -- fileSet).size.toLong) else None
+      prev = fileSet
+      (v, opFromText(text).getOrElse("unknown"),
+        commitMsFromText(text).getOrElse(0L),
+        fileSet.size, bytes, added, removed)
+    }
+    rows.toDF("version", "op", "commit_ms", "n_files", "n_bytes",
+      "n_added", "n_removed")
+  }
+
   private def b64(s: String): String =
     java.util.Base64.getEncoder.encodeToString(s.getBytes("UTF-8"))
   private def unb64(s: String): String =
@@ -301,7 +343,8 @@ object ManifestTable {
         Map(name -> exprSql), s"existing rows of $table")
       if (currentVersion(spark, table) == head &&
           tryPublish(spark, table, head, files, s"addcheck-${b64(name)}",
-            schema, stats, partBy, Some(cons + (name -> exprSql))))
+            schema, stats, partBy, Some(cons + (name -> exprSql)),
+            op = "add-constraint"))
         return head + 1
     }
     throw new java.util.ConcurrentModificationException(
@@ -322,7 +365,8 @@ object ManifestTable {
       require(cons.contains(name), s"no constraint '$name' on $table")
       if (currentVersion(spark, table) == head &&
           tryPublish(spark, table, head, files, s"dropcheck-${b64(name)}",
-            schema, stats, partBy, Some(cons - name)))
+            schema, stats, partBy, Some(cons - name),
+            op = "drop-constraint"))
         return head + 1
     }
     throw new java.util.ConcurrentModificationException(
@@ -878,7 +922,8 @@ object ManifestTable {
                          schema: Option[StructType] = None,
                          stats: Map[String, Map[String, (Double, Double)]] = Map.empty,
                          partitionBy: Seq[String] = Nil,
-                         constraints: Option[Map[String, String]] = None)
+                         constraints: Option[Map[String, String]] = None,
+                         op: String = "write")
       : Boolean = {
     // schema rides base64-encoded (its JSON is full of quotes the
     // regex-grammar manifest must not see); stats are one file-entry
@@ -925,9 +970,12 @@ object ManifestTable {
       else cons.toSeq.sortBy(_._1).map { case (n, e) =>
         s""""${b64(n)}": "${b64(e)}""""
       }.mkString("  \"checksB64\": {", ", ", "},\n")
+    require(op.matches("[a-z][a-z-]*"),
+      s"op '$op' is not a manifest-safe identifier")
     val body =
       s"""{
          |  "version": ${head + 1},
+         |  "op": "$op",
          |  "commitMs": $commitMs,
          |$consLine$partitionLine$schemaLine$statsBlock  "files": [
          |${files.map(p => s"    \"$p\"").mkString(",\n")}
@@ -1095,7 +1143,8 @@ object ManifestTable {
       val carried: Map[String, Map[String, (Double, Double)]] =
         if (mode == SaveMode.Append) snapshotStats(spark, table, head) else Map.empty
       if (tryPublish(spark, table, head, base ++ newFiles, uuid,
-          Some(schema), carried ++ newStats, partBy))
+          Some(schema), carried ++ newStats, partBy,
+          op = if (mode == SaveMode.Append) "append" else "overwrite"))
         committed = head + 1
       else {
         // A lost race means another writer occupied slot head+1, so the
@@ -1136,11 +1185,12 @@ object ManifestTable {
                            tag: String,
                            schema: Option[StructType] = None,
                            stats: Map[String, Map[String, (Double, Double)]] = Map.empty,
-                           partitionBy: Seq[String] = Nil)
+                           partitionBy: Seq[String] = Nil,
+                           op: String = "write")
       : Option[Int] =
     if (currentVersion(spark, table) != expectedHead) None
     else if (tryPublish(spark, table, expectedHead, files, tag, schema, stats,
-        partitionBy))
+        partitionBy, op = op))
       Some(expectedHead + 1)
     else None
 
@@ -1184,6 +1234,7 @@ object ManifestTable {
       addedConflict: (Seq[String], Option[StructType],
         Map[String, Map[String, (Double, Double)]], Seq[String]) => Boolean,
       baseConstraints: Map[String, String] = Map.empty,
+      op: String = "write",
       maxAttempts: Int = 5): Option[Int] = {
     val baseSet = baseRel.toSet
     var attempt = 0
@@ -1202,7 +1253,7 @@ object ManifestTable {
       if (!structuralOk || addedConflict(added, schema2, stats2, partBy2))
         return None
       commitIfHead(spark, table, rel2.filterNot(removed) ++ newFiles, head2,
-          uuid, recordSchema, stats2 ++ newStats, partBy2) match {
+          uuid, recordSchema, stats2 ++ newStats, partBy2, op) match {
         case Some(v) => return Some(v)
         case None => // head moved while reconciling — re-check against it
       }
@@ -1441,7 +1492,7 @@ object ManifestTable {
         else schema.orElse(Some(recordedSchema(merged.schema, partBy)))
       beforeConditionalCommit()
       commitIfHead(spark, table, files, head, uuid, recordSchema,
-          headStats ++ newStats, partBy) match {
+          headStats ++ newStats, partBy, "merge") match {
         case Some(v) => return v
         case None =>
           // Lost the race. Before discarding the derivation, try to
@@ -1464,7 +1515,7 @@ object ManifestTable {
           }
           reconcilePublish(spark, table, rel, schema, partBy, affected,
               newFiles, newStats, recordSchema, uuid, conflicts,
-              headCons) match {
+              headCons, "merge") match {
             case Some(v) => return v
             case None => // semantic conflict — discard the data, re-derive
               fs(spark, new Path(table)).delete(new Path(table, s"data/$uuid"), true)
@@ -1534,7 +1585,7 @@ object ManifestTable {
         schema.orElse(Some(recordedSchema(survivorsOfAffected.schema, partBy)))
       beforeConditionalCommit()
       commitIfHead(spark, table, files, head, uuid, recordSchema,
-          headStats ++ newStats, partBy) match {
+          headStats ++ newStats, partBy, "delete") match {
         case Some(v) => return v
         case None =>
           // Lost the race — reconcile unless an interloper rewrote a
@@ -1554,7 +1605,7 @@ object ManifestTable {
           }
           reconcilePublish(spark, table, rel, schema, partBy, affected,
               newFiles, newStats, recordSchema, uuid, conflicts,
-              checkConstraints(spark, table, head)) match {
+              checkConstraints(spark, table, head), "delete") match {
             case Some(v) => return v
             case None =>
               fs(spark, new Path(table)).delete(new Path(table, s"data/$uuid"), true)
@@ -1693,7 +1744,7 @@ object ManifestTable {
     val recordSchema = schema0.orElse(Some(recordedSchema(df.schema, partBy)))
     beforeConditionalCommit()
     commitIfHead(spark, table, files, head, uuid, recordSchema,
-        newStats, partBy) match {
+        newStats, partBy, "compact") match {
       case Some(v) => v
       case None =>
         // Lost the race. OPTIMIZE removes every base file, so the only
@@ -1707,7 +1758,7 @@ object ManifestTable {
         reconcilePublish(spark, table, rel0, schema0, partBy, rel0.toSet,
             files, newStats, recordSchema, uuid,
             (_, _, _, _) => false,
-            checkConstraints(spark, table, head)) match {
+            checkConstraints(spark, table, head), "compact") match {
           case Some(v) => v
           case None =>
             fs(spark, new Path(table)).delete(new Path(table, s"data/$uuid"), true)
@@ -1744,7 +1795,7 @@ object ManifestTable {
       attempt += 1
       val head = currentVersion(spark, table)
       if (tryPublish(spark, table, head, files, s"restore-$version",
-          schema, stats, partBy, Some(cons)))
+          schema, stats, partBy, Some(cons), op = "restore"))
         return head + 1
       if (currentVersion(spark, table) <= head)
         throw new java.io.IOException(
@@ -1834,11 +1885,11 @@ object ManifestTable {
         val binSet = binFiles.toSet
         beforeConditionalCommit()
         commitIfHead(spark, table, rel.filterNot(binSet) ++ newFiles, head,
-            uuid, recordSchema, headStats ++ newStats, partBy)
+            uuid, recordSchema, headStats ++ newStats, partBy, "compact-small")
           .orElse(reconcilePublish(spark, table, rel, schema, partBy, binSet,
             newFiles, newStats, recordSchema, uuid,
             (_, _, _, _) => false,
-            checkConstraints(spark, table, head))) match {
+            checkConstraints(spark, table, head), "compact-small")) match {
           case Some(_) => committed += 1
           case None => // bin lost to a conflicting rewrite — drop it, move on
             fs(spark, new Path(table)).delete(new Path(table, s"data/$uuid"), true)

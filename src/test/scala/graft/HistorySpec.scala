@@ -1,0 +1,66 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import graft.sources.ManifestTable
+
+/** DESCRIBE HISTORY (sources/ManifestTable.scala history/commitOp):
+  * every publish records its operation kind; history() derives the
+  * audit trail — version, op, commit clock, file/byte totals, churn —
+  * entirely from manifests, never touching data. */
+class HistorySpec extends AnyFunSuite with SparkFixture {
+
+  private def freshTable(): String =
+    java.nio.file.Files.createTempDirectory("graft_history").toString
+
+  private def df(rows: (Long, String)*): DataFrame = {
+    import spark.implicits._
+    rows.toSeq.toDF("id", "v")
+  }
+
+  test("every writer path records its op; history rows carry clock, files, bytes, churn") {
+    val t = freshTable()
+    ManifestTable.commit(spark, t, df(1L -> "a", 2L -> "b"))
+    ManifestTable.commit(spark, t, df(3L -> "c"))
+    ManifestTable.upsert(spark, t, df(1L -> "A"), Seq("id"))
+    ManifestTable.deleteWhere(spark, t, col("id") === 3L)
+    ManifestTable.compact(spark, t, targetFiles = 1)
+    ManifestTable.restore(spark, t, 2)
+    ManifestTable.addConstraint(spark, t, "id_pos", "id > 0")
+    ManifestTable.dropConstraint(spark, t, "id_pos")
+    val h = ManifestTable.history(spark, t).orderBy("version").collect()
+    assert(h.map(_.getAs[String]("op")).toSeq === Seq(
+      "append", "append", "merge", "delete", "compact", "restore",
+      "add-constraint", "drop-constraint"))
+    // clocks strictly increase along the line
+    val clocks = h.map(_.getAs[Long]("commit_ms")).toSeq
+    assert(clocks === clocks.sorted && clocks.distinct === clocks)
+    // v1: everything is an add
+    assert(h(0).getAs[Long]("n_added") === h(0).getAs[Int]("n_files").toLong)
+    assert(h(0).getAs[Long]("n_removed") === 0L)
+    // append adds without removing
+    assert(h(1).getAs[Long]("n_removed") === 0L)
+    // restore(2): back to v2's file census
+    assert(h(5).getAs[Int]("n_files") === h(1).getAs[Int]("n_files"))
+    // metadata-only commits move no files
+    assert(h(6).getAs[Long]("n_added") === 0L && h(6).getAs[Long]("n_removed") === 0L)
+    // bytes agree with the recorded sizes
+    assert(h.last.getAs[Long]("n_bytes") ===
+      ManifestTable.snapshotSizes(spark, t).values.sum)
+    assert(ManifestTable.commitOp(spark, t, 3) === Some("merge"))
+  }
+
+  test("after retention, the oldest surviving version has unknowable churn (null), not lies") {
+    val t = freshTable()
+    ManifestTable.commit(spark, t, df(1L -> "a"))
+    ManifestTable.commit(spark, t, df(2L -> "b"))
+    ManifestTable.commit(spark, t, df(3L -> "c"))
+    ManifestTable.expire(spark, t, keepLast = 2)
+    val h = ManifestTable.history(spark, t).orderBy("version").collect()
+    assert(h.map(_.getAs[Int]("version")).toSeq === Seq(2, 3))
+    assert(h(0).isNullAt(h(0).fieldIndex("n_added")),
+      "v2's parent expired — its churn is unknowable")
+    assert(h(1).getAs[Long]("n_added") === 1L, "v3 diffs against surviving v2")
+  }
+}
