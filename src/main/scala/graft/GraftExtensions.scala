@@ -1,9 +1,11 @@
 package graft
 
-import org.apache.spark.sql.SparkSessionExtensions
+import org.apache.spark.sql.{SparkSession, SparkSessionExtensions}
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
-import org.apache.spark.sql.types.IntegerType
+import org.apache.spark.sql.catalyst.plans.logical.LogicalPlan
+import org.apache.spark.sql.types.{IntegerType, LongType, StringType}
+import org.apache.spark.unsafe.types.UTF8String
 import graft.functions.{DotProduct, MaxSimScore, MinHashSignature, ShingleMinHash}
 
 /** SparkSessionExtensions entry point: exposes graft's custom Catalyst
@@ -17,8 +19,11 @@ import graft.functions.{DotProduct, MaxSimScore, MinHashSignature, ShingleMinHas
   *
   * can run `SELECT dot_product(embedding, embedding) FROM ...` — the
   * same codegen'd expression the DataFrame API gets via
-  * `VectorOps.dot`. This is the sanctioned extension mechanism (no
-  * internal registry poking); injectFunction handles resolution,
+  * `VectorOps.dot` — and query manifest tables straight from SQL:
+  * `SELECT * FROM graft_table('/path', 3)`, `graft_table_at(path,
+  * epoch_ms)`, `graft_history(path)`, `graft_changes(path, since)`.
+  * This is the sanctioned extension mechanism (no internal registry
+  * poking); injectFunction/injectTableFunction handle resolution,
   * Scaladoc-style help, and session isolation.
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
@@ -51,6 +56,60 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         require(children.length == 3, "shingle_minhash(tokens_array, n, k)")
         ShingleMinHash(children.head, intArg(children(1), "n"), intArg(children(2), "k"))
       }))
+
+    // ---- lakehouse table-valued functions --------------------------
+    // The manifest table's SQL face (the sanctioned injectTableFunction
+    // extension point, Spark 3.5+): a FROM-position call resolves to
+    // the SAME analyzed plan the DataFrame API builds, so pruning,
+    // recorded-schema reads and time travel behave identically.
+    //   SELECT * FROM graft_table('/path')               -- head
+    //   SELECT * FROM graft_table('/path', 3)            -- version 3
+    //   SELECT * FROM graft_table_at('/path', <epochMs>) -- as of time
+    //   SELECT * FROM graft_history('/path')             -- audit trail
+    //   SELECT * FROM graft_changes('/path', 2)          -- CDF since v2
+    def tvf(name: String)(build: Seq[Expression] => LogicalPlan): Unit =
+      ext.injectTableFunction((
+        new FunctionIdentifier(name),
+        new ExpressionInfo(graft.sources.ManifestTable.getClass.getName, null, name),
+        build))
+    tvf("graft_table") { children =>
+      require(children.nonEmpty && children.length <= 2,
+        "graft_table(path[, version])")
+      val path = strArg(children.head, "path")
+      val v = children.drop(1).headOption.map(intArg(_, "version")).getOrElse(-1)
+      graft.sources.ManifestTable.read(SparkSession.active, path, v)
+        .queryExecution.analyzed
+    }
+    tvf("graft_table_at") { children =>
+      require(children.length == 2, "graft_table_at(path, epoch_ms)")
+      graft.sources.ManifestTable.readAsOf(SparkSession.active,
+          strArg(children.head, "path"), longArg(children(1), "epoch_ms"))
+        .queryExecution.analyzed
+    }
+    tvf("graft_history") { children =>
+      require(children.length == 1, "graft_history(path)")
+      graft.sources.ManifestTable.history(SparkSession.active,
+        strArg(children.head, "path")).queryExecution.analyzed
+    }
+    tvf("graft_changes") { children =>
+      require(children.length == 2, "graft_changes(path, since_version)")
+      graft.sources.ManifestTable.changes(SparkSession.active,
+          strArg(children.head, "path"), intArg(children(1), "since_version"))
+        .queryExecution.analyzed
+    }
+  }
+
+  private def strArg(e: Expression, name: String): String = e match {
+    case Literal(v: UTF8String, StringType) => v.toString
+    case _ => throw new IllegalArgumentException(
+      s"$name must be a string literal, got $e")
+  }
+
+  private def longArg(e: Expression, name: String): Long = e match {
+    case Literal(v: Long, LongType) => v
+    case Literal(v: Int, IntegerType) => v.toLong
+    case _ => throw new IllegalArgumentException(
+      s"$name must be an integer literal, got $e")
   }
 
   /** The n/k parameters shape the output schema, so SQL callers must

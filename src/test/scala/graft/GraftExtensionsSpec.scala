@@ -68,4 +68,61 @@ class GraftExtensionsSpec extends AnyFunSuite with SparkFixture {
       prevDefault.foreach(SparkSession.setDefaultSession)
     }
   }
+
+  test("lakehouse table-valued functions: graft_table / _at / history / changes from SQL") {
+    spark.range(1).count()
+    val prevDefault = SparkSession.getDefaultSession
+    SparkSession.clearDefaultSession()
+    SparkSession.clearActiveSession()
+    try {
+      val ext = SparkSession.builder()
+        .master("local[4]")
+        .config("spark.ui.enabled", "false")
+        .withExtensions(new GraftExtensions)
+        .getOrCreate()
+      import ext.implicits._
+      import graft.sources.{ManifestTable => M}
+      val t = java.nio.file.Files.createTempDirectory("graft_tvf").toString
+      M.commit(ext, t, Seq((1L, "a"), (2L, "b")).toDF("id", "v"))
+      val tsBase = M.commitTimeMs(ext, t).get
+      M.upsert(ext, t, Seq((1L, "A"), (3L, "c")).toDF("id", "v"), Seq("id"))
+      // head read, in FROM position, through the same analyzed plan
+      val head = ext.sql(
+        s"SELECT id, v FROM graft_table('$t') ORDER BY id")
+        .collect().map(r => (r.getLong(0), r.getString(1)))
+      assert(head.toSeq === Seq((1L, "A"), (2L, "b"), (3L, "c")))
+      // version + timestamp time travel
+      val v1 = ext.sql(
+        s"SELECT id, v FROM graft_table('$t', 1) ORDER BY id")
+        .collect().map(r => (r.getLong(0), r.getString(1)))
+      assert(v1.toSeq === Seq((1L, "a"), (2L, "b")))
+      val at = ext.sql(
+        s"SELECT count(*) AS n FROM graft_table_at('$t', ${tsBase}L)")
+        .collect().head.getLong(0)
+      assert(at === 2L)
+      // the audit trail and the change feed, joinable like any table
+      val ops = ext.sql(
+        s"SELECT op FROM graft_history('$t') ORDER BY version")
+        .collect().map(_.getString(0))
+      assert(ops.toSeq === Seq("append", "merge"))
+      val changed = ext.sql(
+        s"SELECT count(*) AS n FROM graft_changes('$t', 1)")
+        .collect().head.getLong(0)
+      assert(changed >= 2L, "the merge's churned rows flow through the CDF TVF")
+      // TVFs compose with the rest of SQL: aggregate over a time-travel read
+      val joined = ext.sql(
+        s"""SELECT h.op, count(*) AS rows_at_head
+           |FROM graft_table('$t') c CROSS JOIN graft_history('$t') h
+           |WHERE h.version = 2 GROUP BY h.op""".stripMargin)
+        .collect().head
+      assert(joined.getString(0) === "merge" && joined.getLong(1) === 3L)
+      // a non-literal path must be rejected, loudly
+      intercept[Exception] {
+        ext.sql("SELECT * FROM graft_table(concat('/no/', 'pe'))").collect()
+      }
+    } finally {
+      SparkSession.clearActiveSession()
+      prevDefault.foreach(SparkSession.setDefaultSession)
+    }
+  }
 }
