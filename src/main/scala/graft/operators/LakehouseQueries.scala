@@ -1166,6 +1166,60 @@ object LakehouseQueries {
              |ORDER BY seq""".stripMargin)
     ),
 
+    // C38: LAZY DELETE (merge-on-read tombstones), judged — DELETE as
+    // a metadata-only commit, the shape a 100 TB GDPR/retention
+    // pipeline needs (copy-on-write DELETE rewrites files immediately;
+    // lazy records the predicate + its stats-pruned target files in
+    // O(manifest) and lets reads filter until a background
+    // materialize). The requires pin the contract: the lazy commit
+    // moves ZERO data files, its tombstone targets only the files
+    // whose recorded key ranges intersect the predicate, and the later
+    // materializeDeletes rewrites EXACTLY the targeted files (others
+    // carry by reference) and clears the set. The hash proves the
+    // delete semantics end to end — reads after the lazy commit and
+    // after materialization agree with the oracle's NOT-predicate.
+    Entry(
+      "c38_lazy_delete",
+      (s, d) => {
+        import org.apache.spark.sql.SaveMode
+        val t = scratchDir("c38", d)
+        val M = graft.sources.ManifestTable
+        val ord = Tables.orders(s, d)
+          .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"))
+        val mx = ord.agg(max(col("o_orderkey"))).first().getLong(0)
+        M.commit(s, t, ord.filter(col("o_orderkey") <= mx / 2)
+            .repartitionByRange(4, col("o_orderkey")),
+          SaveMode.Overwrite, statsColumns = Seq("o_orderkey"))
+        val before = M.snapshotFiles(s, t)
+        M.deleteWhereLazy(s, t,
+          col("o_orderkey") > mx / 10 && col("o_orderkey") <= mx / 5)
+        require(M.snapshotFiles(s, t) == before,
+          "a lazy delete must move zero data files")
+        val targets = M.deleteTombstones(s, t).flatMap(_._2).toSet
+        require(targets.nonEmpty && targets.size < before.size,
+          s"targets must be stats-pruned: ${targets.size} of ${before.size}")
+        val lazyCount = M.read(s, t).count()
+        M.materializeDeletes(s, t)
+        val after = M.snapshotFiles(s, t)
+        require(before.toSet -- after.toSet == targets,
+          "materialize must rewrite exactly the targeted files")
+        require(M.deleteTombstones(s, t).isEmpty, "tombstones must clear")
+        require(M.read(s, t).count() == lazyCount,
+          "materialization must not change read-visible state")
+        M.read(s, t)
+          .groupBy((col("o_orderkey") % 10).as("bucket"))
+          .agg(count(lit(1)).as("cnt"), dsum(col("o_totalprice")).as("sum_price"))
+          .orderBy("bucket")
+      },
+      Some(s"""WITH m AS (SELECT max(o_orderkey) AS mx FROM orders)
+             |SELECT o_orderkey % 10 AS bucket, count(*) AS cnt,
+             |  ${dsumSql("o_totalprice")} AS sum_price
+             |FROM orders, m
+             |WHERE o_orderkey <= mx//2
+             |  AND NOT (o_orderkey > mx//10 AND o_orderkey <= mx//5)
+             |GROUP BY 1 ORDER BY bucket NULLS FIRST""".stripMargin)
+    ),
+
     // C29: the OPTIMIZE-ZORDER lifecycle, judged end to end — ingest
     // (unclustered commit), `compact(sortBy = zkey16(part, supp),
     // statsColumns = part, supp)` (one conditional commit: z-sorted

@@ -306,6 +306,34 @@ object ManifestTable {
         .map(e => unb64(e.group(1)) -> unb64(e.group(2))).toMap)
       .getOrElse(Map.empty)
 
+  /** Pending lazy-delete tombstones of `version` — `(predicate SQL,
+    * targeted files)`. A tombstone hides rows matching its predicate
+    * in exactly its TARGET files (the stats-pruned candidates at
+    * delete time): rows appended later are untouched even when they
+    * match, which is what makes the lazy delete equal to the eager
+    * one it defers ([[deleteWhereLazy]]). */
+  def deleteTombstones(spark: SparkSession, table: String,
+                       version: Int = -1): Seq[(String, Seq[String])] = {
+    val v = if (version < 0) currentVersion(spark, table) else version
+    if (v == 0) Nil else tombstonesFromText(manifestText(spark, table, v))
+  }
+
+  private def tombstonesFromText(text: String): Seq[(String, Seq[String])] = {
+    val start = text.indexOf("\"tombstonesB64\"")
+    if (start < 0) Nil
+    else {
+      // entries are `"b64pred": ["data/...", ...]`; the block holds no
+      // braces, so it ends at the first `}` past the key
+      val end = text.indexOf('}', start)
+      val block = text.substring(start, if (end < 0) text.length else end)
+      "\"([A-Za-z0-9+/=]+)\"\\s*:\\s*\\[([^\\]]*)\\]".r
+        .findAllMatchIn(block).map { m =>
+          unb64(m.group(1)) ->
+            "\"([^\"]+)\"".r.findAllMatchIn(m.group(2)).map(_.group(1)).toSeq
+        }.toSeq
+    }
+  }
+
   /** SQL CHECK semantics: a row violates only when the expression is
     * FALSE — NULL passes (the standard's unknown-is-ok rule). One
     * short-circuiting job per constraint, run BEFORE any data is
@@ -401,9 +429,11 @@ object ManifestTable {
     * through any session/default-FS combination that can reach the
     * root URI. */
   def read(spark: SparkSession, table: String, version: Int = -1): DataFrame = {
-    val (files, schema, _, partBy) = snapshotAll(spark, table, version)
+    val v = if (version < 0) currentVersion(spark, table) else version
+    val (files, schema, _, partBy) = snapshotAll(spark, table, v)
     require(files.nonEmpty, s"no committed snapshot in $table")
-    readFiles(spark, table, files, schema, partBy)
+    readLive(spark, table, files, schema, partBy,
+      deleteTombstones(spark, table, v))
   }
 
   private def readFiles(spark: SparkSession, table: String,
@@ -453,6 +483,35 @@ object ManifestTable {
     }
   }
 
+  /** [[readFiles]] with pending lazy-delete tombstones applied:
+    * targeted files read through a codegen'd NOT-predicate filter,
+    * untargeted files read plain — grouped by applying-tombstone set,
+    * so the plan is a union of a few scans, never per-file. With
+    * `tagFile = true` each scan carries `__f` (the manifest-relative
+    * path) — writers need it, and it must be derived per-scan because
+    * `_metadata` does not survive a union. */
+  private def readLive(spark: SparkSession, table: String,
+                       files: Seq[String], schema: Option[StructType],
+                       partitionBy: Seq[String],
+                       tombs: Seq[(String, Seq[String])],
+                       tagFile: Boolean = false): DataFrame = {
+    import org.apache.spark.sql.functions.{coalesce, expr, lit, not}
+    def scan(fs: Seq[String]): DataFrame = {
+      val base = readFiles(spark, table, fs, schema, partitionBy)
+      if (tagFile) base.withColumn("__f", relFileCol) else base
+    }
+    val live = tombs.map { case (p, ts) => (p, ts.toSet) }
+    if (live.isEmpty || files.isEmpty) scan(files)
+    else {
+      val groups = files.groupBy(f =>
+        live.collect { case (p, ts) if ts.contains(f) => p })
+      groups.toSeq.sortBy(_._2.head).map { case (preds, fs) =>
+        preds.foldLeft(scan(fs))((d, p) =>
+          d.filter(not(coalesce(expr(p), lit(false)))))
+      }.reduce(_.unionByName(_))
+    }
+  }
+
   /** Read `version` scanning ONLY the files whose recorded per-file
     * (min, max) stats intersect EVERY given `col -> (lo, hi)` range —
     * the manifest-level data-skipping a filtered read of a 100 TB table
@@ -468,11 +527,13 @@ object ManifestTable {
   def readRange(spark: SparkSession, table: String,
                 ranges: Seq[(String, Double, Double)],
                 version: Int = -1): DataFrame = {
-    val (files, schema, stats, partBy) = snapshotAll(spark, table, version)
+    val v = if (version < 0) currentVersion(spark, table) else version
+    val (files, schema, stats, partBy) = snapshotAll(spark, table, v)
     require(files.nonEmpty, s"no committed snapshot in $table")
     val kept = pruneWith(files, stats, ranges)
     if (kept.isEmpty) readFiles(spark, table, files, schema, partBy).limit(0)
-    else readFiles(spark, table, kept, schema, partBy)
+    else readLive(spark, table, kept, schema, partBy,
+      deleteTombstones(spark, table, v))
   }
 
   /** Filtered read with AUTOMATIC data skipping (the Delta shape —
@@ -488,13 +549,15 @@ object ManifestTable {
     * contributes an unconstrained branch and prunes nothing). */
   def readWhere(spark: SparkSession, table: String, pred: Column,
                 version: Int = -1): DataFrame = {
-    val (files, schema, stats, partBy) = snapshotAll(spark, table, version)
+    val v = if (version < 0) currentVersion(spark, table) else version
+    val (files, schema, stats, partBy) = snapshotAll(spark, table, v)
     require(files.nonEmpty, s"no committed snapshot in $table")
     val dnf = predicateDnfWith(spark, table, pred, files, schema)
     val kept = pruneDnf(files, stats, dnf)
     val base =
       if (kept.isEmpty) readFiles(spark, table, files, schema, partBy).limit(0)
-      else readFiles(spark, table, kept, schema, partBy)
+      else readLive(spark, table, kept, schema, partBy,
+        deleteTombstones(spark, table, v))
     base.filter(pred)
   }
 
@@ -923,7 +986,8 @@ object ManifestTable {
                          stats: Map[String, Map[String, (Double, Double)]] = Map.empty,
                          partitionBy: Seq[String] = Nil,
                          constraints: Option[Map[String, String]] = None,
-                         op: String = "write")
+                         op: String = "write",
+                         tombstones: Option[Seq[(String, Seq[String])]] = None)
       : Boolean = {
     // schema rides base64-encoded (its JSON is full of quotes the
     // regex-grammar manifest must not see); stats are one file-entry
@@ -970,6 +1034,22 @@ object ManifestTable {
       else cons.toSeq.sortBy(_._1).map { case (n, e) =>
         s""""${b64(n)}": "${b64(e)}""""
       }.mkString("  \"checksB64\": {", ", ", "},\n")
+    // Lazy-delete tombstones (pred SQL b64 → targeted files): carried
+    // like constraints unless explicitly replaced, with each entry's
+    // target list pruned to files still in THIS snapshot — a rewrite
+    // of a targeted file applied the tombstone during its derive, so
+    // the shrinking list is self-cleaning; an empty list drops the
+    // entry (fully materialized).
+    val tombs0 = tombstones.getOrElse(
+      if (head == 0) Nil else tombstonesFromText(parentText))
+    val tombs = tombs0
+      .map { case (p, ts) => (p, ts.filter(fileSet.contains)) }
+      .filter(_._2.nonEmpty)
+    val tombLine =
+      if (tombs.isEmpty) ""
+      else tombs.map { case (p, ts) =>
+        ts.map(t => s""""$t"""").mkString(s""""${b64(p)}": [""", ", ", "]")
+      }.mkString("  \"tombstonesB64\": {", ", ", "},\n")
     require(op.matches("[a-z][a-z-]*"),
       s"op '$op' is not a manifest-safe identifier")
     val body =
@@ -977,7 +1057,7 @@ object ManifestTable {
          |  "version": ${head + 1},
          |  "op": "$op",
          |  "commitMs": $commitMs,
-         |$consLine$partitionLine$schemaLine$statsBlock  "files": [
+         |$consLine$tombLine$partitionLine$schemaLine$statsBlock  "files": [
          |${files.map(p => s"    \"$p\"").mkString(",\n")}
          |  ]
          |}""".stripMargin
@@ -1186,11 +1266,12 @@ object ManifestTable {
                            schema: Option[StructType] = None,
                            stats: Map[String, Map[String, (Double, Double)]] = Map.empty,
                            partitionBy: Seq[String] = Nil,
-                           op: String = "write")
+                           op: String = "write",
+                           tombstones: Option[Seq[(String, Seq[String])]] = None)
       : Option[Int] =
     if (currentVersion(spark, table) != expectedHead) None
     else if (tryPublish(spark, table, expectedHead, files, tag, schema, stats,
-        partitionBy, op = op))
+        partitionBy, op = op, tombstones = tombstones))
       Some(expectedHead + 1)
     else None
 
@@ -1235,6 +1316,8 @@ object ManifestTable {
         Map[String, Map[String, (Double, Double)]], Seq[String]) => Boolean,
       baseConstraints: Map[String, String] = Map.empty,
       op: String = "write",
+      baseTombstones: Seq[(String, Seq[String])] = Nil,
+      publishTombstones: Option[Seq[(String, Seq[String])]] = None,
       maxAttempts: Int = 5): Option[Int] = {
     val baseSet = baseRel.toSet
     var attempt = 0
@@ -1247,13 +1330,16 @@ object ManifestTable {
       val structuralOk =
         partBy2 == basePartBy && schema2 == baseSchema &&
           // a constraint added mid-derive means this post-image was
-          // never validated against it — re-derive does that
+          // never validated against it, and a tombstone change means
+          // the derive read under the wrong delete set — re-derive
           checkConstraints(spark, table, head2) == baseConstraints &&
+          deleteTombstones(spark, table, head2) == baseTombstones &&
           removed.forall(rel2Set)
       if (!structuralOk || addedConflict(added, schema2, stats2, partBy2))
         return None
       commitIfHead(spark, table, rel2.filterNot(removed) ++ newFiles, head2,
-          uuid, recordSchema, stats2 ++ newStats, partBy2, op) match {
+          uuid, recordSchema, stats2 ++ newStats, partBy2, op,
+          publishTombstones) match {
         case Some(v) => return Some(v)
         case None => // head moved while reconciling — re-check against it
       }
@@ -1412,7 +1498,8 @@ object ManifestTable {
       attempt += 1
       val head = currentVersion(spark, table)
       val (rel, schema, headStats, partBy) = snapshotAll(spark, table, head)
-            val (merged, affected) =
+      val headTombs = deleteTombstones(spark, table, head)
+      val (merged, affected) =
         if (head == 0 || rel.isEmpty) (updates, Set.empty[String])
         else {
           val src = updates
@@ -1440,10 +1527,14 @@ object ManifestTable {
             .join(src.select(keys.map(col): _*).distinct(), keys, "left_semi")
             .select("__f").distinct()
             .collect().map(_.getString(0)).toSet
-          // pass 2: clause logic over ONLY the affected files' rows
+          // pass 2: clause logic over ONLY the affected files' rows —
+          // tombstone-AWARE: a lazily-deleted row must not resurrect
+          // into the rewritten post-image (the rewrite materializes
+          // its files' tombstones as a side effect)
           val tgt =
             if (affected.isEmpty) readFiles(spark, table, rel, schema, partBy).limit(0)
-            else readFiles(spark, table, affected.toSeq.sorted, schema, partBy)
+            else readLive(spark, table, affected.toSeq.sorted, schema, partBy,
+              headTombs)
           // evolution (the commit() mergeSchema rule applied to MERGE):
           // updates may ADD columns — kept target rows read them as
           // null through the widened union — but never RETYPE one
@@ -1515,7 +1606,7 @@ object ManifestTable {
           }
           reconcilePublish(spark, table, rel, schema, partBy, affected,
               newFiles, newStats, recordSchema, uuid, conflicts,
-              headCons, "merge") match {
+              headCons, "merge", headTombs) match {
             case Some(v) => return v
             case None => // semantic conflict — discard the data, re-derive
               fs(spark, new Path(table)).delete(new Path(table, s"data/$uuid"), true)
@@ -1550,6 +1641,7 @@ object ManifestTable {
       attempt += 1
       val head = currentVersion(spark, table)
       val (rel, schema, headStats, partBy) = snapshotAll(spark, table, head)
+      val headTombs = deleteTombstones(spark, table, head)
       if (rel.isEmpty) return head
       // extracted DNF ∧ caller-asserted conjunctive scanRanges: every
       // disjunct is narrowed by the asserted conjuncts
@@ -1561,9 +1653,10 @@ object ManifestTable {
       if (candidates.isEmpty) return head
       // absolute scan path → the manifest's relative form via
       // [[relFileCol]] (everything from the last /data/ on — correct
-      // at any partition-dir depth)
-      val withFile = readFiles(spark, table, candidates, schema, partBy)
-        .withColumn("__f", relFileCol)
+      // at any partition-dir depth); tombstone-aware so rows another
+      // (lazy) delete already hid neither match nor survive a rewrite
+      val withFile = readLive(spark, table, candidates, schema, partBy,
+        headTombs, tagFile = true)
       val affected = withFile.filter(pred).select("__f").distinct()
         .collect().map(_.getString(0)).toSet // bounded: ≤ |snapshot files|
       if (affected.isEmpty) return head
@@ -1605,7 +1698,8 @@ object ManifestTable {
           }
           reconcilePublish(spark, table, rel, schema, partBy, affected,
               newFiles, newStats, recordSchema, uuid, conflicts,
-              checkConstraints(spark, table, head), "delete") match {
+              checkConstraints(spark, table, head), "delete",
+              headTombs) match {
             case Some(v) => return v
             case None =>
               fs(spark, new Path(table)).delete(new Path(table, s"data/$uuid"), true)
@@ -1614,6 +1708,91 @@ object ManifestTable {
     }
     throw new java.util.ConcurrentModificationException(
       s"deleteWhere on $table lost $maxAttempts commit races")
+  }
+
+  /** LAZY delete (merge-on-read, the deletion-vector idea at predicate
+    * granularity): instead of rewriting the files holding matching
+    * rows, record a TOMBSTONE — the predicate's SQL plus the
+    * stats-pruned set of files that could hold a match — as a
+    * metadata-only commit. O(manifest) at any table size: zero rows
+    * move, and every read path (read/readRange/readWhere, MERGE's
+    * target scan, OPTIMIZE) applies the predicate to exactly the
+    * targeted files, codegen'd. Scoping to the target files is what
+    * makes lazy ≡ eager: rows APPENDED after the delete stay visible
+    * even when they match (point-in-time DELETE semantics — an
+    * unscoped predicate would silently swallow future inserts).
+    * Rewrites materialize their files' tombstones as a side effect
+    * (target lists self-clean at publish); [[materializeDeletes]] or
+    * any [[compact]] clears the rest. File-granular [[changes]] shows
+    * nothing for a lazy delete (no file churn) — the rows surface in
+    * the CDF when materialized.
+    * Returns the committed version, or the current head when nothing
+    * can match (no commit — same contract as eager deleteWhere). */
+  def deleteWhereLazy(spark: SparkSession, table: String, pred: Column,
+                      maxAttempts: Int = 5): Int = {
+    var attempt = 0
+    while (attempt < maxAttempts) {
+      attempt += 1
+      val head = currentVersion(spark, table)
+      val (rel, schema, headStats, partBy) = snapshotAll(spark, table, head)
+      if (rel.isEmpty) return head
+      // analysis-only probe: resolves the predicate against the
+      // recorded schema (bad column references fail HERE, loudly) and
+      // yields the resolvable SQL text the read paths will re-parse
+      val probe = readFiles(spark, table, rel.take(1), schema, partBy)
+        .filter(pred)
+      val predSql = probe.queryExecution.analyzed.collect {
+        case f: org.apache.spark.sql.catalyst.plans.logical.Filter => f.condition
+      }.headOption.getOrElse(
+        org.apache.spark.sql.graftbridge.ColumnBridge.expression(pred)).sql
+      val dnf = predicateDnfWith(spark, table, pred, rel, schema)
+      val candidates = pruneDnf(rel, headStats, dnf)
+      if (candidates.isEmpty) return head
+      val tombs = deleteTombstones(spark, table, head) :+ (predSql, candidates)
+      beforeConditionalCommit()
+      if (tryPublish(spark, table, head, rel, s"tomb-${b64(predSql).take(16)}",
+          schema, headStats, partBy, op = "delete-lazy",
+          tombstones = Some(tombs)))
+        return head + 1
+    }
+    throw new java.util.ConcurrentModificationException(
+      s"deleteWhereLazy on $table lost $maxAttempts commit races")
+  }
+
+  /** Apply every pending tombstone for real: rewrite ONLY the targeted
+    * files with their deletes applied, carry everything else by
+    * reference, clear the tombstone set. The background half of the
+    * lazy-delete contract — read-visible state does not change, the
+    * read-path filters just disappear. Returns the committed version
+    * (the head unchanged when there is nothing pending). */
+  def materializeDeletes(spark: SparkSession, table: String,
+                         maxAttempts: Int = 5): Int = {
+    var attempt = 0
+    while (attempt < maxAttempts) {
+      attempt += 1
+      val head = currentVersion(spark, table)
+      val (rel, schema, headStats, partBy) = snapshotAll(spark, table, head)
+      val tombs = deleteTombstones(spark, table, head)
+      if (tombs.isEmpty) return head
+      val relSet = rel.toSet
+      val targeted = tombs.flatMap(_._2).distinct.filter(relSet).sorted
+      if (targeted.isEmpty) return head
+      val survivors = readLive(spark, table, targeted, schema, partBy, tombs)
+      val (uuid, newFiles, newStats) =
+        writeData(spark, table, survivors, statsColumnsOf(headStats), partBy)
+      val targetedSet = targeted.toSet
+      beforeConditionalCommit()
+      commitIfHead(spark, table, rel.filterNot(targetedSet) ++ newFiles, head,
+          uuid, schema.orElse(Some(recordedSchema(survivors.schema, partBy))),
+          headStats ++ newStats, partBy, "materialize",
+          tombstones = Some(Nil)) match {
+        case Some(v) => return v
+        case None => // lost the race — discard and re-derive
+          fs(spark, new Path(table)).delete(new Path(table, s"data/$uuid"), true)
+      }
+    }
+    throw new java.util.ConcurrentModificationException(
+      s"materializeDeletes on $table lost $maxAttempts commit races")
   }
 
   /** Change feed (file-granular, the Delta CDF shape without
@@ -1723,7 +1902,10 @@ object ManifestTable {
     val head = currentVersion(spark, table)
     val (rel0, schema0, stats0, partBy) = snapshotAll(spark, table, head)
     require(rel0.nonEmpty, s"no committed snapshot in $table")
-    val df0 = readFiles(spark, table, rel0, schema0, partBy)
+    // tombstone-aware full read: OPTIMIZE materializes every pending
+    // lazy delete (its publish clears them — see below)
+    val tombs0 = deleteTombstones(spark, table, head)
+    val df0 = readLive(spark, table, rel0, schema0, partBy, tombs0)
     val df =
       if (sortBy.nonEmpty)
         df0.repartitionByRange(targetFiles, sortBy: _*)
@@ -1744,7 +1926,7 @@ object ManifestTable {
     val recordSchema = schema0.orElse(Some(recordedSchema(df.schema, partBy)))
     beforeConditionalCommit()
     commitIfHead(spark, table, files, head, uuid, recordSchema,
-        newStats, partBy, "compact") match {
+        newStats, partBy, "compact", tombstones = Some(Nil)) match {
       case Some(v) => v
       case None =>
         // Lost the race. OPTIMIZE removes every base file, so the only
@@ -1758,7 +1940,8 @@ object ManifestTable {
         reconcilePublish(spark, table, rel0, schema0, partBy, rel0.toSet,
             files, newStats, recordSchema, uuid,
             (_, _, _, _) => false,
-            checkConstraints(spark, table, head), "compact") match {
+            checkConstraints(spark, table, head), "compact",
+            tombs0, publishTombstones = Some(Nil)) match {
           case Some(v) => v
           case None =>
             fs(spark, new Path(table)).delete(new Path(table, s"data/$uuid"), true)
@@ -1787,15 +1970,17 @@ object ManifestTable {
     val (files, schema, stats, partBy) = snapshotAll(spark, table, version)
     require(files.nonEmpty, s"version $version of $table has no snapshot")
     // restore is the whole table STATE: the target's constraint set
-    // comes back too (its data was validated under that set, not under
-    // whatever was added since)
+    // and pending tombstones come back too (its data was validated /
+    // filtered under those, not under whatever changed since)
     val cons = checkConstraints(spark, table, version)
+    val tombs = deleteTombstones(spark, table, version)
     var attempt = 0
     while (attempt < maxAttempts) {
       attempt += 1
       val head = currentVersion(spark, table)
       if (tryPublish(spark, table, head, files, s"restore-$version",
-          schema, stats, partBy, Some(cons), op = "restore"))
+          schema, stats, partBy, Some(cons), op = "restore",
+          tombstones = Some(tombs)))
         return head + 1
       if (currentVersion(spark, table) <= head)
         throw new java.io.IOException(
@@ -1875,10 +2060,13 @@ object ManifestTable {
       val head = currentVersion(spark, table)
       val (rel, schema, headStats, partBy) = snapshotAll(spark, table, head)
       val relSet = rel.toSet
+      val binTombs = deleteTombstones(spark, table, head)
       if (binFiles.forall(relSet)) { // else: an interleaved rewrite ate the bin — skip
         // one task per bin (coalesce, no shuffle): the bin is bounded by
-        // maxBinBytes, and one output file is the entire point of packing
-        val df = readFiles(spark, table, binFiles, schema, partBy).coalesce(1)
+        // maxBinBytes, and one output file is the entire point of packing;
+        // tombstone-aware — packing materializes the bin files' deletes
+        val df = readLive(spark, table, binFiles, schema, partBy, binTombs)
+          .coalesce(1)
         val cols = (statsColumnsOf(headStats) ++ statsColumns).distinct.sorted
         val (uuid, newFiles, newStats) = writeData(spark, table, df, cols, partBy)
         val recordSchema = schema.orElse(Some(recordedSchema(df.schema, partBy)))
@@ -1889,7 +2077,8 @@ object ManifestTable {
           .orElse(reconcilePublish(spark, table, rel, schema, partBy, binSet,
             newFiles, newStats, recordSchema, uuid,
             (_, _, _, _) => false,
-            checkConstraints(spark, table, head), "compact-small")) match {
+            checkConstraints(spark, table, head), "compact-small",
+            binTombs)) match {
           case Some(_) => committed += 1
           case None => // bin lost to a conflicting rewrite — drop it, move on
             fs(spark, new Path(table)).delete(new Path(table, s"data/$uuid"), true)
