@@ -2,7 +2,7 @@ package graft.sources
 
 import org.apache.hadoop.fs.{FileSystem, Path}
 import org.apache.spark.sql.{Column, DataFrame, SaveMode, SparkSession}
-import org.apache.spark.sql.types.{DataType, StructType}
+import org.apache.spark.sql.types.{DataType, StructField, StructType}
 
 /** A minimal manifest-commit table format over raw parquet — the ACID
   * story a lake user expects from a Delta/Iceberg-class table, built
@@ -1949,6 +1949,87 @@ object ManifestTable {
               s"compaction of $table lost the commit race to a concurrent writer; re-run")
         }
     }
+  }
+
+  /** Metadata-only ADD COLUMN: record the widened schema (new column
+    * last among data columns, nullable), move zero data — every
+    * existing file reads the column as null through the recorded
+    * schema, exactly like a mergeSchema append's evolution but without
+    * needing a batch. Name-based mapping caveat (the pre-column-mapping
+    * Delta behavior): re-adding a name that an old file PHYSICALLY
+    * contains surfaces that file's old values — use fresh names for
+    * new semantics. */
+  def addColumn(spark: SparkSession, table: String, name: String,
+                dataType: DataType, maxAttempts: Int = 5): Int = {
+    require(name != SizeKey, s"column name '$name' is reserved")
+    var attempt = 0
+    while (attempt < maxAttempts) {
+      attempt += 1
+      val head = currentVersion(spark, table)
+      require(head >= 1, s"no committed snapshot in $table")
+      val (files, schema, stats, partBy) = snapshotAll(spark, table, head)
+      val sch = schema.getOrElse(recordedSchema(
+        readFiles(spark, table, files.take(1), None, partBy).schema, partBy))
+      require(!sch.fieldNames.contains(name),
+        s"column '$name' already exists on $table")
+      val widened = recordedSchema(
+        StructType(sch.fields :+ StructField(name, dataType, nullable = true)),
+        partBy)
+      beforeConditionalCommit()
+      if (currentVersion(spark, table) == head &&
+          tryPublish(spark, table, head, files, s"addcol-${b64(name)}",
+            Some(widened), stats, partBy, op = "add-column"))
+        return head + 1
+    }
+    throw new java.util.ConcurrentModificationException(
+      s"addColumn on $table lost $maxAttempts commit races")
+  }
+
+  /** Metadata-only DROP COLUMN: record the narrowed schema; the
+    * physical column stays in the files but no reader requests it
+    * again (and its stats entries are dropped, so nothing ever prunes
+    * on it). Refused when the column is a partition column or is
+    * referenced by a CHECK constraint or a pending tombstone — those
+    * must be dropped/materialized first, loudly, not broken
+    * silently. */
+  def dropColumn(spark: SparkSession, table: String, name: String,
+                 maxAttempts: Int = 5): Int = {
+    var attempt = 0
+    while (attempt < maxAttempts) {
+      attempt += 1
+      val head = currentVersion(spark, table)
+      require(head >= 1, s"no committed snapshot in $table")
+      val (files, schema, stats, partBy) = snapshotAll(spark, table, head)
+      val sch = schema.getOrElse(recordedSchema(
+        readFiles(spark, table, files.take(1), None, partBy).schema, partBy))
+      require(sch.fieldNames.contains(name), s"no column '$name' on $table")
+      require(!partBy.contains(name),
+        s"cannot drop partition column '$name'")
+      val narrowed = StructType(sch.fields.filterNot(_.name == name))
+      def stillAnalyzes(sql: String): Boolean =
+        try {
+          spark.createDataFrame(
+              new java.util.ArrayList[org.apache.spark.sql.Row](), narrowed)
+            .filter(org.apache.spark.sql.functions.expr(sql))
+            .queryExecution.analyzed
+          true
+        } catch { case _: Exception => false }
+      checkConstraints(spark, table, head).foreach { case (n, sql) =>
+        require(stillAnalyzes(sql),
+          s"CHECK constraint '$n' references '$name' — drop it first") }
+      deleteTombstones(spark, table, head).foreach { case (sql, _) =>
+        require(stillAnalyzes(sql),
+          s"a pending lazy delete references '$name' — materialize first") }
+      val stripped = stats.map { case (f, m) => f -> (m - name) }
+      beforeConditionalCommit()
+      if (currentVersion(spark, table) == head &&
+          tryPublish(spark, table, head, files, s"dropcol-${b64(name)}",
+            Some(recordedSchema(narrowed, partBy)), stripped, partBy,
+            op = "drop-column"))
+        return head + 1
+    }
+    throw new java.util.ConcurrentModificationException(
+      s"dropColumn on $table lost $maxAttempts commit races")
   }
 
   /** RESTORE the table to the image of `version`, as a NEW commit —
