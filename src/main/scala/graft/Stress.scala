@@ -336,6 +336,53 @@ object Stress {
         f"rewritten_frac=${rewritten.toDouble / total}%.4f")
     }
 
+    // r9: manifest METADATA scaling — the one cost that grows with
+    // file count is the manifest text itself (every commit re-writes
+    // the file list + stats; every read re-parses it). At 100k files
+    // that is tens of MB of text — the same order as a Delta
+    // checkpoint — and must stay driver-cheap relative to any data
+    // work. Measured: manifest size, parse latency, single-file
+    // append commit latency, and a stats-pruned read's planning time
+    // against a 250·rep-file snapshot.
+    if (only.forall("manifest_scale".contains)) {
+      import graft.sources.ManifestTable
+      import org.apache.spark.sql.SaveMode
+      val t = java.nio.file.Files.createTempDirectory("graft_stress_manifest").toString
+      val nFiles = 250 * rep
+      ManifestTable.commit(spark, t,
+        ord.repartitionByRange(nFiles, col("o_orderkey")), SaveMode.Overwrite,
+        statsColumns = Seq("o_orderkey"))
+      val manifestBytes = new java.io.File(t, "_manifests")
+        .listFiles().map(_.length()).max
+      var t0 = System.nanoTime()
+      val parsed = ManifestTable.snapshotFiles(spark, t).size
+      val parseMs = (System.nanoTime() - t0) / 1e6
+      require(parsed == nFiles, s"snapshot lists $parsed of $nFiles files")
+      t0 = System.nanoTime()
+      ManifestTable.commit(spark, t,
+        ord.filter(col("o_orderkey") <= 100).coalesce(1))
+      val appendSec = (System.nanoTime() - t0) / 1e9
+      t0 = System.nanoTime()
+      val keyMax = 10_000_000L * rep
+      val kept = ManifestTable.readRange(spark, t,
+        Seq(("o_orderkey", 1.0, keyMax / 1000.0)))
+      val plannedRows = kept.count()
+      val pruneSec = (System.nanoTime() - t0) / 1e9
+      // the pruning decision must stay sharp at ANY file count: a
+      // 0.1%-of-keyspace box keeps a sliver of a range-clustered table
+      val keptFiles = ManifestTable.pruneFiles(spark, t,
+        Seq(("o_orderkey", 1.0, keyMax / 1000.0)))._1.size
+      // repartitionByRange's sampled boundaries overlap, so the kept
+      // set is a few× the row fraction — the claim is order-of-
+      // magnitude sharpness, not exact file accounting
+      require(keptFiles * 10 < nFiles,
+        s"stats pruning lost sharpness: kept $keptFiles of $nFiles files")
+      println(f"[stress rep=$rep] manifest_scale files=$nFiles " +
+        f"manifest_kb=${manifestBytes / 1024} parse_ms=$parseMs%.0f " +
+        f"append_s=$appendSec%.2f pruned_read_s=$pruneSec%.2f " +
+        s"kept_files=$keptFiles rows=$plannedRows")
+    }
+
     // Analytics shapes over a rep×-replicated event log (user space
     // grows rep×, per-user history constant — the 100 TB shape): the
     // sessionization single-exchange claim and the attribution frame.
