@@ -153,13 +153,34 @@ object ManifestTable {
       .map(m => "\"([^\"]+)\"".r.findAllMatchIn(m.group(1)).map(_.group(1)).toSeq)
       .getOrElse(Nil)
 
+  /** Bounded (table, version) → manifest-text cache. Sound because a
+    * published manifest is IMMUTABLE — the only lifecycle event is
+    * deletion by [[expire]], which the existence check still observes
+    * (an expired version keeps failing loudly; the FS stat it costs is
+    * nothing next to re-reading and re-parsing a multi-MB manifest on
+    * every accessor — read/merge/reconcile each consult the head text
+    * several times per operation). */
+  private val manifestTextCache =
+    java.util.Collections.synchronizedMap(
+      new java.util.LinkedHashMap[(String, Int), String](64, 0.75f, true) {
+        override def removeEldestEntry(
+            e: java.util.Map.Entry[(String, Int), String]): Boolean = size > 64
+      })
+
   private def manifestText(spark: SparkSession, table: String, v: Int): String = {
     val p = manifestPath(table, v)
     require(fs(spark, p).exists(p),
       s"version $v of $table is expired or was never committed")
-    val in = fs(spark, p).open(p)
-    try scala.io.Source.fromInputStream(in, "UTF-8").mkString
-    finally in.close()
+    val cached = manifestTextCache.get((table, v))
+    if (cached != null) cached
+    else {
+      val in = fs(spark, p).open(p)
+      val text =
+        try scala.io.Source.fromInputStream(in, "UTF-8").mkString
+        finally in.close()
+      manifestTextCache.put((table, v), text)
+      text
+    }
   }
 
   /** The `"files": [ ... ]` block of a manifest (every format the table
@@ -322,10 +343,19 @@ object ManifestTable {
     val start = text.indexOf("\"tombstonesB64\"")
     if (start < 0) Nil
     else {
-      // entries are `"b64pred": ["data/...", ...]`; the block holds no
-      // braces, so it ends at the first `}` past the key
-      val end = text.indexOf('}', start)
-      val block = text.substring(start, if (end < 0) text.length else end)
+      // entries are `"b64pred": ["data/...", ...]`. The block must NOT
+      // end at the first `}` — `}` is not in the hive escape list, so
+      // a partition value like `a}b` puts a literal `}` inside a
+      // target path and would truncate the block (silently dropping
+      // tombstones = resurrecting deleted rows). End instead at the
+      // next SECTION key: quotes ARE hive-escaped, so no quoted
+      // section token can appear inside a target string.
+      val end = Seq("\"partitionBy\"", "\"schemaB64\"", "\"stats\"", "\"files\"")
+        .map(k => text.indexOf(k, start)).filter(_ >= 0) match {
+        case Nil => text.length
+        case hits => hits.min
+      }
+      val block = text.substring(start, end)
       "\"([A-Za-z0-9+/=]+)\"\\s*:\\s*\\[([^\\]]*)\\]".r
         .findAllMatchIn(block).map { m =>
           unb64(m.group(1)) ->
@@ -367,7 +397,10 @@ object ManifestTable {
       val cons = checkConstraints(spark, table, head)
       require(!cons.contains(name),
         s"constraint '$name' already exists on $table")
-      requireSatisfied(readFiles(spark, table, files, schema, partBy),
+      // validate the LIVE table — rows a lazy delete already hides
+      // must not block a constraint the visible table satisfies
+      requireSatisfied(readLive(spark, table, files, schema, partBy,
+          deleteTombstones(spark, table, head)),
         Map(name -> exprSql), s"existing rows of $table")
       if (currentVersion(spark, table) == head &&
           tryPublish(spark, table, head, files, s"addcheck-${b64(name)}",
@@ -458,14 +491,23 @@ object ManifestTable {
       // %-escaping exactly (a literal `+` is legal unescaped in a
       // path, so it is pre-masked to survive the URL decoder's
       // plus-is-space rule).
-      import org.apache.spark.sql.functions.{col, lit, regexp_extract, url_decode, when}
+      import org.apache.spark.sql.functions.{col, element_at, lit, regexp_extract, split, url_decode, when}
       val dataSchema = schema.map(s =>
         StructType(s.fields.filterNot(f => partitionBy.contains(f.name))))
       val base = dataSchema.fold(spark.read)(s => spark.read.schema(s))
         .parquet(paths: _*)
       partitionBy.foldLeft(base) { (df, c) =>
         val pat = "/" + java.util.regex.Pattern.quote(c) + "=([^/]+)/"
-        val raw = regexp_extract(col("_metadata.file_path"), pat, 1)
+        // extract from the table-RELATIVE part (after the LAST /data/,
+        // the same anchor relFileCol uses): a table rooted under a
+        // directory that happens to contain `<col>=<value>` would
+        // otherwise match the root's value for every row. Inside the
+        // relative part the pattern is unambiguous — `=` and `/` are
+        // hive-escaped inside values, so `/<col>=` occurs only as the
+        // real partition dir.
+        val relPart = element_at(
+          split(col("_metadata.file_path"), "/data/"), -1)
+        val raw = regexp_extract(relPart, pat, 1)
         // the value is DOUBLY %XX-encoded in file_path: the writer
         // hive-escapes it into the dir name (%-including), and the
         // path URI re-encodes each '%' as %25 — decode twice, masking
@@ -822,9 +864,17 @@ object ManifestTable {
     * own `/data/` is the final occurrence — partition VALUES cannot
     * smuggle one in, the writer %-escapes `/`). */
   private def relFileCol: Column = {
-    import org.apache.spark.sql.functions.{col, concat, element_at, lit, split}
-    concat(lit("data/"),
-      element_at(split(col("_metadata.file_path"), "/data/"), -1))
+    import org.apache.spark.sql.functions.{col, concat, element_at, lit, split, replace, url_decode}
+    // `_metadata.file_path` is the URI form — URL-encoded ON TOP of
+    // the on-disk names the manifest records (Path.toString form,
+    // verified: value `a}b` is `p=a}b` on disk but `p=a%7Db` here) —
+    // so one masked URL-decode recovers the manifest's spelling;
+    // without it any hive-escaped partition value made the relative
+    // path never match the manifest and merge/deleteWhere silently
+    // KEPT their victim files while adding the rewrite (duplicates)
+    concat(lit("data/"), url_decode(replace(
+      element_at(split(col("_metadata.file_path"), "/data/"), -1),
+      lit("+"), lit("%2B"))))
   }
 
   /** Step 1: full data write under a fresh uuid dir — unreferenced (and
@@ -839,14 +889,16 @@ object ManifestTable {
                         statsColumns: Seq[String] = Nil,
                         partitionBy: Seq[String] = Nil)
       : (String, Seq[String], Map[String, Map[String, (Double, Double)]]) = {
+    // refuse the reserved name BEFORE writing anything — a refused
+    // batch must leave no garbage dir behind
+    require(!df.schema.names.contains(SizeKey),
+      s"column name '$SizeKey' is reserved for the manifest's per-file " +
+        "size metadata")
     val uuid = java.util.UUID.randomUUID().toString
     val dataDir = new Path(table, s"data/$uuid")
     val w = df.write.mode(SaveMode.ErrorIfExists)
     (if (partitionBy.nonEmpty) w.partitionBy(partitionBy: _*) else w)
       .parquet(dataDir.toString)
-    require(!df.schema.names.contains(SizeKey),
-      s"column name '$SizeKey' is reserved for the manifest's per-file " +
-        "size metadata")
     val f = fs(spark, dataDir)
     def walk(p: Path): Seq[org.apache.hadoop.fs.FileStatus] =
       f.listStatus(p).toSeq.flatMap(s =>
@@ -872,10 +924,14 @@ object ManifestTable {
             val i = seg.indexOf('=')
             if (i <= 0) None
             else {
-              // rel came from Path.toString: URI-encoded on top of the
-              // writer's hive escaping — unescape twice (see readFiles)
+              // rel came from Path.toString — the ON-DISK names, one
+              // hive-escape layer only (verified: value `a%3Ab` is
+              // `a%253Ab` here, decoding twice would corrupt it to
+              // `a:b` and record stats that prune the live file) —
+              // unescape ONCE; the URI layer exists only in
+              // _metadata.file_path (see readFiles/relFileCol)
               val (k, raw) =
-                (seg.substring(0, i), unescapePath(unescapePath(seg.substring(i + 1))))
+                (seg.substring(0, i), unescapePath(seg.substring(i + 1)))
               if (raw == "__HIVE_DEFAULT_PARTITION__") None
               else partitionValueBound(raw, types.get(k)).map(v => k -> (v, v))
             }
@@ -1215,6 +1271,15 @@ object ManifestTable {
         requireSatisfied(df, consNow, s"a batch committed to $table")
         validatedCons = consNow
       }
+      // layout re-check INSIDE the loop (same reason as the schema
+      // check below): a concurrent Overwrite can change the partition
+      // spec between attempts, and a lost-race recompose must not
+      // publish a mixed flat/partitioned snapshot — the batch's data
+      // files were already laid out for the OLD spec
+      if (mode == SaveMode.Append && head > 0)
+        require(partitionColumns(spark, table, head) == partBy,
+          s"append on $table was laid out for partitioning $partBy but a " +
+            "concurrent overwrite changed the table's layout — re-run the append")
       val base =
         if (mode == SaveMode.Append) snapshotFiles(spark, table, head) else Nil
       val schema =
@@ -1222,6 +1287,7 @@ object ManifestTable {
         else recordedSchema(df.schema, partBy)
       val carried: Map[String, Map[String, (Double, Double)]] =
         if (mode == SaveMode.Append) snapshotStats(spark, table, head) else Map.empty
+      beforeConditionalCommit()
       if (tryPublish(spark, table, head, base ++ newFiles, uuid,
           Some(schema), carried ++ newStats, partBy,
           op = if (mode == SaveMode.Append) "append" else "overwrite"))
@@ -1818,18 +1884,34 @@ object ManifestTable {
     require(sinceVersion <= to,
       s"sinceVersion $sinceVersion is beyond version $to of $table")
     val before = snapshotFiles(spark, table, sinceVersion).toSet
-    val added = (sinceVersion + 1 to to)
-      .flatMap(v => snapshotFiles(spark, table, v))
-      .distinct.filterNot(before)
-    if (added.nonEmpty)
-      // read under the TO-version recorded schema, not footer inference
-      // (ADVICE r8): a feed range spanning a mergeSchema evolution would
-      // otherwise take an arbitrary file's footer as the schema and
-      // silently drop (or nondeterministically carry) the added column —
-      // and publishPending would persist that lossy batch into the feed.
-      // rowChanges pins the to-version schema for exactly this reason.
-      readFiles(spark, table, added, snapshotSchema(spark, table, to),
-        partitionColumns(spark, table, to))
+    // group the range's added files by the version that FIRST added
+    // them and read each group under THAT version's recorded schema
+    // and partition layout (not footer inference — ADVICE r8 — and not
+    // a blanket to-version read, which would strip the physically
+    // present columns of files written before a layout-changing
+    // overwrite and null them from pathless `<col>=` derivation).
+    // unionByName widens across a mid-range evolution; the final
+    // projection surfaces the to-version column set.
+    var seen = before
+    val groups = (sinceVersion + 1 to to).flatMap { v =>
+      val fresh = snapshotFiles(spark, table, v).filterNot(seen)
+      seen = seen ++ fresh
+      if (fresh.isEmpty) None else Some((v, fresh))
+    }
+    if (groups.nonEmpty) {
+      val unioned = groups.map { case (v, fs) =>
+        readFiles(spark, table, fs,
+          snapshotSchema(spark, table, v), partitionColumns(spark, table, v))
+      }.reduce(_.unionByName(_, allowMissingColumns = true))
+      snapshotSchema(spark, table, to) match {
+        case Some(s) =>
+          import org.apache.spark.sql.functions.col
+          val have = unioned.columns.toSet
+          unioned.select(
+            s.fieldNames.filter(have.contains).toIndexedSeq.map(col): _*)
+        case None => unioned
+      }
+    }
     else if (to == 0) spark.emptyDataFrame
     else read(spark, table, to).limit(0)
   }
@@ -1859,19 +1941,38 @@ object ManifestTable {
     val after = snapshotFiles(spark, table, to)
     val added = after.filterNot(before.toSet)
     val removed = before.filterNot(after.toSet)
-    // both sides read with the TO-version schema so the row structs
-    // align under schema evolution (pre-evolution files null the added
-    // columns on both sides of the comparison)
+    // each side reads under ITS OWN version's recorded schema and
+    // partition layout — the snapshot-homogeneity rule guarantees
+    // added ⊆ to-layout and removed ⊆ since-layout, and reading the
+    // since side under the to layout would strip a physically-present
+    // column and re-derive it as null from paths that have no
+    // `<col>=` segment (a layout-changing overwrite mid-range). The
+    // pre side then ALIGNS to the to-version column set: missing
+    // (later-added) columns null, to-dropped columns projected away —
+    // the same null semantics the old to-schema read gave for pure
+    // column evolution.
     val schema = snapshotSchema(spark, table, to)
     val partedBy = partitionColumns(spark, table, to)
-    def side(files: Seq[String]): DataFrame =
-      if (files.nonEmpty) readFiles(spark, table, files, schema, partedBy)
-      else read(spark, table, to).limit(0)
-    val post = side(added)
+    def emptySide: DataFrame = read(spark, table, to).limit(0)
+    val post =
+      if (added.nonEmpty) readFiles(spark, table, added, schema, partedBy)
+      else emptySide
     val cols = post.columns.toSeq
+    val typeOf = post.schema.map(f => f.name -> f.dataType).toMap
+    val pre =
+      if (removed.isEmpty) emptySide
+      else {
+        val raw = readFiles(spark, table, removed,
+          snapshotSchema(spark, table, sinceVersion),
+          partitionColumns(spark, table, sinceVersion))
+        val have = raw.columns.toSet
+        raw.select(cols.map(c =>
+          if (have.contains(c)) col(c)
+          else lit(null).cast(typeOf(c)).as(c)): _*)
+      }
     def keyed(df: DataFrame, as: String): DataFrame =
       df.select(keys.map(col) :+ struct(cols.map(col): _*).as(as): _*)
-    keyed(post, "_post").join(keyed(side(removed), "_pre"), keys, "full_outer")
+    keyed(post, "_post").join(keyed(pre, "_pre"), keys, "full_outer")
       .withColumn("_change_type",
         when(col("_pre").isNull, lit("insert"))
           .when(col("_post").isNull, lit("delete"))
