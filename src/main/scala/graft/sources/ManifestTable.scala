@@ -2288,6 +2288,36 @@ object ManifestTable {
     * their longest write (Delta defaults to 7 days). Recency is the
     * MAX mtime under the dir — a long multi-file write keeps
     * refreshing it. */
+  /** Dry-run of [[expire]]: the data dirs a vacuum with this retention
+    * WOULD reclaim, and the bytes they hold — the
+    * check-before-you-delete surface every operator wants before
+    * pointing a reclaim at a 100 TB table. Same reachability + grace
+    * rules as expire; byte totals walk ONLY the unreferenced dirs. */
+  def vacuumPreview(spark: SparkSession, table: String, keepLast: Int,
+                    graceMs: Long = 0L): (Seq[String], Long) = {
+    require(keepLast >= 1, "must keep at least the head version")
+    val vs = versions(spark, table)
+    val f = fs(spark, new Path(table))
+    val keep = vs.takeRight(keepLast)
+    val referenced = keep
+      .flatMap(v => snapshotFiles(spark, table, v))
+      .map(_.split("/")(1)).toSet
+    val cutoff = System.currentTimeMillis() - graceMs
+    val dataRoot = new Path(table, "data")
+    if (!f.exists(dataRoot)) return (Nil, 0L)
+    val victims = f.listStatus(dataRoot).map(_.getPath)
+      .filterNot(p => referenced.contains(p.getName))
+      .filter { p =>
+        graceMs <= 0L || {
+          val self = f.getFileStatus(p).getModificationTime
+          val children = f.listStatus(p).map(_.getModificationTime)
+          (children :+ self).max < cutoff
+        }
+      }
+    val bytes = victims.map(p => f.getContentSummary(p).getLength).sum
+    (victims.map(p => "data/" + p.getName).sorted.toSeq, bytes)
+  }
+
   def expire(spark: SparkSession, table: String, keepLast: Int,
              graceMs: Long = 0L): Unit = {
     require(keepLast >= 1, "must keep at least the head version")

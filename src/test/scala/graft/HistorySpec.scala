@@ -1,7 +1,7 @@
 package graft
 
 import org.scalatest.funsuite.AnyFunSuite
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{DataFrame, SaveMode}
 import org.apache.spark.sql.functions._
 import graft.sources.ManifestTable
 
@@ -49,6 +49,30 @@ class HistorySpec extends AnyFunSuite with SparkFixture {
     assert(h.last.getAs[Long]("n_bytes") ===
       ManifestTable.snapshotSizes(spark, t).values.sum)
     assert(ManifestTable.commitOp(spark, t, 3) === Some("merge"))
+  }
+
+  test("vacuumPreview reports exactly what expire then reclaims, without touching anything") {
+    val t = freshTable()
+    ManifestTable.commit(spark, t, df(1L -> "a", 2L -> "b"))
+    ManifestTable.commit(spark, t, df(3L -> "c"))
+    ManifestTable.compact(spark, t, targetFiles = 1) // v1+v2 dirs become garbage at keepLast=1
+    val (victims, bytes) = ManifestTable.vacuumPreview(spark, t, keepLast = 1)
+    assert(victims.size === 2 && bytes > 0L, s"got $victims / $bytes")
+    // preview is a dry run: everything still on disk, all versions readable
+    assert(new java.io.File(t, "data").listFiles().length === 3)
+    assert(ManifestTable.read(spark, t, 1).count() === 2)
+    ManifestTable.expire(spark, t, keepLast = 1)
+    val left = new java.io.File(t, "data").listFiles().map("data/" + _.getName).toSet
+    assert((victims.toSet intersect left).isEmpty,
+      "expire must reclaim exactly the previewed dirs")
+    assert(left.size === 1)
+    val (afterV, afterB) = ManifestTable.vacuumPreview(spark, t, keepLast = 1)
+    assert(afterV.isEmpty && afterB === 0L)
+    // a grace window defers fresh dirs in the preview too
+    ManifestTable.commit(spark, t, df(9L -> "z"), SaveMode.Overwrite)
+    val (graced, _) = ManifestTable.vacuumPreview(spark, t,
+      keepLast = 1, graceMs = 600_000L)
+    assert(graced.isEmpty, "fresh unreferenced dirs sit out the grace window")
   }
 
   test("after retention, the oldest surviving version has unknowable churn (null), not lies") {
