@@ -311,6 +311,14 @@ object ManifestTable {
   private def unb64(s: String): String =
     new String(java.util.Base64.getDecoder.decode(s), "UTF-8")
 
+  /** Filename-safe encoding for publish TAGS (temp-manifest names):
+    * standard base64 emits '/' — a tag like `addcheck-Y28/` would turn
+    * the temp path into a nested directory that the cleanup's
+    * non-recursive delete leaves behind forever. */
+  private def b64t(s: String): String =
+    java.util.Base64.getUrlEncoder.withoutPadding
+      .encodeToString(s.getBytes("UTF-8"))
+
   /** The CHECK constraints `version`'s snapshot is bound by —
     * `name -> SQL boolean expression`. Every writer path enforces and
     * carries them (see [[addConstraint]]). */
@@ -403,7 +411,7 @@ object ManifestTable {
           deleteTombstones(spark, table, head)),
         Map(name -> exprSql), s"existing rows of $table")
       if (currentVersion(spark, table) == head &&
-          tryPublish(spark, table, head, files, s"addcheck-${b64(name)}",
+          tryPublish(spark, table, head, files, s"addcheck-${b64t(name)}",
             schema, stats, partBy, Some(cons + (name -> exprSql)),
             op = "add-constraint"))
         return head + 1
@@ -425,7 +433,7 @@ object ManifestTable {
       val cons = checkConstraints(spark, table, head)
       require(cons.contains(name), s"no constraint '$name' on $table")
       if (currentVersion(spark, table) == head &&
-          tryPublish(spark, table, head, files, s"dropcheck-${b64(name)}",
+          tryPublish(spark, table, head, files, s"dropcheck-${b64t(name)}",
             schema, stats, partBy, Some(cons - name),
             op = "drop-constraint"))
         return head + 1
@@ -461,11 +469,23 @@ object ManifestTable {
     * manifest's relative paths against the table root — the read works
     * through any session/default-FS combination that can reach the
     * root URI. */
+  /** A snapshot with zero files but a recorded schema is a REAL state
+    * (deleteWhere matched every row): readable as an empty frame. Only
+    * a version with neither files nor schema is "no snapshot". */
+  private def emptyOrFail(spark: SparkSession, table: String,
+                          schema: Option[StructType]): DataFrame =
+    schema match {
+      case Some(s) => spark.createDataFrame(
+        new java.util.ArrayList[org.apache.spark.sql.Row](), s)
+      case None => throw new IllegalArgumentException(
+        s"no committed snapshot in $table")
+    }
+
   def read(spark: SparkSession, table: String, version: Int = -1): DataFrame = {
     val v = if (version < 0) currentVersion(spark, table) else version
     val (files, schema, _, partBy) = snapshotAll(spark, table, v)
-    require(files.nonEmpty, s"no committed snapshot in $table")
-    readLive(spark, table, files, schema, partBy,
+    if (files.isEmpty) emptyOrFail(spark, table, schema)
+    else readLive(spark, table, files, schema, partBy,
       deleteTombstones(spark, table, v))
   }
 
@@ -571,7 +591,7 @@ object ManifestTable {
                 version: Int = -1): DataFrame = {
     val v = if (version < 0) currentVersion(spark, table) else version
     val (files, schema, stats, partBy) = snapshotAll(spark, table, v)
-    require(files.nonEmpty, s"no committed snapshot in $table")
+    if (files.isEmpty) return emptyOrFail(spark, table, schema)
     val kept = pruneWith(files, stats, ranges)
     if (kept.isEmpty) readFiles(spark, table, files, schema, partBy).limit(0)
     else readLive(spark, table, kept, schema, partBy,
@@ -593,7 +613,7 @@ object ManifestTable {
                 version: Int = -1): DataFrame = {
     val v = if (version < 0) currentVersion(spark, table) else version
     val (files, schema, stats, partBy) = snapshotAll(spark, table, v)
-    require(files.nonEmpty, s"no committed snapshot in $table")
+    if (files.isEmpty) return emptyOrFail(spark, table, schema).filter(pred)
     val dnf = predicateDnfWith(spark, table, pred, files, schema)
     val kept = pruneDnf(files, stats, dnf)
     val base =
@@ -964,25 +984,30 @@ object ManifestTable {
             "grammar cannot carry (quote, backslash, or newline)"))
         if (cols.isEmpty) Map.empty
         else {
-          val enc: String => Column = c => df.schema(c).dataType match {
-            case org.apache.spark.sql.types.StringType => stringBoundCol(col(c))
-            case _ => col(c).cast("double")
-          }
-          val aggs = cols.flatMap(c => Seq(
-            min(enc(c)).as(s"__mn_$c"),
-            max(enc(c)).as(s"__mx_$c")))
+          // only columns with a sound stats encoding participate —
+          // an unsupported type (binary, array, …) records nothing
+          // instead of failing the commit after the data write
+          val encoded = cols.flatMap(c =>
+            statEncoder(df.schema(c).dataType, col(c)).map(c -> _))
+          if (encoded.isEmpty) Map.empty
+          else {
+          val cols2 = encoded.map(_._1)
+          val aggs = encoded.flatMap { case (c, e) => Seq(
+            min(e).as(s"__mn_$c"),
+            max(e).as(s"__mx_$c")) }
           spark.read.parquet(dataDir.toString)
             .groupBy(relFileCol.as("__f"))
             .agg(aggs.head, aggs.tail: _*)
             .collect() // bounded: one row per NEW file
             .map { r =>
-              r.getAs[String]("__f") -> cols.flatMap { c =>
+              r.getAs[String]("__f") -> cols2.flatMap { c =>
                 val mn = r.getAs[Any](s"__mn_$c")
                 val mx = r.getAs[Any](s"__mx_$c")
                 if (mn == null || mx == null) None
                 else Some(c -> (mn.asInstanceOf[Double], mx.asInstanceOf[Double]))
               }.toMap
             }.toMap
+          }
         }
       }
     // every new file's byte size rides in the stats map as a reserved
@@ -1442,24 +1467,46 @@ object ManifestTable {
     v.toDouble
   }
 
+  /** The column → stats-space encoding shared by every stats producer
+    * (write-time file ranges, the MERGE key envelope): strings through
+    * the order-preserving prefix encoding, dates as epoch DAYS
+    * (matching [[leafBounds]]' date-literal extraction), timestamps as
+    * epoch seconds via the double cast, numerics/booleans as plain
+    * doubles. None for types with no sound double embedding — the
+    * caller records no stats / derives no bound (never a crash: an
+    * unconditional cast("double") used to fail ANALYSIS on DateType,
+    * killing every merge on a date-keyed table). */
+  private def statEncoder(dt: DataType, c: Column): Option[Column] = {
+    import org.apache.spark.sql.types._
+    dt match {
+      case StringType => Some(stringBoundCol(c))
+      case DateType =>
+        Some(org.apache.spark.sql.functions.unix_date(c).cast("double"))
+      case _: NumericType | BooleanType | TimestampType | TimestampNTZType =>
+        Some(c.cast("double"))
+      case _ => None
+    }
+  }
+
   /** The changelog's per-key-column (min, max) as [[pruneFiles]]
     * ranges — one tiny agg over the (small by assumption) changelog.
-    * Numeric/timestamp keys only: a non-castable key yields no bound
-    * (and so prunes nothing). */
+    * A key type without a stats encoding yields no bound (and so
+    * prunes nothing). */
   private def keyEnvelope(updates: DataFrame, keys: Seq[String])
       : Seq[(String, Double, Double)] = {
     import org.apache.spark.sql.functions.{col, max, min}
     if (keys.isEmpty) return Nil
-    val enc: String => Column = k =>
-      updates.schema.find(_.name == k).map(_.dataType) match {
-        case Some(org.apache.spark.sql.types.StringType) => stringBoundCol(col(k))
-        case _ => col(k).cast("double")
-      }
-    val aggs = keys.flatMap(k => Seq(
-      min(enc(k)).as(s"__mn_$k"),
-      max(enc(k)).as(s"__mx_$k")))
+    val encoded = keys.flatMap { k =>
+      updates.schema.find(_.name == k)
+        .flatMap(f => statEncoder(f.dataType, col(k)))
+        .map(k -> _)
+    }
+    if (encoded.isEmpty) return Nil
+    val aggs = encoded.flatMap { case (k, e) => Seq(
+      min(e).as(s"__mn_$k"),
+      max(e).as(s"__mx_$k")) }
     val row = updates.agg(aggs.head, aggs.tail: _*).collect().head
-    keys.flatMap { k =>
+    encoded.flatMap { case (k, _) =>
       val mn = row.getAs[Any](s"__mn_$k")
       val mx = row.getAs[Any](s"__mx_$k")
       if (mn == null || mx == null) None
@@ -1816,7 +1863,7 @@ object ManifestTable {
       if (candidates.isEmpty) return head
       val tombs = deleteTombstones(spark, table, head) :+ (predSql, candidates)
       beforeConditionalCommit()
-      if (tryPublish(spark, table, head, rel, s"tomb-${b64(predSql).take(16)}",
+      if (tryPublish(spark, table, head, rel, s"tomb-${b64t(predSql).take(16)}",
           schema, headStats, partBy, op = "delete-lazy",
           tombstones = Some(tombs)))
         return head + 1
@@ -2002,7 +2049,8 @@ object ManifestTable {
     require(targetFiles >= 1, "targetFiles must be positive")
     val head = currentVersion(spark, table)
     val (rel0, schema0, stats0, partBy) = snapshotAll(spark, table, head)
-    require(rel0.nonEmpty, s"no committed snapshot in $table")
+    require(head >= 1, s"no committed snapshot in $table")
+    if (rel0.isEmpty) return head // a delete-everything snapshot: nothing to pack
     // tombstone-aware full read: OPTIMIZE materializes every pending
     // lazy delete (its publish clears them — see below)
     val tombs0 = deleteTombstones(spark, table, head)
@@ -2078,7 +2126,7 @@ object ManifestTable {
         partBy)
       beforeConditionalCommit()
       if (currentVersion(spark, table) == head &&
-          tryPublish(spark, table, head, files, s"addcol-${b64(name)}",
+          tryPublish(spark, table, head, files, s"addcol-${b64t(name)}",
             Some(widened), stats, partBy, op = "add-column"))
         return head + 1
     }
@@ -2124,7 +2172,7 @@ object ManifestTable {
       val stripped = stats.map { case (f, m) => f -> (m - name) }
       beforeConditionalCommit()
       if (currentVersion(spark, table) == head &&
-          tryPublish(spark, table, head, files, s"dropcol-${b64(name)}",
+          tryPublish(spark, table, head, files, s"dropcol-${b64t(name)}",
             Some(recordedSchema(narrowed, partBy)), stripped, partBy,
             op = "drop-column"))
         return head + 1
@@ -2270,6 +2318,62 @@ object ManifestTable {
     committed
   }
 
+  /** The reclaim decision shared by [[vacuumPreview]] and [[expire]]
+    * (one implementation so the dry run can never diverge from the
+    * delete): unreferenced `data/<uuid>` dirs whose RECURSIVE max
+    * mtime is older than the grace cutoff. The walk must be recursive
+    * — an in-flight writer refreshes mtimes at the depth it is
+    * writing (multi-level partition dirs, `_temporary` job dirs),
+    * which a depth-1 check never sees, so a long write could be
+    * reclaimed mid-flight inside its own grace window. Every stat is
+    * shielded against the dir vanishing concurrently (a lost-race
+    * writer deletes its own dir): gone → not a victim. */
+  private def reclaimVictims(spark: SparkSession, table: String,
+                             keepVersions: Seq[Int],
+                             graceMs: Long): Seq[Path] = {
+    val f = fs(spark, new Path(table))
+    val referenced: Set[String] = keepVersions
+      .flatMap(v => snapshotFiles(spark, table, v))
+      .map(_.split("/")(1)) // data/<uuid>/<part> → uuid
+      .toSet
+    val cutoff = System.currentTimeMillis() - graceMs
+    def maxMtimeUnder(p: Path): Long = {
+      val self = f.getFileStatus(p)
+      if (!self.isDirectory) self.getModificationTime
+      else (f.listStatus(p).map(s =>
+        if (s.isDirectory) maxMtimeUnder(s.getPath)
+        else s.getModificationTime) :+ self.getModificationTime).max
+    }
+    val dataRoot = new Path(table, "data")
+    if (!f.exists(dataRoot)) Nil
+    else f.listStatus(dataRoot).map(_.getPath).toSeq
+      .filterNot(p => referenced.contains(p.getName))
+      .filter { p =>
+        try graceMs <= 0L || maxMtimeUnder(p) < cutoff
+        catch { case _: java.io.FileNotFoundException => false } // already gone
+      }
+  }
+
+  /** Dry-run of [[expire]]: the data dirs a vacuum with this retention
+    * WOULD reclaim, and the bytes they hold — the
+    * check-before-you-delete surface every operator wants before
+    * pointing a reclaim at a 100 TB table. Shares [[reclaimVictims]]
+    * with expire, so preview and delete cannot diverge; byte totals
+    * walk ONLY the unreferenced dirs, shielded against a dir vanishing
+    * mid-preview. */
+  def vacuumPreview(spark: SparkSession, table: String, keepLast: Int,
+                    graceMs: Long = 0L): (Seq[String], Long) = {
+    require(keepLast >= 1, "must keep at least the head version")
+    val f = fs(spark, new Path(table))
+    val victims = reclaimVictims(spark, table,
+      versions(spark, table).takeRight(keepLast), graceMs)
+    val bytes = victims.map { p =>
+      try f.getContentSummary(p).getLength
+      catch { case _: java.io.FileNotFoundException => 0L }
+    }.sum
+    (victims.map(p => "data/" + p.getName).sorted, bytes)
+  }
+
   /** Retention: keep the last `keepLast` versions' manifests, delete
     * older manifests, then delete every `data/<uuid>` directory no
     * surviving manifest references (which also reclaims crashed and
@@ -2286,38 +2390,8 @@ object ManifestTable {
     * behavior for single-process maintenance (and every existing
     * test); concurrent deployments pass a grace comfortably above
     * their longest write (Delta defaults to 7 days). Recency is the
-    * MAX mtime under the dir — a long multi-file write keeps
-    * refreshing it. */
-  /** Dry-run of [[expire]]: the data dirs a vacuum with this retention
-    * WOULD reclaim, and the bytes they hold — the
-    * check-before-you-delete surface every operator wants before
-    * pointing a reclaim at a 100 TB table. Same reachability + grace
-    * rules as expire; byte totals walk ONLY the unreferenced dirs. */
-  def vacuumPreview(spark: SparkSession, table: String, keepLast: Int,
-                    graceMs: Long = 0L): (Seq[String], Long) = {
-    require(keepLast >= 1, "must keep at least the head version")
-    val vs = versions(spark, table)
-    val f = fs(spark, new Path(table))
-    val keep = vs.takeRight(keepLast)
-    val referenced = keep
-      .flatMap(v => snapshotFiles(spark, table, v))
-      .map(_.split("/")(1)).toSet
-    val cutoff = System.currentTimeMillis() - graceMs
-    val dataRoot = new Path(table, "data")
-    if (!f.exists(dataRoot)) return (Nil, 0L)
-    val victims = f.listStatus(dataRoot).map(_.getPath)
-      .filterNot(p => referenced.contains(p.getName))
-      .filter { p =>
-        graceMs <= 0L || {
-          val self = f.getFileStatus(p).getModificationTime
-          val children = f.listStatus(p).map(_.getModificationTime)
-          (children :+ self).max < cutoff
-        }
-      }
-    val bytes = victims.map(p => f.getContentSummary(p).getLength).sum
-    (victims.map(p => "data/" + p.getName).sorted.toSeq, bytes)
-  }
-
+    * RECURSIVE max mtime under the dir — a long multi-file write
+    * keeps refreshing it at whatever depth it writes. */
   def expire(spark: SparkSession, table: String, keepLast: Int,
              graceMs: Long = 0L): Unit = {
     require(keepLast >= 1, "must keep at least the head version")
@@ -2325,22 +2399,7 @@ object ManifestTable {
     val f = fs(spark, new Path(table))
     val (drop, keep) = vs.splitAt(math.max(0, vs.size - keepLast))
     drop.foreach(v => f.delete(manifestPath(table, v), false))
-    val referenced: Set[String] = keep
-      .flatMap(v => snapshotFiles(spark, table, v))
-      .map(_.split("/")(1)) // data/<uuid>/<part> → uuid
-      .toSet
-    val cutoff = System.currentTimeMillis() - graceMs
-    val dataRoot = new Path(table, "data")
-    if (f.exists(dataRoot))
-      f.listStatus(dataRoot).map(_.getPath)
-        .filterNot(p => referenced.contains(p.getName))
-        .filter { p =>
-          graceMs <= 0L || {
-            val self = f.getFileStatus(p).getModificationTime
-            val children = f.listStatus(p).map(_.getModificationTime)
-            (children :+ self).max < cutoff
-          }
-        }
-        .foreach(p => f.delete(p, true))
+    reclaimVictims(spark, table, keep, graceMs)
+      .foreach(p => f.delete(p, true))
   }
 }

@@ -140,6 +140,87 @@ class ReviewHardeningSpec extends AnyFunSuite with SparkFixture {
     assert(rc.count() === 0, s"pure layout rewrite must diff to nothing")
   }
 
+  test("date-keyed tables: merge works and date stats record/prune as epoch days") {
+    val t = freshTable()
+    import spark.implicits._
+    val base = Seq(("2024-01-01", 1L), ("2024-01-02", 2L),
+        ("2024-06-01", 3L), ("2024-06-02", 4L))
+      .toDF("ds", "n").select(col("ds").cast("date").as("day"), col("n"))
+    ManifestTable.commit(spark, t, base.repartitionByRange(2, col("day")),
+      SaveMode.Overwrite, statsColumns = Seq("day"))
+    // the unconditional double-cast used to fail ANALYSIS here — both
+    // in the stats agg at commit and in the merge key envelope
+    ManifestTable.upsert(spark, t,
+      Seq(("2024-01-01", 10L), ("2024-07-01", 5L)).toDF("ds", "n")
+        .select(col("ds").cast("date").as("day"), col("n")),
+      Seq("day"))
+    val got = ManifestTable.read(spark, t).orderBy("day").collect()
+      .map(r => (r.getDate(0).toString, r.getLong(1)))
+    assert(got.toSeq === Seq(("2024-01-01", 10L), ("2024-01-02", 2L),
+      ("2024-06-01", 3L), ("2024-06-02", 4L), ("2024-07-01", 5L)))
+    // date predicates prune through the epoch-day stats space
+    assert(ManifestTable.readWhere(spark, t,
+      col("day") === lit(java.sql.Date.valueOf("2024-01-02"))).count() === 1)
+    // a binary stats column is skipped, never a crash
+    val t2 = freshTable()
+    ManifestTable.commit(spark, t2,
+      Seq((1L, Array[Byte](1, 2))).toDF("id", "blob"),
+      statsColumns = Seq("blob", "id"))
+    assert(ManifestTable.read(spark, t2).count() === 1)
+  }
+
+  test("a delete-everything snapshot stays readable as an empty frame; the line continues") {
+    val t = freshTable()
+    ManifestTable.commit(spark, t, pdf((1L, "a", "x"), (2L, "b", "y"))
+      .select(col("id"), col("v")))
+    ManifestTable.deleteWhere(spark, t, lit(true))
+    val empty = ManifestTable.read(spark, t)
+    assert(empty.count() === 0)
+    assert(empty.columns.toSeq === Seq("id", "v"),
+      "the recorded schema must survive an empty snapshot")
+    assert(ManifestTable.readWhere(spark, t, col("id") > 0L).count() === 0)
+    assert(ManifestTable.compact(spark, t) === ManifestTable.currentVersion(spark, t),
+      "compacting an empty snapshot is a no-op, not a crash")
+    ManifestTable.commit(spark, t, pdf((3L, "c", "z")).select(col("id"), col("v")))
+    assert(ManifestTable.read(spark, t).count() === 1)
+  }
+
+  test("constraint names that base64 into '/' leave no stray dirs under _manifests") {
+    val t = freshTable()
+    ManifestTable.commit(spark, t, pdf((1L, "a", "x")).select(col("id"), col("v")))
+    ManifestTable.addConstraint(spark, t, "co?", "id IS NOT NULL") // b64('co?') = 'Y28/'
+    ManifestTable.dropConstraint(spark, t, "co?")
+    val entries = new java.io.File(t, "_manifests").listFiles().map(_.getName)
+    assert(entries.forall(n => n.matches("v\\d{8}\\.json")),
+      s"publish tags must not leave temp debris: ${entries.toSeq}")
+  }
+
+  test("the vacuum grace window sees NESTED write activity, not just depth-1 mtimes") {
+    val t = freshTable()
+    ManifestTable.commit(spark, t, pdf((1L, "a", "x")).select(col("id"), col("v")))
+    // an unreferenced dir simulating an in-flight deep write: stale
+    // top-level dirs, one FRESH nested file
+    val orphan = java.nio.file.Paths.get(t, "data", "inflight", "sub")
+    java.nio.file.Files.createDirectories(orphan)
+    java.nio.file.Files.write(orphan.resolve("part-0.parquet"), Array[Byte](1))
+    val old = java.nio.file.attribute.FileTime.fromMillis(
+      System.currentTimeMillis() - 3_600_000L)
+    java.nio.file.Files.setLastModifiedTime(orphan.getParent, old)
+    java.nio.file.Files.setLastModifiedTime(orphan, old)
+    val (graced, _) = ManifestTable.vacuumPreview(spark, t,
+      keepLast = 1, graceMs = 600_000L)
+    assert(!graced.contains("data/inflight"),
+      "a fresh nested file must keep the dir inside the grace window")
+    // fully quiesced (nested file backdated too) → reclaimable
+    java.nio.file.Files.setLastModifiedTime(orphan.resolve("part-0.parquet"), old)
+    val (ripe, bytes) = ManifestTable.vacuumPreview(spark, t,
+      keepLast = 1, graceMs = 600_000L)
+    assert(ripe.contains("data/inflight") && bytes >= 1L)
+    ManifestTable.expire(spark, t, keepLast = 1, graceMs = 600_000L)
+    assert(!java.nio.file.Files.exists(orphan),
+      "expire must reclaim exactly what the preview promised")
+  }
+
   test("a batch with the reserved size column is refused before any data is written") {
     val t = freshTable()
     import spark.implicits._
