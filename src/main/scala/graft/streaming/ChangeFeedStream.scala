@@ -86,7 +86,7 @@ object ChangeFeedStream {
     * feed, atomically. Returns the version the feed now reaches.
     * Idempotent — call it from any scheduler, as often as you like. */
   def publishPending(spark: SparkSession, table: String, feedDir: String): Int =
-    publishWith(spark, table, feedDir)(
+    publishWith(spark, table, feedDir, "file")(
       (last, head) => ManifestTable.changes(spark, table, last, head),
       // changes() reads the base manifest (when last > 0) and every
       // manifest in (last, head]
@@ -100,7 +100,7 @@ object ChangeFeedStream {
     * [[readRowChangeStream]]. Same idempotent crash-safe protocol. */
   def publishPendingRows(spark: SparkSession, table: String,
                          feedDir: String, keys: Seq[String]): Int =
-    publishWith(spark, table, feedDir)(
+    publishWith(spark, table, feedDir, "rows")(
       (last, head) => ManifestTable.rowChanges(spark, table, last, keys, head),
       // rowChanges diffs exactly TWO snapshots — intermediates lost
       // out-of-band do not block a rows feed
@@ -119,8 +119,13 @@ object ChangeFeedStream {
     * FIRST range (lo-keyed `v1`, hi = the head version), so a fresh
     * consumer reads the snapshot once through the ordinary stream and
     * every later [[publishPending]] tick continues INCREMENTALLY from
-    * the head — no expired-manifest dependence, exactly-once
-    * accounting from the snapshot on. Requires an EMPTY feedDir: a
+    * the head, with exactly-once accounting from the snapshot on. The
+    * bootstrap itself needs only the HEAD manifest — but incremental
+    * ticks still need every manifest from the bootstrap head forward:
+    * retention must keep at least the inter-tick window alive
+    * (`expire(keepLast)` covering the commits between pump ticks), or
+    * the same aggressive policy that wedged the old feed will wedge
+    * the new one at its first tick. Requires an EMPTY feedDir: a
     * feed that already delivered ranges cannot absorb a snapshot
     * without re-delivering history to its checkpointed consumers
     * (abandon the wedged dir; its consumers restart on the new one
@@ -128,37 +133,43 @@ object ChangeFeedStream {
     * pump. Returns the table version the feed now reaches (0 for an
     * empty table — nothing to publish, nothing wedged). */
   def bootstrap(spark: SparkSession, table: String, feedDir: String): Int =
-    bootstrapWith(spark, table, feedDir)((head: Int) =>
+    bootstrapWith(spark, table, feedDir, "file")((head: Int) =>
       ManifestTable.read(spark, table, head))
 
   /** [[bootstrap]] for ROW-level feeds ([[publishPendingRows]] /
     * [[readRowChangeStream]]): the snapshot publishes as `insert`
     * events — exactly what rowChanges(0, head) would classify. */
   def bootstrapRows(spark: SparkSession, table: String, feedDir: String): Int =
-    bootstrapWith(spark, table, feedDir)((head: Int) =>
+    bootstrapWith(spark, table, feedDir, "rows")((head: Int) =>
       ManifestTable.read(spark, table, head).withColumn("_change_type",
         org.apache.spark.sql.functions.lit("insert")))
 
   private def bootstrapWith(spark: SparkSession, table: String,
-                            feedDir: String)(snapshotOf: Int => DataFrame): Int = {
+                            feedDir: String, mode: String)
+                           (snapshotOf: Int => DataFrame): Int = {
     require(publishedRanges(spark, feedDir).isEmpty,
       s"feed $feedDir already holds published ranges — bootstrap needs " +
         "a NEW (empty) feedDir: re-publishing a snapshot into a " +
         "consumed feed would re-deliver history to every checkpointed " +
         "consumer. Point the bootstrap (and the consumers, with fresh " +
         "checkpoints) at a new directory")
-    val head = ManifestTable.currentVersion(spark, table)
-    if (head == 0) return 0
-    // the snapshot read needs only the HEAD manifest — expired early
-    // versions (the wedge cause) are irrelevant by construction
-    publishWith(spark, table, feedDir)(
+    // the snapshot read needs only the head manifest (expired early
+    // versions — the wedge cause — are irrelevant); head is read ONCE,
+    // inside publishWith, so the version the guard validates IS the
+    // version the snapshot reads. An empty table (head 0) publishes
+    // nothing and returns 0 through the head <= last early-out.
+    publishWith(spark, table, feedDir, mode)(
       (_, h) => snapshotOf(h),
-      (_, _) => Seq(head))
+      (_, h) => Seq(h))
   }
 
-  private def publishWith(spark: SparkSession, table: String, feedDir: String)(
+  private def publishWith(spark: SparkSession, table: String, feedDir: String,
+                          mode: String)(
       batchOf: (Int, Int) => DataFrame,
       neededVersions: (Int, Int) => Seq[Int]): Int = {
+    // mode check FIRST — even a no-op tick from the wrong-kind
+    // publisher is a deployment wiring error worth failing loudly
+    requireMode(spark, feedDir, mode, create = true)
     val head = ManifestTable.currentVersion(spark, table)
     val last = publishedUpTo(spark, feedDir)
     if (head <= last) return last
@@ -182,32 +193,80 @@ object ChangeFeedStream {
     // is idle 30+ min: a fresh .tmp may be a CONCURRENT pump's
     // in-flight write, and its task output lands nested under
     // _temporary/ without refreshing the top-level mtime (the same
-    // top-level-only trap scratchDir and expire() avoid)
+    // top-level-only trap scratchDir and expire() avoid). A dir
+    // vanishing mid-scan (a racing pump deleting its own lost tmp) is
+    // treated as fresh — never a crash, never a delete.
     val cutoff = System.currentTimeMillis() - 30L * 60 * 1000
-    def newestMtime(p: Path): Long = {
-      val st = f.getFileStatus(p)
-      (st.getModificationTime +: (if (st.isDirectory)
-        f.listStatus(p).map(x => newestMtime(x.getPath)).toSeq else Nil)).max
-    }
-    f.listStatus(dataDir)
-      .filter(st => st.getPath.getName.startsWith(".tmp-") &&
-        newestMtime(st.getPath) < cutoff)
-      .foreach(st => f.delete(st.getPath, true))
+    def newestMtime(p: Path): Long =
+      try {
+        val st = f.getFileStatus(p)
+        (st.getModificationTime +: (if (st.isDirectory)
+          f.listStatus(p).map(x => newestMtime(x.getPath)).toSeq else Nil)).max
+      } catch { case _: java.io.FileNotFoundException => Long.MaxValue }
+    def reclaimTmps(dir: Path): Unit =
+      if (f.exists(dir))
+        f.listStatus(dir)
+          .filter(st => st.getPath.getName.startsWith(".tmp-") &&
+            newestMtime(st.getPath) < cutoff)
+          .foreach(st => f.delete(st.getPath, true))
+    reclaimTmps(dataDir)
+    // a crashed LOST race can leave its tmp NESTED inside the winner's
+    // range dir (rename-into-existing-dir) — sweep those too
+    publishedRanges(spark, feedDir).foreach { case (_, p) => reclaimTmps(p) }
     val batch = batchOf(last, head)
-    val tmp = new Path(dataDir, s".tmp-${java.util.UUID.randomUUID()}")
+    val uuid = java.util.UUID.randomUUID().toString
+    val tmp = new Path(dataDir, s".tmp-$uuid")
     batch.write.mode("overwrite").parquet(tmp.toString)
-    // hi marker INSIDE the dir, before the atomic publish
+    // hi marker INSIDE the dir, before the atomic publish; plus a
+    // UNIQUE token so the publisher can tell whether ITS dir became
+    // the visible range (underscore-prefixed → invisible to readers)
     f.create(new Path(tmp, s"_hi_$head"), true).close()
+    f.create(new Path(tmp, s"_pub_$uuid"), true).close()
     val target = new Path(dataDir, s"v${last + 1}")
-    // lo-keyed commit point: one visible publish per lo, ever. (In the
-    // worst exists→rename race a loser's rename may NEST its tmp inside
-    // the winner's dir — dot-prefixed, so invisible to readers, and its
-    // marker is not a direct child, so invisible to publishedUpTo too.)
-    val won = !f.exists(target) && f.rename(tmp, target)
-    if (!won) f.delete(tmp, true)
-    // a won rename proves the feed reaches head — only a lost race needs
-    // the (O(range dirs)) relisting to learn the winner's actual reach
+    // lo-keyed commit point: one visible publish per lo, ever. In the
+    // worst exists→rename race a loser's rename NESTS its tmp inside
+    // the winner's dir and still returns true — so "my rename
+    // returned true" does NOT mean "I won": the proof is MY token
+    // sitting as a direct child of the target. A loser cleans up both
+    // places its tmp may be (where it started, and nested inside the
+    // winner's dir).
+    val renamed = !f.exists(target) && f.rename(tmp, target)
+    val won = renamed && f.exists(new Path(target, s"_pub_$uuid"))
+    if (!won) {
+      f.delete(tmp, true)
+      f.delete(new Path(target, tmp.getName), true)
+    }
+    // a won publish proves the feed reaches head — only a lost race
+    // needs the (O(range dirs)) relisting to learn the winner's reach
     if (won) head else publishedUpTo(spark, feedDir)
+  }
+
+  /** One MODE per feedDir, enforced: the file-level and row-level
+    * publishers write different schemas, and a file-level bootstrap
+    * into a row feed would stream the whole snapshot with
+    * `_change_type = null` — silently classified as nothing by every
+    * consumer. The first publish stamps `_mode_<kind>` into the feed's
+    * data dir; every later publish (and any reader that finds a stamp)
+    * must match it. */
+  private def requireMode(spark: SparkSession, feedDir: String,
+                          mode: String, create: Boolean): Unit = {
+    val dataDir = new Path(feedDir, "data")
+    val f = fs(spark, dataDir)
+    val stamped =
+      if (!f.exists(dataDir)) Nil
+      else f.listStatus(dataDir).map(_.getPath.getName)
+        .filter(_.startsWith("_mode_")).map(_.stripPrefix("_mode_")).toSeq
+    stamped match {
+      case Nil if create =>
+        f.mkdirs(dataDir)
+        f.create(new Path(dataDir, s"_mode_$mode"), true).close()
+      case Nil => // nothing stamped yet, nothing to contradict
+      case modes => require(modes.forall(_ == mode),
+        s"feed $feedDir is a ${modes.head}-level feed — a $mode-level " +
+          "publisher/reader on it would silently mis-classify every row " +
+          "(use the matching publishPending/bootstrap/read variant, or a " +
+          "new feedDir)")
+    }
   }
 
   /** The feed as a streaming DataFrame (parquet file source over the
@@ -216,6 +275,7 @@ object ChangeFeedStream {
     * exactly like the batch read path. */
   def readChangeStream(spark: SparkSession, table: String,
                        feedDir: String): DataFrame = {
+    requireMode(spark, feedDir, "file", create = false)
     fs(spark, new Path(feedDir, "data")).mkdirs(new Path(feedDir, "data"))
     val schema = ManifestTable.snapshotSchema(spark, table)
       .getOrElse(ManifestTable.read(spark, table).schema)
@@ -226,6 +286,7 @@ object ChangeFeedStream {
     * plus `_change_type`, for feeds fed by [[publishPendingRows]]. */
   def readRowChangeStream(spark: SparkSession, table: String,
                           feedDir: String): DataFrame = {
+    requireMode(spark, feedDir, "rows", create = false)
     fs(spark, new Path(feedDir, "data")).mkdirs(new Path(feedDir, "data"))
     val base = ManifestTable.snapshotSchema(spark, table)
       .getOrElse(ManifestTable.read(spark, table).schema)

@@ -404,6 +404,38 @@ class EventStreamsSpec extends AnyFunSuite with SparkFixture {
     assert(ChangeFeedStream.bootstrap(spark, t2, f3) === 0)
   }
 
+  test("T9i: one mode per feedDir is ENFORCED — crossing publishers/readers fail loudly (r9)") {
+    import graft.sources.ManifestTable
+    import graft.streaming.ChangeFeedStream
+    def tmp(tag: String) =
+      java.nio.file.Files.createTempDirectory(s"graft_cdmode_$tag").toString
+    val (table, feed) = (tmp("tab"), tmp("feed"))
+    ManifestTable.commit(spark, table, Seq((1L, "a")).toDF("id", "v"))
+    // a FILE-level bootstrap stamps the feed; a row-level publisher or
+    // reader on it would surface _change_type = null for every row —
+    // silently classified as nothing by any consumer — so it must
+    // refuse instead
+    ChangeFeedStream.bootstrap(spark, table, feed)
+    ManifestTable.commit(spark, table, Seq((2L, "b")).toDF("id", "v"))
+    intercept[IllegalArgumentException] {
+      ChangeFeedStream.publishPendingRows(spark, table, feed, Seq("id"))
+    }
+    intercept[IllegalArgumentException] {
+      ChangeFeedStream.readRowChangeStream(spark, table, feed)
+    }
+    assert(ChangeFeedStream.publishPending(spark, table, feed) === 2,
+      "the matching publisher keeps working")
+    // and the reverse direction: a rows feed refuses file-level callers
+    val feed2 = tmp("feed2")
+    ChangeFeedStream.bootstrapRows(spark, table, feed2)
+    intercept[IllegalArgumentException] {
+      ChangeFeedStream.publishPending(spark, table, feed2)
+    }
+    intercept[IllegalArgumentException] {
+      ChangeFeedStream.readChangeStream(spark, table, feed2)
+    }
+  }
+
   test("T9h: bootstrapRows seeds a row-level feed with insert events (r9)") {
     import graft.sources.ManifestTable
     import graft.streaming.ChangeFeedStream
