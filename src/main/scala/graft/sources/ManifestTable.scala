@@ -160,25 +160,57 @@ object ManifestTable {
     * nothing next to re-reading and re-parsing a multi-MB manifest on
     * every accessor — read/merge/reconcile each consult the head text
     * several times per operation). */
+  // Each entry remembers the (length, mtime) of the file it was read
+  // from, and a hit is validated against a fresh getFileStatus — the
+  // same RPC the old existence check cost. This closes the
+  // drop-and-recreate hole (ADVICE r9): delete a table directory and
+  // re-create it at the same path in one JVM and version numbers
+  // restart, so a bare existence check would happily serve the OLD
+  // table's v1 text for the NEW table's v1 file. The cache is bounded
+  // by TOTAL BYTES, not entry count — at 100k-file scale one manifest
+  // is tens of MB, and 64 such entries would pin GBs of driver heap.
+  private final case class CachedManifest(text: String, len: Long, mtime: Long)
+  private val manifestCacheMaxBytes = 64L << 20 // 64 MB of manifest text
+  private object manifestCacheLock
+  private var manifestCacheBytes = 0L
   private val manifestTextCache =
-    java.util.Collections.synchronizedMap(
-      new java.util.LinkedHashMap[(String, Int), String](64, 0.75f, true) {
-        override def removeEldestEntry(
-            e: java.util.Map.Entry[(String, Int), String]): Boolean = size > 64
-      })
+    new java.util.LinkedHashMap[(String, Int), CachedManifest](64, 0.75f, true)
+
+  private def cacheLookup(key: (String, Int)): CachedManifest =
+    manifestCacheLock.synchronized(manifestTextCache.get(key))
+
+  private def cacheStore(key: (String, Int), e: CachedManifest): Unit =
+    manifestCacheLock.synchronized {
+      val prev = manifestTextCache.put(key, e)
+      manifestCacheBytes +=
+        2L * e.text.length - (if (prev == null) 0L else 2L * prev.text.length)
+      val it = manifestTextCache.entrySet().iterator()
+      while (manifestCacheBytes > manifestCacheMaxBytes && it.hasNext) {
+        val eldest = it.next()
+        if (eldest.getKey != key) { // never evict the entry just stored
+          manifestCacheBytes -= 2L * eldest.getValue.text.length
+          it.remove()
+        }
+      }
+    }
 
   private def manifestText(spark: SparkSession, table: String, v: Int): String = {
     val p = manifestPath(table, v)
-    require(fs(spark, p).exists(p),
-      s"version $v of $table is expired or was never committed")
-    val cached = manifestTextCache.get((table, v))
-    if (cached != null) cached
+    val st =
+      try fs(spark, p).getFileStatus(p)
+      catch {
+        case _: java.io.FileNotFoundException => throw new IllegalArgumentException(
+          s"requirement failed: version $v of $table is expired or was never committed")
+      }
+    val cached = cacheLookup((table, v))
+    if (cached != null && cached.len == st.getLen &&
+        cached.mtime == st.getModificationTime) cached.text
     else {
       val in = fs(spark, p).open(p)
       val text =
         try scala.io.Source.fromInputStream(in, "UTF-8").mkString
         finally in.close()
-      manifestTextCache.put((table, v), text)
+      cacheStore((table, v), CachedManifest(text, st.getLen, st.getModificationTime))
       text
     }
   }
@@ -1143,7 +1175,17 @@ object ManifestTable {
          |  ]
          |}""".stripMargin
     val target = manifestPath(table, head + 1)
-    val tmp = new Path(manifestDir(table), s".tmp-$tag-${head + 1}.json")
+    // The temp name must be unique PER PUBLISH ATTEMPT, not per (tag,
+    // slot): metadata-only ops derive their tag from the operation's
+    // NAME (constraint/column name, a 16-char predicate prefix), so two
+    // concurrent publishers at the same head can share a tag — with a
+    // shared temp path, writer B's create(overwrite=true) replaces
+    // writer A's body before A links it into the slot, and A publishes
+    // B's manifest while reporting its own commit as successful (a
+    // silently-lost tombstone/constraint). The tag stays in the name
+    // for debuggability only; the uuid carries the uniqueness.
+    val tmp = new Path(manifestDir(table),
+      s".tmp-$tag-${java.util.UUID.randomUUID().toString.take(8)}-${head + 1}.json")
     val f = fs(spark, target)
     // Commit-point safety gate (ADVICE r5): the non-local branch below
     // is check-then-act (exists + rename). That is atomic-exclusive
@@ -1163,6 +1205,7 @@ object ManifestTable {
           .getBoolean("graft.manifest.allowNonAtomicPublish", false))
     val out = f.create(tmp, true)
     try out.write(body.getBytes("UTF-8")) finally out.close()
+    beforePublishLink()
     val won = f match {
       case _: org.apache.hadoop.fs.LocalFileSystem |
            _: org.apache.hadoop.fs.RawLocalFileSystem =>
@@ -1373,6 +1416,14 @@ object ManifestTable {
     * deterministic instead of stochastic. A no-op in production (one
     * virtual call per derive attempt, nowhere near any per-row path). */
   @volatile private[graft] var beforeConditionalCommit: () => Unit = () => ()
+
+  /** Test seam: invoked inside [[tryPublish]] after the temp manifest
+    * is fully written, immediately before the atomic link/rename into
+    * the version slot — the window in which a concurrent publisher
+    * sharing a temp path could clobber this writer's body (the r10
+    * unique-temp-name fix). A no-op in production (one virtual call
+    * per publish attempt). */
+  @volatile private[graft] var beforePublishLink: () => Unit = () => ()
 
   /** Conflict-aware retry after a lost commit race (the Delta
     * OptimisticTransaction shape): a writer that derived its result
@@ -1952,10 +2003,17 @@ object ManifestTable {
       }.reduce(_.unionByName(_, allowMissingColumns = true))
       snapshotSchema(spark, table, to) match {
         case Some(s) =>
-          import org.apache.spark.sql.functions.col
+          import org.apache.spark.sql.functions.{col, lit}
+          // surface the FULL to-version column set: a metadata-only
+          // addColumn inside the range exists in no group's physical
+          // read, so a present-columns-only projection would silently
+          // drop it — null-fill at the recorded type instead, exactly
+          // as a to-schema read of old files does (ADVICE r9)
           val have = unioned.columns.toSet
-          unioned.select(
-            s.fieldNames.filter(have.contains).toIndexedSeq.map(col): _*)
+          unioned.select(s.fields.toIndexedSeq.map { f =>
+            if (have.contains(f.name)) col(f.name)
+            else lit(null).cast(f.dataType).as(f.name)
+          }: _*)
         case None => unioned
       }
     }

@@ -245,27 +245,73 @@ object ChangeFeedStream {
     * publishers write different schemas, and a file-level bootstrap
     * into a row feed would stream the whole snapshot with
     * `_change_type = null` — silently classified as nothing by every
-    * consumer. The first publish stamps `_mode_<kind>` into the feed's
-    * data dir; every later publish (and any reader that finds a stamp)
-    * must match it. */
+    * consumer. The first publish stamps the feed's kind; every later
+    * publish (and any reader that finds a stamp) must match it.
+    *
+    * The stamp is ONE path (`_feed_mode`) whose CONTENT is the kind,
+    * published atomic-exclusively — the r9 name-encoded stamps
+    * (`_mode_<kind>`, still read for legacy feeds) made first-stamping
+    * check-then-act across TWO paths: two concurrent first publishers
+    * of different kinds could each create their own stamp, after which
+    * every later publisher and reader of either kind failed the
+    * all-stamps-agree check — the feed permanently wedged with no
+    * writer at fault. With a single slot, exactly one first publisher
+    * wins; the loser reads the winner's kind and either proceeds
+    * (same kind) or fails ITSELF loudly (wrong kind) — the feed is
+    * never wedged for the winner's kind. */
+  private val ModeStamp = "_feed_mode"
+
+  private def readStampContent(f: org.apache.hadoop.fs.FileSystem,
+                               p: Path): Option[String] =
+    try {
+      val in = f.open(p)
+      try Some(scala.io.Source.fromInputStream(in, "UTF-8").mkString.trim)
+      finally in.close()
+    } catch { case _: java.io.FileNotFoundException => None }
+
   private def requireMode(spark: SparkSession, feedDir: String,
                           mode: String, create: Boolean): Unit = {
     val dataDir = new Path(feedDir, "data")
     val f = fs(spark, dataDir)
-    val stamped =
-      if (!f.exists(dataDir)) Nil
-      else f.listStatus(dataDir).map(_.getPath.getName)
-        .filter(_.startsWith("_mode_")).map(_.stripPrefix("_mode_")).toSeq
-    stamped match {
+    def stampedModes(): Seq[String] = {
+      val legacy =
+        if (!f.exists(dataDir)) Nil
+        else f.listStatus(dataDir).map(_.getPath.getName)
+          .filter(_.startsWith("_mode_")).map(_.stripPrefix("_mode_")).toSeq
+      legacy ++ readStampContent(f, new Path(dataDir, ModeStamp)).toSeq
+    }
+    def requireMatch(modes: Seq[String]): Unit = require(modes.forall(_ == mode),
+      s"feed $feedDir is a ${modes.filterNot(_ == mode).head}-level feed — " +
+        s"a $mode-level publisher/reader on it would silently mis-classify " +
+        "every row (use the matching publishPending/bootstrap/read " +
+        "variant, or a new feedDir)")
+    stampedModes() match {
       case Nil if create =>
         f.mkdirs(dataDir)
-        f.create(new Path(dataDir, s"_mode_$mode"), true).close()
+        // write-to-temp + atomic-exclusive link/rename into the single
+        // stamp slot (the manifest publish primitive): the winner's
+        // stamp is complete before it becomes visible, and a loser
+        // re-reads the slot and verifies instead of wedging the feed
+        val tmp = new Path(dataDir,
+          s".tmp-mode-${java.util.UUID.randomUUID().toString.take(8)}")
+        val out = f.create(tmp, true)
+        try out.write(mode.getBytes("UTF-8")) finally out.close()
+        val target = new Path(dataDir, ModeStamp)
+        val won = f match {
+          case _: org.apache.hadoop.fs.LocalFileSystem |
+               _: org.apache.hadoop.fs.RawLocalFileSystem =>
+            try {
+              java.nio.file.Files.createLink(
+                java.nio.file.Paths.get(target.toUri.getPath),
+                java.nio.file.Paths.get(tmp.toUri.getPath))
+              true
+            } catch { case _: java.nio.file.FileAlreadyExistsException => false }
+          case _ => !f.exists(target) && f.rename(tmp, target)
+        }
+        f.delete(tmp, false)
+        if (!won) requireMatch(stampedModes())
       case Nil => // nothing stamped yet, nothing to contradict
-      case modes => require(modes.forall(_ == mode),
-        s"feed $feedDir is a ${modes.head}-level feed — a $mode-level " +
-          "publisher/reader on it would silently mis-classify every row " +
-          "(use the matching publishPending/bootstrap/read variant, or a " +
-          "new feedDir)")
+      case modes => requireMatch(modes)
     }
   }
 
