@@ -377,10 +377,79 @@ object Stress {
       // magnitude sharpness, not exact file accounting
       require(keptFiles * 10 < nFiles,
         s"stats pruning lost sharpness: kept $keptFiles of $nFiles files")
+      // r10: past graft.manifest.segmentFiles (default 1000) the root
+      // stops inlining the file list — report the segmented layout's
+      // actual shape: root size (what every commit rewrites) and the
+      // carried-by-reference fraction of the 1-file append above
+      val head = ManifestTable.currentVersion(spark, t)
+      val segs = ManifestTable.snapshotSegments(spark, t, head).toSet
+      val prevSegs = ManifestTable.snapshotSegments(spark, t, head - 1).toSet
+      val rootKb = new java.io.File(s"$t/_manifests",
+        f"v$head%08d.json").length() / 1024
+      if (segs.nonEmpty)
+        require((segs & prevSegs).nonEmpty && (segs -- prevSegs).size <= 2,
+          s"1-file append must carry parent segments by reference " +
+            s"(wrote ${(segs -- prevSegs).size} new of ${segs.size})")
       println(f"[stress rep=$rep] manifest_scale files=$nFiles " +
-        f"manifest_kb=${manifestBytes / 1024} parse_ms=$parseMs%.0f " +
+        f"manifest_kb=${manifestBytes / 1024} root_kb=$rootKb " +
+        f"segments=${segs.size} parse_ms=$parseMs%.0f " +
         f"append_s=$appendSec%.2f pruned_read_s=$pruneSec%.2f " +
         s"kept_files=$keptFiles rows=$plannedRows")
+    }
+
+    // r10 (opt-in: `runMain graft.Stress <rep> manifest_100k`): the
+    // 100k-file metadata drill the segmentation exists for. Builds a
+    // 100k-file table via 50 batched 2k-file appends (real parquet
+    // files, tiny rows — the drill measures METADATA cost, the data
+    // path is exercised everywhere else), then measures what an
+    // operator of such a table feels: 1-file append latency (must be
+    // flat — O(segment + root), not O(files)), root parse latency
+    // (sub-second bar), full snapshot materialization (cold vs warm),
+    // and stats-prune sharpness. Too slow for the default sweep.
+    if (only.exists("manifest_100k".contains)) {
+      import graft.sources.ManifestTable
+      import org.apache.spark.sql.SaveMode
+      val t = java.nio.file.Files.createTempDirectory("graft_stress_m100k").toString
+      val batches = 50
+      val filesPerBatch = 2000
+      var t0 = System.nanoTime()
+      (0 until batches).foreach { b =>
+        val base = b.toLong * filesPerBatch
+        ManifestTable.commit(spark, t,
+          spark.range(base, base + filesPerBatch).select(col("id").as("k"))
+            .repartitionByRange(filesPerBatch, col("k")),
+          if (b == 0) SaveMode.Overwrite else SaveMode.Append,
+          statsColumns = Seq("k"))
+        if ((b + 1) % 10 == 0)
+          println(f"[stress] manifest_100k build ${(b + 1) * filesPerBatch} files " +
+            f"${(System.nanoTime() - t0) / 1e9}%.0f s")
+      }
+      val nFiles = ManifestTable.snapshotFiles(spark, t).size
+      // flat-append check: time 5 single-file appends at full size
+      t0 = System.nanoTime()
+      (0 until 5).foreach(i => ManifestTable.commit(spark, t,
+        spark.range(1000000L + i, 1000001L + i).select(col("id").as("k"))
+          .coalesce(1)))
+      val appendSec = (System.nanoTime() - t0) / 1e9 / 5
+      val head = ManifestTable.currentVersion(spark, t)
+      val rootKb = new java.io.File(s"$t/_manifests",
+        f"v$head%08d.json").length() / 1024
+      t0 = System.nanoTime()
+      val nSegs = ManifestTable.snapshotSegments(spark, t).size
+      val rootParseMs = (System.nanoTime() - t0) / 1e6
+      t0 = System.nanoTime()
+      val nAll = ManifestTable.snapshotFiles(spark, t).size
+      val fullParseWarmMs = (System.nanoTime() - t0) / 1e6
+      t0 = System.nanoTime()
+      val kept = ManifestTable.pruneFiles(spark, t,
+        Seq(("k", 10.0, 100.0)))._1.size
+      val pruneMs = (System.nanoTime() - t0) / 1e6
+      require(nAll == nFiles + 5, s"snapshot lists $nAll files")
+      require(kept * 100 < nAll, s"prune kept $kept of $nAll")
+      require(rootParseMs < 1000, f"root parse $rootParseMs%.0f ms breaks the sub-second bar")
+      println(f"[stress] manifest_100k files=$nAll segments=$nSegs " +
+        f"root_kb=$rootKb append_s=$appendSec%.2f root_parse_ms=$rootParseMs%.0f " +
+        f"full_parse_warm_ms=$fullParseWarmMs%.0f prune_ms=$pruneMs%.0f kept=$kept")
     }
 
     // Analytics shapes over a rep×-replicated event log (user space

@@ -1315,6 +1315,59 @@ object LakehouseQueries {
              |  AND l_suppkey BETWEEN 10 AND 40
              |GROUP BY l_suppkey
              |ORDER BY l_suppkey NULLS FIRST""".stripMargin)
+    ),
+
+    // C40: NULL-count data skipping, judged (r10) — the Delta nullCount
+    // idiom: writeData records per-file null/non-null counts for every
+    // stats column as degenerate ranges on reserved keys, and
+    // readWhere's DNF extraction turns `IS NULL` / `IS NOT NULL` into
+    // [1, ∞) interval constraints on them. The table is committed so
+    // nullness is file-clustered (an all-null batch and a no-null
+    // batch): the IS NULL read must not receive the no-null files and
+    // vice versa — both asserted in-query — and the hash proves the
+    // skip lost no row and leaked none. At 100 TB "find the rows still
+    // missing enrichment" (IS NULL scan) touches only the files that
+    // have any, not the table.
+    Entry(
+      "c40_null_skip",
+      (s, d) => {
+        import org.apache.spark.sql.SaveMode
+        val t = scratchDir("c40", d)
+        val M = graft.sources.ManifestTable
+        val ord = Tables.orders(s, d)
+          .select(col("o_orderkey"), col("o_orderpriority"),
+            when(col("o_orderpriority") === "1-URGENT",
+              lit(null).cast("double"))
+              .otherwise(col("o_totalprice")).as("opt_price"))
+        M.commit(s, t, ord.filter(col("o_orderpriority") === "1-URGENT")
+            .coalesce(2),
+          SaveMode.Overwrite, statsColumns = Seq("opt_price"))
+        M.commit(s, t, ord.filter(col("o_orderpriority") =!= "1-URGENT")
+            .coalesce(2))
+        val total = M.snapshotFiles(s, t).size
+        val nulls = M.readWhere(s, t, col("opt_price").isNull)
+        val notNulls = M.readWhere(s, t, col("opt_price").isNotNull)
+        require(nulls.inputFiles.length < total,
+          s"IS NULL must skip the no-null files (${nulls.inputFiles.length}/$total)")
+        require(notNulls.inputFiles.length < total,
+          s"IS NOT NULL must skip the all-null files (${notNulls.inputFiles.length}/$total)")
+        nulls.agg(count(lit(1)).as("cnt"),
+            sum(col("o_orderkey")).as("sum_key"))
+          .withColumn("side", lit("null"))
+          .unionByName(notNulls.agg(count(lit(1)).as("cnt"),
+              sum(col("o_orderkey")).as("sum_key"))
+            .withColumn("side", lit("not_null")))
+          .select(col("side"), col("cnt"), col("sum_key"))
+          .orderBy("side")
+      },
+      Some("""SELECT 'null' AS side, count(*) AS cnt,
+             |  CAST(sum(o_orderkey) AS BIGINT) AS sum_key
+             |FROM orders WHERE o_orderpriority = '1-URGENT'
+             |UNION ALL
+             |SELECT 'not_null' AS side, count(*) AS cnt,
+             |  CAST(sum(o_orderkey) AS BIGINT) AS sum_key
+             |FROM orders WHERE o_orderpriority <> '1-URGENT'
+             |ORDER BY side NULLS FIRST""".stripMargin)
     )
   )
 }

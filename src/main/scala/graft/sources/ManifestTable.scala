@@ -88,7 +88,8 @@ object ManifestTable {
   def snapshotFiles(spark: SparkSession, table: String,
                     version: Int = -1): Seq[String] = {
     val v = if (version < 0) currentVersion(spark, table) else version
-    if (v == 0) Nil else filesFromText(manifestText(spark, table, v), table, v)
+    if (v == 0) Nil
+    else filesAndStatsFromText(spark, table, v, manifestText(spark, table, v))._1
   }
 
   private def filesFromText(text: String, table: String, v: Int): Seq[String] = {
@@ -134,8 +135,8 @@ object ManifestTable {
     if (v == 0) (Nil, None, Map.empty, Nil)
     else {
       val text = manifestText(spark, table, v)
-      (filesFromText(text, table, v), schemaFromText(text),
-        statsFromText(text), partitionByFromText(text))
+      val (files, stats) = filesAndStatsFromText(spark, table, v, text)
+      (files, schemaFromText(text), stats, partitionByFromText(text))
     }
   }
 
@@ -261,7 +262,8 @@ object ManifestTable {
   def snapshotStats(spark: SparkSession, table: String, version: Int = -1)
       : Map[String, Map[String, (Double, Double)]] = {
     val v = if (version < 0) currentVersion(spark, table) else version
-    if (v == 0) Map.empty else statsFromText(manifestText(spark, table, v))
+    if (v == 0) Map.empty
+    else filesAndStatsFromText(spark, table, v, manifestText(spark, table, v))._2
   }
 
   private def statsFromText(text: String)
@@ -278,6 +280,175 @@ object ManifestTable {
           r.group(1) -> (r.group(2).trim.toDouble, r.group(3).trim.toDouble)
         }.toMap
       }.toMap
+    }
+  }
+
+  // ------------------------------------------------------------------
+  // Manifest segmentation (r10): the Delta-checkpoint / Iceberg-
+  // manifest-list shape. Beyond `graft.manifest.segmentFiles` files
+  // (default 1000) the file list + per-file stats move out of the root
+  // manifest into immutable SEGMENT files under `_manifests/segments/`,
+  // and the root records only their names. A commit then:
+  //   - CARRIES untouched parent segments by reference (zero bytes
+  //     rewritten for them — a 1-file append to a 100k-file table
+  //     writes one small segment + one tiny root, not a 30 MB text);
+  //   - REWRITES only segments some of whose files it removed or
+  //     re-statted (the affected-segment cost a delete/compaction
+  //     actually owes);
+  //   - packs its own new files into fresh segments of up to the
+  //     target size, COALESCING accumulated small carried segments
+  //     (append leaves one per commit) once more than 8 exist — the
+  //     LSM-ish amortization that keeps root size O(files/target).
+  // Metadata-only commits (constraints, tombstones, DDL, restore with
+  // a donor) carry every segment and write just the root: O(1).
+  // Segments are JSON via a real codec (Jackson, on Spark's own
+  // classpath) — the regex grammar stays confined to the root, whose
+  // shape is unchanged for legacy tables. Legacy inline manifests stay
+  // readable forever; a table migrates the first time a commit crosses
+  // the threshold, with no flag day ([[snapshotSegments]] exposes the
+  // layout for tests/ops).
+  // ------------------------------------------------------------------
+
+  private[graft] val SegmentFilesKey = "graft.manifest.segmentFiles"
+
+  private def segmentsFromText(text: String): Seq[String] =
+    "\"segments\"\\s*:\\s*\\[([^\\]]*)\\]".r.findFirstMatchIn(text)
+      .map(m => "\"([^\"]+)\"".r.findAllMatchIn(m.group(1)).map(_.group(1)).toSeq)
+      .getOrElse(Nil)
+
+  /** The segment files `version`'s root references (table-relative,
+    * under `_manifests/`), empty for an inline (legacy or small)
+    * manifest. Ops/tests use it to see carry-by-reference at work. */
+  def snapshotSegments(spark: SparkSession, table: String,
+                       version: Int = -1): Seq[String] = {
+    val v = if (version < 0) currentVersion(spark, table) else version
+    if (v == 0) Nil else segmentsFromText(manifestText(spark, table, v))
+  }
+
+  private type SegEntries = IndexedSeq[(String, Map[String, (Double, Double)])]
+
+  // one configured mapper for all segment IO; stats can be NaN (min/max
+  // of a NaN-bearing double column) so non-numeric numbers are written
+  // bare and accepted back — both ends are this codec
+  private val segmentMapper = {
+    val m = new com.fasterxml.jackson.databind.ObjectMapper()
+    m.enable(com.fasterxml.jackson.core.JsonParser.Feature.ALLOW_NON_NUMERIC_NUMBERS)
+    m.disable(com.fasterxml.jackson.core.JsonGenerator.Feature.QUOTE_NON_NUMERIC_NUMBERS)
+    m
+  }
+
+  /** Write one immutable segment file; returns its manifest-relative
+    * name. Written BEFORE the root publish — a lost race deletes it, a
+    * crash leaves an orphan [[expire]] sweeps. */
+  private def writeSegment(spark: SparkSession, table: String,
+                           entries: Seq[(String, Map[String, (Double, Double)])])
+      : String = {
+    val rel = s"segments/${java.util.UUID.randomUUID()}.json"
+    val node = segmentMapper.createObjectNode()
+    val arr = node.putArray("entries")
+    entries.foreach { case (p, st) =>
+      val e = arr.addObject()
+      e.put("path", p)
+      val s = e.putObject("stats")
+      st.toSeq.sortBy(_._1).foreach { case (c, (mn, mx)) =>
+        val a = s.putArray(c); a.add(mn); a.add(mx)
+      }
+    }
+    val path = new Path(manifestDir(table), rel)
+    val f = fs(spark, path)
+    val out = f.create(path, false) // uuid name: never contended
+    try out.write(segmentMapper.writeValueAsBytes(node)) finally out.close()
+    rel
+  }
+
+  private def parseSegment(text: String, where: String): SegEntries = {
+    val tree = segmentMapper.readTree(text)
+    val entries = tree.get("entries")
+    require(entries != null && entries.isArray, s"malformed segment $where")
+    (0 until entries.size).map { i =>
+      val e = entries.get(i)
+      val p = e.get("path")
+      require(p != null && p.isTextual, s"malformed entry $i in segment $where")
+      val stNode = e.get("stats")
+      val st =
+        if (stNode == null) Map.empty[String, (Double, Double)]
+        else {
+          import scala.jdk.CollectionConverters._
+          stNode.fields().asScala.map { kv =>
+            val a = kv.getValue
+            require(a.isArray && a.size == 2,
+              s"malformed stats for '${kv.getKey}' in segment $where")
+            kv.getKey -> (a.get(0).asDouble, a.get(1).asDouble)
+          }.toMap
+        }
+      p.asText -> st
+    }
+  }
+
+  // segment entry cache: segments are immutable (uuid-named, never
+  // rewritten), but the same (len, mtime) validation as the root cache
+  // guards the drop-and-recreate-at-same-path hole; bounded by total
+  // FILE ENTRIES (the actual memory), not segment count
+  private final case class CachedSegment(entries: SegEntries, len: Long, mtime: Long)
+  private val segmentCacheMaxEntries = 2000000L
+  private object segmentCacheLock
+  private var segmentCacheEntries = 0L
+  private val segmentCache =
+    new java.util.LinkedHashMap[String, CachedSegment](64, 0.75f, true)
+
+  private def segmentEntries(spark: SparkSession, table: String,
+                             rel: String): SegEntries = {
+    val p = new Path(manifestDir(table), rel)
+    val key = p.toString
+    val f = fs(spark, p)
+    val st =
+      try f.getFileStatus(p)
+      catch {
+        case _: java.io.FileNotFoundException => throw new IllegalArgumentException(
+          s"requirement failed: segment $rel of $table is missing — the " +
+            "version referencing it is expired or the table is corrupt")
+      }
+    val cached = segmentCacheLock.synchronized(segmentCache.get(key))
+    if (cached != null && cached.len == st.getLen &&
+        cached.mtime == st.getModificationTime) cached.entries
+    else {
+      val in = f.open(p)
+      val text =
+        try scala.io.Source.fromInputStream(in, "UTF-8").mkString
+        finally in.close()
+      val entries = parseSegment(text, s"$rel of $table")
+      segmentCacheLock.synchronized {
+        val prev = segmentCache.put(key,
+          CachedSegment(entries, st.getLen, st.getModificationTime))
+        segmentCacheEntries +=
+          entries.size - (if (prev == null) 0 else prev.entries.size)
+        val it = segmentCache.entrySet().iterator()
+        while (segmentCacheEntries > segmentCacheMaxEntries && it.hasNext) {
+          val eldest = it.next()
+          if (eldest.getKey != key) {
+            segmentCacheEntries -= eldest.getValue.entries.size
+            it.remove()
+          }
+        }
+      }
+      entries
+    }
+  }
+
+  /** Files + stats of a version's root text, segment-aware: the ONE
+    * accessor every snapshot consumer funnels through. Inline roots
+    * parse as before; segmented roots concatenate their segments'
+    * entries (stats map carries only files that have stats, matching
+    * the inline convention). */
+  private def filesAndStatsFromText(spark: SparkSession, table: String,
+                                    v: Int, text: String)
+      : (Seq[String], Map[String, Map[String, (Double, Double)]]) = {
+    val segs = segmentsFromText(text)
+    if (segs.isEmpty) (filesFromText(text, table, v), statsFromText(text))
+    else {
+      val all = segs.map(segmentEntries(spark, table, _))
+      (all.flatMap(_.map(_._1)),
+        all.iterator.flatten.filter(_._2.nonEmpty).toMap)
     }
   }
 
@@ -321,8 +492,9 @@ object ManifestTable {
     var prev = Set.empty[String]
     val rows = vs.zipWithIndex.map { case (v, i) =>
       val text = manifestText(spark, table, v)
-      val fileSet = filesFromText(text, table, v).toSet
-      val bytes = statsFromText(text).valuesIterator
+      val (vFiles, vStats) = filesAndStatsFromText(spark, table, v, text)
+      val fileSet = vFiles.toSet
+      val bytes = vStats.valuesIterator
         .flatMap(_.get(SizeKey)).map(_._1.toLong).sum
       // added/removed diff against the parent snapshot — unknowable
       // only for the oldest surviving version when its parent expired
@@ -390,7 +562,8 @@ object ManifestTable {
       // tombstones = resurrecting deleted rows). End instead at the
       // next SECTION key: quotes ARE hive-escaped, so no quoted
       // section token can appear inside a target string.
-      val end = Seq("\"partitionBy\"", "\"schemaB64\"", "\"stats\"", "\"files\"")
+      val end = Seq("\"partitionBy\"", "\"schemaB64\"", "\"stats\"",
+          "\"segments\"", "\"files\"")
         .map(k => text.indexOf(k, start)).filter(_ >= 0) match {
         case Nil => text.length
         case hits => hits.min
@@ -856,6 +1029,15 @@ object ManifestTable {
           val ds = vs.flatten
           atLeast(a.name, ds.min); atMost(a.name, ds.max)
         }
+      // nullness predicates constrain the SYNTHETIC null-count keys
+      // (recorded per stats column at write): IS NULL can only match
+      // in a file with ≥1 null, IS NOT NULL in one with ≥1 non-null —
+      // files without the stat (legacy, non-stats columns) are kept by
+      // the ordinary absent-stats rule
+      case IsNull(a) if attr(a).isDefined =>
+        attr(a).foreach(c => atLeast(NullsKeyPrefix + c, 1.0))
+      case IsNotNull(a) if attr(a).isDefined =>
+        attr(a).foreach(c => atLeast(NonNullsKeyPrefix + c, 1.0))
       // literal-on-the-left comparison forms flip the bound
       case GreaterThanOrEqual(l, a) if attr(a).isDefined =>
         for (c <- attr(a); v <- lit(l)) atMost(c, v)
@@ -943,9 +1125,9 @@ object ManifestTable {
       : (String, Seq[String], Map[String, Map[String, (Double, Double)]]) = {
     // refuse the reserved name BEFORE writing anything — a refused
     // batch must leave no garbage dir behind
-    require(!df.schema.names.contains(SizeKey),
-      s"column name '$SizeKey' is reserved for the manifest's per-file " +
-        "size metadata")
+    require(!df.schema.names.exists(_.startsWith(ReservedStatsPrefix)),
+      s"column names starting with '$ReservedStatsPrefix' are reserved " +
+        "for the manifest's per-file metadata (sizes, null counts)")
     val uuid = java.util.UUID.randomUUID().toString
     val dataDir = new Path(table, s"data/$uuid")
     val w = df.write.mode(SaveMode.ErrorIfExists)
@@ -1016,30 +1198,38 @@ object ManifestTable {
             "grammar cannot carry (quote, backslash, or newline)"))
         if (cols.isEmpty) Map.empty
         else {
-          // only columns with a sound stats encoding participate —
-          // an unsupported type (binary, array, …) records nothing
-          // instead of failing the commit after the data write
+          // only columns with a sound stats encoding get (min, max) —
+          // an unsupported type (binary, array, …) records no range
+          // instead of failing the commit after the data write. NULL
+          // counts need no encoding, so EVERY stats column gets them
+          // (IS NULL pruning works on a binary column too).
+          import org.apache.spark.sql.functions.{count, lit, sum, when}
           val encoded = cols.flatMap(c =>
             statEncoder(df.schema(c).dataType, col(c)).map(c -> _))
-          if (encoded.isEmpty) Map.empty
-          else {
           val cols2 = encoded.map(_._1)
           val aggs = encoded.flatMap { case (c, e) => Seq(
             min(e).as(s"__mn_$c"),
-            max(e).as(s"__mx_$c")) }
+            max(e).as(s"__mx_$c")) } ++
+            cols.flatMap(c => Seq(
+              sum(when(col(c).isNull, lit(1L)).otherwise(lit(0L))).as(s"__nc_$c"),
+              count(col(c)).as(s"__nn_$c")))
           spark.read.parquet(dataDir.toString)
             .groupBy(relFileCol.as("__f"))
             .agg(aggs.head, aggs.tail: _*)
             .collect() // bounded: one row per NEW file
             .map { r =>
-              r.getAs[String]("__f") -> cols2.flatMap { c =>
+              r.getAs[String]("__f") -> (cols2.flatMap { c =>
                 val mn = r.getAs[Any](s"__mn_$c")
                 val mx = r.getAs[Any](s"__mx_$c")
                 if (mn == null || mx == null) None
                 else Some(c -> (mn.asInstanceOf[Double], mx.asInstanceOf[Double]))
-              }.toMap
+              }.toMap ++ cols.flatMap { c =>
+                val nc = r.getAs[Long](s"__nc_$c").toDouble
+                val nn = r.getAs[Long](s"__nn_$c").toDouble
+                Seq(NullsKeyPrefix + c -> (nc, nc),
+                  NonNullsKeyPrefix + c -> (nn, nn))
+              }.toMap)
             }.toMap
-          }
         }
       }
     // every new file's byte size rides in the stats map as a reserved
@@ -1100,11 +1290,11 @@ object ManifestTable {
                          partitionBy: Seq[String] = Nil,
                          constraints: Option[Map[String, String]] = None,
                          op: String = "write",
-                         tombstones: Option[Seq[(String, Seq[String])]] = None)
+                         tombstones: Option[Seq[(String, Seq[String])]] = None,
+                         reuseSegmentsOf: Option[Int] = None)
       : Boolean = {
     // schema rides base64-encoded (its JSON is full of quotes the
-    // regex-grammar manifest must not see); stats are one file-entry
-    // per line, only for files still in THIS snapshot
+    // regex-grammar manifest must not see)
     val schemaLine = schema.map { s =>
       val b64 = java.util.Base64.getEncoder.encodeToString(s.json.getBytes("UTF-8"))
       s"""  "schemaB64": "$b64",\n"""
@@ -1119,13 +1309,6 @@ object ManifestTable {
         .mkString("  \"partitionBy\": [", ", ", "],\n")
     val fileSet = files.toSet
     val live = stats.filter { case (f, m) => m.nonEmpty && fileSet.contains(f) }
-    val statsBlock =
-      if (live.isEmpty) ""
-      else live.toSeq.sortBy(_._1).map { case (f, m) =>
-        val cols = m.toSeq.sortBy(_._1)
-          .map { case (c, (mn, mx)) => s""""$c":[$mn,$mx]""" }.mkString(",")
-        s"""    "$f": {$cols}"""
-      }.mkString("  \"stats\": {\n", ",\n", "\n  },\n")
     // commit wall-clock, forced STRICTLY past the parent's so
     // timestamp-as-of resolution is total even for same-millisecond
     // commit bursts (the Delta in-commit-timestamp monotonicity rule);
@@ -1165,15 +1348,6 @@ object ManifestTable {
       }.mkString("  \"tombstonesB64\": {", ", ", "},\n")
     require(op.matches("[a-z][a-z-]*"),
       s"op '$op' is not a manifest-safe identifier")
-    val body =
-      s"""{
-         |  "version": ${head + 1},
-         |  "op": "$op",
-         |  "commitMs": $commitMs,
-         |$consLine$tombLine$partitionLine$schemaLine$statsBlock  "files": [
-         |${files.map(p => s"    \"$p\"").mkString(",\n")}
-         |  ]
-         |}""".stripMargin
     val target = manifestPath(table, head + 1)
     // The temp name must be unique PER PUBLISH ATTEMPT, not per (tag,
     // slot): metadata-only ops derive their tag from the operation's
@@ -1195,7 +1369,8 @@ object ManifestTable {
     // unless the caller explicitly opts in (accepting last-writer-wins
     // torn races) — the real fix there is a conditional PUT
     // (If-None-Match) or a commit coordinator, which the sandbox's
-    // Hadoop FS API does not expose.
+    // Hadoop FS API does not expose. Checked BEFORE any segment write
+    // so a refused scheme leaves zero garbage behind.
     val isLocal = f.isInstanceOf[org.apache.hadoop.fs.LocalFileSystem] ||
       f.isInstanceOf[org.apache.hadoop.fs.RawLocalFileSystem]
     if (!isLocal)
@@ -1203,6 +1378,70 @@ object ManifestTable {
         Option(target.toUri.getScheme).getOrElse(f.getScheme),
         spark.sparkContext.hadoopConfiguration
           .getBoolean("graft.manifest.allowNonAtomicPublish", false))
+    // ---- file-list layout: inline (small tables, the legacy shape)
+    // or segmented (see the segmentation block comment above). A table
+    // crosses into segments the first time a commit exceeds the target
+    // and stays there; segment REUSE candidates are the parent's
+    // segments plus — for by-reference ops like restore — a donor
+    // version's, so those stay O(root) instead of O(files).
+    val segTarget = math.max(1, spark.sparkContext.hadoopConfiguration
+      .getInt(SegmentFilesKey, 1000))
+    val parentSegs = if (head == 0) Nil else segmentsFromText(parentText)
+    val donorSegs = reuseSegmentsOf.toSeq.filter(_ > 0)
+      .flatMap(v => segmentsFromText(manifestText(spark, table, v)))
+    val segmented = files.nonEmpty &&
+      (files.size > segTarget || parentSegs.nonEmpty || donorSegs.nonEmpty)
+    var newSegRefs = Seq.empty[String]
+    val (statsBlock, segmentsLine, filesBody) =
+      if (!segmented) {
+        val sb =
+          if (live.isEmpty) ""
+          else live.toSeq.sortBy(_._1).map { case (fp, m) =>
+            val cols = m.toSeq.sortBy(_._1)
+              .map { case (c, (mn, mx)) => s""""$c":[$mn,$mx]""" }.mkString(",")
+            s"""    "$fp": {$cols}"""
+          }.mkString("  \"stats\": {\n", ",\n", "\n  },\n")
+        (sb, "", files.map(p => s"    \"$p\"").mkString(",\n"))
+      } else {
+        // a candidate segment is carried by reference iff every file in
+        // it is in this snapshot with IDENTICAL stats and not already
+        // covered (parent and donor lists can overlap)
+        var covered = Set.empty[String]
+        val carried0 = (parentSegs ++ donorSegs).distinct
+          .map(r => r -> segmentEntries(spark, table, r))
+          .filter { case (_, entries) =>
+            val ok = entries.nonEmpty && entries.forall { case (p, st) =>
+              fileSet.contains(p) && !covered(p) &&
+                live.getOrElse(p, Map.empty[String, (Double, Double)]) == st
+            }
+            if (ok) covered ++= entries.map(_._1)
+            ok
+          }
+        // coalesce: appends leave one small segment per commit; once
+        // more than 8 under-half-full ones accumulate, demote them so
+        // their files repack into full segments (amortized O(1)/file)
+        val small = carried0.filter(_._2.size < segTarget / 2).map(_._1).toSet
+        val carried = if (small.size > 8)
+          carried0.filterNot(c => small(c._1)) else carried0
+        val coveredFinal = carried.iterator.flatMap(_._2.map(_._1)).toSet
+        val remaining = files.filterNot(coveredFinal)
+        newSegRefs = remaining.grouped(segTarget).map { chunk =>
+          writeSegment(spark, table, chunk.map(p =>
+            p -> live.getOrElse(p, Map.empty[String, (Double, Double)])))
+        }.toSeq
+        val refs = carried.map(_._1) ++ newSegRefs
+        ("", refs.map(r => s""""$r"""").mkString("  \"segments\": [", ", ", "],\n"),
+          "")
+      }
+    val body =
+      s"""{
+         |  "version": ${head + 1},
+         |  "op": "$op",
+         |  "commitMs": $commitMs,
+         |$consLine$tombLine$partitionLine$schemaLine$statsBlock$segmentsLine  "files": [
+         |$filesBody
+         |  ]
+         |}""".stripMargin
     val out = f.create(tmp, true)
     try out.write(body.getBytes("UTF-8")) finally out.close()
     beforePublishLink()
@@ -1223,6 +1462,10 @@ object ManifestTable {
         !f.exists(target) && f.rename(tmp, target)
     }
     f.delete(tmp, false)
+    // a lost race's freshly written segments are garbage on the losing
+    // line — reclaim them now (carried ones belong to the parent/donor)
+    if (!won) newSegRefs.foreach(r =>
+      f.delete(new Path(manifestDir(table), r), false))
     won
   }
 
@@ -1573,6 +1816,19 @@ object ManifestTable {
     * collide with real column stats and mis-prune). */
   private[graft] val SizeKey = "__graft_bytes"
 
+  /** Reserved stats-key prefixes for per-file NULL accounting (r10,
+    * the Delta nullCount idiom): for every stats column `c`,
+    * `__graft_nulls:c` records (nullCount, nullCount) and
+    * `__graft_nonnulls:c` (nonNullCount, nonNullCount) — degenerate
+    * ranges, so `IS NULL` / `IS NOT NULL` pruning is just an ordinary
+    * `[1, ∞)` interval constraint on the synthetic key and the whole
+    * DNF machinery applies unchanged. Both counts are recorded (not
+    * nullCount + rowCount) so each predicate reads exactly one key.
+    * All `__graft_`-prefixed names are refused as data columns. */
+  private[graft] val NullsKeyPrefix = "__graft_nulls:"
+  private[graft] val NonNullsKeyPrefix = "__graft_nonnulls:"
+  private[graft] val ReservedStatsPrefix = "__graft_"
+
   /** Per-file byte sizes recorded in `version`'s manifest — the
     * metadata [[compactSmall]] plans on without ever stat-ing a file.
     * Files committed before size tracking are simply absent. */
@@ -1590,8 +1846,16 @@ object ManifestTable {
     * scan — writeData records sizes on its own. */
   private def statsColumnsOf(
       stats: Map[String, Map[String, (Double, Double)]]): Seq[String] =
-    stats.valuesIterator.flatMap(_.keysIterator)
-      .filterNot(_ == SizeKey).toSeq.distinct.sorted
+    stats.valuesIterator.flatMap(_.keysIterator).flatMap {
+      // an ALL-NULL file records no (min, max) for a column — its
+      // null-count key alone must keep the column in the tracked set,
+      // or the first all-null batch would silently stop stats
+      // collection for every later append
+      case k if k.startsWith(NullsKeyPrefix) => Some(k.stripPrefix(NullsKeyPrefix))
+      case k if k.startsWith(NonNullsKeyPrefix) => Some(k.stripPrefix(NonNullsKeyPrefix))
+      case k if k.startsWith(ReservedStatsPrefix) => None
+      case k => Some(k)
+    }.toSeq.distinct.sorted
 
   /** MERGE-style upsert: rows of `updates` replace current rows with
     * equal `keys`; unmatched update rows insert. One new snapshot —
@@ -2227,7 +2491,8 @@ object ManifestTable {
       deleteTombstones(spark, table, head).foreach { case (sql, _) =>
         require(stillAnalyzes(sql),
           s"a pending lazy delete references '$name' — materialize first") }
-      val stripped = stats.map { case (f, m) => f -> (m - name) }
+      val stripped = stats.map { case (f, m) =>
+        f -> (m - name - (NullsKeyPrefix + name) - (NonNullsKeyPrefix + name)) }
       beforeConditionalCommit()
       if (currentVersion(spark, table) == head &&
           tryPublish(spark, table, head, files, s"dropcol-${b64t(name)}",
@@ -2266,9 +2531,11 @@ object ManifestTable {
     while (attempt < maxAttempts) {
       attempt += 1
       val head = currentVersion(spark, table)
+      // the target's segments are reused as-is (donor): a restore of a
+      // 100k-file segmented snapshot writes ONE tiny root, no segments
       if (tryPublish(spark, table, head, files, s"restore-$version",
           schema, stats, partBy, Some(cons), op = "restore",
-          tombstones = Some(tombs)))
+          tombstones = Some(tombs), reuseSegmentsOf = Some(version)))
         return head + 1
       if (currentVersion(spark, table) <= head)
         throw new java.io.IOException(
@@ -2459,5 +2726,20 @@ object ManifestTable {
     drop.foreach(v => f.delete(manifestPath(table, v), false))
     reclaimVictims(spark, table, keep, graceMs)
       .foreach(p => f.delete(p, true))
+    // segment files referenced by NO surviving root are garbage too —
+    // dropped versions' exclusive segments, plus crashed publishers'
+    // orphans. Same grace rule as data dirs: a fresh unreferenced
+    // segment may belong to a writer between its segment write and its
+    // root publish, so only reclaim past the grace window.
+    val segDir = new Path(manifestDir(table), "segments")
+    if (f.exists(segDir)) {
+      val referenced = keep
+        .flatMap(v => segmentsFromText(manifestText(spark, table, v))).toSet
+      val cutoff = System.currentTimeMillis() - graceMs
+      f.listStatus(segDir)
+        .filter(st => !referenced.contains("segments/" + st.getPath.getName))
+        .filter(st => graceMs <= 0L || st.getModificationTime < cutoff)
+        .foreach(st => f.delete(st.getPath, false))
+    }
   }
 }

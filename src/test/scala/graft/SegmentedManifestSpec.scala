@@ -1,0 +1,194 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.{DataFrame, SaveMode}
+import org.apache.spark.sql.functions._
+import graft.sources.ManifestTable
+
+/** Manifest segmentation (r10): past `graft.manifest.segmentFiles`
+  * files the root manifest stops inlining the file list + stats and
+  * references immutable segment files instead (the Delta-checkpoint /
+  * Iceberg-manifest-list shape). These tests pin the contract:
+  * byte-identical reads across the layout change, carry-by-reference
+  * appends, O(root) metadata ops and restores, affected-segment-only
+  * deletes, small-segment coalescing, legacy migration, and vacuum of
+  * unreferenced segments. */
+class SegmentedManifestSpec extends AnyFunSuite with SparkFixture {
+
+  private def fresh(): String =
+    java.nio.file.Files.createTempDirectory("graft_segment").toString
+
+  private def df(rows: (Long, String)*): DataFrame = {
+    import spark.implicits._
+    rows.toSeq.toDF("id", "v")
+  }
+
+  /** Run `body` with the segment threshold lowered to `n` files. */
+  private def withSegTarget[A](n: Int)(body: => A): A = {
+    val conf = spark.sparkContext.hadoopConfiguration
+    val prev = conf.get(ManifestTable.SegmentFilesKey)
+    conf.setInt(ManifestTable.SegmentFilesKey, n)
+    try body
+    finally if (prev == null) conf.unset(ManifestTable.SegmentFilesKey)
+            else conf.set(ManifestTable.SegmentFilesKey, prev)
+  }
+
+  private def headMap(t: String): Map[Long, String] =
+    ManifestTable.read(spark, t).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+
+  test("a commit past the threshold segments the manifest; reads and stats are identical") {
+    val t = fresh()
+    withSegTarget(2) {
+      ManifestTable.commit(spark, t,
+        df((1L to 7L).map(i => i -> s"v$i"): _*).repartition(5),
+        statsColumns = Seq("id"))
+      val segs = ManifestTable.snapshotSegments(spark, t)
+      assert(segs.nonEmpty, "past-threshold commit must write segments")
+      assert(segs.forall(_.startsWith("segments/")), s"refs must be manifest-relative: $segs")
+      // snapshot surface identical to the inline layout
+      assert(headMap(t) === (1L to 7L).map(i => i -> s"v$i").toMap)
+      val files = ManifestTable.snapshotFiles(spark, t)
+      val stats = ManifestTable.snapshotStats(spark, t)
+      assert(files.size > 2, s"need a multi-file past-threshold snapshot, got ${files.size}")
+      assert(files.forall(stats.contains), "per-file stats must survive segmentation")
+      assert(stats.values.forall(_.contains("id")))
+      // stats pruning still works through segments
+      val pruned = ManifestTable.readWhere(spark, t, col("id") === 1L)
+      assert(pruned.collect().map(_.getLong(0)).toSeq === Seq(1L))
+    }
+  }
+
+  test("an append carries parent segments by reference and adds exactly its own") {
+    val t = fresh()
+    withSegTarget(2) {
+      ManifestTable.commit(spark, t, df(1L -> "a", 2L -> "b", 3L -> "c").repartition(3))
+      val before = ManifestTable.snapshotSegments(spark, t)
+      assert(before.nonEmpty)
+      ManifestTable.commit(spark, t, df(4L -> "d").coalesce(1))
+      val after = ManifestTable.snapshotSegments(spark, t)
+      assert(before.toSet.subsetOf(after.toSet),
+        s"parent segments must be carried by reference: $before vs $after")
+      assert((after.toSet -- before.toSet).size === 1,
+        "a 1-file append writes exactly one new segment")
+      assert(headMap(t).keySet === Set(1L, 2L, 3L, 4L))
+    }
+  }
+
+  test("metadata-only ops (constraint, lazy delete, DDL, restore) write no new segments") {
+    val t = fresh()
+    withSegTarget(2) {
+      ManifestTable.commit(spark, t,
+        df(1L -> "a", 2L -> "b", 3L -> "c").repartition(3), statsColumns = Seq("id"))
+      val v1Segs = ManifestTable.snapshotSegments(spark, t, 1).toSet
+      ManifestTable.addConstraint(spark, t, "pos", "id > 0")
+      assert(ManifestTable.snapshotSegments(spark, t).toSet === v1Segs)
+      ManifestTable.deleteWhereLazy(spark, t, col("id") === 2L)
+      assert(ManifestTable.snapshotSegments(spark, t).toSet === v1Segs)
+      assert(headMap(t).keySet === Set(1L, 3L))
+      ManifestTable.addColumn(spark, t, "extra",
+        org.apache.spark.sql.types.LongType)
+      assert(ManifestTable.snapshotSegments(spark, t).toSet === v1Segs)
+      // restore to v1 references v1's segments verbatim — zero segment IO
+      val segDir = new Path(new Path(t, "_manifests"), "segments")
+      val f = segDir.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      val nBefore = f.listStatus(segDir).length
+      ManifestTable.restore(spark, t, 1)
+      assert(f.listStatus(segDir).length === nBefore,
+        "restore must not write segment files")
+      assert(ManifestTable.snapshotSegments(spark, t).toSet === v1Segs)
+      assert(headMap(t).keySet === Set(1L, 2L, 3L))
+    }
+  }
+
+  test("a delete rewrites only the segments it touches") {
+    val t = fresh()
+    withSegTarget(1) {
+      // three appends → three single-file segments
+      ManifestTable.commit(spark, t, df(1L -> "a").coalesce(1), statsColumns = Seq("id"))
+      ManifestTable.commit(spark, t, df(2L -> "b").coalesce(1))
+      ManifestTable.commit(spark, t, df(3L -> "c").coalesce(1))
+      val before = ManifestTable.snapshotSegments(spark, t)
+      assert(before.size === 3)
+      // stats-pruned delete touches only the file holding id=2
+      ManifestTable.deleteWhere(spark, t, col("id") === 2L)
+      val after = ManifestTable.snapshotSegments(spark, t)
+      assert((before.toSet & after.toSet).size === 2,
+        s"untouched segments must be carried by reference: $before vs $after")
+      assert(headMap(t).keySet === Set(1L, 3L))
+    }
+  }
+
+  test("accumulated small segments coalesce once more than 8 exist") {
+    val t = fresh()
+    withSegTarget(4) {
+      (1L to 12L).foreach(i =>
+        ManifestTable.commit(spark, t, df(i -> s"v$i").coalesce(1)))
+      val segs = ManifestTable.snapshotSegments(spark, t)
+      // 12 one-file appends would leave 12 one-file segments without
+      // coalescing; the demote-and-repack keeps the count bounded
+      assert(segs.size < 12, s"small segments must coalesce, got ${segs.size}")
+      assert(headMap(t).keySet === (1L to 12L).toSet)
+    }
+  }
+
+  test("a legacy inline table migrates on its first over-threshold commit; old versions stay readable") {
+    val t = fresh()
+    // inline layout first (threshold far above the file count)
+    ManifestTable.commit(spark, t, df(1L -> "a", 2L -> "b"), statsColumns = Seq("id"))
+    assert(ManifestTable.snapshotSegments(spark, t).isEmpty, "small table stays inline")
+    withSegTarget(1) {
+      ManifestTable.commit(spark, t, df(3L -> "c", 4L -> "d").repartition(2))
+      assert(ManifestTable.snapshotSegments(spark, t).nonEmpty,
+        "crossing the threshold must segment the new root")
+      assert(headMap(t).keySet === Set(1L, 2L, 3L, 4L))
+      // v1 (inline) still readable through time travel
+      assert(ManifestTable.read(spark, t, 1).collect().map(_.getLong(0)).toSet
+        === Set(1L, 2L))
+      // and stats carried across the migration still prune
+      val got = ManifestTable.readWhere(spark, t, col("id") === 1L)
+        .collect().map(_.getLong(0))
+      assert(got.toSeq === Seq(1L))
+    }
+  }
+
+  test("expire reclaims segments no surviving version references") {
+    val t = fresh()
+    withSegTarget(1) {
+      ManifestTable.commit(spark, t, df(1L -> "a").coalesce(1))
+      ManifestTable.commit(spark, t, df(2L -> "b").coalesce(1))
+      // overwrite orphans v1/v2's segments once those versions expire
+      ManifestTable.commit(spark, t, df(9L -> "z").coalesce(1), SaveMode.Overwrite)
+      val headSegs = ManifestTable.snapshotSegments(spark, t).toSet
+      val segDir = new Path(new Path(t, "_manifests"), "segments")
+      val f = segDir.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      assert(f.listStatus(segDir).length > headSegs.size)
+      ManifestTable.expire(spark, t, keepLast = 1)
+      val left = f.listStatus(segDir).map(s => "segments/" + s.getPath.getName).toSet
+      assert(left === headSegs,
+        s"only the surviving version's segments may remain, got $left")
+      assert(headMap(t) === Map(9L -> "z"))
+    }
+  }
+
+  test("merge on a segmented table touches only churned segments and stays correct") {
+    val t = fresh()
+    withSegTarget(2) {
+      ManifestTable.commit(spark, t,
+        df((1L to 8L).map(i => i -> s"v$i"): _*).repartition(4), statsColumns = Seq("id"))
+      val before = ManifestTable.snapshotSegments(spark, t).toSet
+      ManifestTable.upsert(spark, t, df(1L -> "V1", 100L -> "ins"), Seq("id"))
+      val after = ManifestTable.snapshotSegments(spark, t).toSet
+      assert((before & after).nonEmpty,
+        "untouched segments must be carried through a merge")
+      assert(headMap(t) ===
+        ((2L to 8L).map(i => i -> s"v$i").toMap + (1L -> "V1") + (100L -> "ins")))
+      // change feed across the segmented line is still churn-bounded and exact
+      val ch = ManifestTable.rowChanges(spark, t, 1, Seq("id"))
+      val byType = ch.collect().groupBy(_.getAs[String]("_change_type"))
+      assert(byType("insert").map(_.getLong(0)).toSet === Set(100L))
+      assert(byType("update_post").map(_.getLong(0)).toSet === Set(1L))
+    }
+  }
+}

@@ -42,6 +42,58 @@ class StatsSkipSpec extends AnyFunSuite with SparkFixture {
     assert(pruned === full && full > 0)
   }
 
+  test("IS NULL keeps only nullCount>0 files; IS NOT NULL drops all-null files; no stat keeps all") {
+    val t = freshTable()
+    import spark.implicits._
+    val allNull = Seq(1L, 2L).toDF("id")
+      .withColumn("v", lit(null).cast("string"))
+    val mixed = Seq((3L, "x"), (4L, null.asInstanceOf[String])).toDF("id", "v")
+    val noNull = Seq((5L, "y"), (6L, "z")).toDF("id", "v")
+    ManifestTable.commit(spark, t, allNull.coalesce(1), SaveMode.Overwrite,
+      statsColumns = Seq("id", "v"))
+    ManifestTable.commit(spark, t, mixed.coalesce(1))
+    ManifestTable.commit(spark, t, noNull.coalesce(1))
+    assert(ManifestTable.snapshotFiles(spark, t).size === 3)
+    val isNull = ManifestTable.readWhere(spark, t, col("v").isNull)
+    assert(isNull.inputFiles.length === 2,
+      "IS NULL must receive only the all-null and mixed files")
+    assert(isNull.collect().map(_.getLong(0)).toSet === Set(1L, 2L, 4L))
+    val notNull = ManifestTable.readWhere(spark, t, col("v").isNotNull)
+    assert(notNull.inputFiles.length === 2,
+      "IS NOT NULL must receive only the mixed and no-null files")
+    assert(notNull.collect().map(_.getLong(0)).toSet === Set(3L, 5L, 6L))
+    // a table without null stats keeps every file (conservative)
+    val t2 = freshTable()
+    ManifestTable.commit(spark, t2, noNull.coalesce(1), SaveMode.Overwrite)
+    val unstats = ManifestTable.readWhere(spark, t2, col("v").isNull)
+    assert(unstats.inputFiles.length === 1, "stat-less files are never null-pruned")
+    assert(unstats.count() === 0)
+  }
+
+  test("null-count stats survive rewrites and compose with range constraints") {
+    val t = freshTable()
+    import spark.implicits._
+    val df = (1L to 40L).map(i =>
+        (i, if (i % 4 == 0) null.asInstanceOf[String] else s"s$i"))
+      .toDF("id", "v")
+    ManifestTable.commit(spark, t,
+      df.repartitionByRange(4, col("id")), SaveMode.Overwrite,
+      statsColumns = Seq("id", "v"))
+    // AND of a range and a nullness constraint: both prune; result exact
+    val got = ManifestTable.readWhere(spark, t,
+      col("id") <= 10L && col("v").isNull)
+    assert(got.inputFiles.length < 4, "the range side must still prune")
+    assert(got.collect().map(_.getLong(0)).toSet === Set(4L, 8L))
+    // a compaction rewrite keeps collecting null stats for its output
+    ManifestTable.compact(spark, t, targetFiles = 2)
+    val after = ManifestTable.readWhere(spark, t, col("v").isNull)
+    assert(after.collect().map(_.getLong(0)).toSet
+      === (4L to 40L by 4).toSet)
+    val stats = ManifestTable.snapshotStats(spark, t)
+    assert(stats.values.exists(_.contains(ManifestTable.NullsKeyPrefix + "v")),
+      "rewritten files must carry fresh null counts")
+  }
+
   test("a column without recorded stats is never pruned (conservative keep)") {
     val t = freshTable()
     val ord = Tables.orders(spark, "/root/testdata/sf0.001")
