@@ -1368,6 +1368,111 @@ object LakehouseQueries {
              |  CAST(sum(o_orderkey) AS BIGINT) AS sum_key
              |FROM orders WHERE o_orderpriority <> '1-URGENT'
              |ORDER BY side NULLS FIRST""".stripMargin)
+    ),
+
+    // C41: exactly-once streaming upsert INTO the manifest table,
+    // judged (r10) — the batch twin of ManifestSink (foreachBatch →
+    // keyed MERGE with the Delta txnAppId/txnVersion idiom; the live
+    // stream + checkpoint-restart path is ManifestSinkSpec). The event
+    // log plays as three micro-batches (sliced by event_id, each
+    // collapsed latest-wins within itself), merged under the strict
+    // CDC condition on (ms, event_id); then batch 1 is RE-DELIVERED —
+    // the crash-between-commit-and-checkpoint case — and must no-op:
+    // the recorded (appId, batchId) rides the same atomic publish as
+    // the data. In-query requires pin one-version-per-batch and the
+    // no-op replay; the hash proves the final state equals the global
+    // latest event per user, i.e. replay changed nothing and
+    // out-of-order batch arrival resolved by the CDC condition.
+    Entry(
+      "c41_stream_upsert",
+      (s, d) => {
+        val t = scratchDir("c41", d)
+        val M = graft.sources.ManifestTable
+        val ev = Tables.events(s, d)
+          .select(col("user_id"), col("event_id"), col("event_type"),
+            col("value"), unix_millis(col("ts")).as("tms"))
+        val upd = Some(col("_src.tms") > col("tms") ||
+          (col("_src.tms") === col("tms") &&
+            col("_src.event_id") > col("event_id")))
+        def batch(b: Int) = graft.streaming.ManifestSink.latestWins(
+          ev.filter(col("event_id") % 3 === b),
+          Seq("user_id"), Seq("tms", "event_id"))
+        (0 until 3).foreach(b => M.merge(s, t, batch(b), Seq("user_id"),
+          whenMatchedUpdate = upd, txn = Some(("c41-app", b.toLong))))
+        val v = M.currentVersion(s, t)
+        require(v == 3, s"one version per delivered batch, got $v")
+        M.merge(s, t, batch(1), Seq("user_id"),
+          whenMatchedUpdate = upd, txn = Some(("c41-app", 1L)))
+        require(M.currentVersion(s, t) == v,
+          "a replayed batch must not commit a new version")
+        M.read(s, t)
+          .select(col("user_id"), col("tms").as("last_ms"),
+            col("event_id").as("last_event"),
+            col("event_type").as("last_type"),
+            round(col("value"), 2).as("val"))
+          .orderBy("user_id")
+      },
+      Some("""SELECT user_id, CAST(epoch_ms(ts) AS BIGINT) AS last_ms,
+             |  event_id AS last_event, event_type AS last_type,
+             |  round(value, 2) AS val
+             |FROM (SELECT *, row_number() OVER (PARTITION BY user_id
+             |    ORDER BY epoch_ms(ts) DESC, event_id DESC) AS rn FROM events)
+             |WHERE rn = 1
+             |ORDER BY user_id NULLS FIRST""".stripMargin)
+    ),
+
+    // C42: row-granular deletion vectors, judged (r10) — the Delta DV
+    // shape: a SCATTERED delete (one key residue spread across every
+    // file — the GDPR-erasure pattern predicate tombstones and eager
+    // rewrites both handle badly) records per-file row-position
+    // vectors in a metadata-only commit. In-query requires pin the
+    // contract: the snapshot's file list is UNCHANGED (zero data
+    // moved), yet every read hides the victims. The result reads the
+    // vectored head twice — a full aggregate and a stats-pruned
+    // readWhere slice — so the hash proves the vector filter composes
+    // with data skipping and lost no row either way; the oracle
+    // replays the delete as a plain WHERE.
+    Entry(
+      "c42_deletion_vectors",
+      (s, d) => {
+        import org.apache.spark.sql.SaveMode
+        val t = scratchDir("c42", d)
+        val M = graft.sources.ManifestTable
+        val ord = Tables.orders(s, d)
+          .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"),
+            col("o_orderpriority"))
+        M.commit(s, t, ord.repartitionByRange(6, col("o_orderkey")),
+          SaveMode.Overwrite, statsColumns = Seq("o_orderkey"))
+        val files1 = M.snapshotFiles(s, t)
+        M.deleteWhereVector(s, t, col("o_custkey") % 10 === 3)
+        require(M.snapshotFiles(s, t) == files1,
+          "a vector delete must move zero data files")
+        require(M.deleteVectors(s, t).nonEmpty, "vectors must be recorded")
+        val full = M.read(s, t)
+          .groupBy("o_orderpriority")
+          .agg(count(lit(1)).as("cnt"),
+            round(sum(col("o_totalprice")), 2).as("sum_price"))
+          .withColumn("slice", lit("all"))
+        val sliced = M.readWhere(s, t, col("o_orderkey") <= 3000L)
+          .groupBy("o_orderpriority")
+          .agg(count(lit(1)).as("cnt"),
+            round(sum(col("o_totalprice")), 2).as("sum_price"))
+          .withColumn("slice", lit("low"))
+        full.unionByName(sliced)
+          .select(col("slice"), col("o_orderpriority"), col("cnt"),
+            col("sum_price"))
+          .orderBy("slice", "o_orderpriority")
+      },
+      Some("""SELECT 'all' AS slice, o_orderpriority, count(*) AS cnt,
+             |  round(sum(o_totalprice), 2) AS sum_price
+             |FROM orders WHERE o_custkey % 10 <> 3
+             |GROUP BY o_orderpriority
+             |UNION ALL
+             |SELECT 'low' AS slice, o_orderpriority, count(*) AS cnt,
+             |  round(sum(o_totalprice), 2) AS sum_price
+             |FROM orders WHERE o_custkey % 10 <> 3 AND o_orderkey <= 3000
+             |GROUP BY o_orderpriority
+             |ORDER BY slice NULLS FIRST, o_orderpriority NULLS FIRST""".stripMargin)
     )
   )
 }

@@ -532,6 +532,26 @@ object ManifestTable {
     if (v == 0) Map.empty else checksFromText(manifestText(spark, table, v))
   }
 
+  /** The last committed transaction version per application id (the
+    * Delta SetTransaction idiom) — the exactly-once hook for replayed
+    * streaming micro-batches: a writer passing `txn = (appId, v)` is
+    * SKIPPED when the table already records `appId -> v' >= v`, and
+    * the record rides the same atomic publish as the data, so "did my
+    * batch commit?" has one answer for every observer. One entry per
+    * appId (monotonically replaced), carried by every commit. */
+  def txnVersion(spark: SparkSession, table: String, appId: String,
+                 version: Int = -1): Option[Long] = {
+    val v = if (version < 0) currentVersion(spark, table) else version
+    if (v == 0) None else txnsFromText(manifestText(spark, table, v)).get(appId)
+  }
+
+  private def txnsFromText(text: String): Map[String, Long] =
+    "\"txnsB64\"\\s*:\\s*\\{([^}]*)\\}".r.findFirstMatchIn(text)
+      .map(m => "\"([A-Za-z0-9+/=]+)\"\\s*:\\s*(-?\\d+)".r
+        .findAllMatchIn(m.group(1))
+        .map(e => unb64(e.group(1)) -> e.group(2).toLong).toMap)
+      .getOrElse(Map.empty)
+
   private def checksFromText(text: String): Map[String, String] =
     "\"checksB64\"\\s*:\\s*\\{([^}]*)\\}".r.findFirstMatchIn(text)
       .map(m => "\"([A-Za-z0-9+/=]+)\"\\s*:\\s*\"([A-Za-z0-9+/=]*)\"".r
@@ -551,6 +571,67 @@ object ManifestTable {
     if (v == 0) Nil else tombstonesFromText(manifestText(spark, table, v))
   }
 
+  /** Row-granular DELETION VECTORS of `version` — `relPath -> sorted
+    * row ordinals deleted from that file` (the Delta deletion-vector
+    * shape: per-file row bitmaps, here delta-varint-coded positions).
+    * The scattered-delete complement to predicate tombstones
+    * ([[deleteTombstones]]): one user's rows spread across most files
+    * delete in O(deleted rows) of metadata, moving zero data files.
+    * Every read path anti-filters on (file, `_metadata.row_index`);
+    * rewrites apply their files' vectors during the derive, so a
+    * carried entry self-cleans when its file leaves the snapshot;
+    * [[materializeDeletes]] clears them all. CDF parity matches
+    * tombstones: a vector delete is metadata-only and surfaces in
+    * [[rowChanges]] when materialized — live reads hide the rows
+    * immediately. */
+  def deleteVectors(spark: SparkSession, table: String,
+                    version: Int = -1): Map[String, Seq[Long]] = {
+    val v = if (version < 0) currentVersion(spark, table) else version
+    if (v == 0) Map.empty else dvsFromText(manifestText(spark, table, v))
+  }
+
+  private def dvsFromText(text: String): Map[String, Seq[Long]] =
+    "\"dvsB64\"\\s*:\\s*\\{([^}]*)\\}".r.findFirstMatchIn(text)
+      .map(m => "\"([A-Za-z0-9+/=]+)\"\\s*:\\s*\"([A-Za-z0-9+/=]*)\"".r
+        .findAllMatchIn(m.group(1))
+        .map(e => unb64(e.group(1)) -> decodeDv(e.group(2))).toMap)
+      .getOrElse(Map.empty)
+
+  /** Sorted ordinals → delta-varint bytes → base64 (compact: dense
+    * runs cost ~1 byte/row). */
+  private def encodeDv(ordinals: Seq[Long]): String = {
+    val out = new java.io.ByteArrayOutputStream()
+    var prev = 0L
+    ordinals.foreach { o =>
+      var d = o - prev
+      require(d >= 0, "deletion-vector ordinals must be sorted and distinct")
+      prev = o
+      while ((d & ~0x7fL) != 0) { out.write(((d & 0x7f) | 0x80).toInt); d >>>= 7 }
+      out.write(d.toInt)
+    }
+    java.util.Base64.getEncoder.encodeToString(out.toByteArray)
+  }
+
+  private def decodeDv(b64: String): Seq[Long] = {
+    val bytes = java.util.Base64.getDecoder.decode(b64)
+    val out = Seq.newBuilder[Long]
+    var i = 0
+    var prev = 0L
+    while (i < bytes.length) {
+      var d = 0L
+      var shift = 0
+      var more = true
+      while (more) {
+        val b = bytes(i); i += 1
+        d |= (b & 0x7fL) << shift; shift += 7
+        more = (b & 0x80) != 0
+      }
+      prev += d
+      out += prev
+    }
+    out.result()
+  }
+
   private def tombstonesFromText(text: String): Seq[(String, Seq[String])] = {
     val start = text.indexOf("\"tombstonesB64\"")
     if (start < 0) Nil
@@ -562,7 +643,7 @@ object ManifestTable {
       // tombstones = resurrecting deleted rows). End instead at the
       // next SECTION key: quotes ARE hive-escaped, so no quoted
       // section token can appear inside a target string.
-      val end = Seq("\"partitionBy\"", "\"schemaB64\"", "\"stats\"",
+      val end = Seq("\"dvsB64\"", "\"partitionBy\"", "\"schemaB64\"", "\"stats\"",
           "\"segments\"", "\"files\"")
         .map(k => text.indexOf(k, start)).filter(_ >= 0) match {
         case Nil => text.length
@@ -613,7 +694,8 @@ object ManifestTable {
       // validate the LIVE table — rows a lazy delete already hides
       // must not block a constraint the visible table satisfies
       requireSatisfied(readLive(spark, table, files, schema, partBy,
-          deleteTombstones(spark, table, head)),
+          deleteTombstones(spark, table, head),
+          dvs = deleteVectors(spark, table, head)),
         Map(name -> exprSql), s"existing rows of $table")
       if (currentVersion(spark, table) == head &&
           tryPublish(spark, table, head, files, s"addcheck-${b64t(name)}",
@@ -691,7 +773,8 @@ object ManifestTable {
     val (files, schema, _, partBy) = snapshotAll(spark, table, v)
     if (files.isEmpty) emptyOrFail(spark, table, schema)
     else readLive(spark, table, files, schema, partBy,
-      deleteTombstones(spark, table, v))
+      deleteTombstones(spark, table, v),
+      dvs = deleteVectors(spark, table, v))
   }
 
   private def readFiles(spark: SparkSession, table: String,
@@ -761,11 +844,32 @@ object ManifestTable {
                        files: Seq[String], schema: Option[StructType],
                        partitionBy: Seq[String],
                        tombs: Seq[(String, Seq[String])],
-                       tagFile: Boolean = false): DataFrame = {
-    import org.apache.spark.sql.functions.{coalesce, expr, lit, not}
+                       tagFile: Boolean = false,
+                       dvs: Map[String, Seq[Long]] = Map.empty,
+                       tagRowIndex: Boolean = false): DataFrame = {
+    import org.apache.spark.sql.functions.{broadcast, coalesce, col, expr, lit, not}
     def scan(fs: Seq[String]): DataFrame = {
       val base = readFiles(spark, table, fs, schema, partitionBy)
-      if (tagFile) base.withColumn("__f", relFileCol) else base
+      val dvd = fs.filter(dvs.contains)
+      if (dvd.isEmpty) {
+        val t1 = if (tagFile) base.withColumn("__f", relFileCol) else base
+        if (tagRowIndex) t1.withColumn("__ri", col("_metadata.row_index")) else t1
+      } else {
+        // deletion vectors: anti-join on (file, row position) against
+        // the broadcast deleted-pair set — bounded by deleted rows,
+        // applied PER SCAN because `_metadata` does not survive unions
+        // (or joins: hence __f/__ri are materialized before it)
+        import spark.implicits._
+        val pairs = dvd.flatMap(f => dvs(f).map(o => (f, o)))
+          .toDF("__dvf", "__dvi")
+        val withMeta = base.withColumn("__f", relFileCol)
+          .withColumn("__ri", col("_metadata.row_index"))
+        val kept = withMeta.join(broadcast(pairs),
+          withMeta("__f") === pairs("__dvf") &&
+            withMeta("__ri") === pairs("__dvi"), "left_anti")
+        val t1 = if (tagRowIndex) kept else kept.drop("__ri")
+        if (tagFile) t1 else t1.drop("__f")
+      }
     }
     val live = tombs.map { case (p, ts) => (p, ts.toSet) }
     if (live.isEmpty || files.isEmpty) scan(files)
@@ -800,7 +904,8 @@ object ManifestTable {
     val kept = pruneWith(files, stats, ranges)
     if (kept.isEmpty) readFiles(spark, table, files, schema, partBy).limit(0)
     else readLive(spark, table, kept, schema, partBy,
-      deleteTombstones(spark, table, v))
+      deleteTombstones(spark, table, v),
+      dvs = deleteVectors(spark, table, v))
   }
 
   /** Filtered read with AUTOMATIC data skipping (the Delta shape —
@@ -824,7 +929,8 @@ object ManifestTable {
     val base =
       if (kept.isEmpty) readFiles(spark, table, files, schema, partBy).limit(0)
       else readLive(spark, table, kept, schema, partBy,
-        deleteTombstones(spark, table, v))
+        deleteTombstones(spark, table, v),
+        dvs = deleteVectors(spark, table, v))
     base.filter(pred)
   }
 
@@ -1291,7 +1397,9 @@ object ManifestTable {
                          constraints: Option[Map[String, String]] = None,
                          op: String = "write",
                          tombstones: Option[Seq[(String, Seq[String])]] = None,
-                         reuseSegmentsOf: Option[Int] = None)
+                         reuseSegmentsOf: Option[Int] = None,
+                         txn: Option[(String, Long)] = None,
+                         dvs: Option[Map[String, Seq[Long]]] = None)
       : Boolean = {
     // schema rides base64-encoded (its JSON is full of quotes the
     // regex-grammar manifest must not see)
@@ -1323,6 +1431,16 @@ object ManifestTable {
     // so a constraint added once binds every later writer with zero
     // call-site cooperation. Names and exprs ride base64 (arbitrary
     // SQL text must not meet the regex-grammar manifest).
+    // streaming-txn watermarks: carried like constraints, with this
+    // commit's (appId, version) replacing the appId's previous entry —
+    // the atomic record that makes a replayed micro-batch detectable
+    val txns = (if (head == 0) Map.empty[String, Long]
+                else txnsFromText(parentText)) ++ txn
+    val txnLine =
+      if (txns.isEmpty) ""
+      else txns.toSeq.sortBy(_._1).map { case (a, v) =>
+        s""""${b64(a)}": $v"""
+      }.mkString("  \"txnsB64\": {", ", ", "},\n")
     val cons = constraints.getOrElse(
       if (head == 0) Map.empty[String, String] else checksFromText(parentText))
     val consLine =
@@ -1346,6 +1464,19 @@ object ManifestTable {
       else tombs.map { case (p, ts) =>
         ts.map(t => s""""$t"""").mkString(s""""${b64(p)}": [""", ", ", "]")
       }.mkString("  \"tombstonesB64\": {", ", ", "},\n")
+    // deletion vectors: carried like tombstones unless replaced, each
+    // entry pruned to files still in THIS snapshot (a rewrite of a
+    // vectored file applied its vector during the derive — the
+    // departing file takes its entry with it)
+    val dvs0 = dvs.getOrElse(
+      if (head == 0) Map.empty[String, Seq[Long]] else dvsFromText(parentText))
+    val dvsLive = dvs0.filter { case (f, os) =>
+      os.nonEmpty && fileSet.contains(f) }
+    val dvLine =
+      if (dvsLive.isEmpty) ""
+      else dvsLive.toSeq.sortBy(_._1).map { case (f, os) =>
+        s""""${b64(f)}": "${encodeDv(os)}""""
+      }.mkString("  \"dvsB64\": {", ", ", "},\n")
     require(op.matches("[a-z][a-z-]*"),
       s"op '$op' is not a manifest-safe identifier")
     val target = manifestPath(table, head + 1)
@@ -1438,7 +1569,7 @@ object ManifestTable {
          |  "version": ${head + 1},
          |  "op": "$op",
          |  "commitMs": $commitMs,
-         |$consLine$tombLine$partitionLine$schemaLine$statsBlock$segmentsLine  "files": [
+         |$txnLine$consLine$tombLine$dvLine$partitionLine$schemaLine$statsBlock$segmentsLine  "files": [
          |$filesBody
          |  ]
          |}""".stripMargin
@@ -1492,7 +1623,13 @@ object ManifestTable {
              mode: SaveMode = SaveMode.Append, maxAttempts: Int = 50,
              mergeSchema: Boolean = false,
              statsColumns: Seq[String] = Nil,
-             partitionBy: Seq[String] = Nil): Int = {
+             partitionBy: Seq[String] = Nil,
+             txn: Option[(String, Long)] = None): Int = {
+    // idempotence gate, before any data is written: a replayed batch
+    // whose (appId, version) is already recorded leaves zero garbage
+    txn.foreach { case (app, v) =>
+      val head0 = currentVersion(spark, table)
+      if (txnVersion(spark, table, app, head0).exists(_ >= v)) return head0 }
     // partitioning discipline: one layout per snapshot LINE — an
     // append inherits the table's recorded partition columns when the
     // caller passes none, and is refused when it names different ones
@@ -1577,6 +1714,11 @@ object ManifestTable {
     while (committed < 0) {
       attempt += 1
       val head = currentVersion(spark, table)
+      // re-check per attempt: a lost race to a concurrent replay of
+      // the same batch must not commit the batch twice (the written
+      // data dir becomes unreferenced garbage expire reclaims)
+      txn.foreach { case (app, v) =>
+        if (txnVersion(spark, table, app, head).exists(_ >= v)) return head }
       val consNow = checkConstraints(spark, table, head)
       if (consNow != validatedCons) {
         requireSatisfied(df, consNow, s"a batch committed to $table")
@@ -1601,7 +1743,8 @@ object ManifestTable {
       beforeConditionalCommit()
       if (tryPublish(spark, table, head, base ++ newFiles, uuid,
           Some(schema), carried ++ newStats, partBy,
-          op = if (mode == SaveMode.Append) "append" else "overwrite"))
+          op = if (mode == SaveMode.Append) "append" else "overwrite",
+          txn = txn))
         committed = head + 1
       else {
         // A lost race means another writer occupied slot head+1, so the
@@ -1644,11 +1787,13 @@ object ManifestTable {
                            stats: Map[String, Map[String, (Double, Double)]] = Map.empty,
                            partitionBy: Seq[String] = Nil,
                            op: String = "write",
-                           tombstones: Option[Seq[(String, Seq[String])]] = None)
+                           tombstones: Option[Seq[(String, Seq[String])]] = None,
+                           txn: Option[(String, Long)] = None,
+                           dvs: Option[Map[String, Seq[Long]]] = None)
       : Option[Int] =
     if (currentVersion(spark, table) != expectedHead) None
     else if (tryPublish(spark, table, expectedHead, files, tag, schema, stats,
-        partitionBy, op = op, tombstones = tombstones))
+        partitionBy, op = op, tombstones = tombstones, txn = txn, dvs = dvs))
       Some(expectedHead + 1)
     else None
 
@@ -1703,7 +1848,10 @@ object ManifestTable {
       op: String = "write",
       baseTombstones: Seq[(String, Seq[String])] = Nil,
       publishTombstones: Option[Seq[(String, Seq[String])]] = None,
-      maxAttempts: Int = 5): Option[Int] = {
+      maxAttempts: Int = 5,
+      txn: Option[(String, Long)] = None,
+      baseDvs: Map[String, Seq[Long]] = Map.empty,
+      publishDvs: Option[Map[String, Seq[Long]]] = None): Option[Int] = {
     val baseSet = baseRel.toSet
     var attempt = 0
     while (attempt < maxAttempts) {
@@ -1719,12 +1867,21 @@ object ManifestTable {
           // the derive read under the wrong delete set — re-derive
           checkConstraints(spark, table, head2) == baseConstraints &&
           deleteTombstones(spark, table, head2) == baseTombstones &&
+          // a deletion vector added mid-derive means the derive read
+          // the wrong live row set — re-derive, like a tombstone change
+          deleteVectors(spark, table, head2) == baseDvs &&
+          // an interloper recording THIS txn is a concurrent replay of
+          // the same batch — reconciling over it would apply the batch
+          // twice; bail to the outer loop, whose idempotence gate
+          // no-ops on the next attempt
+          txn.forall { case (a, v) =>
+            !txnVersion(spark, table, a, head2).exists(_ >= v) } &&
           removed.forall(rel2Set)
       if (!structuralOk || addedConflict(added, schema2, stats2, partBy2))
         return None
       commitIfHead(spark, table, rel2.filterNot(removed) ++ newFiles, head2,
           uuid, recordSchema, stats2 ++ newStats, partBy2, op,
-          publishTombstones) match {
+          publishTombstones, txn = txn, dvs = publishDvs) match {
         case Some(v) => return Some(v)
         case None => // head moved while reconciling — re-check against it
       }
@@ -1864,8 +2021,9 @@ object ManifestTable {
     * be key-unique (both copies of a repeated key would insert).
     * The unconditional special case of [[merge]]. */
   def upsert(spark: SparkSession, table: String, updates: DataFrame,
-             keys: Seq[String], maxAttempts: Int = 5): Int =
-    merge(spark, table, updates, keys, maxAttempts = maxAttempts)
+             keys: Seq[String], maxAttempts: Int = 5,
+             txn: Option[(String, Long)] = None): Int =
+    merge(spark, table, updates, keys, maxAttempts = maxAttempts, txn = txn)
 
   /** Conditional MERGE (the full Delta `MERGE INTO` matched-clause
     * shape): for each current row whose `keys` match an `updates` row,
@@ -1917,7 +2075,8 @@ object ManifestTable {
             whenMatchedUpdate: Option[Column] = None,
             whenMatchedDelete: Option[Column] = None,
             maxAttempts: Int = 5,
-            mergeSchema: Boolean = false): Int = {
+            mergeSchema: Boolean = false,
+            txn: Option[(String, Long)] = None): Int = {
     import org.apache.spark.sql.functions.{coalesce, col, lit, struct}
     val srcCols = updates.columns.toSeq
     val bounds = keyEnvelope(updates, keys) // head-independent: once
@@ -1925,8 +2084,16 @@ object ManifestTable {
     while (attempt < maxAttempts) {
       attempt += 1
       val head = currentVersion(spark, table)
+      // idempotence gate (checked per attempt, against the head the
+      // commit will be conditional on): a replayed micro-batch whose
+      // (appId, version) the table already records is a NO-OP — the
+      // exactly-once half of the streaming-sink contract. Losing a race
+      // to a concurrent replay of the SAME batch lands here on retry.
+      txn.foreach { case (app, v) =>
+        if (txnVersion(spark, table, app, head).exists(_ >= v)) return head }
       val (rel, schema, headStats, partBy) = snapshotAll(spark, table, head)
       val headTombs = deleteTombstones(spark, table, head)
+      val headDvs = deleteVectors(spark, table, head)
       val (merged, affected) =
         if (head == 0 || rel.isEmpty) (updates, Set.empty[String])
         else {
@@ -1962,7 +2129,7 @@ object ManifestTable {
           val tgt =
             if (affected.isEmpty) readFiles(spark, table, rel, schema, partBy).limit(0)
             else readLive(spark, table, affected.toSeq.sorted, schema, partBy,
-              headTombs)
+              headTombs, dvs = headDvs)
           // evolution (the commit() mergeSchema rule applied to MERGE):
           // updates may ADD columns — kept target rows read them as
           // null through the widened union — but never RETYPE one
@@ -2011,7 +2178,7 @@ object ManifestTable {
         else schema.orElse(Some(recordedSchema(merged.schema, partBy)))
       beforeConditionalCommit()
       commitIfHead(spark, table, files, head, uuid, recordSchema,
-          headStats ++ newStats, partBy, "merge") match {
+          headStats ++ newStats, partBy, "merge", txn = txn) match {
         case Some(v) => return v
         case None =>
           // Lost the race. Before discarding the derivation, try to
@@ -2034,7 +2201,8 @@ object ManifestTable {
           }
           reconcilePublish(spark, table, rel, schema, partBy, affected,
               newFiles, newStats, recordSchema, uuid, conflicts,
-              headCons, "merge", headTombs) match {
+              headCons, "merge", headTombs, txn = txn,
+              baseDvs = headDvs) match {
             case Some(v) => return v
             case None => // semantic conflict — discard the data, re-derive
               fs(spark, new Path(table)).delete(new Path(table, s"data/$uuid"), true)
@@ -2070,6 +2238,7 @@ object ManifestTable {
       val head = currentVersion(spark, table)
       val (rel, schema, headStats, partBy) = snapshotAll(spark, table, head)
       val headTombs = deleteTombstones(spark, table, head)
+      val headDvs = deleteVectors(spark, table, head)
       if (rel.isEmpty) return head
       // extracted DNF ∧ caller-asserted conjunctive scanRanges: every
       // disjunct is narrowed by the asserted conjuncts
@@ -2084,7 +2253,7 @@ object ManifestTable {
       // at any partition-dir depth); tombstone-aware so rows another
       // (lazy) delete already hid neither match nor survive a rewrite
       val withFile = readLive(spark, table, candidates, schema, partBy,
-        headTombs, tagFile = true)
+        headTombs, tagFile = true, dvs = headDvs)
       val affected = withFile.filter(pred).select("__f").distinct()
         .collect().map(_.getString(0)).toSet // bounded: ≤ |snapshot files|
       if (affected.isEmpty) return head
@@ -2127,7 +2296,7 @@ object ManifestTable {
           reconcilePublish(spark, table, rel, schema, partBy, affected,
               newFiles, newStats, recordSchema, uuid, conflicts,
               checkConstraints(spark, table, head), "delete",
-              headTombs) match {
+              headTombs, baseDvs = headDvs) match {
             case Some(v) => return v
             case None =>
               fs(spark, new Path(table)).delete(new Path(table, s"data/$uuid"), true)
@@ -2187,6 +2356,63 @@ object ManifestTable {
       s"deleteWhereLazy on $table lost $maxAttempts commit races")
   }
 
+  /** ROW-granular lazy delete via deletion vectors (the Delta DV
+    * shape): find the matching rows' (file, row position) pairs ONCE —
+    * a stats-pruned, column-prunable scan — and record them as
+    * per-file vectors in a METADATA-ONLY commit. Zero data files move,
+    * however scattered the victims: one user's rows spread across most
+    * of a 100k-file table delete in O(deleted rows), where the
+    * predicate tombstone would target (and eventually rewrite) nearly
+    * every file and the eager path would rewrite them today. The
+    * complement, not a replacement: a delete matching a large fraction
+    * of rows belongs to [[deleteWhere]] (the vector would be as big as
+    * the data), and a prunable predicate over few files does fine with
+    * either. Reads anti-filter on (file, `_metadata.row_index`) —
+    * row positions in immutable parquet files are stable by
+    * construction. Rewrites of vectored files apply their vectors
+    * during the derive; [[materializeDeletes]]/[[compact]] clear all.
+    * Unlike the predicate tombstone, the vector is POSITIONS, so later
+    * appends are untouched by construction — no target-list scoping
+    * subtlety at all. Returns the committed version, or the head when
+    * nothing matches (no commit). */
+  def deleteWhereVector(spark: SparkSession, table: String, pred: Column,
+                        maxAttempts: Int = 5): Int = {
+    var attempt = 0
+    while (attempt < maxAttempts) {
+      attempt += 1
+      val head = currentVersion(spark, table)
+      val (rel, schema, headStats, partBy) = snapshotAll(spark, table, head)
+      if (rel.isEmpty) return head
+      val headTombs = deleteTombstones(spark, table, head)
+      val headDvs = deleteVectors(spark, table, head)
+      val dnf = predicateDnfWith(spark, table, pred, rel, schema)
+      val candidates = pruneDnf(rel, headStats, dnf)
+      if (candidates.isEmpty) return head
+      // the victim scan sees the LIVE table (rows already hidden by a
+      // tombstone or an earlier vector neither match nor re-record)
+      import org.apache.spark.sql.functions.col
+      val victims = readLive(spark, table, candidates, schema, partBy,
+          headTombs, tagFile = true, dvs = headDvs, tagRowIndex = true)
+        .filter(pred)
+        .select(col("__f"), col("__ri"))
+        .collect() // bounded by matched rows — the scattered-delete unit
+        .map(r => (r.getString(0), r.getLong(1)))
+      if (victims.isEmpty) return head
+      val grown = victims.groupBy(_._1).map { case (f, rs) =>
+        f -> (headDvs.getOrElse(f, Nil) ++ rs.map(_._2)).distinct.sorted.toSeq
+      }
+      val merged = headDvs ++ grown
+      beforeConditionalCommit()
+      if (currentVersion(spark, table) == head &&
+          tryPublish(spark, table, head, rel, "dv",
+            schema, headStats, partBy, op = "delete-vector",
+            dvs = Some(merged)))
+        return head + 1
+    }
+    throw new java.util.ConcurrentModificationException(
+      s"deleteWhereVector on $table lost $maxAttempts commit races")
+  }
+
   /** Apply every pending tombstone for real: rewrite ONLY the targeted
     * files with their deletes applied, carry everything else by
     * reference, clear the tombstone set. The background half of the
@@ -2201,11 +2427,14 @@ object ManifestTable {
       val head = currentVersion(spark, table)
       val (rel, schema, headStats, partBy) = snapshotAll(spark, table, head)
       val tombs = deleteTombstones(spark, table, head)
-      if (tombs.isEmpty) return head
+      val dvsHead = deleteVectors(spark, table, head)
+      if (tombs.isEmpty && dvsHead.isEmpty) return head
       val relSet = rel.toSet
-      val targeted = tombs.flatMap(_._2).distinct.filter(relSet).sorted
+      val targeted = (tombs.flatMap(_._2) ++ dvsHead.keys)
+        .distinct.filter(relSet).sorted
       if (targeted.isEmpty) return head
-      val survivors = readLive(spark, table, targeted, schema, partBy, tombs)
+      val survivors = readLive(spark, table, targeted, schema, partBy, tombs,
+        dvs = dvsHead)
       val (uuid, newFiles, newStats) =
         writeData(spark, table, survivors, statsColumnsOf(headStats), partBy)
       val targetedSet = targeted.toSet
@@ -2213,7 +2442,7 @@ object ManifestTable {
       commitIfHead(spark, table, rel.filterNot(targetedSet) ++ newFiles, head,
           uuid, schema.orElse(Some(recordedSchema(survivors.schema, partBy))),
           headStats ++ newStats, partBy, "materialize",
-          tombstones = Some(Nil)) match {
+          tombstones = Some(Nil), dvs = Some(Map.empty)) match {
         case Some(v) => return v
         case None => // lost the race — discard and re-derive
           fs(spark, new Path(table)).delete(new Path(table, s"data/$uuid"), true)
@@ -2376,7 +2605,8 @@ object ManifestTable {
     // tombstone-aware full read: OPTIMIZE materializes every pending
     // lazy delete (its publish clears them — see below)
     val tombs0 = deleteTombstones(spark, table, head)
-    val df0 = readLive(spark, table, rel0, schema0, partBy, tombs0)
+    val dvs0 = deleteVectors(spark, table, head)
+    val df0 = readLive(spark, table, rel0, schema0, partBy, tombs0, dvs = dvs0)
     val df =
       if (sortBy.nonEmpty)
         df0.repartitionByRange(targetFiles, sortBy: _*)
@@ -2397,7 +2627,8 @@ object ManifestTable {
     val recordSchema = schema0.orElse(Some(recordedSchema(df.schema, partBy)))
     beforeConditionalCommit()
     commitIfHead(spark, table, files, head, uuid, recordSchema,
-        newStats, partBy, "compact", tombstones = Some(Nil)) match {
+        newStats, partBy, "compact", tombstones = Some(Nil),
+        dvs = Some(Map.empty)) match {
       case Some(v) => v
       case None =>
         // Lost the race. OPTIMIZE removes every base file, so the only
@@ -2412,7 +2643,8 @@ object ManifestTable {
             files, newStats, recordSchema, uuid,
             (_, _, _, _) => false,
             checkConstraints(spark, table, head), "compact",
-            tombs0, publishTombstones = Some(Nil)) match {
+            tombs0, publishTombstones = Some(Nil),
+            baseDvs = dvs0, publishDvs = Some(Map.empty)) match {
           case Some(v) => v
           case None =>
             fs(spark, new Path(table)).delete(new Path(table, s"data/$uuid"), true)
@@ -2527,6 +2759,7 @@ object ManifestTable {
     // filtered under those, not under whatever changed since)
     val cons = checkConstraints(spark, table, version)
     val tombs = deleteTombstones(spark, table, version)
+    val targetDvs = deleteVectors(spark, table, version)
     var attempt = 0
     while (attempt < maxAttempts) {
       attempt += 1
@@ -2535,7 +2768,8 @@ object ManifestTable {
       // 100k-file segmented snapshot writes ONE tiny root, no segments
       if (tryPublish(spark, table, head, files, s"restore-$version",
           schema, stats, partBy, Some(cons), op = "restore",
-          tombstones = Some(tombs), reuseSegmentsOf = Some(version)))
+          tombstones = Some(tombs), reuseSegmentsOf = Some(version),
+          dvs = Some(targetDvs)))
         return head + 1
       if (currentVersion(spark, table) <= head)
         throw new java.io.IOException(
@@ -2620,7 +2854,8 @@ object ManifestTable {
         // one task per bin (coalesce, no shuffle): the bin is bounded by
         // maxBinBytes, and one output file is the entire point of packing;
         // tombstone-aware — packing materializes the bin files' deletes
-        val df = readLive(spark, table, binFiles, schema, partBy, binTombs)
+        val df = readLive(spark, table, binFiles, schema, partBy, binTombs,
+            dvs = deleteVectors(spark, table, head))
           .coalesce(1)
         val cols = (statsColumnsOf(headStats) ++ statsColumns).distinct.sorted
         val (uuid, newFiles, newStats) = writeData(spark, table, df, cols, partBy)
@@ -2633,7 +2868,7 @@ object ManifestTable {
             newFiles, newStats, recordSchema, uuid,
             (_, _, _, _) => false,
             checkConstraints(spark, table, head), "compact-small",
-            binTombs)) match {
+            binTombs, baseDvs = deleteVectors(spark, table, head))) match {
           case Some(_) => committed += 1
           case None => // bin lost to a conflicting rewrite — drop it, move on
             fs(spark, new Path(table)).delete(new Path(table, s"data/$uuid"), true)
