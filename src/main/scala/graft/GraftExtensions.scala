@@ -97,6 +97,16 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
           strArg(children.head, "path"), intArg(children(1), "since_version"))
         .queryExecution.analyzed
     }
+
+    // ---- catalog names ---------------------------------------------
+    // GraftCatalog.register(name, path) → `FROM graft.<name>` (and
+    // bare `<name>` when nothing else resolves it) reads the CURRENT
+    // head at query time; `graft.`<name>@v3`` time-travels. The rule
+    // fires only on relations the built-in resolver left unresolved,
+    // so real tables and views always win a clash — the TVFs above
+    // become sugar, not the only door.
+    ext.injectResolutionRule(session =>
+      new graft.sources.GraftCatalog.Resolution(session))
   }
 
   private def strArg(e: Expression, name: String): String = e match {

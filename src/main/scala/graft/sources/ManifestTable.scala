@@ -2951,7 +2951,18 @@ object ManifestTable {
     * test); concurrent deployments pass a grace comfortably above
     * their longest write (Delta defaults to 7 days). Recency is the
     * RECURSIVE max mtime under the dir — a long multi-file write
-    * keeps refreshing it at whatever depth it writes. */
+    * keeps refreshing it at whatever depth it writes.
+    *
+    * READER contract (pinned by ManifestTableSpec): retention
+    * (`keepLast` + `graceMs`) is the operator's promise to in-flight
+    * readers, exactly Delta's VACUUM stance. A reader holding a
+    * snapshot older than the window may lose its files mid-query and
+    * then FAILS LOUDLY (a missing-file error from the scan) — never a
+    * silently empty or partial result, because the manifest the plan
+    * was built from named exactly those files. The minReaderRetention
+    * guard is `graceMs` itself: size it above the longest
+    * query/session lifetime and a vacuum can reclaim nothing a live
+    * reader's plan may still reference. */
   def expire(spark: SparkSession, table: String, keepLast: Int,
              graceMs: Long = 0L): Unit = {
     require(keepLast >= 1, "must keep at least the head version")

@@ -125,4 +125,65 @@ class GraftExtensionsSpec extends AnyFunSuite with SparkFixture {
       prevDefault.foreach(SparkSession.setDefaultSession)
     }
   }
+
+  test("catalog names: FROM graft.<name> resolves to the live head; views win clashes") {
+    spark.range(1).count()
+    val prevDefault = SparkSession.getDefaultSession
+    SparkSession.clearDefaultSession()
+    SparkSession.clearActiveSession()
+    try {
+      val ext = SparkSession.builder()
+        .master("local[4]")
+        .config("spark.ui.enabled", "false")
+        .withExtensions(new GraftExtensions)
+        .getOrCreate()
+      import ext.implicits._
+      import graft.sources.{GraftCatalog, ManifestTable => M}
+      val t = java.nio.file.Files.createTempDirectory("graft_cat").toString
+      M.commit(ext, t, Seq((1L, "a"), (2L, "b")).toDF("id", "v"))
+      GraftCatalog.register("cat_orders", t)
+      try {
+        // named read == path read, through the same analyzed plan shape
+        val byName = ext.sql("SELECT id, v FROM graft.cat_orders ORDER BY id")
+          .collect().map(r => (r.getLong(0), r.getString(1)))
+        assert(byName.toSeq === Seq((1L, "a"), (2L, "b")))
+        // FRESHNESS: a later commit is visible through the same name
+        // (a temp view would have frozen v1's file list)
+        M.upsert(ext, t, Seq((1L, "A"), (3L, "c")).toDF("id", "v"), Seq("id"))
+        val fresh = ext.sql("SELECT id, v FROM graft.cat_orders ORDER BY id")
+          .collect().map(r => (r.getLong(0), r.getString(1)))
+        assert(fresh.toSeq === Seq((1L, "A"), (2L, "b"), (3L, "c")))
+        // bare one-part name resolves too
+        assert(ext.sql("SELECT count(*) AS n FROM cat_orders")
+          .collect().head.getLong(0) === 3L)
+        // version time travel via the @v suffix — parity with read(v)
+        val v1 = ext.sql("SELECT id, v FROM graft.`cat_orders@v1` ORDER BY id")
+          .collect().map(r => (r.getLong(0), r.getString(1)))
+        assert(v1.toSeq === Seq((1L, "a"), (2L, "b")))
+        // names compose with ordinary SQL (joins, aggregates)
+        val n = ext.sql(
+          """SELECT count(*) AS n FROM graft.cat_orders a
+            |JOIN graft.`cat_orders@v1` b USING (id)""".stripMargin)
+          .collect().head.getLong(0)
+        assert(n === 2L)
+        // a temp view with the same bare name WINS (built-ins first)
+        Seq((99L, "view")).toDF("id", "v").createOrReplaceTempView("cat_orders")
+        try {
+          assert(ext.sql("SELECT id FROM cat_orders").collect()
+            .map(_.getLong(0)).toSeq === Seq(99L),
+            "an existing view must never be shadowed by a registered name")
+          // the two-part form still reaches the manifest table
+          assert(ext.sql("SELECT count(*) AS n FROM graft.cat_orders")
+            .collect().head.getLong(0) === 3L)
+        } finally ext.catalog.dropTempView("cat_orders")
+        // unregistered names fail with the standard resolution error
+        intercept[Exception] {
+          ext.sql("SELECT * FROM graft.never_registered").collect()
+        }
+      } finally GraftCatalog.unregister("cat_orders")
+    } finally {
+      SparkSession.clearActiveSession()
+      prevDefault.foreach(SparkSession.setDefaultSession)
+    }
+  }
 }

@@ -642,4 +642,43 @@ class ManifestTableSpec extends AnyFunSuite with SparkFixture {
     assert(got === Set((1L, "a", None), (2L, "b", Some(5.0))),
       "the evolved column's values must survive the feed read")
   }
+
+  test("vacuum vs in-flight readers: a reader outliving retention FAILS LOUDLY, never reads wrong data (r10)") {
+    val t = freshTable()
+    ManifestTable.commit(spark, t, df(1L -> "old"), SaveMode.Overwrite)
+    ManifestTable.commit(spark, t, df(2L -> "new"), SaveMode.Overwrite)
+    // an in-flight reader pinned to v1 — its plan holds v1's files
+    val held = ManifestTable.read(spark, t, 1)
+    assert(held.count() === 1) // live before the vacuum
+    // the operator vacuums past the reader (keepLast=1, no grace):
+    // v1's manifest and files are reclaimed
+    ManifestTable.expire(spark, t, keepLast = 1)
+    // THE CONTRACT (Delta's VACUUM stance): retention (keepLast +
+    // graceMs) is the operator's promise to readers; a reader slower
+    // than the window fails LOUDLY mid-action — a missing-file error,
+    // never a silently empty or partial result.
+    val e = intercept[Exception] { held.count() }
+    def chain(x: Throwable): Seq[Throwable] =
+      if (x == null) Nil else x +: chain(x.getCause)
+    assert(chain(e).exists(c =>
+      c.isInstanceOf[java.io.FileNotFoundException] ||
+        Option(c.getMessage).exists(m =>
+          m.contains("does not exist") || m.contains("FileNotFound") ||
+            m.contains("not found"))),
+      s"must fail as a missing-file error, got: $e")
+    // the head is untouched; fresh reads keep working
+    assert(ManifestTable.read(spark, t).collect()
+      .map(_.getString(1)).toSeq === Seq("new"))
+    // and a fresh read of the expired version fails loudly at plan time
+    intercept[IllegalArgumentException] { ManifestTable.read(spark, t, 1) }
+    // graceMs is the minReaderRetention guard: a vacuum with a grace
+    // window longer than the reader's age reclaims NOTHING it may hold
+    val t2 = freshTable()
+    ManifestTable.commit(spark, t2, df(1L -> "old"), SaveMode.Overwrite)
+    ManifestTable.commit(spark, t2, df(2L -> "new"), SaveMode.Overwrite)
+    val held2 = ManifestTable.read(spark, t2, 1)
+    ManifestTable.expire(spark, t2, keepLast = 1, graceMs = 60L * 60 * 1000)
+    assert(held2.count() === 1,
+      "a grace window covering the reader's lifetime must keep its files alive")
+  }
 }
