@@ -395,6 +395,25 @@ object Stress {
         f"segments=${segs.size} parse_ms=$parseMs%.0f " +
         f"append_s=$appendSec%.2f pruned_read_s=$pruneSec%.2f " +
         s"kept_files=$keptFiles rows=$plannedRows")
+      // r10: SCATTERED delete via deletion vectors — one key residue
+      // touching ~every file. The vector commit must move zero data
+      // files (metadata-only at any table size), and the post-delete
+      // read must account exactly.
+      val beforeFiles = ManifestTable.snapshotFiles(spark, t)
+      val liveBefore = ManifestTable.read(spark, t).count()
+      val victims = ManifestTable.read(spark, t)
+        .filter(col("o_orderkey") % 1000 === 0).count()
+      t0 = System.nanoTime()
+      ManifestTable.deleteWhereVector(spark, t, col("o_orderkey") % 1000 === 0)
+      val dvSec = (System.nanoTime() - t0) / 1e9
+      require(ManifestTable.snapshotFiles(spark, t) == beforeFiles,
+        "a vector delete must move zero data files")
+      val liveAfter = ManifestTable.read(spark, t).count()
+      require(liveAfter == liveBefore - victims,
+        s"row accounting drifted: $liveBefore - $victims != $liveAfter")
+      println(f"[stress rep=$rep] dv_scatter files_touched=0/${beforeFiles.size} " +
+        f"victims=$victims dv_s=$dvSec%.2f " +
+        f"vectored_files=${ManifestTable.deleteVectors(spark, t).size}")
     }
 
     // r10 (opt-in: `runMain graft.Stress <rep> manifest_100k`): the

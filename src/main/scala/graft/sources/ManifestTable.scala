@@ -2490,9 +2490,18 @@ object ManifestTable {
       if (fresh.isEmpty) None else Some((v, fresh))
     }
     if (groups.nonEmpty) {
+      // each group reads LIVE under the TO-version delete state
+      // (tombstones target exactly the files that existed at delete
+      // time, vectors are per-file — so the filters land on precisely
+      // the right groups): a row lazy-deleted as of `to` must not flow
+      // to feed consumers as a live insert. Deletes of UNCHURNED files
+      // still surface only at materialization (file granularity).
+      val toTombs = deleteTombstones(spark, table, to)
+      val toDvs = deleteVectors(spark, table, to)
       val unioned = groups.map { case (v, fs) =>
-        readFiles(spark, table, fs,
-          snapshotSchema(spark, table, v), partitionColumns(spark, table, v))
+        readLive(spark, table, fs,
+          snapshotSchema(spark, table, v), partitionColumns(spark, table, v),
+          toTombs, dvs = toDvs)
       }.reduce(_.unionByName(_, allowMissingColumns = true))
       snapshotSchema(spark, table, to) match {
         case Some(s) =>
@@ -2552,8 +2561,15 @@ object ManifestTable {
     val schema = snapshotSchema(spark, table, to)
     val partedBy = partitionColumns(spark, table, to)
     def emptySide: DataFrame = read(spark, table, to).limit(0)
+    // POST side reads live under the to-version delete state: a row
+    // inserted and then lazy-deleted inside the range is not an
+    // insert (it is not live at `to`), and a rewritten row the head
+    // vectors away classifies as DELETE, not update. The PRE side
+    // stays raw on purpose — that is what makes a materialization's
+    // rewrites surface the deferred deletes exactly once.
     val post =
-      if (added.nonEmpty) readFiles(spark, table, added, schema, partedBy)
+      if (added.nonEmpty) readLive(spark, table, added, schema, partedBy,
+        deleteTombstones(spark, table, to), dvs = deleteVectors(spark, table, to))
       else emptySide
     val cols = post.columns.toSeq
     val typeOf = post.schema.map(f => f.name -> f.dataType).toMap

@@ -103,6 +103,53 @@ class DeletionVectorSpec extends AnyFunSuite with SparkFixture {
     assert(ids(ManifestTable.read(spark, t)) === Set(1L, 3L))
   }
 
+  test("the CDF never surfaces rows dead at the to-version as live") {
+    val t = fresh()
+    ManifestTable.commit(spark, t, df(1L -> "a", 2L -> "b", 3L -> "c").coalesce(1),
+      SaveMode.Overwrite, statsColumns = Seq("id"))
+    ManifestTable.upsert(spark, t, df(2L -> "B"), Seq("id"))          // v2: churn
+    ManifestTable.deleteWhereVector(spark, t, col("id") === 3L)       // v3: metadata
+    // full-range row CDF: id 3 is not live at the head — it must not
+    // arrive as an insert
+    val full = ManifestTable.rowChanges(spark, t, 0, Seq("id"))
+      .collect().map(r => (r.getLong(0), r.getAs[String]("_change_type"))).toSet
+    assert(full === Set((1L, "insert"), (2L, "insert")), s"got $full")
+    // churn-spanning range: the vectored row of a rewritten file
+    // classifies as DELETE (pre-image present, post-image dead)
+    val mid = ManifestTable.rowChanges(spark, t, 1, Seq("id"))
+      .collect().map(r => (r.getLong(0), r.getAs[String]("_change_type"))).toSet
+    assert(mid === Set((2L, "update_post"), (3L, "delete")), s"got $mid")
+    // file-granular feed: rows of delivered files read LIVE at `to`
+    val t2 = fresh()
+    ManifestTable.commit(spark, t2, df(1L -> "x", 2L -> "y", 3L -> "z").coalesce(1),
+      SaveMode.Overwrite, statsColumns = Seq("id"))
+    ManifestTable.deleteWhereVector(spark, t2, col("id") === 2L)
+    assert(ids(ManifestTable.changes(spark, t2, 0)) === Set(1L, 3L),
+      "a vector-deleted row must not flow to feed consumers as live")
+    // materialization surfaces the deferred delete exactly once
+    ManifestTable.materializeDeletes(spark, t2)
+    val mat = ManifestTable.rowChanges(spark, t2, 2, Seq("id"))
+      .collect().map(r => (r.getLong(0), r.getAs[String]("_change_type"))).toSet
+    assert(mat === Set((2L, "delete")), s"got $mat")
+  }
+
+  test("vectors work on a partitioned table (path-derived columns, per-file positions)") {
+    val t = fresh()
+    import spark.implicits._
+    val data = (1L to 12L).map(i => (i, s"v$i", if (i % 2 == 0) "even" else "odd"))
+      .toDF("id", "v", "p")
+    ManifestTable.commit(spark, t, data, SaveMode.Overwrite,
+      partitionBy = Seq("p"), statsColumns = Seq("id"))
+    val files1 = ManifestTable.snapshotFiles(spark, t)
+    ManifestTable.deleteWhereVector(spark, t, col("id") % 3 === 0)
+    assert(ManifestTable.snapshotFiles(spark, t) === files1)
+    val expect = (1L to 12L).filterNot(_ % 3 == 0).toSet
+    assert(ids(ManifestTable.read(spark, t)) === expect)
+    // partition pruning (stats) composes with the vector filter
+    val odd = ManifestTable.readWhere(spark, t, col("p") === "odd")
+    assert(ids(odd) === expect.filter(_ % 2 == 1))
+  }
+
   test("a vector landing mid-derive on a rewritten file forces the re-derive (no resurrection)") {
     val t = fresh()
     ManifestTable.commit(spark, t, df(1L -> "a", 2L -> "b").coalesce(1),
