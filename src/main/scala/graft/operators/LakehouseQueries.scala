@@ -1473,6 +1473,88 @@ object LakehouseQueries {
              |FROM orders WHERE o_custkey % 10 <> 3 AND o_orderkey <= 3000
              |GROUP BY o_orderpriority
              |ORDER BY slice NULLS FIRST, o_orderpriority NULLS FIRST""".stripMargin)
+    ),
+
+    // C43: SHALLOW CLONE, judged (r10) — the Delta zero-copy clone
+    // lifecycle end-to-end: the clone's v1 references the donor's
+    // files BY PATH through the extern ledger (the in-query require
+    // pins zero bytes under the clone's data dir right after the
+    // clone), then both sides DIVERGE — the clone upserts a repriced
+    // key slice (a real localizing write) and lazily deletes a
+    // priority class; the donor is untouched (its file set is
+    // require-pinned across every clone-side op). The result reads
+    // BOTH sides, so the hash proves isolation in each direction and
+    // that clone reads compose extern resolution with tombstones,
+    // stats skipping, and local rewrites in one snapshot.
+    Entry(
+      "c43_shallow_clone",
+      (s, d) => {
+        import org.apache.spark.sql.SaveMode
+        val src = scratchDir("c43s", d)
+        val dst = scratchDir("c43d", d)
+        // a clone targets a FRESH path and the requires below pin
+        // exact version numbers — reset both roots so the query is
+        // rerun-safe within one JVM (bench runs it twice)
+        def rmRf(f: java.io.File): Unit = {
+          Option(f.listFiles()).getOrElse(Array.empty).foreach(rmRf)
+          f.delete(); ()
+        }
+        rmRf(new java.io.File(src)); rmRf(new java.io.File(dst))
+        val M = graft.sources.ManifestTable
+        val ord = Tables.orders(s, d)
+          .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"),
+            col("o_orderpriority"))
+        M.commit(s, src, ord.repartitionByRange(4, col("o_orderkey")),
+          SaveMode.Overwrite, statsColumns = Seq("o_orderkey"))
+        val donorFiles = M.snapshotFiles(s, src)
+        M.cloneShallow(s, src, dst)
+        def localBytes(t: String): Long = {
+          def walk(f: java.io.File): Long =
+            if (f.isDirectory)
+              Option(f.listFiles()).getOrElse(Array.empty).map(walk).sum
+            else f.length
+          val dd = new java.io.File(t, "data")
+          if (dd.exists) walk(dd) else 0L
+        }
+        require(localBytes(dst) == 0L,
+          "a shallow clone must move zero data bytes")
+        // diverge the clone: a localizing upsert + a lazy delete
+        M.upsert(s, dst,
+          ord.filter(col("o_orderkey") <= 100L)
+            .withColumn("o_totalprice", col("o_totalprice") * 2),
+          Seq("o_orderkey"))
+        M.deleteWhereLazy(s, dst, col("o_orderpriority") === "1-URGENT")
+        require(M.snapshotFiles(s, src) == donorFiles &&
+            M.currentVersion(s, src) == 1,
+          "clone-side writes must never touch the donor")
+        require(localBytes(dst) > 0L,
+          "the clone's upsert must write under the clone's own data dir")
+        val cloneSide = M.read(s, dst)
+          .groupBy("o_orderpriority")
+          .agg(count(lit(1)).as("cnt"),
+            round(sum(col("o_totalprice")), 2).as("sum_price"))
+          .withColumn("side", lit("clone"))
+        val donorSide = M.read(s, src)
+          .groupBy("o_orderpriority")
+          .agg(count(lit(1)).as("cnt"),
+            round(sum(col("o_totalprice")), 2).as("sum_price"))
+          .withColumn("side", lit("donor"))
+        cloneSide.unionByName(donorSide)
+          .select(col("side"), col("o_orderpriority"), col("cnt"),
+            col("sum_price"))
+          .orderBy("side", "o_orderpriority")
+      },
+      Some("""SELECT 'clone' AS side, o_orderpriority, count(*) AS cnt,
+             |  round(sum(CASE WHEN o_orderkey <= 100 THEN o_totalprice * 2
+             |                 ELSE o_totalprice END), 2) AS sum_price
+             |FROM orders WHERE o_orderpriority <> '1-URGENT'
+             |GROUP BY o_orderpriority
+             |UNION ALL
+             |SELECT 'donor' AS side, o_orderpriority, count(*) AS cnt,
+             |  round(sum(o_totalprice), 2) AS sum_price
+             |FROM orders
+             |GROUP BY o_orderpriority
+             |ORDER BY side NULLS FIRST, o_orderpriority NULLS FIRST""".stripMargin)
     )
   )
 }

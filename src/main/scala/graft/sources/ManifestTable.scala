@@ -756,6 +756,135 @@ object ManifestTable {
     * manifest's relative paths against the table root — the read works
     * through any session/default-FS combination that can reach the
     * root URI. */
+  // -----------------------------------------------------------------
+  // Shallow clones — the extern data-dir ledger
+  //
+  // A shallow clone's manifests name the donor's files by the SAME
+  // table-relative `data/<uuid>/...` spelling the donor uses; the
+  // ledger (`_manifests/externs.json`, real JSON via the segment
+  // codec) records which uuid dirs live under a FOREIGN root
+  // (`uuid -> donor table path`). Keeping the relative spelling means
+  // every path-keyed structure — stats, sizes, tombstones, deletion
+  // vectors, `__f` tags, segment entries — works on a clone UNCHANGED;
+  // only final path resolution consults the ledger. The ledger is
+  // written exactly once, by [[cloneShallow]], BEFORE the clone's
+  // first manifest exists, so no reader or writer can race it: a
+  // table either is a clone from birth or never is. uuid dirs are
+  // immutable, so entries never change; an entry whose uuid left
+  // every surviving snapshot is inert (it can match no live file).
+  // -----------------------------------------------------------------
+
+  private def externsPath(table: String) =
+    new Path(manifestDir(table), "externs.json")
+
+  private final case class CachedExterns(map: Map[String, String],
+                                         len: Long, mtime: Long)
+  private val externsCache =
+    new java.util.concurrent.ConcurrentHashMap[String, CachedExterns]()
+
+  /** `data/<uuid>` → donor-root map for `table`; empty for non-clones.
+    * One driver-side stat RPC per call (same validation discipline as
+    * the manifest text cache — a dropped-and-recreated table at the
+    * same path can never serve a stale ledger). */
+  def externRoots(spark: SparkSession, table: String): Map[String, String] = {
+    val p = externsPath(table)
+    val st =
+      try fs(spark, p).getFileStatus(p)
+      catch {
+        case _: java.io.FileNotFoundException =>
+          externsCache.remove(table); return Map.empty
+      }
+    val hit = externsCache.get(table)
+    if (hit != null && hit.len == st.getLen &&
+        hit.mtime == st.getModificationTime) hit.map
+    else {
+      val in = fs(spark, p).open(p)
+      val text =
+        try scala.io.Source.fromInputStream(in, "UTF-8").mkString
+        finally in.close()
+      val node = segmentMapper.readTree(text).get("externs")
+      require(node != null && node.isObject,
+        s"malformed extern ledger at $p")
+      import scala.jdk.CollectionConverters._
+      val m = node.fields().asScala
+        .map(kv => kv.getKey -> kv.getValue.asText).toMap
+      externsCache.put(table, CachedExterns(m, st.getLen, st.getModificationTime))
+      m
+    }
+  }
+
+  /** Absolute location of a manifest-relative data file: the table
+    * root, unless the file's uuid dir is extern (cloned) — then the
+    * recorded donor root. */
+  private def dataPath(externs: Map[String, String], table: String,
+                       rel: String): Path =
+    if (externs.isEmpty) new Path(table, rel)
+    else {
+      val slash = rel.indexOf('/')
+      val next = if (slash < 0) -1 else rel.indexOf('/', slash + 1)
+      val uuid = if (next < 0) "" else rel.substring(slash + 1, next)
+      new Path(externs.getOrElse(uuid, table), rel)
+    }
+
+  /** Zero-copy SHALLOW CLONE (the Delta `CREATE TABLE … SHALLOW CLONE`
+    * shape): `dst` is born as a new, fully independent table whose v1
+    * manifest references `src`'s version-`version` files BY PATH — no
+    * data moves, O(manifest) cost regardless of table size. The clone
+    * carries the donor's schema, partition layout, per-file stats
+    * (data skipping, sizes, and null-count pruning work from birth),
+    * CHECK constraints, and pending lazy-delete tombstones and
+    * deletion vectors (a donor row deleted-but-not-yet-materialized
+    * stays deleted in the clone). It does NOT carry history (the clone
+    * starts at v1), streaming txn watermarks (a replayed micro-batch
+    * must re-commit against the clone's own lineage), or catalog
+    * identity. Writes to either side never affect the other: clone
+    * commits write under the clone's own `data/`, and the donor's
+    * files are immutable. Rewrites on the clone (compact / merge /
+    * materializeDeletes) progressively LOCALIZE it as extern files
+    * leave the snapshot.
+    *
+    * VACUUM contract (exactly Delta's): the DONOR does not know about
+    * clones — a donor-side [[expire]] that reclaims a file the clone
+    * still references makes the clone's affected reads fail LOUDLY
+    * (missing file), never silently empty. Clone-side [[expire]]
+    * walks only the clone's own `data/` dir and can never touch donor
+    * bytes. CloneSpec pins both directions. */
+  def cloneShallow(spark: SparkSession, src: String, dst: String,
+                   version: Int = -1): Int = {
+    val v = if (version < 0) currentVersion(spark, src) else version
+    require(v > 0, s"cannot clone $src at version $v — nothing committed")
+    require(versions(spark, dst).isEmpty,
+      s"clone destination $dst already has manifests — clone targets a fresh path")
+    val (files, schema, stats, partBy) = snapshotAll(spark, src, v)
+    require(files.nonEmpty || schema.nonEmpty,
+      s"version $v of $src has no snapshot to clone")
+    // clone-of-clone: the donor's own extern entries chain through, so
+    // resolution always lands on the dir that physically owns the bytes
+    val srcExterns = externRoots(spark, src)
+    val srcAbs = fs(spark, new Path(src))
+      .makeQualified(new Path(src)).toString
+    val ledger = files.map { rel =>
+      val uuid = rel.split("/")(1)
+      uuid -> srcExterns.getOrElse(uuid, srcAbs)
+    }.toMap
+    val lp = externsPath(dst)
+    val lf = fs(spark, lp)
+    val node = segmentMapper.createObjectNode()
+    val ex = node.putObject("externs")
+    ledger.toSeq.sortBy(_._1).foreach { case (u, root) => ex.put(u, root) }
+    val out = lf.create(lp, false) // exclusive: a racing clone loses here
+    try out.write(segmentMapper.writeValueAsBytes(node)) finally out.close()
+    val ok = tryPublish(spark, dst, 0, files, tag = "clone",
+      schema = schema, stats = stats, partitionBy = partBy,
+      constraints = Some(checkConstraints(spark, src, v)),
+      op = "clone",
+      tombstones = Some(deleteTombstones(spark, src, v)),
+      dvs = Some(deleteVectors(spark, src, v)))
+    require(ok, s"clone of $src lost the v1 publish race at $dst — " +
+      "another writer claimed the fresh table")
+    1
+  }
+
   /** A snapshot with zero files but a recorded schema is a REAL state
     * (deleteWhere matched every row): readable as an empty frame. Only
     * a version with neither files nor schema is "no snapshot". */
@@ -780,7 +909,8 @@ object ManifestTable {
   private def readFiles(spark: SparkSession, table: String,
                         files: Seq[String], schema: Option[StructType],
                         partitionBy: Seq[String] = Nil): DataFrame = {
-    val paths = files.map(f => new Path(table, f).toString)
+    val externs = externRoots(spark, table)
+    val paths = files.map(f => dataPath(externs, table, f).toString)
     // the recorded snapshot schema makes evolved tables readable (files
     // predating an added column yield null for it) without mergeSchema's
     // per-file footer pass; legacy manifests fall back to inference.
@@ -951,7 +1081,8 @@ object ManifestTable {
                                schema: Option[StructType]): Dnf = {
     import org.apache.spark.sql.catalyst.expressions.Literal
     val sch = schema.orElse(files.headOption.map(fl =>
-      spark.read.parquet(new Path(table, fl).toString).schema))
+      spark.read.parquet(
+        dataPath(externRoots(spark, table), table, fl).toString).schema))
     if (sch.isEmpty) return Seq(Map.empty)
     val probe = spark.createDataFrame(
       new java.util.ArrayList[org.apache.spark.sql.Row](), sch.get).filter(pred)
@@ -1666,7 +1797,8 @@ object ManifestTable {
     // corrupt both old and new reads.
     def baseSchemaOf(head: Int, base: Seq[String]): Option[StructType] =
       snapshotSchema(spark, table, head).orElse(base.headOption.map(f =>
-        spark.read.parquet(new Path(table, f).toString).schema))
+        spark.read.parquet(
+          dataPath(externRoots(spark, table), table, f).toString).schema))
     def widened(head: Int, base: Seq[String]): StructType =
       baseSchemaOf(head, base) match {
         case None => df.schema // first commit constrains nothing
@@ -2836,8 +2968,11 @@ object ManifestTable {
     val sizes0 = snapshotSizes(spark, table, head0)
     val rel0 = snapshotFiles(spark, table, head0)
     val f0 = fs(spark, new Path(table))
-    def sizeOf(rel: String): Long = sizes0.getOrElse(rel,
-      f0.getFileStatus(new Path(table, rel)).getLen)
+    val ext0 = externRoots(spark, table)
+    def sizeOf(rel: String): Long = sizes0.getOrElse(rel, {
+      val p = dataPath(ext0, table, rel) // extern dirs may live on another FS
+      fs(spark, p).getFileStatus(p).getLen
+    })
     val small = rel0.map(r => r -> sizeOf(r)).filter(_._2 < minFileBytes)
     // partition-local bins: group by the file's partition dir prefix
     // (everything between data/<uuid>/ and the file name)
