@@ -559,6 +559,176 @@ object ManifestTable {
         .map(e => unb64(e.group(1)) -> unb64(e.group(2))).toMap)
       .getOrElse(Map.empty)
 
+  // -----------------------------------------------------------------
+  // Per-file BLOOM FILTER indexes — the Delta bloom-filter-index /
+  // Parquet-bloom idiom: point lookups on a HIGH-CARDINALITY column
+  // (id equality, the needle-in-100-TB shape) prune through a per-file
+  // bit set where (min, max) ranges prune nothing because every file
+  // spans the whole key space. The TABLE records one config
+  // (columns, bits, k) in the manifest — carried like constraints, so
+  // every later writer indexes its new files with identical hashing —
+  // and each data-write records its files' bit sets in a SIDECAR
+  // (`_manifests/blooms/<uuid>.json`, keyed by the commit's uuid dir,
+  // written BEFORE the manifest that references the uuid publishes, so
+  // a referenced uuid's sidecar is always complete). Sidecars stay out
+  // of the manifest on purpose: at Delta's default sizing a bloom is
+  // KBs–MBs per file, which would undo manifest segmentation; the
+  // per-uuid sidecar loads lazily, only for files that survive range
+  // pruning, and dies with its uuid dir at [[expire]]. Files without a
+  // bloom (pre-config history, evolved columns) are kept
+  // conservatively — pruning power degrades, correctness never.
+  // -----------------------------------------------------------------
+
+  final case class BloomConfig(cols: Seq[String], bits: Long, k: Int)
+
+  private def bloomsDir(table: String) = new Path(manifestDir(table), "blooms")
+
+  private def bloomRawFromText(text: String): Option[String] =
+    "\"bloomB64\"\\s*:\\s*\"([A-Za-z0-9+/=]+)\"".r
+      .findFirstMatchIn(text).map(_.group(1))
+
+  /** The table's bloom index config at `version`, None when not
+    * configured. */
+  def bloomConfig(spark: SparkSession, table: String,
+                  version: Int = -1): Option[BloomConfig] = {
+    val v = if (version < 0) currentVersion(spark, table) else version
+    if (v == 0) None
+    else bloomRawFromText(manifestText(spark, table, v)).map { b =>
+      val node = segmentMapper.readTree(unb64(b))
+      val cols = (0 until node.get("cols").size)
+        .map(i => node.get("cols").get(i).asText)
+      BloomConfig(cols, node.get("bits").asLong, node.get("k").asInt)
+    }
+  }
+
+  private def bloomCfgB64(cfg: BloomConfig): String = {
+    val node = segmentMapper.createObjectNode()
+    val arr = node.putArray("cols")
+    cfg.cols.foreach(arr.add)
+    node.put("bits", cfg.bits)
+    node.put("k", cfg.k)
+    b64(segmentMapper.writeValueAsString(node))
+  }
+
+  /** The k bit positions a value lights, as a Spark Column — the ONE
+    * hashing definition both the write-side indexer and the prune-side
+    * literal evaluation run through (Kirsch–Mitzenmacher double
+    * hashing over codegen'd xxhash64), so membership can never drift
+    * between them. */
+  private def bloomPosCol(c: Column, bits: Long, k: Int): Column = {
+    import org.apache.spark.sql.functions.{lit, pmod, sequence, transform, xxhash64}
+    // both hashes are reduced mod bits BEFORE combining: bits ≤ 2^31
+    // and i ≤ 15, so i*h2 + h1 < 2^36 — no long overflow under ANSI
+    val h1 = pmod(xxhash64(c), lit(bits))
+    val h2 = pmod(xxhash64(c, lit(0x9E3779B97F4A7C15L)), lit(bits))
+    transform(sequence(lit(0L), lit((k - 1).toLong)),
+      i => pmod(h1 + i * h2, lit(bits)))
+  }
+
+  /** Configure (or replace) the bloom index: later writes — appends,
+    * MERGE rewrites, compactions — index their new files' `cols`
+    * values. Existing files are NOT indexed retroactively (they stay
+    * conservatively unprunable); [[compact]] afterwards rewrites —
+    * and thereby indexes — the history. Sizing: `bits` per file per
+    * column; at the default 2^17 bits (16 KB) and k = 5 a file of
+    * ~10^4 distinct values sits under 1% false positives — size bits
+    * ≈ 10× the per-file distinct count, exactly the Delta
+    * bloom-filter-index guidance. */
+  def addBloom(spark: SparkSession, table: String, cols: Seq[String],
+               bits: Long = 1L << 17, k: Int = 5,
+               maxAttempts: Int = 5): Int = {
+    require(cols.nonEmpty && bits > 0 && bits <= Int.MaxValue && k > 0 && k <= 16,
+      "need columns, 0 < bits <= 2^31-1, and 1 <= k <= 16")
+    var attempt = 0
+    while (attempt < maxAttempts) {
+      attempt += 1
+      val head = currentVersion(spark, table)
+      require(head >= 1, s"no committed snapshot in $table")
+      val (files, schema, stats, partBy) = snapshotAll(spark, table, head)
+      if (currentVersion(spark, table) == head &&
+          tryPublish(spark, table, head, files, "addbloom",
+            schema, stats, partBy, op = "add-bloom",
+            bloomB64 = Some(bloomCfgB64(BloomConfig(cols, bits, k)))))
+        return head + 1
+    }
+    throw new java.util.ConcurrentModificationException(
+      s"addBloom on $table lost $maxAttempts commit races")
+  }
+
+  // sidecar cache: immutable uuid-named files, (len, mtime)-validated
+  // like every other manifest cache; bounded by total bitset bytes
+  /** One sidecar's content: the (bits, k) it was BUILT with — tested
+    * against the current config before any pruning decision, so a
+    * config replacement can never mis-read old-era bit sets — plus
+    * file → col → bits. */
+  final case class SidecarBlooms(bits: Long, k: Int,
+      blooms: Map[String, Map[String, java.util.BitSet]])
+  private val emptySidecar = SidecarBlooms(0L, 0, Map.empty)
+
+  private final case class CachedBlooms(side: SidecarBlooms,
+      len: Long, mtime: Long, bytes: Long)
+  private val bloomCacheMaxBytes = 256L << 20
+  private object bloomCacheLock
+  private var bloomCacheBytes = 0L
+  private val bloomCache =
+    new java.util.LinkedHashMap[(String, String), CachedBlooms](64, 0.75f, true)
+
+  /** The bloom bit sets of one commit-uuid's sidecar (file → col →
+    * bits), resolving extern (cloned) uuids to the donor's sidecar.
+    * None when the uuid has no sidecar (pre-config commit). */
+  private def bloomSidecar(spark: SparkSession, table: String,
+                           uuid: String): SidecarBlooms = {
+    val root = externRoots(spark, table).getOrElse(uuid, table)
+    val p = new Path(bloomsDir(root), s"$uuid.json")
+    val st =
+      try fs(spark, p).getFileStatus(p)
+      catch {
+        case _: java.io.FileNotFoundException =>
+          return emptySidecar
+      }
+    val key = (root, uuid)
+    val hit = bloomCacheLock.synchronized(bloomCache.get(key))
+    if (hit != null && hit.len == st.getLen &&
+        hit.mtime == st.getModificationTime) hit.side
+    else {
+      val in = fs(spark, p).open(p)
+      val text =
+        try scala.io.Source.fromInputStream(in, "UTF-8").mkString
+        finally in.close()
+      val tree = segmentMapper.readTree(text)
+      val node = tree.get("blooms")
+      import scala.jdk.CollectionConverters._
+      var bytes = 0L
+      val m: Map[String, Map[String, java.util.BitSet]] =
+        if (node == null) Map.empty
+        else node.fields().asScala.map { kv =>
+          kv.getKey -> kv.getValue.fields().asScala.map { ce =>
+            val bs = java.util.BitSet.valueOf(
+              java.util.Base64.getDecoder.decode(ce.getValue.asText))
+            bytes += bs.size() / 8
+            ce.getKey -> bs
+          }.toMap
+        }.toMap
+      val side = SidecarBlooms(
+        Option(tree.get("bits")).map(_.asLong).getOrElse(0L),
+        Option(tree.get("k")).map(_.asInt).getOrElse(0), m)
+      bloomCacheLock.synchronized {
+        val prev = bloomCache.put(key,
+          CachedBlooms(side, st.getLen, st.getModificationTime, bytes))
+        bloomCacheBytes += bytes - (if (prev == null) 0L else prev.bytes)
+        val it = bloomCache.entrySet().iterator()
+        while (bloomCacheBytes > bloomCacheMaxBytes && it.hasNext) {
+          val eldest = it.next()
+          if (eldest.getKey != key) {
+            bloomCacheBytes -= eldest.getValue.bytes
+            it.remove()
+          }
+        }
+      }
+      side
+    }
+  }
+
   /** Pending lazy-delete tombstones of `version` — `(predicate SQL,
     * targeted files)`. A tombstone hides rows matching its predicate
     * in exactly its TARGET files (the stats-pruned candidates at
@@ -879,7 +1049,8 @@ object ManifestTable {
       constraints = Some(checkConstraints(spark, src, v)),
       op = "clone",
       tombstones = Some(deleteTombstones(spark, src, v)),
-      dvs = Some(deleteVectors(spark, src, v)))
+      dvs = Some(deleteVectors(spark, src, v)),
+      bloomB64 = bloomRawFromText(manifestText(spark, src, v)))
     require(ok, s"clone of $src lost the v1 publish race at $dst — " +
       "another writer claimed the fresh table")
     1
@@ -1054,8 +1225,10 @@ object ManifestTable {
     val v = if (version < 0) currentVersion(spark, table) else version
     val (files, schema, stats, partBy) = snapshotAll(spark, table, v)
     if (files.isEmpty) return emptyOrFail(spark, table, schema).filter(pred)
-    val dnf = predicateDnfWith(spark, table, pred, files, schema)
-    val kept = pruneDnf(files, stats, dnf)
+    val conds = analyzedConditions(spark, table, pred, files, schema)
+    val dnf = conds.map(extractDnf).foldLeft(Seq(Map.empty): Dnf)(andDnf)
+    val kept = bloomPrune(spark, table, v,
+      pruneDnf(files, stats, dnf), conds, schema)
     val base =
       if (kept.isEmpty) readFiles(spark, table, files, schema, partBy).limit(0)
       else readLive(spark, table, kept, schema, partBy,
@@ -1076,14 +1249,15 @@ object ManifestTable {
     * keeps the Filter (the optimizer would fold an empty relation's
     * Filter away entirely); foldable subtrees — casts of literals,
     * arithmetic — fold here so comparisons expose plain Literals. */
-  private def predicateDnfWith(spark: SparkSession, table: String,
-                               pred: Column, files: Seq[String],
-                               schema: Option[StructType]): Dnf = {
+  private def analyzedConditions(spark: SparkSession, table: String,
+                                 pred: Column, files: Seq[String],
+                                 schema: Option[StructType])
+      : Seq[org.apache.spark.sql.catalyst.expressions.Expression] = {
     import org.apache.spark.sql.catalyst.expressions.Literal
     val sch = schema.orElse(files.headOption.map(fl =>
       spark.read.parquet(
         dataPath(externRoots(spark, table), table, fl).toString).schema))
-    if (sch.isEmpty) return Seq(Map.empty)
+    if (sch.isEmpty) return Nil
     val probe = spark.createDataFrame(
       new java.util.ArrayList[org.apache.spark.sql.Row](), sch.get).filter(pred)
     probe.queryExecution.analyzed.collect {
@@ -1091,7 +1265,146 @@ object ManifestTable {
     }.map(_.transformUp {
       case e if e.foldable && !e.isInstanceOf[Literal] =>
         Literal.create(e.eval(), e.dataType)
-    }).map(extractDnf).foldLeft(Seq(Map.empty): Dnf)(andDnf)
+    })
+  }
+
+  private def predicateDnfWith(spark: SparkSession, table: String,
+                               pred: Column, files: Seq[String],
+                               schema: Option[StructType]): Dnf =
+    analyzedConditions(spark, table, pred, files, schema)
+      .map(extractDnf).foldLeft(Seq(Map.empty): Dnf)(andDnf)
+
+  // --- equality-literal DNF, the bloom-pruning counterpart of the
+  // range DNF above: per disjunct, column → the equality literals the
+  // disjunct requires one of. Extracted INDEPENDENTLY of the range
+  // DNF, which is sound (P ⇒ someRangeDisjunct ∧ someEqDisjunct —
+  // each filter alone over-approximates, their conjunction still
+  // does); mixed ORs just prune a little less than a joined walk
+  // would. AND over one column unions the value lists (testing
+  // either value's presence over-approximates requiring both);
+  // unrecognized leaves are the unconstrained disjunct.
+  private type EqConj = Map[String, Seq[org.apache.spark.sql.catalyst.expressions.Literal]]
+  private type EqDnf = Seq[EqConj]
+
+  private def mergeEqConj(a: EqConj, b: EqConj): EqConj =
+    (a.keySet ++ b.keySet).iterator.map(c =>
+      c -> (a.getOrElse(c, Nil) ++ b.getOrElse(c, Nil))).toMap
+
+  private def andEqDnf(a: EqDnf, b: EqDnf): EqDnf =
+    if (a.size.toLong * b.size <= DnfCap)
+      for (x <- a; y <- b) yield mergeEqConj(x, y)
+    else if (a.size <= b.size) a else b
+
+  private[graft] def extractEqDnf(
+      e: org.apache.spark.sql.catalyst.expressions.Expression): EqDnf = {
+    import org.apache.spark.sql.catalyst.expressions.{And, Or}
+    e match {
+      case And(l, r) => andEqDnf(extractEqDnf(l), extractEqDnf(r))
+      case Or(l, r) =>
+        val u = extractEqDnf(l) ++ extractEqDnf(r)
+        if (u.exists(_.isEmpty) || u.size > DnfCap) Seq(Map.empty) else u
+      case leaf => Seq(leafEqs(leaf))
+    }
+  }
+
+  private def leafEqs(
+      e: org.apache.spark.sql.catalyst.expressions.Expression): EqConj = {
+    import org.apache.spark.sql.catalyst.expressions._
+    import org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute
+    def attr(x: Expression): Option[String] = x match {
+      case a: UnresolvedAttribute => Some(a.name)
+      case a: AttributeReference => Some(a.name)
+      // same rule as leafBounds: a lossless numeric up-cast of the
+      // attribute side is value-preserving — the literal is cast back
+      // to the RAW column type before hashing (bloomPositions)
+      case c: Cast if Cast.canUpCast(c.child.dataType, c.dataType) &&
+          c.child.dataType.isInstanceOf[org.apache.spark.sql.types.NumericType] &&
+          c.dataType.isInstanceOf[org.apache.spark.sql.types.NumericType] =>
+        attr(c.child)
+      case _ => None
+    }
+    e match {
+      case EqualTo(a, l: Literal) if attr(a).isDefined && l.value != null =>
+        Map(attr(a).get -> Seq(l))
+      case EqualTo(l: Literal, a) if attr(a).isDefined && l.value != null =>
+        Map(attr(a).get -> Seq(l))
+      case EqualNullSafe(a, l: Literal) if attr(a).isDefined && l.value != null =>
+        Map(attr(a).get -> Seq(l))
+      case EqualNullSafe(l: Literal, a) if attr(a).isDefined && l.value != null =>
+        Map(attr(a).get -> Seq(l))
+      // IN: membership in the literal set — null elements never match
+      // an equality and simply drop out; one NON-literal element makes
+      // the list unextractable (the value could be anything)
+      case In(a, list) if attr(a).isDefined && list.nonEmpty &&
+          list.forall(_.isInstanceOf[Literal]) =>
+        val vs = list.collect { case l: Literal if l.value != null => l }
+        if (vs.isEmpty) Map.empty else Map(attr(a).get -> vs)
+      case InSet(a: AttributeReference, hset) if hset.nonEmpty =>
+        val vs = hset.toSeq.filter(_ != null)
+          .map(v => Literal(v, a.dataType))
+        if (vs.isEmpty) Map.empty else Map(a.name -> vs)
+      case _ => Map.empty
+    }
+  }
+
+  /** The k bit positions `l` (cast to the column's recorded type)
+    * lights, evaluated through the SAME Column pipeline the write-side
+    * indexer used — a one-row local plan, driver-cheap. None when the
+    * cast is impossible or nulls out (such an equality matches no
+    * stored value, so keeping the file is sound and pruning on a
+    * distorted hash is avoided entirely). */
+  private def bloomPositions(spark: SparkSession,
+                             l: org.apache.spark.sql.catalyst.expressions.Literal,
+                             colType: DataType,
+                             bc: BloomConfig): Option[Seq[Long]] =
+    try {
+      import org.apache.spark.sql.catalyst.expressions.{Cast, Expression}
+      val e: Expression = if (l.dataType == colType) l else Cast(l, colType)
+      if (e.eval(null) == null) return None
+      val c = org.apache.spark.sql.graftbridge.ColumnBridge.column(e)
+      val row = spark.range(1)
+        .select(bloomPosCol(c, bc.bits, bc.k).as("__p")).head()
+      Option(row.getAs[scala.collection.Seq[Long]]("__p")).map(_.toSeq)
+    } catch { case scala.util.control.NonFatal(_) => None }
+
+  /** The bloom-index pruning pass [[readWhere]] runs AFTER range/stats
+    * pruning: a surviving file is dropped when, for EVERY disjunct of
+    * the predicate's equality DNF, some bloom-indexed column's bit
+    * sets definitively exclude every candidate value. Files without a
+    * sidecar (pre-config history, lost-era configs) and columns
+    * without bits are kept; sidecars load lazily per uuid dir, only
+    * for files that survived range pruning. */
+  private def bloomPrune(spark: SparkSession, table: String, version: Int,
+                         files: Seq[String],
+                         conds: Seq[org.apache.spark.sql.catalyst.expressions.Expression],
+                         schema: Option[StructType]): Seq[String] = {
+    if (files.isEmpty || conds.isEmpty) return files
+    val cfgOpt = bloomConfig(spark, table, version)
+    if (cfgOpt.isEmpty) return files
+    val bc = cfgOpt.get
+    val types = schema.map(_.fields.map(f => f.name -> f.dataType).toMap)
+      .getOrElse(Map.empty[String, DataType])
+    val eqDnf = conds.map(extractEqDnf)
+      .foldLeft(Seq(Map.empty): EqDnf)(andEqDnf)
+    // per disjunct: indexed equality columns → candidate-value positions
+    val tests: Seq[Map[String, Seq[Seq[Long]]]] = eqDnf.map { conj =>
+      conj.iterator.collect {
+        case (c, lits) if bc.cols.contains(c) && types.contains(c) =>
+          c -> lits.flatMap(l => bloomPositions(spark, l, types(c), bc))
+      }.filter(_._2.nonEmpty).toMap
+    }
+    if (tests.isEmpty || tests.exists(_.isEmpty)) return files
+    files.filter { f =>
+      val side = bloomSidecar(spark, table, f.split("/")(1))
+      val usable = side.bits == bc.bits && side.k == bc.k
+      tests.exists(_.forall { case (c, valuePos) =>
+        (if (usable) side.blooms.get(f).flatMap(_.get(c)) else None) match {
+          case None => true // unindexed file/column: keep
+          case Some(bits) =>
+            valuePos.exists(_.forall(p => bits.get(p.toInt)))
+        }
+      })
+    }
   }
 
   /** One conjunctive constraint set: per-column [lo, hi] interval in
@@ -1418,8 +1731,20 @@ object ManifestTable {
     // encoding ([[stringBound]] — min/max of a monotone encoding bound
     // every row's encoding, so intersection tests in enc-space are
     // sound); any other type yields null ranges and is never pruned on.
+    //
+    // Bloom indexing rides the SAME per-file pass when the table
+    // configures it: every writer — append, MERGE rewrite, compaction —
+    // indexes its new files because the config is read from the head
+    // manifest HERE, with zero call-site cooperation (a config racing
+    // in mid-write just leaves this batch unindexed: unprunable, never
+    // wrong).
+    val bloomCfg: Option[BloomConfig] =
+      try bloomConfig(spark, table)
+      catch { case _: IllegalArgumentException => None } // no snapshot yet
+    val bloomCols = bloomCfg.toSeq.flatMap(_.cols)
+      .filter(df.schema.names.contains).filterNot(partitionBy.contains)
     val scanStats: Map[String, Map[String, (Double, Double)]] =
-      if (statsColumns.isEmpty || files.isEmpty) Map.empty
+      if ((statsColumns.isEmpty && bloomCols.isEmpty) || files.isEmpty) Map.empty
       else {
         import org.apache.spark.sql.functions.{col, max, min}
         val present = df.schema.map(_.name).toSet
@@ -1433,7 +1758,7 @@ object ManifestTable {
         cols.foreach(c => require(!c.exists(ch => ch == '"' || ch == '\\' || ch == '\n' || ch == '\r'),
           s"stats column name '$c' contains characters the manifest " +
             "grammar cannot carry (quote, backslash, or newline)"))
-        if (cols.isEmpty) Map.empty
+        if (cols.isEmpty && bloomCols.isEmpty) Map.empty
         else {
           // only columns with a sound stats encoding get (min, max) —
           // an unsupported type (binary, array, …) records no range
@@ -1444,17 +1769,46 @@ object ManifestTable {
           val encoded = cols.flatMap(c =>
             statEncoder(df.schema(c).dataType, col(c)).map(c -> _))
           val cols2 = encoded.map(_._1)
+          import org.apache.spark.sql.functions.{array_distinct, collect_list, flatten, when => fwhen}
           val aggs = encoded.flatMap { case (c, e) => Seq(
             min(e).as(s"__mn_$c"),
             max(e).as(s"__mx_$c")) } ++
             cols.flatMap(c => Seq(
               sum(when(col(c).isNull, lit(1L)).otherwise(lit(0L))).as(s"__nc_$c"),
-              count(col(c)).as(s"__nn_$c")))
-          spark.read.parquet(dataDir.toString)
+              count(col(c)).as(s"__nn_$c"))) ++
+            bloomCols.map(c => array_distinct(flatten(collect_list(
+              fwhen(col(c).isNotNull,
+                bloomPosCol(col(c), bloomCfg.get.bits, bloomCfg.get.k)))))
+              .as(s"__bl_$c"))
+          val rows = spark.read.parquet(dataDir.toString)
             .groupBy(relFileCol.as("__f"))
             .agg(aggs.head, aggs.tail: _*)
             .collect() // bounded: one row per NEW file
-            .map { r =>
+          // bloom sidecar for THIS uuid's files, written before any
+          // manifest can reference the uuid — a referenced uuid's
+          // sidecar is complete or absent, never torn
+          if (bloomCols.nonEmpty) {
+            val bc = bloomCfg.get
+            val node = segmentMapper.createObjectNode()
+            node.put("bits", bc.bits); node.put("k", bc.k)
+            val bl = node.putObject("blooms")
+            rows.foreach { r =>
+              val fobj = bl.putObject(r.getAs[String]("__f"))
+              bloomCols.foreach { c =>
+                val pos = r.getAs[scala.collection.Seq[Long]](s"__bl_$c")
+                val bs = new java.util.BitSet()
+                if (pos != null) pos.foreach(p => bs.set(p.toInt))
+                fobj.put(c,
+                  java.util.Base64.getEncoder.encodeToString(bs.toByteArray))
+              }
+            }
+            val sp = new Path(bloomsDir(table), s"$uuid.json")
+            val sfs = fs(spark, sp)
+            val out = sfs.create(sp, false) // uuid name: never contended
+            try out.write(segmentMapper.writeValueAsBytes(node))
+            finally out.close()
+          }
+          rows.map { r =>
               r.getAs[String]("__f") -> (cols2.flatMap { c =>
                 val mn = r.getAs[Any](s"__mn_$c")
                 val mx = r.getAs[Any](s"__mx_$c")
@@ -1530,7 +1884,8 @@ object ManifestTable {
                          tombstones: Option[Seq[(String, Seq[String])]] = None,
                          reuseSegmentsOf: Option[Int] = None,
                          txn: Option[(String, Long)] = None,
-                         dvs: Option[Map[String, Seq[Long]]] = None)
+                         dvs: Option[Map[String, Seq[Long]]] = None,
+                         bloomB64: Option[String] = None)
       : Boolean = {
     // schema rides base64-encoded (its JSON is full of quotes the
     // regex-grammar manifest must not see)
@@ -1608,6 +1963,13 @@ object ManifestTable {
       else dvsLive.toSeq.sortBy(_._1).map { case (f, os) =>
         s""""${b64(f)}": "${encodeDv(os)}""""
       }.mkString("  \"dvsB64\": {", ", ", "},\n")
+    // bloom index config: carried like constraints unless replaced
+    // (addBloom); an empty replacement drops it
+    val bloomVal = bloomB64.orElse(
+      if (head == 0) None else bloomRawFromText(parentText))
+      .filter(_.nonEmpty)
+    val bloomLine =
+      bloomVal.map(b => s"""  "bloomB64": "$b",\n""").getOrElse("")
     require(op.matches("[a-z][a-z-]*"),
       s"op '$op' is not a manifest-safe identifier")
     val target = manifestPath(table, head + 1)
@@ -1700,7 +2062,7 @@ object ManifestTable {
          |  "version": ${head + 1},
          |  "op": "$op",
          |  "commitMs": $commitMs,
-         |$txnLine$consLine$tombLine$dvLine$partitionLine$schemaLine$statsBlock$segmentsLine  "files": [
+         |$txnLine$consLine$tombLine$dvLine$bloomLine$partitionLine$schemaLine$statsBlock$segmentsLine  "files": [
          |$filesBody
          |  ]
          |}""".stripMargin
@@ -3135,6 +3497,21 @@ object ManifestTable {
       val cutoff = System.currentTimeMillis() - graceMs
       f.listStatus(segDir)
         .filter(st => !referenced.contains("segments/" + st.getPath.getName))
+        .filter(st => graceMs <= 0L || st.getModificationTime < cutoff)
+        .foreach(st => f.delete(st.getPath, false))
+    }
+    // bloom sidecars die with their uuid dirs: one sidecar per commit
+    // uuid, garbage once no surviving version references the uuid
+    // (covers reclaimed dirs AND lost-race writers' orphans), same
+    // grace rule as everything else
+    val blDir = bloomsDir(table)
+    if (f.exists(blDir)) {
+      val refUuids = keep
+        .flatMap(v => snapshotFiles(spark, table, v))
+        .map(_.split("/")(1)).toSet
+      val cutoff = System.currentTimeMillis() - graceMs
+      f.listStatus(blDir)
+        .filter(st => !refUuids.contains(st.getPath.getName.stripSuffix(".json")))
         .filter(st => graceMs <= 0L || st.getModificationTime < cutoff)
         .foreach(st => f.delete(st.getPath, false))
     }
