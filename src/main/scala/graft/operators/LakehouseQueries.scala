@@ -1609,6 +1609,112 @@ object LakehouseQueries {
              |  round(sum(o_totalprice), 2) AS sum_price
              |FROM orders WHERE o_orderkey = (SELECT max(o_orderkey) FROM orders)
              |ORDER BY side NULLS FIRST""".stripMargin)
+    ),
+
+    // C45: metadata-only count(*), judged (r10) — the Delta
+    // numRecords / metadata-only-query optimization across the whole
+    // delete lifecycle: per-file row counts recorded by the write-time
+    // stats pass answer COUNT from one manifest parse (stage 'all'),
+    // stay EXACT under a metadata-only deletion-vector delete (the
+    // hidden ordinals subtract, stage 'after_dv'), REFUSE — None,
+    // never a wrong number — while a predicate tombstone's hidden-row
+    // count is unknown (in-query require), and recover once
+    // materializeDeletes rewrites the targets (stage 'final'). Every
+    // cnt in the result came from ManifestTable.rowCount — zero data
+    // files read — and the oracle recomputes all three from the raw
+    // rows, so the hash proves metadata arithmetic equals the scan.
+    Entry(
+      "c45_metadata_count",
+      (s, d) => {
+        import org.apache.spark.sql.SaveMode
+        val t = scratchDir("c45", d)
+        val M = graft.sources.ManifestTable
+        val ord = Tables.orders(s, d)
+          .select(col("o_orderkey"), col("o_custkey"), col("o_orderpriority"))
+        M.commit(s, t, ord.repartitionByRange(6, col("o_orderkey")),
+          SaveMode.Overwrite, statsColumns = Seq("o_orderkey"))
+        val all = M.rowCount(s, t)
+        require(all.nonEmpty, "a stats-tracked table must count from metadata")
+        M.deleteWhereVector(s, t, col("o_custkey") % 10 === 3)
+        val afterDv = M.rowCount(s, t)
+        require(afterDv.nonEmpty, "deletion vectors subtract exactly")
+        M.deleteWhereLazy(s, t, col("o_orderpriority") === "1-URGENT")
+        require(M.rowCount(s, t).isEmpty,
+          "a pending tombstone must refuse the metadata count")
+        M.materializeDeletes(s, t)
+        val fin = M.rowCount(s, t)
+        require(fin.nonEmpty, "materialized deletes restore the count")
+        import s.implicits._
+        Seq(("all", all.get), ("after_dv", afterDv.get), ("final", fin.get))
+          .toDF("stage", "cnt").orderBy("stage")
+      },
+      Some("""SELECT 'after_dv' AS stage, count(*) AS cnt
+             |FROM orders WHERE o_custkey % 10 <> 3
+             |UNION ALL
+             |SELECT 'all' AS stage, count(*) AS cnt FROM orders
+             |UNION ALL
+             |SELECT 'final' AS stage, count(*) AS cnt
+             |FROM orders
+             |WHERE o_custkey % 10 <> 3 AND o_orderpriority <> '1-URGENT'
+             |ORDER BY stage NULLS FIRST""".stripMargin)
+    ),
+
+    // C46: HIDDEN PARTITIONING, judged (r10) — Iceberg's partition
+    // transforms end to end: the table lays out by `bucket(16,
+    // o_custkey)`, a DERIVED column that is recorded in the manifest,
+    // recomputed by every writer, and NEVER surfaces on a read (the
+    // in-query require pins the read schema to the source columns
+    // alone). A customer point lookup prunes to ~one bucket through
+    // the transform — the predicate names only o_custkey; the layout
+    // column stays invisible — which is the operational win: the
+    // layout can change without breaking a single query. The result
+    // reads the bucketed table twice (the pruned lookup and a full
+    // aggregate), so the hash proves transform pruning lost nothing
+    // and the hidden column never polluted the output.
+    Entry(
+      "c46_hidden_partitioning",
+      (s, d) => {
+        import org.apache.spark.sql.SaveMode
+        val t = scratchDir("c46", d)
+        val M = graft.sources.ManifestTable
+        val ord = Tables.orders(s, d)
+          .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"),
+            col("o_orderpriority"))
+        // co-locate rows with their bucket before the write so each
+        // bucket dir gets ~one file (the writer a real pipeline would
+        // use); the expression mirrors the transform definition
+        M.commit(s, t,
+          ord.repartition(16, pmod(xxhash64(col("o_custkey")), lit(16))),
+          SaveMode.Overwrite, partitionBy = Seq("bucket(16,o_custkey)"),
+          statsColumns = Seq("o_orderkey"))
+        val visible = M.read(s, t).columns.toSeq.sorted
+        require(visible ==
+            Seq("o_custkey", "o_orderkey", "o_orderpriority", "o_totalprice"),
+          s"the derived layout column must stay hidden, saw $visible")
+        val total = M.snapshotFiles(s, t).size
+        val ck = ord.agg(min("o_custkey")).head.getLong(0)
+        val hit = M.readWhere(s, t, col("o_custkey") === ck)
+        require(hit.inputFiles.length <= math.max(3, total / 4),
+          s"bucket pruning through the hidden transform " +
+            s"(${hit.inputFiles.length}/$total files)")
+        hit.agg(count(lit(1)).as("cnt"),
+            round(sum(col("o_totalprice")), 2).as("sum_price"))
+          .withColumn("side", lit("cust"))
+          .unionByName(M.read(s, t)
+            .agg(count(lit(1)).as("cnt"),
+              round(sum(col("o_totalprice")), 2).as("sum_price"))
+            .withColumn("side", lit("all")))
+          .select(col("side"), col("cnt"), col("sum_price"))
+          .orderBy("side")
+      },
+      Some("""SELECT 'all' AS side, count(*) AS cnt,
+             |  round(sum(o_totalprice), 2) AS sum_price
+             |FROM orders
+             |UNION ALL
+             |SELECT 'cust' AS side, count(*) AS cnt,
+             |  round(sum(o_totalprice), 2) AS sum_price
+             |FROM orders WHERE o_custkey = (SELECT min(o_custkey) FROM orders)
+             |ORDER BY side NULLS FIRST""".stripMargin)
     )
   )
 }

@@ -154,6 +154,95 @@ object ManifestTable {
       .map(m => "\"([^\"]+)\"".r.findAllMatchIn(m.group(1)).map(_.group(1)).toSeq)
       .getOrElse(Nil)
 
+  // -----------------------------------------------------------------
+  // HIDDEN PARTITIONING — Iceberg's partition transforms: the layout
+  // column is DERIVED from a source column — `days(ts)`,
+  // `bucket(n, col)`, `truncate(w, col)` — recorded in the manifest,
+  // recomputed by every writer (appends, MERGE rewrites, compactions
+  // all route through writeData, which derives any missing target),
+  // HIDDEN from reads (the target never enters the recorded schema, so
+  // readFiles never surfaces it), and pruned through by predicates on
+  // the SOURCE column alone: a `ts >= X` scan prunes day partitions
+  // without the query ever naming the partition column — the layout
+  // can change without breaking a single query, which is the whole
+  // point of hiding it.
+  // -----------------------------------------------------------------
+
+  /** One partition transform: `target` is the hidden layout column
+    * derived from `source` (`n` = bucket count / truncate width). */
+  final case class PartitionTransform(kind: String, source: String,
+                                      n: Long, target: String)
+
+  private val DaysPat = """days\(\s*([^)\s,]+)\s*\)""".r
+  private val BucketPat = """bucket\(\s*(\d+)\s*,\s*([^)\s,]+)\s*\)""".r
+  private val TruncPat = """truncate\(\s*(\d+)\s*,\s*([^)\s,]+)\s*\)""".r
+
+  /** Parse one partitionBy entry; None means a plain (identity)
+    * partition column. */
+  private[graft] def parseTransform(s: String): Option[PartitionTransform] =
+    s.trim match {
+      case DaysPat(c) => Some(PartitionTransform("days", c, 0L, s"${c}_day"))
+      case BucketPat(n, c) =>
+        require(n.toLong > 0, s"bucket($n, $c): need a positive bucket count")
+        Some(PartitionTransform("bucket", c, n.toLong, s"${c}_bucket"))
+      case TruncPat(w, c) =>
+        require(w.toLong > 0, s"truncate($w, $c): need a positive width")
+        Some(PartitionTransform("truncate", c, w.toLong, s"${c}_trunc"))
+      case _ => None
+    }
+
+  private def transformsRawFromText(text: String): Option[String] =
+    "\"partitionTransformsB64\"\\s*:\\s*\"([A-Za-z0-9+/=]+)\"".r
+      .findFirstMatchIn(text).map(_.group(1))
+
+  /** The non-identity partition transforms `version` was laid out
+    * with; empty for flat or identity-partitioned tables. */
+  def partitionTransforms(spark: SparkSession, table: String,
+                          version: Int = -1): Seq[PartitionTransform] = {
+    val v = if (version < 0) currentVersion(spark, table) else version
+    if (v == 0) Nil
+    else transformsRawFromText(manifestText(spark, table, v)).map { b =>
+      val arr = segmentMapper.readTree(unb64(b))
+      (0 until arr.size).map { i =>
+        val e = arr.get(i)
+        PartitionTransform(e.get("k").asText, e.get("s").asText,
+          e.get("n").asLong, e.get("t").asText)
+      }
+    }.getOrElse(Nil)
+  }
+
+  private def transformsB64Of(pts: Seq[PartitionTransform]): String = {
+    val arr = segmentMapper.createArrayNode()
+    pts.foreach { pt =>
+      val e = arr.addObject()
+      e.put("k", pt.kind); e.put("s", pt.source)
+      e.put("n", pt.n); e.put("t", pt.target)
+    }
+    b64(segmentMapper.writeValueAsString(arr))
+  }
+
+  /** The derived layout value, as the ONE Column definition both the
+    * writer and (for bucket) the prune-side literal eval share. Days
+    * count epoch days (timestamps through the epoch-seconds cast the
+    * stats already use, dates natively); truncate floors numerics to
+    * the width; bucket is the xxhash64 residue. */
+  private def transformCol(pt: PartitionTransform, c: Column,
+                           dt: DataType): Column = {
+    import org.apache.spark.sql.functions.{floor, lit, pmod, unix_date, xxhash64}
+    import org.apache.spark.sql.types._
+    pt.kind match {
+      case "days" => dt match {
+        case DateType => unix_date(c).cast("long")
+        case TimestampNTZType =>
+          floor(c.cast(TimestampType).cast("double") / 86400).cast("long")
+        case _ => floor(c.cast("double") / 86400).cast("long")
+      }
+      case "truncate" => floor(c.cast("double") / pt.n).cast("long") * pt.n
+      case "bucket" => pmod(xxhash64(c), lit(pt.n))
+      case k => throw new IllegalArgumentException(s"unknown transform '$k'")
+    }
+  }
+
   /** Bounded (table, version) → manifest-text cache. Sound because a
     * published manifest is IMMUTABLE — the only lifecycle event is
     * deletion by [[expire]], which the existence check still observes
@@ -1050,7 +1139,8 @@ object ManifestTable {
       op = "clone",
       tombstones = Some(deleteTombstones(spark, src, v)),
       dvs = Some(deleteVectors(spark, src, v)),
-      bloomB64 = bloomRawFromText(manifestText(spark, src, v)))
+      bloomB64 = bloomRawFromText(manifestText(spark, src, v)),
+      transformsB64 = transformsRawFromText(manifestText(spark, src, v)))
     require(ok, s"clone of $src lost the v1 publish race at $dst — " +
       "another writer claimed the fresh table")
     1
@@ -1105,7 +1195,13 @@ object ManifestTable {
         StructType(s.fields.filterNot(f => partitionBy.contains(f.name))))
       val base = dataSchema.fold(spark.read)(s => spark.read.schema(s))
         .parquet(paths: _*)
-      partitionBy.foldLeft(base) { (df, c) =>
+      // HIDDEN layout columns (partition transforms) never enter the
+      // recorded schema — and never surface on a read; only partition
+      // columns the schema knows are derived back from the paths
+      // (legacy schemaless manifests derive all, the old behavior)
+      val surfaced = schema.fold(partitionBy)(s =>
+        partitionBy.filter(s.fieldNames.contains))
+      surfaced.foldLeft(base) { (df, c) =>
         val pat = "/" + java.util.regex.Pattern.quote(c) + "=([^/]+)/"
         // extract from the table-RELATIVE part (after the LAST /data/,
         // the same anchor relFileCol uses): a table rooted under a
@@ -1227,8 +1323,13 @@ object ManifestTable {
     if (files.isEmpty) return emptyOrFail(spark, table, schema).filter(pred)
     val conds = analyzedConditions(spark, table, pred, files, schema)
     val dnf = conds.map(extractDnf).foldLeft(Seq(Map.empty): Dnf)(andDnf)
-    val kept = bloomPrune(spark, table, v,
-      pruneDnf(files, stats, dnf), conds, schema)
+    val pts = partitionTransforms(spark, table, v)
+    val types = schema.map(_.fields.map(f => f.name -> f.dataType).toMap)
+      .getOrElse(Map.empty[String, DataType])
+    val kept0 = pruneDnf(files, stats, transformDnfAugment(dnf, pts, types))
+    val kept1 = bucketDnfOf(spark, conds, pts, types)
+      .fold(kept0)(bd => pruneDnf(kept0, stats, bd))
+    val kept = bloomPrune(spark, table, v, kept1, conds, schema)
     val base =
       if (kept.isEmpty) readFiles(spark, table, files, schema, partBy).limit(0)
       else readLive(spark, table, kept, schema, partBy,
@@ -1365,6 +1466,81 @@ object ManifestTable {
       val row = spark.range(1)
         .select(bloomPosCol(c, bc.bits, bc.k).as("__p")).head()
       Option(row.getAs[scala.collection.Seq[Long]]("__p")).map(_.toSeq)
+    } catch { case scala.util.control.NonFatal(_) => None }
+
+  /** Hidden-partitioning pruning, monotone half: a disjunct bounding a
+    * transform's SOURCE column also bounds the derived TARGET — days
+    * and truncate are monotone, so [lo, hi] on the source maps to
+    * [f(lo), f(hi)] on the target, whose per-file partition values sit
+    * in the stats as degenerate ranges. The augmentation happens
+    * per-disjunct, INSIDE the same conjunction, so it composes exactly
+    * with every other constraint the disjunct carries. */
+  private def transformDnfAugment(dnf: Dnf, pts: Seq[PartitionTransform],
+                                  types: Map[String, DataType]): Dnf = {
+    import org.apache.spark.sql.types.DateType
+    val monotone = pts.filter(p => p.kind == "days" || p.kind == "truncate")
+    if (monotone.isEmpty) return dnf
+    dnf.map { conj =>
+      conj ++ monotone.flatMap { pt =>
+        conj.get(pt.source).map { case (lo, hi) =>
+          val (tlo, thi) = pt.kind match {
+            case "days" =>
+              // timestamp stats (and leafBounds literals) are epoch
+              // SECONDS; date stats are already epoch days
+              val scale =
+                if (types.get(pt.source).contains(DateType)) 1.0 else 86400.0
+              (math.floor(lo / scale), math.floor(hi / scale))
+            case _ => // truncate: target = floor(v / w) * w
+              (math.floor(lo / pt.n) * pt.n, math.floor(hi / pt.n) * pt.n)
+          }
+          pt.target -> (tlo, thi)
+        }
+      }
+    }
+  }
+
+  /** Hidden-partitioning pruning, bucket half: equality literals on a
+    * bucket transform's source map to the target's bucket id through
+    * the SAME xxhash64 expression the writer used (one-row local eval,
+    * like the bloom path); a disjunct whose every candidate value maps
+    * constrains the target to the ids' hull. None when nothing maps —
+    * callers then skip the extra prune entirely. */
+  private def bucketDnfOf(spark: SparkSession,
+                          conds: Seq[org.apache.spark.sql.catalyst.expressions.Expression],
+                          pts: Seq[PartitionTransform],
+                          types: Map[String, DataType]): Option[Dnf] = {
+    val bpts = pts.filter(_.kind == "bucket")
+    if (bpts.isEmpty || conds.isEmpty) return None
+    val eqDnf = conds.map(extractEqDnf)
+      .foldLeft(Seq(Map.empty): EqDnf)(andEqDnf)
+    val out: Dnf = eqDnf.map { conj =>
+      conj.iterator.flatMap { case (c, lits) =>
+        bpts.find(_.source == c).flatMap { pt =>
+          val ids = lits.flatMap(l =>
+            types.get(c).flatMap(dt => bucketIdFor(spark, l, dt, pt)))
+          // EVERY candidate value must map, or the unmapped one could
+          // live in any bucket and the constraint would be unsound
+          if (ids.size == lits.size && ids.nonEmpty)
+            Some(pt.target -> (ids.min.toDouble, ids.max.toDouble))
+          else None
+        }
+      }.toMap
+    }
+    if (out.forall(_.isEmpty)) None else Some(out)
+  }
+
+  private def bucketIdFor(spark: SparkSession,
+                          l: org.apache.spark.sql.catalyst.expressions.Literal,
+                          colType: DataType,
+                          pt: PartitionTransform): Option[Long] =
+    try {
+      import org.apache.spark.sql.catalyst.expressions.{Cast, Expression}
+      val e: Expression = if (l.dataType == colType) l else Cast(l, colType)
+      if (e.eval(null) == null) return None
+      val c = org.apache.spark.sql.graftbridge.ColumnBridge.column(e)
+      val row = spark.range(1)
+        .select(transformCol(pt, c, colType).as("__b")).head()
+      if (row.isNullAt(0)) None else Some(row.getLong(0))
     } catch { case scala.util.control.NonFatal(_) => None }
 
   /** The bloom-index pruning pass [[readWhere]] runs AFTER range/stats
@@ -1512,7 +1688,17 @@ object ManifestTable {
       case _ => None
     }
     def lit(x: Expression): Option[Double] = x match {
+      // BOTH timestamp flavors store internal µs and stats-encode as
+      // epoch SECONDS (statEncoder's double cast). NTZ must be matched
+      // EXPLICITLY: its internal Long would otherwise fall through to
+      // the generic Number case below and read as a raw µs bound —
+      // ~10^6 times too large, pruning every file under a `col >= ts`
+      // predicate (wrong empty results, not just weak pruning).
       case Literal(v, TimestampType) => v match {
+        case us: java.lang.Long => Some(us.toDouble / 1e6)
+        case _ => None
+      }
+      case Literal(v, org.apache.spark.sql.types.TimestampNTZType) => v match {
         case us: java.lang.Long => Some(us.toDouble / 1e6)
         case _ => None
       }
@@ -1568,6 +1754,9 @@ object ManifestTable {
       case InSet(a: AttributeReference, hset) if hset.nonEmpty =>
         val vs = hset.toSeq.map(v => (v, a.dataType) match {
           case (us: java.lang.Long, TimestampType) => Some(us.toDouble / 1e6)
+          case (us: java.lang.Long,
+              org.apache.spark.sql.types.TimestampNTZType) =>
+            Some(us.toDouble / 1e6)
           case (s: org.apache.spark.unsafe.types.UTF8String,
               org.apache.spark.sql.types.StringType) =>
             Some(stringBound(s.toString))
@@ -1669,15 +1858,33 @@ object ManifestTable {
     * stats pruning here, one mechanism, so equality/IN/range predicates
     * on partition columns prune through the same manifest machinery
     * and COMPOSE with data-column ranges. */
-  private def writeData(spark: SparkSession, table: String, df: DataFrame,
+  private def writeData(spark: SparkSession, table: String, df0: DataFrame,
                         statsColumns: Seq[String] = Nil,
-                        partitionBy: Seq[String] = Nil)
+                        partitionBy: Seq[String] = Nil,
+                        transformsOpt: Option[Seq[PartitionTransform]] = None)
       : (String, Seq[String], Map[String, Map[String, (Double, Double)]]) = {
     // refuse the reserved name BEFORE writing anything — a refused
     // batch must leave no garbage dir behind
-    require(!df.schema.names.exists(_.startsWith(ReservedStatsPrefix)),
+    require(!df0.schema.names.exists(_.startsWith(ReservedStatsPrefix)),
       s"column names starting with '$ReservedStatsPrefix' are reserved " +
         "for the manifest's per-file metadata (sizes, null counts)")
+    // hidden-partitioning targets absent from the batch are DERIVED
+    // here, from the recorded transforms (or the commit-provided ones
+    // when the layout is being replaced) — so every rewrite path
+    // (merge, delete, compact, materialize) preserves the layout with
+    // zero call-site cooperation: their row frames carry only source
+    // columns, and the transform recomputes the target per row.
+    val pts = transformsOpt.getOrElse(
+      try partitionTransforms(spark, table)
+      catch { case _: IllegalArgumentException => Nil })
+    import org.apache.spark.sql.functions.{col => fcol}
+    val df = pts.foldLeft(df0) { (d, pt) =>
+      if (partitionBy.contains(pt.target) && !d.columns.contains(pt.target)
+          && d.columns.contains(pt.source))
+        d.withColumn(pt.target,
+          transformCol(pt, fcol(pt.source), d.schema(pt.source).dataType))
+      else d
+    }
     val uuid = java.util.UUID.randomUUID().toString
     val dataDir = new Path(table, s"data/$uuid")
     val w = df.write.mode(SaveMode.ErrorIfExists)
@@ -1779,7 +1986,8 @@ object ManifestTable {
             bloomCols.map(c => array_distinct(flatten(collect_list(
               fwhen(col(c).isNotNull,
                 bloomPosCol(col(c), bloomCfg.get.bits, bloomCfg.get.k)))))
-              .as(s"__bl_$c"))
+              .as(s"__bl_$c")) :+
+            count(lit(1)).as("__rc") // per-file row count, free here
           val rows = spark.read.parquet(dataDir.toString)
             .groupBy(relFileCol.as("__f"))
             .agg(aggs.head, aggs.tail: _*)
@@ -1819,7 +2027,10 @@ object ManifestTable {
                 val nn = r.getAs[Long](s"__nn_$c").toDouble
                 Seq(NullsKeyPrefix + c -> (nc, nc),
                   NonNullsKeyPrefix + c -> (nn, nn))
-              }.toMap)
+              }.toMap + {
+                val rc = r.getAs[Long]("__rc").toDouble
+                RowsKey -> (rc, rc)
+              })
             }.toMap
         }
       }
@@ -1829,11 +2040,22 @@ object ManifestTable {
     // never stats files. The reserved name is refused as a data column
     // above; carried files keep their entry through the same
     // stats-carry paths every rewrite already uses.
-    val stats = files.iterator.map(fn =>
-      fn -> (scanStats.getOrElse(fn, Map.empty) ++
-        partStats.getOrElse(fn, Map.empty) +
+    //
+    // A file the stats pass grouped ZERO rows for (an empty part file,
+    // e.g. a delete's empty survivor) still gets its row count — (0, 0)
+    // — or [[rowCount]] would refuse the whole snapshot over a file
+    // that trivially holds nothing.
+    val statsPassRan = scanStats.nonEmpty ||
+      ((statsColumns.filter(df.schema.names.contains)
+          .exists(!partitionBy.contains(_)) || bloomCols.nonEmpty)
+        && files.nonEmpty)
+    val stats = files.iterator.map { fn =>
+      val scanned = scanStats.getOrElse(fn,
+        if (statsPassRan) Map(RowsKey -> (0.0, 0.0))
+        else Map.empty[String, (Double, Double)])
+      fn -> (scanned ++ partStats.getOrElse(fn, Map.empty) +
         (SizeKey -> (sizeOfNew(fn).toDouble, sizeOfNew(fn).toDouble)))
-    ).toMap
+    }.toMap
     (uuid, files, stats)
   }
 
@@ -1885,7 +2107,8 @@ object ManifestTable {
                          reuseSegmentsOf: Option[Int] = None,
                          txn: Option[(String, Long)] = None,
                          dvs: Option[Map[String, Seq[Long]]] = None,
-                         bloomB64: Option[String] = None)
+                         bloomB64: Option[String] = None,
+                         transformsB64: Option[String] = None)
       : Boolean = {
     // schema rides base64-encoded (its JSON is full of quotes the
     // regex-grammar manifest must not see)
@@ -1970,6 +2193,13 @@ object ManifestTable {
       .filter(_.nonEmpty)
     val bloomLine =
       bloomVal.map(b => s"""  "bloomB64": "$b",\n""").getOrElse("")
+    // partition transforms: carried like the bloom config; overwrite
+    // (and restore/clone, which pass the donor's) replace explicitly
+    val ptVal = transformsB64.orElse(
+      if (head == 0) None else transformsRawFromText(parentText))
+      .filter(_.nonEmpty)
+    val ptLine =
+      ptVal.map(b => s"""  "partitionTransformsB64": "$b",\n""").getOrElse("")
     require(op.matches("[a-z][a-z-]*"),
       s"op '$op' is not a manifest-safe identifier")
     val target = manifestPath(table, head + 1)
@@ -2062,7 +2292,7 @@ object ManifestTable {
          |  "version": ${head + 1},
          |  "op": "$op",
          |  "commitMs": $commitMs,
-         |$txnLine$consLine$tombLine$dvLine$bloomLine$partitionLine$schemaLine$statsBlock$segmentsLine  "files": [
+         |$txnLine$consLine$tombLine$dvLine$bloomLine$ptLine$partitionLine$schemaLine$statsBlock$segmentsLine  "files": [
          |$filesBody
          |  ]
          |}""".stripMargin
@@ -2130,15 +2360,32 @@ object ManifestTable {
     // discovery fail on read); overwrite replaces the layout like it
     // replaces the schema.
     val headPartBy = partitionColumns(spark, table)
-    val partBy =
-      if (mode == SaveMode.Append && partitionBy.isEmpty) headPartBy
-      else partitionBy
+    val headTransforms = partitionTransforms(spark, table)
+    // hidden partitioning: a partitionBy entry may be a TRANSFORM —
+    // days(c) / bucket(n, c) / truncate(w, c) — whose derived target
+    // becomes the layout column; plain names stay identity columns
+    val parsedSpec = partitionBy.map(p => (p, parseTransform(p)))
+    val reqTransforms = parsedSpec.flatMap(_._2)
+    val reqPartBy = parsedSpec.map { case (p, t) => t.fold(p)(_.target) }
+    val (partBy, transforms) =
+      if (mode == SaveMode.Append && partitionBy.isEmpty)
+        (headPartBy, headTransforms)
+      else (reqPartBy, reqTransforms)
     if (mode == SaveMode.Append && currentVersion(spark, table) > 0)
-      require(partBy == headPartBy,
-        s"append on $table with partitionBy=$partBy but the table is " +
-          s"partitioned by $headPartBy — overwrite to change the layout")
-    partBy.foreach(c => require(df.schema.map(_.name).contains(c),
-      s"partition column '$c' is not in the batch schema"))
+      require(partBy == headPartBy && transforms == headTransforms,
+        s"append on $table with layout ($partBy, $transforms) but the " +
+          s"table is laid out as ($headPartBy, $headTransforms) — " +
+          "overwrite to change the layout")
+    val transformed = transforms.map(_.target).toSet
+    partBy.filterNot(transformed).foreach(c =>
+      require(df.schema.map(_.name).contains(c),
+        s"partition column '$c' is not in the batch schema"))
+    transforms.foreach { pt =>
+      require(df.schema.map(_.name).contains(pt.source),
+        s"transform source column '${pt.source}' is not in the batch schema")
+      require(!df.schema.map(_.name).contains(pt.target),
+        s"derived layout column '${pt.target}' collides with a batch column")
+    }
     // schema enforcement (the Delta rule): an append whose column
     // name/type set differs from the table's would leave the snapshot
     // a mixed-schema parquet union — readers silently drop or null the
@@ -2202,7 +2449,8 @@ object ManifestTable {
     var validatedCons =
       checkConstraints(spark, table, currentVersion(spark, table))
     requireSatisfied(df, validatedCons, s"a batch committed to $table")
-    val (uuid, newFiles, newStats) = writeData(spark, table, df, cols, partBy)
+    val (uuid, newFiles, newStats) =
+      writeData(spark, table, df, cols, partBy, Some(transforms))
     var committed = -1
     var attempt = 0
     while (committed < 0) {
@@ -2224,7 +2472,8 @@ object ManifestTable {
       // publish a mixed flat/partitioned snapshot — the batch's data
       // files were already laid out for the OLD spec
       if (mode == SaveMode.Append && head > 0)
-        require(partitionColumns(spark, table, head) == partBy,
+        require(partitionColumns(spark, table, head) == partBy &&
+            partitionTransforms(spark, table, head) == transforms,
           s"append on $table was laid out for partitioning $partBy but a " +
             "concurrent overwrite changed the table's layout — re-run the append")
       val base =
@@ -2238,7 +2487,12 @@ object ManifestTable {
       if (tryPublish(spark, table, head, base ++ newFiles, uuid,
           Some(schema), carried ++ newStats, partBy,
           op = if (mode == SaveMode.Append) "append" else "overwrite",
-          txn = txn))
+          txn = txn,
+          // overwrite REPLACES the transform record (empty clears it);
+          // append inherits — divergence was already refused above
+          transformsB64 =
+            if (mode == SaveMode.Append) None
+            else Some(if (transforms.isEmpty) "" else transformsB64Of(transforms))))
         committed = head + 1
       else {
         // A lost race means another writer occupied slot head+1, so the
@@ -2427,7 +2681,11 @@ object ManifestTable {
       case StringType => Some(stringBoundCol(c))
       case DateType =>
         Some(org.apache.spark.sql.functions.unix_date(c).cast("double"))
-      case _: NumericType | BooleanType | TimestampType | TimestampNTZType =>
+      // NTZ cannot cast to double directly; through TimestampType
+      // (session tz, pinned UTC by every entry point) it lands on the
+      // same epoch-seconds encoding leafBounds decodes NTZ literals to
+      case TimestampNTZType => Some(c.cast(TimestampType).cast("double"))
+      case _: NumericType | BooleanType | TimestampType =>
         Some(c.cast("double"))
       case _ => None
     }
@@ -2480,6 +2738,13 @@ object ManifestTable {
   private[graft] val NonNullsKeyPrefix = "__graft_nonnulls:"
   private[graft] val ReservedStatsPrefix = "__graft_"
 
+  /** Reserved stats pseudo-column carrying each file's ROW COUNT as a
+    * degenerate (n, n) range — recorded whenever the write-time stats
+    * pass runs (any stats or bloom column configured), the Delta
+    * numRecords idiom. [[rowCount]] answers `count(*)` from the
+    * manifest alone when every live file carries it. */
+  private[graft] val RowsKey = "__graft_rows"
+
   /** Per-file byte sizes recorded in `version`'s manifest — the
     * metadata [[compactSmall]] plans on without ever stat-ing a file.
     * Files committed before size tracking are simply absent. */
@@ -2488,6 +2753,33 @@ object ManifestTable {
     snapshotStats(spark, table, version).flatMap { case (f, m) =>
       m.get(SizeKey).map(r => f -> r._1.toLong)
     }
+
+  /** `count(*)` answered from the MANIFEST alone — zero data files
+    * listed, opened, or read (the Delta metadata-only-query
+    * optimization): the sum of per-file recorded row counts, minus the
+    * rows deletion vectors hide (their per-file ordinal counts are
+    * exact). None — never a wrong number — when the count is not fully
+    * determined by metadata: a live file without the stat (written
+    * before row tracking, or by a stats-less commit), or a pending
+    * predicate tombstone (its hidden-row count is unknown until
+    * [[materializeDeletes]]). At 100 TB this is the difference between
+    * a dashboard's `COUNT(*)` costing one manifest parse and costing a
+    * full scan. */
+  def rowCount(spark: SparkSession, table: String,
+               version: Int = -1): Option[Long] = {
+    val v = if (version < 0) currentVersion(spark, table) else version
+    if (v == 0) return None
+    val (files, _, stats, _) = snapshotAll(spark, table, v)
+    if (files.isEmpty) return Some(0L)
+    if (deleteTombstones(spark, table, v).nonEmpty) return None
+    val per = files.map(f =>
+      stats.get(f).flatMap(_.get(RowsKey)).map(_._1.toLong))
+    if (per.exists(_.isEmpty)) None
+    else {
+      val dvHidden = deleteVectors(spark, table, v).values.map(_.size.toLong).sum
+      Some(per.flatten.sum - dvHidden)
+    }
+  }
 
   /** Column names the head snapshot carries stats for — derived
     * commits ([[upsert]]/[[deleteWhere]]/[[compact]]) keep collecting
@@ -3276,10 +3568,15 @@ object ManifestTable {
       val head = currentVersion(spark, table)
       // the target's segments are reused as-is (donor): a restore of a
       // 100k-file segmented snapshot writes ONE tiny root, no segments
+      // restore is the WHOLE state: the target's bloom config and
+      // partition-transform record come back too (empty = cleared)
+      val targetText = manifestText(spark, table, version)
       if (tryPublish(spark, table, head, files, s"restore-$version",
           schema, stats, partBy, Some(cons), op = "restore",
           tombstones = Some(tombs), reuseSegmentsOf = Some(version),
-          dvs = Some(targetDvs)))
+          dvs = Some(targetDvs),
+          bloomB64 = Some(bloomRawFromText(targetText).getOrElse("")),
+          transformsB64 = Some(transformsRawFromText(targetText).getOrElse(""))))
         return head + 1
       if (currentVersion(spark, table) <= head)
         throw new java.io.IOException(

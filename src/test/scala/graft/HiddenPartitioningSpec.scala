@@ -1,0 +1,156 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.{DataFrame, SaveMode}
+import org.apache.spark.sql.functions._
+import graft.sources.ManifestTable
+
+/** HIDDEN PARTITIONING — Iceberg-style partition transforms
+  * (sources/ManifestTable.scala parseTransform/transformCol/
+  * transformDnfAugment/bucketDnfOf): the layout column is derived
+  * (`days(ts)`, `bucket(n, c)`, `truncate(w, c)`), recorded in the
+  * manifest, recomputed by every writer, INVISIBLE to reads, and
+  * pruned through by predicates on the source column alone. */
+class HiddenPartitioningSpec extends AnyFunSuite with SparkFixture {
+
+  private def freshDir(): String =
+    java.nio.file.Files.createTempDirectory("graft_hidden").toString
+
+  private def events(n: Int): DataFrame = {
+    import spark.implicits._
+    (0 until n).map { i =>
+      (i.toLong, java.sql.Timestamp.valueOf(
+        java.time.LocalDateTime.of(2024, 3, 1 + i % 10, i % 24, 0)),
+        s"u${i % 7}")
+    }.toDF("id", "ts", "user")
+  }
+
+  test("days(ts): layout column stays hidden; ts predicates prune partitions") {
+    val t = freshDir()
+    ManifestTable.commit(spark, t, events(960), SaveMode.Overwrite,
+      partitionBy = Seq("days(ts)"))
+    val got = ManifestTable.read(spark, t)
+    assert(got.columns.toSeq === Seq("id", "ts", "user"),
+      "the derived ts_day column must never surface")
+    assert(got.count() === 960L)
+    // 10 day-partitions on disk
+    assert(ManifestTable.snapshotFiles(spark, t)
+      .flatMap(_.split("/").find(_.startsWith("ts_day="))).distinct.size === 10)
+    val total = ManifestTable.snapshotFiles(spark, t).size
+    val cut = java.sql.Timestamp.valueOf("2024-03-08 00:00:00")
+    val pruned = ManifestTable.readWhere(spark, t, col("ts") >= lit(cut))
+    assert(pruned.inputFiles.length < total,
+      "a ts range must prune day partitions WITHOUT naming ts_day")
+    assert(pruned.count() ===
+      ManifestTable.read(spark, t).filter(col("ts") >= lit(cut)).count())
+  }
+
+  test("bucket(8, id): point lookups prune to one bucket; IN to the hull") {
+    val t = freshDir()
+    ManifestTable.commit(spark, t, events(4000), SaveMode.Overwrite,
+      partitionBy = Seq("bucket(8,id)"))
+    val total = ManifestTable.snapshotFiles(spark, t).size
+    assert(total >= 8)
+    val hit = ManifestTable.readWhere(spark, t, col("id") === 1234L)
+    assert(hit.count() === 1L)
+    assert(hit.inputFiles.length <= total / 4,
+      s"a point lookup should read ~1 of 8 buckets, read ${hit.inputFiles.length}/$total")
+    val in2 = ManifestTable.readWhere(spark, t, col("id").isin(5L, 3999L))
+    assert(in2.count() === 2L)
+    assert(in2.inputFiles.length < total)
+  }
+
+  test("truncate(1000, id): range scans prune width-aligned partitions") {
+    val t = freshDir()
+    ManifestTable.commit(spark, t, events(4000), SaveMode.Overwrite,
+      partitionBy = Seq("truncate(1000,id)"))
+    val total = ManifestTable.snapshotFiles(spark, t).size
+    val pruned = ManifestTable.readWhere(spark, t,
+      col("id").between(1500L, 1700L))
+    assert(pruned.count() === 201L)
+    assert(pruned.inputFiles.length < total)
+    assert(ManifestTable.read(spark, t).columns.toSeq ===
+      Seq("id", "ts", "user"))
+  }
+
+  test("rewrites preserve the hidden layout with zero call-site cooperation") {
+    val t = freshDir()
+    import spark.implicits._
+    ManifestTable.commit(spark, t, events(800), SaveMode.Overwrite,
+      partitionBy = Seq("bucket(4,id)"))
+    // the upsert frame carries ONLY source columns — writeData must
+    // re-derive id_bucket from the recorded transform
+    ManifestTable.upsert(spark, t,
+      Seq((7L,
+        java.sql.Timestamp.valueOf("2024-03-01 00:00:00"), "REWRITTEN"))
+        .toDF("id", "ts", "user"),
+      Seq("id"))
+    val hit = ManifestTable.readWhere(spark, t, col("id") === 7L)
+    assert(hit.collect().map(_.getString(2)).toSeq === Seq("REWRITTEN"))
+    // the rewritten file landed back under a bucket dir and pruning
+    // still works
+    assert(ManifestTable.snapshotFiles(spark, t)
+      .forall(_.contains("id_bucket=")))
+    assert(hit.inputFiles.length <
+      ManifestTable.snapshotFiles(spark, t).size)
+  }
+
+  test("appends inherit the transform; divergence is refused") {
+    val t = freshDir()
+    ManifestTable.commit(spark, t, events(100), SaveMode.Overwrite,
+      partitionBy = Seq("bucket(4,id)"))
+    import spark.implicits._
+    val more = (10000 until 10100).map(i =>
+      (i.toLong, java.sql.Timestamp.valueOf("2024-04-01 00:00:00"), "x"))
+      .toDF("id", "ts", "user")
+    ManifestTable.commit(spark, t, more) // bare append inherits
+    assert(ManifestTable.read(spark, t).count() === 200L)
+    assert(ManifestTable.partitionTransforms(spark, t)
+      .map(_.kind) === Seq("bucket"))
+    intercept[IllegalArgumentException] {
+      ManifestTable.commit(spark, t, more, partitionBy = Seq("bucket(8,id)"))
+    }
+    intercept[IllegalArgumentException] {
+      ManifestTable.commit(spark, t, more, partitionBy = Seq("days(ts)"))
+    }
+  }
+
+  test("restore and shallow clone carry the transform record") {
+    val src = freshDir(); val dst = freshDir()
+    ManifestTable.commit(spark, src, events(200), SaveMode.Overwrite,
+      partitionBy = Seq("bucket(4,id)"))
+    ManifestTable.commit(spark, src, events(100), SaveMode.Overwrite) // flat v2
+    assert(ManifestTable.partitionTransforms(spark, src).isEmpty,
+      "an overwrite to a flat layout clears the record")
+    ManifestTable.restore(spark, src, 1)
+    assert(ManifestTable.partitionTransforms(spark, src).map(_.kind) ===
+      Seq("bucket"), "restore brings the target's layout record back")
+    ManifestTable.cloneShallow(spark, src, dst)
+    assert(ManifestTable.partitionTransforms(spark, dst).map(_.kind) ===
+      Seq("bucket"))
+    val hit = ManifestTable.readWhere(spark, dst, col("id") === 42L)
+    assert(hit.count() === 1L)
+    assert(hit.inputFiles.length <
+      ManifestTable.snapshotFiles(spark, dst).size)
+  }
+
+  test("identity and transform columns mix; target collisions are refused") {
+    val t = freshDir()
+    ManifestTable.commit(spark, t, events(400), SaveMode.Overwrite,
+      partitionBy = Seq("user", "bucket(4,id)"))
+    val got = ManifestTable.read(spark, t)
+    assert(got.columns.toSeq.sorted === Seq("id", "ts", "user"),
+      "identity column surfaces, hidden target does not")
+    val pruned = ManifestTable.readWhere(spark, t,
+      col("user") === "u3" && col("id") === 3L)
+    assert(pruned.count() === 1L)
+    assert(pruned.inputFiles.length <
+      ManifestTable.snapshotFiles(spark, t).size / 2,
+      "identity and bucket pruning must compose")
+    intercept[IllegalArgumentException] {
+      val bad = events(10).withColumn("id_bucket", lit(1))
+      ManifestTable.commit(spark, freshDir(), bad, SaveMode.Overwrite,
+        partitionBy = Seq("bucket(4,id)"))
+    }
+  }
+}

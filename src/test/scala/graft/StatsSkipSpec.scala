@@ -415,4 +415,29 @@ class StatsSkipSpec extends AnyFunSuite with SparkFixture {
       col("l_suppkey").between(10, 40)).count()
     assert(pruned === full && full > 0)
   }
+
+  test("TIMESTAMP_NTZ range predicates prune in SECONDS, not raw µs (r10 fix)") {
+    // the NTZ literal's internal Long is µs; before the fix it fell
+    // through leafBounds' generic Number case and produced a bound
+    // ~10^6 times past every file's epoch-seconds stats — readWhere
+    // pruned ALL files and returned wrong empty results
+    val t = freshTable()
+    import spark.implicits._
+    val rows = (0 until 96).map(h =>
+      (h.toLong, java.time.LocalDateTime.of(2024, 1, 1 + h / 24, h % 24, 0)))
+      .toDF("id", "ts") // LocalDateTime encodes as TIMESTAMP_NTZ
+    assert(rows.schema("ts").dataType ===
+      org.apache.spark.sql.types.TimestampNTZType)
+    ManifestTable.commit(spark, t, rows.repartitionByRange(4, col("id")),
+      SaveMode.Overwrite, statsColumns = Seq("ts"))
+    val cut = java.time.LocalDateTime.of(2024, 1, 3, 0, 0)
+    val got = ManifestTable.readWhere(spark, t, col("ts") >= lit(cut))
+    assert(got.count() === 48L, "NTZ range read must not lose rows")
+    assert(got.inputFiles.length < 4,
+      "and must still prune the out-of-range files")
+    // IN over NTZ literals (InSet path once the list is large)
+    val ins = (0 until 12).map(i => java.time.LocalDateTime.of(2024, 1, 1, i, 0))
+    val gotIn = ManifestTable.readWhere(spark, t, col("ts").isin(ins: _*))
+    assert(gotIn.count() === 12L)
+  }
 }
