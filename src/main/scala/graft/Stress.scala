@@ -469,6 +469,26 @@ object Stress {
       println(f"[stress] manifest_100k files=$nAll segments=$nSegs " +
         f"root_kb=$rootKb append_s=$appendSec%.2f root_parse_ms=$rootParseMs%.0f " +
         f"full_parse_warm_ms=$fullParseWarmMs%.0f prune_ms=$pruneMs%.0f kept=$kept")
+      // r10: the metadata ops that must stay O(manifest) at this size —
+      // SHALLOW CLONE (zero-copy birth of a 100k-file table) and
+      // metadata-only COUNT (one parse, no data touched)
+      t0 = System.nanoTime()
+      val cloneDst = java.nio.file.Files
+        .createTempDirectory("graft_stress_clone").toString
+      ManifestTable.cloneShallow(spark, t, cloneDst)
+      val cloneSec = (System.nanoTime() - t0) / 1e9
+      t0 = System.nanoTime()
+      val rc = ManifestTable.rowCount(spark, cloneDst)
+      val countMs = (System.nanoTime() - t0) / 1e6
+      require(rc.contains(nFiles.toLong + 5),
+        s"metadata count $rc != ${nFiles + 5} rows (1 row/file layout)")
+      require(new java.io.File(cloneDst, "data").listFiles() == null,
+        "a shallow clone of 100k files must move zero data")
+      val cloneRead = ManifestTable.readWhere(spark, cloneDst,
+        col("k").between(10.0, 100.0)).count()
+      require(cloneRead > 0, "clone must read through the extern ledger")
+      println(f"[stress] manifest_100k clone_s=$cloneSec%.2f " +
+        f"metadata_count_ms=$countMs%.0f clone_pruned_rows=$cloneRead")
     }
 
     // Analytics shapes over a rep×-replicated event log (user space

@@ -173,15 +173,23 @@ object ManifestTable {
   final case class PartitionTransform(kind: String, source: String,
                                       n: Long, target: String)
 
+  private val YearsPat = """years\(\s*([^)\s,]+)\s*\)""".r
+  private val MonthsPat = """months\(\s*([^)\s,]+)\s*\)""".r
   private val DaysPat = """days\(\s*([^)\s,]+)\s*\)""".r
+  private val HoursPat = """hours\(\s*([^)\s,]+)\s*\)""".r
   private val BucketPat = """bucket\(\s*(\d+)\s*,\s*([^)\s,]+)\s*\)""".r
   private val TruncPat = """truncate\(\s*(\d+)\s*,\s*([^)\s,]+)\s*\)""".r
 
   /** Parse one partitionBy entry; None means a plain (identity)
-    * partition column. */
+    * partition column. The family is Iceberg's: years / months / days
+    * / hours (time granularities), bucket (hash residue), truncate
+    * (width floor). */
   private[graft] def parseTransform(s: String): Option[PartitionTransform] =
     s.trim match {
+      case YearsPat(c) => Some(PartitionTransform("years", c, 0L, s"${c}_year"))
+      case MonthsPat(c) => Some(PartitionTransform("months", c, 0L, s"${c}_month"))
       case DaysPat(c) => Some(PartitionTransform("days", c, 0L, s"${c}_day"))
+      case HoursPat(c) => Some(PartitionTransform("hours", c, 0L, s"${c}_hour"))
       case BucketPat(n, c) =>
         require(n.toLong > 0, s"bucket($n, $c): need a positive bucket count")
         Some(PartitionTransform("bucket", c, n.toLong, s"${c}_bucket"))
@@ -228,18 +236,51 @@ object ManifestTable {
     * the width; bucket is the xxhash64 residue. */
   private def transformCol(pt: PartitionTransform, c: Column,
                            dt: DataType): Column = {
-    import org.apache.spark.sql.functions.{floor, lit, pmod, unix_date, xxhash64}
+    import org.apache.spark.sql.functions.{floor, lit, month, pmod, unix_date, xxhash64, year}
     import org.apache.spark.sql.types._
+    // epoch seconds of a time-typed column, the shared base for the
+    // sub-month granularities (dates scale their day number)
+    def secs: Column = dt match {
+      case TimestampNTZType => c.cast(TimestampType).cast("double")
+      case DateType => unix_date(c).cast("double") * 86400
+      case _ => c.cast("double")
+    }
     pt.kind match {
-      case "days" => dt match {
-        case DateType => unix_date(c).cast("long")
-        case TimestampNTZType =>
-          floor(c.cast(TimestampType).cast("double") / 86400).cast("long")
-        case _ => floor(c.cast("double") / 86400).cast("long")
-      }
+      // calendar granularities use year()/month() — session tz is
+      // pinned UTC by every entry point, matching the prune-side
+      // java.time UTC mapping
+      case "years" => (year(c) - 1970).cast("long")
+      case "months" => ((year(c) - 1970) * 12 + month(c) - 1).cast("long")
+      case "days" => floor(secs / 86400).cast("long")
+      case "hours" => floor(secs / 3600).cast("long")
       case "truncate" => floor(c.cast("double") / pt.n).cast("long") * pt.n
       case "bucket" => pmod(xxhash64(c), lit(pt.n))
       case k => throw new IllegalArgumentException(s"unknown transform '$k'")
+    }
+  }
+
+  /** Prune-side twin of the calendar granularities: map an
+    * epoch-SECONDS (or epoch-days, for DateType) stats bound to the
+    * transform's index, monotonically. */
+  private def calendarIndex(kind: String, statVal: Double,
+                            isDate: Boolean): Double = {
+    if (statVal.isNaN || statVal.isInfinite) return statVal
+    val sec = if (isDate) statVal * 86400 else statVal
+    kind match {
+      case "days" => math.floor(sec / 86400)
+      case "hours" => math.floor(sec / 3600)
+      case _ =>
+        try {
+          val d = java.time.LocalDateTime.ofEpochSecond(
+            math.floor(sec).toLong, 0, java.time.ZoneOffset.UTC)
+          if (kind == "years") (d.getYear - 1970).toDouble
+          else ((d.getYear - 1970) * 12 + d.getMonthValue - 1).toDouble
+        } catch {
+          // a bound past the calendar's range maps to the matching
+          // infinity — monotone, so the constraint only loosens
+          case _: java.time.DateTimeException =>
+            if (sec < 0) Double.NegativeInfinity else Double.PositiveInfinity
+        }
     }
   }
 
@@ -1478,20 +1519,19 @@ object ManifestTable {
   private def transformDnfAugment(dnf: Dnf, pts: Seq[PartitionTransform],
                                   types: Map[String, DataType]): Dnf = {
     import org.apache.spark.sql.types.DateType
-    val monotone = pts.filter(p => p.kind == "days" || p.kind == "truncate")
+    val monotone = pts.filter(p => p.kind != "bucket")
     if (monotone.isEmpty) return dnf
     dnf.map { conj =>
       conj ++ monotone.flatMap { pt =>
         conj.get(pt.source).map { case (lo, hi) =>
           val (tlo, thi) = pt.kind match {
-            case "days" =>
+            case "truncate" => // target = floor(v / w) * w
+              (math.floor(lo / pt.n) * pt.n, math.floor(hi / pt.n) * pt.n)
+            case k =>
               // timestamp stats (and leafBounds literals) are epoch
               // SECONDS; date stats are already epoch days
-              val scale =
-                if (types.get(pt.source).contains(DateType)) 1.0 else 86400.0
-              (math.floor(lo / scale), math.floor(hi / scale))
-            case _ => // truncate: target = floor(v / w) * w
-              (math.floor(lo / pt.n) * pt.n, math.floor(hi / pt.n) * pt.n)
+              val isDate = types.get(pt.source).contains(DateType)
+              (calendarIndex(k, lo, isDate), calendarIndex(k, hi, isDate))
           }
           pt.target -> (tlo, thi)
         }

@@ -134,6 +134,55 @@ class HiddenPartitioningSpec extends AnyFunSuite with SparkFixture {
       ManifestTable.snapshotFiles(spark, dst).size)
   }
 
+  test("months(ts) / hours(ts): calendar granularities prune and stay hidden") {
+    val t = freshDir()
+    import spark.implicits._
+    // 6 months of daily rows
+    val rows = (0 until 180).map { i =>
+      (i.toLong, java.sql.Timestamp.valueOf(
+        java.time.LocalDateTime.of(2024, 1, 1, 0, 0).plusDays(i)))
+    }.toDF("id", "ts")
+    ManifestTable.commit(spark, t, rows, SaveMode.Overwrite,
+      partitionBy = Seq("months(ts)"))
+    assert(ManifestTable.snapshotFiles(spark, t)
+      .flatMap(_.split("/").find(_.startsWith("ts_month="))).distinct.size === 6)
+    val total = ManifestTable.snapshotFiles(spark, t).size
+    val cut = java.sql.Timestamp.valueOf("2024-05-15 00:00:00")
+    val pruned = ManifestTable.readWhere(spark, t, col("ts") >= lit(cut))
+    assert(pruned.count() === rows.filter(col("ts") >= lit(cut)).count())
+    assert(pruned.inputFiles.length < total,
+      "a May cut must drop the Jan–Apr month partitions")
+    assert(ManifestTable.read(spark, t).columns.toSeq === Seq("id", "ts"))
+    // hours on a narrow window
+    val t2 = freshDir()
+    val hrs = (0 until 48).map(h =>
+      (h.toLong, java.sql.Timestamp.valueOf(
+        java.time.LocalDateTime.of(2024, 1, 1, 0, 0).plusHours(h))))
+      .toDF("id", "ts")
+    ManifestTable.commit(spark, t2, hrs, SaveMode.Overwrite,
+      partitionBy = Seq("hours(ts)"))
+    val h1 = ManifestTable.readWhere(spark, t2,
+      col("ts") === java.sql.Timestamp.valueOf("2024-01-01 07:00:00"))
+    assert(h1.count() === 1L)
+    assert(h1.inputFiles.length <= 2)
+  }
+
+  test("years(date): a DATE source prunes through the day-number stats domain") {
+    val t = freshDir()
+    import spark.implicits._
+    val rows = (0 until 40).map(i =>
+      (i.toLong, java.sql.Date.valueOf(s"${2018 + i % 5}-0${1 + i % 9}-15")))
+      .toDF("id", "d")
+    ManifestTable.commit(spark, t, rows, SaveMode.Overwrite,
+      partitionBy = Seq("years(d)"))
+    val total = ManifestTable.snapshotFiles(spark, t).size
+    val pruned = ManifestTable.readWhere(spark, t,
+      col("d") >= lit(java.sql.Date.valueOf("2021-01-01")))
+    assert(pruned.count() ===
+      rows.filter(col("d") >= lit(java.sql.Date.valueOf("2021-01-01"))).count())
+    assert(pruned.inputFiles.length < total)
+  }
+
   test("identity and transform columns mix; target collisions are refused") {
     val t = freshDir()
     ManifestTable.commit(spark, t, events(400), SaveMode.Overwrite,
