@@ -1715,6 +1715,59 @@ object LakehouseQueries {
              |  round(sum(o_totalprice), 2) AS sum_price
              |FROM orders WHERE o_custkey = (SELECT min(o_custkey) FROM orders)
              |ORDER BY side NULLS FIRST""".stripMargin)
+    ),
+
+    // C47: COPY INTO, judged (r10) — idempotent landing-zone
+    // ingestion, the Delta COPY INTO / Iceberg add_files shape: two
+    // landing batches arrive at different times; each copyInto
+    // consumes exactly the files it has not seen (in-query requires
+    // pin one version per NEW batch and a strict no-op on the exact
+    // re-run — the crash-and-rerun case every ingestion pipeline
+    // hits), with the consumed-source ledger riding the same atomic
+    // publish as the data, so memory survives compaction and expiry.
+    // The hash proves the final table equals the landing zone's union
+    // with no row ingested twice; the metadata-only count cross-checks
+    // the row accounting without a scan.
+    Entry(
+      "c47_copy_into",
+      (s, d) => {
+        val t = scratchDir("c47t", d)
+        val landing = scratchDir("c47l", d)
+        // rerun-safe: re-landed files get new mtimes and would
+        // re-ingest into the old table — reset both roots
+        def rmRf(f: java.io.File): Unit = {
+          Option(f.listFiles()).getOrElse(Array.empty).foreach(rmRf)
+          f.delete(); ()
+        }
+        rmRf(new java.io.File(t)); rmRf(new java.io.File(landing))
+        val M = graft.sources.ManifestTable
+        val ord = Tables.orders(s, d)
+          .select(col("o_orderkey"), col("o_totalprice"),
+            col("o_orderpriority"))
+        ord.filter(col("o_orderkey") % 2 === 0).coalesce(2)
+          .write.parquet(s"$landing/batch1")
+        val v1 = M.copyInto(s, t, s"$landing/*",
+          statsColumns = Seq("o_orderkey"))
+        require(v1 == 1, s"first ingest commits v1, got $v1")
+        require(M.copyInto(s, t, s"$landing/*") == 1,
+          "an exact re-run must be a no-op")
+        ord.filter(col("o_orderkey") % 2 === 1).coalesce(2)
+          .write.parquet(s"$landing/batch2")
+        val v2 = M.copyInto(s, t, s"$landing/*")
+        require(v2 == 2, s"the new batch alone commits v2, got $v2")
+        require(M.rowCount(s, t).contains(ord.count()),
+          "metadata count must equal the landing union")
+        M.read(s, t)
+          .groupBy("o_orderpriority")
+          .agg(count(lit(1)).as("cnt"),
+            round(sum(col("o_totalprice")), 2).as("sum_price"))
+          .orderBy("o_orderpriority")
+      },
+      Some("""SELECT o_orderpriority, count(*) AS cnt,
+             |  round(sum(o_totalprice), 2) AS sum_price
+             |FROM orders
+             |GROUP BY o_orderpriority
+             |ORDER BY o_orderpriority NULLS FIRST""".stripMargin)
     )
   )
 }

@@ -859,6 +859,150 @@ object ManifestTable {
     }
   }
 
+  // -----------------------------------------------------------------
+  // COPY INTO — idempotent file ingestion (the Delta COPY INTO /
+  // Iceberg add_files idiom): each ingest commit writes ONE immutable
+  // ledger file (`_manifests/ingest/<uuid>.json`, the source keys it
+  // consumed) and the root manifest lists every ledger file by name,
+  // carried verbatim by all later publishes. Exactly-once rides the
+  // atomic publish: a ledger file counts ONLY when a surviving root
+  // references it, so a crashed or lost-race ingest's orphan ledger is
+  // never read (and expire sweeps it), while a referenced ledger
+  // survives compactions, merges, and expiry of old versions — the
+  // ingestion memory is permanent table state, not file state.
+  // -----------------------------------------------------------------
+
+  private def ingestDir(table: String) = new Path(manifestDir(table), "ingest")
+
+  private def ingestSegsFromText(text: String): Seq[String] =
+    "\"ingestSegs\"\\s*:\\s*\\[([^\\]]*)\\]".r.findFirstMatchIn(text)
+      .map(m => "\"([^\"]+)\"".r.findAllMatchIn(m.group(1)).map(_.group(1)).toSeq)
+      .getOrElse(Nil)
+
+  /** The ingest-ledger files `version`'s root references. */
+  def ingestLedgers(spark: SparkSession, table: String,
+                    version: Int = -1): Seq[String] = {
+    val v = if (version < 0) currentVersion(spark, table) else version
+    if (v == 0) Nil else ingestSegsFromText(manifestText(spark, table, v))
+  }
+
+  private def sourceKey(p: String, len: Long, mtime: Long): String =
+    s"$p|$len|$mtime"
+
+  // ledger files are immutable and uuid-named; cache parsed keys
+  private val ingestCache =
+    new java.util.concurrent.ConcurrentHashMap[String, Seq[String]]()
+
+  /** Every source key the table has ever ingested (as of `version`). */
+  def ingestedKeys(spark: SparkSession, table: String,
+                   version: Int = -1): Set[String] =
+    ingestLedgers(spark, table, version).flatMap { rel =>
+      val cacheKey = s"$table/$rel"
+      val hit = ingestCache.get(cacheKey)
+      if (hit != null) hit
+      else {
+        val p = new Path(manifestDir(table), rel)
+        val in = fs(spark, p).open(p)
+        val text =
+          try scala.io.Source.fromInputStream(in, "UTF-8").mkString
+          finally in.close()
+        val arr = segmentMapper.readTree(text).get("sources")
+        val keys = (0 until arr.size).map { i =>
+          val e = arr.get(i)
+          sourceKey(e.get("p").asText, e.get("l").asLong, e.get("m").asLong)
+        }
+        ingestCache.put(cacheKey, keys)
+        keys
+      }
+    }.toSet
+
+  private def writeIngestLedger(spark: SparkSession, table: String,
+                                sources: Seq[(String, Long, Long)]): String = {
+    val rel = s"ingest/${java.util.UUID.randomUUID()}.json"
+    val node = segmentMapper.createObjectNode()
+    val arr = node.putArray("sources")
+    sources.foreach { case (p, l, m) =>
+      val e = arr.addObject(); e.put("p", p); e.put("l", l); e.put("m", m)
+    }
+    val path = new Path(manifestDir(table), rel)
+    val f = fs(spark, path)
+    val out = f.create(path, false) // uuid name: never contended
+    try out.write(segmentMapper.writeValueAsBytes(node)) finally out.close()
+    rel
+  }
+
+  /** Idempotent COPY INTO: ingest every data file matching
+    * `sourceGlob` that the table has not already consumed — re-running
+    * the same command is a NO-OP, concurrent runs ingest each source
+    * exactly once (the loser re-reads the winner's ledger and drops
+    * the overlap), and a crash anywhere leaves either nothing or a
+    * complete ingest, never a partial or doubled one. Source identity
+    * is (path, length, mtime): an overwritten landing file re-ingests
+    * as new content. Returns the committed version (the current head
+    * when nothing new matched). */
+  def copyInto(spark: SparkSession, table: String, sourceGlob: String,
+               format: String = "parquet",
+               statsColumns: Seq[String] = Nil,
+               maxAttempts: Int = 5): Int = {
+    val gfs = fs(spark, new Path(sourceGlob))
+    var attempt = 0
+    while (attempt < maxAttempts) {
+      attempt += 1
+      val head = currentVersion(spark, table)
+      val known = ingestedKeys(spark, table, head)
+      val found = Option(gfs.globStatus(new Path(sourceGlob)))
+        .getOrElse(Array.empty).toSeq
+        .flatMap { st =>
+          if (st.isDirectory)
+            gfs.listStatus(st.getPath).toSeq.filterNot(_.isDirectory)
+          else Seq(st)
+        }
+        .filterNot(st => st.getPath.getName.startsWith(".") ||
+          st.getPath.getName.startsWith("_"))
+        .map(st => (st.getPath.toString, st.getLen, st.getModificationTime))
+        .sortBy(_._1)
+      val fresh = found.filterNot { case (p, l, m) =>
+        known.contains(sourceKey(p, l, m)) }
+      if (fresh.isEmpty) return head
+      val (rel, schema, headStats, partBy) = snapshotAll(spark, table, head)
+      val raw = spark.read.format(format).load(fresh.map(_._1): _*)
+      // append discipline, same as commit(): the batch must match the
+      // recorded schema exactly (COPY INTO is ingestion, not evolution)
+      val df = schema match {
+        case Some(s) =>
+          val have = raw.schema.map(f => f.name -> f.dataType).toMap
+          s.fields.foreach(f => require(have.get(f.name).contains(f.dataType),
+            s"copyInto source schema mismatch on ${f.name}: table has " +
+              s"${f.dataType}, source has ${have.get(f.name)}"))
+          import org.apache.spark.sql.functions.{col => fcol}
+          raw.select(s.fieldNames.filterNot(n =>
+            partitionTransforms(spark, table, head).exists(_.target == n))
+            .map(fcol(_)).toSeq: _*)
+        case None => raw
+      }
+      val cons = checkConstraints(spark, table, head)
+      requireSatisfied(df, cons, s"a COPY INTO batch for $table")
+      val stats = (statsColumnsOf(headStats) ++ statsColumns).distinct.sorted
+      val (uuid, newFiles, newStats) = writeData(spark, table, df, stats, partBy)
+      val ledger = writeIngestLedger(spark, table, fresh)
+      val parentLedgers = ingestLedgers(spark, table, head)
+      if (currentVersion(spark, table) == head &&
+          tryPublish(spark, table, head, rel ++ newFiles, uuid,
+            schema.orElse(Some(recordedSchema(df.schema, partBy))),
+            headStats ++ newStats, partBy, op = "copy-into",
+            ingestSegs = Some(parentLedgers :+ ledger)))
+        return head + 1
+      // lost the race: another writer (possibly a concurrent copyInto
+      // of the same landing zone) advanced the head — discard this
+      // attempt's data AND ledger, re-derive against the new state
+      val f = fs(spark, new Path(table))
+      f.delete(new Path(table, s"data/$uuid"), true)
+      f.delete(new Path(manifestDir(table), ledger), false)
+    }
+    throw new java.util.ConcurrentModificationException(
+      s"copyInto on $table lost $maxAttempts commit races")
+  }
+
   /** Pending lazy-delete tombstones of `version` — `(predicate SQL,
     * targeted files)`. A tombstone hides rows matching its predicate
     * in exactly its TARGET files (the stats-pruned candidates at
@@ -2148,7 +2292,8 @@ object ManifestTable {
                          txn: Option[(String, Long)] = None,
                          dvs: Option[Map[String, Seq[Long]]] = None,
                          bloomB64: Option[String] = None,
-                         transformsB64: Option[String] = None)
+                         transformsB64: Option[String] = None,
+                         ingestSegs: Option[Seq[String]] = None)
       : Boolean = {
     // schema rides base64-encoded (its JSON is full of quotes the
     // regex-grammar manifest must not see)
@@ -2240,6 +2385,15 @@ object ManifestTable {
       .filter(_.nonEmpty)
     val ptLine =
       ptVal.map(b => s"""  "partitionTransformsB64": "$b",\n""").getOrElse("")
+    // ingest ledgers: PERMANENT memory — carried verbatim by every
+    // publish (compaction must not forget what was ingested), never
+    // pruned to the file set
+    val ingVal = ingestSegs.getOrElse(
+      if (head == 0) Nil else ingestSegsFromText(parentText))
+    val ingLine =
+      if (ingVal.isEmpty) ""
+      else ingVal.map(r => s""""$r"""")
+        .mkString("  \"ingestSegs\": [", ", ", "],\n")
     require(op.matches("[a-z][a-z-]*"),
       s"op '$op' is not a manifest-safe identifier")
     val target = manifestPath(table, head + 1)
@@ -2332,7 +2486,7 @@ object ManifestTable {
          |  "version": ${head + 1},
          |  "op": "$op",
          |  "commitMs": $commitMs,
-         |$txnLine$consLine$tombLine$dvLine$bloomLine$ptLine$partitionLine$schemaLine$statsBlock$segmentsLine  "files": [
+         |$txnLine$consLine$tombLine$dvLine$bloomLine$ptLine$ingLine$partitionLine$schemaLine$statsBlock$segmentsLine  "files": [
          |$filesBody
          |  ]
          |}""".stripMargin
@@ -3849,6 +4003,19 @@ object ManifestTable {
       val cutoff = System.currentTimeMillis() - graceMs
       f.listStatus(blDir)
         .filter(st => !refUuids.contains(st.getPath.getName.stripSuffix(".json")))
+        .filter(st => graceMs <= 0L || st.getModificationTime < cutoff)
+        .foreach(st => f.delete(st.getPath, false))
+    }
+    // ingest ledgers referenced by NO surviving root are orphans of
+    // crashed/lost-race ingests (referenced ones are carried by every
+    // publish, so surviving roots are the complete memory)
+    val ingDir = ingestDir(table)
+    if (f.exists(ingDir)) {
+      val referenced = keep
+        .flatMap(v => ingestSegsFromText(manifestText(spark, table, v))).toSet
+      val cutoff = System.currentTimeMillis() - graceMs
+      f.listStatus(ingDir)
+        .filter(st => !referenced.contains("ingest/" + st.getPath.getName))
         .filter(st => graceMs <= 0L || st.getModificationTime < cutoff)
         .foreach(st => f.delete(st.getPath, false))
     }
