@@ -1318,6 +1318,24 @@ object ManifestTable {
     ledger.toSeq.sortBy(_._1).foreach { case (u, root) => ex.put(u, root) }
     val out = lf.create(lp, false) // exclusive: a racing clone loses here
     try out.write(segmentMapper.writeValueAsBytes(node)) finally out.close()
+    // the donor's COPY INTO memory comes along (metadata-sized file
+    // copies): a copyInto pointed at the clone must not re-ingest
+    // sources the donor already consumed — without this, cloning an
+    // ingestion pipeline's table would double every row on the next run
+    val donorLedgers = ingestLedgers(spark, src, v)
+    donorLedgers.foreach { rel =>
+      val from = new Path(manifestDir(src), rel)
+      val to = new Path(manifestDir(dst), rel)
+      val in = fs(spark, from).open(from)
+      val bytes =
+        try {
+          val buf = new java.io.ByteArrayOutputStream()
+          org.apache.hadoop.io.IOUtils.copyBytes(in, buf, 8192, false)
+          buf.toByteArray
+        } finally in.close()
+      val o = fs(spark, to).create(to, false)
+      try o.write(bytes) finally o.close()
+    }
     val ok = tryPublish(spark, dst, 0, files, tag = "clone",
       schema = schema, stats = stats, partitionBy = partBy,
       constraints = Some(checkConstraints(spark, src, v)),
@@ -1325,7 +1343,8 @@ object ManifestTable {
       tombstones = Some(deleteTombstones(spark, src, v)),
       dvs = Some(deleteVectors(spark, src, v)),
       bloomB64 = bloomRawFromText(manifestText(spark, src, v)),
-      transformsB64 = transformsRawFromText(manifestText(spark, src, v)))
+      transformsB64 = transformsRawFromText(manifestText(spark, src, v)),
+      ingestSegs = Some(donorLedgers))
     require(ok, s"clone of $src lost the v1 publish race at $dst — " +
       "another writer claimed the fresh table")
     1
@@ -3671,6 +3690,12 @@ object ManifestTable {
         readFiles(spark, table, files.take(1), None, partBy).schema, partBy))
       require(!sch.fieldNames.contains(name),
         s"column '$name' already exists on $table")
+      // a data column named like a hidden layout column would let a
+      // later batch carry its OWN values for it — the writer would lay
+      // files out by the data instead of the transform, silently
+      // corrupting partition pruning
+      require(!partitionTransforms(spark, table, head).exists(_.target == name),
+        s"column '$name' collides with a hidden partition-transform target")
       val widened = recordedSchema(
         StructType(sch.fields :+ StructField(name, dataType, nullable = true)),
         partBy)

@@ -107,6 +107,45 @@ class CopyIntoSpec extends AnyFunSuite with SparkFixture {
     assert(ManifestTable.read(spark, t).count() === 20L)
   }
 
+  test("a shallow clone carries the ingestion memory — no re-ingest doubling") {
+    val landing = freshDir(); val src = freshDir(); val dst = freshDir()
+    land(landing, "a.parquet", df(0, 30))
+    ManifestTable.copyInto(spark, src, s"$landing/*.parquet")
+    ManifestTable.cloneShallow(spark, src, dst)
+    // the exact same command against the CLONE must be a no-op …
+    assert(ManifestTable.copyInto(spark, dst, s"$landing/*.parquet") === 1)
+    assert(ManifestTable.read(spark, dst).count() === 30L)
+    // … while a genuinely new landing file still ingests
+    land(landing, "b.parquet", df(30, 40))
+    ManifestTable.copyInto(spark, dst, s"$landing/*.parquet")
+    assert(ManifestTable.read(spark, dst).count() === 40L)
+    assert(ManifestTable.read(spark, src).count() === 30L, "donor untouched")
+  }
+
+  test("two concurrent copyInto runs of one landing zone ingest each source once") {
+    val landing = freshDir(); val t = freshDir()
+    (0 until 6).foreach(i => land(landing, s"f$i.parquet",
+      df(i * 100, i * 100 + 100)))
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(2)
+    try {
+      val tasks = (0 until 2).map { _ =>
+        pool.submit(new java.util.concurrent.Callable[Int] {
+          def call(): Int =
+            ManifestTable.copyInto(spark, t, s"$landing/*.parquet",
+              maxAttempts = 10)
+        })
+      }
+      tasks.foreach(_.get())
+    } finally pool.shutdown()
+    // whatever the interleaving: every row exactly once
+    assert(ManifestTable.read(spark, t).count() === 600L)
+    assert(ManifestTable.read(spark, t).select("id").distinct().count() === 600L,
+      "a lost-race ingest must not double any source file")
+    // and a third run is a strict no-op
+    val v = ManifestTable.currentVersion(spark, t)
+    assert(ManifestTable.copyInto(spark, t, s"$landing/*.parquet") === v)
+  }
+
   test("copyInto into a hidden-partitioned table derives the layout") {
     val landing = freshDir(); val t = freshDir()
     import spark.implicits._

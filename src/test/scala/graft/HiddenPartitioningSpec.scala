@@ -202,4 +202,22 @@ class HiddenPartitioningSpec extends AnyFunSuite with SparkFixture {
         partitionBy = Seq("bucket(4,id)"))
     }
   }
+
+  test("DDL cannot create a column that collides with a transform target") {
+    val t = freshDir()
+    ManifestTable.commit(spark, t, events(100), SaveMode.Overwrite,
+      partitionBy = Seq("bucket(4,id)"))
+    // addColumn("id_bucket") would let a later batch carry its OWN
+    // layout values — refused like the batch-column collision is
+    intercept[IllegalArgumentException] {
+      ManifestTable.addColumn(spark, t, "id_bucket",
+        org.apache.spark.sql.types.LongType)
+    }
+    // an append whose batch smuggles the target is refused too
+    import spark.implicits._
+    intercept[IllegalArgumentException] {
+      ManifestTable.commit(spark, t,
+        events(5).withColumn("id_bucket", lit(0L)))
+    }
+  }
 }

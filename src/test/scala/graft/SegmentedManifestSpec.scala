@@ -191,4 +191,40 @@ class SegmentedManifestSpec extends AnyFunSuite with SparkFixture {
       assert(byType("update_post").map(_.getLong(0)).toSet === Set(1L))
     }
   }
+
+  test("r10 features compose on a SEGMENTED table: transforms + blooms + clone + count") {
+    val t = fresh(); val dst = fresh()
+    withSegTarget(3) {
+      import spark.implicits._
+      val rows = (0 until 400).map(i => (i.toLong, s"v$i")).toDF("id", "v")
+      ManifestTable.commit(spark, t, rows.repartition(8, col("id")),
+        org.apache.spark.sql.SaveMode.Overwrite,
+        partitionBy = Seq("bucket(4,id)"), statsColumns = Seq("id"))
+      ManifestTable.addBloom(spark, t, Seq("v"))
+      ManifestTable.commit(spark, t,
+        (1000 until 1200).map(i => (i.toLong, s"v$i")).toDF("id", "v")
+          .repartition(4, col("id")))
+      assert(ManifestTable.snapshotSegments(spark, t).nonEmpty,
+        "the table must actually be segmented")
+      // hidden bucket pruning through segment-carried partition stats
+      val hit = ManifestTable.readWhere(spark, t, col("id") === 1100L)
+      assert(hit.count() === 1L)
+      assert(hit.inputFiles.length <
+        ManifestTable.snapshotFiles(spark, t).size)
+      // bloom pruning on the post-config commit's files
+      val bh = ManifestTable.readWhere(spark, t, col("v") === "v1150")
+      assert(bh.count() === 1L)
+      // metadata count sums across segments
+      assert(ManifestTable.rowCount(spark, t) === Some(600L))
+      // clone of a segmented table: fresh segments under the clone,
+      // same image, pruning intact
+      ManifestTable.cloneShallow(spark, t, dst)
+      assert(ManifestTable.read(spark, dst).count() === 600L)
+      assert(ManifestTable.rowCount(spark, dst) === Some(600L))
+      val ch = ManifestTable.readWhere(spark, dst, col("id") === 7L)
+      assert(ch.count() === 1L)
+      assert(ch.inputFiles.length <
+        ManifestTable.snapshotFiles(spark, dst).size)
+    }
+  }
 }
