@@ -480,8 +480,11 @@ object Stress {
       t0 = System.nanoTime()
       val rc = ManifestTable.rowCount(spark, cloneDst)
       val countMs = (System.nanoTime() - t0) / 1e6
-      require(rc.contains(nFiles.toLong + 5),
-        s"metadata count $rc != ${nFiles + 5} rows (1 row/file layout)")
+      // the build loop wrote exactly batches*filesPerBatch + 5 ROWS;
+      // the file count is a range-partitioner sampling artifact and
+      // must not enter the assertion
+      require(rc.contains(batches.toLong * filesPerBatch + 5),
+        s"metadata count $rc != ${batches * filesPerBatch + 5} rows")
       require(new java.io.File(cloneDst, "data").listFiles() == null,
         "a shallow clone of 100k files must move zero data")
       val cloneRead = ManifestTable.readWhere(spark, cloneDst,

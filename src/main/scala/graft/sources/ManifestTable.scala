@@ -889,16 +889,22 @@ object ManifestTable {
   private def sourceKey(p: String, len: Long, mtime: Long): String =
     s"$p|$len|$mtime"
 
-  // ledger files are immutable and uuid-named; cache parsed keys
+  // ledger files are immutable and uuid-named; cache parsed keys —
+  // LRU-bounded by total KEY COUNT (the actual memory), like every
+  // other cache here: a long-lived ingestion service accumulates
+  // ledgers without bound on disk by design, but not on the driver heap
+  private val ingestCacheMaxKeys = 2000000L
+  private object ingestCacheLock
+  private var ingestCacheKeys = 0L
   private val ingestCache =
-    new java.util.concurrent.ConcurrentHashMap[String, Seq[String]]()
+    new java.util.LinkedHashMap[String, Seq[String]](64, 0.75f, true)
 
   /** Every source key the table has ever ingested (as of `version`). */
   def ingestedKeys(spark: SparkSession, table: String,
                    version: Int = -1): Set[String] =
     ingestLedgers(spark, table, version).flatMap { rel =>
       val cacheKey = s"$table/$rel"
-      val hit = ingestCache.get(cacheKey)
+      val hit = ingestCacheLock.synchronized(ingestCache.get(cacheKey))
       if (hit != null) hit
       else {
         val p = new Path(manifestDir(table), rel)
@@ -911,7 +917,18 @@ object ManifestTable {
           val e = arr.get(i)
           sourceKey(e.get("p").asText, e.get("l").asLong, e.get("m").asLong)
         }
-        ingestCache.put(cacheKey, keys)
+        ingestCacheLock.synchronized {
+          val prev = ingestCache.put(cacheKey, keys)
+          ingestCacheKeys += keys.size - (if (prev == null) 0 else prev.size)
+          val it = ingestCache.entrySet().iterator()
+          while (ingestCacheKeys > ingestCacheMaxKeys && it.hasNext) {
+            val eldest = it.next()
+            if (eldest.getKey != cacheKey) {
+              ingestCacheKeys -= eldest.getValue.size
+              it.remove()
+            }
+          }
+        }
         keys
       }
     }.toSet
@@ -975,9 +992,11 @@ object ManifestTable {
             s"copyInto source schema mismatch on ${f.name}: table has " +
               s"${f.dataType}, source has ${have.get(f.name)}"))
           import org.apache.spark.sql.functions.{col => fcol}
-          raw.select(s.fieldNames.filterNot(n =>
-            partitionTransforms(spark, table, head).exists(_.target == n))
-            .map(fcol(_)).toSeq: _*)
+          // the recorded schema never contains hidden transform
+          // targets (recordedSchema drops them; commit/addColumn
+          // refuse collisions), so selecting its fields verbatim is
+          // exactly the writer-frame shape writeData expects
+          raw.select(s.fieldNames.map(fcol(_)).toSeq: _*)
         case None => raw
       }
       val cons = checkConstraints(spark, table, head)
@@ -1336,17 +1355,33 @@ object ManifestTable {
       val o = fs(spark, to).create(to, false)
       try o.write(bytes) finally o.close()
     }
-    val ok = tryPublish(spark, dst, 0, files, tag = "clone",
-      schema = schema, stats = stats, partitionBy = partBy,
-      constraints = Some(checkConstraints(spark, src, v)),
-      op = "clone",
-      tombstones = Some(deleteTombstones(spark, src, v)),
-      dvs = Some(deleteVectors(spark, src, v)),
-      bloomB64 = bloomRawFromText(manifestText(spark, src, v)),
-      transformsB64 = transformsRawFromText(manifestText(spark, src, v)),
-      ingestSegs = Some(donorLedgers))
-    require(ok, s"clone of $src lost the v1 publish race at $dst — " +
-      "another writer claimed the fresh table")
+    // a failed publish must take OUR pre-publish files with it, or a
+    // retried clone dies on the leftover ledger's exclusive create and
+    // the destination is a manual-cleanup dead end (review r10 finding)
+    def cleanupCloneDebris(): Unit = {
+      lf.delete(lp, false)
+      externsCache.remove(dst)
+      donorLedgers.foreach(rel =>
+        lf.delete(new Path(manifestDir(dst), rel), false))
+    }
+    val ok =
+      try tryPublish(spark, dst, 0, files, tag = "clone",
+        schema = schema, stats = stats, partitionBy = partBy,
+        constraints = Some(checkConstraints(spark, src, v)),
+        op = "clone",
+        tombstones = Some(deleteTombstones(spark, src, v)),
+        dvs = Some(deleteVectors(spark, src, v)),
+        bloomB64 = bloomRawFromText(manifestText(spark, src, v)),
+        transformsB64 = transformsRawFromText(manifestText(spark, src, v)),
+        ingestSegs = Some(donorLedgers))
+      catch { case e: Throwable => cleanupCloneDebris(); throw e }
+    if (!ok) {
+      cleanupCloneDebris()
+      throw new IllegalStateException(
+        s"clone of $src lost the v1 publish race at $dst — another " +
+          "writer claimed the fresh table; the clone's pre-publish " +
+          "files were removed, the destination belongs to the winner")
+    }
     1
   }
 
@@ -1652,25 +1687,30 @@ object ManifestTable {
     }
   }
 
-  /** The k bit positions `l` (cast to the column's recorded type)
-    * lights, evaluated through the SAME Column pipeline the write-side
-    * indexer used — a one-row local plan, driver-cheap. None when the
-    * cast is impossible or nulls out (such an equality matches no
-    * stored value, so keeping the file is sound and pruning on a
-    * distorted hash is avoided entirely). */
-  private def bloomPositions(spark: SparkSession,
-                             l: org.apache.spark.sql.catalyst.expressions.Literal,
-                             colType: DataType,
-                             bc: BloomConfig): Option[Seq[Long]] =
+  /** A query literal cast to the column's recorded type, validated
+    * driver-side: None when the cast is impossible or nulls out (such
+    * an equality matches no stored value — keeping the file is sound
+    * and hashing a distorted value is avoided entirely). */
+  private def castLit(l: org.apache.spark.sql.catalyst.expressions.Literal,
+                      dt: DataType)
+      : Option[org.apache.spark.sql.catalyst.expressions.Expression] =
     try {
-      import org.apache.spark.sql.catalyst.expressions.{Cast, Expression}
-      val e: Expression = if (l.dataType == colType) l else Cast(l, colType)
-      if (e.eval(null) == null) return None
-      val c = org.apache.spark.sql.graftbridge.ColumnBridge.column(e)
-      val row = spark.range(1)
-        .select(bloomPosCol(c, bc.bits, bc.k).as("__p")).head()
-      Option(row.getAs[scala.collection.Seq[Long]]("__p")).map(_.toSeq)
+      import org.apache.spark.sql.catalyst.expressions.Cast
+      val e = if (l.dataType == dt) l
+              else Cast(l, dt)
+      if (e.eval(null) == null) None else Some(e)
     } catch { case scala.util.control.NonFatal(_) => None }
+
+  /** Evaluate many derived columns over ONE one-row local plan — the
+    * prune side batches every literal hash here, so a 50-value IN
+    * costs one tiny job, not fifty (review r10 finding). The columns
+    * still route through the SHARED write-side expressions
+    * ([[bloomPosCol]] / [[transformCol]]), so hash identity holds. */
+  private def evalOnce(spark: SparkSession,
+                       cols: Seq[Column]): Option[org.apache.spark.sql.Row] =
+    if (cols.isEmpty) None
+    else try Some(spark.range(1).select(cols: _*).head())
+    catch { case scala.util.control.NonFatal(_) => None }
 
   /** Hidden-partitioning pruning, monotone half: a disjunct bounding a
     * transform's SOURCE column also bounds the derived TARGET — days
@@ -1681,8 +1721,17 @@ object ManifestTable {
     * with every other constraint the disjunct carries. */
   private def transformDnfAugment(dnf: Dnf, pts: Seq[PartitionTransform],
                                   types: Map[String, DataType]): Dnf = {
-    import org.apache.spark.sql.types.DateType
-    val monotone = pts.filter(p => p.kind != "bucket")
+    import org.apache.spark.sql.types.{DateType, NumericType, TimestampNTZType, TimestampType}
+    // belt-and-braces twin of commit()'s source-type discipline: only
+    // augment when the source's stats space matches the write-side
+    // expression's (a legacy/hand-written record on an unsupported
+    // type must degrade to no pruning, never to wrong pruning)
+    val monotone = pts.filter(p => p.kind != "bucket").filter { p =>
+      types.get(p.source).exists { st =>
+        if (p.kind == "truncate") st.isInstanceOf[NumericType]
+        else st == TimestampType || st == TimestampNTZType || st == DateType
+      }
+    }
     if (monotone.isEmpty) return dnf
     dnf.map { conj =>
       conj ++ monotone.flatMap { pt =>
@@ -1716,11 +1765,30 @@ object ManifestTable {
     if (bpts.isEmpty || conds.isEmpty) return None
     val eqDnf = conds.map(extractEqDnf)
       .foldLeft(Seq(Map.empty): EqDnf)(andEqDnf)
+    // batch every literal's bucket id into ONE local evaluation
+    val wanted = eqDnf.flatMap(_.toSeq.flatMap { case (c, lits) =>
+      bpts.find(_.source == c).toSeq.flatMap(pt => lits.map(l => (pt, c, l)))
+    }).distinct
+    val valid = wanted.flatMap { case (pt, c, l) =>
+      types.get(c).flatMap(dt =>
+        castLit(l, dt).map(e => (pt, c, l, e, dt))) }
+    val idMap: Map[(String, Any), Long] =
+      evalOnce(spark, valid.zipWithIndex.map { case ((pt, _, _, e, dt), i) =>
+        transformCol(pt,
+          org.apache.spark.sql.graftbridge.ColumnBridge.column(e), dt)
+          .as(s"__b$i")
+      }) match {
+        case None => Map.empty
+        case Some(row) => valid.zipWithIndex.flatMap {
+          case ((_, c, l, _, _), i) =>
+            if (row.isNullAt(i)) None
+            else Some((c, l.value) -> row.getLong(i))
+        }.toMap
+      }
     val out: Dnf = eqDnf.map { conj =>
       conj.iterator.flatMap { case (c, lits) =>
         bpts.find(_.source == c).flatMap { pt =>
-          val ids = lits.flatMap(l =>
-            types.get(c).flatMap(dt => bucketIdFor(spark, l, dt, pt)))
+          val ids = lits.flatMap(l => idMap.get((c, l.value)))
           // EVERY candidate value must map, or the unmapped one could
           // live in any bucket and the constraint would be unsound
           if (ids.size == lits.size && ids.nonEmpty)
@@ -1731,20 +1799,6 @@ object ManifestTable {
     }
     if (out.forall(_.isEmpty)) None else Some(out)
   }
-
-  private def bucketIdFor(spark: SparkSession,
-                          l: org.apache.spark.sql.catalyst.expressions.Literal,
-                          colType: DataType,
-                          pt: PartitionTransform): Option[Long] =
-    try {
-      import org.apache.spark.sql.catalyst.expressions.{Cast, Expression}
-      val e: Expression = if (l.dataType == colType) l else Cast(l, colType)
-      if (e.eval(null) == null) return None
-      val c = org.apache.spark.sql.graftbridge.ColumnBridge.column(e)
-      val row = spark.range(1)
-        .select(transformCol(pt, c, colType).as("__b")).head()
-      if (row.isNullAt(0)) None else Some(row.getLong(0))
-    } catch { case scala.util.control.NonFatal(_) => None }
 
   /** The bloom-index pruning pass [[readWhere]] runs AFTER range/stats
     * pruning: a surviving file is dropped when, for EVERY disjunct of
@@ -1765,11 +1819,31 @@ object ManifestTable {
       .getOrElse(Map.empty[String, DataType])
     val eqDnf = conds.map(extractEqDnf)
       .foldLeft(Seq(Map.empty): EqDnf)(andEqDnf)
+    // all distinct (column, literal) pairs any disjunct wants, hashed
+    // in ONE batched local evaluation
+    val wanted = eqDnf.flatMap(_.toSeq.collect {
+      case (c, lits) if bc.cols.contains(c) && types.contains(c) =>
+        lits.map(c -> _)
+    }.flatten).distinct
+    val valid = wanted.flatMap { case (c, l) =>
+      castLit(l, types(c)).map(e => (c, l, e)) }
+    val posMap: Map[(String, Any), Seq[Long]] =
+      evalOnce(spark, valid.zipWithIndex.map { case ((_, _, e), i) =>
+        bloomPosCol(
+          org.apache.spark.sql.graftbridge.ColumnBridge.column(e),
+          bc.bits, bc.k).as(s"__p$i")
+      }) match {
+        case None => Map.empty
+        case Some(row) => valid.zipWithIndex.flatMap { case ((c, l, _), i) =>
+          Option(row.getAs[scala.collection.Seq[Long]](i))
+            .map(s => (c, l.value) -> s.toSeq)
+        }.toMap
+      }
     // per disjunct: indexed equality columns → candidate-value positions
     val tests: Seq[Map[String, Seq[Seq[Long]]]] = eqDnf.map { conj =>
       conj.iterator.collect {
         case (c, lits) if bc.cols.contains(c) && types.contains(c) =>
-          c -> lits.flatMap(l => bloomPositions(spark, l, types(c), bc))
+          c -> lits.flatMap(l => posMap.get((c, l.value)))
       }.filter(_._2.nonEmpty).toMap
     }
     if (tests.isEmpty || tests.exists(_.isEmpty)) return files
@@ -2598,6 +2672,23 @@ object ManifestTable {
         s"transform source column '${pt.source}' is not in the batch schema")
       require(!df.schema.map(_.name).contains(pt.target),
         s"derived layout column '${pt.target}' collides with a batch column")
+      // type discipline: the write-side expression and the prune-side
+      // stats mapping must agree on ONE numeric space. A string source
+      // would be written through cast("double") but pruned through the
+      // stringBound prefix encoding — two incompatible spaces whose
+      // intersection test prunes LIVE files (review r10 finding) —
+      // so unsupported source types are refused at the commit.
+      import org.apache.spark.sql.types._
+      val st = df.schema(pt.source).dataType
+      val ok = pt.kind match {
+        case "bucket" => true // hashes any type, never range-mapped
+        case "truncate" => st.isInstanceOf[NumericType]
+        case _ => st == TimestampType || st == TimestampNTZType ||
+          st == DateType
+      }
+      require(ok, s"${pt.kind}(${pt.source}): source type $st has no " +
+        "sound prune mapping (time transforms need timestamp/date, " +
+        "truncate needs a numeric)")
     }
     // schema enforcement (the Delta rule): an append whose column
     // name/type set differs from the table's would leave the snapshot
@@ -2702,9 +2793,12 @@ object ManifestTable {
           op = if (mode == SaveMode.Append) "append" else "overwrite",
           txn = txn,
           // overwrite REPLACES the transform record (empty clears it);
-          // append inherits — divergence was already refused above
+          // an append inherits (divergence was already refused above) —
+          // EXCEPT the table-creating append (head 0), which has no
+          // parent to inherit from and must record explicitly or the
+          // layout memory is lost at birth (review r10 finding)
           transformsB64 =
-            if (mode == SaveMode.Append) None
+            if (mode == SaveMode.Append && head > 0) None
             else Some(if (transforms.isEmpty) "" else transformsB64Of(transforms))))
         committed = head + 1
       else {
@@ -2812,7 +2906,8 @@ object ManifestTable {
       maxAttempts: Int = 5,
       txn: Option[(String, Long)] = None,
       baseDvs: Map[String, Seq[Long]] = Map.empty,
-      publishDvs: Option[Map[String, Seq[Long]]] = None): Option[Int] = {
+      publishDvs: Option[Map[String, Seq[Long]]] = None,
+      baseTransforms: Seq[PartitionTransform] = Nil): Option[Int] = {
     val baseSet = baseRel.toSet
     var attempt = 0
     while (attempt < maxAttempts) {
@@ -2823,6 +2918,12 @@ object ManifestTable {
       val added = rel2.filterNot(baseSet)
       val structuralOk =
         partBy2 == basePartBy && schema2 == baseSchema &&
+          // a hidden-transform change can keep the same target NAMES
+          // (bucket(16,c) → bucket(32,c)) while invalidating every
+          // derived file's layout — the partBy comparison alone cannot
+          // see it (review r10 finding; commit()'s append loop checks
+          // exactly this per attempt)
+          partitionTransforms(spark, table, head2) == baseTransforms &&
           // a constraint added mid-derive means this post-image was
           // never validated against it, and a tombstone change means
           // the derive read under the wrong delete set — re-derive
@@ -3201,7 +3302,8 @@ object ManifestTable {
           reconcilePublish(spark, table, rel, schema, partBy, affected,
               newFiles, newStats, recordSchema, uuid, conflicts,
               headCons, "merge", headTombs, txn = txn,
-              baseDvs = headDvs) match {
+              baseDvs = headDvs,
+              baseTransforms = partitionTransforms(spark, table, head)) match {
             case Some(v) => return v
             case None => // semantic conflict — discard the data, re-derive
               fs(spark, new Path(table)).delete(new Path(table, s"data/$uuid"), true)
@@ -3295,7 +3397,8 @@ object ManifestTable {
           reconcilePublish(spark, table, rel, schema, partBy, affected,
               newFiles, newStats, recordSchema, uuid, conflicts,
               checkConstraints(spark, table, head), "delete",
-              headTombs, baseDvs = headDvs) match {
+              headTombs, baseDvs = headDvs,
+              baseTransforms = partitionTransforms(spark, table, head)) match {
             case Some(v) => return v
             case None =>
               fs(spark, new Path(table)).delete(new Path(table, s"data/$uuid"), true)
@@ -3659,7 +3762,8 @@ object ManifestTable {
             (_, _, _, _) => false,
             checkConstraints(spark, table, head), "compact",
             tombs0, publishTombstones = Some(Nil),
-            baseDvs = dvs0, publishDvs = Some(Map.empty)) match {
+            baseDvs = dvs0, publishDvs = Some(Map.empty),
+            baseTransforms = partitionTransforms(spark, table, head)) match {
           case Some(v) => v
           case None =>
             fs(spark, new Path(table)).delete(new Path(table, s"data/$uuid"), true)
@@ -3897,7 +4001,8 @@ object ManifestTable {
             newFiles, newStats, recordSchema, uuid,
             (_, _, _, _) => false,
             checkConstraints(spark, table, head), "compact-small",
-            binTombs, baseDvs = deleteVectors(spark, table, head))) match {
+            binTombs, baseDvs = deleteVectors(spark, table, head),
+            baseTransforms = partitionTransforms(spark, table, head))) match {
           case Some(_) => committed += 1
           case None => // bin lost to a conflicting rewrite — drop it, move on
             fs(spark, new Path(table)).delete(new Path(table, s"data/$uuid"), true)

@@ -203,6 +203,89 @@ class HiddenPartitioningSpec extends AnyFunSuite with SparkFixture {
     }
   }
 
+  test("the table-CREATING append records the transform (review r10 fix)") {
+    val t = freshDir()
+    // default SaveMode.Append on a fresh table — the path every
+    // pipeline's first write takes
+    ManifestTable.commit(spark, t, events(200),
+      partitionBy = Seq("bucket(4,id)"))
+    assert(ManifestTable.partitionTransforms(spark, t).map(_.kind) ===
+      Seq("bucket"), "layout memory must survive the creating append")
+    // a later bare append inherits instead of crashing on the missing
+    // derived column; a rewrite re-derives it
+    import spark.implicits._
+    ManifestTable.commit(spark, t,
+      (9000 until 9050).map(i => (i.toLong,
+        java.sql.Timestamp.valueOf("2024-05-01 00:00:00"), "x"))
+        .toDF("id", "ts", "user"))
+    ManifestTable.upsert(spark, t,
+      Seq((9001L, java.sql.Timestamp.valueOf("2024-05-01 00:00:00"), "UP"))
+        .toDF("id", "ts", "user"), Seq("id"))
+    assert(ManifestTable.read(spark, t).count() === 250L)
+    val hit = ManifestTable.readWhere(spark, t, col("id") === 9001L)
+    assert(hit.collect().map(_.getString(2)).toSeq === Seq("UP"))
+    assert(hit.inputFiles.length <
+      ManifestTable.snapshotFiles(spark, t).size)
+  }
+
+  test("a string-sourced range transform is refused — two numeric spaces cannot mix") {
+    val t = freshDir()
+    // truncate/days on a string column would WRITE through the double
+    // cast but PRUNE through the stringBound prefix encoding —
+    // silently pruning live files; refused at the commit instead
+    intercept[IllegalArgumentException] {
+      ManifestTable.commit(spark, t, events(10), SaveMode.Overwrite,
+        partitionBy = Seq("truncate(4,user)"))
+    }
+    intercept[IllegalArgumentException] {
+      ManifestTable.commit(spark, t, events(10), SaveMode.Overwrite,
+        partitionBy = Seq("days(id)")) // days needs a time type
+    }
+    // bucket hashes anything — a string source is fine there
+    ManifestTable.commit(spark, t, events(100), SaveMode.Overwrite,
+      partitionBy = Seq("bucket(4,user)"))
+    val hit = ManifestTable.readWhere(spark, t, col("user") === "u3")
+    assert(hit.count() ===
+      ManifestTable.read(spark, t).filter(col("user") === "u3").count())
+    assert(hit.inputFiles.length <
+      ManifestTable.snapshotFiles(spark, t).size)
+  }
+
+  test("a mid-merge transform change forces a re-derive, never a mislaid reconcile") {
+    val t = freshDir()
+    ManifestTable.commit(spark, t, events(200), SaveMode.Overwrite,
+      partitionBy = Seq("bucket(2,id)"))
+    import spark.implicits._
+    @volatile var fired = false
+    ManifestTable.beforeConditionalCommit = () => {
+      if (!fired) {
+        fired = true
+        // same target NAME, different bucket count: the partBy list
+        // cannot distinguish the layouts — only the transform record can
+        ManifestTable.commit(spark, t, events(200), SaveMode.Overwrite,
+          partitionBy = Seq("bucket(4,id)"))
+      }
+    }
+    try {
+      // INSERT-ONLY merge: removed = ∅, so the reconcile gate's
+      // file-survival checks all pass trivially — only the transform
+      // comparison can force the re-derive (the review's exact case)
+      ManifestTable.merge(spark, t,
+        Seq((999999L, java.sql.Timestamp.valueOf("2024-03-01 00:00:00"),
+          "INSERTED")).toDF("id", "ts", "user"), Seq("id"))
+    } finally ManifestTable.beforeConditionalCommit = () => ()
+    assert(fired)
+    // the inserted row's file must be laid out under the NEW transform:
+    // a bucket(4) point lookup must both FIND it and PRUNE to its
+    // bucket — a reconcile of the bucket(2)-laid file would record
+    // partition stats the bucket(4) literal mapping prunes away
+    val hit = ManifestTable.readWhere(spark, t, col("id") === 999999L)
+    assert(hit.collect().map(_.getString(2)).toSeq === Seq("INSERTED"))
+    assert(hit.inputFiles.length <
+      ManifestTable.snapshotFiles(spark, t).size)
+    assert(ManifestTable.read(spark, t).count() === 201L)
+  }
+
   test("DDL cannot create a column that collides with a transform target") {
     val t = freshDir()
     ManifestTable.commit(spark, t, events(100), SaveMode.Overwrite,
