@@ -56,11 +56,17 @@ object GraftCatalog {
   /** `name` or `name@v<N>` → (path, version); -1 = head. */
   private def resolveSpec(ident: String): Option[(String, Int)] = {
     val at = ident.lastIndexOf("@v")
-    val (name, v) =
-      if (at > 0 && ident.substring(at + 2).forall(_.isDigit) &&
-          ident.length > at + 2)
-        (ident.substring(0, at), ident.substring(at + 2).toInt)
-      else (ident, -1)
+    // toIntOption, not toInt: a version literal past Int.MaxValue must
+    // fall through as an ordinary unresolved name (the standard
+    // table-not-found error), never throw NumberFormatException out of
+    // an analyzer rule and abort the whole statement
+    val parsed =
+      if (at > 0 && ident.length > at + 2 &&
+          ident.substring(at + 2).forall(_.isDigit))
+        ident.substring(at + 2).toIntOption.map(v =>
+          (ident.substring(0, at), v))
+      else None
+    val (name, v) = parsed.getOrElse((ident, -1))
     lookup(name).map(_ -> v)
   }
 

@@ -73,9 +73,23 @@ object ManifestTable {
   def versions(spark: SparkSession, table: String): Seq[Int] = {
     val dir = manifestDir(table)
     val f = fs(spark, dir)
-    if (!f.exists(dir)) Nil
-    else f.listStatus(dir).map(_.getPath).filter(isManifest)
-      .map(versionOf).toSeq.sorted
+    val vs =
+      if (!f.exists(dir)) Nil
+      else f.listStatus(dir).map(_.getPath).filter(isManifest)
+        .map(versionOf).toSeq.sorted
+    // drop-and-recreate hardening (review r10): (len, mtime)
+    // validation leaves a residual hole — a recreated table whose v1
+    // manifest matches the old one's byte length inside one mtime tick
+    // would serve stale text. A listing that shows FEWER versions than
+    // the cache holds is the observable signature of a recreate, so
+    // purge the orphans here; the sub-tick same-length v1-vs-v1 case
+    // remains theoretically open (closing it needs content hashing,
+    // i.e. re-reading what the cache exists to avoid) and is
+    // documented at the cache.
+    val head = vs.lastOption.getOrElse(0)
+    manifestTextCache.removeIf { case ((t, v), _) => t == table && v > head }
+    dvCache.removeIf { case ((t, v), _) => t == table && v > head }
+    vs
   }
 
   /** Highest committed version, or 0 if the table has no commits. */
@@ -301,29 +315,50 @@ object ManifestTable {
   // by TOTAL BYTES, not entry count — at 100k-file scale one manifest
   // is tens of MB, and 64 such entries would pin GBs of driver heap.
   private final case class CachedManifest(text: String, len: Long, mtime: Long)
-  private val manifestCacheMaxBytes = 64L << 20 // 64 MB of manifest text
-  private object manifestCacheLock
-  private var manifestCacheBytes = 0L
-  private val manifestTextCache =
-    new java.util.LinkedHashMap[(String, Int), CachedManifest](64, 0.75f, true)
 
-  private def cacheLookup(key: (String, Int)): CachedManifest =
-    manifestCacheLock.synchronized(manifestTextCache.get(key))
-
-  private def cacheStore(key: (String, Int), e: CachedManifest): Unit =
-    manifestCacheLock.synchronized {
-      val prev = manifestTextCache.put(key, e)
-      manifestCacheBytes +=
-        2L * e.text.length - (if (prev == null) 0L else 2L * prev.text.length)
-      val it = manifestTextCache.entrySet().iterator()
-      while (manifestCacheBytes > manifestCacheMaxBytes && it.hasNext) {
-        val eldest = it.next()
-        if (eldest.getKey != key) { // never evict the entry just stored
-          manifestCacheBytes -= 2L * eldest.getValue.text.length
-          it.remove()
-        }
+  /** The ONE validated-LRU shape every parsed-manifest-artifact cache
+    * in this file uses (manifest text, segment entries, bloom
+    * sidecars, ingest ledgers, decoded deletion vectors): synchronized
+    * access-order LRU bounded by a caller-chosen WEIGHT — bytes, key
+    * counts, whatever the real memory is — never evicting the entry
+    * just stored. Extracted r10 (review finding: four hand-rolled
+    * copies of the same lock + counter + skip-self eviction loop had
+    * to be kept in sync, and one of them was bounded by entry COUNT
+    * where entries were KB-sized). */
+  private final class BoundedLru[K, V](maxWeight: Long, weight: V => Long) {
+    private val map = new java.util.LinkedHashMap[K, V](64, 0.75f, true)
+    private var total = 0L
+    def get(k: K): V = synchronized(map.get(k)) // null when absent
+    def put(k: K, v: V): Unit = synchronized {
+      val prev = map.put(k, v)
+      total += weight(v) - (if (prev == null) 0L else weight(prev))
+      val it = map.entrySet().iterator()
+      while (total > maxWeight && it.hasNext) {
+        val e = it.next()
+        if (e.getKey != k) { total -= weight(e.getValue); it.remove() }
       }
     }
+    def remove(k: K): Unit = synchronized {
+      val prev = map.remove(k)
+      if (prev != null) total -= weight(prev)
+    }
+    def removeIf(p: (K, V) => Boolean): Unit = synchronized {
+      val it = map.entrySet().iterator()
+      while (it.hasNext) {
+        val e = it.next()
+        if (p(e.getKey, e.getValue)) { total -= weight(e.getValue); it.remove() }
+      }
+    }
+  }
+
+  private val manifestTextCache = // 64 MB of manifest text
+    new BoundedLru[(String, Int), CachedManifest](64L << 20, 2L * _.text.length)
+
+  private def cacheLookup(key: (String, Int)): CachedManifest =
+    manifestTextCache.get(key)
+
+  private def cacheStore(key: (String, Int), e: CachedManifest): Unit =
+    manifestTextCache.put(key, e)
 
   private def manifestText(spark: SparkSession, table: String, v: Int): String = {
     val p = manifestPath(table, v)
@@ -517,14 +552,15 @@ object ManifestTable {
 
   // segment entry cache: segments are immutable (uuid-named, never
   // rewritten), but the same (len, mtime) validation as the root cache
-  // guards the drop-and-recreate-at-same-path hole; bounded by total
-  // FILE ENTRIES (the actual memory), not segment count
-  private final case class CachedSegment(entries: SegEntries, len: Long, mtime: Long)
-  private val segmentCacheMaxEntries = 2000000L
-  private object segmentCacheLock
-  private var segmentCacheEntries = 0L
-  private val segmentCache =
-    new java.util.LinkedHashMap[String, CachedSegment](64, 0.75f, true)
+  // guards the drop-and-recreate-at-same-path hole. Bounded by
+  // ESTIMATED BYTES (review r10: an entry-count bound ignored that an
+  // entry is path + per-column boxed stats, KBs each — 2M of them
+  // could pin GBs where the text cache above was deliberately held to
+  // 64 MB); the estimate is computed once at parse and stored.
+  private final case class CachedSegment(entries: SegEntries,
+                                         len: Long, mtime: Long, bytes: Long)
+  private val segmentCache = // 256 MB of parsed segment entries
+    new BoundedLru[String, CachedSegment](256L << 20, _.bytes)
 
   private def segmentEntries(spark: SparkSession, table: String,
                              rel: String): SegEntries = {
@@ -538,7 +574,7 @@ object ManifestTable {
           s"requirement failed: segment $rel of $table is missing — the " +
             "version referencing it is expired or the table is corrupt")
       }
-    val cached = segmentCacheLock.synchronized(segmentCache.get(key))
+    val cached = segmentCache.get(key)
     if (cached != null && cached.len == st.getLen &&
         cached.mtime == st.getModificationTime) cached.entries
     else {
@@ -547,20 +583,10 @@ object ManifestTable {
         try scala.io.Source.fromInputStream(in, "UTF-8").mkString
         finally in.close()
       val entries = parseSegment(text, s"$rel of $table")
-      segmentCacheLock.synchronized {
-        val prev = segmentCache.put(key,
-          CachedSegment(entries, st.getLen, st.getModificationTime))
-        segmentCacheEntries +=
-          entries.size - (if (prev == null) 0 else prev.entries.size)
-        val it = segmentCache.entrySet().iterator()
-        while (segmentCacheEntries > segmentCacheMaxEntries && it.hasNext) {
-          val eldest = it.next()
-          if (eldest.getKey != key) {
-            segmentCacheEntries -= eldest.getValue.entries.size
-            it.remove()
-          }
-        }
-      }
+      val bytes = entries.iterator
+        .map(e => 100L + 2L * e._1.length + 150L * e._2.size).sum
+      segmentCache.put(key,
+        CachedSegment(entries, st.getLen, st.getModificationTime, bytes))
       entries
     }
   }
@@ -797,11 +823,8 @@ object ManifestTable {
 
   private final case class CachedBlooms(side: SidecarBlooms,
       len: Long, mtime: Long, bytes: Long)
-  private val bloomCacheMaxBytes = 256L << 20
-  private object bloomCacheLock
-  private var bloomCacheBytes = 0L
-  private val bloomCache =
-    new java.util.LinkedHashMap[(String, String), CachedBlooms](64, 0.75f, true)
+  private val bloomCache = // 256 MB of bloom bit sets
+    new BoundedLru[(String, String), CachedBlooms](256L << 20, _.bytes)
 
   /** The bloom bit sets of one commit-uuid's sidecar (file → col →
     * bits), resolving extern (cloned) uuids to the donor's sidecar.
@@ -817,7 +840,7 @@ object ManifestTable {
           return emptySidecar
       }
     val key = (root, uuid)
-    val hit = bloomCacheLock.synchronized(bloomCache.get(key))
+    val hit = bloomCache.get(key)
     if (hit != null && hit.len == st.getLen &&
         hit.mtime == st.getModificationTime) hit.side
     else {
@@ -842,19 +865,8 @@ object ManifestTable {
       val side = SidecarBlooms(
         Option(tree.get("bits")).map(_.asLong).getOrElse(0L),
         Option(tree.get("k")).map(_.asInt).getOrElse(0), m)
-      bloomCacheLock.synchronized {
-        val prev = bloomCache.put(key,
-          CachedBlooms(side, st.getLen, st.getModificationTime, bytes))
-        bloomCacheBytes += bytes - (if (prev == null) 0L else prev.bytes)
-        val it = bloomCache.entrySet().iterator()
-        while (bloomCacheBytes > bloomCacheMaxBytes && it.hasNext) {
-          val eldest = it.next()
-          if (eldest.getKey != key) {
-            bloomCacheBytes -= eldest.getValue.bytes
-            it.remove()
-          }
-        }
-      }
+      bloomCache.put(key,
+        CachedBlooms(side, st.getLen, st.getModificationTime, bytes))
       side
     }
   }
@@ -890,21 +902,18 @@ object ManifestTable {
     s"$p|$len|$mtime"
 
   // ledger files are immutable and uuid-named; cache parsed keys —
-  // LRU-bounded by total KEY COUNT (the actual memory), like every
-  // other cache here: a long-lived ingestion service accumulates
-  // ledgers without bound on disk by design, but not on the driver heap
-  private val ingestCacheMaxKeys = 2000000L
-  private object ingestCacheLock
-  private var ingestCacheKeys = 0L
+  // LRU-bounded by total KEY COUNT (the actual memory): a long-lived
+  // ingestion service accumulates ledgers without bound on disk by
+  // design, but not on the driver heap
   private val ingestCache =
-    new java.util.LinkedHashMap[String, Seq[String]](64, 0.75f, true)
+    new BoundedLru[String, Seq[String]](2000000L, _.size.toLong)
 
   /** Every source key the table has ever ingested (as of `version`). */
   def ingestedKeys(spark: SparkSession, table: String,
                    version: Int = -1): Set[String] =
     ingestLedgers(spark, table, version).flatMap { rel =>
       val cacheKey = s"$table/$rel"
-      val hit = ingestCacheLock.synchronized(ingestCache.get(cacheKey))
+      val hit = ingestCache.get(cacheKey)
       if (hit != null) hit
       else {
         val p = new Path(manifestDir(table), rel)
@@ -917,18 +926,7 @@ object ManifestTable {
           val e = arr.get(i)
           sourceKey(e.get("p").asText, e.get("l").asLong, e.get("m").asLong)
         }
-        ingestCacheLock.synchronized {
-          val prev = ingestCache.put(cacheKey, keys)
-          ingestCacheKeys += keys.size - (if (prev == null) 0 else prev.size)
-          val it = ingestCache.entrySet().iterator()
-          while (ingestCacheKeys > ingestCacheMaxKeys && it.hasNext) {
-            val eldest = it.next()
-            if (eldest.getKey != cacheKey) {
-              ingestCacheKeys -= eldest.getValue.size
-              it.remove()
-            }
-          }
-        }
+        ingestCache.put(cacheKey, keys)
         keys
       }
     }.toSet
@@ -1050,8 +1048,35 @@ object ManifestTable {
   def deleteVectors(spark: SparkSession, table: String,
                     version: Int = -1): Map[String, Seq[Long]] = {
     val v = if (version < 0) currentVersion(spark, table) else version
-    if (v == 0) Map.empty else dvsFromText(manifestText(spark, table, v))
+    if (v == 0) return Map.empty
+    // decoded-vector cache (review r10): after the scattered delete
+    // this feature exists for, the map holds O(deleted rows) ordinals,
+    // and every read/merge/publish consulted it — re-running the
+    // base64+varint walk each time. Weight = ordinal count; validation
+    // = the manifest file's (len, mtime), like every cache here.
+    val p = manifestPath(table, v)
+    val st =
+      try fs(spark, p).getFileStatus(p)
+      catch {
+        case _: java.io.FileNotFoundException => throw new IllegalArgumentException(
+          s"requirement failed: version $v of $table is expired or was never committed")
+      }
+    val key = (table, v)
+    val hit = dvCache.get(key)
+    if (hit != null && hit.len == st.getLen &&
+        hit.mtime == st.getModificationTime) hit.dvs
+    else {
+      val m = dvsFromText(manifestText(spark, table, v))
+      dvCache.put(key, CachedDvs(m, st.getLen, st.getModificationTime,
+        math.max(1L, m.valuesIterator.map(_.size.toLong).sum)))
+      m
+    }
   }
+
+  private final case class CachedDvs(dvs: Map[String, Seq[Long]],
+                                     len: Long, mtime: Long, ords: Long)
+  private val dvCache = // ≤ 16M decoded ordinals resident
+    new BoundedLru[(String, Int), CachedDvs](16000000L, _.ords)
 
   private def dvsFromText(text: String): Map[String, Seq[Long]] =
     "\"dvsB64\"\\s*:\\s*\\{([^}]*)\\}".r.findFirstMatchIn(text)
@@ -1482,9 +1507,22 @@ object ManifestTable {
                        tombs: Seq[(String, Seq[String])],
                        tagFile: Boolean = false,
                        dvs: Map[String, Seq[Long]] = Map.empty,
-                       tagRowIndex: Boolean = false): DataFrame = {
+                       tagRowIndex: Boolean = false,
+                       tombAugment: Seq[StructField] = Nil): DataFrame = {
     import org.apache.spark.sql.functions.{broadcast, coalesce, col, expr, lit, not}
-    def scan(fs: Seq[String]): DataFrame = {
+    // `tombAugment` (the change feed's case): tombstone predicates
+    // resolve against the TO-version schema, but a feed group reads
+    // under an OLDER recorded schema — null-fill the missing columns
+    // BEFORE the filters, which is semantically exact (an old file's
+    // rows read the added column as null under the head schema too,
+    // so `extra = 5` keeps them and `extra IS NULL` deletes them, in
+    // both read paths — review r10 finding: without this the feed
+    // crashed on the unresolvable column)
+    def augment(d: DataFrame): DataFrame =
+      tombAugment.filterNot(f => d.columns.contains(f.name))
+        .foldLeft(d)((x, f) =>
+          x.withColumn(f.name, lit(null).cast(f.dataType)))
+    def scan(fs: Seq[String]): DataFrame = augment {
       val base = readFiles(spark, table, fs, schema, partitionBy)
       val dvd = fs.filter(dvs.contains)
       if (dvd.isEmpty) {
@@ -2145,6 +2183,14 @@ object ManifestTable {
     require(!df0.schema.names.exists(_.startsWith(ReservedStatsPrefix)),
       s"column names starting with '$ReservedStatsPrefix' are reserved " +
         "for the manifest's per-file metadata (sizes, null counts)")
+    // __f / __ri are the engine's in-plan file/row tags (merge's file
+    // tracking, deletion-vector anti-joins): a data column with either
+    // name would be silently CLOBBERED by the tag derivation and then
+    // dropped from vectored reads — refuse at the write, like the
+    // stats prefix (review r10 finding)
+    require(!df0.schema.names.exists(n => n == "__f" || n == "__ri"),
+      "column names '__f' and '__ri' are reserved for the engine's " +
+        "file/row-position tags")
     // hidden-partitioning targets absent from the batch are DERIVED
     // here, from the recorded transforms (or the commit-provided ones
     // when the layout is being replaced) — so every rewrite path
@@ -2456,7 +2502,8 @@ object ManifestTable {
     // vectored file applied its vector during the derive — the
     // departing file takes its entry with it)
     val dvs0 = dvs.getOrElse(
-      if (head == 0) Map.empty[String, Seq[Long]] else dvsFromText(parentText))
+      if (head == 0) Map.empty[String, Seq[Long]]
+      else deleteVectors(spark, table, head)) // cached decode
     val dvsLive = dvs0.filter { case (f, os) =>
       os.nonEmpty && fileSet.contains(f) }
     val dvLine =
@@ -3600,10 +3647,19 @@ object ManifestTable {
       // still surface only at materialization (file granularity).
       val toTombs = deleteTombstones(spark, table, to)
       val toDvs = deleteVectors(spark, table, to)
+      val toFields = snapshotSchema(spark, table, to)
+        .map(_.fields.toSeq).getOrElse(Nil)
       val unioned = groups.map { case (v, fs) =>
+        val gSchema = snapshotSchema(spark, table, v)
+        // to-version columns this group's schema lacks: null-filled
+        // before the to-version tombstone filters resolve (see
+        // readLive's tombAugment note)
+        val missing = gSchema.map(g =>
+          toFields.filterNot(f => g.fieldNames.contains(f.name)))
+          .getOrElse(Nil)
         readLive(spark, table, fs,
-          snapshotSchema(spark, table, v), partitionColumns(spark, table, v),
-          toTombs, dvs = toDvs)
+          gSchema, partitionColumns(spark, table, v),
+          toTombs, dvs = toDvs, tombAugment = missing)
       }.reduce(_.unionByName(_, allowMissingColumns = true))
       snapshotSchema(spark, table, to) match {
         case Some(s) =>

@@ -309,7 +309,21 @@ object ChangeFeedStream {
           case _ => !f.exists(target) && f.rename(tmp, target)
         }
         f.delete(tmp, false)
-        if (!won) requireMatch(stampedModes())
+        if (!won) {
+          // a lost slot means someone else stamped — verify against
+          // THEIR stamp. An EMPTY re-read means the publish failed for
+          // a persistent non-race reason (permissions, an FS whose
+          // rename misbehaves): proceeding would publish into an
+          // unstamped feed that a later opposite-kind publisher could
+          // claim, silently mis-classifying these rows — fail fast
+          // instead, like the manifest publish does (review r10)
+          val now = stampedModes()
+          require(now.nonEmpty,
+            s"mode stamp publish on $feedDir failed although no " +
+              "concurrent publisher claimed the slot — non-race " +
+              "failure (permissions or filesystem misbehavior)")
+          requireMatch(now)
+        }
       case Nil => // nothing stamped yet, nothing to contradict
       case modes => requireMatch(modes)
     }
