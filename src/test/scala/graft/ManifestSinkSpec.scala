@@ -122,4 +122,60 @@ class ManifestSinkSpec extends AnyFunSuite with SparkFixture {
     assert(ManifestTable.currentVersion(spark, t) === 2)
     assert(ManifestTable.txnVersion(spark, t, "app-z") === Some(0L))
   }
+
+  test("capstone: CDC replication A→B through the row feed — deletes included, restart-safe") {
+    import org.apache.spark.sql.functions.{col, when}
+    import graft.streaming.ChangeFeedStream
+    val a = fresh("graft_cdc_a"); val b = fresh("graft_cdc_b")
+    val feed = fresh("graft_cdc_feed"); val cp = fresh("graft_cdc_cp")
+    def rows(kv: (Long, String, Long)*) =
+      kv.toSeq.toDF("id", "v", "ver")
+    // window 1 on the SOURCE: seed, update, insert, delete
+    ManifestTable.commit(spark, a,
+      rows((1L, "a", 1L), (2L, "b", 1L), (3L, "c", 1L)),
+      statsColumns = Seq("id"))
+    ManifestTable.upsert(spark, a, rows((2L, "B2", 2L), (4L, "d", 2L)), Seq("id"))
+    ManifestTable.deleteWhere(spark, a, col("id") === 3L)
+    ChangeFeedStream.publishPendingRows(spark, a, feed, Seq("id"))
+    // the CDC-apply sink: collapse the batch per key (latest ver wins,
+    // a delete outranks a same-ver row — the pre-image carries the
+    // OLD ver), MERGE the live rows exactly-once, then delete the
+    // dead keys (idempotent: a replayed empty-match delete commits no
+    // version)
+    def applyCdc(batch: org.apache.spark.sql.DataFrame, batchId: Long): Unit = {
+      val s = batch.sparkSession
+      val collapsed = graft.streaming.ManifestSink.latestWins(
+        batch.withColumn("__prio",
+          when(col("_change_type") === "delete", 1).otherwise(0)),
+        Seq("id"), Seq("ver", "__prio")).drop("__prio")
+      val upserts = collapsed.filter(col("_change_type") =!= "delete")
+        .drop("_change_type")
+      if (!upserts.isEmpty)
+        ManifestTable.merge(s, b, upserts, Seq("id"),
+          txn = Some(("cdc-b", batchId)))
+      val dead = collapsed.filter(col("_change_type") === "delete")
+        .select("id").collect().map(_.getLong(0))
+      if (dead.nonEmpty)
+        ManifestTable.deleteWhere(s, b, col("id").isin(dead.map(Long.box): _*))
+    }
+    def start() = ChangeFeedStream.readRowChangeStream(spark, a, feed)
+      .writeStream.option("checkpointLocation", cp)
+      .foreachBatch(applyCdc _).start()
+    def image(t: String) = ManifestTable.read(spark, t)
+      .select("id", "v", "ver").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSet
+    val q1 = start()
+    try q1.processAllAvailable() finally q1.stop()
+    assert(image(b) === image(a), "replica must converge on window 1")
+    assert(image(b) === Set((1L, "a", 1L), (2L, "B2", 2L), (4L, "d", 2L)))
+    // window 2 lands while the stream is DOWN — update, insert, and a
+    // delete of an already-replicated key
+    ManifestTable.upsert(spark, a, rows((1L, "A3", 3L), (5L, "e", 3L)), Seq("id"))
+    ManifestTable.deleteWhere(spark, a, col("id") === 4L)
+    ChangeFeedStream.publishPendingRows(spark, a, feed, Seq("id"))
+    val q2 = start() // SAME checkpoint: only the new range replays
+    try q2.processAllAvailable() finally q2.stop()
+    assert(image(b) === image(a), "replica must converge after restart")
+    assert(image(b) === Set((1L, "A3", 3L), (2L, "B2", 2L), (5L, "e", 3L)))
+  }
 }
