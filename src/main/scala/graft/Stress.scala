@@ -363,15 +363,24 @@ object Stress {
         ord.filter(col("o_orderkey") <= 100).coalesce(1))
       val appendSec = (System.nanoTime() - t0) / 1e9
       t0 = System.nanoTime()
-      val keyMax = 10_000_000L * rep
-      val kept = ManifestTable.readRange(spark, t,
-        Seq(("o_orderkey", 1.0, keyMax / 1000.0)))
+      // box = 10% of the FIRST replication stripe's ACTUAL key domain
+      // (1% of all rows). Sized from the data, not the nominal
+      // keyShift space: the keyspace is stripe-sparse, and a
+      // nominal-fraction box can cover anywhere from none to ALL of a
+      // stripe depending on how the driver generates orderkeys — a
+      // regeneration with dense keys turned the old fixed box into
+      // exactly one whole stripe (10% of rows), which the sharpness
+      // require then correctly, uselessly, measured at 10% kept.
+      val stripeMax = Tables.orders(spark, sfDir)
+        .agg(org.apache.spark.sql.functions.max("o_orderkey"))
+        .head.getLong(0)
+      val box = Seq(("o_orderkey", 1.0, stripeMax / 10.0))
+      val kept = ManifestTable.readRange(spark, t, box)
       val plannedRows = kept.count()
       val pruneSec = (System.nanoTime() - t0) / 1e9
       // the pruning decision must stay sharp at ANY file count: a
-      // 0.1%-of-keyspace box keeps a sliver of a range-clustered table
-      val keptFiles = ManifestTable.pruneFiles(spark, t,
-        Seq(("o_orderkey", 1.0, keyMax / 1000.0)))._1.size
+      // 1%-of-rows box keeps a sliver of a range-clustered table
+      val keptFiles = ManifestTable.pruneFiles(spark, t, box)._1.size
       // repartitionByRange's sampled boundaries overlap, so the kept
       // set is a few× the row fraction — the claim is order-of-
       // magnitude sharpness, not exact file accounting

@@ -811,6 +811,28 @@ object ManifestTable {
       s"addBloom on $table lost $maxAttempts commit races")
   }
 
+  /** Remove the bloom index config: later writes stop indexing, point
+    * lookups fall back to range stats, existing sidecars become inert
+    * (never consulted without a config) and die with their uuid dirs
+    * at [[expire]]. */
+  def dropBloom(spark: SparkSession, table: String,
+                maxAttempts: Int = 5): Int = {
+    var attempt = 0
+    while (attempt < maxAttempts) {
+      attempt += 1
+      val head = currentVersion(spark, table)
+      require(head >= 1, s"no committed snapshot in $table")
+      val (files, schema, stats, partBy) = snapshotAll(spark, table, head)
+      if (currentVersion(spark, table) == head &&
+          tryPublish(spark, table, head, files, "dropbloom",
+            schema, stats, partBy, op = "drop-bloom",
+            bloomB64 = Some(""))) // empty replacement clears the record
+        return head + 1
+    }
+    throw new java.util.ConcurrentModificationException(
+      s"dropBloom on $table lost $maxAttempts commit races")
+  }
+
   // sidecar cache: immutable uuid-named files, (len, mtime)-validated
   // like every other manifest cache; bounded by total bitset bytes
   /** One sidecar's content: the (bits, k) it was BUILT with — tested

@@ -146,6 +146,27 @@ class BloomSkipSpec extends AnyFunSuite with SparkFixture {
       "the clone must prune through the donor's sidecars")
   }
 
+  test("dropBloom clears the config: lookups fall back to range stats, correctly") {
+    val t = freshDir()
+    ManifestTable.commit(spark, t, scattered(2000, 4),
+      statsColumns = Seq("id"))
+    ManifestTable.addBloom(spark, t, Seq("id"))
+    ManifestTable.compact(spark, t, targetFiles = 4)
+    assert(ManifestTable.readWhere(spark, t, col("id") === 77L)
+      .inputFiles.length < ManifestTable.snapshotFiles(spark, t).size)
+    ManifestTable.dropBloom(spark, t)
+    assert(ManifestTable.bloomConfig(spark, t).isEmpty)
+    val hit = ManifestTable.readWhere(spark, t, col("id") === 77L)
+    assert(hit.count() === 1L)
+    assert(hit.inputFiles.length === ManifestTable.snapshotFiles(spark, t).size,
+      "without a config the hash-scattered lookup keeps every file")
+    // later writes stop producing sidecars
+    import spark.implicits._
+    ManifestTable.commit(spark, t,
+      Seq((999999L, "tag-z")).toDF("id", "tag"))
+    assert(ManifestTable.read(spark, t).count() === 2001L)
+  }
+
   test("expire reclaims sidecars of unreferenced uuids, keeps live ones") {
     val t = freshDir()
     ManifestTable.commit(spark, t, scattered(1000, 2),
