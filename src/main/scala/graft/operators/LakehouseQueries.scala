@@ -1768,6 +1768,61 @@ object LakehouseQueries {
              |FROM orders
              |GROUP BY o_orderpriority
              |ORDER BY o_orderpriority NULLS FIRST""".stripMargin)
+    ),
+
+    // C48: calendar-granularity hidden partitioning, judged (r10) —
+    // the other half of c46's transform family: the table lays out by
+    // months(o_orderdate) (a TIMESTAMP_NTZ source — the round's NTZ
+    // seconds-domain fix is on this exact path), the derived month
+    // column never surfaces, and a plain date-range predicate prunes
+    // whole month partitions through the monotone calendar mapping —
+    // the in-query require pins that a ~1.6-year slice of a ~6.6-year
+    // table drops most files while the hash proves it lost no row.
+    // Time travel composes: the result also reads the PRE-layout
+    // version (v1, flat) and both images hash-match the same oracle
+    // rows, proving the layout change was invisible to queries — the
+    // operational promise hidden partitioning exists for.
+    Entry(
+      "c48_calendar_partitioning",
+      (s, d) => {
+        import org.apache.spark.sql.SaveMode
+        val t = scratchDir("c48", d)
+        val M = graft.sources.ManifestTable
+        val ord = Tables.orders(s, d)
+          .select(col("o_orderkey"), col("o_totalprice"), col("o_orderdate"))
+        M.commit(s, t, ord.coalesce(4), SaveMode.Overwrite,
+          statsColumns = Seq("o_orderkey")) // v1: flat layout
+        M.commit(s, t,
+          ord.repartition(24, year(col("o_orderdate")) * 12
+            + month(col("o_orderdate"))),
+          SaveMode.Overwrite, partitionBy = Seq("months(o_orderdate)"),
+          statsColumns = Seq("o_orderkey")) // v2: month layout
+        require(!M.read(s, t).columns.contains("o_orderdate_month"),
+          "the derived month column must stay hidden")
+        val total = M.snapshotFiles(s, t).size
+        val cut = lit("2000-01-01").cast(
+          ord.schema("o_orderdate").dataType)
+        val hit = M.readWhere(s, t, col("o_orderdate") >= cut)
+        require(hit.inputFiles.length * 2 < total,
+          s"month pruning through the hidden transform " +
+            s"(${hit.inputFiles.length}/$total files)")
+        def agg(df: org.apache.spark.sql.DataFrame, side: String) =
+          df.filter(col("o_orderdate") >= cut)
+            .agg(count(lit(1)).as("cnt"),
+              round(sum(col("o_totalprice")), 2).as("sum_price"))
+            .withColumn("side", lit(side))
+        agg(hit, "monthly").unionByName(agg(M.read(s, t, 1), "flat"))
+          .select(col("side"), col("cnt"), col("sum_price"))
+          .orderBy("side")
+      },
+      Some("""SELECT 'flat' AS side, count(*) AS cnt,
+             |  round(sum(o_totalprice), 2) AS sum_price
+             |FROM orders WHERE o_orderdate >= TIMESTAMP '2000-01-01'
+             |UNION ALL
+             |SELECT 'monthly' AS side, count(*) AS cnt,
+             |  round(sum(o_totalprice), 2) AS sum_price
+             |FROM orders WHERE o_orderdate >= TIMESTAMP '2000-01-01'
+             |ORDER BY side NULLS FIRST""".stripMargin)
     )
   )
 }
