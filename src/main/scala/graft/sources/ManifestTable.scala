@@ -273,6 +273,41 @@ object ManifestTable {
     }
   }
 
+  /** Does evaluating this transform on a `dt`-typed source depend on
+    * the SESSION time zone? years/months go through year()/month(),
+    * which localize instants (TimestampType) and NTZ-through-Timestamp
+    * casts; days/hours localize only the NTZ→Timestamp cast. DateType
+    * has no zone anywhere; bucket/truncate never localize. */
+  private def tzSensitiveTransform(kind: String, dt: DataType): Boolean = {
+    import org.apache.spark.sql.types.{DateType, TimestampNTZType}
+    kind match {
+      case "years" | "months" => dt != DateType
+      case "days" | "hours" => dt == TimestampNTZType
+      case _ => false
+    }
+  }
+
+  /** Runtime enforcement of the UTC invariant (ADVICE r10, medium):
+    * calendar transforms and TIMESTAMP_NTZ stats encode through
+    * session-zone expressions on the WRITE side but prune through
+    * fixed-UTC arithmetic on the read side. Every in-repo entry point
+    * pins spark.sql.session.timeZone=UTC, but ManifestTable is a
+    * public API — a caller writing under another zone would record a
+    * layout/stats image the pruner then uses to skip LIVE files (wrong
+    * results, not weak pruning). Reads stay zone-free (leafBounds /
+    * calendarIndex are fixed-UTC JVM arithmetic against UTC-written
+    * stats), so only writers are gated. */
+  private def requireUtcSession(spark: SparkSession, why: String): Unit = {
+    val tz = spark.conf.get("spark.sql.session.timeZone",
+      java.util.TimeZone.getDefault.getID)
+    require(tz == "UTC",
+      s"$why requires spark.sql.session.timeZone=UTC (session has '$tz'): " +
+        "calendar partition transforms and TIMESTAMP_NTZ stats are " +
+        "evaluated in the session zone at write time but pruned through " +
+        "fixed-UTC arithmetic — a non-UTC writer would record a layout/" +
+        "stats image that silently prunes live files")
+  }
+
   /** Prune-side twin of the calendar granularities: map an
     * epoch-SECONDS (or epoch-days, for DateType) stats bound to the
     * transform's index, monotonically. */
@@ -376,9 +411,68 @@ object ManifestTable {
       val text =
         try scala.io.Source.fromInputStream(in, "UTF-8").mkString
         finally in.close()
+      // PROTOCOL GATE (r11) — the Delta reader/writer-feature /
+      // Iceberg format-version idiom: validated at parse time, BEFORE
+      // the text is cached or any section regex runs, so every read
+      // AND write path (they all funnel through this one accessor for
+      // head/parent text) refuses an unreadable snapshot loudly. The
+      // failure mode this closes is silent: a pre-segmentation reader
+      // of a segmented root sees an empty file list — and would then
+      // "correctly" vacuum every live file.
+      requireFeaturesReadable(featuresFromText(text), table, v)
       cacheStore((table, v), CachedManifest(text, st.getLen, st.getModificationTime))
       text
     }
+  }
+
+  // -----------------------------------------------------------------
+  // PROTOCOL FEATURE GATES (r11) — Delta's minReaderVersion/
+  // readerFeatures and Iceberg's format-version, in one list: every
+  // root records the format features a reader MUST understand to read
+  // that snapshot correctly ("segments", "dvs", "tombstones", …,
+  // computed by tryPublish from the sections it actually wrote — a
+  // feature-free table writes no list and stays readable by any
+  // engine era). A reader meeting an unknown required feature refuses
+  // with a named error on every path, never a silent misread: ignoring
+  // dvsB64 resurrects deleted rows, ignoring txnsB64 double-applies a
+  // replayed micro-batch, ignoring ingestSegs re-ingests a landing
+  // zone, ignoring segments reads an empty snapshot. Widened-type
+  // schemas deliberately carry NO gate: the recorded schema is the
+  // read contract and Spark's parquet reader up-casts narrower pages
+  // natively, so any reader of this format reads both eras correctly.
+  // -----------------------------------------------------------------
+
+  /** Every format feature THIS build can read. A future feature lands
+    * by (1) teaching the reader, (2) adding it here, (3) letting the
+    * writer emit it — in that order, exactly Delta's rollout rule. */
+  private[graft] val SupportedFeatures: Set[String] = Set(
+    "segments", "externs", "dvs", "tombstones", "transforms",
+    "txn", "blooms", "ingest", "checks")
+
+  private def featuresFromText(text: String): Seq[String] =
+    "\"features\"\\s*:\\s*\\[([^\\]]*)\\]".r.findFirstMatchIn(text)
+      .map(m => "\"([^\"]+)\"".r.findAllMatchIn(m.group(1)).map(_.group(1)).toSeq)
+      .getOrElse(Nil)
+
+  private def requireFeaturesReadable(feats: Seq[String], table: String,
+                                      v: Int): Unit = {
+    val unknown = feats.filterNot(SupportedFeatures)
+    if (unknown.nonEmpty)
+      throw new UnsupportedOperationException(
+        s"manifest v$v of $table requires table feature(s) " +
+          s"${unknown.mkString("[", ", ", "]")} this reader does not " +
+          s"support (supported: ${SupportedFeatures.toSeq.sorted.mkString(", ")}) " +
+          "— refusing to read rather than silently misread the snapshot; " +
+          "upgrade the engine to a build that understands these features")
+  }
+
+  /** The required-feature list `version`'s root declares (empty for
+    * legacy / feature-free snapshots) — the compatibility contract an
+    * older reader is gated on. */
+  def tableFeatures(spark: SparkSession, table: String,
+                    version: Int = -1): Seq[String] = {
+    val v = if (version < 0) currentVersion(spark, table) else version
+    if (v == 0) Nil else featuresFromText(manifestText(spark, table, v))
   }
 
   /** The `"files": [ ... ]` block of a manifest (every format the table
@@ -2222,6 +2316,15 @@ object ManifestTable {
     val pts = transformsOpt.getOrElse(
       try partitionTransforms(spark, table)
       catch { case _: IllegalArgumentException => Nil })
+    // UTC gate (ADVICE r10): the derive below and the stats pass both
+    // evaluate session-zone expressions whose prune-side twins are
+    // fixed-UTC — refuse a non-UTC writer BEFORE any data is written
+    if (pts.exists(pt => df0.schema.find(_.name == pt.source)
+          .exists(f => tzSensitiveTransform(pt.kind, f.dataType))) ||
+        statsColumns.exists(c => df0.schema.find(_.name == c)
+          .exists(_.dataType == org.apache.spark.sql.types.TimestampNTZType)))
+      requireUtcSession(spark,
+        s"writing $table (calendar transform / TIMESTAMP_NTZ stats)")
     import org.apache.spark.sql.functions.{col => fcol}
     val df = pts.foldLeft(df0) { (d, pt) =>
       if (partitionBy.contains(pt.target) && !d.columns.contains(pt.target)
@@ -2643,12 +2746,33 @@ object ManifestTable {
         ("", refs.map(r => s""""$r"""").mkString("  \"segments\": [", ", ", "],\n"),
           "")
       }
+    // required-feature list, derived from what this root ACTUALLY
+    // carries (never from the parent's list — a feature whose last
+    // trace leaves the snapshot drops its gate with it, e.g. a compact
+    // clearing every DV). "externs" is table-level state (the clone
+    // ledger, consulted by every file resolution), so any publish on a
+    // ledgered table carries it.
+    val features = Seq(
+      segmented -> "segments",
+      (externRoots(spark, table).nonEmpty) -> "externs",
+      dvLine.nonEmpty -> "dvs",
+      tombLine.nonEmpty -> "tombstones",
+      ptLine.nonEmpty -> "transforms",
+      txnLine.nonEmpty -> "txn",
+      bloomLine.nonEmpty -> "blooms",
+      ingLine.nonEmpty -> "ingest",
+      consLine.nonEmpty -> "checks"
+    ).collect { case (true, f) => f }
+    val featuresLine =
+      if (features.isEmpty) ""
+      else features.map(f => s""""$f"""")
+        .mkString("  \"features\": [", ", ", "],\n")
     val body =
       s"""{
          |  "version": ${head + 1},
          |  "op": "$op",
          |  "commitMs": $commitMs,
-         |$txnLine$consLine$tombLine$dvLine$bloomLine$ptLine$ingLine$partitionLine$schemaLine$statsBlock$segmentsLine  "files": [
+         |$featuresLine$txnLine$consLine$tombLine$dvLine$bloomLine$ptLine$ingLine$partitionLine$schemaLine$statsBlock$segmentsLine  "files": [
          |$filesBody
          |  ]
          |}""".stripMargin
@@ -3082,6 +3206,14 @@ object ManifestTable {
       : Seq[(String, Double, Double)] = {
     import org.apache.spark.sql.functions.{col, max, min}
     if (keys.isEmpty) return Nil
+    // UTC gate (ADVICE r10): an NTZ merge key's envelope encodes
+    // through the session-zone cast but is intersected against
+    // UTC-written file stats — a non-UTC session would prune files
+    // holding real matches (the merge would insert duplicates)
+    if (keys.exists(k => updates.schema.find(_.name == k)
+          .exists(_.dataType == org.apache.spark.sql.types.TimestampNTZType)))
+      requireUtcSession(updates.sparkSession,
+        "a MERGE keyed on a TIMESTAMP_NTZ column")
     val encoded = keys.flatMap { k =>
       updates.schema.find(_.name == k)
         .flatMap(f => statEncoder(f.dataType, col(k)))
@@ -3803,16 +3935,34 @@ object ManifestTable {
     val tombs0 = deleteTombstones(spark, table, head)
     val dvs0 = deleteVectors(spark, table, head)
     val df0 = readLive(spark, table, rel0, schema0, partBy, tombs0, dvs = dvs0)
+    // Hidden partition-transform targets are NOT in the read frame (the
+    // read hides them by design) — shuffling "on the partition columns"
+    // must recompute them from their sources through the ONE shared
+    // transform expression, or OPTIMIZE on a transform-partitioned
+    // table dies on an unresolvable column (probe r11: it did).
+    val pts0 = partitionTransforms(spark, table, head)
+    def layoutCol(c: String): Column = pts0.find(_.target == c) match {
+      case Some(pt) => transformCol(pt,
+        org.apache.spark.sql.functions.col(pt.source),
+        df0.schema(pt.source).dataType)
+      case None => org.apache.spark.sql.functions.col(c)
+    }
     val df =
-      if (sortBy.nonEmpty)
+      if (partBy.nonEmpty) {
+        // partitioned OPTIMIZE: shuffle ON the layout values so each
+        // task owns whole partition values — one output file per
+        // value, not targetFiles × values small files. With sortBy the
+        // rows additionally cluster WITHIN their partition (the Delta
+        // OPTIMIZE ZORDER semantics: z-order is per-partition — a
+        // global range sort would scatter every partition value across
+        // all output files and re-explode the file count).
+        val shuffled = df0.repartition(targetFiles, partBy.map(layoutCol): _*)
+        if (sortBy.nonEmpty) shuffled.sortWithinPartitions(sortBy: _*)
+        else shuffled
+      }
+      else if (sortBy.nonEmpty)
         df0.repartitionByRange(targetFiles, sortBy: _*)
           .sortWithinPartitions(sortBy: _*)
-      else if (partBy.nonEmpty)
-        // partitioned OPTIMIZE: shuffle ON the partition columns so
-        // each task owns whole partition values — one output file per
-        // value, not targetFiles × values small files
-        df0.repartition(targetFiles,
-          partBy.map(org.apache.spark.sql.functions.col): _*)
       else df0.repartition(targetFiles)
     // OPTIMIZE is also where stats collection can BEGIN on a table
     // that never recorded any (`statsColumns`), on top of whatever the
