@@ -300,7 +300,16 @@ object ManifestTable {
   private def requireUtcSession(spark: SparkSession, why: String): Unit = {
     val tz = spark.conf.get("spark.sql.session.timeZone",
       java.util.TimeZone.getDefault.getID)
-    require(tz == "UTC",
+    // any zero-offset zone is behaviorally UTC for the write-side
+    // expressions this gate protects — 'Etc/UTC', 'GMT', 'Z', '+00:00'
+    // all normalize to ZoneOffset.UTC and must not be refused (ADVICE
+    // r11: a string-compare against "UTC" rejected equivalent sessions
+    // with a message claiming corruption that could not happen)
+    val isUtc =
+      try java.time.ZoneId.of(tz, java.time.ZoneId.SHORT_IDS)
+        .normalized() == java.time.ZoneOffset.UTC
+      catch { case _: java.time.DateTimeException => false }
+    require(isUtc,
       s"$why requires spark.sql.session.timeZone=UTC (session has '$tz'): " +
         "calendar partition transforms and TIMESTAMP_NTZ stats are " +
         "evaluated in the session zone at write time but pruned through " +
@@ -415,10 +424,17 @@ object ManifestTable {
       // Iceberg format-version idiom: validated at parse time, BEFORE
       // the text is cached or any section regex runs, so every read
       // AND write path (they all funnel through this one accessor for
-      // head/parent text) refuses an unreadable snapshot loudly. The
-      // failure mode this closes is silent: a pre-segmentation reader
-      // of a segmented root sees an empty file list — and would then
-      // "correctly" vacuum every live file.
+      // head/parent text) refuses an unreadable snapshot loudly.
+      // What the gate buys is FORWARD protection (honest contract,
+      // r12): every gate-aware reader refuses any FUTURE feature it
+      // does not understand, instead of the silent misreads each
+      // section's absence would cause (an unknown segments-like
+      // feature reads as an empty file list — and a vacuum on that
+      // view would reclaim every live file). It cannot retrofit
+      // safety onto pre-gate binaries: those never check `features`
+      // and stay exactly as unsafe as they were. Features are stamped
+      // from the next publish onward; pre-gate roots carry no list
+      // and are grandfathered — see SCALE.md "Format compatibility".
       requireFeaturesReadable(featuresFromText(text), table, v)
       cacheStore((table, v), CachedManifest(text, st.getLen, st.getModificationTime))
       text
@@ -449,8 +465,15 @@ object ManifestTable {
     "segments", "externs", "dvs", "tombstones", "transforms",
     "txn", "blooms", "ingest", "checks")
 
+  /** Line-anchored on purpose (ADVICE r11): top-level root keys are
+    * emitted at exactly 2-space indent, while per-file stats entries
+    * (`    "data/…": {"col":[mn,mx]}`) sit at 4 — so a stats COLUMN
+    * literally named `features` can never match this regex regardless
+    * of section order, and the gate no longer leans on the (true but
+    * fragile) invariant that tryPublish writes the features line
+    * before the stats block. */
   private def featuresFromText(text: String): Seq[String] =
-    "\"features\"\\s*:\\s*\\[([^\\]]*)\\]".r.findFirstMatchIn(text)
+    "(?m)^  \"features\"\\s*:\\s*\\[([^\\]]*)\\]".r.findFirstMatchIn(text)
       .map(m => "\"([^\"]+)\"".r.findAllMatchIn(m.group(1)).map(_.group(1)).toSeq)
       .getOrElse(Nil)
 
@@ -942,17 +965,34 @@ object ManifestTable {
   private val bloomCache = // 256 MB of bloom bit sets
     new BoundedLru[(String, String), CachedBlooms](256L << 20, _.bytes)
 
+  // Negative cache for ABSENT sidecars (ADVICE r11): a table with
+  // pre-config history pays one getFileStatus per configless uuid on
+  // EVERY point lookup — O(files) driver RPCs that learn nothing,
+  // since a uuid that exists without a sidecar never gains one
+  // (sidecars are written by writeData BEFORE the manifest that
+  // references the uuid publishes; no later op writes into a foreign
+  // uuid dir). Keyed (root, uuid) like the positive cache; bounded;
+  // random-uuid keys make drop-and-recreate collisions impossible.
+  private val bloomNegCache =
+    new BoundedLru[(String, String), java.lang.Boolean](200000L, _ => 1L)
+  /** Test-visible count of sidecar stat RPCs (pins the negative cache
+    * in AdviceR11Spec — behavior is otherwise unobservable). */
+  private[graft] val bloomSidecarStats = new java.util.concurrent.atomic.AtomicLong
+
   /** The bloom bit sets of one commit-uuid's sidecar (file → col →
     * bits), resolving extern (cloned) uuids to the donor's sidecar.
-    * None when the uuid has no sidecar (pre-config commit). */
+    * Empty when the uuid has no sidecar (pre-config commit). */
   private def bloomSidecar(spark: SparkSession, table: String,
                            uuid: String): SidecarBlooms = {
     val root = externRoots(spark, table).getOrElse(uuid, table)
+    if (bloomNegCache.get((root, uuid)) != null) return emptySidecar
     val p = new Path(bloomsDir(root), s"$uuid.json")
+    bloomSidecarStats.incrementAndGet()
     val st =
       try fs(spark, p).getFileStatus(p)
       catch {
         case _: java.io.FileNotFoundException =>
+          bloomNegCache.put((root, uuid), java.lang.Boolean.TRUE)
           return emptySidecar
       }
     val key = (root, uuid)
@@ -1105,6 +1145,15 @@ object ManifestTable {
           s.fields.foreach(f => require(have.get(f.name).contains(f.dataType),
             s"copyInto source schema mismatch on ${f.name}: table has " +
               s"${f.dataType}, source has ${have.get(f.name)}"))
+          // EXACT match cuts both ways (ADVICE r11): a source column
+          // the table lacks used to be silently projected away — data
+          // loss in an op whose contract says "match exactly". Refuse
+          // it; the pipeline must drop/rename deliberately upstream.
+          val extra = have.keySet -- s.fieldNames
+          require(extra.isEmpty,
+            s"copyInto source carries column(s) ${extra.toSeq.sorted.mkString(", ")} " +
+              s"the table schema lacks — COPY INTO is ingestion, not evolution; " +
+              "drop or rename them in the landing data, or addColumn first")
           import org.apache.spark.sql.functions.{col => fcol}
           // the recorded schema never contains hidden transform
           // targets (recordedSchema drops them; commit/addColumn
@@ -1473,6 +1522,21 @@ object ManifestTable {
     }.toMap
     val lp = externsPath(dst)
     val lf = fs(spark, lp)
+    // crash-debris recovery (ADVICE r11): a clone killed between the
+    // exclusive ledger create and the v1 publish leaves externs.json
+    // (and copied ingest ledgers) at a destination with ZERO manifests
+    // — and the exclusive create then fails every retry forever. A
+    // ledger at a version-less destination is debris by definition
+    // (a published clone has v1; the requirement above already proved
+    // there is none), so sweep it and proceed. A clone racing us to
+    // the SAME fresh path may lose its in-flight ledger here — fine:
+    // the v1 publish remains the one arbiter, the loser cleans up and
+    // reports the race exactly as before.
+    if (lf.exists(lp)) {
+      lf.delete(lp, false)
+      externsCache.remove(dst)
+      lf.delete(ingestDir(dst), true)
+    }
     val node = segmentMapper.createObjectNode()
     val ex = node.putObject("externs")
     ledger.toSeq.sortBy(_._1).foreach { case (u, root) => ex.put(u, root) }
@@ -2763,6 +2827,9 @@ object ManifestTable {
       ingLine.nonEmpty -> "ingest",
       consLine.nonEmpty -> "checks"
     ).collect { case (true, f) => f }
+    // 2-space indent is LOAD-BEARING: featuresFromText line-anchors on
+    // it to distinguish this top-level key from per-file stats entries
+    // (4-space) — keep any future top-level section at the same indent
     val featuresLine =
       if (features.isEmpty) ""
       else features.map(f => s""""$f"""")
@@ -3956,9 +4023,27 @@ object ManifestTable {
         // OPTIMIZE ZORDER semantics: z-order is per-partition — a
         // global range sort would scatter every partition value across
         // all output files and re-explode the file count).
-        val shuffled = df0.repartition(targetFiles, partBy.map(layoutCol): _*)
-        if (sortBy.nonEmpty) shuffled.sortWithinPartitions(sortBy: _*)
-        else shuffled
+        val layout = partBy.map(layoutCol)
+        // With sortBy the shuffle is RANGE on (layout ++ sortBy) — the
+        // Delta OPTIMIZE ZORDER shape done properly (r12, fixing two
+        // r11 defects at once):
+        //  - each task owns a CONTIGUOUS (value, key) slice, so a
+        //    partition value larger than one file splits into files
+        //    with tight, disjoint key ranges — the within-partition
+        //    clustering that makes a key predicate prune INSIDE the
+        //    partitions a layout predicate keeps. (The r11 hash-on-
+        //    layout shuffle collapsed each value into ONE task → one
+        //    file per value → nothing within a value to prune.)
+        //    Output file count stays ~targetFiles + values-straddling-
+        //    a-boundary, never targetFiles × values.
+        //  - the sort runs ONCE with the layout as prefix (ADVICE
+        //    r11): it satisfies the partitioned writer's required
+        //    ordering, so no second sort, and within-value clustering
+        //    holds by construction, not by sort stability.
+        if (sortBy.nonEmpty)
+          df0.repartitionByRange(targetFiles, layout ++ sortBy: _*)
+            .sortWithinPartitions(layout ++ sortBy: _*)
+        else df0.repartition(targetFiles, layout: _*)
       }
       else if (sortBy.nonEmpty)
         df0.repartitionByRange(targetFiles, sortBy: _*)

@@ -61,6 +61,30 @@ class BloomSkipSpec extends AnyFunSuite with SparkFixture {
     assert(ManifestTable.readWhere(spark, t, col("id") === 999999L).count() === 0L)
   }
 
+  test("copyInto'd files bloom-prune with no OPTIMIZE (indexed at ingest)") {
+    // promoted r11 probe 2 — the fact it adjudicated: bloom-at-ingest
+    // is INHERENT, not a gap. copyInto funnels through writeData, the
+    // same write path every commit uses, so landing files are indexed
+    // at birth; the r10 verdict's "copyInto skips the bloom pass" was
+    // false, and this pin keeps a future copyInto refactor honest.
+    import org.apache.spark.sql.SaveMode
+    import spark.implicits._
+    val t = freshDir() + "/t"
+    val landing = freshDir()
+    val df = (0 until 64).map(i => (i.toLong, s"u$i")).toDF("id", "name")
+    ManifestTable.commit(spark, t, df.limit(0), SaveMode.Overwrite,
+      statsColumns = Seq("id"))
+    ManifestTable.addBloom(spark, t, Seq("name"), bits = 1L << 12, k = 4)
+    df.repartition(8, col("id")).write.parquet(s"$landing/b1")
+    ManifestTable.copyInto(spark, t, s"$landing/*")
+    val total = ManifestTable.snapshotFiles(spark, t).size
+    val hit = ManifestTable.readWhere(spark, t, col("name") === "u3")
+    assert(hit.collect().map(_.getLong(0)).toSeq == Seq(3L))
+    assert(hit.inputFiles.length < total,
+      s"bloom pruning must fire on copyInto'd files with no OPTIMIZE " +
+        s"(kept ${hit.inputFiles.length} of $total)")
+  }
+
   test("pre-config files are kept conservatively; later appends index") {
     val t = freshDir()
     ManifestTable.commit(spark, t, scattered(2000, 4),

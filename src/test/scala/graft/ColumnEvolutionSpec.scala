@@ -92,4 +92,26 @@ class ColumnEvolutionSpec extends AnyFunSuite with SparkFixture {
     val got = ManifestTable.read(spark, t).select("score").collect().head
     assert(got.getLong(0) === 99L)
   }
+
+  test("Spark's parquet reader up-casts narrower pages under a widened read schema") {
+    // promoted r11 probe 1 — the enabling fact for metadata-only type
+    // widening: files written int32/float read correctly under a
+    // long/double schema with zero rewrite. This is what makes
+    // widenColumn a manifest edit instead of a 100 TB rewrite.
+    import spark.implicits._
+    import org.apache.spark.sql.types._
+    val d = freshTable() + "/w"
+    Seq((1, 1.5f), (2, 2.5f)).toDF("k", "x").write.parquet(d)
+    val widened = StructType(Seq(
+      StructField("k", LongType), StructField("x", DoubleType)))
+    val rows = spark.read.schema(widened).parquet(d).orderBy("k").collect()
+    assert(rows.map(_.getLong(0)).toSeq == Seq(1L, 2L))
+    assert(rows.map(_.getDouble(1)).toSeq == Seq(1.5, 2.5))
+    // byte/short → int, int → double
+    Seq((1.toShort, 7)).toDF("s", "i").write.mode("overwrite").parquet(d)
+    val w2 = StructType(Seq(StructField("s", IntegerType),
+      StructField("i", DoubleType)))
+    val r2 = spark.read.schema(w2).parquet(d).collect().head
+    assert(r2.getInt(0) == 1 && r2.getDouble(1) == 7.0)
+  }
 }

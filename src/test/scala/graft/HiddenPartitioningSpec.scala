@@ -303,4 +303,70 @@ class HiddenPartitioningSpec extends AnyFunSuite with SparkFixture {
         events(5).withColumn("id_bucket", lit(0L)))
     }
   }
+
+  test("OPTIMIZE on a transform-partitioned table recomputes the hidden layout") {
+    // promoted r11 probe 4 — the regression pin for the r11 compact
+    // fix: the hidden target is NOT in the read frame, so shuffling
+    // "on the partition columns" must recompute it through the shared
+    // transform expression or compact dies on an unresolvable column.
+    import spark.implicits._
+    val t = freshDir()
+    val data = (0 until 100).map(i => (i.toLong, i % 7, s"r$i")).toDF("id", "g", "s")
+    ManifestTable.commit(spark, t, data.repartition(10), SaveMode.Overwrite,
+      partitionBy = Seq("bucket(4,id)"), statsColumns = Seq("id", "g"))
+    ManifestTable.compact(spark, t, targetFiles = 2)
+    assert(ManifestTable.read(spark, t).count() == 100)
+    assert(ManifestTable.partitionTransforms(spark, t).nonEmpty,
+      "the transform record must survive the rewrite")
+    // the compacted files still live under the hidden layout's dirs
+    assert(ManifestTable.snapshotFiles(spark, t)
+      .forall(_.contains("id_bucket=")), "compact must preserve the layout")
+  }
+
+  test("compact(sortBy) on a months() table: z-order WITHIN partitions, both prunes stack") {
+    // closes r10 verdict item 4: z-order × hidden partitioning
+    // COMPOSED. The calendar transform owns the directory layout; the
+    // sortBy key clusters rows within each month so per-file ranges on
+    // it are tight — and one read prunes through BOTH: the month dirs
+    // via the transform's monotone mapping, the survivors via the
+    // sort key's recorded ranges.
+    import spark.implicits._
+    val t = freshDir()
+    val n = 4000
+    val data = (0 until n).map { i =>
+      (i.toLong, java.sql.Timestamp.valueOf(
+        java.time.LocalDateTime.of(2024, 1 + i % 6, 1 + i % 28, i % 24, 0)),
+        (i * 37 % n).toLong) // scattered sort key
+    }.toDF("id", "ts", "k")
+    ManifestTable.commit(spark, t, data.repartition(12), SaveMode.Overwrite,
+      partitionBy = Seq("months(ts)"), statsColumns = Seq("k"))
+    val monthsBefore = ManifestTable.snapshotFiles(spark, t)
+      .flatMap(_.split("/").find(_.startsWith("ts_month="))).distinct.sorted
+    // targetFiles comfortably above the 6 month values: each month
+    // splits into ~3 k-contiguous files — the within-value clustering
+    // under test
+    ManifestTable.compact(spark, t, targetFiles = 18, sortBy = Seq(col("k")))
+    val files = ManifestTable.snapshotFiles(spark, t)
+    val monthsAfter = files
+      .flatMap(_.split("/").find(_.startsWith("ts_month="))).distinct.sorted
+    assert(monthsAfter == monthsBefore,
+      "the hidden calendar layout must survive a sorted OPTIMIZE")
+    assert(ManifestTable.read(spark, t).count() == n)
+    // z-order payoff: each month now holds k-clustered files, so a
+    // k-range predicate prunes WITHIN the months a ts predicate keeps
+    val total = files.size
+    val both = ManifestTable.readWhere(spark, t,
+      col("ts") >= lit(java.sql.Timestamp.valueOf("2024-05-01 00:00:00")) &&
+        col("k") < 400L)
+    val tsOnly = ManifestTable.readWhere(spark, t,
+      col("ts") >= lit(java.sql.Timestamp.valueOf("2024-05-01 00:00:00")))
+    assert(tsOnly.inputFiles.length < total,
+      s"month pruning must drop files (${tsOnly.inputFiles.length}/$total)")
+    assert(both.inputFiles.length < tsOnly.inputFiles.length,
+      s"the k range must prune WITHIN surviving months " +
+        s"(${both.inputFiles.length} vs ts-only ${tsOnly.inputFiles.length})")
+    assert(both.count() ==
+      data.filter($"ts" >= lit(java.sql.Timestamp.valueOf("2024-05-01 00:00:00"))
+        && $"k" < 400L).count())
+  }
 }

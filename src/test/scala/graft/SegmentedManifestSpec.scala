@@ -227,4 +227,30 @@ class SegmentedManifestSpec extends AnyFunSuite with SparkFixture {
         ManifestTable.snapshotFiles(spark, dst).size)
     }
   }
+
+  test("a config-only commit (addBloom) carries EVERY segment by reference") {
+    // promoted r11 probe 3 — the fact it adjudicated: ADVICE's claim
+    // that addBloom "rewrites every segment" (an O(table) metadata
+    // cost) is FALSE. tryPublish's carry rule — a candidate segment is
+    // reused iff every file is in the snapshot with identical stats —
+    // makes any config-only publish (bloom config, constraints, DDL)
+    // carry the whole parent layout automatically; this pin keeps a
+    // future carry-rule edit from silently re-introducing the rewrite.
+    import org.apache.spark.sql.SaveMode
+    import spark.implicits._
+    withSegTarget(10) {
+      val t = fresh() + "/t"
+      val data = (0 until 200).map(i => (i.toLong, i * 2.0)).toDF("id", "v")
+      ManifestTable.commit(spark, t, data.repartition(40), SaveMode.Overwrite,
+        statsColumns = Seq("id"))
+      val segsBefore = ManifestTable.snapshotSegments(spark, t)
+      assert(segsBefore.nonEmpty, "table should be segmented")
+      ManifestTable.addBloom(spark, t, Seq("id"))
+      val segsAfter = ManifestTable.snapshotSegments(spark, t)
+      assert(segsAfter.toSet == segsBefore.toSet,
+        "a config-only commit must carry every segment by reference " +
+          s"(before=${segsBefore.size}, after=${segsAfter.size}, " +
+          s"carried=${segsAfter.count(segsBefore.contains)})")
+    }
+  }
 }
