@@ -19,6 +19,10 @@ object Bench {
       .config("spark.sql.warehouse.dir",
         s"${sys.props("java.io.tmpdir")}/graft_warehouse")
       .config("spark.ui.enabled", "false")
+      // additive: custom expressions + the graft name-resolution rule
+      // (touches only relations the built-in resolver left unresolved),
+      // so SQL-surface queries (q_sql_insert) run under the driver too
+      .withExtensions(new GraftExtensions)
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     // Warm-up: JIT/codegen/classloading outside the timed region, so the

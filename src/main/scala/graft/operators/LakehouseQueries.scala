@@ -1823,6 +1823,162 @@ object LakehouseQueries {
              |  round(sum(o_totalprice), 2) AS sum_price
              |FROM orders WHERE o_orderdate >= TIMESTAMP '2000-01-01'
              |ORDER BY side NULLS FIRST""".stripMargin)
+    ),
+
+    // C49: metadata-only TYPE WIDENING, judged (r12) — the Delta
+    // type-widening / Iceberg `int → long` evolution shape. v1 lands
+    // the even orders with an int32 key; widenColumn(int→long) is ONE
+    // manifest commit (the in-query requires pin zero files moved and
+    // ranges carried verbatim); v3 appends the odd orders shifted
+    // past int32's ceiling — values the original type could not hold.
+    // One read spans both eras (Spark's parquet reader up-casts the
+    // old int32 pages under the recorded long schema), the hash
+    // proves era-spanning arithmetic is exact, and a pre-widen-era
+    // point lookup must still prune the new-era files through the
+    // UNTOUCHED old stats — at 100 TB this is a key outgrowing int32
+    // costing one root write instead of a full rewrite.
+    Entry(
+      "c49_type_widening",
+      (s, d) => {
+        import org.apache.spark.sql.SaveMode
+        import org.apache.spark.sql.types.LongType
+        val t = scratchDir("c49", d)
+        val M = graft.sources.ManifestTable
+        val ord = Tables.orders(s, d)
+          .select(col("o_orderkey"), col("o_totalprice"), col("o_orderpriority"))
+        M.commit(s, t,
+          ord.filter(col("o_orderkey") % 2 === 0)
+            .withColumn("o_orderkey", col("o_orderkey").cast("int"))
+            .repartitionByRange(4, col("o_orderkey")),
+          SaveMode.Overwrite, statsColumns = Seq("o_orderkey"))
+        val filesBefore = M.snapshotFiles(s, t)
+        val statsBefore = M.snapshotStats(s, t)
+        M.widenColumn(s, t, "o_orderkey", LongType)
+        require(M.snapshotFiles(s, t) == filesBefore,
+          "widening must be metadata-only — zero data files move")
+        require(M.snapshotStats(s, t) == statsBefore,
+          "widening is value-preserving — recorded ranges carry verbatim")
+        val shift = 10_000_000_000L // beyond int32, unreachable pre-widen
+        M.commit(s, t, ord.filter(col("o_orderkey") % 2 === 1)
+          .withColumn("o_orderkey", col("o_orderkey") + shift))
+        // old stats still prune: a pre-widen-era key keeps the shifted
+        // new-era files out of the scan
+        val minEven = ord.filter(col("o_orderkey") % 2 === 0)
+          .agg(min("o_orderkey")).head.getLong(0)
+        val hit = M.readWhere(s, t, col("o_orderkey") === minEven)
+        require(hit.inputFiles.length < M.snapshotFiles(s, t).size,
+          "old-era ranges must keep pruning after the widen")
+        M.read(s, t)
+          .withColumn("era",
+            when(col("o_orderkey") > lit(shift), "widened").otherwise("narrow"))
+          .groupBy("era", "o_orderpriority")
+          .agg(count(lit(1)).as("cnt"),
+            max(col("o_orderkey")).as("max_key"),
+            round(sum(col("o_totalprice")), 2).as("sum_price"))
+          .orderBy("era", "o_orderpriority")
+      },
+      Some("""SELECT era, o_orderpriority, count(*) AS cnt,
+             |  max(k) AS max_key, round(sum(o_totalprice), 2) AS sum_price
+             |FROM (
+             |  SELECT 'narrow' AS era, o_orderkey AS k, o_totalprice,
+             |    o_orderpriority
+             |  FROM orders WHERE o_orderkey % 2 = 0
+             |  UNION ALL
+             |  SELECT 'widened' AS era, o_orderkey + 10000000000 AS k,
+             |    o_totalprice, o_orderpriority
+             |  FROM orders WHERE o_orderkey % 2 = 1
+             |)
+             |GROUP BY era, o_orderpriority
+             |ORDER BY era NULLS FIRST, o_orderpriority NULLS FIRST""".stripMargin)
+    ),
+
+    // C50: the EVERYTHING-COMPOSED maintenance lifecycle, judged
+    // (r12) — every lakehouse mechanism the engine ships, exercised on
+    // ONE table in the order a production pipeline hits them: a
+    // hidden-partitioned (bucket(8, o_custkey)), bloom-indexed
+    // (o_orderkey), SEGMENTED table ingests two landing batches via
+    // idempotent COPY INTO, takes a metadata-only deletion-vector
+    // delete, bin-packs its small files (compactSmall), and expires
+    // its history — and every composed invariant is require-pinned
+    // mid-query: the hidden layout survives the rewrite, bloom
+    // pruning still fires on the packed files, the ingest ledger
+    // rides through compaction AND expiry (the exact re-run stays a
+    // no-op), the DV'd rows stay deleted, and the manifest stays
+    // segmented throughout. The hash proves the surviving table
+    // equals the landing union minus the deleted keys — no mechanism
+    // lost or resurrected a row while composing with the other five.
+    Entry(
+      "c50_maintenance_lifecycle",
+      (s, d) => {
+        import org.apache.spark.sql.SaveMode
+        val t = scratchDir("c50t", d)
+        val landing = scratchDir("c50l", d)
+        // rerun-safe, like c47: re-landed files get new mtimes and
+        // would re-ingest into a stale table — reset both roots
+        def rmRf(f: java.io.File): Unit = {
+          Option(f.listFiles()).getOrElse(Array.empty).foreach(rmRf)
+          f.delete(); ()
+        }
+        rmRf(new java.io.File(t)); rmRf(new java.io.File(landing))
+        val M = graft.sources.ManifestTable
+        val conf = s.sparkContext.hadoopConfiguration
+        val prevSeg = Option(conf.get(M.SegmentFilesKey))
+        conf.setInt(M.SegmentFilesKey, 8) // force the segmented regime
+        try {
+          val ord = Tables.orders(s, d)
+            .select(col("o_orderkey"), col("o_custkey"),
+              col("o_totalprice"), col("o_orderpriority"))
+          M.commit(s, t, ord.limit(0), SaveMode.Overwrite,
+            partitionBy = Seq("bucket(8,o_custkey)"),
+            statsColumns = Seq("o_orderkey"))
+          M.addBloom(s, t, Seq("o_orderkey"))
+          ord.filter(col("o_orderkey") % 2 === 0).coalesce(2)
+            .write.parquet(s"$landing/batch1")
+          M.copyInto(s, t, s"$landing/*")
+          ord.filter(col("o_orderkey") % 2 === 1).coalesce(2)
+            .write.parquet(s"$landing/batch2")
+          M.copyInto(s, t, s"$landing/*")
+          require(M.snapshotSegments(s, t).nonEmpty,
+            "the bucketed ingest must cross into the segmented regime")
+          require(M.rowCount(s, t).contains(ord.count()),
+            "two ingests must equal the landing union exactly once")
+          // metadata-only scattered delete: every 97th key, via DVs
+          M.deleteWhereVector(s, t, col("o_orderkey") % 97 === 0)
+          val before = M.snapshotFiles(s, t)
+          M.compactSmall(s, t) // every sf-test file is sub-threshold
+          val files = M.snapshotFiles(s, t)
+          require(files.size < before.size,
+            s"bin-packing must collapse files (${before.size} -> ${files.size})")
+          require(files.forall(_.contains("o_custkey_bucket=")),
+            "the hidden bucket layout must survive the rewrite")
+          M.expire(s, t, keepLast = 1)
+          // ledger carriage: the exact re-run is STILL a no-op after
+          // compaction and expiry rewrote/reclaimed everything else
+          val head = M.currentVersion(s, t)
+          require(M.copyInto(s, t, s"$landing/*") == head,
+            "the ingest memory must survive compaction and expiry")
+          // bloom survival: the packed files were re-indexed at the
+          // rewrite, so a point lookup prunes with no further OPTIMIZE
+          val probeKey = ord.filter(col("o_orderkey") % 97 =!= 0)
+            .agg(min("o_orderkey")).head.getLong(0)
+          val hit = M.readWhere(s, t, col("o_orderkey") === probeKey)
+          require(hit.inputFiles.length < M.snapshotFiles(s, t).size,
+            "bloom pruning must fire on the compacted files")
+          M.read(s, t)
+            .groupBy("o_orderpriority")
+            .agg(count(lit(1)).as("cnt"),
+              round(sum(col("o_totalprice")), 2).as("sum_price"))
+            .orderBy("o_orderpriority")
+        } finally prevSeg match {
+          case Some(v) => conf.set(M.SegmentFilesKey, v)
+          case None => conf.unset(M.SegmentFilesKey)
+        }
+      },
+      Some("""SELECT o_orderpriority, count(*) AS cnt,
+             |  round(sum(o_totalprice), 2) AS sum_price
+             |FROM orders WHERE o_orderkey % 97 <> 0
+             |GROUP BY o_orderpriority
+             |ORDER BY o_orderpriority NULLS FIRST""".stripMargin)
     )
   )
 }

@@ -189,6 +189,50 @@ object PipelineQueries {
               |GROUP BY o_orderpriority ORDER BY o_orderpriority NULLS FIRST""".stripMargin)
     ),
 
+    // The SQL WRITE path (r12): INSERT INTO graft.<name> resolves
+    // through the same analyzer rule as the read side and commits
+    // through ManifestTable's full discipline — strict schema match,
+    // inherited layout, stats continuity, atomic publish. Two inserts
+    // build the table (the second proves append-through-SQL), the
+    // in-query require pins one version per statement, and the result
+    // reads back through the SQL name — write and read surfaces
+    // composed, hash-checked against the source-of-truth oracle.
+    Entry(
+      "q_sql_insert",
+      (s, d) => {
+        val t = scratchDir("qins", d)
+        // reruns would double-append into a surviving table — reset
+        def rmRf(f: java.io.File): Unit = {
+          Option(f.listFiles()).getOrElse(Array.empty).foreach(rmRf)
+          f.delete(); ()
+        }
+        rmRf(new java.io.File(t))
+        val M = graft.sources.ManifestTable
+        graft.sources.GraftCatalog.register("q_orders_sink", t)
+        try {
+          Tables.orders(s, d).createOrReplaceTempView("v_orders_src")
+          s.sql("""INSERT INTO graft.q_orders_sink
+                  |SELECT o_orderkey, o_orderpriority, o_totalprice
+                  |FROM v_orders_src WHERE o_orderpriority <= '2-HIGH'""".stripMargin)
+          s.sql("""INSERT INTO graft.q_orders_sink
+                  |SELECT o_orderkey, o_orderpriority, o_totalprice
+                  |FROM v_orders_src WHERE o_orderpriority > '2-HIGH'""".stripMargin)
+          require(M.currentVersion(s, t) == 2,
+            "each INSERT statement must commit exactly one version")
+          s.sql("""SELECT o_orderpriority, count(*) AS cnt,
+                  |  round(sum(o_totalprice), 2) AS sum_price
+                  |FROM graft.q_orders_sink
+                  |GROUP BY o_orderpriority
+                  |ORDER BY o_orderpriority""".stripMargin)
+        } finally graft.sources.GraftCatalog.unregister("q_orders_sink")
+      },
+      Some("""SELECT o_orderpriority, count(*) AS cnt,
+             |  round(sum(o_totalprice), 2) AS sum_price
+             |FROM orders
+             |GROUP BY o_orderpriority
+             |ORDER BY o_orderpriority NULLS FIRST""".stripMargin)
+    ),
+
     // Q2: correlated LATERAL subquery through the SQL surface — the
     // per-row dependent-subquery shape (top-2 orders per customer).
     // Catalyst DECORRELATES it (DecorrelateInnerQuery + window

@@ -1,9 +1,11 @@
 package graft.sources
 
-import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.{Row, SaveMode, SparkSession}
 import org.apache.spark.sql.catalyst.analysis.UnresolvedRelation
-import org.apache.spark.sql.catalyst.plans.logical.LogicalPlan
+import org.apache.spark.sql.catalyst.plans.logical.{InsertIntoStatement, LogicalPlan}
 import org.apache.spark.sql.catalyst.rules.Rule
+import org.apache.spark.sql.execution.command.LeafRunnableCommand
+import org.apache.spark.sql.graftbridge.PlanBridge
 
 /** Name resolution for manifest tables — the catalog face the TVFs
   * are sugar over. `register("orders", "/lake/orders")` makes
@@ -70,23 +72,123 @@ object GraftCatalog {
     lookup(name).map(_ -> v)
   }
 
+  private def specOf(u: UnresolvedRelation): Option[(String, Int)] =
+    u.multipartIdentifier match {
+      case Seq(ns, ident) if norm(ns) == "graft" => resolveSpec(ident)
+      case Seq(ident) => resolveSpec(ident)
+      case _ => None
+    }
+
   /** The analyzer rule (injected by GraftExtensions): rewrites
     * still-unresolved `graft.<name>` (and bare `<name>`, when
-    * registered) relations into the manifest read's analyzed plan. */
+    * registered) relations into the manifest read's analyzed plan, and
+    * `INSERT INTO graft.<name>` statements into [[InsertCommand]] —
+    * the write-side twin, r12. Two passes on purpose: the INSERT
+    * rewrite must claim its target relation BEFORE the read rewrite
+    * would turn it into a (non-insertable) scan plan. */
   final class Resolution(session: SparkSession) extends Rule[LogicalPlan] {
-    override def apply(plan: LogicalPlan): LogicalPlan =
-      plan.resolveOperatorsUp {
-        case u: UnresolvedRelation if !u.isStreaming =>
-          val spec = u.multipartIdentifier match {
-            case Seq(ns, ident) if norm(ns) == "graft" => resolveSpec(ident)
-            case Seq(ident) => resolveSpec(ident)
-            case _ => None
+    override def apply(plan: LogicalPlan): LogicalPlan = {
+      val withWrites = plan.resolveOperatorsUp {
+        case i @ InsertIntoStatement(u: UnresolvedRelation, partSpec,
+            userCols, query, overwrite, _, byName) =>
+          specOf(u) match {
+            case Some((path, v)) =>
+              require(v < 0,
+                s"cannot INSERT into time-travel version v$v of " +
+                  s"${u.multipartIdentifier.mkString(".")} — snapshots are immutable")
+              require(partSpec.isEmpty,
+                "static PARTITION clauses are unsupported on graft tables — " +
+                  "the table's recorded layout is inherited automatically")
+              InsertCommand(u.multipartIdentifier.mkString("."), path,
+                query, overwrite, userCols, byName)
+            case None => i
           }
-          spec match {
+      }
+      withWrites.resolveOperatorsUp {
+        case u: UnresolvedRelation if !u.isStreaming =>
+          specOf(u) match {
             case Some((path, v)) =>
               ManifestTable.read(session, path, v).queryExecution.analyzed
             case None => u
           }
       }
+    }
+  }
+
+  /** `INSERT INTO graft.<name>` — the SQL write path. Runs at
+    * execution time like Spark's own RunnableCommands: the source
+    * query analyzes and executes then, and the write goes through
+    * [[ManifestTable.commit]]'s full discipline — strict schema
+    * match, CHECK constraints, inherited partition layout (hidden
+    * transforms re-derived), bloom indexing, stats continuity, and
+    * the atomic conditional publish. Semantics, exactly ANSI:
+    *
+    *  - `INSERT INTO` appends; `INSERT OVERWRITE` replaces — the
+    *    latter only on layout-free tables (a layout is a Scala-API
+    *    choice; OVERWRITE through SQL would silently clear it,
+    *    so it refuses and names the alternative).
+    *  - assignment is POSITIONAL (or BY NAME with the keyword); an
+    *    explicit column list `(b, a)` maps query columns to those
+    *    names positionally, and must name every table column —
+    *    partial inserts with defaults are not a thing here.
+    *  - a narrow-typed source is refused by commit's append
+    *    discipline, never silently cast. */
+  final case class InsertCommand(ident: String, path: String,
+      query: LogicalPlan, overwrite: Boolean, userCols: Seq[String],
+      byName: Boolean) extends LeafRunnableCommand {
+    override def innerChildren: Seq[LogicalPlan] = Seq(query)
+    override def run(session: SparkSession): Seq[Row] = {
+      val src = PlanBridge.ofRows(session, query)
+      val recorded = ManifestTable.snapshotSchema(session, path)
+      if (overwrite)
+        require(ManifestTable.partitionColumns(session, path).isEmpty,
+          s"INSERT OVERWRITE on $ident would clear its recorded partition " +
+            "layout — use ManifestTable.commit(..., SaveMode.Overwrite, " +
+            "partitionBy = <layout>) to overwrite a partitioned table")
+      val aligned =
+        if (byName && userCols.isEmpty) src // BY NAME: names as given
+        else {
+          val targets: Seq[String] = userCols match {
+            case Nil =>
+              recorded.map(_.fieldNames.toSeq).getOrElse(src.columns.toSeq)
+            case cols =>
+              recorded.foreach(s => require(
+                cols.map(norm).toSet == s.fieldNames.map(norm).toSet,
+                s"INSERT INTO $ident (${cols.mkString(", ")}) must name " +
+                  s"every table column (${s.fieldNames.mkString(", ")}) — " +
+                  "partial inserts with defaults are unsupported"))
+              cols
+          }
+          require(src.schema.length == targets.length,
+            s"INSERT INTO $ident: query produces ${src.schema.length} " +
+              s"column(s), target takes ${targets.length}")
+          src.toDF(targets: _*)
+        }
+      // recorded order (the analyzer resolves names case-insensitively),
+      // with ANSI store-assignment on the SAFE side only: a source
+      // column whose type is a sanctioned WIDENING of the recorded one
+      // (int literal into a long column — the VALUES(1, …) shape)
+      // up-casts through the same value-preserving lattice widenColumn
+      // uses; anything else reaches commit unchanged and is refused by
+      // its strict discipline, never silently narrowed
+      val ordered = recorded match {
+        case Some(s) =>
+          val srcTypes = aligned.schema
+            .map(f => norm(f.name) -> f.dataType).toMap
+          aligned.select(s.fields.map { f =>
+            val c = aligned.col(f.name)
+            srcTypes.get(norm(f.name)) match {
+              case Some(t) if t != f.dataType &&
+                  ManifestTable.WideningsTo.get(t).exists(_.contains(f.dataType)) =>
+                c.cast(f.dataType).as(f.name)
+              case _ => c
+            }
+          }.toSeq: _*)
+        case None => aligned
+      }
+      ManifestTable.commit(session, path, ordered,
+        if (overwrite) SaveMode.Overwrite else SaveMode.Append)
+      Nil
+    }
   }
 }

@@ -2802,7 +2802,22 @@ object ManifestTable {
           carried0.filterNot(c => small(c._1)) else carried0
         val coveredFinal = carried.iterator.flatMap(_._2.map(_._1)).toSet
         val remaining = files.filterNot(coveredFinal)
-        newSegRefs = remaining.grouped(segTarget).map { chunk =>
+        // PARTITION-ALIGNED packing (r12): order new files by their
+        // hive partition dirs (path segments between the uuid and the
+        // file name) before chunking, so each segment covers a
+        // CONTIGUOUS partition-value range instead of uuid-interleaved
+        // values. A partition-scoped delete then fails the carry rule
+        // only for the few segments its value lives in — on a 100k-file
+        // table with 1k partition values, ~1 segment rewritten instead
+        // of all 100 — while segment COUNT stays files/segTarget (one
+        // small segment per value would blow the root up instead).
+        // Flat tables sort by bare path, same behavior as before;
+        // pre-alignment segments stay value-interleaved until a
+        // rewrite repacks them (no flag day).
+        val alignKey: String => String =
+          rel => rel.split("/").drop(2).dropRight(1).mkString("/")
+        newSegRefs = remaining.sortBy(r => (alignKey(r), r))
+          .grouped(segTarget).map { chunk =>
           writeSegment(spark, table, chunk.map(p =>
             p -> live.getOrElse(p, Map.empty[String, (Double, Double)])))
         }.toSeq
@@ -4124,6 +4139,91 @@ object ManifestTable {
     }
     throw new java.util.ConcurrentModificationException(
       s"addColumn on $table lost $maxAttempts commit races")
+  }
+
+  /** The sanctioned WIDENINGS: value-preserving embeddings Spark's
+    * parquet reader up-casts natively when the read schema is wider
+    * than a file's physical pages (ColumnEvolutionSpec pins the
+    * up-cast). long→double is deliberately absent — |long| can exceed
+    * 2^53 and the embedding would silently round. */
+  private[sources] val WideningsTo: Map[DataType, Set[DataType]] = {
+    import org.apache.spark.sql.types._
+    Map(
+      ByteType -> Set[DataType](ShortType, IntegerType, LongType, DoubleType),
+      ShortType -> Set[DataType](IntegerType, LongType, DoubleType),
+      IntegerType -> Set[DataType](LongType, DoubleType),
+      FloatType -> Set[DataType](DoubleType))
+  }
+
+  /** Metadata-only TYPE WIDENING (the Delta type-widening / Iceberg
+    * schema-evolution `int → long` shape): record the widened schema,
+    * move zero data. Old files keep their narrow physical pages and
+    * read correctly through the recorded schema (Spark's parquet
+    * reader up-casts int32/float pages natively); new appends must
+    * carry the widened type (the same strict append discipline as
+    * ever). At 100 TB this is the difference between a key outgrowing
+    * int32 being one tiny manifest commit and being a full table
+    * rewrite.
+    *
+    * Deliberately carries NO protocol feature gate: the recorded
+    * schema IS the read contract and both eras read correctly under
+    * it by plain parquet semantics — any engine era reads a widened
+    * table right, so there is nothing to refuse.
+    *
+    * Stats are carried UNCHANGED: recorded ranges are doubles and
+    * every sanctioned widening is value-preserving, so each file's
+    * (min, max) still brackets its rows exactly.
+    *
+    * Refused, loudly: narrowing or any non-sanctioned change
+    * (long→double rounds above 2^53); a bucket/truncate transform
+    * SOURCE (xxhash64 of an int and of the same value as long differ —
+    * new layout values would diverge from the recorded dirs and the
+    * pruner would skip live files); a bloom-indexed column (same hash
+    * drift → false negatives → wrong pruning). Identity partition
+    * columns widen fine — their pruning rides type-agnostic
+    * degenerate double ranges. */
+  def widenColumn(spark: SparkSession, table: String, name: String,
+                  to: DataType, maxAttempts: Int = 5): Int = {
+    var attempt = 0
+    while (attempt < maxAttempts) {
+      attempt += 1
+      val head = currentVersion(spark, table)
+      require(head >= 1, s"no committed snapshot in $table")
+      val (files, schema, stats, partBy) = snapshotAll(spark, table, head)
+      val sch = schema.getOrElse(recordedSchema(
+        readFiles(spark, table, files.take(1), None, partBy).schema, partBy))
+      val field = sch.fields.find(_.name == name).getOrElse(
+        throw new IllegalArgumentException(s"no column '$name' on $table"))
+      require(WideningsTo.get(field.dataType).exists(_.contains(to)),
+        s"cannot widen $table.$name from ${field.dataType} to $to — " +
+          "sanctioned widenings are byte/short/int→(wider int|long|double), " +
+          "float→double (value-preserving, natively up-cast by the reader); " +
+          "anything else needs an explicit rewrite")
+      // bucket is the one type-SENSITIVE transform (xxhash64 of int vs
+      // long differ); truncate runs through a double cast and calendar
+      // kinds have no widenable source type, so both stay free to widen
+      partitionTransforms(spark, table, head).foreach(pt =>
+        require(!(pt.kind == "bucket" && pt.source == name),
+          s"cannot widen $table.$name: it is the source of the " +
+            s"bucket layout transform and xxhash64 is type-sensitive — " +
+            "widened writes would lay out differently than the recorded " +
+            "dirs and pruning would skip live files"))
+      bloomConfig(spark, table, head).foreach(bc =>
+        require(!bc.cols.contains(name),
+          s"cannot widen $table.$name: it is bloom-indexed and xxhash64 is " +
+            "type-sensitive — widened lookups would miss old-era bit sets " +
+            "(false negatives). dropBloom first, widen, re-add and OPTIMIZE"))
+      val widened = StructType(sch.fields.map(f =>
+        if (f.name == name) f.copy(dataType = to) else f))
+      beforeConditionalCommit()
+      if (currentVersion(spark, table) == head &&
+          tryPublish(spark, table, head, files, s"widencol-${b64t(name)}",
+            Some(recordedSchema(widened, partBy)), stats, partBy,
+            op = "widen-column"))
+        return head + 1
+    }
+    throw new java.util.ConcurrentModificationException(
+      s"widenColumn on $table lost $maxAttempts commit races")
   }
 
   /** Metadata-only DROP COLUMN: record the narrowed schema; the

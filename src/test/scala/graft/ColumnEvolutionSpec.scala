@@ -114,4 +114,104 @@ class ColumnEvolutionSpec extends AnyFunSuite with SparkFixture {
     val r2 = spark.read.schema(w2).parquet(d).collect().head
     assert(r2.getInt(0) == 1 && r2.getDouble(1) == 7.0)
   }
+
+  test("widenColumn is metadata-only: old int32 files read as long, appends carry long") {
+    import spark.implicits._
+    import org.apache.spark.sql.types._
+    val t = freshTable()
+    ManifestTable.commit(spark, t,
+      (1 to 100).map(i => (i, i.toFloat / 2)).toDF("id", "x")
+        .repartition(4, col("id")),
+      statsColumns = Seq("id"))
+    val filesBefore = ManifestTable.snapshotFiles(spark, t)
+    val statsBefore = ManifestTable.snapshotStats(spark, t)
+    assert(ManifestTable.widenColumn(spark, t, "id", LongType) === 2)
+    assert(ManifestTable.widenColumn(spark, t, "x", DoubleType) === 3)
+    assert(ManifestTable.commitOp(spark, t) === Some("widen-column"))
+    assert(ManifestTable.snapshotFiles(spark, t) === filesBefore,
+      "widening must move zero data")
+    assert(ManifestTable.snapshotStats(spark, t) === statsBefore,
+      "widening is value-preserving — recorded ranges stay exact")
+    val sch = ManifestTable.read(spark, t).schema
+    assert(sch("id").dataType === LongType && sch("x").dataType === DoubleType)
+    // the widened era holds values the old type could not
+    ManifestTable.commit(spark, t,
+      Seq((3_000_000_000L, 9.25)).toDF("id", "x"))
+    val got = ManifestTable.read(spark, t)
+    assert(got.count() === 101)
+    assert(got.agg(max("id")).head.getLong(0) === 3_000_000_000L)
+    assert(got.filter(col("id") === 7L).agg(sum("x")).head.getDouble(0) === 3.5)
+    // strict append discipline: a narrow batch is refused post-widen
+    intercept[IllegalArgumentException] {
+      ManifestTable.commit(spark, t, Seq((5, 1.0f)).toDF("id", "x"))
+    }
+    // stats pruning still fires across the era boundary: an old-era
+    // point lookup drops the new-era file
+    val total = ManifestTable.snapshotFiles(spark, t).size
+    val hit = ManifestTable.readWhere(spark, t, col("id") === 7L)
+    assert(hit.count() === 1)
+    assert(hit.inputFiles.length < total,
+      "old-era ranges must keep pruning after the widen")
+  }
+
+  test("narrowing and lossy changes are refused; unknown column is refused") {
+    import spark.implicits._
+    import org.apache.spark.sql.types._
+    val t = freshTable()
+    ManifestTable.commit(spark, t,
+      Seq((1L, 2.5, "a")).toDF("id", "x", "s"))
+    def refused(name: String, to: DataType): Unit = {
+      val e = intercept[IllegalArgumentException](
+        ManifestTable.widenColumn(spark, t, name, to))
+      assert(e.getMessage.contains("widen"), e.getMessage)
+    }
+    refused("id", IntegerType)   // narrowing
+    refused("id", DoubleType)    // lossy above 2^53
+    refused("x", FloatType)      // narrowing
+    refused("s", LongType)       // no embedding at all
+    refused("id", StringType)    // not a widening even though lossless
+    intercept[IllegalArgumentException](
+      ManifestTable.widenColumn(spark, t, "nope", LongType))
+    assert(ManifestTable.currentVersion(spark, t) === 1,
+      "every refusal must leave the table untouched")
+  }
+
+  test("hash-sensitive columns refuse to widen: bucket source, bloom-indexed") {
+    import spark.implicits._
+    import org.apache.spark.sql.types._
+    val t = freshTable()
+    ManifestTable.commit(spark, t,
+      (1 to 50).map(i => (i, s"u$i")).toDF("id", "name"),
+      partitionBy = Seq("bucket(4,id)"))
+    val e = intercept[IllegalArgumentException](
+      ManifestTable.widenColumn(spark, t, "id", LongType))
+    assert(e.getMessage.contains("bucket"), e.getMessage)
+
+    val t2 = freshTable()
+    ManifestTable.commit(spark, t2,
+      (1 to 50).map(i => (i, s"u$i")).toDF("id", "name"),
+      statsColumns = Seq("id"))
+    ManifestTable.addBloom(spark, t2, Seq("id"))
+    val e2 = intercept[IllegalArgumentException](
+      ManifestTable.widenColumn(spark, t2, "id", LongType))
+    assert(e2.getMessage.contains("bloom"), e2.getMessage)
+    // the documented path out: drop the config, widen, re-add
+    ManifestTable.dropBloom(spark, t2)
+    ManifestTable.widenColumn(spark, t2, "id", LongType)
+    ManifestTable.addBloom(spark, t2, Seq("id"))
+    assert(ManifestTable.read(spark, t2).schema("id").dataType === LongType)
+    assert(ManifestTable.read(spark, t2).count() === 50)
+
+    // an IDENTITY partition column widens fine — its pruning rides
+    // type-agnostic degenerate double ranges
+    val t3 = freshTable()
+    ManifestTable.commit(spark, t3,
+      (1 to 60).map(i => (i.toLong, i % 3, s"r$i")).toDF("id", "g", "s"),
+      partitionBy = Seq("g"))
+    ManifestTable.widenColumn(spark, t3, "g", LongType)
+    val pr = ManifestTable.readWhere(spark, t3, col("g") === 1L)
+    assert(pr.count() === 20)
+    assert(pr.inputFiles.length < ManifestTable.snapshotFiles(spark, t3).size,
+      "partition pruning must survive the widen")
+  }
 }

@@ -186,4 +186,69 @@ class GraftExtensionsSpec extends AnyFunSuite with SparkFixture {
       prevDefault.foreach(SparkSession.setDefaultSession)
     }
   }
+
+  test("SQL write path: INSERT INTO / OVERWRITE graft.<name> commits through the manifest") {
+    spark.range(1).count()
+    val prevDefault = SparkSession.getDefaultSession
+    SparkSession.clearDefaultSession()
+    SparkSession.clearActiveSession()
+    try {
+      val ext = SparkSession.builder()
+        .master("local[4]")
+        .config("spark.ui.enabled", "false")
+        .withExtensions(new GraftExtensions)
+        .getOrCreate()
+      import ext.implicits._
+      import graft.sources.{GraftCatalog, ManifestTable => M}
+      val t = java.nio.file.Files.createTempDirectory("graft_ins").toString + "/t"
+      M.commit(ext, t, Seq((1L, "a")).toDF("id", "v"),
+        statsColumns = Seq("id"))
+      GraftCatalog.register("ins_t", t)
+      try {
+        // plain INSERT INTO appends — int literals safe-cast up to the
+        // recorded long, through the widening lattice
+        ext.sql("INSERT INTO graft.ins_t VALUES (2, 'b'), (3, 'c')")
+        assert(M.read(ext, t).count() === 3)
+        assert(M.commitOp(ext, t) === Some("append"))
+        // an explicit REORDERED column list maps positionally
+        ext.sql("INSERT INTO graft.ins_t (v, id) VALUES ('d', 4)")
+        assert(ext.sql("SELECT v FROM graft.ins_t WHERE id = 4").collect()
+          .map(_.getString(0)).toSeq === Seq("d"))
+        // INSERT from a query; the read side of the same rule composes
+        ext.sql("INSERT INTO graft.ins_t SELECT id + 10, v FROM graft.ins_t WHERE id <= 2")
+        assert(M.read(ext, t).count() === 6)
+        // OVERWRITE replaces the snapshot; time travel keeps history
+        ext.sql("INSERT OVERWRITE graft.ins_t VALUES (9, 'z')")
+        assert(M.read(ext, t).collect().map(_.getLong(0)).toSeq === Seq(9L))
+        assert(M.read(ext, t, 1).count() === 1)
+        // refusals, all loud: partial column list, arity drift,
+        // time-travel target, unsafe narrowing
+        intercept[Exception](ext.sql("INSERT INTO graft.ins_t (id) VALUES (5)"))
+        intercept[Exception](ext.sql("INSERT INTO graft.ins_t VALUES (5)"))
+        intercept[Exception](
+          ext.sql("INSERT INTO graft.`ins_t@v1` VALUES (5, 'x')"))
+        intercept[Exception](
+          ext.sql("INSERT INTO graft.ins_t VALUES (5.5, 'x')"))
+        // a partitioned table refuses SQL OVERWRITE (would clear the
+        // layout) but accepts SQL APPEND (inherits it)
+        val tp = java.nio.file.Files.createTempDirectory("graft_insp")
+          .toString + "/t"
+        M.commit(ext, tp, Seq((1L, 1, "a"), (2L, 2, "b")).toDF("id", "g", "v"),
+          partitionBy = Seq("g"))
+        GraftCatalog.register("ins_p", tp)
+        try {
+          ext.sql("INSERT INTO graft.ins_p VALUES (3, 1, 'c')")
+          assert(M.read(ext, tp).count() === 3)
+          assert(M.snapshotFiles(ext, tp).forall(_.contains("g=")),
+            "a SQL append must inherit the partition layout")
+          val e = intercept[Exception](
+            ext.sql("INSERT OVERWRITE graft.ins_p VALUES (9, 9, 'z')"))
+          assert(e.getMessage.contains("layout"), e.getMessage)
+        } finally GraftCatalog.unregister("ins_p")
+      } finally GraftCatalog.unregister("ins_t")
+    } finally {
+      SparkSession.clearActiveSession()
+      prevDefault.foreach(SparkSession.setDefaultSession)
+    }
+  }
 }

@@ -253,4 +253,43 @@ class SegmentedManifestSpec extends AnyFunSuite with SparkFixture {
           s"carried=${segsAfter.count(segsBefore.contains)})")
     }
   }
+
+  test("partition-aligned segments: a partition-scoped delete rewrites only its value's segments") {
+    // r12: new files pack into segments ORDERED by partition value, so
+    // each segment covers a contiguous value range — a delete of one
+    // value fails the carry rule only where that value lives, instead
+    // of in every (uuid-interleaved) segment
+    import org.apache.spark.sql.SaveMode
+    import spark.implicits._
+    withSegTarget(20) {
+      val t = fresh() + "/t"
+      val data = (0 until 2000).map(i => (i.toLong, i % 10, s"r$i"))
+        .toDF("id", "g", "s")
+      ManifestTable.commit(spark, t, data.repartition(20, col("id")),
+        SaveMode.Overwrite, partitionBy = Seq("g"), statsColumns = Seq("id"))
+      val segsBefore = ManifestTable.snapshotSegments(spark, t)
+      assert(segsBefore.size >= 8, s"expected ~10 segments, got ${segsBefore.size}")
+      def holdsValue(ref: String, v: Int): Boolean =
+        new String(java.nio.file.Files.readAllBytes(
+          java.nio.file.Paths.get(s"$t/_manifests/$ref")), "UTF-8")
+          .contains(s"g=$v/")
+      // alignment means most segments hold exactly one value — the
+      // victim value must live in very few of them
+      val victims = segsBefore.filter(holdsValue(_, 3))
+      assert(victims.size <= 2,
+        s"g=3 should live in ~1 aligned segment, found it in ${victims.size} " +
+          s"of ${segsBefore.size}")
+      ManifestTable.deleteWhere(spark, t, col("g") === 1)
+      val segsAfter = ManifestTable.snapshotSegments(spark, t).toSet
+      val untouched = segsBefore.filterNot(holdsValue(_, 1))
+      assert(untouched.nonEmpty && untouched.forall(segsAfter.contains),
+        "every segment without the deleted value must carry by reference")
+      assert(ManifestTable.read(spark, t).count() == 1800)
+      // pruning still intact on the aligned layout
+      val hit = ManifestTable.readWhere(spark, t, col("g") === 4)
+      assert(hit.count() == 200)
+      assert(hit.inputFiles.length <
+        ManifestTable.snapshotFiles(spark, t).size)
+    }
+  }
 }

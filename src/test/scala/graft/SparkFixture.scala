@@ -16,6 +16,10 @@ object SparkFixture {
       .config("spark.sql.warehouse.dir",
         s"${sys.props("java.io.tmpdir")}/graft_warehouse_test")
       .config("spark.ui.enabled", "false")
+      // the harness sessions (Verify/Bench) run with GraftExtensions;
+      // the fixture matches so every judged query — including the
+      // SQL-surface ones — smoke-runs under the same analyzer
+      .withExtensions(new GraftExtensions)
       .appName("graft-tests")
       .getOrCreate()
     s.sparkContext.setLogLevel("ERROR")
