@@ -233,6 +233,57 @@ object PipelineQueries {
              |ORDER BY o_orderpriority NULLS FIRST""".stripMargin)
     ),
 
+    // SQL DML (r12): UPDATE and DELETE FROM through the same analyzer
+    // rule — each statement runs the engine's pruned-rewrite operator
+    // (updateWhere / deleteWhere): only files holding matching rows
+    // rewrite, the rest carry by reference, one atomic version per
+    // statement (in-query requires pin the op codes). The oracle
+    // recomputes the final image from the raw table with CASE/WHERE —
+    // the hash proves the two rewrites composed exactly.
+    Entry(
+      "q_sql_dml",
+      (s, d) => {
+        val t = scratchDir("qdml", d)
+        def rmRf(f: java.io.File): Unit = {
+          Option(f.listFiles()).getOrElse(Array.empty).foreach(rmRf)
+          f.delete(); ()
+        }
+        rmRf(new java.io.File(t))
+        val M = graft.sources.ManifestTable
+        import org.apache.spark.sql.SaveMode
+        M.commit(s, t, Tables.orders(s, d)
+            .select(col("o_orderkey"), col("o_totalprice"),
+              col("o_orderpriority"))
+            .repartitionByRange(6, col("o_orderkey")),
+          SaveMode.Overwrite, statsColumns = Seq("o_orderkey"))
+        graft.sources.GraftCatalog.register("q_dml_orders", t)
+        try {
+          // doubling is EXACT in binary floating point — no rounding
+          // drift between the engines' update arithmetic
+          s.sql("""UPDATE graft.q_dml_orders SET o_totalprice = o_totalprice * 2
+                  |WHERE o_orderpriority = '1-URGENT'""".stripMargin)
+          require(M.commitOp(s, t).contains("update"),
+            "UPDATE must land as one updateWhere commit")
+          s.sql("DELETE FROM graft.q_dml_orders WHERE o_orderkey % 5 = 0")
+          require(M.commitOp(s, t).contains("delete"),
+            "DELETE must land as one deleteWhere commit")
+          require(M.currentVersion(s, t) == 3,
+            "exactly one version per DML statement")
+          s.sql(s"""SELECT o_orderpriority, count(*) AS cnt,
+                   |  ${dsumSql("o_totalprice")} AS sum_price
+                   |FROM graft.q_dml_orders
+                   |GROUP BY o_orderpriority
+                   |ORDER BY o_orderpriority""".stripMargin)
+        } finally graft.sources.GraftCatalog.unregister("q_dml_orders")
+      },
+      Some(s"""SELECT o_orderpriority, count(*) AS cnt,
+             |  ${dsumSql("CASE WHEN o_orderpriority = '1-URGENT' " +
+                "THEN o_totalprice * 2 ELSE o_totalprice END")} AS sum_price
+             |FROM orders WHERE o_orderkey % 5 <> 0
+             |GROUP BY o_orderpriority
+             |ORDER BY o_orderpriority NULLS FIRST""".stripMargin)
+    ),
+
     // Q2: correlated LATERAL subquery through the SQL surface — the
     // per-row dependent-subquery shape (top-2 orders per customer).
     // Catalyst DECORRELATES it (DecorrelateInnerQuery + window

@@ -1,11 +1,11 @@
 package graft.sources
 
-import org.apache.spark.sql.{Row, SaveMode, SparkSession}
-import org.apache.spark.sql.catalyst.analysis.UnresolvedRelation
-import org.apache.spark.sql.catalyst.plans.logical.{InsertIntoStatement, LogicalPlan}
+import org.apache.spark.sql.{Column, Row, SaveMode, SparkSession}
+import org.apache.spark.sql.catalyst.analysis.{UnresolvedAttribute, UnresolvedRelation}
+import org.apache.spark.sql.catalyst.plans.logical.{DeleteFromTable, InsertIntoStatement, LogicalPlan, UpdateTable}
 import org.apache.spark.sql.catalyst.rules.Rule
 import org.apache.spark.sql.execution.command.LeafRunnableCommand
-import org.apache.spark.sql.graftbridge.PlanBridge
+import org.apache.spark.sql.graftbridge.{ColumnBridge, PlanBridge}
 
 /** Name resolution for manifest tables — the catalog face the TVFs
   * are sugar over. `register("orders", "/lake/orders")` makes
@@ -103,6 +103,39 @@ object GraftCatalog {
                 query, overwrite, userCols, byName)
             case None => i
           }
+        case d @ DeleteFromTable(u: UnresolvedRelation, condition) =>
+          specOf(u) match {
+            case Some((path, v)) =>
+              require(v < 0,
+                s"cannot DELETE from time-travel version v$v of " +
+                  s"${u.multipartIdentifier.mkString(".")} — snapshots are immutable")
+              DeleteCommand(u.multipartIdentifier.mkString("."), path,
+                ColumnBridge.column(condition))
+            case None => d
+          }
+        case up @ UpdateTable(u: UnresolvedRelation, assignments, condition) =>
+          specOf(u) match {
+            case Some((path, v)) =>
+              require(v < 0,
+                s"cannot UPDATE time-travel version v$v of " +
+                  s"${u.multipartIdentifier.mkString(".")} — snapshots are immutable")
+              val pairs = assignments.map { a =>
+                val name = a.key match {
+                  // single-part only: `SET s.a = …` (a struct field or
+                  // a qualified name) must not silently assign to a
+                  // column named by its LAST part
+                  case ua: UnresolvedAttribute if ua.nameParts.length == 1 =>
+                    ua.nameParts.head
+                  case other => throw new IllegalArgumentException(
+                    s"UPDATE on ${u.multipartIdentifier.mkString(".")} can " +
+                      s"only assign whole top-level columns, not '${other.sql}'")
+                }
+                name -> ColumnBridge.column(a.value)
+              }
+              UpdateCommand(u.multipartIdentifier.mkString("."), path,
+                pairs, condition.map(ColumnBridge.column))
+            case None => up
+          }
       }
       withWrites.resolveOperatorsUp {
         case u: UnresolvedRelation if !u.isStreaming =>
@@ -146,7 +179,18 @@ object GraftCatalog {
             "layout — use ManifestTable.commit(..., SaveMode.Overwrite, " +
             "partitionBy = <layout>) to overwrite a partitioned table")
       val aligned =
-        if (byName && userCols.isEmpty) src // BY NAME: names as given
+        if (byName && userCols.isEmpty) {
+          // BY NAME still refuses a shape drift: an extra source column
+          // would otherwise be silently projected away below (the same
+          // data-loss pattern copyInto refuses), and a missing one
+          // would fail later with a worse error
+          recorded.foreach(s => require(
+            src.columns.map(norm).toSet == s.fieldNames.map(norm).toSet,
+            s"INSERT BY NAME into $ident: source columns " +
+              s"(${src.columns.sorted.mkString(", ")}) must match the table " +
+              s"(${s.fieldNames.sorted.mkString(", ")}) exactly"))
+          src
+        }
         else {
           val targets: Seq[String] = userCols match {
             case Nil =>
@@ -188,6 +232,43 @@ object GraftCatalog {
       }
       ManifestTable.commit(session, path, ordered,
         if (overwrite) SaveMode.Overwrite else SaveMode.Append)
+      Nil
+    }
+  }
+
+  /** `DELETE FROM graft.<name> [WHERE …]` — [[ManifestTable.deleteWhere]]
+    * through SQL: stats-pruned victim scan, affected files rewritten,
+    * the rest carried by reference, one atomic version (or none when
+    * nothing matches). The condition resolves against the table's
+    * read frame inside deleteWhere, so bad references fail loudly.
+    *
+    * The predicate/assignment expressions are carried as [[Column]]s,
+    * not Expressions, ON PURPOSE: QueryPlan reflects over constructor
+    * args collecting every Expression, and CheckAnalysis would then
+    * fail the (deliberately still-unresolved — they resolve against
+    * the table frame at run time, Spark's own command pattern) trees
+    * as unresolved attributes. A Column is opaque to that sweep. */
+  final case class DeleteCommand(ident: String, path: String,
+      condition: Column) extends LeafRunnableCommand {
+    override def run(session: SparkSession): Seq[Row] = {
+      ManifestTable.deleteWhere(session, path, condition)
+      Nil
+    }
+  }
+
+  /** `UPDATE graft.<name> SET c = e, … [WHERE …]` —
+    * [[ManifestTable.updateWhere]] through SQL: same pruned-rewrite
+    * shape as DELETE, with assignment types checked against the
+    * recorded schema (widening-lattice casts only) and updated rows
+    * re-validated against CHECK constraints. Columns, not
+    * Expressions, for the reason on [[DeleteCommand]]. */
+  final case class UpdateCommand(ident: String, path: String,
+      assignments: Seq[(String, Column)], condition: Option[Column])
+    extends LeafRunnableCommand {
+    override def run(session: SparkSession): Seq[Row] = {
+      import org.apache.spark.sql.functions.lit
+      ManifestTable.updateWhere(session, path, assignments,
+        condition.getOrElse(lit(true)))
       Nil
     }
   }

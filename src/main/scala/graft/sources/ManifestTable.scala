@@ -3692,6 +3692,111 @@ object ManifestTable {
       s"deleteWhere on $table lost $maxAttempts commit races")
   }
 
+  /** UPDATE-by-predicate as one committed snapshot, with file-level
+    * pruning (the Delta UPDATE shape, r12): only files that CONTAIN
+    * matching rows are rewritten — each matching row gets its
+    * `assignments` applied, non-matching rows in the same files carry
+    * through verbatim — and untouched files carry over by reference.
+    * No matching rows → no new version (returns the head), same
+    * contract as [[deleteWhere]], whose victim-scan pruning,
+    * NULL-predicate semantics (a NULL predicate updates nothing), and
+    * lost-race reconcile this mirrors.
+    *
+    * Assignment discipline: each assigned expression must produce the
+    * column's recorded type, or a type whose sanctioned WIDENING it is
+    * (an int literal into a long column up-casts through the same
+    * lattice [[widenColumn]] and the SQL INSERT path use) — anything
+    * else is refused at analysis, never silently cast. Updated rows
+    * re-validate the table's CHECK constraints (an UPDATE can create a
+    * violation a DELETE cannot). Updating an identity partition column
+    * moves rows between partition dirs naturally (the rewrite lays out
+    * by the new value); hidden-transform TARGETS are unassignable by
+    * construction (not in the schema — analysis fails loudly) and
+    * their sources re-derive inside writeData like every rewrite. */
+  def updateWhere(spark: SparkSession, table: String,
+                  assignments: Seq[(String, Column)], pred: Column,
+                  maxAttempts: Int = 5): Int = {
+    import org.apache.spark.sql.functions.{coalesce, col, lit, when}
+    require(assignments.nonEmpty, "UPDATE needs at least one assignment")
+    var attempt = 0
+    while (attempt < maxAttempts) {
+      attempt += 1
+      val head = currentVersion(spark, table)
+      val (rel, schema, headStats, partBy) = snapshotAll(spark, table, head)
+      val headTombs = deleteTombstones(spark, table, head)
+      val headDvs = deleteVectors(spark, table, head)
+      if (rel.isEmpty) return head
+      val dnf = predicateDnfWith(spark, table, pred, rel, schema)
+      val candidates = pruneDnf(rel, headStats, dnf)
+      if (candidates.isEmpty) return head
+      val withFile = readLive(spark, table, candidates, schema, partBy,
+        headTombs, tagFile = true, dvs = headDvs)
+      val names = withFile.columns.filterNot(_ == "__f").toSeq
+      assignments.foreach { case (c, _) => require(names.contains(c),
+        s"UPDATE on $table assigns unknown column '$c' " +
+          s"(columns: ${names.mkString(", ")})") }
+      val hit = coalesce(pred, lit(false)) // NULL predicate: no update
+      // analysis-only type probe per assignment; widen-or-refuse
+      val assignOf = assignments.toMap
+      def valueCol(c: String): Column = {
+        val target = withFile.schema(c).dataType
+        val e = assignOf(c)
+        val aType = withFile.select(e.as("__p")).schema.head.dataType
+        if (aType == target) e
+        else if (WideningsTo.get(aType).exists(_.contains(target))) e.cast(target)
+        else throw new IllegalArgumentException(
+          s"UPDATE on $table assigns $aType to column '$c' ($target) — " +
+            "only the value-preserving widening lattice casts implicitly; " +
+            "cast explicitly or widenColumn first")
+      }
+      val affected = withFile.filter(pred).select("__f").distinct()
+        .collect().map(_.getString(0)).toSet // bounded: ≤ |snapshot files|
+      if (affected.isEmpty) return head
+      val rewritten = withFile.filter(col("__f").isin(affected.toSeq: _*))
+        .select(names.map(c =>
+          (if (assignOf.contains(c)) when(hit, valueCol(c)).otherwise(col(c))
+           else col(c)).as(c)): _*)
+      // an UPDATE can mint constraint-violating rows — validate the
+      // updated image of the affected files before any data is written
+      requireSatisfied(rewritten,
+        checkConstraints(spark, table, head), s"an UPDATE on $table")
+      val (uuid, newFiles, newStats) =
+        writeData(spark, table, rewritten, statsColumnsOf(headStats), partBy)
+      val files = rel.filterNot(affected) ++ newFiles
+      val recordSchema =
+        schema.orElse(Some(recordedSchema(rewritten.schema, partBy)))
+      beforeConditionalCommit()
+      commitIfHead(spark, table, files, head, uuid, recordSchema,
+          headStats ++ newStats, partBy, "update") match {
+        case Some(v) => return v
+        case None =>
+          // lost the race: reconcilable iff no interloper file holds a
+          // row this predicate would have updated (it would silently
+          // miss the update) and no victim file was itself rewritten
+          val conflicts = (added: Seq[String], schema2: Option[StructType],
+              stats2: Map[String, Map[String, (Double, Double)]],
+              partBy2: Seq[String]) => added.nonEmpty && {
+            val dnf2 = predicateDnfWith(spark, table, pred, added, schema2)
+            val cand = pruneDnf(added, stats2, dnf2)
+            cand.nonEmpty &&
+              !readFiles(spark, table, cand, schema2, partBy2)
+                .filter(pred).isEmpty
+          }
+          reconcilePublish(spark, table, rel, schema, partBy, affected,
+              newFiles, newStats, recordSchema, uuid, conflicts,
+              checkConstraints(spark, table, head), "update",
+              headTombs, baseDvs = headDvs,
+              baseTransforms = partitionTransforms(spark, table, head)) match {
+            case Some(v) => return v
+            case None =>
+              fs(spark, new Path(table)).delete(new Path(table, s"data/$uuid"), true)
+          }
+      }
+    }
+    throw new java.util.ConcurrentModificationException(
+      s"updateWhere on $table lost $maxAttempts commit races")
+  }
+
   /** LAZY delete (merge-on-read, the deletion-vector idea at predicate
     * granularity): instead of rewriting the files holding matching
     * rows, record a TOMBSTONE — the predicate's SQL plus the

@@ -251,4 +251,57 @@ class GraftExtensionsSpec extends AnyFunSuite with SparkFixture {
       prevDefault.foreach(SparkSession.setDefaultSession)
     }
   }
+
+  test("SQL DELETE FROM and UPDATE graft.<name> run the pruned rewrite operators") {
+    spark.range(1).count()
+    val prevDefault = SparkSession.getDefaultSession
+    SparkSession.clearDefaultSession()
+    SparkSession.clearActiveSession()
+    try {
+      val ext = SparkSession.builder()
+        .master("local[4]")
+        .config("spark.ui.enabled", "false")
+        .withExtensions(new GraftExtensions)
+        .getOrCreate()
+      import ext.implicits._
+      import graft.sources.{GraftCatalog, ManifestTable => M}
+      val t = java.nio.file.Files.createTempDirectory("graft_dml").toString + "/t"
+      M.commit(ext, t,
+        (1 to 50).map(i => (i.toLong, i.toDouble, s"r$i")).toDF("id", "v", "s"),
+        statsColumns = Seq("id"))
+      GraftCatalog.register("dml_t", t)
+      try {
+        ext.sql("UPDATE graft.dml_t SET v = v * 2, s = upper(s) WHERE id <= 5")
+        assert(M.commitOp(ext, t) === Some("update"))
+        val r3 = ext.sql("SELECT v, s FROM graft.dml_t WHERE id = 3").collect().head
+        assert(r3.getDouble(0) === 6.0 && r3.getString(1) === "R3")
+        assert(ext.sql("SELECT v FROM graft.dml_t WHERE id = 30")
+          .collect().head.getDouble(0) === 30.0)
+        // unqualified UPDATE (no WHERE) hits every row
+        ext.sql("UPDATE graft.dml_t SET v = 0")
+        assert(ext.sql("SELECT sum(v) AS s FROM graft.dml_t")
+          .collect().head.getDouble(0) === 0.0)
+        ext.sql("DELETE FROM graft.dml_t WHERE id % 2 = 0")
+        assert(M.commitOp(ext, t) === Some("delete"))
+        assert(ext.sql("SELECT count(*) AS n FROM graft.dml_t")
+          .collect().head.getLong(0) === 25L)
+        // time travel still sees every pre-DML image
+        assert(M.read(ext, t, 1).count() === 50)
+        // refusals: time-travel target, bad column, narrowing assignment
+        intercept[Exception](
+          ext.sql("DELETE FROM graft.`dml_t@v1` WHERE id = 1"))
+        intercept[Exception](
+          ext.sql("UPDATE graft.dml_t SET nope = 1"))
+        intercept[Exception](
+          ext.sql("UPDATE graft.dml_t SET id = 'abc'"))
+        // a qualified/struct-field assignment must not silently bind
+        // to the column named by its last part
+        intercept[Exception](
+          ext.sql("UPDATE graft.dml_t SET dml_t.v = 1"))
+      } finally GraftCatalog.unregister("dml_t")
+    } finally {
+      SparkSession.clearActiveSession()
+      prevDefault.foreach(SparkSession.setDefaultSession)
+    }
+  }
 }
