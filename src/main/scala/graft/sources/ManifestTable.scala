@@ -463,7 +463,7 @@ object ManifestTable {
     * writer emit it — in that order, exactly Delta's rollout rule. */
   private[graft] val SupportedFeatures: Set[String] = Set(
     "segments", "externs", "dvs", "tombstones", "transforms",
-    "txn", "blooms", "ingest", "checks")
+    "txn", "blooms", "ingest", "checks", "colmap")
 
   /** Line-anchored on purpose (ADVICE r11): top-level root keys are
     * emitted at exactly 2-space indent, while per-file stats entries
@@ -1611,16 +1611,80 @@ object ManifestTable {
       dvs = deleteVectors(spark, table, v))
   }
 
+  // -----------------------------------------------------------------
+  // COLUMN MAPPING (r12) — the Delta columnMapping idiom, carried the
+  // way Delta carries it: each RECORDED schema field may hold the
+  // column's PHYSICAL (on-disk parquet) name in its metadata under
+  // [[PhysNameKey]]. Logical names are what every API, predicate,
+  // stats key, and constraint speaks; physical names are what the
+  // parquet files store — assigned once, NEVER changed, so a rename
+  // is a pure schema edit and files of every era stay readable.
+  // Riding the schema (not a separate manifest section) buys
+  // version-correctness for free: every read path already passes the
+  // snapshot's own schema to readFiles, time travel and the change
+  // feed read each version under ITS mapping, and clone/restore carry
+  // it with the schema they already carry. A mapping-bearing schema
+  // stamps the `colmap` protocol feature (tryPublish derives it), so
+  // a mapping-ignorant reader era REFUSES instead of silently reading
+  // nulls for every renamed column — the r11 gate's first real client.
+  // -----------------------------------------------------------------
+
+  private[graft] val PhysNameKey = "graftPhys"
+
+  private def physName(f: StructField): String =
+    if (f.metadata.contains(PhysNameKey)) f.metadata.getString(PhysNameKey)
+    else f.name
+
+  /** logical → physical for fields where the two differ. */
+  private def physMap(schema: Option[StructType]): Map[String, String] =
+    schema.map(_.fields.collect {
+      case f if physName(f) != f.name => f.name -> physName(f)
+    }.toMap).getOrElse(Map.empty)
+
+  /** An OLD version's schema re-spelled to the TO-version logical
+    * names through the stable physical identity — what the change
+    * feed reads historical groups under, so a rename inside the range
+    * cannot desynchronize group columns from the to-version
+    * projection (types stay the group's own; union coercion widens a
+    * mid-range type evolution). */
+  private def respellTo(s: StructType, toFields: Seq[StructField]): StructType = {
+    val byPhys = toFields.map(f => physName(f) -> f.name).toMap
+    StructType(s.fields.map(f =>
+      byPhys.get(physName(f)).filter(_ != f.name)
+        .map(n => f.copy(name = n,
+          // the re-spelled field must KEEP pointing at its physical
+          // storage — a bare rename would read the new logical name
+          // off disk (absent there) and null the whole column
+          metadata = new org.apache.spark.sql.types.MetadataBuilder()
+            .withMetadata(f.metadata)
+            .putString(PhysNameKey, physName(f)).build()))
+        .getOrElse(f)))
+  }
+
   private def readFiles(spark: SparkSession, table: String,
                         files: Seq[String], schema: Option[StructType],
                         partitionBy: Seq[String] = Nil): DataFrame = {
     val externs = externRoots(spark, table)
     val paths = files.map(f => dataPath(externs, table, f).toString)
+    // column mapping: scan under the PHYSICAL field names, surface the
+    // logical ones. toDF is a positional rename, so order is the
+    // recorded order both sides; `_metadata` stays resolvable through
+    // the Project (AddMetadataColumns propagates it), which the
+    // partition-derivation and __f/__ri taggers below rely on.
+    def mapped(read: StructType => DataFrame, s: StructType): DataFrame = {
+      val m = physMap(Some(s))
+      if (m.isEmpty) read(s)
+      else read(StructType(s.fields.map(f => f.copy(name = physName(f)))))
+        .toDF(s.fieldNames.toIndexedSeq: _*)
+    }
     // the recorded snapshot schema makes evolved tables readable (files
     // predating an added column yield null for it) without mergeSchema's
-    // per-file footer pass; legacy manifests fall back to inference.
+    // per-file footer pass; legacy manifests fall back to inference
+    // (legacy roots predate mapping, so inference surfaces the right —
+    // identical — names).
     if (partitionBy.isEmpty)
-      schema.fold(spark.read)(s => spark.read.schema(s)).parquet(paths: _*)
+      schema.fold(spark.read.parquet(paths: _*))(s =>
+        mapped(ps => spark.read.schema(ps).parquet(paths: _*), s))
     else {
       // Partitioned snapshots: the partition columns exist ONLY in the
       // file paths (`<col>=<value>/` dirs). Spark's own partition
@@ -1637,8 +1701,12 @@ object ManifestTable {
       import org.apache.spark.sql.functions.{col, element_at, lit, regexp_extract, split, url_decode, when}
       val dataSchema = schema.map(s =>
         StructType(s.fields.filterNot(f => partitionBy.contains(f.name))))
-      val base = dataSchema.fold(spark.read)(s => spark.read.schema(s))
-        .parquet(paths: _*)
+      // partition columns cannot be renamed (refused at the DDL), so
+      // the mapping only ever touches data columns here
+      val base = dataSchema match {
+        case Some(s) => mapped(ps => spark.read.schema(ps).parquet(paths: _*), s)
+        case None => spark.read.parquet(paths: _*)
+      }
       // HIDDEN layout columns (partition transforms) never enter the
       // recorded schema — and never surface on a read; only partition
       // columns the schema knows are derived back from the paths
@@ -2356,7 +2424,8 @@ object ManifestTable {
   private def writeData(spark: SparkSession, table: String, df0: DataFrame,
                         statsColumns: Seq[String] = Nil,
                         partitionBy: Seq[String] = Nil,
-                        transformsOpt: Option[Seq[PartitionTransform]] = None)
+                        transformsOpt: Option[Seq[PartitionTransform]] = None,
+                        physOverride: Option[Map[String, String]] = None)
       : (String, Seq[String], Map[String, Map[String, (Double, Double)]]) = {
     // refuse the reserved name BEFORE writing anything — a refused
     // batch must leave no garbage dir behind
@@ -2397,9 +2466,21 @@ object ManifestTable {
           transformCol(pt, fcol(pt.source), d.schema(pt.source).dataType))
       else d
     }
+    // column mapping: files store PHYSICAL names. The mapping comes
+    // from the schema this batch JOINS (the head's recorded schema) —
+    // except a schema-REPLACING write (commit Overwrite), which
+    // records the batch's own fresh schema and must pass
+    // physOverride = Some(Map.empty). Hidden transform targets and
+    // evolution-added columns are absent from the mapping → identity.
+    val physOf: Map[String, String] = physOverride.getOrElse(
+      try physMap(snapshotSchema(spark, table))
+      catch { case _: IllegalArgumentException => Map.empty })
+    val dfW =
+      if (physOf.isEmpty) df
+      else df.toDF(df.columns.map(c => physOf.getOrElse(c, c)).toIndexedSeq: _*)
     val uuid = java.util.UUID.randomUUID().toString
     val dataDir = new Path(table, s"data/$uuid")
-    val w = df.write.mode(SaveMode.ErrorIfExists)
+    val w = dfW.write.mode(SaveMode.ErrorIfExists)
     (if (partitionBy.nonEmpty) w.partitionBy(partitionBy: _*) else w)
       .parquet(dataDir.toString)
     val f = fs(spark, dataDir)
@@ -2485,19 +2566,22 @@ object ManifestTable {
           // counts need no encoding, so EVERY stats column gets them
           // (IS NULL pruning works on a binary column too).
           import org.apache.spark.sql.functions.{count, lit, sum, when}
+          // the pass re-reads the files just written, which store
+          // PHYSICAL names — reference those, alias/key by LOGICAL
+          def pcol(c: String) = col(physOf.getOrElse(c, c))
           val encoded = cols.flatMap(c =>
-            statEncoder(df.schema(c).dataType, col(c)).map(c -> _))
+            statEncoder(df.schema(c).dataType, pcol(c)).map(c -> _))
           val cols2 = encoded.map(_._1)
           import org.apache.spark.sql.functions.{array_distinct, collect_list, flatten, when => fwhen}
           val aggs = encoded.flatMap { case (c, e) => Seq(
             min(e).as(s"__mn_$c"),
             max(e).as(s"__mx_$c")) } ++
             cols.flatMap(c => Seq(
-              sum(when(col(c).isNull, lit(1L)).otherwise(lit(0L))).as(s"__nc_$c"),
-              count(col(c)).as(s"__nn_$c"))) ++
+              sum(when(pcol(c).isNull, lit(1L)).otherwise(lit(0L))).as(s"__nc_$c"),
+              count(pcol(c)).as(s"__nn_$c"))) ++
             bloomCols.map(c => array_distinct(flatten(collect_list(
-              fwhen(col(c).isNotNull,
-                bloomPosCol(col(c), bloomCfg.get.bits, bloomCfg.get.k)))))
+              fwhen(pcol(c).isNotNull,
+                bloomPosCol(pcol(c), bloomCfg.get.bits, bloomCfg.get.k)))))
               .as(s"__bl_$c")) :+
             count(lit(1)).as("__rc") // per-file row count, free here
           val rows = spark.read.parquet(dataDir.toString)
@@ -2840,7 +2924,12 @@ object ManifestTable {
       txnLine.nonEmpty -> "txn",
       bloomLine.nonEmpty -> "blooms",
       ingLine.nonEmpty -> "ingest",
-      consLine.nonEmpty -> "checks"
+      consLine.nonEmpty -> "checks",
+      // a mapping-bearing schema is unreadable to a mapping-ignorant
+      // era (it would surface nulls for every renamed column) — the
+      // derived-per-root rule applies here too: a later overwrite
+      // recording a mapping-free schema drops the gate with it
+      schema.exists(_.fields.exists(_.metadata.contains(PhysNameKey))) -> "colmap"
     ).collect { case (true, f) => f }
     // 2-space indent is LOAD-BEARING: featuresFromText line-anchors on
     // it to distinguish this top-level key from per-file stats entries
@@ -2998,6 +3087,15 @@ object ManifestTable {
                 s"append on $table would retype column ${f.name}: " +
                   s"table has $t, batch has ${f.dataType} — evolution may " +
                   "only add columns, never change them")))
+            // column mapping: an evolution-added name must not collide
+            // with an existing column's PHYSICAL storage name (a
+            // renamed column's old spelling) — two logical columns
+            // would read the same bytes
+            val phys = have.fields.map(physName).toSet
+            df.schema.filterNot(f => haveTypes.contains(f.name)).foreach(f =>
+              require(!phys.contains(f.name),
+                s"evolved column '${f.name}' is the physical storage of an " +
+                  "existing (renamed) column — use addColumn(freshStorage = true)"))
             StructType(have.fields ++
               df.schema.filterNot(f => haveTypes.contains(f.name)))
           } else {
@@ -3028,8 +3126,20 @@ object ManifestTable {
     var validatedCons =
       checkConstraints(spark, table, currentVersion(spark, table))
     requireSatisfied(df, validatedCons, s"a batch committed to $table")
+    // column mapping resolved HERE (not inside writeData) so the
+    // publish loop below can detect a concurrent rename: the batch's
+    // files are laid out under THESE physical names, and a mapping
+    // that changes before the publish wins would desynchronize them
+    val physUsed: Map[String, String] =
+      if (mode == SaveMode.Overwrite) Map.empty
+      else try physMap(snapshotSchema(spark, table))
+      catch { case _: IllegalArgumentException => Map.empty }
     val (uuid, newFiles, newStats) =
-      writeData(spark, table, df, cols, partBy, Some(transforms))
+      writeData(spark, table, df, cols, partBy, Some(transforms),
+        // Overwrite records the batch's OWN fresh schema (no mapping):
+        // its files must store the batch's names verbatim, not the
+        // replaced schema's physical ones
+        physOverride = Some(physUsed))
     var committed = -1
     var attempt = 0
     while (committed < 0) {
@@ -3050,11 +3160,19 @@ object ManifestTable {
       // spec between attempts, and a lost-race recompose must not
       // publish a mixed flat/partitioned snapshot — the batch's data
       // files were already laid out for the OLD spec
-      if (mode == SaveMode.Append && head > 0)
+      if (mode == SaveMode.Append && head > 0) {
         require(partitionColumns(spark, table, head) == partBy &&
             partitionTransforms(spark, table, head) == transforms,
           s"append on $table was laid out for partitioning $partBy but a " +
             "concurrent overwrite changed the table's layout — re-run the append")
+        // same discipline for column mapping: this batch's files were
+        // written under physUsed's physical names — a concurrent
+        // rename/overwrite changing the mapping would silently null
+        // the remapped columns out of them
+        require(physMap(snapshotSchema(spark, table, head)) == physUsed,
+          s"append on $table was written under a column mapping a " +
+            "concurrent schema change replaced — re-run the append")
+      }
       val base =
         if (mode == SaveMode.Append) snapshotFiles(spark, table, head) else Nil
       val schema =
@@ -3991,7 +4109,15 @@ object ManifestTable {
       val toFields = snapshotSchema(spark, table, to)
         .map(_.fields.toSeq).getOrElse(Nil)
       val unioned = groups.map { case (v, fs) =>
+        // re-spell the group schema to the TO-version logical names
+        // (column mapping, r12): a column renamed inside the range
+        // keeps its physical identity, so the group reads the same
+        // bytes but surfaces the name the to-version projection and
+        // tombstone predicates speak — without this, the projection
+        // would null-fill the "missing" new name and silently drop
+        // the old one
         val gSchema = snapshotSchema(spark, table, v)
+          .map(respellTo(_, toFields))
         // to-version columns this group's schema lacks: null-filled
         // before the to-version tombstone filters resolve (see
         // readLive's tombAugment note)
@@ -4075,8 +4201,13 @@ object ManifestTable {
     val pre =
       if (removed.isEmpty) emptySide
       else {
+        // since-version schema re-spelled to the to-version logical
+        // names (column mapping): a rename inside the range must not
+        // null the pre-image out of the key/struct comparison
+        val toF = snapshotSchema(spark, table, to).map(_.fields.toSeq)
         val raw = readFiles(spark, table, removed,
-          snapshotSchema(spark, table, sinceVersion),
+          snapshotSchema(spark, table, sinceVersion)
+            .map(s => toF.fold(s)(respellTo(s, _))),
           partitionColumns(spark, table, sinceVersion))
         val have = raw.columns.toSet
         raw.select(cols.map(c =>
@@ -4213,9 +4344,14 @@ object ManifestTable {
     * needing a batch. Name-based mapping caveat (the pre-column-mapping
     * Delta behavior): re-adding a name that an old file PHYSICALLY
     * contains surfaces that file's old values — use fresh names for
-    * new semantics. */
+    * new semantics, or pass `freshStorage = true` (r12): the new
+    * column then maps to a uuid-suffixed PHYSICAL name no old file
+    * can contain, so every pre-add row reads null regardless of what
+    * the files once stored — the column-mapping fix for the caveat
+    * (stamps the `colmap` feature like [[renameColumn]]). */
   def addColumn(spark: SparkSession, table: String, name: String,
-                dataType: DataType, maxAttempts: Int = 5): Int = {
+                dataType: DataType, maxAttempts: Int = 5,
+                freshStorage: Boolean = false): Int = {
     require(name != SizeKey, s"column name '$name' is reserved")
     var attempt = 0
     while (attempt < maxAttempts) {
@@ -4233,9 +4369,20 @@ object ManifestTable {
       // corrupting partition pruning
       require(!partitionTransforms(spark, table, head).exists(_.target == name),
         s"column '$name' collides with a hidden partition-transform target")
-      val widened = recordedSchema(
-        StructType(sch.fields :+ StructField(name, dataType, nullable = true)),
-        partBy)
+      val added =
+        if (!freshStorage) StructField(name, dataType, nullable = true)
+        else StructField(name, dataType, nullable = true,
+          metadata = new org.apache.spark.sql.types.MetadataBuilder()
+            .putString(PhysNameKey,
+              s"${name}_${java.util.UUID.randomUUID().toString.take(8)}")
+            .build())
+      // physical namespace must stay injective: adding logical 'a'
+      // when a RENAMED column still stores under physical 'a' would
+      // make two logical columns read the same bytes
+      require(!sch.fields.exists(f => physName(f) == physName(added)),
+        s"column name '$name' is the physical storage of an existing " +
+          "(renamed) column — pass freshStorage = true")
+      val widened = recordedSchema(StructType(sch.fields :+ added), partBy)
       beforeConditionalCommit()
       if (currentVersion(spark, table) == head &&
           tryPublish(spark, table, head, files, s"addcol-${b64t(name)}",
@@ -4329,6 +4476,94 @@ object ManifestTable {
     }
     throw new java.util.ConcurrentModificationException(
       s"widenColumn on $table lost $maxAttempts commit races")
+  }
+
+  /** Metadata-only RENAME COLUMN through column mapping (the Delta
+    * columnMapping idiom, r12): the recorded schema's field takes the
+    * new LOGICAL name and remembers the column's PHYSICAL (on-disk)
+    * name in its metadata — assigned once, never changed — so files of
+    * every era keep reading correctly and zero data moves. Stats keys
+    * re-spell to the new logical name in the same commit (on a
+    * segmented table that fails the carry rule and rewrites the
+    * segments — an O(table METADATA) cost, still zero data; documented
+    * in SCALE.md). The published root stamps the `colmap` protocol
+    * feature, so a mapping-ignorant engine era refuses the snapshot
+    * instead of silently reading nulls for the renamed column — the
+    * r11 feature gate's first real client.
+    *
+    * Refused, loudly: partition columns and transform sources/targets
+    * (the path grammar and layout record spell their names),
+    * bloom-indexed columns (sidecar keys — dropBloom, rename, re-add),
+    * and columns referenced by a CHECK constraint or pending tombstone
+    * (their recorded SQL would dangle — drop/materialize first). */
+  def renameColumn(spark: SparkSession, table: String, from: String,
+                   to: String, maxAttempts: Int = 5): Int = {
+    require(to.nonEmpty && !to.startsWith(ReservedStatsPrefix) &&
+      to != "__f" && to != "__ri",
+      s"column name '$to' is reserved")
+    require(!to.exists(ch => ch == '"' || ch == '\\' || ch == '\n' || ch == '\r'),
+      s"column name '$to' contains characters the manifest grammar cannot carry")
+    var attempt = 0
+    while (attempt < maxAttempts) {
+      attempt += 1
+      val head = currentVersion(spark, table)
+      require(head >= 1, s"no committed snapshot in $table")
+      val (files, schema, stats, partBy) = snapshotAll(spark, table, head)
+      val sch = schema.getOrElse(recordedSchema(
+        readFiles(spark, table, files.take(1), None, partBy).schema, partBy))
+      val field = sch.fields.find(_.name == from).getOrElse(
+        throw new IllegalArgumentException(s"no column '$from' on $table"))
+      require(!sch.fieldNames.contains(to),
+        s"column '$to' already exists on $table")
+      require(!partBy.contains(from),
+        s"cannot rename partition column '$from' — partition dirs spell its name")
+      partitionTransforms(spark, table, head).foreach { pt =>
+        require(pt.source != from && pt.target != from,
+          s"cannot rename '$from': the ${pt.kind} layout transform names it")
+        require(pt.target != to,
+          s"column '$to' collides with a hidden partition-transform target")
+      }
+      bloomConfig(spark, table, head).foreach(bc =>
+        require(!bc.cols.contains(from),
+          s"cannot rename bloom-indexed column '$from' — " +
+            "dropBloom, rename, then re-add the index"))
+      // recorded SQL (constraints, pending tombstones) would dangle
+      val renamed = StructType(sch.fields.map(f =>
+        if (f.name == from)
+          f.copy(name = to, metadata = new org.apache.spark.sql.types.MetadataBuilder()
+            .withMetadata(f.metadata).putString(PhysNameKey, physName(f)).build())
+        else f))
+      def stillAnalyzes(sql: String): Boolean =
+        try {
+          spark.createDataFrame(
+              new java.util.ArrayList[org.apache.spark.sql.Row](), renamed)
+            .filter(org.apache.spark.sql.functions.expr(sql))
+            .queryExecution.analyzed
+          true
+        } catch { case _: Exception => false }
+      checkConstraints(spark, table, head).foreach { case (n, sql) =>
+        require(stillAnalyzes(sql),
+          s"CHECK constraint '$n' references '$from' — drop it first") }
+      deleteTombstones(spark, table, head).foreach { case (sql, _) =>
+        require(stillAnalyzes(sql),
+          s"a pending lazy delete references '$from' — materialize first") }
+      // stats keys are LOGICAL — re-spell them with the rename
+      def rekey(k: String): String =
+        if (k == from) to
+        else if (k == NullsKeyPrefix + from) NullsKeyPrefix + to
+        else if (k == NonNullsKeyPrefix + from) NonNullsKeyPrefix + to
+        else k
+      val respelled = stats.map { case (f, m) =>
+        f -> m.map { case (k, v) => rekey(k) -> v } }
+      beforeConditionalCommit()
+      if (currentVersion(spark, table) == head &&
+          tryPublish(spark, table, head, files, s"renamecol-${b64t(to)}",
+            Some(recordedSchema(renamed, partBy)), respelled, partBy,
+            op = "rename-column"))
+        return head + 1
+    }
+    throw new java.util.ConcurrentModificationException(
+      s"renameColumn on $table lost $maxAttempts commit races")
   }
 
   /** Metadata-only DROP COLUMN: record the narrowed schema; the

@@ -1,0 +1,205 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.{DataFrame, SaveMode}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.LongType
+import graft.sources.ManifestTable
+
+/** COLUMN MAPPING (sources/ManifestTable.scala renameColumn /
+  * PhysNameKey) — the Delta columnMapping idiom: the recorded schema
+  * carries each column's stable PHYSICAL (on-disk) name in field
+  * metadata, so RENAME is a pure schema edit (zero data moves, files
+  * of every era keep reading), re-adding a dropped name can take
+  * fresh storage (the name-based resurrection caveat, fixed), and a
+  * mapping-bearing root stamps the `colmap` protocol feature — the
+  * r11 gate's first real client. */
+class ColumnMappingSpec extends AnyFunSuite with SparkFixture {
+
+  private def fresh(): String =
+    java.nio.file.Files.createTempDirectory("graft_colmap").toString + "/t"
+
+  private def df3(n: Int): DataFrame = {
+    import spark.implicits._
+    (1 to n).map(i => (i.toLong, i * 2.0, s"r$i")).toDF("id", "score", "s")
+  }
+
+  test("rename is metadata-only: every era reads, appends speak the new name") {
+    import spark.implicits._
+    val t = fresh()
+    ManifestTable.commit(spark, t, df3(50), statsColumns = Seq("score"))
+    val filesBefore = ManifestTable.snapshotFiles(spark, t)
+    assert(ManifestTable.renameColumn(spark, t, "score", "quality") === 2)
+    assert(ManifestTable.commitOp(spark, t) === Some("rename-column"))
+    assert(ManifestTable.snapshotFiles(spark, t) === filesBefore,
+      "rename must move zero data")
+    assert(ManifestTable.tableFeatures(spark, t).contains("colmap"),
+      "a mapping-bearing root must stamp the colmap feature")
+    val got = ManifestTable.read(spark, t)
+    assert(got.columns.toSeq === Seq("id", "quality", "s"))
+    assert(got.filter($"id" === 7L).head.getDouble(1) === 14.0,
+      "old files read their bytes under the new logical name")
+    // appends speak the NEW name; the OLD one no longer resolves
+    ManifestTable.commit(spark, t,
+      Seq((51L, 999.0, "x")).toDF("id", "quality", "s"))
+    assert(ManifestTable.read(spark, t).count() === 51)
+    intercept[IllegalArgumentException] {
+      ManifestTable.commit(spark, t, Seq((52L, 1.0, "y")).toDF("id", "score", "s"))
+    }
+    // time travel reads v1 under ITS schema — the old name
+    assert(ManifestTable.read(spark, t, 1).columns.toSeq ===
+      Seq("id", "score", "s"))
+    assert(ManifestTable.read(spark, t, 1)
+      .filter($"id" === 7L).head.getDouble(1) === 14.0)
+    // rename chains and rename-back both work — physical stays put
+    ManifestTable.renameColumn(spark, t, "quality", "rank")
+    ManifestTable.renameColumn(spark, t, "rank", "score")
+    val back = ManifestTable.read(spark, t)
+    assert(back.columns.toSeq === Seq("id", "score", "s"))
+    assert(back.filter($"id" === 51L).head.getDouble(1) === 999.0)
+  }
+
+  test("stats keys re-spell with the rename: pruning fires on the new name") {
+    import spark.implicits._
+    val t = fresh()
+    ManifestTable.commit(spark, t,
+      (1 to 100).map(i => (i.toLong, i.toDouble)).toDF("id", "v")
+        .repartitionByRange(5, col("id")),
+      statsColumns = Seq("id"))
+    ManifestTable.renameColumn(spark, t, "id", "key")
+    val total = ManifestTable.snapshotFiles(spark, t).size
+    val hit = ManifestTable.readWhere(spark, t, col("key") === 7L)
+    assert(hit.count() === 1)
+    assert(hit.inputFiles.length < total,
+      "re-keyed stats must keep pruning on the renamed column")
+    // null-count keys re-spell too: IS NULL pruning stays sound
+    assert(ManifestTable.readWhere(spark, t, col("key").isNull).count() === 0)
+  }
+
+  test("rewrites after a rename: delete, update, compact keep the mapping") {
+    import spark.implicits._
+    val t = fresh()
+    ManifestTable.commit(spark, t, df3(60), statsColumns = Seq("score"))
+    ManifestTable.renameColumn(spark, t, "score", "quality")
+    ManifestTable.deleteWhere(spark, t, col("quality") > 100.0) // ids 51+
+    // deletion vectors exercise the (file, row-position) tagging path
+    // on a MAPPED read — `_metadata` must survive the rename Project
+    ManifestTable.deleteWhereVector(spark, t, col("id") === 50L)
+    ManifestTable.materializeDeletes(spark, t)
+    ManifestTable.updateWhere(spark, t,
+      Seq("quality" -> (col("quality") + 0.5)), col("id") === 1L)
+    ManifestTable.compact(spark, t, targetFiles = 1)
+    val got = ManifestTable.read(spark, t)
+    assert(got.columns.toSeq === Seq("id", "quality", "s"))
+    assert(got.count() === 49)
+    assert(got.filter($"id" === 1L).head.getDouble(1) === 2.5)
+    assert(got.filter($"id" === 10L).head.getDouble(1) === 20.0)
+    assert(ManifestTable.tableFeatures(spark, t).contains("colmap"),
+      "rewrites carry the mapping (and its gate) forward")
+    // an overwrite records a FRESH schema: mapping gone, gate dropped
+    ManifestTable.commit(spark, t, df3(5), SaveMode.Overwrite)
+    assert(!ManifestTable.tableFeatures(spark, t).contains("colmap"),
+      "a mapping-free schema must drop the colmap gate (derived, not inherited)")
+    assert(ManifestTable.read(spark, t).columns.toSeq === Seq("id", "score", "s"))
+  }
+
+  test("refusals: partition / transform / bloom / constraint-referenced / collisions") {
+    import spark.implicits._
+    val t = fresh()
+    ManifestTable.commit(spark, t,
+      (1 to 40).map(i => (i.toLong, i % 4, i.toDouble)).toDF("id", "g", "v"),
+      partitionBy = Seq("g"), statsColumns = Seq("id"))
+    intercept[IllegalArgumentException](
+      ManifestTable.renameColumn(spark, t, "g", "grp"))
+    ManifestTable.addConstraint(spark, t, "v_pos", "v > 0")
+    intercept[IllegalArgumentException](
+      ManifestTable.renameColumn(spark, t, "v", "val"))
+    ManifestTable.dropConstraint(spark, t, "v_pos")
+    ManifestTable.renameColumn(spark, t, "v", "val") // now fine
+    intercept[IllegalArgumentException]( // existing name
+      ManifestTable.renameColumn(spark, t, "id", "val"))
+    intercept[IllegalArgumentException]( // reserved
+      ManifestTable.renameColumn(spark, t, "id", "__f"))
+
+    val t2 = fresh()
+    ManifestTable.commit(spark, t2,
+      (1 to 40).map(i => (i.toLong, s"u$i")).toDF("id", "name"),
+      partitionBy = Seq("bucket(4,id)"))
+    intercept[IllegalArgumentException](
+      ManifestTable.renameColumn(spark, t2, "id", "key"))
+    ManifestTable.addBloom(spark, t2, Seq("name"))
+    intercept[IllegalArgumentException](
+      ManifestTable.renameColumn(spark, t2, "name", "uname"))
+
+    // physical-collision guards: after rename a→b, logical 'a' still
+    // NAMES b's storage — re-adding it plainly would alias the bytes
+    val t3 = fresh()
+    ManifestTable.commit(spark, t3, Seq((1L, 5.0)).toDF("id", "a"))
+    ManifestTable.renameColumn(spark, t3, "a", "b")
+    intercept[IllegalArgumentException](
+      ManifestTable.addColumn(spark, t3, "a", LongType))
+    intercept[IllegalArgumentException]( // evolution path, same hazard
+      ManifestTable.commit(spark, t3,
+        Seq((2L, 1.0, 9L)).toDF("id", "b", "a"), mergeSchema = true))
+    // freshStorage dodges the collision: new storage, null history
+    ManifestTable.addColumn(spark, t3, "a", LongType, freshStorage = true)
+    val r = ManifestTable.read(spark, t3).head
+    assert(r.getDouble(1) === 5.0 && r.isNullAt(2),
+      "the fresh-storage re-add must NOT resurrect b's bytes")
+  }
+
+  test("freshStorage re-add: the name-based resurrection caveat, fixed") {
+    import spark.implicits._
+    val t = fresh()
+    ManifestTable.commit(spark, t, Seq((1L, "a", 99L)).toDF("id", "v", "score"))
+    ManifestTable.dropColumn(spark, t, "score")
+    ManifestTable.addColumn(spark, t, "score", LongType, freshStorage = true)
+    // the old file physically holds score=99 — fresh storage must NOT
+    // surface it (contrast ColumnEvolutionSpec's documented caveat for
+    // the plain re-add)
+    assert(ManifestTable.read(spark, t).select("score").head.isNullAt(0))
+    assert(ManifestTable.tableFeatures(spark, t).contains("colmap"))
+    // and new appends write/read the fresh storage fine
+    ManifestTable.commit(spark, t, Seq((2L, "b", 7L)).toDF("id", "v", "score"))
+    assert(ManifestTable.read(spark, t).orderBy("id").collect()
+      .map(r => if (r.isNullAt(2)) -1L else r.getLong(2)).toSeq === Seq(-1L, 7L))
+  }
+
+  test("the change feed spans a rename: old groups re-spell to the new name") {
+    import spark.implicits._
+    val t = fresh()
+    ManifestTable.commit(spark, t, df3(10)) // v1, files under 'score'
+    ManifestTable.renameColumn(spark, t, "score", "quality") // v2
+    ManifestTable.commit(spark, t,
+      Seq((11L, 111.0, "n")).toDF("id", "quality", "s")) // v3
+    val ch = ManifestTable.changes(spark, t, 0)
+    assert(ch.columns.toSeq === Seq("id", "quality", "s"))
+    val m = ch.collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(m(3L) === 6.0, "v1-era rows must carry their REAL values " +
+      "under the new name, not nulls")
+    assert(m(11L) === 111.0)
+    // rowChanges across the rename: the pre-image keeps its values
+    ManifestTable.updateWhere(spark, t,
+      Seq("quality" -> lit(0.0)), col("id") === 2L) // v4 rewrite
+    val rc = ManifestTable.rowChanges(spark, t, 1, keys = Seq("id"))
+      .filter(col("id") === 2L).orderBy("_change_type").collect()
+    assert(rc.exists(r => r.getAs[String]("_change_type") == "update_post" &&
+      r.getAs[Double]("quality") == 0.0))
+  }
+
+  test("clone and restore carry the mapping with the schema") {
+    import spark.implicits._
+    val t = fresh(); val dst = fresh()
+    ManifestTable.commit(spark, t, df3(20), statsColumns = Seq("score"))
+    ManifestTable.renameColumn(spark, t, "score", "quality")
+    ManifestTable.cloneShallow(spark, t, dst)
+    val c = ManifestTable.read(spark, dst)
+    assert(c.columns.toSeq === Seq("id", "quality", "s"))
+    assert(c.filter($"id" === 4L).head.getDouble(1) === 8.0)
+    assert(ManifestTable.tableFeatures(spark, dst).contains("colmap"))
+    // restore to the pre-rename image brings the old schema (and no gate)
+    ManifestTable.restore(spark, t, 1)
+    assert(ManifestTable.read(spark, t).columns.toSeq === Seq("id", "score", "s"))
+    assert(!ManifestTable.tableFeatures(spark, t).contains("colmap"))
+  }
+}
