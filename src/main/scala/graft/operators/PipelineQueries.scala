@@ -284,6 +284,69 @@ object PipelineQueries {
              |ORDER BY o_orderpriority NULLS FIRST""".stripMargin)
     ),
 
+    // SQL MERGE INTO (r12): the lakehouse statement, end to end — the
+    // analyzer rule rewrites MERGE INTO graft.<name> into the engine's
+    // merge (key-envelope file pruning, matched-files-only rewrite,
+    // one atomic version), with SET-*/DELETE/INSERT-* clauses and the
+    // ON equalities mapped onto the by-name key join. One statement
+    // updates every 7th order's price (doubling — exact in binary fp)
+    // and inserts a shifted copy of every 11th: the oracle rebuilds
+    // the same image with CASE + UNION ALL, and the hash proves the
+    // matched/not-matched routing lost and duplicated nothing.
+    Entry(
+      "q_sql_merge",
+      (s, d) => {
+        val t = scratchDir("qmrg", d)
+        def rmRf(f: java.io.File): Unit = {
+          Option(f.listFiles()).getOrElse(Array.empty).foreach(rmRf)
+          f.delete(); ()
+        }
+        rmRf(new java.io.File(t)) // MERGE re-runs would re-update
+        val M = graft.sources.ManifestTable
+        import org.apache.spark.sql.SaveMode
+        M.commit(s, t, Tables.orders(s, d)
+            .select(col("o_orderkey"), col("o_totalprice"),
+              col("o_orderpriority"))
+            .repartitionByRange(6, col("o_orderkey")),
+          SaveMode.Overwrite, statsColumns = Seq("o_orderkey"))
+        graft.sources.GraftCatalog.register("q_mrg_orders", t)
+        try {
+          Tables.orders(s, d).createOrReplaceTempView("v_mrg_src")
+          s.sql("""SELECT o_orderkey, o_totalprice * 2 AS o_totalprice,
+                  |  o_orderpriority
+                  |FROM v_mrg_src WHERE o_orderkey % 7 = 0
+                  |UNION ALL
+                  |SELECT o_orderkey + 10000000000 AS o_orderkey,
+                  |  o_totalprice, o_orderpriority
+                  |FROM v_mrg_src WHERE o_orderkey % 11 = 0""".stripMargin)
+            .createOrReplaceTempView("v_mrg_chg")
+          s.sql("""MERGE INTO graft.q_mrg_orders AS t USING v_mrg_chg AS c
+                  |ON t.o_orderkey = c.o_orderkey
+                  |WHEN MATCHED THEN UPDATE SET *
+                  |WHEN NOT MATCHED THEN INSERT *""".stripMargin)
+          require(M.commitOp(s, t).contains("merge"),
+            "the statement must land as ONE merge commit")
+          s.sql(s"""SELECT o_orderpriority, count(*) AS cnt,
+                   |  ${dsumSql("o_totalprice")} AS sum_price
+                   |FROM graft.q_mrg_orders
+                   |GROUP BY o_orderpriority
+                   |ORDER BY o_orderpriority""".stripMargin)
+        } finally graft.sources.GraftCatalog.unregister("q_mrg_orders")
+      },
+      Some(s"""SELECT o_orderpriority, count(*) AS cnt,
+             |  ${dsumSql("p")} AS sum_price
+             |FROM (
+             |  SELECT CASE WHEN o_orderkey % 7 = 0 THEN o_totalprice * 2
+             |    ELSE o_totalprice END AS p, o_orderpriority
+             |  FROM orders
+             |  UNION ALL
+             |  SELECT o_totalprice AS p, o_orderpriority
+             |  FROM orders WHERE o_orderkey % 11 = 0
+             |)
+             |GROUP BY o_orderpriority
+             |ORDER BY o_orderpriority NULLS FIRST""".stripMargin)
+    ),
+
     // Q2: correlated LATERAL subquery through the SQL surface — the
     // per-row dependent-subquery shape (top-2 orders per customer).
     // Catalyst DECORRELATES it (DecorrelateInnerQuery + window

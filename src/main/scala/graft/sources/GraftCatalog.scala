@@ -1,11 +1,13 @@
 package graft.sources
 
 import org.apache.spark.sql.{Column, Row, SaveMode, SparkSession}
-import org.apache.spark.sql.catalyst.analysis.{UnresolvedAttribute, UnresolvedRelation}
-import org.apache.spark.sql.catalyst.plans.logical.{DeleteFromTable, InsertIntoStatement, LogicalPlan, UpdateTable}
+import org.apache.spark.sql.catalyst.analysis.{UnresolvedAttribute, UnresolvedRelation, UnresolvedTable}
+import org.apache.spark.sql.catalyst.expressions.{And, EqualTo, Expression}
+import org.apache.spark.sql.catalyst.plans.logical.{AddColumns, AlterColumns, DeleteAction, DeleteFromTable, DropColumns, InsertIntoStatement, InsertStarAction, LogicalPlan, MergeIntoTable, RenameColumn, SubqueryAlias, UpdateStarAction, UpdateTable}
 import org.apache.spark.sql.catalyst.rules.Rule
 import org.apache.spark.sql.execution.command.LeafRunnableCommand
 import org.apache.spark.sql.graftbridge.{ColumnBridge, PlanBridge}
+import org.apache.spark.sql.types.DataType
 
 /** Name resolution for manifest tables — the catalog face the TVFs
   * are sugar over. `register("orders", "/lake/orders")` makes
@@ -73,11 +75,32 @@ object GraftCatalog {
   }
 
   private def specOf(u: UnresolvedRelation): Option[(String, Int)] =
-    u.multipartIdentifier match {
+    partsSpec(u.multipartIdentifier)
+
+  private def partsSpec(parts: Seq[String]): Option[(String, Int)] =
+    parts match {
       case Seq(ns, ident) if norm(ns) == "graft" => resolveSpec(ident)
       case Seq(ident) => resolveSpec(ident)
       case _ => None
     }
+
+  /** An ALTER target: registered name → table path, with time-travel
+    * suffixes refused (DDL mutates the HEAD only). */
+  private def alterSpec(u: UnresolvedTable, what: String): Option[String] =
+    partsSpec(u.multipartIdentifier).map { case (path, v) =>
+      require(v < 0,
+        s"cannot $what time-travel version v$v of " +
+          s"${u.multipartIdentifier.mkString(".")} — snapshots are immutable")
+      path
+    }
+
+  private def singleField(name: Seq[String], ident: String,
+                          what: String): String = {
+    require(name.length == 1,
+      s"$what on $ident supports top-level columns only, " +
+        s"not '${name.mkString(".")}'")
+    name.head
+  }
 
   /** The analyzer rule (injected by GraftExtensions): rewrites
     * still-unresolved `graft.<name>` (and bare `<name>`, when
@@ -135,6 +158,156 @@ object GraftCatalog {
               UpdateCommand(u.multipartIdentifier.mkString("."), path,
                 pairs, condition.map(ColumnBridge.column))
             case None => up
+          }
+        case m @ MergeIntoTable(tgtPlan, srcPlan, onCond,
+            matchedActs, notMatchedActs, notMatchedBySrc, withEvolution) =>
+          // unwrap `MERGE INTO graft.<name> [AS t]`
+          val (tgtAlias, tgtRel) = tgtPlan match {
+            case SubqueryAlias(id, u: UnresolvedRelation) => (Some(id.name), Some(u))
+            case u: UnresolvedRelation => (None, Some(u))
+            case _ => (None, None)
+          }
+          tgtRel.flatMap(specOf) match {
+            case Some((path, v)) =>
+              val u = tgtRel.get
+              val ident = u.multipartIdentifier.mkString(".")
+              require(v < 0,
+                s"cannot MERGE into time-travel version v$v of $ident — " +
+                  "snapshots are immutable")
+              require(notMatchedBySrc.isEmpty,
+                s"MERGE on $ident: WHEN NOT MATCHED BY SOURCE is unsupported")
+              val srcAlias = srcPlan match {
+                case SubqueryAlias(id, _) => Some(id.name)
+                case _ => None
+              }
+              // qualifier sets for condition rewriting: target columns
+              // surface unqualified in the merge frame, source columns
+              // through the `_src` struct
+              val tgtQ = (tgtAlias.toSeq ++ u.multipartIdentifier.lastOption)
+                .map(norm).toSet
+              val srcQ = srcAlias.map(norm).toSet
+              def rewrite(e: Expression): Expression = e.transformUp {
+                case ua: UnresolvedAttribute if ua.nameParts.length == 2 =>
+                  val q = norm(ua.nameParts.head)
+                  if (srcQ.contains(q))
+                    UnresolvedAttribute(Seq("_src", ua.nameParts(1)))
+                  else if (tgtQ.contains(q))
+                    UnresolvedAttribute(Seq(ua.nameParts(1)))
+                  else ua
+              }
+              // ON: a conjunction of same-named target=source column
+              // equalities — the engine's merge joins BY NAME
+              def conjuncts(e: Expression): Seq[Expression] = e match {
+                case And(l, r) => conjuncts(l) ++ conjuncts(r)
+                case x => Seq(x)
+              }
+              val keys = conjuncts(onCond).map {
+                case EqualTo(l: UnresolvedAttribute, r: UnresolvedAttribute) =>
+                  val (ln, rn) = (l.nameParts.last, r.nameParts.last)
+                  require(norm(ln) == norm(rn),
+                    s"MERGE on $ident: ON must equate SAME-named columns " +
+                      s"(the engine merges by key name), got $l = $r")
+                  ln
+                case other => throw new IllegalArgumentException(
+                  s"MERGE on $ident: ON must be a conjunction of column " +
+                    s"equalities, got ${other.sql}")
+              }
+              // matched actions: at most one UPDATE SET * and one DELETE
+              var upd: Option[Option[Column]] = None // None=absent
+              var del: Option[Column] = None
+              var updIdx = -1; var delIdx = -1
+              matchedActs.zipWithIndex.foreach {
+                case (UpdateStarAction(c), i) =>
+                  require(upd.isEmpty, s"MERGE on $ident: one UPDATE clause only")
+                  upd = Some(c.map(e => ColumnBridge.column(rewrite(e))))
+                  updIdx = i
+                case (DeleteAction(c), i) =>
+                  require(del.isEmpty, s"MERGE on $ident: one DELETE clause only")
+                  del = Some(c.map(e => ColumnBridge.column(rewrite(e)))
+                    .getOrElse(org.apache.spark.sql.functions.lit(true)))
+                  delIdx = i
+                case (other, _) => throw new IllegalArgumentException(
+                  s"MERGE on $ident: only UPDATE SET * and DELETE matched " +
+                    s"clauses are supported, got $other")
+              }
+              // SQL clause precedence is FIRST-MATCH in listed order;
+              // the engine's delete always outranks its update. When
+              // the statement lists UPDATE before DELETE, narrow the
+              // delete by ¬(update fires) so a row both clauses match
+              // is UPDATED, exactly as the statement reads. (DELETE
+              // listed first already agrees with the engine.)
+              if (updIdx >= 0 && delIdx > updIdx && del.isDefined) {
+                import org.apache.spark.sql.functions.{coalesce, lit, not}
+                val updFires = upd.get
+                  .map(c => coalesce(c, lit(false))).getOrElse(lit(true))
+                del = del.map(d => d && not(updFires))
+              }
+              notMatchedActs match {
+                case Seq(InsertStarAction(None)) => ()
+                case _ => throw new IllegalArgumentException(
+                  s"MERGE on $ident needs exactly WHEN NOT MATCHED THEN " +
+                    "INSERT * (the engine's merge always inserts unmatched " +
+                    "source rows — filter the source for anything else)")
+              }
+              val matchedUpdate: Option[Column] = upd match {
+                case Some(c) => c // present: None inside = unconditional
+                case None => // no UPDATE clause: matches stay untouched
+                  Some(org.apache.spark.sql.functions.lit(false))
+              }
+              MergeCommand(ident, path, srcPlan, keys, matchedUpdate, del,
+                withEvolution)
+            case None => m
+          }
+        // ---- ALTER TABLE graft.<name> … — the DDL face over the
+        // metadata-only schema-evolution operators (r12)
+        case rc @ RenameColumn(u: UnresolvedTable, colName, newName) =>
+          val ident = u.multipartIdentifier.mkString(".")
+          alterSpec(u, "ALTER") match {
+            case Some(path) => AlterCommand(ident, path,
+              Rename(singleField(colName.name, ident, "RENAME COLUMN"), newName))
+            case None => rc
+          }
+        case ac @ AddColumns(u: UnresolvedTable, cols) =>
+          val ident = u.multipartIdentifier.mkString(".")
+          alterSpec(u, "ALTER") match {
+            case Some(path) =>
+              val adds = cols.map { c =>
+                require(c.path.isEmpty,
+                  s"ADD COLUMNS on $ident supports top-level columns only")
+                require(c.nullable,
+                  s"ADD COLUMNS on $ident: new columns must be nullable — " +
+                    "every pre-add row reads them as null")
+                require(c.position.isEmpty,
+                  s"ADD COLUMNS on $ident: the recorded schema appends new " +
+                    "columns last — positions are unsupported")
+                c.colName -> c.dataType
+              }
+              AlterCommand(ident, path, Add(adds))
+            case None => ac
+          }
+        case dc @ DropColumns(u: UnresolvedTable, cols, ifExists) =>
+          val ident = u.multipartIdentifier.mkString(".")
+          alterSpec(u, "ALTER") match {
+            case Some(path) => AlterCommand(ident, path,
+              Drop(cols.map(f =>
+                singleField(f.name, ident, "DROP COLUMN")), ifExists))
+            case None => dc
+          }
+        case al @ AlterColumns(u: UnresolvedTable, specs) =>
+          val ident = u.multipartIdentifier.mkString(".")
+          alterSpec(u, "ALTER") match {
+            case Some(path) =>
+              val widens = specs.map { s =>
+                require(s.newDataType.isDefined && s.newNullability.isEmpty &&
+                    s.newComment.isEmpty && s.newPosition.isEmpty &&
+                    s.newDefaultExpression.isEmpty && !s.dropDefault,
+                  s"ALTER COLUMN on $ident supports TYPE changes only " +
+                    "(the metadata-only widening lattice)")
+                singleField(s.column.name, ident, "ALTER COLUMN") ->
+                  s.newDataType.get
+              }
+              AlterCommand(ident, path, Widen(widens))
+            case None => al
           }
       }
       withWrites.resolveOperatorsUp {
@@ -223,7 +396,7 @@ object GraftCatalog {
             val c = aligned.col(f.name)
             srcTypes.get(norm(f.name)) match {
               case Some(t) if t != f.dataType &&
-                  ManifestTable.WideningsTo.get(t).exists(_.contains(f.dataType)) =>
+                  ManifestTable.safeStoreCast(t, f.dataType) =>
                 c.cast(f.dataType).as(f.name)
               case _ => c
             }
@@ -252,6 +425,61 @@ object GraftCatalog {
       condition: Column) extends LeafRunnableCommand {
     override def run(session: SparkSession): Seq[Row] = {
       ManifestTable.deleteWhere(session, path, condition)
+      Nil
+    }
+  }
+
+  /** `MERGE INTO graft.<name> USING … ON … WHEN …` — the engine's
+    * [[ManifestTable.merge]] through SQL: key-envelope file pruning,
+    * only matched files rewritten, exactly-once-able, one atomic
+    * version. The rule pre-validated the shape (same-named key
+    * equalities, UPDATE SET * / DELETE matched clauses, mandatory
+    * INSERT *); clause conditions were rewritten to the merge frame
+    * (target columns bare, source through the `_src` struct) and ride
+    * as Columns for the CheckAnalysis reason on [[DeleteCommand]]. */
+  final case class MergeCommand(ident: String, path: String,
+      source: LogicalPlan, keys: Seq[String],
+      matchedUpdate: Option[Column], matchedDelete: Option[Column],
+      evolve: Boolean) extends LeafRunnableCommand {
+    override def innerChildren: Seq[LogicalPlan] = Seq(source)
+    override def run(session: SparkSession): Seq[Row] = {
+      ManifestTable.merge(session, path, PlanBridge.ofRows(session, source),
+        keys, matchedUpdate, matchedDelete, mergeSchema = evolve)
+      Nil
+    }
+  }
+
+  /** One ALTER TABLE change, pre-validated by the rule. */
+  sealed trait Alter extends Serializable
+  final case class Rename(from: String, to: String) extends Alter
+  final case class Add(cols: Seq[(String, DataType)]) extends Alter
+  final case class Drop(cols: Seq[String], ifExists: Boolean) extends Alter
+  final case class Widen(cols: Seq[(String, DataType)]) extends Alter
+
+  /** `ALTER TABLE graft.<name> RENAME COLUMN / ADD COLUMNS /
+    * DROP COLUMN / ALTER COLUMN … TYPE …` — each maps to the
+    * metadata-only schema-evolution operator it names (renameColumn /
+    * addColumn / dropColumn / widenColumn), one atomic version per
+    * column change, every refusal those operators make surfacing
+    * verbatim (partition/transform/bloom/constraint references,
+    * non-widening type changes, physical-name collisions). */
+  final case class AlterCommand(ident: String, path: String, change: Alter)
+    extends LeafRunnableCommand {
+    override def run(session: SparkSession): Seq[Row] = {
+      change match {
+        case Rename(from, to) =>
+          ManifestTable.renameColumn(session, path, from, to)
+        case Add(cols) =>
+          cols.foreach { case (n, t) => ManifestTable.addColumn(session, path, n, t) }
+        case Drop(cols, ifExists) =>
+          cols.foreach { n =>
+            val have = ManifestTable.snapshotSchema(session, path)
+              .exists(_.fieldNames.contains(n))
+            if (have || !ifExists) ManifestTable.dropColumn(session, path, n)
+          }
+        case Widen(cols) =>
+          cols.foreach { case (n, t) => ManifestTable.widenColumn(session, path, n, t) }
+      }
       Nil
     }
   }

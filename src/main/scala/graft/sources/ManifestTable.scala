@@ -3861,7 +3861,7 @@ object ManifestTable {
         val e = assignOf(c)
         val aType = withFile.select(e.as("__p")).schema.head.dataType
         if (aType == target) e
-        else if (WideningsTo.get(aType).exists(_.contains(target))) e.cast(target)
+        else if (safeStoreCast(aType, target)) e.cast(target)
         else throw new IllegalArgumentException(
           s"UPDATE on $table assigns $aType to column '$c' ($target) — " +
             "only the value-preserving widening lattice casts implicitly; " +
@@ -4405,6 +4405,22 @@ object ManifestTable {
       ShortType -> Set[DataType](IntegerType, LongType, DoubleType),
       IntegerType -> Set[DataType](LongType, DoubleType),
       FloatType -> Set[DataType](DoubleType))
+  }
+
+  /** Store-assignment for the SQL INSERT/UPDATE faces: the widening
+    * lattice plus the exact DECIMAL-literal embeddings (`VALUES (1.0)`
+    * parses as DECIMAL(2,1)) — still value-preserving ONLY: a decimal
+    * fits a double below 16 digits of precision, a scale-0 decimal
+    * fits the integer type that holds its precision; anything lossy
+    * stays refused. */
+  private[sources] def safeStoreCast(from: DataType, to: DataType): Boolean = {
+    import org.apache.spark.sql.types._
+    WideningsTo.get(from).exists(_.contains(to)) || ((from, to) match {
+      case (d: DecimalType, DoubleType) => d.precision <= 15
+      case (d: DecimalType, LongType) => d.scale == 0 && d.precision <= 18
+      case (d: DecimalType, IntegerType) => d.scale == 0 && d.precision <= 9
+      case _ => false
+    })
   }
 
   /** Metadata-only TYPE WIDENING (the Delta type-widening / Iceberg

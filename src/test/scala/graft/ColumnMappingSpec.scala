@@ -59,6 +59,21 @@ class ColumnMappingSpec extends AnyFunSuite with SparkFixture {
     assert(back.filter($"id" === 51L).head.getDouble(1) === 999.0)
   }
 
+  test("filters on the logical name push down to the physical parquet scan") {
+    import spark.implicits._
+    val t = fresh()
+    ManifestTable.commit(spark, t, df3(100))
+    ManifestTable.renameColumn(spark, t, "score", "quality")
+    // the rename is a Project over the scan — Catalyst must push the
+    // logical-name predicate THROUGH it, reaching parquet as a filter
+    // on the physical name (codegen'd scan-level skipping, row-group
+    // stats, the lot — a rename must not cost pushdown)
+    val plan = ManifestTable.read(spark, t)
+      .filter($"quality" > 50.0).queryExecution.executedPlan.toString
+    assert(plan.contains("PushedFilters") && plan.contains("score"),
+      s"expected the quality predicate pushed down as physical 'score', got:\n$plan")
+  }
+
   test("stats keys re-spell with the rename: pruning fires on the new name") {
     import spark.implicits._
     val t = fresh()

@@ -304,4 +304,122 @@ class GraftExtensionsSpec extends AnyFunSuite with SparkFixture {
       prevDefault.foreach(SparkSession.setDefaultSession)
     }
   }
+
+  test("SQL ALTER TABLE: rename / add / drop / widen map to the metadata-only DDL") {
+    spark.range(1).count()
+    val prevDefault = SparkSession.getDefaultSession
+    SparkSession.clearDefaultSession()
+    SparkSession.clearActiveSession()
+    try {
+      val ext = SparkSession.builder()
+        .master("local[4]")
+        .config("spark.ui.enabled", "false")
+        .withExtensions(new GraftExtensions)
+        .getOrCreate()
+      import ext.implicits._
+      import graft.sources.{GraftCatalog, ManifestTable => M}
+      val t = java.nio.file.Files.createTempDirectory("graft_alter").toString + "/t"
+      M.commit(ext, t, (1 to 20).map(i => (i, i * 2.0)).toDF("id", "score"))
+      GraftCatalog.register("alt_t", t)
+      try {
+        ext.sql("ALTER TABLE graft.alt_t RENAME COLUMN score TO quality")
+        assert(M.commitOp(ext, t) === Some("rename-column"))
+        assert(ext.sql("SELECT quality FROM graft.alt_t WHERE id = 3")
+          .collect().head.getDouble(0) === 6.0)
+        ext.sql("ALTER TABLE graft.alt_t ADD COLUMNS (note STRING)")
+        assert(ext.sql("SELECT note FROM graft.alt_t WHERE id = 1")
+          .collect().head.isNullAt(0))
+        ext.sql("ALTER TABLE graft.alt_t ALTER COLUMN id TYPE BIGINT")
+        assert(M.commitOp(ext, t) === Some("widen-column"))
+        ext.sql("INSERT INTO graft.alt_t VALUES (3000000000, 1.0, 'big')")
+        assert(ext.sql("SELECT max(id) AS m FROM graft.alt_t")
+          .collect().head.getLong(0) === 3000000000L)
+        ext.sql("ALTER TABLE graft.alt_t DROP COLUMN note")
+        assert(!M.read(ext, t).columns.contains("note"))
+        // IF EXISTS tolerates a missing column; the bare form refuses
+        ext.sql("ALTER TABLE graft.alt_t DROP COLUMN IF EXISTS nope")
+        intercept[Exception](
+          ext.sql("ALTER TABLE graft.alt_t DROP COLUMN nope"))
+        // refusals surface verbatim from the operators
+        intercept[Exception]( // narrowing
+          ext.sql("ALTER TABLE graft.alt_t ALTER COLUMN id TYPE INT"))
+        intercept[Exception]( // NOT NULL add
+          ext.sql("ALTER TABLE graft.alt_t ADD COLUMNS (x INT NOT NULL)"))
+        intercept[Exception]( // rename to an existing name
+          ext.sql("ALTER TABLE graft.alt_t RENAME COLUMN id TO quality"))
+        intercept[Exception]( // DDL on a time-travel target
+          ext.sql("ALTER TABLE graft.`alt_t@v1` RENAME COLUMN id TO k"))
+      } finally GraftCatalog.unregister("alt_t")
+    } finally {
+      SparkSession.clearActiveSession()
+      prevDefault.foreach(SparkSession.setDefaultSession)
+    }
+  }
+
+  test("SQL MERGE INTO graft.<name>: upsert, conditional update, delete clause") {
+    spark.range(1).count()
+    val prevDefault = SparkSession.getDefaultSession
+    SparkSession.clearDefaultSession()
+    SparkSession.clearActiveSession()
+    try {
+      val ext = SparkSession.builder()
+        .master("local[4]")
+        .config("spark.ui.enabled", "false")
+        .withExtensions(new GraftExtensions)
+        .getOrCreate()
+      import ext.implicits._
+      import graft.sources.{GraftCatalog, ManifestTable => M}
+      val t = java.nio.file.Files.createTempDirectory("graft_mrg").toString + "/t"
+      M.commit(ext, t,
+        (1 to 10).map(i => (i.toLong, i * 1.0, s"r$i")).toDF("id", "v", "s"),
+        statsColumns = Seq("id"))
+      GraftCatalog.register("mrg_t", t)
+      try {
+        // plain upsert: update matches, insert the rest
+        Seq((1L, 100.0, "u1"), (11L, 110.0, "n11"))
+          .toDF("id", "v", "s").createOrReplaceTempView("chg1")
+        ext.sql("""MERGE INTO graft.mrg_t AS t USING chg1 AS c ON t.id = c.id
+                  |WHEN MATCHED THEN UPDATE SET *
+                  |WHEN NOT MATCHED THEN INSERT *""".stripMargin)
+        assert(M.commitOp(ext, t) === Some("merge"))
+        val m1 = M.read(ext, t).collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+        assert(m1.size === 11 && m1(1L) === 100.0 && m1(11L) === 110.0 && m1(2L) === 2.0)
+        // conditional update referencing BOTH sides + a delete clause
+        Seq((2L, 1.0, "low"), (3L, 300.0, "hi"), (4L, 0.0, "kill"))
+          .toDF("id", "v", "s").createOrReplaceTempView("chg2")
+        ext.sql("""MERGE INTO graft.mrg_t AS t USING chg2 AS c ON t.id = c.id
+                  |WHEN MATCHED AND c.s = 'kill' THEN DELETE
+                  |WHEN MATCHED AND c.v > t.v THEN UPDATE SET *
+                  |WHEN NOT MATCHED THEN INSERT *""".stripMargin)
+        val m2 = M.read(ext, t).collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+        assert(!m2.contains(4L), "the delete clause must remove id=4")
+        assert(m2(3L) === 300.0, "c.v > t.v must take the update")
+        assert(m2(2L) === 2.0, "c.v < t.v must keep the target row")
+        assert(m2.size === 10)
+        // SQL first-match precedence: UPDATE listed BEFORE DELETE must
+        // update a row both clauses match (the engine's delete-wins
+        // default is narrowed by the rule)
+        Seq((5L, 500.0, "kill")).toDF("id", "v", "s")
+          .createOrReplaceTempView("chg3")
+        ext.sql("""MERGE INTO graft.mrg_t t USING chg3 c ON t.id = c.id
+                  |WHEN MATCHED AND c.v > t.v THEN UPDATE SET *
+                  |WHEN MATCHED AND c.s = 'kill' THEN DELETE
+                  |WHEN NOT MATCHED THEN INSERT *""".stripMargin)
+        val m3 = M.read(ext, t).collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+        assert(m3(5L) === 500.0,
+          "first-match order: the earlier UPDATE clause must win over DELETE")
+        // refusals: matched-only merge, expression keys, not-matched-by-source
+        intercept[Exception](ext.sql(
+          """MERGE INTO graft.mrg_t t USING chg2 c ON t.id = c.id
+            |WHEN MATCHED THEN UPDATE SET *""".stripMargin))
+        intercept[Exception](ext.sql(
+          """MERGE INTO graft.mrg_t t USING chg2 c ON t.id = c.id + 1
+            |WHEN MATCHED THEN UPDATE SET *
+            |WHEN NOT MATCHED THEN INSERT *""".stripMargin))
+      } finally GraftCatalog.unregister("mrg_t")
+    } finally {
+      SparkSession.clearActiveSession()
+      prevDefault.foreach(SparkSession.setDefaultSession)
+    }
+  }
 }
