@@ -501,6 +501,24 @@ object Stress {
       require(cloneRead > 0, "clone must read through the extern ledger")
       println(f"[stress] manifest_100k clone_s=$cloneSec%.2f " +
         f"metadata_count_ms=$countMs%.0f clone_pruned_rows=$cloneRead")
+      // r12: COLUMN MAPPING at scale — rename the stats column on the
+      // 100k-file segmented table. Zero data moves (require); the cost
+      // is the documented one-time stats re-key (every segment
+      // rewritten, O(table METADATA)); pruning keeps firing on the new
+      // spelling against the SAME kept-set as before
+      t0 = System.nanoTime()
+      ManifestTable.renameColumn(spark, t, "k", "key")
+      val renameSec = (System.nanoTime() - t0) / 1e9
+      require(ManifestTable.snapshotFiles(spark, t).size == nAll,
+        "a rename must reference the same files")
+      t0 = System.nanoTime()
+      val keptRenamed = ManifestTable.pruneFiles(spark, t,
+        Seq(("key", 10.0, 100.0)))._1.size
+      val prune2Ms = (System.nanoTime() - t0) / 1e6
+      require(keptRenamed == kept,
+        s"pruning under the new name kept $keptRenamed != $kept")
+      println(f"[stress] manifest_100k rename_s=$renameSec%.2f " +
+        f"prune_after_rename_ms=$prune2Ms%.0f kept=$keptRenamed")
     }
 
     // Analytics shapes over a rep×-replicated event log (user space

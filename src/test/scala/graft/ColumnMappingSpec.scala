@@ -202,6 +202,29 @@ class ColumnMappingSpec extends AnyFunSuite with SparkFixture {
       r.getAs[Double]("quality") == 0.0))
   }
 
+  test("mapping composes with type widening: rename then widen, both eras read") {
+    import spark.implicits._
+    import org.apache.spark.sql.types.LongType
+    val t = fresh()
+    // int32 era under the ORIGINAL name
+    ManifestTable.commit(spark, t,
+      (1 to 30).map(i => (i, s"r$i")).toDF("n", "s"), statsColumns = Seq("n"))
+    ManifestTable.renameColumn(spark, t, "n", "key")
+    ManifestTable.widenColumn(spark, t, "key", LongType)
+    // widened era under the NEW name — beyond int32
+    ManifestTable.commit(spark, t, Seq((5_000_000_000L, "big")).toDF("key", "s"))
+    val got = ManifestTable.read(spark, t)
+    assert(got.schema("key").dataType === LongType)
+    assert(got.count() === 31)
+    assert(got.agg(max("key")).head.getLong(0) === 5_000_000_000L)
+    assert(got.filter(col("key") === 7L).head.getString(1) === "r7",
+      "int32 pages under the old physical name must read as long " +
+        "under the new logical name — mapping and widening stack")
+    // and the stats still prune across both evolutions
+    val hit = ManifestTable.readWhere(spark, t, col("key") === 7L)
+    assert(hit.inputFiles.length < ManifestTable.snapshotFiles(spark, t).size)
+  }
+
   test("clone and restore carry the mapping with the schema") {
     import spark.implicits._
     val t = fresh(); val dst = fresh()
