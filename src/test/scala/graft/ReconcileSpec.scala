@@ -115,6 +115,59 @@ class ReconcileSpec extends AnyFunSuite with SparkFixture {
     assert(headMap(t) === Map(1L -> "keep"))
   }
 
+  test("updateWhere reconciles an append whose rows can't match the predicate") {
+    val t = freshTable()
+    ManifestTable.commit(spark, t, df(1L -> "old", 2L -> "keep"))
+    val (v, attempts) = raced {
+      ManifestTable.commit(spark, t, df(10L -> "other"))
+    } {
+      ManifestTable.updateWhere(spark, t,
+        Seq("v" -> lit("new")), col("id") === 1L)
+    }
+    assert(v === 3, "update must serialize after the interloper's v2")
+    assert(attempts === 1,
+      s"non-matching interleave must reconcile, not re-derive (saw $attempts derives)")
+    assert(headMap(t) === Map(1L -> "new", 2L -> "keep", 10L -> "other"))
+  }
+
+  test("updateWhere re-derives when interleaved rows match the predicate") {
+    val t = freshTable()
+    ManifestTable.commit(spark, t, df(1L -> "keep", 8L -> "old"))
+    val (v, attempts) = raced {
+      ManifestTable.commit(spark, t, df(9L -> "alsoOld"))
+    } {
+      ManifestTable.updateWhere(spark, t,
+        Seq("v" -> lit("new")), col("id") >= 8L)
+    }
+    assert(v === 3)
+    assert(attempts === 2,
+      s"matching interleaved rows must force a re-derive (saw $attempts derives)")
+    // the update serializes AFTER the append: the interloper's matching
+    // row is updated too — a carried publish would have silently
+    // missed it (the lost-update anomaly the conflicts closure exists
+    // to prevent)
+    assert(headMap(t) === Map(1L -> "keep", 8L -> "new", 9L -> "new"))
+  }
+
+  test("updateWhere re-derives when the interloper rewrote a victim file") {
+    val t = freshTable()
+    ManifestTable.commit(spark, t, df(1L -> "old", 2L -> "keep"))
+    val (v, attempts) = raced {
+      // the interloper upserts the very row this update targets: its
+      // rewrite replaces the victim file, so carrying the stale
+      // derivation would resurrect the pre-upsert image of key 1
+      ManifestTable.upsert(spark, t, df(1L -> "upserted"), Seq("id"))
+    } {
+      ManifestTable.updateWhere(spark, t,
+        Seq("v" -> lit("new")), col("id") === 1L)
+    }
+    assert(v === 3)
+    assert(attempts === 2,
+      s"a victim-file rewrite must force a re-derive (saw $attempts derives)")
+    // serialized order: upsert lands v2, then the update applies to it
+    assert(headMap(t) === Map(1L -> "new", 2L -> "keep"))
+  }
+
   test("compact reconciles an interleaved append: compacted base plus carried new files") {
     val t = freshTable()
     ManifestTable.commit(spark, t, df(1L -> "a"))
