@@ -1522,17 +1522,32 @@ object ManifestTable {
     }.toMap
     val lp = externsPath(dst)
     val lf = fs(spark, lp)
-    // crash-debris recovery (ADVICE r11): a clone killed between the
-    // exclusive ledger create and the v1 publish leaves externs.json
-    // (and copied ingest ledgers) at a destination with ZERO manifests
-    // — and the exclusive create then fails every retry forever. A
-    // ledger at a version-less destination is debris by definition
-    // (a published clone has v1; the requirement above already proved
-    // there is none), so sweep it and proceed. A clone racing us to
-    // the SAME fresh path may lose its in-flight ledger here — fine:
-    // the v1 publish remains the one arbiter, the loser cleans up and
-    // reports the race exactly as before.
+    // crash-debris recovery (ADVICE r11, hardened per ADVICE r12): a
+    // clone killed between the exclusive ledger create and the v1
+    // publish leaves externs.json (and copied ingest ledgers) at a
+    // destination with ZERO manifests — and the exclusive create then
+    // fails every retry forever. But a version-less ledger is debris
+    // only when it is STALE: a fresh one is just as likely an
+    // IN-FLIGHT clone racing us to the same path, and sweeping it
+    // would strand the winner's published v1 with no extern ledger
+    // (reads fail) and no COPY INTO memory (silent double-ingest).
+    // So: refuse loudly inside the staleness window — the pre-publish
+    // window is seconds, so a live racer's ledger is always younger
+    // than the threshold — and sweep only past it, re-checking that
+    // no v1 appeared since the entry requirement.
     if (lf.exists(lp)) {
+      val age = System.currentTimeMillis() -
+        lf.getFileStatus(lp).getModificationTime
+      require(age > cloneDebrisStaleMs,
+        s"clone destination $dst holds a ${age / 1000}s-old extern " +
+          "ledger with no published version — either a clone to the " +
+          "same path is in flight (let it finish) or a crashed " +
+          "attempt left debris younger than the " +
+          s"${cloneDebrisStaleMs / 1000}s staleness window (retry " +
+          "after the window, or remove _manifests/externs.json)")
+      require(versions(spark, dst).isEmpty,
+        s"clone destination $dst published a version mid-check — " +
+          "clone targets a fresh path")
       lf.delete(lp, false)
       externsCache.remove(dst)
       lf.delete(ingestDir(dst), true)
@@ -1540,8 +1555,9 @@ object ManifestTable {
     val node = segmentMapper.createObjectNode()
     val ex = node.putObject("externs")
     ledger.toSeq.sortBy(_._1).foreach { case (u, root) => ex.put(u, root) }
+    val ledgerBytes = segmentMapper.writeValueAsBytes(node)
     val out = lf.create(lp, false) // exclusive: a racing clone loses here
-    try out.write(segmentMapper.writeValueAsBytes(node)) finally out.close()
+    try out.write(ledgerBytes) finally out.close()
     // the donor's COPY INTO memory comes along (metadata-sized file
     // copies): a copyInto pointed at the clone must not re-ingest
     // sources the donor already consumed — without this, cloning an
@@ -1564,6 +1580,14 @@ object ManifestTable {
     // retried clone dies on the leftover ledger's exclusive create and
     // the destination is a manual-cleanup dead end (review r10 finding)
     def cleanupCloneDebris(): Unit = {
+      // once ANY v1 exists at dst, delete nothing (ADVICE r12): if the
+      // winner is a clone, the ledger on disk is load-bearing for its
+      // published snapshot; if the winner is a plain writer, our
+      // leftover extern entries are inert (their uuids appear in no
+      // snapshot of the winner's table) and a retry fails loudly at
+      // the fresh-path requirement anyway. Only a still-version-less
+      // destination has true debris to take with us.
+      if (versions(spark, dst).nonEmpty) return
       lf.delete(lp, false)
       externsCache.remove(dst)
       donorLedgers.foreach(rel =>
@@ -1584,8 +1608,30 @@ object ManifestTable {
       cleanupCloneDebris()
       throw new IllegalStateException(
         s"clone of $src lost the v1 publish race at $dst — another " +
-          "writer claimed the fresh table; the clone's pre-publish " +
-          "files were removed, the destination belongs to the winner")
+          "writer claimed the fresh table; the destination belongs " +
+          "to the winner (any pre-publish files of ours that could " +
+          "be removed safely were)")
+    }
+    // belt-and-braces (ADVICE r12): if this attempt stalled past the
+    // staleness window, a racer may have swept our in-flight ledger as
+    // crash debris before our v1 landed. The ledger is a pure function
+    // of (src, version), so verify-and-rewrite is idempotent — a
+    // published clone must never be left ledger-less.
+    val intact =
+      try {
+        val in = lf.open(lp)
+        val got =
+          try {
+            val buf = new java.io.ByteArrayOutputStream()
+            org.apache.hadoop.io.IOUtils.copyBytes(in, buf, 8192, false)
+            buf.toByteArray
+          } finally in.close()
+        java.util.Arrays.equals(got, ledgerBytes)
+      } catch { case _: java.io.FileNotFoundException => false }
+    if (!intact) {
+      val o = lf.create(lp, true)
+      try o.write(ledgerBytes) finally o.close()
+      externsCache.remove(dst)
     }
     1
   }
@@ -3251,6 +3297,11 @@ object ManifestTable {
     * race happens, making the reconcile-vs-re-derive paths
     * deterministic instead of stochastic. A no-op in production (one
     * virtual call per derive attempt, nowhere near any per-row path). */
+  /** Age a version-less extern ledger must reach before
+    * [[cloneShallow]] may sweep it as crash debris (younger = likely
+    * an in-flight clone to the same path; ADVICE r12). Test seam. */
+  @volatile private[graft] var cloneDebrisStaleMs: Long = 10L * 60 * 1000
+
   @volatile private[graft] var beforeConditionalCommit: () => Unit = () => ()
 
   /** Test seam: invoked inside [[tryPublish]] after the temp manifest

@@ -61,6 +61,12 @@ class AdviceR11Spec extends AnyFunSuite with SparkFixture {
     java.nio.file.Files.write(
       mdir.resolve("ingest").resolve("debris.json"),
       """{"sources":[]}""".getBytes("UTF-8"))
+    // age the debris past the staleness window (ADVICE r12): only a
+    // STALE version-less ledger is debris — a fresh one could be an
+    // in-flight clone (AdviceR12Spec pins that refusal)
+    val old = java.nio.file.attribute.FileTime.fromMillis(
+      System.currentTimeMillis() - ManifestTable.cloneDebrisStaleMs - 60000)
+    java.nio.file.Files.setLastModifiedTime(mdir.resolve("externs.json"), old)
     // pre-fix: FileAlreadyExistsException forever; post-fix: the
     // debris is swept (it can belong to no published clone — a
     // published clone has v1) and the clone lands
