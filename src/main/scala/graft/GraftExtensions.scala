@@ -107,6 +107,12 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     // become sugar, not the only door.
     ext.injectResolutionRule(session =>
       new graft.sources.GraftCatalog.Resolution(session))
+    // DDL (CREATE/DROP TABLE graft.<name>) must rewrite BEFORE the
+    // Resolution batch — the builtin identifier resolver would claim
+    // the graft namespace for the session catalog and abort with
+    // SCHEMA_NOT_FOUND first. The Hints batch runs earliest.
+    ext.injectHintResolutionRule(session =>
+      new graft.sources.GraftCatalog.DdlResolution(session))
   }
 
   private def strArg(e: Expression, name: String): String = e match {

@@ -347,6 +347,66 @@ object PipelineQueries {
              |ORDER BY o_orderpriority NULLS FIRST""".stripMargin)
     ),
 
+    // SQL CREATE TABLE (r13): the bootstrap statement that completes
+    // the SQL face — a SQL-only user can now make a table exist, not
+    // just mutate one. The statement exercises the whole clause
+    // surface: PARTITIONED BY mixes an identity column with a hidden
+    // bucket transform, TBLPROPERTIES records the stats set in the
+    // config sidecar (so collection BEGINS at the first INSERT even
+    // though the created table is empty — the in-query require pins
+    // it), and DROP TABLE at the end proves external-table semantics
+    // (the name goes, every byte stays readable by path). The oracle
+    // recomputes the final image from the raw table.
+    Entry(
+      "q_sql_create",
+      (s, d) => {
+        val t = scratchDir("qsct", d)
+        def rmRf(f: java.io.File): Unit = {
+          Option(f.listFiles()).getOrElse(Array.empty).foreach(rmRf)
+          f.delete(); ()
+        }
+        rmRf(new java.io.File(t)) // re-runs would re-create over debris
+        val M = graft.sources.ManifestTable
+        graft.sources.GraftCatalog.unregister("q_ct_orders")
+        s.sql(s"""CREATE TABLE graft.q_ct_orders (
+                 |  o_orderkey BIGINT,
+                 |  o_orderpriority STRING,
+                 |  o_totalprice DOUBLE
+                 |) PARTITIONED BY (o_orderpriority, bucket(4, o_orderkey))
+                 |LOCATION '$t'
+                 |TBLPROPERTIES ('graft.statsColumns' = 'o_orderkey')""".stripMargin)
+        try {
+          require(M.currentVersion(s, t) == 1 && M.read(s, t).count() == 0,
+            "CREATE TABLE must publish exactly one empty version")
+          Tables.orders(s, d).createOrReplaceTempView("v_ct_src")
+          s.sql("""INSERT INTO graft.q_ct_orders
+                  |SELECT o_orderkey, o_orderpriority, o_totalprice
+                  |FROM v_ct_src""".stripMargin)
+          // the config sidecar bridged the empty-table gap: the first
+          // INSERT began collecting o_orderkey ranges with nobody
+          // passing statsColumns
+          require(M.snapshotStats(s, t).values.forall(_.contains("o_orderkey")),
+            "TBLPROPERTIES stats columns must begin collection at the first INSERT")
+          val out = s.sql(s"""SELECT o_orderpriority, count(*) AS cnt,
+                   |  ${dsumSql("o_totalprice")} AS sum_price
+                   |FROM graft.q_ct_orders
+                   |GROUP BY o_orderpriority
+                   |ORDER BY o_orderpriority""".stripMargin)
+          out.count() // force before the DROP unregisters the name
+          s.sql("DROP TABLE graft.q_ct_orders")
+          require(graft.sources.GraftCatalog.lookup("q_ct_orders").isEmpty &&
+            M.read(s, t).count() == Tables.orders(s, d).count(),
+            "DROP TABLE must unregister the name and keep every byte")
+          out
+        } finally graft.sources.GraftCatalog.unregister("q_ct_orders")
+      },
+      Some(s"""SELECT o_orderpriority, count(*) AS cnt,
+             |  ${dsumSql("o_totalprice")} AS sum_price
+             |FROM orders
+             |GROUP BY o_orderpriority
+             |ORDER BY o_orderpriority NULLS FIRST""".stripMargin)
+    ),
+
     // Q2: correlated LATERAL subquery through the SQL surface — the
     // per-row dependent-subquery shape (top-2 orders per customer).
     // Catalyst DECORRELATES it (DecorrelateInnerQuery + window

@@ -1,13 +1,15 @@
 package graft.sources
 
 import org.apache.spark.sql.{Column, Row, SaveMode, SparkSession}
-import org.apache.spark.sql.catalyst.analysis.{UnresolvedAttribute, UnresolvedRelation, UnresolvedTable}
-import org.apache.spark.sql.catalyst.expressions.{And, EqualTo, Expression}
-import org.apache.spark.sql.catalyst.plans.logical.{AddColumns, AlterColumns, DeleteAction, DeleteFromTable, DropColumns, InsertIntoStatement, InsertStarAction, LogicalPlan, MergeIntoTable, RenameColumn, SubqueryAlias, UpdateStarAction, UpdateTable}
+import org.apache.spark.sql.catalyst.analysis.{UnresolvedAttribute, UnresolvedIdentifier, UnresolvedRelation, UnresolvedTable}
+import org.apache.spark.sql.catalyst.expressions.{And, CheckConstraint, EqualTo, Expression}
+import org.apache.spark.sql.catalyst.plans.logical.{AddColumns, AlterColumns, CreateTable, CreateTableAsSelect, DeleteAction, DeleteFromTable, DropColumns, DropTable, InsertIntoStatement, InsertStarAction, LogicalPlan, MergeIntoTable, RenameColumn, SubqueryAlias, TableSpec, TableSpecBase, UnresolvedTableSpec, UpdateStarAction, UpdateTable}
 import org.apache.spark.sql.catalyst.rules.Rule
+import org.apache.spark.sql.connector.catalog.constraints.{Check, Constraint}
+import org.apache.spark.sql.connector.expressions.{Literal => V2Literal, Transform}
 import org.apache.spark.sql.execution.command.LeafRunnableCommand
 import org.apache.spark.sql.graftbridge.{ColumnBridge, PlanBridge}
-import org.apache.spark.sql.types.DataType
+import org.apache.spark.sql.types.{DataType, StructType}
 
 /** Name resolution for manifest tables — the catalog face the TVFs
   * are sugar over. `register("orders", "/lake/orders")` makes
@@ -38,6 +40,13 @@ import org.apache.spark.sql.types.DataType
 object GraftCatalog {
 
   private val reg = new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  /** Root directory `CREATE TABLE graft.<name>` resolves a table path
+    * under when the statement names no LOCATION: `<warehouse>/<name>`.
+    * Unset (the default), a LOCATION-less CREATE is refused loudly —
+    * a manifest table IS a directory, so the path must come from
+    * somewhere explicit. */
+  @volatile var warehouse: Option[String] = None
 
   private def norm(name: String): String = name.toLowerCase(java.util.Locale.ROOT)
 
@@ -100,6 +109,110 @@ object GraftCatalog {
       s"$what on $ident supports top-level columns only, " +
         s"not '${name.mkString(".")}'")
     name.head
+  }
+
+  /** A CREATE/DROP target: exactly `graft.<name>` (bare names are NOT
+    * claimed — `CREATE TABLE t` belongs to the session catalog). */
+  private def graftIdent(parts: Seq[String]): Option[String] = parts match {
+    case Seq(ns, ident) if norm(ns) == "graft" && !ident.contains("@") =>
+      Some(ident)
+    case _ => None
+  }
+
+  /** A DDL statement's name child → the graft table name, matched in
+    * BOTH analysis states: the builtin ResolveIdentifier may beat the
+    * injected rule to the node and resolve `graft.<name>` against the
+    * session catalog (where `graft` reads as a database that will fail
+    * at execution) — claim that form too. */
+  private def ddlIdent(name: LogicalPlan): Option[String] = name match {
+    case u: UnresolvedIdentifier => graftIdent(u.nameParts)
+    case u: org.apache.spark.sql.catalyst.analysis.UnresolvedTableOrView =>
+      graftIdent(u.multipartIdentifier)
+    case r: org.apache.spark.sql.catalyst.analysis.ResolvedIdentifier =>
+      graftIdent(r.identifier.namespace.toSeq :+ r.identifier.name)
+    case _ => None
+  }
+
+  /** One PARTITIONED BY transform → the `partitionBy` spelling
+    * [[ManifestTable.commit]] parses (`days(c)` / `bucket(n, c)` /
+    * `truncate(w, c)` / plain identity columns). */
+  private def transformSpelling(t: Transform, ident: String): String = {
+    val refs = t.references
+    require(refs.length == 1 && refs.head.fieldNames.length == 1,
+      s"PARTITIONED BY on $ident: each transform must reference exactly " +
+        s"one top-level column, got $t")
+    val c = refs.head.fieldNames.head
+    val lits = t.arguments.toSeq.collect { case l: V2Literal[_] => l.value.toString }
+    t.name match {
+      case "identity" => c
+      case n @ ("years" | "months" | "days" | "hours") => s"$n($c)"
+      case n @ ("bucket" | "truncate") =>
+        require(lits.length == 1,
+          s"PARTITIONED BY on $ident: $n takes one literal and one column")
+        s"$n(${lits.head}, $c)"
+      case other => throw new IllegalArgumentException(
+        s"PARTITIONED BY on $ident: unsupported transform '$other' — " +
+          "supported: identity columns, years/months/days/hours(c), " +
+          "bucket(n, c), truncate(w, c)")
+    }
+  }
+
+  /** The table-config properties a CREATE may record. */
+  private val SupportedProps = Set("graft.statsColumns")
+
+  /** Validate a CREATE's table spec down to what the engine records:
+    * (location, config props, CHECK constraints). Everything the
+    * manifest table cannot honor is refused loudly — a silently
+    * dropped clause is a lie about the table. Handles BOTH spec
+    * states: the DDL rule runs pre-resolution (see [[DdlResolution]]),
+    * where the parser's UnresolvedTableSpec still holds constraints as
+    * expression trees; the resolved TableSpec form is kept for
+    * completeness. */
+  private def createSpec(ident: String, spec: TableSpecBase)
+      : (Option[String], Map[String, String], Seq[(String, String)]) = {
+    def common(properties: Map[String, String], provider: Option[String],
+               optionsEmpty: Boolean, location: Option[String],
+               comment: Option[String], collation: Option[String],
+               hasSerde: Boolean, cons: Seq[(String, String)]) = {
+      provider.foreach(p => require(norm(p) == "graft",
+        s"CREATE TABLE $ident: USING $p is unsupported — manifest tables " +
+          "have one storage format (USING graft, or omit the clause)"))
+      require(optionsEmpty,
+        s"CREATE TABLE $ident: OPTIONS are unsupported")
+      require(!hasSerde,
+        s"CREATE TABLE $ident: ROW FORMAT/SERDE clauses are unsupported")
+      require(collation.isEmpty,
+        s"CREATE TABLE $ident: DEFAULT COLLATION is unsupported")
+      val unknown = properties.keySet -- SupportedProps
+      require(unknown.isEmpty,
+        s"CREATE TABLE $ident: unsupported TBLPROPERTIES ${unknown.mkString(", ")} " +
+          s"— supported: ${SupportedProps.mkString(", ")}")
+      require(cons.map(_._1).distinct.length == cons.length,
+        s"CREATE TABLE $ident: duplicate constraint names")
+      (location, properties ++ comment.map("comment" -> _), cons)
+    }
+    spec match {
+      case u: UnresolvedTableSpec =>
+        common(u.properties, u.provider, u.optionExpression.options.isEmpty,
+          u.location, u.comment, u.collation, u.serde.isDefined,
+          u.constraints.map {
+            case c: CheckConstraint => c.name -> c.condition
+            case other => throw new IllegalArgumentException(
+              s"CREATE TABLE $ident: only CHECK constraints are enforced — " +
+                s"got ${other.sql}")
+          })
+      case t: TableSpec =>
+        common(t.properties, t.provider, t.options.isEmpty, t.location,
+          t.comment, t.collation, t.serde.isDefined,
+          t.constraints.map {
+            case c: Check => c.name -> c.predicateSql
+            case other: Constraint => throw new IllegalArgumentException(
+              s"CREATE TABLE $ident: only CHECK constraints are enforced — " +
+                s"got ${other.toDDL}")
+          })
+      case other => throw new IllegalArgumentException(
+        s"CREATE TABLE $ident: unsupported table spec $other")
+    }
   }
 
   /** The analyzer rule (injected by GraftExtensions): rewrites
@@ -480,6 +593,158 @@ object GraftCatalog {
         case Widen(cols) =>
           cols.foreach { case (n, t) => ManifestTable.widenColumn(session, path, n, t) }
       }
+      Nil
+    }
+  }
+
+  /** The DDL rule, injected as a HINT-resolution rule (the Hints
+    * batch) on purpose: it must see CREATE/DROP statements in their
+    * raw parsed state. Waiting for the Resolution batch is too late —
+    * the builtin identifier resolver claims `graft.<name>` for the
+    * session catalog first and aborts analysis with SCHEMA_NOT_FOUND
+    * before any injected resolution rule runs. The statements it
+    * rewrites are pure parse-tree shapes (a CTAS query rides along
+    * unresolved and analyzes at execution, the MergeCommand pattern),
+    * so running pre-resolution loses nothing. */
+  final class DdlResolution(session: SparkSession) extends Rule[LogicalPlan] {
+    override def apply(plan: LogicalPlan): LogicalPlan =
+      plan.resolveOperatorsUp {
+        // ---- CREATE TABLE graft.<name> — the SQL bootstrap (r13):
+        // only the 2-part graft namespace is claimed; `CREATE TABLE t`
+        // stays with the session catalog.
+        case ct: CreateTable if ddlIdent(ct.name).isDefined =>
+          val name = ddlIdent(ct.name).get
+          val ident = s"graft.$name"
+          val fields = ct.columns.map { c =>
+            require(c.defaultValue.isEmpty && c.generationExpression.isEmpty &&
+                c.identityColumnSpec.isEmpty,
+              s"CREATE TABLE $ident: DEFAULT / GENERATED / IDENTITY " +
+                s"column clauses are unsupported (column '${c.name}')")
+            c.toV1Column
+          }
+          require(fields.nonEmpty, s"CREATE TABLE $ident needs a column list")
+          val (loc, props, cons) = createSpec(ident, ct.tableSpec)
+          CreateCommand(ident, name, StructType(fields),
+            ct.partitioning.map(transformSpelling(_, ident)), loc, props,
+            cons, ct.ignoreIfExists, query = None)
+        case cta: CreateTableAsSelect if ddlIdent(cta.name).isDefined =>
+          val name = ddlIdent(cta.name).get
+          val ident = s"graft.$name"
+          require(cta.writeOptions.isEmpty,
+            s"CREATE TABLE $ident AS: write OPTIONS are unsupported")
+          val (loc, props, cons) = createSpec(ident, cta.tableSpec)
+          CreateCommand(ident, name, new StructType(),
+            cta.partitioning.map(transformSpelling(_, ident)), loc, props,
+            cons, cta.ignoreIfExists, query = Some(cta.query))
+        // ---- DROP TABLE graft.<name> — external-table semantics: the
+        // registration goes, the directory stays (expire/vacuum is the
+        // only way bytes die).
+        case dt: DropTable if ddlIdent(dt.child).isDefined =>
+          val name = ddlIdent(dt.child).get
+          require(!dt.purge,
+            s"DROP TABLE graft.$name PURGE is unsupported — a graft DROP " +
+              "only unregisters the name; reclaim bytes with expire")
+          DropCommand(name, dt.ifExists)
+      }
+  }
+
+  /** `CREATE TABLE graft.<name> (…) [USING graft] [PARTITIONED BY …]
+    * [LOCATION …] [TBLPROPERTIES …]` and the `AS SELECT …` (CTAS)
+    * variant — the SQL bootstrap the catalog face lacked (r12 verdict
+    * gap #1): until now a table had to exist via the Scala API before
+    * SQL could touch it. The statement maps onto the engine's own
+    * primitives, in order:
+    *
+    *  1. path = LOCATION, or `<warehouse>/<name>` when
+    *     [[GraftCatalog.warehouse]] is set — refused otherwise (a
+    *     manifest table IS a directory; the path must be explicit);
+    *  2. TBLPROPERTIES (`graft.statsColumns`) and the table comment
+    *     land in the config sidecar BEFORE the first commit, so stats
+    *     collection begins at the first insert even though an empty
+    *     table has no per-file stats to remember the set in;
+    *  3. v1 = [[ManifestTable.commit]] of the declared schema with
+    *     zero rows (a files-less snapshot with a recorded schema is a
+    *     real state) — or of the CTAS query's rows, laid out by
+    *     PARTITIONED BY (hidden transforms included) with stats
+    *     collected per the config;
+    *  4. CHECK constraints attach via [[ManifestTable.addConstraint]]
+    *     (CTAS rows pre-validate BEFORE anything is written — a
+    *     refused create leaves no data to vacuum);
+    *  5. the name registers, making `graft.<name>` readable/writable
+    *     by every later statement in the JVM.
+    *
+    * IF NOT EXISTS: an existing table (the path has manifests)
+    * re-registers the name and changes nothing — but a name already
+    * registered to a DIFFERENT path is always a loud conflict. */
+  final case class CreateCommand(ident: String, name: String,
+      tableSchema: StructType, partitionBy: Seq[String], location: Option[String],
+      props: Map[String, String], checks: Seq[(String, String)],
+      ignoreIfExists: Boolean, query: Option[LogicalPlan])
+    extends LeafRunnableCommand {
+    override def innerChildren: Seq[LogicalPlan] = query.toSeq
+    override def run(session: SparkSession): Seq[Row] = {
+      import org.apache.spark.sql.functions.{coalesce, expr, lit, not}
+      val path = location.orElse(warehouse.map(w =>
+        w.stripSuffix("/") + "/" + name)).getOrElse(
+        throw new IllegalArgumentException(
+          s"CREATE TABLE $ident needs a LOCATION (or set " +
+            "GraftCatalog.warehouse for a default root)"))
+      lookup(name).foreach(p => require(p == path,
+        s"CREATE TABLE $ident: the name is already registered to $p — " +
+          s"unregister it before re-creating at $path"))
+      if (ManifestTable.versions(session, path).nonEmpty) {
+        if (ignoreIfExists) { register(name, path); return Nil }
+        throw new IllegalArgumentException(
+          s"CREATE TABLE $ident: $path already holds a table " +
+            "(IF NOT EXISTS to adopt it, or pick a fresh LOCATION)")
+      }
+      val df = query match {
+        case Some(q) => PlanBridge.ofRows(session, q)
+        case None => session.createDataFrame(
+          java.util.Collections.emptyList[Row](), tableSchema)
+      }
+      props.get("graft.statsColumns").foreach { s =>
+        val names = df.columns.map(norm).toSet
+        val bad = s.split(",").map(_.trim).filter(_.nonEmpty)
+          .filterNot(c => names.contains(norm(c)))
+        require(bad.isEmpty,
+          s"CREATE TABLE $ident: graft.statsColumns names unknown " +
+            s"column(s) ${bad.mkString(", ")}")
+      }
+      // CTAS rows validate the declared CHECKs BEFORE any write — the
+      // addConstraint below re-validates per its own contract, but a
+      // violating query must refuse with zero bytes on disk
+      checks.foreach { case (n, sql) =>
+        require(df.filter(not(coalesce(expr(sql), lit(true)))).isEmpty,
+          s"CREATE TABLE $ident: the AS SELECT rows violate CHECK " +
+            s"constraint $n ($sql)")
+      }
+      // config precedes v1 (commit consults it for stats columns);
+      // overwrite, not exclusive: a crashed earlier CREATE may have
+      // left a config at a still-version-less path, and the v1
+      // publish below is the real arbiter between racing creates
+      ManifestTable.writeTableConfig(session, path, props)
+      ManifestTable.commit(session, path, df, SaveMode.Append,
+        partitionBy = partitionBy)
+      checks.foreach { case (n, sql) =>
+        ManifestTable.addConstraint(session, path, n, sql) }
+      register(name, path)
+      Nil
+    }
+  }
+
+  /** `DROP TABLE graft.<name>` — unregisters the name; the directory
+    * and every byte in it stay (external-table semantics — expire is
+    * the only byte-reclaim path, and PURGE is refused upstream). */
+  final case class DropCommand(name: String, ifExists: Boolean)
+    extends LeafRunnableCommand {
+    override def run(session: SparkSession): Seq[Row] = {
+      if (lookup(name).isEmpty) {
+        if (ifExists) return Nil
+        throw new IllegalArgumentException(
+          s"DROP TABLE graft.$name: no such registered table")
+      }
+      unregister(name)
       Nil
     }
   }

@@ -1164,7 +1164,9 @@ object ManifestTable {
       }
       val cons = checkConstraints(spark, table, head)
       requireSatisfied(df, cons, s"a COPY INTO batch for $table")
-      val stats = (statsColumnsOf(headStats) ++ statsColumns).distinct.sorted
+      val stats = (statsColumnsOf(headStats) ++
+        configStatsColumns(spark, table).filter(df.columns.contains) ++
+        statsColumns).distinct.sorted
       val (uuid, newFiles, newStats) = writeData(spark, table, df, stats, partBy)
       val ledger = writeIngestLedger(spark, table, fresh)
       val parentLedgers = ingestLedgers(spark, table, head)
@@ -1426,6 +1428,64 @@ object ManifestTable {
   // immutable, so entries never change; an entry whose uuid left
   // every surviving snapshot is inert (it can match no live file).
   // -----------------------------------------------------------------
+
+  // -----------------------------------------------------------------
+  // Table config sidecar (`_manifests/config.json`): writer-side
+  // properties recorded once at CREATE TABLE (the SQL TBLPROPERTIES
+  // face, r13) — currently `graft.statsColumns`, the columns stats
+  // collection should BEGIN with. Needed because stats tracking is
+  // otherwise derived from the head's per-file stats
+  // ([[statsColumnsOf]]) — an EMPTY created table has no files to
+  // remember them in, so the first INSERT would silently skip
+  // collection. Written exactly once, before the table's first data
+  // commit; read-side behavior never depends on it (absent = no
+  // config), so it needs no protocol feature flag.
+  // -----------------------------------------------------------------
+
+  private def configPath(table: String) =
+    new Path(manifestDir(table), "config.json")
+
+  /** The table's recorded writer-side properties; empty when none. */
+  def tableConfig(spark: SparkSession, table: String): Map[String, String] = {
+    val p = configPath(table)
+    val in =
+      try fs(spark, p).open(p)
+      catch { case _: java.io.FileNotFoundException => return Map.empty }
+    val text =
+      try scala.io.Source.fromInputStream(in, "UTF-8").mkString
+      finally in.close()
+    val node = segmentMapper.readTree(text)
+    import scala.jdk.CollectionConverters._
+    node.fields().asScala.map(kv => kv.getKey -> kv.getValue.asText).toMap
+  }
+
+  /** Record `props` as the table's config — once, at table creation,
+    * immutable thereafter (like the extern ledger). Overwrite, not
+    * exclusive create: the only caller writes BEFORE the table's v1
+    * exists, where a leftover config from a crashed earlier CREATE is
+    * debris and the v1 publish is the arbiter between racing
+    * creates. */
+  private[graft] def writeTableConfig(spark: SparkSession, table: String,
+                                      props: Map[String, String]): Unit = {
+    if (props.isEmpty) return
+    require(currentVersion(spark, table) == 0,
+      s"table config for $table is written at creation only")
+    val node = segmentMapper.createObjectNode()
+    props.toSeq.sortBy(_._1).foreach { case (k, v) => node.put(k, v) }
+    val p = configPath(table)
+    val out = fs(spark, p).create(p, true)
+    try out.write(segmentMapper.writeValueAsBytes(node)) finally out.close()
+  }
+
+  /** Stats columns the table was CREATEd to track (config sidecar);
+    * the write paths union these with whatever the head already
+    * tracks, so collection begins at the first insert even though an
+    * empty table has no per-file stats to inherit from. */
+  private def configStatsColumns(spark: SparkSession,
+                                 table: String): Seq[String] =
+    tableConfig(spark, table).get("graft.statsColumns")
+      .map(_.split(",").iterator.map(_.trim).filter(_.nonEmpty).toSeq)
+      .getOrElse(Nil)
 
   private def externsPath(table: String) =
     new Path(manifestDir(table), "externs.json")
@@ -3165,6 +3225,7 @@ object ManifestTable {
     // keep.)
     val cols = (statsColumnsOf(
         snapshotStats(spark, table, currentVersion(spark, table))) ++
+      configStatsColumns(spark, table).filter(df.columns.contains) ++
       statsColumns).distinct.sorted
     // CHECK enforcement happens BEFORE any data is written (a refused
     // batch leaves nothing to vacuum); a lost race re-validates iff
@@ -3718,7 +3779,9 @@ object ManifestTable {
       val headCons = checkConstraints(spark, table, head)
       requireSatisfied(merged, headCons, s"the MERGE post-image for $table")
       val (uuid, newFiles, newStats) =
-        writeData(spark, table, merged, statsColumnsOf(headStats), partBy)
+        writeData(spark, table, merged, (statsColumnsOf(headStats) ++
+          configStatsColumns(spark, table).filter(merged.columns.contains))
+          .distinct.sorted, partBy)
       val files = rel.filterNot(affected) ++ newFiles
       // carried files keep their recorded stats; rewritten + inserted
       // files get fresh ranges from the write above
