@@ -239,37 +239,83 @@ object GraftCatalog {
                 query, overwrite, userCols, byName)
             case None => i
           }
-        case d @ DeleteFromTable(u: UnresolvedRelation, condition) =>
-          specOf(u) match {
+        case d @ DeleteFromTable(tgtPlan, condition) =>
+          // unwrap `DELETE FROM graft.<name> [AS t]`
+          val (delAlias, delRel) = tgtPlan match {
+            case SubqueryAlias(id, u: UnresolvedRelation) => (Some(id.name), Some(u))
+            case u: UnresolvedRelation => (None, Some(u))
+            case _ => (None, None)
+          }
+          delRel.flatMap(specOf) match {
             case Some((path, v)) =>
+              val u = delRel.get
               require(v < 0,
                 s"cannot DELETE from time-travel version v$v of " +
                   s"${u.multipartIdentifier.mkString(".")} — snapshots are immutable")
+              // strip target qualifiers: the condition resolves against
+              // the bare table frame at run time (see UPDATE below)
+              val quals: Set[Seq[String]] =
+                delAlias.map(a => Seq(norm(a))).toSet +
+                  u.multipartIdentifier.takeRight(1).map(norm) +
+                  u.multipartIdentifier.map(norm)
+              val cond = condition.transformUp {
+                case ua: UnresolvedAttribute if ua.nameParts.length > 1 &&
+                    quals.contains(ua.nameParts.init.map(norm)) =>
+                  UnresolvedAttribute(Seq(ua.nameParts.last))
+              }
               DeleteCommand(u.multipartIdentifier.mkString("."), path,
-                ColumnBridge.column(condition))
+                ColumnBridge.column(cond))
             case None => d
           }
-        case up @ UpdateTable(u: UnresolvedRelation, assignments, condition) =>
-          specOf(u) match {
+        case up @ UpdateTable(tgtPlan, assignments, condition) =>
+          // unwrap `UPDATE graft.<name> [AS t]`
+          val (updAlias, updRel) = tgtPlan match {
+            case SubqueryAlias(id, u: UnresolvedRelation) => (Some(id.name), Some(u))
+            case u: UnresolvedRelation => (None, Some(u))
+            case _ => (None, None)
+          }
+          updRel.flatMap(specOf) match {
             case Some((path, v)) =>
+              val u = updRel.get
+              val ident = u.multipartIdentifier.mkString(".")
               require(v < 0,
-                s"cannot UPDATE time-travel version v$v of " +
-                  s"${u.multipartIdentifier.mkString(".")} — snapshots are immutable")
+                s"cannot UPDATE time-travel version v$v of $ident — " +
+                  "snapshots are immutable")
+              // qualifiers a SET target may carry: the alias, the bare
+              // table name, or the full graft-qualified name — all
+              // standard SQL spellings of the same target (ADVICE r12)
+              val quals: Set[Seq[String]] =
+                updAlias.map(a => Seq(norm(a))).toSet +
+                  u.multipartIdentifier.takeRight(1).map(norm) +
+                  u.multipartIdentifier.map(norm)
+              // conditions and assignment values resolve against the
+              // bare table frame at run time, which knows nothing of
+              // the statement's alias — strip target qualifiers here
+              def unqualify(e: Expression): Expression = e.transformUp {
+                case ua: UnresolvedAttribute if ua.nameParts.length > 1 &&
+                    quals.contains(ua.nameParts.init.map(norm)) =>
+                  UnresolvedAttribute(Seq(ua.nameParts.last))
+              }
               val pairs = assignments.map { a =>
                 val name = a.key match {
-                  // single-part only: `SET s.a = …` (a struct field or
-                  // a qualified name) must not silently assign to a
-                  // column named by its LAST part
                   case ua: UnresolvedAttribute if ua.nameParts.length == 1 =>
                     ua.nameParts.head
+                  // `SET t.c = …`: strip a qualifier naming the target
+                  // table/alias; anything else (a genuinely nested
+                  // struct path, a foreign qualifier) must not
+                  // silently assign to the column its LAST part names
+                  case ua: UnresolvedAttribute
+                      if quals.contains(ua.nameParts.init.map(norm)) =>
+                    ua.nameParts.last
                   case other => throw new IllegalArgumentException(
-                    s"UPDATE on ${u.multipartIdentifier.mkString(".")} can " +
-                      s"only assign whole top-level columns, not '${other.sql}'")
+                    s"UPDATE on $ident can only assign whole top-level " +
+                      s"columns (optionally qualified by the target " +
+                      s"table or its alias), not '${other.sql}'")
                 }
-                name -> ColumnBridge.column(a.value)
+                name -> ColumnBridge.column(unqualify(a.value))
               }
-              UpdateCommand(u.multipartIdentifier.mkString("."), path,
-                pairs, condition.map(ColumnBridge.column))
+              UpdateCommand(ident, path,
+                pairs, condition.map(c => ColumnBridge.column(unqualify(c))))
             case None => up
           }
         case m @ MergeIntoTable(tgtPlan, srcPlan, onCond,
@@ -287,8 +333,6 @@ object GraftCatalog {
               require(v < 0,
                 s"cannot MERGE into time-travel version v$v of $ident — " +
                   "snapshots are immutable")
-              require(notMatchedBySrc.isEmpty,
-                s"MERGE on $ident: WHEN NOT MATCHED BY SOURCE is unsupported")
               val srcAlias = srcPlan match {
                 case SubqueryAlias(id, _) => Some(id.name)
                 case _ => None
@@ -299,14 +343,39 @@ object GraftCatalog {
               val tgtQ = (tgtAlias.toSeq ++ u.multipartIdentifier.lastOption)
                 .map(norm).toSet
               val srcQ = srcAlias.map(norm).toSet
+              // the target's recorded columns, for classifying BARE
+              // references: one that names no target column can only
+              // mean a source column, which the merge frame holds
+              // under `_src` — an unqualified spelling would fail at
+              // run time with a missing-column error instead of this
+              // analysis-time message (ADVICE r12)
+              lazy val tgtCols: Set[String] =
+                (ManifestTable.snapshotSchema(session, path)
+                  .map(_.fieldNames.toSeq).getOrElse(Nil) ++
+                  ManifestTable.partitionColumns(session, path))
+                  .map(norm).toSet
               def rewrite(e: Expression): Expression = e.transformUp {
+                case ua: UnresolvedAttribute if ua.nameParts.length == 1 =>
+                  require(tgtCols.contains(norm(ua.nameParts.head)),
+                    s"MERGE on $ident: '${ua.nameParts.head}' is not a " +
+                      "target column — qualify source columns with the " +
+                      "source alias")
+                  ua
                 case ua: UnresolvedAttribute if ua.nameParts.length == 2 =>
                   val q = norm(ua.nameParts.head)
                   if (srcQ.contains(q))
                     UnresolvedAttribute(Seq("_src", ua.nameParts(1)))
                   else if (tgtQ.contains(q))
                     UnresolvedAttribute(Seq(ua.nameParts(1)))
-                  else ua
+                  else throw new IllegalArgumentException(
+                    s"MERGE on $ident: qualifier '${ua.nameParts.head}' is " +
+                      "neither the target nor the source alias " +
+                      s"(${(tgtQ ++ srcQ).toSeq.sorted.mkString(", ")})")
+                case ua: UnresolvedAttribute if ua.nameParts.length > 2 =>
+                  throw new IllegalArgumentException(
+                    s"MERGE on $ident: '${ua.sql}' — clause conditions take " +
+                      "alias-qualified column references only, not nested " +
+                      "fields or multi-part table names")
               }
               // ON: a conjunction of same-named target=source column
               // equalities — the engine's merge joins BY NAME
@@ -355,20 +424,49 @@ object GraftCatalog {
                   .map(c => coalesce(c, lit(false))).getOrElse(lit(true))
                 del = del.map(d => d && not(updFires))
               }
-              notMatchedActs match {
-                case Seq(InsertStarAction(None)) => ()
+              // the insert arm: present (INSERT *) or absent entirely
+              // (a MATCHED-ONLY merge — the UPDATE/DELETE-without-
+              // INSERT idiom, r13); conditional or column-list inserts
+              // still refuse with the filter-the-source alternative
+              val insertUnmatched = notMatchedActs match {
+                case Seq(InsertStarAction(None)) => true
+                case Seq() => false
                 case _ => throw new IllegalArgumentException(
-                  s"MERGE on $ident needs exactly WHEN NOT MATCHED THEN " +
-                    "INSERT * (the engine's merge always inserts unmatched " +
-                    "source rows — filter the source for anything else)")
+                  s"MERGE on $ident takes WHEN NOT MATCHED THEN INSERT * " +
+                    "or no NOT MATCHED clause at all (the engine inserts " +
+                    "every unmatched source row or none — filter the " +
+                    "source for anything else)")
               }
+              // WHEN NOT MATCHED BY SOURCE THEN DELETE [AND cond] — the
+              // sync-deletes arm (r13); its condition sees TARGET
+              // columns only (there is no source row, by definition)
+              val bySrcDelete: Option[Column] = notMatchedBySrc match {
+                case Seq() => None
+                case Seq(DeleteAction(c)) =>
+                  val cond = c.map(rewrite).getOrElse(
+                    org.apache.spark.sql.catalyst.expressions.Literal(true))
+                  require(!cond.exists {
+                    case ua: UnresolvedAttribute =>
+                      ua.nameParts.headOption.contains("_src")
+                    case _ => false
+                  }, s"MERGE on $ident: a NOT MATCHED BY SOURCE condition " +
+                    "can only reference target columns — there is no " +
+                    "source row for an unmatched target row")
+                  Some(ColumnBridge.column(cond))
+                case _ => throw new IllegalArgumentException(
+                  s"MERGE on $ident: WHEN NOT MATCHED BY SOURCE supports " +
+                    "THEN DELETE [AND cond] only")
+              }
+              require(insertUnmatched || upd.isDefined || del.isDefined ||
+                  bySrcDelete.isDefined,
+                s"MERGE on $ident has no effective clause")
               val matchedUpdate: Option[Column] = upd match {
                 case Some(c) => c // present: None inside = unconditional
                 case None => // no UPDATE clause: matches stay untouched
                   Some(org.apache.spark.sql.functions.lit(false))
               }
               MergeCommand(ident, path, srcPlan, keys, matchedUpdate, del,
-                withEvolution)
+                withEvolution, insertUnmatched, bySrcDelete)
             case None => m
           }
         // ---- ALTER TABLE graft.<name> … — the DDL face over the
@@ -553,11 +651,14 @@ object GraftCatalog {
   final case class MergeCommand(ident: String, path: String,
       source: LogicalPlan, keys: Seq[String],
       matchedUpdate: Option[Column], matchedDelete: Option[Column],
-      evolve: Boolean) extends LeafRunnableCommand {
+      evolve: Boolean, insertUnmatched: Boolean = true,
+      bySourceDelete: Option[Column] = None) extends LeafRunnableCommand {
     override def innerChildren: Seq[LogicalPlan] = Seq(source)
     override def run(session: SparkSession): Seq[Row] = {
       ManifestTable.merge(session, path, PlanBridge.ofRows(session, source),
-        keys, matchedUpdate, matchedDelete, mergeSchema = evolve)
+        keys, matchedUpdate, matchedDelete, mergeSchema = evolve,
+        insertUnmatched = insertUnmatched,
+        whenNotMatchedBySourceDelete = bySourceDelete)
       Nil
     }
   }
@@ -582,16 +683,23 @@ object GraftCatalog {
       change match {
         case Rename(from, to) =>
           ManifestTable.renameColumn(session, path, from, to)
+        // multi-column forms are statement-ATOMIC (ADVICE r12): every
+        // column validates against the same head and the whole change
+        // publishes as ONE version — a failing column fails the
+        // statement with the table untouched
         case Add(cols) =>
-          cols.foreach { case (n, t) => ManifestTable.addColumn(session, path, n, t) }
+          ManifestTable.addColumns(session, path, cols)
         case Drop(cols, ifExists) =>
-          cols.foreach { n =>
-            val have = ManifestTable.snapshotSchema(session, path)
-              .exists(_.fieldNames.contains(n))
-            if (have || !ifExists) ManifestTable.dropColumn(session, path, n)
-          }
+          val keep =
+            if (!ifExists) cols
+            else {
+              val have = ManifestTable.snapshotSchema(session, path)
+                .map(_.fieldNames.toSet).getOrElse(Set.empty)
+              cols.filter(have)
+            }
+          if (keep.nonEmpty) ManifestTable.dropColumns(session, path, keep)
         case Widen(cols) =>
-          cols.foreach { case (n, t) => ManifestTable.widenColumn(session, path, n, t) }
+          ManifestTable.widenColumns(session, path, cols)
       }
       Nil
     }

@@ -3645,11 +3645,22 @@ object ManifestTable {
     *                                           → replaced by the
     *    matching update row;
     *  - else                                   → kept unchanged.
-    * Update rows matching no current key INSERT. Conditions are
+    * Update rows matching no current key INSERT — unless
+    * `insertUnmatched = false` (a MATCHED-ONLY merge: the
+    * UPDATE-/DELETE-without-INSERT idiom; with nothing matched it
+    * commits no version, the deleteWhere contract). Conditions are
     * evaluated over the matched pair: TARGET columns by plain name,
     * the matching SOURCE row's fields as `col("_src.<name>")` — e.g.
     * `col("_src.ts") > col("ts")` is latest-wins CDC. A NULL condition
     * is false (SQL semantics: no silent delete/update on null).
+    * `whenNotMatchedBySourceDelete` is Delta's third arm: a TARGET row
+    * whose key matches NO source row deletes when the condition
+    * (target columns only — there is no source row) evaluates true —
+    * the sync-deletes idiom. Its victim scan is stats-pruned like
+    * deleteWhere's; a condition-less by-source delete inherently
+    * rewrites every file, and any interleaved append forces the
+    * lost-race path to re-derive (appended rows could be
+    * unmatched-and-condition-true).
     * `mergeSchema = true` applies [[commit]]'s evolution rule to
     * MERGE: updates may ADD columns (kept rows and pre-evolution
     * files read them as null through the recorded widened schema),
@@ -3689,7 +3700,9 @@ object ManifestTable {
             whenMatchedDelete: Option[Column] = None,
             maxAttempts: Int = 5,
             mergeSchema: Boolean = false,
-            txn: Option[(String, Long)] = None): Int = {
+            txn: Option[(String, Long)] = None,
+            insertUnmatched: Boolean = true,
+            whenNotMatchedBySourceDelete: Option[Column] = None): Int = {
     import org.apache.spark.sql.functions.{coalesce, col, lit, struct}
     val srcCols = updates.columns.toSeq
     val bounds = keyEnvelope(updates, keys) // head-independent: once
@@ -3707,6 +3720,9 @@ object ManifestTable {
       val (rel, schema, headStats, partBy) = snapshotAll(spark, table, head)
       val headTombs = deleteTombstones(spark, table, head)
       val headDvs = deleteVectors(spark, table, head)
+      // a merge with no insert arm can change nothing on an empty
+      // table — same no-op-no-commit contract as deleteWhere
+      if ((head == 0 || rel.isEmpty) && !insertUnmatched) return head
       val (merged, affected) =
         if (head == 0 || rel.isEmpty) (updates, Set.empty[String])
         else {
@@ -3731,10 +3747,26 @@ object ManifestTable {
                 org.apache.spark.sql.functions.lit("").as("__f"): _*)
             else readFiles(spark, table, candidates, schema, partBy)
               .select(keys.map(col) :+ relFileCol.as("__f"): _*)
-          val affected = tgtKeys
+          val affectedMatched = tgtKeys
             .join(src.select(keys.map(col): _*).distinct(), keys, "left_semi")
             .select("__f").distinct()
             .collect().map(_.getString(0)).toSet
+          // NOT MATCHED BY SOURCE widens the victim set: any file that
+          // could hold a clause-condition-satisfying row must rewrite
+          // (its unmatched rows are deletion candidates) — stats-pruned
+          // exactly like deleteWhere's victim scan, so a conditioned
+          // sync-delete touches only the files owning the condition's
+          // range; a condition-less one inherently rewrites the table.
+          val bySrcVictims: Set[String] = whenNotMatchedBySourceDelete match {
+            case None => Set.empty
+            case Some(c) =>
+              val dnf = predicateDnfWith(spark, table, c, rel, schema)
+              pruneDnf(rel, headStats, dnf).toSet
+          }
+          val affected = affectedMatched ++ bySrcVictims
+          // no file rewrites and no insert arm: nothing can change —
+          // return the head with no commit (the deleteWhere contract)
+          if (affected.isEmpty && !insertUnmatched) return head
           // pass 2: clause logic over ONLY the affected files' rows —
           // tombstone-AWARE: a lazily-deleted row must not resurrect
           // into the rewritten post-image (the rewrite materializes
@@ -3758,7 +3790,13 @@ object ManifestTable {
           val matched = col("_src").isNotNull
           val del = coalesce(whenMatchedDelete.getOrElse(lit(false)), lit(false))
           val upd = coalesce(whenMatchedUpdate.getOrElse(lit(true)), lit(false))
-          val kept = joined.filter(!matched || (!del && !upd))
+          // an unmatched target row survives unless the BY SOURCE
+          // delete claims it (condition over target columns only —
+          // there is no source row to reference, by definition)
+          val bySrcDel = coalesce(
+            whenNotMatchedBySourceDelete.getOrElse(lit(false)), lit(false))
+          val kept = joined.filter(
+              (matched && !del && !upd) || (!matched && !bySrcDel))
             .select(tgt.columns.toSeq.map(col): _*)
           val replaced = joined.filter(matched && !del && upd)
             .select(srcCols.map(c => col(s"_src.$c").as(c)): _*)
@@ -3767,11 +3805,13 @@ object ManifestTable {
           // makes its file affected — so source keys absent from the
           // affected files are absent from the table. This avoids a
           // second scan of every candidate file's key column.
-          val inserted = updates.join(
-            tgt.select(keys.map(col): _*).distinct(), keys, "left_anti")
           def u(a: DataFrame, b: DataFrame) =
             a.unionByName(b, allowMissingColumns = mergeSchema)
-          (u(u(kept, replaced), inserted), affected)
+          val upserted =
+            if (!insertUnmatched) u(kept, replaced) // matched-only merge
+            else u(u(kept, replaced), updates.join(
+              tgt.select(keys.map(col): _*).distinct(), keys, "left_anti"))
+          (upserted, affected)
         }
       // CHECK enforcement on the post-image before anything is written
       // (kept rows re-validate too — they're bounded by churn, and a
@@ -3807,12 +3847,18 @@ object ManifestTable {
           val conflicts = (added: Seq[String], schema2: Option[StructType],
               stats2: Map[String, Map[String, (Double, Double)]],
               partBy2: Seq[String]) => added.nonEmpty && {
-            val cand =
-              if (bounds.isEmpty) added else pruneWith(added, stats2, bounds)
-            cand.nonEmpty && !readFiles(spark, table, cand, schema2, partBy2)
-              .select(keys.map(col): _*)
-              .join(srcKeyRows, keys, "left_semi")
-              .isEmpty
+            // a BY SOURCE delete serializing after an interleaved
+            // append must consider the appended rows (any of them
+            // could be unmatched-and-condition-true) — carrying the
+            // stale derivation would silently exempt them: re-derive
+            whenNotMatchedBySourceDelete.isDefined || {
+              val cand =
+                if (bounds.isEmpty) added else pruneWith(added, stats2, bounds)
+              cand.nonEmpty && !readFiles(spark, table, cand, schema2, partBy2)
+                .select(keys.map(col): _*)
+                .join(srcKeyRows, keys, "left_semi")
+                .isEmpty
+            }
           }
           reconcilePublish(spark, table, rel, schema, partBy, affected,
               newFiles, newStats, recordSchema, uuid, conflicts,
@@ -4465,8 +4511,22 @@ object ManifestTable {
     * (stamps the `colmap` feature like [[renameColumn]]). */
   def addColumn(spark: SparkSession, table: String, name: String,
                 dataType: DataType, maxAttempts: Int = 5,
-                freshStorage: Boolean = false): Int = {
-    require(name != SizeKey, s"column name '$name' is reserved")
+                freshStorage: Boolean = false): Int =
+    addColumns(spark, table, Seq(name -> dataType), maxAttempts, freshStorage)
+
+  /** Multi-column [[addColumn]] as ONE committed version — the SQL
+    * `ADD COLUMNS (a INT, b STRING)` statement-atomicity shape (ADVICE
+    * r12: one version per column left the table half-altered when a
+    * later column's validation failed mid-statement). Every column
+    * validates against the same head BEFORE the single publish. */
+  def addColumns(spark: SparkSession, table: String,
+                 cols: Seq[(String, DataType)], maxAttempts: Int = 5,
+                 freshStorage: Boolean = false): Int = {
+    require(cols.nonEmpty, "ADD COLUMNS needs at least one column")
+    require(cols.map(_._1).distinct.length == cols.length,
+      s"duplicate column names in ${cols.map(_._1).mkString(", ")}")
+    cols.foreach { case (name, _) =>
+      require(name != SizeKey, s"column name '$name' is reserved") }
     var attempt = 0
     while (attempt < maxAttempts) {
       attempt += 1
@@ -4475,36 +4535,39 @@ object ManifestTable {
       val (files, schema, stats, partBy) = snapshotAll(spark, table, head)
       val sch = schema.getOrElse(recordedSchema(
         readFiles(spark, table, files.take(1), None, partBy).schema, partBy))
-      require(!sch.fieldNames.contains(name),
-        s"column '$name' already exists on $table")
-      // a data column named like a hidden layout column would let a
-      // later batch carry its OWN values for it — the writer would lay
-      // files out by the data instead of the transform, silently
-      // corrupting partition pruning
-      require(!partitionTransforms(spark, table, head).exists(_.target == name),
-        s"column '$name' collides with a hidden partition-transform target")
-      val added =
+      val added = cols.map { case (name, dataType) =>
+        require(!sch.fieldNames.contains(name),
+          s"column '$name' already exists on $table")
+        // a data column named like a hidden layout column would let a
+        // later batch carry its OWN values for it — the writer would
+        // lay files out by the data instead of the transform, silently
+        // corrupting partition pruning
+        require(!partitionTransforms(spark, table, head).exists(_.target == name),
+          s"column '$name' collides with a hidden partition-transform target")
         if (!freshStorage) StructField(name, dataType, nullable = true)
         else StructField(name, dataType, nullable = true,
           metadata = new org.apache.spark.sql.types.MetadataBuilder()
             .putString(PhysNameKey,
               s"${name}_${java.util.UUID.randomUUID().toString.take(8)}")
             .build())
+      }
       // physical namespace must stay injective: adding logical 'a'
       // when a RENAMED column still stores under physical 'a' would
       // make two logical columns read the same bytes
-      require(!sch.fields.exists(f => physName(f) == physName(added)),
-        s"column name '$name' is the physical storage of an existing " +
-          "(renamed) column — pass freshStorage = true")
-      val widened = recordedSchema(StructType(sch.fields :+ added), partBy)
+      added.foreach(a =>
+        require(!sch.fields.exists(f => physName(f) == physName(a)),
+          s"column name '${a.name}' is the physical storage of an existing " +
+            "(renamed) column — pass freshStorage = true"))
+      val widened = recordedSchema(StructType(sch.fields ++ added), partBy)
       beforeConditionalCommit()
       if (currentVersion(spark, table) == head &&
-          tryPublish(spark, table, head, files, s"addcol-${b64t(name)}",
+          tryPublish(spark, table, head, files,
+            s"addcol-${b64t(cols.map(_._1).mkString(","))}",
             Some(widened), stats, partBy, op = "add-column"))
         return head + 1
     }
     throw new java.util.ConcurrentModificationException(
-      s"addColumn on $table lost $maxAttempts commit races")
+      s"addColumns on $table lost $maxAttempts commit races")
   }
 
   /** The sanctioned WIDENINGS: value-preserving embeddings Spark's
@@ -4565,7 +4628,16 @@ object ManifestTable {
     * columns widen fine — their pruning rides type-agnostic
     * degenerate double ranges. */
   def widenColumn(spark: SparkSession, table: String, name: String,
-                  to: DataType, maxAttempts: Int = 5): Int = {
+                  to: DataType, maxAttempts: Int = 5): Int =
+    widenColumns(spark, table, Seq(name -> to), maxAttempts)
+
+  /** Multi-column [[widenColumn]] as ONE committed version (the SQL
+    * statement-atomicity shape — see [[addColumns]]). */
+  def widenColumns(spark: SparkSession, table: String,
+                   cols: Seq[(String, DataType)], maxAttempts: Int = 5): Int = {
+    require(cols.nonEmpty, "ALTER COLUMN needs at least one column")
+    require(cols.map(_._1).distinct.length == cols.length,
+      s"duplicate column names in ${cols.map(_._1).mkString(", ")}")
     var attempt = 0
     while (attempt < maxAttempts) {
       attempt += 1
@@ -4574,38 +4646,42 @@ object ManifestTable {
       val (files, schema, stats, partBy) = snapshotAll(spark, table, head)
       val sch = schema.getOrElse(recordedSchema(
         readFiles(spark, table, files.take(1), None, partBy).schema, partBy))
-      val field = sch.fields.find(_.name == name).getOrElse(
-        throw new IllegalArgumentException(s"no column '$name' on $table"))
-      require(WideningsTo.get(field.dataType).exists(_.contains(to)),
-        s"cannot widen $table.$name from ${field.dataType} to $to — " +
-          "sanctioned widenings are byte/short/int→(wider int|long|double), " +
-          "float→double (value-preserving, natively up-cast by the reader); " +
-          "anything else needs an explicit rewrite")
-      // bucket is the one type-SENSITIVE transform (xxhash64 of int vs
-      // long differ); truncate runs through a double cast and calendar
-      // kinds have no widenable source type, so both stay free to widen
-      partitionTransforms(spark, table, head).foreach(pt =>
-        require(!(pt.kind == "bucket" && pt.source == name),
-          s"cannot widen $table.$name: it is the source of the " +
-            s"bucket layout transform and xxhash64 is type-sensitive — " +
-            "widened writes would lay out differently than the recorded " +
-            "dirs and pruning would skip live files"))
-      bloomConfig(spark, table, head).foreach(bc =>
-        require(!bc.cols.contains(name),
-          s"cannot widen $table.$name: it is bloom-indexed and xxhash64 is " +
-            "type-sensitive — widened lookups would miss old-era bit sets " +
-            "(false negatives). dropBloom first, widen, re-add and OPTIMIZE"))
+      cols.foreach { case (name, to) =>
+        val field = sch.fields.find(_.name == name).getOrElse(
+          throw new IllegalArgumentException(s"no column '$name' on $table"))
+        require(WideningsTo.get(field.dataType).exists(_.contains(to)),
+          s"cannot widen $table.$name from ${field.dataType} to $to — " +
+            "sanctioned widenings are byte/short/int→(wider int|long|double), " +
+            "float→double (value-preserving, natively up-cast by the reader); " +
+            "anything else needs an explicit rewrite")
+        // bucket is the one type-SENSITIVE transform (xxhash64 of int vs
+        // long differ); truncate runs through a double cast and calendar
+        // kinds have no widenable source type, so both stay free to widen
+        partitionTransforms(spark, table, head).foreach(pt =>
+          require(!(pt.kind == "bucket" && pt.source == name),
+            s"cannot widen $table.$name: it is the source of the " +
+              s"bucket layout transform and xxhash64 is type-sensitive — " +
+              "widened writes would lay out differently than the recorded " +
+              "dirs and pruning would skip live files"))
+        bloomConfig(spark, table, head).foreach(bc =>
+          require(!bc.cols.contains(name),
+            s"cannot widen $table.$name: it is bloom-indexed and xxhash64 is " +
+              "type-sensitive — widened lookups would miss old-era bit sets " +
+              "(false negatives). dropBloom first, widen, re-add and OPTIMIZE"))
+      }
+      val toOf = cols.toMap
       val widened = StructType(sch.fields.map(f =>
-        if (f.name == name) f.copy(dataType = to) else f))
+        toOf.get(f.name).fold(f)(t => f.copy(dataType = t))))
       beforeConditionalCommit()
       if (currentVersion(spark, table) == head &&
-          tryPublish(spark, table, head, files, s"widencol-${b64t(name)}",
+          tryPublish(spark, table, head, files,
+            s"widencol-${b64t(cols.map(_._1).mkString(","))}",
             Some(recordedSchema(widened, partBy)), stats, partBy,
             op = "widen-column"))
         return head + 1
     }
     throw new java.util.ConcurrentModificationException(
-      s"widenColumn on $table lost $maxAttempts commit races")
+      s"widenColumns on $table lost $maxAttempts commit races")
   }
 
   /** Metadata-only RENAME COLUMN through column mapping (the Delta
@@ -4704,7 +4780,19 @@ object ManifestTable {
     * must be dropped/materialized first, loudly, not broken
     * silently. */
   def dropColumn(spark: SparkSession, table: String, name: String,
-                 maxAttempts: Int = 5): Int = {
+                 maxAttempts: Int = 5): Int =
+    dropColumns(spark, table, Seq(name), maxAttempts)
+
+  /** Multi-column [[dropColumn]] as ONE committed version (the SQL
+    * statement-atomicity shape — see [[addColumns]]). Constraint and
+    * tombstone references validate against the FULLY narrowed schema,
+    * so a reference to any dropped column refuses the whole
+    * statement. */
+  def dropColumns(spark: SparkSession, table: String, names: Seq[String],
+                  maxAttempts: Int = 5): Int = {
+    require(names.nonEmpty, "DROP COLUMN needs at least one column")
+    require(names.distinct.length == names.length,
+      s"duplicate column names in ${names.mkString(", ")}")
     var attempt = 0
     while (attempt < maxAttempts) {
       attempt += 1
@@ -4713,10 +4801,15 @@ object ManifestTable {
       val (files, schema, stats, partBy) = snapshotAll(spark, table, head)
       val sch = schema.getOrElse(recordedSchema(
         readFiles(spark, table, files.take(1), None, partBy).schema, partBy))
-      require(sch.fieldNames.contains(name), s"no column '$name' on $table")
-      require(!partBy.contains(name),
-        s"cannot drop partition column '$name'")
-      val narrowed = StructType(sch.fields.filterNot(_.name == name))
+      names.foreach { name =>
+        require(sch.fieldNames.contains(name), s"no column '$name' on $table")
+        require(!partBy.contains(name),
+          s"cannot drop partition column '$name'")
+      }
+      require(names.size < sch.fields.length,
+        s"cannot drop every column of $table")
+      val dropSet = names.toSet
+      val narrowed = StructType(sch.fields.filterNot(f => dropSet(f.name)))
       def stillAnalyzes(sql: String): Boolean =
         try {
           spark.createDataFrame(
@@ -4727,21 +4820,23 @@ object ManifestTable {
         } catch { case _: Exception => false }
       checkConstraints(spark, table, head).foreach { case (n, sql) =>
         require(stillAnalyzes(sql),
-          s"CHECK constraint '$n' references '$name' — drop it first") }
+          s"CHECK constraint '$n' references a dropped column — drop it first") }
       deleteTombstones(spark, table, head).foreach { case (sql, _) =>
         require(stillAnalyzes(sql),
-          s"a pending lazy delete references '$name' — materialize first") }
+          s"a pending lazy delete references a dropped column — materialize first") }
       val stripped = stats.map { case (f, m) =>
-        f -> (m - name - (NullsKeyPrefix + name) - (NonNullsKeyPrefix + name)) }
+        f -> names.foldLeft(m)((acc, name) =>
+          acc - name - (NullsKeyPrefix + name) - (NonNullsKeyPrefix + name)) }
       beforeConditionalCommit()
       if (currentVersion(spark, table) == head &&
-          tryPublish(spark, table, head, files, s"dropcol-${b64t(name)}",
+          tryPublish(spark, table, head, files,
+            s"dropcol-${b64t(names.mkString(","))}",
             Some(recordedSchema(narrowed, partBy)), stripped, partBy,
             op = "drop-column"))
         return head + 1
     }
     throw new java.util.ConcurrentModificationException(
-      s"dropColumn on $table lost $maxAttempts commit races")
+      s"dropColumns on $table lost $maxAttempts commit races")
   }
 
   /** RESTORE the table to the image of `version`, as a NEW commit —

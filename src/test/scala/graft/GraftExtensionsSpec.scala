@@ -408,10 +408,7 @@ class GraftExtensionsSpec extends AnyFunSuite with SparkFixture {
         val m3 = M.read(ext, t).collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
         assert(m3(5L) === 500.0,
           "first-match order: the earlier UPDATE clause must win over DELETE")
-        // refusals: matched-only merge, expression keys, not-matched-by-source
-        intercept[Exception](ext.sql(
-          """MERGE INTO graft.mrg_t t USING chg2 c ON t.id = c.id
-            |WHEN MATCHED THEN UPDATE SET *""".stripMargin))
+        // refusal: expression keys
         intercept[Exception](ext.sql(
           """MERGE INTO graft.mrg_t t USING chg2 c ON t.id = c.id + 1
             |WHEN MATCHED THEN UPDATE SET *
@@ -421,5 +418,68 @@ class GraftExtensionsSpec extends AnyFunSuite with SparkFixture {
       SparkSession.clearActiveSession()
       prevDefault.foreach(SparkSession.setDefaultSession)
     }
+  }
+
+  test("matched-only MERGE and NOT MATCHED BY SOURCE DELETE (r13 arms)") {
+    import spark.implicits._
+    import graft.sources.{GraftCatalog, ManifestTable => M}
+    val t = java.nio.file.Files.createTempDirectory("graft_mrg13").toString + "/t"
+    M.commit(spark, t,
+      (1 to 10).map(i => (i.toLong, i * 1.0)).toDF("id", "v"),
+      statsColumns = Seq("id"))
+    GraftCatalog.register("mrg13_t", t)
+    try {
+      def image: Map[Long, Double] = M.read(spark, t).collect()
+        .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+      // UPDATE-only: matches update, unmatched source rows do NOT insert
+      Seq((2L, 200.0), (12L, 999.0)).toDF("id", "v")
+        .createOrReplaceTempView("mo1")
+      spark.sql("""MERGE INTO graft.mrg13_t t USING mo1 c ON t.id = c.id
+                  |WHEN MATCHED THEN UPDATE SET *""".stripMargin)
+      assert(M.currentVersion(spark, t) === 2)
+      assert(image === (1 to 10).map(i =>
+        i.toLong -> (if (i == 2) 200.0 else i * 1.0)).toMap,
+        "UPDATE-only must update id=2 and must NOT insert id=12")
+      // matched-only with zero matches: NO commit (deleteWhere contract)
+      Seq((77L, 1.0)).toDF("id", "v").createOrReplaceTempView("mo2")
+      spark.sql("""MERGE INTO graft.mrg13_t t USING mo2 c ON t.id = c.id
+                  |WHEN MATCHED THEN UPDATE SET *""".stripMargin)
+      assert(M.currentVersion(spark, t) === 2,
+        "a matched-only merge matching nothing must commit no version")
+      // DELETE-only
+      Seq((3L, 0.0), (4L, 0.0)).toDF("id", "v").createOrReplaceTempView("mo3")
+      spark.sql("""MERGE INTO graft.mrg13_t t USING mo3 c ON t.id = c.id
+                  |WHEN MATCHED THEN DELETE""".stripMargin)
+      assert(image.keySet === Set(1L, 2L, 5L, 6L, 7L, 8L, 9L, 10L))
+      // conditioned BY SOURCE delete: only unmatched rows with id >= 9 go
+      Seq((1L, 1.0), (2L, 200.0)).toDF("id", "v")
+        .createOrReplaceTempView("mo4")
+      spark.sql("""MERGE INTO graft.mrg13_t t USING mo4 c ON t.id = c.id
+                  |WHEN MATCHED THEN UPDATE SET *
+                  |WHEN NOT MATCHED BY SOURCE AND t.id >= 9 THEN DELETE""".stripMargin)
+      assert(image.keySet === Set(1L, 2L, 5L, 6L, 7L, 8L),
+        "BY SOURCE AND id >= 9 must delete exactly 9 and 10")
+      // the full mirror-sync idiom: UPDATE + INSERT + unconditional
+      // BY SOURCE DELETE makes the target the source's exact image —
+      // hash-checked against the DataFrame the source was built from
+      val mirror = Seq((1L, 11.0), (6L, 66.0), (20L, 20.0))
+        .toDF("id", "v")
+      mirror.createOrReplaceTempView("mo5")
+      spark.sql("""MERGE INTO graft.mrg13_t t USING mo5 c ON t.id = c.id
+                  |WHEN MATCHED THEN UPDATE SET *
+                  |WHEN NOT MATCHED THEN INSERT *
+                  |WHEN NOT MATCHED BY SOURCE THEN DELETE""".stripMargin)
+      assert(image === mirror.collect()
+        .map(r => r.getLong(0) -> r.getDouble(1)).toMap,
+        "the three-arm merge must mirror the source exactly")
+      // refusals: a BY SOURCE condition referencing the source, and a
+      // BY SOURCE UPDATE arm
+      val e = intercept[Exception](spark.sql(
+        """MERGE INTO graft.mrg13_t t USING mo5 c ON t.id = c.id
+          |WHEN MATCHED THEN UPDATE SET *
+          |WHEN NOT MATCHED BY SOURCE AND c.v > 0 THEN DELETE""".stripMargin))
+      assert(e.getMessage.contains("target columns"),
+        s"source refs in a BY SOURCE condition must refuse: ${e.getMessage}")
+    } finally GraftCatalog.unregister("mrg13_t")
   }
 }

@@ -215,6 +215,27 @@ class ReconcileSpec extends AnyFunSuite with SparkFixture {
       "an aborted compaction must not leave an orphan data dir behind")
   }
 
+  test("a BY SOURCE delete merge re-derives on ANY interleaved append") {
+    val t = freshTable()
+    ManifestTable.commit(spark, t, df(1L -> "a", 2L -> "b"),
+      statsColumns = Seq("id"))
+    val (v, attempts) = raced {
+      // the appended row's key is NOT in the merge source — a plain
+      // merge would reconcile, but a BY SOURCE delete serialized after
+      // the append must delete this very row
+      ManifestTable.commit(spark, t, df(10L -> "x"))
+    } {
+      ManifestTable.merge(spark, t, df(1L -> "A"), Seq("id"),
+        whenNotMatchedBySourceDelete =
+          Some(org.apache.spark.sql.functions.lit(true)))
+    }
+    assert(v === 3)
+    assert(attempts === 2,
+      s"BY SOURCE delete must re-derive on an interleaved append (saw $attempts)")
+    assert(headMap(t) === Map(1L -> "A"),
+      "serialized after the append, the BY SOURCE delete must remove id=10 too")
+  }
+
   test("merge reconciles across SEVERAL interleaved commits in one republish") {
     val t = freshTable()
     ManifestTable.commit(spark, t, df(1L -> "a"), statsColumns = Seq("id"))
