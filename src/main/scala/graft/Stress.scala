@@ -519,6 +519,34 @@ object Stress {
         s"pruning under the new name kept $keptRenamed != $kept")
       println(f"[stress] manifest_100k rename_s=$renameSec%.2f " +
         f"prune_after_rename_ms=$prune2Ms%.0f kept=$keptRenamed")
+      // r13: UPDATE at the 100k-file scale (update_100k) — the DML
+      // family's newest operator must cost O(churn), not O(table):
+      // the victim scan stats-prunes to the files whose recorded
+      // range intersects the predicate, ONLY those rewrite, and
+      // every other file carries by reference. The assertion is
+      // exact: files leaving the snapshot == files whose range could
+      // hold a match (== the prune drill's kept-set, same predicate).
+      val beforeUpd = ManifestTable.snapshotFiles(spark, t).toSet
+      t0 = System.nanoTime()
+      ManifestTable.updateWhere(spark, t,
+        Seq("key" -> (col("key") + 10000000L)),
+        col("key").between(10.0, 100.0))
+      val updateSec = (System.nanoTime() - t0) / 1e9
+      val afterUpd = ManifestTable.snapshotFiles(spark, t).toSet
+      val updVictims = (beforeUpd -- afterUpd).size
+      require(updVictims == keptRenamed,
+        s"UPDATE rewrote $updVictims files, but exactly $keptRenamed " +
+          "files hold predicate-range rows — victims must equal the " +
+          "stats-pruned candidate set, or the rewrite is O(table)")
+      require((afterUpd -- beforeUpd).nonEmpty &&
+        (beforeUpd & afterUpd).size == nAll - updVictims,
+        "every non-victim file must carry by reference")
+      val updatedRows = ManifestTable.readWhere(spark, t,
+        col("key") >= 10000000L).count()
+      require(updatedRows == 91,
+        s"the 91 in-range rows must surface shifted, got $updatedRows")
+      println(f"[stress] update_100k update_s=$updateSec%.2f " +
+        f"victims=$updVictims/$nAll carried=${(beforeUpd & afterUpd).size}")
     }
 
     // Analytics shapes over a rep×-replicated event log (user space
@@ -542,6 +570,31 @@ object Stress {
         .filter(length(col("tok")) > 0)
         .groupBy("source", "tok").agg(count(lit(1)).as("n"))
         .groupBy("source").agg(sum("n"), count(lit(1))).count()
+    }
+    // BPE merge training (r13): one corpus pass builds the vocab, the
+    // merge loop then runs DRIVER-SIDE under LocalVocabLimit words
+    // (exact incremental pair counts, lazy-deleted heap) — the merge
+    // count must cost milliseconds each, not a Spark round each, or a
+    // 50k-merge production vocabulary is implausible. The printed
+    // merges/sec is the SCALE.md number.
+    time("bpe_train_512") {
+      // split the one-time corpus pass (vocab agg, read once at any
+      // merge count) from the merge LOOP — the loop rate is what makes
+      // a 50k-merge vocabulary plausible or not
+      val vocab = docs
+        .select(explode(split(lower(col("text")), " ")).as("w"))
+        .filter(length(col("w")) > 0)
+        .groupBy("w").agg(count(lit(1)).as("cnt"))
+        .collect()
+        .map(r => (r.getString(0).map(_.toString).toIndexedSeq: IndexedSeq[String],
+          r.getLong(1)))
+      val t1 = System.nanoTime()
+      val m = graft.operators.Bpe.trainMergesLocal(vocab, 512)
+      val loopSec = (System.nanoTime() - t1) / 1e9
+      println(f"[stress rep=$rep] bpe_train_512 vocab_words=${vocab.length} " +
+        f"merges=${m.length} loop_s=$loopSec%.3f " +
+        f"merges_per_sec=${m.length / loopSec}%.0f")
+      m.length.toLong
     }
     // b7_pack two-phase prefix sum: the driver-side subtotal table
     // must stay BOUNDED as the corpus grows. packBucketWidth (r7)

@@ -475,7 +475,8 @@ object GraftCatalog {
           val ident = u.multipartIdentifier.mkString(".")
           alterSpec(u, "ALTER") match {
             case Some(path) => AlterCommand(ident, path,
-              Rename(singleField(colName.name, ident, "RENAME COLUMN"), newName))
+              // multi-part = a nested struct-field rename (r13)
+              Rename(colName.name, newName))
             case None => rc
           }
         case ac @ AddColumns(u: UnresolvedTable, cols) =>
@@ -665,7 +666,7 @@ object GraftCatalog {
 
   /** One ALTER TABLE change, pre-validated by the rule. */
   sealed trait Alter extends Serializable
-  final case class Rename(from: String, to: String) extends Alter
+  final case class Rename(from: Seq[String], to: String) extends Alter
   final case class Add(cols: Seq[(String, DataType)]) extends Alter
   final case class Drop(cols: Seq[String], ifExists: Boolean) extends Alter
   final case class Widen(cols: Seq[(String, DataType)]) extends Alter
@@ -682,7 +683,7 @@ object GraftCatalog {
     override def run(session: SparkSession): Seq[Row] = {
       change match {
         case Rename(from, to) =>
-          ManifestTable.renameColumn(session, path, from, to)
+          ManifestTable.renameColumnPath(session, path, from, to)
         // multi-column forms are statement-ATOMIC (ADVICE r12): every
         // column validates against the same head and the whole change
         // publishes as ONE version — a failing column fails the

@@ -1741,11 +1741,53 @@ object ManifestTable {
     if (f.metadata.contains(PhysNameKey)) f.metadata.getString(PhysNameKey)
     else f.name
 
-  /** logical → physical for fields where the two differ. */
-  private def physMap(schema: Option[StructType]): Map[String, String] =
-    schema.map(_.fields.collect {
-      case f if physName(f) != f.name => f.name -> physName(f)
-    }.toMap).getOrElse(Map.empty)
+  // ---- nested mapping (r13): PhysNameKey may sit on struct fields at
+  // ANY depth (structs, struct elements of arrays, struct values of
+  // maps) — `ALTER TABLE … RENAME COLUMN s.a TO s.b` is the same pure
+  // schema edit as a top-level rename. The recursive twins below
+  // derive the on-disk (physical) spelling of a type and detect
+  // whether any level carries a mapping at all.
+
+  /** `dt` with every struct field at every depth renamed to its
+    * physical (on-disk) spelling. */
+  private def physType(dt: DataType): DataType = dt match {
+    case st: StructType =>
+      StructType(st.fields.map(f =>
+        f.copy(name = physName(f), dataType = physType(f.dataType))))
+    case org.apache.spark.sql.types.ArrayType(et, n) =>
+      org.apache.spark.sql.types.ArrayType(physType(et), n)
+    case org.apache.spark.sql.types.MapType(k, v, n) =>
+      org.apache.spark.sql.types.MapType(physType(k), physType(v), n)
+    case other => other
+  }
+
+  /** Does any field at any depth store under a different name? */
+  private def hasMapping(dt: DataType): Boolean = dt match {
+    case st: StructType => st.fields.exists(f =>
+      physName(f) != f.name || hasMapping(f.dataType))
+    case org.apache.spark.sql.types.ArrayType(et, _) => hasMapping(et)
+    case org.apache.spark.sql.types.MapType(k, v, _) =>
+      hasMapping(k) || hasMapping(v)
+    case _ => false
+  }
+
+  /** The full logical-path → physical-name mapping, all depths — the
+    * commit loop compares it across a race window (a batch's files
+    * are laid out under ONE mapping; publishing them under another
+    * would silently null the remapped columns). */
+  private def mappingOf(s: Option[StructType]): Map[Seq[String], String] = {
+    def walk(dt: DataType, prefix: Seq[String]): Seq[(Seq[String], String)] =
+      dt match {
+        case st: StructType => st.fields.toSeq.flatMap(f =>
+          (if (physName(f) != f.name) Seq((prefix :+ f.name) -> physName(f))
+           else Nil) ++ walk(f.dataType, prefix :+ f.name))
+        case org.apache.spark.sql.types.ArrayType(et, _) => walk(et, prefix)
+        case org.apache.spark.sql.types.MapType(k, v, _) =>
+          walk(k, prefix) ++ walk(v, prefix)
+        case _ => Nil
+      }
+    s.map(st => walk(st, Nil).toMap).getOrElse(Map.empty)
+  }
 
   /** An OLD version's schema re-spelled to the TO-version logical
     * names through the stable physical identity — what the change
@@ -1753,18 +1795,61 @@ object ManifestTable {
     * cannot desynchronize group columns from the to-version
     * projection (types stay the group's own; union coercion widens a
     * mid-range type evolution). */
+  /** Type EQUALITY must ignore the mapping metadata a recorded schema
+    * carries inside nested types — a batch's plain `struct<x:double>`
+    * IS the recorded `struct<x:double (phys a)>`; StructType equality
+    * compares field metadata, so strip it at every depth first. */
+  private def sameType(a: DataType, b: DataType): Boolean =
+    stripMeta(a) == stripMeta(b)
+  private def stripMeta(dt: DataType): DataType = dt match {
+    case st: StructType => StructType(st.fields.map(f =>
+      f.copy(dataType = stripMeta(f.dataType),
+        metadata = org.apache.spark.sql.types.Metadata.empty)))
+    case org.apache.spark.sql.types.ArrayType(et, n) =>
+      org.apache.spark.sql.types.ArrayType(stripMeta(et), n)
+    case org.apache.spark.sql.types.MapType(k, v, n) =>
+      org.apache.spark.sql.types.MapType(stripMeta(k), stripMeta(v), n)
+    case other => other
+  }
+
   private def respellTo(s: StructType, toFields: Seq[StructField]): StructType = {
-    val byPhys = toFields.map(f => physName(f) -> f.name).toMap
-    StructType(s.fields.map(f =>
-      byPhys.get(physName(f)).filter(_ != f.name)
-        .map(n => f.copy(name = n,
-          // the re-spelled field must KEEP pointing at its physical
-          // storage — a bare rename would read the new logical name
-          // off disk (absent there) and null the whole column
-          metadata = new org.apache.spark.sql.types.MetadataBuilder()
-            .withMetadata(f.metadata)
-            .putString(PhysNameKey, physName(f)).build()))
-        .getOrElse(f)))
+    // nested renames re-spell recursively through the same physical
+    // identity — a to-version rename of `s.a` to `s.b` must surface
+    // in historical groups under `s.b` too
+    def respellType(dt: DataType, to: DataType): DataType = (dt, to) match {
+      case (st: StructType, tst: StructType) =>
+        StructType(respellFields(st.fields.toSeq, tst.fields.toSeq).toArray)
+      case (org.apache.spark.sql.types.ArrayType(et, n),
+            org.apache.spark.sql.types.ArrayType(tet, _)) =>
+        org.apache.spark.sql.types.ArrayType(respellType(et, tet), n)
+      case (org.apache.spark.sql.types.MapType(k, v, n),
+            org.apache.spark.sql.types.MapType(tk, tv, _)) =>
+        org.apache.spark.sql.types.MapType(
+          respellType(k, tk), respellType(v, tv), n)
+      case _ => dt
+    }
+    def respellFields(fields: Seq[StructField],
+                      toF: Seq[StructField]): Seq[StructField] = {
+      val byPhys = toF.map(f => physName(f) -> f).toMap
+      fields.map { f =>
+        byPhys.get(physName(f)) match {
+          case Some(tf) =>
+            val renamed =
+              if (tf.name == f.name) f
+              else f.copy(name = tf.name,
+                // the re-spelled field must KEEP pointing at its
+                // physical storage — a bare rename would read the new
+                // logical name off disk (absent there) and null the
+                // whole column
+                metadata = new org.apache.spark.sql.types.MetadataBuilder()
+                  .withMetadata(f.metadata)
+                  .putString(PhysNameKey, physName(f)).build())
+            renamed.copy(dataType = respellType(f.dataType, tf.dataType))
+          case None => f
+        }
+      }
+    }
+    StructType(respellFields(s.fields.toSeq, toFields).toArray)
   }
 
   private def readFiles(spark: SparkSession, table: String,
@@ -1773,15 +1858,26 @@ object ManifestTable {
     val externs = externRoots(spark, table)
     val paths = files.map(f => dataPath(externs, table, f).toString)
     // column mapping: scan under the PHYSICAL field names, surface the
-    // logical ones. toDF is a positional rename, so order is the
-    // recorded order both sides; `_metadata` stays resolvable through
-    // the Project (AddMetadataColumns propagates it), which the
-    // partition-derivation and __f/__ri taggers below rely on.
+    // logical ones. Top level is a positional toDF rename (order is
+    // the recorded order both sides); NESTED renames ride a same-shape
+    // struct cast — Catalyst's struct cast matches fields positionally
+    // and takes the target names, so it is a pure rename (identical
+    // child types) that stays inside codegen. `_metadata` stays
+    // resolvable through both Projects (AddMetadataColumns
+    // propagates), which the partition-derivation and __f/__ri
+    // taggers below rely on.
     def mapped(read: StructType => DataFrame, s: StructType): DataFrame = {
-      val m = physMap(Some(s))
-      if (m.isEmpty) read(s)
-      else read(StructType(s.fields.map(f => f.copy(name = physName(f)))))
-        .toDF(s.fieldNames.toIndexedSeq: _*)
+      if (!hasMapping(s)) read(s)
+      else {
+        val top = read(physType(s).asInstanceOf[StructType])
+          .toDF(s.fieldNames.toIndexedSeq: _*)
+        if (!s.fields.exists(f => hasMapping(f.dataType))) top
+        else top.select(s.fields.map(f =>
+          if (hasMapping(f.dataType))
+            org.apache.spark.sql.functions.col(f.name)
+              .cast(f.dataType).as(f.name)
+          else org.apache.spark.sql.functions.col(f.name)).toIndexedSeq: _*)
+      }
     }
     // the recorded snapshot schema makes evolved tables readable (files
     // predating an added column yield null for it) without mergeSchema's
@@ -2531,7 +2627,7 @@ object ManifestTable {
                         statsColumns: Seq[String] = Nil,
                         partitionBy: Seq[String] = Nil,
                         transformsOpt: Option[Seq[PartitionTransform]] = None,
-                        physOverride: Option[Map[String, String]] = None)
+                        physOverride: Option[StructType] = None)
       : (String, Seq[String], Map[String, Map[String, (Double, Double)]]) = {
     // refuse the reserved name BEFORE writing anything — a refused
     // batch must leave no garbage dir behind
@@ -2572,18 +2668,36 @@ object ManifestTable {
           transformCol(pt, fcol(pt.source), d.schema(pt.source).dataType))
       else d
     }
-    // column mapping: files store PHYSICAL names. The mapping comes
-    // from the schema this batch JOINS (the head's recorded schema) —
-    // except a schema-REPLACING write (commit Overwrite), which
-    // records the batch's own fresh schema and must pass
-    // physOverride = Some(Map.empty). Hidden transform targets and
+    // column mapping: files store PHYSICAL names, at every depth. The
+    // mapping comes from the schema this batch JOINS (the head's
+    // recorded schema) — except a schema-REPLACING write (commit
+    // Overwrite), which records the batch's own fresh schema and
+    // passes an empty physOverride. Hidden transform targets and
     // evolution-added columns are absent from the mapping → identity.
-    val physOf: Map[String, String] = physOverride.getOrElse(
-      try physMap(snapshotSchema(spark, table))
-      catch { case _: IllegalArgumentException => Map.empty })
-    val dfW =
-      if (physOf.isEmpty) df
-      else df.toDF(df.columns.map(c => physOf.getOrElse(c, c)).toIndexedSeq: _*)
+    // Nested renames ride the same positional struct cast the read
+    // side uses (readFiles `mapped`), so write and read invert each
+    // other exactly.
+    val mapSch: Option[StructType] = physOverride.orElse(
+      try snapshotSchema(spark, table)
+      catch { case _: IllegalArgumentException => None })
+    // top-level logical → physical, for the stats pass below (stats
+    // keys are top-level column names; nested fields carry no stats)
+    val physOf: Map[String, String] = mapSch.map(_.fields.collect {
+      case f if physName(f) != f.name => f.name -> physName(f)
+    }.toMap).getOrElse(Map.empty)
+    val dfW = mapSch.filter(hasMapping) match {
+      case None => df
+      case Some(ms) =>
+        val fieldOf = ms.fields.map(f => f.name -> f).toMap
+        df.select(df.columns.map { c =>
+          fieldOf.get(c) match {
+            case Some(f) =>
+              (if (hasMapping(f.dataType)) fcol(c).cast(physType(f.dataType))
+               else fcol(c)).as(physName(f))
+            case None => fcol(c)
+          }
+        }.toIndexedSeq: _*)
+    }
     val uuid = java.util.UUID.randomUUID().toString
     val dataDir = new Path(table, s"data/$uuid")
     val w = dfW.write.mode(SaveMode.ErrorIfExists)
@@ -3035,7 +3149,7 @@ object ManifestTable {
       // era (it would surface nulls for every renamed column) — the
       // derived-per-root rule applies here too: a later overwrite
       // recording a mapping-free schema drops the gate with it
-      schema.exists(_.fields.exists(_.metadata.contains(PhysNameKey))) -> "colmap"
+      schema.exists(hasMapping) -> "colmap"
     ).collect { case (true, f) => f }
     // 2-space indent is LOAD-BEARING: featuresFromText line-anchors on
     // it to distinguish this top-level key from per-file stats entries
@@ -3189,7 +3303,7 @@ object ManifestTable {
           val haveTypes = have.map(x => (x.name, x.dataType)).toMap
           if (mergeSchema) {
             df.schema.foreach(f => haveTypes.get(f.name).foreach(t =>
-              require(t == f.dataType,
+              require(sameType(t, f.dataType),
                 s"append on $table would retype column ${f.name}: " +
                   s"table has $t, batch has ${f.dataType} — evolution may " +
                   "only add columns, never change them")))
@@ -3205,9 +3319,10 @@ object ManifestTable {
             StructType(have.fields ++
               df.schema.filterNot(f => haveTypes.contains(f.name)))
           } else {
-            val incoming = df.schema.map(x => (x.name, x.dataType)).toSet
-            require(haveTypes.toSet == incoming,
-              s"append schema mismatch on $table: table has ${haveTypes.toSet}, " +
+            val incoming = df.schema.map(x => (x.name, stripMeta(x.dataType))).toSet
+            val haveBare = haveTypes.map { case (n, t) => (n, stripMeta(t)) }.toSet
+            require(haveBare == incoming,
+              s"append schema mismatch on $table: table has $haveBare, " +
                 s"batch has $incoming (mergeSchema=true to add columns, " +
                 "overwrite to replace the schema)")
             have
@@ -3237,10 +3352,11 @@ object ManifestTable {
     // publish loop below can detect a concurrent rename: the batch's
     // files are laid out under THESE physical names, and a mapping
     // that changes before the publish wins would desynchronize them
-    val physUsed: Map[String, String] =
-      if (mode == SaveMode.Overwrite) Map.empty
-      else try physMap(snapshotSchema(spark, table))
-      catch { case _: IllegalArgumentException => Map.empty }
+    val physUsed: StructType =
+      if (mode == SaveMode.Overwrite) new StructType()
+      else (try snapshotSchema(spark, table)
+            catch { case _: IllegalArgumentException => None })
+        .getOrElse(new StructType())
     val (uuid, newFiles, newStats) =
       writeData(spark, table, df, cols, partBy, Some(transforms),
         // Overwrite records the batch's OWN fresh schema (no mapping):
@@ -3273,10 +3389,11 @@ object ManifestTable {
           s"append on $table was laid out for partitioning $partBy but a " +
             "concurrent overwrite changed the table's layout — re-run the append")
         // same discipline for column mapping: this batch's files were
-        // written under physUsed's physical names — a concurrent
-        // rename/overwrite changing the mapping would silently null
-        // the remapped columns out of them
-        require(physMap(snapshotSchema(spark, table, head)) == physUsed,
+        // written under physUsed's physical names (all depths) — a
+        // concurrent rename/overwrite changing the mapping would
+        // silently null the remapped columns out of them
+        require(mappingOf(snapshotSchema(spark, table, head)) ==
+            mappingOf(Some(physUsed)),
           s"append on $table was written under a column mapping a " +
             "concurrent schema change replaced — re-run the append")
       }
@@ -3781,7 +3898,7 @@ object ManifestTable {
           if (mergeSchema) {
             val haveTypes = tgt.schema.map(f => (f.name, f.dataType)).toMap
             updates.schema.foreach(f => haveTypes.get(f.name).foreach(t =>
-              require(t == f.dataType,
+              require(sameType(t, f.dataType),
                 s"merge on $table would retype column ${f.name}: " +
                   s"table has $t, batch has ${f.dataType} — evolution may " +
                   "only add columns, never change them")))
@@ -4020,7 +4137,7 @@ object ManifestTable {
         val target = withFile.schema(c).dataType
         val e = assignOf(c)
         val aType = withFile.select(e.as("__p")).schema.head.dataType
-        if (aType == target) e
+        if (sameType(aType, target)) e
         else if (safeStoreCast(aType, target)) e.cast(target)
         else throw new IllegalArgumentException(
           s"UPDATE on $table assigns $aType to column '$c' ($target) — " +
@@ -4703,12 +4820,31 @@ object ManifestTable {
     * and columns referenced by a CHECK constraint or pending tombstone
     * (their recorded SQL would dangle — drop/materialize first). */
   def renameColumn(spark: SparkSession, table: String, from: String,
-                   to: String, maxAttempts: Int = 5): Int = {
+                   to: String, maxAttempts: Int = 5): Int =
+    renameColumnPath(spark, table, Seq(from), to, maxAttempts)
+
+  /** [[renameColumn]] for a NESTED struct field, addressed by path —
+    * `renameColumnPath(…, Seq("s", "a"), "b")` renames `s.a` to `s.b`
+    * (r13, Delta nested-column-mapping parity). The same pure schema
+    * edit: the field keeps its physical storage name in metadata at
+    * its own nesting level, zero data moves, and time travel / CDF /
+    * clone stay version-correct because the mapping rides the schema.
+    * Nested fields carry no stats keys, partition/transform/bloom
+    * references, so only sibling uniqueness, physical injectivity
+    * among siblings, and recorded-SQL (constraint/tombstone)
+    * references gate the rename. Paths must traverse STRUCTS —
+    * renaming inside array elements or map values is refused. */
+  def renameColumnPath(spark: SparkSession, table: String,
+                       path: Seq[String], to: String,
+                       maxAttempts: Int = 5): Int = {
+    require(path.nonEmpty, "rename needs a column path")
+    val from = path.head
     require(to.nonEmpty && !to.startsWith(ReservedStatsPrefix) &&
       to != "__f" && to != "__ri",
       s"column name '$to' is reserved")
     require(!to.exists(ch => ch == '"' || ch == '\\' || ch == '\n' || ch == '\r'),
       s"column name '$to' contains characters the manifest grammar cannot carry")
+    val dotted = path.mkString(".")
     var attempt = 0
     while (attempt < maxAttempts) {
       attempt += 1
@@ -4717,28 +4853,58 @@ object ManifestTable {
       val (files, schema, stats, partBy) = snapshotAll(spark, table, head)
       val sch = schema.getOrElse(recordedSchema(
         readFiles(spark, table, files.take(1), None, partBy).schema, partBy))
-      val field = sch.fields.find(_.name == from).getOrElse(
-        throw new IllegalArgumentException(s"no column '$from' on $table"))
-      require(!sch.fieldNames.contains(to),
-        s"column '$to' already exists on $table")
-      require(!partBy.contains(from),
-        s"cannot rename partition column '$from' — partition dirs spell its name")
-      partitionTransforms(spark, table, head).foreach { pt =>
-        require(pt.source != from && pt.target != from,
-          s"cannot rename '$from': the ${pt.kind} layout transform names it")
-        require(pt.target != to,
-          s"column '$to' collides with a hidden partition-transform target")
+      if (path.length == 1) {
+        // top-level-only references: partition dirs, layout transforms
+        // and bloom sidecars all spell TOP-LEVEL names (existence and
+        // sibling-uniqueness live in the shared renameIn below)
+        require(!partBy.contains(from),
+          s"cannot rename partition column '$from' — partition dirs spell its name")
+        partitionTransforms(spark, table, head).foreach { pt =>
+          require(pt.source != from && pt.target != from,
+            s"cannot rename '$from': the ${pt.kind} layout transform names it")
+          require(pt.target != to,
+            s"column '$to' collides with a hidden partition-transform target")
+        }
+        bloomConfig(spark, table, head).foreach(bc =>
+          require(!bc.cols.contains(from),
+            s"cannot rename bloom-indexed column '$from' — " +
+              "dropBloom, rename, then re-add the index"))
       }
-      bloomConfig(spark, table, head).foreach(bc =>
-        require(!bc.cols.contains(from),
-          s"cannot rename bloom-indexed column '$from' — " +
-            "dropBloom, rename, then re-add the index"))
-      // recorded SQL (constraints, pending tombstones) would dangle
-      val renamed = StructType(sch.fields.map(f =>
-        if (f.name == from)
-          f.copy(name = to, metadata = new org.apache.spark.sql.types.MetadataBuilder()
-            .withMetadata(f.metadata).putString(PhysNameKey, physName(f)).build())
-        else f))
+      // one renamed-field builder, any depth: the edited field takes
+      // the new logical name and REMEMBERS its physical storage
+      def renameIn(fields: Array[StructField], rest: Seq[String])
+          : Array[StructField] = {
+        val target = rest.head
+        val f = fields.find(_.name == target).getOrElse(
+          throw new IllegalArgumentException(
+            s"no column '$dotted' on $table ('$target' not found)"))
+        if (rest.length == 1) {
+          require(!fields.exists(_.name == to),
+            s"column '$to' already exists alongside '$dotted' on $table")
+          // no physical-injectivity check needed: a rename never
+          // changes physical names, so the physical namespace stays
+          // exactly as injective as it was (and a back-rename to the
+          // field's OWN physical spelling is legal — Delta allows it)
+          fields.map(x =>
+            if (x.name == target)
+              x.copy(name = to,
+                metadata = new org.apache.spark.sql.types.MetadataBuilder()
+                  .withMetadata(x.metadata)
+                  .putString(PhysNameKey, physName(x)).build())
+            else x)
+        } else f.dataType match {
+          case st: StructType =>
+            fields.map(x =>
+              if (x.name == target)
+                x.copy(dataType = StructType(renameIn(st.fields, rest.tail)))
+              else x)
+          case other => throw new IllegalArgumentException(
+            s"cannot rename '$dotted' on $table: '$target' is $other, " +
+              "not a struct — renames inside array elements or map " +
+              "values are unsupported")
+        }
+      }
+      val renamed = StructType(renameIn(sch.fields, path))
       def stillAnalyzes(sql: String): Boolean =
         try {
           spark.createDataFrame(
@@ -4749,18 +4915,21 @@ object ManifestTable {
         } catch { case _: Exception => false }
       checkConstraints(spark, table, head).foreach { case (n, sql) =>
         require(stillAnalyzes(sql),
-          s"CHECK constraint '$n' references '$from' — drop it first") }
+          s"CHECK constraint '$n' references '$dotted' — drop it first") }
       deleteTombstones(spark, table, head).foreach { case (sql, _) =>
         require(stillAnalyzes(sql),
-          s"a pending lazy delete references '$from' — materialize first") }
-      // stats keys are LOGICAL — re-spell them with the rename
+          s"a pending lazy delete references '$dotted' — materialize first") }
+      // stats keys are LOGICAL, top-level only — re-spell them with a
+      // top-level rename; a nested rename touches no stats key
       def rekey(k: String): String =
         if (k == from) to
         else if (k == NullsKeyPrefix + from) NullsKeyPrefix + to
         else if (k == NonNullsKeyPrefix + from) NonNullsKeyPrefix + to
         else k
-      val respelled = stats.map { case (f, m) =>
-        f -> m.map { case (k, v) => rekey(k) -> v } }
+      val respelled =
+        if (path.length > 1) stats
+        else stats.map { case (f, m) =>
+          f -> m.map { case (k, v) => rekey(k) -> v } }
       beforeConditionalCommit()
       if (currentVersion(spark, table) == head &&
           tryPublish(spark, table, head, files, s"renamecol-${b64t(to)}",
@@ -4769,7 +4938,7 @@ object ManifestTable {
         return head + 1
     }
     throw new java.util.ConcurrentModificationException(
-      s"renameColumn on $table lost $maxAttempts commit races")
+      s"renameColumnPath on $table lost $maxAttempts commit races")
   }
 
   /** Metadata-only DROP COLUMN: record the narrowed schema; the

@@ -32,6 +32,25 @@ class BpeSpec extends AnyFunSuite with SparkFixture {
     assert(merges(Bpe.trainMerges(docs, 3)) === first)
   }
 
+  test("driver-side and distributed training are BIT-identical (r13 parity)") {
+    // the same corpora through both paths: the default (driver-side,
+    // exact incremental counts) and localVocabLimit = 0 (forces the
+    // distributed per-round loop) — every merge, rank, and frequency
+    // must match, or the bounded fast path is a different tokenizer
+    val corpora = Seq(
+      Seq((1L, "abab ab abab"), (2L, "abab")),
+      Seq((1L, "ab ab ba ba")),
+      Seq((1L, "the cat sat on the mat"), (2L, "the bat and the rat sat"),
+        (3L, "matter scatter batter the that")),
+      Seq((1L, "aaaa aaa aa"))) // overlapping repeats: aaa → (a,a) ×2
+    corpora.foreach { rows =>
+      val docs = rows.toDF("doc_id", "text")
+      val local = merges(Bpe.trainMerges(docs, 12))
+      val dist = merges(Bpe.trainMerges(docs, 12, localVocabLimit = 0))
+      assert(local === dist, s"paths diverged on $rows")
+    }
+  }
+
   test("no repeating pair means zero merges, not a crash") {
     val docs = Seq((1L, "ab cd ef")).toDF("doc_id", "text")
     assert(Bpe.trainMerges(docs, 4).count() === 0)

@@ -240,4 +240,99 @@ class ColumnMappingSpec extends AnyFunSuite with SparkFixture {
     assert(ManifestTable.read(spark, t).columns.toSeq === Seq("id", "score", "s"))
     assert(!ManifestTable.tableFeatures(spark, t).contains("colmap"))
   }
+
+  private def dfNested(n: Int): DataFrame = {
+    import spark.implicits._
+    (1 to n).map(i => (i.toLong, (i * 2.0, s"tag$i")))
+      .toDF("id", "meta")
+      .select(col("id"), col("meta").cast("struct<a:double,b:string>").as("meta"))
+  }
+
+  test("NESTED rename (r13): meta.a -> meta.x is the same pure schema edit") {
+    import spark.implicits._
+    val t = fresh()
+    ManifestTable.commit(spark, t, dfNested(20), statsColumns = Seq("id"))
+    val filesBefore = ManifestTable.snapshotFiles(spark, t)
+    assert(ManifestTable.renameColumnPath(spark, t, Seq("meta", "a"), "x") === 2)
+    assert(ManifestTable.snapshotFiles(spark, t) === filesBefore,
+      "a nested rename must move zero data")
+    assert(ManifestTable.tableFeatures(spark, t).contains("colmap"),
+      "a nested mapping must stamp the colmap feature too")
+    val got = ManifestTable.read(spark, t)
+    assert(got.schema("meta").dataType.simpleString === "struct<x:double,b:string>")
+    assert(got.filter($"id" === 7L).select($"meta.x").head.getDouble(0) === 14.0,
+      "old files read their nested bytes under the new logical name")
+    // appends speak the NEW nested name and land under the OLD
+    // physical one — the read then maps them back (write/read invert)
+    ManifestTable.commit(spark, t,
+      Seq((21L, (42.0, "n"))).toDF("id", "meta")
+        .select(col("id"), col("meta").cast("struct<x:double,b:string>").as("meta")))
+    val all = ManifestTable.read(spark, t)
+    assert(all.count() === 21)
+    assert(all.filter($"id" === 21L).select($"meta.x").head.getDouble(0) === 42.0)
+    // the appended file physically stores 'a', not 'x' (stable storage)
+    val newFile = (ManifestTable.snapshotFiles(spark, t).toSet -- filesBefore).head
+    val raw = spark.read.parquet(s"$t/$newFile")
+    assert(raw.schema("meta").dataType.simpleString === "struct<a:double,b:string>",
+      "new files must store under the stable physical nested name")
+    // time travel reads v1 under ITS schema — the old nested name
+    assert(ManifestTable.read(spark, t, 1).schema("meta")
+      .dataType.simpleString === "struct<a:double,b:string>")
+    // rewrites keep the mapping: update a row, both eras still read
+    ManifestTable.updateWhere(spark, t,
+      Seq("id" -> (col("id") + 100L)), col("id") === 1L)
+    val upd = ManifestTable.read(spark, t)
+    assert(upd.filter($"id" === 101L).select($"meta.x").head.getDouble(0) === 2.0,
+      "a rewrite must carry nested values through the physical rename")
+    // and MERGE (the union path): an upsert through the mapped schema
+    ManifestTable.upsert(spark, t,
+      Seq((2L, (222.0, "up")), (50L, (500.0, "ins"))).toDF("id", "meta")
+        .select(col("id"), col("meta").cast("struct<x:double,b:string>").as("meta")),
+      Seq("id"))
+    val m = ManifestTable.read(spark, t)
+    assert(m.filter($"id" === 2L).select($"meta.x").head.getDouble(0) === 222.0)
+    assert(m.filter($"id" === 50L).select($"meta.b").head.getString(0) === "ins")
+    assert(m.filter($"id" === 7L).select($"meta.x").head.getDouble(0) === 14.0,
+      "kept rows must survive a merge under the nested mapping")
+  }
+
+  test("NESTED rename through SQL and the change feed") {
+    import spark.implicits._
+    import graft.sources.GraftCatalog
+    val t = fresh()
+    ManifestTable.commit(spark, t, dfNested(5))
+    GraftCatalog.register("cm_nested", t)
+    try {
+      spark.sql("ALTER TABLE graft.cm_nested RENAME COLUMN meta.a TO x")
+      assert(ManifestTable.snapshotSchema(spark, t).get("meta")
+        .dataType.simpleString === "struct<x:double,b:string>")
+      // the change feed re-spells the v1 group's nested field: values,
+      // not nulls, under the to-version spelling
+      val ch = ManifestTable.changes(spark, t, 0)
+      assert(ch.schema("meta").dataType.simpleString === "struct<x:double,b:string>")
+      assert(ch.filter($"id" === 3L).select($"meta.x").head.getDouble(0) === 6.0,
+        "v1-era nested values must surface under the new name in the feed")
+    } finally GraftCatalog.unregister("cm_nested")
+  }
+
+  test("NESTED rename refusals: siblings, arrays, constraint references") {
+    import spark.implicits._
+    val t = fresh()
+    ManifestTable.commit(spark, t, dfNested(5))
+    // sibling name collision
+    val e1 = intercept[IllegalArgumentException](
+      ManifestTable.renameColumnPath(spark, t, Seq("meta", "a"), "b"))
+    assert(e1.getMessage.contains("already exists"))
+    // path through a non-struct
+    val e2 = intercept[IllegalArgumentException](
+      ManifestTable.renameColumnPath(spark, t, Seq("id", "a"), "b"))
+    assert(e2.getMessage.contains("not a struct"))
+    // a CHECK constraint naming the nested field blocks its rename
+    ManifestTable.addConstraint(spark, t, "a_pos", "meta.a > 0")
+    val e3 = intercept[IllegalArgumentException](
+      ManifestTable.renameColumnPath(spark, t, Seq("meta", "a"), "x"))
+    assert(e3.getMessage.contains("a_pos"))
+    ManifestTable.dropConstraint(spark, t, "a_pos")
+    assert(ManifestTable.renameColumnPath(spark, t, Seq("meta", "a"), "x") > 0)
+  }
 }

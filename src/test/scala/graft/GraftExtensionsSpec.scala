@@ -294,10 +294,14 @@ class GraftExtensionsSpec extends AnyFunSuite with SparkFixture {
           ext.sql("UPDATE graft.dml_t SET nope = 1"))
         intercept[Exception](
           ext.sql("UPDATE graft.dml_t SET id = 'abc'"))
-        // a qualified/struct-field assignment must not silently bind
-        // to the column named by its last part
+        // a FOREIGN-qualified / deep-struct assignment must not
+        // silently bind to the column named by its last part — but a
+        // TARGET-table qualifier is standard SQL and accepted (r13,
+        // AdviceR12Spec covers the alias/full-name spellings)
         intercept[Exception](
-          ext.sql("UPDATE graft.dml_t SET dml_t.v = 1"))
+          ext.sql("UPDATE graft.dml_t SET other_t.v = 1"))
+        intercept[Exception](
+          ext.sql("UPDATE graft.dml_t SET dml_t.v.deep = 1"))
       } finally GraftCatalog.unregister("dml_t")
     } finally {
       SparkSession.clearActiveSession()
