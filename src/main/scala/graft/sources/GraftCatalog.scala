@@ -716,7 +716,15 @@ object GraftCatalog {
     * unresolved and analyzes at execution, the MergeCommand pattern),
     * so running pre-resolution loses nothing. */
   final class DdlResolution(session: SparkSession) extends Rule[LogicalPlan] {
-    override def apply(plan: LogicalPlan): LogicalPlan =
+    override def apply(plan: LogicalPlan): LogicalPlan = {
+      // the DDL statements this rule claims are always the plan ROOT —
+      // one instanceof test bails out of every ordinary query's
+      // analysis (the rule runs in the fixed-point Hints batch, so a
+      // wholesale tree walk per iteration would tax every statement
+      // in the session for a feature most never use)
+      if (!plan.isInstanceOf[CreateTable] &&
+          !plan.isInstanceOf[CreateTableAsSelect] &&
+          !plan.isInstanceOf[DropTable]) return plan
       plan.resolveOperatorsUp {
         // ---- CREATE TABLE graft.<name> — the SQL bootstrap (r13):
         // only the 2-part graft namespace is claimed; `CREATE TABLE t`
@@ -755,6 +763,7 @@ object GraftCatalog {
               "only unregisters the name; reclaim bytes with expire")
           DropCommand(name, dt.ifExists)
       }
+    }
   }
 
   /** `CREATE TABLE graft.<name> (…) [USING graft] [PARTITIONED BY …]
@@ -833,8 +842,14 @@ object GraftCatalog {
       // left a config at a still-version-less path, and the v1
       // publish below is the real arbiter between racing creates
       ManifestTable.writeTableConfig(session, path, props)
+      // exactly-once under a CREATE race: two concurrent CREATEs at
+      // the same fresh path must produce ONE v1 — without the txn
+      // gate, the loser's commit would APPEND as v2 (duplicating the
+      // CTAS rows). The txn records ("sql:create", 1) on the winner's
+      // v1; the loser's gate sees it BEFORE writing any data and
+      // adopts the winner's table, exactly like a replayed micro-batch
       ManifestTable.commit(session, path, df, SaveMode.Append,
-        partitionBy = partitionBy)
+        partitionBy = partitionBy, txn = Some(("sql:create", 1L)))
       checks.foreach { case (n, sql) =>
         ManifestTable.addConstraint(session, path, n, sql) }
       register(name, path)

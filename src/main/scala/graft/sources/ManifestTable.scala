@@ -1916,7 +1916,11 @@ object ManifestTable {
       val surfaced = schema.fold(partitionBy)(s =>
         partitionBy.filter(s.fieldNames.contains))
       surfaced.foldLeft(base) { (df, c) =>
-        val pat = "/" + java.util.regex.Pattern.quote(c) + "=([^/]+)/"
+        // dirs spell the column's PHYSICAL name; the recorded schema
+        // carries the logical one the derived column surfaces under
+        val dirName = schema.flatMap(_.fields.find(_.name == c))
+          .map(physName).getOrElse(c)
+        val pat = "/" + java.util.regex.Pattern.quote(dirName) + "=([^/]+)/"
         // extract from the table-RELATIVE part (after the LAST /data/,
         // the same anchor relFileCol uses): a table rooted under a
         // directory that happens to contain `<col>=<value>` would
@@ -2701,7 +2705,13 @@ object ManifestTable {
     val uuid = java.util.UUID.randomUUID().toString
     val dataDir = new Path(table, s"data/$uuid")
     val w = dfW.write.mode(SaveMode.ErrorIfExists)
-    (if (partitionBy.nonEmpty) w.partitionBy(partitionBy: _*) else w)
+    // partition dirs spell the column's PHYSICAL name (r13): a renamed
+    // identity partition column keeps ONE dir grammar across its whole
+    // lineage — old and new files agree on the `<phys>=<value>` key,
+    // and only the recorded schema knows the logical spelling.
+    // Transform targets are absent from the mapping and pass through.
+    val physPartBy = partitionBy.map(c => physOf.getOrElse(c, c))
+    (if (partitionBy.nonEmpty) w.partitionBy(physPartBy: _*) else w)
       .parquet(dataDir.toString)
     val f = fs(spark, dataDir)
     def walk(p: Path): Seq[org.apache.hadoop.fs.FileStatus] =
@@ -2723,6 +2733,8 @@ object ManifestTable {
       if (partitionBy.isEmpty) Map.empty
       else {
         val types = df.schema.map(x => (x.name, x.dataType)).toMap
+        // the dir key is the PHYSICAL spelling — stats record LOGICAL
+        val logicalOf: Map[String, String] = physOf.map(_.swap)
         files.map { rel =>
           rel -> rel.split("/").drop(2).dropRight(1).flatMap { seg =>
             val i = seg.indexOf('=')
@@ -2734,8 +2746,9 @@ object ManifestTable {
               // `a:b` and record stats that prune the live file) —
               // unescape ONCE; the URI layer exists only in
               // _metadata.file_path (see readFiles/relFileCol)
+              val k0 = seg.substring(0, i)
               val (k, raw) =
-                (seg.substring(0, i), unescapePath(seg.substring(i + 1)))
+                (logicalOf.getOrElse(k0, k0), unescapePath(seg.substring(i + 1)))
               if (raw == "__HIVE_DEFAULT_PARTITION__") None
               else partitionValueBound(raw, types.get(k)).map(v => k -> (v, v))
             }
@@ -4854,11 +4867,17 @@ object ManifestTable {
       val sch = schema.getOrElse(recordedSchema(
         readFiles(spark, table, files.take(1), None, partBy).schema, partBy))
       if (path.length == 1) {
-        // top-level-only references: partition dirs, layout transforms
-        // and bloom sidecars all spell TOP-LEVEL names (existence and
-        // sibling-uniqueness live in the shared renameIn below)
-        require(!partBy.contains(from),
-          s"cannot rename partition column '$from' — partition dirs spell its name")
+        // top-level-only references: layout transforms and bloom
+        // sidecars spell TOP-LEVEL names (existence and
+        // sibling-uniqueness live in the shared renameIn below).
+        // IDENTITY partition columns are renameable (r13): partition
+        // dirs spell the column's PHYSICAL name — stable across the
+        // rename — the manifest's partitionBy list re-spells to the
+        // new logical name in the same commit, and the read side
+        // derives the column from the physical dir key (readFiles).
+        // Transform SOURCES/TARGETS stay refused: the transform record
+        // and the write-side derivation spell the source by name, and
+        // targets are not schema fields at all.
         partitionTransforms(spark, table, head).foreach { pt =>
           require(pt.source != from && pt.target != from,
             s"cannot rename '$from': the ${pt.kind} layout transform names it")
@@ -4932,9 +4951,18 @@ object ManifestTable {
           f -> m.map { case (k, v) => rekey(k) -> v } }
       beforeConditionalCommit()
       if (currentVersion(spark, table) == head &&
-          tryPublish(spark, table, head, files, s"renamecol-${b64t(to)}",
-            Some(recordedSchema(renamed, partBy)), respelled, partBy,
-            op = "rename-column"))
+          {
+            // a renamed IDENTITY partition column re-spells the
+            // manifest's partitionBy list in the same commit (the
+            // dirs keep the stable physical key; this list is the
+            // LOGICAL layout the schema speaks)
+            val partBy2 =
+              if (path.length == 1) partBy.map(p => if (p == from) to else p)
+              else partBy
+            tryPublish(spark, table, head, files, s"renamecol-${b64t(to)}",
+              Some(recordedSchema(renamed, partBy2)), respelled, partBy2,
+              op = "rename-column")
+          })
         return head + 1
     }
     throw new java.util.ConcurrentModificationException(

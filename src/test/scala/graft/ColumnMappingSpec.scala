@@ -118,14 +118,12 @@ class ColumnMappingSpec extends AnyFunSuite with SparkFixture {
     assert(ManifestTable.read(spark, t).columns.toSeq === Seq("id", "score", "s"))
   }
 
-  test("refusals: partition / transform / bloom / constraint-referenced / collisions") {
+  test("refusals: transform / bloom / constraint-referenced / collisions") {
     import spark.implicits._
     val t = fresh()
     ManifestTable.commit(spark, t,
       (1 to 40).map(i => (i.toLong, i % 4, i.toDouble)).toDF("id", "g", "v"),
       partitionBy = Seq("g"), statsColumns = Seq("id"))
-    intercept[IllegalArgumentException](
-      ManifestTable.renameColumn(spark, t, "g", "grp"))
     ManifestTable.addConstraint(spark, t, "v_pos", "v > 0")
     intercept[IllegalArgumentException](
       ManifestTable.renameColumn(spark, t, "v", "val"))
@@ -161,6 +159,50 @@ class ColumnMappingSpec extends AnyFunSuite with SparkFixture {
     val r = ManifestTable.read(spark, t3).head
     assert(r.getDouble(1) === 5.0 && r.isNullAt(2),
       "the fresh-storage re-add must NOT resurrect b's bytes")
+  }
+
+  test("IDENTITY partition column rename (r13): dirs keep the physical key") {
+    import spark.implicits._
+    val t = fresh()
+    ManifestTable.commit(spark, t,
+      (1 to 40).map(i => (i.toLong, s"g${i % 4}", i.toDouble)).toDF("id", "g", "v"),
+      partitionBy = Seq("g"), statsColumns = Seq("id"))
+    val filesBefore = ManifestTable.snapshotFiles(spark, t)
+    assert(ManifestTable.renameColumn(spark, t, "g", "grp") === 2)
+    assert(ManifestTable.snapshotFiles(spark, t) === filesBefore,
+      "a partition-column rename must move zero data")
+    assert(ManifestTable.partitionColumns(spark, t) === Seq("grp"),
+      "the manifest layout must re-spell to the new logical name")
+    // reads surface the new name with the partition values intact
+    val got = ManifestTable.read(spark, t)
+    assert(got.columns.contains("grp") && !got.columns.contains("g"))
+    assert(got.filter($"grp" === "g1").count() === 10)
+    // partition pruning fires on the NEW name (stats re-keyed)
+    val pruned = ManifestTable.readWhere(spark, t, col("grp") === "g2")
+    assert(pruned.inputFiles.length < filesBefore.size,
+      "partition pruning must keep firing under the new name")
+    assert(pruned.count() === 10)
+    // appends speak the new name — and land under the PHYSICAL (old)
+    // dir key, so the whole lineage keeps one dir grammar
+    ManifestTable.commit(spark, t,
+      Seq((41L, "g9", 1.0)).toDF("id", "grp", "v"))
+    val newFile = (ManifestTable.snapshotFiles(spark, t).toSet --
+      filesBefore.toSet).head
+    assert(newFile.contains("/g=g9/"),
+      s"new files must spell the physical dir key, got $newFile")
+    assert(ManifestTable.readWhere(spark, t, col("grp") === "g9")
+      .head.getLong(0) === 41L)
+    // the old spelling no longer resolves for appends
+    intercept[Exception](ManifestTable.commit(spark, t,
+      Seq((42L, "gX", 1.0)).toDF("id", "g", "v")))
+    // time travel reads v1 under ITS layout — the old name
+    assert(ManifestTable.read(spark, t, 1).columns.contains("g"))
+    // an UPDATE moving rows between partitions still lays out right
+    ManifestTable.updateWhere(spark, t,
+      Seq("grp" -> lit("g0")), col("id") === 41L)
+    assert(ManifestTable.readWhere(spark, t, col("grp") === "g0")
+      .collect().map(_.getLong(0)).toSet.contains(41L))
+    assert(ManifestTable.readWhere(spark, t, col("grp") === "g9").count() === 0)
   }
 
   test("freshStorage re-add: the name-based resurrection caveat, fixed") {

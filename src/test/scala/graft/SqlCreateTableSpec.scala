@@ -144,6 +144,30 @@ class SqlCreateTableSpec extends AnyFunSuite with SparkFixture {
     spark.sql("DROP TABLE IF EXISTS graft.sqlct_drop") // no-op, no error
   }
 
+  test("racing CREATEs at the same fresh path produce exactly ONE v1 (no doubled CTAS rows)") {
+    val t = tmp("race")
+    val q = spark.range(5).toDF("id").queryExecution.logical
+    def cmd = GraftCatalog.CreateCommand("graft.sqlct_race", "sqlct_race",
+      new org.apache.spark.sql.types.StructType(), Nil, Some(t),
+      Map.empty, Nil, ignoreIfExists = false, query = Some(q))
+    // the interloper CREATE completes in full inside the loser's
+    // commit window; the loser's txn gate must then adopt the winner's
+    // v1 instead of appending a duplicate v2
+    ManifestTable.beforeConditionalCommit = () => {
+      ManifestTable.beforeConditionalCommit = () => ()
+      cmd.run(spark); ()
+    }
+    try cmd.run(spark)
+    finally {
+      ManifestTable.beforeConditionalCommit = () => ()
+      GraftCatalog.unregister("sqlct_race")
+    }
+    assert(ManifestTable.currentVersion(spark, t) === 1,
+      "the CREATE race must resolve to exactly one version")
+    assert(ManifestTable.read(spark, t).count() === 5,
+      "the loser must never double-append the CTAS rows")
+  }
+
   test("warehouse root resolves LOCATION-less creates; unset refuses loudly") {
     val w = java.nio.file.Files.createTempDirectory("graft_sqlct_wh").toString
     val prev = GraftCatalog.warehouse
