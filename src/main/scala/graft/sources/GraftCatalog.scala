@@ -3,7 +3,7 @@ package graft.sources
 import org.apache.spark.sql.{Column, Row, SaveMode, SparkSession}
 import org.apache.spark.sql.catalyst.analysis.{UnresolvedAttribute, UnresolvedIdentifier, UnresolvedRelation, UnresolvedTable}
 import org.apache.spark.sql.catalyst.expressions.{And, CheckConstraint, EqualTo, Expression}
-import org.apache.spark.sql.catalyst.plans.logical.{AddColumns, AlterColumns, CreateTable, CreateTableAsSelect, DeleteAction, DeleteFromTable, DropColumns, DropTable, InsertIntoStatement, InsertStarAction, LogicalPlan, MergeIntoTable, RenameColumn, SubqueryAlias, TableSpec, TableSpecBase, UnresolvedTableSpec, UpdateStarAction, UpdateTable}
+import org.apache.spark.sql.catalyst.plans.logical.{AddColumns, AlterColumns, CreateTable, CreateTableAsSelect, DeleteAction, DeleteFromTable, DescribeRelation, DropColumns, DropTable, InsertIntoStatement, InsertStarAction, LogicalPlan, MergeIntoTable, RenameColumn, ShowTables, SubqueryAlias, TableSpec, TableSpecBase, UnresolvedTableSpec, UpdateStarAction, UpdateTable}
 import org.apache.spark.sql.catalyst.rules.Rule
 import org.apache.spark.sql.connector.catalog.constraints.{Check, Constraint}
 import org.apache.spark.sql.connector.expressions.{Literal => V2Literal, Transform}
@@ -523,6 +523,45 @@ object GraftCatalog {
           }
       }
       withWrites.resolveOperatorsUp {
+        // standard SQL time travel (r13): `FROM graft.<name> VERSION AS
+        // OF 3` / `TIMESTAMP AS OF '…'` — the ANSI-ish spelling next to
+        // the engine's own back-tick form. RelationTimeTravel is a leaf
+        // (its relation is NOT a child), so the bare-relation case
+        // below never rewrites it out from under this one.
+        case tt: org.apache.spark.sql.catalyst.analysis.RelationTimeTravel =>
+          tt.relation match {
+            case u: UnresolvedRelation =>
+              specOf(u) match {
+                case Some((path, v0)) =>
+                  val ident = u.multipartIdentifier.mkString(".")
+                  require(v0 < 0,
+                    s"cannot combine the @v spelling with VERSION/TIMESTAMP " +
+                      s"AS OF on $ident")
+                  val v = (tt.version, tt.timestamp) match {
+                    case (Some(vs), None) => vs.toIntOption.getOrElse(
+                      throw new IllegalArgumentException(
+                        s"VERSION AS OF on $ident takes an integer " +
+                          s"version, got '$vs'"))
+                    case (None, Some(e)) =>
+                      require(e.foldable,
+                        s"TIMESTAMP AS OF on $ident takes a literal timestamp")
+                      val micros = org.apache.spark.sql.catalyst.expressions.Cast(
+                        e, org.apache.spark.sql.types.TimestampType,
+                        Some(session.sessionState.conf.sessionLocalTimeZone))
+                        .eval(null)
+                      require(micros != null,
+                        s"TIMESTAMP AS OF on $ident: '${e.sql}' is not a timestamp")
+                      ManifestTable.versionAsOf(session, path,
+                        micros.asInstanceOf[Long] / 1000L)
+                    case _ => throw new IllegalArgumentException(
+                      s"time travel on $ident needs VERSION AS OF or " +
+                        "TIMESTAMP AS OF")
+                  }
+                  ManifestTable.read(session, path, v).queryExecution.analyzed
+                case None => tt
+              }
+            case _ => tt
+          }
         case u: UnresolvedRelation if !u.isStreaming =>
           specOf(u) match {
             case Some((path, v)) =>
@@ -724,7 +763,9 @@ object GraftCatalog {
       // in the session for a feature most never use)
       if (!plan.isInstanceOf[CreateTable] &&
           !plan.isInstanceOf[CreateTableAsSelect] &&
-          !plan.isInstanceOf[DropTable]) return plan
+          !plan.isInstanceOf[DropTable] &&
+          !plan.isInstanceOf[DescribeRelation] &&
+          !plan.isInstanceOf[ShowTables]) return plan
       plan.resolveOperatorsUp {
         // ---- CREATE TABLE graft.<name> — the SQL bootstrap (r13):
         // only the 2-part graft namespace is claimed; `CREATE TABLE t`
@@ -762,6 +803,21 @@ object GraftCatalog {
             s"DROP TABLE graft.$name PURGE is unsupported — a graft DROP " +
               "only unregisters the name; reclaim bytes with expire")
           DropCommand(name, dt.ifExists)
+        // ---- DESCRIBE TABLE graft.<name> — the recorded schema, the
+        // partition layout (hidden transforms included), and with
+        // EXTENDED the table's whole metadata face.
+        case dr: DescribeRelation if ddlIdent(dr.relation).isDefined =>
+          require(dr.partitionSpec.isEmpty,
+            "DESCRIBE with a PARTITION spec is unsupported on graft tables")
+          DescribeCommand(ddlIdent(dr.relation).get, dr.isExtended)
+        // ---- SHOW TABLES IN graft — the registry listing.
+        case st: ShowTables
+            if (st.namespace match {
+              case ns: org.apache.spark.sql.catalyst.analysis.UnresolvedNamespace =>
+                ns.multipartIdentifier.map(norm) == Seq("graft")
+              case _ => false
+            }) =>
+          ShowTablesCommand(st.pattern)
       }
     }
   }
@@ -870,6 +926,82 @@ object GraftCatalog {
       }
       unregister(name)
       Nil
+    }
+  }
+
+  private def strAttr(name: String): org.apache.spark.sql.catalyst.expressions.Attribute =
+    org.apache.spark.sql.catalyst.expressions.AttributeReference(
+      name, org.apache.spark.sql.types.StringType, nullable = true)()
+
+  /** `DESCRIBE [EXTENDED] TABLE graft.<name>` — the recorded schema in
+    * Spark's own (col_name, data_type, comment) shape, the partition
+    * layout with hidden transforms spelled out, and under EXTENDED the
+    * table's whole metadata face: path, version, file count, protocol
+    * features, CHECK constraints, and config properties. Reads ONLY
+    * manifests — O(metadata) at any table size. */
+  final case class DescribeCommand(name: String, extended: Boolean)
+    extends LeafRunnableCommand {
+    override val output: Seq[org.apache.spark.sql.catalyst.expressions.Attribute] =
+      Seq(strAttr("col_name"), strAttr("data_type"), strAttr("comment"))
+    override def run(session: SparkSession): Seq[Row] = {
+      val path = lookup(name).getOrElse(throw new IllegalArgumentException(
+        s"DESCRIBE graft.$name: no such registered table"))
+      val sch = ManifestTable.snapshotSchema(session, path).getOrElse(
+        new StructType())
+      val cols = sch.fields.toSeq.map(f => Row(f.name, f.dataType.simpleString,
+        if (f.metadata.contains("comment")) f.metadata.getString("comment")
+        else null))
+      val partBy = ManifestTable.partitionColumns(session, path)
+      val transforms = ManifestTable.partitionTransforms(session, path)
+      val partRows =
+        if (partBy.isEmpty) Nil
+        else Row("# Partition Information", "", null) +: partBy.map { p =>
+          transforms.find(_.target == p) match {
+            case Some(pt) =>
+              val spelled = pt.kind match {
+                case "bucket" => s"bucket(${pt.n}, ${pt.source})"
+                case "truncate" => s"truncate(${pt.n}, ${pt.source})"
+                case k => s"$k(${pt.source})"
+              }
+              Row(p, s"hidden: $spelled", null)
+            case None => Row(p, sch.fields.find(_.name == p)
+              .map(_.dataType.simpleString).getOrElse(""), null)
+          }
+        }
+      val extRows =
+        if (!extended) Nil
+        else {
+          val v = ManifestTable.currentVersion(session, path)
+          val files = ManifestTable.snapshotFiles(session, path)
+          Seq(Row("# Detailed Table Information", "", null),
+            Row("Name", s"graft.$name", null),
+            Row("Location", path, null),
+            Row("Version", v.toString, null),
+            Row("Files", files.size.toString, null),
+            Row("Features", ManifestTable.tableFeatures(session, path)
+              .mkString(", "), null)) ++
+            ManifestTable.checkConstraints(session, path, v).toSeq.sorted
+              .map { case (n, sql) => Row(s"Constraint $n", sql, null) } ++
+            ManifestTable.tableConfig(session, path).toSeq.sorted
+              .map { case (k, vl) => Row(s"Property $k", vl, null) }
+        }
+      cols ++ partRows ++ extRows
+    }
+  }
+
+  /** `SHOW TABLES IN graft [LIKE 'pat*']` — the registry listing.
+    * The pattern is Spark's SHOW glob ('*' any, '|' alternation). */
+  final case class ShowTablesCommand(pattern: Option[String])
+    extends LeafRunnableCommand {
+    override val output: Seq[org.apache.spark.sql.catalyst.expressions.Attribute] =
+      Seq(strAttr("namespace"), strAttr("tableName"), strAttr("location"))
+    override def run(session: SparkSession): Seq[Row] = {
+      val re = pattern.map(p => p.split("\\|").map(a =>
+        java.util.regex.Pattern.quote(a).replace("*", "\\E.*\\Q"))
+        .mkString("(?i)(", ")|(", ")").r)
+      registered.toSeq.sortBy(_._1).collect {
+        case (n, p) if re.forall(_.matches(n)) => Row("graft", n, p)
+      }
     }
   }
 

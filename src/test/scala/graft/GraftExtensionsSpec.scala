@@ -424,6 +424,51 @@ class GraftExtensionsSpec extends AnyFunSuite with SparkFixture {
     }
   }
 
+  test("standard SQL time travel, DESCRIBE TABLE, SHOW TABLES (r13 surface)") {
+    import spark.implicits._
+    import graft.sources.{GraftCatalog, ManifestTable => M}
+    val t = java.nio.file.Files.createTempDirectory("graft_sqlsurf").toString + "/t"
+    M.commit(spark, t, (1 to 10).map(i => (i.toLong, s"g${i % 2}", i * 1.0))
+      .toDF("id", "g", "v"), partitionBy = Seq("g"), statsColumns = Seq("id"))
+    val tsAfterV1 = System.currentTimeMillis()
+    Thread.sleep(5)
+    M.commit(spark, t, Seq((11L, "g0", 11.0)).toDF("id", "g", "v"))
+    GraftCatalog.register("surf_t", t)
+    try {
+      // VERSION AS OF — the ANSI-ish spelling next to graft.`t@v1`
+      assert(spark.sql("SELECT count(*) AS c FROM graft.surf_t VERSION AS OF 1")
+        .head.getLong(0) === 10L)
+      assert(spark.sql("SELECT count(*) AS c FROM graft.surf_t VERSION AS OF 2")
+        .head.getLong(0) === 11L)
+      // TIMESTAMP AS OF — resolves through versionAsOf
+      val ts = new java.sql.Timestamp(tsAfterV1).toString
+      assert(spark.sql(
+        s"SELECT count(*) AS c FROM graft.surf_t TIMESTAMP AS OF '$ts'")
+        .head.getLong(0) === 10L)
+      // refusals: non-integer version; combining with the @v spelling
+      intercept[Exception](spark.sql(
+        "SELECT * FROM graft.surf_t VERSION AS OF 'abc'").collect())
+      intercept[Exception](spark.sql(
+        "SELECT * FROM graft.`surf_t@v1` VERSION AS OF 2").collect())
+      // DESCRIBE: schema rows + partition section
+      val desc = spark.sql("DESCRIBE TABLE graft.surf_t").collect()
+        .map(r => (r.getString(0), r.getString(1)))
+      assert(desc.contains(("id", "bigint")) && desc.contains(("v", "double")))
+      assert(desc.contains(("# Partition Information", "")) &&
+        desc.contains(("g", "string")))
+      // DESCRIBE EXTENDED: the metadata face
+      val ext = spark.sql("DESCRIBE EXTENDED graft.surf_t").collect()
+        .map(r => (r.getString(0), r.getString(1))).toMap
+      assert(ext.get("Location").contains(t) && ext.get("Version").contains("2"))
+      // SHOW TABLES IN graft, with and without a pattern
+      val shown = spark.sql("SHOW TABLES IN graft").collect()
+        .map(r => (r.getString(1), r.getString(2))).toMap
+      assert(shown.get("surf_t").contains(t))
+      assert(spark.sql("SHOW TABLES IN graft LIKE 'surf*'").count() >= 1)
+      assert(spark.sql("SHOW TABLES IN graft LIKE 'zzz*'").count() === 0)
+    } finally GraftCatalog.unregister("surf_t")
+  }
+
   test("matched-only MERGE and NOT MATCHED BY SOURCE DELETE (r13 arms)") {
     import spark.implicits._
     import graft.sources.{GraftCatalog, ManifestTable => M}
