@@ -3,7 +3,7 @@ package graft.sources
 import org.apache.spark.sql.{Column, Row, SaveMode, SparkSession}
 import org.apache.spark.sql.catalyst.analysis.{UnresolvedAttribute, UnresolvedIdentifier, UnresolvedRelation, UnresolvedTable}
 import org.apache.spark.sql.catalyst.expressions.{And, CheckConstraint, EqualTo, Expression}
-import org.apache.spark.sql.catalyst.plans.logical.{AddColumns, AlterColumns, CreateTable, CreateTableAsSelect, DeleteAction, DeleteFromTable, DescribeRelation, DropColumns, DropTable, InsertIntoStatement, InsertStarAction, LogicalPlan, MergeIntoTable, RenameColumn, ShowTables, SubqueryAlias, TableSpec, TableSpecBase, UnresolvedTableSpec, UpdateStarAction, UpdateTable}
+import org.apache.spark.sql.catalyst.plans.logical.{AddColumns, AlterColumns, CreateTable, CreateTableAsSelect, DeleteAction, DeleteFromTable, DescribeRelation, DropColumns, DropTable, InsertIntoStatement, InsertStarAction, LogicalPlan, MergeIntoTable, RenameColumn, ShowTables, SubqueryAlias, TableSpec, TableSpecBase, UnresolvedTableSpec, UpdateAction, UpdateStarAction, UpdateTable}
 import org.apache.spark.sql.catalyst.rules.Rule
 import org.apache.spark.sql.connector.catalog.constraints.{Check, Constraint}
 import org.apache.spark.sql.connector.expressions.{Literal => V2Literal, Transform}
@@ -437,28 +437,70 @@ object GraftCatalog {
                     "every unmatched source row or none — filter the " +
                     "source for anything else)")
               }
-              // WHEN NOT MATCHED BY SOURCE THEN DELETE [AND cond] — the
-              // sync-deletes arm (r13); its condition sees TARGET
-              // columns only (there is no source row, by definition)
-              val bySrcDelete: Option[Column] = notMatchedBySrc match {
-                case Seq() => None
-                case Seq(DeleteAction(c)) =>
-                  val cond = c.map(rewrite).getOrElse(
-                    org.apache.spark.sql.catalyst.expressions.Literal(true))
-                  require(!cond.exists {
-                    case ua: UnresolvedAttribute =>
-                      ua.nameParts.headOption.contains("_src")
-                    case _ => false
-                  }, s"MERGE on $ident: a NOT MATCHED BY SOURCE condition " +
-                    "can only reference target columns — there is no " +
-                    "source row for an unmatched target row")
-                  Some(ColumnBridge.column(cond))
-                case _ => throw new IllegalArgumentException(
+              // WHEN NOT MATCHED BY SOURCE THEN DELETE / UPDATE SET
+              // (r13): conditions and assignment values see TARGET
+              // columns only (there is no source row, by definition) —
+              // and no SET * for the same reason; first-match
+              // precedence in listed order, like the matched clauses
+              def tgtOnly(e: Expression, what: String): Expression = {
+                val r = rewrite(e)
+                require(!r.exists {
+                  case ua: UnresolvedAttribute =>
+                    ua.nameParts.headOption.contains("_src")
+                  case _ => false
+                }, s"MERGE on $ident: a NOT MATCHED BY SOURCE $what can " +
+                  "only reference target columns — there is no source " +
+                  "row for an unmatched target row")
+                r
+              }
+              var bySrcDelete: Option[Column] = None
+              var bySrcUpdate: Option[(Seq[(String, Column)], Column)] = None
+              var bsDelIdx = -1; var bsUpdIdx = -1
+              notMatchedBySrc.zipWithIndex.foreach {
+                case (DeleteAction(c), i) =>
+                  require(bySrcDelete.isEmpty,
+                    s"MERGE on $ident: one BY SOURCE DELETE clause only")
+                  bySrcDelete = Some(ColumnBridge.column(
+                    c.map(tgtOnly(_, "condition")).getOrElse(
+                      org.apache.spark.sql.catalyst.expressions.Literal(true))))
+                  bsDelIdx = i
+                case (UpdateAction(c, assigns, fromStar), i) =>
+                  require(!fromStar,
+                    s"MERGE on $ident: BY SOURCE UPDATE SET * is impossible " +
+                      "— there is no source row; name the assignments")
+                  require(bySrcUpdate.isEmpty,
+                    s"MERGE on $ident: one BY SOURCE UPDATE clause only")
+                  val cond = ColumnBridge.column(
+                    c.map(tgtOnly(_, "condition")).getOrElse(
+                      org.apache.spark.sql.catalyst.expressions.Literal(true)))
+                  val pairs = assigns.map { a =>
+                    val name = a.key match {
+                      case ua: UnresolvedAttribute if ua.nameParts.length == 1 =>
+                        ua.nameParts.head
+                      case ua: UnresolvedAttribute if ua.nameParts.length == 2 &&
+                          tgtQ.contains(norm(ua.nameParts.head)) =>
+                        ua.nameParts(1)
+                      case other => throw new IllegalArgumentException(
+                        s"MERGE on $ident: BY SOURCE UPDATE can only " +
+                          s"assign whole target columns, not '${other.sql}'")
+                    }
+                    name -> ColumnBridge.column(tgtOnly(a.value, "assignment"))
+                  }
+                  bySrcUpdate = Some((pairs, cond))
+                  bsUpdIdx = i
+                case (other, _) => throw new IllegalArgumentException(
                   s"MERGE on $ident: WHEN NOT MATCHED BY SOURCE supports " +
-                    "THEN DELETE [AND cond] only")
+                    s"THEN DELETE [AND cond] and UPDATE SET c = e, got $other")
+              }
+              // the engine evaluates BY SOURCE delete before update;
+              // UPDATE listed first must win rows both conditions match
+              if (bsUpdIdx >= 0 && bsDelIdx > bsUpdIdx && bySrcDelete.isDefined) {
+                import org.apache.spark.sql.functions.{coalesce, lit, not}
+                val updFires = coalesce(bySrcUpdate.get._2, lit(false))
+                bySrcDelete = bySrcDelete.map(d => d && not(updFires))
               }
               require(insertUnmatched || upd.isDefined || del.isDefined ||
-                  bySrcDelete.isDefined,
+                  bySrcDelete.isDefined || bySrcUpdate.isDefined,
                 s"MERGE on $ident has no effective clause")
               val matchedUpdate: Option[Column] = upd match {
                 case Some(c) => c // present: None inside = unconditional
@@ -466,7 +508,8 @@ object GraftCatalog {
                   Some(org.apache.spark.sql.functions.lit(false))
               }
               MergeCommand(ident, path, srcPlan, keys, matchedUpdate, del,
-                withEvolution, insertUnmatched, bySrcDelete)
+                withEvolution, insertUnmatched, bySrcDelete = bySrcDelete,
+                bySrcUpdate = bySrcUpdate)
             case None => m
           }
         // ---- ALTER TABLE graft.<name> … — the DDL face over the
@@ -692,13 +735,16 @@ object GraftCatalog {
       source: LogicalPlan, keys: Seq[String],
       matchedUpdate: Option[Column], matchedDelete: Option[Column],
       evolve: Boolean, insertUnmatched: Boolean = true,
-      bySourceDelete: Option[Column] = None) extends LeafRunnableCommand {
+      bySrcDelete: Option[Column] = None,
+      bySrcUpdate: Option[(Seq[(String, Column)], Column)] = None)
+    extends LeafRunnableCommand {
     override def innerChildren: Seq[LogicalPlan] = Seq(source)
     override def run(session: SparkSession): Seq[Row] = {
       ManifestTable.merge(session, path, PlanBridge.ofRows(session, source),
         keys, matchedUpdate, matchedDelete, mergeSchema = evolve,
         insertUnmatched = insertUnmatched,
-        whenNotMatchedBySourceDelete = bySourceDelete)
+        whenNotMatchedBySourceDelete = bySrcDelete,
+        whenNotMatchedBySourceUpdate = bySrcUpdate)
       Nil
     }
   }

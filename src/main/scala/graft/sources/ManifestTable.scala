@@ -3786,8 +3786,12 @@ object ManifestTable {
     * `whenNotMatchedBySourceDelete` is Delta's third arm: a TARGET row
     * whose key matches NO source row deletes when the condition
     * (target columns only — there is no source row) evaluates true —
-    * the sync-deletes idiom. Its victim scan is stats-pruned like
-    * deleteWhere's; a condition-less by-source delete inherently
+    * the sync-deletes idiom. `whenNotMatchedBySourceUpdate` is its
+    * UPDATE twin: (assignments, condition) applied to unmatched rows
+    * the delete spared, with updateWhere's widen-or-refuse assignment
+    * typing — the mark-stale idiom (`seen = false` for rows the feed
+    * stopped mentioning). Victim scans are stats-pruned like
+    * deleteWhere's; a condition-less by-source clause inherently
     * rewrites every file, and any interleaved append forces the
     * lost-race path to re-derive (appended rows could be
     * unmatched-and-condition-true).
@@ -3832,8 +3836,10 @@ object ManifestTable {
             mergeSchema: Boolean = false,
             txn: Option[(String, Long)] = None,
             insertUnmatched: Boolean = true,
-            whenNotMatchedBySourceDelete: Option[Column] = None): Int = {
-    import org.apache.spark.sql.functions.{coalesce, col, lit, struct}
+            whenNotMatchedBySourceDelete: Option[Column] = None,
+            whenNotMatchedBySourceUpdate:
+              Option[(Seq[(String, Column)], Column)] = None): Int = {
+    import org.apache.spark.sql.functions.{coalesce, col, lit, struct, when}
     val srcCols = updates.columns.toSeq
     val bounds = keyEnvelope(updates, keys) // head-independent: once
     var attempt = 0
@@ -3887,12 +3893,12 @@ object ManifestTable {
           // exactly like deleteWhere's victim scan, so a conditioned
           // sync-delete touches only the files owning the condition's
           // range; a condition-less one inherently rewrites the table.
-          val bySrcVictims: Set[String] = whenNotMatchedBySourceDelete match {
-            case None => Set.empty
-            case Some(c) =>
+          val bySrcVictims: Set[String] =
+            (whenNotMatchedBySourceDelete.toSeq ++
+              whenNotMatchedBySourceUpdate.map(_._2)).map { c =>
               val dnf = predicateDnfWith(spark, table, c, rel, schema)
               pruneDnf(rel, headStats, dnf).toSet
-          }
+            }.foldLeft(Set.empty[String])(_ ++ _)
           val affected = affectedMatched ++ bySrcVictims
           // no file rewrites and no insert arm: nothing can change —
           // return the head with no commit (the deleteWhere contract)
@@ -3922,12 +3928,35 @@ object ManifestTable {
           val upd = coalesce(whenMatchedUpdate.getOrElse(lit(true)), lit(false))
           // an unmatched target row survives unless the BY SOURCE
           // delete claims it (condition over target columns only —
-          // there is no source row to reference, by definition)
+          // there is no source row to reference, by definition); a
+          // surviving unmatched row the BY SOURCE UPDATE's condition
+          // hits takes its assignments (updateWhere's widen-or-refuse
+          // type discipline)
           val bySrcDel = coalesce(
             whenNotMatchedBySourceDelete.getOrElse(lit(false)), lit(false))
+          val bySrcUpd = coalesce(
+            whenNotMatchedBySourceUpdate.map(_._2).getOrElse(lit(false)),
+            lit(false))
+          val bySrcAssign: Map[String, Column] =
+            whenNotMatchedBySourceUpdate.map(_._1.toMap).getOrElse(Map.empty)
+          bySrcAssign.keys.foreach(c => require(tgt.columns.contains(c),
+            s"BY SOURCE UPDATE on $table assigns unknown column '$c'"))
+          def bySrcValue(c: String): Column = {
+            val target = tgt.schema(c).dataType
+            val e = bySrcAssign(c)
+            val aType = tgt.select(e.as("__p")).schema.head.dataType
+            if (sameType(aType, target)) e
+            else if (safeStoreCast(aType, target)) e.cast(target)
+            else throw new IllegalArgumentException(
+              s"BY SOURCE UPDATE on $table assigns $aType to column '$c' " +
+                s"($target) — only the widening lattice casts implicitly")
+          }
           val kept = joined.filter(
               (matched && !del && !upd) || (!matched && !bySrcDel))
-            .select(tgt.columns.toSeq.map(col): _*)
+            .select(tgt.columns.toSeq.map(c =>
+              (if (bySrcAssign.contains(c))
+                 when(!matched && bySrcUpd, bySrcValue(c)).otherwise(col(c))
+               else col(c)).as(c)): _*)
           val replaced = joined.filter(matched && !del && upd)
             .select(srcCols.map(c => col(s"_src.$c").as(c)): _*)
           // anti-join against the AFFECTED files' keys only: a source
@@ -3977,11 +4006,12 @@ object ManifestTable {
           val conflicts = (added: Seq[String], schema2: Option[StructType],
               stats2: Map[String, Map[String, (Double, Double)]],
               partBy2: Seq[String]) => added.nonEmpty && {
-            // a BY SOURCE delete serializing after an interleaved
-            // append must consider the appended rows (any of them
-            // could be unmatched-and-condition-true) — carrying the
-            // stale derivation would silently exempt them: re-derive
-            whenNotMatchedBySourceDelete.isDefined || {
+            // a BY SOURCE delete/update serializing after an
+            // interleaved append must consider the appended rows (any
+            // of them could be unmatched-and-condition-true) — carrying
+            // the stale derivation would silently exempt them: re-derive
+            whenNotMatchedBySourceDelete.isDefined ||
+            whenNotMatchedBySourceUpdate.isDefined || {
               val cand =
                 if (bounds.isEmpty) added else pruneWith(added, stats2, bounds)
               cand.nonEmpty && !readFiles(spark, table, cand, schema2, partBy2)
@@ -4891,6 +4921,31 @@ object ManifestTable {
       }
       // one renamed-field builder, any depth: the edited field takes
       // the new logical name and REMEMBERS its physical storage
+      // type-directed path walk: struct levels consume a FIELD name,
+      // array/map levels consume the Delta-style `element` / `key` /
+      // `value` step (the read/write machinery is already recursive
+      // over those shapes — physType / the positional cast rename)
+      def renameInType(dt: DataType, rest: Seq[String]): DataType =
+        (dt, rest.head) match {
+          case (st: StructType, _) =>
+            StructType(renameIn(st.fields, rest))
+          case (org.apache.spark.sql.types.ArrayType(et, n), "element")
+              if rest.length > 1 =>
+            org.apache.spark.sql.types.ArrayType(
+              renameInType(et, rest.tail), n)
+          case (org.apache.spark.sql.types.MapType(k, v, n), "key")
+              if rest.length > 1 =>
+            org.apache.spark.sql.types.MapType(
+              renameInType(k, rest.tail), v, n)
+          case (org.apache.spark.sql.types.MapType(k, v, n), "value")
+              if rest.length > 1 =>
+            org.apache.spark.sql.types.MapType(
+              k, renameInType(v, rest.tail), n)
+          case (other, step) => throw new IllegalArgumentException(
+            s"cannot rename '$dotted' on $table: path step '$step' does " +
+              s"not address $other — struct levels take a field name, " +
+              "arrays take `element`, maps take `key`/`value`")
+        }
       def renameIn(fields: Array[StructField], rest: Seq[String])
           : Array[StructField] = {
         val target = rest.head
@@ -4911,17 +4966,10 @@ object ManifestTable {
                   .withMetadata(x.metadata)
                   .putString(PhysNameKey, physName(x)).build())
             else x)
-        } else f.dataType match {
-          case st: StructType =>
-            fields.map(x =>
-              if (x.name == target)
-                x.copy(dataType = StructType(renameIn(st.fields, rest.tail)))
-              else x)
-          case other => throw new IllegalArgumentException(
-            s"cannot rename '$dotted' on $table: '$target' is $other, " +
-              "not a struct — renames inside array elements or map " +
-              "values are unsupported")
-        }
+        } else fields.map(x =>
+          if (x.name == target)
+            x.copy(dataType = renameInType(f.dataType, rest.tail))
+          else x)
       }
       val renamed = StructType(renameIn(sch.fields, path))
       def stillAnalyzes(sql: String): Boolean =

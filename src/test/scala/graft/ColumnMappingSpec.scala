@@ -357,6 +357,47 @@ class ColumnMappingSpec extends AnyFunSuite with SparkFixture {
     } finally GraftCatalog.unregister("cm_nested")
   }
 
+  test("NESTED rename inside array elements and map values (r13)") {
+    import spark.implicits._
+    val t = fresh()
+    // tags: array<struct<a,b>>, props: map<string, struct<p,q>>
+    ManifestTable.commit(spark, t,
+      (1 to 8).map(i => (i.toLong, Seq((i * 1.0, s"t$i")), Map("k" -> (i, s"v$i"))))
+        .toDF("id", "tags", "props")
+        .select(col("id"),
+          col("tags").cast("array<struct<a:double,b:string>>").as("tags"),
+          col("props").cast("map<string,struct<p:int,q:string>>").as("props")))
+    val filesBefore = ManifestTable.snapshotFiles(spark, t)
+    // a.element.b addressing, the Delta spelling
+    ManifestTable.renameColumnPath(spark, t, Seq("tags", "element", "a"), "score")
+    ManifestTable.renameColumnPath(spark, t, Seq("props", "value", "p"), "prio")
+    assert(ManifestTable.snapshotFiles(spark, t) === filesBefore,
+      "array/map-interior renames must move zero data")
+    val got = ManifestTable.read(spark, t)
+    assert(got.schema("tags").dataType.simpleString ===
+      "array<struct<score:double,b:string>>")
+    assert(got.schema("props").dataType.simpleString ===
+      "map<string,struct<prio:int,q:string>>")
+    assert(got.filter($"id" === 3L)
+      .select(element_at($"tags", 1).getField("score")).head.getDouble(0) === 3.0,
+      "old bytes must read under the new element-field name")
+    assert(got.filter($"id" === 3L)
+      .select(element_at($"props", "k").getField("prio")).head.getInt(0) === 3)
+    // appends speak the new spelling and store the physical one
+    ManifestTable.commit(spark, t,
+      Seq((9L, Seq((99.0, "n")), Map("k" -> (9, "v9"))))
+        .toDF("id", "tags", "props")
+        .select(col("id"),
+          col("tags").cast("array<struct<score:double,b:string>>").as("tags"),
+          col("props").cast("map<string,struct<prio:int,q:string>>").as("props")))
+    assert(ManifestTable.read(spark, t).count() === 9)
+    val newFile = (ManifestTable.snapshotFiles(spark, t).toSet --
+      filesBefore.toSet).head
+    assert(spark.read.parquet(s"$t/$newFile").schema("tags")
+      .dataType.simpleString === "array<struct<a:double,b:string>>",
+      "new files must store the stable physical element-field name")
+  }
+
   test("NESTED rename refusals: siblings, arrays, constraint references") {
     import spark.implicits._
     val t = fresh()
@@ -368,7 +409,7 @@ class ColumnMappingSpec extends AnyFunSuite with SparkFixture {
     // path through a non-struct
     val e2 = intercept[IllegalArgumentException](
       ManifestTable.renameColumnPath(spark, t, Seq("id", "a"), "b"))
-    assert(e2.getMessage.contains("not a struct"))
+    assert(e2.getMessage.contains("does not address"))
     // a CHECK constraint naming the nested field blocks its rename
     ManifestTable.addConstraint(spark, t, "a_pos", "meta.a > 0")
     val e3 = intercept[IllegalArgumentException](

@@ -42,6 +42,24 @@ object EngineProps extends Properties("engine") {
       unionAll && partition
     }
 
+  // random small corpora over a tiny alphabet — repeated substrings
+  // guarantee real merge activity, not just early stops
+  private val corpora: Gen[List[String]] =
+    Gen.nonEmptyListOf(Gen.nonEmptyListOf(
+      Gen.oneOf("ab", "abc", "aab", "ba", "cab", "abab", "a", "bc"))
+      .map(_.mkString(" ")))
+
+  property("BPE: driver-side and distributed merge training are bit-identical") =
+    forAll(corpora) { texts =>
+      val docs = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+        .toDF("doc_id", "text")
+      def rows(df: org.apache.spark.sql.DataFrame) = df.collect()
+        .map(r => (r.getInt(0), r.getString(1), r.getString(2), r.getLong(3)))
+        .toSeq
+      rows(graft.operators.Bpe.trainMerges(docs, 8)) ==
+        rows(graft.operators.Bpe.trainMerges(docs, 8, localVocabLimit = 0))
+    }
+
   // random per-user event offsets (seconds within an hour)
   private val eventSets: Gen[List[(Long, Int)]] =
     Gen.nonEmptyListOf(for {

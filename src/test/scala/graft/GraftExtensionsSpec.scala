@@ -521,14 +521,33 @@ class GraftExtensionsSpec extends AnyFunSuite with SparkFixture {
       assert(image === mirror.collect()
         .map(r => r.getLong(0) -> r.getDouble(1)).toMap,
         "the three-arm merge must mirror the source exactly")
+      // BY SOURCE UPDATE: the mark-stale idiom — unmatched rows the
+      // feed stopped mentioning take the assignments
+      Seq((1L, 0.0)).toDF("id", "v").createOrReplaceTempView("mo6")
+      spark.sql("""MERGE INTO graft.mrg13_t t USING mo6 c ON t.id = c.id
+                  |WHEN NOT MATCHED BY SOURCE AND t.v < 50.0D
+                  |  THEN UPDATE SET v = -1.0D""".stripMargin)
+      assert(image === Map(1L -> 11.0, 6L -> 66.0, 20L -> -1.0),
+        "BY SOURCE UPDATE must mark exactly the unmatched rows under the condition")
+      // precedence: UPDATE listed before DELETE wins overlapping rows
+      spark.sql("""MERGE INTO graft.mrg13_t t USING mo6 c ON t.id = c.id
+                  |WHEN NOT MATCHED BY SOURCE AND t.id = 6 THEN UPDATE SET v = 0.0D
+                  |WHEN NOT MATCHED BY SOURCE THEN DELETE""".stripMargin)
+      assert(image === Map(1L -> 11.0, 6L -> 0.0),
+        "first-match order: the earlier BY SOURCE UPDATE must win over DELETE")
       // refusals: a BY SOURCE condition referencing the source, and a
-      // BY SOURCE UPDATE arm
+      // BY SOURCE UPDATE SET *
       val e = intercept[Exception](spark.sql(
         """MERGE INTO graft.mrg13_t t USING mo5 c ON t.id = c.id
           |WHEN MATCHED THEN UPDATE SET *
           |WHEN NOT MATCHED BY SOURCE AND c.v > 0 THEN DELETE""".stripMargin))
       assert(e.getMessage.contains("target columns"),
         s"source refs in a BY SOURCE condition must refuse: ${e.getMessage}")
+      val e2 = intercept[Exception](spark.sql(
+        """MERGE INTO graft.mrg13_t t USING mo5 c ON t.id = c.id
+          |WHEN NOT MATCHED BY SOURCE THEN UPDATE SET v = c.v""".stripMargin))
+      assert(e2.getMessage.contains("target columns"),
+        s"a source-valued BY SOURCE assignment must refuse: ${e2.getMessage}")
     } finally GraftCatalog.unregister("mrg13_t")
   }
 }
