@@ -3,7 +3,7 @@ package graft.sources
 import org.apache.spark.sql.{Column, Row, SaveMode, SparkSession}
 import org.apache.spark.sql.catalyst.analysis.{UnresolvedAttribute, UnresolvedIdentifier, UnresolvedRelation, UnresolvedTable}
 import org.apache.spark.sql.catalyst.expressions.{And, CheckConstraint, EqualTo, Expression}
-import org.apache.spark.sql.catalyst.plans.logical.{AddColumns, AlterColumns, CreateTable, CreateTableAsSelect, DeleteAction, DeleteFromTable, DescribeRelation, DropColumns, DropTable, InsertIntoStatement, InsertStarAction, LogicalPlan, MergeIntoTable, RenameColumn, ShowTables, SubqueryAlias, TableSpec, TableSpecBase, UnresolvedTableSpec, UpdateAction, UpdateStarAction, UpdateTable}
+import org.apache.spark.sql.catalyst.plans.logical.{AddColumns, AlterColumns, CreateTable, CreateTableAsSelect, DeleteAction, DeleteFromTable, DescribeRelation, DropColumns, DropTable, InsertIntoStatement, InsertStarAction, LogicalPlan, MergeIntoTable, RenameColumn, ShowCreateTable, ShowTables, SubqueryAlias, TableSpec, TableSpecBase, UnresolvedTableSpec, UpdateAction, UpdateStarAction, UpdateTable}
 import org.apache.spark.sql.catalyst.rules.Rule
 import org.apache.spark.sql.connector.catalog.constraints.{Check, Constraint}
 import org.apache.spark.sql.connector.expressions.{Literal => V2Literal, Transform}
@@ -811,6 +811,7 @@ object GraftCatalog {
           !plan.isInstanceOf[CreateTableAsSelect] &&
           !plan.isInstanceOf[DropTable] &&
           !plan.isInstanceOf[DescribeRelation] &&
+          !plan.isInstanceOf[ShowCreateTable] &&
           !plan.isInstanceOf[ShowTables]) return plan
       plan.resolveOperatorsUp {
         // ---- CREATE TABLE graft.<name> — the SQL bootstrap (r13):
@@ -856,6 +857,12 @@ object GraftCatalog {
           require(dr.partitionSpec.isEmpty,
             "DESCRIBE with a PARTITION spec is unsupported on graft tables")
           DescribeCommand(ddlIdent(dr.relation).get, dr.isExtended)
+        // ---- SHOW CREATE TABLE graft.<name> — the DDL round-trip:
+        // the emitted statement re-creates the table through the
+        // CREATE path above (schema, layout incl. hidden transforms,
+        // location, properties, CHECK constraints).
+        case sct: ShowCreateTable if ddlIdent(sct.child).isDefined =>
+          ShowCreateCommand(ddlIdent(sct.child).get)
         // ---- SHOW TABLES IN graft — the registry listing.
         case st: ShowTables
             if (st.namespace match {
@@ -1032,6 +1039,55 @@ object GraftCatalog {
               .map { case (k, vl) => Row(s"Property $k", vl, null) }
         }
       cols ++ partRows ++ extRows
+    }
+  }
+
+  /** `SHOW CREATE TABLE graft.<name>` — the statement that would
+    * re-create the table through [[CreateCommand]]: column list with
+    * CHECK constraints, PARTITIONED BY with hidden transforms spelled
+    * back (`bucket(4, id)`), LOCATION, and TBLPROPERTIES from the
+    * config sidecar. Renamed columns emit their LOGICAL names — the
+    * round-trip creates a mapping-free table with the same logical
+    * face (physical spellings are storage history, not schema). */
+  final case class ShowCreateCommand(name: String)
+    extends LeafRunnableCommand {
+    override val output: Seq[org.apache.spark.sql.catalyst.expressions.Attribute] =
+      Seq(strAttr("createtab_stmt"))
+    override def run(session: SparkSession): Seq[Row] = {
+      val path = lookup(name).getOrElse(throw new IllegalArgumentException(
+        s"SHOW CREATE TABLE graft.$name: no such registered table"))
+      val v = ManifestTable.currentVersion(session, path)
+      val sch = ManifestTable.snapshotSchema(session, path).getOrElse(
+        new StructType())
+      val cons = ManifestTable.checkConstraints(session, path, v).toSeq.sorted
+      val colLines = sch.fields.toSeq.map(f =>
+        s"  ${f.name} ${f.dataType.sql}") ++
+        cons.map { case (n, sql) => s"  CONSTRAINT $n CHECK ($sql)" }
+      val transforms = ManifestTable.partitionTransforms(session, path)
+      val partBy = ManifestTable.partitionColumns(session, path).map { p =>
+        transforms.find(_.target == p) match {
+          case Some(pt) => pt.kind match {
+            case "bucket" => s"bucket(${pt.n}, ${pt.source})"
+            case "truncate" => s"truncate(${pt.n}, ${pt.source})"
+            case k => s"$k(${pt.source})"
+          }
+          case None => p
+        }
+      }
+      val props = ManifestTable.tableConfig(session, path)
+        .filter { case (k, _) => SupportedProps.contains(k) }
+      val stmt = new StringBuilder()
+      stmt ++= s"CREATE TABLE graft.$name (\n"
+      stmt ++= colLines.mkString(",\n")
+      stmt ++= "\n)"
+      if (partBy.nonEmpty)
+        stmt ++= s"\nPARTITIONED BY (${partBy.mkString(", ")})"
+      stmt ++= s"\nLOCATION '$path'"
+      if (props.nonEmpty)
+        stmt ++= props.toSeq.sorted
+          .map { case (k, vl) => s"'$k' = '$vl'" }
+          .mkString("\nTBLPROPERTIES (", ", ", ")")
+      Seq(Row(stmt.toString))
     }
   }
 

@@ -187,6 +187,46 @@ class SqlCreateTableSpec extends AnyFunSuite with SparkFixture {
     }
   }
 
+  test("SHOW CREATE TABLE round-trips: the emitted statement re-creates the table") {
+    val t = tmp("sct")
+    spark.sql(s"""CREATE TABLE graft.sqlct_sct (
+                 |  id BIGINT, grp STRING, qty INT,
+                 |  CONSTRAINT qty_pos CHECK (qty > 0)
+                 |) PARTITIONED BY (grp, bucket(4, id))
+                 |LOCATION '$t'
+                 |TBLPROPERTIES ('graft.statsColumns' = 'id')""".stripMargin)
+    try {
+      val stmt = spark.sql("SHOW CREATE TABLE graft.sqlct_sct")
+        .head.getString(0)
+      assert(stmt.contains("id BIGINT") && stmt.contains("CONSTRAINT qty_pos") &&
+        stmt.contains("PARTITIONED BY (grp, bucket(4, id))") &&
+        stmt.contains("graft.statsColumns"), s"incomplete statement:\n$stmt")
+      // the round-trip: run the emitted DDL at a fresh location under
+      // a fresh name — the twin must carry the same logical face
+      val t2 = tmp("sct2")
+      val replay = stmt
+        .replace("graft.sqlct_sct", "graft.sqlct_sct2")
+        .replace(s"LOCATION '$t'", s"LOCATION '$t2'")
+      spark.sql(replay)
+      try {
+        assert(ManifestTable.snapshotSchema(spark, t2).map(_.fieldNames.toSeq) ===
+          ManifestTable.snapshotSchema(spark, t).map(_.fieldNames.toSeq))
+        assert(ManifestTable.partitionColumns(spark, t2) ===
+          ManifestTable.partitionColumns(spark, t))
+        assert(ManifestTable.partitionTransforms(spark, t2)
+          .map(pt => (pt.kind, pt.source, pt.n)) ===
+          ManifestTable.partitionTransforms(spark, t)
+            .map(pt => (pt.kind, pt.source, pt.n)))
+        assert(ManifestTable.tableConfig(spark, t2)
+          .get("graft.statsColumns").contains("id"))
+        // the twin enforces the same CHECK
+        val e = intercept[Exception](
+          spark.sql("INSERT INTO graft.sqlct_sct2 VALUES (1, 'a', 0)"))
+        assert(e.getMessage.contains("qty_pos"))
+      } finally GraftCatalog.unregister("sqlct_sct2")
+    } finally GraftCatalog.unregister("sqlct_sct")
+  }
+
   test("unsupported clauses refuse loudly: USING, TBLPROPERTIES, transforms, name clash") {
     val t = tmp("bad")
     val using = intercept[Exception] {
