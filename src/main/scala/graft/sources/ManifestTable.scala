@@ -1611,6 +1611,10 @@ object ManifestTable {
       lf.delete(lp, false)
       externsCache.remove(dst)
       lf.delete(ingestDir(dst), true)
+      // a dead clone's copied table config is debris too — surviving,
+      // it would graft the OLD donor's stats config onto a retry from
+      // a config-less donor
+      lf.delete(configPath(dst), false)
     }
     val node = segmentMapper.createObjectNode()
     val ex = node.putObject("externs")
@@ -1636,6 +1640,13 @@ object ManifestTable {
       val o = fs(spark, to).create(to, false)
       try o.write(bytes) finally o.close()
     }
+    // the donor's table config (graft.statsColumns et al.) comes along
+    // too (r13): without it, a clone of a CREATE'd-but-still-small
+    // table would silently stop BEGINNING stats collection on its
+    // first insert — the config is creation-time state like the
+    // constraint set, not history
+    val donorConfig = tableConfig(spark, src)
+    if (donorConfig.nonEmpty) writeTableConfig(spark, dst, donorConfig)
     // a failed publish must take OUR pre-publish files with it, or a
     // retried clone dies on the leftover ledger's exclusive create and
     // the destination is a manual-cleanup dead end (review r10 finding)
@@ -1650,6 +1661,7 @@ object ManifestTable {
       if (versions(spark, dst).nonEmpty) return
       lf.delete(lp, false)
       externsCache.remove(dst)
+      if (donorConfig.nonEmpty) lf.delete(configPath(dst), false)
       donorLedgers.foreach(rel =>
         lf.delete(new Path(manifestDir(dst), rel), false))
     }

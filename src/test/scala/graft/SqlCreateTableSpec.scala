@@ -187,6 +187,29 @@ class SqlCreateTableSpec extends AnyFunSuite with SparkFixture {
     }
   }
 
+  test("a shallow clone carries the table config: stats still begin at first insert") {
+    val t = tmp("clcfg")
+    spark.sql(s"""CREATE TABLE graft.sqlct_clcfg (id BIGINT, v DOUBLE)
+                 |LOCATION '$t'
+                 |TBLPROPERTIES ('graft.statsColumns' = 'id')""".stripMargin)
+    try {
+      val dst = tmp("clcfg2")
+      ManifestTable.cloneShallow(spark, t, dst)
+      assert(ManifestTable.tableConfig(spark, dst)
+        .get("graft.statsColumns").contains("id"),
+        "the clone must carry the donor's config sidecar")
+      import spark.implicits._
+      ManifestTable.commit(spark, dst, Seq((1L, 2.0)).toDF("id", "v"))
+      // every ROW-BEARING file must carry id ranges (the CREATE's
+      // zero-row file has no values to record a range of)
+      val st = ManifestTable.snapshotStats(spark, dst)
+      val rowBearing = st.values.filter(
+        _.get("__graft_rows").exists(_._2 > 0))
+      assert(rowBearing.nonEmpty && rowBearing.forall(_.contains("id")),
+        s"the clone's first insert must begin stats collection per the carried config, got $st")
+    } finally GraftCatalog.unregister("sqlct_clcfg")
+  }
+
   test("SHOW CREATE TABLE round-trips: the emitted statement re-creates the table") {
     val t = tmp("sct")
     spark.sql(s"""CREATE TABLE graft.sqlct_sct (
