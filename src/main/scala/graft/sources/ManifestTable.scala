@@ -4456,8 +4456,22 @@ object ManifestTable {
         val missing = gSchema.map(g =>
           toFields.filterNot(f => g.fieldNames.contains(f.name)))
           .getOrElse(Nil)
+        // a PARTITION column renamed inside the range re-spells like
+        // every schema field (r13): the group's layout list must speak
+        // the respelled name the gSchema fields carry, or the read
+        // would treat the renamed column as data (nulls from the
+        // files) and never derive it from its physical dir key.
+        // respellTo preserves field positions, so a positional zip
+        // maps each v-era name to its to-version spelling.
+        val vSchema = snapshotSchema(spark, table, v)
+        val renameOf: Map[String, String] =
+          vSchema.map(_.fields.toSeq).getOrElse(Nil)
+            .zip(gSchema.map(_.fields.toSeq).getOrElse(Nil))
+            .map { case (a, b) => a.name -> b.name }.toMap
+        val gPartBy = partitionColumns(spark, table, v)
+          .map(p => renameOf.getOrElse(p, p))
         readLive(spark, table, fs,
-          gSchema, partitionColumns(spark, table, v),
+          gSchema, gPartBy,
           toTombs, dvs = toDvs, tombAugment = missing)
       }.reduce(_.unionByName(_, allowMissingColumns = true))
       snapshotSchema(spark, table, to) match {
@@ -4537,10 +4551,18 @@ object ManifestTable {
         // names (column mapping): a rename inside the range must not
         // null the pre-image out of the key/struct comparison
         val toF = snapshotSchema(spark, table, to).map(_.fields.toSeq)
-        val raw = readFiles(spark, table, removed,
-          snapshotSchema(spark, table, sinceVersion)
-            .map(s => toF.fold(s)(respellTo(s, _))),
-          partitionColumns(spark, table, sinceVersion))
+        val sinceSchema = snapshotSchema(spark, table, sinceVersion)
+        val respelled = sinceSchema.map(s => toF.fold(s)(respellTo(s, _)))
+        // the since-version layout list re-spells with the schema
+        // (r13, partition-column rename): respellTo preserves field
+        // positions, so a positional zip maps each name
+        val renameOf: Map[String, String] =
+          sinceSchema.map(_.fields.toSeq).getOrElse(Nil)
+            .zip(respelled.map(_.fields.toSeq).getOrElse(Nil))
+            .map { case (a, b) => a.name -> b.name }.toMap
+        val raw = readFiles(spark, table, removed, respelled,
+          partitionColumns(spark, table, sinceVersion)
+            .map(p => renameOf.getOrElse(p, p)))
         val have = raw.columns.toSet
         raw.select(cols.map(c =>
           if (have.contains(c)) col(c)

@@ -205,6 +205,34 @@ class ColumnMappingSpec extends AnyFunSuite with SparkFixture {
     assert(ManifestTable.readWhere(spark, t, col("grp") === "g9").count() === 0)
   }
 
+  test("the change feed spans a PARTITION-column rename: values, not nulls") {
+    import spark.implicits._
+    val t = fresh()
+    ManifestTable.commit(spark, t,
+      (1 to 12).map(i => (i.toLong, s"g${i % 3}", i * 1.0)).toDF("id", "g", "v"),
+      partitionBy = Seq("g"), statsColumns = Seq("id")) // v1: dirs g=...
+    ManifestTable.renameColumn(spark, t, "g", "grp") // v2
+    ManifestTable.commit(spark, t,
+      Seq((13L, "g9", 13.0)).toDF("id", "grp", "v")) // v3, physical dirs g=
+    // changes() across the rename: the v1 group's partition values
+    // must surface under the NEW name — derived from the physical dir
+    // key, never nulled as a missing data column
+    val ch = ManifestTable.changes(spark, t, 0)
+    assert(ch.columns.contains("grp"))
+    val m = ch.collect().map(r => r.getLong(0) -> r.getAs[String]("grp")).toMap
+    assert(m(4L) === "g1",
+      "pre-rename groups must carry their REAL partition values under the new name")
+    assert(m(13L) === "g9")
+    assert(ch.filter(col("grp").isNull).count() === 0)
+    // rowChanges' pre side reads a pre-rename file the same way
+    ManifestTable.updateWhere(spark, t,
+      Seq("v" -> lit(0.0)), col("id") === 2L) // v4 rewrites a v1 file
+    val rc = ManifestTable.rowChanges(spark, t, 1, keys = Seq("id"))
+      .filter(col("id") === 2L).collect()
+    assert(rc.nonEmpty && rc.forall(_.getAs[String]("grp") == "g2"),
+      "the pre-image must keep its partition value across the rename")
+  }
+
   test("freshStorage re-add: the name-based resurrection caveat, fixed") {
     import spark.implicits._
     val t = fresh()
