@@ -1076,6 +1076,17 @@ object GraftCatalog {
       }
       val props = ManifestTable.tableConfig(session, path)
         .filter { case (k, _) => SupportedProps.contains(k) }
+        .flatMap { case (k, vl) if k == "graft.statsColumns" =>
+          // the config records creation-time names; a column renamed
+          // since would make the replayed statement REFUSE — emit only
+          // the names the current schema still speaks (the write paths
+          // apply the same filter)
+          val live = sch.fieldNames.map(norm).toSet
+          val kept = vl.split(",").map(_.trim)
+            .filter(c => live.contains(norm(c)))
+          if (kept.isEmpty) None else Some(k -> kept.mkString(", "))
+        case kv => Some(kv)
+        }
       val stmt = new StringBuilder()
       stmt ++= s"CREATE TABLE graft.$name (\n"
       stmt ++= colLines.mkString(",\n")

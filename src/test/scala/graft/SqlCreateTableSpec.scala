@@ -248,6 +248,19 @@ class SqlCreateTableSpec extends AnyFunSuite with SparkFixture {
         assert(e.getMessage.contains("qty_pos"))
       } finally GraftCatalog.unregister("sqlct_sct2")
     } finally GraftCatalog.unregister("sqlct_sct")
+    // after a rename, the emitted TBLPROPERTIES must not spell the
+    // dead name — the replayed statement would refuse it
+    val t3 = tmp("sct3")
+    spark.sql(s"""CREATE TABLE graft.sqlct_sct3 (id BIGINT, v DOUBLE)
+                 |LOCATION '$t3'
+                 |TBLPROPERTIES ('graft.statsColumns' = 'v')""".stripMargin)
+    try {
+      ManifestTable.renameColumn(spark, t3, "v", "val")
+      val renamedStmt = spark.sql("SHOW CREATE TABLE graft.sqlct_sct3")
+        .head.getString(0)
+      assert(!renamedStmt.contains("TBLPROPERTIES"),
+        s"a stats config spelling only renamed columns must drop:\n$renamedStmt")
+    } finally GraftCatalog.unregister("sqlct_sct3")
   }
 
   test("unsupported clauses refuse loudly: USING, TBLPROPERTIES, transforms, name clash") {
