@@ -825,6 +825,14 @@ object GraftCatalog {
                 c.identityColumnSpec.isEmpty,
               s"CREATE TABLE $ident: DEFAULT / GENERATED / IDENTITY " +
                 s"column clauses are unsupported (column '${c.name}')")
+            // NOT NULL would be recorded but never enforced (the
+            // append schema check compares name+type only) — refuse
+            // rather than lie; CHECK is the enforced spelling
+            require(c.nullable,
+              s"CREATE TABLE $ident: NOT NULL on column '${c.name}' is " +
+                "not enforced — declare CONSTRAINT <name> CHECK " +
+                s"(${c.name} IS NOT NULL) instead (CHECKs are enforced " +
+                "on every write)")
             c.toV1Column
           }
           require(fields.nonEmpty, s"CREATE TABLE $ident needs a column list")
@@ -946,11 +954,25 @@ object GraftCatalog {
           s"CREATE TABLE $ident: the AS SELECT rows violate CHECK " +
             s"constraint $n ($sql)")
       }
-      // config precedes v1 (commit consults it for stats columns);
-      // overwrite, not exclusive: a crashed earlier CREATE may have
-      // left a config at a still-version-less path, and the v1
-      // publish below is the real arbiter between racing creates
-      ManifestTable.writeTableConfig(session, path, props)
+      // config precedes v1 (commit consults it for stats columns).
+      // The write is atomic-exclusive and content-keyed (ADVICE r13):
+      // an identical racing/replayed CREATE lands idempotently, a
+      // DIFFERENT statement racing this path refuses loudly, and a
+      // winner that published v1 first surfaces here as
+      // ConcurrentCreateException — taken as the adopt path below,
+      // exactly like a lost v1 publish, instead of escaping as an
+      // opaque version-check failure
+      try ManifestTable.writeTableConfig(session, path, props)
+      catch {
+        case e: ManifestTable.ConcurrentCreateException =>
+          if (ignoreIfExists &&
+              ManifestTable.versions(session, path).nonEmpty) {
+            register(name, path); return Nil
+          }
+          throw new IllegalArgumentException(
+            s"CREATE TABLE $ident: a concurrent CREATE won the race at " +
+              s"$path (IF NOT EXISTS to adopt the winner)", e)
+      }
       // exactly-once under a CREATE race: two concurrent CREATEs at
       // the same fresh path must produce ONE v1 — without the txn
       // gate, the loser's commit would APPEND as v2 (duplicating the
@@ -1060,8 +1082,13 @@ object GraftCatalog {
       val sch = ManifestTable.snapshotSchema(session, path).getOrElse(
         new StructType())
       val cons = ManifestTable.checkConstraints(session, path, v).toSeq.sorted
-      val colLines = sch.fields.toSeq.map(f =>
-        s"  ${f.name} ${f.dataType.sql}") ++
+      def lit(s: String) = // \-escapes (Spark's default string lexer)
+        "'" + s.replace("\\", "\\\\").replace("'", "\\'") + "'"
+      val colLines = sch.fields.toSeq.map { f =>
+        val cmt = if (f.metadata.contains("comment"))
+          s" COMMENT ${lit(f.metadata.getString("comment"))}" else ""
+        s"  ${f.name} ${f.dataType.sql}$cmt"
+      } ++
         cons.map { case (n, sql) => s"  CONSTRAINT $n CHECK ($sql)" }
       val transforms = ManifestTable.partitionTransforms(session, path)
       val partBy = ManifestTable.partitionColumns(session, path).map { p =>
@@ -1091,6 +1118,10 @@ object GraftCatalog {
       stmt ++= s"CREATE TABLE graft.$name (\n"
       stmt ++= colLines.mkString(",\n")
       stmt ++= "\n)"
+      // the recorded table COMMENT round-trips (ADVICE r13: it used
+      // to land in the config sidecar and silently vanish here)
+      ManifestTable.tableConfig(session, path).get("comment")
+        .foreach(c => stmt ++= s"\nCOMMENT ${lit(c)}")
       if (partBy.nonEmpty)
         stmt ++= s"\nPARTITIONED BY (${partBy.mkString(", ")})"
       stmt ++= s"\nLOCATION '$path'"

@@ -1165,7 +1165,7 @@ object ManifestTable {
       val cons = checkConstraints(spark, table, head)
       requireSatisfied(df, cons, s"a COPY INTO batch for $table")
       val stats = (statsColumnsOf(headStats) ++
-        configStatsColumns(spark, table).filter(df.columns.contains) ++
+        configStatsColumns(spark, table, df.columns.toSeq) ++
         statsColumns).distinct.sorted
       val (uuid, newFiles, newStats) = writeData(spark, table, df, stats, partBy)
       val ledger = writeIngestLedger(spark, table, fresh)
@@ -1459,33 +1459,136 @@ object ManifestTable {
     node.fields().asScala.map(kv => kv.getKey -> kv.getValue.asText).toMap
   }
 
+  /** The canonical byte serialization of a config — sorted keys, so
+    * two writers with the SAME properties produce identical bytes and
+    * a content compare can stand in for "same CREATE statement". */
+  private[graft] def configBytes(props: Map[String, String]): Array[Byte] = {
+    val node = segmentMapper.createObjectNode()
+    props.toSeq.sortBy(_._1).foreach { case (k, v) => node.put(k, v) }
+    segmentMapper.writeValueAsBytes(node)
+  }
+
+  private def readRawBytes(f: FileSystem, p: Path): Option[Array[Byte]] =
+    try {
+      val in = f.open(p)
+      try {
+        val buf = new java.io.ByteArrayOutputStream()
+        org.apache.hadoop.io.IOUtils.copyBytes(in, buf, 8192, false)
+        Some(buf.toByteArray)
+      } finally in.close()
+    } catch { case _: java.io.FileNotFoundException => None }
+
+  /** Atomic-exclusive file create: write a temp sibling completely,
+    * then claim `target` with the same primitive the manifest publish
+    * uses (link(2) on the local FS, exists+rename on HDFS-class) —
+    * a reader can never observe a partial file, and exactly one of
+    * any number of concurrent writers wins. Returns whether WE won. */
+  private def createExclusive(f: FileSystem, target: Path,
+                              bytes: Array[Byte]): Boolean = {
+    val tmp = new Path(target.getParent,
+      s".${target.getName}.${java.util.UUID.randomUUID()}.tmp")
+    val out = f.create(tmp, true)
+    try out.write(bytes) finally out.close()
+    val won = f match {
+      case _: org.apache.hadoop.fs.LocalFileSystem |
+           _: org.apache.hadoop.fs.RawLocalFileSystem =>
+        try {
+          java.nio.file.Files.createLink(
+            java.nio.file.Paths.get(target.toUri.getPath),
+            java.nio.file.Paths.get(tmp.toUri.getPath))
+          true
+        } catch { case _: java.nio.file.FileAlreadyExistsException => false }
+      case _ => !f.exists(target) && f.rename(tmp, target)
+    }
+    f.delete(tmp, false)
+    won
+  }
+
+  /** A concurrent CREATE published the table first — the caller must
+    * adopt the winner (IF NOT EXISTS) or refuse loudly, never clobber
+    * the winner's recorded config. */
+  private[graft] final class ConcurrentCreateException(msg: String)
+    extends IllegalStateException(msg)
+
   /** Record `props` as the table's config — once, at table creation,
-    * immutable thereafter (like the extern ledger). Overwrite, not
-    * exclusive create: the only caller writes BEFORE the table's v1
-    * exists, where a leftover config from a crashed earlier CREATE is
-    * debris and the v1 publish is the arbiter between racing
-    * creates. */
+    * immutable thereafter (like the extern ledger). The write is
+    * atomic-exclusive (write-temp-then-link, the manifest publish
+    * primitive), so a concurrent reader — e.g. a racing CREATE's
+    * commit reading stats columns — can never observe a torn file
+    * (ADVICE r13). Contention resolves by CONTENT:
+    *  - identical bytes already in the slot = an identical CREATE's
+    *    replay or racer — idempotent success (exactly-once composes
+    *    with the commit's txn gate);
+    *  - different bytes on a table with published versions = a
+    *    concurrent CREATE won — [[ConcurrentCreateException]], the
+    *    winner's config is never overwritten (ADVICE r13);
+    *  - different bytes on a still-version-less path = either a
+    *    crashed CREATE's debris (stale → swept and retried, the clone
+    *    debris rule) or a LIVE racing CREATE with a different
+    *    statement (fresh → refused loudly; racing different CREATEs
+    *    at one path is a user error the engine surfaces, not
+    *    arbitrates). */
   private[graft] def writeTableConfig(spark: SparkSession, table: String,
                                       props: Map[String, String]): Unit = {
     if (props.isEmpty) return
-    require(currentVersion(spark, table) == 0,
-      s"table config for $table is written at creation only")
-    val node = segmentMapper.createObjectNode()
-    props.toSeq.sortBy(_._1).foreach { case (k, v) => node.put(k, v) }
+    val bytes = configBytes(props)
     val p = configPath(table)
-    val out = fs(spark, p).create(p, true)
-    try out.write(segmentMapper.writeValueAsBytes(node)) finally out.close()
+    val f = fs(spark, p)
+    var attempt = 0
+    while (true) {
+      attempt += 1
+      if (createExclusive(f, p, bytes)) {
+        // won the slot — but if a racer's v1 landed while we wrote,
+        // the table is THEIRS and our config must not graft onto it
+        if (currentVersion(spark, table) > 0) {
+          if (readRawBytes(f, p).exists(java.util.Arrays.equals(_, bytes)))
+            f.delete(p, false)
+          throw new ConcurrentCreateException(
+            s"a concurrent CREATE published $table before its config " +
+              "was recorded — adopt the winner or pick a fresh path")
+        }
+        return
+      }
+      // slot occupied: same content = idempotent success
+      if (readRawBytes(f, p).exists(java.util.Arrays.equals(_, bytes))) return
+      if (currentVersion(spark, table) > 0)
+        throw new ConcurrentCreateException(
+          s"table config for $table was recorded by a concurrent CREATE " +
+            "with different properties — the published winner keeps it")
+      // version-less + different content: stale = crashed-CREATE
+      // debris (sweep and retry), fresh = a live racing CREATE with a
+      // DIFFERENT statement (refuse — publishing either config would
+      // silently drop the other statement's properties)
+      val age = System.currentTimeMillis() -
+        f.getFileStatus(p).getModificationTime
+      require(age > cloneDebrisStaleMs,
+        s"table config at $table is ${age / 1000}s old with no published " +
+          "version and different properties — either a CREATE with a " +
+          "different statement is racing this one (pick one statement), " +
+          "or a crashed attempt left debris younger than the " +
+          s"${cloneDebrisStaleMs / 1000}s staleness window")
+      require(attempt < 3,
+        s"table config for $table stayed contested after $attempt sweeps")
+      f.delete(p, false)
+    }
   }
 
-  /** Stats columns the table was CREATEd to track (config sidecar);
-    * the write paths union these with whatever the head already
-    * tracks, so collection begins at the first insert even though an
-    * empty table has no per-file stats to inherit from. */
-  private def configStatsColumns(spark: SparkSession,
-                                 table: String): Seq[String] =
+  /** Stats columns the table was CREATEd to track (config sidecar),
+    * resolved to the batch's ACTUAL column spellings; the write paths
+    * union these with whatever the head already tracks, so collection
+    * begins at the first insert even though an empty table has no
+    * per-file stats to inherit from. Resolution is case-INsensitive
+    * (ADVICE r13): CREATE validates `graft.statsColumns` names
+    * case-insensitively, so a config name differing from the schema
+    * only in case must still begin collection — and the resolved name
+    * takes the data's casing, so the recorded stats key is always a
+    * real column. */
+  private def configStatsColumns(spark: SparkSession, table: String,
+                                 available: Seq[String]): Seq[String] =
     tableConfig(spark, table).get("graft.statsColumns")
       .map(_.split(",").iterator.map(_.trim).filter(_.nonEmpty).toSeq)
       .getOrElse(Nil)
+      .flatMap(c => available.find(_.equalsIgnoreCase(c)))
 
   private def externsPath(table: String) =
     new Path(manifestDir(table), "externs.json")
@@ -1627,7 +1730,7 @@ object ManifestTable {
     // sources the donor already consumed — without this, cloning an
     // ingestion pipeline's table would double every row on the next run
     val donorLedgers = ingestLedgers(spark, src, v)
-    donorLedgers.foreach { rel =>
+    val ledgerCopies = donorLedgers.map { rel =>
       val from = new Path(manifestDir(src), rel)
       val to = new Path(manifestDir(dst), rel)
       val in = fs(spark, from).open(from)
@@ -1639,6 +1742,7 @@ object ManifestTable {
         } finally in.close()
       val o = fs(spark, to).create(to, false)
       try o.write(bytes) finally o.close()
+      to -> bytes
     }
     // the donor's table config (graft.statsColumns et al.) comes along
     // too (r13): without it, a clone of a CREATE'd-but-still-small
@@ -1684,27 +1788,38 @@ object ManifestTable {
           "to the winner (any pre-publish files of ours that could " +
           "be removed safely were)")
     }
-    // belt-and-braces (ADVICE r12): if this attempt stalled past the
-    // staleness window, a racer may have swept our in-flight ledger as
-    // crash debris before our v1 landed. The ledger is a pure function
-    // of (src, version), so verify-and-rewrite is idempotent — a
-    // published clone must never be left ledger-less.
-    val intact =
-      try {
-        val in = lf.open(lp)
-        val got =
-          try {
-            val buf = new java.io.ByteArrayOutputStream()
-            org.apache.hadoop.io.IOUtils.copyBytes(in, buf, 8192, false)
-            buf.toByteArray
-          } finally in.close()
-        java.util.Arrays.equals(got, ledgerBytes)
-      } catch { case _: java.io.FileNotFoundException => false }
-    if (!intact) {
-      val o = lf.create(lp, true)
-      try o.write(ledgerBytes) finally o.close()
-      externsCache.remove(dst)
+    // belt-and-braces (ADVICE r12, widened per ADVICE r13): if this
+    // attempt stalled past the staleness window, a racer may have
+    // swept our in-flight sidecars as crash debris before our v1
+    // landed — and its sweep takes not just externs.json but the
+    // copied COPY INTO ingest ledgers (losing them = silent
+    // double-ingest on the clone's next pipeline run) and the donor's
+    // config sidecar (losing it = stats collection silently never
+    // begins). Every one is a pure function of (src, version), so
+    // verify-and-rewrite is idempotent — a published clone must never
+    // be left missing any of them.
+    def restore(p: Path, bytes: Array[Byte]): Unit = {
+      val intact =
+        try {
+          val in = lf.open(p)
+          val got =
+            try {
+              val buf = new java.io.ByteArrayOutputStream()
+              org.apache.hadoop.io.IOUtils.copyBytes(in, buf, 8192, false)
+              buf.toByteArray
+            } finally in.close()
+          java.util.Arrays.equals(got, bytes)
+        } catch { case _: java.io.FileNotFoundException => false }
+      if (!intact) {
+        val o = lf.create(p, true)
+        try o.write(bytes) finally o.close()
+      }
     }
+    restore(lp, ledgerBytes)
+    externsCache.remove(dst)
+    ledgerCopies.foreach { case (p, bytes) => restore(p, bytes) }
+    if (donorConfig.nonEmpty)
+      restore(configPath(dst), configBytes(donorConfig))
     1
   }
 
@@ -3365,7 +3480,7 @@ object ManifestTable {
     // keep.)
     val cols = (statsColumnsOf(
         snapshotStats(spark, table, currentVersion(spark, table))) ++
-      configStatsColumns(spark, table).filter(df.columns.contains) ++
+      configStatsColumns(spark, table, df.columns.toSeq) ++
       statsColumns).distinct.sorted
     // CHECK enforcement happens BEFORE any data is written (a refused
     // batch leaves nothing to vacuum); a lost race re-validates iff
@@ -3991,7 +4106,7 @@ object ManifestTable {
       requireSatisfied(merged, headCons, s"the MERGE post-image for $table")
       val (uuid, newFiles, newStats) =
         writeData(spark, table, merged, (statsColumnsOf(headStats) ++
-          configStatsColumns(spark, table).filter(merged.columns.contains))
+          configStatsColumns(spark, table, merged.columns.toSeq))
           .distinct.sorted, partBy)
       val files = rel.filterNot(affected) ++ newFiles
       // carried files keep their recorded stats; rewritten + inserted
