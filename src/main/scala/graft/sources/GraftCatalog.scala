@@ -41,6 +41,11 @@ object GraftCatalog {
 
   private val reg = new java.util.concurrent.ConcurrentHashMap[String, String]()
 
+  /** How many times [[Resolution]] ran its full rewrite walk (i.e.
+    * survived both bail-outs) — visible so tests can pin that plain
+    * relational statements never pay for the graft rewrite. */
+  private[graft] val resolutionWalks = new java.util.concurrent.atomic.AtomicLong
+
   /** Root directory `CREATE TABLE graft.<name>` resolves a table path
     * under when the statement names no LOCATION: `<warehouse>/<name>`.
     * Unset (the default), a LOCATION-less CREATE is refused loudly —
@@ -222,8 +227,55 @@ object GraftCatalog {
     * the write-side twin, r12. Two passes on purpose: the INSERT
     * rewrite must claim its target relation BEFORE the read rewrite
     * would turn it into a (non-insertable) scan plan. */
+  /** Could ANY node of an analysis-in-progress plan be claimed by
+    * [[Resolution]]? A cheap instanceof-and-lookup test, mirrored
+    * 1:1 from the rule's own match arms (no false negatives): a node
+    * the pre-scan rejects is one the full walk would leave untouched.
+    * Used as the rule's bail-out — [[Resolution]] runs in the
+    * fixed-point Resolution batch, so without it every ITERATION of
+    * every statement in an extensions session pays the
+    * `resolveOperatorsUp` machinery twice for a feature most
+    * statements never use (r13 verdict watch item — the DdlResolution
+    * root-test discipline, extended to a rule whose claims can sit
+    * anywhere in the tree). */
+  private def claims(p: LogicalPlan): Boolean = {
+    def rel(t: LogicalPlan): Option[UnresolvedRelation] = t match {
+      case SubqueryAlias(_, u: UnresolvedRelation) => Some(u)
+      case u: UnresolvedRelation => Some(u)
+      case _ => None
+    }
+    p match {
+      case i: InsertIntoStatement => i.table match {
+        case u: UnresolvedRelation => specOf(u).isDefined
+        case _ => false
+      }
+      case d: DeleteFromTable => rel(d.table).exists(specOf(_).isDefined)
+      case up: UpdateTable => rel(up.table).exists(specOf(_).isDefined)
+      case m: MergeIntoTable => rel(m.targetTable).exists(specOf(_).isDefined)
+      case a: org.apache.spark.sql.catalyst.plans.logical.AlterTableCommand =>
+        a.table match {
+          case u: UnresolvedTable => partsSpec(u.multipartIdentifier).isDefined
+          case _ => false
+        }
+      case tt: org.apache.spark.sql.catalyst.analysis.RelationTimeTravel =>
+        tt.relation match {
+          case u: UnresolvedRelation => specOf(u).isDefined
+          case _ => false
+        }
+      case u: UnresolvedRelation => !u.isStreaming && specOf(u).isDefined
+      case _ => false
+    }
+  }
+
   final class Resolution(session: SparkSession) extends Rule[LogicalPlan] {
     override def apply(plan: LogicalPlan): LogicalPlan = {
+      // bail-outs, cheapest first: an empty registry can resolve
+      // NOTHING (O(1)), and a plan with no claimable node needs no
+      // rewrite (one instanceof walk instead of two full
+      // resolveOperatorsUp passes per analyzer iteration)
+      if (reg.isEmpty) return plan
+      if (!plan.exists(claims)) return plan
+      resolutionWalks.incrementAndGet() // test observability only
       val withWrites = plan.resolveOperatorsUp {
         case i @ InsertIntoStatement(u: UnresolvedRelation, partSpec,
             userCols, query, overwrite, _, byName) =>

@@ -753,31 +753,57 @@ object ManifestTable {
   private def opFromText(text: String): Option[String] =
     "\"op\"\\s*:\\s*\"([a-z-]+)\"".r.findFirstMatchIn(text).map(_.group(1))
 
+  /** Per-version rollup counters recorded at publish (r14):
+    * (nFiles, nBytes, nAdded, nRemoved). None for legacy roots. */
+  private def rollupFromText(text: String): Option[(Long, Long, Long, Long)] =
+    ("\"rollup\"\\s*:\\s*\\{\"nFiles\":\\s*(\\d+),\\s*\"nBytes\":\\s*(\\d+)," +
+      "\\s*\"nAdded\":\\s*(\\d+),\\s*\"nRemoved\":\\s*(\\d+)\\}").r
+      .findFirstMatchIn(text).map(m => (m.group(1).toLong, m.group(2).toLong,
+        m.group(3).toLong, m.group(4).toLong))
+
   /** DESCRIBE HISTORY: one row per surviving version — version, op,
     * commit wall-clock, file/byte totals, and the files added/removed
-    * vs the parent. Entirely manifest-derived: O(versions) driver-side
-    * manifest reads, zero data touched, at any table size. Expired
-    * versions are simply absent (their row count starts where
-    * retention left off). */
+    * vs the parent. O(versions) driver-side ROOT reads, zero data
+    * touched, at any table size: the counters come from each root's
+    * publish-time rollup; only legacy roots written before rollup
+    * tracking re-derive their file set (and their parent's) the old
+    * O(files) way. Expired versions are simply absent (their row
+    * count starts where retention left off). */
   def history(spark: SparkSession, table: String): DataFrame = {
     import spark.implicits._
     val vs = versions(spark, table) // contiguous: expiry drops a prefix
-    var prev = Set.empty[String]
+    // parent file set, materialized ONLY when a legacy root needs it
+    // (either cached from the previous iteration or re-derived)
+    var prevV = -1
+    var prevSet: Option[Set[String]] = None
+    def setOf(v: Int, text: String): Set[String] =
+      filesAndStatsFromText(spark, table, v, text)._1.toSet
     val rows = vs.zipWithIndex.map { case (v, i) =>
       val text = manifestText(spark, table, v)
-      val (vFiles, vStats) = filesAndStatsFromText(spark, table, v, text)
-      val fileSet = vFiles.toSet
-      val bytes = vStats.valuesIterator
-        .flatMap(_.get(SizeKey)).map(_._1.toLong).sum
       // added/removed diff against the parent snapshot — unknowable
       // only for the oldest surviving version when its parent expired
       val known = v == 1 || i > 0
-      val added = if (known) Some((fileSet -- prev).size.toLong) else None
-      val removed = if (known) Some((prev -- fileSet).size.toLong) else None
-      prev = fileSet
+      val (nFiles, bytes, addedN, removedN, matSet) =
+        rollupFromText(text) match {
+          case Some((nf, nb, na, nr)) => (nf.toInt, nb, na, nr, None)
+          case None =>
+            val (vFiles, vStats) = filesAndStatsFromText(spark, table, v, text)
+            val fileSet = vFiles.toSet
+            val parent =
+              if (!known || v == 1) Set.empty[String]
+              else if (prevV == v - 1 && prevSet.isDefined) prevSet.get
+              else setOf(v - 1, manifestText(spark, table, v - 1))
+            val b = vStats.valuesIterator
+              .flatMap(_.get(SizeKey)).map(_._1.toLong).sum
+            (fileSet.size, b, (fileSet -- parent).size.toLong,
+              (parent -- fileSet).size.toLong, Some(fileSet))
+        }
+      prevV = v; prevSet = matSet
       (v, opFromText(text).getOrElse("unknown"),
         commitMsFromText(text).getOrElse(0L),
-        fileSet.size, bytes, added, removed)
+        nFiles, bytes,
+        if (known) Some(addedN) else None,
+        if (known) Some(removedN) else None)
     }
     rows.toDF("version", "op", "commit_ms", "n_files", "n_bytes",
       "n_added", "n_removed")
@@ -3298,12 +3324,29 @@ object ManifestTable {
       if (features.isEmpty) ""
       else features.map(f => s""""$f"""")
         .mkString("  \"features\": [", ", ", "],\n")
+    // per-version rollup counters (r14): file/byte totals and the
+    // file-set diff vs the parent, recorded ONCE at publish so
+    // DESCRIBE HISTORY is O(versions) ROOT parses at any table size —
+    // without them, history() on a 100k-file × 50-version table
+    // re-derives 5M file entries driver-side. The parent set comes
+    // from the caches the publisher just warmed deriving its own file
+    // list, so this costs a set-diff, not extra I/O. Legacy roots
+    // without the key fall back to the full parse per version.
+    val parentFileSet: Set[String] =
+      if (head == 0) Set.empty
+      else filesAndStatsFromText(spark, table, head, parentText)._1.toSet
+    val rollBytes = live.valuesIterator
+      .flatMap(_.get(SizeKey)).map(_._1.toLong).sum
+    val rollupLine =
+      s"""  "rollup": {"nFiles": ${fileSet.size}, "nBytes": $rollBytes, """ +
+        s""""nAdded": ${(fileSet -- parentFileSet).size}, """ +
+        s""""nRemoved": ${(parentFileSet -- fileSet).size}},\n"""
     val body =
       s"""{
          |  "version": ${head + 1},
          |  "op": "$op",
          |  "commitMs": $commitMs,
-         |$featuresLine$txnLine$consLine$tombLine$dvLine$bloomLine$ptLine$ingLine$partitionLine$schemaLine$statsBlock$segmentsLine  "files": [
+         |$rollupLine$featuresLine$txnLine$consLine$tombLine$dvLine$bloomLine$ptLine$ingLine$partitionLine$schemaLine$statsBlock$segmentsLine  "files": [
          |$filesBody
          |  ]
          |}""".stripMargin

@@ -550,4 +550,33 @@ class GraftExtensionsSpec extends AnyFunSuite with SparkFixture {
         s"a source-valued BY SOURCE assignment must refuse: ${e2.getMessage}")
     } finally GraftCatalog.unregister("mrg13_t")
   }
+
+  test("Resolution bails out early: plain relational statements never pay the rewrite walk") {
+    import spark.implicits._
+    import graft.sources.GraftCatalog
+    val t = java.nio.file.Files.createTempDirectory("graft_extres").toString
+    graft.sources.ManifestTable.commit(spark, t,
+      Seq((1L, "a")).toDF("id", "v"))
+    GraftCatalog.register("extres_t", t)
+    try {
+      def walks = GraftCatalog.resolutionWalks.get()
+      // a relational statement naming no graft table: the rule's
+      // pre-scan must reject it without a single rewrite walk, even
+      // with a non-empty registry (r13 verdict watch item — this is
+      // the per-statement cost that would grow with every new claimed
+      // pattern)
+      spark.range(10).toDF("x").createOrReplaceTempView("extres_plain")
+      val before = walks
+      spark.sql(
+        """SELECT x, count(*) AS c FROM extres_plain
+          |WHERE x > 2 GROUP BY x ORDER BY x""".stripMargin).collect()
+      assert(walks === before,
+        "a graft-free statement must never enter the Resolution rewrite")
+      // a graft-naming statement DOES walk (the guard has no false
+      // negatives), exactly as before
+      spark.sql("SELECT * FROM graft.extres_t").collect()
+      assert(walks > before,
+        "a graft relation must still be claimed and rewritten")
+    } finally GraftCatalog.unregister("extres_t")
+  }
 }
