@@ -113,6 +113,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     // SCHEMA_NOT_FOUND first. The Hints batch runs earliest.
     ext.injectHintResolutionRule(session =>
       new graft.sources.GraftCatalog.DdlResolution(session))
+    // maintenance statements vanilla Spark has no grammar for
+    // (OPTIMIZE / VACUUM) — a thin delegating parser, the sanctioned
+    // injectParser extension point (r14)
+    ext.injectParser((_, delegate) => new GraftSqlParser(delegate))
   }
 
   private def strArg(e: Expression, name: String): String = e match {

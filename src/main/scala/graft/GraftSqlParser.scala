@@ -1,0 +1,74 @@
+package graft
+
+import org.apache.spark.sql.catalyst.{FunctionIdentifier, TableIdentifier}
+import org.apache.spark.sql.catalyst.expressions.Expression
+import org.apache.spark.sql.catalyst.parser.ParserInterface
+import org.apache.spark.sql.catalyst.plans.logical.LogicalPlan
+import org.apache.spark.sql.types.{DataType, StructType}
+import graft.sources.GraftCatalog
+
+/** The maintenance-statement parser, injected by [[GraftExtensions]]
+  * via `injectParser` (the sanctioned extension point — the pattern
+  * every lakehouse layer on Spark uses for statements vanilla Spark's
+  * grammar lacks):
+  *
+  *   OPTIMIZE graft.<name> [ZORDER BY (c[, c])]   → compactSmall / compact
+  *   VACUUM graft.<name> RETAIN <n> VERSIONS [DRY RUN] → expire / preview
+  *
+  * Everything else — including every statement Spark DOES parse, and
+  * any OPTIMIZE/VACUUM aimed at a non-graft table — delegates
+  * untouched, so the wrapper is invisible outside the two claimed
+  * shapes. A claimed-prefix statement that matches neither shape gets
+  * a targeted error (the RETAIN clause is REQUIRED on VACUUM: a
+  * default retention is a silent time-travel amputation), never a
+  * generic parse failure. */
+class GraftSqlParser(delegate: ParserInterface) extends ParserInterface {
+  import GraftSqlParser._
+
+  override def parsePlan(sqlText: String): LogicalPlan = sqlText match {
+    case OptimizeStmt(name, zorder) =>
+      GraftCatalog.OptimizeCommand(name,
+        Option(zorder).map(_.split(",").map(_.trim).filter(_.nonEmpty).toSeq)
+          .getOrElse(Nil))
+    case VacuumStmt(name, n, dry) =>
+      val keep = n.toIntOption.filter(_ >= 1).getOrElse(
+        throw new IllegalArgumentException(
+          s"VACUUM graft.$name: RETAIN must keep at least 1 version, got $n"))
+      GraftCatalog.VacuumCommand(name, keep, dry != null)
+    case VacuumNoRetain(name) =>
+      throw new IllegalArgumentException(
+        s"VACUUM graft.$name needs an explicit retention: " +
+          s"VACUUM graft.$name RETAIN <n> VERSIONS [DRY RUN] — a default " +
+          "would silently amputate time travel")
+    case _ => delegate.parsePlan(sqlText)
+  }
+
+  override def parseExpression(sqlText: String): Expression =
+    delegate.parseExpression(sqlText)
+  override def parseTableIdentifier(sqlText: String): TableIdentifier =
+    delegate.parseTableIdentifier(sqlText)
+  override def parseFunctionIdentifier(sqlText: String): FunctionIdentifier =
+    delegate.parseFunctionIdentifier(sqlText)
+  override def parseMultipartIdentifier(sqlText: String): Seq[String] =
+    delegate.parseMultipartIdentifier(sqlText)
+  override def parseQuery(sqlText: String): LogicalPlan =
+    delegate.parseQuery(sqlText)
+  override def parseRoutineParam(sqlText: String): StructType =
+    delegate.parseRoutineParam(sqlText)
+  override def parseTableSchema(sqlText: String): StructType =
+    delegate.parseTableSchema(sqlText)
+  override def parseDataType(sqlText: String): DataType =
+    delegate.parseDataType(sqlText)
+}
+
+object GraftSqlParser {
+  // (?i) case-insensitive, (?s) dot-matches-newline; names stay the
+  // registry's identifier shape (GraftCatalog normalizes case)
+  private val Ident = """[A-Za-z_][A-Za-z0-9_]*"""
+  private val OptimizeStmt =
+    s"""(?is)\\s*OPTIMIZE\\s+graft\\s*\\.\\s*($Ident)\\s*(?:ZORDER\\s+BY\\s*\\(\\s*([^)]*?)\\s*\\))?\\s*;?\\s*""".r
+  private val VacuumStmt =
+    s"""(?is)\\s*VACUUM\\s+graft\\s*\\.\\s*($Ident)\\s+RETAIN\\s+(\\d+)\\s+VERSIONS(\\s+DRY\\s+RUN)?\\s*;?\\s*""".r
+  private val VacuumNoRetain =
+    s"""(?is)\\s*VACUUM\\s+graft\\s*\\.\\s*($Ident)\\s*;?\\s*""".r
+}

@@ -461,6 +461,68 @@ object PipelineQueries {
              |ORDER BY o_orderpriority NULLS FIRST""".stripMargin)
     ),
 
+    // Q_SQL_MAINTENANCE (r14): the SQL-only maintenance lifecycle —
+    // ANALYZE backfills skipping stats over files committed without
+    // any, ADD CONSTRAINT binds every later writer, OPTIMIZE bin-packs
+    // the small files, VACUUM RETAIN reclaims the orphaned dirs — and
+    // the judged aggregate proves every pass was lossless. At scale
+    // each op is O(churn)/O(metadata): ANALYZE is one distributed pass
+    // collecting a row per FILE, OPTIMIZE rewrites only sub-threshold
+    // files, VACUUM deletes only unreferenced uuid dirs.
+    Entry(
+      "q_sql_maintenance",
+      (s, d) => {
+        val t = scratchDir("qmnt", d)
+        def rmRf(f: java.io.File): Unit = {
+          Option(f.listFiles()).getOrElse(Array.empty).foreach(rmRf)
+          f.delete(); ()
+        }
+        rmRf(new java.io.File(t))
+        val M = graft.sources.ManifestTable
+        graft.sources.GraftCatalog.unregister("q_mnt_li")
+        s.sql(s"""CREATE TABLE graft.q_mnt_li (
+                 |  l_orderkey BIGINT, l_quantity DOUBLE,
+                 |  l_extendedprice DOUBLE
+                 |) LOCATION '$t'""".stripMargin)
+        try {
+          Tables.lineitem(s, d)
+            .select(col("l_orderkey"), col("l_quantity"),
+              col("l_extendedprice"))
+            .createOrReplaceTempView("v_mnt_src")
+          s.sql("INSERT INTO graft.q_mnt_li SELECT * FROM v_mnt_src")
+          // no TBLPROPERTIES: the insert recorded NO skipping stats —
+          // ANALYZE is the catch-up
+          s.sql("ANALYZE TABLE graft.q_mnt_li COMPUTE STATISTICS " +
+            "FOR COLUMNS l_orderkey").collect()
+          // (CREATE's zero-row v1 file can hold no range — judge the
+          // row-bearing files)
+          require(M.snapshotStats(s, t).values
+              .filter(_.get("__graft_rows").exists(_._2 > 0))
+              .forall(_.contains("l_orderkey")),
+            "ANALYZE must backfill ranges over every old file")
+          s.sql("ALTER TABLE graft.q_mnt_li ADD CONSTRAINT qty_pos " +
+            "CHECK (l_quantity >= 0)")
+          val before = M.snapshotFiles(s, t).size
+          s.sql("OPTIMIZE graft.q_mnt_li").collect()
+          require(M.snapshotFiles(s, t).size <= before,
+            "OPTIMIZE must never grow the file census")
+          s.sql("VACUUM graft.q_mnt_li RETAIN 1 VERSIONS").collect()
+          s.sql(s"""SELECT l_orderkey % 10 AS bucket, count(*) AS cnt,
+                   |  ${dsumSql("l_quantity")} AS sum_qty,
+                   |  ${dsumSql("l_extendedprice")} AS sum_price
+                   |FROM graft.q_mnt_li
+                   |GROUP BY l_orderkey % 10
+                   |ORDER BY bucket""".stripMargin)
+        } finally graft.sources.GraftCatalog.unregister("q_mnt_li")
+      },
+      Some(s"""SELECT l_orderkey % 10 AS bucket, count(*) AS cnt,
+             |  ${dsumSql("l_quantity")} AS sum_qty,
+             |  ${dsumSql("l_extendedprice")} AS sum_price
+             |FROM lineitem
+             |GROUP BY l_orderkey % 10
+             |ORDER BY bucket NULLS FIRST""".stripMargin)
+    ),
+
     // Q2: correlated LATERAL subquery through the SQL surface — the
     // per-row dependent-subquery shape (top-2 orders per customer).
     // Catalyst DECORRELATES it (DecorrelateInnerQuery + window

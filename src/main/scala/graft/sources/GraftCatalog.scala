@@ -1,9 +1,9 @@
 package graft.sources
 
 import org.apache.spark.sql.{Column, Row, SaveMode, SparkSession}
-import org.apache.spark.sql.catalyst.analysis.{UnresolvedAttribute, UnresolvedIdentifier, UnresolvedRelation, UnresolvedTable}
+import org.apache.spark.sql.catalyst.analysis.{UnresolvedAttribute, UnresolvedIdentifier, UnresolvedRelation, UnresolvedTable, UnresolvedTableOrView}
 import org.apache.spark.sql.catalyst.expressions.{And, CheckConstraint, EqualTo, Expression}
-import org.apache.spark.sql.catalyst.plans.logical.{AddColumns, AlterColumns, CreateTable, CreateTableAsSelect, DeleteAction, DeleteFromTable, DescribeRelation, DropColumns, DropTable, InsertIntoStatement, InsertStarAction, LogicalPlan, MergeIntoTable, RenameColumn, ShowCreateTable, ShowTables, SubqueryAlias, TableSpec, TableSpecBase, UnresolvedTableSpec, UpdateAction, UpdateStarAction, UpdateTable}
+import org.apache.spark.sql.catalyst.plans.logical.{AddColumns, AddCheckConstraint, AlterColumns, AnalyzeColumn, AnalyzeTable, CreateTable, CreateTableAsSelect, DeleteAction, DeleteFromTable, DescribeRelation, DropColumns, DropConstraint => DropConstraintPlan, DropTable, InsertIntoStatement, InsertStarAction, LogicalPlan, MergeIntoTable, RenameColumn, ShowCreateTable, ShowTables, SubqueryAlias, TableSpec, TableSpecBase, UnresolvedTableSpec, UpdateAction, UpdateStarAction, UpdateTable}
 import org.apache.spark.sql.catalyst.rules.Rule
 import org.apache.spark.sql.connector.catalog.constraints.{Check, Constraint}
 import org.apache.spark.sql.connector.expressions.{Literal => V2Literal, Transform}
@@ -864,8 +864,77 @@ object GraftCatalog {
           !plan.isInstanceOf[DropTable] &&
           !plan.isInstanceOf[DescribeRelation] &&
           !plan.isInstanceOf[ShowCreateTable] &&
-          !plan.isInstanceOf[ShowTables]) return plan
+          !plan.isInstanceOf[ShowTables] &&
+          !plan.isInstanceOf[AddCheckConstraint] &&
+          !plan.isInstanceOf[DropConstraintPlan] &&
+          !plan.isInstanceOf[AnalyzeColumn] &&
+          !plan.isInstanceOf[AnalyzeTable]) return plan
       plan.resolveOperatorsUp {
+        // ---- ALTER TABLE graft.<name> ADD/DROP CONSTRAINT — the SQL
+        // spelling of add/dropConstraint (r14): until now the
+        // constraint set was CREATE-time or Scala-only, so a SQL-only
+        // operator could create a table but never tighten it. Handled
+        // HERE (not the Resolution batch) for the CREATE reason above:
+        // ResolveSessionCatalog claims constraint statements for the
+        // session catalog and crashes on the graft namespace first.
+        // the parse tree wraps the target in Spark's own
+        // validate-existing-rows Filter scan — the engine's
+        // addConstraint does its own pre-validation, so only the
+        // relation underneath matters here
+        case ad @ AddCheckConstraint(child, chk) =>
+          val target = child match {
+            case org.apache.spark.sql.catalyst.plans.logical
+                .Filter(_, u: UnresolvedRelation) => Some(u)
+            case u: UnresolvedRelation => Some(u)
+            case _ => None
+          }
+          target.flatMap(u => partsSpec(u.multipartIdentifier)
+            .map(s => (u, s))) match {
+            case Some((u, (path, v))) =>
+              val ident = u.multipartIdentifier.mkString(".")
+              require(v < 0,
+                s"cannot ALTER time-travel version v$v of $ident — " +
+                  "snapshots are immutable")
+              require(!chk.userProvidedCharacteristic.enforced.contains(false),
+                s"ADD CONSTRAINT on $ident: NOT ENFORCED is refused — every " +
+                  "graft CHECK binds every writer (drop the clause)")
+              AddConstraintCommand(ident, path, chk.name, chk.condition)
+            case None => ad
+          }
+        case dcon @ DropConstraintPlan(u: UnresolvedTable, name,
+            ifExists, cascade) =>
+          val ident = u.multipartIdentifier.mkString(".")
+          alterSpec(u, "ALTER") match {
+            case Some(path) =>
+              require(!cascade,
+                s"DROP CONSTRAINT on $ident: CASCADE is meaningless here — " +
+                  "CHECK constraints have no dependents")
+              DropConstraintCommand(ident, path, name, ifExists)
+            case None => dcon
+          }
+        // ---- ANALYZE TABLE graft.<name> COMPUTE STATISTICS FOR
+        // COLUMNS … — the stats backfill (r14): write paths collect at
+        // write time only, so a column that started mattering later
+        // has no skipping power over old files until ANALYZE catches
+        // them up.
+        case an @ AnalyzeColumn(u: UnresolvedTableOrView, colNames, all) =>
+          partsSpec(u.multipartIdentifier) match {
+            case Some((path, v)) =>
+              val ident = u.multipartIdentifier.mkString(".")
+              require(v < 0,
+                s"cannot ANALYZE time-travel version v$v of $ident — " +
+                  "stats publish as a new version of the HEAD")
+              AnalyzeCommand(ident, path,
+                if (all) Nil else colNames.getOrElse(Nil))
+            case None => an
+          }
+        case at @ AnalyzeTable(u: UnresolvedTableOrView, _, _)
+            if partsSpec(u.multipartIdentifier).isDefined =>
+          throw new IllegalArgumentException(
+            s"ANALYZE TABLE ${u.multipartIdentifier.mkString(".")} COMPUTE " +
+              "STATISTICS: row/byte totals are already recorded per file " +
+              "at every write — use COMPUTE STATISTICS FOR COLUMNS c1, … " +
+              "(or FOR ALL COLUMNS) to backfill skipping stats")
         // ---- CREATE TABLE graft.<name> — the SQL bootstrap (r13):
         // only the 2-part graft namespace is claimed; `CREATE TABLE t`
         // stays with the session catalog.
@@ -1215,6 +1284,131 @@ object GraftCatalog {
       ManifestTable.updateWhere(session, path, assignments,
         condition.getOrElse(lit(true)))
       Nil
+    }
+  }
+
+  /** `ALTER TABLE graft.<name> ADD CONSTRAINT nm CHECK (expr)` —
+    * [[ManifestTable.addConstraint]] through SQL: existing rows
+    * validate BEFORE the constraint publishes, and every later writer
+    * is bound with zero cooperation. */
+  final case class AddConstraintCommand(ident: String, path: String,
+      name: String, conditionSql: String) extends LeafRunnableCommand {
+    override def run(session: SparkSession): Seq[Row] = {
+      ManifestTable.addConstraint(session, path, name, conditionSql)
+      Nil
+    }
+  }
+
+  /** `ALTER TABLE graft.<name> DROP CONSTRAINT [IF EXISTS] nm`. */
+  final case class DropConstraintCommand(ident: String, path: String,
+      name: String, ifExists: Boolean) extends LeafRunnableCommand {
+    override def run(session: SparkSession): Seq[Row] = {
+      if (ifExists && !ManifestTable.checkConstraints(session, path,
+          ManifestTable.currentVersion(session, path)).contains(name))
+        return Nil
+      ManifestTable.dropConstraint(session, path, name)
+      Nil
+    }
+  }
+
+  /** `ANALYZE TABLE graft.<name> COMPUTE STATISTICS FOR COLUMNS c, …`
+    * (empty `cols` = FOR ALL COLUMNS) → [[ManifestTable.analyzeStats]].
+    * Returns (version, analyzed columns) like the other audits. */
+  final case class AnalyzeCommand(ident: String, path: String,
+      cols: Seq[String]) extends LeafRunnableCommand {
+    override val output: Seq[org.apache.spark.sql.catalyst.expressions.Attribute] =
+      Seq(org.apache.spark.sql.catalyst.expressions.AttributeReference(
+        "version", org.apache.spark.sql.types.IntegerType, nullable = false)(),
+        strAttr("analyzed_columns"))
+    override def run(session: SparkSession): Seq[Row] = {
+      val all =
+        if (cols.nonEmpty) cols
+        else ManifestTable.snapshotSchema(session, path)
+          .map(_.fieldNames.toSeq).getOrElse(Nil)
+      val v = ManifestTable.analyzeStats(session, path, all)
+      Seq(Row(v, all.mkString(", ")))
+    }
+  }
+
+  /** `OPTIMIZE graft.<name>` → [[ManifestTable.compactSmall]] (bin-pack
+    * the small files, the routine maintenance pass);
+    * `OPTIMIZE graft.<name> ZORDER BY (x[, y])` →
+    * [[ManifestTable.compact]] with the interleaved sort key and stats
+    * on the clustered dimensions (the layout rewrite c29 judges).
+    * Parsed by [[graft.GraftSqlParser]] — vanilla Spark has no
+    * OPTIMIZE statement. */
+  final case class OptimizeCommand(name: String, zorderBy: Seq[String])
+    extends LeafRunnableCommand {
+    override val output: Seq[org.apache.spark.sql.catalyst.expressions.Attribute] =
+      Seq(org.apache.spark.sql.catalyst.expressions.AttributeReference(
+        "version", org.apache.spark.sql.types.IntegerType, nullable = false)(),
+        strAttr("operation"))
+    override def run(session: SparkSession): Seq[Row] = {
+      import org.apache.spark.sql.functions.col
+      val path = lookup(name).getOrElse(throw new IllegalArgumentException(
+        s"OPTIMIZE graft.$name: no such registered table"))
+      zorderBy match {
+        case Nil =>
+          val v = ManifestTable.compactSmall(session, path)
+          Seq(Row(v, "compact-small"))
+        case Seq(c) =>
+          val sch = ManifestTable.snapshotSchema(session, path)
+            .getOrElse(new StructType())
+          require(sch.fieldNames.exists(_.equalsIgnoreCase(c)),
+            s"OPTIMIZE graft.$name: no column '$c' to ZORDER BY")
+          val v = ManifestTable.compact(session, path,
+            targetFiles = optimizeTargetFiles(session, path),
+            sortBy = Seq(col(c)), statsColumns = Seq(c))
+          Seq(Row(v, s"zorder($c)"))
+        case Seq(x, y) =>
+          val sch = ManifestTable.snapshotSchema(session, path)
+            .getOrElse(new StructType())
+          Seq(x, y).foreach(c => require(
+            sch.fieldNames.exists(_.equalsIgnoreCase(c)),
+            s"OPTIMIZE graft.$name: no column '$c' to ZORDER BY"))
+          val v = ManifestTable.compact(session, path,
+            targetFiles = optimizeTargetFiles(session, path),
+            sortBy = Seq(graft.operators.LakehouseQueries.zkey16(
+              col(x), col(y))),
+            statsColumns = Seq(x, y))
+          Seq(Row(v, s"zorder($x, $y)"))
+        case more => throw new IllegalArgumentException(
+          s"OPTIMIZE graft.$name: ZORDER BY interleaves at most 2 " +
+            s"dimensions (got ${more.mkString(", ")}) — more dims " +
+            "dilute every dimension's clustering; pick the 2 most " +
+            "selective")
+      }
+    }
+  }
+
+  /** ZORDER rewrites the whole snapshot — size the output like the
+    * write path would: one file per ~128 MiB of recorded bytes. */
+  private def optimizeTargetFiles(session: SparkSession,
+                                  path: String): Int = {
+    val bytes = ManifestTable.snapshotSizes(session, path).values.sum
+    math.max(1, math.ceil(bytes / (128.0 * (1 << 20))).toInt)
+  }
+
+  /** `VACUUM graft.<name> RETAIN <n> VERSIONS [DRY RUN]` →
+    * [[ManifestTable.expire]] / [[ManifestTable.vacuumPreview]]. The
+    * RETAIN clause is REQUIRED — a default retention is a silent
+    * time-travel amputation; the operator states what survives. */
+  final case class VacuumCommand(name: String, keepLast: Int,
+      dryRun: Boolean) extends LeafRunnableCommand {
+    override val output: Seq[org.apache.spark.sql.catalyst.expressions.Attribute] =
+      Seq(org.apache.spark.sql.catalyst.expressions.AttributeReference(
+        "reclaimed_dirs", org.apache.spark.sql.types.IntegerType,
+        nullable = false)(),
+        org.apache.spark.sql.catalyst.expressions.AttributeReference(
+          "bytes", org.apache.spark.sql.types.LongType, nullable = false)())
+    override def run(session: SparkSession): Seq[Row] = {
+      val path = lookup(name).getOrElse(throw new IllegalArgumentException(
+        s"VACUUM graft.$name: no such registered table"))
+      // preview first in BOTH modes: the executed VACUUM reports what
+      // it reclaimed, the DRY RUN reports what it would
+      val (dirs, bytes) = ManifestTable.vacuumPreview(session, path, keepLast)
+      if (!dryRun) ManifestTable.expire(session, path, keepLast)
+      Seq(Row(dirs.size, bytes))
     }
   }
 }

@@ -1410,6 +1410,95 @@ object ManifestTable {
       s"dropConstraint on $table lost $maxAttempts commit races")
   }
 
+  /** ANALYZE: backfill per-file (min, max) / null-count / row-count
+    * stats for `cols` across the CURRENT snapshot and publish the
+    * enriched stats as a metadata version (op "analyze", same files).
+    * The write paths only collect stats at write time, so a column
+    * that started mattering AFTER its data landed has no skipping
+    * power over the old files — this is the catch-up: one distributed
+    * pass over the snapshot (grouped by file, one collected row per
+    * file — bounded by file count, never row count), after which
+    * every stats-carrying path tracks the column automatically (the
+    * tracked set is derived from the head's recorded stats).
+    *
+    * Stats describe RAW file contents (tombstones and deletion
+    * vectors NOT applied), exactly like write-time collection — the
+    * pruning contract compares predicates against whole-file ranges
+    * before any filter runs. A lost commit race re-derives against
+    * the new head (the snapshot may have changed shape). */
+  def analyzeStats(spark: SparkSession, table: String, cols: Seq[String],
+                   maxAttempts: Int = 5): Int = {
+    import org.apache.spark.sql.functions.{col, count, lit, max, min, sum, when}
+    require(cols.nonEmpty, s"ANALYZE on $table needs at least one column")
+    var attempt = 0
+    while (attempt < maxAttempts) {
+      attempt += 1
+      val head = currentVersion(spark, table)
+      require(head >= 1, s"no committed snapshot in $table")
+      val (files, schemaOpt, stats, partBy) = snapshotAll(spark, table, head)
+      val sch = schemaOpt.getOrElse(throw new IllegalArgumentException(
+        s"ANALYZE on $table: no recorded schema to resolve columns against"))
+      // resolve case-insensitively to the RECORDED spellings (the
+      // stats key every reader prunes by)
+      val resolved = cols.map { c =>
+        sch.fields.map(_.name).find(_.equalsIgnoreCase(c)).getOrElse(
+          throw new IllegalArgumentException(
+            s"ANALYZE on $table: no column '$c' in the recorded schema " +
+              s"(${sch.fieldNames.mkString(", ")})"))
+      }.distinct
+      if (files.isEmpty) {
+        // a files-less snapshot has nothing to describe; re-publishing
+        // identical stats would be a no-op version
+        return head
+      }
+      val df = readFiles(spark, table, files, schemaOpt, partBy)
+        .withColumn("__f", relFileCol)
+      val encoded = resolved.flatMap(c =>
+        statEncoder(sch(c).dataType, col(c)).map(c -> _))
+      val aggs = encoded.flatMap { case (c, e) => Seq(
+        min(e).as(s"__mn_$c"), max(e).as(s"__mx_$c")) } ++
+        resolved.flatMap(c => Seq(
+          sum(when(col(c).isNull, lit(1L)).otherwise(lit(0L))).as(s"__nc_$c"),
+          count(col(c)).as(s"__nn_$c"))) :+
+        count(lit(1)).as("__rc")
+      val rows = df.groupBy(col("__f"))
+        .agg(aggs.head, aggs.tail: _*)
+        .collect() // bounded: one row per snapshot file
+      val computed: Map[String, Map[String, (Double, Double)]] =
+        rows.map { r =>
+          r.getAs[String]("__f") -> (encoded.flatMap { case (c, _) =>
+            val mn = r.getAs[Any](s"__mn_$c")
+            val mx = r.getAs[Any](s"__mx_$c")
+            if (mn == null || mx == null) None
+            else Some(c -> (mn.asInstanceOf[Double], mx.asInstanceOf[Double]))
+          }.toMap ++ resolved.flatMap { c =>
+            val nc = r.getAs[Long](s"__nc_$c").toDouble
+            val nn = r.getAs[Long](s"__nn_$c").toDouble
+            Seq(NullsKeyPrefix + c -> (nc, nc),
+              NonNullsKeyPrefix + c -> (nn, nn))
+          }.toMap + {
+            val rc = r.getAs[Long]("__rc").toDouble
+            RowsKey -> (rc, rc)
+          })
+        }.toMap
+      // a file the scan grouped zero rows for IS empty: its counts are
+      // all zero (writeData's empty-survivor convention)
+      val zero: Map[String, (Double, Double)] =
+        (resolved.flatMap(c => Seq(NullsKeyPrefix + c -> (0.0, 0.0),
+          NonNullsKeyPrefix + c -> (0.0, 0.0))) :+ (RowsKey -> (0.0, 0.0)))
+          .toMap
+      val enriched = files.map { f =>
+        f -> (stats.getOrElse(f, Map.empty) ++ computed.getOrElse(f, zero))
+      }.toMap
+      if (currentVersion(spark, table) == head &&
+          tryPublish(spark, table, head, files, "analyze",
+            schemaOpt, enriched, partBy, op = "analyze"))
+        return head + 1
+    }
+    throw new java.util.ConcurrentModificationException(
+      s"analyzeStats on $table lost $maxAttempts commit races")
+  }
+
   /** The newest committed version whose commit time is ≤ `asOfMillis`
     * (the Delta `TIMESTAMP AS OF` resolution rule). Walks versions
     * newest-first, so the common head-of-line probe reads ONE

@@ -1,0 +1,169 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.SaveMode
+import org.apache.spark.sql.functions._
+import graft.sources.{GraftCatalog, ManifestTable}
+
+/** The SQL maintenance surface (r13 verdict gap #3): OPTIMIZE /
+  * VACUUM (via the injected GraftSqlParser — vanilla Spark has no
+  * grammar for them), ALTER TABLE ADD/DROP CONSTRAINT, and ANALYZE
+  * TABLE … FOR COLUMNS (the stats backfill). A SQL-only operator can
+  * now create, load, mutate AND maintain a table. */
+class SqlMaintenanceSpec extends AnyFunSuite with SparkFixture {
+
+  private def tmp(tag: String): String =
+    java.nio.file.Files.createTempDirectory(s"graft_sqlmnt_$tag").toString + "/t"
+
+  private def mk(name: String, n: Int = 60, parts: Int = 6): String = {
+    import spark.implicits._
+    val t = tmp(name)
+    ManifestTable.commit(spark, t,
+      (1 to n).map(i => (i.toLong, i % 7, i * 1.5)).toDF("id", "grp", "price")
+        .repartition(parts),
+      SaveMode.Overwrite)
+    GraftCatalog.register(name, t)
+    t
+  }
+
+  test("OPTIMIZE bin-packs small files; the data is untouched") {
+    val t = mk("opt", parts = 8)
+    try {
+      val before = ManifestTable.snapshotFiles(spark, t).size
+      assert(before === 8)
+      val sum0 = ManifestTable.read(spark, t).agg(sum("id")).head.getLong(0)
+      val out = spark.sql("OPTIMIZE graft.opt").collect()
+      assert(out.length === 1 && out.head.getString(1) === "compact-small")
+      assert(ManifestTable.snapshotFiles(spark, t).size < before,
+        "OPTIMIZE must collapse the small files")
+      assert(ManifestTable.read(spark, t)
+        .agg(sum("id")).head.getLong(0) === sum0)
+      assert(ManifestTable.commitOp(spark, t).contains("compact-small"))
+    } finally GraftCatalog.unregister("opt")
+  }
+
+  test("OPTIMIZE ZORDER BY (x, y) rewrites z-clustered with stats on both dims") {
+    val t = mk("optz", n = 4000, parts = 8)
+    try {
+      val sum0 = ManifestTable.read(spark, t).agg(sum("id")).head.getLong(0)
+      val out = spark.sql("OPTIMIZE graft.optz ZORDER BY (grp, id)").collect()
+      assert(out.head.getString(1) === "zorder(grp, id)")
+      assert(ManifestTable.read(spark, t)
+        .agg(sum("id")).head.getLong(0) === sum0, "rewrite must be lossless")
+      // the clustered dimensions carry fresh ranges on every file
+      val stats = ManifestTable.snapshotStats(spark, t).values
+        .filter(_.get("__graft_rows").exists(_._2 > 0))
+      assert(stats.nonEmpty &&
+        stats.forall(m => m.contains("grp") && m.contains("id")),
+        "ZORDER BY must record stats for its dimensions")
+      assert(ManifestTable.commitOp(spark, t).contains("compact"))
+      // >2 dims refuse with the clustering rationale
+      val e = intercept[Exception](
+        spark.sql("OPTIMIZE graft.optz ZORDER BY (grp, id, price)"))
+      assert(e.getMessage.contains("2"), e.getMessage)
+    } finally GraftCatalog.unregister("optz")
+  }
+
+  test("VACUUM RETAIN n VERSIONS: DRY RUN previews, the real one reclaims, no RETAIN refuses") {
+    import spark.implicits._
+    val t = mk("vac")
+    try {
+      // three rewrites leave two unreferenced uuid dirs
+      spark.sql("INSERT OVERWRITE graft.vac SELECT id, 1, 9.9D FROM range(10)")
+      spark.sql("INSERT OVERWRITE graft.vac SELECT id, 2, 1.1D FROM range(10)")
+      val dataDirs = new java.io.File(t, "data").listFiles().length
+      assert(dataDirs === 3)
+      val dry = spark.sql("VACUUM graft.vac RETAIN 1 VERSIONS DRY RUN").head
+      assert(dry.getInt(0) === 2 && dry.getLong(1) > 0L,
+        s"preview must name the two dead dirs, got $dry")
+      assert(new java.io.File(t, "data").listFiles().length === 3,
+        "DRY RUN must delete nothing")
+      val real = spark.sql("VACUUM graft.vac RETAIN 1 VERSIONS").head
+      assert(real.getInt(0) === 2)
+      assert(new java.io.File(t, "data").listFiles().length === 1,
+        "VACUUM must reclaim the unreferenced dirs")
+      assert(ManifestTable.read(spark, t).count() === 10)
+      val e = intercept[Exception](spark.sql("VACUUM graft.vac"))
+      assert(e.getMessage.contains("RETAIN"),
+        s"a retention-less VACUUM must refuse loudly: ${e.getMessage}")
+      // non-graft VACUUM stays with Spark's own parser (and its error)
+      val e2 = intercept[Exception](spark.sql("VACUUM other.tbl"))
+      assert(!e2.getMessage.contains("graft"), e2.getMessage)
+    } finally GraftCatalog.unregister("vac")
+  }
+
+  test("ALTER TABLE ADD/DROP CONSTRAINT: enforced immediately, dropped cleanly") {
+    val t = mk("cons")
+    try {
+      spark.sql(
+        "ALTER TABLE graft.cons ADD CONSTRAINT price_pos CHECK (price > 0)")
+      assert(ManifestTable.checkConstraints(spark, t,
+        ManifestTable.currentVersion(spark, t)).contains("price_pos"))
+      val e = intercept[Exception](spark.sql(
+        "INSERT INTO graft.cons VALUES (999, 1, -5.0)"))
+      assert(e.getMessage.contains("price_pos"),
+        s"the added CHECK must bind the next writer: ${e.getMessage}")
+      // existing rows validate BEFORE the constraint publishes
+      val e2 = intercept[Exception](spark.sql(
+        "ALTER TABLE graft.cons ADD CONSTRAINT impossible CHECK (id > 100)"))
+      assert(e2.getMessage.toLowerCase.contains("constraint") ||
+        e2.getMessage.contains("id > 100"), e2.getMessage)
+      // NOT ENFORCED is a lie the engine refuses to record
+      val e3 = intercept[Exception](spark.sql(
+        "ALTER TABLE graft.cons ADD CONSTRAINT lax CHECK (id > 0) NOT ENFORCED"))
+      assert(e3.getMessage.contains("NOT ENFORCED"), e3.getMessage)
+      spark.sql("ALTER TABLE graft.cons DROP CONSTRAINT price_pos")
+      spark.sql("INSERT INTO graft.cons VALUES (999, 1, -5.0)")
+      assert(ManifestTable.read(spark, t).filter(col("id") === 999).count() === 1)
+      // IF EXISTS tolerates absence; a bare DROP refuses it
+      spark.sql("ALTER TABLE graft.cons DROP CONSTRAINT IF EXISTS ghost")
+      val e4 = intercept[Exception](
+        spark.sql("ALTER TABLE graft.cons DROP CONSTRAINT ghost"))
+      assert(e4.getMessage.contains("ghost"), e4.getMessage)
+    } finally GraftCatalog.unregister("cons")
+  }
+
+  test("ANALYZE TABLE … FOR COLUMNS backfills skipping stats over old files") {
+    import spark.implicits._
+    val t = tmp("anl")
+    // committed WITHOUT stats: no skipping power on any column
+    ManifestTable.commit(spark, t,
+      (1 to 40).map(i => (i.toLong, s"u$i")).toDF("id", "name")
+        .repartitionByRange(4, col("id")), SaveMode.Overwrite)
+    GraftCatalog.register("anl", t)
+    try {
+      assert(ManifestTable.snapshotStats(spark, t).values
+        .forall(!_.contains("id")), "the drill needs stats-less files")
+      val out = spark.sql(
+        "ANALYZE TABLE graft.anl COMPUTE STATISTICS FOR COLUMNS id").head
+      assert(out.getInt(0) === 2 && out.getString(1) === "id")
+      val stats = ManifestTable.snapshotStats(spark, t)
+      assert(stats.nonEmpty && stats.values.forall(m =>
+        m.contains("id") && m.contains("__graft_nulls:id") &&
+          m.contains("__graft_rows")),
+        s"backfilled files must carry ranges + null counts + rows, got " +
+          s"${stats.values.headOption}")
+      // the backfilled ranges are REAL: a point read keeps only the
+      // one range-partitioned file owning the value (10 of 40 rows)
+      val hit = ManifestTable.readRange(spark, t, Seq(("id", 1.0, 1.0)))
+      assert(hit.count() === 10)
+      // FOR ALL COLUMNS covers the rest (string bounds included)
+      spark.sql("ANALYZE TABLE graft.anl COMPUTE STATISTICS FOR ALL COLUMNS")
+      assert(ManifestTable.snapshotStats(spark, t).values
+        .forall(_.contains("name")))
+      // from here on the tracked set sticks: a NEW insert records id
+      // stats with zero caller cooperation
+      spark.sql("INSERT INTO graft.anl VALUES (1000, 'x')")
+      val newest = ManifestTable.snapshotStats(spark, t).values
+        .filter(_.get("id").exists(_._2 === 1000.0))
+      assert(newest.nonEmpty, "the analyzed set must bind later writers")
+      // plain COMPUTE STATISTICS points at the FOR COLUMNS form
+      val e = intercept[Exception](
+        spark.sql("ANALYZE TABLE graft.anl COMPUTE STATISTICS"))
+      assert(e.getMessage.contains("FOR COLUMNS"), e.getMessage)
+      val e2 = intercept[Exception](spark.sql(
+        "ANALYZE TABLE graft.anl COMPUTE STATISTICS FOR COLUMNS ghost"))
+      assert(e2.getMessage.contains("ghost"), e2.getMessage)
+    } finally GraftCatalog.unregister("anl")
+  }
+}
