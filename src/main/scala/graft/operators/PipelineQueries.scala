@@ -401,6 +401,64 @@ object PipelineQueries {
              |ORDER BY o_orderpriority NULLS FIRST""".stripMargin)
     ),
 
+    // Q_SQL_SETLIST (r14, the r13 verdict ask #4): the explicit
+    // `WHEN MATCHED THEN UPDATE SET c = e` list — the most common
+    // MERGE idiom — judged end-to-end: matched rows keep every
+    // unassigned column and take values mixing TARGET and SOURCE
+    // sides, the clause condition gates which matches fire, and the
+    // CASE oracle recomputes the post-image from the raw table. At
+    // scale this is the same one-shuffle merge as SET * — only the
+    // post-image projection differs.
+    Entry(
+      "q_sql_setlist",
+      (s, d) => {
+        val t = scratchDir("qsetl", d)
+        def rmRf(f: java.io.File): Unit = {
+          Option(f.listFiles()).getOrElse(Array.empty).foreach(rmRf)
+          f.delete(); ()
+        }
+        rmRf(new java.io.File(t))
+        val M = graft.sources.ManifestTable
+        import org.apache.spark.sql.SaveMode
+        M.commit(s, t, Tables.orders(s, d)
+            .select(col("o_orderkey"), col("o_totalprice"),
+              col("o_orderpriority"))
+            .repartitionByRange(6, col("o_orderkey")),
+          SaveMode.Overwrite, statsColumns = Seq("o_orderkey"))
+        graft.sources.GraftCatalog.register("q_setl_orders", t)
+        try {
+          Tables.orders(s, d).createOrReplaceTempView("v_setl_src")
+          s.sql("""SELECT o_orderkey, o_totalprice AS delta
+                  |FROM v_setl_src WHERE o_orderkey % 4 = 0""".stripMargin)
+            .createOrReplaceTempView("v_setl_chg")
+          // partial SET: price takes target + source; priority takes a
+          // literal; the AND gates on the source side
+          s.sql("""MERGE INTO graft.q_setl_orders AS t
+                  |USING v_setl_chg AS c
+                  |ON t.o_orderkey = c.o_orderkey
+                  |WHEN MATCHED AND c.delta > 1000
+                  |  THEN UPDATE SET o_totalprice = t.o_totalprice + c.delta,
+                  |    o_orderpriority = 'BUMPED'""".stripMargin)
+          require(M.commitOp(s, t).contains("merge") &&
+            M.currentVersion(s, t) == 2,
+            "the SET-list statement must land as ONE merge commit")
+          s.sql(s"""SELECT o_orderpriority, count(*) AS cnt,
+                   |  ${dsumSql("o_totalprice")} AS sum_price
+                   |FROM graft.q_setl_orders
+                   |GROUP BY o_orderpriority
+                   |ORDER BY o_orderpriority""".stripMargin)
+        } finally graft.sources.GraftCatalog.unregister("q_setl_orders")
+      },
+      Some(s"""SELECT CASE WHEN o_orderkey % 4 = 0 AND o_totalprice > 1000
+             |    THEN 'BUMPED' ELSE o_orderpriority END AS o_orderpriority,
+             |  count(*) AS cnt,
+             |  ${dsumSql("CASE WHEN o_orderkey % 4 = 0 AND o_totalprice > 1000 " +
+                "THEN o_totalprice * 2 ELSE o_totalprice END")} AS sum_price
+             |FROM orders
+             |GROUP BY 1
+             |ORDER BY o_orderpriority NULLS FIRST""".stripMargin)
+    ),
+
     // SQL CREATE TABLE (r13): the bootstrap statement that completes
     // the SQL face — a SQL-only user can now make a table exist, not
     // just mutate one. The statement exercises the whole clause

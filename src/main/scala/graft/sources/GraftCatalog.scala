@@ -446,14 +446,39 @@ object GraftCatalog {
                   s"MERGE on $ident: ON must be a conjunction of column " +
                     s"equalities, got ${other.sql}")
               }
-              // matched actions: at most one UPDATE SET * and one DELETE
+              // matched actions: at most one UPDATE (SET * or an
+              // explicit SET list, r14) and one DELETE
               var upd: Option[Option[Column]] = None // None=absent
               var del: Option[Column] = None
+              var matchedAssign: Option[Seq[(String, Column)]] = None
               var updIdx = -1; var delIdx = -1
               matchedActs.zipWithIndex.foreach {
                 case (UpdateStarAction(c), i) =>
                   require(upd.isEmpty, s"MERGE on $ident: one UPDATE clause only")
                   upd = Some(c.map(e => ColumnBridge.column(rewrite(e))))
+                  updIdx = i
+                case (UpdateAction(c, assigns, false), i) =>
+                  // `WHEN MATCHED THEN UPDATE SET c = e, …` — the
+                  // explicit-list idiom (r13 verdict ask #4): the
+                  // target row survives with only the named columns
+                  // reassigned; values may mix target columns
+                  // (unqualified) and source columns (alias-qualified,
+                  // landing on the merge frame's `_src` struct)
+                  require(upd.isEmpty, s"MERGE on $ident: one UPDATE clause only")
+                  upd = Some(c.map(e => ColumnBridge.column(rewrite(e))))
+                  matchedAssign = Some(assigns.map { a =>
+                    val name = a.key match {
+                      case ua: UnresolvedAttribute if ua.nameParts.length == 1 =>
+                        ua.nameParts.head
+                      case ua: UnresolvedAttribute if ua.nameParts.length == 2 &&
+                          tgtQ.contains(norm(ua.nameParts.head)) =>
+                        ua.nameParts(1)
+                      case other => throw new IllegalArgumentException(
+                        s"MERGE on $ident: UPDATE SET can only assign whole " +
+                          s"target columns, not '${other.sql}'")
+                    }
+                    name -> ColumnBridge.column(rewrite(a.value))
+                  })
                   updIdx = i
                 case (DeleteAction(c), i) =>
                   require(del.isEmpty, s"MERGE on $ident: one DELETE clause only")
@@ -461,8 +486,8 @@ object GraftCatalog {
                     .getOrElse(org.apache.spark.sql.functions.lit(true)))
                   delIdx = i
                 case (other, _) => throw new IllegalArgumentException(
-                  s"MERGE on $ident: only UPDATE SET * and DELETE matched " +
-                    s"clauses are supported, got $other")
+                  s"MERGE on $ident: only UPDATE SET * / UPDATE SET c = e " +
+                    s"and DELETE matched clauses are supported, got $other")
               }
               // SQL clause precedence is FIRST-MATCH in listed order;
               // the engine's delete always outranks its update. When
@@ -561,7 +586,7 @@ object GraftCatalog {
               }
               MergeCommand(ident, path, srcPlan, keys, matchedUpdate, del,
                 withEvolution, insertUnmatched, bySrcDelete = bySrcDelete,
-                bySrcUpdate = bySrcUpdate)
+                bySrcUpdate = bySrcUpdate, matchedAssign = matchedAssign)
             case None => m
           }
         // ---- ALTER TABLE graft.<name> … — the DDL face over the
@@ -788,7 +813,8 @@ object GraftCatalog {
       matchedUpdate: Option[Column], matchedDelete: Option[Column],
       evolve: Boolean, insertUnmatched: Boolean = true,
       bySrcDelete: Option[Column] = None,
-      bySrcUpdate: Option[(Seq[(String, Column)], Column)] = None)
+      bySrcUpdate: Option[(Seq[(String, Column)], Column)] = None,
+      matchedAssign: Option[Seq[(String, Column)]] = None)
     extends LeafRunnableCommand {
     override def innerChildren: Seq[LogicalPlan] = Seq(source)
     override def run(session: SparkSession): Seq[Row] = {
@@ -796,7 +822,8 @@ object GraftCatalog {
         keys, matchedUpdate, matchedDelete, mergeSchema = evolve,
         insertUnmatched = insertUnmatched,
         whenNotMatchedBySourceDelete = bySrcDelete,
-        whenNotMatchedBySourceUpdate = bySrcUpdate)
+        whenNotMatchedBySourceUpdate = bySrcUpdate,
+        whenMatchedAssign = matchedAssign)
       Nil
     }
   }

@@ -4097,7 +4097,8 @@ object ManifestTable {
             insertUnmatched: Boolean = true,
             whenNotMatchedBySourceDelete: Option[Column] = None,
             whenNotMatchedBySourceUpdate:
-              Option[(Seq[(String, Column)], Column)] = None): Int = {
+              Option[(Seq[(String, Column)], Column)] = None,
+            whenMatchedAssign: Option[Seq[(String, Column)]] = None): Int = {
     import org.apache.spark.sql.functions.{coalesce, col, lit, struct, when}
     val srcCols = updates.columns.toSeq
     val bounds = keyEnvelope(updates, keys) // head-independent: once
@@ -4216,8 +4217,46 @@ object ManifestTable {
               (if (bySrcAssign.contains(c))
                  when(!matched && bySrcUpd, bySrcValue(c)).otherwise(col(c))
                else col(c)).as(c)): _*)
-          val replaced = joined.filter(matched && !del && upd)
-            .select(srcCols.map(c => col(s"_src.$c").as(c)): _*)
+          // the matched UPDATE arm: SET * replaces the row with the
+          // source row (the original shape); an explicit SET list
+          // (r14) keeps the target row and assigns only the named
+          // columns — values may mix target columns (unqualified in
+          // the joined frame) and source columns (through `_src`),
+          // with updateWhere's widen-or-refuse type discipline. Merge
+          // KEYS are not assignable: the reconcile validity argument
+          // ("no interloper file holds one of this merge's source
+          // keys") reasons about the post-image through the source
+          // keys, which a key rewrite would silently invalidate.
+          val replaced = whenMatchedAssign match {
+            case Some(assigns) =>
+              require(assigns.map(_._1).distinct.length == assigns.length,
+                s"MERGE UPDATE SET on $table assigns a column twice")
+              val amap = assigns.toMap
+              amap.keys.foreach { c =>
+                require(tgt.columns.contains(c),
+                  s"MERGE UPDATE SET on $table assigns unknown column '$c'")
+                require(!keys.exists(_.equalsIgnoreCase(c)),
+                  s"MERGE UPDATE SET on $table cannot assign merge key " +
+                    s"'$c' — a key rewrite would unmoor the matched rows")
+              }
+              def value(c: String): Column = {
+                val target = tgt.schema(c).dataType
+                val e = amap(c)
+                val aType = joined.select(e.as("__p")).schema.head.dataType
+                if (sameType(aType, target)) e
+                else if (safeStoreCast(aType, target)) e.cast(target)
+                else throw new IllegalArgumentException(
+                  s"MERGE UPDATE SET on $table assigns $aType to column " +
+                    s"'$c' ($target) — only the widening lattice casts " +
+                    "implicitly")
+              }
+              joined.filter(matched && !del && upd)
+                .select(tgt.columns.toSeq.map(c =>
+                  (if (amap.contains(c)) value(c) else col(c)).as(c)): _*)
+            case None =>
+              joined.filter(matched && !del && upd)
+                .select(srcCols.map(c => col(s"_src.$c").as(c)): _*)
+          }
           // anti-join against the AFFECTED files' keys only: a source
           // key present anywhere in the table is a match, and a match
           // makes its file affected — so source keys absent from the

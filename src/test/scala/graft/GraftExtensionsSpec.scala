@@ -551,6 +551,66 @@ class GraftExtensionsSpec extends AnyFunSuite with SparkFixture {
     } finally GraftCatalog.unregister("mrg13_t")
   }
 
+  test("MERGE explicit UPDATE SET lists: partial assignment, mixed target/source values, refusals") {
+    import spark.implicits._
+    import graft.sources.{GraftCatalog, ManifestTable => M}
+    val t = java.nio.file.Files.createTempDirectory("graft_msl").toString + "/t"
+    M.commit(spark, t,
+      Seq((1L, 10.0, "a"), (2L, 20.0, "b"), (3L, 30.0, "c"))
+        .toDF("id", "v", "s"), org.apache.spark.sql.SaveMode.Overwrite)
+    GraftCatalog.register("msl_t", t)
+    try {
+      def image: Map[Long, (Double, String)] = M.read(spark, t).collect()
+        .map(r => r.getLong(0) -> ((r.getDouble(1), r.getString(2)))).toMap
+      Seq((1L, 5.0), (2L, -5.0), (9L, 99.0)).toDF("id", "dv")
+        .createOrReplaceTempView("msl_c")
+      // partial SET: v takes a value mixing BOTH sides (t.v + c.dv),
+      // s stays untouched; the clause condition gates which matches
+      // fire; no insert arm (source and target schemas differ)
+      spark.sql("""MERGE INTO graft.msl_t t USING msl_c c ON t.id = c.id
+                  |WHEN MATCHED AND c.dv > 0 THEN UPDATE SET v = t.v + c.dv
+                  |""".stripMargin)
+      assert(image === Map(1L -> ((15.0, "a")), 2L -> ((20.0, "b")),
+        3L -> ((30.0, "c"))),
+        "only the conditioned match reassigns, and only column v")
+      // a full statement: SET list + INSERT * (schema-compatible
+      // source), unqualified targets and a literal in the values
+      Seq((2L, 1000.0, "src"), (7L, 70.0, "new")).toDF("id", "v", "s")
+        .createOrReplaceTempView("msl_c2")
+      spark.sql("""MERGE INTO graft.msl_t t USING msl_c2 c ON t.id = c.id
+                  |WHEN MATCHED THEN UPDATE SET s = 'seen', v = c.v
+                  |WHEN NOT MATCHED THEN INSERT *""".stripMargin)
+      assert(image === Map(1L -> ((15.0, "a")), 2L -> ((1000.0, "seen")),
+        3L -> ((30.0, "c")), 7L -> ((70.0, "new"))),
+        "matched rows take the SET list; unmatched source rows insert")
+      // refusals: the merge key, duplicates, unknown columns, and
+      // non-widening types — all loud, nothing written
+      val v0 = M.currentVersion(spark, t)
+      val e1 = intercept[Exception](spark.sql(
+        """MERGE INTO graft.msl_t t USING msl_c2 c ON t.id = c.id
+          |WHEN MATCHED THEN UPDATE SET id = c.id + 1""".stripMargin))
+      assert(e1.getMessage.contains("key"), e1.getMessage)
+      val e2 = intercept[Exception](spark.sql(
+        """MERGE INTO graft.msl_t t USING msl_c2 c ON t.id = c.id
+          |WHEN MATCHED THEN UPDATE SET v = 1.0D, v = 2.0D""".stripMargin))
+      assert(e2.getMessage.contains("twice"), e2.getMessage)
+      val e3 = intercept[Exception](spark.sql(
+        """MERGE INTO graft.msl_t t USING msl_c2 c ON t.id = c.id
+          |WHEN MATCHED THEN UPDATE SET ghost = 1.0D""".stripMargin))
+      assert(e3.getMessage.contains("ghost"), e3.getMessage)
+      val e4 = intercept[Exception](spark.sql(
+        """MERGE INTO graft.msl_t t USING msl_c2 c ON t.id = c.id
+          |WHEN MATCHED THEN UPDATE SET v = c.s""".stripMargin))
+      assert(e4.getMessage.contains("widening"), e4.getMessage)
+      val e5 = intercept[Exception](spark.sql(
+        """MERGE INTO graft.msl_t t USING msl_c2 c ON t.id = c.id
+          |WHEN MATCHED THEN UPDATE SET v.nested = 1.0D""".stripMargin))
+      assert(e5.getMessage.contains("whole target columns"), e5.getMessage)
+      assert(M.currentVersion(spark, t) === v0,
+        "refused statements must publish nothing")
+    } finally GraftCatalog.unregister("msl_t")
+  }
+
   test("Resolution bails out early: plain relational statements never pay the rewrite walk") {
     import spark.implicits._
     import graft.sources.GraftCatalog
