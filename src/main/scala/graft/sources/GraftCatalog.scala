@@ -108,14 +108,6 @@ object GraftCatalog {
       path
     }
 
-  private def singleField(name: Seq[String], ident: String,
-                          what: String): String = {
-    require(name.length == 1,
-      s"$what on $ident supports top-level columns only, " +
-        s"not '${name.mkString(".")}'")
-    name.head
-  }
-
   /** A CREATE/DROP target: exactly `graft.<name>` (bare names are NOT
     * claimed — `CREATE TABLE t` belongs to the session catalog). */
   private def graftIdent(parts: Seq[String]): Option[String] = parts match {
@@ -604,15 +596,16 @@ object GraftCatalog {
           alterSpec(u, "ALTER") match {
             case Some(path) =>
               val adds = cols.map { c =>
-                require(c.path.isEmpty,
-                  s"ADD COLUMNS on $ident supports top-level columns only")
                 require(c.nullable,
                   s"ADD COLUMNS on $ident: new columns must be nullable — " +
                     "every pre-add row reads them as null")
                 require(c.position.isEmpty,
                   s"ADD COLUMNS on $ident: the recorded schema appends new " +
                     "columns last — positions are unsupported")
-                c.colName -> c.dataType
+                // nested adds (r14): `ADD COLUMNS (s.c INT)` — c.name is
+                // the full path, parent spelled Delta-style (structs by
+                // field name, `element`, `key`/`value`)
+                c.name.toSeq -> c.dataType
               }
               AlterCommand(ident, path, Add(adds))
             case None => ac
@@ -621,8 +614,7 @@ object GraftCatalog {
           val ident = u.multipartIdentifier.mkString(".")
           alterSpec(u, "ALTER") match {
             case Some(path) => AlterCommand(ident, path,
-              Drop(cols.map(f =>
-                singleField(f.name, ident, "DROP COLUMN")), ifExists))
+              Drop(cols.map(_.name.toSeq), ifExists))
             case None => dc
           }
         case al @ AlterColumns(u: UnresolvedTable, specs) =>
@@ -635,8 +627,7 @@ object GraftCatalog {
                     s.newDefaultExpression.isEmpty && !s.dropDefault,
                   s"ALTER COLUMN on $ident supports TYPE changes only " +
                     "(the metadata-only widening lattice)")
-                singleField(s.column.name, ident, "ALTER COLUMN") ->
-                  s.newDataType.get
+                s.column.name.toSeq -> s.newDataType.get
               }
               AlterCommand(ident, path, Widen(widens))
             case None => al
@@ -831,9 +822,9 @@ object GraftCatalog {
   /** One ALTER TABLE change, pre-validated by the rule. */
   sealed trait Alter extends Serializable
   final case class Rename(from: Seq[String], to: String) extends Alter
-  final case class Add(cols: Seq[(String, DataType)]) extends Alter
-  final case class Drop(cols: Seq[String], ifExists: Boolean) extends Alter
-  final case class Widen(cols: Seq[(String, DataType)]) extends Alter
+  final case class Add(cols: Seq[(Seq[String], DataType)]) extends Alter
+  final case class Drop(cols: Seq[Seq[String]], ifExists: Boolean) extends Alter
+  final case class Widen(cols: Seq[(Seq[String], DataType)]) extends Alter
 
   /** `ALTER TABLE graft.<name> RENAME COLUMN / ADD COLUMNS /
     * DROP COLUMN / ALTER COLUMN … TYPE …` — each maps to the
@@ -853,18 +844,34 @@ object GraftCatalog {
         // publishes as ONE version — a failing column fails the
         // statement with the table untouched
         case Add(cols) =>
-          ManifestTable.addColumns(session, path, cols)
+          ManifestTable.addColumnsAt(session, path, cols)
         case Drop(cols, ifExists) =>
           val keep =
             if (!ifExists) cols
             else {
-              val have = ManifestTable.snapshotSchema(session, path)
-                .map(_.fieldNames.toSet).getOrElse(Set.empty)
-              cols.filter(have)
+              // IF EXISTS resolves the whole PATH, any depth
+              val sch = ManifestTable.snapshotSchema(session, path)
+              def exists(p: Seq[String]): Boolean = {
+                import org.apache.spark.sql.types.{ArrayType, MapType}
+                def walk(dt: org.apache.spark.sql.types.DataType,
+                         rest: Seq[String]): Boolean =
+                  if (rest.isEmpty) true
+                  else (dt, rest.head) match {
+                    case (st: StructType, step) =>
+                      st.fields.find(_.name == step)
+                        .exists(f => walk(f.dataType, rest.tail))
+                    case (ArrayType(et, _), "element") => walk(et, rest.tail)
+                    case (MapType(k, _, _), "key") => walk(k, rest.tail)
+                    case (MapType(_, v, _), "value") => walk(v, rest.tail)
+                    case _ => false
+                  }
+                sch.exists(walk(_, p))
+              }
+              cols.filter(exists)
             }
-          if (keep.nonEmpty) ManifestTable.dropColumns(session, path, keep)
+          if (keep.nonEmpty) ManifestTable.dropColumnsAt(session, path, keep)
         case Widen(cols) =>
-          ManifestTable.widenColumns(session, path, cols)
+          ManifestTable.widenColumnsAt(session, path, cols)
       }
       Nil
     }

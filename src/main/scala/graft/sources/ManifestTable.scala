@@ -2043,14 +2043,35 @@ object ManifestTable {
     * compares field metadata, so strip it at every depth first. */
   private def sameType(a: DataType, b: DataType): Boolean =
     stripMeta(a) == stripMeta(b)
+  /** Equality-normal form: metadata AND nullability erased at every
+    * depth. Nullability was already ignored at the TOP level (the
+    * append check keys on (name, dataType)); nested levels must agree
+    * (r14) — a tuple-built batch's `struct<a:int NOT NULL>` IS the
+    * recorded `struct<a:int>`, and the engine never enforces NOT NULL
+    * anyway (CREATE refuses the clause for exactly that reason). */
   private def stripMeta(dt: DataType): DataType = dt match {
     case st: StructType => StructType(st.fields.map(f =>
-      f.copy(dataType = stripMeta(f.dataType),
+      f.copy(dataType = stripMeta(f.dataType), nullable = true,
         metadata = org.apache.spark.sql.types.Metadata.empty)))
-    case org.apache.spark.sql.types.ArrayType(et, n) =>
-      org.apache.spark.sql.types.ArrayType(stripMeta(et), n)
-    case org.apache.spark.sql.types.MapType(k, v, n) =>
-      org.apache.spark.sql.types.MapType(stripMeta(k), stripMeta(v), n)
+    case org.apache.spark.sql.types.ArrayType(et, _) =>
+      org.apache.spark.sql.types.ArrayType(stripMeta(et), true)
+    case org.apache.spark.sql.types.MapType(k, v, _) =>
+      org.apache.spark.sql.types.MapType(stripMeta(k), stripMeta(v), true)
+    case other => other
+  }
+
+  /** Nullability-relaxed twin of `dt`, for positional-cast TARGETS:
+    * a parquet scan surfaces user schemas nullable (and a file
+    * missing an evolution-added nested field null-fills it), so a
+    * cast demanding a NOT NULL nested field would refuse plans that
+    * are semantically exact renames (r14). */
+  private def relaxNulls(dt: DataType): DataType = dt match {
+    case st: StructType => StructType(st.fields.map(f =>
+      f.copy(dataType = relaxNulls(f.dataType), nullable = true)))
+    case org.apache.spark.sql.types.ArrayType(et, _) =>
+      org.apache.spark.sql.types.ArrayType(relaxNulls(et), true)
+    case org.apache.spark.sql.types.MapType(k, v, _) =>
+      org.apache.spark.sql.types.MapType(relaxNulls(k), relaxNulls(v), true)
     case other => other
   }
 
@@ -2117,7 +2138,7 @@ object ManifestTable {
         else top.select(s.fields.map(f =>
           if (hasMapping(f.dataType))
             org.apache.spark.sql.functions.col(f.name)
-              .cast(f.dataType).as(f.name)
+              .cast(relaxNulls(f.dataType)).as(f.name)
           else org.apache.spark.sql.functions.col(f.name)).toIndexedSeq: _*)
       }
     }
@@ -2938,7 +2959,8 @@ object ManifestTable {
         df.select(df.columns.map { c =>
           fieldOf.get(c) match {
             case Some(f) =>
-              (if (hasMapping(f.dataType)) fcol(c).cast(physType(f.dataType))
+              (if (hasMapping(f.dataType))
+                 fcol(c).cast(relaxNulls(physType(f.dataType)))
                else fcol(c)).as(physName(f))
             case None => fcol(c)
           }
@@ -5001,12 +5023,65 @@ object ManifestTable {
     * validates against the same head BEFORE the single publish. */
   def addColumns(spark: SparkSession, table: String,
                  cols: Seq[(String, DataType)], maxAttempts: Int = 5,
-                 freshStorage: Boolean = false): Int = {
+                 freshStorage: Boolean = false): Int =
+    addColumnsAt(spark, table, cols.map { case (n, t) => Seq(n) -> t },
+      maxAttempts, freshStorage)
+
+  /** The type-directed path walk every nested schema edit shares
+    * (r14, mirroring [[renameColumnPath]]'s traversal): descend
+    * `parent` — struct levels take a FIELD name, arrays the
+    * Delta-style `element` step, maps `key`/`value` — and apply
+    * `edit` to the struct there. The read/write machinery is already
+    * recursive over these shapes (physType / the positional cast
+    * rename), so an edited struct at any depth reads and writes
+    * correctly with zero call-site changes. */
+  private def editStructAt(root: StructType, parent: Seq[String],
+                           edit: StructType => StructType,
+                           dotted: String, table: String): StructType = {
+    import org.apache.spark.sql.types.{ArrayType, MapType}
+    def inType(dt: DataType, rest: Seq[String]): DataType =
+      if (rest.isEmpty) dt match {
+        case st: StructType => edit(st)
+        case other => throw new IllegalArgumentException(
+          s"'$dotted' on $table does not address a struct field " +
+            s"(its parent is $other)")
+      } else (dt, rest.head) match {
+        case (st: StructType, step) =>
+          require(st.fieldNames.contains(step),
+            s"no column '$dotted' on $table ('$step' not found)")
+          StructType(st.fields.map(x =>
+            if (x.name == step) x.copy(dataType = inType(x.dataType, rest.tail))
+            else x))
+        case (ArrayType(et, n), "element") => ArrayType(inType(et, rest.tail), n)
+        case (MapType(k, v, n), "key") => MapType(inType(k, rest.tail), v, n)
+        case (MapType(k, v, n), "value") => MapType(k, inType(v, rest.tail), n)
+        case (other, step) => throw new IllegalArgumentException(
+          s"cannot edit '$dotted' on $table: path step '$step' does not " +
+            s"address $other — struct levels take a field name, arrays " +
+            "take `element`, maps take `key`/`value`")
+      }
+    inType(root, parent).asInstanceOf[StructType]
+  }
+
+  /** [[addColumns]] for NESTED fields, addressed by path (r14):
+    * `addColumnsAt(…, Seq(Seq("s", "c")) -> IntegerType)` adds `s.c` —
+    * the same metadata-only commit (old files read the new nested
+    * field as null through parquet schema clipping, exactly like a
+    * top-level add). Sibling uniqueness and physical injectivity
+    * gate at the field's OWN nesting level; `freshStorage` maps a
+    * re-added name to uuid-suffixed fresh storage at depth, fixing
+    * the name-based resurrection caveat there too. Top-level paths
+    * additionally gate against hidden-transform targets and the
+    * reserved stats key (nested fields carry neither). */
+  def addColumnsAt(spark: SparkSession, table: String,
+                   cols: Seq[(Seq[String], DataType)], maxAttempts: Int = 5,
+                   freshStorage: Boolean = false): Int = {
     require(cols.nonEmpty, "ADD COLUMNS needs at least one column")
+    require(cols.forall(_._1.nonEmpty), "ADD COLUMNS needs non-empty paths")
     require(cols.map(_._1).distinct.length == cols.length,
-      s"duplicate column names in ${cols.map(_._1).mkString(", ")}")
-    cols.foreach { case (name, _) =>
-      require(name != SizeKey, s"column name '$name' is reserved") }
+      s"duplicate column paths in ${cols.map(_._1.mkString(".")).mkString(", ")}")
+    cols.filter(_._1.length == 1).foreach { case (path, _) =>
+      require(path.head != SizeKey, s"column name '${path.head}' is reserved") }
     var attempt = 0
     while (attempt < maxAttempts) {
       attempt += 1
@@ -5015,34 +5090,41 @@ object ManifestTable {
       val (files, schema, stats, partBy) = snapshotAll(spark, table, head)
       val sch = schema.getOrElse(recordedSchema(
         readFiles(spark, table, files.take(1), None, partBy).schema, partBy))
-      val added = cols.map { case (name, dataType) =>
-        require(!sch.fieldNames.contains(name),
-          s"column '$name' already exists on $table")
-        // a data column named like a hidden layout column would let a
-        // later batch carry its OWN values for it — the writer would
-        // lay files out by the data instead of the transform, silently
-        // corrupting partition pruning
-        require(!partitionTransforms(spark, table, head).exists(_.target == name),
-          s"column '$name' collides with a hidden partition-transform target")
-        if (!freshStorage) StructField(name, dataType, nullable = true)
-        else StructField(name, dataType, nullable = true,
-          metadata = new org.apache.spark.sql.types.MetadataBuilder()
-            .putString(PhysNameKey,
-              s"${name}_${java.util.UUID.randomUUID().toString.take(8)}")
-            .build())
+      val edited = cols.foldLeft(sch) { case (cur, (path, dataType)) =>
+        val (parent, name) = (path.init, path.last)
+        val dotted = path.mkString(".")
+        if (parent.isEmpty)
+          // a data column named like a hidden layout column would let
+          // a later batch carry its OWN values for it — the writer
+          // would lay files out by the data instead of the transform,
+          // silently corrupting partition pruning
+          require(!partitionTransforms(spark, table, head)
+              .exists(_.target == name),
+            s"column '$name' collides with a hidden partition-transform target")
+        editStructAt(cur, parent, { st =>
+          require(!st.fieldNames.contains(name),
+            s"column '$dotted' already exists on $table")
+          val nf =
+            if (!freshStorage) StructField(name, dataType, nullable = true)
+            else StructField(name, dataType, nullable = true,
+              metadata = new org.apache.spark.sql.types.MetadataBuilder()
+                .putString(PhysNameKey,
+                  s"${name}_${java.util.UUID.randomUUID().toString.take(8)}")
+                .build())
+          // physical namespace must stay injective AT THIS LEVEL:
+          // adding logical 'a' when a RENAMED sibling still stores
+          // under physical 'a' would make two fields read the same bytes
+          require(!st.fields.exists(f => physName(f) == physName(nf)),
+            s"column name '$dotted' is the physical storage of an existing " +
+              "(renamed) sibling — pass freshStorage = true")
+          StructType(st.fields :+ nf)
+        }, dotted, table)
       }
-      // physical namespace must stay injective: adding logical 'a'
-      // when a RENAMED column still stores under physical 'a' would
-      // make two logical columns read the same bytes
-      added.foreach(a =>
-        require(!sch.fields.exists(f => physName(f) == physName(a)),
-          s"column name '${a.name}' is the physical storage of an existing " +
-            "(renamed) column — pass freshStorage = true"))
-      val widened = recordedSchema(StructType(sch.fields ++ added), partBy)
+      val widened = recordedSchema(edited, partBy)
       beforeConditionalCommit()
       if (currentVersion(spark, table) == head &&
           tryPublish(spark, table, head, files,
-            s"addcol-${b64t(cols.map(_._1).mkString(","))}",
+            s"addcol-${b64t(cols.map(_._1.mkString(".")).mkString(","))}",
             Some(widened), stats, partBy, op = "add-column"))
         return head + 1
     }
@@ -5114,10 +5196,23 @@ object ManifestTable {
   /** Multi-column [[widenColumn]] as ONE committed version (the SQL
     * statement-atomicity shape — see [[addColumns]]). */
   def widenColumns(spark: SparkSession, table: String,
-                   cols: Seq[(String, DataType)], maxAttempts: Int = 5): Int = {
+                   cols: Seq[(String, DataType)], maxAttempts: Int = 5): Int =
+    widenColumnsAt(spark, table, cols.map { case (n, t) => Seq(n) -> t },
+      maxAttempts)
+
+  /** [[widenColumns]] for NESTED fields, addressed by path (r14):
+    * the same metadata-only widening — parquet's reader up-casts
+    * narrow physical pages at any nesting depth, so old files read
+    * correctly through the widened recorded schema. Bucket-source and
+    * bloom gates spell TOP-LEVEL names only (nested fields can be
+    * neither), so only the lattice check gates a nested widen. */
+  def widenColumnsAt(spark: SparkSession, table: String,
+                     cols: Seq[(Seq[String], DataType)],
+                     maxAttempts: Int = 5): Int = {
     require(cols.nonEmpty, "ALTER COLUMN needs at least one column")
+    require(cols.forall(_._1.nonEmpty), "ALTER COLUMN needs non-empty paths")
     require(cols.map(_._1).distinct.length == cols.length,
-      s"duplicate column names in ${cols.map(_._1).mkString(", ")}")
+      s"duplicate column paths in ${cols.map(_._1.mkString(".")).mkString(", ")}")
     var attempt = 0
     while (attempt < maxAttempts) {
       attempt += 1
@@ -5126,14 +5221,8 @@ object ManifestTable {
       val (files, schema, stats, partBy) = snapshotAll(spark, table, head)
       val sch = schema.getOrElse(recordedSchema(
         readFiles(spark, table, files.take(1), None, partBy).schema, partBy))
-      cols.foreach { case (name, to) =>
-        val field = sch.fields.find(_.name == name).getOrElse(
-          throw new IllegalArgumentException(s"no column '$name' on $table"))
-        require(WideningsTo.get(field.dataType).exists(_.contains(to)),
-          s"cannot widen $table.$name from ${field.dataType} to $to — " +
-            "sanctioned widenings are byte/short/int→(wider int|long|double), " +
-            "float→double (value-preserving, natively up-cast by the reader); " +
-            "anything else needs an explicit rewrite")
+      cols.filter(_._1.length == 1).foreach { case (path, _) =>
+        val name = path.head
         // bucket is the one type-SENSITIVE transform (xxhash64 of int vs
         // long differ); truncate runs through a double cast and calendar
         // kinds have no widenable source type, so both stay free to widen
@@ -5149,13 +5238,25 @@ object ManifestTable {
               "type-sensitive — widened lookups would miss old-era bit sets " +
               "(false negatives). dropBloom first, widen, re-add and OPTIMIZE"))
       }
-      val toOf = cols.toMap
-      val widened = StructType(sch.fields.map(f =>
-        toOf.get(f.name).fold(f)(t => f.copy(dataType = t))))
+      val widened = cols.foldLeft(sch) { case (cur, (path, to)) =>
+        val (parent, name) = (path.init, path.last)
+        val dotted = path.mkString(".")
+        editStructAt(cur, parent, { st =>
+          val field = st.fields.find(_.name == name).getOrElse(
+            throw new IllegalArgumentException(s"no column '$dotted' on $table"))
+          require(WideningsTo.get(field.dataType).exists(_.contains(to)),
+            s"cannot widen $table.$dotted from ${field.dataType} to $to — " +
+              "sanctioned widenings are byte/short/int→(wider int|long|double), " +
+              "float→double (value-preserving, natively up-cast by the reader); " +
+              "anything else needs an explicit rewrite")
+          StructType(st.fields.map(f =>
+            if (f.name == name) f.copy(dataType = to) else f))
+        }, dotted, table)
+      }
       beforeConditionalCommit()
       if (currentVersion(spark, table) == head &&
           tryPublish(spark, table, head, files,
-            s"widencol-${b64t(cols.map(_._1).mkString(","))}",
+            s"widencol-${b64t(cols.map(_._1.mkString(".")).mkString(","))}",
             Some(recordedSchema(widened, partBy)), stats, partBy,
             op = "widen-column"))
         return head + 1
@@ -5354,10 +5455,22 @@ object ManifestTable {
     * so a reference to any dropped column refuses the whole
     * statement. */
   def dropColumns(spark: SparkSession, table: String, names: Seq[String],
-                  maxAttempts: Int = 5): Int = {
-    require(names.nonEmpty, "DROP COLUMN needs at least one column")
-    require(names.distinct.length == names.length,
-      s"duplicate column names in ${names.mkString(", ")}")
+                  maxAttempts: Int = 5): Int =
+    dropColumnsAt(spark, table, names.map(Seq(_)), maxAttempts)
+
+  /** [[dropColumns]] for NESTED fields, addressed by path (r14):
+    * the recorded struct at that level loses the field — the physical
+    * bytes stay in the files but no reader requests them again.
+    * Dropping a struct's LAST field is refused (an empty struct is
+    * unwritable parquet); constraint/tombstone references to the
+    * dropped path refuse the statement exactly like top-level. */
+  def dropColumnsAt(spark: SparkSession, table: String,
+                    paths: Seq[Seq[String]], maxAttempts: Int = 5): Int = {
+    require(paths.nonEmpty, "DROP COLUMN needs at least one column")
+    require(paths.forall(_.nonEmpty), "DROP COLUMN needs non-empty paths")
+    require(paths.distinct.length == paths.length,
+      s"duplicate column paths in ${paths.map(_.mkString(".")).mkString(", ")}")
+    val names = paths.filter(_.length == 1).map(_.head)
     var attempt = 0
     while (attempt < maxAttempts) {
       attempt += 1
@@ -5367,14 +5480,22 @@ object ManifestTable {
       val sch = schema.getOrElse(recordedSchema(
         readFiles(spark, table, files.take(1), None, partBy).schema, partBy))
       names.foreach { name =>
-        require(sch.fieldNames.contains(name), s"no column '$name' on $table")
         require(!partBy.contains(name),
           s"cannot drop partition column '$name'")
       }
-      require(names.size < sch.fields.length,
-        s"cannot drop every column of $table")
-      val dropSet = names.toSet
-      val narrowed = StructType(sch.fields.filterNot(f => dropSet(f.name)))
+      val narrowed = paths.foldLeft(sch) { case (cur, path) =>
+        val (parent, name) = (path.init, path.last)
+        val dotted = path.mkString(".")
+        editStructAt(cur, parent, { st =>
+          require(st.fieldNames.contains(name),
+            s"no column '$dotted' on $table")
+          require(st.fields.length > 1,
+            if (parent.isEmpty) s"cannot drop every column of $table"
+            else s"cannot drop '$dotted' — it is the last field of its " +
+              "struct (an empty struct is unwritable; drop the struct)")
+          StructType(st.fields.filterNot(_.name == name))
+        }, dotted, table)
+      }
       def stillAnalyzes(sql: String): Boolean =
         try {
           spark.createDataFrame(
@@ -5395,7 +5516,7 @@ object ManifestTable {
       beforeConditionalCommit()
       if (currentVersion(spark, table) == head &&
           tryPublish(spark, table, head, files,
-            s"dropcol-${b64t(names.mkString(","))}",
+            s"dropcol-${b64t(paths.map(_.mkString(".")).mkString(","))}",
             Some(recordedSchema(narrowed, partBy)), stripped, partBy,
             op = "drop-column"))
         return head + 1

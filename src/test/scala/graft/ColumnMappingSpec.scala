@@ -446,4 +446,132 @@ class ColumnMappingSpec extends AnyFunSuite with SparkFixture {
     ManifestTable.dropConstraint(spark, t, "a_pos")
     assert(ManifestTable.renameColumnPath(spark, t, Seq("meta", "a"), "x") > 0)
   }
+
+  // ---- nested ADD / DROP / WIDEN (r14, the r13 verdict gap #7) ------
+
+  private def nestedTable(): String = {
+    import spark.implicits._
+    val t = fresh()
+    ManifestTable.commit(spark, t,
+      (1 to 20).map(i => (i.toLong, (i, s"b$i"))).toDF("id", "s"),
+      SaveMode.Overwrite)
+    t
+  }
+
+  test("nested ADD: old files read the new field as null; time travel keeps the old shape") {
+    import spark.implicits._
+    val t = nestedTable()
+    assert(ManifestTable.addColumnsAt(spark, t,
+      Seq(Seq("s", "c") -> LongType)) === 2)
+    // old rows: s.c is null through parquet schema clipping
+    val got = ManifestTable.read(spark, t)
+    assert(got.select($"s.c").collect().forall(_.isNullAt(0)),
+      "pre-add rows must read the nested field as null")
+    assert(got.filter($"id" === 3L).select($"s._1").head.getInt(0) === 3,
+      "the old nested fields still read their bytes")
+    // an append carries values for BOTH eras to mix in one scan
+    // (tuple-built, so nested fields are NOT NULL — the append check
+    // must not care: nullability is not part of the type contract)
+    ManifestTable.commit(spark, t,
+      Seq((100L, (100, "new", 777L))).toDF("id", "s")
+        .select($"id", struct($"s._1", $"s._2", $"s._3".as("c")).as("s")))
+    val mixed = ManifestTable.read(spark, t)
+    assert(mixed.filter($"id" === 100L).select($"s.c").head.getLong(0) === 777L)
+    assert(mixed.filter($"id" === 3L).select($"s.c").head.isNullAt(0))
+    // time travel: v1's recorded schema has NO s.c
+    val v1 = ManifestTable.read(spark, t, 1)
+    assert(!v1.schema("s").dataType.asInstanceOf[org.apache.spark.sql.types.StructType]
+      .fieldNames.contains("c"),
+      "the pre-add snapshot keeps its own shape")
+    assert(v1.count() === 20)
+  }
+
+  test("nested re-add after a nested rename needs fresh storage (no byte resurrection at depth)") {
+    import spark.implicits._
+    val t = nestedTable()
+    // rename s._1 -> s.z: physical storage stays '_1'
+    assert(ManifestTable.renameColumnPath(spark, t, Seq("s", "_1"), "z") === 2)
+    // plain re-add of the physical spelling: two fields would read the
+    // same bytes — refused, exactly like top-level
+    val e = intercept[Exception](ManifestTable.addColumnsAt(spark, t,
+      Seq(Seq("s", "_1") -> org.apache.spark.sql.types.IntegerType)))
+    assert(e.getMessage.contains("freshStorage"), e.getMessage)
+    // fresh storage: uuid-suffixed physical name; old bytes stay with z
+    assert(ManifestTable.addColumnsAt(spark, t,
+      Seq(Seq("s", "_1") -> org.apache.spark.sql.types.IntegerType),
+      freshStorage = true) === 3)
+    val got = ManifestTable.read(spark, t)
+    assert(got.filter($"id" === 5L).select($"s.z").head.getInt(0) === 5,
+      "the renamed field keeps its bytes")
+    assert(got.select($"s._1").collect().forall(_.isNullAt(0)),
+      "the re-added field must NOT resurrect the old bytes")
+  }
+
+  test("nested DROP: field gone, last-field and constraint references refuse") {
+    import spark.implicits._
+    val t = nestedTable()
+    ManifestTable.addConstraint(spark, t, "b_set", "s._2 IS NOT NULL")
+    val e0 = intercept[Exception](
+      ManifestTable.dropColumnsAt(spark, t, Seq(Seq("s", "_2"))))
+    assert(e0.getMessage.contains("b_set"),
+      s"a constraint-referenced nested field must refuse: ${e0.getMessage}")
+    ManifestTable.dropConstraint(spark, t, "b_set")
+    assert(ManifestTable.dropColumnsAt(spark, t, Seq(Seq("s", "_2"))) > 0)
+    val got = ManifestTable.read(spark, t)
+    assert(got.schema("s").dataType
+      .asInstanceOf[org.apache.spark.sql.types.StructType]
+      .fieldNames.toSeq === Seq("_1"))
+    assert(got.count() === 20)
+    // the struct's last field cannot go (an empty struct is unwritable)
+    val e1 = intercept[Exception](
+      ManifestTable.dropColumnsAt(spark, t, Seq(Seq("s", "_1"))))
+    assert(e1.getMessage.contains("last field"), e1.getMessage)
+  }
+
+  test("nested WIDEN: int→long at depth, old pages up-cast; non-widening refuses") {
+    import spark.implicits._
+    val t = nestedTable()
+    assert(ManifestTable.widenColumnsAt(spark, t,
+      Seq(Seq("s", "_1") -> LongType)) === 2)
+    val got = ManifestTable.read(spark, t)
+    assert(got.schema("s").dataType
+      .asInstanceOf[org.apache.spark.sql.types.StructType]("_1")
+      .dataType === LongType)
+    assert(got.filter($"id" === 9L).select($"s._1").head.getLong(0) === 9L,
+      "old int32 pages must up-cast at depth")
+    val e = intercept[Exception](ManifestTable.widenColumnsAt(spark, t,
+      Seq(Seq("s", "_2") -> LongType)))
+    assert(e.getMessage.contains("widen"), e.getMessage)
+  }
+
+  test("nested DDL through SQL: ADD COLUMNS (s.c), DROP COLUMN s._2, ALTER COLUMN s._1 TYPE, array interiors") {
+    import spark.implicits._
+    import graft.sources.GraftCatalog
+    val t = fresh()
+    ManifestTable.commit(spark, t,
+      (1 to 10).map(i => (i.toLong, (i, s"b$i"), Seq((i, i * 1.0f))))
+        .toDF("id", "s", "arr"), SaveMode.Overwrite)
+    GraftCatalog.register("cm_nested", t)
+    try {
+      spark.sql("ALTER TABLE graft.cm_nested ADD COLUMNS (s.c BIGINT)")
+      spark.sql("ALTER TABLE graft.cm_nested ALTER COLUMN s._1 TYPE BIGINT")
+      spark.sql("ALTER TABLE graft.cm_nested DROP COLUMN s._2")
+      // inside an array element's struct, Delta path spelling
+      spark.sql("ALTER TABLE graft.cm_nested ADD COLUMNS (arr.element.tag STRING)")
+      spark.sql("ALTER TABLE graft.cm_nested ALTER COLUMN arr.element._2 TYPE DOUBLE")
+      val got = spark.sql("SELECT id, s._1 AS a, s.c AS c, arr FROM graft.cm_nested")
+      assert(got.filter($"id" === 4L).head.getLong(1) === 4L)
+      assert(got.filter($"id" === 4L).head.isNullAt(2))
+      val arr = spark.sql(
+        "SELECT arr[0]._2 AS f, arr[0].tag AS tag FROM graft.cm_nested WHERE id = 4")
+        .head
+      assert(arr.getDouble(0) === 4.0 && arr.isNullAt(1),
+        "array-interior widen + add must read old elements correctly")
+      // IF EXISTS resolves nested paths too
+      spark.sql("ALTER TABLE graft.cm_nested DROP COLUMN IF EXISTS s.ghost")
+      val e = intercept[Exception](
+        spark.sql("ALTER TABLE graft.cm_nested DROP COLUMN s.ghost"))
+      assert(e.getMessage.contains("ghost"), e.getMessage)
+    } finally GraftCatalog.unregister("cm_nested")
+  }
 }
