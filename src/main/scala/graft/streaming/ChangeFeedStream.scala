@@ -402,4 +402,54 @@ object ChangeFeedStream {
     t.start()
     () => { running = false; t.interrupt(); t.join(5000) }
   }
+
+  // ---- by-name streaming sugar (r14, the r13 verdict gap #4) --------
+
+  /** The feed dir the by-name sugar owns: an underscore-prefixed
+    * sibling of `data/` inside the table directory (invisible to
+    * Spark's file listings, like `_manifests`), so a registered table
+    * is streamable with zero configuration. */
+  private def defaultFeedDir(path: String): String =
+    path.stripSuffix("/") + "/_changes"
+
+  // one auto-pump per feed dir per JVM — repeated readTableStream
+  // calls (and restarted queries in the same session) share it
+  private val autoPumps =
+    new java.util.concurrent.ConcurrentHashMap[String, AutoCloseable]()
+
+  /** `readTableStream(spark, "events")` — the streaming face of the
+    * catalog-name ergonomics the batch side got in r10: resolve a
+    * REGISTERED name (bare or `graft.`-qualified), stamp/adopt the
+    * table's default feed dir, start (or share) a session-local pump,
+    * and return the change stream. Exactly-once into transactional
+    * sinks rides the file source's own checkpoint, so a restarted
+    * query resumes where it left off. Production deployments that
+    * want ONE pump per table across many sessions run
+    * [[publishPending]] from their own scheduler and pass
+    * `autoPump = false` — the stream then only ever sees what the
+    * external pump publishes. */
+  def readTableStream(spark: SparkSession, name: String,
+                      autoPump: Boolean = true,
+                      pollIntervalMs: Long = 250L): DataFrame = {
+    val bare = name.stripPrefix("graft.")
+    val path = graft.sources.GraftCatalog.lookup(bare).getOrElse(
+      throw new IllegalArgumentException(
+        s"readTableStream: no registered table '$name' — " +
+          "GraftCatalog.register(name, path) first"))
+    val feedDir = defaultFeedDir(path)
+    requireMode(spark, feedDir, "file", create = true)
+    if (autoPump)
+      autoPumps.computeIfAbsent(feedDir,
+        _ => pump(spark, path, feedDir, pollIntervalMs))
+    readChangeStream(spark, path, feedDir)
+  }
+
+  /** Stop and forget the auto-pump a [[readTableStream]] call started
+    * for `name`'s default feed (no-op when none is running). */
+  def stopTableStreamPump(name: String): Unit = {
+    val bare = name.stripPrefix("graft.")
+    graft.sources.GraftCatalog.lookup(bare).foreach { path =>
+      Option(autoPumps.remove(defaultFeedDir(path))).foreach(_.close())
+    }
+  }
 }

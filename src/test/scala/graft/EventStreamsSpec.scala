@@ -485,4 +485,65 @@ class EventStreamsSpec extends AnyFunSuite with SparkFixture {
       assert(spark.read.parquet(s"$feed/data/v1").count() === 2)
     } finally pump.close()
   }
+
+  test("T9j: by-name streaming sugar — register, stream, append; restart is exactly-once") {
+    import graft.sources.{GraftCatalog, ManifestTable}
+    import graft.streaming.ChangeFeedStream
+    def tmp(tag: String) =
+      java.nio.file.Files.createTempDirectory(s"graft_cdfn_$tag").toString
+    val (table, ckpt, out) = (tmp("tab") + "/t", tmp("ckpt"), tmp("out"))
+    def rows(lo: Int, hi: Int) =
+      (lo to hi).map(i => (i.toLong, s"r$i")).toDF("id", "v")
+    ManifestTable.commit(spark, table, rows(1, 8))
+    GraftCatalog.register("t9e_events", table)
+    try {
+      // the whole by-name story: no feedDir, no pump plumbing — the
+      // sugar owns the table's default feed and a session-local pump
+      def start() = ChangeFeedStream
+        .readTableStream(spark, "graft.t9e_events")
+        .writeStream.format("parquet").option("path", out)
+        .option("checkpointLocation", ckpt).start()
+      val q = start()
+      try {
+        val deadline = System.currentTimeMillis() + 30000
+        def delivered = {
+          q.processAllAvailable()
+          try spark.read.parquet(out).count() catch { case _: Exception => 0L }
+        }
+        while (delivered < 8 && System.currentTimeMillis() < deadline)
+          Thread.sleep(100)
+        assert(spark.read.parquet(out).count() === 8,
+          "the initial snapshot must stream through the auto-pumped feed")
+        // an append lands while the stream runs; the pump delivers it
+        ManifestTable.commit(spark, table, rows(9, 12))
+        while (delivered < 12 && System.currentTimeMillis() < deadline)
+          Thread.sleep(100)
+        assert(spark.read.parquet(out).count() === 12)
+      } finally q.stop()
+      // restart from the SAME checkpoint: consumed files are not
+      // re-delivered, the new commit arrives exactly once
+      ManifestTable.commit(spark, table, rows(13, 15))
+      val q2 = start()
+      try {
+        val deadline = System.currentTimeMillis() + 30000
+        def delivered = {
+          q2.processAllAvailable()
+          spark.read.parquet(out).count()
+        }
+        while (delivered < 15 && System.currentTimeMillis() < deadline)
+          Thread.sleep(100)
+      } finally q2.stop()
+      val got = spark.read.parquet(out)
+        .select("id").collect().map(_.getLong(0)).sorted
+      assert(got.toSeq === (1L to 15L),
+        "restart must be exactly-once: 15 distinct ids, 15 rows")
+      // an unregistered name refuses with the registration pointer
+      val e = intercept[Exception](
+        ChangeFeedStream.readTableStream(spark, "ghost"))
+      assert(e.getMessage.contains("register"), e.getMessage)
+    } finally {
+      ChangeFeedStream.stopTableStreamPump("t9e_events")
+      GraftCatalog.unregister("t9e_events")
+    }
+  }
 }
