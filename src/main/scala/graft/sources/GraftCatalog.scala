@@ -3,7 +3,7 @@ package graft.sources
 import org.apache.spark.sql.{Column, Row, SaveMode, SparkSession}
 import org.apache.spark.sql.catalyst.analysis.{UnresolvedAttribute, UnresolvedIdentifier, UnresolvedRelation, UnresolvedTable, UnresolvedTableOrView}
 import org.apache.spark.sql.catalyst.expressions.{And, CheckConstraint, EqualTo, Expression}
-import org.apache.spark.sql.catalyst.plans.logical.{AddColumns, AddCheckConstraint, AlterColumns, AnalyzeColumn, AnalyzeTable, CreateTable, CreateTableAsSelect, DeleteAction, DeleteFromTable, DescribeRelation, DropColumns, DropConstraint => DropConstraintPlan, DropTable, InsertIntoStatement, InsertStarAction, LogicalPlan, MergeIntoTable, RenameColumn, ShowCreateTable, ShowTables, SubqueryAlias, TableSpec, TableSpecBase, UnresolvedTableSpec, UpdateAction, UpdateStarAction, UpdateTable}
+import org.apache.spark.sql.catalyst.plans.logical.{AddColumns, AddCheckConstraint, AlterColumns, AnalyzeColumn, AnalyzeTable, CreateTable, CreateTableAsSelect, DeleteAction, DeleteFromTable, DescribeRelation, DropColumns, DropConstraint => DropConstraintPlan, DropTable, InsertAction, InsertIntoStatement, InsertStarAction, LogicalPlan, MergeIntoTable, RenameColumn, ShowCreateTable, ShowTables, SubqueryAlias, TableSpec, TableSpecBase, UnresolvedTableSpec, UpdateAction, UpdateStarAction, UpdateTable}
 import org.apache.spark.sql.catalyst.rules.Rule
 import org.apache.spark.sql.connector.catalog.constraints.{Check, Constraint}
 import org.apache.spark.sql.connector.expressions.{Literal => V2Literal, Transform}
@@ -493,19 +493,61 @@ object GraftCatalog {
                   .map(c => coalesce(c, lit(false))).getOrElse(lit(true))
                 del = del.map(d => d && not(updFires))
               }
-              // the insert arm: present (INSERT *) or absent entirely
-              // (a MATCHED-ONLY merge — the UPDATE/DELETE-without-
-              // INSERT idiom, r13); conditional or column-list inserts
-              // still refuse with the filter-the-source alternative
-              val insertUnmatched = notMatchedActs match {
-                case Seq(InsertStarAction(None)) => true
-                case Seq() => false
-                case _ => throw new IllegalArgumentException(
-                  s"MERGE on $ident takes WHEN NOT MATCHED THEN INSERT * " +
-                    "or no NOT MATCHED clause at all (the engine inserts " +
-                    "every unmatched source row or none — filter the " +
-                    "source for anything else)")
-              }
+              // the insert arm (r14 completes it): INSERT * — bare,
+              // conditioned (AND c over SOURCE columns), or with an
+              // explicit column list (assignments over SOURCE columns;
+              // unassigned target columns insert as typed nulls) — or
+              // absent entirely (the MATCHED-ONLY idiom, r13).
+              // References in insert conditions/values evaluate against
+              // the raw SOURCE frame (there is no target row for an
+              // unmatched source row): bare names stay (they resolve on
+              // the source at run time), source-alias qualifiers strip,
+              // target qualifiers refuse.
+              def srcSide(e: Expression, what: String): Expression =
+                e.transformUp {
+                  case ua: UnresolvedAttribute if ua.nameParts.length == 2 =>
+                    val q = norm(ua.nameParts.head)
+                    if (srcQ.contains(q)) UnresolvedAttribute(Seq(ua.nameParts(1)))
+                    else if (tgtQ.contains(q)) throw new IllegalArgumentException(
+                      s"MERGE on $ident: a NOT MATCHED $what can only " +
+                        "reference source columns — there is no target row " +
+                        "for an unmatched source row")
+                    else throw new IllegalArgumentException(
+                      s"MERGE on $ident: qualifier '${ua.nameParts.head}' is " +
+                        "neither the target nor the source alias " +
+                        s"(${(tgtQ ++ srcQ).toSeq.sorted.mkString(", ")})")
+                  case ua: UnresolvedAttribute if ua.nameParts.length > 2 =>
+                    throw new IllegalArgumentException(
+                      s"MERGE on $ident: '${ua.sql}' — NOT MATCHED clauses " +
+                        "take alias-qualified column references only")
+                }
+              val (insertUnmatched, insertCond, insertAssign) =
+                notMatchedActs match {
+                  case Seq() => (false, None, None)
+                  case Seq(InsertStarAction(c)) =>
+                    (true, c.map(e => ColumnBridge.column(
+                      srcSide(e, "condition"))), None)
+                  case Seq(InsertAction(c, assigns)) =>
+                    val pairs = assigns.map { a =>
+                      val name = a.key match {
+                        case ua: UnresolvedAttribute if ua.nameParts.length == 1 =>
+                          ua.nameParts.head
+                        case ua: UnresolvedAttribute
+                            if ua.nameParts.length == 2 &&
+                              tgtQ.contains(norm(ua.nameParts.head)) =>
+                          ua.nameParts(1)
+                        case other => throw new IllegalArgumentException(
+                          s"MERGE on $ident: INSERT can only assign whole " +
+                            s"target columns, not '${other.sql}'")
+                      }
+                      name -> ColumnBridge.column(srcSide(a.value, "value"))
+                    }
+                    (true, c.map(e => ColumnBridge.column(
+                      srcSide(e, "condition"))), Some(pairs))
+                  case _ => throw new IllegalArgumentException(
+                    s"MERGE on $ident takes at most ONE NOT MATCHED clause " +
+                      "— INSERT * [AND cond] or INSERT (cols) VALUES (…)")
+                }
               // WHEN NOT MATCHED BY SOURCE THEN DELETE / UPDATE SET
               // (r13): conditions and assignment values see TARGET
               // columns only (there is no source row, by definition) —
@@ -578,7 +620,8 @@ object GraftCatalog {
               }
               MergeCommand(ident, path, srcPlan, keys, matchedUpdate, del,
                 withEvolution, insertUnmatched, bySrcDelete = bySrcDelete,
-                bySrcUpdate = bySrcUpdate, matchedAssign = matchedAssign)
+                bySrcUpdate = bySrcUpdate, matchedAssign = matchedAssign,
+                insertCond = insertCond, insertAssign = insertAssign)
             case None => m
           }
         // ---- ALTER TABLE graft.<name> … — the DDL face over the
@@ -805,7 +848,9 @@ object GraftCatalog {
       evolve: Boolean, insertUnmatched: Boolean = true,
       bySrcDelete: Option[Column] = None,
       bySrcUpdate: Option[(Seq[(String, Column)], Column)] = None,
-      matchedAssign: Option[Seq[(String, Column)]] = None)
+      matchedAssign: Option[Seq[(String, Column)]] = None,
+      insertCond: Option[Column] = None,
+      insertAssign: Option[Seq[(String, Column)]] = None)
     extends LeafRunnableCommand {
     override def innerChildren: Seq[LogicalPlan] = Seq(source)
     override def run(session: SparkSession): Seq[Row] = {
@@ -814,7 +859,9 @@ object GraftCatalog {
         insertUnmatched = insertUnmatched,
         whenNotMatchedBySourceDelete = bySrcDelete,
         whenNotMatchedBySourceUpdate = bySrcUpdate,
-        whenMatchedAssign = matchedAssign)
+        whenMatchedAssign = matchedAssign,
+        insertCondition = insertCond,
+        insertAssign = insertAssign)
       Nil
     }
   }

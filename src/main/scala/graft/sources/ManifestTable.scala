@@ -4120,9 +4120,43 @@ object ManifestTable {
             whenNotMatchedBySourceDelete: Option[Column] = None,
             whenNotMatchedBySourceUpdate:
               Option[(Seq[(String, Column)], Column)] = None,
-            whenMatchedAssign: Option[Seq[(String, Column)]] = None): Int = {
+            whenMatchedAssign: Option[Seq[(String, Column)]] = None,
+            insertCondition: Option[Column] = None,
+            insertAssign: Option[Seq[(String, Column)]] = None): Int = {
     import org.apache.spark.sql.functions.{coalesce, col, lit, struct, when}
     val srcCols = updates.columns.toSeq
+    // the NOT MATCHED insert image (r14): the anti-joined source rows,
+    // optionally gated by a source-side condition and/or projected
+    // through an explicit column list — assigned columns take their
+    // (source-frame) expressions under the widen-or-refuse discipline,
+    // unassigned ones insert as typed nulls (the standard SQL column-
+    // list contract; CHECK constraints then validate the post-image,
+    // so a null that violates one refuses the statement)
+    def insertImage(src0: DataFrame, tgtSchema: StructType): DataFrame = {
+      val filtered = insertCondition.fold(src0)(src0.filter)
+      insertAssign match {
+        case None => filtered
+        case Some(assigns) =>
+          require(assigns.map(_._1).distinct.length == assigns.length,
+            s"MERGE INSERT on $table assigns a column twice")
+          val amap = assigns.toMap
+          amap.keys.foreach(c => require(tgtSchema.fieldNames.contains(c),
+            s"MERGE INSERT on $table assigns unknown column '$c'"))
+          filtered.select(tgtSchema.fields.toSeq.map { f =>
+            amap.get(f.name) match {
+              case Some(e) =>
+                val aType = filtered.select(e.as("__p")).schema.head.dataType
+                (if (sameType(aType, f.dataType)) e
+                 else if (safeStoreCast(aType, f.dataType)) e.cast(f.dataType)
+                 else throw new IllegalArgumentException(
+                   s"MERGE INSERT on $table assigns $aType to column " +
+                     s"'${f.name}' (${f.dataType}) — only the widening " +
+                     "lattice casts implicitly")).as(f.name)
+              case None => lit(null).cast(f.dataType).as(f.name)
+            }
+          }: _*)
+      }
+    }
     val bounds = keyEnvelope(updates, keys) // head-independent: once
     var attempt = 0
     while (attempt < maxAttempts) {
@@ -4142,8 +4176,18 @@ object ManifestTable {
       // table — same no-op-no-commit contract as deleteWhere
       if ((head == 0 || rel.isEmpty) && !insertUnmatched) return head
       val (merged, affected) =
-        if (head == 0 || rel.isEmpty) (updates, Set.empty[String])
-        else {
+        if (head == 0 || rel.isEmpty) {
+          // everything is unmatched on an empty table — the insert
+          // gate/projection still apply (a column-list insert needs a
+          // recorded schema to project into)
+          val ts = schema.getOrElse {
+            require(insertAssign.isEmpty,
+              s"MERGE column-list INSERT on $table needs a recorded " +
+                "target schema (commit or CREATE the table first)")
+            updates.schema
+          }
+          (insertImage(updates, ts), Set.empty[String])
+        } else {
           val src = updates
             .select(struct(srcCols.map(col): _*).as("_src"))
             .select(keys.map(k => col(s"_src.$k").as(k)) :+ col("_src"): _*)
@@ -4288,8 +4332,9 @@ object ManifestTable {
             a.unionByName(b, allowMissingColumns = mergeSchema)
           val upserted =
             if (!insertUnmatched) u(kept, replaced) // matched-only merge
-            else u(u(kept, replaced), updates.join(
-              tgt.select(keys.map(col): _*).distinct(), keys, "left_anti"))
+            else u(u(kept, replaced), insertImage(updates.join(
+              tgt.select(keys.map(col): _*).distinct(), keys, "left_anti"),
+              tgt.schema))
           (upserted, affected)
         }
       // CHECK enforcement on the post-image before anything is written

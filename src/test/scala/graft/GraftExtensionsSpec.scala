@@ -611,6 +611,62 @@ class GraftExtensionsSpec extends AnyFunSuite with SparkFixture {
     } finally GraftCatalog.unregister("msl_t")
   }
 
+  test("MERGE insert arms: conditional INSERT * and column-list INSERT with typed nulls") {
+    import spark.implicits._
+    import graft.sources.{GraftCatalog, ManifestTable => M}
+    val t = java.nio.file.Files.createTempDirectory("graft_mins").toString + "/t"
+    M.commit(spark, t,
+      Seq((1L, 10.0, "a"), (2L, 20.0, "b")).toDF("id", "v", "s"),
+      org.apache.spark.sql.SaveMode.Overwrite)
+    GraftCatalog.register("mins_t", t)
+    try {
+      def image: Map[Long, (Option[Double], Option[String])] =
+        M.read(spark, t).collect().map(r => r.getLong(0) ->
+          ((if (r.isNullAt(1)) None else Some(r.getDouble(1)),
+            Option(r.getString(2))))).toMap
+      Seq((1L, 99.0, "m"), (7L, 5.0, "lo"), (8L, 50.0, "hi"))
+        .toDF("id", "v", "s").createOrReplaceTempView("mins_c")
+      // conditional INSERT *: only the unmatched row passing the
+      // SOURCE-side gate inserts; the matched row updates
+      spark.sql("""MERGE INTO graft.mins_t t USING mins_c c ON t.id = c.id
+                  |WHEN MATCHED THEN UPDATE SET *
+                  |WHEN NOT MATCHED AND c.v > 10 THEN INSERT *""".stripMargin)
+      assert(image === Map(
+        1L -> ((Some(99.0), Some("m"))), 2L -> ((Some(20.0), Some("b"))),
+        8L -> ((Some(50.0), Some("hi")))),
+        "id 7 must be gated out by the insert condition")
+      // column-list INSERT: v unassigned → typed null; values are
+      // source-frame expressions
+      Seq((9L, 1.0, "nine")).toDF("id", "v", "s")
+        .createOrReplaceTempView("mins_c2")
+      spark.sql("""MERGE INTO graft.mins_t t USING mins_c2 c ON t.id = c.id
+                  |WHEN NOT MATCHED THEN INSERT (id, s) VALUES (c.id, c.s)
+                  |""".stripMargin)
+      assert(image(9L) === ((None, Some("nine"))),
+        "unassigned columns must insert as typed nulls")
+      // refusals: a target reference in the insert side, unknown
+      // assigned column — loud, nothing written
+      val v0 = M.currentVersion(spark, t)
+      val e1 = intercept[Exception](spark.sql(
+        """MERGE INTO graft.mins_t t USING mins_c c ON t.id = c.id
+          |WHEN NOT MATCHED AND t.v > 0 THEN INSERT *""".stripMargin))
+      assert(e1.getMessage.contains("source columns"), e1.getMessage)
+      val e2 = intercept[Exception](spark.sql(
+        """MERGE INTO graft.mins_t t USING mins_c c ON t.id = c.id
+          |WHEN NOT MATCHED THEN INSERT (ghost) VALUES (c.id)""".stripMargin))
+      assert(e2.getMessage.contains("ghost"), e2.getMessage)
+      assert(M.currentVersion(spark, t) === v0)
+      // a CHECK constraint vets the typed nulls like any other row
+      M.addConstraint(spark, t, "v_set", "v IS NOT NULL OR id < 100")
+      val e3 = intercept[Exception](spark.sql(
+        """MERGE INTO graft.mins_t t
+          |USING (SELECT 200L AS id, 3.0D AS v, 'x' AS s) c ON t.id = c.id
+          |WHEN NOT MATCHED THEN INSERT (id, s) VALUES (c.id, c.s)""".stripMargin))
+      assert(e3.getMessage.contains("v_set"),
+        s"the null-v insert must fail the CHECK: ${e3.getMessage}")
+    } finally GraftCatalog.unregister("mins_t")
+  }
+
   test("Resolution bails out early: plain relational statements never pay the rewrite walk") {
     import spark.implicits._
     import graft.sources.GraftCatalog
