@@ -14,6 +14,10 @@ import graft.sources.GraftCatalog
   *
   *   OPTIMIZE graft.<name> [ZORDER BY (c[, c])]   → compactSmall / compact
   *   VACUUM graft.<name> RETAIN <n> VERSIONS [DRY RUN] → expire / preview
+  *   RESTORE TABLE graft.<name> TO VERSION AS OF n
+  *                            | TO TIMESTAMP AS OF '…' → restore
+  *   CREATE TABLE [IF NOT EXISTS] graft.<dst> SHALLOW CLONE
+  *     graft.<src> [VERSION|TIMESTAMP AS OF …] [LOCATION '…'] → cloneShallow
   *
   * Everything else — including every statement Spark DOES parse, and
   * any OPTIMIZE/VACUUM aimed at a non-graft table — delegates
@@ -40,6 +44,23 @@ class GraftSqlParser(delegate: ParserInterface) extends ParserInterface {
         s"VACUUM graft.$name needs an explicit retention: " +
           s"VACUUM graft.$name RETAIN <n> VERSIONS [DRY RUN] — a default " +
           "would silently amputate time travel")
+    case RestoreVersionStmt(name, v) =>
+      GraftCatalog.RestoreCommand(name, Some(v.toInt), None)
+    case RestoreTimestampStmt(name, ts) =>
+      GraftCatalog.RestoreCommand(name, None, Some(ts))
+    case RestoreBare(name) =>
+      throw new IllegalArgumentException(
+        s"RESTORE TABLE graft.$name needs an explicit target: " +
+          "TO VERSION AS OF <n> or TO TIMESTAMP AS OF '<ts>'")
+    case CloneStmt(ifNotExists, dst, src, v, ts, loc) =>
+      GraftCatalog.CloneCommand(dst, src,
+        Option(v).map(_.toInt), Option(ts), Option(loc),
+        ignoreIfExists = ifNotExists != null)
+    case DeepCloneStmt(dst, _) =>
+      throw new IllegalArgumentException(
+        s"DEEP CLONE is not supported — a deep clone copies every byte, " +
+          s"which is honestly spelled CREATE TABLE graft.$dst … AS " +
+          "SELECT …; for a zero-copy branch use SHALLOW CLONE")
     case _ => delegate.parsePlan(sqlText)
   }
 
@@ -71,4 +92,16 @@ object GraftSqlParser {
     s"""(?is)\\s*VACUUM\\s+graft\\s*\\.\\s*($Ident)\\s+RETAIN\\s+(\\d+)\\s+VERSIONS(\\s+DRY\\s+RUN)?\\s*;?\\s*""".r
   private val VacuumNoRetain =
     s"""(?is)\\s*VACUUM\\s+graft\\s*\\.\\s*($Ident)\\s*;?\\s*""".r
+  private val RestoreVersionStmt =
+    s"""(?is)\\s*RESTORE\\s+(?:TABLE\\s+)?graft\\s*\\.\\s*($Ident)\\s+TO\\s+VERSION\\s+AS\\s+OF\\s+(\\d+)\\s*;?\\s*""".r
+  private val RestoreTimestampStmt =
+    s"""(?is)\\s*RESTORE\\s+(?:TABLE\\s+)?graft\\s*\\.\\s*($Ident)\\s+TO\\s+TIMESTAMP\\s+AS\\s+OF\\s+'([^']*)'\\s*;?\\s*""".r
+  private val RestoreBare =
+    s"""(?is)\\s*RESTORE\\s+(?:TABLE\\s+)?graft\\s*\\.\\s*($Ident)\\b.*""".r
+  // the AS-OF group is one alternation so "VERSION AS OF n" and
+  // "TIMESTAMP AS OF '…'" can't both appear; LOCATION trails either
+  private val CloneStmt =
+    s"""(?is)\\s*CREATE\\s+TABLE\\s+(?:(IF\\s+NOT\\s+EXISTS)\\s+)?graft\\s*\\.\\s*($Ident)\\s+SHALLOW\\s+CLONE\\s+graft\\s*\\.\\s*($Ident)(?:\\s+VERSION\\s+AS\\s+OF\\s+(\\d+)|\\s+TIMESTAMP\\s+AS\\s+OF\\s+'([^']*)')?(?:\\s+LOCATION\\s+'([^']*)')?\\s*;?\\s*""".r
+  private val DeepCloneStmt =
+    s"""(?is)\\s*CREATE\\s+TABLE\\s+(?:IF\\s+NOT\\s+EXISTS\\s+)?graft\\s*\\.\\s*($Ident)\\s+DEEP\\s+CLONE\\s+(.*)""".r
 }

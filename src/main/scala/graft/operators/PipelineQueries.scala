@@ -581,6 +581,73 @@ object PipelineQueries {
              |ORDER BY bucket NULLS FIRST""".stripMargin)
     ),
 
+    // Q_SQL_RESTORE (r14): incident response + branching through the
+    // SQL face — a bad DELETE poisons the head, RESTORE TO VERSION AS
+    // OF flips it back by reference (zero rows move, history intact),
+    // then SHALLOW CLONE branches the repaired table zero-copy and a
+    // destructive experiment on the branch never touches the donor.
+    // Both ops are O(manifest) at any table size — at 100 TB the
+    // restore carries the target's segments by reference and the clone
+    // writes ONE root naming the donor's files as externs. The judged
+    // aggregate reads the BRANCH after its local delete; the oracle
+    // recomputes that image from the raw table, which is only equal if
+    // the restore truly reverted the poison AND the branch truly
+    // diverged from a whole donor.
+    Entry(
+      "q_sql_restore",
+      (s, d) => {
+        val t = scratchDir("qrst", d)
+        val tc = scratchDir("qrstc", d)
+        def rmRf(f: java.io.File): Unit = {
+          Option(f.listFiles()).getOrElse(Array.empty).foreach(rmRf)
+          f.delete(); ()
+        }
+        Seq(t, tc).foreach(p => rmRf(new java.io.File(p)))
+        val M = graft.sources.ManifestTable
+        Seq("q_rst_li", "q_rst_branch").foreach(
+          graft.sources.GraftCatalog.unregister)
+        s.sql(s"""CREATE TABLE graft.q_rst_li (
+                 |  l_orderkey BIGINT, l_quantity DOUBLE,
+                 |  l_extendedprice DOUBLE
+                 |) LOCATION '$t'""".stripMargin)
+        try {
+          Tables.lineitem(s, d)
+            .select(col("l_orderkey"), col("l_quantity"),
+              col("l_extendedprice"))
+            .createOrReplaceTempView("v_rst_src")
+          s.sql("INSERT INTO graft.q_rst_li SELECT * FROM v_rst_src") // v2
+          val full = M.read(s, t).count()
+          s.sql("DELETE FROM graft.q_rst_li WHERE l_orderkey % 2 = 0") // v3: poison
+          s.sql("RESTORE TABLE graft.q_rst_li TO VERSION AS OF 2").collect()
+          require(M.currentVersion(s, t) == 4 &&
+            M.read(s, t).count() == full,
+            "RESTORE must revert the poison delete as a new commit")
+          require(M.read(s, t, 3).count() < full,
+            "history must keep the poisoned version inspectable")
+          s.sql("CREATE TABLE graft.q_rst_branch SHALLOW CLONE " +
+            s"graft.q_rst_li LOCATION '$tc'").collect()
+          // the branch diverges; the donor must not move
+          s.sql("DELETE FROM graft.q_rst_branch WHERE l_orderkey % 3 = 0")
+          require(M.read(s, t).count() == full,
+            "a branch delete must never reach the donor")
+          s.sql(s"""SELECT l_orderkey % 10 AS bucket, count(*) AS cnt,
+                   |  ${dsumSql("l_quantity")} AS sum_qty,
+                   |  ${dsumSql("l_extendedprice")} AS sum_price
+                   |FROM graft.q_rst_branch
+                   |GROUP BY l_orderkey % 10
+                   |ORDER BY bucket""".stripMargin)
+        } finally Seq("q_rst_li", "q_rst_branch").foreach(
+          graft.sources.GraftCatalog.unregister)
+      },
+      Some(s"""SELECT l_orderkey % 10 AS bucket, count(*) AS cnt,
+             |  ${dsumSql("l_quantity")} AS sum_qty,
+             |  ${dsumSql("l_extendedprice")} AS sum_price
+             |FROM lineitem
+             |WHERE l_orderkey % 3 <> 0
+             |GROUP BY l_orderkey % 10
+             |ORDER BY bucket NULLS FIRST""".stripMargin)
+    ),
+
     // Q2: correlated LATERAL subquery through the SQL surface — the
     // per-row dependent-subquery shape (top-2 orders per customer).
     // Catalyst DECORRELATES it (DecorrelateInnerQuery + window

@@ -1492,4 +1492,110 @@ object GraftCatalog {
       Seq(Row(dirs.size, bytes))
     }
   }
+
+  /** A parser-level `TIMESTAMP AS OF '<literal>'` resolved to a
+    * version number — the same Cast-under-session-timezone semantics
+    * the analyzer-level time travel uses (Resolution, above), so
+    * `SELECT … TIMESTAMP AS OF t`, `RESTORE … TO TIMESTAMP AS OF t`
+    * and `SHALLOW CLONE … TIMESTAMP AS OF t` all land on the same
+    * version for the same t. */
+  private def versionAtTimestamp(session: SparkSession, path: String,
+                                 ts: String, stmt: String): Int = {
+    // under ANSI the Cast THROWS on malformed input rather than
+    // yielding null — fold both shapes into the one targeted error
+    val micros = try org.apache.spark.sql.catalyst.expressions.Cast(
+      org.apache.spark.sql.catalyst.expressions.Literal(ts),
+      org.apache.spark.sql.types.TimestampType,
+      Some(session.sessionState.conf.sessionLocalTimeZone)).eval(null)
+    catch { case e: Exception => throw new IllegalArgumentException(
+      s"$stmt: '$ts' is not a timestamp", e) }
+    if (micros == null) throw new IllegalArgumentException(
+      s"$stmt: '$ts' is not a timestamp")
+    ManifestTable.versionAsOf(session, path, micros.asInstanceOf[Long] / 1000L)
+  }
+
+  /** `RESTORE TABLE graft.<name> TO VERSION AS OF n` /
+    * `TO TIMESTAMP AS OF '…'` → [[ManifestTable.restore]]: roll the
+    * head back to the target version's image as a NEW commit — history
+    * preserved, zero rows moved (the target's segments are carried by
+    * reference), the Delta RESTORE shape. The incident-response
+    * statement: an ingest bug poisons the head, one statement flips
+    * the table back in O(manifest) time while the bad versions stay
+    * inspectable until VACUUMed. Parsed by [[graft.GraftSqlParser]] —
+    * vanilla Spark has no RESTORE statement. */
+  final case class RestoreCommand(name: String, version: Option[Int],
+      timestamp: Option[String]) extends LeafRunnableCommand {
+    override val output: Seq[org.apache.spark.sql.catalyst.expressions.Attribute] =
+      Seq(org.apache.spark.sql.catalyst.expressions.AttributeReference(
+        "version", org.apache.spark.sql.types.IntegerType, nullable = false)(),
+        strAttr("operation"))
+    override def run(session: SparkSession): Seq[Row] = {
+      val path = lookup(name).getOrElse(throw new IllegalArgumentException(
+        s"RESTORE TABLE graft.$name: no such registered table"))
+      val target = version.getOrElse(versionAtTimestamp(session, path,
+        timestamp.get, s"RESTORE TABLE graft.$name TO TIMESTAMP AS OF"))
+      val head = ManifestTable.currentVersion(session, path)
+      // restoring to the head is a no-op a user almost certainly
+      // didn't mean (a typo'd version) — report it without committing
+      // an identical snapshot on top
+      if (target == head) return Seq(Row(head, s"noop-restore-$target"))
+      val v = ManifestTable.restore(session, path, target)
+      Seq(Row(v, s"restore-$target"))
+    }
+  }
+
+  /** `CREATE TABLE graft.<dst> SHALLOW CLONE graft.<src> [VERSION AS
+    * OF n | TIMESTAMP AS OF '…'] [LOCATION '…']` →
+    * [[ManifestTable.cloneShallow]]: a zero-copy writable branch of
+    * the source snapshot — the dst manifest references the donor's
+    * files by extern entry, new writes land under the dst's own dir,
+    * and the donor never learns the clone exists (the Delta SHALLOW
+    * CLONE contract, including its VACUUM hazard — CloneSpec pins
+    * both directions). The dev/test workflow at 100 TB: branch the
+    * production table in O(manifest) time, experiment destructively,
+    * DROP the clone. Path rules match CreateCommand: LOCATION, or
+    * `<warehouse>/<name>`, else a loud refusal. DEEP CLONE is refused
+    * at parse time (a full copy is CREATE TABLE … AS SELECT — being
+    * honest that it moves every byte). */
+  final case class CloneCommand(dstName: String, srcName: String,
+      version: Option[Int], timestamp: Option[String],
+      location: Option[String], ignoreIfExists: Boolean)
+    extends LeafRunnableCommand {
+    override val output: Seq[org.apache.spark.sql.catalyst.expressions.Attribute] =
+      Seq(org.apache.spark.sql.catalyst.expressions.AttributeReference(
+        "version", org.apache.spark.sql.types.IntegerType, nullable = false)(),
+        strAttr("operation"))
+    override def run(session: SparkSession): Seq[Row] = {
+      val srcPath = lookup(srcName).getOrElse(
+        throw new IllegalArgumentException(
+          s"SHALLOW CLONE graft.$srcName: no such registered table"))
+      val dstPath = location.orElse(warehouse.map(w =>
+        w.stripSuffix("/") + "/" + dstName)).getOrElse(
+        throw new IllegalArgumentException(
+          s"CREATE TABLE graft.$dstName SHALLOW CLONE needs a LOCATION " +
+            "(or set GraftCatalog.warehouse for a default root)"))
+      require(dstPath != srcPath,
+        s"SHALLOW CLONE graft.$srcName: the clone cannot target the " +
+          "donor's own directory")
+      lookup(dstName).foreach(p => require(p == dstPath,
+        s"CREATE TABLE graft.$dstName: the name is already registered " +
+          s"to $p — unregister it before cloning at $dstPath"))
+      if (ManifestTable.versions(session, dstPath).nonEmpty) {
+        if (ignoreIfExists) { register(dstName, dstPath); return Nil }
+        throw new IllegalArgumentException(
+          s"CREATE TABLE graft.$dstName: $dstPath already holds a table " +
+            "(IF NOT EXISTS to adopt it, or pick a fresh LOCATION)")
+      }
+      val v = version match {
+        case Some(n) => n
+        case None => timestamp.fold(-1)(ts => versionAtTimestamp(
+          session, srcPath, ts,
+          s"SHALLOW CLONE graft.$srcName TIMESTAMP AS OF"))
+      }
+      val cloned = ManifestTable.cloneShallow(session, srcPath, dstPath, v)
+      register(dstName, dstPath)
+      val at = if (v < 0) "head" else s"v$v"
+      Seq(Row(cloned, s"shallow-clone($srcName@$at)"))
+    }
+  }
 }

@@ -166,4 +166,105 @@ class SqlMaintenanceSpec extends AnyFunSuite with SparkFixture {
       assert(e2.getMessage.contains("ghost"), e2.getMessage)
     } finally GraftCatalog.unregister("anl")
   }
+
+  test("RESTORE TABLE TO VERSION AS OF rolls the head back as a NEW commit") {
+    val t = mk("rst")                                   // v1: ids 1..60
+    try {
+      val sum1 = ManifestTable.read(spark, t).agg(sum("id")).head.getLong(0)
+      spark.sql("INSERT OVERWRITE graft.rst SELECT id, 9, 0.0D FROM range(5)") // v2
+      spark.sql("DELETE FROM graft.rst WHERE id >= 3")                         // v3
+      assert(ManifestTable.read(spark, t).count() === 3)
+      val out = spark.sql(
+        "RESTORE TABLE graft.rst TO VERSION AS OF 1").collect()
+      assert(out.length === 1 && out.head.getInt(0) === 4 &&
+        out.head.getString(1) === "restore-1", out.mkString)
+      // the head is v1's image again — and history is PRESERVED, not
+      // rewritten: time travel still sees the overwrite and delete
+      assert(ManifestTable.read(spark, t)
+        .agg(sum("id")).head.getLong(0) === sum1)
+      assert(ManifestTable.read(spark, t, 3).count() === 3)
+      assert(ManifestTable.commitOp(spark, t).contains("restore"))
+      // restoring to the current head is a reported no-op, not a
+      // duplicate commit
+      val noop = spark.sql("RESTORE graft.rst TO VERSION AS OF 4").head
+      assert(noop.getString(1) === "noop-restore-4")
+      assert(ManifestTable.currentVersion(spark, t) === 4)
+      // a target-less RESTORE names the required clause
+      val e = intercept[Exception](spark.sql("RESTORE TABLE graft.rst"))
+      assert(e.getMessage.contains("TO VERSION AS OF"), e.getMessage)
+      val e2 = intercept[Exception](
+        spark.sql("RESTORE TABLE graft.ghost_rst TO VERSION AS OF 1"))
+      assert(e2.getMessage.contains("no such registered table"))
+    } finally GraftCatalog.unregister("rst")
+  }
+
+  test("RESTORE TO TIMESTAMP AS OF lands on the same version the read-side travel picks") {
+    val t = mk("rstts")                                  // v1
+    try {
+      Thread.sleep(5)
+      val cut = new java.sql.Timestamp(System.currentTimeMillis())
+      Thread.sleep(5)
+      spark.sql("INSERT OVERWRITE graft.rstts SELECT id, 1, 1.0D FROM range(4)") // v2
+      val expect = ManifestTable.versionAsOf(spark, t, cut.getTime)
+      assert(expect === 1)
+      val out = spark.sql(
+        s"RESTORE TABLE graft.rstts TO TIMESTAMP AS OF '$cut'").head
+      assert(out.getString(1) === s"restore-$expect")
+      assert(ManifestTable.read(spark, t).count() === 60)
+      val e = intercept[Exception](spark.sql(
+        "RESTORE graft.rstts TO TIMESTAMP AS OF 'not a time'"))
+      assert(e.getMessage.contains("not a timestamp"), e.getMessage)
+    } finally GraftCatalog.unregister("rstts")
+  }
+
+  test("CREATE TABLE … SHALLOW CLONE branches zero-copy; writes stay on the clone") {
+    val t = mk("cln_src")                                // v1: 60 rows
+    val dst = tmp("cln_dst")
+    try {
+      spark.sql("INSERT INTO graft.cln_src SELECT id + 100, 1, 2.0D FROM range(10)") // v2: 70
+      val out = spark.sql("CREATE TABLE graft.cln_dst SHALLOW CLONE " +
+        s"graft.cln_src LOCATION '$dst'").collect()
+      assert(out.length === 1 && out.head.getInt(0) === 1 &&
+        out.head.getString(1) === "shallow-clone(cln_src@head)", out.mkString)
+      assert(spark.sql("SELECT count(*) AS n FROM graft.cln_dst")
+        .head.getLong(0) === 70)
+      // zero-copy: the clone's own data dir holds no donor bytes
+      assert(!new java.io.File(dst, "data").exists() ||
+        new java.io.File(dst, "data").listFiles().isEmpty)
+      // writes diverge: the clone grows, the donor doesn't
+      spark.sql("INSERT INTO graft.cln_dst SELECT id + 500, 2, 3.0D FROM range(5)")
+      assert(spark.sql("SELECT count(*) FROM graft.cln_dst").head.getLong(0) === 75)
+      assert(spark.sql("SELECT count(*) FROM graft.cln_src").head.getLong(0) === 70)
+      // re-running without IF NOT EXISTS refuses; with it, adopts
+      val e = intercept[Exception](spark.sql(
+        s"CREATE TABLE graft.cln_dst SHALLOW CLONE graft.cln_src LOCATION '$dst'"))
+      assert(e.getMessage.contains("already holds a table"), e.getMessage)
+      spark.sql("CREATE TABLE IF NOT EXISTS graft.cln_dst SHALLOW CLONE " +
+        s"graft.cln_src LOCATION '$dst'")
+      assert(spark.sql("SELECT count(*) FROM graft.cln_dst").head.getLong(0) === 75)
+      // DEEP CLONE refuses at parse time, naming the honest spelling
+      val e2 = intercept[Exception](spark.sql(
+        "CREATE TABLE graft.cln_deep DEEP CLONE graft.cln_src"))
+      assert(e2.getMessage.contains("AS SELECT"), e2.getMessage)
+    } finally {
+      GraftCatalog.unregister("cln_src"); GraftCatalog.unregister("cln_dst")
+    }
+  }
+
+  test("SHALLOW CLONE VERSION AS OF branches a historical snapshot") {
+    val t = mk("clnv_src", n = 20)                       // v1: 20 rows
+    val dst = tmp("clnv_dst")
+    try {
+      spark.sql("DELETE FROM graft.clnv_src WHERE id > 5")  // v2: 5 rows
+      val out = spark.sql("CREATE TABLE graft.clnv_dst SHALLOW CLONE " +
+        s"graft.clnv_src VERSION AS OF 1 LOCATION '$dst'").head
+      assert(out.getString(1) === "shallow-clone(clnv_src@v1)")
+      assert(spark.sql("SELECT count(*) FROM graft.clnv_dst")
+        .head.getLong(0) === 20, "the clone is v1's image, pre-delete")
+      assert(spark.sql("SELECT count(*) FROM graft.clnv_src")
+        .head.getLong(0) === 5, "the donor keeps its own head")
+    } finally {
+      GraftCatalog.unregister("clnv_src"); GraftCatalog.unregister("clnv_dst")
+    }
+  }
 }
