@@ -13,7 +13,7 @@ import graft.sources.GraftCatalog
   * grammar lacks):
   *
   *   OPTIMIZE graft.<name> [ZORDER BY (c[, c])]   → compactSmall / compact
-  *   VACUUM graft.<name> RETAIN <n> VERSIONS [DRY RUN] → expire / preview
+  *   VACUUM graft.<name> RETAIN <n> VERSIONS|HOURS [DRY RUN] → expire / preview
   *   RESTORE TABLE graft.<name> TO VERSION AS OF n
   *                            | TO TIMESTAMP AS OF '…' → restore
   *   CREATE TABLE [IF NOT EXISTS] graft.<dst> SHALLOW CLONE
@@ -34,16 +34,20 @@ class GraftSqlParser(delegate: ParserInterface) extends ParserInterface {
       GraftCatalog.OptimizeCommand(name,
         Option(zorder).map(_.split(",").map(_.trim).filter(_.nonEmpty).toSeq)
           .getOrElse(Nil))
-    case VacuumStmt(name, n, dry) =>
-      val keep = n.toIntOption.filter(_ >= 1).getOrElse(
-        throw new IllegalArgumentException(
-          s"VACUUM graft.$name: RETAIN must keep at least 1 version, got $n"))
-      GraftCatalog.VacuumCommand(name, keep, dry != null)
+    case VacuumStmt(name, n, unit, dry) =>
+      val byHours = unit.toUpperCase.startsWith("HOUR")
+      val keep = n.toIntOption.filter(v => v >= (if (byHours) 0 else 1))
+        .getOrElse(throw new IllegalArgumentException(
+          if (byHours)
+            s"VACUUM graft.$name: RETAIN hours must be >= 0, got $n"
+          else
+            s"VACUUM graft.$name: RETAIN must keep at least 1 version, got $n"))
+      GraftCatalog.VacuumCommand(name, keep, dry != null, byHours = byHours)
     case VacuumNoRetain(name) =>
       throw new IllegalArgumentException(
         s"VACUUM graft.$name needs an explicit retention: " +
-          s"VACUUM graft.$name RETAIN <n> VERSIONS [DRY RUN] — a default " +
-          "would silently amputate time travel")
+          s"VACUUM graft.$name RETAIN <n> VERSIONS|HOURS [DRY RUN] — a " +
+          "default would silently amputate time travel")
     case RestoreVersionStmt(name, v) =>
       GraftCatalog.RestoreCommand(name, Some(v.toInt), None)
     case RestoreTimestampStmt(name, ts) =>
@@ -89,7 +93,7 @@ object GraftSqlParser {
   private val OptimizeStmt =
     s"""(?is)\\s*OPTIMIZE\\s+graft\\s*\\.\\s*($Ident)\\s*(?:ZORDER\\s+BY\\s*\\(\\s*([^)]*?)\\s*\\))?\\s*;?\\s*""".r
   private val VacuumStmt =
-    s"""(?is)\\s*VACUUM\\s+graft\\s*\\.\\s*($Ident)\\s+RETAIN\\s+(\\d+)\\s+VERSIONS(\\s+DRY\\s+RUN)?\\s*;?\\s*""".r
+    s"""(?is)\\s*VACUUM\\s+graft\\s*\\.\\s*($Ident)\\s+RETAIN\\s+(\\d+)\\s+(VERSIONS|HOURS)(\\s+DRY\\s+RUN)?\\s*;?\\s*""".r
   private val VacuumNoRetain =
     s"""(?is)\\s*VACUUM\\s+graft\\s*\\.\\s*($Ident)\\s*;?\\s*""".r
   private val RestoreVersionStmt =

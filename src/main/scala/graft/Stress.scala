@@ -547,6 +547,29 @@ object Stress {
         s"the 91 in-range rows must surface shifted, got $updatedRows")
       println(f"[stress] update_100k update_s=$updateSec%.2f " +
         f"victims=$updVictims/$nAll carried=${(beforeUpd & afterUpd).size}")
+      // r14: RESTORE at the 100k-file scale (restore_100k) — the
+      // incident-response op must cost O(root), not O(table): the
+      // target version's segments carry by reference, so the restore
+      // writes ONE root and ZERO new segment files. The assertions
+      // are exact: the segment census is unchanged, the restored
+      // head references precisely the pre-update file set, and the
+      // shifted rows are gone.
+      val preRestoreVer = ManifestTable.currentVersion(spark, t)
+      val segDir = new java.io.File(s"$t/_manifests/segments")
+      val segsBefore = Option(segDir.list()).fold(0)(_.length)
+      t0 = System.nanoTime()
+      ManifestTable.restore(spark, t, preRestoreVer - 1)
+      val restoreSec = (System.nanoTime() - t0) / 1e9
+      require(Option(segDir.list()).fold(0)(_.length) == segsBefore,
+        "a restore must write zero new segment files — the target's " +
+          "segments carry by reference")
+      require(ManifestTable.snapshotFiles(spark, t).toSet == beforeUpd,
+        "the restored head must reference exactly the pre-update file set")
+      require(ManifestTable.readWhere(spark, t,
+        col("key") >= 10000000L).count() == 0,
+        "the restore must revert the shifted rows")
+      println(f"[stress] restore_100k restore_s=$restoreSec%.2f " +
+        f"segments=$segsBefore files=${beforeUpd.size}")
     }
 
     // Analytics shapes over a rep×-replicated event log (user space

@@ -675,6 +675,32 @@ object GraftCatalog {
               AlterCommand(ident, path, Widen(widens))
             case None => al
           }
+        // SET/UNSET TBLPROPERTIES aimed at a graft table would
+        // otherwise escape to the session catalog and die with an
+        // opaque not-found — refuse with the mechanism that DOES
+        // evolve each property family (the refuse-loudly policy)
+        case sp @ org.apache.spark.sql.catalyst.plans.logical
+            .SetTableProperties(u: UnresolvedTable, _) =>
+          alterSpec(u, "ALTER").foreach { _ =>
+            throw new IllegalArgumentException(
+              s"SET TBLPROPERTIES on ${u.multipartIdentifier.mkString(".")}: " +
+                "table properties are recorded at CREATE in the config " +
+                "sidecar and do not mutate in place — stats columns " +
+                "evolve via ANALYZE TABLE … COMPUTE STATISTICS FOR " +
+                "COLUMNS (begins collection and binds later writers), " +
+                "constraints via ALTER TABLE … ADD/DROP CONSTRAINT")
+          }
+          sp
+        case up @ org.apache.spark.sql.catalyst.plans.logical
+            .UnsetTableProperties(u: UnresolvedTable, _, _) =>
+          alterSpec(u, "ALTER").foreach { _ =>
+            throw new IllegalArgumentException(
+              s"UNSET TBLPROPERTIES on " +
+                s"${u.multipartIdentifier.mkString(".")}: table properties " +
+                "are recorded at CREATE and do not mutate in place — see " +
+                "SET TBLPROPERTIES for the per-family evolution paths")
+          }
+          up
       }
       withWrites.resolveOperatorsUp {
         // standard SQL time travel (r13): `FROM graft.<name> VERSION AS
@@ -1470,12 +1496,19 @@ object GraftCatalog {
     math.max(1, math.ceil(bytes / (128.0 * (1 << 20))).toInt)
   }
 
-  /** `VACUUM graft.<name> RETAIN <n> VERSIONS [DRY RUN]` →
+  /** `VACUUM graft.<name> RETAIN <n> VERSIONS|HOURS [DRY RUN]` →
     * [[ManifestTable.expire]] / [[ManifestTable.vacuumPreview]]. The
     * RETAIN clause is REQUIRED — a default retention is a silent
-    * time-travel amputation; the operator states what survives. */
+    * time-travel amputation; the operator states what survives.
+    * HOURS is the wall-clock spelling (the Delta RETAIN idiom):
+    * every version committed inside the window survives, PLUS the
+    * version that was current at the window's start — so
+    * `TIMESTAMP AS OF` stays answerable for every instant inside the
+    * stated window, which is exactly what "retain n hours" promises.
+    * RETAIN 0 HOURS keeps just the head. */
   final case class VacuumCommand(name: String, keepLast: Int,
-      dryRun: Boolean) extends LeafRunnableCommand {
+      dryRun: Boolean, byHours: Boolean = false)
+    extends LeafRunnableCommand {
     override val output: Seq[org.apache.spark.sql.catalyst.expressions.Attribute] =
       Seq(org.apache.spark.sql.catalyst.expressions.AttributeReference(
         "reclaimed_dirs", org.apache.spark.sql.types.IntegerType,
@@ -1485,10 +1518,19 @@ object GraftCatalog {
     override def run(session: SparkSession): Seq[Row] = {
       val path = lookup(name).getOrElse(throw new IllegalArgumentException(
         s"VACUUM graft.$name: no such registered table"))
+      val keep = if (!byHours) keepLast else {
+        val cutoff = System.currentTimeMillis() - keepLast * 3600000L
+        val vs = ManifestTable.versions(session, path)
+        // the newest version at-or-before the cutoff anchors the
+        // window: it is what TIMESTAMP AS OF <window start> reads
+        val anchored = vs.lastIndexWhere(v => ManifestTable
+          .commitTimeMs(session, path, v).getOrElse(Long.MaxValue) <= cutoff)
+        if (anchored < 0) vs.size else vs.size - anchored
+      }
       // preview first in BOTH modes: the executed VACUUM reports what
       // it reclaimed, the DRY RUN reports what it would
-      val (dirs, bytes) = ManifestTable.vacuumPreview(session, path, keepLast)
-      if (!dryRun) ManifestTable.expire(session, path, keepLast)
+      val (dirs, bytes) = ManifestTable.vacuumPreview(session, path, keep)
+      if (!dryRun) ManifestTable.expire(session, path, keep)
       Seq(Row(dirs.size, bytes))
     }
   }

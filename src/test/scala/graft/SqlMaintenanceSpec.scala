@@ -167,6 +167,35 @@ class SqlMaintenanceSpec extends AnyFunSuite with SparkFixture {
     } finally GraftCatalog.unregister("anl")
   }
 
+  test("VACUUM RETAIN n HOURS anchors the window; SET TBLPROPERTIES refuses with the evolution paths") {
+    val t = mk("vach")                                            // v1
+    try {
+      spark.sql("INSERT OVERWRITE graft.vach SELECT id, 1, 2.0D FROM range(8)") // v2
+      spark.sql("INSERT OVERWRITE graft.vach SELECT id, 2, 3.0D FROM range(8)") // v3
+      // every commit is seconds old: a 1000-hour window keeps all
+      // three versions and reclaims nothing
+      val wide = spark.sql(
+        "VACUUM graft.vach RETAIN 1000 HOURS DRY RUN").head
+      assert(wide.getInt(0) === 0, s"nothing is outside a wide window: $wide")
+      // a zero-hour window keeps just the head: two dirs die
+      val zero = spark.sql("VACUUM graft.vach RETAIN 0 HOURS DRY RUN").head
+      assert(zero.getInt(0) === 2, s"0 HOURS must orphan both old dirs: $zero")
+      spark.sql("VACUUM graft.vach RETAIN 0 HOURS").collect()
+      assert(ManifestTable.versions(spark, t) === Seq(3))
+      assert(ManifestTable.read(spark, t).count() === 8)
+      // negative hours never parse; VERSIONS still requires >= 1
+      intercept[Exception](
+        spark.sql("VACUUM graft.vach RETAIN 0 VERSIONS"))
+      // SET/UNSET TBLPROPERTIES refuse naming the evolution paths
+      val e = intercept[Exception](spark.sql(
+        "ALTER TABLE graft.vach SET TBLPROPERTIES ('graft.statsColumns'='id')"))
+      assert(e.getMessage.contains("ANALYZE"), e.getMessage)
+      val e2 = intercept[Exception](spark.sql(
+        "ALTER TABLE graft.vach UNSET TBLPROPERTIES ('graft.statsColumns')"))
+      assert(e2.getMessage.contains("do not mutate in place"), e2.getMessage)
+    } finally GraftCatalog.unregister("vach")
+  }
+
   test("RESTORE TABLE TO VERSION AS OF rolls the head back as a NEW commit") {
     val t = mk("rst")                                   // v1: ids 1..60
     try {
