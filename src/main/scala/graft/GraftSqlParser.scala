@@ -16,6 +16,7 @@ import graft.sources.GraftCatalog
   *   VACUUM graft.<name> RETAIN <n> VERSIONS|HOURS [DRY RUN] → expire / preview
   *   RESTORE TABLE graft.<name> TO VERSION AS OF n
   *                            | TO TIMESTAMP AS OF '…' → restore
+  *   COPY INTO graft.<name> FROM '<glob>' FILEFORMAT = fmt → copyInto
   *   CREATE TABLE [IF NOT EXISTS] graft.<dst> SHALLOW CLONE
   *     graft.<src> [VERSION|TIMESTAMP AS OF …] [LOCATION '…'] → cloneShallow
   *
@@ -60,6 +61,14 @@ class GraftSqlParser(delegate: ParserInterface) extends ParserInterface {
       GraftCatalog.CloneCommand(dst, src,
         Option(v).map(_.toInt), Option(ts), Option(loc),
         ignoreIfExists = ifNotExists != null)
+    case CopyIntoStmt(name, glob, fmt) =>
+      GraftCatalog.CopyIntoCommand(name, glob, fmt.toLowerCase)
+    case CopyIntoNoFormat(name) =>
+      throw new IllegalArgumentException(
+        s"COPY INTO graft.$name needs an explicit file format: " +
+          s"COPY INTO graft.$name FROM '<path-or-glob>' FILEFORMAT = " +
+          "PARQUET|JSON|CSV — inferring one risks misreading the " +
+          "landing zone")
     case DeepCloneStmt(dst, _) =>
       throw new IllegalArgumentException(
         s"DEEP CLONE is not supported — a deep clone copies every byte, " +
@@ -106,6 +115,10 @@ object GraftSqlParser {
   // "TIMESTAMP AS OF '…'" can't both appear; LOCATION trails either
   private val CloneStmt =
     s"""(?is)\\s*CREATE\\s+TABLE\\s+(?:(IF\\s+NOT\\s+EXISTS)\\s+)?graft\\s*\\.\\s*($Ident)\\s+SHALLOW\\s+CLONE\\s+graft\\s*\\.\\s*($Ident)(?:\\s+VERSION\\s+AS\\s+OF\\s+(\\d+)|\\s+TIMESTAMP\\s+AS\\s+OF\\s+'([^']*)')?(?:\\s+LOCATION\\s+'([^']*)')?\\s*;?\\s*""".r
+  private val CopyIntoStmt =
+    s"""(?is)\\s*COPY\\s+INTO\\s+graft\\s*\\.\\s*($Ident)\\s+FROM\\s+'([^']+)'\\s+FILEFORMAT\\s*=\\s*(PARQUET|JSON|CSV)\\s*;?\\s*""".r
+  private val CopyIntoNoFormat =
+    s"""(?is)\\s*COPY\\s+INTO\\s+graft\\s*\\.\\s*($Ident)\\b.*""".r
   private val DeepCloneStmt =
     s"""(?is)\\s*CREATE\\s+TABLE\\s+(?:IF\\s+NOT\\s+EXISTS\\s+)?graft\\s*\\.\\s*($Ident)\\s+DEEP\\s+CLONE\\s+(.*)""".r
 }

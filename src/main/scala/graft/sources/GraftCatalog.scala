@@ -242,6 +242,16 @@ object GraftCatalog {
         case _ => false
       }
       case d: DeleteFromTable => rel(d.table).exists(specOf(_).isDefined)
+      case t: org.apache.spark.sql.catalyst.plans.logical.TruncateTable =>
+        t.table match {
+          case u: UnresolvedTable => partsSpec(u.multipartIdentifier).isDefined
+          case _ => false
+        }
+      case t: org.apache.spark.sql.catalyst.plans.logical.TruncatePartition =>
+        t.table match {
+          case u: UnresolvedTable => partsSpec(u.multipartIdentifier).isDefined
+          case _ => false
+        }
       case up: UpdateTable => rel(up.table).exists(specOf(_).isDefined)
       case m: MergeIntoTable => rel(m.targetTable).exists(specOf(_).isDefined)
       case a: org.apache.spark.sql.catalyst.plans.logical.AlterTableCommand =>
@@ -310,6 +320,29 @@ object GraftCatalog {
               DeleteCommand(u.multipartIdentifier.mkString("."), path,
                 ColumnBridge.column(cond))
             case None => d
+          }
+        // TRUNCATE TABLE graft.<name> — the versioned-table semantics:
+        // a full DELETE commit (new version, zero files), history and
+        // time travel intact; Hive's partition-spec form refuses with
+        // the predicate spelling
+        case tr @ org.apache.spark.sql.catalyst.plans.logical
+            .TruncateTable(u: UnresolvedTable) =>
+          alterSpec(u, "TRUNCATE") match {
+            case Some(path) =>
+              DeleteCommand(u.multipartIdentifier.mkString("."), path,
+                org.apache.spark.sql.functions.lit(true))
+            case None => tr
+          }
+        case tp @ org.apache.spark.sql.catalyst.plans.logical
+            .TruncatePartition(u: UnresolvedTable, _) =>
+          alterSpec(u, "TRUNCATE") match {
+            case Some(_) => throw new IllegalArgumentException(
+              s"TRUNCATE … PARTITION on " +
+                s"${u.multipartIdentifier.mkString(".")}: partition-spec " +
+                "truncation is Hive's spelling — use DELETE FROM " +
+                "graft.<name> WHERE <partition predicate> (stats-pruned " +
+                "to the partition's files, same cost)")
+            case None => tp
           }
         case up @ UpdateTable(tgtPlan, assignments, condition) =>
           // unwrap `UPDATE graft.<name> [AS t]`
@@ -1554,6 +1587,30 @@ object GraftCatalog {
     if (micros == null) throw new IllegalArgumentException(
       s"$stmt: '$ts' is not a timestamp")
     ManifestTable.versionAsOf(session, path, micros.asInstanceOf[Long] / 1000L)
+  }
+
+  /** `COPY INTO graft.<name> FROM '<path-or-glob>' FILEFORMAT = fmt`
+    * → [[ManifestTable.copyInto]]: idempotent landing-zone ingestion —
+    * every (path, length, mtime) source key ingests exactly once per
+    * table lifetime (re-running the statement after new files land
+    * picks up ONLY the new ones; an exact re-run is a no-op), the
+    * batch must match the recorded schema exactly (ingestion, not
+    * evolution — extra source columns refuse rather than silently
+    * project away). FILEFORMAT is REQUIRED: inferring a format for a
+    * landing zone risks misreading it. The returned version is the
+    * head after ingestion — unchanged when nothing was fresh. */
+  final case class CopyIntoCommand(name: String, sourceGlob: String,
+      format: String) extends LeafRunnableCommand {
+    override val output: Seq[org.apache.spark.sql.catalyst.expressions.Attribute] =
+      Seq(org.apache.spark.sql.catalyst.expressions.AttributeReference(
+        "version", org.apache.spark.sql.types.IntegerType, nullable = false)(),
+        strAttr("operation"))
+    override def run(session: SparkSession): Seq[Row] = {
+      val path = lookup(name).getOrElse(throw new IllegalArgumentException(
+        s"COPY INTO graft.$name: no such registered table"))
+      val v = ManifestTable.copyInto(session, path, sourceGlob, format)
+      Seq(Row(v, s"copy-into($format)"))
+    }
   }
 
   /** `RESTORE TABLE graft.<name> TO VERSION AS OF n` /

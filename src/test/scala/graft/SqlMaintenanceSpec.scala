@@ -196,6 +196,54 @@ class SqlMaintenanceSpec extends AnyFunSuite with SparkFixture {
     } finally GraftCatalog.unregister("vach")
   }
 
+  test("COPY INTO ingests a landing zone idempotently through SQL") {
+    import spark.implicits._
+    val t = tmp("cpt")
+    val landing = java.nio.file.Files
+      .createTempDirectory("graft_sqlmnt_landing").toString
+    try {
+      spark.sql(s"CREATE TABLE graft.cpt (id BIGINT, v DOUBLE) LOCATION '$t'")
+      (1 to 20).map(i => (i.toLong, i * 0.5)).toDF("id", "v")
+        .coalesce(1).write.mode("append").parquet(landing)
+      val out = spark.sql(
+        s"COPY INTO graft.cpt FROM '$landing' FILEFORMAT = PARQUET").head
+      assert(out.getString(1) === "copy-into(parquet)")
+      assert(spark.sql("SELECT count(*) FROM graft.cpt").head.getLong(0) === 20)
+      val v = ManifestTable.currentVersion(spark, t)
+      // exact re-run: nothing fresh, no new version
+      spark.sql(s"COPY INTO graft.cpt FROM '$landing' FILEFORMAT = PARQUET")
+        .collect()
+      assert(ManifestTable.currentVersion(spark, t) === v,
+        "an exact COPY INTO re-run must be a no-op")
+      // a new landing file ingests alone
+      (21 to 25).map(i => (i.toLong, i * 0.5)).toDF("id", "v")
+        .coalesce(1).write.mode("append").parquet(landing)
+      spark.sql(s"COPY INTO graft.cpt FROM '$landing' FILEFORMAT = PARQUET")
+        .collect()
+      assert(spark.sql("SELECT count(*) FROM graft.cpt").head.getLong(0) === 25)
+      // format-less refusal names the clause
+      val e = intercept[Exception](
+        spark.sql(s"COPY INTO graft.cpt FROM '$landing'"))
+      assert(e.getMessage.contains("FILEFORMAT"), e.getMessage)
+    } finally GraftCatalog.unregister("cpt")
+  }
+
+  test("TRUNCATE TABLE is a full-delete commit; history stays; PARTITION form refuses") {
+    val t = mk("trc", n = 30)
+    try {
+      spark.sql("TRUNCATE TABLE graft.trc")
+      assert(spark.sql("SELECT count(*) FROM graft.trc").head.getLong(0) === 0)
+      assert(ManifestTable.read(spark, t, 1).count() === 30,
+        "time travel must still see the pre-truncate rows")
+      // appends keep working against the recorded schema
+      spark.sql("INSERT INTO graft.trc SELECT id, 1, 2.0D FROM range(3)")
+      assert(spark.sql("SELECT count(*) FROM graft.trc").head.getLong(0) === 3)
+      val e = intercept[Exception](
+        spark.sql("TRUNCATE TABLE graft.trc PARTITION (grp = 1)"))
+      assert(e.getMessage.contains("DELETE FROM"), e.getMessage)
+    } finally GraftCatalog.unregister("trc")
+  }
+
   test("RESTORE TABLE TO VERSION AS OF rolls the head back as a NEW commit") {
     val t = mk("rst")                                   // v1: ids 1..60
     try {
