@@ -17,6 +17,7 @@ import graft.sources.GraftCatalog
   *   RESTORE TABLE graft.<name> TO VERSION AS OF n
   *                            | TO TIMESTAMP AS OF '…' → restore
   *   COPY INTO graft.<name> FROM '<glob>' FILEFORMAT = fmt → copyInto
+  *   INSERT INTO graft.<name> REPLACE WHERE cond SELECT … → replaceWhere
   *   CREATE TABLE [IF NOT EXISTS] graft.<dst> SHALLOW CLONE
   *     graft.<src> [VERSION|TIMESTAMP AS OF …] [LOCATION '…'] → cloneShallow
   *
@@ -61,6 +62,12 @@ class GraftSqlParser(delegate: ParserInterface) extends ParserInterface {
       GraftCatalog.CloneCommand(dst, src,
         Option(v).map(_.toInt), Option(ts), Option(loc),
         ignoreIfExists = ifNotExists != null)
+    case ReplaceWhereStmt(name, cond, query) =>
+      // the cond/query boundary is the first SELECT keyword: a
+      // condition carrying a subquery is refused downstream anyway
+      // (region predicates must be file-prunable scalar predicates)
+      GraftCatalog.ReplaceWhereCommand(name, cond.trim,
+        delegate.parseQuery(query.replaceAll(";\\s*$", "")))
     case CopyIntoStmt(name, glob, fmt) =>
       GraftCatalog.CopyIntoCommand(name, glob, fmt.toLowerCase)
     case CopyIntoNoFormat(name) =>
@@ -115,6 +122,8 @@ object GraftSqlParser {
   // "TIMESTAMP AS OF '…'" can't both appear; LOCATION trails either
   private val CloneStmt =
     s"""(?is)\\s*CREATE\\s+TABLE\\s+(?:(IF\\s+NOT\\s+EXISTS)\\s+)?graft\\s*\\.\\s*($Ident)\\s+SHALLOW\\s+CLONE\\s+graft\\s*\\.\\s*($Ident)(?:\\s+VERSION\\s+AS\\s+OF\\s+(\\d+)|\\s+TIMESTAMP\\s+AS\\s+OF\\s+'([^']*)')?(?:\\s+LOCATION\\s+'([^']*)')?\\s*;?\\s*""".r
+  private val ReplaceWhereStmt =
+    s"""(?is)\\s*INSERT\\s+INTO\\s+graft\\s*\\.\\s*($Ident)\\s+REPLACE\\s+WHERE\\s+(.+?)\\s+(SELECT\\b.*)""".r
   private val CopyIntoStmt =
     s"""(?is)\\s*COPY\\s+INTO\\s+graft\\s*\\.\\s*($Ident)\\s+FROM\\s+'([^']+)'\\s+FILEFORMAT\\s*=\\s*(PARQUET|JSON|CSV)\\s*;?\\s*""".r
   private val CopyIntoNoFormat =

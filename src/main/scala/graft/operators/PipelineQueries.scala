@@ -648,6 +648,60 @@ object PipelineQueries {
              |ORDER BY bucket NULLS FIRST""".stripMargin)
     ),
 
+    // Q_REPLACE_WHERE (r14): the idempotent region reload —
+    // `INSERT INTO … REPLACE WHERE <region>` atomically deletes the
+    // region and inserts the recomputed batch in ONE version. The
+    // canonical 100 TB backfill: re-derive one priority class and swap
+    // it in; victims stats-prune to the region's files, every other
+    // file carries by reference, and a failed job leaves the old
+    // region intact. The oracle recomputes the final image with a
+    // CASE over the raw table — equal only if the swap replaced
+    // exactly the region and nothing else.
+    Entry(
+      "q_replace_where",
+      (s, d) => {
+        val t = scratchDir("qrpw", d)
+        def rmRf(f: java.io.File): Unit = {
+          Option(f.listFiles()).getOrElse(Array.empty).foreach(rmRf)
+          f.delete(); ()
+        }
+        rmRf(new java.io.File(t))
+        val M = graft.sources.ManifestTable
+        graft.sources.GraftCatalog.unregister("q_rpw_orders")
+        s.sql(s"""CREATE TABLE graft.q_rpw_orders (
+                 |  o_orderkey BIGINT, o_orderpriority STRING,
+                 |  o_totalprice DOUBLE
+                 |) LOCATION '$t'""".stripMargin)
+        try {
+          Tables.orders(s, d)
+            .select(col("o_orderkey"), col("o_orderpriority"),
+              col("o_totalprice"))
+            .createOrReplaceTempView("v_rpw_src")
+          s.sql("INSERT INTO graft.q_rpw_orders SELECT * FROM v_rpw_src") // v2
+          s.sql("""INSERT INTO graft.q_rpw_orders
+                  |REPLACE WHERE o_orderpriority = '1-URGENT'
+                  |SELECT o_orderkey, o_orderpriority,
+                  |  o_totalprice * 2 AS o_totalprice
+                  |FROM v_rpw_src
+                  |WHERE o_orderpriority = '1-URGENT'""".stripMargin)
+          require(M.currentVersion(s, t) == 3 &&
+            M.commitOp(s, t).contains("replace-where"),
+            "the region reload must land as ONE replace-where version")
+          s.sql(s"""SELECT o_orderpriority, count(*) AS cnt,
+                   |  ${dsumSql("o_totalprice")} AS sum_price
+                   |FROM graft.q_rpw_orders
+                   |GROUP BY o_orderpriority
+                   |ORDER BY o_orderpriority""".stripMargin)
+        } finally graft.sources.GraftCatalog.unregister("q_rpw_orders")
+      },
+      Some(s"""SELECT o_orderpriority, count(*) AS cnt,
+             |  ${dsumSql("CASE WHEN o_orderpriority = '1-URGENT' " +
+               "THEN o_totalprice * 2 ELSE o_totalprice END")} AS sum_price
+             |FROM orders
+             |GROUP BY o_orderpriority
+             |ORDER BY o_orderpriority NULLS FIRST""".stripMargin)
+    ),
+
     // Q2: correlated LATERAL subquery through the SQL surface — the
     // per-row dependent-subquery shape (top-2 orders per customer).
     // Catalyst DECORRELATES it (DecorrelateInnerQuery + window

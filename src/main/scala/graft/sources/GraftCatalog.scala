@@ -1589,6 +1589,30 @@ object GraftCatalog {
     ManifestTable.versionAsOf(session, path, micros.asInstanceOf[Long] / 1000L)
   }
 
+  /** `INSERT INTO graft.<name> REPLACE WHERE <cond> SELECT …` →
+    * [[ManifestTable.replaceWhere]]: atomically delete the predicate
+    * region and insert the query's rows — which must ALL satisfy the
+    * predicate — in ONE version (the Delta replaceWhere idiom, the
+    * idempotent backfill statement). Victims stats-prune, the batch
+    * appends, untouched files carry by reference: O(region) at any
+    * table size. Parsed by [[graft.GraftSqlParser]]. */
+  final case class ReplaceWhereCommand(name: String, condSql: String,
+      query: LogicalPlan) extends LeafRunnableCommand {
+    override def innerChildren: Seq[LogicalPlan] = Seq(query)
+    override val output: Seq[org.apache.spark.sql.catalyst.expressions.Attribute] =
+      Seq(org.apache.spark.sql.catalyst.expressions.AttributeReference(
+        "version", org.apache.spark.sql.types.IntegerType, nullable = false)(),
+        strAttr("operation"))
+    override def run(session: SparkSession): Seq[Row] = {
+      val path = lookup(name).getOrElse(throw new IllegalArgumentException(
+        s"INSERT INTO graft.$name REPLACE WHERE: no such registered table"))
+      val df = PlanBridge.ofRows(session, query)
+      val v = ManifestTable.replaceWhere(session, path,
+        org.apache.spark.sql.functions.expr(condSql), df)
+      Seq(Row(v, "replace-where"))
+    }
+  }
+
   /** `COPY INTO graft.<name> FROM '<path-or-glob>' FILEFORMAT = fmt`
     * → [[ManifestTable.copyInto]]: idempotent landing-zone ingestion —
     * every (path, length, mtime) source key ingests exactly once per

@@ -4495,6 +4495,110 @@ object ManifestTable {
       s"deleteWhere on $table lost $maxAttempts commit races")
   }
 
+  /** REPLACE WHERE — the idempotent region-reload idiom (Delta's
+    * `replaceWhere`) as ONE committed snapshot: atomically delete
+    * every row matching `pred` AND insert `batch`, whose rows must
+    * ALL satisfy `pred` — refused before anything is written
+    * otherwise, because the statement's contract is "this region now
+    * equals this batch" and a stray out-of-region row would silently
+    * leak into a region the statement never claimed. The 100 TB
+    * backfill move: recompute one day / one partition and swap it in
+    * atomically — a failed job leaves the old region intact, and a
+    * re-run converges to the same logical image.
+    *
+    * Cost is O(region), never O(table): victim files stats-prune
+    * through the same DNF machinery as [[deleteWhere]], only files
+    * holding matching rows rewrite (their non-matching rows carry
+    * through verbatim), the batch writes like an append, and every
+    * untouched file carries by reference. Batch discipline matches
+    * the append path: exact recorded-schema equality (replace is
+    * ingestion, not evolution) and CHECK-constraint validation before
+    * any write. Lost races reconcile exactly like [[deleteWhere]] —
+    * an interloper whose added files hold predicate-matching rows
+    * forces a re-derive (those rows belong to the replaced region). */
+  def replaceWhere(spark: SparkSession, table: String, pred: Column,
+                   batch: DataFrame, maxAttempts: Int = 5): Int = {
+    import org.apache.spark.sql.functions.{coalesce, col, expr, lit, not}
+    require(batch.filter(!coalesce(pred, lit(false))).isEmpty,
+      s"replaceWhere batch on $table carries rows OUTSIDE the predicate " +
+        "region — the contract is \"this region now equals this batch\"; " +
+        "widen the predicate or filter the batch")
+    var attempt = 0
+    while (attempt < maxAttempts) {
+      attempt += 1
+      val head = currentVersion(spark, table)
+      val (rel, schema, headStats, partBy) = snapshotAll(spark, table, head)
+      val headTombs = deleteTombstones(spark, table, head)
+      val headDvs = deleteVectors(spark, table, head)
+      // append discipline: exact recorded-schema match, checked
+      // per-attempt against the CURRENT head (a concurrent overwrite
+      // can change the schema between attempts)
+      schema.foreach { s =>
+        val incoming = batch.schema.map(x => (x.name, stripMeta(x.dataType))).toSet
+        val have = s.map(x => (x.name, stripMeta(x.dataType))).toSet
+        require(have == incoming,
+          s"replaceWhere batch schema mismatch on $table: table has " +
+            s"$have, batch has $incoming")
+      }
+      val cons = checkConstraints(spark, table, head)
+      cons.foreach { case (n, sql) =>
+        require(batch.filter(not(coalesce(expr(sql), lit(true)))).isEmpty,
+          s"replaceWhere batch on $table violates CHECK constraint $n ($sql)")
+      }
+      val aligned = schema.map(s =>
+        batch.select(s.fieldNames.toIndexedSeq.map(col): _*)).getOrElse(batch)
+      val dnf = predicateDnfWith(spark, table, pred, rel, schema)
+      val candidates = pruneDnf(rel, headStats, dnf)
+      val affected: Set[String] =
+        if (candidates.isEmpty) Set.empty
+        else readLive(spark, table, candidates, schema, partBy, headTombs,
+            tagFile = true, dvs = headDvs)
+          .filter(pred).select("__f").distinct()
+          .collect().map(_.getString(0)).toSet // bounded: ≤ |snapshot files|
+      if (affected.isEmpty && aligned.isEmpty) return head
+      val toWrite =
+        if (affected.isEmpty) aligned
+        else readLive(spark, table, affected.toSeq, schema, partBy,
+            headTombs, dvs = headDvs)
+          // SQL DELETE semantics: a NULL predicate keeps the row
+          .filter(!coalesce(pred, lit(false)))
+          .unionByName(aligned)
+      val (uuid, newFiles, newStats) =
+        writeData(spark, table, toWrite, statsColumnsOf(headStats), partBy)
+      val files = rel.filterNot(affected) ++ newFiles
+      val recordSchema =
+        schema.orElse(Some(recordedSchema(toWrite.schema, partBy)))
+      beforeConditionalCommit()
+      commitIfHead(spark, table, files, head, uuid, recordSchema,
+          headStats ++ newStats, partBy, "replace-where") match {
+        case Some(v) => return v
+        case None =>
+          // same conflict rule as deleteWhere: an interloper's added
+          // files holding predicate-matching rows belong to the
+          // replaced region — a carried publish would keep them
+          val conflicts = (added: Seq[String], schema2: Option[StructType],
+              stats2: Map[String, Map[String, (Double, Double)]],
+              partBy2: Seq[String]) => added.nonEmpty && {
+            val dnf2 = predicateDnfWith(spark, table, pred, added, schema2)
+            val cand = pruneDnf(added, stats2, dnf2)
+            cand.nonEmpty &&
+              !readFiles(spark, table, cand, schema2, partBy2)
+                .filter(pred).isEmpty
+          }
+          reconcilePublish(spark, table, rel, schema, partBy, affected,
+              newFiles, newStats, recordSchema, uuid, conflicts,
+              cons, "replace-where", headTombs, baseDvs = headDvs,
+              baseTransforms = partitionTransforms(spark, table, head)) match {
+            case Some(v) => return v
+            case None =>
+              fs(spark, new Path(table)).delete(new Path(table, s"data/$uuid"), true)
+          }
+      }
+    }
+    throw new java.util.ConcurrentModificationException(
+      s"replaceWhere on $table lost $maxAttempts commit races")
+  }
+
   /** UPDATE-by-predicate as one committed snapshot, with file-level
     * pruning (the Delta UPDATE shape, r12): only files that CONTAIN
     * matching rows are rewritten — each matching row gets its

@@ -115,6 +115,40 @@ class ReconcileSpec extends AnyFunSuite with SparkFixture {
     assert(headMap(t) === Map(1L -> "keep"))
   }
 
+  test("replaceWhere reconciles a region-disjoint interleaved append") {
+    val t = freshTable()
+    ManifestTable.commit(spark, t, df(1L -> "old", 20L -> "keep"))
+    val (v, attempts) = raced {
+      ManifestTable.commit(spark, t, df(30L -> "other"))
+    } {
+      ManifestTable.replaceWhere(spark, t, col("id") < 10L,
+        df(1L -> "new", 2L -> "new2"))
+    }
+    assert(v === 3, "replace must serialize after the interloper's v2")
+    assert(attempts === 1,
+      s"region-disjoint interleave must reconcile, not re-derive (saw $attempts derives)")
+    assert(headMap(t) === Map(1L -> "new", 2L -> "new2",
+      20L -> "keep", 30L -> "other"))
+  }
+
+  test("replaceWhere re-derives when interleaved rows fall inside the region") {
+    val t = freshTable()
+    ManifestTable.commit(spark, t, df(1L -> "old", 20L -> "keep"))
+    val (v, attempts) = raced {
+      ManifestTable.commit(spark, t, df(2L -> "inRegion"))
+    } {
+      ManifestTable.replaceWhere(spark, t, col("id") < 10L,
+        df(1L -> "new"))
+    }
+    assert(v === 3)
+    assert(attempts === 2,
+      s"in-region interleaved rows must force a re-derive (saw $attempts derives)")
+    // the replace serializes AFTER the append: the interloper's
+    // in-region row is replaced away too — a carried publish would
+    // have leaked it into the reloaded region
+    assert(headMap(t) === Map(1L -> "new", 20L -> "keep"))
+  }
+
   test("updateWhere reconciles an append whose rows can't match the predicate") {
     val t = freshTable()
     ManifestTable.commit(spark, t, df(1L -> "old", 2L -> "keep"))

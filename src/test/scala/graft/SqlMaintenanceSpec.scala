@@ -228,6 +228,42 @@ class SqlMaintenanceSpec extends AnyFunSuite with SparkFixture {
     } finally GraftCatalog.unregister("cpt")
   }
 
+  test("INSERT INTO … REPLACE WHERE swaps exactly the predicate region in ONE version") {
+    val t = mk("rpw", n = 40)                                   // v1: grp 0..6
+    try {
+      val v1 = ManifestTable.currentVersion(spark, t)
+      // reload region grp=2 (ids 2,9,16,23,30,37 → 6 rows) with 3 rows
+      spark.sql("""INSERT INTO graft.rpw REPLACE WHERE grp = 2
+                  |SELECT id + 100 AS id, 2 AS grp, 9.9D AS price FROM range(3)""".stripMargin)
+      assert(ManifestTable.currentVersion(spark, t) === v1 + 1,
+        "replace must land as ONE version")
+      val out = spark.sql(
+        "SELECT grp, count(*) AS n FROM graft.rpw GROUP BY grp ORDER BY grp")
+        .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+      assert(out(2) === 3, s"the region must equal the batch, got $out")
+      assert(out.filterNot(_._1 == 2) ===
+        Map(0 -> 5, 1 -> 6, 3 -> 6, 4 -> 6, 5 -> 6, 6 -> 5),
+        "rows outside the region must be untouched")
+      assert(spark.sql("SELECT min(id) FROM graft.rpw WHERE grp = 2")
+        .head.getLong(0) === 100L)
+      // out-of-region batch rows refuse before anything is written
+      val vNow = ManifestTable.currentVersion(spark, t)
+      val e = intercept[Exception](spark.sql(
+        """INSERT INTO graft.rpw REPLACE WHERE grp = 3
+          |SELECT id, 4 AS grp, 1.0D AS price FROM range(2)""".stripMargin))
+      assert(e.getMessage.contains("OUTSIDE the predicate region"),
+        e.getMessage)
+      assert(ManifestTable.currentVersion(spark, t) === vNow,
+        "a refused replace must leave no version behind")
+      // idempotence: the exact statement re-run converges to the
+      // same logical image
+      spark.sql("""INSERT INTO graft.rpw REPLACE WHERE grp = 2
+                  |SELECT id + 100 AS id, 2 AS grp, 9.9D AS price FROM range(3)""".stripMargin)
+      assert(spark.sql("SELECT count(*) FROM graft.rpw WHERE grp = 2")
+        .head.getLong(0) === 3)
+    } finally GraftCatalog.unregister("rpw")
+  }
+
   test("TRUNCATE TABLE is a full-delete commit; history stays; PARTITION form refuses") {
     val t = mk("trc", n = 30)
     try {
