@@ -18,6 +18,7 @@ import graft.sources.GraftCatalog
   *                            | TO TIMESTAMP AS OF '…' → restore
   *   COPY INTO graft.<name> FROM '<glob>' FILEFORMAT = fmt → copyInto
   *   INSERT INTO graft.<name> REPLACE WHERE cond SELECT … → replaceWhere
+  *   ALTER TABLE graft.<name> SET PARTITION SPEC (…) → setPartitionSpec
   *   CREATE TABLE [IF NOT EXISTS] graft.<dst> SHALLOW CLONE
   *     graft.<src> [VERSION|TIMESTAMP AS OF …] [LOCATION '…'] → cloneShallow
   *
@@ -62,6 +63,8 @@ class GraftSqlParser(delegate: ParserInterface) extends ParserInterface {
       GraftCatalog.CloneCommand(dst, src,
         Option(v).map(_.toInt), Option(ts), Option(loc),
         ignoreIfExists = ifNotExists != null)
+    case SetPartitionSpecStmt(name, spec) =>
+      GraftCatalog.SetPartitionSpecCommand(name, splitSpec(spec))
     case ReplaceWhereStmt(name, cond, query) =>
       // the cond/query boundary is the first SELECT keyword: a
       // condition carrying a subquery is refused downstream anyway
@@ -103,6 +106,20 @@ class GraftSqlParser(delegate: ParserInterface) extends ParserInterface {
 }
 
 object GraftSqlParser {
+  /** Split a partition-spec list on TOP-LEVEL commas only — a
+    * transform like `bucket(4, id)` carries its own comma. */
+  private def splitSpec(s: String): Seq[String] = {
+    val out = scala.collection.mutable.ArrayBuffer(new StringBuilder)
+    var depth = 0
+    s.foreach {
+      case '(' => depth += 1; out.last.append('(')
+      case ')' => depth -= 1; out.last.append(')')
+      case ',' if depth == 0 => out += new StringBuilder
+      case c => out.last.append(c)
+    }
+    out.map(_.toString.trim).filter(_.nonEmpty).toSeq
+  }
+
   // (?i) case-insensitive, (?s) dot-matches-newline; names stay the
   // registry's identifier shape (GraftCatalog normalizes case)
   private val Ident = """[A-Za-z_][A-Za-z0-9_]*"""
@@ -122,6 +139,8 @@ object GraftSqlParser {
   // "TIMESTAMP AS OF '…'" can't both appear; LOCATION trails either
   private val CloneStmt =
     s"""(?is)\\s*CREATE\\s+TABLE\\s+(?:(IF\\s+NOT\\s+EXISTS)\\s+)?graft\\s*\\.\\s*($Ident)\\s+SHALLOW\\s+CLONE\\s+graft\\s*\\.\\s*($Ident)(?:\\s+VERSION\\s+AS\\s+OF\\s+(\\d+)|\\s+TIMESTAMP\\s+AS\\s+OF\\s+'([^']*)')?(?:\\s+LOCATION\\s+'([^']*)')?\\s*;?\\s*""".r
+  private val SetPartitionSpecStmt =
+    s"""(?is)\\s*ALTER\\s+TABLE\\s+graft\\s*\\.\\s*($Ident)\\s+SET\\s+PARTITION\\s+SPEC\\s*\\(\\s*([^;]*?)\\s*\\)\\s*;?\\s*""".r
   private val ReplaceWhereStmt =
     s"""(?is)\\s*INSERT\\s+INTO\\s+graft\\s*\\.\\s*($Ident)\\s+REPLACE\\s+WHERE\\s+(.+?)\\s+(SELECT\\b.*)""".r
   private val CopyIntoStmt =

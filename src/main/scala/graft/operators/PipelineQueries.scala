@@ -702,6 +702,65 @@ object PipelineQueries {
              |ORDER BY o_orderpriority NULLS FIRST""".stripMargin)
     ),
 
+    // Q_PARTITION_EVOLUTION (r14): Iceberg-style spec evolution — a
+    // metadata-only ALTER changes the layout for future writes, zero
+    // files move, and the snapshot then SPANS layout eras (old files
+    // flat with the partition column in their data, new files hive
+    // with it in their dirs). The judged read crosses both eras plus a
+    // DML whose victims live in both; the oracle recomputes from the
+    // raw table — equal only if every era reads its column from the
+    // right place. At 100 TB this is the difference between evolving
+    // a layout in one root write and a petabyte rewrite job.
+    Entry(
+      "q_partition_evolution",
+      (s, d) => {
+        val t = scratchDir("qpevo", d)
+        def rmRf(f: java.io.File): Unit = {
+          Option(f.listFiles()).getOrElse(Array.empty).foreach(rmRf)
+          f.delete(); ()
+        }
+        rmRf(new java.io.File(t))
+        val M = graft.sources.ManifestTable
+        graft.sources.GraftCatalog.unregister("q_pevo_orders")
+        s.sql(s"""CREATE TABLE graft.q_pevo_orders (
+                 |  o_orderkey BIGINT, o_orderstatus STRING,
+                 |  o_totalprice DOUBLE
+                 |) LOCATION '$t'""".stripMargin)
+        try {
+          Tables.orders(s, d)
+            .select(col("o_orderkey"), col("o_orderstatus"),
+              col("o_totalprice"))
+            .createOrReplaceTempView("v_pevo_src")
+          s.sql("""INSERT INTO graft.q_pevo_orders
+                  |SELECT * FROM v_pevo_src WHERE o_orderkey % 2 = 0""".stripMargin)
+          val filesBefore = M.snapshotFiles(s, t).toSet
+          s.sql("ALTER TABLE graft.q_pevo_orders " +
+            "SET PARTITION SPEC (o_orderstatus)").collect()
+          require(M.snapshotFiles(s, t).toSet == filesBefore,
+            "partition evolution must move ZERO files")
+          s.sql("""INSERT INTO graft.q_pevo_orders
+                  |SELECT * FROM v_pevo_src WHERE o_orderkey % 2 = 1""".stripMargin)
+          val mixed = M.snapshotFiles(s, t)
+          require(mixed.exists(_.contains("o_orderstatus=")) &&
+              mixed.exists(!_.contains("o_orderstatus=")),
+            "the snapshot must span both layout eras")
+          // a delete whose victims live in BOTH eras
+          s.sql("DELETE FROM graft.q_pevo_orders WHERE o_orderkey % 7 = 0")
+          s.sql(s"""SELECT o_orderstatus, count(*) AS cnt,
+                   |  ${dsumSql("o_totalprice")} AS sum_price
+                   |FROM graft.q_pevo_orders
+                   |GROUP BY o_orderstatus
+                   |ORDER BY o_orderstatus""".stripMargin)
+        } finally graft.sources.GraftCatalog.unregister("q_pevo_orders")
+      },
+      Some(s"""SELECT o_orderstatus, count(*) AS cnt,
+             |  ${dsumSql("o_totalprice")} AS sum_price
+             |FROM orders
+             |WHERE o_orderkey % 7 <> 0
+             |GROUP BY o_orderstatus
+             |ORDER BY o_orderstatus NULLS FIRST""".stripMargin)
+    ),
+
     // Q2: correlated LATERAL subquery through the SQL surface — the
     // per-row dependent-subquery shape (top-2 orders per customer).
     // Catalyst DECORRELATES it (DecorrelateInnerQuery + window

@@ -1589,6 +1589,27 @@ object GraftCatalog {
     ManifestTable.versionAsOf(session, path, micros.asInstanceOf[Long] / 1000L)
   }
 
+  /** `ALTER TABLE graft.<name> SET PARTITION SPEC (spec…)` →
+    * [[ManifestTable.setPartitionSpec]]: partition evolution — change
+    * the layout for future writes as a metadata-only commit, zero
+    * files moved; existing eras stay readable from their paths and
+    * the table localizes toward the new spec with use. `SPEC ()`
+    * evolves to flat. Parsed by [[graft.GraftSqlParser]]. */
+  final case class SetPartitionSpecCommand(name: String, spec: Seq[String])
+    extends LeafRunnableCommand {
+    override val output: Seq[org.apache.spark.sql.catalyst.expressions.Attribute] =
+      Seq(org.apache.spark.sql.catalyst.expressions.AttributeReference(
+        "version", org.apache.spark.sql.types.IntegerType, nullable = false)(),
+        strAttr("operation"))
+    override def run(session: SparkSession): Seq[Row] = {
+      val path = lookup(name).getOrElse(throw new IllegalArgumentException(
+        s"ALTER TABLE graft.$name SET PARTITION SPEC: no such registered table"))
+      val v = ManifestTable.setPartitionSpec(session, path, spec)
+      val shown = if (spec.isEmpty) "flat" else spec.mkString(", ")
+      Seq(Row(v, s"set-partition-spec($shown)"))
+    }
+  }
+
   /** `INSERT INTO graft.<name> REPLACE WHERE <cond> SELECT …` →
     * [[ManifestTable.replaceWhere]]: atomically delete the predicate
     * region and insert the query's rows — which must ALL satisfy the

@@ -1388,6 +1388,106 @@ object ManifestTable {
       s"addConstraint on $table lost $maxAttempts commit races")
   }
 
+  /** PARTITION EVOLUTION (the Iceberg spec-evolution idiom): change
+    * the table's partition layout for FUTURE writes as a metadata-only
+    * commit — ZERO files move. Existing files keep their directories
+    * (and their data-column sets) forever; new writes, and every
+    * rewrite (DML victims, compact, merge), lay out under the new
+    * spec, so the table LOCALIZES toward it with use. The read path
+    * groups a snapshot's files by layout era from their paths alone
+    * ([[eraDirs]]) — each era reads under its own data-vs-path column
+    * split — so a mixed-era snapshot stays exactly readable with no
+    * per-file metadata and no flag day. Stats-based pruning never
+    * cared about directories (per-file ranges are recorded at write
+    * time whatever the layout), so data skipping is unchanged across
+    * the evolution.
+    *
+    * At 100 TB this is the point: re-partitioning a table by rewrite
+    * is a petabyte job; evolving the spec is one root write, and the
+    * next OPTIMIZE localizes whatever actually needs to move.
+    *
+    * `spec` entries are identity column names or hidden transforms
+    * (`days(ts)`, `bucket(16, id)`, `truncate(100, k)`) — the same
+    * grammar CREATE/commit accept. Empty `spec` = evolve to FLAT.
+    * Refused loudly: unknown columns, transform sources with no sound
+    * prune mapping (commit's rule), target collisions, and columns
+    * that were RENAMED under column mapping (their physical dir layer
+    * and the new spec's dirs would disagree — compact first, or evolve
+    * onto an unmapped column). */
+  def setPartitionSpec(spark: SparkSession, table: String,
+                       spec: Seq[String], maxAttempts: Int = 5): Int = {
+    var attempt = 0
+    while (attempt < maxAttempts) {
+      attempt += 1
+      val head = currentVersion(spark, table)
+      require(head >= 1, s"no committed snapshot in $table")
+      val (files, schema, stats, oldPartBy) = snapshotAll(spark, table, head)
+      val sch = schema.getOrElse(throw new IllegalArgumentException(
+        s"setPartitionSpec on $table needs a recorded schema " +
+          "(legacy manifests record one on their next commit)"))
+      val parsedSpec = spec.map(p => (p, parseTransform(p)))
+      val transforms = parsedSpec.flatMap(_._2)
+      val partBy = parsedSpec.map { case (p, t) => t.fold(p)(_.target) }
+      if (partBy == oldPartBy &&
+          transforms == partitionTransforms(spark, table, head))
+        return head // already this spec: no-op, no version
+      val fieldsByName = sch.fields.map(f => f.name -> f).toMap
+      val transformed = transforms.map(_.target).toSet
+      partBy.filterNot(transformed).foreach { c =>
+        val f = fieldsByName.getOrElse(c, throw new IllegalArgumentException(
+          s"setPartitionSpec on $table: no column '$c' in the recorded " +
+            s"schema (${sch.fieldNames.mkString(", ")})"))
+        require(physName(f) == f.name,
+          s"setPartitionSpec on $table: column '$c' was renamed under " +
+            "column mapping — its physical dir layer and the new spec's " +
+            "dirs would disagree; compact the table first or evolve onto " +
+            "an unmapped column")
+      }
+      transforms.foreach { pt =>
+        val f = fieldsByName.getOrElse(pt.source,
+          throw new IllegalArgumentException(
+            s"setPartitionSpec on $table: transform source column " +
+              s"'${pt.source}' is not in the recorded schema"))
+        require(physName(f) == f.name,
+          s"setPartitionSpec on $table: transform source '${pt.source}' " +
+            "was renamed under column mapping — compact first")
+        require(!fieldsByName.contains(pt.target),
+          s"setPartitionSpec on $table: derived layout column " +
+            s"'${pt.target}' collides with a schema column")
+        // commit()'s type discipline: the write-side expression and
+        // the prune-side stats mapping must share one numeric space
+        import org.apache.spark.sql.types._
+        val st = f.dataType
+        val ok = pt.kind match {
+          case "bucket" => true
+          case "truncate" => st.isInstanceOf[NumericType]
+          case _ => st == TimestampType || st == TimestampNTZType ||
+            st == DateType
+        }
+        require(ok, s"${pt.kind}(${pt.source}): source type $st has no " +
+          "sound prune mapping (time transforms need timestamp/date, " +
+          "truncate needs a numeric)")
+      }
+      // metadata-only: same files, same stats, and the SAME schema
+      // ORDER — an ALTER must never reorder the user's columns (the
+      // create-time partition-last convention is create-time only;
+      // readFiles re-selects the recorded order for every era)
+      if (currentVersion(spark, table) == head &&
+          tryPublish(spark, table, head, files,
+            s"setspec-${b64t(spec.mkString(","))}",
+            Some(sch), stats, partBy,
+            Some(checkConstraints(spark, table, head)),
+            op = "set-partition-spec",
+            tombstones = Some(deleteTombstones(spark, table, head)),
+            dvs = Some(deleteVectors(spark, table, head)),
+            transformsB64 = Some(
+              if (transforms.isEmpty) "" else transformsB64Of(transforms))))
+        return head + 1
+    }
+    throw new java.util.ConcurrentModificationException(
+      s"setPartitionSpec on $table lost $maxAttempts commit races")
+  }
+
   /** Drop a named CHECK constraint (no validation needed — loosening
     * can't invalidate anything). */
   def dropConstraint(spark: SparkSession, table: String, name: String,
@@ -1451,8 +1551,10 @@ object ManifestTable {
         // identical stats would be a no-op version
         return head
       }
-      val df = readFiles(spark, table, files, schemaOpt, partBy)
-        .withColumn("__f", relFileCol)
+      // tagFile=true: __f materializes inside each era scan (a
+      // mixed-era snapshot reads as a union, where `_metadata` is gone)
+      val df = readFiles(spark, table, files, schemaOpt, partBy,
+        tagFile = true)
       val encoded = resolved.flatMap(c =>
         statEncoder(sch(c).dataType, col(c)).map(c -> _))
       val aggs = encoded.flatMap { case (c, e) => Seq(
@@ -2115,9 +2217,54 @@ object ManifestTable {
     StructType(respellFields(s.fields.toSeq, toFields).toArray)
   }
 
+  /** The partition-dir names a manifest-relative file path carries
+    * (`data/<uuid>/p=1/q=2/part-….parquet` → `Set(p, q)`) — the
+    * file's LAYOUT ERA, readable from the path alone. Partition
+    * evolution (r14, [[setPartitionSpec]]) makes one snapshot span
+    * several eras: a file written under an old layout keeps its old
+    * dirs (and its old data-column set) forever, so the read path
+    * groups files by era and reads each group under its own
+    * data/path-column split. Hive-escapes values' own `=` and `/`,
+    * so "name = text before the first `=`" is exact. */
+  private def eraDirs(file: String): Set[String] = {
+    val segs = file.split("/")
+    // segs = data, <uuid>, <partition dirs…>, <file name>
+    segs.slice(2, segs.length - 1).filter(_.contains("="))
+      .map(_.takeWhile(_ != '=')).toSet
+  }
+
   private def readFiles(spark: SparkSession, table: String,
                         files: Seq[String], schema: Option[StructType],
-                        partitionBy: Seq[String] = Nil): DataFrame = {
+                        partitionBy: Seq[String] = Nil,
+                        tagFile: Boolean = false): DataFrame = {
+    // partition evolution: a snapshot may mix layout eras — group by
+    // the path-carried dir set and read each era under its own
+    // data-vs-path column split, then union by name. Single-era
+    // snapshots (every pre-evolution table) take the plain path with
+    // ZERO extra cost: one group, no union. `tagFile` materializes
+    // `__f` INSIDE each era scan — `_metadata` does not survive the
+    // union, so a caller tagging on top would break on the first
+    // mixed-era table.
+    val groups = files.groupBy(eraDirs).toSeq.sortBy(_._2.head)
+    if (groups.size > 1)
+      return groups.map { case (_, fs) =>
+        readFiles(spark, table, fs, schema, partitionBy, tagFile)
+      }.reduce(_.unionByName(_))
+    def tagged(df: DataFrame): DataFrame =
+      if (tagFile) df.withColumn("__f", relFileCol) else df
+    // with a recorded schema, the file's OWN era decides which columns
+    // are path-carried (physical dir spelling → logical field): after
+    // an evolution away from a column, old hive-era files still derive
+    // it from their dirs while new flat-era files read it from data —
+    // the partitionBy parameter remains the legacy-manifest fallback
+    // (no schema to type path values with) and the hint for empty
+    // file lists.
+    val era = files.headOption.map(eraDirs).getOrElse(Set.empty)
+    val eraCarried: Seq[String] = schema match {
+      case Some(s) if files.nonEmpty =>
+        s.fields.filter(f => era.contains(physName(f))).map(_.name).toSeq
+      case _ => partitionBy
+    }
     val externs = externRoots(spark, table)
     val paths = files.map(f => dataPath(externs, table, f).toString)
     // column mapping: scan under the PHYSICAL field names, surface the
@@ -2147,9 +2294,9 @@ object ManifestTable {
     // per-file footer pass; legacy manifests fall back to inference
     // (legacy roots predate mapping, so inference surfaces the right —
     // identical — names).
-    if (partitionBy.isEmpty)
-      schema.fold(spark.read.parquet(paths: _*))(s =>
-        mapped(ps => spark.read.schema(ps).parquet(paths: _*), s))
+    if (eraCarried.isEmpty)
+      tagged(schema.fold(spark.read.parquet(paths: _*))(s =>
+        mapped(ps => spark.read.schema(ps).parquet(paths: _*), s)))
     else {
       // Partitioned snapshots: the partition columns exist ONLY in the
       // file paths (`<col>=<value>/` dirs). Spark's own partition
@@ -2165,9 +2312,7 @@ object ManifestTable {
       // plus-is-space rule).
       import org.apache.spark.sql.functions.{col, element_at, lit, regexp_extract, split, url_decode, when}
       val dataSchema = schema.map(s =>
-        StructType(s.fields.filterNot(f => partitionBy.contains(f.name))))
-      // partition columns cannot be renamed (refused at the DDL), so
-      // the mapping only ever touches data columns here
+        StructType(s.fields.filterNot(f => eraCarried.contains(f.name))))
       val base = dataSchema match {
         case Some(s) => mapped(ps => spark.read.schema(ps).parquet(paths: _*), s)
         case None => spark.read.parquet(paths: _*)
@@ -2176,9 +2321,9 @@ object ManifestTable {
       // recorded schema — and never surface on a read; only partition
       // columns the schema knows are derived back from the paths
       // (legacy schemaless manifests derive all, the old behavior)
-      val surfaced = schema.fold(partitionBy)(s =>
-        partitionBy.filter(s.fieldNames.contains))
-      surfaced.foldLeft(base) { (df, c) =>
+      val surfaced = schema.fold(eraCarried)(s =>
+        eraCarried.filter(s.fieldNames.contains))
+      tagged(surfaced.foldLeft(base) { (df, c) =>
         // dirs spell the column's PHYSICAL name; the recorded schema
         // carries the logical one the derived column surfaces under
         val dirName = schema.flatMap(_.fields.find(_.name == c))
@@ -2207,7 +2352,14 @@ object ManifestTable {
         val typed = schema.flatMap(_.fields.find(_.name == c))
           .map(f => v.cast(f.dataType)).getOrElse(v)
         df.withColumn(c, typed)
-      }
+      } match {
+        // every era surfaces the RECORDED column order — withColumn
+        // appends derived columns, and after a partition evolution the
+        // recorded order need not end with them (create-time tables
+        // do; ALTER SET PARTITION SPEC never reorders)
+        case derived => schema.fold(derived)(s =>
+          derived.select(s.fieldNames.toIndexedSeq.map(col): _*))
+      })
     }
   }
 
@@ -2239,7 +2391,16 @@ object ManifestTable {
       tombAugment.filterNot(f => d.columns.contains(f.name))
         .foldLeft(d)((x, f) =>
           x.withColumn(f.name, lit(null).cast(f.dataType)))
-    def scan(fs: Seq[String]): DataFrame = augment {
+    // partition evolution: split a tombstone group by layout era
+    // BEFORE the _metadata-dependent taggers — `_metadata` does not
+    // survive readFiles' internal mixed-era union, so each era scans
+    // (and tags) alone; single-era groups take the plain path
+    def scan(fs: Seq[String]): DataFrame = {
+      val eras = fs.groupBy(eraDirs).toSeq.sortBy(_._2.head).map(_._2)
+      if (eras.size <= 1) scanOne(fs)
+      else eras.map(scanOne).reduce(_.unionByName(_))
+    }
+    def scanOne(fs: Seq[String]): DataFrame = augment {
       val base = readFiles(spark, table, fs, schema, partitionBy)
       val dvd = fs.filter(dvs.contains)
       if (dvd.isEmpty) {
@@ -4207,8 +4368,9 @@ object ManifestTable {
             if (candidates.isEmpty) readFiles(spark, table, rel, schema, partBy)
               .limit(0).select(keys.map(col) :+
                 org.apache.spark.sql.functions.lit("").as("__f"): _*)
-            else readFiles(spark, table, candidates, schema, partBy)
-              .select(keys.map(col) :+ relFileCol.as("__f"): _*)
+            else readFiles(spark, table, candidates, schema, partBy,
+              tagFile = true) // per-era __f: _metadata dies in the union
+              .select(keys.map(col) :+ col("__f"): _*)
           val affectedMatched = tgtKeys
             .join(src.select(keys.map(col): _*).distinct(), keys, "left_semi")
             .select("__f").distinct()
