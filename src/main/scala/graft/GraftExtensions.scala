@@ -72,10 +72,26 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         new FunctionIdentifier(name),
         new ExpressionInfo(graft.sources.ManifestTable.getClass.getName, null, name),
         build))
+    // every TVF's first argument accepts a REGISTERED NAME next to a
+    // path (r14, the by-name ergonomics the batch/stream faces got
+    // earlier): 'graft.events' / 'events' resolve through the
+    // registry — the `graft.`-prefixed spelling loudly, the bare one
+    // only when registered (anything with a '/' stays a path).
+    def pathArg(e: Expression): String = {
+      val raw = strArg(e, "path")
+      if (raw.toLowerCase.startsWith("graft.")) {
+        val n = raw.drop("graft.".length)
+        graft.sources.GraftCatalog.lookup(n).getOrElse(
+          throw new IllegalArgumentException(
+            s"no registered table '$n' — register it or pass the path"))
+      } else if (!raw.contains("/"))
+        graft.sources.GraftCatalog.lookup(raw).getOrElse(raw)
+      else raw
+    }
     tvf("graft_table") { children =>
       require(children.nonEmpty && children.length <= 2,
         "graft_table(path[, version])")
-      val path = strArg(children.head, "path")
+      val path = pathArg(children.head)
       val v = children.drop(1).headOption.map(intArg(_, "version")).getOrElse(-1)
       graft.sources.ManifestTable.read(SparkSession.active, path, v)
         .queryExecution.analyzed
@@ -83,18 +99,18 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     tvf("graft_table_at") { children =>
       require(children.length == 2, "graft_table_at(path, epoch_ms)")
       graft.sources.ManifestTable.readAsOf(SparkSession.active,
-          strArg(children.head, "path"), longArg(children(1), "epoch_ms"))
+          pathArg(children.head), longArg(children(1), "epoch_ms"))
         .queryExecution.analyzed
     }
     tvf("graft_history") { children =>
       require(children.length == 1, "graft_history(path)")
       graft.sources.ManifestTable.history(SparkSession.active,
-        strArg(children.head, "path")).queryExecution.analyzed
+        pathArg(children.head)).queryExecution.analyzed
     }
     tvf("graft_changes") { children =>
       require(children.length == 2, "graft_changes(path, since_version)")
       graft.sources.ManifestTable.changes(SparkSession.active,
-          strArg(children.head, "path"), intArg(children(1), "since_version"))
+          pathArg(children.head), intArg(children(1), "since_version"))
         .queryExecution.analyzed
     }
 

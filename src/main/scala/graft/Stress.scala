@@ -570,6 +570,29 @@ object Stress {
         "the restore must revert the shifted rows")
       println(f"[stress] restore_100k restore_s=$restoreSec%.2f " +
         f"segments=$segsBefore files=${beforeUpd.size}")
+      // r14: PARTITION EVOLUTION at the 100k-file scale — the whole
+      // point of the operator is that re-layout costs O(root), not a
+      // petabyte rewrite. Exact assertions: zero files move, zero new
+      // segments, and a post-evolution append lands under the new
+      // spec while the read spans both eras.
+      val preEvo = ManifestTable.snapshotFiles(spark, t).toSet
+      t0 = System.nanoTime()
+      ManifestTable.setPartitionSpec(spark, t, Seq("bucket(16, key)"))
+      val evoSec = (System.nanoTime() - t0) / 1e9
+      require(ManifestTable.snapshotFiles(spark, t).toSet == preEvo,
+        "partition evolution must move ZERO files")
+      require(Option(segDir.list()).fold(0)(_.length) == segsBefore,
+        "partition evolution must write zero new segment files")
+      ManifestTable.commit(spark, t,
+        spark.range(2000000L, 2000100L).select(col("id").as("key")))
+      require(ManifestTable.snapshotFiles(spark, t)
+          .exists(_.contains("key_bucket=")),
+        "post-evolution appends must lay out under the new spec")
+      require(ManifestTable.readWhere(spark, t,
+        col("key") >= 2000000L).count() == 100,
+        "the mixed-era read must see the new era exactly")
+      println(f"[stress] evolve_100k evolve_s=$evoSec%.2f " +
+        f"files=${preEvo.size} segments=$segsBefore")
     }
 
     // Analytics shapes over a rep×-replicated event log (user space

@@ -123,6 +123,7 @@ object GraftCatalog {
     * at execution) — claim that form too. */
   private def ddlIdent(name: LogicalPlan): Option[String] = name match {
     case u: UnresolvedIdentifier => graftIdent(u.nameParts)
+    case u: UnresolvedTable => graftIdent(u.multipartIdentifier)
     case u: org.apache.spark.sql.catalyst.analysis.UnresolvedTableOrView =>
       graftIdent(u.multipartIdentifier)
     case r: org.apache.spark.sql.catalyst.analysis.ResolvedIdentifier =>
@@ -1005,6 +1006,8 @@ object GraftCatalog {
           !plan.isInstanceOf[DescribeRelation] &&
           !plan.isInstanceOf[ShowCreateTable] &&
           !plan.isInstanceOf[ShowTables] &&
+          !plan.isInstanceOf[
+            org.apache.spark.sql.catalyst.plans.logical.ShowPartitions] &&
           !plan.isInstanceOf[AddCheckConstraint] &&
           !plan.isInstanceOf[DropConstraintPlan] &&
           !plan.isInstanceOf[AnalyzeColumn] &&
@@ -1132,6 +1135,15 @@ object GraftCatalog {
         // location, properties, CHECK constraints).
         case sct: ShowCreateTable if ddlIdent(sct.child).isDefined =>
           ShowCreateCommand(ddlIdent(sct.child).get)
+        // ---- SHOW PARTITIONS graft.<name> — the O(metadata)
+        // partition census: values, file counts, rows, bytes, all
+        // from the manifest (paths + per-file stats), zero data read.
+        case sp @ org.apache.spark.sql.catalyst.plans.logical
+            .ShowPartitions(child, spec, _) if ddlIdent(child).isDefined =>
+          require(spec.isEmpty,
+            "SHOW PARTITIONS with a partial spec is unsupported on " +
+              "graft tables — filter the full listing instead")
+          ShowPartitionsCommand(ddlIdent(child).get)
         // ---- SHOW TABLES IN graft — the registry listing.
         case st: ShowTables
             if (st.namespace match {
@@ -1406,6 +1418,55 @@ object GraftCatalog {
         .mkString("(?i)(", ")|(", ")").r)
       registered.toSeq.sortBy(_._1).collect {
         case (n, p) if re.forall(_.matches(n)) => Row("graft", n, p)
+      }
+    }
+  }
+
+  /** `SHOW PARTITIONS graft.<name>` — the partition census from the
+    * MANIFEST alone: one row per distinct partition directory value
+    * with its live file count, recorded row count (null when any of
+    * its files predates row tracking) and recorded bytes. Zero data
+    * files listed or read — at 100k files this is a driver pass over
+    * the already-parsed census, and at 100 TB it replaces the
+    * list-every-directory scan SHOW PARTITIONS classically costs.
+    * After a partition evolution, pre-evolution files carry no dirs
+    * and report under `<unpartitioned>` — an honest census of the
+    * table's physical layout, era by era. */
+  final case class ShowPartitionsCommand(name: String)
+    extends LeafRunnableCommand {
+    override val output: Seq[org.apache.spark.sql.catalyst.expressions.Attribute] =
+      Seq(strAttr("partition"),
+        org.apache.spark.sql.catalyst.expressions.AttributeReference(
+          "n_files", org.apache.spark.sql.types.IntegerType,
+          nullable = false)(),
+        org.apache.spark.sql.catalyst.expressions.AttributeReference(
+          "n_rows", org.apache.spark.sql.types.LongType, nullable = true)(),
+        org.apache.spark.sql.catalyst.expressions.AttributeReference(
+          "n_bytes", org.apache.spark.sql.types.LongType, nullable = true)())
+    override def run(session: SparkSession): Seq[Row] = {
+      val path = lookup(name).getOrElse(throw new IllegalArgumentException(
+        s"SHOW PARTITIONS graft.$name: no such registered table"))
+      val files = ManifestTable.snapshotFiles(session, path)
+      val hasDirs = files.exists(f => f.split("/")
+        .drop(2).dropRight(1).exists(_.contains("=")))
+      require(ManifestTable.partitionColumns(session, path).nonEmpty ||
+          ManifestTable.partitionTransforms(session, path).nonEmpty ||
+          hasDirs,
+        s"SHOW PARTITIONS graft.$name: the table is not partitioned")
+      val stats = ManifestTable.snapshotStats(session, path)
+      val sizes = ManifestTable.snapshotSizes(session, path)
+      def partOf(f: String): String = {
+        val segs = f.split("/")
+        val dirs = segs.slice(2, segs.length - 1).filter(_.contains("="))
+        if (dirs.isEmpty) "<unpartitioned>" else dirs.mkString("/")
+      }
+      files.groupBy(partOf).toSeq.sortBy(_._1).map { case (p, fs) =>
+        val rows = fs.map(f =>
+          stats.get(f).flatMap(_.get(ManifestTable.RowsKey)).map(_._2.toLong))
+        val bytes = fs.map(sizes.get)
+        Row(p, fs.size,
+          if (rows.forall(_.isDefined)) rows.flatten.sum else null,
+          if (bytes.forall(_.isDefined)) bytes.flatten.sum else null)
       }
     }
   }

@@ -1448,9 +1448,10 @@ object ManifestTable {
           throw new IllegalArgumentException(
             s"setPartitionSpec on $table: transform source column " +
               s"'${pt.source}' is not in the recorded schema"))
-        require(physName(f) == f.name,
-          s"setPartitionSpec on $table: transform source '${pt.source}' " +
-            "was renamed under column mapping — compact first")
+        // a RENAMED source is fine here (unlike identity columns): the
+        // transform's dirs spell the TARGET name, and both the write
+        // derivation and the prune mapping address the source by its
+        // LOGICAL name — the physical storage spelling never surfaces
         require(!fieldsByName.contains(pt.target),
           s"setPartitionSpec on $table: derived layout column " +
             s"'${pt.target}' collides with a schema column")

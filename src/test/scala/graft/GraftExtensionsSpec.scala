@@ -120,6 +120,22 @@ class GraftExtensionsSpec extends AnyFunSuite with SparkFixture {
       intercept[Exception] {
         ext.sql("SELECT * FROM graft_table(concat('/no/', 'pe'))").collect()
       }
+      // by-name TVFs (r14): a registered name works everywhere a path
+      // does — 'graft.<name>' loudly, bare '<name>' when registered
+      graft.sources.GraftCatalog.register("tvf_t", t)
+      try {
+        assert(ext.sql("SELECT count(*) FROM graft_table('graft.tvf_t')")
+          .head.getLong(0) === 3L)
+        assert(ext.sql("SELECT count(*) FROM graft_table('tvf_t', 1)")
+          .head.getLong(0) === 2L)
+        assert(ext.sql("SELECT count(*) FROM graft_history('graft.tvf_t')")
+          .head.getLong(0) === 2L)
+        assert(ext.sql("SELECT count(*) FROM graft_changes('tvf_t', 1)")
+          .head.getLong(0) >= 2L)
+        val e = intercept[Exception](ext.sql(
+          "SELECT * FROM graft_history('graft.ghost_tvf')").collect())
+        assert(e.getMessage.contains("no registered table"), e.getMessage)
+      } finally graft.sources.GraftCatalog.unregister("tvf_t")
     } finally {
       SparkSession.clearActiveSession()
       prevDefault.foreach(SparkSession.setDefaultSession)

@@ -134,9 +134,44 @@ class PartitionEvolutionSpec extends AnyFunSuite with SparkFixture {
     val e4 = intercept[IllegalArgumentException](
       ManifestTable.setPartitionSpec(spark, t, Seq("s2")))
     assert(e4.getMessage.contains("column mapping"), e4.getMessage)
+    // …but a renamed TRANSFORM SOURCE is fine: the dirs spell the
+    // target name and the derivation addresses the logical column
+    ManifestTable.setPartitionSpec(spark, t, Seq("bucket(4, s2)"))
+    ManifestTable.commit(spark, t,
+      Seq((2L, "b", 2.0)).toDF("id", "s2", "v"))
+    assert(ManifestTable.snapshotFiles(spark, t)
+      .exists(_.contains("s2_bucket=")))
+    assert(ManifestTable.read(spark, t).count() === 2)
     // same-spec call is a no-op, not a version
     val head = ManifestTable.currentVersion(spark, t)
-    assert(ManifestTable.setPartitionSpec(spark, t, Nil) === head)
+    assert(ManifestTable.setPartitionSpec(spark, t,
+      Seq("bucket(4, s2)")) === head)
+  }
+
+  test("the change feed and MERGE cross an evolution boundary exactly") {
+    import spark.implicits._
+    val t = fresh()
+    ManifestTable.commit(spark, t, rows(1 to 10), SaveMode.Overwrite,
+      statsColumns = Seq("id"))                          // v1: flat era
+    ManifestTable.setPartitionSpec(spark, t, Seq("p"))   // v2
+    ManifestTable.commit(spark, t, rows(11 to 20))       // v3: hive era
+    // upsert whose matches live in BOTH eras; inserts land hive-era
+    ManifestTable.upsert(spark, t,
+      Seq((1L, 1, 99.0), (15L, 0, 88.0), (25L, 1, 77.0))
+        .toDF("id", "p", "v"), Seq("id"))                // v4
+    val got = ManifestTable.read(spark, t).select("id", "p", "v")
+      .orderBy("id").collect()
+    assert(got.length === 21)
+    assert(got.find(_.getLong(0) == 1L).get.getDouble(2) === 99.0)
+    assert(got.find(_.getLong(0) == 15L).get.getDouble(2) === 88.0)
+    assert(got.find(_.getLong(0) == 25L).get.getDouble(2) === 77.0)
+    // the change feed spans the evolution: every version's files read
+    // under their OWN era, p exact everywhere
+    val feed = ManifestTable.changes(spark, t, 0).select("id", "p")
+      .collect()
+    assert(feed.nonEmpty && feed.forall(r =>
+      r.getInt(1) === (r.getLong(0) % 3).toInt),
+      "change-feed rows must carry exact partition values in every era")
   }
 
   test("SQL face: ALTER TABLE … SET PARTITION SPEC, round trip through reads") {

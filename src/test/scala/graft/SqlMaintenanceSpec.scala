@@ -196,6 +196,38 @@ class SqlMaintenanceSpec extends AnyFunSuite with SparkFixture {
     } finally GraftCatalog.unregister("vach")
   }
 
+  test("SHOW PARTITIONS: the O(metadata) census, honest across a partition evolution") {
+    import spark.implicits._
+    val t = tmp("shp")
+    ManifestTable.commit(spark, t,
+      (1 to 30).map(i => (i.toLong, i % 3)).toDF("id", "p"),
+      SaveMode.Overwrite, partitionBy = Seq("p"), statsColumns = Seq("id"))
+    GraftCatalog.register("shp", t)
+    try {
+      val rows = spark.sql("SHOW PARTITIONS graft.shp").collect()
+        .map(r => r.getString(0) -> (r.getInt(1), r.getLong(2))).toMap
+      assert(rows.keySet === Set("p=0", "p=1", "p=2"))
+      assert(rows.values.map(_._2).sum === 30, s"recorded rows: $rows")
+      // evolution to flat: new files land dir-less and report honestly
+      ManifestTable.setPartitionSpec(spark, t, Nil)
+      ManifestTable.commit(spark, t,
+        (31 to 35).map(i => (i.toLong, 9)).toDF("id", "p"))
+      val mixed = spark.sql("SHOW PARTITIONS graft.shp").collect()
+        .map(r => r.getString(0) -> r.getLong(2)).toMap
+      assert(mixed("<unpartitioned>") === 5, s"got $mixed")
+      assert(mixed.filterNot(_._1 == "<unpartitioned>").values.sum === 30)
+      // a never-partitioned table refuses, like Spark's own statement
+      val t2 = tmp("shp2")
+      ManifestTable.commit(spark, t2, Seq((1L, 1)).toDF("id", "p"))
+      GraftCatalog.register("shp2", t2)
+      try {
+        val e = intercept[Exception](
+          spark.sql("SHOW PARTITIONS graft.shp2").collect())
+        assert(e.getMessage.contains("not partitioned"), e.getMessage)
+      } finally GraftCatalog.unregister("shp2")
+    } finally GraftCatalog.unregister("shp")
+  }
+
   test("COPY INTO ingests a landing zone idempotently through SQL") {
     import spark.implicits._
     val t = tmp("cpt")
