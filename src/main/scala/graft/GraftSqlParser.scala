@@ -33,10 +33,11 @@ class GraftSqlParser(delegate: ParserInterface) extends ParserInterface {
   import GraftSqlParser._
 
   override def parsePlan(sqlText: String): LogicalPlan = sqlText match {
-    case OptimizeStmt(name, zorder) =>
+    case OptimizeStmt(name, where, zorder) =>
       GraftCatalog.OptimizeCommand(name,
         Option(zorder).map(_.split(",").map(_.trim).filter(_.nonEmpty).toSeq)
-          .getOrElse(Nil))
+          .getOrElse(Nil),
+        Option(where).map(_.trim))
     case VacuumStmt(name, n, unit, dry) =>
       val byHours = unit.toUpperCase.startsWith("HOUR")
       val keep = n.toIntOption.filter(v => v >= (if (byHours) 0 else 1))
@@ -124,7 +125,7 @@ object GraftSqlParser {
   // registry's identifier shape (GraftCatalog normalizes case)
   private val Ident = """[A-Za-z_][A-Za-z0-9_]*"""
   private val OptimizeStmt =
-    s"""(?is)\\s*OPTIMIZE\\s+graft\\s*\\.\\s*($Ident)\\s*(?:ZORDER\\s+BY\\s*\\(\\s*([^)]*?)\\s*\\))?\\s*;?\\s*""".r
+    s"""(?is)\\s*OPTIMIZE\\s+graft\\s*\\.\\s*($Ident)(?:\\s+WHERE\\s+(.+?))?\\s*(?:ZORDER\\s+BY\\s*\\(\\s*([^)]*?)\\s*\\))?\\s*;?\\s*""".r
   private val VacuumStmt =
     s"""(?is)\\s*VACUUM\\s+graft\\s*\\.\\s*($Ident)\\s+RETAIN\\s+(\\d+)\\s+(VERSIONS|HOURS)(\\s+DRY\\s+RUN)?\\s*;?\\s*""".r
   private val VacuumNoRetain =

@@ -761,6 +761,54 @@ object PipelineQueries {
              |ORDER BY o_orderstatus NULLS FIRST""".stripMargin)
     ),
 
+    // Q_SHOW_PARTITIONS (r14): the metadata-only partition census,
+    // oracle-verified — SHOW PARTITIONS answers from the manifest's
+    // recorded per-file row counts (zero data files listed or read),
+    // and the oracle recomputes the same census by actually grouping
+    // the raw table. Equal only if every write path recorded exact
+    // row counts per file. At 100 TB this is the difference between
+    // a catalog answer and a directory walk over millions of objects.
+    Entry(
+      "q_show_partitions",
+      (s, d) => {
+        val t = scratchDir("qshp", d)
+        def rmRf(f: java.io.File): Unit = {
+          Option(f.listFiles()).getOrElse(Array.empty).foreach(rmRf)
+          f.delete(); ()
+        }
+        rmRf(new java.io.File(t))
+        val M = graft.sources.ManifestTable
+        graft.sources.GraftCatalog.unregister("q_shp_orders")
+        // statsColumns make every write record per-file row counts —
+        // the recorded numbers SHOW PARTITIONS answers from
+        s.sql(s"""CREATE TABLE graft.q_shp_orders (
+                 |  o_orderkey BIGINT, o_orderstatus STRING,
+                 |  o_totalprice DOUBLE
+                 |) PARTITIONED BY (o_orderstatus)
+                 |LOCATION '$t'
+                 |TBLPROPERTIES ('graft.statsColumns' = 'o_orderkey')""".stripMargin)
+        try {
+          Tables.orders(s, d)
+            .select(col("o_orderkey"), col("o_orderstatus"),
+              col("o_totalprice"))
+            .createOrReplaceTempView("v_shp_src")
+          s.sql("INSERT INTO graft.q_shp_orders SELECT * FROM v_shp_src")
+          // a partition-scoped delete: the census must track DML
+          s.sql("DELETE FROM graft.q_shp_orders " +
+            "WHERE o_orderstatus = 'F' AND o_orderkey % 2 = 0")
+          s.sql("SHOW PARTITIONS graft.q_shp_orders")
+            .select(col("partition"), col("n_rows"))
+            .orderBy("partition")
+        } finally graft.sources.GraftCatalog.unregister("q_shp_orders")
+      },
+      Some("""SELECT 'o_orderstatus=' || o_orderstatus AS partition,
+             |  count(*) AS n_rows
+             |FROM orders
+             |WHERE NOT (o_orderstatus = 'F' AND o_orderkey % 2 = 0)
+             |GROUP BY o_orderstatus
+             |ORDER BY partition NULLS FIRST""".stripMargin)
+    ),
+
     // Q2: correlated LATERAL subquery through the SQL surface — the
     // per-row dependent-subquery shape (top-2 orders per customer).
     // Catalyst DECORRELATES it (DecorrelateInnerQuery + window

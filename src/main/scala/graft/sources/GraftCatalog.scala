@@ -1538,8 +1538,8 @@ object GraftCatalog {
     * on the clustered dimensions (the layout rewrite c29 judges).
     * Parsed by [[graft.GraftSqlParser]] — vanilla Spark has no
     * OPTIMIZE statement. */
-  final case class OptimizeCommand(name: String, zorderBy: Seq[String])
-    extends LeafRunnableCommand {
+  final case class OptimizeCommand(name: String, zorderBy: Seq[String],
+      where: Option[String] = None) extends LeafRunnableCommand {
     override val output: Seq[org.apache.spark.sql.catalyst.expressions.Attribute] =
       Seq(org.apache.spark.sql.catalyst.expressions.AttributeReference(
         "version", org.apache.spark.sql.types.IntegerType, nullable = false)(),
@@ -1548,10 +1548,16 @@ object GraftCatalog {
       import org.apache.spark.sql.functions.col
       val path = lookup(name).getOrElse(throw new IllegalArgumentException(
         s"OPTIMIZE graft.$name: no such registered table"))
+      require(where.isEmpty || zorderBy.isEmpty,
+        s"OPTIMIZE graft.$name: WHERE scopes the incremental bin-pack; " +
+          "ZORDER rewrites the whole snapshot — the two don't compose " +
+          "(z-order the table, or bin-pack the region)")
       zorderBy match {
         case Nil =>
-          val v = ManifestTable.compactSmall(session, path)
-          Seq(Row(v, "compact-small"))
+          val v = ManifestTable.compactSmall(session, path,
+            where = where.map(org.apache.spark.sql.functions.expr))
+          Seq(Row(v, where.fold("compact-small")(w =>
+            s"compact-small(where $w)")))
         case Seq(c) =>
           val sch = ManifestTable.snapshotSchema(session, path)
             .getOrElse(new StructType())

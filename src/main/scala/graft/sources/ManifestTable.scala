@@ -5918,7 +5918,8 @@ object ManifestTable {
   def compactSmall(spark: SparkSession, table: String,
                    minFileBytes: Long = 32L << 20,
                    maxBinBytes: Long = 128L << 20,
-                   statsColumns: Seq[String] = Nil): Int = {
+                   statsColumns: Seq[String] = Nil,
+                   where: Option[Column] = None): Int = {
     require(minFileBytes > 0 && maxBinBytes >= minFileBytes,
       "need 0 < minFileBytes <= maxBinBytes")
     val head0 = currentVersion(spark, table)
@@ -5931,7 +5932,19 @@ object ManifestTable {
       val p = dataPath(ext0, table, rel) // extern dirs may live on another FS
       fs(spark, p).getFileStatus(p).getLen
     })
-    val small = rel0.map(r => r -> sizeOf(r)).filter(_._2 < minFileBytes)
+    // OPTIMIZE … WHERE (the Delta idiom): scope the bin-pack to the
+    // files whose recorded stats could hold predicate rows — the
+    // steady-state maintenance move at 100 TB compacts yesterday's
+    // partition, not the whole table. Stats-pruned like every
+    // predicate read; files without stats are conservatively IN.
+    val scoped = where match {
+      case None => rel0
+      case Some(pred) =>
+        val dnf = predicateDnfWith(spark, table, pred, rel0,
+          snapshotSchema(spark, table, head0))
+        pruneDnf(rel0, snapshotStats(spark, table, head0), dnf)
+    }
+    val small = scoped.map(r => r -> sizeOf(r)).filter(_._2 < minFileBytes)
     // partition-local bins: group by the file's partition dir prefix
     // (everything between data/<uuid>/ and the file name)
     def partKey(rel: String): String =

@@ -42,6 +42,34 @@ class SqlMaintenanceSpec extends AnyFunSuite with SparkFixture {
     } finally GraftCatalog.unregister("opt")
   }
 
+  test("OPTIMIZE WHERE scopes the bin-pack to the predicate's files") {
+    import spark.implicits._
+    val t = tmp("optw")
+    // two partitions, 4 small files each; the WHERE must touch ONE
+    ManifestTable.commit(spark, t,
+      (1 to 40).map(i => (i.toLong, i % 2)).toDF("id", "p")
+        .repartition(4, col("id")),
+      SaveMode.Overwrite, partitionBy = Seq("p"), statsColumns = Seq("id"))
+    GraftCatalog.register("optw", t)
+    try {
+      val before = ManifestTable.snapshotFiles(spark, t)
+      assert(before.count(_.contains("p=0")) === 4 &&
+        before.count(_.contains("p=1")) === 4)
+      val out = spark.sql("OPTIMIZE graft.optw WHERE p = 1").head
+      assert(out.getString(1) === "compact-small(where p = 1)")
+      val after = ManifestTable.snapshotFiles(spark, t)
+      assert(after.count(_.contains("p=1")) === 1,
+        s"the scoped partition must bin-pack: $after")
+      assert(before.filter(_.contains("p=0")).forall(after.contains),
+        "files outside the WHERE must not be touched")
+      assert(ManifestTable.read(spark, t).count() === 40)
+      // WHERE + ZORDER refuse with the rationale
+      val e = intercept[Exception](spark.sql(
+        "OPTIMIZE graft.optw WHERE p = 0 ZORDER BY (id)"))
+      assert(e.getMessage.contains("don't compose"), e.getMessage)
+    } finally GraftCatalog.unregister("optw")
+  }
+
   test("OPTIMIZE ZORDER BY (x, y) rewrites z-clustered with stats on both dims") {
     val t = mk("optz", n = 4000, parts = 8)
     try {
