@@ -19,6 +19,8 @@ import graft.sources.GraftCatalog
   *   COPY INTO graft.<name> FROM '<glob>' FILEFORMAT = fmt → copyInto
   *   INSERT INTO graft.<name> REPLACE WHERE cond SELECT … → replaceWhere
   *   ALTER TABLE graft.<name> SET PARTITION SPEC (…) → setPartitionSpec
+  *   DESCRIBE HISTORY graft.<name> → the graft_history TVF by name
+  *   DESCRIBE DETAIL graft.<name> → one-row table detail
   *   CREATE TABLE [IF NOT EXISTS] graft.<dst> SHALLOW CLONE
   *     graft.<src> [VERSION|TIMESTAMP AS OF …] [LOCATION '…'] → cloneShallow
   *
@@ -64,6 +66,15 @@ class GraftSqlParser(delegate: ParserInterface) extends ParserInterface {
       GraftCatalog.CloneCommand(dst, src,
         Option(v).map(_.toInt), Option(ts), Option(loc),
         ignoreIfExists = ifNotExists != null)
+    case DescribeHistoryStmt(name) =>
+      // sugar over the graft_history TVF (which resolves names): the
+      // Delta spelling of the audit trail, O(versions) root parses
+      org.apache.spark.sql.catalyst.analysis.UnresolvedTableValuedFunction(
+        "graft_history",
+        Seq(org.apache.spark.sql.catalyst.expressions.Literal(
+          s"graft.$name")))
+    case DescribeDetailStmt(name) =>
+      GraftCatalog.DescribeDetailCommand(name)
     case SetPartitionSpecStmt(name, spec) =>
       GraftCatalog.SetPartitionSpecCommand(name, splitSpec(spec))
     case ReplaceWhereStmt(name, cond, query) =>
@@ -140,6 +151,10 @@ object GraftSqlParser {
   // "TIMESTAMP AS OF '…'" can't both appear; LOCATION trails either
   private val CloneStmt =
     s"""(?is)\\s*CREATE\\s+TABLE\\s+(?:(IF\\s+NOT\\s+EXISTS)\\s+)?graft\\s*\\.\\s*($Ident)\\s+SHALLOW\\s+CLONE\\s+graft\\s*\\.\\s*($Ident)(?:\\s+VERSION\\s+AS\\s+OF\\s+(\\d+)|\\s+TIMESTAMP\\s+AS\\s+OF\\s+'([^']*)')?(?:\\s+LOCATION\\s+'([^']*)')?\\s*;?\\s*""".r
+  private val DescribeHistoryStmt =
+    s"""(?is)\\s*DESC(?:RIBE)?\\s+HISTORY\\s+graft\\s*\\.\\s*($Ident)\\s*;?\\s*""".r
+  private val DescribeDetailStmt =
+    s"""(?is)\\s*DESC(?:RIBE)?\\s+DETAIL\\s+graft\\s*\\.\\s*($Ident)\\s*;?\\s*""".r
   private val SetPartitionSpecStmt =
     s"""(?is)\\s*ALTER\\s+TABLE\\s+graft\\s*\\.\\s*($Ident)\\s+SET\\s+PARTITION\\s+SPEC\\s*\\(\\s*([^;]*?)\\s*\\)\\s*;?\\s*""".r
   private val ReplaceWhereStmt =

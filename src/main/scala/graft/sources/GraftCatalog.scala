@@ -1337,6 +1337,49 @@ object GraftCatalog {
     }
   }
 
+  /** `DESCRIBE DETAIL graft.<name>` — the Delta one-row detail: the
+    * table's physical identity as a single machine-consumable row,
+    * all O(metadata) (the file/byte totals come from the manifest's
+    * recorded sizes, not a directory walk). */
+  final case class DescribeDetailCommand(name: String)
+    extends LeafRunnableCommand {
+    override val output: Seq[org.apache.spark.sql.catalyst.expressions.Attribute] =
+      Seq(strAttr("format"), strAttr("name"), strAttr("location"),
+        org.apache.spark.sql.catalyst.expressions.AttributeReference(
+          "version", org.apache.spark.sql.types.IntegerType,
+          nullable = false)(),
+        org.apache.spark.sql.catalyst.expressions.AttributeReference(
+          "num_files", org.apache.spark.sql.types.IntegerType,
+          nullable = false)(),
+        org.apache.spark.sql.catalyst.expressions.AttributeReference(
+          "size_in_bytes", org.apache.spark.sql.types.LongType,
+          nullable = false)(),
+        strAttr("partition_columns"), strAttr("features"),
+        strAttr("properties"))
+    override def run(session: SparkSession): Seq[Row] = {
+      val path = lookup(name).getOrElse(throw new IllegalArgumentException(
+        s"DESCRIBE DETAIL graft.$name: no such registered table"))
+      val v = ManifestTable.currentVersion(session, path)
+      val files = ManifestTable.snapshotFiles(session, path)
+      val partBy = ManifestTable.partitionColumns(session, path)
+      val transforms = ManifestTable.partitionTransforms(session, path)
+      val spelled = partBy.map(p => transforms.find(_.target == p) match {
+        case Some(pt) => pt.kind match {
+          case "bucket" => s"bucket(${pt.n}, ${pt.source})"
+          case "truncate" => s"truncate(${pt.n}, ${pt.source})"
+          case k => s"$k(${pt.source})"
+        }
+        case None => p
+      })
+      Seq(Row("graft", s"graft.$name", path, v, files.size,
+        ManifestTable.snapshotSizes(session, path).values.sum,
+        spelled.mkString(", "),
+        ManifestTable.tableFeatures(session, path).mkString(", "),
+        ManifestTable.tableConfig(session, path).toSeq.sorted
+          .map { case (k, vl) => s"$k=$vl" }.mkString(", ")))
+    }
+  }
+
   /** `SHOW CREATE TABLE graft.<name>` — the statement that would
     * re-create the table through [[CreateCommand]]: column list with
     * CHECK constraints, PARTITIONED BY with hidden transforms spelled

@@ -148,6 +148,29 @@ class PartitionEvolutionSpec extends AnyFunSuite with SparkFixture {
       Seq("bucket(4, s2)")) === head)
   }
 
+  test("REPLACE WHERE spans eras: victims in both, the batch lands head-era") {
+    import spark.implicits._
+    val t = fresh()
+    ManifestTable.commit(spark, t, rows(1 to 30), SaveMode.Overwrite,
+      statsColumns = Seq("id"))                          // flat era
+    ManifestTable.setPartitionSpec(spark, t, Seq("p"))
+    ManifestTable.commit(spark, t, rows(31 to 60))       // hive era
+    // the region p=1 has rows in BOTH eras; the reload must claim all
+    ManifestTable.replaceWhere(spark, t, col("p") === 1,
+      Seq((101L, 1, 0.1), (102L, 1, 0.2)).toDF("id", "p", "v"))
+    val got = ManifestTable.read(spark, t).select("id", "p", "v")
+      .orderBy("id").collect()
+    assert(got.count(_.getInt(1) == 1) === 2,
+      "the region equals the batch across BOTH eras")
+    assert(got.length === 42, "40 out-of-region rows + the 2-row batch")
+    assert(got.filter(_.getInt(1) != 1).forall(r =>
+      r.getInt(1) === (r.getLong(0) % 3).toInt),
+      "out-of-region rows keep exact values in both eras")
+    // the reload's files landed under the HEAD spec
+    assert(ManifestTable.snapshotFiles(spark, t)
+      .filter(_.contains("p=1")).nonEmpty)
+  }
+
   test("the change feed and MERGE cross an evolution boundary exactly") {
     import spark.implicits._
     val t = fresh()

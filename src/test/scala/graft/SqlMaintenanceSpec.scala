@@ -256,6 +256,29 @@ class SqlMaintenanceSpec extends AnyFunSuite with SparkFixture {
     } finally GraftCatalog.unregister("shp")
   }
 
+  test("DESCRIBE HISTORY and DESCRIBE DETAIL: the audit trail and the one-row identity") {
+    val t = mk("ddh", parts = 3)
+    try {
+      spark.sql("INSERT INTO graft.ddh SELECT id, 1, 2.0D FROM range(5)")
+      spark.sql("DELETE FROM graft.ddh WHERE id > 58")
+      val hist = spark.sql("DESCRIBE HISTORY graft.ddh").collect()
+      assert(hist.length === 3, s"three versions, three rows: ${hist.length}")
+      val ops = hist.map(r => r.getAs[String]("op")).toSeq
+      assert(ops.contains("append") && ops.contains("delete"), ops.mkString(","))
+      val detail = spark.sql("DESCRIBE DETAIL graft.ddh").head
+      assert(detail.getAs[String]("format") === "graft")
+      assert(detail.getAs[String]("name") === "graft.ddh")
+      assert(detail.getAs[String]("location") === t)
+      assert(detail.getAs[Int]("version") === 3)
+      assert(detail.getAs[Int]("num_files") ===
+        ManifestTable.snapshotFiles(spark, t).size)
+      assert(detail.getAs[Long]("size_in_bytes") > 0L)
+      val e = intercept[Exception](
+        spark.sql("DESCRIBE DETAIL graft.ghost_dd").collect())
+      assert(e.getMessage.contains("no such registered table"))
+    } finally GraftCatalog.unregister("ddh")
+  }
+
   test("COPY INTO ingests a landing zone idempotently through SQL") {
     import spark.implicits._
     val t = tmp("cpt")
