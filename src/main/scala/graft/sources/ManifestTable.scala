@@ -4658,6 +4658,36 @@ object ManifestTable {
       s"deleteWhere on $table lost $maxAttempts commit races")
   }
 
+  /** TRUNCATE — the metadata-only full clear (ADVICE r14): publish a
+    * new version with an EMPTY file list, carrying the schema,
+    * partition layout, hidden transforms, and CHECK constraints
+    * forward and dropping every tombstone and deletion vector (their
+    * targets left the snapshot with the files). No data file is read
+    * or written — at 100 TB this is one manifest publish, where the
+    * DELETE-with-true-predicate spelling would scan every live row to
+    * compute an empty survivor set. History and time travel stay
+    * intact: pre-truncate versions read exactly as before, and the
+    * truncate is RESTOREable like any other version. An already-empty
+    * table commits nothing (the deleteWhere no-op contract). */
+  def truncate(spark: SparkSession, table: String,
+               maxAttempts: Int = 5): Int = {
+    var attempt = 0
+    while (attempt < maxAttempts) {
+      attempt += 1
+      val head = currentVersion(spark, table)
+      val (rel, schema, _, partBy) = snapshotAll(spark, table, head)
+      if (head == 0 || rel.isEmpty) return head
+      commitIfHead(spark, table, Nil, head, "truncate", schema,
+          Map.empty, partBy, op = "truncate",
+          tombstones = Some(Nil), dvs = Some(Map.empty)) match {
+        case Some(v) => return v
+        case None => // lost the race — re-derive against the new head
+      }
+    }
+    throw new java.util.ConcurrentModificationException(
+      s"truncate on $table lost $maxAttempts commit races")
+  }
+
   /** REPLACE WHERE — the idempotent region-reload idiom (Delta's
     * `replaceWhere`) as ONE committed snapshot: atomically delete
     * every row matching `pred` AND insert `batch`, whose rows must
@@ -4708,8 +4738,17 @@ object ManifestTable {
         require(batch.filter(not(coalesce(expr(sql), lit(true)))).isEmpty,
           s"replaceWhere batch on $table violates CHECK constraint $n ($sql)")
       }
+      // write-time region guard (ADVICE r14): the batch plan
+      // re-evaluates between the containment check above and the
+      // write below, so a NON-DETERMINISTIC source could pass
+      // validation yet materialize out-of-region rows at write time —
+      // re-filtering the written image with the predicate makes the
+      // "this region now equals this batch" contract hold under any
+      // re-evaluation, at zero cost for deterministic batches (the
+      // filter folds into the write scan and keeps every row)
       val aligned = schema.map(s =>
         batch.select(s.fieldNames.toIndexedSeq.map(col): _*)).getOrElse(batch)
+        .filter(coalesce(pred, lit(false)))
       val dnf = predicateDnfWith(spark, table, pred, rel, schema)
       val candidates = pruneDnf(rel, headStats, dnf)
       val affected: Set[String] =

@@ -24,21 +24,48 @@ import graft.sources.ManifestTable
   * manifest write; the stream adds no per-row state of its own. */
 object ManifestSink {
 
+  /** `table` may be a directory path or a REGISTERED name (bare or
+    * `graft.`-qualified) — the streaming-WRITE twin of
+    * readTableStream's by-name sugar (r14 verdict ask #4). Anything
+    * holding a path separator is a path; anything else resolves
+    * through the registry, loudly. Resolution happens ONCE, here —
+    * the foreachBatch closures then carry the path, so a mid-stream
+    * rename does not silently redirect a running query. */
+  private def resolve(table: String): String =
+    if (table.contains("/") || table.contains("\\")) table
+    else {
+      val bare = if (table.toLowerCase(java.util.Locale.ROOT)
+          .startsWith("graft.")) table.substring("graft.".length) else table
+      graft.sources.GraftCatalog.lookup(bare).getOrElse(
+        throw new IllegalArgumentException(
+          s"ManifestSink: no registered table '$table'" +
+            graft.sources.GraftCatalog.hintRenamed(bare) +
+            " — GraftCatalog.register(name, path) first, or pass a path"))
+    }
+
   /** The foreachBatch body for a keyed latest-state sink: each batch
-    * MERGEs into `table` on `keys` (insert new keys, replace matched
-    * ones), exactly once per batch id. Batches must be key-unique —
-    * pre-collapse multi-event batches with [[latestWins]]. */
+    * MERGEs into `table` (a path or a registered name) on `keys`
+    * (insert new keys, replace matched ones), exactly once per batch
+    * id. Batches must be key-unique — pre-collapse multi-event
+    * batches with [[latestWins]]. */
   def upsertBatch(table: String, keys: Seq[String], appId: String)
-      : (DataFrame, Long) => Unit = (batch, batchId) =>
-    ManifestTable.merge(batch.sparkSession, table, batch, keys,
-      txn = Some((appId, batchId)))
+      : (DataFrame, Long) => Unit = {
+    val path = resolve(table)
+    (batch, batchId) =>
+      ManifestTable.merge(batch.sparkSession, path, batch, keys,
+        txn = Some((appId, batchId)))
+  }
 
   /** The foreachBatch body for an append-only sink (event logs):
-    * each batch commits as one append version, exactly once. */
+    * each batch commits as one append version, exactly once.
+    * `table` is a path or a registered name. */
   def appendBatch(table: String, appId: String)
-      : (DataFrame, Long) => Unit = (batch, batchId) =>
-    ManifestTable.commit(batch.sparkSession, table, batch,
-      txn = Some((appId, batchId)))
+      : (DataFrame, Long) => Unit = {
+    val path = resolve(table)
+    (batch, batchId) =>
+      ManifestTable.commit(batch.sparkSession, path, batch,
+        txn = Some((appId, batchId)))
+  }
 
   /** Collapse a micro-batch to one row per key, latest `ordering`
     * wins (ties broken by the ordering column list in order) — makes
@@ -53,7 +80,8 @@ object ManifestSink {
       .filter(col("__rn") === 1).drop("__rn")
   }
 
-  /** Wire a streaming frame into `table` as a keyed upsert sink:
+  /** Wire a streaming frame into `table` (a path or a registered
+    * name — `into(w, "graft.state", …)`) as a keyed upsert sink:
     * `events.writeStream` → [[into]] → `.start()`. Sugar over
     * foreachBatch + [[upsertBatch]]. */
   def into[T](w: DataStreamWriter[T], table: String, keys: Seq[String],

@@ -81,6 +81,42 @@ class ManifestSinkSpec extends AnyFunSuite with SparkFixture {
       "the restarted query's batch lands as exactly one version")
   }
 
+  test("by-name sink: graft.<name> resolves through the registry; checkpoint restart duplicates nothing") {
+    implicit val ctx = spark.sqlContext
+    val t = fresh("graft_sink_byname")
+    val cp = fresh("graft_sink_byname_cp")
+    graft.sources.GraftCatalog.register("r15_sink", t)
+    try {
+      val in = MemoryStream[Kv]
+      // the streaming-write twin of readTableStream's by-name sugar
+      // (r14 verdict ask #4): the NAME, not the path, wires the sink
+      val w = () => ManifestSink.into(
+        in.toDF().writeStream.option("checkpointLocation", cp),
+        "graft.r15_sink", Seq("id"), "app-n")
+      val q1 = w().start()
+      try {
+        in.addData(Kv(1, "a", 1), Kv(2, "b", 1))
+        q1.processAllAvailable()
+      } finally q1.stop()
+      val vMid = ManifestTable.currentVersion(spark, t)
+      assert(vMid === 1 && headMap(t).keySet === Set(1L, 2L),
+        "the by-name sink must land in the registered table's directory")
+      // restart against the same checkpoint, still by name
+      val q2 = w().start()
+      try {
+        in.addData(Kv(2, "B", 2), Kv(5, "e", 2))
+        q2.processAllAvailable()
+      } finally q2.stop()
+      assert(headMap(t) === Map(1L -> ("a", 1L), 2L -> ("B", 2L), 5L -> ("e", 2L)))
+      assert(ManifestTable.currentVersion(spark, t) === vMid + 1)
+      // an unregistered name refuses loudly instead of minting a dir
+      val e = intercept[IllegalArgumentException] {
+        ManifestSink.upsertBatch("graft.nope_sink", Seq("id"), "x")
+      }
+      assert(e.getMessage.contains("no registered table"), e.getMessage)
+    } finally graft.sources.GraftCatalog.unregister("r15_sink")
+  }
+
   test("append sink: replayed append commits once; events accumulate exactly") {
     val t = fresh("graft_sink_append")
     val b0 = Seq(Kv(1, "x", 1), Kv(2, "y", 1)).toDF()
