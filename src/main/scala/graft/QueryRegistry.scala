@@ -29,6 +29,17 @@ object QueryRegistry {
   def dsumSql(expr: String): String =
     s"CAST(sum(CAST($expr AS DECIMAL(28,6))) AS DOUBLE)"
 
+  /** Delete a path tree — judged-query scratch teardown (re-runs must
+    * not land on a previous run's debris). Hoisted from the per-query
+    * copies (r14 verdict ask #8). */
+  def rmRf(path: String): Unit = {
+    def go(f: java.io.File): Unit = {
+      Option(f.listFiles()).getOrElse(Array.empty).foreach(go)
+      f.delete(); ()
+    }
+    go(new java.io.File(path))
+  }
+
   /** Pid-tagged scratch dir for a judged query that materializes state
     * (manifest tables, lake roots), WITH teardown: stale same-tag dirs
     * left by earlier processes are deleted on the way in. Our own dir

@@ -202,11 +202,7 @@ object PipelineQueries {
       (s, d) => {
         val t = scratchDir("qins", d)
         // reruns would double-append into a surviving table — reset
-        def rmRf(f: java.io.File): Unit = {
-          Option(f.listFiles()).getOrElse(Array.empty).foreach(rmRf)
-          f.delete(); ()
-        }
-        rmRf(new java.io.File(t))
+        rmRf(t)
         val M = graft.sources.ManifestTable
         graft.sources.GraftCatalog.register("q_orders_sink", t)
         try {
@@ -244,11 +240,7 @@ object PipelineQueries {
       "q_sql_dml",
       (s, d) => {
         val t = scratchDir("qdml", d)
-        def rmRf(f: java.io.File): Unit = {
-          Option(f.listFiles()).getOrElse(Array.empty).foreach(rmRf)
-          f.delete(); ()
-        }
-        rmRf(new java.io.File(t))
+        rmRf(t)
         val M = graft.sources.ManifestTable
         import org.apache.spark.sql.SaveMode
         M.commit(s, t, Tables.orders(s, d)
@@ -297,11 +289,7 @@ object PipelineQueries {
       "q_sql_merge",
       (s, d) => {
         val t = scratchDir("qmrg", d)
-        def rmRf(f: java.io.File): Unit = {
-          Option(f.listFiles()).getOrElse(Array.empty).foreach(rmRf)
-          f.delete(); ()
-        }
-        rmRf(new java.io.File(t)) // MERGE re-runs would re-update
+        rmRf(t) // MERGE re-runs would re-update
         val M = graft.sources.ManifestTable
         import org.apache.spark.sql.SaveMode
         M.commit(s, t, Tables.orders(s, d)
@@ -358,11 +346,7 @@ object PipelineQueries {
       "q_sql_arms",
       (s, d) => {
         val t = scratchDir("qarm", d)
-        def rmRf(f: java.io.File): Unit = {
-          Option(f.listFiles()).getOrElse(Array.empty).foreach(rmRf)
-          f.delete(); ()
-        }
-        rmRf(new java.io.File(t))
+        rmRf(t)
         val M = graft.sources.ManifestTable
         import org.apache.spark.sql.SaveMode
         M.commit(s, t, Tables.orders(s, d)
@@ -413,11 +397,7 @@ object PipelineQueries {
       "q_sql_setlist",
       (s, d) => {
         val t = scratchDir("qsetl", d)
-        def rmRf(f: java.io.File): Unit = {
-          Option(f.listFiles()).getOrElse(Array.empty).foreach(rmRf)
-          f.delete(); ()
-        }
-        rmRf(new java.io.File(t))
+        rmRf(t)
         val M = graft.sources.ManifestTable
         import org.apache.spark.sql.SaveMode
         M.commit(s, t, Tables.orders(s, d)
@@ -473,11 +453,7 @@ object PipelineQueries {
       "q_sql_create",
       (s, d) => {
         val t = scratchDir("qsct", d)
-        def rmRf(f: java.io.File): Unit = {
-          Option(f.listFiles()).getOrElse(Array.empty).foreach(rmRf)
-          f.delete(); ()
-        }
-        rmRf(new java.io.File(t)) // re-runs would re-create over debris
+        rmRf(t) // re-runs would re-create over debris
         val M = graft.sources.ManifestTable
         graft.sources.GraftCatalog.unregister("q_ct_orders")
         s.sql(s"""CREATE TABLE graft.q_ct_orders (
@@ -531,11 +507,7 @@ object PipelineQueries {
       "q_sql_maintenance",
       (s, d) => {
         val t = scratchDir("qmnt", d)
-        def rmRf(f: java.io.File): Unit = {
-          Option(f.listFiles()).getOrElse(Array.empty).foreach(rmRf)
-          f.delete(); ()
-        }
-        rmRf(new java.io.File(t))
+        rmRf(t)
         val M = graft.sources.ManifestTable
         graft.sources.GraftCatalog.unregister("q_mnt_li")
         s.sql(s"""CREATE TABLE graft.q_mnt_li (
@@ -598,11 +570,7 @@ object PipelineQueries {
       (s, d) => {
         val t = scratchDir("qrst", d)
         val tc = scratchDir("qrstc", d)
-        def rmRf(f: java.io.File): Unit = {
-          Option(f.listFiles()).getOrElse(Array.empty).foreach(rmRf)
-          f.delete(); ()
-        }
-        Seq(t, tc).foreach(p => rmRf(new java.io.File(p)))
+        Seq(t, tc).foreach(rmRf)
         val M = graft.sources.ManifestTable
         Seq("q_rst_li", "q_rst_branch").foreach(
           graft.sources.GraftCatalog.unregister)
@@ -648,6 +616,166 @@ object PipelineQueries {
              |ORDER BY bucket NULLS FIRST""".stripMargin)
     ),
 
+    // Q_DYNAMIC_OVERWRITE_SQL (r15, the r14 verdict ask #1): dynamic
+    // partition overwrite — `INSERT OVERWRITE` on an identity-
+    // partitioned table lowers to ONE atomic replaceWhere over the
+    // batch's distinct partition tuples (the reference's own A2
+    // `mode("overwrite") + partitionBy` reload, now first-class SQL).
+    // The in-query requires pin the scale contract: the statement
+    // lands as a single replace-where commit and every UNTOUCHED
+    // partition's files carry by reference (zero rewrite — at 100 TB
+    // a two-partition reload costs two partitions, not the table).
+    // The oracle recomputes the final image with a CASE/WHERE over
+    // the raw table — equal only if exactly the batch's partitions
+    // were replaced and the rest carried.
+    Entry(
+      "q_dynamic_overwrite_sql",
+      (s, d) => {
+        val t = scratchDir("qdyo", d)
+        rmRf(t)
+        val M = graft.sources.ManifestTable
+        import org.apache.spark.sql.SaveMode
+        M.commit(s, t, Tables.orders(s, d)
+            .select(col("o_orderkey"), col("o_totalprice"),
+              col("o_orderpriority")),
+          SaveMode.Overwrite, partitionBy = Seq("o_orderpriority"),
+          statsColumns = Seq("o_orderkey"))
+        graft.sources.GraftCatalog.register("q_dyo_orders", t)
+        try {
+          def untouched(): Set[String] = M.snapshotFiles(s, t)
+            .filterNot(f => f.contains("o_orderpriority=1-URGENT") ||
+              f.contains("o_orderpriority=2-HIGH")).toSet
+          val before = untouched()
+          Tables.orders(s, d).createOrReplaceTempView("v_dyo_src")
+          // recompute two priority classes: halve the population
+          // (even keys), double the price — recorded order is
+          // (o_orderkey, o_totalprice, o_orderpriority), partition
+          // column last
+          s.sql("""INSERT OVERWRITE graft.q_dyo_orders
+                  |SELECT o_orderkey, o_totalprice * 2, o_orderpriority
+                  |FROM v_dyo_src
+                  |WHERE o_orderpriority IN ('1-URGENT', '2-HIGH')
+                  |  AND o_orderkey % 2 = 0""".stripMargin)
+          require(M.commitOp(s, t).contains("replace-where") &&
+            M.currentVersion(s, t) == 2,
+            "dynamic overwrite must land as ONE atomic replace-where commit")
+          require(untouched() == before,
+            "untouched partitions must carry by file reference")
+          s.sql(s"""SELECT o_orderpriority, count(*) AS cnt,
+                   |  ${dsumSql("o_totalprice")} AS sum_price
+                   |FROM graft.q_dyo_orders
+                   |GROUP BY o_orderpriority
+                   |ORDER BY o_orderpriority""".stripMargin)
+        } finally graft.sources.GraftCatalog.unregister("q_dyo_orders")
+      },
+      Some(s"""SELECT o_orderpriority, count(*) AS cnt,
+             |  ${dsumSql("CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH') " +
+                "THEN o_totalprice * 2 ELSE o_totalprice END")} AS sum_price
+             |FROM orders
+             |WHERE o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+             |   OR o_orderkey % 2 = 0
+             |GROUP BY 1
+             |ORDER BY o_orderpriority NULLS FIRST""".stripMargin)
+    ),
+
+    // Q_MERGE_EXPRKEY (r15, the r14 verdict ask #3): MERGE with an
+    // EXPRESSION join key — `ON t.k = c.k + 1`, the key-mapped CDC
+    // feed. The mapped expression replaces the source key before the
+    // merge, so the envelope/file pruning and the reconcile conflict
+    // scan run on EVALUATED values; the oracle recomputes the
+    // post-image from the raw table in the target's key space —
+    // equal only if every feed row landed on its mapped key.
+    Entry(
+      "q_merge_exprkey",
+      (s, d) => {
+        val t = scratchDir("qmek", d)
+        rmRf(t)
+        val M = graft.sources.ManifestTable
+        import org.apache.spark.sql.SaveMode
+        M.commit(s, t, Tables.orders(s, d)
+            .select(col("o_orderkey"), col("o_totalprice"),
+              col("o_orderpriority")),
+          SaveMode.Overwrite, statsColumns = Seq("o_orderkey"))
+        graft.sources.GraftCatalog.register("q_mek_orders", t)
+        try {
+          Tables.orders(s, d).createOrReplaceTempView("v_mek_src")
+          // the feed speaks a SHIFTED key space (k-1): every third
+          // target key, bumped price, flagged priority
+          s.sql("""SELECT o_orderkey - 1 AS o_orderkey,
+                  |  o_totalprice * 2 AS o_totalprice,
+                  |  'BUMPED' AS o_orderpriority
+                  |FROM v_mek_src WHERE o_orderkey % 3 = 0""".stripMargin)
+            .createOrReplaceTempView("v_mek_chg")
+          s.sql("""MERGE INTO graft.q_mek_orders AS t USING v_mek_chg AS c
+                  |ON t.o_orderkey = c.o_orderkey + 1
+                  |WHEN MATCHED THEN UPDATE SET *
+                  |WHEN NOT MATCHED THEN INSERT *""".stripMargin)
+          require(M.commitOp(s, t).contains("merge") &&
+            M.currentVersion(s, t) == 2,
+            "the expression-key statement must land as ONE merge commit")
+          s.sql(s"""SELECT o_orderpriority, count(*) AS cnt,
+                   |  ${dsumSql("o_totalprice")} AS sum_price
+                   |FROM graft.q_mek_orders
+                   |GROUP BY o_orderpriority
+                   |ORDER BY o_orderpriority""".stripMargin)
+        } finally graft.sources.GraftCatalog.unregister("q_mek_orders")
+      },
+      Some(s"""SELECT CASE WHEN o_orderkey % 3 = 0 THEN 'BUMPED'
+             |    ELSE o_orderpriority END AS o_orderpriority,
+             |  count(*) AS cnt,
+             |  ${dsumSql("CASE WHEN o_orderkey % 3 = 0 " +
+                "THEN o_totalprice * 2 ELSE o_totalprice END")} AS sum_price
+             |FROM orders
+             |GROUP BY 1
+             |ORDER BY o_orderpriority NULLS FIRST""".stripMargin)
+    ),
+
+    // Q_RENAME_TABLE (r15, the r14 verdict ask #5): ALTER TABLE …
+    // RENAME TO through the SQL face — the name moves in the registry
+    // (metadata-only, zero data moved), reads/history/time-travel
+    // answer under the NEW name, and the old name refuses with a
+    // pointer. The oracle is the plain aggregate over the raw table —
+    // equal only if every byte survived the rename.
+    Entry(
+      "q_rename_table",
+      (s, d) => {
+        val t = scratchDir("qren", d)
+        rmRf(t)
+        val M = graft.sources.ManifestTable
+        import org.apache.spark.sql.SaveMode
+        Seq("q_ren_a", "q_ren_b").foreach(
+          graft.sources.GraftCatalog.unregister)
+        M.commit(s, t, Tables.orders(s, d)
+            .select(col("o_orderkey"), col("o_totalprice"),
+              col("o_orderpriority")),
+          SaveMode.Overwrite, statsColumns = Seq("o_orderkey"))
+        graft.sources.GraftCatalog.register("q_ren_a", t)
+        try {
+          s.sql("ALTER TABLE graft.q_ren_a RENAME TO graft.q_ren_b")
+          require(graft.sources.GraftCatalog.lookup("q_ren_a").isEmpty &&
+            graft.sources.GraftCatalog.lookup("q_ren_b").contains(t),
+            "rename must move the name, not copy it")
+          require(M.currentVersion(s, t) == 1,
+            "rename is metadata-only: no table version is spent")
+          val e = scala.util.Try(s.sql("DESCRIBE DETAIL graft.q_ren_a"))
+          require(e.isFailure && e.failed.get.getMessage
+              .contains("renamed to graft.q_ren_b"),
+            "the old name must refuse with a pointer to the new one")
+          s.sql(s"""SELECT o_orderpriority, count(*) AS cnt,
+                   |  ${dsumSql("o_totalprice")} AS sum_price
+                   |FROM graft.q_ren_b
+                   |GROUP BY o_orderpriority
+                   |ORDER BY o_orderpriority""".stripMargin)
+        } finally Seq("q_ren_a", "q_ren_b").foreach(
+          graft.sources.GraftCatalog.unregister)
+      },
+      Some(s"""SELECT o_orderpriority, count(*) AS cnt,
+             |  ${dsumSql("o_totalprice")} AS sum_price
+             |FROM orders
+             |GROUP BY o_orderpriority
+             |ORDER BY o_orderpriority NULLS FIRST""".stripMargin)
+    ),
+
     // Q_REPLACE_WHERE (r14): the idempotent region reload —
     // `INSERT INTO … REPLACE WHERE <region>` atomically deletes the
     // region and inserts the recomputed batch in ONE version. The
@@ -661,11 +789,7 @@ object PipelineQueries {
       "q_replace_where",
       (s, d) => {
         val t = scratchDir("qrpw", d)
-        def rmRf(f: java.io.File): Unit = {
-          Option(f.listFiles()).getOrElse(Array.empty).foreach(rmRf)
-          f.delete(); ()
-        }
-        rmRf(new java.io.File(t))
+        rmRf(t)
         val M = graft.sources.ManifestTable
         graft.sources.GraftCatalog.unregister("q_rpw_orders")
         s.sql(s"""CREATE TABLE graft.q_rpw_orders (
@@ -715,11 +839,7 @@ object PipelineQueries {
       "q_partition_evolution",
       (s, d) => {
         val t = scratchDir("qpevo", d)
-        def rmRf(f: java.io.File): Unit = {
-          Option(f.listFiles()).getOrElse(Array.empty).foreach(rmRf)
-          f.delete(); ()
-        }
-        rmRf(new java.io.File(t))
+        rmRf(t)
         val M = graft.sources.ManifestTable
         graft.sources.GraftCatalog.unregister("q_pevo_orders")
         s.sql(s"""CREATE TABLE graft.q_pevo_orders (
@@ -772,11 +892,7 @@ object PipelineQueries {
       "q_show_partitions",
       (s, d) => {
         val t = scratchDir("qshp", d)
-        def rmRf(f: java.io.File): Unit = {
-          Option(f.listFiles()).getOrElse(Array.empty).foreach(rmRf)
-          f.delete(); ()
-        }
-        rmRf(new java.io.File(t))
+        rmRf(t)
         val M = graft.sources.ManifestTable
         graft.sources.GraftCatalog.unregister("q_shp_orders")
         // statsColumns make every write record per-file row counts —

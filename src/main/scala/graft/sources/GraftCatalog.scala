@@ -324,17 +324,23 @@ object GraftCatalog {
       resolutionWalks.incrementAndGet() // test observability only
       val withWrites = plan.resolveOperatorsUp {
         case i @ InsertIntoStatement(u: UnresolvedRelation, partSpec,
-            userCols, query, overwrite, _, byName) =>
+            userCols, query, overwrite, ifPartNotExists, byName) =>
           specOf(u) match {
             case Some((path, v)) =>
+              val ident = u.multipartIdentifier.mkString(".")
               require(v < 0,
-                s"cannot INSERT into time-travel version v$v of " +
-                  s"${u.multipartIdentifier.mkString(".")} — snapshots are immutable")
-              require(partSpec.isEmpty,
-                "static PARTITION clauses are unsupported on graft tables — " +
-                  "the table's recorded layout is inherited automatically")
-              InsertCommand(u.multipartIdentifier.mkString("."), path,
-                query, overwrite, userCols, byName)
+                s"cannot INSERT into time-travel version v$v of $ident — " +
+                  "snapshots are immutable")
+              // static PARTITION clauses (r15): `PARTITION (p = 'x')`
+              // names identity partition columns; values are injected
+              // as typed literals and, under OVERWRITE, spell the
+              // replaced region. `PARTITION (p)` (dynamic mention) is
+              // declaration only — the query carries the column.
+              require(!ifPartNotExists,
+                s"INSERT … PARTITION … IF NOT EXISTS on $ident is " +
+                  "unsupported — spell the existence check explicitly")
+              InsertCommand(ident, path,
+                query, overwrite, userCols, byName, partSpec)
             case None => i
           }
         case d @ DeleteFromTable(tgtPlan, condition) =>
