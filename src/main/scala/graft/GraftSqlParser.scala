@@ -198,13 +198,18 @@ object GraftSqlParser {
     * [[splitSpec]]'s paren tracking (ADVICE r14). */
   private def keywordOutsideQuotes(s: String, kw: String): Int = {
     var i = 0
-    var inQuote = false
+    // 0 = outside; otherwise the delimiter we're inside of. Spark SQL
+    // treats "…" as a string literal by default (spark.sql.parser
+    // .quotedRegexColumnNames off) and `…` as an identifier run — a
+    // keyword inside EITHER must not split the statement (ADVICE r15;
+    // the single-quote-only scan was the original r14 fix)
+    var quote: Char = 0
     val n = s.length
     val kl = kw.length
     while (i < n) {
       val c = s.charAt(i)
-      if (inQuote) { if (c == '\'') inQuote = false; i += 1 }
-      else if (c == '\'') { inQuote = true; i += 1 }
+      if (quote != 0) { if (c == quote) quote = 0; i += 1 }
+      else if (c == '\'' || c == '"' || c == '`') { quote = c; i += 1 }
       else if (i + kl <= n && s.regionMatches(true, i, kw, 0, kl) &&
           (i == 0 || !isIdentChar(s.charAt(i - 1))) &&
           (i + kl == n || !isIdentChar(s.charAt(i + kl)))) return i

@@ -9,7 +9,7 @@ import org.apache.spark.sql.connector.catalog.constraints.{Check, Constraint}
 import org.apache.spark.sql.connector.expressions.{Literal => V2Literal, Transform}
 import org.apache.spark.sql.execution.command.LeafRunnableCommand
 import org.apache.spark.sql.graftbridge.{ColumnBridge, PlanBridge}
-import org.apache.spark.sql.types.{DataType, StructType}
+import org.apache.spark.sql.types.{DataType, StructField, StructType}
 
 /** Name resolution for manifest tables — the catalog face the TVFs
   * are sugar over. `register("orders", "/lake/orders")` makes
@@ -66,6 +66,10 @@ object GraftCatalog {
       s"table name '$name' must be a plain identifier (no '.' or '@' — " +
         "'@v<N>' is reserved for time travel)")
     reg.put(norm(name), path)
+    // the name is live (again): a hint left from an earlier rename
+    // would outlive this registration's history and lie (ADVICE r15)
+    renamedAway.remove(norm(name))
+    ()
   }
 
   def unregister(name: String): Unit = reg.remove(norm(name))
@@ -106,6 +110,9 @@ object GraftCatalog {
     reg.remove(f, path)
     renamedAway.put(f, t)
     renamedAway.remove(t) // the name is live again; a stale hint would lie
+    // chained renames stay transitive (ADVICE r15): after a→b then
+    // b→c, the hint for `a` must point at LIVE c, not dead b
+    renamedAway.replaceAll((_, dest) => if (dest == f) t else dest)
     ()
   }
 
@@ -894,6 +901,27 @@ object GraftCatalog {
     }
   }
 
+  /** A static `PARTITION (col = 'raw')` value as ONE typed literal:
+    * ANSI-cast driver-side so a value that doesn't fit the recorded
+    * partition type fails the STATEMENT with the offending spelling —
+    * never a silent null partition, never a runtime cast per row. */
+  private def staticPartitionLiteral(raw: String, f: StructField,
+      ident: String, session: SparkSession): Column = {
+    import org.apache.spark.sql.catalyst.expressions.{Cast, EvalMode, Literal}
+    val v =
+      try Cast(Literal(raw), f.dataType,
+        Option(session.sessionState.conf.sessionLocalTimeZone),
+        EvalMode.ANSI).eval(null)
+      catch { case e: Exception => throw new IllegalArgumentException(
+        s"INSERT … PARTITION on $ident: value '$raw' for ${f.name} does " +
+          s"not cast to ${f.dataType.simpleString}", e) }
+    require(v != null,
+      s"INSERT … PARTITION on $ident: value '$raw' for ${f.name} casts " +
+        s"to NULL — a null partition must be written dynamically " +
+        "(carry the column in the query)")
+    ColumnBridge.column(Literal(v, f.dataType))
+  }
+
   /** `INSERT INTO graft.<name>` — the SQL write path. Runs at
     * execution time like Spark's own RunnableCommands: the source
     * query analyzes and executes then, and the write goes through
@@ -921,37 +949,98 @@ object GraftCatalog {
     *    explicit column list `(b, a)` maps query columns to those
     *    names positionally, and must name every table column —
     *    partial inserts with defaults are not a thing here.
+    *  - `PARTITION (p = 'x'[, q])` — the Hive-idiom static/dynamic
+    *    partition clause (r16, finishing the r15 half-build). The
+    *    clause must name EVERY identity partition column (Hive's own
+    *    contract): a key with a value is STATIC — the query does NOT
+    *    carry that column; its value is validated and injected as one
+    *    typed literal (driver-side ANSI cast, so `p='oops'` into an
+    *    INT layout fails at the statement, not as a null partition) —
+    *    while a bare key is a DYNAMIC mention, declaration only (the
+    *    query carries it). Under OVERWRITE the static keys SPELL the
+    *    replaced region directly — no enumeration pass over the batch
+    *    for them — and only the dynamic remainder is enumerated; all
+    *    partition columns static means exactly one replaceWhere region
+    *    and ZERO extra passes. Hidden-transform layouts refuse (the
+    *    physical region isn't spellable) as does `IF NOT EXISTS`.
     *  - a narrow-typed source is refused by commit's append
     *    discipline, never silently cast. */
   final case class InsertCommand(ident: String, path: String,
       query: LogicalPlan, overwrite: Boolean, userCols: Seq[String],
-      byName: Boolean) extends LeafRunnableCommand {
+      byName: Boolean,
+      partSpec: Map[String, Option[String]] = Map.empty)
+    extends LeafRunnableCommand {
     override def innerChildren: Seq[LogicalPlan] = Seq(query)
     override def run(session: SparkSession): Seq[Row] = {
       val src = PlanBridge.ofRows(session, query)
       val recorded = ManifestTable.snapshotSchema(session, path)
+      val partBy = ManifestTable.partitionColumns(session, path)
+      if (partSpec.nonEmpty) {
+        // static PARTITION pre-flight — every refusal BEFORE the query
+        // runs (cheap metadata checks; a 100 TB source should never
+        // execute against a clause that can't land)
+        val hidden = ManifestTable.partitionTransforms(session, path)
+        require(hidden.isEmpty,
+          s"INSERT … PARTITION on $ident: the layout hides " +
+            s"${hidden.map(_.target).mkString(", ")} behind transforms — " +
+            "a static value can't address a derived region; use " +
+            "REPLACE WHERE over the transform sources")
+        require(partBy.nonEmpty,
+          s"INSERT … PARTITION on $ident: the table is unpartitioned — " +
+            "drop the PARTITION clause")
+        val partNorm = partBy.map(norm).toSet
+        val bad = partSpec.keys.filterNot(k => partNorm(norm(k)))
+        require(bad.isEmpty,
+          s"INSERT … PARTITION on $ident: ${bad.mkString(", ")} " +
+            s"is not a partition column (layout: ${partBy.mkString(", ")})")
+        require(partSpec.map(k => norm(k._1)).toSet.size == partSpec.size,
+          s"INSERT … PARTITION on $ident: duplicate partition key")
+        require(partSpec.size == partBy.size,
+          s"INSERT … PARTITION on $ident must mention every partition " +
+            s"column (${partBy.mkString(", ")}) — static keys with a " +
+            "value, dynamic keys bare (Hive's own contract)")
+      }
+      // static keys in RECORDED layout order / recorded case, each
+      // value eagerly ANSI-cast to the recorded field type
+      val staticRaw: Map[String, String] =
+        partSpec.collect { case (k, Some(v)) => norm(k) -> v }
+      val staticCols: Seq[(StructField, Column)] = recorded match {
+        case Some(s) if staticRaw.nonEmpty =>
+          s.fields.toSeq.filter(f => staticRaw.contains(norm(f.name)))
+            .map(f => f -> staticPartitionLiteral(
+              staticRaw(norm(f.name)), f, ident, session))
+        case _ =>
+          require(staticRaw.isEmpty,
+            s"INSERT … PARTITION on $ident: the table has no recorded " +
+              "schema yet — static values need a typed layout to land in")
+          Nil
+      }
+      // the query side supplies the table MINUS the static columns
+      val querySide: Option[StructType] = recorded.map(s =>
+        StructType(s.fields.filterNot(f => staticRaw.contains(norm(f.name)))))
       val aligned =
         if (byName && userCols.isEmpty) {
           // BY NAME still refuses a shape drift: an extra source column
           // would otherwise be silently projected away below (the same
           // data-loss pattern copyInto refuses), and a missing one
           // would fail later with a worse error
-          recorded.foreach(s => require(
+          querySide.foreach(s => require(
             src.columns.map(norm).toSet == s.fieldNames.map(norm).toSet,
             s"INSERT BY NAME into $ident: source columns " +
-              s"(${src.columns.sorted.mkString(", ")}) must match the table " +
-              s"(${s.fieldNames.sorted.mkString(", ")}) exactly"))
+              s"(${src.columns.sorted.mkString(", ")}) must match the " +
+              s"expected set (${s.fieldNames.sorted.mkString(", ")}) exactly"))
           src
         }
         else {
           val targets: Seq[String] = userCols match {
             case Nil =>
-              recorded.map(_.fieldNames.toSeq).getOrElse(src.columns.toSeq)
+              querySide.map(_.fieldNames.toSeq).getOrElse(src.columns.toSeq)
             case cols =>
-              recorded.foreach(s => require(
+              querySide.foreach(s => require(
                 cols.map(norm).toSet == s.fieldNames.map(norm).toSet,
                 s"INSERT INTO $ident (${cols.mkString(", ")}) must name " +
-                  s"every table column (${s.fieldNames.mkString(", ")}) — " +
+                  s"every non-static table column " +
+                  s"(${s.fieldNames.mkString(", ")}) — " +
                   "partial inserts with defaults are unsupported"))
               cols
           }
@@ -967,24 +1056,43 @@ object GraftCatalog {
       // up-casts through the same value-preserving lattice widenColumn
       // uses; anything else reaches commit unchanged and is refused by
       // its strict discipline, never silently narrowed
+      val staticByNorm = staticCols.map { case (f, c) => norm(f.name) -> c }.toMap
       val ordered = recorded match {
         case Some(s) =>
           val srcTypes = aligned.schema
             .map(f => norm(f.name) -> f.dataType).toMap
           aligned.select(s.fields.map { f =>
-            val c = aligned.col(f.name)
-            srcTypes.get(norm(f.name)) match {
-              case Some(t) if t != f.dataType &&
-                  ManifestTable.safeStoreCast(t, f.dataType) =>
-                c.cast(f.dataType).as(f.name)
-              case _ => c
+            staticByNorm.get(norm(f.name)) match {
+              case Some(litCol) => litCol.as(f.name) // injected static value
+              case None =>
+                val c = aligned.col(f.name)
+                srcTypes.get(norm(f.name)) match {
+                  case Some(t) if t != f.dataType &&
+                      ManifestTable.safeStoreCast(t, f.dataType) =>
+                    c.cast(f.dataType).as(f.name)
+                  case _ => c
+                }
             }
           }.toSeq: _*)
         case None => aligned
       }
-      val partBy =
-        if (overwrite) ManifestTable.partitionColumns(session, path) else Nil
       if (overwrite && partBy.nonEmpty) {
+        import org.apache.spark.sql.functions.{col, lit}
+        // STATIC region first: keys with values spell their slice of
+        // the replaced region directly — zero passes over the batch
+        val staticPred: Option[Column] = staticCols match {
+          case Nil => None
+          case cs => Some(cs.map { case (f, c) => col(f.name) === c }
+            .reduce(_ && _))
+        }
+        val dynCols = partBy.filterNot(c => staticByNorm.contains(norm(c)))
+        if (dynCols.isEmpty && staticPred.nonEmpty) {
+          // every partition column pinned: ONE replaceWhere, no
+          // enumeration — injected literals guarantee every row lands
+          // inside the region, so the write-time re-filter is a no-op
+          ManifestTable.replaceWhere(session, path, staticPred.get, ordered)
+          return Nil
+        }
         // DYNAMIC PARTITION OVERWRITE: enumerate the batch's distinct
         // partition tuples (one column-pruned distinct — O(batch) with
         // map-side partial aggregation, the only way to LEARN the
@@ -992,8 +1100,9 @@ object GraftCatalog {
         // and swap the regions atomically via replaceWhere. Untouched
         // partitions carry by reference; replaceWhere's write-time
         // re-filter keeps a non-deterministic source from leaking rows
-        // into a region this enumeration never saw.
-        import org.apache.spark.sql.functions.{col, lit}
+        // into a region this enumeration never saw. Only the DYNAMIC
+        // remainder of the layout is enumerated — static keys already
+        // spelled their slice above.
         val hidden = ManifestTable.partitionTransforms(session, path)
         require(hidden.isEmpty,
           s"INSERT OVERWRITE on $ident: dynamic partition overwrite needs " +
@@ -1001,8 +1110,21 @@ object GraftCatalog {
             s"${hidden.map(_.target).mkString(", ")}; spell the region " +
             s"explicitly: INSERT INTO $ident REPLACE WHERE <predicate over " +
             "the transform sources> SELECT …")
-        val tuples = ordered
-          .select(partBy.map(col): _*).distinct()
+        // ONE evaluation of the batch feeds both the enumeration and
+        // the write (ADVICE r15): a non-deterministic source re-run at
+        // write time could materialize rows in partitions the
+        // enumeration never saw — replaceWhere's re-filter would then
+        // silently DROP them. Deterministic plans (the overwhelmingly
+        // common case) skip the pin — recompute is stable by
+        // definition and the checkpoint's extra materialization is
+        // pure cost at 100 TB.
+        val batch =
+          if (ordered.queryExecution.analyzed.exists(
+              _.expressions.exists(e => !e.deterministic)))
+            ordered.localCheckpoint()
+          else ordered
+        val tuples = batch
+          .select(dynCols.map(col): _*).distinct()
           .limit(DynamicOverwriteMaxPartitions + 1).collect()
         require(tuples.length <= DynamicOverwriteMaxPartitions,
           s"INSERT OVERWRITE on $ident: the batch spans more than " +
@@ -1011,12 +1133,13 @@ object GraftCatalog {
             "ManifestTable.commit(..., SaveMode.Overwrite, partitionBy = " +
             "<layout>) for a full reload")
         if (tuples.isEmpty) return Nil // no regions to replace — a no-op
-        val pred = tuples.toSeq.map { t =>
-          partBy.zipWithIndex.map { case (c, i) =>
+        val dynPred = tuples.toSeq.map { t =>
+          dynCols.zipWithIndex.map { case (c, i) =>
             if (t.isNullAt(i)) col(c).isNull else col(c) === lit(t.get(i))
           }.reduce(_ && _)
         }.reduce(_ || _)
-        ManifestTable.replaceWhere(session, path, pred, ordered)
+        val pred = staticPred.map(_ && dynPred).getOrElse(dynPred)
+        ManifestTable.replaceWhere(session, path, pred, batch)
         return Nil
       }
       ManifestTable.commit(session, path, ordered,
@@ -1098,9 +1221,12 @@ object GraftCatalog {
     extends LeafRunnableCommand {
     override def innerChildren: Seq[LogicalPlan] = Seq(source)
     override def run(session: SparkSession): Seq[Row] = {
-      val src = keyMap.foldLeft(PlanBridge.ofRows(session, source)) {
-        case (d, (k, c)) => d.withColumn(k, c)
-      }
+      // ALL mapped keys evaluate in ONE projection against the RAW
+      // source frame (ADVICE r15): a sequential withColumn fold would
+      // let `ON t.a = s.b AND t.b = s.a` compute t.b's key from the
+      // already-REPLACED `a` — silently wrong swap-key merges
+      val src = PlanBridge.ofRows(session, source)
+        .withColumns(keyMap.toMap)
       ManifestTable.merge(session, path, src,
         keys, matchedUpdate, matchedDelete, mergeSchema = evolve,
         insertUnmatched = insertUnmatched,

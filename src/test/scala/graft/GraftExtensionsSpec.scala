@@ -245,8 +245,10 @@ class GraftExtensionsSpec extends AnyFunSuite with SparkFixture {
           ext.sql("INSERT INTO graft.`ins_t@v1` VALUES (5, 'x')"))
         intercept[Exception](
           ext.sql("INSERT INTO graft.ins_t VALUES (5.5, 'x')"))
-        // a partitioned table refuses SQL OVERWRITE (would clear the
-        // layout) but accepts SQL APPEND (inherits it)
+        // a partitioned table: SQL APPEND inherits the layout; SQL
+        // OVERWRITE is DYNAMIC PARTITION OVERWRITE (r15) — only the
+        // batch's partitions swap, as ONE atomic replace-where commit,
+        // and untouched partitions carry by file reference
         val tp = java.nio.file.Files.createTempDirectory("graft_insp")
           .toString + "/t"
         M.commit(ext, tp, Seq((1L, 1, "a"), (2L, 2, "b")).toDF("id", "g", "v"),
@@ -257,9 +259,16 @@ class GraftExtensionsSpec extends AnyFunSuite with SparkFixture {
           assert(M.read(ext, tp).count() === 3)
           assert(M.snapshotFiles(ext, tp).forall(_.contains("g=")),
             "a SQL append must inherit the partition layout")
-          val e = intercept[Exception](
-            ext.sql("INSERT OVERWRITE graft.ins_p VALUES (9, 9, 'z')"))
-          assert(e.getMessage.contains("layout"), e.getMessage)
+          val keepG2 = M.snapshotFiles(ext, tp).filter(_.contains("g=2")).toSet
+          ext.sql("INSERT OVERWRITE graft.ins_p VALUES (9, 1, 'z')")
+          assert(M.commitOp(ext, tp).contains("replace-where"),
+            "dynamic overwrite must land as ONE replace-where commit")
+          assert(M.read(ext, tp).collect().map(_.getLong(0)).toSet
+            === Set(9L, 2L),
+            "the batch's partition (g=1) is replaced, g=2 survives")
+          assert(M.snapshotFiles(ext, tp).filter(_.contains("g=2")).toSet
+            === keepG2,
+            "the untouched partition must carry by file reference")
         } finally GraftCatalog.unregister("ins_p")
       } finally GraftCatalog.unregister("ins_t")
     } finally {
@@ -428,11 +437,21 @@ class GraftExtensionsSpec extends AnyFunSuite with SparkFixture {
         val m3 = M.read(ext, t).collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
         assert(m3(5L) === 500.0,
           "first-match order: the earlier UPDATE clause must win over DELETE")
-        // refusal: expression keys
-        intercept[Exception](ext.sql(
+        // expression keys (r15): `ON t.id = c.id + 1` evaluates the
+        // mapped key against the RAW source frame (replacing c.id), so
+        // the feed's rows land on their SHIFTED target keys — chg2's
+        // ids (2, 3, 4) address targets (3, 4, 5)
+        ext.sql(
           """MERGE INTO graft.mrg_t t USING chg2 c ON t.id = c.id + 1
             |WHEN MATCHED THEN UPDATE SET *
-            |WHEN NOT MATCHED THEN INSERT *""".stripMargin))
+            |WHEN NOT MATCHED THEN INSERT *""".stripMargin)
+        val m4 = M.read(ext, t).collect()
+          .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+        assert(m4(3L) === 1.0 && m4(5L) === 0.0,
+          "matched feed rows must land on their mapped key (c.id + 1)")
+        assert(m4(4L) === 300.0,
+          "an unmatched mapped key must INSERT under the mapped value")
+        assert(m4.size === 11)
       } finally GraftCatalog.unregister("mrg_t")
     } finally {
       SparkSession.clearActiveSession()
