@@ -3,7 +3,7 @@ package graft.sources
 import org.apache.spark.sql.{Column, Row, SaveMode, SparkSession}
 import org.apache.spark.sql.catalyst.analysis.{UnresolvedAttribute, UnresolvedIdentifier, UnresolvedRelation, UnresolvedTable, UnresolvedTableOrView}
 import org.apache.spark.sql.catalyst.expressions.{And, CheckConstraint, EqualTo, Expression}
-import org.apache.spark.sql.catalyst.plans.logical.{AddColumns, AddCheckConstraint, AlterColumns, AnalyzeColumn, AnalyzeTable, CreateTable, CreateTableAsSelect, DeleteAction, DeleteFromTable, DescribeRelation, DropColumns, DropConstraint => DropConstraintPlan, DropTable, InsertAction, InsertIntoStatement, InsertStarAction, LogicalPlan, MergeIntoTable, RenameColumn, ShowCreateTable, ShowTables, SubqueryAlias, TableSpec, TableSpecBase, UnresolvedTableSpec, UpdateAction, UpdateStarAction, UpdateTable}
+import org.apache.spark.sql.catalyst.plans.logical.{AddColumns, AddCheckConstraint, AlterColumns, AnalyzeColumn, AnalyzeTable, CreateTable, CreateTableAsSelect, DeleteAction, DeleteFromTable, DescribeRelation, DropColumns, DropConstraint => DropConstraintPlan, DropTable, InsertAction, InsertIntoStatement, InsertStarAction, LogicalPlan, MergeIntoTable, RenameColumn, ReplaceTable, ReplaceTableAsSelect, ShowCreateTable, ShowTables, SubqueryAlias, TableSpec, TableSpecBase, UnresolvedTableSpec, UpdateAction, UpdateStarAction, UpdateTable}
 import org.apache.spark.sql.catalyst.rules.Rule
 import org.apache.spark.sql.connector.catalog.constraints.{Check, Constraint}
 import org.apache.spark.sql.connector.expressions.{Literal => V2Literal, Transform}
@@ -216,6 +216,26 @@ object GraftCatalog {
     * where the parser's UnresolvedTableSpec still holds constraints as
     * expression trees; the resolved TableSpec form is kept for
     * completeness. */
+  /** Column-definition discipline shared by CREATE and REPLACE:
+    * DEFAULT/GENERATED/IDENTITY clauses are unsupported, and NOT NULL
+    * is refused rather than recorded-but-unenforced (CHECK is the
+    * enforced spelling). */
+  private def v1Fields(what: String, ident: String,
+      cols: Seq[org.apache.spark.sql.catalyst.plans.logical.ColumnDefinition])
+      : Seq[org.apache.spark.sql.types.StructField] =
+    cols.map { c =>
+      require(c.defaultValue.isEmpty && c.generationExpression.isEmpty &&
+          c.identityColumnSpec.isEmpty,
+        s"$what $ident: DEFAULT / GENERATED / IDENTITY " +
+          s"column clauses are unsupported (column '${c.name}')")
+      require(c.nullable,
+        s"$what $ident: NOT NULL on column '${c.name}' is " +
+          "not enforced — declare CONSTRAINT <name> CHECK " +
+          s"(${c.name} IS NOT NULL) instead (CHECKs are enforced " +
+          "on every write)")
+      c.toV1Column
+    }
+
   private def createSpec(ident: String, spec: TableSpecBase)
       : (Option[String], Map[String, String], Seq[(String, String)]) = {
     def common(properties: Map[String, String], provider: Option[String],
@@ -1315,6 +1335,8 @@ object GraftCatalog {
       // in the session for a feature most never use)
       if (!plan.isInstanceOf[CreateTable] &&
           !plan.isInstanceOf[CreateTableAsSelect] &&
+          !plan.isInstanceOf[ReplaceTable] &&
+          !plan.isInstanceOf[ReplaceTableAsSelect] &&
           !plan.isInstanceOf[DropTable] &&
           !plan.isInstanceOf[DescribeRelation] &&
           !plan.isInstanceOf[ShowCreateTable] &&
@@ -1422,21 +1444,7 @@ object GraftCatalog {
         case ct: CreateTable if ddlIdent(ct.name).isDefined =>
           val name = ddlIdent(ct.name).get
           val ident = s"graft.$name"
-          val fields = ct.columns.map { c =>
-            require(c.defaultValue.isEmpty && c.generationExpression.isEmpty &&
-                c.identityColumnSpec.isEmpty,
-              s"CREATE TABLE $ident: DEFAULT / GENERATED / IDENTITY " +
-                s"column clauses are unsupported (column '${c.name}')")
-            // NOT NULL would be recorded but never enforced (the
-            // append schema check compares name+type only) — refuse
-            // rather than lie; CHECK is the enforced spelling
-            require(c.nullable,
-              s"CREATE TABLE $ident: NOT NULL on column '${c.name}' is " +
-                "not enforced — declare CONSTRAINT <name> CHECK " +
-                s"(${c.name} IS NOT NULL) instead (CHECKs are enforced " +
-                "on every write)")
-            c.toV1Column
-          }
+          val fields = v1Fields("CREATE TABLE", ident, ct.columns)
           require(fields.nonEmpty, s"CREATE TABLE $ident needs a column list")
           val (loc, props, cons) = createSpec(ident, ct.tableSpec)
           CreateCommand(ident, name, StructType(fields),
@@ -1451,6 +1459,30 @@ object GraftCatalog {
           CreateCommand(ident, name, new StructType(),
             cta.partitioning.map(transformSpelling(_, ident)), loc, props,
             cons, cta.ignoreIfExists, query = Some(cta.query))
+        // ---- [CREATE OR] REPLACE TABLE graft.<name> — the atomic
+        // table swap (r16): ONE overwrite version replaces schema,
+        // layout, data, AND the CHECK-constraint set; history and
+        // time travel reach the pre-replace table, a failed query
+        // leaves it untouched. OR CREATE falls through to the CREATE
+        // bootstrap when the table doesn't exist yet.
+        case rt: ReplaceTable if ddlIdent(rt.name).isDefined =>
+          val name = ddlIdent(rt.name).get
+          val ident = s"graft.$name"
+          val fields = v1Fields("REPLACE TABLE", ident, rt.columns)
+          require(fields.nonEmpty, s"REPLACE TABLE $ident needs a column list")
+          val (loc, props, cons) = createSpec(ident, rt.tableSpec)
+          ReplaceCommand(ident, name, StructType(fields),
+            rt.partitioning.map(transformSpelling(_, ident)), loc, props,
+            cons, rt.orCreate, query = None)
+        case rta: ReplaceTableAsSelect if ddlIdent(rta.name).isDefined =>
+          val name = ddlIdent(rta.name).get
+          val ident = s"graft.$name"
+          require(rta.writeOptions.isEmpty,
+            s"REPLACE TABLE $ident AS: write OPTIONS are unsupported")
+          val (loc, props, cons) = createSpec(ident, rta.tableSpec)
+          ReplaceCommand(ident, name, new StructType(),
+            rta.partitioning.map(transformSpelling(_, ident)), loc, props,
+            cons, rta.orCreate, query = Some(rta.query))
         // ---- DROP TABLE graft.<name> — external-table semantics: the
         // registration goes, the directory stays (expire/vacuum is the
         // only way bytes die).
@@ -1594,6 +1626,83 @@ object GraftCatalog {
         partitionBy = partitionBy, txn = Some(("sql:create", 1L)))
       checks.foreach { case (n, sql) =>
         ManifestTable.addConstraint(session, path, n, sql) }
+      register(name, path)
+      Nil
+    }
+  }
+
+  /** `[CREATE OR] REPLACE TABLE graft.<name> (…)/(AS SELECT …)` —
+    * the atomic table swap (r16, the r15 verdict's optional ask):
+    *
+    *  - the replacement image (declared empty schema, or the CTAS
+    *    rows) publishes as ONE overwrite version that swaps schema,
+    *    partition layout (hidden transforms included), data, AND the
+    *    CHECK-constraint set together — `constraintsOverride` rides
+    *    the same conditional publish as the data, so no observer ever
+    *    sees the new data under the old constraints or vice versa;
+    *  - history and time travel reach the pre-replace table
+    *    (`graft.<name>@v<N>`), and a failed query/violated CHECK
+    *    leaves the table untouched — the batch validates against the
+    *    DECLARED set before anything is written;
+    *  - `CREATE OR REPLACE` on a missing table falls through to the
+    *    CREATE bootstrap; plain `REPLACE TABLE` refuses (ANSI);
+    *  - the name must keep its path: REPLACE swaps content IN PLACE,
+    *    never moves a table (a LOCATION naming a different directory
+    *    is a loud conflict — that statement is a CREATE);
+    *  - TBLPROPERTIES may be repeated verbatim (idempotent re-runs)
+    *    but not changed — the config sidecar is create-time by
+    *    design; stats evolve via ANALYZE.
+    *
+    * At 100 TB: the swap writes O(new image) and the old snapshot's
+    * files carry untouched in history until expire — exactly the
+    * overwrite-commit cost, with zero extra passes for the
+    * constraint/layout swap (pure manifest metadata). */
+  final case class ReplaceCommand(ident: String, name: String,
+      tableSchema: StructType, partitionBy: Seq[String],
+      location: Option[String], props: Map[String, String],
+      checks: Seq[(String, String)], orCreate: Boolean,
+      query: Option[LogicalPlan])
+    extends LeafRunnableCommand {
+    override def innerChildren: Seq[LogicalPlan] = query.toSeq
+    override def run(session: SparkSession): Seq[Row] = {
+      val registered = lookup(name)
+      val path = location.orElse(registered).orElse(warehouse.map(w =>
+        w.stripSuffix("/") + "/" + name)).getOrElse(
+        throw new IllegalArgumentException(
+          s"REPLACE TABLE $ident needs a LOCATION (or set " +
+            "GraftCatalog.warehouse for a default root)"))
+      registered.foreach(p => require(p == path,
+        s"REPLACE TABLE $ident: the name is registered to $p, not $path — " +
+          "REPLACE swaps content in place, never moves a table"))
+      if (ManifestTable.versions(session, path).isEmpty) {
+        if (!orCreate) throw new IllegalArgumentException(
+          s"REPLACE TABLE $ident: no table at $path — use CREATE OR " +
+            "REPLACE TABLE (or CREATE TABLE) to bootstrap one" +
+            hintRenamed(name))
+        return CreateCommand(ident, name, tableSchema, partitionBy,
+          Some(path), props, checks, ignoreIfExists = false, query)
+          .run(session)
+      }
+      if (props.nonEmpty) {
+        val have = ManifestTable.tableConfig(session, path)
+        require(props == have,
+          s"REPLACE TABLE $ident: TBLPROPERTIES differ from the recorded " +
+            s"config ($have) — properties are create-time; stats evolve " +
+            "via ANALYZE, constraints via the CONSTRAINT clause")
+      }
+      val df = query match {
+        case Some(q) => PlanBridge.ofRows(session, q)
+        case None => session.createDataFrame(
+          java.util.Collections.emptyList[Row](), tableSchema)
+      }
+      // ONE atomic version: the declared CHECKs validate the
+      // replacement image inside commit (before any write) and
+      // publish with it — an empty declared set CLEARS the old one
+      // (REPLACE semantics: nothing from the old table survives
+      // except its history)
+      ManifestTable.commit(session, path, df, SaveMode.Overwrite,
+        partitionBy = partitionBy,
+        constraintsOverride = Some(checks.toMap))
       register(name, path)
       Nil
     }

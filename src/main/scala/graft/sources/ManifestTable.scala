@@ -3674,7 +3674,8 @@ object ManifestTable {
              mergeSchema: Boolean = false,
              statsColumns: Seq[String] = Nil,
              partitionBy: Seq[String] = Nil,
-             txn: Option[(String, Long)] = None): Int = {
+             txn: Option[(String, Long)] = None,
+             constraintsOverride: Option[Map[String, String]] = None): Int = {
     // idempotence gate, before any data is written: a replayed batch
     // whose (appId, version) is already recorded leaves zero garbage
     txn.foreach { case (app, v) =>
@@ -3800,9 +3801,12 @@ object ManifestTable {
       statsColumns).distinct.sorted
     // CHECK enforcement happens BEFORE any data is written (a refused
     // batch leaves nothing to vacuum); a lost race re-validates iff
-    // the constraint set changed under us
-    var validatedCons =
-      checkConstraints(spark, table, currentVersion(spark, table))
+    // the constraint set changed under us. constraintsOverride (the
+    // SQL REPLACE TABLE path) swaps the set atomically WITH the data:
+    // the batch validates against the DECLARED set, and the publish
+    // records it in the same version — never the carried parent set.
+    var validatedCons = constraintsOverride.getOrElse(
+      checkConstraints(spark, table, currentVersion(spark, table)))
     requireSatisfied(df, validatedCons, s"a batch committed to $table")
     // column mapping resolved HERE (not inside writeData) so the
     // publish loop below can detect a concurrent rename: the batch's
@@ -3830,7 +3834,7 @@ object ManifestTable {
       txn.foreach { case (app, v) =>
         if (txnVersion(spark, table, app, head).exists(_ >= v)) return head }
       val consNow = checkConstraints(spark, table, head)
-      if (consNow != validatedCons) {
+      if (constraintsOverride.isEmpty && consNow != validatedCons) {
         requireSatisfied(df, consNow, s"a batch committed to $table")
         validatedCons = consNow
       }
@@ -3863,6 +3867,7 @@ object ManifestTable {
       beforeConditionalCommit()
       if (tryPublish(spark, table, head, base ++ newFiles, uuid,
           Some(schema), carried ++ newStats, partBy,
+          constraints = constraintsOverride,
           op = if (mode == SaveMode.Append) "append" else "overwrite",
           txn = txn,
           // overwrite REPLACES the transform record (empty clears it);

@@ -227,6 +227,84 @@ class Round16Spec extends AnyFunSuite with SparkFixture {
     } finally GraftCatalog.unregister("r16_dq")
   }
 
+  // ---- [CREATE OR] REPLACE TABLE: the atomic swap -------------------
+
+  test("CREATE OR REPLACE TABLE swaps schema, data, layout and constraints in ONE version") {
+    val t = tmp("cor")
+    GraftCatalog.unregister("r16_cor")
+    spark.sql(s"""CREATE TABLE graft.r16_cor (
+                 |  id BIGINT, qty INT,
+                 |  CONSTRAINT qty_pos CHECK (qty > 0)
+                 |) LOCATION '$t'""".stripMargin)
+    try {
+      spark.sql("INSERT INTO graft.r16_cor VALUES (1, 5)")
+      val vBefore = ManifestTable.currentVersion(spark, t)
+      // replace with a DIFFERENT schema, a partition layout, a new
+      // constraint set, and CTAS rows — one statement, one version
+      spark.sql(s"""CREATE OR REPLACE TABLE graft.r16_cor
+                   |PARTITIONED BY (grp) LOCATION '$t'
+                   |AS SELECT id * 10 AS id,
+                   |  CASE WHEN id % 2 = 0 THEN 'even' ELSE 'odd' END AS grp
+                   |FROM range(4)""".stripMargin)
+      assert(ManifestTable.currentVersion(spark, t) === vBefore + 1,
+        "the swap must spend exactly ONE version")
+      val got = spark.sql("SELECT id, grp FROM graft.r16_cor ORDER BY id")
+        .collect().map(r => r.getLong(0) -> r.getString(1)).toSeq
+      assert(got === Seq(0L -> "even", 10L -> "odd", 20L -> "even",
+        30L -> "odd"))
+      assert(ManifestTable.partitionColumns(spark, t) === Seq("grp"),
+        "REPLACE must install the new partition layout")
+      // the old constraint set is GONE (nothing survives but history):
+      // qty doesn't even exist; a write that would have violated the
+      // old CHECK shape is judged only by the new (empty) set
+      assert(ManifestTable.checkConstraints(spark, t).isEmpty,
+        "an empty declared set must CLEAR the old constraints")
+      // history intact: the pre-replace image answers under @v
+      assert(spark.sql(
+        s"SELECT qty FROM graft.`r16_cor@v$vBefore`").collect()
+        .map(_.getInt(0)).toSeq === Seq(5))
+    } finally GraftCatalog.unregister("r16_cor")
+  }
+
+  test("REPLACE TABLE refusals: missing table, moved LOCATION, changed TBLPROPERTIES, violated CHECK") {
+    import spark.implicits._
+    val t = tmp("rref")
+    GraftCatalog.unregister("r16_rref")
+    // plain REPLACE on a missing table refuses (ANSI); OR CREATE boots
+    val e0 = intercept[Exception](spark.sql(
+      s"REPLACE TABLE graft.r16_rref (id BIGINT) LOCATION '$t'"))
+    assert(e0.getMessage.contains("CREATE OR REPLACE"), e0.getMessage)
+    spark.sql(s"CREATE OR REPLACE TABLE graft.r16_rref (id BIGINT) LOCATION '$t'")
+    try {
+      spark.sql("INSERT INTO graft.r16_rref VALUES (1)")
+      // a LOCATION naming a DIFFERENT directory is a loud conflict
+      val t2 = tmp("rref2")
+      val e1 = intercept[Exception](spark.sql(
+        s"REPLACE TABLE graft.r16_rref (id BIGINT) LOCATION '$t2'"))
+      assert(e1.getMessage.contains("never moves a table"), e1.getMessage)
+      // TBLPROPERTIES can't change through REPLACE
+      val e2 = intercept[Exception](spark.sql(
+        s"""REPLACE TABLE graft.r16_rref (id BIGINT)
+           |LOCATION '$t'
+           |TBLPROPERTIES ('graft.statsColumns' = 'id')""".stripMargin))
+      assert(e2.getMessage.contains("create-time"), e2.getMessage)
+      // a CTAS violating the DECLARED check refuses with the table
+      // untouched — validation precedes any write. Spark's grammar
+      // has no CONSTRAINT clause on a CTAS, so drive the command
+      // directly (the same pattern as SqlCreateTableSpec's CTAS pin)
+      val q = spark.sql("SELECT -1L AS id").queryExecution.logical
+      val e3 = intercept[Exception](
+        GraftCatalog.ReplaceCommand("graft.r16_rref", "r16_rref",
+          new org.apache.spark.sql.types.StructType(), Nil, Some(t),
+          Map.empty, Seq("id_pos" -> "id > 0"), orCreate = true,
+          Some(q)).run(spark))
+      assert(e3.getMessage.contains("id_pos"), e3.getMessage)
+      assert(spark.sql("SELECT id FROM graft.r16_rref").collect()
+        .map(_.getLong(0)).toSeq === Seq(1L),
+        "a refused REPLACE must leave the table exactly as it was")
+    } finally GraftCatalog.unregister("r16_rref")
+  }
+
   // ---- rename hint hygiene ------------------------------------------
 
   test("rename hints stay transitive across chains and clear on re-registration") {
