@@ -944,6 +944,154 @@ object PipelineQueries {
              |ORDER BY o_orderpriority NULLS FIRST""".stripMargin)
     ),
 
+    // Q_DEFAULT_COLUMNS (r16): column DEFAULT values — recorded as
+    // field metadata in the versioned schema, filled by partial
+    // INSERTs (column-list or BY NAME), and re-bindable via ALTER
+    // COLUMN … SET DEFAULT (metadata-only, future inserts). The two
+    // insert eras land under DIFFERENT defaults; the oracle recomputes
+    // the final image with a CASE over the raw table — equal only if
+    // each era filled exactly its own recorded default.
+    Entry(
+      "q_default_columns",
+      (s, d) => {
+        val t = scratchDir("qdcol", d)
+        rmRf(t)
+        graft.sources.GraftCatalog.unregister("q_dcol_t")
+        s.sql(s"""CREATE TABLE graft.q_dcol_t (
+                 |  o_orderkey BIGINT, o_totalprice DOUBLE,
+                 |  status STRING DEFAULT 'open', tier INT DEFAULT 3
+                 |) LOCATION '$t'""".stripMargin)
+        try {
+          Tables.orders(s, d).createOrReplaceTempView("v_dcol_src")
+          s.sql("""INSERT INTO graft.q_dcol_t (o_orderkey, o_totalprice)
+                  |SELECT o_orderkey, o_totalprice FROM v_dcol_src
+                  |WHERE o_orderkey % 2 = 1""".stripMargin)
+          s.sql("ALTER TABLE graft.q_dcol_t ALTER COLUMN status SET DEFAULT 'held'")
+          s.sql("ALTER TABLE graft.q_dcol_t ALTER COLUMN tier SET DEFAULT 7")
+          s.sql("""INSERT INTO graft.q_dcol_t BY NAME
+                  |SELECT o_orderkey, o_totalprice FROM v_dcol_src
+                  |WHERE o_orderkey % 2 = 0""".stripMargin)
+          s.sql(s"""SELECT status, tier, count(*) AS cnt,
+                   |  ${dsumSql("o_totalprice")} AS sum_price
+                   |FROM graft.q_dcol_t
+                   |GROUP BY status, tier
+                   |ORDER BY status, tier""".stripMargin)
+        } finally graft.sources.GraftCatalog.unregister("q_dcol_t")
+      },
+      Some(s"""SELECT CASE WHEN o_orderkey % 2 = 1 THEN 'open' ELSE 'held' END
+             |    AS status,
+             |  CAST(CASE WHEN o_orderkey % 2 = 1 THEN 3 ELSE 7 END AS INTEGER)
+             |    AS tier,
+             |  count(*) AS cnt, ${dsumSql("o_totalprice")} AS sum_price
+             |FROM orders
+             |GROUP BY 1, 2
+             |ORDER BY status NULLS FIRST, tier NULLS FIRST""".stripMargin)
+    ),
+
+    // Q_GENERATED_COLUMNS (r16): GENERATED ALWAYS AS columns — the
+    // expression rides the versioned schema, an INSERT that omits the
+    // column computes it in the write projection, and UPDATE
+    // recomputes it over the POST-assignment row (so a price update
+    // can never leave a stale band). The oracle recomputes bands from
+    // the raw table including the update's effect — equal only if
+    // write-time generation and update-time recomputation both match
+    // the declared expression.
+    Entry(
+      "q_generated_columns",
+      (s, d) => {
+        val t = scratchDir("qgcol", d)
+        rmRf(t)
+        graft.sources.GraftCatalog.unregister("q_gcol_t")
+        s.sql(s"""CREATE TABLE graft.q_gcol_t (
+                 |  o_orderkey BIGINT, o_totalprice DOUBLE,
+                 |  key_bucket BIGINT GENERATED ALWAYS AS (o_orderkey % 5),
+                 |  price_band STRING GENERATED ALWAYS AS
+                 |    (CASE WHEN o_totalprice < 150000 THEN 'low' ELSE 'high' END)
+                 |) LOCATION '$t'""".stripMargin)
+        try {
+          Tables.orders(s, d).createOrReplaceTempView("v_gcol_src")
+          s.sql("""INSERT INTO graft.q_gcol_t (o_orderkey, o_totalprice)
+                  |SELECT o_orderkey, o_totalprice FROM v_gcol_src""".stripMargin)
+          // an UPDATE of the band's SOURCE recomputes the band
+          s.sql("""UPDATE graft.q_gcol_t SET o_totalprice = o_totalprice * 2
+                  |WHERE o_orderkey % 100 = 0""".stripMargin)
+          s.sql(s"""SELECT key_bucket, price_band, count(*) AS cnt,
+                   |  ${dsumSql("o_totalprice")} AS sum_price
+                   |FROM graft.q_gcol_t
+                   |GROUP BY key_bucket, price_band
+                   |ORDER BY key_bucket, price_band""".stripMargin)
+        } finally graft.sources.GraftCatalog.unregister("q_gcol_t")
+      },
+      Some(s"""WITH post AS (SELECT o_orderkey,
+             |    CASE WHEN o_orderkey % 100 = 0 THEN o_totalprice * 2
+             |      ELSE o_totalprice END AS o_totalprice
+             |  FROM orders)
+             |SELECT o_orderkey % 5 AS key_bucket,
+             |  CASE WHEN o_totalprice < 150000 THEN 'low' ELSE 'high' END
+             |    AS price_band,
+             |  count(*) AS cnt, ${dsumSql("o_totalprice")} AS sum_price
+             |FROM post
+             |GROUP BY 1, 2
+             |ORDER BY key_bucket NULLS FIRST, price_band NULLS FIRST""".stripMargin)
+    ),
+
+    // Q_IDENTITY_COLUMNS (r16): IDENTITY allocation — one codegen'd
+    // projection column per insert (NextIdentityValue: interleaved
+    // ordinals, zero shuffles, zero driver coordination), with the
+    // high-water mark advanced at publish from the write's OWN
+    // recorded per-file stats. The values themselves are
+    // non-deterministic by contract (gaps allowed, duplicates never),
+    // so the judged row carries the PROPERTIES — uniqueness, start
+    // bound, step alignment, cross-batch monotonicity — plus the
+    // deterministic payload aggregate; the in-query requires pin the
+    // mark's advance between the two inserts.
+    Entry(
+      "q_identity_columns",
+      (s, d) => {
+        val t = scratchDir("qidcol", d)
+        rmRf(t)
+        graft.sources.GraftCatalog.unregister("q_idcol_t")
+        s.sql(s"""CREATE TABLE graft.q_idcol_t (
+                 |  id BIGINT GENERATED ALWAYS AS IDENTITY
+                 |    (START WITH 1000 INCREMENT BY 3),
+                 |  o_orderkey BIGINT, o_totalprice DOUBLE
+                 |) LOCATION '$t'""".stripMargin)
+        try {
+          Tables.orders(s, d).createOrReplaceTempView("v_idcol_src")
+          s.sql("""INSERT INTO graft.q_idcol_t (o_orderkey, o_totalprice)
+                  |SELECT o_orderkey, o_totalprice FROM v_idcol_src
+                  |WHERE o_orderkey % 2 = 1""".stripMargin)
+          val r1 = s.sql("SELECT max(id), count(*) FROM graft.q_idcol_t").head()
+          val (max1, cnt1) = (r1.getLong(0), r1.getLong(1))
+          s.sql("""INSERT INTO graft.q_idcol_t (o_orderkey, o_totalprice)
+                  |SELECT o_orderkey, o_totalprice FROM v_idcol_src
+                  |WHERE o_orderkey % 2 = 0""".stripMargin)
+          val below = s.sql(
+            s"SELECT count(*) FROM graft.q_idcol_t WHERE id <= $max1")
+            .head().getLong(0)
+          require(below == cnt1,
+            "the second batch must allocate strictly past the first " +
+              s"batch's high-water mark ($below ids at/below $max1, " +
+              s"expected $cnt1)")
+          s.sql(s"""SELECT count(*) AS cnt,
+                   |  CASE WHEN count(DISTINCT id) = count(*) THEN 1 ELSE 0 END
+                   |    AS all_unique,
+                   |  CASE WHEN min(id) >= 1000 THEN 1 ELSE 0 END
+                   |    AS min_ge_start,
+                   |  CASE WHEN max(CASE WHEN (id - 1000) % 3 = 0 THEN 0
+                   |    ELSE 1 END) = 0 THEN 1 ELSE 0 END AS step_aligned,
+                   |  ${dsumSql("o_totalprice")} AS sum_price
+                   |FROM graft.q_idcol_t""".stripMargin)
+        } finally graft.sources.GraftCatalog.unregister("q_idcol_t")
+      },
+      Some(s"""SELECT count(*) AS cnt,
+             |  CAST(1 AS INTEGER) AS all_unique,
+             |  CAST(1 AS INTEGER) AS min_ge_start,
+             |  CAST(1 AS INTEGER) AS step_aligned,
+             |  ${dsumSql("o_totalprice")} AS sum_price
+             |FROM orders""".stripMargin)
+    ),
+
     // Q_REPLACE_WHERE (r14): the idempotent region reload —
     // `INSERT INTO … REPLACE WHERE <region>` atomically deletes the
     // region and inserts the recomputed batch in ONE version. The

@@ -216,25 +216,53 @@ object GraftCatalog {
     * where the parser's UnresolvedTableSpec still holds constraints as
     * expression trees; the resolved TableSpec form is kept for
     * completeness. */
-  /** Column-definition discipline shared by CREATE and REPLACE:
-    * DEFAULT/GENERATED/IDENTITY clauses are unsupported, and NOT NULL
+  /** Column-definition discipline shared by CREATE and REPLACE.
+    * DEFAULT / GENERATED ALWAYS AS (expr) / GENERATED … AS IDENTITY
+    * clauses (r16) are validated here and recorded as field metadata
+    * in the table's versioned schema (see [[ColumnSpecs]]); NOT NULL
     * is refused rather than recorded-but-unenforced (CHECK is the
-    * enforced spelling). */
+    * enforced spelling). Generated expressions validate against the
+    * full declared column set, so order of declaration doesn't
+    * matter — but they may only REFERENCE plain or DEFAULT-bearing
+    * columns (a generated-over-generated chain would need a
+    * topological write order nobody can read back from the DDL). */
   private def v1Fields(what: String, ident: String,
-      cols: Seq[org.apache.spark.sql.catalyst.plans.logical.ColumnDefinition])
-      : Seq[org.apache.spark.sql.types.StructField] =
-    cols.map { c =>
-      require(c.defaultValue.isEmpty && c.generationExpression.isEmpty &&
-          c.identityColumnSpec.isEmpty,
-        s"$what $ident: DEFAULT / GENERATED / IDENTITY " +
-          s"column clauses are unsupported (column '${c.name}')")
+      cols: Seq[org.apache.spark.sql.catalyst.plans.logical.ColumnDefinition],
+      session: SparkSession)
+      : Seq[org.apache.spark.sql.types.StructField] = {
+    val bare = cols.map { c =>
       require(c.nullable,
         s"$what $ident: NOT NULL on column '${c.name}' is " +
           "not enforced — declare CONSTRAINT <name> CHECK " +
           s"(${c.name} IS NOT NULL) instead (CHECKs are enforced " +
           "on every write)")
-      c.toV1Column
+      var f = c.toV1Column
+      c.defaultValue.foreach { d =>
+        ColumnSpecs.validateDefault(session, s"$what $ident", c.name,
+          c.dataType, d.originalSQL)
+        f = ColumnSpecs.withDefault(f, d.originalSQL)
+      }
+      c.identityColumnSpec.foreach { is =>
+        ColumnSpecs.validateIdentity(s"$what $ident", c.name, c.dataType,
+          is.getStep)
+        f = ColumnSpecs.withIdentity(f, is.getStart, is.getStep,
+          is.isAllowExplicitInsert)
+      }
+      c.generationExpression.foreach { g =>
+        f = ColumnSpecs.withGenerated(f, g)
+      }
+      f
     }
+    // generated expressions validate against the final sibling set
+    // (with every sibling's own spec already attached, so a reference
+    // to another GENERATED or IDENTITY column refuses)
+    cols.zip(bare).foreach { case (c, f) =>
+      c.generationExpression.foreach(g =>
+        ColumnSpecs.validateGenerated(session, s"$what $ident", c.name,
+          c.dataType, g, bare))
+    }
+    bare
+  }
 
   private def createSpec(ident: String, spec: TableSpecBase)
       : (Option[String], Map[String, String], Seq[(String, String)]) = {
@@ -468,8 +496,46 @@ object GraftCatalog {
                 }
                 name -> ColumnBridge.column(unqualify(a.value))
               }
+              // GENERATED/IDENTITY discipline (r16): a generated
+              // column is never assigned directly — it RECOMPUTES over
+              // the post-assignment row (assignment expressions
+              // substituted into the generation expression, so SQL's
+              // pre-image RHS semantics still hold), and an update of
+              // a source column can never leave a stale derived value.
+              // ALWAYS-identity columns are unassignable.
+              val recSchema = ManifestTable.snapshotSchema(session, path)
+              val assignedN = pairs.map(p => norm(p._1)).toSet
+              val assignExpr: Map[String, Expression] = pairs.map(p =>
+                norm(p._1) -> ColumnBridge.expression(p._2)).toMap
+              val genRecompute: Seq[(String, Column)] =
+                recSchema.toSeq.flatMap(_.fields.toSeq).flatMap { f =>
+                  ColumnSpecs.identityOf(f).foreach { is =>
+                    require(is.byDefault || !assignedN(norm(f.name)),
+                      s"UPDATE on $ident: '${f.name}' is GENERATED ALWAYS " +
+                        "AS IDENTITY — it cannot be assigned")
+                  }
+                  ColumnSpecs.generatedOf(f).map { sql =>
+                    require(!assignedN(norm(f.name)),
+                      s"UPDATE on $ident: '${f.name}' is GENERATED ALWAYS " +
+                        s"AS ($sql) — it recomputes from its expression, " +
+                        "assign its source columns instead")
+                    val post = session.sessionState.sqlParser
+                      .parseExpression(sql).transformUp {
+                        case ua: UnresolvedAttribute
+                            if ua.nameParts.length == 1 &&
+                              assignExpr.contains(norm(ua.nameParts.head)) =>
+                          assignExpr(norm(ua.nameParts.head))
+                      }
+                    f.name -> ColumnBridge.column(
+                      org.apache.spark.sql.catalyst.expressions.Cast(post,
+                        f.dataType,
+                        Option(session.sessionState.conf.sessionLocalTimeZone),
+                        org.apache.spark.sql.catalyst.expressions.EvalMode.ANSI))
+                  }
+                }
               UpdateCommand(ident, path,
-                pairs, condition.map(c => ColumnBridge.column(unqualify(c))))
+                pairs ++ genRecompute,
+                condition.map(c => ColumnBridge.column(unqualify(c))))
             case None => up
           }
         case m @ MergeIntoTable(tgtPlan, srcPlan, onCond,
@@ -811,6 +877,15 @@ object GraftCatalog {
                 require(c.nullable,
                   s"ADD COLUMNS on $ident: new columns must be nullable — " +
                     "every pre-add row reads them as null")
+                // an added-with-DEFAULT column would need an
+                // exists-default READ path (every pre-add row shows
+                // the default, not null) this engine does not record —
+                // half-honoring the clause would lie about old rows
+                require(c.default.isEmpty,
+                  s"ADD COLUMNS on $ident: DEFAULT on a new column is " +
+                    "unsupported (pre-add rows would read null, not the " +
+                    "default) — add the column, backfill with UPDATE, " +
+                    "then ALTER COLUMN … SET DEFAULT for future inserts")
                 require(c.position.isEmpty,
                   s"ADD COLUMNS on $ident: the recorded schema appends new " +
                     "columns last — positions are unsupported")
@@ -833,15 +908,31 @@ object GraftCatalog {
           val ident = u.multipartIdentifier.mkString(".")
           alterSpec(u, "ALTER") match {
             case Some(path) =>
-              val widens = specs.map { s =>
-                require(s.newDataType.isDefined && s.newNullability.isEmpty &&
-                    s.newComment.isEmpty && s.newPosition.isEmpty &&
-                    s.newDefaultExpression.isEmpty && !s.dropDefault,
-                  s"ALTER COLUMN on $ident supports TYPE changes only " +
-                    "(the metadata-only widening lattice)")
-                s.column.name.toSeq -> s.newDataType.get
+              // two metadata-only families (r16): TYPE widening, and
+              // SET/DROP DEFAULT. One statement speaks one family —
+              // a mixed edit would entangle two failure surfaces.
+              if (specs.forall(s =>
+                  s.newDefaultExpression.isDefined || s.dropDefault)) {
+                val edits = specs.map { s =>
+                  require(s.newDataType.isEmpty && s.newNullability.isEmpty &&
+                      s.newComment.isEmpty && s.newPosition.isEmpty,
+                    s"ALTER COLUMN on $ident: SET/DROP DEFAULT cannot be " +
+                      "combined with other column changes in one spec")
+                  s.column.name.toSeq -> s.newDefaultExpression.map(_.originalSQL)
+                }
+                AlterCommand(ident, path, SetDefault(edits))
+              } else {
+                val widens = specs.map { s =>
+                  require(s.newDataType.isDefined && s.newNullability.isEmpty &&
+                      s.newComment.isEmpty && s.newPosition.isEmpty &&
+                      s.newDefaultExpression.isEmpty && !s.dropDefault,
+                    s"ALTER COLUMN on $ident supports TYPE changes (the " +
+                      "metadata-only widening lattice) and SET/DROP " +
+                      "DEFAULT only")
+                  s.column.name.toSeq -> s.newDataType.get
+                }
+                AlterCommand(ident, path, Widen(widens))
               }
-              AlterCommand(ident, path, Widen(widens))
             case None => al
           }
         // SET/UNSET TBLPROPERTIES aimed at a graft table would
@@ -967,8 +1058,19 @@ object GraftCatalog {
     *    transform SOURCES says what you mean).
     *  - assignment is POSITIONAL (or BY NAME with the keyword); an
     *    explicit column list `(b, a)` maps query columns to those
-    *    names positionally, and must name every table column —
-    *    partial inserts with defaults are not a thing here.
+    *    names positionally. A column may be OMITTED (from the list or
+    *    the BY NAME set) iff it fills itself (r16): DEFAULT columns
+    *    re-evaluate their recorded expression per statement, GENERATED
+    *    columns compute from the completed row (and are EQUALITY-
+    *    enforced when supplied explicitly — one column-pruned pass,
+    *    the CHECK discipline), IDENTITY columns allocate via
+    *    [[graft.functions.NextIdentityValue]] (one codegen'd
+    *    projection column, zero shuffles; the high-water mark
+    *    advances at publish from the write's own recorded stats, and
+    *    a concurrent allocation race is REFUSED at commit, never
+    *    published as duplicates). GENERATED ALWAYS AS IDENTITY
+    *    refuses explicit values; BY DEFAULT permits them. Positional
+    *    inserts supply every non-identity column.
     *  - `PARTITION (p = 'x'[, q])` — the Hive-idiom static/dynamic
     *    partition clause (r16, finishing the r15 half-build). The
     *    clause must name EVERY identity partition column (Hive's own
@@ -1038,63 +1140,152 @@ object GraftCatalog {
       // the query side supplies the table MINUS the static columns
       val querySide: Option[StructType] = recorded.map(s =>
         StructType(s.fields.filterNot(f => staticRaw.contains(norm(f.name)))))
+      import ColumnSpecs.{autoFillable, defaultOf, generatedOf, identityOf}
       val aligned =
         if (byName && userCols.isEmpty) {
           // BY NAME still refuses a shape drift: an extra source column
           // would otherwise be silently projected away below (the same
-          // data-loss pattern copyInto refuses), and a missing one
-          // would fail later with a worse error
-          querySide.foreach(s => require(
-            src.columns.map(norm).toSet == s.fieldNames.map(norm).toSet,
-            s"INSERT BY NAME into $ident: source columns " +
-              s"(${src.columns.sorted.mkString(", ")}) must match the " +
-              s"expected set (${s.fieldNames.sorted.mkString(", ")}) exactly"))
+          // data-loss pattern copyInto refuses). A MISSING column is
+          // legal iff it fills itself — DEFAULT, GENERATED, IDENTITY.
+          querySide.foreach { s =>
+            val byNorm = s.fields.map(f => norm(f.name)).toSet
+            val extra = src.columns.filterNot(c => byNorm(norm(c)))
+            require(extra.isEmpty,
+              s"INSERT BY NAME into $ident: source columns " +
+                s"${extra.mkString(", ")} are not table columns " +
+                s"(expected among: ${s.fieldNames.sorted.mkString(", ")})")
+            val suppliedN = src.columns.map(norm).toSet
+            val bad = s.fields.filterNot(f => suppliedN(norm(f.name)))
+              .filterNot(autoFillable)
+            require(bad.isEmpty,
+              s"INSERT BY NAME into $ident omits " +
+                s"${bad.map(_.name).mkString(", ")} — an omitted column " +
+                "needs a DEFAULT, GENERATED, or IDENTITY spec")
+          }
           src
         }
         else {
           val targets: Seq[String] = userCols match {
             case Nil =>
-              querySide.map(_.fieldNames.toSeq).getOrElse(src.columns.toSeq)
+              // positional: the query supplies every non-IDENTITY
+              // column in recorded order (identity columns are
+              // allocated — ALWAYS ones are unwritable, and BY
+              // DEFAULT ones need an explicit column list to address)
+              querySide.map(_.fields.toSeq
+                  .filter(f => identityOf(f).isEmpty).map(_.name))
+                .getOrElse(src.columns.toSeq)
             case cols =>
-              querySide.foreach(s => require(
-                cols.map(norm).toSet == s.fieldNames.map(norm).toSet,
-                s"INSERT INTO $ident (${cols.mkString(", ")}) must name " +
-                  s"every non-static table column " +
-                  s"(${s.fieldNames.mkString(", ")}) — " +
-                  "partial inserts with defaults are unsupported"))
+              querySide.foreach { s =>
+                val byNorm = s.fields.map(f => norm(f.name)).toSet
+                val bad = cols.filterNot(c => byNorm(norm(c)))
+                require(bad.isEmpty,
+                  s"INSERT INTO $ident (${cols.mkString(", ")}): " +
+                    s"${bad.mkString(", ")} are not insertable table " +
+                    s"columns (expected among: ${s.fieldNames.mkString(", ")})")
+                require(cols.map(norm).toSet.size == cols.size,
+                  s"INSERT INTO $ident: duplicate column in the list")
+                val named = cols.map(norm).toSet
+                val nofill = s.fields.filterNot(f => named(norm(f.name)))
+                  .filterNot(autoFillable)
+                require(nofill.isEmpty,
+                  s"INSERT INTO $ident (${cols.mkString(", ")}) omits " +
+                    s"${nofill.map(_.name).mkString(", ")} — an omitted " +
+                    "column needs a DEFAULT, GENERATED, or IDENTITY spec")
+              }
               cols
           }
           require(src.schema.length == targets.length,
             s"INSERT INTO $ident: query produces ${src.schema.length} " +
-              s"column(s), target takes ${targets.length}")
+              s"column(s), target takes ${targets.length} " +
+              s"(${targets.mkString(", ")})")
           src.toDF(targets: _*)
         }
+      // explicit values into a GENERATED ALWAYS AS IDENTITY column are
+      // refused (BY DEFAULT permits them — the high-water mark then
+      // self-syncs from the write's recorded stats at publish)
+      val suppliedNorm = aligned.columns.map(norm).toSet
+      querySide.foreach(_.fields.foreach { f =>
+        identityOf(f).foreach { is =>
+          require(is.byDefault || !suppliedNorm(norm(f.name)),
+            s"INSERT into $ident: '${f.name}' is GENERATED ALWAYS AS " +
+              "IDENTITY — omit it from the insert (GENERATED BY DEFAULT " +
+              "would permit explicit values)")
+        }
+      })
+      // fill pass 1 (r16) — omitted DEFAULT and IDENTITY columns.
+      // Defaults are column-free expressions re-evaluated per
+      // statement; identity is ONE codegen'd projection column
+      // (NextIdentityValue: interleaved ordinals, zero shuffles, zero
+      // driver coordination — see its Scaladoc for the 100 TB math).
+      var identityBases = Map.empty[String, Long]
+      var filled = aligned
+      querySide.foreach(_.fields.foreach { f =>
+        if (!suppliedNorm(norm(f.name))) {
+          identityOf(f) match {
+            case Some(is) =>
+              filled = filled.withColumn(f.name, ColumnBridge.column(
+                graft.functions.NextIdentityValue(is.base, is.step)))
+              identityBases += f.name -> is.base
+            case None => defaultOf(f).foreach { sql =>
+              filled = filled.withColumn(f.name,
+                ColumnSpecs.defaultColumn(session, sql, f.dataType))
+            }
+          }
+        }
+      })
+      // fill pass 2 — GENERATED columns, after defaults (the
+      // expression may reference DEFAULT-bearing siblings): computed
+      // over the completed frame when omitted; when SUPPLIED the
+      // values must AGREE with the expression — one column-pruned
+      // null-safe-equality pass, the CHECK-constraint discipline
+      // (stored generated values that silently drift from their
+      // expression are a lie about the table)
+      querySide.foreach(_.fields.foreach { f =>
+        generatedOf(f).foreach { sql =>
+          val gen = ColumnSpecs.generatedColumn(session, sql, f.dataType)
+          if (!suppliedNorm(norm(f.name)))
+            filled = filled.withColumn(f.name, gen)
+          else {
+            import org.apache.spark.sql.functions.not
+            require(filled.filter(not(filled.col(f.name) <=> gen)).isEmpty,
+              s"INSERT into $ident supplies GENERATED column '${f.name}' " +
+                s"with values that disagree with GENERATED ALWAYS AS ($sql)")
+          }
+        }
+      })
       // recorded order (the analyzer resolves names case-insensitively),
       // with ANSI store-assignment on the SAFE side only: a source
       // column whose type is a sanctioned WIDENING of the recorded one
       // (int literal into a long column — the VALUES(1, …) shape)
       // up-casts through the same value-preserving lattice widenColumn
       // uses; anything else reaches commit unchanged and is refused by
-      // its strict discipline, never silently narrowed
+      // its strict discipline, never silently narrowed. Column specs
+      // (DEFAULT/GENERATED/IDENTITY metadata) re-attach via the alias:
+      // an OVERWRITE commit records the batch's own schema, and a bare
+      // alias would silently wipe them (appends ignore batch metadata).
       val staticByNorm = staticCols.map { case (f, c) => norm(f.name) -> c }.toMap
       val ordered = recorded match {
         case Some(s) =>
-          val srcTypes = aligned.schema
+          val srcTypes = filled.schema
             .map(f => norm(f.name) -> f.dataType).toMap
-          aligned.select(s.fields.map { f =>
+          filled.select(s.fields.map { f =>
+            def alias(c: Column): Column = ColumnSpecs.specMetadata(f) match {
+              case Some(m) => c.as(f.name, m)
+              case None => c.as(f.name)
+            }
             staticByNorm.get(norm(f.name)) match {
-              case Some(litCol) => litCol.as(f.name) // injected static value
+              case Some(litCol) => alias(litCol) // injected static value
               case None =>
-                val c = aligned.col(f.name)
+                val c = filled.col(f.name)
                 srcTypes.get(norm(f.name)) match {
                   case Some(t) if t != f.dataType &&
                       ManifestTable.safeStoreCast(t, f.dataType) =>
-                    c.cast(f.dataType).as(f.name)
-                  case _ => c
+                    alias(c.cast(f.dataType))
+                  case _ => alias(c)
                 }
             }
           }.toSeq: _*)
-        case None => aligned
+        case None => filled
       }
       if (overwrite && partBy.nonEmpty) {
         import org.apache.spark.sql.functions.{col, lit}
@@ -1163,7 +1354,8 @@ object GraftCatalog {
         return Nil
       }
       ManifestTable.commit(session, path, ordered,
-        if (overwrite) SaveMode.Overwrite else SaveMode.Append)
+        if (overwrite) SaveMode.Overwrite else SaveMode.Append,
+        identityBase = identityBases)
       Nil
     }
   }
@@ -1265,6 +1457,9 @@ object GraftCatalog {
   final case class Add(cols: Seq[(Seq[String], DataType)]) extends Alter
   final case class Drop(cols: Seq[Seq[String]], ifExists: Boolean) extends Alter
   final case class Widen(cols: Seq[(Seq[String], DataType)]) extends Alter
+  /** SET DEFAULT (Some(sql)) / DROP DEFAULT (None) per column (r16). */
+  final case class SetDefault(cols: Seq[(Seq[String], Option[String])])
+    extends Alter
 
   /** `ALTER TABLE graft.<name> RENAME COLUMN / ADD COLUMNS /
     * DROP COLUMN / ALTER COLUMN … TYPE …` — each maps to the
@@ -1312,6 +1507,15 @@ object GraftCatalog {
           if (keep.nonEmpty) ManifestTable.dropColumnsAt(session, path, keep)
         case Widen(cols) =>
           ManifestTable.widenColumnsAt(session, path, cols)
+        case SetDefault(cols) =>
+          val edits = cols.map { case (p, sqlOpt) =>
+            require(p.length == 1,
+              s"SET/DROP DEFAULT on $ident: '${p.mkString(".")}' is " +
+                "nested — defaults fill INSERT columns, which are " +
+                "top-level")
+            p.head -> sqlOpt
+          }
+          ManifestTable.setColumnDefaults(session, path, edits)
       }
       Nil
     }
@@ -1444,7 +1648,7 @@ object GraftCatalog {
         case ct: CreateTable if ddlIdent(ct.name).isDefined =>
           val name = ddlIdent(ct.name).get
           val ident = s"graft.$name"
-          val fields = v1Fields("CREATE TABLE", ident, ct.columns)
+          val fields = v1Fields("CREATE TABLE", ident, ct.columns, session)
           require(fields.nonEmpty, s"CREATE TABLE $ident needs a column list")
           val (loc, props, cons) = createSpec(ident, ct.tableSpec)
           CreateCommand(ident, name, StructType(fields),
@@ -1468,7 +1672,7 @@ object GraftCatalog {
         case rt: ReplaceTable if ddlIdent(rt.name).isDefined =>
           val name = ddlIdent(rt.name).get
           val ident = s"graft.$name"
-          val fields = v1Fields("REPLACE TABLE", ident, rt.columns)
+          val fields = v1Fields("REPLACE TABLE", ident, rt.columns, session)
           require(fields.nonEmpty, s"REPLACE TABLE $ident needs a column list")
           val (loc, props, cons) = createSpec(ident, rt.tableSpec)
           ReplaceCommand(ident, name, StructType(fields),
@@ -1576,6 +1780,15 @@ object GraftCatalog {
           s"CREATE TABLE $ident: $path already holds a table " +
             "(IF NOT EXISTS to adopt it, or pick a fresh LOCATION)")
       }
+      // an IDENTITY partition column would defeat its own allocation:
+      // partition columns carry no per-file stats (their values live
+      // in the dir key), so the high-water mark could never sync —
+      // and every row is unique anyway, one dir per row
+      tableSchema.fields.filter(f => ColumnSpecs.identityOf(f).isDefined)
+        .foreach(f => require(!partitionBy.map(norm).contains(norm(f.name)),
+          s"CREATE TABLE $ident: IDENTITY column '${f.name}' cannot be a " +
+            "partition column — per-value dirs and no stats to sync the " +
+            "high-water mark from"))
       val df = query match {
         case Some(q) => PlanBridge.ofRows(session, q)
         case None => session.createDataFrame(
@@ -1690,6 +1903,11 @@ object GraftCatalog {
             s"config ($have) — properties are create-time; stats evolve " +
             "via ANALYZE, constraints via the CONSTRAINT clause")
       }
+      tableSchema.fields.filter(f => ColumnSpecs.identityOf(f).isDefined)
+        .foreach(f => require(!partitionBy.map(norm).contains(norm(f.name)),
+          s"REPLACE TABLE $ident: IDENTITY column '${f.name}' cannot be a " +
+            "partition column — per-value dirs and no stats to sync the " +
+            "high-water mark from"))
       val df = query match {
         case Some(q) => PlanBridge.ofRows(session, q)
         case None => session.createDataFrame(
@@ -1743,9 +1961,20 @@ object GraftCatalog {
         s"DESCRIBE graft.$name: no such registered table" + hintRenamed(name)))
       val sch = ManifestTable.snapshotSchema(session, path).getOrElse(
         new StructType())
-      val cols = sch.fields.toSeq.map(f => Row(f.name, f.dataType.simpleString,
-        if (f.metadata.contains("comment")) f.metadata.getString("comment")
-        else null))
+      val cols = sch.fields.toSeq.map { f =>
+        // column specs surface in the comment slot (r16) — the one
+        // human-facing column DESCRIBE has for per-column facts
+        val spec = ColumnSpecs.identityOf(f).map(is =>
+            s"generated ${if (is.byDefault) "by default" else "always"} as " +
+              s"identity (start ${is.start} step ${is.step}" +
+              is.hwm.map(h => s", high-water mark $h").getOrElse("") + ")")
+          .orElse(ColumnSpecs.generatedOf(f).map(g => s"generated always as ($g)"))
+          .orElse(ColumnSpecs.defaultOf(f).map(d => s"default $d"))
+        val cmt = if (f.metadata.contains("comment"))
+          Some(f.metadata.getString("comment")) else None
+        Row(f.name, f.dataType.simpleString,
+          (cmt.toSeq ++ spec.toSeq).reduceOption(_ + "; " + _).orNull)
+      }
       val partBy = ManifestTable.partitionColumns(session, path)
       val transforms = ManifestTable.partitionTransforms(session, path)
       val partRows =
@@ -1855,7 +2084,18 @@ object GraftCatalog {
       val colLines = sch.fields.toSeq.map { f =>
         val cmt = if (f.metadata.contains("comment"))
           s" COMMENT ${lit(f.metadata.getString("comment"))}" else ""
-        s"  ${f.name} ${f.dataType.sql}$cmt"
+        // column specs round-trip (r16): the replayed statement
+        // re-declares DEFAULT / GENERATED / IDENTITY exactly (the
+        // identity high-water mark is allocation STATE, not DDL — a
+        // replayed CREATE starts a fresh table at START WITH)
+        val spec = ColumnSpecs.identityOf(f).map(is =>
+            s" GENERATED ${if (is.byDefault) "BY DEFAULT" else "ALWAYS"} AS " +
+              s"IDENTITY (START WITH ${is.start} INCREMENT BY ${is.step})")
+          .orElse(ColumnSpecs.generatedOf(f).map(g =>
+            s" GENERATED ALWAYS AS ($g)"))
+          .orElse(ColumnSpecs.defaultOf(f).map(d => s" DEFAULT $d"))
+          .getOrElse("")
+        s"  ${f.name} ${f.dataType.sql}$spec$cmt"
       } ++
         cons.map { case (n, sql) => s"  CONSTRAINT $n CHECK ($sql)" }
       val transforms = ManifestTable.partitionTransforms(session, path)

@@ -3109,6 +3109,15 @@ object ManifestTable {
     val mapSch: Option[StructType] = physOverride.orElse(
       try snapshotSchema(spark, table)
       catch { case _: IllegalArgumentException => None })
+    // IDENTITY columns are ALWAYS stats-tracked (r16): the publish path
+    // syncs the allocation high-water mark from the recorded per-file
+    // ranges, so a write that skipped them would stall the mark and
+    // risk duplicate allocation. Sourced from the recorded schema AND
+    // the batch's own field metadata (a schema-replacing overwrite
+    // carries the specs on its aliases). Zero cost without identity.
+    val statsCols2 = (statsColumns ++
+      (mapSch.toSeq.flatMap(_.fields) ++ df0.schema.fields)
+        .filter(f => ColumnSpecs.identityOf(f).isDefined).map(_.name)).distinct
     // top-level logical → physical, for the stats pass below (stats
     // keys are top-level column names; nested fields carry no stats)
     val physOf: Map[String, String] = mapSch.map(_.fields.collect {
@@ -3203,13 +3212,13 @@ object ManifestTable {
     val bloomCols = bloomCfg.toSeq.flatMap(_.cols)
       .filter(df.schema.names.contains).filterNot(partitionBy.contains)
     val scanStats: Map[String, Map[String, (Double, Double)]] =
-      if ((statsColumns.isEmpty && bloomCols.isEmpty) || files.isEmpty) Map.empty
+      if ((statsCols2.isEmpty && bloomCols.isEmpty) || files.isEmpty) Map.empty
       else {
         import org.apache.spark.sql.functions.{col, max, min}
         val present = df.schema.map(_.name).toSet
         // partition columns already carry exact path-derived ranges —
         // and do not exist inside the data files to scan
-        val cols = statsColumns.filter(present).filterNot(partitionBy.contains)
+        val cols = statsCols2.filter(present).filterNot(partitionBy.contains)
         // the manifest grammar is quote-delimited and line-oriented: a
         // column name carrying a quote, backslash, or newline would be
         // written unescaped and corrupt the stats block for EVERY
@@ -3301,7 +3310,7 @@ object ManifestTable {
     // — or [[rowCount]] would refuse the whole snapshot over a file
     // that trivially holds nothing.
     val statsPassRan = scanStats.nonEmpty ||
-      ((statsColumns.filter(df.schema.names.contains)
+      ((statsCols2.filter(df.schema.names.contains)
           .exists(!partitionBy.contains(_)) || bloomCols.nonEmpty)
         && files.nonEmpty)
     val stats = files.iterator.map { fn =>
@@ -3366,9 +3375,52 @@ object ManifestTable {
                          transformsB64: Option[String] = None,
                          ingestSegs: Option[Seq[String]] = None)
       : Boolean = {
+    val fileSet0 = files.toSet
+    val live0 = stats.filter { case (f, m) => m.nonEmpty && fileSet0.contains(f) }
+    // IDENTITY high-water-mark sync (r16): every publish advances each
+    // identity column's recorded mark to the furthest value (in step
+    // direction) the snapshot's per-file stats carry — the SAME ranges
+    // data skipping prunes on, so the sync is a driver-side fold over
+    // metadata already in hand, zero extra passes. Monotone by
+    // construction (never moves backward, never resets on overwrite —
+    // ANSI identity may gap, never reuse), and self-healing: explicit
+    // values written through any path (BY DEFAULT inserts, MERGE,
+    // the DataFrame face) advance the mark the moment their stats
+    // land, the behavior Delta needs SYNC IDENTITY to restore.
+    // Stats ride as Double — exact for longs below 2^53; past that the
+    // bound pads by the double's ulp so a rounded-DOWN max can never
+    // cause re-allocation (gaps are legal, duplicates are not).
+    val schemaSynced = schema.map { s =>
+      StructType(s.fields.map { f =>
+        ColumnSpecs.identityOf(f) match {
+          case Some(is) =>
+            val ranges = live0.valuesIterator.flatMap(_.get(f.name)).toSeq
+            if (ranges.isEmpty) f
+            else {
+              val b = if (is.step > 0) ranges.map(_._2).max else ranges.map(_._1).min
+              if (b.isNaN) f
+              else {
+                val pad =
+                  if (math.abs(b) < 9007199254740992.0) 0L
+                  else math.ulp(b).toLong + 1L
+                val bound =
+                  if (is.step > 0) Math.addExact(math.ceil(b).toLong, pad)
+                  else Math.subtractExact(math.floor(b).toLong, pad)
+                val next = is.hwm match {
+                  case Some(h) =>
+                    if (is.step > 0) math.max(h, bound) else math.min(h, bound)
+                  case None => bound
+                }
+                if (is.hwm.contains(next)) f else ColumnSpecs.withHwm(f, next)
+              }
+            }
+          case None => f
+        }
+      })
+    }
     // schema rides base64-encoded (its JSON is full of quotes the
     // regex-grammar manifest must not see)
-    val schemaLine = schema.map { s =>
+    val schemaLine = schemaSynced.map { s =>
       val b64 = java.util.Base64.getEncoder.encodeToString(s.json.getBytes("UTF-8"))
       s"""  "schemaB64": "$b64",\n"""
     }.getOrElse("")
@@ -3380,8 +3432,8 @@ object ManifestTable {
       if (partitionBy.isEmpty) ""
       else partitionBy.map(c => s""""$c"""")
         .mkString("  \"partitionBy\": [", ", ", "],\n")
-    val fileSet = files.toSet
-    val live = stats.filter { case (f, m) => m.nonEmpty && fileSet.contains(f) }
+    val fileSet = fileSet0
+    val live = live0
     // commit wall-clock, forced STRICTLY past the parent's so
     // timestamp-as-of resolution is total even for same-millisecond
     // commit bursts (the Delta in-commit-timestamp monotonicity rule);
@@ -3675,7 +3727,8 @@ object ManifestTable {
              statsColumns: Seq[String] = Nil,
              partitionBy: Seq[String] = Nil,
              txn: Option[(String, Long)] = None,
-             constraintsOverride: Option[Map[String, String]] = None): Int = {
+             constraintsOverride: Option[Map[String, String]] = None,
+             identityBase: Map[String, Long] = Map.empty): Int = {
     // idempotence gate, before any data is written: a replayed batch
     // whose (appId, version) is already recorded leaves zero garbage
     txn.foreach { case (app, v) =>
@@ -3833,6 +3886,23 @@ object ManifestTable {
       // data dir becomes unreferenced garbage expire reclaims)
       txn.foreach { case (app, v) =>
         if (txnVersion(spark, table, app, head).exists(_ >= v)) return head }
+      // IDENTITY allocation race check (r16): this batch's values were
+      // derived from `base`; a concurrent writer that advanced the
+      // mark since may have allocated the same range — refuse rather
+      // than publish a possible duplicate (the re-run re-reads the
+      // moved mark). O(1) metadata against the SAME head the publish
+      // is conditioned on, so a winner is always self-consistent.
+      identityBase.foreach { case (c, b) =>
+        val nowBase = (if (head == 0) None
+                       else snapshotSchema(spark, table, head))
+          .flatMap(_.fields.find(_.name.equalsIgnoreCase(c)))
+          .flatMap(ColumnSpecs.identityOf).map(_.base)
+        if (!nowBase.contains(b))
+          throw new java.util.ConcurrentModificationException(
+            s"IDENTITY allocation on $table.$c raced a concurrent write " +
+              s"(allocation base $b moved to ${nowBase.getOrElse("none")}) — " +
+              "re-run the insert against the new mark")
+      }
       val consNow = checkConstraints(spark, table, head)
       if (constraintsOverride.isEmpty && consNow != validatedCons) {
         requireSatisfied(df, consNow, s"a batch committed to $table")
@@ -4295,13 +4365,30 @@ object ManifestTable {
     // the NOT MATCHED insert image (r14): the anti-joined source rows,
     // optionally gated by a source-side condition and/or projected
     // through an explicit column list — assigned columns take their
-    // (source-frame) expressions under the widen-or-refuse discipline,
-    // unassigned ones insert as typed nulls (the standard SQL column-
-    // list contract; CHECK constraints then validate the post-image,
-    // so a null that violates one refuses the statement)
+    // (source-frame) expressions under the widen-or-refuse discipline.
+    // Unassigned columns (r16) honor their recorded specs first — the
+    // surrogate-key CDC pattern: IDENTITY allocates (ALWAYS refuses an
+    // explicit assignment), DEFAULT re-evaluates, GENERATED computes
+    // over the completed image (and is equality-enforced when assigned
+    // explicitly) — and only a spec-free column inserts as a typed
+    // null (the standard SQL column-list contract; CHECK constraints
+    // then validate the post-image, so a null that violates one
+    // refuses the statement). Identity bases re-read per publish
+    // attempt (the schema comes from the attempt's OWN head), so a
+    // lost race re-derives fresh values — never duplicates.
     def insertImage(src0: DataFrame, tgtSchema: StructType): DataFrame = {
       val filtered = insertCondition.fold(src0)(src0.filter)
-      insertAssign match {
+      // INSERT * onto a target with spec columns the source doesn't
+      // carry (r16): the star expands to the source's own columns and
+      // the missing spec columns fill themselves — `WHEN NOT MATCHED
+      // THEN INSERT *` allocates the surrogate key
+      val starAssigns: Option[Seq[(String, Column)]] =
+        if (insertAssign.isDefined) None
+        else if (tgtSchema.fields.exists(f => ColumnSpecs.hasSpec(f) &&
+            !src0.columns.exists(_.equalsIgnoreCase(f.name))))
+          Some(src0.columns.toSeq.map(c => c -> col(c)))
+        else None
+      insertAssign.orElse(starAssigns) match {
         case None => filtered
         case Some(assigns) =>
           require(assigns.map(_._1).distinct.length == assigns.length,
@@ -4309,7 +4396,14 @@ object ManifestTable {
           val amap = assigns.toMap
           amap.keys.foreach(c => require(tgtSchema.fieldNames.contains(c),
             s"MERGE INSERT on $table assigns unknown column '$c'"))
-          filtered.select(tgtSchema.fields.toSeq.map { f =>
+          tgtSchema.fields.foreach { f =>
+            ColumnSpecs.identityOf(f).foreach(is =>
+              require(is.byDefault || !amap.contains(f.name),
+                s"MERGE INSERT on $table: '${f.name}' is GENERATED ALWAYS " +
+                  "AS IDENTITY — omit it from the column list (BY DEFAULT " +
+                  "would permit explicit values)"))
+          }
+          val base = filtered.select(tgtSchema.fields.toSeq.map { f =>
             amap.get(f.name) match {
               case Some(e) =>
                 val aType = filtered.select(e.as("__p")).schema.head.dataType
@@ -4319,9 +4413,36 @@ object ManifestTable {
                    s"MERGE INSERT on $table assigns $aType to column " +
                      s"'${f.name}' (${f.dataType}) — only the widening " +
                      "lattice casts implicitly")).as(f.name)
-              case None => lit(null).cast(f.dataType).as(f.name)
+              case None =>
+                ColumnSpecs.identityOf(f) match {
+                  case Some(is) => org.apache.spark.sql.graftbridge.ColumnBridge
+                    .column(graft.functions.NextIdentityValue(is.base, is.step))
+                    .as(f.name)
+                  case None => ColumnSpecs.defaultOf(f) match {
+                    case Some(sql) =>
+                      ColumnSpecs.defaultColumn(spark, sql, f.dataType).as(f.name)
+                    case None => lit(null).cast(f.dataType).as(f.name)
+                  }
+                }
             }
           }: _*)
+          // GENERATED columns complete last, over the filled image
+          tgtSchema.fields.foldLeft(base) { (d, f) =>
+            ColumnSpecs.generatedOf(f) match {
+              case Some(sql) if !amap.contains(f.name) =>
+                d.withColumn(f.name,
+                  ColumnSpecs.generatedColumn(spark, sql, f.dataType))
+              case Some(sql) =>
+                import org.apache.spark.sql.functions.not
+                require(d.filter(not(d.col(f.name) <=>
+                    ColumnSpecs.generatedColumn(spark, sql, f.dataType))).isEmpty,
+                  s"MERGE INSERT on $table assigns GENERATED column " +
+                    s"'${f.name}' values that disagree with GENERATED " +
+                    s"ALWAYS AS ($sql)")
+                d
+              case None => d
+            }
+          }
       }
     }
     val bounds = keyEnvelope(updates, keys) // head-independent: once
@@ -4329,6 +4450,49 @@ object ManifestTable {
     while (attempt < maxAttempts) {
       attempt += 1
       val head = currentVersion(spark, table)
+      // column-spec discipline over the whole statement (r16), against
+      // the attempt's OWN head schema: an ALWAYS-identity column may
+      // never arrive from the source (SET * / INSERT * / explicit
+      // assignment would all write caller-chosen values into a column
+      // the table allocates); generated and ALWAYS-identity columns
+      // are unassignable in the UPDATE arms (generated ones RECOMPUTE
+      // over the post-image below — a stale derived value cannot
+      // survive a merge).
+      val recFields: Seq[StructField] =
+        (if (head == 0) None else snapshotSchema(spark, table, head))
+          .map(_.fields.toSeq).getOrElse(Nil)
+      val genFields = recFields.filter(f => ColumnSpecs.generatedOf(f).isDefined)
+      recFields.foreach { f =>
+        ColumnSpecs.identityOf(f).foreach { is =>
+          require(is.byDefault ||
+              !updates.columns.exists(_.equalsIgnoreCase(f.name)),
+            s"MERGE on $table: the source carries '${f.name}', a GENERATED " +
+              "ALWAYS AS IDENTITY column — drop it from the source (the " +
+              "table allocates it; BY DEFAULT would permit explicit values)")
+        }
+        val assignedIn: Seq[(Seq[(String, Column)], String)] =
+          whenMatchedAssign.map(_ -> "MERGE UPDATE SET").toSeq ++
+            whenNotMatchedBySourceUpdate.map(_._1 -> "BY SOURCE UPDATE")
+        assignedIn.foreach { case (assigns, what) =>
+          if (assigns.exists(_._1.equalsIgnoreCase(f.name))) {
+            ColumnSpecs.generatedOf(f).foreach(g =>
+              throw new IllegalArgumentException(
+                s"$what on $table: '${f.name}' is GENERATED ALWAYS AS " +
+                  s"($g) — it recomputes from its expression, assign its " +
+                  "source columns instead"))
+            ColumnSpecs.identityOf(f).filterNot(_.byDefault).foreach(_ =>
+              throw new IllegalArgumentException(
+                s"$what on $table: '${f.name}' is GENERATED ALWAYS AS " +
+                  "IDENTITY — it cannot be assigned"))
+          }
+        }
+      }
+      // re-derive every generated column over a post-image frame —
+      // idempotent on untouched rows, and it ADDS the column when a
+      // SET * source doesn't carry it
+      def regen(d: DataFrame): DataFrame = genFields.foldLeft(d)((dd, f) =>
+        dd.withColumn(f.name, ColumnSpecs.generatedColumn(spark,
+          ColumnSpecs.generatedOf(f).get, f.dataType)))
       // idempotence gate (checked per attempt, against the head the
       // commit will be conditional on): a replayed micro-batch whose
       // (appId, version) the table already records is a NO-OP — the
@@ -4488,8 +4652,17 @@ object ManifestTable {
                 .select(tgt.columns.toSeq.map(c =>
                   (if (amap.contains(c)) value(c) else col(c)).as(c)): _*)
             case None =>
+              // SET * (r16): spec-bearing columns the source doesn't
+              // carry KEEP the target row's value — an update never
+              // re-defaults a column or re-allocates a surrogate key;
+              // generated columns re-derive in regen below
+              val carry = recFields.filter(f =>
+                (ColumnSpecs.identityOf(f).isDefined ||
+                  ColumnSpecs.defaultOf(f).isDefined) &&
+                !srcCols.exists(_.equalsIgnoreCase(f.name))).map(_.name)
               joined.filter(matched && !del && upd)
-                .select(srcCols.map(c => col(s"_src.$c").as(c)): _*)
+                .select(srcCols.map(c => col(s"_src.$c").as(c)) ++
+                  carry.map(c => col(c).as(c)): _*)
           }
           // anti-join against the AFFECTED files' keys only: a source
           // key present anywhere in the table is a match, and a match
@@ -4499,8 +4672,8 @@ object ManifestTable {
           def u(a: DataFrame, b: DataFrame) =
             a.unionByName(b, allowMissingColumns = mergeSchema)
           val upserted =
-            if (!insertUnmatched) u(kept, replaced) // matched-only merge
-            else u(u(kept, replaced), insertImage(updates.join(
+            if (!insertUnmatched) u(regen(kept), regen(replaced))
+            else u(u(regen(kept), regen(replaced)), insertImage(updates.join(
               tgt.select(keys.map(col): _*).distinct(), keys, "left_anti"),
               tgt.schema))
           (upserted, affected)
@@ -5621,6 +5794,58 @@ object ManifestTable {
       s"widenColumns on $table lost $maxAttempts commit races")
   }
 
+  /** Metadata-only `ALTER TABLE … ALTER COLUMN c SET DEFAULT <expr>` /
+    * `DROP DEFAULT` (r16): records (or clears) the column's DEFAULT
+    * spec in the versioned schema — one O(metadata) commit, zero data
+    * moves. Applies to FUTURE inserts only, the Delta discipline:
+    * existing rows are untouched and no exists-default is recorded (a
+    * backfill is an explicit UPDATE the user can see the cost of).
+    * Refused on GENERATED/IDENTITY columns (their fill IS their spec)
+    * and on nested fields (defaults fill INSERT columns — top-level). */
+  def setColumnDefaults(spark: SparkSession, table: String,
+                        edits: Seq[(String, Option[String])],
+                        maxAttempts: Int = 5): Int = {
+    require(edits.nonEmpty, "SET/DROP DEFAULT needs at least one column")
+    require(edits.map(_._1).distinct.length == edits.length,
+      "duplicate columns in the DEFAULT edit")
+    var attempt = 0
+    while (attempt < maxAttempts) {
+      attempt += 1
+      val head = currentVersion(spark, table)
+      require(head >= 1, s"no committed snapshot in $table")
+      val (files, schema, stats, partBy) = snapshotAll(spark, table, head)
+      val sch = schema.getOrElse(recordedSchema(
+        readFiles(spark, table, files.take(1), None, partBy).schema, partBy))
+      val edited = edits.foldLeft(sch) { case (cur, (name, sqlOpt)) =>
+        val f = cur.fields.find(_.name.equalsIgnoreCase(name)).getOrElse(
+          throw new IllegalArgumentException(
+            s"no top-level column '$name' on $table (defaults fill " +
+              "INSERT columns — nested fields have none)"))
+        require(ColumnSpecs.generatedOf(f).isEmpty &&
+            ColumnSpecs.identityOf(f).isEmpty,
+          s"ALTER COLUMN ${f.name} on $table: a GENERATED/IDENTITY " +
+            "column fills itself — it takes no DEFAULT")
+        val nf = sqlOpt match {
+          case Some(sql) =>
+            ColumnSpecs.validateDefault(spark, s"ALTER TABLE $table",
+              f.name, f.dataType, sql)
+            ColumnSpecs.withDefault(f, sql)
+          case None => ColumnSpecs.withoutDefault(f)
+        }
+        StructType(cur.fields.map(x => if (x.name == f.name) nf else x))
+      }
+      beforeConditionalCommit()
+      if (currentVersion(spark, table) == head &&
+          tryPublish(spark, table, head, files,
+            s"setdefault-${b64t(edits.map(_._1).mkString(","))}",
+            Some(recordedSchema(edited, partBy)), stats, partBy,
+            op = "set-default"))
+        return head + 1
+    }
+    throw new java.util.ConcurrentModificationException(
+      s"setColumnDefaults on $table lost $maxAttempts commit races")
+  }
+
   /** Metadata-only RENAME COLUMN through column mapping (the Delta
     * columnMapping idiom, r12): the recorded schema's field takes the
     * new LOGICAL name and remembers the column's PHYSICAL (on-disk)
@@ -5763,6 +5988,23 @@ object ManifestTable {
       deleteTombstones(spark, table, head).foreach { case (sql, _) =>
         require(stillAnalyzes(sql),
           s"a pending lazy delete references '$dotted' — materialize first") }
+      // generated-column references (r16): a generated expression
+      // spelling the OLD name would dangle — every future INSERT
+      // would fail at run time; refuse the rename instead
+      renamed.fields.foreach(f => ColumnSpecs.generatedOf(f).foreach { g =>
+        val ok =
+          try {
+            spark.createDataFrame(
+                new java.util.ArrayList[org.apache.spark.sql.Row](), renamed)
+              .select(org.apache.spark.sql.functions.expr(g))
+              .queryExecution.analyzed
+            true
+          } catch { case _: Exception => false }
+        require(ok,
+          s"GENERATED column '${f.name}' (ALWAYS AS ($g)) references " +
+            s"'$dotted' — its recorded expression would dangle after the " +
+            "rename")
+      })
       // stats keys are LOGICAL, top-level only — re-spell them with a
       // top-level rename; a nested rename touches no stats key
       def rekey(k: String): String =
@@ -5866,6 +6108,22 @@ object ManifestTable {
       deleteTombstones(spark, table, head).foreach { case (sql, _) =>
         require(stillAnalyzes(sql),
           s"a pending lazy delete references a dropped column — materialize first") }
+      // generated-column references (r16): a SURVIVING generated
+      // expression must still analyze over the narrowed schema — a
+      // dangling reference would fail every future INSERT at run time
+      narrowed.fields.foreach(f => ColumnSpecs.generatedOf(f).foreach { g =>
+        val ok =
+          try {
+            spark.createDataFrame(
+                new java.util.ArrayList[org.apache.spark.sql.Row](), narrowed)
+              .select(org.apache.spark.sql.functions.expr(g))
+              .queryExecution.analyzed
+            true
+          } catch { case _: Exception => false }
+        require(ok,
+          s"GENERATED column '${f.name}' (ALWAYS AS ($g)) references a " +
+            "dropped column — drop it first (or together)")
+      })
       val stripped = stats.map { case (f, m) =>
         f -> names.foldLeft(m)((acc, name) =>
           acc - name - (NullsKeyPrefix + name) - (NonNullsKeyPrefix + name)) }
