@@ -1092,6 +1092,115 @@ object PipelineQueries {
              |FROM orders""".stripMargin)
     ),
 
+    // Q_CLUSTER_BY (r16): declarative clustering — `CREATE TABLE …
+    // CLUSTER BY (k)` records the dimension, stats-tracks it from the
+    // first insert with zero statsColumns ceremony, and plain
+    // `OPTIMIZE` re-clusters on it (the declarative ZORDER). The
+    // range query then prunes on the clustered dimension's recorded
+    // per-file ranges. The oracle recomputes the aggregate from raw
+    // orders — equal only if clustering moved bytes without losing or
+    // duplicating a row.
+    Entry(
+      "q_cluster_by",
+      (s, d) => {
+        val t = scratchDir("qclby", d)
+        rmRf(t)
+        val M = graft.sources.ManifestTable
+        graft.sources.GraftCatalog.unregister("q_clby_t")
+        s.sql(s"""CREATE TABLE graft.q_clby_t (
+                 |  o_orderkey BIGINT, o_totalprice DOUBLE,
+                 |  o_orderpriority STRING
+                 |) CLUSTER BY (o_orderkey) LOCATION '$t'""".stripMargin)
+        try {
+          Tables.orders(s, d).createOrReplaceTempView("v_clby_src")
+          s.sql("""INSERT INTO graft.q_clby_t
+                  |SELECT o_orderkey, o_totalprice, o_orderpriority
+                  |FROM v_clby_src""".stripMargin)
+          val opt = s.sql("OPTIMIZE graft.q_clby_t").collect()(0)
+          require(opt.getString(1) == "cluster(o_orderkey)",
+            s"plain OPTIMIZE must re-cluster on the recorded dimension, " +
+              s"got ${opt.getString(1)}")
+          // the clustered dimension carries per-file ranges to prune on
+          require(M.snapshotStats(s, t).values
+              .filter(_.get("__graft_rows").exists(_._2 > 0))
+              .forall(_.contains("o_orderkey")),
+            "the clustered dimension must be stats-tracked")
+          s.sql(s"""SELECT o_orderpriority, count(*) AS cnt,
+                   |  ${dsumSql("o_totalprice")} AS sum_price
+                   |FROM graft.q_clby_t
+                   |WHERE o_orderkey BETWEEN 1000 AND 20000
+                   |GROUP BY o_orderpriority
+                   |ORDER BY o_orderpriority""".stripMargin)
+        } finally graft.sources.GraftCatalog.unregister("q_clby_t")
+      },
+      Some(s"""SELECT o_orderpriority, count(*) AS cnt,
+             |  ${dsumSql("o_totalprice")} AS sum_price
+             |FROM orders
+             |WHERE o_orderkey BETWEEN 1000 AND 20000
+             |GROUP BY o_orderpriority
+             |ORDER BY o_orderpriority NULLS FIRST""".stripMargin)
+    ),
+
+    // Q_SQL_VIEWS (r16): the view face — CREATE VIEW stores the
+    // definition as TEXT, expansion happens at analysis (so the view
+    // reads the table's CURRENT state: rows inserted AFTER the CREATE
+    // flow through with zero refresh ceremony), and views NEST. The
+    // oracle replays the stacked definitions inline over raw orders —
+    // equal only if both expansion levels and the post-create insert
+    // all flowed through.
+    Entry(
+      "q_sql_views",
+      (s, d) => {
+        val t = scratchDir("qview", d)
+        rmRf(t)
+        val M = graft.sources.ManifestTable
+        import org.apache.spark.sql.SaveMode
+        graft.sources.GraftCatalog.unregister("q_view_t")
+        Seq("q_view_pricey", "q_view_bands").foreach(
+          graft.sources.GraftCatalog.unregisterView)
+        M.commit(s, t, Tables.orders(s, d)
+            .select(col("o_orderkey"), col("o_totalprice"),
+              col("o_orderpriority"))
+            .filter(col("o_orderkey") % 2 === 1),
+          SaveMode.Overwrite, statsColumns = Seq("o_orderkey"))
+        graft.sources.GraftCatalog.register("q_view_t", t)
+        try {
+          s.sql("""CREATE VIEW graft.q_view_pricey AS
+                  |SELECT o_orderkey, o_totalprice * 2 AS price2,
+                  |  o_orderpriority
+                  |FROM graft.q_view_t WHERE o_orderkey % 3 = 0""".stripMargin)
+          s.sql("""CREATE VIEW graft.q_view_bands AS
+                  |SELECT o_orderpriority,
+                  |  CASE WHEN price2 < 300000 THEN 'low' ELSE 'high' END
+                  |    AS band, price2
+                  |FROM graft.q_view_pricey""".stripMargin)
+          // rows landing AFTER the CREATE are visible through BOTH
+          // view levels — the expansion reads live state
+          Tables.orders(s, d).createOrReplaceTempView("v_view_src")
+          s.sql("""INSERT INTO graft.q_view_t
+                  |SELECT o_orderkey, o_totalprice, o_orderpriority
+                  |FROM v_view_src WHERE o_orderkey % 2 = 0""".stripMargin)
+          s.sql(s"""SELECT o_orderpriority, band, count(*) AS cnt,
+                   |  ${dsumSql("price2")} AS sum_price2
+                   |FROM graft.q_view_bands
+                   |GROUP BY o_orderpriority, band
+                   |ORDER BY o_orderpriority, band""".stripMargin)
+        } finally {
+          Seq("q_view_pricey", "q_view_bands").foreach(
+            graft.sources.GraftCatalog.unregisterView)
+          graft.sources.GraftCatalog.unregister("q_view_t")
+        }
+      },
+      Some(s"""SELECT o_orderpriority,
+             |  CASE WHEN o_totalprice * 2 < 300000 THEN 'low' ELSE 'high' END
+             |    AS band,
+             |  count(*) AS cnt, ${dsumSql("o_totalprice * 2")} AS sum_price2
+             |FROM orders
+             |WHERE o_orderkey % 3 = 0
+             |GROUP BY 1, 2
+             |ORDER BY o_orderpriority NULLS FIRST, band NULLS FIRST""".stripMargin)
+    ),
+
     // Q_REPLACE_WHERE (r14): the idempotent region reload —
     // `INSERT INTO … REPLACE WHERE <region>` atomically deletes the
     // region and inserts the recomputed batch in ONE version. The

@@ -65,6 +65,8 @@ object GraftCatalog {
     require(name.nonEmpty && !name.contains(".") && !name.contains("@"),
       s"table name '$name' must be a plain identifier (no '.' or '@' — " +
         "'@v<N>' is reserved for time travel)")
+    require(!viewReg.containsKey(norm(name)),
+      s"table name '$name' collides with a registered view")
     reg.put(norm(name), path)
     // the name is live (again): a hint left from an earlier rename
     // would outlive this registration's history and lie (ADVICE r15)
@@ -75,6 +77,65 @@ object GraftCatalog {
   def unregister(name: String): Unit = reg.remove(norm(name))
 
   def lookup(name: String): Option[String] = Option(reg.get(norm(name)))
+
+  // -------------------------------------------------------------------
+  // SQL views (r16): name → the view's SQL text, session-scoped like
+  // the table registry. A view is pure TEXT — it expands at analysis
+  // into its (re-parsed) plan, so it always reads the CURRENT state of
+  // every table it references; there is no materialization, no storage
+  // and no versioning surface (the referenced tables carry those).
+  // -------------------------------------------------------------------
+
+  private val viewReg = new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  def registerView(name: String, sql: String): Unit = {
+    require(name.nonEmpty && !name.contains(".") && !name.contains("@"),
+      s"view name '$name' must be a plain identifier")
+    require(lookup(name).isEmpty,
+      s"view name '$name' collides with a registered table")
+    viewReg.put(norm(name), sql)
+    ()
+  }
+
+  def unregisterView(name: String): Unit = viewReg.remove(norm(name))
+
+  def lookupView(name: String): Option[String] = Option(viewReg.get(norm(name)))
+
+  def registeredViews: Map[String, String] = {
+    import scala.jdk.CollectionConverters._
+    viewReg.asScala.toMap
+  }
+
+  /** A relation identifier that names a registered VIEW — same
+    * namespace rules as tables (2-part `graft.<name>` or a bare
+    * registered name); time-travel suffixes never match (a view has
+    * no versions — its tables do). */
+  private def viewParts(parts: Seq[String]): Option[String] = parts match {
+    case Seq(ns, ident) if norm(ns) == "graft" &&
+        viewReg.containsKey(norm(ident)) => Some(norm(ident))
+    case Seq(ident) if viewReg.containsKey(norm(ident)) => Some(norm(ident))
+    case _ => None
+  }
+
+  /** The view's plan, fully expanded: nested view references inline
+    * recursively HERE (one rule firing, not one analyzer iteration
+    * per level), so a definition cycle is a clean refusal instead of
+    * a fixed-point blowup. Table references stay unresolved for the
+    * ordinary machinery. */
+  private def expandView(session: SparkSession, name: String,
+                         seen: Set[String]): LogicalPlan = {
+    require(!seen.contains(name),
+      s"view graft.$name is cyclic — expansion chain: " +
+        (seen + name).mkString(" -> "))
+    val sql = Option(viewReg.get(name)).getOrElse(
+      throw new IllegalArgumentException(s"no such view graft.$name"))
+    val parsed = session.sessionState.sqlParser.parsePlan(sql)
+    parsed.transformUpWithSubqueries {
+      case u: UnresolvedRelation if viewParts(u.multipartIdentifier).isDefined =>
+        val inner = viewParts(u.multipartIdentifier).get
+        SubqueryAlias(inner, expandView(session, inner, seen + name))
+    }
+  }
 
   // where renamed names WENT — so a command aimed at a stale name can
   // say so instead of "no such table" (session-local, like `reg`)
@@ -173,6 +234,8 @@ object GraftCatalog {
     * at execution) — claim that form too. */
   private def ddlIdent(name: LogicalPlan): Option[String] = name match {
     case u: UnresolvedIdentifier => graftIdent(u.nameParts)
+    case u: org.apache.spark.sql.catalyst.analysis.UnresolvedView =>
+      graftIdent(u.multipartIdentifier)
     case u: UnresolvedTable => graftIdent(u.multipartIdentifier)
     case u: org.apache.spark.sql.catalyst.analysis.UnresolvedTableOrView =>
       graftIdent(u.multipartIdentifier)
@@ -203,6 +266,37 @@ object GraftCatalog {
           "supported: identity columns, years/months/days/hours(c), " +
           "bucket(n, c), truncate(w, c)")
     }
+  }
+
+  /** Split a CREATE/REPLACE transform list into (CLUSTER BY columns,
+    * real partitioning transforms) — `CLUSTER BY (a[, b])` arrives as
+    * Spark's ClusterByTransform riding the partitioning list (r16).
+    * Clustering and partitioning don't combine (one physical layout
+    * per table — the Delta liquid-clustering rule), and the dimension
+    * cap matches OPTIMIZE ZORDER's (more interleave dilutes every
+    * dimension). */
+  private def clusterSplit(ident: String, transforms: Seq[Transform])
+      : (Seq[String], Seq[Transform]) = {
+    val (ct, rest) = transforms.partition(_.isInstanceOf[
+      org.apache.spark.sql.connector.expressions.ClusterByTransform])
+    val cols: Seq[String] = ct.headOption.map(
+      _.asInstanceOf[org.apache.spark.sql.connector.expressions.ClusterByTransform]
+        .columnNames.map { r =>
+          require(r.fieldNames.length == 1,
+            s"CLUSTER BY on $ident takes top-level columns, got " +
+              r.fieldNames.mkString("."))
+          r.fieldNames.head
+        }).getOrElse(Nil)
+    require(cols.isEmpty || rest.isEmpty,
+      s"$ident: CLUSTER BY and PARTITIONED BY do not combine — cluster " +
+        "the flat table (OPTIMIZE re-clusters it) or partition it, not both")
+    require(cols.size <= 2,
+      s"$ident: CLUSTER BY interleaves at most 2 dimensions " +
+        s"(got ${cols.mkString(", ")}) — more dims dilute every " +
+        "dimension's clustering; pick the 2 most selective")
+    require(cols.map(norm).distinct.size == cols.size,
+      s"$ident: duplicate CLUSTER BY column")
+    (cols, rest)
   }
 
   /** The table-config properties a CREATE may record. */
@@ -337,10 +431,12 @@ object GraftCatalog {
     }
     p match {
       case i: InsertIntoStatement => i.table match {
-        case u: UnresolvedRelation => specOf(u).isDefined
+        case u: UnresolvedRelation => specOf(u).isDefined ||
+          viewParts(u.multipartIdentifier).isDefined
         case _ => false
       }
-      case d: DeleteFromTable => rel(d.table).exists(specOf(_).isDefined)
+      case d: DeleteFromTable => rel(d.table).exists(u =>
+        specOf(u).isDefined || viewParts(u.multipartIdentifier).isDefined)
       case t: org.apache.spark.sql.catalyst.plans.logical.TruncateTable =>
         t.table match {
           case u: UnresolvedTable => partsSpec(u.multipartIdentifier).isDefined
@@ -351,8 +447,10 @@ object GraftCatalog {
           case u: UnresolvedTable => partsSpec(u.multipartIdentifier).isDefined
           case _ => false
         }
-      case up: UpdateTable => rel(up.table).exists(specOf(_).isDefined)
-      case m: MergeIntoTable => rel(m.targetTable).exists(specOf(_).isDefined)
+      case up: UpdateTable => rel(up.table).exists(u =>
+        specOf(u).isDefined || viewParts(u.multipartIdentifier).isDefined)
+      case m: MergeIntoTable => rel(m.targetTable).exists(u =>
+        specOf(u).isDefined || viewParts(u.multipartIdentifier).isDefined)
       case a: org.apache.spark.sql.catalyst.plans.logical.AlterTableCommand =>
         a.table match {
           case u: UnresolvedTable => partsSpec(u.multipartIdentifier).isDefined
@@ -363,7 +461,8 @@ object GraftCatalog {
           case u: UnresolvedRelation => specOf(u).isDefined
           case _ => false
         }
-      case u: UnresolvedRelation => !u.isStreaming && specOf(u).isDefined
+      case u: UnresolvedRelation => !u.isStreaming &&
+        (specOf(u).isDefined || viewParts(u.multipartIdentifier).isDefined)
       case _ => false
     }
   }
@@ -374,7 +473,7 @@ object GraftCatalog {
       // NOTHING (O(1)), and a plan with no claimable node needs no
       // rewrite (one instanceof walk instead of two full
       // resolveOperatorsUp passes per analyzer iteration)
-      if (reg.isEmpty) return plan
+      if (reg.isEmpty && viewReg.isEmpty) return plan
       if (!plan.exists(claims)) return plan
       resolutionWalks.incrementAndGet() // test observability only
       val withWrites = plan.resolveOperatorsUp {
@@ -396,7 +495,12 @@ object GraftCatalog {
                   "unsupported — spell the existence check explicitly")
               InsertCommand(ident, path,
                 query, overwrite, userCols, byName, partSpec)
-            case None => i
+            case None =>
+              viewParts(u.multipartIdentifier).foreach(v =>
+                throw new IllegalArgumentException(
+                  s"cannot INSERT into view graft.$v — views are " +
+                    "read-only; write to the tables they read"))
+              i
           }
         case d @ DeleteFromTable(tgtPlan, condition) =>
           // unwrap `DELETE FROM graft.<name> [AS t]`
@@ -424,7 +528,12 @@ object GraftCatalog {
               }
               DeleteCommand(u.multipartIdentifier.mkString("."), path,
                 ColumnBridge.column(cond))
-            case None => d
+            case None =>
+              delRel.flatMap(r => viewParts(r.multipartIdentifier)).foreach(v =>
+                throw new IllegalArgumentException(
+                  s"cannot DELETE from view graft.$v — views are " +
+                    "read-only; write to the tables they read"))
+              d
           }
         // TRUNCATE TABLE graft.<name> — the versioned-table semantics:
         // a new version with ZERO files, metadata-only (ADVICE r14 —
@@ -536,7 +645,12 @@ object GraftCatalog {
               UpdateCommand(ident, path,
                 pairs ++ genRecompute,
                 condition.map(c => ColumnBridge.column(unqualify(c))))
-            case None => up
+            case None =>
+              updRel.flatMap(r => viewParts(r.multipartIdentifier)).foreach(v =>
+                throw new IllegalArgumentException(
+                  s"cannot UPDATE view graft.$v — views are read-only; " +
+                    "write to the tables they read"))
+              up
           }
         case m @ MergeIntoTable(tgtPlan, srcPlan, onCond,
             matchedActs, notMatchedActs, notMatchedBySrc, withEvolution) =>
@@ -857,7 +971,12 @@ object GraftCatalog {
                 bySrcUpdate = bySrcUpdate, matchedAssign = matchedAssign,
                 insertCond = insertCond, insertAssign = insertAssign,
                 keyMap = keyMap)
-            case None => m
+            case None =>
+              tgtRel.flatMap(r => viewParts(r.multipartIdentifier)).foreach(v =>
+                throw new IllegalArgumentException(
+                  s"cannot MERGE into view graft.$v — views are " +
+                    "read-only; write to the tables they read"))
+              m
           }
         // ---- ALTER TABLE graft.<name> … — the DDL face over the
         // metadata-only schema-evolution operators (r12)
@@ -1002,6 +1121,14 @@ object GraftCatalog {
               }
             case _ => tt
           }
+        // a registered VIEW expands to its (re-parsed, recursively
+        // view-inlined) definition — always the current table state,
+        // cycles refused inside expandView (r16)
+        case u: UnresolvedRelation if !u.isStreaming &&
+            specOf(u).isEmpty &&
+            viewParts(u.multipartIdentifier).isDefined =>
+          val n = viewParts(u.multipartIdentifier).get
+          SubqueryAlias(n, expandView(session, n, Set.empty))
         case u: UnresolvedRelation if !u.isStreaming =>
           specOf(u) match {
             case Some((path, v)) =>
@@ -1552,7 +1679,15 @@ object GraftCatalog {
           !plan.isInstanceOf[AnalyzeColumn] &&
           !plan.isInstanceOf[AnalyzeTable] &&
           !plan.isInstanceOf[
-            org.apache.spark.sql.catalyst.plans.logical.RenameTable]) return plan
+            org.apache.spark.sql.catalyst.plans.logical.RenameTable] &&
+          !plan.isInstanceOf[
+            org.apache.spark.sql.catalyst.plans.logical.CreateView] &&
+          !plan.isInstanceOf[
+            org.apache.spark.sql.catalyst.plans.logical.DropView] &&
+          !plan.isInstanceOf[
+            org.apache.spark.sql.catalyst.plans.logical.AlterViewAs] &&
+          !plan.isInstanceOf[
+            org.apache.spark.sql.catalyst.plans.logical.ShowViews]) return plan
       plan.resolveOperatorsUp {
         // ---- ALTER TABLE graft.a RENAME TO graft.b — the registry
         // rename (r14 verdict ask #5): metadata-only, the directory
@@ -1651,18 +1786,21 @@ object GraftCatalog {
           val fields = v1Fields("CREATE TABLE", ident, ct.columns, session)
           require(fields.nonEmpty, s"CREATE TABLE $ident needs a column list")
           val (loc, props, cons) = createSpec(ident, ct.tableSpec)
+          val (clusterBy, partT) = clusterSplit(ident, ct.partitioning)
           CreateCommand(ident, name, StructType(fields),
-            ct.partitioning.map(transformSpelling(_, ident)), loc, props,
-            cons, ct.ignoreIfExists, query = None)
+            partT.map(transformSpelling(_, ident)), loc, props,
+            cons, ct.ignoreIfExists, query = None, clusterBy = clusterBy)
         case cta: CreateTableAsSelect if ddlIdent(cta.name).isDefined =>
           val name = ddlIdent(cta.name).get
           val ident = s"graft.$name"
           require(cta.writeOptions.isEmpty,
             s"CREATE TABLE $ident AS: write OPTIONS are unsupported")
           val (loc, props, cons) = createSpec(ident, cta.tableSpec)
+          val (clusterBy, partT) = clusterSplit(ident, cta.partitioning)
           CreateCommand(ident, name, new StructType(),
-            cta.partitioning.map(transformSpelling(_, ident)), loc, props,
-            cons, cta.ignoreIfExists, query = Some(cta.query))
+            partT.map(transformSpelling(_, ident)), loc, props,
+            cons, cta.ignoreIfExists, query = Some(cta.query),
+            clusterBy = clusterBy)
         // ---- [CREATE OR] REPLACE TABLE graft.<name> — the atomic
         // table swap (r16): ONE overwrite version replaces schema,
         // layout, data, AND the CHECK-constraint set; history and
@@ -1675,18 +1813,21 @@ object GraftCatalog {
           val fields = v1Fields("REPLACE TABLE", ident, rt.columns, session)
           require(fields.nonEmpty, s"REPLACE TABLE $ident needs a column list")
           val (loc, props, cons) = createSpec(ident, rt.tableSpec)
+          val (clusterBy, partT) = clusterSplit(ident, rt.partitioning)
           ReplaceCommand(ident, name, StructType(fields),
-            rt.partitioning.map(transformSpelling(_, ident)), loc, props,
-            cons, rt.orCreate, query = None)
+            partT.map(transformSpelling(_, ident)), loc, props,
+            cons, rt.orCreate, query = None, clusterBy = clusterBy)
         case rta: ReplaceTableAsSelect if ddlIdent(rta.name).isDefined =>
           val name = ddlIdent(rta.name).get
           val ident = s"graft.$name"
           require(rta.writeOptions.isEmpty,
             s"REPLACE TABLE $ident AS: write OPTIONS are unsupported")
           val (loc, props, cons) = createSpec(ident, rta.tableSpec)
+          val (clusterBy, partT) = clusterSplit(ident, rta.partitioning)
           ReplaceCommand(ident, name, new StructType(),
-            rta.partitioning.map(transformSpelling(_, ident)), loc, props,
-            cons, rta.orCreate, query = Some(rta.query))
+            partT.map(transformSpelling(_, ident)), loc, props,
+            cons, rta.orCreate, query = Some(rta.query),
+            clusterBy = clusterBy)
         // ---- DROP TABLE graft.<name> — external-table semantics: the
         // registration goes, the directory stays (expire/vacuum is the
         // only way bytes die).
@@ -1696,6 +1837,40 @@ object GraftCatalog {
             s"DROP TABLE graft.$name PURGE is unsupported — a graft DROP " +
               "only unregisters the name; reclaim bytes with expire")
           DropCommand(name, dt.ifExists)
+        // ---- CREATE/ALTER/DROP/SHOW VIEW graft.<name> (r16) — the
+        // view face; only the 2-part graft namespace is claimed (temp
+        // views and session-catalog views stay with Spark).
+        case cv: org.apache.spark.sql.catalyst.plans.logical.CreateView
+            if ddlIdent(cv.child).isDefined =>
+          val name = ddlIdent(cv.child).get
+          require(cv.userSpecifiedColumns.isEmpty,
+            s"CREATE VIEW graft.$name: a column list is unsupported — " +
+              "alias the columns in the SELECT")
+          require(cv.properties.isEmpty && cv.comment.isEmpty &&
+              cv.collation.isEmpty,
+            s"CREATE VIEW graft.$name: TBLPROPERTIES / COMMENT / " +
+              "COLLATION clauses are unsupported")
+          val sql = cv.originalText.getOrElse(
+            throw new IllegalArgumentException(
+              s"CREATE VIEW graft.$name needs the query's original text"))
+          CreateViewCommand(name, sql, cv.allowExisting, cv.replace)
+        case dv @ org.apache.spark.sql.catalyst.plans.logical.DropView(
+            child, ifExists) =>
+          ddlIdent(child) match {
+            case Some(name) => DropViewCommand(name, ifExists)
+            case None => dv
+          }
+        case av @ org.apache.spark.sql.catalyst.plans.logical.AlterViewAs(
+            child, text, _) if ddlIdent(child).isDefined =>
+          AlterViewAsCommand(ddlIdent(child).get, text)
+        case sv @ org.apache.spark.sql.catalyst.plans.logical.ShowViews(
+            ns, pattern, _) =>
+          ns match {
+            case n: org.apache.spark.sql.catalyst.analysis.UnresolvedNamespace
+                if n.multipartIdentifier.map(norm) == Seq("graft") =>
+              ShowViewsCommand(pattern)
+            case _ => sv
+          }
         // ---- DESCRIBE TABLE graft.<name> — the recorded schema, the
         // partition layout (hidden transforms included), and with
         // EXTENDED the table's whole metadata face.
@@ -1761,7 +1936,8 @@ object GraftCatalog {
   final case class CreateCommand(ident: String, name: String,
       tableSchema: StructType, partitionBy: Seq[String], location: Option[String],
       props: Map[String, String], checks: Seq[(String, String)],
-      ignoreIfExists: Boolean, query: Option[LogicalPlan])
+      ignoreIfExists: Boolean, query: Option[LogicalPlan],
+      clusterBy: Seq[String] = Nil)
     extends LeafRunnableCommand {
     override def innerChildren: Seq[LogicalPlan] = query.toSeq
     override def run(session: SparkSession): Seq[Row] = {
@@ -1802,6 +1978,17 @@ object GraftCatalog {
           s"CREATE TABLE $ident: graft.statsColumns names unknown " +
             s"column(s) ${bad.mkString(", ")}")
       }
+      // CLUSTER BY (r16): validated against the table's columns,
+      // recorded in the config sidecar; the columns join the
+      // stats-tracked set (skipping on the clustered dims is the
+      // point) and plain OPTIMIZE re-clusters on them
+      val badCluster = clusterBy.filterNot(c =>
+        df.columns.map(norm).contains(norm(c)))
+      require(badCluster.isEmpty,
+        s"CREATE TABLE $ident: CLUSTER BY names unknown column(s) " +
+          badCluster.mkString(", "))
+      val propsAll = props ++ (if (clusterBy.isEmpty) Map.empty
+        else Map("graft.clusterBy" -> clusterBy.mkString(",")))
       // CTAS rows validate the declared CHECKs BEFORE any write — the
       // addConstraint below re-validates per its own contract, but a
       // violating query must refuse with zero bytes on disk
@@ -1818,7 +2005,7 @@ object GraftCatalog {
       // ConcurrentCreateException — taken as the adopt path below,
       // exactly like a lost v1 publish, instead of escaping as an
       // opaque version-check failure
-      try ManifestTable.writeTableConfig(session, path, props)
+      try ManifestTable.writeTableConfig(session, path, propsAll)
       catch {
         case e: ManifestTable.ConcurrentCreateException =>
           if (ignoreIfExists &&
@@ -1874,7 +2061,7 @@ object GraftCatalog {
       tableSchema: StructType, partitionBy: Seq[String],
       location: Option[String], props: Map[String, String],
       checks: Seq[(String, String)], orCreate: Boolean,
-      query: Option[LogicalPlan])
+      query: Option[LogicalPlan], clusterBy: Seq[String] = Nil)
     extends LeafRunnableCommand {
     override def innerChildren: Seq[LogicalPlan] = query.toSeq
     override def run(session: SparkSession): Seq[Row] = {
@@ -1893,15 +2080,18 @@ object GraftCatalog {
             "REPLACE TABLE (or CREATE TABLE) to bootstrap one" +
             hintRenamed(name))
         return CreateCommand(ident, name, tableSchema, partitionBy,
-          Some(path), props, checks, ignoreIfExists = false, query)
-          .run(session)
+          Some(path), props, checks, ignoreIfExists = false, query,
+          clusterBy = clusterBy).run(session)
       }
-      if (props.nonEmpty) {
+      val propsAll = props ++ (if (clusterBy.isEmpty) Map.empty
+        else Map("graft.clusterBy" -> clusterBy.mkString(",")))
+      if (propsAll.nonEmpty) {
         val have = ManifestTable.tableConfig(session, path)
-        require(props == have,
-          s"REPLACE TABLE $ident: TBLPROPERTIES differ from the recorded " +
-            s"config ($have) — properties are create-time; stats evolve " +
-            "via ANALYZE, constraints via the CONSTRAINT clause")
+        require(propsAll == have,
+          s"REPLACE TABLE $ident: TBLPROPERTIES/CLUSTER BY differ from " +
+            s"the recorded config ($have) — the config sidecar is " +
+            "create-time; stats evolve via ANALYZE, constraints via the " +
+            "CONSTRAINT clause")
       }
       tableSchema.fields.filter(f => ColumnSpecs.identityOf(f).isDefined)
         .foreach(f => require(!partitionBy.map(norm).contains(norm(f.name)),
@@ -1939,6 +2129,105 @@ object GraftCatalog {
       }
       unregister(name)
       Nil
+    }
+  }
+
+  /** `CREATE [OR REPLACE] VIEW graft.<name> AS SELECT …` (r16) — a
+    * session-registered NAMED QUERY: the definition is stored as TEXT
+    * and expands at analysis time, so the view always reads the
+    * CURRENT state of every table it references (time travel, renames
+    * and schema evolution flow through with zero view-side machinery).
+    * The definition must ANALYZE at the statement — a view whose
+    * references are already broken is refused here, not at first use —
+    * and a self-referencing definition refuses as a cycle. Views and
+    * tables share the `graft` namespace (a collision refuses loudly);
+    * writes against a view refuse pointing at its tables. */
+  final case class CreateViewCommand(name: String, sql: String,
+      allowExisting: Boolean, replace: Boolean) extends LeafRunnableCommand {
+    override def run(session: SparkSession): Seq[Row] = {
+      require(lookup(name).isEmpty,
+        s"CREATE VIEW graft.$name: the name is a registered TABLE — " +
+          "views and tables share the graft namespace")
+      val prior = lookupView(name)
+      if (prior.isDefined && !replace) {
+        if (allowExisting) return Nil
+        throw new IllegalArgumentException(
+          s"CREATE VIEW graft.$name: a view with this name exists " +
+            "(OR REPLACE to swap it, IF NOT EXISTS to keep it)")
+      }
+      registerView(name, sql)
+      try {
+        PlanBridge.ofRows(session, session.sessionState.sqlParser
+          .parsePlan(s"SELECT * FROM graft.`$name`"))
+        ()
+      } catch { case e: Exception =>
+        prior match {
+          case Some(p) => registerView(name, p)
+          case None => unregisterView(name)
+        }
+        throw new IllegalArgumentException(
+          s"CREATE VIEW graft.$name: the definition does not analyze — " +
+            e.getMessage, e)
+      }
+      Nil
+    }
+  }
+
+  /** `ALTER VIEW graft.<name> AS SELECT …` — swap the definition;
+    * same analyze-now discipline, same rollback on refusal. */
+  final case class AlterViewAsCommand(name: String, sql: String)
+    extends LeafRunnableCommand {
+    override def run(session: SparkSession): Seq[Row] = {
+      val prior = lookupView(name).getOrElse(throw new IllegalArgumentException(
+        s"ALTER VIEW graft.$name: no such view" +
+          (if (lookup(name).isDefined) " — that name is a TABLE" else "")))
+      registerView(name, sql)
+      try {
+        PlanBridge.ofRows(session, session.sessionState.sqlParser
+          .parsePlan(s"SELECT * FROM graft.`$name`"))
+        ()
+      } catch { case e: Exception =>
+        registerView(name, prior)
+        throw new IllegalArgumentException(
+          s"ALTER VIEW graft.$name: the new definition does not analyze — " +
+            e.getMessage, e)
+      }
+      Nil
+    }
+  }
+
+  /** `DROP VIEW [IF EXISTS] graft.<name>` — unregister the name. */
+  final case class DropViewCommand(name: String, ifExists: Boolean)
+    extends LeafRunnableCommand {
+    override def run(session: SparkSession): Seq[Row] = {
+      if (lookupView(name).isEmpty) {
+        if (ifExists) return Nil
+        throw new IllegalArgumentException(
+          s"DROP VIEW graft.$name: no such view" +
+            (if (lookup(name).isDefined)
+               " — that name is a TABLE (DROP TABLE)" else ""))
+      }
+      unregisterView(name)
+      Nil
+    }
+  }
+
+  /** `SHOW VIEWS IN graft [LIKE 'pat*']` — the view-registry listing
+    * (Spark's SHOW VIEWS output shape). */
+  final case class ShowViewsCommand(pattern: Option[String])
+    extends LeafRunnableCommand {
+    override val output: Seq[org.apache.spark.sql.catalyst.expressions.Attribute] =
+      Seq(strAttr("namespace"), strAttr("viewName"),
+        org.apache.spark.sql.catalyst.expressions.AttributeReference(
+          "isTemporary", org.apache.spark.sql.types.BooleanType,
+          nullable = false)())
+    override def run(session: SparkSession): Seq[Row] = {
+      val re = pattern.map(p => p.split("\\|").map(a =>
+        java.util.regex.Pattern.quote(a).replace("*", "\\E.*\\Q"))
+        .mkString("(?i)(", ")|(", ")").r)
+      registeredViews.toSeq.sortBy(_._1).collect {
+        case (n, _) if re.forall(_.matches(n)) => Row("graft", n, false)
+      }
     }
   }
 
@@ -2073,6 +2362,9 @@ object GraftCatalog {
     override val output: Seq[org.apache.spark.sql.catalyst.expressions.Attribute] =
       Seq(strAttr("createtab_stmt"))
     override def run(session: SparkSession): Seq[Row] = {
+      // a VIEW round-trips as its defining statement (r16)
+      lookupView(name).foreach(v =>
+        return Seq(Row(s"CREATE VIEW graft.$name AS\n$v")))
       val path = lookup(name).getOrElse(throw new IllegalArgumentException(
         s"SHOW CREATE TABLE graft.$name: no such registered table" + hintRenamed(name)))
       val v = ManifestTable.currentVersion(session, path)
@@ -2132,6 +2424,13 @@ object GraftCatalog {
         .foreach(c => stmt ++= s"\nCOMMENT ${lit(c)}")
       if (partBy.nonEmpty)
         stmt ++= s"\nPARTITIONED BY (${partBy.mkString(", ")})"
+      // CLUSTER BY round-trips as its own clause (r16) — filtered to
+      // names the current schema still speaks, the statsColumns rule
+      ManifestTable.tableConfig(session, path).get("graft.clusterBy")
+        .map(_.split(",").iterator.map(_.trim).filter(_.nonEmpty)
+          .filter(c => sch.fieldNames.exists(_.equalsIgnoreCase(c))).toSeq)
+        .filter(_.nonEmpty)
+        .foreach(cb => stmt ++= s"\nCLUSTER BY (${cb.mkString(", ")})")
       stmt ++= s"\nLOCATION '$path'"
       if (props.nonEmpty)
         stmt ++= props.toSeq.sorted
@@ -2300,33 +2599,42 @@ object GraftCatalog {
         s"OPTIMIZE graft.$name: WHERE scopes the incremental bin-pack; " +
           "ZORDER rewrites the whole snapshot — the two don't compose " +
           "(z-order the table, or bin-pack the region)")
+      def zorder(cols: Seq[String], op: String): Seq[Row] = {
+        val sch = ManifestTable.snapshotSchema(session, path)
+          .getOrElse(new StructType())
+        cols.foreach(c => require(
+          sch.fieldNames.exists(_.equalsIgnoreCase(c)),
+          s"OPTIMIZE graft.$name: no column '$c' to cluster on"))
+        val sortBy = cols match {
+          case Seq(c) => Seq(col(c))
+          case Seq(x, y) => Seq(graft.operators.LakehouseQueries.zkey16(
+            col(x), col(y)))
+        }
+        val v = ManifestTable.compact(session, path,
+          targetFiles = optimizeTargetFiles(session, path),
+          sortBy = sortBy, statsColumns = cols)
+        Seq(Row(v, op))
+      }
       zorderBy match {
         case Nil =>
-          val v = ManifestTable.compactSmall(session, path,
-            where = where.map(org.apache.spark.sql.functions.expr))
-          Seq(Row(v, where.fold("compact-small")(w =>
-            s"compact-small(where $w)")))
-        case Seq(c) =>
-          val sch = ManifestTable.snapshotSchema(session, path)
-            .getOrElse(new StructType())
-          require(sch.fieldNames.exists(_.equalsIgnoreCase(c)),
-            s"OPTIMIZE graft.$name: no column '$c' to ZORDER BY")
-          val v = ManifestTable.compact(session, path,
-            targetFiles = optimizeTargetFiles(session, path),
-            sortBy = Seq(col(c)), statsColumns = Seq(c))
-          Seq(Row(v, s"zorder($c)"))
-        case Seq(x, y) =>
-          val sch = ManifestTable.snapshotSchema(session, path)
-            .getOrElse(new StructType())
-          Seq(x, y).foreach(c => require(
-            sch.fieldNames.exists(_.equalsIgnoreCase(c)),
-            s"OPTIMIZE graft.$name: no column '$c' to ZORDER BY"))
-          val v = ManifestTable.compact(session, path,
-            targetFiles = optimizeTargetFiles(session, path),
-            sortBy = Seq(graft.operators.LakehouseQueries.zkey16(
-              col(x), col(y))),
-            statsColumns = Seq(x, y))
-          Seq(Row(v, s"zorder($x, $y)"))
+          // a CLUSTER BY table's plain OPTIMIZE re-clusters on the
+          // recorded dimensions (r16) — the declarative spelling of
+          // ZORDER BY; OPTIMIZE WHERE stays the region bin-pack
+          val cluster = if (where.isDefined) Nil
+            else ManifestTable.tableConfig(session, path)
+              .get("graft.clusterBy")
+              .map(_.split(",").iterator.map(_.trim)
+                .filter(_.nonEmpty).toSeq).getOrElse(Nil)
+          if (cluster.nonEmpty)
+            zorder(cluster, s"cluster(${cluster.mkString(", ")})")
+          else {
+            val v = ManifestTable.compactSmall(session, path,
+              where = where.map(org.apache.spark.sql.functions.expr))
+            Seq(Row(v, where.fold("compact-small")(w =>
+              s"compact-small(where $w)")))
+          }
+        case Seq(c) => zorder(Seq(c), s"zorder($c)")
+        case Seq(x, y) => zorder(Seq(x, y), s"zorder($x, $y)")
         case more => throw new IllegalArgumentException(
           s"OPTIMIZE graft.$name: ZORDER BY interleaves at most 2 " +
             s"dimensions (got ${more.mkString(", ")}) — more dims " +

@@ -1802,11 +1802,15 @@ object ManifestTable {
     * takes the data's casing, so the recorded stats key is always a
     * real column. */
   private def configStatsColumns(spark: SparkSession, table: String,
-                                 available: Seq[String]): Seq[String] =
-    tableConfig(spark, table).get("graft.statsColumns")
-      .map(_.split(",").iterator.map(_.trim).filter(_.nonEmpty).toSeq)
-      .getOrElse(Nil)
+                                 available: Seq[String]): Seq[String] = {
+    val cfg = tableConfig(spark, table)
+    // CLUSTER BY columns are stats-tracked from birth (r16): skipping
+    // on the clustered dimensions is the clustering's whole point
+    (cfg.get("graft.statsColumns").toSeq ++ cfg.get("graft.clusterBy").toSeq)
+      .flatMap(_.split(",").iterator.map(_.trim).filter(_.nonEmpty))
+      .distinct
       .flatMap(c => available.find(_.equalsIgnoreCase(c)))
+  }
 
   private def externsPath(table: String) =
     new Path(manifestDir(table), "externs.json")
