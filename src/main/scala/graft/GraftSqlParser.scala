@@ -145,6 +145,12 @@ class GraftSqlParser(delegate: ParserInterface) extends ParserInterface {
         s"DEEP CLONE is not supported — a deep clone copies every byte, " +
           s"which is honestly spelled CREATE TABLE graft.${unq(dst)} … AS " +
           "SELECT …; for a zero-copy branch use SHALLOW CLONE")
+    case CreateMViewStmt(ine, name, loc, query) =>
+      GraftCatalog.CreateMaterializedViewCommand(unq(name),
+        query.replaceAll(";\\s*$", "").trim, Option(loc),
+        ignoreIfExists = ine != null)
+    case RefreshMViewStmt(name) =>
+      GraftCatalog.RefreshMaterializedViewCommand(unq(name))
     case _ => delegate.parsePlan(sqlText)
   }
 
@@ -242,6 +248,12 @@ object GraftSqlParser {
   // "TIMESTAMP AS OF '…'" can't both appear; LOCATION trails either
   private val CloneStmt =
     s"""(?is)\\s*CREATE\\s+TABLE\\s+(?:(IF\\s+NOT\\s+EXISTS)\\s+)?graft\\s*\\.\\s*($Ident)\\s+SHALLOW\\s+CLONE\\s+graft\\s*\\.\\s*($Ident)(?:\\s+VERSION\\s+AS\\s+OF\\s+(\\d+)|\\s+TIMESTAMP\\s+AS\\s+OF\\s+'([^']*)')?(?:\\s+LOCATION\\s+'([^']*)')?\\s*;?\\s*""".r
+  // materialized views (r16): the defining query is captured as raw
+  // TEXT (stored in the table config for REFRESH to re-run)
+  private val CreateMViewStmt =
+    s"""(?is)\\s*CREATE\\s+MATERIALIZED\\s+VIEW\\s+(?:(IF\\s+NOT\\s+EXISTS)\\s+)?graft\\s*\\.\\s*($Ident)\\s*(?:LOCATION\\s+'([^']*)'\\s*)?AS\\s+(.+)""".r
+  private val RefreshMViewStmt =
+    s"""(?is)\\s*REFRESH\\s+MATERIALIZED\\s+VIEW\\s+graft\\s*\\.\\s*($Ident)\\s*;?\\s*""".r
   private val DescribeHistoryStmt =
     s"""(?is)\\s*DESC(?:RIBE)?\\s+HISTORY\\s+graft\\s*\\.\\s*($Ident)\\s*;?\\s*""".r
   private val DescribeDetailStmt =

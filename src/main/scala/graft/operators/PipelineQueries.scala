@@ -1201,6 +1201,116 @@ object PipelineQueries {
              |ORDER BY o_orderpriority NULLS FIRST, band NULLS FIRST""".stripMargin)
     ),
 
+    // Q_MATERIALIZED_VIEW (r16): the materialized aggregate — CREATE
+    // MATERIALIZED VIEW computes the initial image, the base table
+    // moves (the image is STALE by contract, pinned by the in-query
+    // require), and REFRESH re-runs the recorded defining query as
+    // ONE atomic overwrite version. The oracle recomputes the
+    // aggregate from ALL raw orders — equal only if the refresh saw
+    // the post-insert base exactly once.
+    Entry(
+      "q_materialized_view",
+      (s, d) => {
+        val t = scratchDir("qmvb", d)
+        val mt = scratchDir("qmvm", d)
+        rmRf(t); rmRf(mt)
+        val M = graft.sources.ManifestTable
+        import org.apache.spark.sql.SaveMode
+        Seq("q_mv_base", "q_mv_agg").foreach(
+          graft.sources.GraftCatalog.unregister)
+        M.commit(s, t, Tables.orders(s, d)
+            .select(col("o_orderkey"), col("o_totalprice"),
+              col("o_orderpriority"))
+            .filter(col("o_orderkey") % 2 === 1),
+          SaveMode.Overwrite, statsColumns = Seq("o_orderkey"))
+        graft.sources.GraftCatalog.register("q_mv_base", t)
+        try {
+          s.sql(s"""CREATE MATERIALIZED VIEW graft.q_mv_agg LOCATION '$mt'
+                   |AS SELECT o_orderpriority, count(*) AS cnt,
+                   |  ${dsumSql("o_totalprice")} AS sum_price
+                   |FROM graft.q_mv_base
+                   |GROUP BY o_orderpriority""".stripMargin)
+          val staleCnt = s.sql(
+            "SELECT sum(cnt) FROM graft.q_mv_agg").head().getLong(0)
+          Tables.orders(s, d).createOrReplaceTempView("v_mv_src")
+          s.sql("""INSERT INTO graft.q_mv_base
+                  |SELECT o_orderkey, o_totalprice, o_orderpriority
+                  |FROM v_mv_src WHERE o_orderkey % 2 = 0""".stripMargin)
+          require(s.sql("SELECT sum(cnt) FROM graft.q_mv_agg")
+              .head().getLong(0) == staleCnt,
+            "the materialized image must be STALE until REFRESH")
+          val v0 = M.currentVersion(s, mt)
+          s.sql("REFRESH MATERIALIZED VIEW graft.q_mv_agg")
+          require(M.currentVersion(s, mt) == v0 + 1,
+            "REFRESH must spend exactly ONE version")
+          s.sql("""SELECT o_orderpriority, cnt, sum_price
+                  |FROM graft.q_mv_agg
+                  |ORDER BY o_orderpriority""".stripMargin)
+        } finally Seq("q_mv_base", "q_mv_agg").foreach(
+          graft.sources.GraftCatalog.unregister)
+      },
+      Some(s"""SELECT o_orderpriority, count(*) AS cnt,
+             |  ${dsumSql("o_totalprice")} AS sum_price
+             |FROM orders
+             |GROUP BY o_orderpriority
+             |ORDER BY o_orderpriority NULLS FIRST""".stripMargin)
+    ),
+
+    // Q_CACHE_TABLE (r16): version-keyed block caching — CACHE TABLE
+    // pins the head in executor memory (the plan flips to
+    // InMemoryTableScan, pinned by the in-query require), a write
+    // ADVANCES the version so the stale entry can never serve, and
+    // the first post-write read transparently re-caches the new head.
+    // The oracle recomputes the post-write aggregate from raw orders —
+    // equal only if the cache never served a stale image.
+    Entry(
+      "q_cache_table",
+      (s, d) => {
+        val t = scratchDir("qcache", d)
+        rmRf(t)
+        val M = graft.sources.ManifestTable
+        import org.apache.spark.sql.SaveMode
+        graft.sources.GraftCatalog.unregister("q_cache_t")
+        M.commit(s, t, Tables.orders(s, d)
+            .select(col("o_orderkey"), col("o_totalprice"),
+              col("o_orderpriority"))
+            .filter(col("o_orderkey") % 2 === 1),
+          SaveMode.Overwrite, statsColumns = Seq("o_orderkey"))
+        graft.sources.GraftCatalog.register("q_cache_t", t)
+        try {
+          s.sql("CACHE TABLE graft.q_cache_t")
+          require(M.isCached(s, t), "CACHE TABLE must register the head")
+          require(s.sql("SELECT * FROM graft.q_cache_t")
+              .queryExecution.executedPlan.toString
+              .contains("InMemoryTableScan"),
+            "a cached table must plan as an in-memory scan")
+          Tables.orders(s, d).createOrReplaceTempView("v_cache_src")
+          s.sql("""INSERT INTO graft.q_cache_t
+                  |SELECT o_orderkey, o_totalprice, o_orderpriority
+                  |FROM v_cache_src WHERE o_orderkey % 2 = 0""".stripMargin)
+          require(!M.isCached(s, t),
+            "a write must retire the cached version by construction")
+          val out = s.sql(s"""SELECT o_orderpriority, count(*) AS cnt,
+                   |  ${dsumSql("o_totalprice")} AS sum_price
+                   |FROM graft.q_cache_t
+                   |GROUP BY o_orderpriority
+                   |ORDER BY o_orderpriority""".stripMargin)
+          out.collect() // materialize through the re-cached head
+          require(M.isCached(s, t),
+            "the first post-write read must re-cache the new head")
+          out
+        } finally {
+          M.uncacheTable(s, t)
+          graft.sources.GraftCatalog.unregister("q_cache_t")
+        }
+      },
+      Some(s"""SELECT o_orderpriority, count(*) AS cnt,
+             |  ${dsumSql("o_totalprice")} AS sum_price
+             |FROM orders
+             |GROUP BY o_orderpriority
+             |ORDER BY o_orderpriority NULLS FIRST""".stripMargin)
+    ),
+
     // Q_REPLACE_WHERE (r14): the idempotent region reload —
     // `INSERT INTO … REPLACE WHERE <region>` atomically deletes the
     // region and inserts the recomputed batch in ONE version. The

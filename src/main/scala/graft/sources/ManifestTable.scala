@@ -2059,12 +2059,65 @@ object ManifestTable {
 
   def read(spark: SparkSession, table: String, version: Int = -1): DataFrame = {
     val v = if (version < 0) currentVersion(spark, table) else version
+    // CACHE TABLE (r16): the cache key is the SNAPSHOT VERSION, so
+    // correctness is by construction — a write advances the head, the
+    // next read misses, rebuilds, and retires the stale entry; no
+    // invalidation hooks anywhere. Returning the SAME DataFrame object
+    // while the version holds is what makes Spark's CacheManager
+    // substitute the in-memory blocks (fresh per-read plans would
+    // never be plan-equal to the persisted one).
+    if (cacheEnabled.contains(table)) {
+      val cur = cacheReg.get(table)
+      if (cur != null && cur._1 == v) return cur._2
+    }
     val (files, schema, _, partBy) = snapshotAll(spark, table, v)
-    if (files.isEmpty) emptyOrFail(spark, table, schema)
-    else readLive(spark, table, files, schema, partBy,
-      deleteTombstones(spark, table, v),
-      dvs = deleteVectors(spark, table, v))
+    val df =
+      if (files.isEmpty) emptyOrFail(spark, table, schema)
+      else readLive(spark, table, files, schema, partBy,
+        deleteTombstones(spark, table, v),
+        dvs = deleteVectors(spark, table, v))
+    if (version < 0 && cacheEnabled.contains(table) && files.nonEmpty) {
+      val persisted = df.persist()
+      val old = cacheReg.put(table, (v, persisted))
+      if (old != null && old._1 != v) old._2.unpersist(false)
+      persisted
+    } else df
   }
+
+  // -----------------------------------------------------------------
+  // CACHE TABLE registry (r16): tables opted into version-keyed block
+  // caching. Session-JVM-scoped like the name registry. Only HEAD
+  // reads populate the cache (time travel bypasses it — pinning every
+  // browsed version would hoard executor memory); an explicit-version
+  // read that happens to BE the cached head still hits.
+  // -----------------------------------------------------------------
+
+  private val cacheReg =
+    new java.util.concurrent.ConcurrentHashMap[String, (Int, DataFrame)]()
+  private val cacheEnabled =
+    java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
+
+  /** Opt `table` into version-keyed caching; `eager` materializes the
+    * blocks now (SQL `CACHE TABLE` default; LAZY defers to first use). */
+  def cacheTable(spark: SparkSession, table: String,
+                 eager: Boolean = true): Unit = {
+    cacheEnabled.add(table)
+    val df = read(spark, table)
+    if (eager) { df.count(); () }
+  }
+
+  /** Drop `table` from the cache and release its blocks. */
+  def uncacheTable(spark: SparkSession, table: String): Unit = {
+    cacheEnabled.remove(table)
+    Option(cacheReg.remove(table)).foreach(_._2.unpersist(false))
+  }
+
+  /** Is a CURRENT-head cached frame live for `table`? (tests/ops) */
+  def isCached(spark: SparkSession, table: String): Boolean =
+    cacheEnabled.contains(table) && {
+      val cur = cacheReg.get(table)
+      cur != null && cur._1 == currentVersion(spark, table)
+    }
 
   // -----------------------------------------------------------------
   // COLUMN MAPPING (r12) — the Delta columnMapping idiom, carried the

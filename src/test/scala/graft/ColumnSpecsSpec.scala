@@ -324,6 +324,28 @@ class ColumnSpecsSpec extends AnyFunSuite with SparkFixture {
     }
   }
 
+  test("a GENERATED column works as a partition column (partition-on-derived)") {
+    withTable("cs_genp",
+      """CREATE TABLE graft.cs_genp (
+        |  k BIGINT, v DOUBLE,
+        |  bucket3 BIGINT GENERATED ALWAYS AS (k % 3)
+        |) PARTITIONED BY (bucket3) LOCATION '__LOC__'""".stripMargin) { t =>
+      spark.range(0, 30).selectExpr("id AS k", "CAST(id AS DOUBLE) AS v")
+        .createOrReplaceTempView("cs_genp_src")
+      spark.sql("INSERT INTO graft.cs_genp (k, v) SELECT * FROM cs_genp_src")
+      // the computed column landed as the partition layout
+      assert(ManifestTable.partitionColumns(spark, t) == Seq("bucket3"))
+      assert(ManifestTable.snapshotFiles(spark, t)
+        .filter(_.contains("part-")).forall(_.contains("bucket3=")),
+        "generated partition values must land in the dir layout")
+      val got = spark.sql(
+        """SELECT bucket3, count(*) AS c FROM graft.cs_genp
+          |GROUP BY bucket3 ORDER BY bucket3""".stripMargin).collect()
+        .map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(got === Map(0L -> 10L, 1L -> 10L, 2L -> 10L))
+    }
+  }
+
   // ---- MERGE interplay (r16) -----------------------------------------
 
   test("MERGE fills IDENTITY/DEFAULT on insert, carries them on SET *, recomputes GENERATED") {

@@ -125,6 +125,26 @@ class ViewsSpec extends AnyFunSuite with SparkFixture {
     }
   }
 
+  test("filters on a view push through the expansion into the scan") {
+    freshTable("vw_push_t", rows = 8)
+    try {
+      spark.sql("""CREATE VIEW graft.vw_push AS
+                  |SELECT id, v * 2 AS v2 FROM graft.vw_push_t""".stripMargin)
+      val p = spark.sql("SELECT v2 FROM graft.vw_push WHERE id = 3")
+        .queryExecution.executedPlan.toString
+      // the view boundary is transparent to Catalyst: the filter on
+      // the view column lands in the parquet reader, and the scan
+      // reads only the referenced columns
+      assert(p.contains("PushedFilters: [IsNotNull(id), EqualTo(id,3)"),
+        s"expected the view filter pushed to the scan in:\n$p")
+      assert(p.contains("ReadSchema: struct<id:bigint,v:double>"),
+        s"expected a pruned ReadSchema in:\n$p")
+    } finally {
+      GraftCatalog.unregisterView("vw_push")
+      GraftCatalog.unregister("vw_push_t")
+    }
+  }
+
   test("writes against a view refuse, pointing at its tables") {
     freshTable("vw_ro_t")
     try {
