@@ -1695,7 +1695,9 @@ object GraftCatalog {
           !plan.isInstanceOf[
             org.apache.spark.sql.catalyst.plans.logical.CacheTable] &&
           !plan.isInstanceOf[
-            org.apache.spark.sql.catalyst.plans.logical.UncacheTable]) return plan
+            org.apache.spark.sql.catalyst.plans.logical.UncacheTable] &&
+          !plan.isInstanceOf[
+            org.apache.spark.sql.catalyst.plans.logical.ShowColumns]) return plan
       plan.resolveOperatorsUp {
         // ---- ALTER TABLE graft.a RENAME TO graft.b — the registry
         // rename (r14 verdict ask #5): metadata-only, the directory
@@ -1900,6 +1902,14 @@ object GraftCatalog {
                 if partsSpec(u.multipartIdentifier).isDefined =>
               UncacheCommand(partsSpec(u.multipartIdentifier).get._1)
             case _ => ut0
+          }
+        // ---- SHOW COLUMNS (FROM|IN) graft.<name> (r16) — the
+        // recorded column names, top-level, in recorded order.
+        case sc0 @ org.apache.spark.sql.catalyst.plans.logical.ShowColumns(
+            child, _, _) =>
+          ddlIdent(child) match {
+            case Some(name) => ShowColumnsCommand(name)
+            case None => sc0
           }
         // ---- DESCRIBE TABLE graft.<name> — the recorded schema, the
         // partition layout (hidden transforms included), and with
@@ -2332,6 +2342,27 @@ object GraftCatalog {
     override def run(session: SparkSession): Seq[Row] = {
       ManifestTable.uncacheTable(session, path)
       Nil
+    }
+  }
+
+  /** `SHOW COLUMNS FROM graft.<name>` — recorded top-level column
+    * names in recorded order (views answer through one analysis of
+    * their expansion). */
+  final case class ShowColumnsCommand(name: String)
+    extends LeafRunnableCommand {
+    override val output: Seq[org.apache.spark.sql.catalyst.expressions.Attribute] =
+      Seq(strAttr("col_name"))
+    override def run(session: SparkSession): Seq[Row] = {
+      lookupView(name).foreach { _ =>
+        return PlanBridge.ofRows(session, session.sessionState.sqlParser
+            .parsePlan(s"SELECT * FROM graft.`$name`"))
+          .columns.toSeq.map(Row(_))
+      }
+      val path = lookup(name).getOrElse(throw new IllegalArgumentException(
+        s"SHOW COLUMNS FROM graft.$name: no such registered table" +
+          hintRenamed(name)))
+      ManifestTable.snapshotSchema(session, path)
+        .map(_.fieldNames.toSeq).getOrElse(Nil).map(Row(_))
     }
   }
 

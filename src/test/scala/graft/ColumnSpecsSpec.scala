@@ -426,6 +426,62 @@ class ColumnSpecsSpec extends AnyFunSuite with SparkFixture {
     }
   }
 
+  test("the streaming-sink merge shape allocates surrogate keys for new rows") {
+    import spark.implicits._
+    withTable("cs_sink",
+      """CREATE TABLE graft.cs_sink (
+        |  id BIGINT GENERATED ALWAYS AS IDENTITY,
+        |  k BIGINT, v BIGINT
+        |) LOCATION '__LOC__'""".stripMargin) { t =>
+      // exactly what ManifestSink.upsertBatch runs per micro-batch:
+      // merge(batch, keys) with NO clause customization — the batch
+      // carries no id column, so SET * carries the target's id for
+      // matched rows and the insert image allocates fresh ones
+      ManifestTable.merge(spark, t,
+        Seq((1L, 10L), (2L, 20L)).toDF("k", "v"), Seq("k"))
+      val ids1 = ManifestTable.read(spark, t).collect()
+        .map(r => r.getAs[Long]("k") -> r.getAs[Long]("id")).toMap
+      assert(ids1.size == 2 && ids1.values.toSeq.distinct.length == 2)
+      ManifestTable.merge(spark, t,
+        Seq((2L, 99L), (3L, 30L)).toDF("k", "v"), Seq("k"))
+      val rows = ManifestTable.read(spark, t).collect()
+        .map(r => r.getAs[Long]("k") ->
+          ((r.getAs[Long]("id"), r.getAs[Long]("v")))).toMap
+      assert(rows(2L)._1 == ids1(2L) && rows(2L)._2 == 99L,
+        "an upserted row keeps its surrogate key")
+      assert(rows(3L)._1 != ids1(1L) && rows(3L)._1 != ids1(2L),
+        "a new row allocates a fresh surrogate key")
+    }
+  }
+
+  test("RESTORE rolls the identity mark back with the image — gaps only, never live duplicates") {
+    withTable("cs_rst",
+      """CREATE TABLE graft.cs_rst (
+        |  id BIGINT GENERATED ALWAYS AS IDENTITY, v BIGINT
+        |) LOCATION '__LOC__'""".stripMargin) { t =>
+      spark.sql("INSERT INTO graft.cs_rst (v) VALUES (1), (2)")   // v2: batch A
+      val vA = ManifestTable.currentVersion(spark, t)
+      val hwmA = ManifestTable.snapshotSchema(spark, t)
+        .flatMap(_.fields.find(_.name == "id"))
+        .flatMap(ColumnSpecs.identityOf).flatMap(_.hwm).get
+      spark.sql("INSERT INTO graft.cs_rst (v) VALUES (3)")        // v3: batch B
+      spark.sql(s"RESTORE TABLE graft.cs_rst TO VERSION AS OF $vA")
+      // the mark is SNAPSHOT STATE: restore brings A's mark back —
+      // new allocations may reuse the rolled-back batch B's ids (they
+      // are not in the live image; ANSI identity promises no LIVE
+      // duplicates, and history is exactly what RESTORE rewinds)
+      val hwmR = ManifestTable.snapshotSchema(spark, t)
+        .flatMap(_.fields.find(_.name == "id"))
+        .flatMap(ColumnSpecs.identityOf).flatMap(_.hwm).get
+      assert(hwmR == hwmA, "restore must bring the mark back with the image")
+      spark.sql("INSERT INTO graft.cs_rst (v) VALUES (4)")        // batch C
+      val ids = ManifestTable.read(spark, t).collect().map(_.getAs[Long]("id"))
+      assert(ids.length == 3 && ids.distinct.length == 3,
+        "the live image must hold no duplicate ids")
+      assert(ids.max > hwmA, "post-restore allocation counts from the mark")
+    }
+  }
+
   test("RENAME/DROP of a generated expression's source column refuses") {
     withTable("cs_ref",
       """CREATE TABLE graft.cs_ref (

@@ -145,6 +145,21 @@ class ViewsSpec extends AnyFunSuite with SparkFixture {
     }
   }
 
+  test("SHOW COLUMNS answers for tables and views alike") {
+    freshTable("vw_cols_t")
+    try {
+      spark.sql("""CREATE VIEW graft.vw_cols AS
+                  |SELECT id, v * 2 AS v2 FROM graft.vw_cols_t""".stripMargin)
+      assert(spark.sql("SHOW COLUMNS FROM graft.vw_cols_t").collect()
+        .map(_.getString(0)).toSeq == Seq("id", "v"))
+      assert(spark.sql("SHOW COLUMNS FROM graft.vw_cols").collect()
+        .map(_.getString(0)).toSeq == Seq("id", "v2"))
+    } finally {
+      GraftCatalog.unregisterView("vw_cols")
+      GraftCatalog.unregister("vw_cols_t")
+    }
+  }
+
   test("writes against a view refuse, pointing at its tables") {
     freshTable("vw_ro_t")
     try {
