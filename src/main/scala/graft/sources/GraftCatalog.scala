@@ -1697,7 +1697,9 @@ object GraftCatalog {
           !plan.isInstanceOf[
             org.apache.spark.sql.catalyst.plans.logical.UncacheTable] &&
           !plan.isInstanceOf[
-            org.apache.spark.sql.catalyst.plans.logical.ShowColumns]) return plan
+            org.apache.spark.sql.catalyst.plans.logical.ShowColumns] &&
+          !plan.isInstanceOf[
+            org.apache.spark.sql.catalyst.plans.logical.ShowTableProperties]) return plan
       plan.resolveOperatorsUp {
         // ---- ALTER TABLE graft.a RENAME TO graft.b — the registry
         // rename (r14 verdict ask #5): metadata-only, the directory
@@ -1910,6 +1912,15 @@ object GraftCatalog {
           ddlIdent(child) match {
             case Some(name) => ShowColumnsCommand(name)
             case None => sc0
+          }
+        // ---- SHOW TBLPROPERTIES graft.<name> ['key'] (r16) — the
+        // config sidecar's recorded properties (the read twin of the
+        // refused SET/UNSET mutators).
+        case sp0 @ org.apache.spark.sql.catalyst.plans.logical
+            .ShowTableProperties(child, key, _) =>
+          ddlIdent(child) match {
+            case Some(name) => ShowTblPropertiesCommand(name, key)
+            case None => sp0
           }
         // ---- DESCRIBE TABLE graft.<name> — the recorded schema, the
         // partition layout (hidden transforms included), and with
@@ -2363,6 +2374,27 @@ object GraftCatalog {
           hintRenamed(name)))
       ManifestTable.snapshotSchema(session, path)
         .map(_.fieldNames.toSeq).getOrElse(Nil).map(Row(_))
+    }
+  }
+
+  /** `SHOW TBLPROPERTIES graft.<name> ['key']` — the config
+    * sidecar's recorded properties (Spark's (key, value) shape); a
+    * requested key that was never recorded answers with Spark's own
+    * "does not have property" value rather than an empty set. */
+  final case class ShowTblPropertiesCommand(name: String,
+      key: Option[String]) extends LeafRunnableCommand {
+    override val output: Seq[org.apache.spark.sql.catalyst.expressions.Attribute] =
+      Seq(strAttr("key"), strAttr("value"))
+    override def run(session: SparkSession): Seq[Row] = {
+      val path = lookup(name).getOrElse(throw new IllegalArgumentException(
+        s"SHOW TBLPROPERTIES graft.$name: no such registered table" +
+          hintRenamed(name)))
+      val props = ManifestTable.tableConfig(session, path)
+      key match {
+        case Some(k) => Seq(Row(k, props.getOrElse(k,
+          s"Table graft.$name does not have property: $k")))
+        case None => props.toSeq.sortBy(_._1).map { case (k, v) => Row(k, v) }
+      }
     }
   }
 

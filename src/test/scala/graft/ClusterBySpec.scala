@@ -63,6 +63,24 @@ class ClusterBySpec extends AnyFunSuite with SparkFixture {
     Seq("clby_b1", "clby_b2", "clby_b3").foreach(GraftCatalog.unregister)
   }
 
+  test("SHOW TBLPROPERTIES surfaces the config sidecar") {
+    val t = tmp("props")
+    spark.sql(s"""CREATE TABLE graft.clby_p (id BIGINT, v DOUBLE)
+                 |CLUSTER BY (id)
+                 |TBLPROPERTIES ('graft.statsColumns' = 'v')
+                 |LOCATION '$t'""".stripMargin)
+    try {
+      val props = spark.sql("SHOW TBLPROPERTIES graft.clby_p").collect()
+        .map(r => r.getString(0) -> r.getString(1)).toMap
+      assert(props.get("graft.clusterBy").contains("id"), props.toString)
+      assert(props.get("graft.statsColumns").contains("v"), props.toString)
+      assert(spark.sql("SHOW TBLPROPERTIES graft.clby_p ('graft.clusterBy')")
+        .collect()(0).getString(1) == "id")
+      assert(spark.sql("SHOW TBLPROPERTIES graft.clby_p ('nope')")
+        .collect()(0).getString(1).contains("does not have property"))
+    } finally GraftCatalog.unregister("clby_p")
+  }
+
   test("SHOW CREATE round-trips CLUSTER BY; REPLACE must re-spell it") {
     val t = tmp("show")
     spark.sql(s"""CREATE TABLE graft.clby_s (id BIGINT, v DOUBLE)

@@ -56,6 +56,28 @@ class CodegenStrictSpec extends AnyFunSuite with SparkFixture {
     }
   }
 
+  test("NextIdentityValue compiles and interleaves ordinals across partitions") {
+    strict {
+      import org.apache.spark.sql.graftbridge.ColumnBridge
+      // 4 partitions × 25 rows: base 90, step 7 — unique values, the
+      // first value is exactly base + step (ordinal 1 = partition 0's
+      // first row), and the largest ordinal is <= rows rounded up to a
+      // partition multiple (the tight-gap interleave contract)
+      val got = spark.range(0, 100, 1, 4)
+        .select(ColumnBridge.column(
+          graft.functions.NextIdentityValue(90L, 7L)).as("id"))
+        .collect().map(_.getLong(0))
+      assert(got.length == 100 && got.distinct.length == 100)
+      assert(got.min == 97L)
+      assert(got.forall(v => (v - 90L) % 7L == 0))
+      assert(got.max <= 90L + 7L * 100L, s"gap too large: ${got.max}")
+      // interpreted eval agrees with the generated code
+      val expr = graft.functions.NextIdentityValue(90L, 7L)
+      expr.initialize(0)
+      assert(expr.eval(null) == 97L)
+    }
+  }
+
   test("MaxSimScore compiles and matches a hand-computed MaxSim") {
     strict {
       // q = [1,0 | 0,2], c = [0,3 | 1,1]  (subDim = 2, two sub-vectors
