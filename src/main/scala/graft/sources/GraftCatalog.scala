@@ -613,8 +613,34 @@ object GraftCatalog {
               // a source column can never leave a stale derived value.
               // ALWAYS-identity columns are unassignable.
               val recSchema = ManifestTable.snapshotSchema(session, path)
-              val assignedN = pairs.map(p => norm(p._1)).toSet
-              val assignExpr: Map[String, Expression] = pairs.map(p =>
+              // ANSI `SET c = DEFAULT` (r16): the bare keyword (an
+              // unresolvable single-part reference — unless a real
+              // column spells that name) substitutes the recorded
+              // DEFAULT expression; a column without one refuses
+              val hasDefaultCol = recSchema.exists(_.fields.exists(f =>
+                norm(f.name) == "default"))
+              val pairs2 = pairs.map { case (n, c) =>
+                ColumnBridge.expression(c) match {
+                  case ua: UnresolvedAttribute if !hasDefaultCol &&
+                      ua.nameParts.length == 1 &&
+                      norm(ua.nameParts.head) == "default" =>
+                    val f = recSchema.flatMap(_.fields.find(x =>
+                        norm(x.name) == norm(n)))
+                      .getOrElse(throw new IllegalArgumentException(
+                        s"UPDATE on $ident: SET $n = DEFAULT — no such " +
+                          "recorded column"))
+                    ColumnSpecs.defaultOf(f) match {
+                      case Some(d) =>
+                        n -> ColumnSpecs.defaultColumn(session, d, f.dataType)
+                      case None => throw new IllegalArgumentException(
+                        s"UPDATE on $ident: SET ${f.name} = DEFAULT — the " +
+                          "column records no DEFAULT")
+                    }
+                  case _ => (n, c)
+                }
+              }
+              val assignedN = pairs2.map(p => norm(p._1)).toSet
+              val assignExpr: Map[String, Expression] = pairs2.map(p =>
                 norm(p._1) -> ColumnBridge.expression(p._2)).toMap
               val genRecompute: Seq[(String, Column)] =
                 recSchema.toSeq.flatMap(_.fields.toSeq).flatMap { f =>
@@ -643,7 +669,7 @@ object GraftCatalog {
                   }
                 }
               UpdateCommand(ident, path,
-                pairs ++ genRecompute,
+                pairs2 ++ genRecompute,
                 condition.map(c => ColumnBridge.column(unqualify(c))))
             case None =>
               updRel.flatMap(r => viewParts(r.multipartIdentifier)).foreach(v =>
@@ -1222,7 +1248,6 @@ object GraftCatalog {
     override def innerChildren: Seq[LogicalPlan] = Seq(query)
     override def run(session: SparkSession): Seq[Row] = {
       requireNotMView(session, path, ident, "INSERT")
-      val src = PlanBridge.ofRows(session, query)
       val recorded = ManifestTable.snapshotSchema(session, path)
       val partBy = ManifestTable.partitionColumns(session, path)
       if (partSpec.nonEmpty) {
@@ -1269,6 +1294,55 @@ object GraftCatalog {
       val querySide: Option[StructType] = recorded.map(s =>
         StructType(s.fields.filterNot(f => staticRaw.contains(norm(f.name)))))
       import ColumnSpecs.{autoFillable, defaultOf, generatedOf, identityOf}
+      // ANSI `DEFAULT` in VALUES (r16): a bare DEFAULT inside an
+      // inline row marks "use the recorded default" for its position.
+      // The keyword parses as an unresolved single-part reference with
+      // no real column to resolve against, so it rewrites HERE —
+      // position → target column → recorded DEFAULT expression
+      // (ANSI-cast). IDENTITY/GENERATED positions refuse with the
+      // omission spelling (their fills are not expressions an inline
+      // table can hold — non-foldable / sibling-referencing).
+      def isDefaultRef(e: Expression): Boolean = e match {
+        case ua: UnresolvedAttribute =>
+          ua.nameParts.length == 1 && norm(ua.nameParts.head) == "default"
+        case _ => false
+      }
+      val queryR = recorded match {
+        case Some(s) if !byName =>
+          lazy val positional: Seq[String] = userCols match {
+            case Nil => querySide.map(_.fields.toSeq
+                .filter(f => ColumnSpecs.identityOf(f).isEmpty).map(_.name))
+              .getOrElse(Nil)
+            case cols => cols
+          }
+          query.transformUp {
+            case it: org.apache.spark.sql.catalyst.analysis.UnresolvedInlineTable
+                if it.rows.exists(_.exists(isDefaultRef)) =>
+              it.copy(rows = it.rows.map(row => row.zipWithIndex.map {
+                case (e, i) if isDefaultRef(e) =>
+                  require(row.length == positional.length && i < positional.length,
+                    s"INSERT INTO $ident: a DEFAULT keyword at position " +
+                      s"${i + 1} does not map onto the target columns " +
+                      s"(${positional.mkString(", ")})")
+                  val f = s.fields.find(x => norm(x.name) == norm(positional(i)))
+                    .getOrElse(throw new IllegalArgumentException(
+                      s"INSERT INTO $ident: DEFAULT keyword position " +
+                        s"${i + 1} names no table column"))
+                  ColumnSpecs.defaultOf(f) match {
+                    case Some(d) =>
+                      ColumnSpecs.defaultExpression(session, d, f.dataType)
+                    case None => throw new IllegalArgumentException(
+                      s"INSERT INTO $ident: DEFAULT keyword for '${f.name}' — " +
+                        "the column records no DEFAULT (IDENTITY/GENERATED " +
+                        "columns fill themselves: omit them from the column " +
+                        "list instead)")
+                  }
+                case (e, _) => e
+              }))
+          }
+        case _ => query
+      }
+      val src = PlanBridge.ofRows(session, queryR)
       val aligned =
         if (byName && userCols.isEmpty) {
           // BY NAME still refuses a shape drift: an extra source column

@@ -109,6 +109,35 @@ class ColumnSpecsSpec extends AnyFunSuite with SparkFixture {
     }
   }
 
+  test("the DEFAULT keyword works in VALUES rows and UPDATE SET") {
+    withTable("cs_kw",
+      """CREATE TABLE graft.cs_kw (
+        |  id BIGINT, status STRING DEFAULT 'open', v DOUBLE
+        |) LOCATION '__LOC__'""".stripMargin) { t =>
+      // positional VALUES with the keyword in the defaulted slot
+      spark.sql("INSERT INTO graft.cs_kw VALUES (1, DEFAULT, 1.5)")
+      // column-list VALUES, keyword + mixed explicit rows
+      spark.sql(
+        "INSERT INTO graft.cs_kw (id, status, v) VALUES (2, DEFAULT, 2.5), (3, 'x', 3.5)")
+      val got = ManifestTable.read(spark, t).collect()
+        .map(r => r.getAs[Long]("id") -> r.getAs[String]("status")).toMap
+      assert(got === Map(1L -> "open", 2L -> "open", 3L -> "x"))
+      // SET c = DEFAULT re-applies the CURRENT recorded default
+      spark.sql("ALTER TABLE graft.cs_kw ALTER COLUMN status SET DEFAULT 'held'")
+      spark.sql("UPDATE graft.cs_kw SET status = DEFAULT WHERE id = 3")
+      assert(ManifestTable.read(spark, t).collect()
+        .map(r => r.getAs[Long]("id") -> r.getAs[String]("status")).toMap
+        === Map(1L -> "open", 2L -> "open", 3L -> "held"))
+      // keyword on a column without a DEFAULT refuses
+      val e1 = intercept[Exception] {
+        spark.sql("UPDATE graft.cs_kw SET v = DEFAULT WHERE id = 1") }
+      assert(e1.getMessage.contains("records no DEFAULT"), e1.getMessage)
+      val e2 = intercept[Exception] {
+        spark.sql("INSERT INTO graft.cs_kw VALUES (4, 'y', DEFAULT)") }
+      assert(e2.getMessage.contains("records no DEFAULT"), e2.getMessage)
+    }
+  }
+
   test("ADD COLUMNS with DEFAULT refuses (no exists-default read path)") {
     withTable("cs_addd",
       "CREATE TABLE graft.cs_addd (id BIGINT) LOCATION '__LOC__'") { _ =>
