@@ -1168,9 +1168,35 @@ object ManifestTable {
       val df = schema match {
         case Some(s) =>
           val have = raw.schema.map(f => f.name -> f.dataType).toMap
-          s.fields.foreach(f => require(have.get(f.name).contains(f.dataType),
-            s"copyInto source schema mismatch on ${f.name}: table has " +
-              s"${f.dataType}, source has ${have.get(f.name)}"))
+          // spec-bearing columns ABSENT from the landing files FILL
+          // themselves (r16) — the landing-zone surrogate-key shape:
+          // DEFAULT re-evaluates, IDENTITY allocates (base re-read per
+          // attempt from THIS head's schema, so a lost race re-derives
+          // — never duplicates), GENERATED computes from the completed
+          // row. A GENERATED column PRESENT in the source refuses
+          // (recomputation is the table's job — accepted drift would
+          // break the generation invariant silently); ALWAYS-identity
+          // present refuses the same way. Spec-free columns keep the
+          // exact-match contract.
+          s.fields.foreach { f =>
+            if (have.contains(f.name)) {
+              require(have(f.name) == f.dataType,
+                s"copyInto source schema mismatch on ${f.name}: table has " +
+                  s"${f.dataType}, source has ${have.get(f.name)}")
+              ColumnSpecs.generatedOf(f).foreach(g => throw
+                new IllegalArgumentException(
+                  s"copyInto source carries GENERATED column ${f.name} " +
+                    s"(ALWAYS AS ($g)) — drop it from the landing data; " +
+                    "the table recomputes it"))
+              ColumnSpecs.identityOf(f).filterNot(_.byDefault).foreach(_ =>
+                throw new IllegalArgumentException(
+                  s"copyInto source carries ${f.name}, a GENERATED ALWAYS " +
+                    "AS IDENTITY column — drop it from the landing data; " +
+                    "the table allocates it"))
+            } else require(ColumnSpecs.autoFillable(f),
+              s"copyInto source schema mismatch on ${f.name}: table has " +
+                s"${f.dataType}, source has None")
+          }
           // EXACT match cuts both ways (ADVICE r11): a source column
           // the table lacks used to be silently projected away — data
           // loss in an op whose contract says "match exactly". Refuse
@@ -1181,11 +1207,27 @@ object ManifestTable {
               s"the table schema lacks — COPY INTO is ingestion, not evolution; " +
               "drop or rename them in the landing data, or addColumn first")
           import org.apache.spark.sql.functions.{col => fcol}
+          var filled = raw
+          s.fields.filterNot(f => have.contains(f.name)).foreach { f =>
+            ColumnSpecs.identityOf(f) match {
+              case Some(is) => filled = filled.withColumn(f.name,
+                org.apache.spark.sql.graftbridge.ColumnBridge.column(
+                  graft.functions.NextIdentityValue(is.base, is.step)))
+              case None => ColumnSpecs.defaultOf(f).foreach(d =>
+                filled = filled.withColumn(f.name,
+                  ColumnSpecs.defaultColumn(spark, d, f.dataType)))
+            }
+          }
+          s.fields.filterNot(f => have.contains(f.name)).foreach { f =>
+            ColumnSpecs.generatedOf(f).foreach(g =>
+              filled = filled.withColumn(f.name,
+                ColumnSpecs.generatedColumn(spark, g, f.dataType)))
+          }
           // the recorded schema never contains hidden transform
           // targets (recordedSchema drops them; commit/addColumn
           // refuse collisions), so selecting its fields verbatim is
           // exactly the writer-frame shape writeData expects
-          raw.select(s.fieldNames.map(fcol(_)).toSeq: _*)
+          filled.select(s.fieldNames.map(fcol(_)).toSeq: _*)
         case None => raw
       }
       val cons = checkConstraints(spark, table, head)

@@ -375,6 +375,38 @@ class ColumnSpecsSpec extends AnyFunSuite with SparkFixture {
     }
   }
 
+  test("COPY INTO fills spec columns the landing files don't carry") {
+    withTable("cs_copy",
+      """CREATE TABLE graft.cs_copy (
+        |  id BIGINT GENERATED ALWAYS AS IDENTITY,
+        |  k BIGINT, v DOUBLE,
+        |  status STRING DEFAULT 'landed',
+        |  twice DOUBLE GENERATED ALWAYS AS (v * 2)
+        |) LOCATION '__LOC__'""".stripMargin) { t =>
+      val zone = java.nio.file.Files
+        .createTempDirectory("graft_cs_zone").toString
+      spark.range(0, 10).selectExpr("id AS k", "CAST(id AS DOUBLE) AS v")
+        .write.mode("overwrite").parquet(zone)
+      spark.sql(s"COPY INTO graft.cs_copy FROM '$zone/*' FILEFORMAT = PARQUET")
+      val rows = ManifestTable.read(spark, t).collect()
+      assert(rows.length == 10)
+      assert(rows.map(_.getAs[Long]("id")).distinct.length == 10,
+        "identity must allocate unique surrogate keys for landed rows")
+      assert(rows.map(_.getAs[String]("status")).toSet === Set("landed"))
+      assert(rows.forall(r => r.getAs[Double]("twice") ==
+        r.getAs[Double]("v") * 2))
+      // a landing zone carrying the generated column refuses
+      val zone2 = java.nio.file.Files
+        .createTempDirectory("graft_cs_zone2").toString
+      spark.range(10, 12).selectExpr("id AS k", "CAST(id AS DOUBLE) AS v",
+          "CAST(0 AS DOUBLE) AS twice")
+        .write.mode("overwrite").parquet(zone2)
+      val e = intercept[Exception] { spark.sql(
+        s"COPY INTO graft.cs_copy FROM '$zone2/*' FILEFORMAT = PARQUET") }
+      assert(e.getMessage.contains("recomputes it"), e.getMessage)
+    }
+  }
+
   // ---- MERGE interplay (r16) -----------------------------------------
 
   test("MERGE fills IDENTITY/DEFAULT on insert, carries them on SET *, recomputes GENERATED") {
