@@ -4563,11 +4563,22 @@ object ManifestTable {
       val genFields = recFields.filter(f => ColumnSpecs.generatedOf(f).isDefined)
       recFields.foreach { f =>
         ColumnSpecs.identityOf(f).foreach { is =>
-          require(is.byDefault ||
-              !updates.columns.exists(_.equalsIgnoreCase(f.name)),
+          // an ALWAYS-identity column may ride the source ONLY as a
+          // pure merge KEY (the update-by-surrogate-key CDC pattern:
+          // SET * then writes target id = source id, equal by the
+          // join). It may never be WRITTEN from the source: present
+          // as a non-key, or feeding an INSERT * arm, refuses.
+          val inSource = updates.columns.exists(_.equalsIgnoreCase(f.name))
+          val isKey = keys.exists(_.equalsIgnoreCase(f.name))
+          val written = inSource &&
+            (!isKey || (insertUnmatched && insertAssign.isEmpty))
+          require(is.byDefault || !written,
             s"MERGE on $table: the source carries '${f.name}', a GENERATED " +
-              "ALWAYS AS IDENTITY column — drop it from the source (the " +
-              "table allocates it; BY DEFAULT would permit explicit values)")
+              "ALWAYS AS IDENTITY column" +
+              (if (isKey) " feeding the INSERT * arm — use an explicit " +
+                 "column list omitting it (the table allocates it)"
+               else " — drop it from the source (the table allocates " +
+                 "it; BY DEFAULT would permit explicit values)"))
         }
         val assignedIn: Seq[(Seq[(String, Column)], String)] =
           whenMatchedAssign.map(_ -> "MERGE UPDATE SET").toSeq ++

@@ -469,6 +469,34 @@ class ColumnSpecsSpec extends AnyFunSuite with SparkFixture {
     }
   }
 
+  test("an ALWAYS-identity column is a legal merge KEY (update-by-surrogate-key CDC)") {
+    import spark.implicits._
+    withTable("cs_mrgk",
+      """CREATE TABLE graft.cs_mrgk (
+        |  id BIGINT GENERATED ALWAYS AS IDENTITY, v BIGINT
+        |) LOCATION '__LOC__'""".stripMargin) { t =>
+      spark.sql("INSERT INTO graft.cs_mrgk (v) VALUES (10), (20)")
+      val ids = ManifestTable.read(spark, t).collect()
+        .map(r => r.getAs[Long]("v") -> r.getAs[Long]("id")).toMap
+      // matched-only merge keyed ON the surrogate key: legal — the
+      // source id is only COMPARED (and SET * writes it back equal)
+      Seq((ids(10L), 11L)).toDF("id", "v")
+        .createOrReplaceTempView("cs_mrgk_chg")
+      spark.sql("""MERGE INTO graft.cs_mrgk t USING cs_mrgk_chg s
+                  |ON t.id = s.id
+                  |WHEN MATCHED THEN UPDATE SET v = s.v""".stripMargin)
+      val got = ManifestTable.read(spark, t).collect()
+        .map(r => r.getAs[Long]("id") -> r.getAs[Long]("v")).toMap
+      assert(got === Map(ids(10L) -> 11L, ids(20L) -> 20L))
+      // the INSERT * arm fed by a source-carried id still refuses
+      val e = intercept[Exception] { spark.sql(
+        """MERGE INTO graft.cs_mrgk t USING cs_mrgk_chg s ON t.id = s.id
+          |WHEN MATCHED THEN UPDATE SET v = s.v
+          |WHEN NOT MATCHED THEN INSERT *""".stripMargin) }
+      assert(e.getMessage.contains("INSERT * arm"), e.getMessage)
+    }
+  }
+
   test("MERGE INSERT * fills spec columns the source doesn't carry") {
     import spark.implicits._
     withTable("cs_mrgi",
