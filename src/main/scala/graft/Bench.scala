@@ -64,6 +64,23 @@ object Bench {
       }
       try math.min(once(), once()) catch { case _: Throwable => -1.0 }
     }
+    // The previous run's artifact (probe + per-query seconds), read
+    // before this run overwrites it — the drift net below compares
+    // against it probe-normalized. Absent/corrupt file → no drift net.
+    val prevBench: Option[(Double, Map[String, Double])] = try {
+      val p = java.nio.file.Paths.get(
+        sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "bench_full.json"))
+      if (!java.nio.file.Files.exists(p)) None
+      else {
+        val node = new com.fasterxml.jackson.databind.ObjectMapper()
+          .readTree(java.nio.file.Files.readAllBytes(p))
+        import scala.jdk.CollectionConverters._
+        val qs = node.path("queries").fields().asScala.collect {
+          case kv if kv.getValue.isNumber => kv.getKey -> kv.getValue.asDouble()
+        }.toMap
+        Some((node.path("probe_sec").asDouble(-1.0), qs))
+      }
+    } catch { case _: Throwable => None }
     var failed = List.empty[String]
     // min of 2 runs per query: the first run of a query JIT-compiles its
     // generated code; the min is the steady-state number a warmed
@@ -111,8 +128,28 @@ object Bench {
     // inflate the judged total. The "stabilized" field still records
     // exactly which keys were re-timed (and their final numbers), so a
     // reader can tell a 3-run minimum from a 2-run one.
-    val slowest = firstPass.collect { case (n, Some(t)) => (n, t) }
+    val slowest5 = firstPass.collect { case (n, Some(t)) => (n, t) }
       .sortBy(-_._2).take(5).map(_._1).toSet
+    // r17 (VERDICT r16 item 3): ALSO re-time any key whose
+    // probe-normalized time exceeds 2× its value in the previous
+    // artifact — the committed r16 numbers carried ~4× window noise on
+    // keys (c46, c41, b2_cc) that a same-day re-run refuted; the
+    // 5-slowest net was too small to catch mid-pack outliers. The
+    // previous artifact is read BEFORE this run overwrites it (on the
+    // driver's committed tree that IS the last round's artifact).
+    // Capped at 25 extra keys: if more than that drifted 2×, the whole
+    // window is slow and per-key re-timing cannot fix it (probe_sec
+    // already records that).
+    val drifted: Set[String] = prevBench.fold(Set.empty[String]) {
+      case (prevProbe, prevQ) if prevProbe > 0 && probeSec > 0 =>
+        firstPass.collect {
+          case (n, Some(t)) if prevQ.get(n).exists(p =>
+            p > 0 && t / probeSec > 2.0 * (p / prevProbe)) =>
+            (n, t / probeSec / (prevQ(n) / prevProbe))
+        }.sortBy(-_._2).take(25).map(_._1).toSet
+      case _ => Set.empty
+    }
+    val slowest = slowest5 ++ drifted
     val byName = SparkEntry.queries
     System.gc()
     val stabilized: Seq[(String, Double)] = firstPass.collect {

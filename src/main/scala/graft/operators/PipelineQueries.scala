@@ -1573,6 +1573,65 @@ object PipelineQueries {
              |JOIN rq ON rq.l_returnflag = l.l_returnflag AND rq.rk = 1
              |JOIN rs ON rs.l_returnflag = l.l_returnflag AND rs.rk = 1
              |GROUP BY 1 ORDER BY l.l_returnflag NULLS FIRST""".stripMargin)
+    ),
+
+    // Q_CATALOG_PERSIST (r17, VERDICT r16 ask #1): the durable
+    // catalog. With a warehouse configured, every DDL publishes the
+    // name registry to <warehouse>/_catalog (manifest-style atomic
+    // versions); a FRESH process that knows only the warehouse
+    // location resolves every name with zero re-registering. The
+    // drill: CREATE TABLE AS + CREATE VIEW through names, then
+    // simulate process death (resetRegistry forgets ALL in-memory
+    // state including the warehouse root), then resolve the VIEW —
+    // which must itself resolve the TABLE — in a brand-new
+    // SparkSession that carries only `spark.graft.warehouse`. At
+    // 100 TB the catalog is metadata-plane: one small JSON per DDL,
+    // one listing per cold miss; the data path is untouched.
+    Entry(
+      "q_catalog_persist",
+      (s, d) => {
+        val wh = scratchDir("qcat", d)
+        rmRf(wh)
+        val G = graft.sources.GraftCatalog
+        val prevWh = G.warehouse
+        // names could linger from an earlier run in THIS JVM
+        G.unregister("q_cat_nation"); G.unregisterView("q_cat_view")
+        G.warehouse = Some(wh)
+        try {
+          Tables.nation(s, d).createOrReplaceTempView("v_cat_src")
+          s.sql("""CREATE TABLE graft.q_cat_nation
+                  |AS SELECT n_nationkey, n_name, n_regionkey
+                  |FROM v_cat_src""".stripMargin)
+          s.sql("""CREATE VIEW graft.q_cat_view AS
+                  |SELECT n_regionkey, count(*) AS n_nations,
+                  |  CAST(sum(n_nationkey) AS BIGINT) AS key_sum
+                  |FROM graft.q_cat_nation
+                  |GROUP BY n_regionkey""".stripMargin)
+          // process death: every in-memory name — and the warehouse
+          // root itself — is forgotten; only the disk state survives
+          G.resetRegistry()
+          require(G.registered.isEmpty && G.registeredViews.isEmpty,
+            "restart simulation must forget every in-memory name")
+          val s2 = s.newSession()
+          s2.conf.set("spark.graft.warehouse", wh)
+          val out = s2.sql(
+            """SELECT n_regionkey, n_nations, key_sum
+              |FROM graft.q_cat_view
+              |ORDER BY n_regionkey""".stripMargin)
+          out.count() // resolve + execute under the fresh session NOW
+          out
+        } finally {
+          // restore the var FIRST so the teardown unregisters stay
+          // in-memory-only (the disk state remains for post-mortem)
+          G.warehouse = prevWh
+          G.unregisterView("q_cat_view"); G.unregister("q_cat_nation")
+        }
+      },
+      Some("""SELECT n_regionkey, count(*) AS n_nations,
+             |  CAST(sum(n_nationkey) AS BIGINT) AS key_sum
+             |FROM nation
+             |GROUP BY n_regionkey
+             |ORDER BY n_regionkey NULLS FIRST""".stripMargin)
     )
   )
 }

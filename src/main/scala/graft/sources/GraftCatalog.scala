@@ -65,18 +65,31 @@ object GraftCatalog {
     require(name.nonEmpty && !name.contains(".") && !name.contains("@"),
       s"table name '$name' must be a plain identifier (no '.' or '@' — " +
         "'@v<N>' is reserved for time travel)")
+    maybeLoadPersisted() // collision checks must see the durable state
     require(!viewReg.containsKey(norm(name)),
       s"table name '$name' collides with a registered view")
     reg.put(norm(name), path)
     // the name is live (again): a hint left from an earlier rename
     // would outlive this registration's history and lie (ADVICE r15)
     renamedAway.remove(norm(name))
-    ()
+    publishCatalog(st => st.copy(
+      tables = st.tables + (norm(name) -> path),
+      renamed = st.renamed - norm(name)))
   }
 
-  def unregister(name: String): Unit = reg.remove(norm(name))
+  def unregister(name: String): Unit = {
+    reg.remove(norm(name))
+    publishCatalog(st => st.copy(tables = st.tables - norm(name)))
+  }
 
-  def lookup(name: String): Option[String] = Option(reg.get(norm(name)))
+  def lookup(name: String): Option[String] =
+    Option(reg.get(norm(name))).orElse {
+      // a fresh process resolves durably-cataloged names with zero
+      // re-registering (r17): the miss-path loads <warehouse>/_catalog
+      // once and re-checks — a genuine miss stays a miss
+      maybeLoadPersisted()
+      Option(reg.get(norm(name)))
+    }
 
   // -------------------------------------------------------------------
   // SQL views (r16): name → the view's SQL text, session-scoped like
@@ -91,15 +104,22 @@ object GraftCatalog {
   def registerView(name: String, sql: String): Unit = {
     require(name.nonEmpty && !name.contains(".") && !name.contains("@"),
       s"view name '$name' must be a plain identifier")
-    require(lookup(name).isEmpty,
+    require(lookup(name).isEmpty, // lookup's miss-path loads the durable state
       s"view name '$name' collides with a registered table")
     viewReg.put(norm(name), sql)
-    ()
+    publishCatalog(st => st.copy(views = st.views + (norm(name) -> sql)))
   }
 
-  def unregisterView(name: String): Unit = viewReg.remove(norm(name))
+  def unregisterView(name: String): Unit = {
+    viewReg.remove(norm(name))
+    publishCatalog(st => st.copy(views = st.views - norm(name)))
+  }
 
-  def lookupView(name: String): Option[String] = Option(viewReg.get(norm(name)))
+  def lookupView(name: String): Option[String] =
+    Option(viewReg.get(norm(name))).orElse {
+      maybeLoadPersisted()
+      Option(viewReg.get(norm(name)))
+    }
 
   def registeredViews: Map[String, String] = {
     import scala.jdk.CollectionConverters._
@@ -174,7 +194,168 @@ object GraftCatalog {
     // chained renames stay transitive (ADVICE r15): after a→b then
     // b→c, the hint for `a` must point at LIVE c, not dead b
     renamedAway.replaceAll((_, dest) => if (dest == f) t else dest)
-    ()
+    publishCatalog { st =>
+      val p = st.tables.getOrElse(f, path)
+      st.copy(
+        tables = st.tables - f + (t -> p),
+        renamed = st.renamed.map { case (k, d) =>
+          k -> (if (d == f) t else d) } + (f -> t) - t)
+    }
+  }
+
+  // -------------------------------------------------------------------
+  // Durable registry (r17): with a warehouse configured — the
+  // [[warehouse]] var, or the session conf `spark.graft.warehouse` —
+  // every registry mutation (CREATE/DROP/RENAME TABLE, CREATE/DROP
+  // VIEW, and their programmatic faces above) also publishes the full
+  // name→path / name→viewSQL state to `<warehouse>/_catalog/
+  // v<NNNNNNNN>.json`, under the manifest publish primitive
+  // (write-temp-then-link: readers never observe a torn file, exactly
+  // one of any number of racing writers claims a version — losers
+  // reload, re-apply their mutation, retry). A fresh process needs
+  // only the warehouse location: the first lookup MISS loads the
+  // latest catalog version and the whole name-addressed face — SQL,
+  // TVFs, readTableStream, ManifestSink — resolves with zero
+  // re-registering. Without a warehouse nothing is written and the
+  // registry stays session-local, exactly as before.
+  //
+  // Scope and scale: the catalog is metadata-plane — one small JSON
+  // file per DDL mutation, one directory listing per cold lookup
+  // miss; the data path (manifests, parquet) is untouched. In-memory
+  // entries win over loaded ones (putIfAbsent), so the durable state
+  // restores names but never clobbers a live session's view of them;
+  // cross-process LIVE sync (seeing another JVM's concurrent DROP) is
+  // explicitly out of scope — restart durability is the contract.
+  // -------------------------------------------------------------------
+
+  private[graft] final case class CatState(
+      tables: Map[String, String], views: Map[String, String],
+      renamed: Map[String, String])
+  private[graft] object CatState { val empty = CatState(Map(), Map(), Map()) }
+
+  private val catMapper = new com.fasterxml.jackson.databind.ObjectMapper()
+  private val CatFile = """v(\d{8})\.json""".r
+  /** Keep this many published versions behind the head for concurrent
+    * readers (a reader lists, then reads — retention must never delete
+    * the version it just listed). */
+  private val CatRetain = 20
+
+  /** The effective warehouse root: the programmatic var, else the
+    * active session's `spark.graft.warehouse` conf. */
+  private[graft] def warehouseRoot: Option[String] =
+    warehouse.orElse(SparkSession.getActiveSession.flatMap(s =>
+      Option(s.conf.get("spark.graft.warehouse", null))))
+
+  private def catalogDir(wh: String) =
+    new org.apache.hadoop.fs.Path(wh.stripSuffix("/"), "_catalog")
+
+  private def catalogFs(dir: org.apache.hadoop.fs.Path) =
+    dir.getFileSystem(SparkSession.getActiveSession
+      .map(_.sparkContext.hadoopConfiguration)
+      .getOrElse(new org.apache.hadoop.conf.Configuration()))
+
+  private def latestCatVersion(f: org.apache.hadoop.fs.FileSystem,
+                               dir: org.apache.hadoop.fs.Path): Int =
+    try f.listStatus(dir).foldLeft(0) { (m, st) =>
+      st.getPath.getName match {
+        case CatFile(n) => math.max(m, n.toInt)
+        case _ => m // crash debris (.tmp siblings) and strangers: ignored
+      }
+    } catch { case _: java.io.FileNotFoundException => 0 }
+
+  private def catBytes(st: CatState): Array[Byte] = {
+    val root = catMapper.createObjectNode()
+    def put(field: String, m: Map[String, String]): Unit = {
+      val n = root.putObject(field)
+      m.toSeq.sortBy(_._1).foreach { case (k, v) => n.put(k, v) }
+    }
+    put("tables", st.tables); put("views", st.views); put("renamed", st.renamed)
+    catMapper.writeValueAsBytes(root)
+  }
+
+  /** Parse failures are LOUD: an unreadable catalog version can only
+    * be hand-tampering (publishes are atomic), and silently starting
+    * empty would re-fragment the namespace. */
+  private def readCatState(f: org.apache.hadoop.fs.FileSystem,
+                           dir: org.apache.hadoop.fs.Path, v: Int): CatState = {
+    val p = new org.apache.hadoop.fs.Path(dir, f"v$v%08d.json")
+    val in = f.open(p)
+    val text = try scala.io.Source.fromInputStream(in, "UTF-8").mkString
+               finally in.close()
+    val node = catMapper.readTree(text)
+    import scala.jdk.CollectionConverters._
+    def m(field: String): Map[String, String] =
+      node.path(field).fields().asScala
+        .map(kv => kv.getKey -> kv.getValue.asText()).toMap
+    CatState(m("tables"), m("views"), m("renamed"))
+  }
+
+  /** Highest catalog version already merged into memory, per
+    * warehouse — repeat misses against an unchanged catalog re-list
+    * the directory (cheap) but skip the read+merge. */
+  private val loadedCatVersion =
+    new java.util.concurrent.ConcurrentHashMap[String, Integer]()
+
+  /** Merge the latest persisted catalog into the in-memory registry
+    * (in-memory entries win). No-op without a warehouse. */
+  private[graft] def maybeLoadPersisted(): Unit = warehouseRoot.foreach { wh =>
+    val dir = catalogDir(wh)
+    val f = catalogFs(dir)
+    val latest = latestCatVersion(f, dir)
+    if (latest > 0 &&
+        !Option(loadedCatVersion.get(wh)).exists(_ >= latest)) {
+      val st = readCatState(f, dir, latest)
+      st.tables.foreach { case (n, p) => reg.putIfAbsent(n, p) }
+      st.views.foreach { case (n, s) => viewReg.putIfAbsent(n, s) }
+      st.renamed.foreach { case (n, t) => renamedAway.putIfAbsent(n, t) }
+      loadedCatVersion.put(wh, latest)
+    }
+  }
+
+  /** Publish `op` applied to the LATEST persisted state as the next
+    * catalog version — the manifest commit loop in miniature: read
+    * head, apply, claim head+1 exclusively; a lost race reloads and
+    * re-applies, so concurrent mutations from many processes all
+    * land. An op that changes nothing (unregistering a name that was
+    * never persisted — every test teardown) writes nothing. */
+  private def publishCatalog(op: CatState => CatState): Unit =
+    warehouseRoot.foreach { wh =>
+      val dir = catalogDir(wh)
+      val f = catalogFs(dir)
+      f.mkdirs(dir)
+      var attempt = 0
+      while (attempt < 50) {
+        attempt += 1
+        val latest = latestCatVersion(f, dir)
+        val cur = if (latest == 0) CatState.empty else readCatState(f, dir, latest)
+        val next = op(cur)
+        if (next == cur) return
+        val target = new org.apache.hadoop.fs.Path(dir, f"v${latest + 1}%08d.json")
+        if (ManifestTable.createExclusive(f, target, catBytes(next))) {
+          loadedCatVersion.put(wh, latest + 1)
+          // best-effort retention: tiny files, but unbounded growth
+          // is unbounded growth — keep a window for in-flight readers
+          if (latest + 1 > CatRetain) try {
+            f.listStatus(dir).foreach(s => s.getPath.getName match {
+              case CatFile(n) if n.toInt <= latest + 1 - CatRetain =>
+                f.delete(s.getPath, false)
+              case _ => ()
+            })
+          } catch { case _: Exception => () }
+          return
+        }
+      }
+      throw new IllegalStateException(
+        s"catalog publish under $wh lost 50 straight races — giving up")
+    }
+
+  /** Forget ALL in-memory registry state (tables, views, rename
+    * hints, the warehouse root, and load memos) — the process-death
+    * simulation the durability drills restart from. Persisted state
+    * on disk is untouched; data is never touched. */
+  def resetRegistry(): Unit = {
+    reg.clear(); viewReg.clear(); renamedAway.clear()
+    loadedCatVersion.clear(); warehouse = None
   }
 
   def registered: Map[String, String] = {
@@ -473,7 +654,14 @@ object GraftCatalog {
       // NOTHING (O(1)), and a plan with no claimable node needs no
       // rewrite (one instanceof walk instead of two full
       // resolveOperatorsUp passes per analyzer iteration)
-      if (reg.isEmpty && viewReg.isEmpty) return plan
+      if (reg.isEmpty && viewReg.isEmpty) {
+        // a FRESH process with a durable catalog reaches here with
+        // empty registries only because nothing loaded yet (r17):
+        // one load attempt, then bail if still genuinely empty
+        if (warehouseRoot.isEmpty) return plan
+        maybeLoadPersisted()
+        if (reg.isEmpty && viewReg.isEmpty) return plan
+      }
       if (!plan.exists(claims)) return plan
       resolutionWalks.incrementAndGet() // test observability only
       val withWrites = plan.resolveOperatorsUp {
@@ -1442,6 +1630,14 @@ object GraftCatalog {
       // null-safe-equality pass, the CHECK-constraint discipline
       // (stored generated values that silently drift from their
       // expression are a lie about the table)
+      // a SUPPLIED generated column triggers an agree-check that
+      // re-executes the source query — pin the frame first (r17,
+      // advisory) so a nondeterministic source (rand(), uuid()) can't
+      // pass the check on one sample and write another, and the check
+      // no longer doubles every such insert's scan cost
+      if (querySide.exists(_.fields.exists(f =>
+          generatedOf(f).isDefined && suppliedNorm(norm(f.name)))))
+        filled = filled.localCheckpoint()
       querySide.foreach(_.fields.foreach { f =>
         generatedOf(f).foreach { sql =>
           val gen = ColumnSpecs.generatedColumn(session, sql, f.dataType)
@@ -2067,7 +2263,7 @@ object GraftCatalog {
     override def innerChildren: Seq[LogicalPlan] = query.toSeq
     override def run(session: SparkSession): Seq[Row] = {
       import org.apache.spark.sql.functions.{coalesce, expr, lit, not}
-      val path = location.orElse(warehouse.map(w =>
+      val path = location.orElse(warehouseRoot.map(w =>
         w.stripSuffix("/") + "/" + name)).getOrElse(
         throw new IllegalArgumentException(
           s"CREATE TABLE $ident needs a LOCATION (or set " +
@@ -2191,7 +2387,7 @@ object GraftCatalog {
     override def innerChildren: Seq[LogicalPlan] = query.toSeq
     override def run(session: SparkSession): Seq[Row] = {
       val registered = lookup(name)
-      val path = location.orElse(registered).orElse(warehouse.map(w =>
+      val path = location.orElse(registered).orElse(warehouseRoot.map(w =>
         w.stripSuffix("/") + "/" + name)).getOrElse(
         throw new IllegalArgumentException(
           s"REPLACE TABLE $ident needs a LOCATION (or set " +
@@ -2343,7 +2539,7 @@ object GraftCatalog {
       require(lookupView(name).isEmpty,
         s"CREATE MATERIALIZED VIEW $ident: the name is a plain VIEW — " +
           "views and tables share the graft namespace")
-      val path = location.orElse(warehouse.map(w =>
+      val path = location.orElse(warehouseRoot.map(w =>
         w.stripSuffix("/") + "/" + name)).getOrElse(
         throw new IllegalArgumentException(
           s"CREATE MATERIALIZED VIEW $ident needs a LOCATION (or set " +
@@ -2890,6 +3086,13 @@ object GraftCatalog {
           case Seq(c) => Seq(col(c))
           case Seq(x, y) => Seq(graft.operators.LakehouseQueries.zkey16(
             col(x), col(y)))
+          // only reachable via a hand-edited/corrupt graft.clusterBy
+          // config (clusterSplit caps the DDL path, the ZORDER BY
+          // parser its own) — refuse cleanly, never MatchError (r17)
+          case more => throw new IllegalArgumentException(
+            s"OPTIMIZE graft.$name: CLUSTER BY interleaves at most 2 " +
+              s"dimensions (recorded: ${more.mkString(", ")}) — repair " +
+              "the graft.clusterBy table config")
         }
         val v = ManifestTable.compact(session, path,
           targetFiles = optimizeTargetFiles(session, path),
@@ -3119,7 +3322,7 @@ object GraftCatalog {
       val srcPath = lookup(srcName).getOrElse(
         throw new IllegalArgumentException(
           s"SHALLOW CLONE graft.$srcName: no such registered table" + hintRenamed(srcName)))
-      val dstPath = location.orElse(warehouse.map(w =>
+      val dstPath = location.orElse(warehouseRoot.map(w =>
         w.stripSuffix("/") + "/" + dstName)).getOrElse(
         throw new IllegalArgumentException(
           s"CREATE TABLE graft.$dstName SHALLOW CLONE needs a LOCATION " +

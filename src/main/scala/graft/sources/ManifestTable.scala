@@ -1743,8 +1743,8 @@ object ManifestTable {
     * uses (link(2) on the local FS, exists+rename on HDFS-class) —
     * a reader can never observe a partial file, and exactly one of
     * any number of concurrent writers wins. Returns whether WE won. */
-  private def createExclusive(f: FileSystem, target: Path,
-                              bytes: Array[Byte]): Boolean = {
+  private[sources] def createExclusive(f: FileSystem, target: Path,
+                                       bytes: Array[Byte]): Boolean = {
     val tmp = new Path(target.getParent,
       s".${target.getName}.${java.util.UUID.randomUUID()}.tmp")
     val out = f.create(tmp, true)
@@ -2119,10 +2119,21 @@ object ManifestTable {
         deleteTombstones(spark, table, v),
         dvs = deleteVectors(spark, table, v))
     if (version < 0 && cacheEnabled.contains(table) && files.nonEmpty) {
+      // Concurrent head reads race to populate: the registry keeps
+      // exactly one frame per table (the newest version wins; an
+      // equal-version race keeps the incumbent) and the OTHER frame
+      // is always unpersisted (r17, advisory — the old put-based code
+      // skipped unpersist on an equal-version replace and leaked the
+      // loser's executor blocks until UNCACHE).
       val persisted = df.persist()
-      val old = cacheReg.put(table, (v, persisted))
-      if (old != null && old._1 != v) old._2.unpersist(false)
-      persisted
+      var evicted: DataFrame = null
+      val kept = cacheReg.compute(table, (_, old) =>
+        if (old != null && old._1 >= v) { evicted = persisted; old }
+        else { if (old != null) evicted = old._2; (v, persisted) })
+      if (evicted ne null) evicted.unpersist(false)
+      // an even-newer concurrent entry serves ITS version, not ours —
+      // hand back the plain frame for snapshot-v consistency
+      if (kept._1 == v) kept._2 else df
     } else df
   }
 
@@ -4488,7 +4499,33 @@ object ManifestTable {
           Some(src0.columns.toSeq.map(c => c -> col(c)))
         else None
       insertAssign.orElse(starAssigns) match {
-        case None => filtered
+        case None =>
+          // pass-through `INSERT *` (r17, advisory): when the source
+          // carries EVERY spec-bearing column there is nothing to
+          // fill — but a source-supplied GENERATED value must still
+          // AGREE with its expression, exactly as the explicit-list
+          // and INSERT paths enforce. The frame is pinned
+          // (localCheckpoint) before the check so the checked rows
+          // ARE the written rows even for a nondeterministic source;
+          // the cost is O(insert batch) and only on this rare
+          // supplied-generated shape.
+          val genCarried = tgtSchema.fields.filter(f =>
+            ColumnSpecs.generatedOf(f).isDefined &&
+              filtered.columns.exists(_.equalsIgnoreCase(f.name)))
+          if (genCarried.isEmpty) filtered
+          else {
+            import org.apache.spark.sql.functions.not
+            val pinned = filtered.localCheckpoint()
+            genCarried.foreach { f =>
+              val sql = ColumnSpecs.generatedOf(f).get
+              require(pinned.filter(not(pinned.col(f.name) <=>
+                  ColumnSpecs.generatedColumn(spark, sql, f.dataType))).isEmpty,
+                s"MERGE INSERT on $table carries GENERATED column " +
+                  s"'${f.name}' values that disagree with GENERATED " +
+                  s"ALWAYS AS ($sql)")
+            }
+            pinned
+          }
         case Some(assigns) =>
           require(assigns.map(_._1).distinct.length == assigns.length,
             s"MERGE INSERT on $table assigns a column twice")
@@ -4525,8 +4562,17 @@ object ManifestTable {
                 }
             }
           }: _*)
-          // GENERATED columns complete last, over the filled image
-          tgtSchema.fields.foldLeft(base) { (d, f) =>
+          // GENERATED columns complete last, over the filled image.
+          // When one is ASSIGNED the agree-check below re-executes the
+          // frame — pin it first (r17, advisory) so the checked rows
+          // are the written rows (the base holds NextIdentityValue /
+          // possibly-nondeterministic source expressions).
+          val base1 =
+            if (tgtSchema.fields.exists(f =>
+                ColumnSpecs.generatedOf(f).isDefined && amap.contains(f.name)))
+              base.localCheckpoint()
+            else base
+          tgtSchema.fields.foldLeft(base1) { (d, f) =>
             ColumnSpecs.generatedOf(f) match {
               case Some(sql) if !amap.contains(f.name) =>
                 d.withColumn(f.name,
@@ -5529,6 +5575,77 @@ object ManifestTable {
       .withColumn("_row",
         when(col("_post").isNull, col("_pre")).otherwise(col("_post")))
       .select(cols.map(c => col(s"_row.$c").as(c)) :+ col("_change_type"): _*)
+  }
+
+  /** Multiset row delta between two versions (r17, incremental
+    * materialized-view maintenance): `(entered, left)` — the live rows
+    * that ENTERED the snapshot and the live rows that LEFT it, both
+    * under the to-version column set. Unlike [[rowChanges]] this needs
+    * NO key columns and does NO join: a compaction's
+    * rewritten-but-identical row appears on both sides and cancels in
+    * any additive use; the dirty-GROUP rescan only projects the
+    * union's group keys, where double-appearance is harmless. Cost is
+    * O(churned files): the added/removed file diff, plus shared files
+    * whose row-level delete state — deletion vectors or tombstone
+    * targeting — changed between the versions (a metadata-only lazy
+    * delete churns no file yet changes the live rowset; both sides
+    * read such a file LIVE under their own version's delete state, so
+    * the difference is exactly the newly-hidden rows). */
+  private[sources] def multisetDelta(spark: SparkSession, table: String,
+      sinceVersion: Int, toVersion: Int = -1): (DataFrame, DataFrame) = {
+    import org.apache.spark.sql.functions.{col, lit}
+    val to = if (toVersion < 0) currentVersion(spark, table) else toVersion
+    require(sinceVersion <= to,
+      s"sinceVersion $sinceVersion is beyond version $to of $table")
+    val before = snapshotFiles(spark, table, sinceVersion)
+    val after = snapshotFiles(spark, table, to)
+    val beforeSet = before.toSet; val afterSet = after.toSet
+    val added = after.filterNot(beforeSet)
+    val removed = before.filterNot(afterSet)
+    val dvS = deleteVectors(spark, table, sinceVersion)
+    val dvT = deleteVectors(spark, table, to)
+    def predsOf(tb: Seq[(String, Seq[String])]): Map[String, Seq[String]] =
+      tb.flatMap { case (p, fs) => fs.map(_ -> p) }
+        .groupBy(_._1).view.mapValues(_.map(_._2).sorted).toMap
+    val pS = predsOf(deleteTombstones(spark, table, sinceVersion))
+    val pT = predsOf(deleteTombstones(spark, table, to))
+    val dvChurned = after.filter(beforeSet).filter(f =>
+      dvS.get(f) != dvT.get(f) || pS.get(f) != pT.get(f))
+    val schema = snapshotSchema(spark, table, to)
+    val partedBy = partitionColumns(spark, table, to)
+    def emptySide: DataFrame = read(spark, table, to).limit(0)
+    val post = {
+      val fs = added ++ dvChurned
+      if (fs.isEmpty) emptySide
+      else readLive(spark, table, fs, schema, partedBy,
+        deleteTombstones(spark, table, to), dvs = dvT)
+    }
+    val cols = post.columns.toSeq
+    val typeOf = post.schema.map(f => f.name -> f.dataType).toMap
+    val pre = {
+      val fs = removed ++ dvChurned
+      if (fs.isEmpty) emptySide
+      else {
+        // since-version schema re-spelled to the to-version logical
+        // names (column mapping), exactly as rowChanges' pre side
+        val toF = snapshotSchema(spark, table, to).map(_.fields.toSeq)
+        val sinceSchema = snapshotSchema(spark, table, sinceVersion)
+        val respelled = sinceSchema.map(s => toF.fold(s)(respellTo(s, _)))
+        val renameOf: Map[String, String] =
+          sinceSchema.map(_.fields.toSeq).getOrElse(Nil)
+            .zip(respelled.map(_.fields.toSeq).getOrElse(Nil))
+            .map { case (a, b) => a.name -> b.name }.toMap
+        val raw = readLive(spark, table, fs, respelled,
+          partitionColumns(spark, table, sinceVersion)
+            .map(p => renameOf.getOrElse(p, p)),
+          deleteTombstones(spark, table, sinceVersion), dvs = dvS)
+        val have = raw.columns.toSet
+        raw.select(cols.map(c =>
+          if (have.contains(c)) col(c)
+          else lit(null).cast(typeOf(c)).as(c)): _*)
+      }
+    }
+    (post, pre)
   }
 
   /** OPTIMIZE-style compaction: rewrite the head snapshot into

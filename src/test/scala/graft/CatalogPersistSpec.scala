@@ -1,0 +1,169 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.SaveMode
+import graft.sources.{GraftCatalog => G, ManifestTable}
+
+/** The durable catalog (r17): with a warehouse configured, registry
+  * mutations publish `<warehouse>/_catalog/v<NNNNNNNN>.json` under the
+  * manifest publish primitive, and a fresh process resolves every name
+  * with zero re-registering. CloneSpec-style hostile drills: racing
+  * writers, crash debris, tampered files, retention.
+  *
+  * Every test snapshots and restores the global registry mood
+  * (warehouse var) and runs against its own scratch warehouse.
+  */
+class CatalogPersistSpec extends AnyFunSuite with SparkFixture {
+
+  private def freshWh(tag: String): String =
+    java.nio.file.Files.createTempDirectory(s"graft_catp_$tag").toString
+
+  /** Run `body` with the durable catalog rooted at a fresh warehouse;
+    * always restore the prior global warehouse var. */
+  private def withWarehouse(tag: String)(body: String => Unit): Unit = {
+    val prev = G.warehouse
+    val wh = freshWh(tag)
+    G.warehouse = Some(wh)
+    try body(wh)
+    finally {
+      G.warehouse = None // teardown unregisters stay in-memory-only
+      G.registered.keys.filter(_.startsWith("catp_")).foreach(G.unregister)
+      G.registeredViews.keys.filter(_.startsWith("catp_")).foreach(G.unregisterView)
+      G.warehouse = prev
+    }
+  }
+
+  private def catFiles(wh: String): Seq[String] = {
+    val d = new java.io.File(wh, "_catalog")
+    Option(d.listFiles()).getOrElse(Array.empty).map(_.getName).toSeq.sorted
+  }
+
+  /** Simulate process death, then point the new "process" at `wh`. */
+  private def restartInto(wh: String): Unit = {
+    G.resetRegistry()
+    G.warehouse = Some(wh)
+  }
+
+  test("register/view/rename/drop publish versions and survive restart") {
+    withWarehouse("basic") { wh =>
+      val t = freshWh("basic_t") + "/t"
+      import spark.implicits._
+      ManifestTable.commit(spark, t, Seq((1L, "a")).toDF("id", "s"),
+        SaveMode.Overwrite)
+      G.register("catp_a", t)
+      G.register("catp_b", t)
+      G.registerView("catp_v", "SELECT id FROM graft.catp_a")
+      G.renameRegistered("catp_b", "catp_c")
+      G.unregister("catp_a")
+      assert(catFiles(wh).nonEmpty, "mutations must publish catalog versions")
+
+      restartInto(wh)
+      assert(G.registered.isEmpty, "restart must start empty")
+      // cold lookups load from disk: a survives? no — it was dropped
+      assert(G.lookup("catp_a").isEmpty)
+      assert(G.lookup("catp_c") === Some(t), "rename target must survive")
+      assert(G.lookup("catp_b").isEmpty)
+      assert(G.hintRenamed("catp_b").contains("catp_c"),
+        "the rename hint must survive restart")
+      assert(G.lookupView("catp_v") === Some("SELECT id FROM graft.catp_a"))
+    }
+  }
+
+  test("the full SQL face survives into a fresh SparkSession knowing only the conf") {
+    withWarehouse("sql") { wh =>
+      import spark.implicits._
+      Seq((1L, "x", 10.0), (2L, "y", 20.0), (3L, "x", 30.0))
+        .toDF("id", "grp", "v").createOrReplaceTempView("catp_src")
+      spark.sql("CREATE TABLE graft.catp_sqlt AS SELECT * FROM catp_src")
+      spark.sql(
+        """CREATE VIEW graft.catp_sqlv AS
+          |SELECT grp, count(*) AS n FROM graft.catp_sqlt GROUP BY grp""".stripMargin)
+
+      G.resetRegistry() // process death — even the warehouse root dies
+      val s2 = spark.newSession()
+      s2.conf.set("spark.graft.warehouse", wh)
+      // the view resolves, and resolves its underlying table, cold
+      val got = s2.sql("SELECT grp, n FROM graft.catp_sqlv ORDER BY grp")
+        .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+      assert(got === Map("x" -> 2L, "y" -> 1L))
+      // DML through the revived name works too
+      s2.sql("INSERT INTO graft.catp_sqlt VALUES (4, 'y', 40.0)")
+      assert(s2.sql("SELECT count(*) AS c FROM graft.catp_sqlt")
+        .head().getLong(0) == 4L)
+      G.warehouse = Some(wh) // for the shared teardown sweep
+    }
+  }
+
+  test("racing registers from many threads all land (CAS retry loop)") {
+    withWarehouse("race") { wh =>
+      val pool = java.util.concurrent.Executors.newFixedThreadPool(8)
+      try {
+        val gate = new java.util.concurrent.CyclicBarrier(8)
+        val futs = (1 to 8).map { i =>
+          pool.submit(new Runnable {
+            def run(): Unit = { gate.await(); G.register(s"catp_r$i", s"/p/$i") }
+          })
+        }
+        futs.foreach(_.get())
+      } finally pool.shutdown()
+      restartInto(wh)
+      (1 to 8).foreach { i =>
+        assert(G.lookup(s"catp_r$i") === Some(s"/p/$i"),
+          s"racing register catp_r$i must have published")
+      }
+    }
+  }
+
+  test("crash debris and strangers in _catalog are ignored; tampered head is LOUD") {
+    withWarehouse("debris") { wh =>
+      G.register("catp_d", "/p/d")
+      val dir = java.nio.file.Paths.get(wh, "_catalog")
+      // a crashed writer's temp sibling + an unrelated stranger
+      java.nio.file.Files.write(dir.resolve(".v00000099.json.dead.tmp"),
+        "{torn".getBytes("UTF-8"))
+      java.nio.file.Files.write(dir.resolve("README.txt"),
+        "hello".getBytes("UTF-8"))
+      restartInto(wh)
+      assert(G.lookup("catp_d") === Some("/p/d"),
+        "debris must not block the load")
+      // hand-tamper the latest version: unreadable JSON must refuse
+      // loudly, never silently start empty
+      val head = catFiles(wh).filter(_.endsWith(".json")).max
+      java.nio.file.Files.write(dir.resolve(head), "NOT JSON".getBytes("UTF-8"))
+      restartInto(wh)
+      intercept[Exception] { G.lookup("catp_d") }
+    }
+  }
+
+  test("no-op mutations publish nothing; retention bounds the version count") {
+    withWarehouse("retain") { wh =>
+      G.register("catp_k", "/p/k")
+      val after1 = catFiles(wh).size
+      // unregistering a name that was never persisted: no new version
+      G.unregister("catp_never_registered")
+      assert(catFiles(wh).size == after1,
+        "a state-identical mutation must not publish")
+      // 30 more mutations: retention keeps a bounded window
+      (1 to 30).foreach(i => G.register(s"catp_k$i", s"/p/$i"))
+      val files = catFiles(wh).filter(_.endsWith(".json"))
+      assert(files.size <= 21, s"retention must bound the census: $files")
+      restartInto(wh)
+      assert(G.lookup("catp_k") === Some("/p/k") &&
+        G.lookup("catp_k30") === Some("/p/30"),
+        "every name must survive retention")
+    }
+  }
+
+  test("in-memory entries win over loaded ones; a genuine miss stays a miss") {
+    withWarehouse("merge") { wh =>
+      G.register("catp_m", "/p/old")
+      G.resetRegistry()
+      G.warehouse = Some(wh)
+      // a live session re-registers the name somewhere else BEFORE the
+      // first cold miss: its choice must not be clobbered by the load
+      G.register("catp_m", "/p/new")
+      assert(G.lookup("catp_m") === Some("/p/new"))
+      assert(G.lookup("catp_no_such_name").isEmpty)
+    }
+  }
+}
