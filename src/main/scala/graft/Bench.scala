@@ -52,17 +52,27 @@ object Bench {
     // regressions. Dividing any query's time by probe_sec of ITS OWN
     // artifact normalizes the machine out, so cross-round comparison
     // becomes arithmetic instead of archaeology.
-    val probeSec: Double = {
+    // r17: the window's speed drifts WITHIN a run (three same-code
+    // runs measured probes 0.47–0.84 s around identical ~246 s
+    // bodies), so a start-only probe can misrepresent the window the
+    // queries actually ran in. The probe is now SAMPLED at start,
+    // after the first pass, and after stabilization; probe_sec is the
+    // MEDIAN (all samples recorded as probe_samples for transparency).
+    def probeOnce(): Double = {
       import org.apache.spark.sql.functions._
-      def once(): Double = {
-        val t0 = System.nanoTime()
-        graft.sources.Tables.lineitem(spark, sfDir)
-          .groupBy("l_returnflag", "l_linestatus")
-          .agg(sum("l_quantity"), sum("l_extendedprice"), count(lit(1)))
-          .write.format("noop").mode("overwrite").save()
-        (System.nanoTime() - t0) / 1e9
-      }
-      try math.min(once(), once()) catch { case _: Throwable => -1.0 }
+      val t0 = System.nanoTime()
+      graft.sources.Tables.lineitem(spark, sfDir)
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(sum("l_quantity"), sum("l_extendedprice"), count(lit(1)))
+        .write.format("noop").mode("overwrite").save()
+      (System.nanoTime() - t0) / 1e9
+    }
+    var probeSamples: List[Double] =
+      try List(math.min(probeOnce(), probeOnce()))
+      catch { case _: Throwable => Nil }
+    def probeSec: Double = probeSamples.sorted match {
+      case Nil => -1.0
+      case s => s(s.length / 2)
     }
     // The previous run's artifact (probe + per-query seconds), read
     // before this run overwrites it — the drift net below compares
@@ -117,6 +127,7 @@ object Bench {
       SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
         name -> (1 to 2).flatMap(_ => timeOnce(name, fn)).sorted.headOption
       }
+    try probeSamples ::= probeOnce() catch { case _: Throwable => () }
     // Tail stabilization: the slowest committed numbers have measured
     // up to ~8× above a fresh-JVM run (r13's c37_history charged ~13 s
     // of cold segment-cache fills and first-touch JIT to one query) —
@@ -161,6 +172,7 @@ object Bench {
     val results: Seq[(String, Option[Double])] = firstPass.map {
       case (name, t) => name -> stabMap.get(name).orElse(t)
     }
+    try probeSamples ::= probeOnce() catch { case _: Throwable => () }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v.fold("null")(_.toString) }
       .mkString("{", ",", "}")
     val total = results.flatMap(_._2).sum
@@ -182,6 +194,8 @@ object Bench {
       body.append("{\n  \"metric\": \"total\",\n")
       body.append(s"""  "value": $total,\n  "unit": "sec",\n""")
       body.append(f"""  "probe_sec": $probeSec%.3f,\n""")
+      body.append(s"""  "probe_samples": [${probeSamples.sorted
+        .map(p => f"$p%.3f").mkString(", ")}],\n""")
       body.append(s"""  "n": ${results.size}, "n_timed": ${results.count(_._2.isDefined)},\n""")
       body.append(s"""  "failed": $failedJson,\n  "sf": "$sfDir",\n""")
       body.append("  \"stabilized\": {")

@@ -149,8 +149,9 @@ class GraftSqlParser(delegate: ParserInterface) extends ParserInterface {
       GraftCatalog.CreateMaterializedViewCommand(unq(name),
         query.replaceAll(";\\s*$", "").trim, Option(loc),
         ignoreIfExists = ine != null)
-    case RefreshMViewStmt(name) =>
-      GraftCatalog.RefreshMaterializedViewCommand(unq(name))
+    case RefreshMViewStmt(name, inc) =>
+      GraftCatalog.RefreshMaterializedViewCommand(unq(name),
+        incremental = inc != null)
     case _ => delegate.parsePlan(sqlText)
   }
 
@@ -253,7 +254,7 @@ object GraftSqlParser {
   private val CreateMViewStmt =
     s"""(?is)\\s*CREATE\\s+MATERIALIZED\\s+VIEW\\s+(?:(IF\\s+NOT\\s+EXISTS)\\s+)?graft\\s*\\.\\s*($Ident)\\s*(?:LOCATION\\s+'([^']*)'\\s*)?AS\\s+(.+)""".r
   private val RefreshMViewStmt =
-    s"""(?is)\\s*REFRESH\\s+MATERIALIZED\\s+VIEW\\s+graft\\s*\\.\\s*($Ident)\\s*;?\\s*""".r
+    s"""(?is)\\s*REFRESH\\s+MATERIALIZED\\s+VIEW\\s+graft\\s*\\.\\s*($Ident)(\\s+INCREMENTAL)?\\s*;?\\s*""".r
   private val DescribeHistoryStmt =
     s"""(?is)\\s*DESC(?:RIBE)?\\s+HISTORY\\s+graft\\s*\\.\\s*($Ident)\\s*;?\\s*""".r
   private val DescribeDetailStmt =

@@ -25,6 +25,8 @@ object Stress {
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.ui.enabled", "false")
+      // the SQL face (identity_100k drives real INSERT statements)
+      .withExtensions(new GraftExtensions)
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
 
@@ -423,6 +425,60 @@ object Stress {
       println(f"[stress rep=$rep] dv_scatter files_touched=0/${beforeFiles.size} " +
         f"victims=$victims dv_s=$dvSec%.2f " +
         f"vectored_files=${ManifestTable.deleteVectors(spark, t).size}")
+    }
+
+    // r17 (opt-in: `runMain graft.Stress <rep> identity_100k`): the
+    // IDENTITY high-water-mark fold at the 100k-file census. The fold
+    // (tryPublish, schemaSynced) walks the per-file stats ALREADY in
+    // the publishing writer's hand — O(#files), driver-side, zero
+    // extra passes — so a small identity INSERT onto a 100k-file
+    // table must cost the same flat latency any 1-file append does.
+    // Assertions are structural (unique ids across every batch, hwm
+    // == max(id)); the printed seconds are the SCALE.md numbers.
+    if (only.exists("identity_100k".contains)) {
+      import graft.sources.{GraftCatalog, ManifestTable}
+      val t = java.nio.file.Files
+        .createTempDirectory("graft_stress_id100k").toString + "/t"
+      GraftCatalog.unregister("sid100k")
+      spark.sql(s"""CREATE TABLE graft.sid100k (
+                   |  id BIGINT GENERATED ALWAYS AS IDENTITY,
+                   |  v BIGINT
+                   |) LOCATION '$t'""".stripMargin)
+      val batches = 50
+      val filesPerBatch = 2000
+      var t0 = System.nanoTime()
+      (0 until batches).foreach { b =>
+        spark.range(filesPerBatch.toLong)
+          .selectExpr(s"id + ${b.toLong * filesPerBatch} AS v")
+          .repartition(filesPerBatch)
+          .createOrReplaceTempView("sid_batch")
+        spark.sql("INSERT INTO graft.sid100k (v) SELECT v FROM sid_batch")
+        if ((b + 1) % 10 == 0)
+          println(f"[stress] identity_100k build ${(b + 1) * filesPerBatch} " +
+            f"files ${(System.nanoTime() - t0) / 1e9}%.1fs")
+      }
+      val buildSec = (System.nanoTime() - t0) / 1e9
+      val nFiles = ManifestTable.snapshotFiles(spark, t).size
+      // the hwm fold's flat-latency claim: ONE tiny identity insert
+      // at the full census
+      t0 = System.nanoTime()
+      spark.sql("INSERT INTO graft.sid100k (v) VALUES (-1), (-2), (-3)")
+      val smallSec = (System.nanoTime() - t0) / 1e9
+      val total = batches.toLong * filesPerBatch + 3
+      val agg = spark.sql(
+        """SELECT count(*) AS n, count(DISTINCT id) AS d, max(id) AS m
+          |FROM graft.sid100k""".stripMargin).head()
+      require(agg.getLong(0) == total && agg.getLong(1) == total,
+        s"identity must stay unique across $batches racing-free batches: " +
+          s"rows=${agg.getLong(0)} distinct=${agg.getLong(1)}")
+      val hwm = ManifestTable.snapshotSchema(spark, t).get
+        .fields.find(_.name == "id")
+        .flatMap(f => graft.sources.ColumnSpecs.identityOf(f)).flatMap(_.hwm)
+      require(hwm.contains(agg.getLong(2)),
+        s"the recorded hwm must equal max(id): hwm=$hwm max=${agg.getLong(2)}")
+      println(f"[stress] identity_100k files=$nFiles build_s=$buildSec%.1f " +
+        f"small_insert_s=$smallSec%.2f hwm=${hwm.get} rows=$total")
+      GraftCatalog.unregister("sid100k")
     }
 
     // r10 (opt-in: `runMain graft.Stress <rep> manifest_100k`): the

@@ -1632,6 +1632,116 @@ object PipelineQueries {
              |FROM nation
              |GROUP BY n_regionkey
              |ORDER BY n_regionkey NULLS FIRST""".stripMargin)
+    ),
+
+    // Q_MV_INCREMENTAL (r17, VERDICT r16 ask #2): incremental
+    // materialized-view refresh — the dirty-group rescan. The drill:
+    // materialize a priority-level aggregate, prime the base-version
+    // marker, churn the base with INSERTS (two priorities) AND a
+    // DELETE (a third), REFRESH … INCREMENTAL, and pin in-query that
+    // the refresh actually took the incremental path; the oracle
+    // recomputes the final image from scratch — hash equality proves
+    // partial maintenance == full recompute. At 100 TB the refresh
+    // costs O(churned files) to find dirty groups + a base scan
+    // FILTERED to them (stats/partition pruning applies) — never
+    // O(base) like the pre-r17 full recompute.
+    Entry(
+      "q_mv_incremental",
+      (s, d) => {
+        val bt = scratchDir("qmvib", d); rmRf(bt)
+        val mt = scratchDir("qmvim", d); rmRf(mt)
+        val G = graft.sources.GraftCatalog
+        G.unregister("q_mvi_base"); G.unregister("q_mvi_sums")
+        Tables.orders(s, d).createOrReplaceTempView("v_mvi_src")
+        s.sql(s"""CREATE TABLE graft.q_mvi_base LOCATION '$bt' AS
+                 |SELECT o_orderkey, o_orderpriority, o_totalprice
+                 |FROM v_mvi_src WHERE o_orderkey % 7 != 0""".stripMargin)
+        try {
+          s.sql(s"""CREATE MATERIALIZED VIEW graft.q_mvi_sums LOCATION '$mt' AS
+                   |SELECT o_orderpriority AS prio, count(*) AS n,
+                   |  ${dsumSql("o_totalprice")} AS sum_price
+                   |FROM graft.q_mvi_base GROUP BY o_orderpriority""".stripMargin)
+          // the first INCREMENTAL self-primes the base-version marker
+          val m1 = s.sql(
+            "REFRESH MATERIALIZED VIEW graft.q_mvi_sums INCREMENTAL")
+            .collect().head.getString(1)
+          require(m1 == "full",
+            s"the priming refresh must report mode=full, got $m1")
+          // churn: grow two priorities, shrink a third
+          s.sql("""INSERT INTO graft.q_mvi_base
+                  |SELECT o_orderkey, o_orderpriority, o_totalprice
+                  |FROM v_mvi_src WHERE o_orderkey % 7 = 0
+                  |  AND o_orderpriority IN ('1-URGENT', '2-HIGH')""".stripMargin)
+          s.sql("""DELETE FROM graft.q_mvi_base
+                  |WHERE o_orderkey % 11 = 0
+                  |  AND o_orderpriority = '3-MEDIUM'""".stripMargin)
+          val r = s.sql(
+            "REFRESH MATERIALIZED VIEW graft.q_mvi_sums INCREMENTAL")
+            .collect().head
+          require(r.getString(1) == "incremental",
+            s"the churned refresh must take the incremental path, " +
+              s"got ${r.getString(1)}")
+          val out = s.sql("""SELECT prio, n, sum_price
+                            |FROM graft.q_mvi_sums
+                            |ORDER BY prio""".stripMargin)
+          out.count() // force before the teardown unregisters the names
+          out
+        } finally { G.unregister("q_mvi_sums"); G.unregister("q_mvi_base") }
+      },
+      Some(s"""SELECT o_orderpriority AS prio, count(*) AS n,
+             |  ${dsumSql("o_totalprice")} AS sum_price
+             |FROM orders
+             |WHERE (o_orderkey % 7 <> 0
+             |       OR o_orderpriority IN ('1-URGENT', '2-HIGH'))
+             |  AND NOT (o_orderkey % 11 = 0
+             |           AND o_orderpriority = '3-MEDIUM')
+             |GROUP BY o_orderpriority
+             |ORDER BY prio NULLS FIRST""".stripMargin)
+    ),
+
+    // Q_ADD_COLUMN_DEFAULT (r17, VERDICT r16 ask #4): backfill-free
+    // schema growth — `ADD COLUMNS (c T DEFAULT e)` records the fill
+    // at ADD time (zero data moves — pinned in-query by the unchanged
+    // file census); pre-add files surface the frozen literal on read,
+    // post-add inserts store real values, and ONE aggregate spans
+    // both eras. The oracle replays the fill with a CASE over the raw
+    // table. At 100 TB this is the difference between a new column
+    // being one manifest commit and being a full table rewrite.
+    Entry(
+      "q_add_column_default",
+      (s, d) => {
+        val t = scratchDir("qacd", d)
+        rmRf(t)
+        val M = graft.sources.ManifestTable
+        graft.sources.GraftCatalog.unregister("q_acd_orders")
+        Tables.orders(s, d).createOrReplaceTempView("v_acd_src")
+        s.sql(s"""CREATE TABLE graft.q_acd_orders LOCATION '$t' AS
+                 |SELECT o_orderkey, o_totalprice FROM v_acd_src
+                 |WHERE o_orderkey % 3 = 0""".stripMargin)
+        try {
+          val filesBefore = M.snapshotFiles(s, t).toSet
+          s.sql("""ALTER TABLE graft.q_acd_orders
+                  |ADD COLUMNS (channel STRING DEFAULT 'legacy')""".stripMargin)
+          require(M.snapshotFiles(s, t).toSet == filesBefore,
+            "ADD COLUMNS … DEFAULT must be metadata-only — zero files move")
+          s.sql("""INSERT INTO graft.q_acd_orders
+                  |SELECT o_orderkey, o_totalprice, o_orderpriority
+                  |FROM v_acd_src WHERE o_orderkey % 3 = 1""".stripMargin)
+          s.sql(s"""SELECT channel, count(*) AS n,
+                   |  ${dsumSql("o_totalprice")} AS sum_price
+                   |FROM graft.q_acd_orders
+                   |GROUP BY channel
+                   |ORDER BY channel""".stripMargin)
+        } finally graft.sources.GraftCatalog.unregister("q_acd_orders")
+      },
+      Some(s"""SELECT CASE WHEN o_orderkey % 3 = 0 THEN 'legacy'
+             |            ELSE o_orderpriority END AS channel,
+             |  count(*) AS n,
+             |  ${dsumSql("o_totalprice")} AS sum_price
+             |FROM orders
+             |WHERE o_orderkey % 3 IN (0, 1)
+             |GROUP BY 1
+             |ORDER BY channel NULLS FIRST""".stripMargin)
     )
   )
 }

@@ -1177,7 +1177,13 @@ object GraftCatalog {
                 s"MERGE on $ident has no effective clause")
               val matchedUpdate: Option[Column] = upd match {
                 case Some(c) => c // present: None inside = unconditional
-                case None => // no UPDATE clause: matches stay untouched
+                case None => // no UPDATE clause: matches stay untouched —
+                  // and the never-firing "replaced" frame must build as
+                  // an EMPTY SET LIST (target schema), not SET * (source
+                  // schema): an INSERT-only merge with a source narrower
+                  // than the target otherwise crashes the post-image
+                  // union on the missing columns (r17)
+                  if (matchedAssign.isEmpty) matchedAssign = Some(Nil)
                   Some(org.apache.spark.sql.functions.lit(false))
               }
               MergeCommand(ident, path, srcPlan, keys, matchedUpdate, del,
@@ -1209,16 +1215,17 @@ object GraftCatalog {
               val adds = cols.map { c =>
                 require(c.nullable,
                   s"ADD COLUMNS on $ident: new columns must be nullable — " +
-                    "every pre-add row reads them as null")
-                // an added-with-DEFAULT column would need an
-                // exists-default READ path (every pre-add row shows
-                // the default, not null) this engine does not record —
-                // half-honoring the clause would lie about old rows
-                require(c.default.isEmpty,
-                  s"ADD COLUMNS on $ident: DEFAULT on a new column is " +
-                    "unsupported (pre-add rows would read null, not the " +
-                    "default) — add the column, backfill with UPDATE, " +
-                    "then ALTER COLUMN … SET DEFAULT for future inserts")
+                    "every pre-add row reads them as null or the declared " +
+                    "exists-default")
+                // `ADD COLUMNS (c T DEFAULT e)` (r17): backfill-free —
+                // the default freezes into an exists-default literal
+                // pre-add files surface on READ, and doubles as the
+                // CURRENT default future inserts fill. Top-level only:
+                // nested fields have no insert-fill face.
+                require(c.default.isEmpty || c.name.length == 1,
+                  s"ADD COLUMNS on $ident: DEFAULT on the nested field " +
+                    s"'${c.name.mkString(".")}' is unsupported — " +
+                    "exists-defaults are top-level")
                 require(c.position.isEmpty,
                   s"ADD COLUMNS on $ident: the recorded schema appends new " +
                     "columns last — positions are unsupported")
@@ -1227,7 +1234,9 @@ object GraftCatalog {
                 // field name, `element`, `key`/`value`)
                 c.name.toSeq -> c.dataType
               }
-              AlterCommand(ident, path, Add(adds))
+              val defaults = cols.flatMap(c =>
+                c.default.map(d => c.name.head -> d.originalSQL)).toMap
+              AlterCommand(ident, path, Add(adds, defaults))
             case None => ac
           }
         case dc @ DropColumns(u: UnresolvedTable, cols, ifExists) =>
@@ -1855,7 +1864,8 @@ object GraftCatalog {
   /** One ALTER TABLE change, pre-validated by the rule. */
   sealed trait Alter extends Serializable
   final case class Rename(from: Seq[String], to: String) extends Alter
-  final case class Add(cols: Seq[(Seq[String], DataType)]) extends Alter
+  final case class Add(cols: Seq[(Seq[String], DataType)],
+                       defaults: Map[String, String] = Map.empty) extends Alter
   final case class Drop(cols: Seq[Seq[String]], ifExists: Boolean) extends Alter
   final case class Widen(cols: Seq[(Seq[String], DataType)]) extends Alter
   /** SET DEFAULT (Some(sql)) / DROP DEFAULT (None) per column (r16). */
@@ -1879,8 +1889,8 @@ object GraftCatalog {
         // column validates against the same head and the whole change
         // publishes as ONE version — a failing column fails the
         // statement with the table untouched
-        case Add(cols) =>
-          ManifestTable.addColumnsAt(session, path, cols)
+        case Add(cols, defaults) =>
+          ManifestTable.addColumnsAt(session, path, cols, defaults = defaults)
         case Drop(cols, ifExists) =>
           val keep =
             if (!ifExists) cols
@@ -2576,11 +2586,19 @@ object GraftCatalog {
 
   /** `REFRESH MATERIALIZED VIEW graft.<name>` — re-run the recorded
     * defining query, publish as ONE overwrite version. */
-  final case class RefreshMaterializedViewCommand(name: String)
-    extends LeafRunnableCommand {
+  /** `REFRESH MATERIALIZED VIEW graft.<name> [INCREMENTAL]` (r17):
+    * plain = pinned full recompute (now also recording the
+    * base-version marker for qualifying shapes); INCREMENTAL = the
+    * dirty-group rescan ([[MviewIncremental]]) — O(churned groups),
+    * not O(base) — returning (version, mode) where mode reports
+    * incremental / full (self-priming) / noop. */
+  final case class RefreshMaterializedViewCommand(name: String,
+      incremental: Boolean = false) extends LeafRunnableCommand {
     override val output: Seq[org.apache.spark.sql.catalyst.expressions.Attribute] =
       Seq(org.apache.spark.sql.catalyst.expressions.AttributeReference(
-        "version", org.apache.spark.sql.types.IntegerType, nullable = false)())
+        "version", org.apache.spark.sql.types.IntegerType,
+        nullable = false)()) ++
+        (if (incremental) Seq(strAttr("mode")) else Nil)
     override def run(session: SparkSession): Seq[Row] = {
       val path = lookup(name).getOrElse(throw new IllegalArgumentException(
         s"REFRESH MATERIALIZED VIEW graft.$name: no such registered " +
@@ -2590,10 +2608,11 @@ object GraftCatalog {
           s"graft.$name is not a materialized view — it records no " +
             "defining query (REFRESH applies to CREATE MATERIALIZED " +
             "VIEW tables only)"))
-      val df = PlanBridge.ofRows(session,
-        session.sessionState.sqlParser.parseQuery(sql))
-      val v = ManifestTable.commit(session, path, df, SaveMode.Overwrite)
-      Seq(Row(v))
+      if (incremental) {
+        val (v, mode) = MviewIncremental.incrementalRefresh(
+          session, name, path, sql)
+        Seq(Row(v, mode))
+      } else Seq(Row(MviewIncremental.fullRefresh(session, path, sql)))
     }
   }
 

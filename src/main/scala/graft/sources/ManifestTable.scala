@@ -2015,6 +2015,19 @@ object ManifestTable {
     // constraint set, not history
     val donorConfig = tableConfig(spark, src)
     if (donorConfig.nonEmpty) writeTableConfig(spark, dst, donorConfig)
+    // exists-default censuses come along too (r17): the clone reads
+    // the donor's pre-add files by the same relPaths, so the copied
+    // sidecar classifies them identically (overwrite-create: a
+    // crashed attempt's identical copy must not wedge the retry)
+    val exdSrc = existsDefaultsDir(src)
+    val exdFs = fs(spark, exdSrc)
+    if (exdFs.exists(exdSrc)) exdFs.listStatus(exdSrc).foreach { st =>
+      if (st.isFile) readRawBytes(exdFs, st.getPath).foreach { bytes =>
+        val to = new Path(existsDefaultsDir(dst), st.getPath.getName)
+        val o = fs(spark, to).create(to, true)
+        try o.write(bytes) finally o.close()
+      }
+    }
     // a failed publish must take OUR pre-publish files with it, or a
     // retried clone dies on the leftover ledger's exclusive create and
     // the destination is a manual-cleanup dead end (review r10 finding)
@@ -2356,13 +2369,30 @@ object ManifestTable {
     // `__f` INSIDE each era scan — `_metadata` does not survive the
     // union, so a caller tagging on top would break on the first
     // mixed-era table.
-    val groups = files.groupBy(eraDirs).toSeq.sortBy(_._2.head)
+    // exists-default fill groups ride the SAME split as eras: a
+    // file set mixing pre-add and post-add files scans per group so
+    // the fill is a per-group literal projection; homogeneous sets
+    // (every table without an exists-default column) take the plain
+    // single-group path with zero extra cost.
+    val fillKey = existsFillClassifier(spark, table, schema)
+    val groups = files.groupBy(f => (eraDirs(f), fillKey(f))).toSeq
+      .sortBy(_._2.head)
     if (groups.size > 1)
       return groups.map { case (_, fs) =>
         readFiles(spark, table, fs, schema, partitionBy, tagFile)
       }.reduce(_.unionByName(_))
+    val fillCols = files.headOption.map(fillKey).getOrElse(Set.empty)
+    def filled(df: DataFrame): DataFrame =
+      fillCols.foldLeft(df) { (d, c) =>
+        val f = schema.get.fields.find(_.name == c).get
+        // replace in place: pre-add files have no physical column, so
+        // the scan's null column becomes the frozen literal (codegen
+        // constant; a filter on it folds, never reaching the scan)
+        d.withColumn(c, org.apache.spark.sql.functions.expr(
+          ColumnSpecs.existsDefaultOf(f).get).cast(f.dataType))
+      }
     def tagged(df: DataFrame): DataFrame =
-      if (tagFile) df.withColumn("__f", relFileCol) else df
+      filled(if (tagFile) df.withColumn("__f", relFileCol) else df)
     // with a recorded schema, the file's OWN era decides which columns
     // are path-carried (physical dir spelling → logical field): after
     // an evolution away from a column, old hive-era files still derive
@@ -2507,7 +2537,11 @@ object ManifestTable {
     // survive readFiles' internal mixed-era union, so each era scans
     // (and tags) alone; single-era groups take the plain path
     def scan(fs: Seq[String]): DataFrame = {
-      val eras = fs.groupBy(eraDirs).toSeq.sortBy(_._2.head).map(_._2)
+      // exists-default fill groups split here too (r17): readFiles'
+      // internal fill union would strand the `_metadata` taggers below
+      val fillKey = existsFillClassifier(spark, table, schema)
+      val eras = fs.groupBy(f => (eraDirs(f), fillKey(f))).toSeq
+        .sortBy(_._2.head).map(_._2)
       if (eras.size <= 1) scanOne(fs)
       else eras.map(scanOne).reduce(_.unionByName(_))
     }
@@ -5831,13 +5865,36 @@ object ManifestTable {
     * reserved stats key (nested fields carry neither). */
   def addColumnsAt(spark: SparkSession, table: String,
                    cols: Seq[(Seq[String], DataType)], maxAttempts: Int = 5,
-                   freshStorage: Boolean = false): Int = {
+                   freshStorage: Boolean = false,
+                   defaults: Map[String, String] = Map.empty): Int = {
     require(cols.nonEmpty, "ADD COLUMNS needs at least one column")
     require(cols.forall(_._1.nonEmpty), "ADD COLUMNS needs non-empty paths")
     require(cols.map(_._1).distinct.length == cols.length,
       s"duplicate column paths in ${cols.map(_._1.mkString(".")).mkString(", ")}")
     cols.filter(_._1.length == 1).foreach { case (path, _) =>
       require(path.head != SizeKey, s"column name '${path.head}' is reserved") }
+    // exists-defaults (r17, the Delta allowColumnDefaults shape): an
+    // added-with-DEFAULT column records TWO facts — the CURRENT
+    // default (future inserts fill it, SET/DROP DEFAULT edits it) and
+    // the frozen EXISTS default literal pre-add files surface on read.
+    // Top-level only (nested fields have no insert-fill face), and the
+    // column stores under a FRESH uuid physical name so no historical
+    // file can shadow the fill with resurrected bytes.
+    defaults.keys.foreach { n =>
+      require(cols.exists(_._1 == Seq(n)),
+        s"ADD COLUMNS on $table: DEFAULT for '$n' — exists-defaults " +
+          "attach to the statement's own TOP-LEVEL columns only")
+    }
+    val frozen: Map[String, String] = defaults.map { case (n, sql) =>
+      val dt = cols.find(_._1 == Seq(n)).get._2
+      ColumnSpecs.validateDefault(spark, s"ADD COLUMNS on $table", n, dt, sql)
+      n -> ColumnSpecs.freezeDefault(spark, s"ADD COLUMNS on $table",
+        n, dt, sql)
+    }
+    // one physical identity per statement: retries must not strand a
+    // differently-named sidecar per attempt
+    val physOf: Map[String, String] = defaults.keys.map(n =>
+      n -> s"${n}_${java.util.UUID.randomUUID().toString.take(8)}").toMap
     var attempt = 0
     while (attempt < maxAttempts) {
       attempt += 1
@@ -5861,7 +5918,15 @@ object ManifestTable {
           require(!st.fieldNames.contains(name),
             s"column '$dotted' already exists on $table")
           val nf =
-            if (!freshStorage) StructField(name, dataType, nullable = true)
+            if (parent.isEmpty && defaults.contains(name))
+              ColumnSpecs.withExistsDefault(
+                ColumnSpecs.withDefault(
+                  StructField(name, dataType, nullable = true,
+                    metadata = new org.apache.spark.sql.types.MetadataBuilder()
+                      .putString(PhysNameKey, physOf(name)).build()),
+                  defaults(name)),
+                frozen(name))
+            else if (!freshStorage) StructField(name, dataType, nullable = true)
             else StructField(name, dataType, nullable = true,
               metadata = new org.apache.spark.sql.types.MetadataBuilder()
                 .putString(PhysNameKey,
@@ -5877,6 +5942,25 @@ object ManifestTable {
         }, dotted, table)
       }
       val widened = recordedSchema(edited, partBy)
+      // the pre-add census publishes BEFORE the schema does: any
+      // reader that can see the column can classify its files. A lost
+      // commit race re-derives the census against the new head and
+      // rewrites the same sidecar (same physical name per statement).
+      if (defaults.nonEmpty) {
+        val dir = existsDefaultsDir(table)
+        val f = fs(spark, dir)
+        f.mkdirs(dir)
+        physOf.values.foreach { phys =>
+          val node = segmentMapper.createObjectNode()
+          val arr = node.putArray("files")
+          files.sorted.foreach(arr.add)
+          val p = new Path(dir, s"$phys.json")
+          f.delete(p, false)
+          require(createExclusive(f, p, segmentMapper.writeValueAsBytes(node)),
+            s"could not publish the exists-default census for $table.$phys")
+          existsPreCache.remove((table, phys))
+        }
+      }
       beforeConditionalCommit()
       if (currentVersion(spark, table) == head &&
           tryPublish(spark, table, head, files,
@@ -5886,6 +5970,61 @@ object ManifestTable {
     }
     throw new java.util.ConcurrentModificationException(
       s"addColumns on $table lost $maxAttempts commit races")
+  }
+
+  // -----------------------------------------------------------------
+  // Exists-default read support (r17): `_manifests/exists_defaults/
+  // <physName>.json` lists the file census at ADD time — the files
+  // whose rows PREDATE the column and surface its frozen literal
+  // instead of null. Version-independent (a file either predates the
+  // add or it doesn't — compaction rewrites bake the fill and leave
+  // the list behind), expiry-proof (no historical manifest read), and
+  // clone-carried. One cached set per (table, column); classification
+  // is a driver-side set lookup per file in hand.
+  // -----------------------------------------------------------------
+
+  private def existsDefaultsDir(table: String) =
+    new Path(manifestDir(table), "exists_defaults")
+
+  private val existsPreCache =
+    new java.util.concurrent.ConcurrentHashMap[(String, String), Set[String]]()
+
+  private def existsPreSet(spark: SparkSession, table: String,
+                           phys: String): Set[String] = {
+    val hit = existsPreCache.get((table, phys))
+    if (hit != null) return hit
+    val p = new Path(existsDefaultsDir(table), s"$phys.json")
+    val set =
+      try {
+        val in = fs(spark, p).open(p)
+        val text =
+          try scala.io.Source.fromInputStream(in, "UTF-8").mkString
+          finally in.close()
+        import scala.jdk.CollectionConverters._
+        segmentMapper.readTree(text).path("files").elements().asScala
+          .map(_.asText()).toSet
+      } catch { case _: java.io.FileNotFoundException =>
+        // no census (hand-built manifest): nothing classifies as
+        // pre-add — the pre-r17 null read, never a wrong fill.
+        // NOT cached: the add statement's own publish window writes
+        // the sidecar moments before the schema lands.
+        return Set.empty
+      }
+    existsPreCache.put((table, phys), set)
+    set
+  }
+
+  /** file → names of exists-default columns whose ADD it predates
+    * (empty classifier when the schema carries none — zero cost). */
+  private def existsFillClassifier(spark: SparkSession, table: String,
+      schema: Option[StructType]): String => Set[String] = {
+    val exCols = schema.map(_.fields.toSeq.filter(f =>
+      ColumnSpecs.existsDefaultOf(f).isDefined)).getOrElse(Nil)
+    if (exCols.isEmpty) _ => Set.empty
+    else {
+      val pre = exCols.map(f => f.name -> existsPreSet(spark, table, physName(f)))
+      (fl: String) => pre.collect { case (n, s) if s.contains(fl) => n }.toSet
+    }
   }
 
   /** The sanctioned WIDENINGS: value-preserving embeddings Spark's
@@ -5914,6 +6053,9 @@ object ManifestTable {
       case (d: DecimalType, DoubleType) => d.precision <= 15
       case (d: DecimalType, LongType) => d.scale == 0 && d.precision <= 18
       case (d: DecimalType, IntegerType) => d.scale == 0 && d.precision <= 9
+      // a bare NULL literal (`VALUES (…, NULL)`) types as NullType and
+      // stores into ANY nullable column losslessly (r17)
+      case (org.apache.spark.sql.types.NullType, _) => true
       case _ => false
     })
   }

@@ -432,6 +432,13 @@ object ChangeFeedStream {
                       autoPump: Boolean = true,
                       pollIntervalMs: Long = 250L): DataFrame = {
     val bare = name.stripPrefix("graft.")
+    // a VIEW name composes for free when its text is stream-safe
+    // (r17, VERDICT r16 ask #5): pure projections/filters expand over
+    // the underlying table's change stream — streaming through the
+    // view ≡ streaming the table + the view's own transform
+    graft.sources.GraftCatalog.lookupView(bare).foreach { sql =>
+      return viewStream(spark, bare, sql, autoPump, pollIntervalMs, Set(bare))
+    }
     val path = graft.sources.GraftCatalog.lookup(bare).getOrElse(
       throw new IllegalArgumentException(
         s"readTableStream: no registered table '$name' — " +
@@ -442,6 +449,71 @@ object ChangeFeedStream {
       autoPumps.computeIfAbsent(feedDir,
         _ => pump(spark, path, feedDir, pollIntervalMs))
     readChangeStream(spark, path, feedDir)
+  }
+
+  /** Expand a registered view's text over the change stream of the
+    * table it (transitively) reads. Stream-safe = exactly
+    * [alias|project|filter]* over ONE relation — per-row transforms
+    * that compose with a change stream untouched; aggregates, joins,
+    * sorts and set ops REFUSE (they need their own watermarked
+    * streaming query, and silently batch-ifying them would lie). */
+  private def viewStream(spark: SparkSession, name: String, sql: String,
+                         autoPump: Boolean, pollIntervalMs: Long,
+                         seen: Set[String]): DataFrame = {
+    import org.apache.spark.sql.catalyst.analysis.UnresolvedRelation
+    import org.apache.spark.sql.catalyst.plans.logical.{Filter, Project, SubqueryAlias}
+    val plan = spark.sessionState.sqlParser.parsePlan(sql)
+    def streamSafe(p: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan)
+        : Boolean = p match {
+      case _: UnresolvedRelation => true
+      case SubqueryAlias(_, c) => streamSafe(c)
+      case Filter(_, c) => streamSafe(c)
+      case Project(_, c) => streamSafe(c)
+      case _ => false
+    }
+    require(streamSafe(plan),
+      s"readTableStream: view graft.$name is not stream-safe — only " +
+        "single-table projections/filters compose over a change " +
+        "stream; aggregates, joins and sorts need their own " +
+        "watermarked streaming query over the base table's stream")
+    val relName = plan.collectFirst { case u: UnresolvedRelation =>
+      u.multipartIdentifier match {
+        case Seq(ns, ident) if ns.equalsIgnoreCase("graft") => ident
+        case Seq(ident) => ident
+        case parts => throw new IllegalArgumentException(
+          s"readTableStream: view graft.$name reads " +
+            s"'${parts.mkString(".")}', which is not a graft name")
+      }
+    }.getOrElse(throw new IllegalArgumentException(
+      s"readTableStream: view graft.$name reads no table"))
+    require(!seen.contains(relName),
+      s"readTableStream: view graft.$name is cyclic — " +
+        (seen + relName).mkString(" -> "))
+    // nested views expand recursively (cycle guard threads through);
+    // the base table starts the actual change stream (same pump/feed
+    // semantics as ever)
+    val base = graft.sources.GraftCatalog.lookupView(relName) match {
+      case Some(inner) => viewStream(spark, relName, inner, autoPump,
+        pollIntervalMs, seen + relName)
+      case None => readTableStream(spark, relName, autoPump, pollIntervalMs)
+    }
+    val substituted = plan.transformUp {
+      case _: UnresolvedRelation =>
+        SubqueryAlias(relName, base.queryExecution.analyzed)
+    }
+    val result =
+      org.apache.spark.sql.graftbridge.PlanBridge.ofRows(spark, substituted)
+    // a GLOBAL aggregate parses as a plain Project (GlobalAggregates
+    // promotes it at ANALYSIS) — gate the analyzed plan too; row-local
+    // generators (explode) stay legal
+    require(!result.queryExecution.analyzed.exists(p =>
+        p.isInstanceOf[org.apache.spark.sql.catalyst.plans.logical.Aggregate] ||
+        p.isInstanceOf[org.apache.spark.sql.catalyst.plans.logical.Window]),
+      s"readTableStream: view graft.$name is not stream-safe — only " +
+        "single-table projections/filters compose over a change " +
+        "stream; aggregates and window functions need their own " +
+        "watermarked streaming query over the base table's stream")
+    result
   }
 
   /** Stop and forget the auto-pump a [[readTableStream]] call started

@@ -36,6 +36,9 @@ object ManifestSink {
     else {
       val bare = if (table.toLowerCase(java.util.Locale.ROOT)
           .startsWith("graft.")) table.substring("graft.".length) else table
+      require(graft.sources.GraftCatalog.lookupView(bare).isEmpty,
+        s"ManifestSink: '$table' is a VIEW — views are read-only; " +
+          "sink into the table it reads")
       graft.sources.GraftCatalog.lookup(bare).getOrElse(
         throw new IllegalArgumentException(
           s"ManifestSink: no registered table '$table'" +

@@ -138,12 +138,21 @@ class ColumnSpecsSpec extends AnyFunSuite with SparkFixture {
     }
   }
 
-  test("ADD COLUMNS with DEFAULT refuses (no exists-default read path)") {
+  // REWRITTEN r17: ADD COLUMNS … DEFAULT now has the exists-default
+  // read path (ExistsDefaultSpec owns the deep drills) — the r16
+  // refusal pin becomes the new contract's smoke + the surviving
+  // nested-field refusal.
+  test("ADD COLUMNS with DEFAULT records the exists fill; nested stays refused") {
     withTable("cs_addd",
       "CREATE TABLE graft.cs_addd (id BIGINT) LOCATION '__LOC__'") { _ =>
+      spark.sql("INSERT INTO graft.cs_addd VALUES (1)")
+      spark.sql("ALTER TABLE graft.cs_addd ADD COLUMNS (s STRING DEFAULT 'x')")
+      assert(spark.sql("SELECT s FROM graft.cs_addd").head().getString(0)
+        == "x", "the pre-add row must surface the exists fill")
+      spark.sql("ALTER TABLE graft.cs_addd ADD COLUMNS (st STRUCT<a: INT>)")
       val e = intercept[Exception] { spark.sql(
-        "ALTER TABLE graft.cs_addd ADD COLUMNS (s STRING DEFAULT 'x')") }
-      assert(e.getMessage.contains("backfill with UPDATE"), e.getMessage)
+        "ALTER TABLE graft.cs_addd ADD COLUMNS (st.b INT DEFAULT 7)") }
+      assert(e.getMessage.contains("top-level"), e.getMessage)
     }
   }
 

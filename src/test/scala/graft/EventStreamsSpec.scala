@@ -546,4 +546,63 @@ class EventStreamsSpec extends AnyFunSuite with SparkFixture {
       GraftCatalog.unregister("t9e_events")
     }
   }
+
+  test("T9v: a registered VIEW streams — view stream == table stream + view transform") {
+    import graft.sources.{GraftCatalog, ManifestTable}
+    import graft.streaming.ChangeFeedStream
+    def tmp(tag: String) =
+      java.nio.file.Files.createTempDirectory(s"graft_cdfv_$tag").toString
+    val (table, ckpt, out) = (tmp("tab") + "/t", tmp("ckpt"), tmp("out"))
+    ManifestTable.commit(spark, table,
+      (1 to 10).map(i => (i.toLong, i * 10L)).toDF("id", "v"))
+    GraftCatalog.register("t9v_base", table)
+    GraftCatalog.registerView("t9v_view",
+      "SELECT id, v * 2 AS twice FROM graft.t9v_base WHERE id % 2 = 0")
+    // a view on the view proves nested expansion (and the cycle guard)
+    GraftCatalog.registerView("t9v_outer",
+      "SELECT twice FROM graft.t9v_view WHERE twice >= 80")
+    try {
+      val q = ChangeFeedStream.readTableStream(spark, "graft.t9v_view")
+        .writeStream.format("parquet").option("path", out)
+        .option("checkpointLocation", ckpt).start()
+      try {
+        val deadline = System.currentTimeMillis() + 30000
+        def delivered = {
+          q.processAllAvailable()
+          try spark.read.parquet(out).count() catch { case _: Exception => 0L }
+        }
+        while (delivered < 5 && System.currentTimeMillis() < deadline)
+          Thread.sleep(100)
+        // == the table stream + the view's own transform
+        val got = spark.read.parquet(out).collect()
+          .map(r => r.getAs[Long]("id") -> r.getAs[Long]("twice")).toMap
+        assert(got === Map(2L -> 40L, 4L -> 80L, 6L -> 120L,
+          8L -> 160L, 10L -> 200L),
+          "view stream must equal table stream + projection/filter")
+        // an append flows through the SAME expansion
+        ManifestTable.commit(spark, table, Seq((11L, 110L), (12L, 120L))
+          .toDF("id", "v"))
+        while (delivered < 6 && System.currentTimeMillis() < deadline)
+          Thread.sleep(100)
+        assert(spark.read.parquet(out).count() === 6)
+      } finally q.stop()
+      // nested view expands through the chain
+      val nested = ChangeFeedStream.readTableStream(spark, "graft.t9v_outer")
+      assert(nested.isStreaming && nested.columns.toSeq === Seq("twice"))
+      // non-stream-safe views refuse with the watermark pointer
+      GraftCatalog.registerView("t9v_agg",
+        "SELECT count(*) AS n FROM graft.t9v_base")
+      val e = intercept[Exception](
+        ChangeFeedStream.readTableStream(spark, "t9v_agg"))
+      assert(e.getMessage.contains("stream-safe"), e.getMessage)
+      // sinking INTO a view refuses
+      val e2 = intercept[Exception](
+        graft.streaming.ManifestSink.appendBatch("graft.t9v_view", "app"))
+      assert(e2.getMessage.contains("read-only"), e2.getMessage)
+    } finally {
+      ChangeFeedStream.stopTableStreamPump("t9v_base")
+      Seq("t9v_view", "t9v_outer", "t9v_agg").foreach(GraftCatalog.unregisterView)
+      GraftCatalog.unregister("t9v_base")
+    }
+  }
 }
