@@ -2713,6 +2713,7 @@ object GraftCatalog {
           "isTemporary", org.apache.spark.sql.types.BooleanType,
           nullable = false)())
     override def run(session: SparkSession): Seq[Row] = {
+      maybeLoadPersisted() // a fresh process lists the durable views too
       val re = pattern.map(p => p.split("\\|").map(a =>
         java.util.regex.Pattern.quote(a).replace("*", "\\E.*\\Q"))
         .mkString("(?i)(", ")|(", ")").r)
@@ -2942,6 +2943,7 @@ object GraftCatalog {
     override val output: Seq[org.apache.spark.sql.catalyst.expressions.Attribute] =
       Seq(strAttr("namespace"), strAttr("tableName"), strAttr("location"))
     override def run(session: SparkSession): Seq[Row] = {
+      maybeLoadPersisted() // a fresh process lists the durable names too
       val re = pattern.map(p => p.split("\\|").map(a =>
         java.util.regex.Pattern.quote(a).replace("*", "\\E.*\\Q"))
         .mkString("(?i)(", ")|(", ")").r)

@@ -154,6 +154,25 @@ class CatalogPersistSpec extends AnyFunSuite with SparkFixture {
     }
   }
 
+  test("SHOW TABLES / SHOW VIEWS list the durable names in a fresh process") {
+    withWarehouse("show") { wh =>
+      import spark.implicits._
+      Seq((1L, 2L)).toDF("a", "b").createOrReplaceTempView("catp_show_src")
+      spark.sql("CREATE TABLE graft.catp_showt AS SELECT * FROM catp_show_src")
+      spark.sql("CREATE VIEW graft.catp_showv AS SELECT a FROM graft.catp_showt")
+      G.resetRegistry()
+      val s2 = spark.newSession()
+      s2.conf.set("spark.graft.warehouse", wh)
+      // the LISTING commands load the durable catalog themselves — a
+      // fresh operator's first move is SHOW TABLES, not a lucky miss
+      assert(s2.sql("SHOW TABLES IN graft LIKE 'catp_show*'").collect()
+        .map(_.getString(1)).toSet === Set("catp_showt"))
+      assert(s2.sql("SHOW VIEWS IN graft LIKE 'catp_show*'").collect()
+        .map(_.getString(1)).toSet === Set("catp_showv"))
+      G.warehouse = Some(wh) // for the shared teardown sweep
+    }
+  }
+
   test("in-memory entries win over loaded ones; a genuine miss stays a miss") {
     withWarehouse("merge") { wh =>
       G.register("catp_m", "/p/old")

@@ -174,6 +174,31 @@ class ExistsDefaultSpec extends AnyFunSuite with SparkFixture {
   private def cleanupNames(): Unit =
     Seq("exd_cl", "exd_cl2").foreach(GraftCatalog.unregister)
 
+  test("the fill is a codegen CONSTANT: filters on it fold instead of reaching the scan") {
+    freshTable("exd_fold")
+    try {
+      spark.sql(
+        "ALTER TABLE graft.exd_fold ADD COLUMNS (cat STRING DEFAULT 'legacy')")
+      // all files are pre-add → the fill column is a literal: a match
+      // folds the Filter away entirely …
+      val hit = spark.sql(
+        "SELECT id FROM graft.exd_fold WHERE cat = 'legacy'")
+      assert(!hit.queryExecution.optimizedPlan.exists(
+        _.isInstanceOf[org.apache.spark.sql.catalyst.plans.logical.Filter]),
+        s"a tautological fill filter must fold:\n" +
+          hit.queryExecution.optimizedPlan)
+      assert(hit.count() == 3)
+      // … and a mismatch folds the whole scan to an empty relation
+      val miss = spark.sql(
+        "SELECT id FROM graft.exd_fold WHERE cat = 'other'")
+      assert(miss.queryExecution.optimizedPlan.isInstanceOf[
+        org.apache.spark.sql.catalyst.plans.logical.LocalRelation],
+        s"a contradictory fill filter must fold to empty:\n" +
+          miss.queryExecution.optimizedPlan)
+      assert(miss.isEmpty)
+    } finally GraftCatalog.unregister("exd_fold")
+  }
+
   test("SET/DROP DEFAULT edits the CURRENT default, never the exists fill") {
     freshTable("exd_set")
     try {
