@@ -481,6 +481,77 @@ object Stress {
       GraftCatalog.unregister("sid100k")
     }
 
+    // r17 (opt-in: `runMain graft.Stress <rep> mview_inc`): incremental
+    // MV refresh vs full recompute under LOCALIZED churn — the case
+    // the dirty-group rescan exists for. The base is rep×-replicated
+    // orders, range-clustered by priority with priority stats, so the
+    // manifest-level IN-pruning (single plain group key, dirty census
+    // ≤1000) skips the untouched priorities' files outright; the drill
+    // churns ONE priority and times REFRESH vs REFRESH INCREMENTAL on
+    // identical states, asserting image equality. The printed ratio is
+    // the SCALE.md number.
+    if (only.exists("mview_inc".contains)) {
+      import graft.sources.{GraftCatalog, ManifestTable}
+      import org.apache.spark.sql.SaveMode
+      val root = java.nio.file.Files
+        .createTempDirectory("graft_stress_mvi").toString
+      val bt = s"$root/base"; val mt = s"$root/mv"
+      GraftCatalog.unregister("smvi_base"); GraftCatalog.unregister("smvi_sums")
+      ManifestTable.commit(spark, bt,
+        li.select(col("l_orderkey"), col("l_returnflag"), col("l_quantity"),
+            col("l_extendedprice"), col("l_discount"), col("l_tax"))
+          .repartitionByRange(256, col("l_returnflag"), col("l_orderkey")),
+        SaveMode.Overwrite, statsColumns = Seq("l_returnflag"))
+      GraftCatalog.register("smvi_base", bt)
+      spark.sql(s"""CREATE MATERIALIZED VIEW graft.smvi_sums LOCATION '$mt' AS
+                   |SELECT l_returnflag, count(*) AS n,
+                   |  CAST(sum(CAST(l_extendedprice AS DECIMAL(28,6))) AS DOUBLE)
+                   |    AS total,
+                   |  CAST(avg(l_quantity) AS DOUBLE) AS mean_qty
+                   |FROM graft.smvi_base GROUP BY l_returnflag""".stripMargin)
+      def imageRows() = spark.sql("SELECT * FROM graft.smvi_sums")
+        .collect().map(_.toSeq).sortBy(_.mkString("|"))
+      def churn(tag: Int): Unit = spark.sql(
+        s"""INSERT INTO graft.smvi_base
+           |SELECT l_orderkey + ${tag * 1000000000L}, l_returnflag, l_quantity,
+           |  l_extendedprice, l_discount, l_tax
+           |FROM graft.smvi_base
+           |WHERE l_returnflag = 'A' LIMIT 5000""".stripMargin)
+      // prime the marker, then time a FULL refresh under churn …
+      spark.sql("REFRESH MATERIALIZED VIEW graft.smvi_sums INCREMENTAL").collect()
+      churn(1)
+      var t0 = System.nanoTime()
+      spark.sql("REFRESH MATERIALIZED VIEW graft.smvi_sums").collect()
+      val fullSec = (System.nanoTime() - t0) / 1e9
+      val fullImage = imageRows()
+      // … then the SAME-SIZE churn again through the incremental path
+      // (cycle 1 warms the delta/rescan codegen exactly as the full
+      // path was warmed; cycle 2 is the steady-state number)
+      churn(2)
+      spark.sql("REFRESH MATERIALIZED VIEW graft.smvi_sums INCREMENTAL").collect()
+      churn(3)
+      t0 = System.nanoTime()
+      val mode = spark
+        .sql("REFRESH MATERIALIZED VIEW graft.smvi_sums INCREMENTAL")
+        .collect().head.getString(1)
+      val incSec = (System.nanoTime() - t0) / 1e9
+      require(mode == "incremental", s"expected the incremental path, got $mode")
+      // exactness: the incremental image == a from-scratch recompute
+      val fresh = spark.sql(
+        """SELECT l_returnflag, count(*) AS n,
+          |  CAST(sum(CAST(l_extendedprice AS DECIMAL(28,6))) AS DOUBLE) AS total,
+          |  CAST(avg(l_quantity) AS DOUBLE) AS mean_qty
+          |FROM graft.smvi_base GROUP BY l_returnflag""".stripMargin)
+        .collect().map(_.toSeq).sortBy(_.mkString("|"))
+      require(imageRows().toSeq == fresh.toSeq,
+        "the incremental image must equal a from-scratch recompute")
+      require(fullImage.length == fresh.length, "sanity: stable group census")
+      println(f"[stress rep=$rep] mview_inc full_s=$fullSec%.2f " +
+        f"inc_s=$incSec%.2f speedup=${fullSec / incSec}%.1fx " +
+        f"rows=${spark.sql("SELECT count(*) FROM graft.smvi_base").head().getLong(0)}")
+      GraftCatalog.unregister("smvi_sums"); GraftCatalog.unregister("smvi_base")
+    }
+
     // r10 (opt-in: `runMain graft.Stress <rep> manifest_100k`): the
     // 100k-file metadata drill the segmentation exists for. Builds a
     // 100k-file table via 50 batched 2k-file appends (real parquet

@@ -157,7 +157,7 @@ private[graft] object MviewIncremental {
     * pre-r17 unpinned recompute for everything else. Returns the
     * committed version. */
   def fullRefresh(session: SparkSession, mviewPath: String,
-                  sql: String): Int =
+                  sql: String): Int = {
     analyze(session, sql) match {
       case Right(sh) =>
         val baseTo = ManifestTable.currentVersion(session, sh.basePath)
@@ -173,6 +173,7 @@ private[graft] object MviewIncremental {
           session.sessionState.sqlParser.parseQuery(sql))
         ManifestTable.commit(session, mviewPath, df, SaveMode.Overwrite)
     }
+  }
 
   /** REFRESH … INCREMENTAL. Returns (version, mode) with mode ∈
     * {incremental, full, noop} — full = the self-priming first
@@ -226,15 +227,60 @@ private[graft] object MviewIncremental {
         // changed; the marker stays put (replay is idempotent)
         (ManifestTable.currentVersion(session, mviewPath), "noop")
       else {
+        // MANIFEST-LEVEL pruning for the localized-churn case (r17):
+        // when the ONE group key is a plain column and the dirty
+        // census is small (≤1000 — the dynamic-overwrite precedent),
+        // the rescan reads the base through readWhere with an IN
+        // predicate over the dirty keys, so per-file stats skip the
+        // untouched key ranges BEFORE Spark lists a single file — the
+        // semi join below still applies (exactness never rides the
+        // pruning). Expression keys / large censuses keep the plain
+        // pinned read + semi join (row-group and runtime filtering
+        // still help; manifest pruning has no sound predicate to use).
+        val prunedBase: Option[DataFrame] = sh.groups match {
+          case Seq((ua: UnresolvedAttribute, _)) =>
+            val keys = dirty.limit(1001).collect()
+            if (keys.length > 1000) None
+            else {
+              import org.apache.spark.sql.functions.lit
+              val c = col(ua.nameParts.last)
+              val vals = keys.map(_.get(0))
+              val nonNull = vals.filter(_ != null)
+              val in = if (nonNull.isEmpty) lit(false)
+                       else c.isin(nonNull.toIndexedSeq: _*)
+              val pred = if (vals.exists(_ == null)) in || c.isNull else in
+              Some(ManifestTable.readWhere(session, sh.basePath, pred,
+                baseTo))
+            }
+          case _ => None
+        }
         // rescan: the defining aggregate, base pinned at `baseTo`,
         // restricted to the dirty groups (null-safe: NULL is a group)
-        val pinnedChild = pin(session, sh.child, sh.baseName, sh.basePath,
-          baseTo)
-        val cond = sh.groups.zipWithIndex.map { case ((e, _), i) =>
-          EqualNullSafe(e, UnresolvedAttribute(s"__graft_gk$i"))
-            : Expression }.reduce(And(_, _))
-        val restricted = Join(pinnedChild, dirty.queryExecution.analyzed,
-          LeftSemi, Some(cond), JoinHint(None, Some(HintInfo(Some(BROADCAST)))))
+        val pinnedChild = prunedBase match {
+          case Some(df) => sh.child.transformUp {
+            case _: UnresolvedRelation =>
+              SubqueryAlias(sh.baseName, df.queryExecution.analyzed)
+          }
+          case None => pin(session, sh.child, sh.baseName, sh.basePath,
+            baseTo)
+        }
+        // the pruned readWhere path already applies the dirty-key
+        // predicate ROW-LEVEL (readWhere ≡ read + filter by contract),
+        // and the IN-over-collected-keys predicate IS exact dirty-set
+        // membership for a single plain key — the semi join would be
+        // pure double-filtering there (a per-row hash probe over the
+        // whole rescanned slice). Expression keys / large censuses
+        // keep the broadcast LEFT SEMI as the restriction.
+        val restricted =
+          if (prunedBase.isDefined) pinnedChild
+          else {
+            val cond = sh.groups.zipWithIndex.map { case ((e, _), i) =>
+              EqualNullSafe(e, UnresolvedAttribute(s"__graft_gk$i"))
+                : Expression }.reduce(And(_, _))
+            Join(pinnedChild, dirty.queryExecution.analyzed,
+              LeftSemi, Some(cond),
+              JoinHint(None, Some(HintInfo(Some(BROADCAST)))))
+          }
         val recomputed = PlanBridge.ofRows(session,
           sh.agg.copy(child = restricted))
         // untouched groups carry their image rows by reference-copy

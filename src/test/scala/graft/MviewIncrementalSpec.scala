@@ -221,6 +221,31 @@ class MviewIncrementalSpec extends AnyFunSuite with SparkFixture {
     } finally cleanup("mvi_j", "mvi_h", "mvi_s", "mvi_g", "mvi_r", "mvi_refb")
   }
 
+  test("the pruned single-key path stays exact with NULL group keys in the churn") {
+    import spark.implicits._
+    val bt = tmp("pn_b"); val mt = tmp("pn_m")
+    ManifestTable.commit(spark, bt,
+      Seq((1L, Some("a"), 1L), (2L, None, 2L), (3L, Some("b"), 3L))
+        .toDF("id", "grp", "v"), SaveMode.Overwrite)
+    GraftCatalog.register("mvi_pnb", bt)
+    // ONE plain group column → the readWhere IN-pruning path; the
+    // churn hits BOTH a named group and the NULL group, so the
+    // predicate must carry the `OR grp IS NULL` branch
+    val defSql = "SELECT grp, count(*) AS n, sum(v) AS total " +
+      "FROM graft.mvi_pnb GROUP BY grp"
+    try {
+      spark.sql(s"CREATE MATERIALIZED VIEW graft.mvi_pn LOCATION '$mt' AS $defSql")
+      refreshInc("mvi_pn")
+      spark.sql("INSERT INTO graft.mvi_pnb VALUES (4, NULL, 10), (5, 'a', 20)")
+      spark.sql("DELETE FROM graft.mvi_pnb WHERE id = 2")
+      val (_, mode) = refreshInc("mvi_pn")
+      assert(mode == "incremental", mode)
+      assertExact("mvi_pn", defSql)
+      assert(spark.sql("SELECT total FROM graft.mvi_pn WHERE grp IS NULL")
+        .head().getLong(0) == 10L)
+    } finally cleanup("mvi_pn", "mvi_pnb")
+  }
+
   test("dirty-group rescan really is partial: clean-group image rows survive by copy") {
     import spark.implicits._
     val bt = tmp("part_b"); val mt = tmp("part_m")
