@@ -74,12 +74,23 @@ object Bench {
       case Nil => -1.0
       case s => s(s.length / 2)
     }
-    // The previous run's artifact (probe + per-query seconds), read
-    // before this run overwrites it — the drift net below compares
-    // against it probe-normalized. Absent/corrupt file → no drift net.
+    // The drift-net anchor: the COMMITTED round-start artifact
+    // (bench_anchor.json — refreshed from the round-boundary
+    // bench_full.json at the start of each round), NOT whatever
+    // bench_full.json this round last wrote. r17 anchored to the
+    // on-disk bench_full.json, so any mid-round bench run reset the
+    // anchor and the committed artifact shipped 28 keys >2× vs the
+    // previous ROUND with no stabilization entry (VERDICT r17 item 2).
+    // Fallback order: $SPARK_GRAFT_BENCH_ANCHOR → bench_anchor.json →
+    // the previous bench_full.json. Absent/corrupt → no drift net.
     val prevBench: Option[(Double, Map[String, Double])] = try {
-      val p = java.nio.file.Paths.get(
-        sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "bench_full.json"))
+      val anchor = sys.env.get("SPARK_GRAFT_BENCH_ANCHOR")
+        .map(java.nio.file.Paths.get(_))
+        .filter(java.nio.file.Files.exists(_))
+        .orElse(Some(java.nio.file.Paths.get("bench_anchor.json"))
+          .filter(java.nio.file.Files.exists(_)))
+      val p = anchor.getOrElse(java.nio.file.Paths.get(
+        sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "bench_full.json")))
       if (!java.nio.file.Files.exists(p)) None
       else {
         val node = new com.fasterxml.jackson.databind.ObjectMapper()
