@@ -65,13 +65,17 @@ object GraftCatalog {
     require(name.nonEmpty && !name.contains(".") && !name.contains("@"),
       s"table name '$name' must be a plain identifier (no '.' or '@' — " +
         "'@v<N>' is reserved for time travel)")
-    maybeLoadPersisted() // collision checks must see the durable state
+    // collision checks must see the durable state, fresher than the
+    // TTL window allows — this is DDL, one listing is nothing
+    maybeLoadPersisted(force = true)
     require(!viewReg.containsKey(norm(name)),
       s"table name '$name' collides with a registered view")
     reg.put(norm(name), path)
+    localName("t:", name) // registered HERE: never evicted by a refresh
     // the name is live (again): a hint left from an earlier rename
     // would outlive this registration's history and lie (ADVICE r15)
     renamedAway.remove(norm(name))
+    localName("r:", name)
     publishCatalog(st => st.copy(
       tables = st.tables + (norm(name) -> path),
       renamed = st.renamed - norm(name)))
@@ -79,17 +83,22 @@ object GraftCatalog {
 
   def unregister(name: String): Unit = {
     reg.remove(norm(name))
+    localName("t:", name)
     publishCatalog(st => st.copy(tables = st.tables - norm(name)))
   }
 
-  def lookup(name: String): Option[String] =
+  def lookup(name: String): Option[String] = {
+    // hits re-check the durable state at most once per TTL, so a
+    // remote DROP/RENAME is observed without a restart (r18)
+    maybeRefresh()
     Option(reg.get(norm(name))).orElse {
       // a fresh process resolves durably-cataloged names with zero
       // re-registering (r17): the miss-path loads <warehouse>/_catalog
-      // once and re-checks — a genuine miss stays a miss
+      // once per TTL window and re-checks — a genuine miss stays a miss
       maybeLoadPersisted()
       Option(reg.get(norm(name)))
     }
+  }
 
   // -------------------------------------------------------------------
   // SQL views (r16): name → the view's SQL text, session-scoped like
@@ -104,22 +113,27 @@ object GraftCatalog {
   def registerView(name: String, sql: String): Unit = {
     require(name.nonEmpty && !name.contains(".") && !name.contains("@"),
       s"view name '$name' must be a plain identifier")
-    require(lookup(name).isEmpty, // lookup's miss-path loads the durable state
+    maybeLoadPersisted(force = true) // DDL: the collision check must
+    require(lookup(name).isEmpty,    // see the freshest durable state
       s"view name '$name' collides with a registered table")
     viewReg.put(norm(name), sql)
+    localName("v:", name)
     publishCatalog(st => st.copy(views = st.views + (norm(name) -> sql)))
   }
 
   def unregisterView(name: String): Unit = {
     viewReg.remove(norm(name))
+    localName("v:", name)
     publishCatalog(st => st.copy(views = st.views - norm(name)))
   }
 
-  def lookupView(name: String): Option[String] =
+  def lookupView(name: String): Option[String] = {
+    maybeRefresh()
     Option(viewReg.get(norm(name))).orElse {
       maybeLoadPersisted()
       Option(viewReg.get(norm(name)))
     }
+  }
 
   def registeredViews: Map[String, String] = {
     import scala.jdk.CollectionConverters._
@@ -189,8 +203,11 @@ object GraftCatalog {
       s"ALTER TABLE graft.$from RENAME TO graft.$to: the name is already " +
         s"registered to $prev")
     reg.remove(f, path)
+    localName("t:", f); localName("t:", t) // both slots mutated HERE
     renamedAway.put(f, t)
+    localName("r:", f)
     renamedAway.remove(t) // the name is live again; a stale hint would lie
+    localName("r:", t)
     // chained renames stay transitive (ADVICE r15): after a→b then
     // b→c, the hint for `a` must point at LIVE c, not dead b
     renamedAway.replaceAll((_, dest) => if (dest == f) t else dest)
@@ -291,35 +308,123 @@ object GraftCatalog {
   }
 
   /** Highest catalog version already merged into memory, per
-    * warehouse — repeat misses against an unchanged catalog re-list
-    * the directory (cheap) but skip the read+merge. */
+    * warehouse — repeat loads against an unchanged catalog re-list
+    * the directory but skip the read+merge. */
   private val loadedCatVersion =
     new java.util.concurrent.ConcurrentHashMap[String, Integer]()
 
-  /** Merge the latest persisted catalog into the in-memory registry
-    * (in-memory entries win). No-op without a warehouse. */
-  private[graft] def maybeLoadPersisted(): Unit = warehouseRoot.foreach { wh =>
-    val dir = catalogDir(wh)
-    val f = catalogFs(dir)
-    val latest = latestCatVersion(f, dir)
-    if (latest > 0 &&
-        !Option(loadedCatVersion.get(wh)).exists(_ >= latest)) {
-      val st = readCatState(f, dir, latest)
-      st.tables.foreach { case (n, p) => reg.putIfAbsent(n, p) }
-      st.views.foreach { case (n, s) => viewReg.putIfAbsent(n, s) }
-      st.renamed.foreach { case (n, t) => renamedAway.putIfAbsent(n, t) }
-      loadedCatVersion.put(wh, latest)
-    }
+  /** Names merged FROM the durable state (keys prefixed "t:"/"v:"/
+    * "r:" for tables/views/rename hints) rather than registered by
+    * this process. The durable catalog OWNS these: a refresh that
+    * finds one gone from (or retargeted in) the latest persisted
+    * version evicts/updates it, so another process's DROP, RENAME, or
+    * re-CREATE becomes visible here within [[refreshTtlMs]].
+    * Locally-registered names are never evicted — in-memory wins,
+    * exactly the restart-durability contract. */
+  private val diskSourced =
+    java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
+  private def localName(prefix: String, name: String): Unit =
+    diskSourced.remove(prefix + norm(name))
+
+  /** Staleness bound for observing OTHER processes' catalog mutations
+    * (r18, cross-process sync + the listing-cost advisory): the
+    * `_catalog` directory is listed at most once per TTL window —
+    * lookups inside the window are pure memory ops (r17 listed on
+    * EVERY miss, so each unresolved bare name in an analysis pass
+    * paid a FS listing) — and a lookup after the window re-lists, so
+    * a remote CREATE/DROP/RENAME is visible within the TTL without
+    * resetRegistry. `<= 0` restores the r17 list-per-miss behavior
+    * (no staleness window, no memo, no hit-path refresh). */
+  @volatile var refreshTtlMs: Long = 30000L
+  @volatile private var lastLoadNanos = 0L
+
+  private def ttlFresh(): Boolean = {
+    val ttl = refreshTtlMs
+    ttl > 0 && lastLoadNanos != 0L &&
+      System.nanoTime() - lastLoadNanos < ttl * 1000000L
   }
 
-  /** Publish `op` applied to the LATEST persisted state as the next
-    * catalog version — the manifest commit loop in miniature: read
-    * head, apply, claim head+1 exclusively; a lost race reloads and
-    * re-applies, so concurrent mutations from many processes all
-    * land. An op that changes nothing (unregistering a name that was
-    * never persisted — every test teardown) writes nothing. */
-  private def publishCatalog(op: CatState => CatState): Unit =
+  /** Hit-path staleness check: one volatile read + clock compare when
+    * fresh; zero work when no durable state was ever loaded (a
+    * process without a warehouse never pays anything here). */
+  private def maybeRefresh(): Unit = {
+    val ttl = refreshTtlMs
+    if (ttl > 0 && lastLoadNanos != 0L &&
+        System.nanoTime() - lastLoadNanos >= ttl * 1000000L)
+      maybeLoadPersisted()
+  }
+
+  /** Merge a persisted catalog snapshot into the in-memory registry.
+    * putIfAbsent — in-memory entries win; newly-inserted names are
+    * marked disk-sourced. `evict`: disk-sourced names absent from the
+    * snapshot are dropped and disk-sourced names whose persisted
+    * value changed are updated (the snapshot is the FULL persisted
+    * state, so absence means a remote DROP). */
+  private def mergeState(st: CatState, evict: Boolean): Unit = {
+    def mergeMap(prefix: String, m: Map[String, String],
+        into: java.util.concurrent.ConcurrentHashMap[String, String]): Unit = {
+      m.foreach { case (n, v) =>
+        if (into.putIfAbsent(n, v) == null) diskSourced.add(prefix + n)
+        else if (diskSourced.contains(prefix + n)) into.put(n, v)
+      }
+      if (evict) {
+        import scala.jdk.CollectionConverters._
+        diskSourced.asScala.toSeq.foreach { k =>
+          if (k.startsWith(prefix) && !m.contains(k.stripPrefix(prefix))) {
+            into.remove(k.stripPrefix(prefix)); diskSourced.remove(k)
+          }
+        }
+      }
+    }
+    mergeMap("t:", st.tables, reg)
+    mergeMap("v:", st.views, viewReg)
+    mergeMap("r:", st.renamed, renamedAway)
+  }
+
+  /** Merge the latest persisted catalog into the in-memory registry.
+    * No-op without a warehouse; inside the TTL window the listing is
+    * skipped too unless `force` (DDL collision checks force — they
+    * must judge against the freshest durable state). A
+    * FileNotFoundException between listing and read is the retention
+    * race (>= CatRetain publishes landed in the gap and deleted the
+    * listed head) — re-list and retry instead of surfacing it
+    * (ADVICE r17). */
+  private[graft] def maybeLoadPersisted(force: Boolean = false): Unit =
     warehouseRoot.foreach { wh =>
+      if (force || !ttlFresh()) {
+        val dir = catalogDir(wh)
+        val f = catalogFs(dir)
+        var attempt = 0
+        var done = false
+        while (!done && attempt < 5) {
+          attempt += 1
+          try {
+            val latest = latestCatVersion(f, dir)
+            if (latest > 0 &&
+                !Option(loadedCatVersion.get(wh)).exists(_ >= latest)) {
+              mergeState(readCatState(f, dir, latest), evict = true)
+              loadedCatVersion.put(wh, latest)
+            }
+            lastLoadNanos = System.nanoTime()
+            done = true
+          } catch { case _: java.io.FileNotFoundException => () }
+        }
+        if (!done) throw new IllegalStateException(
+          s"catalog under $wh: 5 straight listed-then-deleted races")
+      }
+    }
+
+  /** The raw CAS publish: read the LATEST persisted state, apply
+    * `op`, claim head+1 exclusively — the manifest commit loop in
+    * miniature. A lost race reloads and re-applies, so concurrent
+    * mutations from many processes all land; an op that changes
+    * nothing (unregistering a name that was never persisted — every
+    * test teardown) writes nothing and returns None. Touches NO
+    * in-memory state — specs use it to simulate another process's
+    * DDL. Returns (warehouse, published version, published state). */
+  private[graft] def publishRaw(
+      op: CatState => CatState): Option[(String, Int, CatState)] =
+    warehouseRoot.flatMap { wh =>
       val dir = catalogDir(wh)
       val f = catalogFs(dir)
       f.mkdirs(dir)
@@ -327,26 +432,45 @@ object GraftCatalog {
       while (attempt < 50) {
         attempt += 1
         val latest = latestCatVersion(f, dir)
-        val cur = if (latest == 0) CatState.empty else readCatState(f, dir, latest)
-        val next = op(cur)
-        if (next == cur) return
-        val target = new org.apache.hadoop.fs.Path(dir, f"v${latest + 1}%08d.json")
-        if (ManifestTable.createExclusive(f, target, catBytes(next))) {
-          loadedCatVersion.put(wh, latest + 1)
-          // best-effort retention: tiny files, but unbounded growth
-          // is unbounded growth — keep a window for in-flight readers
-          if (latest + 1 > CatRetain) try {
-            f.listStatus(dir).foreach(s => s.getPath.getName match {
-              case CatFile(n) if n.toInt <= latest + 1 - CatRetain =>
-                f.delete(s.getPath, false)
-              case _ => ()
-            })
-          } catch { case _: Exception => () }
-          return
+        // null = the retention race (the listed head was deleted
+        // under us — ADVICE r17): fall through and re-list
+        val cur: CatState =
+          try { if (latest == 0) CatState.empty else readCatState(f, dir, latest) }
+          catch { case _: java.io.FileNotFoundException => null }
+        if (cur != null) {
+          val next = op(cur)
+          if (next == cur) return None
+          val target = new org.apache.hadoop.fs.Path(dir, f"v${latest + 1}%08d.json")
+          if (ManifestTable.createExclusive(f, target, catBytes(next))) {
+            // best-effort retention: tiny files, but unbounded growth
+            // is unbounded growth — keep a window for in-flight readers
+            if (latest + 1 > CatRetain) try {
+              f.listStatus(dir).foreach(s => s.getPath.getName match {
+                case CatFile(n) if n.toInt <= latest + 1 - CatRetain =>
+                  f.delete(s.getPath, false)
+                case _ => ()
+              })
+            } catch { case _: Exception => () }
+            return Some((wh, latest + 1, next))
+          }
         }
       }
       throw new IllegalStateException(
         s"catalog publish under $wh lost 50 straight races — giving up")
+    }
+
+  /** Publish `op` as the next catalog version AND merge the published
+    * snapshot into memory. The merge is load-bearing (ADVICE r17,
+    * medium): without it, a fresh process whose FIRST catalog op is an
+    * unregister would set loadedCatVersion past the durable state
+    * without ever loading it — every later lookup miss sees
+    * latest == loaded, skips the load, and all remaining durable
+    * names stay unresolvable for the life of the JVM. */
+  private def publishCatalog(op: CatState => CatState): Unit =
+    publishRaw(op).foreach { case (wh, v, next) =>
+      mergeState(next, evict = true)
+      loadedCatVersion.put(wh, v)
+      lastLoadNanos = System.nanoTime()
     }
 
   /** Forget ALL in-memory registry state (tables, views, rename
@@ -356,6 +480,7 @@ object GraftCatalog {
   def resetRegistry(): Unit = {
     reg.clear(); viewReg.clear(); renamedAway.clear()
     loadedCatVersion.clear(); warehouse = None
+    diskSourced.clear(); lastLoadNanos = 0L
   }
 
   def registered: Map[String, String] = {

@@ -6558,6 +6558,45 @@ object ManifestTable {
       s"restore on $table lost $maxAttempts publish races")
   }
 
+  /** Republish the CURRENT snapshot unchanged, carrying `txn` — a
+    * metadata-only marker commit: the head's segments are reused by
+    * reference (restore's donor mechanics at the head itself), so no
+    * data is read or written — O(manifest) at any table size. Exists
+    * for writers whose txn marker must advance even when the DATA
+    * doesn't: incremental MV refresh under sustained base churn that
+    * never touches the view's slice (ADVICE r17 — without this the
+    * unconsumed delta window grows until the marker's manifest
+    * expires and the refresh silently degrades to a full recompute). */
+  private[sources] def recommitWithTxn(spark: SparkSession, table: String,
+                                       txn: (String, Long),
+                                       maxAttempts: Int = 50): Int = {
+    var attempt = 0
+    while (attempt < maxAttempts) {
+      attempt += 1
+      val head = currentVersion(spark, table)
+      require(head >= 1, s"$table has no committed version to re-mark")
+      val (files, schema, stats, partBy) = snapshotAll(spark, table, head)
+      val cons = checkConstraints(spark, table, head)
+      val tombs = deleteTombstones(spark, table, head)
+      val dvs = deleteVectors(spark, table, head)
+      val text = manifestText(spark, table, head)
+      if (tryPublish(spark, table, head, files, s"marker-${txn._1}",
+          schema, stats, partBy, Some(cons), op = "marker",
+          tombstones = Some(tombs), reuseSegmentsOf = Some(head),
+          txn = Some(txn), dvs = Some(dvs),
+          bloomB64 = Some(bloomRawFromText(text).getOrElse("")),
+          transformsB64 = Some(transformsRawFromText(text).getOrElse(""))))
+        return head + 1
+      if (currentVersion(spark, table) <= head)
+        throw new java.io.IOException(
+          s"manifest publish of $table v${head + 1} failed although no " +
+            "concurrent commit advanced the head — non-race failure " +
+            "(permissions or filesystem misbehavior), not retrying")
+    }
+    throw new java.util.ConcurrentModificationException(
+      s"marker commit on $table lost $maxAttempts publish races")
+  }
+
   /** [[restore]] addressed by wall-clock instead of version number —
     * "put the table back the way it was at 14:00". */
   def restoreAsOf(spark: SparkSession, table: String, asOfMillis: Long,

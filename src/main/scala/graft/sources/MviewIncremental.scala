@@ -200,7 +200,7 @@ private[graft] object MviewIncremental {
         delta match {
           case None => (fullRefresh(session, mviewPath, sql), "full")
           case Some((entered, left)) =>
-            incremental(session, sh, mviewPath, baseTo,
+            incremental(session, sh, mviewPath, since.toInt, baseTo,
               entered.unionByName(left))
         }
       case _ => // no marker yet, or marker ahead (base RESTORE)
@@ -208,8 +208,18 @@ private[graft] object MviewIncremental {
     }
   }
 
+  /** How far (in base versions) the unconsumed delta window may grow
+    * before an empty-dirty noop still publishes a metadata-only
+    * marker commit to re-pin it. Below the threshold noops stay
+    * publish-free; past it, one O(manifest) commit (segments by
+    * reference) keeps the next delta short-range and the marker's
+    * manifest alive (ADVICE r17 — unbounded windows silently degrade
+    * to full recomputes once the since-manifest expires). */
+  val MarkerAdvanceVersions = 8
+
   private def incremental(session: SparkSession, sh: Shape,
-      mviewPath: String, baseTo: Int, delta: DataFrame): (Int, String) = {
+      mviewPath: String, since: Int, baseTo: Int,
+      delta: DataFrame): (Int, String) = {
     // dirty keys: the defining filter+grouping over the delta rows.
     // Aliased __graft_gk<i> so the join conditions below can never
     // collide with a base column name.
@@ -224,8 +234,14 @@ private[graft] object MviewIncremental {
     try {
       if (dirty.isEmpty)
         // churn outside the WHERE clause — nothing the view reflects
-        // changed; the marker stays put (replay is idempotent)
-        (ManifestTable.currentVersion(session, mviewPath), "noop")
+        // changed; the marker stays put (replay is idempotent) UNLESS
+        // the unconsumed window has grown past the threshold, where a
+        // metadata-only marker commit re-pins it at baseTo
+        if (baseTo - since >= MarkerAdvanceVersions)
+          (ManifestTable.recommitWithTxn(session, mviewPath,
+            (TxnApp, baseTo.toLong)), "noop")
+        else
+          (ManifestTable.currentVersion(session, mviewPath), "noop")
       else {
         // MANIFEST-LEVEL pruning for the localized-churn case (r17):
         // when the ONE group key is a plain column and the dirty

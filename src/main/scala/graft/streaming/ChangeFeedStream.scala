@@ -463,12 +463,20 @@ object ChangeFeedStream {
     import org.apache.spark.sql.catalyst.analysis.UnresolvedRelation
     import org.apache.spark.sql.catalyst.plans.logical.{Filter, Project, SubqueryAlias}
     val plan = spark.sessionState.sqlParser.parsePlan(sql)
+    // scalar/IN/EXISTS subqueries hide whole plans inside EXPRESSIONS
+    // — a plan-node walk alone would pass `SELECT a, (SELECT max(x)
+    // FROM graft.u) FROM graft.t` and then silently evaluate the
+    // subquery as a point-in-time batch read per microbatch,
+    // violating the per-row contract (ADVICE r17)
+    def exprSafe(p: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan)
+        : Boolean = !p.expressions.exists(_.exists(
+      _.isInstanceOf[org.apache.spark.sql.catalyst.expressions.SubqueryExpression]))
     def streamSafe(p: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan)
         : Boolean = p match {
       case _: UnresolvedRelation => true
       case SubqueryAlias(_, c) => streamSafe(c)
-      case Filter(_, c) => streamSafe(c)
-      case Project(_, c) => streamSafe(c)
+      case Filter(_, c) => exprSafe(p) && streamSafe(c)
+      case Project(_, c) => exprSafe(p) && streamSafe(c)
       case _ => false
     }
     require(streamSafe(plan),

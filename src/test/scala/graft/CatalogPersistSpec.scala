@@ -185,4 +185,116 @@ class CatalogPersistSpec extends AnyFunSuite with SparkFixture {
       assert(G.lookup("catp_no_such_name").isEmpty)
     }
   }
+
+  // -------------------------------------------------------------------
+  // r18: ADVICE r17 (medium) — a publish must merge the state it read
+  // -------------------------------------------------------------------
+
+  test("ADVICE r17: unregister as a fresh process's FIRST op must not strand the other durable names") {
+    withWarehouse("advmerge") { wh =>
+      G.register("catp_adv_keep", "/p/keep")
+      G.register("catp_adv_drop", "/p/drop")
+      G.registerView("catp_adv_view", "SELECT 1 AS one")
+      restartInto(wh)
+      // the standard pre-clean idiom: the first catalog op is a
+      // programmatic unregister of a PERSISTED name — it publishes
+      // v+1, and before r18 that set loadedCatVersion past the
+      // durable state without ever loading it, stranding every other
+      // durable name for the life of the JVM
+      G.unregister("catp_adv_drop")
+      assert(G.lookup("catp_adv_keep") === Some("/p/keep"),
+        "durable names must survive a publish-first op ordering")
+      assert(G.lookupView("catp_adv_view") === Some("SELECT 1 AS one"))
+      assert(G.lookup("catp_adv_drop").isEmpty)
+      // same shape through unregisterView
+      restartInto(wh)
+      G.unregisterView("catp_adv_view")
+      assert(G.lookup("catp_adv_keep") === Some("/p/keep"))
+      assert(G.lookupView("catp_adv_view").isEmpty)
+    }
+  }
+
+  // -------------------------------------------------------------------
+  // r18 (VERDICT r17 ask 5): TTL'd cross-process staleness bound
+  // -------------------------------------------------------------------
+
+  /** Run `body` with the staleness TTL pinned; always restore. */
+  private def withTtl(ms: Long)(body: => Unit): Unit = {
+    val prev = G.refreshTtlMs
+    G.refreshTtlMs = ms
+    try body finally G.refreshTtlMs = prev
+  }
+
+  test("cross-process: a remote CREATE/DROP/retarget is visible within the TTL without restart") {
+    withWarehouse("xproc") { wh =>
+      withTtl(1) { // expire practically immediately
+        G.register("catp_x_local", "/p/local")
+        // ANOTHER process's DDL = a raw publish (no in-memory touch)
+        G.publishRaw(st => st.copy(
+          tables = st.tables + ("catp_x_remote" -> "/p/remote")))
+        assert(!G.registered.contains("catp_x_remote"),
+          "a raw publish must not touch this process's memory")
+        Thread.sleep(5)
+        assert(G.lookup("catp_x_remote") === Some("/p/remote"),
+          "a remote CREATE must be visible within the TTL")
+        // remote DROP of a disk-sourced name evicts it on refresh
+        G.publishRaw(st => st.copy(tables = st.tables - "catp_x_remote"))
+        Thread.sleep(5)
+        assert(G.lookup("catp_x_remote").isEmpty,
+          "a remote DROP must evict the disk-sourced entry")
+        // a disk-owned entry follows remote retargets
+        G.publishRaw(st => st.copy(tables = st.tables + ("catp_x_mv" -> "/p/v1")))
+        Thread.sleep(5)
+        assert(G.lookup("catp_x_mv") === Some("/p/v1"))
+        G.publishRaw(st => st.copy(tables = st.tables + ("catp_x_mv" -> "/p/v2")))
+        Thread.sleep(5)
+        assert(G.lookup("catp_x_mv") === Some("/p/v2"),
+          "a disk-owned entry must follow a remote retarget")
+        // …but a LOCALLY registered name is never evicted (in-memory wins)
+        G.publishRaw(st => st.copy(tables = st.tables - "catp_x_local"))
+        Thread.sleep(5)
+        assert(G.lookup("catp_x_local") === Some("/p/local"),
+          "locally-registered names are never evicted by a refresh")
+        // views sync the same way
+        G.publishRaw(st => st.copy(
+          views = st.views + ("catp_x_rview" -> "SELECT 2 AS two")))
+        Thread.sleep(5)
+        assert(G.lookupView("catp_x_rview") === Some("SELECT 2 AS two"))
+        G.publishRaw(st => st.copy(views = st.views - "catp_x_rview"))
+        Thread.sleep(5)
+        assert(G.lookupView("catp_x_rview").isEmpty)
+      }
+    }
+  }
+
+  test("inside the TTL window lookups are memory-only; DDL forces past the memo") {
+    withWarehouse("memo") { wh =>
+      withTtl(600000) {
+        G.register("catp_memo_a", "/p/a") // publish primes the memo
+        G.publishRaw(st => st.copy(
+          tables = st.tables + ("catp_memo_late" -> "/p/late")))
+        // ADVICE r17 (listing cost): inside the window a miss does NOT
+        // re-list _catalog — bounded staleness is the documented price
+        assert(G.lookup("catp_memo_late").isEmpty,
+          "inside the TTL the persisted state must not be re-read")
+        // but DDL collision checks FORCE a fresh load: a remote VIEW
+        // of the same name must refuse this register
+        G.publishRaw(st => st.copy(
+          views = st.views + ("catp_memo_v" -> "SELECT 1")))
+        intercept[Exception] { G.register("catp_memo_v", "/p/x") }
+      }
+    }
+  }
+
+  test("refreshTtlMs <= 0 restores list-per-miss (no staleness window)") {
+    withWarehouse("nottl") { wh =>
+      withTtl(0) {
+        G.register("catp_nt_local", "/p/l")
+        G.publishRaw(st => st.copy(
+          tables = st.tables + ("catp_nt_remote" -> "/p/r")))
+        // no memo: the very next miss lists and loads
+        assert(G.lookup("catp_nt_remote") === Some("/p/r"))
+      }
+    }
+  }
 }

@@ -595,13 +595,27 @@ class EventStreamsSpec extends AnyFunSuite with SparkFixture {
       val e = intercept[Exception](
         ChangeFeedStream.readTableStream(spark, "t9v_agg"))
       assert(e.getMessage.contains("stream-safe"), e.getMessage)
+      // ADVICE r17: a subquery EXPRESSION hides a whole plan inside a
+      // projection/filter — it must refuse too, never silently run as
+      // a point-in-time batch read per microbatch
+      GraftCatalog.registerView("t9v_scalar",
+        "SELECT id, (SELECT max(v) FROM graft.t9v_base) AS mx FROM graft.t9v_base")
+      val eScalar = intercept[Exception](
+        ChangeFeedStream.readTableStream(spark, "t9v_scalar"))
+      assert(eScalar.getMessage.contains("stream-safe"), eScalar.getMessage)
+      GraftCatalog.registerView("t9v_in",
+        "SELECT id FROM graft.t9v_base WHERE v IN (SELECT v FROM graft.t9v_base WHERE id < 3)")
+      val eIn = intercept[Exception](
+        ChangeFeedStream.readTableStream(spark, "t9v_in"))
+      assert(eIn.getMessage.contains("stream-safe"), eIn.getMessage)
       // sinking INTO a view refuses
       val e2 = intercept[Exception](
         graft.streaming.ManifestSink.appendBatch("graft.t9v_view", "app"))
       assert(e2.getMessage.contains("read-only"), e2.getMessage)
     } finally {
       ChangeFeedStream.stopTableStreamPump("t9v_base")
-      Seq("t9v_view", "t9v_outer", "t9v_agg").foreach(GraftCatalog.unregisterView)
+      Seq("t9v_view", "t9v_outer", "t9v_agg", "t9v_scalar", "t9v_in")
+        .foreach(GraftCatalog.unregisterView)
       GraftCatalog.unregister("t9v_base")
     }
   }

@@ -114,6 +114,50 @@ class MviewIncrementalSpec extends AnyFunSuite with SparkFixture {
     } finally cleanup("mvi_out", "mvi_ob")
   }
 
+  test("sustained sub-WHERE churn re-pins the marker with a metadata-only commit (ADVICE r17)") {
+    import spark.implicits._
+    val bt = tmp("adv_b"); val mt = tmp("adv_m")
+    ManifestTable.commit(spark, bt,
+      Seq((1L, "a", 100L), (2L, "b", 200L)).toDF("id", "grp", "v"),
+      SaveMode.Overwrite)
+    GraftCatalog.register("mvi_advb", bt)
+    val defSql = "SELECT grp, sum(v) AS total FROM graft.mvi_advb " +
+      "WHERE v >= 50 GROUP BY grp"
+    try {
+      spark.sql(s"CREATE MATERIALIZED VIEW graft.mvi_adv LOCATION '$mt' AS $defSql")
+      refreshInc("mvi_adv")
+      val primed = ManifestTable.txnVersion(spark, mt,
+        MviewIncremental.TxnApp).get
+      // churn the base past the advance threshold — every row below
+      // the WHERE slice, so the view's content never changes
+      (1 to MviewIncremental.MarkerAdvanceVersions).foreach { i =>
+        spark.sql(s"INSERT INTO graft.mvi_advb VALUES (${100 + i}, 'z', $i)")
+      }
+      val imgBefore = spark.sql("SELECT * FROM graft.mvi_adv").collect()
+        .map(_.toSeq).sortBy(_.mkString("|")).toSeq
+      val (_, mode) = refreshInc("mvi_adv")
+      assert(mode == "noop", s"sub-WHERE churn stays a noop, got $mode")
+      val marked = ManifestTable.txnVersion(spark, mt,
+        MviewIncremental.TxnApp).get
+      assert(marked == ManifestTable.currentVersion(spark, bt) &&
+        marked > primed,
+        s"a grown window must re-pin the marker at the base head: " +
+          s"$primed -> $marked")
+      // metadata-only: a 'marker' op, image rows untouched
+      assert(ManifestTable.commitOp(spark, mt).contains("marker"))
+      val imgAfter = spark.sql("SELECT * FROM graft.mvi_adv").collect()
+        .map(_.toSeq).sortBy(_.mkString("|")).toSeq
+      assert(imgAfter === imgBefore, "the marker commit must not touch rows")
+      assertExact("mvi_adv", defSql)
+      // below the threshold the noop stays publish-free, as before
+      spark.sql("INSERT INTO graft.mvi_advb VALUES (999, 'z', 3)")
+      val vBefore = ManifestTable.currentVersion(spark, mt)
+      val (v2, mode2) = refreshInc("mvi_adv")
+      assert(mode2 == "noop" && v2 == vBefore,
+        s"short-window noop must not publish: ($v2, $mode2)")
+    } finally cleanup("mvi_adv", "mvi_advb")
+  }
+
   test("deletion-vector and lazy-tombstone deletes churn no file yet stay exact") {
     import spark.implicits._
     val bt = tmp("dv_b"); val mt = tmp("dv_m")
