@@ -552,6 +552,75 @@ object Stress {
       GraftCatalog.unregister("smvi_sums"); GraftCatalog.unregister("smvi_base")
     }
 
+    // r18 (opt-in: `runMain graft.Stress <rep> mview_mk`): the
+    // MULTI-KEY envelope variant of mview_inc — two plain group
+    // columns, range-clustered base, churn confined to one
+    // (returnflag, linestatus) cell; the rescan reads through the
+    // per-column envelope `l_returnflag IN (…) AND l_linestatus IN
+    // (…)` (VERDICT r17 ask #4), so untouched key regions' files
+    // never list. Printed ratio feeds SCALE.md.
+    if (only.exists("mview_mk".contains)) {
+      import graft.sources.{GraftCatalog, ManifestTable, MviewIncremental}
+      import org.apache.spark.sql.SaveMode
+      val root = java.nio.file.Files
+        .createTempDirectory("graft_stress_mvmk").toString
+      val bt = s"$root/base"; val mt = s"$root/mv"
+      GraftCatalog.unregister("smvk_base"); GraftCatalog.unregister("smvk_sums")
+      ManifestTable.commit(spark, bt,
+        li.select(col("l_orderkey"), col("l_returnflag"), col("l_linestatus"),
+            col("l_quantity"), col("l_extendedprice"))
+          .repartitionByRange(256, col("l_returnflag"), col("l_linestatus"),
+            col("l_orderkey")),
+        SaveMode.Overwrite,
+        statsColumns = Seq("l_returnflag", "l_linestatus"))
+      GraftCatalog.register("smvk_base", bt)
+      spark.sql(s"""CREATE MATERIALIZED VIEW graft.smvk_sums LOCATION '$mt' AS
+                   |SELECT l_returnflag, l_linestatus, count(*) AS n,
+                   |  CAST(sum(CAST(l_extendedprice AS DECIMAL(28,6))) AS DOUBLE)
+                   |    AS total
+                   |FROM graft.smvk_base
+                   |GROUP BY l_returnflag, l_linestatus""".stripMargin)
+      def churn(tag: Int): Unit = spark.sql(
+        s"""INSERT INTO graft.smvk_base
+           |SELECT l_orderkey + ${tag * 1000000000L}, l_returnflag,
+           |  l_linestatus, l_quantity, l_extendedprice
+           |FROM graft.smvk_base
+           |WHERE l_returnflag = 'A' AND l_linestatus = 'F'
+           |LIMIT 5000""".stripMargin)
+      spark.sql("REFRESH MATERIALIZED VIEW graft.smvk_sums INCREMENTAL").collect()
+      churn(1)
+      var t0 = System.nanoTime()
+      spark.sql("REFRESH MATERIALIZED VIEW graft.smvk_sums").collect()
+      val fullSec = (System.nanoTime() - t0) / 1e9
+      churn(2)
+      spark.sql("REFRESH MATERIALIZED VIEW graft.smvk_sums INCREMENTAL").collect()
+      churn(3)
+      t0 = System.nanoTime()
+      val mode = spark
+        .sql("REFRESH MATERIALIZED VIEW graft.smvk_sums INCREMENTAL")
+        .collect().head.getString(1)
+      val incSec = (System.nanoTime() - t0) / 1e9
+      require(mode == "incremental", s"expected the incremental path, got $mode")
+      val census = ManifestTable.snapshotFiles(spark, bt).size
+      val listed = MviewIncremental.lastRescanFiles
+      require(listed >= 1 && listed < census,
+        s"the 2-key envelope must prune the rescan: $listed of $census")
+      val fresh = spark.sql(
+        """SELECT l_returnflag, l_linestatus, count(*) AS n,
+          |  CAST(sum(CAST(l_extendedprice AS DECIMAL(28,6))) AS DOUBLE) AS total
+          |FROM graft.smvk_base GROUP BY l_returnflag, l_linestatus""".stripMargin)
+        .collect().map(_.toSeq).sortBy(_.mkString("|"))
+      val img = spark.sql("SELECT * FROM graft.smvk_sums")
+        .collect().map(_.toSeq).sortBy(_.mkString("|"))
+      require(img.toSeq == fresh.toSeq,
+        "the incremental image must equal a from-scratch recompute")
+      println(f"[stress rep=$rep] mview_mk full_s=$fullSec%.2f " +
+        f"inc_s=$incSec%.2f speedup=${fullSec / incSec}%.1fx " +
+        f"rescan_files=$listed/$census " +
+        f"rows=${spark.sql("SELECT count(*) FROM graft.smvk_base").head().getLong(0)}")
+      GraftCatalog.unregister("smvk_sums"); GraftCatalog.unregister("smvk_base")
+    }
+
     // r10 (opt-in: `runMain graft.Stress <rep> manifest_100k`): the
     // 100k-file metadata drill the segmentation exists for. Builds a
     // 100k-file table via 50 batched 2k-file appends (real parquet

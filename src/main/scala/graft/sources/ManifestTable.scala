@@ -3514,6 +3514,7 @@ object ManifestTable {
                          tombstones: Option[Seq[(String, Seq[String])]] = None,
                          reuseSegmentsOf: Option[Int] = None,
                          txn: Option[(String, Long)] = None,
+                         txnExtra: Seq[(String, Long)] = Nil,
                          dvs: Option[Map[String, Seq[Long]]] = None,
                          bloomB64: Option[String] = None,
                          transformsB64: Option[String] = None,
@@ -3596,7 +3597,7 @@ object ManifestTable {
     // commit's (appId, version) replacing the appId's previous entry —
     // the atomic record that makes a replayed micro-batch detectable
     val txns = (if (head == 0) Map.empty[String, Long]
-                else txnsFromText(parentText)) ++ txn
+                else txnsFromText(parentText)) ++ txnExtra ++ txn
     val txnLine =
       if (txns.isEmpty) ""
       else txns.toSeq.sortBy(_._1).map { case (a, v) =>
@@ -3871,6 +3872,7 @@ object ManifestTable {
              statsColumns: Seq[String] = Nil,
              partitionBy: Seq[String] = Nil,
              txn: Option[(String, Long)] = None,
+             txnExtra: Seq[(String, Long)] = Nil,
              constraintsOverride: Option[Map[String, String]] = None,
              identityBase: Map[String, Long] = Map.empty): Int = {
     // idempotence gate, before any data is written: a replayed batch
@@ -4083,7 +4085,7 @@ object ManifestTable {
           Some(schema), carried ++ newStats, partBy,
           constraints = constraintsOverride,
           op = if (mode == SaveMode.Append) "append" else "overwrite",
-          txn = txn,
+          txn = txn, txnExtra = txnExtra,
           // overwrite REPLACES the transform record (empty clears it);
           // an append inherits (divergence was already refused above) —
           // EXCEPT the table-creating append (head 0), which has no
@@ -6569,6 +6571,7 @@ object ManifestTable {
     * expires and the refresh silently degrades to a full recompute). */
   private[sources] def recommitWithTxn(spark: SparkSession, table: String,
                                        txn: (String, Long),
+                                       txnExtra: Seq[(String, Long)] = Nil,
                                        maxAttempts: Int = 50): Int = {
     var attempt = 0
     while (attempt < maxAttempts) {
@@ -6583,7 +6586,7 @@ object ManifestTable {
       if (tryPublish(spark, table, head, files, s"marker-${txn._1}",
           schema, stats, partBy, Some(cons), op = "marker",
           tombstones = Some(tombs), reuseSegmentsOf = Some(head),
-          txn = Some(txn), dvs = Some(dvs),
+          txn = Some(txn), txnExtra = txnExtra, dvs = Some(dvs),
           bloomB64 = Some(bloomRawFromText(text).getOrElse("")),
           transformsB64 = Some(transformsRawFromText(text).getOrElse(""))))
         return head + 1

@@ -3,7 +3,7 @@ package graft.sources
 import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
 import org.apache.spark.sql.catalyst.analysis.{UnresolvedAttribute, UnresolvedRelation}
 import org.apache.spark.sql.catalyst.expressions.{Alias, And, EqualNullSafe, Expression, Literal, NamedExpression, SubqueryExpression}
-import org.apache.spark.sql.catalyst.plans.LeftSemi
+import org.apache.spark.sql.catalyst.plans.{Inner, LeftSemi}
 import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, Filter, HintInfo, Join, JoinHint, LogicalPlan, Project, SubqueryAlias, BROADCAST}
 import org.apache.spark.sql.functions.col
 import org.apache.spark.sql.graftbridge.PlanBridge
@@ -41,29 +41,65 @@ import org.apache.spark.sql.types.IntegerType
   * same result), so a noop refresh never needs to publish just to
   * advance the marker.
   *
+  * STAR-JOIN shapes (r18, VERDICT r17 ask #3): the defining query may
+  * INNER-join the fact with dimension tables — `fact ⋈ dim… GROUP BY`,
+  * the production MV shape. The image records one marker per joined
+  * table (the fact under [[TxnApp]], each dim under
+  * `graft-mview-dim:<name>`). When ONLY the fact churned, an inner
+  * join is LINEAR in the fact — Δ(σ(F ⋈ D…)) ⊆ σ(ΔF ⋈ D…) when every
+  * D is unchanged — so the dirty groups are exactly the group keys of
+  * the defining query replayed with the fact's delta in the fact's
+  * place and every dim pinned at head, and the rescan proceeds as
+  * above. When any DIM churned, the refresh falls back to a FULL
+  * recompute: finding dirty groups for a dim delta requires scanning
+  * the (unchurned) fact anyway, at which point the full recompute is
+  * strictly simpler and no more expensive. A table appearing twice
+  * (self-join) never qualifies — the delta expansion would need the
+  * quadratic ΔF ⋈ ΔF term.
+  *
   * Qualification is STRUCTURAL only: one `GROUP BY` aggregate over one
-  * registered graft table (optional WHERE), every grouping expression
-  * present in the SELECT list (the image must carry the group key to
-  * identify dirty rows), deterministic expressions, no subqueries.
-  * Non-qualifying queries keep the honest full refresh; `INCREMENTAL`
-  * on them refuses with the reason. */
+  * registered graft table — or INNER joins of several distinct ones —
+  * (optional WHERE), every grouping expression present in the SELECT
+  * list (the image must carry the group key to identify dirty rows),
+  * deterministic expressions, no subqueries. Non-qualifying queries
+  * keep the honest full refresh; `INCREMENTAL` on them refuses with
+  * the reason. */
 private[graft] object MviewIncremental {
 
-  /** txn appId carrying the base-table version the image reflects. */
+  /** txn appId carrying the fact-table version the image reflects. */
   val TxnApp = "graft-mview-base"
 
+  /** txn appId prefix for each DIMENSION table's recorded version. */
+  val DimApp = "graft-mview-dim:"
+
   final case class Shape(
-      baseName: String, basePath: String,
+      /** (normalized name, path) per joined table, join order — the
+        * LEFTMOST is the fact (the table whose churn keeps the
+        * refresh incremental). Size 1 = the single-table shape. */
+      tables: Seq[(String, String)],
       agg: Aggregate, child: LogicalPlan,
       /** each grouping expr (ordinals resolved) with its index in the
         * SELECT list — the image column that carries the group key */
-      groups: Seq[(Expression, Int)])
+      groups: Seq[(Expression, Int)]) {
+    def factName: String = tables.head._1
+    def factPath: String = tables.head._2
+    def dims: Seq[(String, String)] = tables.tail
+  }
 
   private def unwrap(ne: NamedExpression): Expression = ne match {
     case a: Alias => a.child
     case ua: org.apache.spark.sql.catalyst.analysis.UnresolvedAlias => ua.child
     case e => e
   }
+
+  /** The bare (lower-cased) graft name a relation references, if any. */
+  private def graftName(u: UnresolvedRelation): Option[String] =
+    u.multipartIdentifier match {
+      case Seq(ns, ident) if ns.equalsIgnoreCase("graft") =>
+        Some(ident.toLowerCase(java.util.Locale.ROOT))
+      case Seq(ident) => Some(ident.toLowerCase(java.util.Locale.ROOT))
+      case _ => None
+    }
 
   /** Structural qualification: Right(shape) or Left(reason). */
   def analyze(session: SparkSession, sql: String): Either[String, Shape] = {
@@ -76,34 +112,36 @@ private[graft] object MviewIncremental {
       return Left("the defining query contains a subquery")
     plan match {
       case agg @ Aggregate(g, out, child, _) =>
-        def rel(p: LogicalPlan): Option[UnresolvedRelation] = p match {
-          case u: UnresolvedRelation => Some(u)
-          case SubqueryAlias(_, c) => rel(c)
-          case Filter(_, c) => rel(c)
-          case _ => None
-        }
-        // the child must be exactly [alias]*[filter]*[alias]* relation
+        // the child must be [alias|filter]* over one relation, or
+        // INNER joins of such shapes (r18: the star-join form)
         def shapeOk(p: LogicalPlan): Boolean = p match {
           case _: UnresolvedRelation => true
           case SubqueryAlias(_, c) => shapeOk(c)
           case Filter(_, c) => shapeOk(c)
+          case Join(l, r, Inner, _, _) => shapeOk(l) && shapeOk(r)
           case _ => false
         }
         if (!shapeOk(child))
-          return Left("the FROM clause is not a single table with an " +
-            "optional WHERE (joins, nested queries and set ops rescan " +
-            "as a whole — use plain REFRESH)")
-        val u = rel(child).get
-        val name = u.multipartIdentifier match {
-          case Seq(ns, ident) if ns.equalsIgnoreCase("graft") => ident
-          case Seq(ident) => ident
-          case _ => return Left("the base table is not in the graft namespace")
+          return Left("the FROM clause is not a single table (or INNER " +
+            "joins of distinct tables) with an optional WHERE — outer " +
+            "joins, nested queries and set ops rescan as a whole (use " +
+            "plain REFRESH)")
+        val rels = child.collect { case u: UnresolvedRelation => u }
+        val names = rels.map { u =>
+          val n = graftName(u).getOrElse(
+            return Left("a joined table is not in the graft namespace"))
+          if (n.contains("@"))
+            return Left("a base is a frozen time-travel snapshot — " +
+              "its view can never change")
+          n
         }
-        if (name.contains("@"))
-          return Left("the base is a frozen time-travel snapshot — " +
-            "its view can never change")
-        val path = GraftCatalog.lookup(name).getOrElse(
-          return Left(s"the base '$name' is not a registered graft table"))
+        if (names.distinct.size != names.size)
+          return Left("a table appears more than once (self-join) — the " +
+            "fact delta expansion is not linear there; use plain REFRESH")
+        val tables = names.map { n =>
+          n -> GraftCatalog.lookup(n).getOrElse(
+            return Left(s"the base '$n' is not a registered graft table"))
+        }
         if (out.exists(_.isInstanceOf[
             org.apache.spark.sql.catalyst.analysis.UnresolvedStar]))
           return Left("SELECT * does not name the group/aggregate columns")
@@ -132,7 +170,7 @@ private[graft] object MviewIncremental {
             e.resolved && !e.deterministic))))
           return Left("the defining query is non-deterministic — a " +
             "partial rescan would disagree with the kept rows")
-        Right(Shape(name, path, agg, child, groups))
+        Right(Shape(tables, agg, child, groups))
       case _ =>
         Left("the defining query is not a single GROUP BY aggregate " +
           "(HAVING/ORDER BY/window shapes rescan as a whole — use " +
@@ -140,15 +178,33 @@ private[graft] object MviewIncremental {
     }
   }
 
-  /** Substitute the base relation with a read PINNED at `v` — the
-    * whole refresh then reflects exactly one base snapshot, and the
-    * recorded marker is true even if the base advances mid-refresh. */
-  private def pin(session: SparkSession, plan: LogicalPlan,
-                  baseName: String, basePath: String, v: Int): LogicalPlan = {
-    lazy val read = SubqueryAlias(baseName,
-      ManifestTable.read(session, basePath, v).queryExecution.analyzed)
-    plan.transformUp { case _: UnresolvedRelation => read }
+  /** Substitute every base relation with a read PINNED at its version
+    * in `vs` — the whole refresh then reflects exactly one snapshot
+    * per table, and the recorded markers are true even if a base
+    * advances mid-refresh. Relations in `skip` are left for the
+    * caller to substitute (the delta takes the fact's place). */
+  private def pinAll(session: SparkSession, plan: LogicalPlan,
+                     sh: Shape, vs: Map[String, Int],
+                     skip: Set[String] = Set.empty): LogicalPlan = {
+    val paths = sh.tables.toMap
+    plan.transformUp {
+      case u: UnresolvedRelation
+          if graftName(u).exists(n => !skip.contains(n)) =>
+        val n = graftName(u).get
+        SubqueryAlias(u.multipartIdentifier.last,
+          ManifestTable.read(session, paths(n), vs(n))
+            .queryExecution.analyzed)
+    }
   }
+
+  /** Current head version per joined table, fact first. */
+  private def heads(session: SparkSession, sh: Shape): Map[String, Int] =
+    sh.tables.map { case (n, p) =>
+      n -> ManifestTable.currentVersion(session, p) }.toMap
+
+  /** The dim-marker txn entries for a commit reflecting `vs`. */
+  private def dimTxns(sh: Shape, vs: Map[String, Int]): Seq[(String, Long)] =
+    sh.dims.map { case (n, _) => (DimApp + n, vs(n).toLong) }
 
   /** Plain REFRESH, now marker-recording: pinned recompute for
     * qualifying shapes (txn rides the commit unless the recorded
@@ -160,14 +216,14 @@ private[graft] object MviewIncremental {
                   sql: String): Int = {
     analyze(session, sql) match {
       case Right(sh) =>
-        val baseTo = ManifestTable.currentVersion(session, sh.basePath)
-        val df = PlanBridge.ofRows(session,
-          pin(session, sh.agg, sh.baseName, sh.basePath, baseTo))
+        val vs = heads(session, sh)
+        val baseTo = vs(sh.factName)
+        val df = PlanBridge.ofRows(session, pinAll(session, sh.agg, sh, vs))
         val rec = ManifestTable.txnVersion(session, mviewPath, TxnApp)
         val txn =
           if (rec.forall(_ < baseTo)) Some((TxnApp, baseTo.toLong)) else None
         ManifestTable.commit(session, mviewPath, df, SaveMode.Overwrite,
-          txn = txn)
+          txn = txn, txnExtra = dimTxns(sh, vs))
       case Left(_) =>
         val df = PlanBridge.ofRows(session,
           session.sessionState.sqlParser.parseQuery(sql))
@@ -177,9 +233,9 @@ private[graft] object MviewIncremental {
 
   /** REFRESH … INCREMENTAL. Returns (version, mode) with mode ∈
     * {incremental, full, noop} — full = the self-priming first
-    * refresh (no marker yet, marker ahead after a base RESTORE, or
-    * the marker's manifest already expired). Refuses loudly when the
-    * defining query does not qualify. */
+    * refresh (no marker yet, marker ahead after a base RESTORE, the
+    * marker's manifest already expired, or a DIMENSION churned).
+    * Refuses loudly when the defining query does not qualify. */
   def incrementalRefresh(session: SparkSession, name: String,
                          mviewPath: String, sql: String): (Int, String) = {
     val sh = analyze(session, sql) match {
@@ -188,22 +244,29 @@ private[graft] object MviewIncremental {
           s"defining query does not qualify — $reason")
       case Right(s) => s
     }
-    val baseTo = ManifestTable.currentVersion(session, sh.basePath)
+    val vs = heads(session, sh)
+    val baseTo = vs(sh.factName)
+    // a dim churned (marker missing or behind its head) → the fact
+    // delta cannot locate the moved groups; recompute honestly
+    val dimsClean = sh.dims.forall { case (n, _) =>
+      ManifestTable.txnVersion(session, mviewPath, DimApp + n)
+        .contains(vs(n).toLong)
+    }
     ManifestTable.txnVersion(session, mviewPath, TxnApp) match {
-      case Some(since) if since == baseTo =>
+      case Some(since) if dimsClean && since == baseTo =>
         (ManifestTable.currentVersion(session, mviewPath), "noop")
-      case Some(since) if since < baseTo =>
+      case Some(since) if dimsClean && since < baseTo =>
         val delta =
-          try Some(ManifestTable.multisetDelta(session, sh.basePath,
+          try Some(ManifestTable.multisetDelta(session, sh.factPath,
             since.toInt, baseTo))
           catch { case _: IllegalArgumentException => None } // expired marker
         delta match {
           case None => (fullRefresh(session, mviewPath, sql), "full")
           case Some((entered, left)) =>
-            incremental(session, sh, mviewPath, since.toInt, baseTo,
+            incremental(session, sh, mviewPath, since.toInt, baseTo, vs,
               entered.unionByName(left))
         }
-      case _ => // no marker yet, or marker ahead (base RESTORE)
+      case _ => // no marker yet, marker ahead (base RESTORE), dim churn
         (fullRefresh(session, mviewPath, sql), "full")
     }
   }
@@ -217,14 +280,25 @@ private[graft] object MviewIncremental {
     * to full recomputes once the since-manifest expires). */
   val MarkerAdvanceVersions = 8
 
+  /** Parquet-file census of the last incremental rescan's PRUNED fact
+    * read (-1 = the last refresh took the unpruned pinned read) — an
+    * observability hook the pruning specs assert against; the count
+    * is the manifest census already in memory, not an extra listing. */
+  private[graft] var lastRescanFiles: Int = -1
+
   private def incremental(session: SparkSession, sh: Shape,
-      mviewPath: String, since: Int, baseTo: Int,
+      mviewPath: String, since: Int, baseTo: Int, vs: Map[String, Int],
       delta: DataFrame): (Int, String) = {
-    // dirty keys: the defining filter+grouping over the delta rows.
+    // dirty keys: the defining filter+grouping+joins over the delta
+    // rows, every dim pinned at head (sound: dims verified unchanged
+    // since the marker, and inner joins are linear in the fact).
     // Aliased __graft_gk<i> so the join conditions below can never
     // collide with a base column name.
-    val deltaChild = sh.child.transformUp {
-      case _: UnresolvedRelation => delta.queryExecution.analyzed
+    val deltaChild = pinAll(session, sh.child, sh, vs,
+      skip = Set(sh.factName)).transformUp {
+      case u: UnresolvedRelation if graftName(u).contains(sh.factName) =>
+        SubqueryAlias(u.multipartIdentifier.last,
+          delta.queryExecution.analyzed)
     }
     val gkAliases: Seq[NamedExpression] = sh.groups.zipWithIndex.map {
       case ((e, _), i) => Alias(e, s"__graft_gk$i")()
@@ -239,56 +313,65 @@ private[graft] object MviewIncremental {
         // metadata-only marker commit re-pins it at baseTo
         if (baseTo - since >= MarkerAdvanceVersions)
           (ManifestTable.recommitWithTxn(session, mviewPath,
-            (TxnApp, baseTo.toLong)), "noop")
+            (TxnApp, baseTo.toLong), dimTxns(sh, vs)), "noop")
         else
           (ManifestTable.currentVersion(session, mviewPath), "noop")
       else {
-        // MANIFEST-LEVEL pruning for the localized-churn case (r17):
-        // when the ONE group key is a plain column and the dirty
-        // census is small (≤1000 — the dynamic-overwrite precedent),
-        // the rescan reads the base through readWhere with an IN
-        // predicate over the dirty keys, so per-file stats skip the
-        // untouched key ranges BEFORE Spark lists a single file — the
-        // semi join below still applies (exactness never rides the
-        // pruning). Expression keys / large censuses keep the plain
-        // pinned read + semi join (row-group and runtime filtering
-        // still help; manifest pruning has no sound predicate to use).
-        val prunedBase: Option[DataFrame] = sh.groups match {
-          case Seq((ua: UnresolvedAttribute, _)) =>
+        // MANIFEST-LEVEL pruning for the localized-churn case (r17;
+        // multi-key r18, VERDICT r17 ask #4): when every group key is
+        // a plain FACT column and the dirty census is small (≤1000
+        // tuples — the dynamic-overwrite precedent), the rescan reads
+        // the fact through readWhere with a PER-COLUMN ENVELOPE —
+        // `c1 IN (dirty c1 values) AND c2 IN (dirty c2 values) …`
+        // (each clause ORed with IS NULL when a dirty tuple carries a
+        // null there) — so per-file stats skip the untouched key
+        // ranges BEFORE Spark lists a single file. The envelope is a
+        // SUPERSET of the dirty set for ≥2 keys (the cross product of
+        // the per-column value sets), so exactness rides the semi
+        // join below, never the pruning; for ONE key the envelope IS
+        // the exact set and the semi join is skipped (it would be
+        // pure double-filtering — a per-row hash probe over the whole
+        // rescanned slice). Expression keys / large censuses / join
+        // shapes whose key may come from a dim keep the plain pinned
+        // read + semi join (row-group and runtime filtering still
+        // help; manifest pruning has no sound predicate to use).
+        val plainCols: Option[Seq[String]] =
+          if (sh.tables.size == 1) {
+            val cols = sh.groups.map(_._1).collect {
+              case ua: UnresolvedAttribute => ua.nameParts.last }
+            if (cols.size == sh.groups.size) Some(cols) else None
+          } else None
+        // (pruned read, exact?) — exact means the predicate alone is
+        // dirty-set membership and the semi join can be skipped
+        val prunedBase: Option[(DataFrame, Boolean)] = plainCols.flatMap {
+          cols =>
             val keys = dirty.limit(1001).collect()
             if (keys.length > 1000) None
             else {
               import org.apache.spark.sql.functions.lit
-              val c = col(ua.nameParts.last)
-              val vals = keys.map(_.get(0))
-              val nonNull = vals.filter(_ != null)
-              val in = if (nonNull.isEmpty) lit(false)
-                       else c.isin(nonNull.toIndexedSeq: _*)
-              val pred = if (vals.exists(_ == null)) in || c.isNull else in
-              Some(ManifestTable.readWhere(session, sh.basePath, pred,
-                baseTo))
+              val pred = cols.zipWithIndex.map { case (cn, i) =>
+                val c = col(cn)
+                val vals = keys.map(_.get(i)).toIndexedSeq
+                val nonNull = vals.filter(_ != null).distinct
+                val in = if (nonNull.isEmpty) lit(false) else c.isin(nonNull: _*)
+                if (vals.contains(null)) in || c.isNull else in
+              }.reduce(_ && _)
+              Some((ManifestTable.readWhere(session, sh.factPath, pred,
+                baseTo), cols.size == 1))
             }
-          case _ => None
         }
-        // rescan: the defining aggregate, base pinned at `baseTo`,
+        lastRescanFiles = prunedBase.fold(-1)(_._1.inputFiles.length)
+        // rescan: the defining aggregate, every table pinned at head,
         // restricted to the dirty groups (null-safe: NULL is a group)
         val pinnedChild = prunedBase match {
-          case Some(df) => sh.child.transformUp {
+          case Some((df, _)) => sh.child.transformUp {
             case _: UnresolvedRelation =>
-              SubqueryAlias(sh.baseName, df.queryExecution.analyzed)
+              SubqueryAlias(sh.factName, df.queryExecution.analyzed)
           }
-          case None => pin(session, sh.child, sh.baseName, sh.basePath,
-            baseTo)
+          case None => pinAll(session, sh.child, sh, vs)
         }
-        // the pruned readWhere path already applies the dirty-key
-        // predicate ROW-LEVEL (readWhere ≡ read + filter by contract),
-        // and the IN-over-collected-keys predicate IS exact dirty-set
-        // membership for a single plain key — the semi join would be
-        // pure double-filtering there (a per-row hash probe over the
-        // whole rescanned slice). Expression keys / large censuses
-        // keep the broadcast LEFT SEMI as the restriction.
         val restricted =
-          if (prunedBase.isDefined) pinnedChild
+          if (prunedBase.exists(_._2)) pinnedChild
           else {
             val cond = sh.groups.zipWithIndex.map { case ((e, _), i) =>
               EqualNullSafe(e, UnresolvedAttribute(s"__graft_gk$i"))
@@ -315,7 +398,8 @@ private[graft] object MviewIncremental {
             col(f.name).cast(f.dataType).as(f.name)): _*)
         val v = ManifestTable.commit(session, mviewPath,
           conform(clean).unionByName(conform(recomputed)),
-          SaveMode.Overwrite, txn = Some((TxnApp, baseTo.toLong)))
+          SaveMode.Overwrite, txn = Some((TxnApp, baseTo.toLong)),
+          txnExtra = dimTxns(sh, vs))
         (v, "incremental")
       }
     } finally { dirty.unpersist(false); () }

@@ -199,6 +199,64 @@ class ExistsDefaultSpec extends AnyFunSuite with SparkFixture {
     } finally GraftCatalog.unregister("exd_fold")
   }
 
+  test("RENAME COLUMN on a filled column: the census keys by physical name and survives (r18)") {
+    val t = freshTable("exd_ren")
+    try {
+      spark.sql(
+        "ALTER TABLE graft.exd_ren ADD COLUMNS (cat STRING DEFAULT 'legacy')")
+      spark.sql("INSERT INTO graft.exd_ren VALUES (4, 'r4', 'fresh')")
+      spark.sql("ALTER TABLE graft.exd_ren RENAME COLUMN cat TO category")
+      // pre-add files still classify (the census is keyed by the
+      // PHYSICAL name, which a rename never changes)
+      val all = spark.sql("SELECT id, category FROM graft.exd_ren").collect()
+        .map(r => r.getLong(0) -> Option(r.getString(1))).toMap
+      assert(all === Map(1L -> Some("legacy"), 2L -> Some("legacy"),
+        3L -> Some("legacy"), 4L -> Some("fresh")),
+        "the exists fill must survive RENAME COLUMN")
+      // the renamed column keeps filling omitted inserts
+      spark.sql("INSERT INTO graft.exd_ren (id, s) VALUES (5, 'r5')")
+      assert(spark.sql(
+        "SELECT category FROM graft.exd_ren WHERE id = 5")
+        .head().getString(0) == "legacy")
+      // re-ADDing the VACATED name is a fresh column with its own
+      // census — the old column's fill must not bleed into it
+      spark.sql(
+        "ALTER TABLE graft.exd_ren ADD COLUMNS (cat STRING DEFAULT 'second')")
+      val pair = spark.sql(
+        "SELECT category, cat FROM graft.exd_ren WHERE id = 1").head()
+      assert(pair.getString(0) == "legacy" && pair.getString(1) == "second",
+        s"censuses must not cross physical names: $pair")
+    } finally GraftCatalog.unregister("exd_ren")
+  }
+
+  test("widenColumn over a filled column re-types the frozen literal (r18)") {
+    import spark.implicits._
+    import org.apache.spark.sql.types.LongType
+    val t = tmp("exd_wid")
+    ManifestTable.commit(spark, t,
+      (1 to 3).map(i => (i.toLong, s"r$i")).toDF("id", "s"),
+      SaveMode.Overwrite)
+    GraftCatalog.register("exd_wid", t)
+    try {
+      spark.sql("ALTER TABLE graft.exd_wid ADD COLUMNS (qty INT DEFAULT 7)")
+      spark.sql("INSERT INTO graft.exd_wid VALUES (4, 'r4', 9)")
+      ManifestTable.widenColumn(spark, t, "qty", LongType)
+      // pre-add fill surfaces AS LONG; stored int pages up-cast
+      val got = spark.sql("SELECT id, qty FROM graft.exd_wid").collect()
+        .map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(got === Map(1L -> 7L, 2L -> 7L, 3L -> 7L, 4L -> 9L),
+        "the frozen literal must re-type with the widened column")
+      // omitted inserts keep filling at the widened type…
+      spark.sql("INSERT INTO graft.exd_wid (id, s) VALUES (5, 'r5')")
+      assert(spark.sql("SELECT qty FROM graft.exd_wid WHERE id = 5")
+        .head().getLong(0) == 7L)
+      // …and explicit values past int range store fine
+      spark.sql("INSERT INTO graft.exd_wid VALUES (6, 'r6', 5000000000)")
+      assert(spark.sql("SELECT sum(qty) AS s FROM graft.exd_wid")
+        .head().getLong(0) == 7L * 4 + 9L + 5000000000L)
+    } finally GraftCatalog.unregister("exd_wid")
+  }
+
   test("SET/DROP DEFAULT edits the CURRENT default, never the exists fill") {
     freshTable("exd_set")
     try {

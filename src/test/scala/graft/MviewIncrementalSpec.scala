@@ -237,6 +237,10 @@ class MviewIncrementalSpec extends AnyFunSuite with SparkFixture {
     ManifestTable.commit(spark, bt,
       Seq((1L, "a", 1L)).toDF("id", "grp", "v"), SaveMode.Overwrite)
     GraftCatalog.register("mvi_refb", bt)
+    val dt = tmp("ref_d")
+    ManifestTable.commit(spark, dt,
+      Seq((1L, "x")).toDF("id", "nm"), SaveMode.Overwrite)
+    GraftCatalog.register("mvi_refd", dt)
     def mview(tag: String, sql: String): String = {
       val p = tmp(tag)
       spark.sql(s"CREATE MATERIALIZED VIEW graft.mvi_$tag LOCATION '$p' AS $sql")
@@ -250,9 +254,14 @@ class MviewIncrementalSpec extends AnyFunSuite with SparkFixture {
       spark.sql(s"REFRESH MATERIALIZED VIEW graft.$name").collect()
     }
     try {
+      // r18: INNER joins of DISTINCT tables qualify — what refuses is
+      // the self-join (ΔF ⋈ ΔF breaks linearity) and outer joins
       refuse(mview("j", """SELECT a.grp AS grp, count(*) AS n
         |FROM graft.mvi_refb a JOIN graft.mvi_refb b ON a.id = b.id
-        |GROUP BY a.grp""".stripMargin), "single table")
+        |GROUP BY a.grp""".stripMargin), "more than once")
+      refuse(mview("oj", """SELECT a.grp AS grp, count(*) AS n
+        |FROM graft.mvi_refb a LEFT JOIN graft.mvi_refd d ON a.id = d.id
+        |GROUP BY a.grp""".stripMargin), "INNER joins")
       refuse(mview("h", "SELECT count(*) AS n FROM graft.mvi_refb GROUP BY grp"),
         "not in the SELECT list")
       refuse(mview("s", """SELECT grp, count(*) AS n FROM graft.mvi_refb
@@ -262,7 +271,56 @@ class MviewIncrementalSpec extends AnyFunSuite with SparkFixture {
         "GROUP BY aggregate")
       refuse(mview("r", """SELECT grp, count(*) AS n FROM graft.mvi_refb
         |WHERE rand() < 2 GROUP BY grp""".stripMargin), "non-deterministic")
-    } finally cleanup("mvi_j", "mvi_h", "mvi_s", "mvi_g", "mvi_r", "mvi_refb")
+    } finally cleanup("mvi_j", "mvi_oj", "mvi_h", "mvi_s", "mvi_g", "mvi_r",
+      "mvi_refb", "mvi_refd")
+  }
+
+  test("star-join MV (r18): fact churn is incremental, dim churn falls back to full — both exact") {
+    import spark.implicits._
+    val ft = tmp("sj_f"); val dt = tmp("sj_d"); val mt = tmp("sj_m")
+    ManifestTable.commit(spark, ft,
+      Seq((1L, 10L, 5L), (2L, 10L, 7L), (3L, 20L, 11L), (4L, 30L, 1L))
+        .toDF("id", "dim_id", "v"), SaveMode.Overwrite)
+    ManifestTable.commit(spark, dt,
+      Seq((10L, "red"), (20L, "blue"), (30L, "red")).toDF("dim_id", "cat"),
+      SaveMode.Overwrite)
+    GraftCatalog.register("mvi_sjf", ft)
+    GraftCatalog.register("mvi_sjd", dt)
+    val defSql =
+      """SELECT d.cat AS cat, count(*) AS n, sum(f.v) AS total,
+        |  min(f.v) AS lo, max(f.v) AS hi
+        |FROM graft.mvi_sjf f JOIN graft.mvi_sjd d ON f.dim_id = d.dim_id
+        |WHERE f.v >= 2 GROUP BY d.cat""".stripMargin
+    try {
+      spark.sql(s"CREATE MATERIALIZED VIEW graft.mvi_sj LOCATION '$mt' AS $defSql")
+      val (_, m1) = refreshInc("mvi_sj")
+      assert(m1 == "full", m1)
+      assertExact("mvi_sj", defSql)
+      // FACT churn: grow two groups, retract a min/max, delete a row
+      spark.sql("INSERT INTO graft.mvi_sjf VALUES (5, 20, 100), (6, 30, 9)")
+      spark.sql("UPDATE graft.mvi_sjf SET v = 50 WHERE id = 1")
+      spark.sql("DELETE FROM graft.mvi_sjf WHERE id = 3")
+      val (_, m2) = refreshInc("mvi_sj")
+      assert(m2 == "incremental", s"fact churn must stay incremental: $m2")
+      assertExact("mvi_sj", defSql)
+      // sub-WHERE fact churn is still a publish-free noop
+      spark.sql("INSERT INTO graft.mvi_sjf VALUES (7, 10, 0)")
+      val (_, m3) = refreshInc("mvi_sj")
+      assert(m3 == "noop", m3)
+      assertExact("mvi_sj", defSql)
+      // DIM churn: re-labeling a category moves WHOLE groups — the
+      // fact delta cannot see it; the refresh must fall back to FULL
+      // (and re-prime the dim marker) while staying exact
+      spark.sql("UPDATE graft.mvi_sjd SET cat = 'green' WHERE dim_id = 30")
+      val (_, m4) = refreshInc("mvi_sj")
+      assert(m4 == "full", s"dim churn must fall back to full: $m4")
+      assertExact("mvi_sj", defSql)
+      // after the full re-prime, fact churn is incremental again
+      spark.sql("INSERT INTO graft.mvi_sjf VALUES (8, 20, 13)")
+      val (_, m5) = refreshInc("mvi_sj")
+      assert(m5 == "incremental", m5)
+      assertExact("mvi_sj", defSql)
+    } finally cleanup("mvi_sj", "mvi_sjf", "mvi_sjd")
   }
 
   test("the pruned single-key path stays exact with NULL group keys in the churn") {
@@ -288,6 +346,44 @@ class MviewIncrementalSpec extends AnyFunSuite with SparkFixture {
       assert(spark.sql("SELECT total FROM graft.mvi_pn WHERE grp IS NULL")
         .head().getLong(0) == 10L)
     } finally cleanup("mvi_pn", "mvi_pnb")
+  }
+
+  test("multi-key dirty pruning (r18): files outside the per-column envelope never list") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    val bt = tmp("mk_b"); val mt = tmp("mk_m")
+    val rows = for { k1 <- Seq("a", "b", "c", "d"); i <- 1 to 50 }
+      yield (k1, (i % 5).toLong, i.toLong)
+    ManifestTable.commit(spark, bt,
+      rows.toDF("k1", "k2", "v").repartitionByRange(4, col("k1")),
+      SaveMode.Overwrite, statsColumns = Seq("k1", "k2"))
+    GraftCatalog.register("mvi_mkb", bt)
+    val defSql = "SELECT k1, k2, count(*) AS n, sum(v) AS total " +
+      "FROM graft.mvi_mkb GROUP BY k1, k2"
+    try {
+      spark.sql(s"CREATE MATERIALIZED VIEW graft.mvi_mk LOCATION '$mt' AS $defSql")
+      refreshInc("mvi_mk")
+      val totalFiles = ManifestTable.read(spark, bt).inputFiles.length
+      assert(totalFiles >= 4, s"layout must spread keys: $totalFiles files")
+      // churn ONE key region: the per-column envelope is
+      // k1 IN ('d') AND k2 IN (1, 2) — files holding a/b/c never list
+      spark.sql("INSERT INTO graft.mvi_mkb VALUES ('d', 1, 1000), ('d', 2, 2000)")
+      val (_, mode) = refreshInc("mvi_mk")
+      assert(mode == "incremental", mode)
+      assertExact("mvi_mk", defSql)
+      assert(MviewIncremental.lastRescanFiles >= 1 &&
+        MviewIncremental.lastRescanFiles < totalFiles,
+        s"the 2-key envelope must prune the rescan: listed " +
+          s"${MviewIncremental.lastRescanFiles} of >= $totalFiles")
+      // a NULL in a dirty tuple: that column's clause carries IS NULL
+      spark.sql("INSERT INTO graft.mvi_mkb VALUES ('d', NULL, 7)")
+      val (_, m2) = refreshInc("mvi_mk")
+      assert(m2 == "incremental", m2)
+      assertExact("mvi_mk", defSql)
+      assert(spark.sql(
+        "SELECT total FROM graft.mvi_mk WHERE k1 = 'd' AND k2 IS NULL")
+        .head().getLong(0) == 7L)
+    } finally cleanup("mvi_mk", "mvi_mkb")
   }
 
   test("dirty-group rescan really is partial: clean-group image rows survive by copy") {
