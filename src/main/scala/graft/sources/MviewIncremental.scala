@@ -80,7 +80,11 @@ private[graft] object MviewIncremental {
       agg: Aggregate, child: LogicalPlan,
       /** each grouping expr (ordinals resolved) with its index in the
         * SELECT list — the image column that carries the group key */
-      groups: Seq[(Expression, Int)]) {
+      groups: Seq[(Expression, Int)],
+      /** lower-cased FROM-clause qualifier (alias if given, else the
+        * bare name) → table name, for attributing a qualified group
+        * key to its table */
+      aliasOf: Map[String, String]) {
     def factName: String = tables.head._1
     def factPath: String = tables.head._2
     def dims: Seq[(String, String)] = tables.tail
@@ -126,8 +130,18 @@ private[graft] object MviewIncremental {
             "joins of distinct tables) with an optional WHERE — outer " +
             "joins, nested queries and set ops rescan as a whole (use " +
             "plain REFRESH)")
-        val rels = child.collect { case u: UnresolvedRelation => u }
-        val names = rels.map { u =>
+        // relations with their nearest FROM-clause alias (for group-key
+        // attribution — `GROUP BY f.grp` names the fact via `f`)
+        def rels(p: LogicalPlan, alias: Option[String])
+            : Seq[(Option[String], UnresolvedRelation)] = p match {
+          case u: UnresolvedRelation => Seq((alias, u))
+          case SubqueryAlias(a, c) => rels(c, Some(a.name))
+          case Filter(_, c) => rels(c, alias)
+          case Join(l, r, _, _, _) => rels(l, None) ++ rels(r, None)
+          case _ => Nil
+        }
+        val withAlias = rels(child, None)
+        val names = withAlias.map { case (_, u) =>
           val n = graftName(u).getOrElse(
             return Left("a joined table is not in the graft namespace"))
           if (n.contains("@"))
@@ -135,6 +149,11 @@ private[graft] object MviewIncremental {
               "its view can never change")
           n
         }
+        val aliasOf: Map[String, String] = withAlias.zip(names).map {
+          case ((a, u), n) =>
+            a.getOrElse(u.multipartIdentifier.last)
+              .toLowerCase(java.util.Locale.ROOT) -> n
+        }.toMap
         if (names.distinct.size != names.size)
           return Left("a table appears more than once (self-join) — the " +
             "fact delta expansion is not linear there; use plain REFRESH")
@@ -170,7 +189,7 @@ private[graft] object MviewIncremental {
             e.resolved && !e.deterministic))))
           return Left("the defining query is non-deterministic — a " +
             "partial rescan would disagree with the kept rows")
-        Right(Shape(tables, agg, child, groups))
+        Right(Shape(tables, agg, child, groups, aliasOf))
       case _ =>
         Left("the defining query is not a single GROUP BY aggregate " +
           "(HAVING/ORDER BY/window shapes rescan as a whole — use " +
@@ -335,12 +354,33 @@ private[graft] object MviewIncremental {
         // shapes whose key may come from a dim keep the plain pinned
         // read + semi join (row-group and runtime filtering still
         // help; manifest pruning has no sound predicate to use).
-        val plainCols: Option[Seq[String]] =
-          if (sh.tables.size == 1) {
-            val cols = sh.groups.map(_._1).collect {
-              case ua: UnresolvedAttribute => ua.nameParts.last }
-            if (cols.size == sh.groups.size) Some(cols) else None
-          } else None
+        // a group key prunes the FACT read only when it provably IS a
+        // fact column: qualified (`f.grp`) → the qualifier must alias
+        // the fact; bare → the name must exist in the fact's recorded
+        // schema and in NO dim's (ambiguity bails to the semi join)
+        lazy val dimSchemas = sh.dims.map { case (_, p) =>
+          ManifestTable.snapshotSchema(session, p) }
+        lazy val factSchema =
+          ManifestTable.snapshotSchema(session, sh.factPath)
+        def factColumn(ua: UnresolvedAttribute): Option[String] =
+          ua.nameParts match {
+            case Seq(c) if sh.tables.size == 1 => Some(c)
+            case Seq(c) =>
+              val inFact = factSchema.exists(
+                _.fields.exists(_.name.equalsIgnoreCase(c)))
+              val inDim = dimSchemas.exists(_.exists(
+                _.fields.exists(_.name.equalsIgnoreCase(c))))
+              if (inFact && !inDim) Some(c) else None
+            case Seq(q, c) if sh.aliasOf.get(
+                q.toLowerCase(java.util.Locale.ROOT))
+                .contains(sh.factName) => Some(c)
+            case _ => None
+          }
+        val plainCols: Option[Seq[String]] = {
+          val cols = sh.groups.map(_._1).collect {
+            case ua: UnresolvedAttribute => factColumn(ua) }.flatten
+          if (cols.size == sh.groups.size) Some(cols) else None
+        }
         // (pruned read, exact?) — exact means the predicate alone is
         // dirty-set membership and the semi join can be skipped
         val prunedBase: Option[(DataFrame, Boolean)] = plainCols.flatMap {
@@ -364,10 +404,16 @@ private[graft] object MviewIncremental {
         // rescan: the defining aggregate, every table pinned at head,
         // restricted to the dirty groups (null-safe: NULL is a group)
         val pinnedChild = prunedBase match {
-          case Some((df, _)) => sh.child.transformUp {
-            case _: UnresolvedRelation =>
-              SubqueryAlias(sh.factName, df.queryExecution.analyzed)
-          }
+          case Some((df, _)) =>
+            // dims pin at head; only the FACT reads through the
+            // envelope-pruned census
+            pinAll(session, sh.child, sh, vs, skip = Set(sh.factName))
+              .transformUp {
+                case u: UnresolvedRelation
+                    if graftName(u).contains(sh.factName) =>
+                  SubqueryAlias(u.multipartIdentifier.last,
+                    df.queryExecution.analyzed)
+              }
           case None => pinAll(session, sh.child, sh, vs)
         }
         val restricted =

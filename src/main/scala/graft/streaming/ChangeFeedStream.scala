@@ -430,14 +430,18 @@ object ChangeFeedStream {
     * external pump publishes. */
   def readTableStream(spark: SparkSession, name: String,
                       autoPump: Boolean = true,
-                      pollIntervalMs: Long = 250L): DataFrame = {
+                      pollIntervalMs: Long = 250L,
+                      watermark: Option[(String, String)] = None): DataFrame = {
     val bare = name.stripPrefix("graft.")
     // a VIEW name composes for free when its text is stream-safe
     // (r17, VERDICT r16 ask #5): pure projections/filters expand over
     // the underlying table's change stream — streaming through the
-    // view ≡ streaming the table + the view's own transform
+    // view ≡ streaming the table + the view's own transform. With a
+    // `watermark` (column, delay) supplied, AGGREGATE views stream
+    // too (r18) — see [[viewStream]].
     graft.sources.GraftCatalog.lookupView(bare).foreach { sql =>
-      return viewStream(spark, bare, sql, autoPump, pollIntervalMs, Set(bare))
+      return viewStream(spark, bare, sql, autoPump, pollIntervalMs,
+        watermark, Set(bare))
     }
     val path = graft.sources.GraftCatalog.lookup(bare).getOrElse(
       throw new IllegalArgumentException(
@@ -448,20 +452,33 @@ object ChangeFeedStream {
     if (autoPump)
       autoPumps.computeIfAbsent(feedDir,
         _ => pump(spark, path, feedDir, pollIntervalMs))
-    readChangeStream(spark, path, feedDir)
+    val raw = readChangeStream(spark, path, feedDir)
+    // the watermark lands on the BASE stream — below any view
+    // transform, where a streaming aggregate needs it
+    watermark.fold(raw) { case (c, d) => raw.withWatermark(c, d) }
   }
 
   /** Expand a registered view's text over the change stream of the
     * table it (transitively) reads. Stream-safe = exactly
     * [alias|project|filter]* over ONE relation — per-row transforms
-    * that compose with a change stream untouched; aggregates, joins,
-    * sorts and set ops REFUSE (they need their own watermarked
-    * streaming query, and silently batch-ifying them would lie). */
+    * that compose with a change stream untouched — plus, WHEN the
+    * caller supplies a `watermark` (r18): one GROUP BY aggregate on
+    * top of that shape. The watermark lands on the base stream below
+    * the aggregate, so the expansion is exactly the watermarked
+    * streaming aggregation the user would hand-write; Spark's own
+    * unsupported-operation checker still governs output-mode
+    * legality at query start. The aggregate streams the table's
+    * APPEND feed (each commit's added rows) — an update/delete-heavy
+    * table wants the row-level CDC feed and its own logic instead.
+    * Aggregates WITHOUT a watermark, joins, sorts and set ops REFUSE
+    * (unbounded state / not per-row; silently batch-ifying would
+    * lie). */
   private def viewStream(spark: SparkSession, name: String, sql: String,
                          autoPump: Boolean, pollIntervalMs: Long,
+                         watermark: Option[(String, String)],
                          seen: Set[String]): DataFrame = {
     import org.apache.spark.sql.catalyst.analysis.UnresolvedRelation
-    import org.apache.spark.sql.catalyst.plans.logical.{Filter, Project, SubqueryAlias}
+    import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, Filter, Project, SubqueryAlias}
     val plan = spark.sessionState.sqlParser.parsePlan(sql)
     // scalar/IN/EXISTS subqueries hide whole plans inside EXPRESSIONS
     // — a plan-node walk alone would pass `SELECT a, (SELECT max(x)
@@ -471,19 +488,33 @@ object ChangeFeedStream {
     def exprSafe(p: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan)
         : Boolean = !p.expressions.exists(_.exists(
       _.isInstanceOf[org.apache.spark.sql.catalyst.expressions.SubqueryExpression]))
-    def streamSafe(p: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan)
+    def rowSafe(p: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan)
         : Boolean = p match {
       case _: UnresolvedRelation => true
+      case SubqueryAlias(_, c) => rowSafe(c)
+      case Filter(_, c) => exprSafe(p) && rowSafe(c)
+      case Project(_, c) => exprSafe(p) && rowSafe(c)
+      case _ => false
+    }
+    def streamSafe(p: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan)
+        : Boolean = p match {
+      // one aggregate, only with a watermark to bound its state; its
+      // child must be the plain row-safe shape (a nested aggregate
+      // refuses here; Spark would refuse the multi-agg plan anyway)
+      case Aggregate(_, _, c, _) if watermark.isDefined =>
+        exprSafe(p) && rowSafe(c)
       case SubqueryAlias(_, c) => streamSafe(c)
       case Filter(_, c) => exprSafe(p) && streamSafe(c)
       case Project(_, c) => exprSafe(p) && streamSafe(c)
-      case _ => false
+      case _ => rowSafe(p)
     }
     require(streamSafe(plan),
-      s"readTableStream: view graft.$name is not stream-safe — only " +
+      s"readTableStream: view graft.$name is not stream-safe — " +
         "single-table projections/filters compose over a change " +
-        "stream; aggregates, joins and sorts need their own " +
-        "watermarked streaming query over the base table's stream")
+        "stream, and ONE GROUP BY aggregate may sit on top when the " +
+        "call supplies watermark=(column, delay); joins, sorts, set " +
+        "ops and unwatermarked aggregates need their own streaming " +
+        "query over the base table's stream")
     val relName = plan.collectFirst { case u: UnresolvedRelation =>
       u.multipartIdentifier match {
         case Seq(ns, ident) if ns.equalsIgnoreCase("graft") => ident
@@ -501,9 +532,13 @@ object ChangeFeedStream {
     // the base table starts the actual change stream (same pump/feed
     // semantics as ever)
     val base = graft.sources.GraftCatalog.lookupView(relName) match {
+      // nested views stay row-safe wrappers (an aggregate below an
+      // aggregate would refuse above); the watermark threads down to
+      // the BASE table stream where state bounding needs it
       case Some(inner) => viewStream(spark, relName, inner, autoPump,
-        pollIntervalMs, seen + relName)
-      case None => readTableStream(spark, relName, autoPump, pollIntervalMs)
+        pollIntervalMs, watermark, seen + relName)
+      case None => readTableStream(spark, relName, autoPump,
+        pollIntervalMs, watermark)
     }
     val substituted = plan.transformUp {
       case _: UnresolvedRelation =>
@@ -513,14 +548,19 @@ object ChangeFeedStream {
       org.apache.spark.sql.graftbridge.PlanBridge.ofRows(spark, substituted)
     // a GLOBAL aggregate parses as a plain Project (GlobalAggregates
     // promotes it at ANALYSIS) — gate the analyzed plan too; row-local
-    // generators (explode) stay legal
+    // generators (explode) stay legal. With a watermark the aggregate
+    // is the point (Spark's checker owns output-mode legality); window
+    // FUNCTIONS stay refused — they need ordered state no watermark
+    // bounds
     require(!result.queryExecution.analyzed.exists(p =>
-        p.isInstanceOf[org.apache.spark.sql.catalyst.plans.logical.Aggregate] ||
+        (watermark.isEmpty && p.isInstanceOf[
+          org.apache.spark.sql.catalyst.plans.logical.Aggregate]) ||
         p.isInstanceOf[org.apache.spark.sql.catalyst.plans.logical.Window]),
       s"readTableStream: view graft.$name is not stream-safe — only " +
         "single-table projections/filters compose over a change " +
-        "stream; aggregates and window functions need their own " +
-        "watermarked streaming query over the base table's stream")
+        "stream; an aggregate view streams only with an explicit " +
+        "watermark=(column, delay), and window functions need their " +
+        "own streaming query over the base table's stream")
     result
   }
 

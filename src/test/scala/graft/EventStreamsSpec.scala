@@ -547,6 +547,108 @@ class EventStreamsSpec extends AnyFunSuite with SparkFixture {
     }
   }
 
+  test("T9w: an AGGREGATE view streams with a watermark — counts track the feed (r18)") {
+    import graft.sources.{GraftCatalog, ManifestTable}
+    import graft.streaming.ChangeFeedStream
+    import org.apache.spark.sql.functions.{col, to_timestamp}
+    def tmp(tag: String) =
+      java.nio.file.Files.createTempDirectory(s"graft_cdfw_$tag").toString
+    val table = tmp("tab") + "/t"
+    ManifestTable.commit(spark, table,
+      Seq((1L, "a", 10L, "2024-01-01 10:00:00"),
+          (2L, "a", 20L, "2024-01-01 10:01:00"),
+          (3L, "b", 30L, "2024-01-01 10:02:00"))
+        .toDF("id", "cat", "v", "ts_s")
+        .withColumn("ts", to_timestamp(col("ts_s"))).drop("ts_s"))
+    GraftCatalog.register("t9w_base", table)
+    GraftCatalog.registerView("t9w_view",
+      "SELECT cat, count(*) AS n, sum(v) AS total FROM graft.t9w_base GROUP BY cat")
+    try {
+      // without a watermark the aggregate view still refuses
+      val e = intercept[Exception](
+        ChangeFeedStream.readTableStream(spark, "graft.t9w_view"))
+      assert(e.getMessage.contains("stream-safe"), e.getMessage)
+      // with one, the expansion IS the watermarked streaming aggregate
+      val agg = ChangeFeedStream.readTableStream(spark, "graft.t9w_view",
+        watermark = Some(("ts", "0 seconds")))
+      assert(agg.isStreaming && agg.columns.toSeq === Seq("cat", "n", "total"))
+      val q = agg.writeStream.format("memory").queryName("t9w_mem")
+        .outputMode("complete").start()
+      try {
+        def state: Map[String, (Long, Long)] = spark.table("t9w_mem")
+          .collect().map(r => r.getString(0) ->
+            (r.getLong(1), r.getLong(2))).toMap
+        // the pump publishes asynchronously — poll to a deadline
+        def awaitState(want: Map[String, (Long, Long)]): Unit = {
+          val deadline = System.currentTimeMillis() + 30000
+          while (state != want && System.currentTimeMillis() < deadline) {
+            q.processAllAvailable(); Thread.sleep(100)
+          }
+          assert(state === want, s"aggregate state: $state")
+        }
+        awaitState(Map("a" -> (2L, 30L), "b" -> (1L, 30L)))
+        // an append flows through the SAME aggregation
+        ManifestTable.commit(spark, table,
+          Seq((4L, "b", 5L, "2024-01-01 10:03:00"))
+            .toDF("id", "cat", "v", "ts_s")
+            .withColumn("ts", to_timestamp(col("ts_s"))).drop("ts_s"))
+        awaitState(Map("a" -> (2L, 30L), "b" -> (2L, 35L)))
+      } finally q.stop()
+    } finally {
+      ChangeFeedStream.stopTableStreamPump("t9w_base")
+      GraftCatalog.unregisterView("t9w_view")
+      GraftCatalog.unregister("t9w_base")
+    }
+  }
+
+  test("T9x: a WINDOWED aggregate view streams append-mode — the watermark closes windows (r18)") {
+    import graft.sources.{GraftCatalog, ManifestTable}
+    import graft.streaming.ChangeFeedStream
+    import org.apache.spark.sql.functions.{col, to_timestamp}
+    def tmp(tag: String) =
+      java.nio.file.Files.createTempDirectory(s"graft_cdfx_$tag").toString
+    val (table, ckpt, out) = (tmp("tab") + "/t", tmp("ckpt"), tmp("out"))
+    def rows(rs: (Long, Long, String)*) =
+      rs.toSeq.toDF("id", "v", "ts_s")
+        .withColumn("ts", to_timestamp(col("ts_s"))).drop("ts_s")
+    ManifestTable.commit(spark, table, rows(
+      (1L, 10L, "2024-01-01 10:00:00"),
+      (2L, 20L, "2024-01-01 10:01:00"),
+      (3L, 30L, "2024-01-01 10:02:00")))
+    GraftCatalog.register("t9x_base", table)
+    GraftCatalog.registerView("t9x_view",
+      """SELECT window.start AS ws, count(*) AS n, sum(v) AS total
+        |FROM graft.t9x_base GROUP BY window(ts, '10 minutes')""".stripMargin)
+    try {
+      val agg = ChangeFeedStream.readTableStream(spark, "graft.t9x_view",
+        watermark = Some(("ts", "0 seconds")))
+      // append mode: only CLOSED windows emit — exactly-once rows
+      // into a plain parquet sink
+      val q = agg.writeStream.format("parquet").option("path", out)
+        .option("checkpointLocation", ckpt).outputMode("append").start()
+      try {
+        // a late-hour row advances the watermark past the first window
+        ManifestTable.commit(spark, table,
+          rows((4L, 5L, "2024-01-01 10:30:00")))
+        val deadline = System.currentTimeMillis() + 30000
+        def emitted = {
+          q.processAllAvailable()
+          try spark.read.parquet(out).count() catch { case _: Exception => 0L }
+        }
+        while (emitted < 1 && System.currentTimeMillis() < deadline)
+          Thread.sleep(100)
+        val got = spark.read.parquet(out).collect()
+          .map(r => (r.getTimestamp(0).toString, r.getLong(1), r.getLong(2)))
+        assert(got.toSeq === Seq(("2024-01-01 10:00:00.0", 3L, 60L)),
+          s"the closed 10:00 window must emit exactly once: ${got.toSeq}")
+      } finally q.stop()
+    } finally {
+      ChangeFeedStream.stopTableStreamPump("t9x_base")
+      GraftCatalog.unregisterView("t9x_view")
+      GraftCatalog.unregister("t9x_base")
+    }
+  }
+
   test("T9v: a registered VIEW streams — view stream == table stream + view transform") {
     import graft.sources.{GraftCatalog, ManifestTable}
     import graft.streaming.ChangeFeedStream

@@ -323,6 +323,60 @@ class MviewIncrementalSpec extends AnyFunSuite with SparkFixture {
     } finally cleanup("mvi_sj", "mvi_sjf", "mvi_sjd")
   }
 
+  test("star-join MV with a FACT group key: the envelope prunes the fact rescan (r18)") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    val ft = tmp("sjp_f"); val dt = tmp("sjp_d"); val mt = tmp("sjp_m")
+    val facts = for { k <- Seq("a", "b", "c", "d"); i <- 1 to 40 }
+      yield (k, (i % 3).toLong + 10L, i.toLong)
+    ManifestTable.commit(spark, ft,
+      facts.toDF("k", "dim_id", "v").repartitionByRange(4, col("k")),
+      SaveMode.Overwrite, statsColumns = Seq("k"))
+    ManifestTable.commit(spark, dt,
+      Seq((10L, 2L), (11L, 3L), (12L, 5L)).toDF("dim_id", "w"),
+      SaveMode.Overwrite)
+    GraftCatalog.register("mvi_sjpf", ft)
+    GraftCatalog.register("mvi_sjpd", dt)
+    // the group key is a QUALIFIED fact column — attribution through
+    // the FROM alias lets the envelope prune the fact read
+    val defSql = """SELECT f.k AS k, count(*) AS n, sum(d.w) AS tw
+                   |FROM graft.mvi_sjpf f
+                   |JOIN graft.mvi_sjpd d ON f.dim_id = d.dim_id
+                   |GROUP BY f.k""".stripMargin
+    try {
+      spark.sql(s"CREATE MATERIALIZED VIEW graft.mvi_sjp LOCATION '$mt' AS $defSql")
+      refreshInc("mvi_sjp")
+      val totalFiles = ManifestTable.read(spark, ft).inputFiles.length
+      assert(totalFiles >= 4)
+      spark.sql("INSERT INTO graft.mvi_sjpf VALUES ('d', 11, 999)")
+      val (_, mode) = refreshInc("mvi_sjp")
+      assert(mode == "incremental", mode)
+      assertExact("mvi_sjp", defSql)
+      assert(MviewIncremental.lastRescanFiles >= 1 &&
+        MviewIncremental.lastRescanFiles < totalFiles,
+        s"the fact-key envelope must prune the join rescan: listed " +
+          s"${MviewIncremental.lastRescanFiles} of >= $totalFiles")
+      // a DIM-owned group key never prunes the fact (attribution bails)
+      val mt2 = tmp("sjp_m2")
+      spark.sql(s"""CREATE MATERIALIZED VIEW graft.mvi_sjp2 LOCATION '$mt2' AS
+                   |SELECT d.w AS w, count(*) AS n
+                   |FROM graft.mvi_sjpf f
+                   |JOIN graft.mvi_sjpd d ON f.dim_id = d.dim_id
+                   |GROUP BY d.w""".stripMargin)
+      refreshInc("mvi_sjp2")
+      spark.sql("INSERT INTO graft.mvi_sjpf VALUES ('a', 10, 7)")
+      val (_, m2) = refreshInc("mvi_sjp2")
+      assert(m2 == "incremental", m2)
+      assert(MviewIncremental.lastRescanFiles == -1,
+        "a dim-owned key must keep the unpruned pinned read + semi join")
+      assertExact("mvi_sjp2",
+        """SELECT d.w AS w, count(*) AS n
+          |FROM graft.mvi_sjpf f
+          |JOIN graft.mvi_sjpd d ON f.dim_id = d.dim_id
+          |GROUP BY d.w""".stripMargin)
+    } finally cleanup("mvi_sjp", "mvi_sjp2", "mvi_sjpf", "mvi_sjpd")
+  }
+
   test("the pruned single-key path stays exact with NULL group keys in the churn") {
     import spark.implicits._
     val bt = tmp("pn_b"); val mt = tmp("pn_m")
