@@ -44,18 +44,25 @@ import org.apache.spark.sql.types.IntegerType
   * STAR-JOIN shapes (r18, VERDICT r17 ask #3): the defining query may
   * INNER-join the fact with dimension tables — `fact ⋈ dim… GROUP BY`,
   * the production MV shape. The image records one marker per joined
-  * table (the fact under [[TxnApp]], each dim under
-  * `graft-mview-dim:<name>`). When ONLY the fact churned, an inner
-  * join is LINEAR in the fact — Δ(σ(F ⋈ D…)) ⊆ σ(ΔF ⋈ D…) when every
-  * D is unchanged — so the dirty groups are exactly the group keys of
-  * the defining query replayed with the fact's delta in the fact's
-  * place and every dim pinned at head, and the rescan proceeds as
-  * above. When any DIM churned, the refresh falls back to a FULL
-  * recompute: finding dirty groups for a dim delta requires scanning
-  * the (unchurned) fact anyway, at which point the full recompute is
-  * strictly simpler and no more expensive. A table appearing twice
-  * (self-join) never qualifies — the delta expansion would need the
-  * quadratic ΔF ⋈ ΔF term.
+  * table (the first FROM-clause table under [[TxnApp]], the rest
+  * under `graft-mview-dim:<name>`). When EXACTLY ONE table churned —
+  * whichever position it holds — an inner join is LINEAR in each
+  * input: Δ(σ(F ⋈ D…)) ⊆ σ(ΔT ⋈ others…) when every other table is
+  * unchanged, so the dirty groups are exactly the group keys of the
+  * defining query replayed with the churned table's delta in its
+  * place and everything else pinned at head, and the rescan proceeds
+  * as above. SEVERAL churned tables telescope: the exact multiset
+  * identity A_h⋈B_h − A_s⋈B_s = ΔA⋈B_h + A_s⋈ΔB generalizes to any
+  * table count (term k = table k's delta, earlier tables at head,
+  * later tables at their markers), so the dirty set is the union of
+  * the terms' group keys — no combination of single-window churn
+  * forces a full recompute while the marker-version manifests live.
+  * Fact churn is the cheap case (the delta joins only broadcast-sized
+  * dims); a churned DIM pays one column-pruned fact scan to FIND its
+  * dirty groups, then the restricted rescan — still a win over the
+  * full recompute when the fact is clustered by the group key and the
+  * image is large. A table appearing twice (self-join) never
+  * qualifies — its delta would need the quadratic ΔF ⋈ ΔF term.
   *
   * Qualification is STRUCTURAL only: one `GROUP BY` aggregate over one
   * registered graft table — or INNER joins of several distinct ones —
@@ -252,8 +259,8 @@ private[graft] object MviewIncremental {
 
   /** REFRESH … INCREMENTAL. Returns (version, mode) with mode ∈
     * {incremental, full, noop} — full = the self-priming first
-    * refresh (no marker yet, marker ahead after a base RESTORE, the
-    * marker's manifest already expired, or a DIMENSION churned).
+    * refresh (a marker missing, a marker ahead after a base RESTORE,
+    * or a needed delta/marker-version manifest already expired).
     * Refuses loudly when the defining query does not qualify. */
   def incrementalRefresh(session: SparkSession, name: String,
                          mviewPath: String, sql: String): (Int, String) = {
@@ -264,29 +271,39 @@ private[graft] object MviewIncremental {
       case Right(s) => s
     }
     val vs = heads(session, sh)
-    val baseTo = vs(sh.factName)
-    // a dim churned (marker missing or behind its head) → the fact
-    // delta cannot locate the moved groups; recompute honestly
-    val dimsClean = sh.dims.forall { case (n, _) =>
-      ManifestTable.txnVersion(session, mviewPath, DimApp + n)
-        .contains(vs(n).toLong)
+    // per-table recorded markers (fact under TxnApp, dims by name)
+    val recs: Seq[Option[Long]] = sh.tables.zipWithIndex.map {
+      case ((n, _), i) => ManifestTable.txnVersion(session, mviewPath,
+        if (i == 0) TxnApp else DimApp + n)
     }
-    ManifestTable.txnVersion(session, mviewPath, TxnApp) match {
-      case Some(since) if dimsClean && since == baseTo =>
-        (ManifestTable.currentVersion(session, mviewPath), "noop")
-      case Some(since) if dimsClean && since < baseTo =>
-        val delta =
-          try Some(ManifestTable.multisetDelta(session, sh.factPath,
-            since.toInt, baseTo))
-          catch { case _: IllegalArgumentException => None } // expired marker
-        delta match {
-          case None => (fullRefresh(session, mviewPath, sql), "full")
-          case Some((entered, left)) =>
-            incremental(session, sh, mviewPath, since.toInt, baseTo, vs,
-              entered.unionByName(left))
-        }
-      case _ => // no marker yet, marker ahead (base RESTORE), dim churn
-        (fullRefresh(session, mviewPath, sql), "full")
+    if (recs.exists(_.isEmpty)) // unprimed (or a pre-r18 join image)
+      return (fullRefresh(session, mviewPath, sql), "full")
+    val recByName: Map[String, Int] =
+      sh.tables.map(_._1).zip(recs.map(_.get.toInt)).toMap
+    if (sh.tables.exists { case (n, _) => recByName(n) > vs(n) })
+      return (fullRefresh(session, mviewPath, sql), "full") // RESTOREd base
+    val churned = sh.tables.filter { case (n, _) => recByName(n) < vs(n) }
+    if (churned.isEmpty)
+      (ManifestTable.currentVersion(session, mviewPath), "noop")
+    else {
+      // TELESCOPING delta (r18): for inner joins the exact multiset
+      // identity  A_h⋈B_h − A_s⋈B_s = ΔA⋈B_h + A_s⋈ΔB  generalizes to
+      // any table count — term k substitutes table k's delta, pins
+      // tables BEFORE it at head and tables AFTER it at their marker
+      // versions — so the dirty groups are the union of the terms'
+      // group keys, for ANY set of churned tables. Unchurned tables
+      // have marker == head (either pin). Falls back to full when a
+      // needed delta or marker-version manifest has expired.
+      try {
+        val terms: Seq[DataFrame] = churned.map { case (n, p) =>
+          ManifestTable.multisetDelta(session, p, recByName(n), vs(n))
+        }.map { case (entered, left) => entered.unionByName(left) }
+        incremental(session, sh, mviewPath, churned.map(_._1), recByName,
+          vs, terms)
+      } catch {
+        case _: IllegalArgumentException => // expired manifest window
+          (fullRefresh(session, mviewPath, sql), "full")
+      }
     }
   }
 
@@ -306,33 +323,44 @@ private[graft] object MviewIncremental {
   private[graft] var lastRescanFiles: Int = -1
 
   private def incremental(session: SparkSession, sh: Shape,
-      mviewPath: String, since: Int, baseTo: Int, vs: Map[String, Int],
-      delta: DataFrame): (Int, String) = {
-    // dirty keys: the defining filter+grouping+joins over the delta
-    // rows, every dim pinned at head (sound: dims verified unchanged
-    // since the marker, and inner joins are linear in the fact).
+      mviewPath: String, deltaNames: Seq[String],
+      recByName: Map[String, Int], vs: Map[String, Int],
+      deltas: Seq[DataFrame]): (Int, String) = {
+    // dirty keys: one telescoping TERM per churned table — the
+    // defining filter+grouping+joins replayed with that table's delta
+    // rows in its place, tables BEFORE it (in FROM order) pinned at
+    // head, tables AFTER it pinned at their marker versions — their
+    // union covers every group whose feeding multiset changed.
     // Aliased __graft_gk<i> so the join conditions below can never
     // collide with a base column name.
-    val deltaChild = pinAll(session, sh.child, sh, vs,
-      skip = Set(sh.factName)).transformUp {
-      case u: UnresolvedRelation if graftName(u).contains(sh.factName) =>
-        SubqueryAlias(u.multipartIdentifier.last,
-          delta.queryExecution.analyzed)
-    }
+    val order: Map[String, Int] =
+      sh.tables.map(_._1).zipWithIndex.toMap
     val gkAliases: Seq[NamedExpression] = sh.groups.zipWithIndex.map {
       case ((e, _), i) => Alias(e, s"__graft_gk$i")()
     }
-    val dirty = PlanBridge.ofRows(session, Project(gkAliases, deltaChild))
-      .distinct().persist()
+    val termFrames = deltaNames.zip(deltas).map { case (dn, delta) =>
+      val vsTerm: Map[String, Int] = sh.tables.map { case (tn, _) =>
+        tn -> (if (order(tn) < order(dn)) vs(tn) else recByName(tn))
+      }.toMap
+      val termChild = pinAll(session, sh.child, sh, vsTerm,
+        skip = Set(dn)).transformUp {
+        case u: UnresolvedRelation if graftName(u).contains(dn) =>
+          SubqueryAlias(u.multipartIdentifier.last,
+            delta.queryExecution.analyzed)
+      }
+      PlanBridge.ofRows(session, Project(gkAliases, termChild))
+    }
+    val dirty = termFrames.reduce(_.unionByName(_)).distinct().persist()
     try {
       if (dirty.isEmpty)
         // churn outside the WHERE clause — nothing the view reflects
         // changed; the marker stays put (replay is idempotent) UNLESS
         // the unconsumed window has grown past the threshold, where a
-        // metadata-only marker commit re-pins it at baseTo
-        if (baseTo - since >= MarkerAdvanceVersions)
+        // metadata-only marker commit re-pins every table at its head
+        if (deltaNames.map(n => vs(n) - recByName(n)).max
+            >= MarkerAdvanceVersions)
           (ManifestTable.recommitWithTxn(session, mviewPath,
-            (TxnApp, baseTo.toLong), dimTxns(sh, vs)), "noop")
+            (TxnApp, vs(sh.factName).toLong), dimTxns(sh, vs)), "noop")
         else
           (ManifestTable.currentVersion(session, mviewPath), "noop")
       else {
@@ -397,7 +425,7 @@ private[graft] object MviewIncremental {
                 if (vals.contains(null)) in || c.isNull else in
               }.reduce(_ && _)
               Some((ManifestTable.readWhere(session, sh.factPath, pred,
-                baseTo), cols.size == 1))
+                vs(sh.factName)), cols.size == 1))
             }
         }
         lastRescanFiles = prunedBase.fold(-1)(_._1.inputFiles.length)
@@ -442,10 +470,19 @@ private[graft] object MviewIncremental {
         def conform(df: DataFrame): DataFrame =
           df.select(recorded.fields.toSeq.map(f =>
             col(f.name).cast(f.dataType).as(f.name)): _*)
+        // the primary txn slot carries the fact marker ONLY when it
+        // advances — commit's idempotence gate skips a write whose
+        // (appId, v) is already recorded, and a DIM-churned refresh
+        // leaves the fact marker where it was (the unchanged entry
+        // rides txnExtra, which records without gating)
+        val factV = vs(sh.factName).toLong
+        val factAdvances = deltaNames.contains(sh.factName)
         val v = ManifestTable.commit(session, mviewPath,
           conform(clean).unionByName(conform(recomputed)),
-          SaveMode.Overwrite, txn = Some((TxnApp, baseTo.toLong)),
-          txnExtra = dimTxns(sh, vs))
+          SaveMode.Overwrite,
+          txn = if (factAdvances) Some((TxnApp, factV)) else None,
+          txnExtra = dimTxns(sh, vs) ++
+            (if (factAdvances) Nil else Seq((TxnApp, factV))))
         (v, "incremental")
       }
     } finally { dirty.unpersist(false); () }

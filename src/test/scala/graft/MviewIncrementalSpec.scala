@@ -275,7 +275,7 @@ class MviewIncrementalSpec extends AnyFunSuite with SparkFixture {
       "mvi_refb", "mvi_refd")
   }
 
-  test("star-join MV (r18): fact churn is incremental, dim churn falls back to full — both exact") {
+  test("star-join MV (r18): fact, dim, and multi-table churn all refresh incrementally — exact") {
     import spark.implicits._
     val ft = tmp("sj_f"); val dt = tmp("sj_d"); val mt = tmp("sj_m")
     ManifestTable.commit(spark, ft,
@@ -308,17 +308,29 @@ class MviewIncrementalSpec extends AnyFunSuite with SparkFixture {
       val (_, m3) = refreshInc("mvi_sj")
       assert(m3 == "noop", m3)
       assertExact("mvi_sj", defSql)
-      // DIM churn: re-labeling a category moves WHOLE groups — the
-      // fact delta cannot see it; the refresh must fall back to FULL
-      // (and re-prime the dim marker) while staying exact
+      // DIM churn: re-labeling a category moves WHOLE groups between
+      // keys. The join is linear in the dim too, so the dim's delta —
+      // joined to the fact pinned at head — locates every moved group
+      // (old label via the left rows, new label via the entered rows)
+      // and the refresh stays INCREMENTAL and exact (r18: any single
+      // churned table is the delta source, whatever its position)
       spark.sql("UPDATE graft.mvi_sjd SET cat = 'green' WHERE dim_id = 30")
       val (_, m4) = refreshInc("mvi_sj")
-      assert(m4 == "full", s"dim churn must fall back to full: $m4")
+      assert(m4 == "incremental", s"single-table dim churn qualifies: $m4")
       assertExact("mvi_sj", defSql)
-      // after the full re-prime, fact churn is incremental again
+      // fact churn right after stays incremental (markers all re-pinned)
       spark.sql("INSERT INTO graft.mvi_sjf VALUES (8, 20, 13)")
       val (_, m5) = refreshInc("mvi_sj")
       assert(m5 == "incremental", m5)
+      assertExact("mvi_sj", defSql)
+      // BOTH the fact and a dim churned in one window: the telescoping
+      // terms (Δfact ⋈ dim@marker ∪ fact@head ⋈ Δdim) cover the cross
+      // effects — still INCREMENTAL, still exact
+      spark.sql("INSERT INTO graft.mvi_sjf VALUES (9, 10, 40)")
+      spark.sql("UPDATE graft.mvi_sjd SET cat = 'blue' WHERE dim_id = 30")
+      val (_, m6) = refreshInc("mvi_sj")
+      assert(m6 == "incremental",
+        s"two churned tables must telescope, not recompute: $m6")
       assertExact("mvi_sj", defSql)
     } finally cleanup("mvi_sj", "mvi_sjf", "mvi_sjd")
   }
