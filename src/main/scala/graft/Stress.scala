@@ -621,6 +621,121 @@ object Stress {
       GraftCatalog.unregister("smvk_sums"); GraftCatalog.unregister("smvk_base")
     }
 
+    // r18 (opt-in: `runMain graft.Stress <rep> mview_star`): the
+    // star-join incremental refresh under (a) FACT churn — the cheap
+    // case, delta ⋈ broadcast dim — and (b) DIM churn — the
+    // telescoping term fact@head ⋈ Δdim pays one column-pruned fact
+    // scan for discovery plus the restricted rescan. Timed against
+    // plain REFRESH on identical states, image equality asserted.
+    if (only.exists("mview_star".contains)) {
+      import graft.sources.{GraftCatalog, ManifestTable}
+      import org.apache.spark.sql.SaveMode
+      val root = java.nio.file.Files
+        .createTempDirectory("graft_stress_mvstar").toString
+      val bt = s"$root/fact"; val dt = s"$root/dim"; val mt = s"$root/mv"
+      Seq("smvs_fact", "smvs_dim", "smvs_sums").foreach(GraftCatalog.unregister)
+      ManifestTable.commit(spark, bt,
+        li.select(col("l_orderkey"), col("l_returnflag"), col("l_quantity"),
+            col("l_extendedprice"))
+          .repartitionByRange(256, col("l_returnflag"), col("l_orderkey")),
+        SaveMode.Overwrite, statsColumns = Seq("l_returnflag"))
+      GraftCatalog.register("smvs_fact", bt)
+      ManifestTable.commit(spark, dt, {
+        import spark.implicits._
+        Seq(("A", "accepted"), ("N", "new"), ("R", "returned"))
+          .toDF("flag", "label")
+      }, SaveMode.Overwrite)
+      GraftCatalog.register("smvs_dim", dt)
+      spark.sql(s"""CREATE MATERIALIZED VIEW graft.smvs_sums LOCATION '$mt' AS
+                   |SELECT d.label AS label, count(*) AS n,
+                   |  CAST(sum(CAST(f.l_extendedprice AS DECIMAL(28,6))) AS DOUBLE)
+                   |    AS total
+                   |FROM graft.smvs_fact f
+                   |JOIN graft.smvs_dim d ON f.l_returnflag = d.flag
+                   |GROUP BY d.label""".stripMargin)
+      def factChurn(tag: Int): Unit = spark.sql(
+        s"""INSERT INTO graft.smvs_fact
+           |SELECT l_orderkey + ${tag * 1000000000L}, l_returnflag,
+           |  l_quantity, l_extendedprice
+           |FROM graft.smvs_fact WHERE l_returnflag = 'A' LIMIT 5000""".stripMargin)
+      def imageOk(): Unit = {
+        val img = spark.sql("SELECT * FROM graft.smvs_sums")
+          .collect().map(_.toSeq).sortBy(_.mkString("|"))
+        val fresh = spark.sql(
+          """SELECT d.label AS label, count(*) AS n,
+            |  CAST(sum(CAST(f.l_extendedprice AS DECIMAL(28,6))) AS DOUBLE)
+            |    AS total
+            |FROM graft.smvs_fact f
+            |JOIN graft.smvs_dim d ON f.l_returnflag = d.flag
+            |GROUP BY d.label""".stripMargin)
+          .collect().map(_.toSeq).sortBy(_.mkString("|"))
+        require(img.toSeq == fresh.toSeq,
+          "star image must equal a from-scratch recompute")
+      }
+      spark.sql("REFRESH MATERIALIZED VIEW graft.smvs_sums INCREMENTAL").collect()
+      // full-refresh baseline under fact churn
+      factChurn(1)
+      var t0 = System.nanoTime()
+      spark.sql("REFRESH MATERIALIZED VIEW graft.smvs_sums").collect()
+      val fullSec = (System.nanoTime() - t0) / 1e9
+      // fact-churn incremental (warm cycle first)
+      factChurn(2)
+      spark.sql("REFRESH MATERIALIZED VIEW graft.smvs_sums INCREMENTAL").collect()
+      factChurn(3)
+      t0 = System.nanoTime()
+      var mode = spark
+        .sql("REFRESH MATERIALIZED VIEW graft.smvs_sums INCREMENTAL")
+        .collect().head.getString(1)
+      val factSec = (System.nanoTime() - t0) / 1e9
+      require(mode == "incremental", s"fact churn must be incremental: $mode")
+      imageOk()
+      // dim-churn incremental: relabel one flag (moves a whole group)
+      spark.sql("UPDATE graft.smvs_dim SET label = 'accepted2' WHERE flag = 'A'")
+      t0 = System.nanoTime()
+      mode = spark
+        .sql("REFRESH MATERIALIZED VIEW graft.smvs_sums INCREMENTAL")
+        .collect().head.getString(1)
+      val dimSec = (System.nanoTime() - t0) / 1e9
+      require(mode == "incremental", s"dim churn must be incremental: $mode")
+      imageOk()
+      println(f"[stress rep=$rep] mview_star full_s=$fullSec%.2f " +
+        f"fact_inc_s=$factSec%.2f (${fullSec / factSec}%.1fx) " +
+        f"dim_inc_s=$dimSec%.2f (${fullSec / dimSec}%.1fx) " +
+        f"rows=${spark.sql("SELECT count(*) FROM graft.smvs_fact").head().getLong(0)}")
+      // the designed-for star: the group key is a FACT column, so the
+      // envelope prunes the rescan to the churned key's files — the
+      // localized-churn case the single-table path wins on
+      val mt2 = s"$root/mv2"
+      GraftCatalog.unregister("smvs_sums2")
+      spark.sql(s"""CREATE MATERIALIZED VIEW graft.smvs_sums2 LOCATION '$mt2' AS
+                   |SELECT f.l_returnflag AS flag, max(d.label) AS label,
+                   |  count(*) AS n,
+                   |  CAST(sum(CAST(f.l_extendedprice AS DECIMAL(28,6))) AS DOUBLE)
+                   |    AS total
+                   |FROM graft.smvs_fact f
+                   |JOIN graft.smvs_dim d ON f.l_returnflag = d.flag
+                   |GROUP BY f.l_returnflag""".stripMargin)
+      spark.sql("REFRESH MATERIALIZED VIEW graft.smvs_sums2 INCREMENTAL").collect()
+      factChurn(4)
+      t0 = System.nanoTime()
+      spark.sql("REFRESH MATERIALIZED VIEW graft.smvs_sums2").collect()
+      val full2Sec = (System.nanoTime() - t0) / 1e9
+      factChurn(5)
+      spark.sql("REFRESH MATERIALIZED VIEW graft.smvs_sums2 INCREMENTAL").collect()
+      factChurn(6)
+      t0 = System.nanoTime()
+      mode = spark
+        .sql("REFRESH MATERIALIZED VIEW graft.smvs_sums2 INCREMENTAL")
+        .collect().head.getString(1)
+      val fkSec = (System.nanoTime() - t0) / 1e9
+      require(mode == "incremental", s"fact-key churn must be incremental: $mode")
+      println(f"[stress rep=$rep] mview_star_factkey full_s=$full2Sec%.2f " +
+        f"inc_s=$fkSec%.2f (${full2Sec / fkSec}%.1fx) " +
+        f"rescan_files=${graft.sources.MviewIncremental.lastRescanFiles}")
+      Seq("smvs_sums", "smvs_sums2", "smvs_fact", "smvs_dim")
+        .foreach(GraftCatalog.unregister)
+    }
+
     // r10 (opt-in: `runMain graft.Stress <rep> manifest_100k`): the
     // 100k-file metadata drill the segmentation exists for. Builds a
     // 100k-file table via 50 batched 2k-file appends (real parquet

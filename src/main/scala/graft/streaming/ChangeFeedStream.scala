@@ -548,19 +548,26 @@ object ChangeFeedStream {
       org.apache.spark.sql.graftbridge.PlanBridge.ofRows(spark, substituted)
     // a GLOBAL aggregate parses as a plain Project (GlobalAggregates
     // promotes it at ANALYSIS) — gate the analyzed plan too; row-local
-    // generators (explode) stay legal. With a watermark the aggregate
-    // is the point (Spark's checker owns output-mode legality); window
-    // FUNCTIONS stay refused — they need ordered state no watermark
-    // bounds
-    require(!result.queryExecution.analyzed.exists(p =>
-        (watermark.isEmpty && p.isInstanceOf[
-          org.apache.spark.sql.catalyst.plans.logical.Aggregate]) ||
-        p.isInstanceOf[org.apache.spark.sql.catalyst.plans.logical.Window]),
+    // generators (explode) stay legal. With a watermark ONE aggregate
+    // is the point (Spark's checker owns output-mode legality) — but
+    // only one: nested views can stack an aggregate view on another
+    // (each level passes the parse gate alone; the composed plan is
+    // a double streaming aggregation, caught HERE on the analyzed
+    // whole — r18 self-review). Window FUNCTIONS stay refused — they
+    // need ordered state no watermark bounds
+    val analyzed = result.queryExecution.analyzed
+    val aggCount = analyzed.collect {
+      case a: org.apache.spark.sql.catalyst.plans.logical.Aggregate => a
+    }.size
+    require((if (watermark.isEmpty) aggCount == 0 else aggCount <= 1) &&
+        !analyzed.exists(
+          _.isInstanceOf[org.apache.spark.sql.catalyst.plans.logical.Window]),
       s"readTableStream: view graft.$name is not stream-safe — only " +
         "single-table projections/filters compose over a change " +
-        "stream; an aggregate view streams only with an explicit " +
-        "watermark=(column, delay), and window functions need their " +
-        "own streaming query over the base table's stream")
+        "stream; ONE aggregate view streams with an explicit " +
+        "watermark=(column, delay) (stacked aggregate views do not), " +
+        "and window functions need their own streaming query over " +
+        "the base table's stream")
     result
   }
 
