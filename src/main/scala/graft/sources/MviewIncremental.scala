@@ -84,6 +84,13 @@ private[graft] object MviewIncremental {
         * LEFTMOST is the fact (the table whose churn keeps the
         * refresh incremental). Size 1 = the single-table shape. */
       tables: Seq[(String, String)],
+      /** the WHOLE defining plan — the aggregate, possibly under an
+        * UnresolvedHaving (r18): HAVING filters the aggregate's
+        * OUTPUT rows, never group membership, so dirty discovery
+        * stays on the child and the rescan just re-applies it — a
+        * dirty group that newly fails HAVING recomputes to nothing
+        * and its old image row anti-joins away. */
+      top: LogicalPlan,
       agg: Aggregate, child: LogicalPlan,
       /** each grouping expr (ordinals resolved) with its index in the
         * SELECT list — the image column that carries the group key */
@@ -121,7 +128,14 @@ private[graft] object MviewIncremental {
     if (plan.exists(_.expressions.exists(_.exists(
         _.isInstanceOf[SubqueryExpression]))))
       return Left("the defining query contains a subquery")
-    plan match {
+    // `GROUP BY … HAVING …` parses as UnresolvedHaving over the
+    // aggregate — same qualification, the HAVING rides `top` (r18)
+    val (top, aggPlan) = plan match {
+      case h @ org.apache.spark.sql.catalyst.analysis
+          .UnresolvedHaving(_, a: Aggregate) => (h: LogicalPlan, a)
+      case p => (p, p)
+    }
+    aggPlan match {
       case agg @ Aggregate(g, out, child, _) =>
         // the child must be [alias|filter]* over one relation, or
         // INNER joins of such shapes (r18: the star-join form)
@@ -187,20 +201,21 @@ private[graft] object MviewIncremental {
         if (groups.isEmpty)
           return Left("a global aggregate has one group — plain REFRESH " +
             "is already minimal")
-        // determinism: resolve once (no execution) and inspect
+        // determinism: resolve once (no execution) and inspect — the
+        // WHOLE plan, so a HAVING condition is checked too
         val analyzed =
-          try PlanBridge.ofRows(session, agg).queryExecution.analyzed
+          try PlanBridge.ofRows(session, top).queryExecution.analyzed
           catch { case e: Exception =>
             return Left(s"the defining query does not analyze: ${e.getMessage}") }
         if (analyzed.exists(_.expressions.exists(_.exists(e =>
             e.resolved && !e.deterministic))))
           return Left("the defining query is non-deterministic — a " +
             "partial rescan would disagree with the kept rows")
-        Right(Shape(tables, agg, child, groups, aliasOf))
+        Right(Shape(tables, top, agg, child, groups, aliasOf))
       case _ =>
         Left("the defining query is not a single GROUP BY aggregate " +
-          "(HAVING/ORDER BY/window shapes rescan as a whole — use " +
-          "plain REFRESH)")
+          "with an optional HAVING (ORDER BY/window shapes rescan as " +
+          "a whole — use plain REFRESH)")
     }
   }
 
@@ -244,7 +259,7 @@ private[graft] object MviewIncremental {
       case Right(sh) =>
         val vs = heads(session, sh)
         val baseTo = vs(sh.factName)
-        val df = PlanBridge.ofRows(session, pinAll(session, sh.agg, sh, vs))
+        val df = PlanBridge.ofRows(session, pinAll(session, sh.top, sh, vs))
         val rec = ManifestTable.txnVersion(session, mviewPath, TxnApp)
         val txn =
           if (rec.forall(_ < baseTo)) Some((TxnApp, baseTo.toLong)) else None
@@ -454,8 +469,13 @@ private[graft] object MviewIncremental {
               LeftSemi, Some(cond),
               JoinHint(None, Some(HintInfo(Some(BROADCAST)))))
           }
-        val recomputed = PlanBridge.ofRows(session,
-          sh.agg.copy(child = restricted))
+        // rebuild the WHOLE defining plan over the restricted child —
+        // the shape guarantees exactly one Aggregate, and a HAVING
+        // above it re-applies to the recomputed dirty groups (a group
+        // newly failing it vanishes via the anti join below)
+        val recomputed = PlanBridge.ofRows(session, sh.top.transformUp {
+          case a: Aggregate => a.copy(child = restricted)
+        })
         // untouched groups carry their image rows by reference-copy
         val old = ManifestTable.read(session, mviewPath)
         val outNames = recomputed.schema.fieldNames

@@ -414,6 +414,51 @@ class MviewIncrementalSpec extends AnyFunSuite with SparkFixture {
     } finally cleanup("mvi_pn", "mvi_pnb")
   }
 
+  test("HAVING views maintain incrementally: groups enter AND leave the image (r18)") {
+    import spark.implicits._
+    val bt = tmp("hv_b"); val mt = tmp("hv_m")
+    ManifestTable.commit(spark, bt,
+      Seq((1L, "a", 10L), (2L, "a", 20L), (3L, "a", 30L),
+          (4L, "b", 5L), (5L, "b", 6L), (6L, "c", 7L))
+        .toDF("id", "grp", "v"), SaveMode.Overwrite)
+    GraftCatalog.register("mvi_hvb", bt)
+    // only groups with >= 3 rows appear in the image
+    val defSql = """SELECT grp, count(*) AS n, sum(v) AS total
+                   |FROM graft.mvi_hvb GROUP BY grp
+                   |HAVING count(*) >= 3""".stripMargin
+    try {
+      spark.sql(s"CREATE MATERIALIZED VIEW graft.mvi_hv LOCATION '$mt' AS $defSql")
+      val (_, m1) = refreshInc("mvi_hv")
+      assert(m1 == "full", m1)
+      assertExact("mvi_hv", defSql)
+      assert(spark.sql("SELECT grp FROM graft.mvi_hv").collect()
+        .map(_.getString(0)).toSet === Set("a"))
+      // group 'b' crosses the HAVING threshold upward, 'a' falls BELOW
+      // it — the rescan must add one image row and retire another
+      spark.sql("INSERT INTO graft.mvi_hvb VALUES (7, 'b', 8)")
+      spark.sql("DELETE FROM graft.mvi_hvb WHERE id = 1")
+      val (_, m2) = refreshInc("mvi_hv")
+      assert(m2 == "incremental", m2)
+      assertExact("mvi_hv", defSql)
+      assert(spark.sql("SELECT grp FROM graft.mvi_hv").collect()
+        .map(_.getString(0)).toSet === Set("b"),
+        "a must leave (2 rows) and b must enter (3 rows)")
+      // untouched sub-threshold group 'c' stays out; churn on it below
+      // the threshold keeps it out and stays incremental
+      spark.sql("INSERT INTO graft.mvi_hvb VALUES (8, 'c', 9)")
+      val (_, m3) = refreshInc("mvi_hv")
+      assert(m3 == "incremental", m3)
+      assertExact("mvi_hv", defSql)
+      // a non-deterministic HAVING refuses (checked on the WHOLE plan)
+      val mt2 = tmp("hv_m2")
+      spark.sql(s"""CREATE MATERIALIZED VIEW graft.mvi_hvr LOCATION '$mt2' AS
+                   |SELECT grp, count(*) AS n FROM graft.mvi_hvb
+                   |GROUP BY grp HAVING count(*) > rand() * 2""".stripMargin)
+      val e = intercept[Exception](refreshInc("mvi_hvr"))
+      assert(e.getMessage.contains("non-deterministic"), e.getMessage)
+    } finally cleanup("mvi_hv", "mvi_hvr", "mvi_hvb")
+  }
+
   test("multi-key dirty pruning (r18): files outside the per-column envelope never list") {
     import spark.implicits._
     import org.apache.spark.sql.functions.col
