@@ -1699,6 +1699,65 @@ object PipelineQueries {
              |ORDER BY prio NULLS FIRST""".stripMargin)
     ),
 
+    // Q_MV_HAVING (r18): incremental maintenance of a HAVING view —
+    // the condition filters the aggregate's OUTPUT rows, never group
+    // membership, so the dirty-group rescan re-applies it and groups
+    // cross the threshold in BOTH directions: the churn pushes some
+    // customers over the count floor (they enter the image) and drops
+    // others below it (their old image rows anti-join away). The
+    // oracle recomputes the final image with the same HAVING from the
+    // raw table — hash equality proves threshold-crossing partial
+    // maintenance == full recompute.
+    Entry(
+      "q_mv_having",
+      (s, d) => {
+        val bt = scratchDir("qmvhb", d); rmRf(bt)
+        val mt = scratchDir("qmvhm", d); rmRf(mt)
+        val G = graft.sources.GraftCatalog
+        G.unregister("q_mvh_base"); G.unregister("q_mvh_sums")
+        Tables.orders(s, d).createOrReplaceTempView("v_mvh_src")
+        s.sql(s"""CREATE TABLE graft.q_mvh_base LOCATION '$bt' AS
+                 |SELECT o_orderkey, o_custkey, o_totalprice
+                 |FROM v_mvh_src WHERE o_orderkey % 3 = 0""".stripMargin)
+        try {
+          s.sql(s"""CREATE MATERIALIZED VIEW graft.q_mvh_sums LOCATION '$mt' AS
+                   |SELECT o_custkey AS cust, count(*) AS cnt,
+                   |  ${dsumSql("o_totalprice")} AS sum_price
+                   |FROM graft.q_mvh_base GROUP BY o_custkey
+                   |HAVING count(*) >= 9""".stripMargin)
+          val m1 = s.sql(
+            "REFRESH MATERIALIZED VIEW graft.q_mvh_sums INCREMENTAL")
+            .collect().head.getString(1)
+          require(m1 == "full",
+            s"the priming refresh must report mode=full, got $m1")
+          // churn: grow most customers (threshold crossings upward)
+          // and shrink a keyed slice (crossings downward)
+          s.sql("""INSERT INTO graft.q_mvh_base
+                  |SELECT o_orderkey, o_custkey, o_totalprice
+                  |FROM v_mvh_src WHERE o_orderkey % 3 = 1""".stripMargin)
+          s.sql("DELETE FROM graft.q_mvh_base WHERE o_orderkey % 5 = 0")
+          val r = s.sql(
+            "REFRESH MATERIALIZED VIEW graft.q_mvh_sums INCREMENTAL")
+            .collect().head
+          require(r.getString(1) == "incremental",
+            s"the churned refresh must take the incremental path, " +
+              s"got ${r.getString(1)}")
+          val out = s.sql("""SELECT cust, cnt, sum_price
+                            |FROM graft.q_mvh_sums
+                            |ORDER BY cust""".stripMargin)
+          out.count() // force before the teardown unregisters the names
+          out
+        } finally { G.unregister("q_mvh_sums"); G.unregister("q_mvh_base") }
+      },
+      Some(s"""SELECT o_custkey AS cust, count(*) AS cnt,
+             |  ${dsumSql("o_totalprice")} AS sum_price
+             |FROM orders
+             |WHERE o_orderkey % 3 IN (0, 1) AND o_orderkey % 5 <> 0
+             |GROUP BY o_custkey
+             |HAVING count(*) >= 9
+             |ORDER BY cust NULLS FIRST""".stripMargin)
+    ),
+
     // Q_MV_INCREMENTAL_JOIN (r18, VERDICT r17 ask #3): incremental
     // refresh for the STAR-JOIN shape — fact ⋈ dim ⋈ dim GROUP BY, the
     // production MV form. The image records one marker per joined
