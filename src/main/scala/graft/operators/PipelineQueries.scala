@@ -1844,6 +1844,161 @@ object PipelineQueries {
              |ORDER BY nation NULLS FIRST""".stripMargin)
     ),
 
+    // Q_MV_OUTER_JOIN (r19, VERDICT r18 ask #2): incremental refresh
+    // through a LEFT OUTER join — the fact-enriched-with-optional-dim
+    // MV, the most common production shape after plain aggregates. The
+    // hard part is NULL-EXTENSION RETRACTION: a dim row arriving flips
+    // its fact rows out of the NULL group into the dim-keyed group; a
+    // dim row leaving flips them back. The dim-churn term therefore
+    // emits BOTH key shapes (matched via the join flipped to INNER
+    // over Δdim; null-extended via LEFT-SEMI + the dim's columns
+    // nulled). The drill churns the FACT and then the DIM in both
+    // flip directions, pins the incremental path in-query, and the
+    // oracle recomputes the final image from scratch — hash equality
+    // proves null-extension maintenance == full recompute. At 100 TB
+    // the dim delta is tiny and the fact rescan restricts to flipped
+    // groups — never O(fact).
+    Entry(
+      "q_mv_outer_join",
+      (s, d) => {
+        val ft = scratchDir("qmvof", d); rmRf(ft)
+        val ct = scratchDir("qmvoc", d); rmRf(ct)
+        val mt = scratchDir("qmvom", d); rmRf(mt)
+        val G = graft.sources.GraftCatalog
+        Seq("q_mvo_fact", "q_mvo_cust", "q_mvo_sums").foreach(G.unregister)
+        Tables.orders(s, d).createOrReplaceTempView("v_mvo_orders")
+        Tables.customer(s, d).createOrReplaceTempView("v_mvo_cust")
+        s.sql(s"""CREATE TABLE graft.q_mvo_fact LOCATION '$ft' AS
+                 |SELECT o_orderkey, o_custkey, o_totalprice
+                 |FROM v_mvo_orders WHERE o_orderkey % 7 != 0""".stripMargin)
+        // only 2/3 of customers exist at first — 1/3 of fact rows are
+        // null-extended from the start
+        s.sql(s"""CREATE TABLE graft.q_mvo_cust LOCATION '$ct' AS
+                 |SELECT c_custkey, c_nationkey
+                 |FROM v_mvo_cust WHERE c_custkey % 3 != 0""".stripMargin)
+        try {
+          s.sql(s"""CREATE MATERIALIZED VIEW graft.q_mvo_sums LOCATION '$mt' AS
+                   |SELECT c.c_nationkey AS nat, count(*) AS cnt,
+                   |  ${dsumSql("f.o_totalprice")} AS sum_price
+                   |FROM graft.q_mvo_fact f
+                   |LEFT JOIN graft.q_mvo_cust c ON f.o_custkey = c.c_custkey
+                   |GROUP BY c.c_nationkey""".stripMargin)
+          val m1 = s.sql(
+            "REFRESH MATERIALIZED VIEW graft.q_mvo_sums INCREMENTAL")
+            .collect().head.getString(1)
+          require(m1 == "full",
+            s"the priming refresh must report mode=full, got $m1")
+          // FACT churn: a left join is linear in the fact side
+          s.sql("""INSERT INTO graft.q_mvo_fact
+                  |SELECT o_orderkey, o_custkey, o_totalprice
+                  |FROM v_mvo_orders
+                  |WHERE o_orderkey % 7 = 0 AND o_custkey % 2 = 0""".stripMargin)
+          s.sql("DELETE FROM graft.q_mvo_fact WHERE o_orderkey % 13 = 0")
+          val r1 = s.sql(
+            "REFRESH MATERIALIZED VIEW graft.q_mvo_sums INCREMENTAL")
+            .collect().head.getString(1)
+          require(r1 == "incremental",
+            s"fact churn through a LEFT JOIN must stay incremental, got $r1")
+          // DIM churn, BOTH flip directions in one window: arriving
+          // customers adopt their null-extended orders; departing
+          // customers orphan theirs back into the NULL group
+          s.sql("""INSERT INTO graft.q_mvo_cust
+                  |SELECT c_custkey, c_nationkey FROM v_mvo_cust
+                  |WHERE c_custkey % 3 = 0 AND c_custkey % 2 = 0""".stripMargin)
+          s.sql("DELETE FROM graft.q_mvo_cust WHERE c_custkey % 5 = 0")
+          val r2 = s.sql(
+            "REFRESH MATERIALIZED VIEW graft.q_mvo_sums INCREMENTAL")
+            .collect().head.getString(1)
+          require(r2 == "incremental",
+            s"dim churn through a LEFT JOIN must stay incremental, got $r2")
+          val out = s.sql("""SELECT nat, cnt, sum_price
+                            |FROM graft.q_mvo_sums
+                            |ORDER BY nat""".stripMargin)
+          out.count() // force before the teardown unregisters the names
+          out
+        } finally Seq("q_mvo_sums", "q_mvo_fact", "q_mvo_cust")
+          .foreach(G.unregister)
+      },
+      Some(s"""WITH fact AS (
+             |  SELECT o_orderkey, o_custkey, o_totalprice FROM orders
+             |  WHERE (o_orderkey % 7 <> 0
+             |         OR (o_orderkey % 7 = 0 AND o_custkey % 2 = 0))
+             |    AND o_orderkey % 13 <> 0),
+             |dim AS (
+             |  SELECT c_custkey, c_nationkey FROM customer
+             |  WHERE (c_custkey % 3 <> 0 OR c_custkey % 2 = 0)
+             |    AND c_custkey % 5 <> 0)
+             |SELECT c.c_nationkey AS nat, count(*) AS cnt,
+             |  ${dsumSql("f.o_totalprice")} AS sum_price
+             |FROM fact f LEFT JOIN dim c ON f.o_custkey = c.c_custkey
+             |GROUP BY c.c_nationkey
+             |ORDER BY nat NULLS FIRST""".stripMargin)
+    ),
+
+    // Q_MV_SELF_JOIN (r19, VERDICT r18 ask #5): incremental refresh
+    // through a SELF-join — the prior-period-comparison view. The
+    // telescoping identity T_h⋈T_h − T_s⋈T_s = T_h⋈ΔT + ΔT⋈T_s steps
+    // one OCCURRENCE at a time (earlier occurrences at head, later at
+    // the marker), so a churned self-joined table contributes one
+    // LINEAR term per occurrence and no quadratic ΔT⋈ΔT ever forms.
+    // The drill churns rows that pair on BOTH sides of the join
+    // (consecutive order keys), pins the incremental path in-query,
+    // and the oracle recomputes the final image from scratch.
+    Entry(
+      "q_mv_self_join",
+      (s, d) => {
+        val bt = scratchDir("qmvsb", d); rmRf(bt)
+        val mt = scratchDir("qmvsm", d); rmRf(mt)
+        val G = graft.sources.GraftCatalog
+        Seq("q_mvs_base", "q_mvs_pairs").foreach(G.unregister)
+        Tables.orders(s, d).createOrReplaceTempView("v_mvs_orders")
+        s.sql(s"""CREATE TABLE graft.q_mvs_base LOCATION '$bt' AS
+                 |SELECT o_orderkey, o_custkey, o_totalprice
+                 |FROM v_mvs_orders WHERE o_orderkey % 4 != 3""".stripMargin)
+        try {
+          s.sql(s"""CREATE MATERIALIZED VIEW graft.q_mvs_pairs LOCATION '$mt' AS
+                   |SELECT a.o_custkey AS cust, count(*) AS n,
+                   |  ${dsumSql("a.o_totalprice + b.o_totalprice")} AS pair_price
+                   |FROM graft.q_mvs_base a
+                   |JOIN graft.q_mvs_base b ON a.o_orderkey = b.o_orderkey + 1
+                   |GROUP BY a.o_custkey""".stripMargin)
+          val m1 = s.sql(
+            "REFRESH MATERIALIZED VIEW graft.q_mvs_pairs INCREMENTAL")
+            .collect().head.getString(1)
+          require(m1 == "full",
+            s"the priming refresh must report mode=full, got $m1")
+          // churn pairs on BOTH occurrences: an inserted key k joins
+          // k-1 as the left row and k+1 as the right row; a deleted
+          // key breaks both its pairs
+          s.sql("""INSERT INTO graft.q_mvs_base
+                  |SELECT o_orderkey, o_custkey, o_totalprice
+                  |FROM v_mvs_orders
+                  |WHERE o_orderkey % 4 = 3 AND o_orderkey % 3 = 0""".stripMargin)
+          s.sql("DELETE FROM graft.q_mvs_base WHERE o_orderkey % 17 = 0")
+          val r = s.sql(
+            "REFRESH MATERIALIZED VIEW graft.q_mvs_pairs INCREMENTAL")
+            .collect().head.getString(1)
+          require(r == "incremental",
+            s"self-join churn must stay incremental, got $r")
+          val out = s.sql("""SELECT cust, n, pair_price
+                            |FROM graft.q_mvs_pairs
+                            |ORDER BY cust""".stripMargin)
+          out.count() // force before the teardown unregisters the names
+          out
+        } finally Seq("q_mvs_pairs", "q_mvs_base").foreach(G.unregister)
+      },
+      Some(s"""WITH base AS (
+             |  SELECT o_orderkey, o_custkey, o_totalprice FROM orders
+             |  WHERE (o_orderkey % 4 <> 3
+             |         OR (o_orderkey % 4 = 3 AND o_orderkey % 3 = 0))
+             |    AND o_orderkey % 17 <> 0)
+             |SELECT a.o_custkey AS cust, count(*) AS n,
+             |  ${dsumSql("a.o_totalprice + b.o_totalprice")} AS pair_price
+             |FROM base a JOIN base b ON a.o_orderkey = b.o_orderkey + 1
+             |GROUP BY a.o_custkey
+             |ORDER BY cust NULLS FIRST""".stripMargin)
+    ),
+
     // Q_ADD_COLUMN_DEFAULT (r17, VERDICT r16 ask #4): backfill-free
     // schema growth — `ADD COLUMNS (c T DEFAULT e)` records the fill
     // at ADD time (zero data moves — pinned in-query by the unchanged

@@ -3,7 +3,7 @@ package graft.sources
 import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
 import org.apache.spark.sql.catalyst.analysis.{UnresolvedAttribute, UnresolvedRelation}
 import org.apache.spark.sql.catalyst.expressions.{Alias, And, EqualNullSafe, Expression, Literal, NamedExpression, SubqueryExpression}
-import org.apache.spark.sql.catalyst.plans.{Inner, LeftSemi}
+import org.apache.spark.sql.catalyst.plans.{Inner, LeftOuter, LeftSemi}
 import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, Filter, HintInfo, Join, JoinHint, LogicalPlan, Project, SubqueryAlias, BROADCAST}
 import org.apache.spark.sql.functions.col
 import org.apache.spark.sql.graftbridge.PlanBridge
@@ -61,8 +61,33 @@ import org.apache.spark.sql.types.IntegerType
   * dims); a churned DIM pays one column-pruned fact scan to FIND its
   * dirty groups, then the restricted rescan — still a win over the
   * full recompute when the fact is clustered by the group key and the
-  * image is large. A table appearing twice (self-join) never
-  * qualifies — its delta would need the quadratic ΔF ⋈ ΔF term.
+  * image is large.
+  *
+  * SELF-JOINS (r19, VERDICT r18 ask #5): a table appearing n times
+  * telescopes at OCCURRENCE granularity — the identity
+  * T_h⋈T_h − T_s⋈T_s = T_h⋈ΔT + ΔT⋈T_s needs NO quadratic ΔT⋈ΔT
+  * term, because each step of the chain changes ONE occurrence with
+  * the earlier occurrences already at head and the later still at the
+  * marker. So a churned table simply contributes one term per
+  * occurrence, and the existing union-of-term-keys machinery covers
+  * prior-period-comparison views for free.
+  *
+  * LEFT OUTER dims (r19, VERDICT r18 ask #2): `fact LEFT JOIN dim` is
+  * linear in the FACT side exactly like an inner join (each fact row's
+  * output depends on that row and the dim alone), so fact-churn terms
+  * substitute the delta unchanged. A churned DIM is the null-extension
+  * edge: a dim row arriving or leaving flips its matching fact rows
+  * between the matched form (dim columns populated) and the
+  * null-extended form (dim columns NULL) — so the dim term emits BOTH
+  * key shapes: the MATCHED keys come from the tree with the dim join
+  * flipped to INNER over ΔD (only fact rows matching the churned dim
+  * rows are affected), and the NULL-EXTENDED keys from the tree with
+  * the dim join flipped to LEFT-SEMI over ΔD and every reference to
+  * the dim's columns above the join replaced by a typed NULL literal —
+  * exactly the value those columns hold on a null-extended row. The
+  * union is a superset of the affected groups (over-dirtiness only
+  * costs rescan work, never exactness — the rescan recomputes from the
+  * pinned head either way).
   *
   * Qualification is STRUCTURAL only: one `GROUP BY` aggregate over one
   * registered graft table — or INNER joins of several distinct ones —
@@ -79,11 +104,22 @@ private[graft] object MviewIncremental {
   /** txn appId prefix for each DIMENSION table's recorded version. */
   val DimApp = "graft-mview-dim:"
 
+  /** One FROM-clause occurrence of a base table. `qualifier` is the
+    * lower-cased name group keys reach it by (the alias if given, the
+    * bare table name otherwise); `leftOuter` marks the occurrence as
+    * the RIGHT side of a LEFT OUTER join — the shape whose churn term
+    * needs the two-form (matched + null-extended) key expansion. */
+  final case class Occ(name: String, path: String, qualifier: String,
+                       leftOuter: Boolean)
+
   final case class Shape(
-      /** (normalized name, path) per joined table, join order — the
+      /** (normalized name, path) per OCCURRENCE, join order — the
         * LEFTMOST is the fact (the table whose churn keeps the
-        * refresh incremental). Size 1 = the single-table shape. */
+        * refresh incremental). Size 1 = the single-table shape; a
+        * self-joined table appears once per occurrence (r19). */
       tables: Seq[(String, String)],
+      /** per-occurrence detail, parallel to `tables` (r19). */
+      occs: Seq[Occ],
       /** the WHOLE defining plan — the aggregate, possibly under an
         * UnresolvedHaving (r18): HAVING filters the aggregate's
         * OUTPUT rows, never group membership, so dirty discovery
@@ -101,7 +137,18 @@ private[graft] object MviewIncremental {
       aliasOf: Map[String, String]) {
     def factName: String = tables.head._1
     def factPath: String = tables.head._2
-    def dims: Seq[(String, String)] = tables.tail
+    /** Tables that carry MARKERS: one per distinct NAME, first
+      * occurrence order — a self-joined table records one marker. */
+    def markerTables: Seq[(String, String)] = {
+      val seen = scala.collection.mutable.LinkedHashSet.empty[String]
+      tables.filter { case (n, _) => seen.add(n) }
+    }
+    def dims: Seq[(String, String)] = markerTables.tail
+    /** Whether any table appears more than once (self-join): the
+      * envelope pruning's by-name fact substitution is unsound there
+      * (both occurrences would read the pruned census), so the rescan
+      * keeps the plain pinned read + semi join. */
+    def hasRepeatedTable: Boolean = markerTables.size != tables.size
   }
 
   private def unwrap(ne: NamedExpression): Expression = ne match {
@@ -138,31 +185,45 @@ private[graft] object MviewIncremental {
     aggPlan match {
       case agg @ Aggregate(g, out, child, _) =>
         // the child must be [alias|filter]* over one relation, or
-        // INNER joins of such shapes (r18: the star-join form)
+        // INNER joins of such shapes (r18: the star-join form), or
+        // LEFT OUTER joins whose RIGHT side is one such single-table
+        // shape (r19: the null-extension term needs the dim to be a
+        // lone relation under its join — nested join trees on the
+        // null-extending side have no sound semi-restriction)
+        def simpleRel(p: LogicalPlan): Boolean = p match {
+          case _: UnresolvedRelation => true
+          case SubqueryAlias(_, c) => simpleRel(c)
+          case Filter(_, c) => simpleRel(c)
+          case _ => false
+        }
         def shapeOk(p: LogicalPlan): Boolean = p match {
           case _: UnresolvedRelation => true
           case SubqueryAlias(_, c) => shapeOk(c)
           case Filter(_, c) => shapeOk(c)
           case Join(l, r, Inner, _, _) => shapeOk(l) && shapeOk(r)
+          case Join(l, r, LeftOuter, _, _) => shapeOk(l) && simpleRel(r)
           case _ => false
         }
         if (!shapeOk(child))
-          return Left("the FROM clause is not a single table (or INNER " +
-            "joins of distinct tables) with an optional WHERE — outer " +
-            "joins, nested queries and set ops rescan as a whole (use " +
-            "plain REFRESH)")
+          return Left("the FROM clause is not a single table, INNER " +
+            "joins of such tables, or LEFT OUTER joins with a " +
+            "single-table right side, with an optional WHERE — right/" +
+            "full outer joins, nested queries and set ops rescan as a " +
+            "whole (use plain REFRESH)")
         // relations with their nearest FROM-clause alias (for group-key
-        // attribution — `GROUP BY f.grp` names the fact via `f`)
-        def rels(p: LogicalPlan, alias: Option[String])
-            : Seq[(Option[String], UnresolvedRelation)] = p match {
-          case u: UnresolvedRelation => Seq((alias, u))
-          case SubqueryAlias(a, c) => rels(c, Some(a.name))
-          case Filter(_, c) => rels(c, alias)
-          case Join(l, r, _, _, _) => rels(l, None) ++ rels(r, None)
-          case _ => Nil
+        // attribution — `GROUP BY f.grp` names the fact via `f`) and
+        // whether each sits as the RIGHT side of a LEFT OUTER join
+        def rels(p: LogicalPlan, alias: Option[String], rightOfLO: Boolean)
+            : Seq[(Option[String], UnresolvedRelation, Boolean)] = p match {
+          case u: UnresolvedRelation => Seq((alias, u, rightOfLO))
+          case SubqueryAlias(a, c) => rels(c, Some(a.name), rightOfLO)
+          case Filter(_, c) => rels(c, alias, rightOfLO)
+          case Join(l, r, jt, _, _) =>
+            rels(l, None, rightOfLO = false) ++
+              rels(r, None, rightOfLO = jt == LeftOuter)
         }
-        val withAlias = rels(child, None)
-        val names = withAlias.map { case (_, u) =>
+        val withAlias = rels(child, None, rightOfLO = false)
+        val names = withAlias.map { case (_, u, _) =>
           val n = graftName(u).getOrElse(
             return Left("a joined table is not in the graft namespace"))
           if (n.contains("@"))
@@ -171,16 +232,17 @@ private[graft] object MviewIncremental {
           n
         }
         val aliasOf: Map[String, String] = withAlias.zip(names).map {
-          case ((a, u), n) =>
+          case ((a, u, _), n) =>
             a.getOrElse(u.multipartIdentifier.last)
               .toLowerCase(java.util.Locale.ROOT) -> n
         }.toMap
-        if (names.distinct.size != names.size)
-          return Left("a table appears more than once (self-join) — the " +
-            "fact delta expansion is not linear there; use plain REFRESH")
         val tables = names.map { n =>
           n -> GraftCatalog.lookup(n).getOrElse(
             return Left(s"the base '$n' is not a registered graft table"))
+        }
+        val occs = withAlias.zip(tables).map { case ((a, u, lo), (n, p)) =>
+          Occ(n, p, a.getOrElse(u.multipartIdentifier.last)
+            .toLowerCase(java.util.Locale.ROOT), leftOuter = lo)
         }
         if (out.exists(_.isInstanceOf[
             org.apache.spark.sql.catalyst.analysis.UnresolvedStar]))
@@ -211,7 +273,7 @@ private[graft] object MviewIncremental {
             e.resolved && !e.deterministic))))
           return Left("the defining query is non-deterministic — a " +
             "partial rescan would disagree with the kept rows")
-        Right(Shape(tables, top, agg, child, groups, aliasOf))
+        Right(Shape(tables, occs, top, agg, child, groups, aliasOf))
       case _ =>
         Left("the defining query is not a single GROUP BY aggregate " +
           "with an optional HAVING (ORDER BY/window shapes rescan as " +
@@ -286,20 +348,30 @@ private[graft] object MviewIncremental {
       case Right(s) => s
     }
     val vs = heads(session, sh)
-    // per-table recorded markers (fact under TxnApp, dims by name)
-    val recs: Seq[Option[Long]] = sh.tables.zipWithIndex.map {
+    // per-table recorded markers (fact under TxnApp, dims by name) —
+    // one per distinct NAME: a self-joined table records one marker
+    val markers = sh.markerTables
+    val recs: Seq[Option[Long]] = markers.zipWithIndex.map {
       case ((n, _), i) => ManifestTable.txnVersion(session, mviewPath,
         if (i == 0) TxnApp else DimApp + n)
     }
     if (recs.exists(_.isEmpty)) // unprimed (or a pre-r18 join image)
       return (fullRefresh(session, mviewPath, sql), "full")
     val recByName: Map[String, Int] =
-      sh.tables.map(_._1).zip(recs.map(_.get.toInt)).toMap
-    if (sh.tables.exists { case (n, _) => recByName(n) > vs(n) })
+      markers.map(_._1).zip(recs.map(_.get.toInt)).toMap
+    if (markers.exists { case (n, _) => recByName(n) > vs(n) })
       return (fullRefresh(session, mviewPath, sql), "full") // RESTOREd base
-    val churned = sh.tables.filter { case (n, _) => recByName(n) < vs(n) }
+    val churned = markers.filter { case (n, _) => recByName(n) < vs(n) }
     if (churned.isEmpty)
       (ManifestTable.currentVersion(session, mviewPath), "noop")
+    else if (markers.exists { case (n, p) =>
+        !ManifestTable.versions(session, p).contains(recByName(n)) })
+      // a marker-version manifest expired out of retention: the deltas
+      // and marker pins are unbuildable — the honest full refresh. An
+      // EXPLICIT availability check, not a catch: the old blanket
+      // IllegalArgumentException handler around the whole rescan also
+      // swallowed real bugs in the term machinery (ADVICE r18)
+      (fullRefresh(session, mviewPath, sql), "full")
     else {
       // TELESCOPING delta (r18): for inner joins the exact multiset
       // identity  A_h⋈B_h − A_s⋈B_s = ΔA⋈B_h + A_s⋈ΔB  generalizes to
@@ -307,18 +379,16 @@ private[graft] object MviewIncremental {
       // tables BEFORE it at head and tables AFTER it at their marker
       // versions — so the dirty groups are the union of the terms'
       // group keys, for ANY set of churned tables. Unchurned tables
-      // have marker == head (either pin). Falls back to full when a
-      // needed delta or marker-version manifest has expired.
-      try {
-        val terms: Seq[DataFrame] = churned.map { case (n, p) =>
+      // have marker == head (either pin). r19: terms are per
+      // OCCURRENCE (a self-joined churned table contributes one term
+      // per occurrence — the chain steps one occurrence at a time, so
+      // no ΔT⋈ΔT term ever appears).
+      val deltaByName: Map[String, DataFrame] = churned.map { case (n, p) =>
+        val (entered, left) =
           ManifestTable.multisetDelta(session, p, recByName(n), vs(n))
-        }.map { case (entered, left) => entered.unionByName(left) }
-        incremental(session, sh, mviewPath, churned.map(_._1), recByName,
-          vs, terms)
-      } catch {
-        case _: IllegalArgumentException => // expired manifest window
-          (fullRefresh(session, mviewPath, sql), "full")
-      }
+        n -> entered.unionByName(left)
+      }.toMap
+      incremental(session, sh, mviewPath, deltaByName, recByName, vs)
     }
   }
 
@@ -337,33 +407,127 @@ private[graft] object MviewIncremental {
     * is the manifest census already in memory, not an extra listing. */
   private[graft] var lastRescanFiles: Int = -1
 
+  /** Positional rewrite of the FROM tree: every graft-relation leaf,
+    * in the left-to-right order `analyze`'s rels() walk produced (so
+    * indexes line up with [[Shape.occs]]), replaced by `repl(i, u)`. */
+  private def substOccs(plan: LogicalPlan)(
+      repl: (Int, UnresolvedRelation) => LogicalPlan): LogicalPlan = {
+    var i = -1
+    def walk(p: LogicalPlan): LogicalPlan = p match {
+      case u: UnresolvedRelation if graftName(u).isDefined =>
+        i += 1; repl(i, u)
+      case other => other.withNewChildren(other.children.map(walk))
+    }
+    walk(plan)
+  }
+
   private def incremental(session: SparkSession, sh: Shape,
-      mviewPath: String, deltaNames: Seq[String],
-      recByName: Map[String, Int], vs: Map[String, Int],
-      deltas: Seq[DataFrame]): (Int, String) = {
-    // dirty keys: one telescoping TERM per churned table — the
-    // defining filter+grouping+joins replayed with that table's delta
-    // rows in its place, tables BEFORE it (in FROM order) pinned at
-    // head, tables AFTER it pinned at their marker versions — their
-    // union covers every group whose feeding multiset changed.
-    // Aliased __graft_gk<i> so the join conditions below can never
-    // collide with a base column name.
-    val order: Map[String, Int] =
-      sh.tables.map(_._1).zipWithIndex.toMap
+      mviewPath: String, deltaByName: Map[String, DataFrame],
+      recByName: Map[String, Int], vs: Map[String, Int]): (Int, String) = {
+    val deltaNames = deltaByName.keySet
+    // dirty keys: one telescoping TERM per churned table OCCURRENCE —
+    // the defining filter+grouping+joins replayed with the delta in
+    // that occurrence's place, occurrences BEFORE it (in FROM order)
+    // pinned at head, occurrences AFTER it pinned at their tables'
+    // marker versions — their union covers every group whose feeding
+    // multiset changed. Aliased __graft_gk<i> so the join conditions
+    // below can never collide with a base column name.
     val gkAliases: Seq[NamedExpression] = sh.groups.zipWithIndex.map {
       case ((e, _), i) => Alias(e, s"__graft_gk$i")()
     }
-    val termFrames = deltaNames.zip(deltas).map { case (dn, delta) =>
-      val vsTerm: Map[String, Int] = sh.tables.map { case (tn, _) =>
-        tn -> (if (order(tn) < order(dn)) vs(tn) else recByName(tn))
-      }.toMap
-      val termChild = pinAll(session, sh.child, sh, vsTerm,
-        skip = Set(dn)).transformUp {
-        case u: UnresolvedRelation if graftName(u).contains(dn) =>
-          SubqueryAlias(u.multipartIdentifier.last,
-            delta.queryExecution.analyzed)
-      }
-      PlanBridge.ofRows(session, Project(gkAliases, termChild))
+    def aliased(u: UnresolvedRelation, plan: LogicalPlan): LogicalPlan =
+      SubqueryAlias(u.multipartIdentifier.last, plan)
+    // occurrence j pinned for the term at occurrence k: earlier at
+    // head, later at marker (the telescope's step-k state)
+    def pinnedFor(k: Int)(j: Int, u: UnresolvedRelation): LogicalPlan = {
+      val o = sh.occs(j)
+      aliased(u, ManifestTable.read(session, o.path,
+        if (j < k) vs(o.name) else recByName(o.name))
+        .queryExecution.analyzed)
+    }
+    val termFrames: Seq[DataFrame] = sh.occs.zipWithIndex.flatMap {
+      case (occ, k) if deltaNames.contains(occ.name) =>
+        val delta = deltaByName(occ.name)
+        if (!occ.leftOuter) {
+          // INNER-joined (or leftmost) occurrence: the join is linear
+          // in this input given the others fixed — plain substitution
+          val termChild = substOccs(sh.child)((j, u) =>
+            if (j == k) aliased(u, delta.queryExecution.analyzed)
+            else pinnedFor(k)(j, u))
+          Seq(PlanBridge.ofRows(session, Project(gkAliases, termChild)))
+        } else {
+          // RIGHT side of a LEFT OUTER join: a churned dim row flips
+          // its matching fact rows between matched and null-extended —
+          // emit BOTH key shapes (object doc, r19). `pre` pins every
+          // OTHER occurrence and leaves this one as the sole
+          // unresolved graft relation, so the join above it is
+          // locatable by subtree membership.
+          val pre = substOccs(sh.child)((j, u) =>
+            if (j == k) u else pinnedFor(k)(j, u))
+          def hasOcc(p: LogicalPlan): Boolean = p.exists {
+            case u: UnresolvedRelation => graftName(u).isDefined
+            case _ => false
+          }
+          def substDelta(p: LogicalPlan): LogicalPlan = p.transformUp {
+            case u: UnresolvedRelation if graftName(u).isDefined =>
+              aliased(u, delta.queryExecution.analyzed)
+          }
+          // matched keys: flip THIS join to INNER over the delta —
+          // exactly the fact rows whose match set changed, with the
+          // dim columns carrying the entering/leaving dim values
+          def toInner(p: LogicalPlan): LogicalPlan = p match {
+            case Join(l, r, LeftOuter, cond, hint) if hasOcc(r) =>
+              Join(l, substDelta(r), Inner, cond, hint)
+            case other => other.withNewChildren(other.children.map(toInner))
+          }
+          // null-extended keys: the SAME affected fact rows (left-semi
+          // against the delta), with every reference to this
+          // occurrence's columns ABOVE the join replaced by a typed
+          // NULL — the value those columns hold on a null-extended row
+          val occSchema = ManifestTable.snapshotSchema(session, occ.path)
+            .getOrElse(throw new IllegalStateException(
+              s"base '${occ.name}' has no recorded schema"))
+          val otherCols: Set[String] = sh.occs.zipWithIndex.collect {
+            case (o, j) if j != k =>
+              ManifestTable.snapshotSchema(session, o.path)
+                .map(_.fieldNames.toSeq).getOrElse(Nil)
+          }.flatten.map(_.toLowerCase(java.util.Locale.ROOT)).toSet
+          def occField(c: String) =
+            occSchema.fields.find(_.name.equalsIgnoreCase(c))
+          def nullOcc(e: Expression): Expression = e.transformUp {
+            case ua: UnresolvedAttribute => ua.nameParts match {
+              case Seq(q, c) if q.toLowerCase(java.util.Locale.ROOT) ==
+                  occ.qualifier && occField(c).isDefined =>
+                Literal.create(null, occField(c).get.dataType)
+              case Seq(c) if occField(c).isDefined &&
+                  !otherCols.contains(c.toLowerCase(java.util.Locale.ROOT)) =>
+                Literal.create(null, occField(c).get.dataType)
+              case _ => ua
+            }
+          }
+          def toSemi(p: LogicalPlan): (LogicalPlan, Boolean) = p match {
+            case Join(l, r, LeftOuter, cond, hint) if hasOcc(r) =>
+              (Join(l, substDelta(r), LeftSemi, cond, hint), true)
+            case other =>
+              val rec = other.children.map(toSemi)
+              val p2 = other.withNewChildren(rec.map(_._1))
+              val found = rec.exists(_._2)
+              // ancestors of the semi join may still reference the
+              // occurrence (WHERE predicates, later join conditions):
+              // null them — exact null-extended-row semantics
+              (if (found) p2.transformExpressions { case e => nullOcc(e) }
+               else p2, found)
+          }
+          val matched = PlanBridge.ofRows(session,
+            Project(gkAliases, toInner(pre)))
+          val gkNulled: Seq[NamedExpression] = sh.groups.zipWithIndex.map {
+            case ((e, _), i) => Alias(nullOcc(e), s"__graft_gk$i")()
+          }
+          val nulled = PlanBridge.ofRows(session,
+            Project(gkNulled, toSemi(pre)._1))
+          Seq(matched, nulled)
+        }
+      case _ => Nil
     }
     val dirty = termFrames.reduce(_.unionByName(_)).distinct().persist()
     try {
@@ -422,7 +586,12 @@ private[graft] object MviewIncremental {
         val plainCols: Option[Seq[String]] = {
           val cols = sh.groups.map(_._1).collect {
             case ua: UnresolvedAttribute => factColumn(ua) }.flatten
-          if (cols.size == sh.groups.size) Some(cols) else None
+          // a self-joined fact disables the envelope: the by-name
+          // substitution below would hand the pruned census to EVERY
+          // occurrence, and the non-fact occurrence must read whole
+          if (cols.size == sh.groups.size && !sh.hasRepeatedTable)
+            Some(cols)
+          else None
         }
         // (pruned read, exact?) — exact means the predicate alone is
         // dirty-set membership and the semi join can be skipped

@@ -254,14 +254,22 @@ class MviewIncrementalSpec extends AnyFunSuite with SparkFixture {
       spark.sql(s"REFRESH MATERIALIZED VIEW graft.$name").collect()
     }
     try {
-      // r18: INNER joins of DISTINCT tables qualify — what refuses is
-      // the self-join (ΔF ⋈ ΔF breaks linearity) and outer joins
-      refuse(mview("j", """SELECT a.grp AS grp, count(*) AS n
-        |FROM graft.mvi_refb a JOIN graft.mvi_refb b ON a.id = b.id
-        |GROUP BY a.grp""".stripMargin), "more than once")
-      refuse(mview("oj", """SELECT a.grp AS grp, count(*) AS n
-        |FROM graft.mvi_refb a LEFT JOIN graft.mvi_refd d ON a.id = d.id
-        |GROUP BY a.grp""".stripMargin), "INNER joins")
+      // r19: INNER joins (self-joins included — occurrence-level
+      // telescoping) and LEFT OUTER with a single-table right side all
+      // qualify now; what refuses is right/full outer and a LEFT
+      // OUTER whose right side is itself a join tree (no sound
+      // semi-restriction for the null-extension term there)
+      refuse(mview("roj", """SELECT d.nm AS nm, count(*) AS n
+        |FROM graft.mvi_refb a RIGHT JOIN graft.mvi_refd d ON a.id = d.id
+        |GROUP BY d.nm""".stripMargin), "rescan as a whole")
+      refuse(mview("foj", """SELECT a.grp AS grp, count(*) AS n
+        |FROM graft.mvi_refb a FULL JOIN graft.mvi_refd d ON a.id = d.id
+        |GROUP BY a.grp""".stripMargin), "rescan as a whole")
+      refuse(mview("loj2", """SELECT a.grp AS grp, count(*) AS n
+        |FROM graft.mvi_refb a
+        |LEFT JOIN (graft.mvi_refd d JOIN graft.mvi_refb b ON d.id = b.id)
+        |  ON a.id = d.id
+        |GROUP BY a.grp""".stripMargin), "rescan as a whole")
       refuse(mview("h", "SELECT count(*) AS n FROM graft.mvi_refb GROUP BY grp"),
         "not in the SELECT list")
       refuse(mview("s", """SELECT grp, count(*) AS n FROM graft.mvi_refb
@@ -271,8 +279,119 @@ class MviewIncrementalSpec extends AnyFunSuite with SparkFixture {
         "GROUP BY aggregate")
       refuse(mview("r", """SELECT grp, count(*) AS n FROM graft.mvi_refb
         |WHERE rand() < 2 GROUP BY grp""".stripMargin), "non-deterministic")
-    } finally cleanup("mvi_j", "mvi_oj", "mvi_h", "mvi_s", "mvi_g", "mvi_r",
-      "mvi_refb", "mvi_refd")
+    } finally cleanup("mvi_roj", "mvi_foj", "mvi_loj2", "mvi_h", "mvi_s",
+      "mvi_g", "mvi_r", "mvi_refb", "mvi_refd")
+  }
+
+  test("left-outer MV (r19): null-extension flips both directions stay incremental — exact") {
+    import spark.implicits._
+    val ft = tmp("lo_f"); val dt = tmp("lo_d"); val mt = tmp("lo_m")
+    // fact rows 3 and 4 start UNMATCHED (dim 30/40 absent) — they feed
+    // the NULL-extended group
+    ManifestTable.commit(spark, ft,
+      Seq((1L, 10L, 5L), (2L, 20L, 7L), (3L, 30L, 11L), (4L, 40L, 13L))
+        .toDF("id", "dim_id", "v"), SaveMode.Overwrite)
+    ManifestTable.commit(spark, dt,
+      Seq((10L, "red"), (20L, "blue")).toDF("dim_id", "cat"),
+      SaveMode.Overwrite)
+    GraftCatalog.register("mvi_lof", ft)
+    GraftCatalog.register("mvi_lod", dt)
+    // the WHERE references the DIM column too — on a null-extended row
+    // it must evaluate with cat = NULL, which is exactly what the
+    // null-form term substitutes into ancestor filters
+    val defSql =
+      """SELECT d.cat AS cat, count(*) AS n, sum(f.v) AS total
+        |FROM graft.mvi_lof f LEFT JOIN graft.mvi_lod d
+        |  ON f.dim_id = d.dim_id
+        |WHERE f.v >= 2 AND coalesce(d.cat, 'none') <> 'drop'
+        |GROUP BY d.cat""".stripMargin
+    try {
+      spark.sql(s"CREATE MATERIALIZED VIEW graft.mvi_lo LOCATION '$mt' AS $defSql")
+      val (_, m1) = refreshInc("mvi_lo")
+      assert(m1 == "full", m1)
+      assertExact("mvi_lo", defSql)
+      // FACT-only churn: one matched insert, one unmatched insert
+      // (grows the NULL group), one delete out of the NULL group — a
+      // left join is linear in the fact, plain substitution covers it
+      spark.sql("INSERT INTO graft.mvi_lof VALUES (5, 10, 17), (6, 50, 19)")
+      spark.sql("DELETE FROM graft.mvi_lof WHERE id = 4")
+      val (_, m2) = refreshInc("mvi_lo")
+      assert(m2 == "incremental", s"fact churn must stay incremental: $m2")
+      assertExact("mvi_lo", defSql)
+      // DIM-only churn, null→matched: dim 30 arrives, fact row 3 flips
+      // OUT of the NULL group INTO 'green' — both groups must go dirty
+      // (the matched form finds 'green', the semi+null form finds NULL)
+      spark.sql("INSERT INTO graft.mvi_lod VALUES (30, 'green')")
+      val (_, m3) = refreshInc("mvi_lo")
+      assert(m3 == "incremental", s"dim arrival must stay incremental: $m3")
+      assertExact("mvi_lo", defSql)
+      // DIM-only churn, matched→null: dim 10 leaves, rows 1 and 5 flip
+      // INTO the NULL group; 'red' must empty out of the image
+      spark.sql("DELETE FROM graft.mvi_lod WHERE dim_id = 10")
+      val (_, m4) = refreshInc("mvi_lo")
+      assert(m4 == "incremental", s"dim departure must stay incremental: $m4")
+      assertExact("mvi_lo", defSql)
+      // dim relabel into the WHERE's excluded value: matched rows of
+      // dim 20 drop from the view entirely (the ancestor filter sees
+      // the new label via the matched form)
+      spark.sql("UPDATE graft.mvi_lod SET cat = 'drop' WHERE dim_id = 20")
+      val (_, m5) = refreshInc("mvi_lo")
+      assert(m5 == "incremental", m5)
+      assertExact("mvi_lo", defSql)
+      // fact AND dim churn in one window telescope
+      spark.sql("INSERT INTO graft.mvi_lof VALUES (7, 30, 23)")
+      spark.sql("UPDATE graft.mvi_lod SET cat = 'teal' WHERE dim_id = 30")
+      val (_, m6) = refreshInc("mvi_lo")
+      assert(m6 == "incremental", s"two churned tables telescope: $m6")
+      assertExact("mvi_lo", defSql)
+    } finally cleanup("mvi_lo", "mvi_lof", "mvi_lod")
+  }
+
+  test("self-join MV (r19): occurrence-level telescoping, inner and left-outer — exact") {
+    import spark.implicits._
+    val bt = tmp("self_b"); val mt = tmp("self_m"); val lt = tmp("self_l")
+    // a chain table: row id joins its predecessor id-1 — the
+    // prior-period-comparison shape
+    ManifestTable.commit(spark, bt,
+      Seq((1L, "a", 10L), (2L, "a", 20L), (3L, "b", 30L), (4L, "b", 40L))
+        .toDF("id", "grp", "v"), SaveMode.Overwrite)
+    GraftCatalog.register("mvi_self", bt)
+    val innerSql =
+      """SELECT a.grp AS grp, count(*) AS n, sum(a.v - b.v) AS growth
+        |FROM graft.mvi_self a JOIN graft.mvi_self b ON a.id = b.id + 1
+        |GROUP BY a.grp""".stripMargin
+    val loSql =
+      """SELECT a.grp AS grp, count(*) AS n, sum(coalesce(b.v, 0)) AS prior
+        |FROM graft.mvi_self a LEFT JOIN graft.mvi_self b ON a.id = b.id + 1
+        |GROUP BY a.grp""".stripMargin
+    try {
+      spark.sql(s"CREATE MATERIALIZED VIEW graft.mvi_selfi LOCATION '$mt' AS $innerSql")
+      spark.sql(s"CREATE MATERIALIZED VIEW graft.mvi_selflo LOCATION '$lt' AS $loSql")
+      assert(refreshInc("mvi_selfi")._2 == "full")
+      assert(refreshInc("mvi_selflo")._2 == "full")
+      assertExact("mvi_selfi", innerSql)
+      assertExact("mvi_selflo", loSql)
+      // churn hits BOTH occurrences of the one table: id 5 enters as a
+      // left row (5 ⋈ 4) AND as a right row for a future 6; deleting
+      // id 2 breaks the 3⋈2 pair and the 2⋈1 pair at once. The
+      // telescoping chain T_h⋈ΔT + ΔT⋈T_s covers both with no ΔT⋈ΔT
+      spark.sql("INSERT INTO graft.mvi_self VALUES (5, 'b', 50), (7, 'c', 70)")
+      spark.sql("DELETE FROM graft.mvi_self WHERE id = 2")
+      val (_, mi) = refreshInc("mvi_selfi")
+      assert(mi == "incremental", s"self-join churn must stay incremental: $mi")
+      assertExact("mvi_selfi", innerSql)
+      val (_, ml) = refreshInc("mvi_selflo")
+      assert(ml == "incremental", s"self-left-join churn must stay incremental: $ml")
+      assertExact("mvi_selflo", loSql)
+      // consecutive-id insert: 6 pairs with 5 on one side and 7 on the
+      // other — the SAME inserted batch feeds both occurrences
+      spark.sql("INSERT INTO graft.mvi_self VALUES (6, 'c', 60)")
+      spark.sql("UPDATE graft.mvi_self SET v = 15 WHERE id = 1")
+      assert(refreshInc("mvi_selfi")._2 == "incremental")
+      assertExact("mvi_selfi", innerSql)
+      assert(refreshInc("mvi_selflo")._2 == "incremental")
+      assertExact("mvi_selflo", loSql)
+    } finally cleanup("mvi_selfi", "mvi_selflo", "mvi_self")
   }
 
   test("star-join MV (r18): fact, dim, and multi-table churn all refresh incrementally — exact") {
