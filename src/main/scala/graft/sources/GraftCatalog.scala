@@ -39,6 +39,18 @@ import org.apache.spark.sql.types.{DataType, StructField, StructType}
   * to. */
 object GraftCatalog {
 
+  /** Serializes every in-memory registry MUTATION — registrations,
+    * renames, unregistrations, and the persisted-state merge
+    * ([[mergeState]]/[[maybeLoadPersisted]]/[[publishCatalog]]).
+    * Without it (ADVICE r18, medium): a TTL refresh racing register()
+    * could observe the diskSourced flag before register cleared it and
+    * overwrite the just-registered path with the stale persisted
+    * value; and two interleaved merges of different catalog versions
+    * could evict a name present in the newer snapshot. Reads (lookup
+    * hits) stay lock-free on the ConcurrentHashMaps; only the
+    * miss-path/TTL load and DDL contend — DDL-rate operations. */
+  private val stateLock = new Object
+
   private val reg = new java.util.concurrent.ConcurrentHashMap[String, String]()
 
   /** How many times [[Resolution]] ran its full rewrite walk (i.e.
@@ -61,7 +73,7 @@ object GraftCatalog {
 
   private def norm(name: String): String = name.toLowerCase(java.util.Locale.ROOT)
 
-  def register(name: String, path: String): Unit = {
+  def register(name: String, path: String): Unit = stateLock.synchronized {
     require(name.nonEmpty && !name.contains(".") && !name.contains("@"),
       s"table name '$name' must be a plain identifier (no '.' or '@' — " +
         "'@v<N>' is reserved for time travel)")
@@ -70,26 +82,36 @@ object GraftCatalog {
     maybeLoadPersisted(force = true)
     require(!viewReg.containsKey(norm(name)),
       s"table name '$name' collides with a registered view")
-    reg.put(norm(name), path)
+    // flag-clear BEFORE the map put (ADVICE r18) — with every merge
+    // serialized under stateLock the order is belt-and-braces, but it
+    // keeps the invariant local: a flagged entry is always the
+    // persisted value, never a fresher local registration
     localName("t:", name) // registered HERE: never evicted by a refresh
+    reg.put(norm(name), path)
     // the name is live (again): a hint left from an earlier rename
     // would outlive this registration's history and lie (ADVICE r15)
-    renamedAway.remove(norm(name))
     localName("r:", name)
+    renamedAway.remove(norm(name))
     publishCatalog(st => st.copy(
       tables = st.tables + (norm(name) -> path),
       renamed = st.renamed - norm(name)))
   }
 
-  def unregister(name: String): Unit = {
-    reg.remove(norm(name))
+  def unregister(name: String): Unit = stateLock.synchronized {
     localName("t:", name)
+    reg.remove(norm(name))
     publishCatalog(st => st.copy(tables = st.tables - norm(name)))
   }
 
   def lookup(name: String): Option[String] = {
     // hits re-check the durable state at most once per TTL, so a
-    // remote DROP/RENAME is observed without a restart (r18)
+    // remote DROP/RENAME of a DISK-SOURCED name is observed without a
+    // restart (r18). The contract is qualified (ADVICE r18): a name
+    // registered BY THIS PROCESS is never evicted by a refresh —
+    // in-memory wins, the restart-durability guarantee — so a remote
+    // DROP of it stays invisible here until this process re-registers
+    // or restarts. Exhausted listing races degrade to a stale read on
+    // this path (maybeLoadPersisted throws only under force=DDL).
     maybeRefresh()
     Option(reg.get(norm(name))).orElse {
       // a fresh process resolves durably-cataloged names with zero
@@ -110,20 +132,20 @@ object GraftCatalog {
 
   private val viewReg = new java.util.concurrent.ConcurrentHashMap[String, String]()
 
-  def registerView(name: String, sql: String): Unit = {
+  def registerView(name: String, sql: String): Unit = stateLock.synchronized {
     require(name.nonEmpty && !name.contains(".") && !name.contains("@"),
       s"view name '$name' must be a plain identifier")
     maybeLoadPersisted(force = true) // DDL: the collision check must
     require(lookup(name).isEmpty,    // see the freshest durable state
       s"view name '$name' collides with a registered table")
+    localName("v:", name) // flag-clear before the put, as in register
     viewReg.put(norm(name), sql)
-    localName("v:", name)
     publishCatalog(st => st.copy(views = st.views + (norm(name) -> sql)))
   }
 
-  def unregisterView(name: String): Unit = {
-    viewReg.remove(norm(name))
+  def unregisterView(name: String): Unit = stateLock.synchronized {
     localName("v:", name)
+    viewReg.remove(norm(name))
     publishCatalog(st => st.copy(views = st.views - norm(name)))
   }
 
@@ -189,7 +211,8 @@ object GraftCatalog {
     * the same). Atomic on the registry: the new name claims its slot
     * with putIfAbsent, so racing renames to one name leave exactly
     * one winner. */
-  def renameRegistered(from: String, to: String): Unit = {
+  def renameRegistered(from: String, to: String): Unit =
+      stateLock.synchronized {
     val f = norm(from); val t = norm(to)
     require(t.nonEmpty && !t.contains(".") && !t.contains("@"),
       s"RENAME TO '$to': the new name must be a plain identifier " +
@@ -391,7 +414,10 @@ object GraftCatalog {
     * (ADVICE r17). */
   private[graft] def maybeLoadPersisted(force: Boolean = false): Unit =
     warehouseRoot.foreach { wh =>
-      if (force || !ttlFresh()) {
+      if (force || !ttlFresh()) stateLock.synchronized {
+        // re-check under the lock: a queued waiter whose predecessor
+        // just loaded must not re-list the directory
+        if (force || !ttlFresh()) {
         val dir = catalogDir(wh)
         val f = catalogFs(dir)
         var attempt = 0
@@ -409,8 +435,14 @@ object GraftCatalog {
             done = true
           } catch { case _: java.io.FileNotFoundException => () }
         }
-        if (!done) throw new IllegalStateException(
+        // 5 straight listed-then-deleted races: DDL (force) must judge
+        // against fresh durable state and fails loudly; a READ path
+        // (lookup miss / TTL refresh) degrades to the in-memory view —
+        // a stale read beats throwing from lookup() (ADVICE r18), and
+        // lastLoadNanos stays unset so the next lookup retries
+        if (!done && force) throw new IllegalStateException(
           s"catalog under $wh: 5 straight listed-then-deleted races")
+        }
       }
     }
 
@@ -468,16 +500,18 @@ object GraftCatalog {
     * names stay unresolvable for the life of the JVM. */
   private def publishCatalog(op: CatState => CatState): Unit =
     publishRaw(op).foreach { case (wh, v, next) =>
-      mergeState(next, evict = true)
-      loadedCatVersion.put(wh, v)
-      lastLoadNanos = System.nanoTime()
+      stateLock.synchronized { // merges are serialized (ADVICE r18)
+        mergeState(next, evict = true)
+        loadedCatVersion.put(wh, v)
+        lastLoadNanos = System.nanoTime()
+      }
     }
 
   /** Forget ALL in-memory registry state (tables, views, rename
     * hints, the warehouse root, and load memos) — the process-death
     * simulation the durability drills restart from. Persisted state
     * on disk is untouched; data is never touched. */
-  def resetRegistry(): Unit = {
+  def resetRegistry(): Unit = stateLock.synchronized {
     reg.clear(); viewReg.clear(); renamedAway.clear()
     loadedCatVersion.clear(); warehouse = None
     diskSourced.clear(); lastLoadNanos = 0L
