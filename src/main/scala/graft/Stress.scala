@@ -94,12 +94,13 @@ object Stress {
     // preserves sizes, so the REDUCTION RATIO should hold at any rep —
     // the bound must never grow the candidate set.
     if (only.forall("prefix_candidates_b2".contains)) {
-      val (rawC, boundedC) =
+      val (rawC, boundedC, posC) =
         graft.operators.MinHash.prefixCandidateCounts(docs)
       println(f"[stress rep=$rep] prefix_candidates_b2 raw=$rawC bounded=$boundedC " +
-        f"cut=${100.0 * (rawC - boundedC) / math.max(1, rawC)}%.1f%%")
-      require(boundedC <= rawC,
-        "length bound may only shrink the candidate set")
+        f"positional=$posC cut=${100.0 * (rawC - boundedC) / math.max(1, rawC)}%.1f%%" +
+        f" poscut=${100.0 * (boundedC - posC) / math.max(1, boundedC)}%.1f%%")
+      require(posC <= boundedC && boundedC <= rawC,
+        "each bound may only shrink the candidate set")
     }
 
     // r8: MERGE touched-file pruning — write volume must be O(files

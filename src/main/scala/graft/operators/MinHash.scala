@@ -90,19 +90,45 @@ object MinHash {
     * Output: (doc_a, doc_b, j) with j the raw double Jaccard. */
   /** Candidate-pair volume of [[prefixJoin]]'s self-join BEFORE exact
     * verification: (prefix collisions, collisions surviving the PPJoin
-    * length bound). Stress reports both at 10× — the bound's value is
-    * this gap, bought with one integer compare per collision row. */
+    * length bound, collisions also surviving the POSITIONAL bound —
+    * r19). Stress reports all three at 10× — each bound's value is its
+    * gap, bought with one integer compare per collision row. */
   private[graft] def prefixCandidateCounts(docs: DataFrame,
-      textCol: String = "text", t: Double = 0.5): (Long, Long) = {
+      textCol: String = "text", t: Double = 0.5): (Long, Long, Long) = {
     val dd = distinctShingleSets(docs, textCol)
     val prefix = prefixFrame(dd, t)
-    val raw = prefix.select(col("h").as("ha"), col("n").as("na"), col("sh"))
-      .join(prefix.select(col("h").as("hb"), col("n").as("nb"), col("sh")), "sh")
+    val raw = prefix.select(col("h").as("ha"), col("n").as("na"),
+        col("rk").as("rka"), col("sh"))
+      .join(prefix.select(col("h").as("hb"), col("n").as("nb"),
+        col("rk").as("rkb"), col("sh")), "sh")
       .filter(col("ha") < col("hb"))
+    val lengthBounded = raw.filter(
+      greatest(col("na"), col("nb")) * t <= least(col("na"), col("nb")))
     (raw.select("ha", "hb").distinct().count(),
-      raw.filter(greatest(col("na"), col("nb")) * t <= least(col("na"), col("nb")))
+      lengthBounded.select("ha", "hb").distinct().count(),
+      lengthBounded.filter(positionalBound(t))
         .select("ha", "hb").distinct().count())
   }
+
+  /** PPJoin's POSITIONAL bound (r19, VERDICT r18 ask #6) as a filter
+    * over collision rows carrying (na, rka, nb, rkb): counting the
+    * colliding shingle and everything ranked after it in each set,
+    * the overlap can reach at most 1 + min(na − rka, nb − rkb) — and
+    * J ≥ t needs overlap ≥ ⌈t/(1+t)·(na+nb)⌉. Dropping rows that fail
+    * is LOSSLESS at the pair level: for a qualifying pair the
+    * globally-FIRST shared shingle sits inside both prefixes (the
+    * prefix-filter theorem applied to the earliest collision) with
+    * nothing shared before it, so ITS row satisfies the bound even
+    * when later collisions' rows fail. The 1e-6 slack keeps the
+    * double-rounded threshold from ever exceeding the exact rational
+    * ⌈t(na+nb)/(1+t)⌉ (t/(1+t) is not exactly representable; sizes are
+    * ≤ ~10⁶ shingles, so the representation error is ≤ 1e-9 — losing a
+    * TRUE candidate to rounding would break the exactness proof, while
+    * the slack merely lets borderline false candidates through to the
+    * exact verifier). */
+  private def positionalBound(t: Double): Column =
+    lit(1) + least(col("na") - col("rka"), col("nb") - col("rkb")) >=
+      ceil((col("na") + col("nb")) * lit(t / (1 + t)) - lit(1e-6))
 
   /** Distinct-text shingle sets (h = md5 of normalized text, g = its
     * distinct 3-shingles), checkpointed: every expensive prefix-join
@@ -140,7 +166,9 @@ object MinHash {
       .withColumn("rk", row_number().over(
         Window.partitionBy("h").orderBy(col("df").asc, col("sh").asc)))
       .filter(col("rk") <= col("n") - ceil(col("n") * t) + 1)
-      .select(col("h"), col("n"), col("sh"))
+      // rk rides along (r19): the positional bound needs each
+      // collision's rank within its document's global shingle order
+      .select(col("h"), col("n"), col("rk"), col("sh"))
       // both sides of the candidate self-join read this — without the
       // checkpoint the whole explode→df→rank chain computes twice
       .localCheckpoint(true)
@@ -167,11 +195,18 @@ object MinHash {
     // prefix collisions drop BEFORE the distinct and the set-overlap
     // verification — on a corpus with both tweets and books nearly
     // every cross-length collision dies here for the cost of one
-    // integer compare per candidate row.
-    val cand = prefix.select(col("h").as("ha"), col("n").as("na"), col("sh"))
-      .join(prefix.select(col("h").as("hb"), col("n").as("nb"), col("sh")), "sh")
+    // integer compare per candidate row. The POSITIONAL bound (r19,
+    // [[positionalBound]]) then drops same-length collisions whose
+    // ranks sit too deep in their prefixes to reach the overlap
+    // threshold — lossless, because a qualifying pair's FIRST shared
+    // shingle always passes.
+    val cand = prefix.select(col("h").as("ha"), col("n").as("na"),
+        col("rk").as("rka"), col("sh"))
+      .join(prefix.select(col("h").as("hb"), col("n").as("nb"),
+        col("rk").as("rkb"), col("sh")), "sh")
       .filter(col("ha") < col("hb") &&
         greatest(col("na"), col("nb")) * t <= least(col("na"), col("nb")))
+      .filter(positionalBound(t))
       .select("ha", "hb").distinct()
     // exact verification, once per distinct-text pair
     val rpairs = cand

@@ -75,6 +75,36 @@ class MinHashSpec extends AnyFunSuite with SparkFixture {
     assert(!loose.exists { case (a, b) => a == 3L || b == 3L })
   }
 
+  test("positional bound is lossless: prefixJoin equals brute force on a varied corpus (r19)") {
+    // overlapping word windows at many lengths: adjacent docs share
+    // most shingles, distant ones share few — borderline pairs at
+    // every threshold, exactly where an over-tight positional bound
+    // would first drop a qualifying pair
+    val words = (0 until 60).map(i => s"w$i")
+    val corpus = (0 until 18).map { i =>
+      (i.toLong, words.slice(i, i + 8 + (i % 5)).mkString(" "))
+    }.toDF("doc_id", "text")
+    def brute(t: Double): Set[(Long, Long, Double)] = {
+      val sets = corpus.select(col("doc_id"),
+          array_distinct(MinHash.shingles(lower(trim(col("text"))), 3)).as("g"))
+        .collect().map(r => r.getLong(0) -> r.getSeq[String](1).toSet).toMap
+      (for {
+        a <- sets.keys; b <- sets.keys if a < b
+        j = sets(a).intersect(sets(b)).size.toDouble /
+          sets(a).union(sets(b)).size
+        if math.rint(j * 1e6) / 1e6 >= t
+      } yield (a, b, j)).toSet
+    }
+    Seq(0.3, 0.5, 0.7).foreach { t =>
+      val got = MinHash.prefixJoin(corpus, t = t)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+      assert(got === brute(t), s"prefixJoin(t=$t) diverged from brute force")
+    }
+    // each bound only ever shrinks the candidate set
+    val (raw, bounded, positional) = MinHash.prefixCandidateCounts(corpus)
+    assert(positional <= bounded && bounded <= raw)
+  }
+
   test("dupGroups clusters the near-dups under the smallest id") {
     val g = MinHash.dupGroups(docs, "doc_id", "text", 0.5)
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
