@@ -43,7 +43,21 @@ import graft.sources.GraftCatalog
 class GraftSqlParser(delegate: ParserInterface) extends ParserInterface {
   import GraftSqlParser._
 
-  override def parsePlan(sqlText: String): LogicalPlan = sqlText match {
+  override def parsePlan(sqlText: String): LogicalPlan = {
+    // QUALIFY (r19, VERDICT r18 ask #7): filter on window-function
+    // results without the subquery spelling. Claimed only for plain
+    // SELECT/WITH statements carrying a TOP-LEVEL (paren-depth-0,
+    // quote-aware) QUALIFY; the rewrite is the textbook expansion —
+    // compute the predicate as an extra projected column, filter one
+    // level up, drop the helper — after which the statement re-enters
+    // this parser QUALIFY-free. GROUP BY ALL needs no help here:
+    // Spark's own parser accepts it (q_group_by_all judges it).
+    val rewritten = rewriteQualify(sqlText)
+    if (rewritten ne sqlText) return parsePlan(rewritten)
+    parsePlanClaimed(sqlText)
+  }
+
+  private def parsePlanClaimed(sqlText: String): LogicalPlan = sqlText match {
     case OptimizeStmt(name0, rest0) =>
       val name = unq(name0)
       val rest = rest0.replaceAll(";\\s*$", "").trim
@@ -163,8 +177,14 @@ class GraftSqlParser(delegate: ParserInterface) extends ParserInterface {
     delegate.parseFunctionIdentifier(sqlText)
   override def parseMultipartIdentifier(sqlText: String): Seq[String] =
     delegate.parseMultipartIdentifier(sqlText)
-  override def parseQuery(sqlText: String): LogicalPlan =
-    delegate.parseQuery(sqlText)
+  override def parseQuery(sqlText: String): LogicalPlan = {
+    // QUALIFY expands here too — materialized-view definitions,
+    // REPLACE WHERE bodies, and CTAS queries all parse through
+    // parseQuery (r19)
+    val rewritten = GraftSqlParser.rewriteQualify(sqlText)
+    if (rewritten ne sqlText) parseQuery(rewritten)
+    else delegate.parseQuery(sqlText)
+  }
   override def parseRoutineParam(sqlText: String): StructType =
     delegate.parseRoutineParam(sqlText)
   override def parseTableSchema(sqlText: String): StructType =
@@ -174,6 +194,93 @@ class GraftSqlParser(delegate: ParserInterface) extends ParserInterface {
 }
 
 object GraftSqlParser {
+
+  /** Index of the first whole-token occurrence of `kw` at paren-depth
+    * ZERO and outside string/identifier quotes, scanning from `from`;
+    * -1 when absent. The subquery-blind twin of
+    * [[keywordOutsideQuotes]]: a QUALIFY/FROM inside `(SELECT …)` or a
+    * CTE body sits at depth ≥ 1 and never matches. */
+  private def topLevelKeyword(s: String, kw: String, from: Int = 0): Int = {
+    var i = math.max(from, 0)
+    var depth = 0
+    var quote: Char = 0
+    val n = s.length
+    val kl = kw.length
+    while (i < n) {
+      val c = s.charAt(i)
+      if (quote != 0) { if (c == quote) quote = 0; i += 1 }
+      else if (c == '\'' || c == '"' || c == '`') { quote = c; i += 1 }
+      else if (c == '(') { depth += 1; i += 1 }
+      else if (c == ')') { depth -= 1; i += 1 }
+      else if (depth == 0 && i + kl <= n &&
+          s.regionMatches(true, i, kw, 0, kl) &&
+          (i == 0 || !isIdentChar(s.charAt(i - 1))) &&
+          (i + kl == n || !isIdentChar(s.charAt(i + kl)))) return i
+      else i += 1
+    }
+    -1
+  }
+
+  /** Rewrite a `SELECT … [FROM …] QUALIFY <pred> [ORDER BY …]
+    * [LIMIT …]` statement into its QUALIFY-free expansion; returns
+    * `sqlText` (reference-identical) when the statement carries no
+    * top-level QUALIFY or is not a plain SELECT/WITH query.
+    *
+    * Predicates CONTAINING window functions (`… OVER (…)`) compute as
+    * an extra column inside the original projection (windows are
+    * legal there) and filter one level up; predicates that only
+    * reference SELECT-list aliases/columns filter directly one level
+    * up, where the aliases are ordinary columns. ORDER BY/LIMIT after
+    * the QUALIFY stay on the OUTER query — they order/limit the
+    * filtered result, the QUALIFY contract. */
+  private[graft] def rewriteQualify(sqlText: String): String = {
+    val full = sqlText.replaceAll(";\\s*$", "")
+    // the query part starts at the first top-level SELECT/WITH — 0 for
+    // a plain query, past the prefix for CTAS/INSERT INTO … SELECT
+    // (subquery SELECTs sit behind parens and never match)
+    val selStart = Seq(topLevelKeyword(full, "SELECT"),
+      topLevelKeyword(full, "WITH")).filter(_ >= 0).sorted.headOption
+      .getOrElse(return sqlText)
+    val prefix = full.substring(0, selStart)
+    val body = full.substring(selStart)
+    val qAt = topLevelKeyword(body, "QUALIFY")
+    if (qAt < 0) return sqlText
+    val fromAt = topLevelKeyword(body, "FROM")
+    if (fromAt < 0 || fromAt > qAt)
+      throw new IllegalArgumentException(
+        "QUALIFY needs a FROM clause to filter over — " +
+          s"no top-level FROM precedes it in: $body")
+    // the predicate runs to the first top-level ORDER/LIMIT after it
+    // (window frames inside the predicate hide their ORDER BY behind
+    // parens); everything from there on belongs to the outer query
+    val afterPred = qAt + "QUALIFY".length
+    val tailAt = Seq(topLevelKeyword(body, "ORDER", afterPred),
+      topLevelKeyword(body, "LIMIT", afterPred)).filter(_ >= 0)
+      .sorted.headOption.getOrElse(body.length)
+    val pred = body.substring(afterPred, tailAt).trim
+    val tail = body.substring(tailAt).trim
+    if (pred.isEmpty) throw new IllegalArgumentException(
+      "QUALIFY needs a predicate")
+    val innerHead = body.substring(0, qAt) // SELECT … [GROUP BY …]
+    // a window function ANYWHERE in the predicate (even inside parens
+    // — `rank() OVER (…) = 1` puts OVER at depth 0 but its frame at
+    // depth 1) forces the compute-in-projection form
+    val hasWindow = keywordOutsideQuotes(pred, "OVER") >= 0
+    if (hasWindow) {
+      // window predicate: compute it in the projection (where window
+      // functions are legal), filter above, drop the helper column —
+      // fromAt indexes into body and qAt > fromAt, so it indexes
+      // innerHead too
+      val augmented = innerHead.substring(0, fromAt) +
+        s", ($pred) AS __graft_qualify " + innerHead.substring(fromAt)
+      prefix + s"SELECT * EXCEPT (__graft_qualify) FROM ( $augmented ) " +
+        s"__graft_qualify_sub WHERE __graft_qualify $tail"
+    } else
+      // alias/column predicate: one level up the aliases are columns
+      prefix + s"SELECT * FROM ( $innerHead ) __graft_qualify_sub " +
+        s"WHERE ( $pred ) $tail"
+  }
+
   /** Split a partition-spec list on TOP-LEVEL commas only — a
     * transform like `bucket(4, id)` carries its own comma. */
   private def splitSpec(s: String): Seq[String] = {

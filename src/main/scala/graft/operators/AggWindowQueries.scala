@@ -723,6 +723,61 @@ object AggWindowQueries {
              |  round(mean, 6) AS roll_mean, round(z, 4) AS z,
              |  abs(round(z, 6)) >= 2.0 AS is_anomaly
              |FROM z ORDER BY event_id NULLS FIRST""".stripMargin)
+    ),
+
+    // Q_QUALIFY (r19, VERDICT r18 ask #7): the analyst top-k-per-group
+    // spelling — `QUALIFY rank <= k` — expanded by GraftSqlParser into
+    // the compute-then-filter form (window predicates project as a
+    // helper column, alias predicates filter one level up). Both
+    // forms in one query: the inner SELECT qualifies on a window
+    // function directly; the DuckDB oracle runs its NATIVE QUALIFY on
+    // the same text shape. Plan-wise the expansion IS w4's subquery
+    // plan — one window shuffle, filter above — so nothing is lost at
+    // 100 TB versus the hand-written spelling.
+    Entry(
+      "q_qualify",
+      (s, d) => {
+        Tables.orders(s, d).createOrReplaceTempView("v_qualify_orders")
+        s.sql("""SELECT o_custkey, o_orderkey, o_totalprice,
+                |  row_number() OVER (PARTITION BY o_custkey
+                |    ORDER BY o_totalprice DESC, o_orderkey) AS rn
+                |FROM v_qualify_orders
+                |QUALIFY row_number() OVER (PARTITION BY o_custkey
+                |    ORDER BY o_totalprice DESC, o_orderkey) <= 2
+                |ORDER BY o_custkey, rn""".stripMargin)
+      },
+      Some("""SELECT o_custkey, o_orderkey, o_totalprice,
+             |  row_number() OVER (PARTITION BY o_custkey
+             |    ORDER BY o_totalprice DESC, o_orderkey) AS rn
+             |FROM orders
+             |QUALIFY row_number() OVER (PARTITION BY o_custkey
+             |    ORDER BY o_totalprice DESC, o_orderkey) <= 2
+             |ORDER BY o_custkey NULLS FIRST, rn NULLS FIRST""".stripMargin)
+    ),
+
+    // Q_GROUP_BY_ALL (r19): GROUP BY ALL — group by every
+    // non-aggregate SELECT expression. Spark's parser carries it
+    // natively; this entry pins that the engine's SQL surface (with
+    // the injected parser in front) preserves it, oracle'd by DuckDB's
+    // native GROUP BY ALL. (DuckDB cannot combine it with QUALIFY yet,
+    // so the alias-form QUALIFY is pinned in Round19Spec against
+    // Spark's own subquery spelling instead.)
+    Entry(
+      "q_group_by_all",
+      (s, d) => {
+        Tables.orders(s, d).createOrReplaceTempView("v_gba_orders")
+        s.sql(s"""SELECT o_orderpriority, o_orderstatus, count(*) AS n,
+                 |  ${dsumSql("o_totalprice")} AS sum_price
+                 |FROM v_gba_orders
+                 |GROUP BY ALL
+                 |ORDER BY o_orderpriority, o_orderstatus""".stripMargin)
+      },
+      Some(s"""SELECT o_orderpriority, o_orderstatus, count(*) AS n,
+             |  ${dsumSql("o_totalprice")} AS sum_price
+             |FROM orders
+             |GROUP BY ALL
+             |ORDER BY o_orderpriority NULLS FIRST,
+             |  o_orderstatus NULLS FIRST""".stripMargin)
     )
   )
 }
