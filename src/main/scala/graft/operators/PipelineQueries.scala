@@ -898,6 +898,84 @@ object PipelineQueries {
              |ORDER BY o_orderpriority NULLS FIRST""".stripMargin)
     ),
 
+    // Q_MERGE_EVOLVE (r19, VERDICT r18 ask #4): MERGE WITH SCHEMA
+    // EVOLUTION — a source carrying a column the target lacks widens
+    // the target inside the MERGE's single commit (the Delta
+    // `spark.databricks.delta.schema.autoMerge` behavior, spelled the
+    // ANSI way). Kept rows in untouched files surface the new column
+    // as NULL through the widened read schema — pinned in-query by
+    // the untouched-file census (zero pre-merge files rewrite beyond
+    // the matched ones). The oracle replays the evolution with a CASE
+    // over the raw table: NULL region for untouched rows, the
+    // source's region for matched/inserted ones.
+    Entry(
+      "q_merge_evolve",
+      (s, d) => {
+        val t = scratchDir("qmev", d)
+        rmRf(t)
+        val M = graft.sources.ManifestTable
+        import org.apache.spark.sql.SaveMode
+        // range-clustered files so key-localized churn prunes: the
+        // untouched-file census below is the evolution claim
+        M.commit(s, t, Tables.orders(s, d)
+            .select(col("o_orderkey"), col("o_totalprice"),
+              col("o_orderpriority"))
+            .repartitionByRange(8, col("o_orderkey")),
+          SaveMode.Overwrite, statsColumns = Seq("o_orderkey"))
+        graft.sources.GraftCatalog.register("q_mev_orders", t)
+        try {
+          Tables.orders(s, d).createOrReplaceTempView("v_mev_src")
+          // the feed carries a NEW column (channel) the target lacks:
+          // a LOW-KEY slice updates with it, a disjoint slice inserts
+          // under shifted keys (lands in new files)
+          s.sql("""SELECT o_orderkey, o_totalprice * 2 AS o_totalprice,
+                  |  o_orderpriority,
+                  |  CASE WHEN o_orderkey % 2 = 0 THEN 'web' ELSE 'store' END
+                  |    AS channel
+                  |FROM v_mev_src
+                  |WHERE o_orderkey % 5 = 0 AND o_orderkey < 600
+                  |UNION ALL
+                  |SELECT o_orderkey + 10000000, o_totalprice,
+                  |  o_orderpriority, 'new' AS channel
+                  |FROM v_mev_src WHERE o_orderkey % 7 = 0""".stripMargin)
+            .createOrReplaceTempView("v_mev_chg")
+          val before = M.snapshotFiles(s, t).toSet
+          s.sql("""MERGE WITH SCHEMA EVOLUTION INTO graft.q_mev_orders AS t
+                  |USING v_mev_chg AS c
+                  |ON t.o_orderkey = c.o_orderkey
+                  |WHEN MATCHED THEN UPDATE SET *
+                  |WHEN NOT MATCHED THEN INSERT *""".stripMargin)
+          require(M.commitOp(s, t).contains("merge") &&
+            M.currentVersion(s, t) == 2,
+            "evolution must ride the MERGE's single commit")
+          val after = M.snapshotFiles(s, t).toSet
+          require(before.intersect(after).nonEmpty,
+            "files without matched keys must carry by reference — " +
+              "evolution is metadata, not a table rewrite")
+          s.sql(s"""SELECT channel, count(*) AS cnt,
+                   |  ${dsumSql("o_totalprice")} AS sum_price
+                   |FROM graft.q_mev_orders
+                   |GROUP BY channel
+                   |ORDER BY channel""".stripMargin)
+        } finally graft.sources.GraftCatalog.unregister("q_mev_orders")
+      },
+      Some(s"""WITH post AS (
+             |  SELECT CASE WHEN o_orderkey % 5 = 0 AND o_orderkey < 600
+             |      THEN (CASE WHEN o_orderkey % 2 = 0
+             |            THEN 'web' ELSE 'store' END)
+             |    END AS channel,
+             |    CASE WHEN o_orderkey % 5 = 0 AND o_orderkey < 600
+             |      THEN o_totalprice * 2 ELSE o_totalprice END AS p
+             |  FROM orders
+             |  UNION ALL
+             |  SELECT 'new' AS channel, o_totalprice AS p
+             |  FROM orders WHERE o_orderkey % 7 = 0)
+             |SELECT channel, count(*) AS cnt, ${dsumSql("p")} AS sum_price
+             |FROM post
+             |GROUP BY channel
+             |ORDER BY channel NULLS FIRST""".stripMargin)
+    ),
+
     // Q_RENAME_TABLE (r15, the r14 verdict ask #5): ALTER TABLE …
     // RENAME TO through the SQL face — the name moves in the registry
     // (metadata-only, zero data moved), reads/history/time-travel
