@@ -468,11 +468,16 @@ object ChangeFeedStream {
     * streaming aggregation the user would hand-write; Spark's own
     * unsupported-operation checker still governs output-mode
     * legality at query start. The aggregate streams the table's
-    * APPEND feed (each commit's added rows) — an update/delete-heavy
-    * table wants the row-level CDC feed and its own logic instead.
-    * Aggregates WITHOUT a watermark, joins, sorts and set ops REFUSE
-    * (unbounded state / not per-row; silently batch-ifying would
-    * lie). */
+    * APPEND feed (each commit's added rows) — and that contract is
+    * ENFORCED (r19, ADVICE r18): a base whose history holds
+    * non-append commits refuses at query start, because the feed
+    * cannot deliver their retractions and the streamed aggregate
+    * would silently diverge from the batch view. Update/delete-heavy
+    * tables want the row-level CDC feed, or
+    * [[MviewMaintenance.maintainView]] (which reads manifests, not
+    * the feed). Aggregates WITHOUT a watermark, joins, sorts and set
+    * ops REFUSE (unbounded state / not per-row; silently batch-ifying
+    * would lie). */
   private def viewStream(spark: SparkSession, name: String, sql: String,
                          autoPump: Boolean, pollIntervalMs: Long,
                          watermark: Option[(String, String)],
@@ -568,7 +573,63 @@ object ChangeFeedStream {
         "watermark=(column, delay) (stacked aggregate views do not), " +
         "and window functions need their own streaming query over " +
         "the base table's stream")
+    // APPEND-ONLY contract, enforced (ADVICE r18): the file-level feed
+    // carries each commit's ADDED rows only, so a base-table UPDATE/
+    // DELETE/OPTIMIZE would never reach (or would double-count into) a
+    // streamed aggregate — the result silently diverges from the
+    // view's batch semantics. Refuse at query construction when the
+    // base's surviving history already holds such a commit, instead
+    // of leaving the caveat in a code comment.
+    if (watermark.isDefined && aggCount == 1) {
+      @annotation.tailrec
+      def baseName(n: String): String =
+        graft.sources.GraftCatalog.lookupView(n) match {
+          case Some(inner) =>
+            baseName(spark.sessionState.sqlParser.parsePlan(inner)
+              .collectFirst { case u: UnresolvedRelation =>
+                u.multipartIdentifier.last }.getOrElse(n))
+          case None => n
+        }
+      val bn = baseName(relName)
+      graft.sources.GraftCatalog.lookup(bn).foreach { basePath =>
+        val bad = nonAppendVersions(spark, basePath)
+        require(bad.isEmpty,
+          s"readTableStream: view graft.$name aggregates the APPEND " +
+            s"feed of graft.$bn, but that table's history holds " +
+            s"non-append commits (${bad.take(3).map { case (v, op) =>
+              s"v$v=$op" }.mkString(", ")}${
+              if (bad.size > 3) ", …" else ""}) whose retractions/" +
+            "rewrites the feed cannot deliver — the streamed aggregate " +
+            "would silently diverge from the view's batch result. Use " +
+            "the row-level CDC feed (publishPendingRows/" +
+            "readRowChangeStream) with your own retraction logic, or " +
+            "MviewMaintenance.maintainView for continuous maintenance " +
+            "that reads the manifests instead of the feed")
+      }
+    }
     result
+  }
+
+  /** Versions of `table` whose commit is NOT pure row addition — file
+    * removals/rewrites (n_removed > 0: overwrite, compaction, restore,
+    * eager deletes) and row-level removals that move no file
+    * (delete-lazy, delete-vector, DV-backed update/merge). The oldest
+    * surviving version after retention (n_removed unknowable) is
+    * trusted only for the explicitly append-shaped ops. */
+  private[streaming] def nonAppendVersions(
+      spark: SparkSession, table: String): Seq[(Int, String)] = {
+    val rowRemovalOps = Set("delete-lazy", "delete-vector", "update",
+      "merge", "delete", "truncate", "restore")
+    ManifestTable.history(spark, table)
+      .select("version", "op", "n_removed")
+      .collect().toSeq.flatMap { r =>
+        val v = r.getInt(0); val op = r.getString(1)
+        val removed = if (r.isNullAt(2)) None else Some(r.getLong(2))
+        val bad = removed.exists(_ > 0) || rowRemovalOps(op) ||
+          (v > 1 && removed.isEmpty &&
+            !Set("append", "copy-into", "clone")(op))
+        if (bad) Some((v, op)) else None
+      }
   }
 
   /** Stop and forget the auto-pump a [[readTableStream]] call started

@@ -1,0 +1,144 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.SaveMode
+import graft.sources.{GraftCatalog, ManifestTable}
+import graft.streaming.{ChangeFeedStream, MviewMaintenance}
+
+/** Continuous MV maintenance (r19, VERDICT r18 ask #3): the change
+  * feed drives REFRESH … INCREMENTAL per microbatch. The invariants:
+  * the maintained image tracks the defining query through inserts,
+  * deletes AND updates (the feed is only a trigger — refreshes read
+  * the manifests, so the append-only feed caveat does not apply);
+  * stop/restart mid-stream converges to the batch refresh; and a
+  * non-qualifying view refuses at start. */
+class MviewMaintenanceSpec extends AnyFunSuite with SparkFixture {
+
+  private def tmp(tag: String): String =
+    java.nio.file.Files.createTempDirectory(s"graft_mvm_$tag").toString + "/t"
+
+  /** The deterministic tick: publish pending commits into each base's
+    * default feed dir, then drain the stream. */
+  private def pumpAndDrain(q: org.apache.spark.sql.streaming.StreamingQuery,
+                           basePaths: String*): Unit = {
+    basePaths.foreach(p =>
+      ChangeFeedStream.publishPending(spark, p, p.stripSuffix("/") + "/_changes"))
+    q.processAllAvailable()
+  }
+
+  private def image(mview: String): Seq[Seq[Any]] =
+    spark.sql(s"SELECT * FROM graft.$mview").collect().toSeq
+      .map(_.toSeq).sortBy(_.mkString("|"))
+
+  private def recompute(sql: String): Seq[Seq[Any]] =
+    spark.sql(sql).collect().toSeq.map(_.toSeq).sortBy(_.mkString("|"))
+
+  test("continuous maintenance tracks insert/update/delete and survives restart") {
+    import spark.implicits._
+    val bt = tmp("cont_b"); val mt = tmp("cont_m"); val cp = tmp("cont_cp")
+    ManifestTable.commit(spark, bt,
+      Seq((1L, "a", 10L), (2L, "a", 20L), (3L, "b", 30L))
+        .toDF("id", "grp", "v"), SaveMode.Overwrite)
+    GraftCatalog.register("mvm_base", bt)
+    val defSql =
+      "SELECT grp, count(*) AS n, sum(v) AS total FROM graft.mvm_base GROUP BY grp"
+    try {
+      spark.sql(s"CREATE MATERIALIZED VIEW graft.mvm_img LOCATION '$mt' AS $defSql")
+      val q = MviewMaintenance.maintainView(spark, "mvm_img", cp,
+        autoPump = false)
+      try {
+        // the CREATE snapshot itself reaches the feed → first tick
+        // self-primes the marker (mode=full) and lands the image
+        pumpAndDrain(q, bt)
+        assert(image("mvm_img") === recompute(defSql))
+        // INSERT: a new group appears, an old one grows
+        spark.sql("INSERT INTO graft.mvm_base VALUES (4, 'c', 40), (5, 'a', 50)")
+        pumpAndDrain(q, bt)
+        assert(image("mvm_img") === recompute(defSql))
+        // UPDATE + DELETE: the feed only carries added files, but the
+        // refresh reads the manifests — retractions land anyway
+        spark.sql("UPDATE graft.mvm_base SET v = 99 WHERE id = 2")
+        spark.sql("DELETE FROM graft.mvm_base WHERE id = 3")
+        pumpAndDrain(q, bt)
+        assert(image("mvm_img") === recompute(defSql))
+        assert(spark.sql(defSql).where("grp = 'b'").count() === 0)
+      } finally q.stop()
+      // churn WHILE the maintainer is down
+      spark.sql("INSERT INTO graft.mvm_base VALUES (6, 'b', 60)")
+      spark.sql("DELETE FROM graft.mvm_base WHERE id = 1")
+      // restart on the SAME checkpoint: the accumulated window drains
+      // in one refresh and the image converges to the batch recompute
+      val q2 = MviewMaintenance.maintainView(spark, "mvm_img", cp,
+        autoPump = false)
+      try {
+        pumpAndDrain(q2, bt)
+        assert(image("mvm_img") === recompute(defSql))
+        // a replayed/extra tick with no new commits is a noop — the
+        // image version must not advance
+        val v = ManifestTable.currentVersion(spark, mt)
+        pumpAndDrain(q2, bt)
+        assert(ManifestTable.currentVersion(spark, mt) === v,
+          "an idle tick must not publish a new image version")
+      } finally q2.stop()
+    } finally Seq("mvm_img", "mvm_base").foreach(GraftCatalog.unregister)
+  }
+
+  test("join view: dim-only churn wakes the refresh through the dim's feed") {
+    import spark.implicits._
+    val ft = tmp("j_f"); val dt = tmp("j_d"); val mt = tmp("j_m")
+    val cp = tmp("j_cp")
+    ManifestTable.commit(spark, ft,
+      Seq((1L, 10L, 5L), (2L, 20L, 7L), (3L, 10L, 11L))
+        .toDF("id", "dim_id", "v"), SaveMode.Overwrite)
+    ManifestTable.commit(spark, dt,
+      Seq((10L, "red"), (20L, "blue")).toDF("dim_id", "cat"),
+      SaveMode.Overwrite)
+    GraftCatalog.register("mvm_jf", ft)
+    GraftCatalog.register("mvm_jd", dt)
+    val defSql =
+      """SELECT d.cat AS cat, count(*) AS n, sum(f.v) AS total
+        |FROM graft.mvm_jf f JOIN graft.mvm_jd d ON f.dim_id = d.dim_id
+        |GROUP BY d.cat""".stripMargin
+    try {
+      spark.sql(s"CREATE MATERIALIZED VIEW graft.mvm_jimg LOCATION '$mt' AS $defSql")
+      val q = MviewMaintenance.maintainView(spark, "mvm_jimg", cp,
+        autoPump = false)
+      try {
+        pumpAndDrain(q, ft, dt)
+        assert(image("mvm_jimg") === recompute(defSql))
+        // DIM-only churn: the fact feed is silent; the dim feed must
+        // wake the refresh and relabel the whole red group
+        spark.sql("UPDATE graft.mvm_jd SET cat = 'green' WHERE dim_id = 10")
+        pumpAndDrain(q, ft, dt)
+        assert(image("mvm_jimg") === recompute(defSql))
+        assert(spark.sql("SELECT * FROM graft.mvm_jimg WHERE cat = 'green'")
+          .count() === 1)
+      } finally q.stop()
+    } finally Seq("mvm_jimg", "mvm_jf", "mvm_jd")
+      .foreach(GraftCatalog.unregister)
+  }
+
+  test("a non-qualifying view refuses at start, not per-tick") {
+    import spark.implicits._
+    val bt = tmp("ref_b"); val mt = tmp("ref_m")
+    ManifestTable.commit(spark, bt,
+      Seq((1L, "a", 10L)).toDF("id", "grp", "v"), SaveMode.Overwrite)
+    GraftCatalog.register("mvm_refb", bt)
+    try {
+      // a global aggregate does not qualify for incremental refresh
+      spark.sql(s"""CREATE MATERIALIZED VIEW graft.mvm_refimg LOCATION '$mt'
+        |AS SELECT count(*) AS n, sum(v) AS total FROM graft.mvm_refb""".stripMargin)
+      val e = intercept[IllegalArgumentException] {
+        MviewMaintenance.maintainView(spark, "mvm_refimg", tmp("ref_cp"),
+          autoPump = false)
+      }
+      assert(e.getMessage.contains("cannot maintain incrementally"))
+      // and a plain table (no defining query) refuses with its own message
+      val e2 = intercept[IllegalArgumentException] {
+        MviewMaintenance.maintainView(spark, "mvm_refb", tmp("ref_cp2"),
+          autoPump = false)
+      }
+      assert(e2.getMessage.contains("not a materialized view"))
+    } finally Seq("mvm_refimg", "mvm_refb").foreach(GraftCatalog.unregister)
+  }
+}

@@ -1,0 +1,185 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.SaveMode
+import graft.sources.{GraftCatalog, ManifestTable}
+
+/** r19 surfaces: the QUALIFY rewrite (both predicate forms, the
+  * CTAS/MV routes, the not-claimed shapes) and the append-only
+  * enforcement on watermarked aggregate view streams (ADVICE r18). */
+class Round19Spec extends AnyFunSuite with SparkFixture {
+  import spark.implicits._
+
+  private def tmp(tag: String): String =
+    java.nio.file.Files.createTempDirectory(s"graft_r19_$tag").toString + "/t"
+
+  test("QUALIFY window form equals the hand-written subquery spelling") {
+    Seq((1L, "a", 10L), (2L, "a", 20L), (3L, "a", 30L),
+        (4L, "b", 5L), (5L, "b", 50L))
+      .toDF("id", "grp", "v").createOrReplaceTempView("r19q")
+    val got = spark.sql(
+      """SELECT grp, id, v FROM r19q
+        |QUALIFY row_number() OVER (PARTITION BY grp ORDER BY v DESC) <= 2
+        |ORDER BY grp, v DESC""".stripMargin).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSeq
+    val want = spark.sql(
+      """SELECT grp, id, v FROM (
+        |  SELECT grp, id, v,
+        |    row_number() OVER (PARTITION BY grp ORDER BY v DESC) AS rn
+        |  FROM r19q) WHERE rn <= 2
+        |ORDER BY grp, v DESC""".stripMargin).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(got === want)
+    assert(got === Seq(("a", 3L, 30L), ("a", 2L, 20L),
+      ("b", 5L, 50L), ("b", 4L, 5L)))
+  }
+
+  test("QUALIFY alias form: the predicate names a SELECT alias, helper columns stay hidden") {
+    Seq((1L, "a", 10L), (2L, "a", 20L), (3L, "b", 30L))
+      .toDF("id", "grp", "v").createOrReplaceTempView("r19qa")
+    val out = spark.sql(
+      """SELECT grp, id, rank() OVER (PARTITION BY grp ORDER BY v DESC) AS rk
+        |FROM r19qa
+        |QUALIFY rk = 1
+        |ORDER BY grp""".stripMargin)
+    assert(out.columns.toSeq === Seq("grp", "id", "rk"),
+      "the rewrite must not leak helper columns")
+    assert(out.collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+      === Seq(("a", 2L), ("b", 3L)))
+    // GROUP BY ALL + alias-form QUALIFY in one statement (the DuckDB
+    // oracle can't combine them yet — pinned here against the
+    // subquery spelling instead)
+    val g = spark.sql(
+      """SELECT grp, count(*) AS n,
+        |  rank() OVER (ORDER BY count(*) DESC, grp) AS rk
+        |FROM r19qa GROUP BY ALL
+        |QUALIFY rk = 1""".stripMargin).collect()
+      .map(r => (r.getString(0), r.getLong(1))).toSeq
+    assert(g === Seq(("a", 2L)))
+  }
+
+  test("QUALIFY composes through CTAS, materialized views, and WITH queries") {
+    val t = tmp("ctas"); val mt = tmp("mv")
+    GraftCatalog.unregister("r19_top"); GraftCatalog.unregister("r19_mv")
+    Seq((1L, "a", 10L), (2L, "a", 20L), (3L, "b", 30L), (4L, "b", 3L))
+      .toDF("id", "grp", "v").createOrReplaceTempView("r19qc")
+    try {
+      spark.sql(
+        s"""CREATE TABLE graft.r19_top LOCATION '$t' AS
+           |SELECT grp, id, v FROM r19qc
+           |QUALIFY row_number() OVER (PARTITION BY grp ORDER BY v DESC) = 1""".stripMargin)
+      assert(spark.sql("SELECT id FROM graft.r19_top ORDER BY id")
+        .collect().map(_.getLong(0)).toSeq === Seq(2L, 3L))
+      spark.sql(
+        s"""CREATE MATERIALIZED VIEW graft.r19_mv LOCATION '$mt' AS
+           |SELECT grp, id, v FROM graft.r19_top
+           |QUALIFY rank() OVER (ORDER BY v DESC) = 1""".stripMargin)
+      spark.sql("REFRESH MATERIALIZED VIEW graft.r19_mv").collect()
+      assert(spark.sql("SELECT id FROM graft.r19_mv").collect()
+        .map(_.getLong(0)).toSeq === Seq(3L))
+      // WITH prefix: the CTE stays intact, the main query rewrites
+      val w = spark.sql(
+        """WITH c AS (SELECT grp, v FROM r19qc WHERE v > 5)
+          |SELECT grp, v FROM c
+          |QUALIFY row_number() OVER (PARTITION BY grp ORDER BY v) = 1
+          |ORDER BY grp""".stripMargin).collect()
+        .map(r => (r.getString(0), r.getLong(1))).toSeq
+      assert(w === Seq(("a", 10L), ("b", 30L)))
+    } finally Seq("r19_mv", "r19_top").foreach(GraftCatalog.unregister)
+  }
+
+  test("QUALIFY is not claimed inside string literals or subqueries; no-FROM refuses") {
+    Seq((1L, "QUALIFY me")).toDF("id", "note")
+      .createOrReplaceTempView("r19qs")
+    // the word inside a string literal / in data: statement untouched
+    assert(spark.sql("SELECT note FROM r19qs WHERE note = 'QUALIFY me'")
+      .count() === 1)
+    // a QUALIFY-free statement containing a subquery with ORDER/LIMIT
+    // still parses through the delegate untouched
+    assert(spark.sql(
+      "SELECT * FROM (SELECT id FROM r19qs LIMIT 1)").count() === 1)
+    val e = intercept[Exception](spark.sql("SELECT 1 QUALIFY true"))
+    assert(e.getMessage.contains("FROM"), e.getMessage)
+  }
+
+  test("MERGE WITH SCHEMA EVOLUTION widens the target by the source's new columns") {
+    val t = tmp("mevo")
+    GraftCatalog.unregister("r19_evo")
+    ManifestTable.commit(spark, t,
+      Seq((1L, "a", 10L), (2L, "b", 20L)).toDF("id", "grp", "v"),
+      SaveMode.Overwrite)
+    GraftCatalog.register("r19_evo", t)
+    Seq((2L, "B", 25L, "eu"), (3L, "c", 30L, "us"))
+      .toDF("id", "grp", "v", "region").createOrReplaceTempView("r19_evo_src")
+    try {
+      val filesBefore = ManifestTable.snapshotFiles(spark, t).toSet
+      spark.sql(
+        """MERGE WITH SCHEMA EVOLUTION INTO graft.r19_evo t
+          |USING r19_evo_src s ON t.id = s.id
+          |WHEN MATCHED THEN UPDATE SET *
+          |WHEN NOT MATCHED THEN INSERT *""".stripMargin)
+      val out = spark.sql(
+        "SELECT id, grp, v, region FROM graft.r19_evo ORDER BY id")
+        .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2),
+          Option(r.getString(3)))).toSeq
+      // row 1 untouched: the new column surfaces as NULL; rows 2/3
+      // carry real values
+      assert(out === Seq((1L, "a", 10L, None), (2L, "B", 25L, Some("eu")),
+        (3L, "c", 30L, Some("us"))))
+      // untouched files must not rewrite: evolution is metadata + the
+      // matched/inserted rows only
+      val filesAfter = ManifestTable.snapshotFiles(spark, t).toSet
+      assert(filesBefore.intersect(filesAfter).nonEmpty ||
+        filesBefore.isEmpty,
+        "evolution must not force a full-table rewrite")
+      // WITHOUT the clause, the same widening source refuses loudly
+      spark.sql("DELETE FROM graft.r19_evo WHERE id = 3")
+      Seq((4L, "d", 40L, "ap", true))
+        .toDF("id", "grp", "v", "region", "vip")
+        .createOrReplaceTempView("r19_evo_src2")
+      val e = intercept[Exception](spark.sql(
+        """MERGE INTO graft.r19_evo t
+          |USING r19_evo_src2 s ON t.id = s.id
+          |WHEN NOT MATCHED THEN INSERT *""".stripMargin))
+      assert(e.getMessage != null)
+    } finally GraftCatalog.unregister("r19_evo")
+  }
+
+  test("watermarked aggregate view stream refuses a base with non-append history (ADVICE r18)") {
+    import org.apache.spark.sql.functions.{col, to_timestamp}
+    import graft.streaming.ChangeFeedStream
+    val t = tmp("guard")
+    ManifestTable.commit(spark, t,
+      Seq((1L, "a", 10L, "2024-01-01 10:00:00"),
+          (2L, "b", 20L, "2024-01-01 10:01:00"))
+        .toDF("id", "cat", "v", "ts_s")
+        .withColumn("ts", to_timestamp(col("ts_s"))).drop("ts_s"))
+    GraftCatalog.register("r19_guard", t)
+    GraftCatalog.registerView("r19_guard_v",
+      "SELECT cat, count(*) AS n FROM graft.r19_guard GROUP BY cat")
+    try {
+      // append-only history: the watermarked aggregate view streams
+      val ok = ChangeFeedStream.readTableStream(spark, "graft.r19_guard_v",
+        autoPump = false, watermark = Some(("ts", "0 seconds")))
+      assert(ok.isStreaming)
+      // a DELETE enters the history: the feed can no longer represent
+      // the table to an aggregate — construction refuses with the
+      // row-level-CDC pointer
+      spark.sql("DELETE FROM graft.r19_guard WHERE id = 1")
+      val e = intercept[IllegalArgumentException](
+        ChangeFeedStream.readTableStream(spark, "graft.r19_guard_v",
+          autoPump = false, watermark = Some(("ts", "0 seconds"))))
+      assert(e.getMessage.contains("non-append") &&
+        e.getMessage.contains("readRowChangeStream"), e.getMessage)
+      // the plain (row-safe) view path is unaffected — per-row
+      // transforms over the feed never aggregate retractions
+      GraftCatalog.registerView("r19_guard_p",
+        "SELECT cat, v FROM graft.r19_guard WHERE v > 0")
+      assert(ChangeFeedStream.readTableStream(spark, "graft.r19_guard_p",
+        autoPump = false).isStreaming)
+    } finally {
+      Seq("r19_guard_v", "r19_guard_p").foreach(GraftCatalog.unregisterView)
+      GraftCatalog.unregister("r19_guard")
+    }
+  }
+}
