@@ -221,6 +221,48 @@ object GraftSqlParser {
     -1
   }
 
+  /** Start index (within `body`) of the set-operation branch the
+    * QUALIFY at `qAt` binds to: just past the LAST top-level
+    * UNION/INTERSECT/EXCEPT/MINUS (+ its ALL/DISTINCT modifier)
+    * before `qAt`, or -1 when the statement has no top-level set
+    * operation there. A set-op keyword is recognized only when a
+    * query term follows — SELECT/WITH/TABLE/VALUES, possibly behind
+    * parens — so `SELECT * EXCEPT (col) FROM …`'s projection
+    * modifier (a bare column list in parens) never matches and that
+    * statement claims/rewrites as ONE branch. */
+  private def lastSetOpBranch(body: String, qAt: Int): Int = {
+    def skipWs(i: Int): Int = {
+      var j = i
+      while (j < body.length && body.charAt(j).isWhitespace) j += 1
+      j
+    }
+    var best = -1
+    Seq("UNION", "INTERSECT", "EXCEPT", "MINUS").foreach { kw =>
+      var p = topLevelKeyword(body, kw)
+      while (p >= 0 && p < qAt) {
+        var j = skipWs(p + kw.length)
+        Seq("ALL", "DISTINCT").foreach { m =>
+          if (body.regionMatches(true, j, m, 0, m.length) &&
+              (j + m.length == body.length ||
+                !isIdentChar(body.charAt(j + m.length))))
+            j = skipWs(j + m.length)
+        }
+        // a query term, possibly parenthesized — skip paren/ws runs
+        // and expect a query-starting keyword
+        var k = j
+        while (k < body.length &&
+            (body.charAt(k) == '(' || body.charAt(k).isWhitespace)) k += 1
+        val branch = Seq("SELECT", "WITH", "TABLE", "VALUES").exists(w =>
+          body.regionMatches(true, k, w, 0, w.length) &&
+            (k + w.length == body.length ||
+              !isIdentChar(body.charAt(k + w.length))))
+        if (branch && j > best) best = j
+        p = topLevelKeyword(body, kw, p + kw.length)
+      }
+    }
+    best
+  }
+
   /** Rewrite a `SELECT … [FROM …] QUALIFY <pred> [ORDER BY …]
     * [LIMIT …]` statement into its QUALIFY-free expansion; returns
     * `sqlText` (reference-identical) when the statement carries no
@@ -230,9 +272,19 @@ object GraftSqlParser {
     * an extra column inside the original projection (windows are
     * legal there) and filter one level up; predicates that only
     * reference SELECT-list aliases/columns filter directly one level
-    * up, where the aliases are ordinary columns. ORDER BY/LIMIT after
-    * the QUALIFY stay on the OUTER query — they order/limit the
-    * filtered result, the QUALIFY contract. */
+    * up, where the aliases are ordinary columns. ORDER BY/LIMIT/
+    * OFFSET after the QUALIFY stay on the OUTER query — they
+    * order/limit the filtered result, the QUALIFY contract.
+    *
+    * In a set-operation statement (`… UNION ALL SELECT … QUALIFY …`)
+    * the QUALIFY binds to the LAST branch — the Snowflake/DuckDB
+    * reading, where QUALIFY is a clause of its SELECT — so everything
+    * up to that branch joins the untouched prefix. `SELECT DISTINCT`
+    * with a WINDOW-function predicate refuses: the helper column
+    * would both widen the distinct key and compute the window over
+    * pre-DISTINCT rows (QUALIFY's contract is post-DISTINCT);
+    * alias-only predicates stay claimed — they filter above the
+    * completed (deduplicated) SELECT. */
   private[graft] def rewriteQualify(sqlText: String): String = {
     val full = sqlText.replaceAll(";\\s*$", "")
     // the query part starts at the first top-level SELECT/WITH — 0 for
@@ -241,21 +293,30 @@ object GraftSqlParser {
     val selStart = Seq(topLevelKeyword(full, "SELECT"),
       topLevelKeyword(full, "WITH")).filter(_ >= 0).sorted.headOption
       .getOrElse(return sqlText)
-    val prefix = full.substring(0, selStart)
-    val body = full.substring(selStart)
+    val prefix0 = full.substring(0, selStart)
+    val body0 = full.substring(selStart)
+    val qAt0 = topLevelKeyword(body0, "QUALIFY")
+    if (qAt0 < 0) return sqlText
+    // set-operation statement: QUALIFY is a clause of the LAST branch
+    val branchAt = lastSetOpBranch(body0, qAt0)
+    val (prefix, body) =
+      if (branchAt < 0) (prefix0, body0)
+      else (prefix0 + body0.substring(0, branchAt),
+        body0.substring(branchAt))
     val qAt = topLevelKeyword(body, "QUALIFY")
-    if (qAt < 0) return sqlText
     val fromAt = topLevelKeyword(body, "FROM")
     if (fromAt < 0 || fromAt > qAt)
       throw new IllegalArgumentException(
         "QUALIFY needs a FROM clause to filter over — " +
           s"no top-level FROM precedes it in: $body")
-    // the predicate runs to the first top-level ORDER/LIMIT after it
-    // (window frames inside the predicate hide their ORDER BY behind
-    // parens); everything from there on belongs to the outer query
+    // the predicate runs to the first top-level ORDER/LIMIT/OFFSET
+    // after it (window frames inside the predicate hide their ORDER
+    // BY behind parens); everything from there on belongs to the
+    // outer query
     val afterPred = qAt + "QUALIFY".length
     val tailAt = Seq(topLevelKeyword(body, "ORDER", afterPred),
-      topLevelKeyword(body, "LIMIT", afterPred)).filter(_ >= 0)
+      topLevelKeyword(body, "LIMIT", afterPred),
+      topLevelKeyword(body, "OFFSET", afterPred)).filter(_ >= 0)
       .sorted.headOption.getOrElse(body.length)
     val pred = body.substring(afterPred, tailAt).trim
     val tail = body.substring(tailAt).trim
@@ -267,6 +328,23 @@ object GraftSqlParser {
     // depth 1) forces the compute-in-projection form
     val hasWindow = keywordOutsideQuotes(pred, "OVER") >= 0
     if (hasWindow) {
+      // SELECT DISTINCT + window predicate: the helper column would
+      // widen the distinct key AND compute the window before the
+      // dedup — both diverge from QUALIFY's post-DISTINCT contract
+      val selAt = topLevelKeyword(innerHead, "SELECT")
+      var da = selAt + "SELECT".length
+      while (da < innerHead.length && innerHead.charAt(da).isWhitespace)
+        da += 1
+      if (selAt >= 0 &&
+          innerHead.regionMatches(true, da, "DISTINCT", 0, 8) &&
+          (da + 8 == innerHead.length ||
+            !isIdentChar(innerHead.charAt(da + 8))))
+        throw new IllegalArgumentException(
+          "QUALIFY with a window-function predicate over SELECT " +
+            "DISTINCT is not supported — the window would compute " +
+            "over pre-DISTINCT rows. Alias the window function in " +
+            "the SELECT list and QUALIFY on the alias, or spell the " +
+            "DISTINCT in a subquery")
       // window predicate: compute it in the projection (where window
       // functions are legal), filter above, drop the helper column —
       // fromAt indexes into body and qAt > fromAt, so it indexes

@@ -102,6 +102,72 @@ class Round19Spec extends AnyFunSuite with SparkFixture {
     assert(e.getMessage.contains("FROM"), e.getMessage)
   }
 
+  test("QUALIFY binds to the LAST branch of a set operation") {
+    Seq((1L, "a", 10L), (2L, "a", 20L), (3L, "b", 30L), (4L, "b", 40L))
+      .toDF("id", "grp", "v").createOrReplaceTempView("r19qu")
+    // UNION ALL: the first branch passes through whole; QUALIFY
+    // filters only the second (the Snowflake/DuckDB branch binding);
+    // the trailing ORDER BY still orders the whole union
+    val got = spark.sql(
+      """SELECT id, v FROM r19qu WHERE grp = 'a'
+        |UNION ALL
+        |SELECT id, v FROM r19qu
+        |QUALIFY row_number() OVER (ORDER BY v DESC) = 1
+        |ORDER BY id""".stripMargin).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(got === Seq((1L, 10L), (2L, 20L), (4L, 40L)))
+    // window-form in the last branch of an INTERSECT chain
+    val i = spark.sql(
+      """SELECT id FROM r19qu WHERE v >= 20
+        |INTERSECT
+        |SELECT id FROM r19qu
+        |QUALIFY rank() OVER (ORDER BY v DESC) <= 2
+        |ORDER BY id""".stripMargin).collect().map(_.getLong(0)).toSeq
+    assert(i === Seq(3L, 4L))
+    // projection-modifier EXCEPT before FROM is NOT a set operation:
+    // the statement still claims and rewrites as one branch
+    val ex = spark.sql(
+      """SELECT * EXCEPT (grp) FROM r19qu
+        |QUALIFY row_number() OVER (PARTITION BY grp ORDER BY v) = 1
+        |ORDER BY id""".stripMargin)
+    assert(ex.columns.toSeq === Seq("id", "v"))
+    assert(ex.collect().map(_.getLong(0)).toSeq === Seq(1L, 3L))
+  }
+
+  test("QUALIFY: DISTINCT window-form refuses, alias form filters post-dedup, OFFSET rides the outer query") {
+    Seq((1L, "a", 10L), (1L, "a", 10L), (2L, "a", 20L), (3L, "b", 30L))
+      .toDF("id", "grp", "v").createOrReplaceTempView("r19qd")
+    val e = intercept[IllegalArgumentException](spark.sql(
+      """SELECT DISTINCT grp, v FROM r19qd
+        |QUALIFY row_number() OVER (PARTITION BY grp ORDER BY v) = 1""".stripMargin))
+    assert(e.getMessage.contains("DISTINCT"), e.getMessage)
+    // alias form: the window is an explicit SELECT-list column, the
+    // filter applies above the completed (deduplicated) SELECT
+    val a = spark.sql(
+      """SELECT DISTINCT grp, v,
+        |  rank() OVER (PARTITION BY grp ORDER BY v) AS rk
+        |FROM r19qd
+        |QUALIFY rk = 1
+        |ORDER BY grp""".stripMargin).collect()
+      .map(r => (r.getString(0), r.getLong(1))).toSeq
+    assert(a === Seq(("a", 10L), ("b", 30L)))
+    // OFFSET after QUALIFY belongs to the outer query, not the
+    // predicate
+    val o = spark.sql(
+      """SELECT id, v FROM r19qd
+        |QUALIFY row_number() OVER (ORDER BY v DESC, id) <= 3
+        |ORDER BY v DESC LIMIT 3 OFFSET 1""".stripMargin).collect()
+      .map(_.getLong(0)).toSeq
+    assert(o === Seq(2L, 1L))
+    // … including when OFFSET is the FIRST keyword after the
+    // predicate (no ORDER/LIMIT to terminate it first)
+    val bare = spark.sql(
+      """SELECT id, v FROM r19qd
+        |QUALIFY row_number() OVER (ORDER BY v DESC, id) <= 3
+        |OFFSET 1""".stripMargin).count()
+    assert(bare === 2L)
+  }
+
   test("MERGE WITH SCHEMA EVOLUTION widens the target by the source's new columns") {
     val t = tmp("mevo")
     GraftCatalog.unregister("r19_evo")
