@@ -230,16 +230,18 @@ object GraftSqlParser {
     * parens — so `SELECT * EXCEPT (col) FROM …`'s projection
     * modifier (a bare column list in parens) never matches and that
     * statement claims/rewrites as ONE branch. */
-  private def lastSetOpBranch(body: String, qAt: Int): Int = {
+  /** Every genuine top-level set-operation keyword in `body`, as
+    * (keyword start, following-branch start) pairs. */
+  private def setOps(body: String): Seq[(Int, Int)] = {
     def skipWs(i: Int): Int = {
       var j = i
       while (j < body.length && body.charAt(j).isWhitespace) j += 1
       j
     }
-    var best = -1
+    val found = Seq.newBuilder[(Int, Int)]
     Seq("UNION", "INTERSECT", "EXCEPT", "MINUS").foreach { kw =>
       var p = topLevelKeyword(body, kw)
-      while (p >= 0 && p < qAt) {
+      while (p >= 0) {
         var j = skipWs(p + kw.length)
         Seq("ALL", "DISTINCT").foreach { m =>
           if (body.regionMatches(true, j, m, 0, m.length) &&
@@ -256,12 +258,15 @@ object GraftSqlParser {
           body.regionMatches(true, k, w, 0, w.length) &&
             (k + w.length == body.length ||
               !isIdentChar(body.charAt(k + w.length))))
-        if (branch && j > best) best = j
+        if (branch) found += ((p, j))
         p = topLevelKeyword(body, kw, p + kw.length)
       }
     }
-    best
+    found.result().sortBy(_._1)
   }
+
+  private def lastSetOpBranch(body: String, qAt: Int): Int =
+    setOps(body).filter(_._1 < qAt).map(_._2).sorted.lastOption.getOrElse(-1)
 
   /** Rewrite a `SELECT … [FROM …] QUALIFY <pred> [ORDER BY …]
     * [LIMIT …]` statement into its QUALIFY-free expansion; returns
@@ -309,14 +314,18 @@ object GraftSqlParser {
       throw new IllegalArgumentException(
         "QUALIFY needs a FROM clause to filter over — " +
           s"no top-level FROM precedes it in: $body")
-    // the predicate runs to the first top-level ORDER/LIMIT/OFFSET
-    // after it (window frames inside the predicate hide their ORDER
-    // BY behind parens); everything from there on belongs to the
-    // outer query
+    // the predicate runs to the first top-level ORDER/LIMIT/OFFSET —
+    // or set-operation keyword, when a LATER branch follows this
+    // QUALIFY — after it (window frames inside the predicate hide
+    // their ORDER BY behind parens); everything from there on belongs
+    // to the outer query. A set-op tail re-enters the parser after
+    // this rewrite, so `… QUALIFY p1 UNION ALL … QUALIFY p2` claims
+    // branch by branch.
     val afterPred = qAt + "QUALIFY".length
-    val tailAt = Seq(topLevelKeyword(body, "ORDER", afterPred),
+    val tailAt = (Seq(topLevelKeyword(body, "ORDER", afterPred),
       topLevelKeyword(body, "LIMIT", afterPred),
-      topLevelKeyword(body, "OFFSET", afterPred)).filter(_ >= 0)
+      topLevelKeyword(body, "OFFSET", afterPred)).filter(_ >= 0) ++
+      setOps(body).map(_._1).filter(_ >= afterPred))
       .sorted.headOption.getOrElse(body.length)
     val pred = body.substring(afterPred, tailAt).trim
     val tail = body.substring(tailAt).trim
