@@ -213,7 +213,17 @@ object ChangeFeedStream {
     // a crashed LOST race can leave its tmp NESTED inside the winner's
     // range dir (rename-into-existing-dir) — sweep those too
     publishedRanges(spark, feedDir).foreach { case (_, p) => reclaimTmps(p) }
-    val batch = batchOf(last, head)
+    val batch0 = batchOf(last, head)
+    // a delete/metadata-only window diffs to ZERO rows and an empty
+    // 0-partition frame writes no part files at all — the file-source
+    // consumers would never SEE this range, so a trigger-style
+    // consumer (MviewMaintenance) sleeps straight through the commit
+    // and its image goes silently stale until the next row-adding
+    // churn. One empty partition forces one schema-only part file:
+    // zero rows for aggregate consumers (harmless), one new file for
+    // the source to fire a batch on (the wake-up signal)
+    val batch = if (batch0.rdd.getNumPartitions == 0)
+      batch0.repartition(1) else batch0
     val uuid = java.util.UUID.randomUUID().toString
     val tmp = new Path(dataDir, s".tmp-$uuid")
     batch.write.mode("overwrite").parquet(tmp.toString)

@@ -118,6 +118,56 @@ class MviewMaintenanceSpec extends AnyFunSuite with SparkFixture {
       .foreach(GraftCatalog.unregister)
   }
 
+  test("left-outer + HAVING view maintains continuously through null-extension flips") {
+    import spark.implicits._
+    val ft = tmp("lo_f"); val dt = tmp("lo_d"); val mt = tmp("lo_m")
+    val cp = tmp("lo_cp")
+    ManifestTable.commit(spark, ft,
+      Seq((1L, 10L, 5L), (2L, 20L, 7L), (3L, 30L, 11L), (4L, 10L, 2L))
+        .toDF("id", "dim_id", "v"), SaveMode.Overwrite)
+    // dim_id 30 is missing: row 3 starts null-extended
+    ManifestTable.commit(spark, dt,
+      Seq((10L, "red"), (20L, "blue")).toDF("dim_id", "cat"),
+      SaveMode.Overwrite)
+    GraftCatalog.register("mvm_lof", ft)
+    GraftCatalog.register("mvm_lod", dt)
+    // LEFT OUTER + HAVING: both r19 batch qualification surfaces under
+    // the continuous loop at once
+    val defSql =
+      """SELECT d.cat AS cat, count(*) AS n, sum(f.v) AS total
+        |FROM graft.mvm_lof f LEFT JOIN graft.mvm_lod d
+        |  ON f.dim_id = d.dim_id
+        |GROUP BY d.cat HAVING count(*) >= 1""".stripMargin
+    try {
+      spark.sql(s"CREATE MATERIALIZED VIEW graft.mvm_loimg LOCATION '$mt' AS $defSql")
+      val q = MviewMaintenance.maintainView(spark, "mvm_loimg", cp,
+        autoPump = false)
+      try {
+        pumpAndDrain(q, ft, dt)
+        assert(image("mvm_loimg") === recompute(defSql))
+        // the NULL group exists (row 3)
+        assert(spark.sql("SELECT * FROM graft.mvm_loimg WHERE cat IS NULL")
+          .count() === 1)
+        // dim arrival: row 3 flips null-extended → matched
+        spark.sql("INSERT INTO graft.mvm_lod VALUES (30, 'teal')")
+        pumpAndDrain(q, ft, dt)
+        assert(image("mvm_loimg") === recompute(defSql))
+        assert(spark.sql("SELECT * FROM graft.mvm_loimg WHERE cat IS NULL")
+          .count() === 0)
+        // dim departure: rows 1 and 4 flip matched → null-extended,
+        // the red group leaves the image entirely
+        spark.sql("DELETE FROM graft.mvm_lod WHERE dim_id = 10")
+        pumpAndDrain(q, ft, dt)
+        assert(image("mvm_loimg") === recompute(defSql))
+        assert(spark.sql("SELECT n FROM graft.mvm_loimg WHERE cat IS NULL")
+          .collect().map(_.getLong(0)).toSeq === Seq(2L))
+        assert(spark.sql("SELECT * FROM graft.mvm_loimg WHERE cat = 'red'")
+          .count() === 0)
+      } finally q.stop()
+    } finally Seq("mvm_loimg", "mvm_lof", "mvm_lod")
+      .foreach(GraftCatalog.unregister)
+  }
+
   test("a non-qualifying view refuses at start, not per-tick") {
     import spark.implicits._
     val bt = tmp("ref_b"); val mt = tmp("ref_m")

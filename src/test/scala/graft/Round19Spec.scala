@@ -124,6 +124,18 @@ class Round19Spec extends AnyFunSuite with SparkFixture {
         |QUALIFY rank() OVER (ORDER BY v DESC) <= 2
         |ORDER BY id""".stripMargin).collect().map(_.getLong(0)).toSeq
     assert(i === Seq(3L, 4L))
+    // QUALIFY in EVERY branch: the predicate terminates at the next
+    // set-op keyword and the rewrite claims branch by branch through
+    // the re-entrant parse
+    val both = spark.sql(
+      """SELECT id, v FROM r19qu WHERE grp = 'a'
+        |QUALIFY row_number() OVER (ORDER BY v) = 1
+        |UNION ALL
+        |SELECT id, v FROM r19qu WHERE grp = 'b'
+        |QUALIFY row_number() OVER (ORDER BY v DESC) = 1
+        |ORDER BY id""".stripMargin).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(both === Seq((1L, 10L), (4L, 40L)))
     // projection-modifier EXCEPT before FROM is NOT a set operation:
     // the statement still claims and rewrites as one branch
     val ex = spark.sql(
