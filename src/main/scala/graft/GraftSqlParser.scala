@@ -45,14 +45,15 @@ class GraftSqlParser(delegate: ParserInterface) extends ParserInterface {
 
   override def parsePlan(sqlText: String): LogicalPlan = {
     // QUALIFY (r19, VERDICT r18 ask #7): filter on window-function
-    // results without the subquery spelling. Claimed only for plain
-    // SELECT/WITH statements carrying a TOP-LEVEL (paren-depth-0,
-    // quote-aware) QUALIFY; the rewrite is the textbook expansion —
-    // compute the predicate as an extra projected column, filter one
-    // level up, drop the helper — after which the statement re-enters
-    // this parser QUALIFY-free. GROUP BY ALL needs no help here:
-    // Spark's own parser accepts it (q_group_by_all judges it).
-    val rewritten = rewriteQualify(sqlText)
+    // results without the subquery spelling. Claimed for SELECT/WITH
+    // statements carrying a QUALIFY at their own level — or inside a
+    // parenthesized subquery / CTE body (the deep variant, quote- and
+    // comment-aware); the rewrite is the textbook expansion — compute
+    // the predicate as an extra projected column, filter one level
+    // up, drop the helper — after which the statement re-enters this
+    // parser QUALIFY-free. GROUP BY ALL needs no help here: Spark's
+    // own parser accepts it (q_group_by_all judges it).
+    val rewritten = rewriteQualifyDeep(sqlText)
     if (rewritten ne sqlText) return parsePlan(rewritten)
     parsePlanClaimed(sqlText)
   }
@@ -181,7 +182,7 @@ class GraftSqlParser(delegate: ParserInterface) extends ParserInterface {
     // QUALIFY expands here too — materialized-view definitions,
     // REPLACE WHERE bodies, and CTAS queries all parse through
     // parseQuery (r19)
-    val rewritten = GraftSqlParser.rewriteQualify(sqlText)
+    val rewritten = GraftSqlParser.rewriteQualifyDeep(sqlText)
     if (rewritten ne sqlText) parseQuery(rewritten)
     else delegate.parseQuery(sqlText)
   }
@@ -195,31 +196,78 @@ class GraftSqlParser(delegate: ParserInterface) extends ParserInterface {
 
 object GraftSqlParser {
 
-  /** Index of the first whole-token occurrence of `kw` at paren-depth
-    * ZERO and outside string/identifier quotes, scanning from `from`;
-    * -1 when absent. The subquery-blind twin of
-    * [[keywordOutsideQuotes]]: a QUALIFY/FROM inside `(SELECT …)` or a
-    * CTE body sits at depth ≥ 1 and never matches. */
-  private def topLevelKeyword(s: String, kw: String, from: Int = 0): Int = {
+  /** Scan `s` from `from` visiting only REAL CODE — skipping string
+    * literals (`'…'` with backslash AND doubled-quote escapes, `"…"`),
+    * backtick identifiers, `-- …` line comments and (nested) `/* */`
+    * block comments — calling `check(i, depth)` at each code index
+    * with the current paren depth. Returns the first index where
+    * `check` is true, -1 when none. The shared scanner under every
+    * statement-splitting helper here: a keyword inside a literal,
+    * comment, or identifier must never split a statement. */
+  private def scanCode(s: String, from: Int)(
+      check: (Int, Int) => Boolean): Int = {
     var i = math.max(from, 0)
     var depth = 0
-    var quote: Char = 0
     val n = s.length
-    val kl = kw.length
     while (i < n) {
       val c = s.charAt(i)
-      if (quote != 0) { if (c == quote) quote = 0; i += 1 }
-      else if (c == '\'' || c == '"' || c == '`') { quote = c; i += 1 }
-      else if (c == '(') { depth += 1; i += 1 }
-      else if (c == ')') { depth -= 1; i += 1 }
-      else if (depth == 0 && i + kl <= n &&
-          s.regionMatches(true, i, kw, 0, kl) &&
-          (i == 0 || !isIdentChar(s.charAt(i - 1))) &&
-          (i + kl == n || !isIdentChar(s.charAt(i + kl)))) return i
-      else i += 1
+      if (c == '\'' || c == '"') { // string literal; \x and '' escape
+        val q = c; i += 1
+        var done = false
+        while (i < n && !done) {
+          val d = s.charAt(i)
+          if (d == '\\' && i + 1 < n) i += 2
+          else if (d == q && i + 1 < n && s.charAt(i + 1) == q) i += 2
+          else if (d == q) { i += 1; done = true }
+          else i += 1
+        }
+      } else if (c == '`') { // identifier run (`` escapes a backtick)
+        i += 1
+        var done = false
+        while (i < n && !done) {
+          if (s.charAt(i) == '`' &&
+              i + 1 < n && s.charAt(i + 1) == '`') i += 2
+          else if (s.charAt(i) == '`') { i += 1; done = true }
+          else i += 1
+        }
+      } else if (c == '-' && i + 1 < n && s.charAt(i + 1) == '-') {
+        while (i < n && s.charAt(i) != '\n') i += 1
+      } else if (c == '/' && i + 1 < n && s.charAt(i + 1) == '*') {
+        var lvl = 1; i += 2 // Spark treats bracketed comments as nested
+        while (i < n && lvl > 0) {
+          if (i + 1 < n && s.charAt(i) == '/' && s.charAt(i + 1) == '*') {
+            lvl += 1; i += 2
+          } else if (i + 1 < n && s.charAt(i) == '*' &&
+              s.charAt(i + 1) == '/') { lvl -= 1; i += 2 }
+          else i += 1
+        }
+      } else if (c == '(') {
+        if (check(i, depth)) return i
+        depth += 1; i += 1
+      } else if (c == ')') {
+        depth -= 1
+        if (check(i, depth)) return i
+        i += 1
+      } else {
+        if (check(i, depth)) return i
+        i += 1
+      }
     }
     -1
   }
+
+  private def kwAt(s: String, i: Int, kw: String): Boolean =
+    i + kw.length <= s.length && s.regionMatches(true, i, kw, 0, kw.length) &&
+      (i == 0 || !isIdentChar(s.charAt(i - 1))) &&
+      (i + kw.length == s.length || !isIdentChar(s.charAt(i + kw.length)))
+
+  /** Index of the first whole-token occurrence of `kw` at paren-depth
+    * ZERO in real code, scanning from `from`; -1 when absent. The
+    * subquery-blind twin of [[keywordOutsideQuotes]]: a QUALIFY/FROM
+    * inside `(SELECT …)` or a CTE body sits at depth ≥ 1 and never
+    * matches. */
+  private def topLevelKeyword(s: String, kw: String, from: Int = 0): Int =
+    scanCode(s, from)((i, d) => d == 0 && kwAt(s, i, kw))
 
   /** Start index (within `body`) of the set-operation branch the
     * QUALIFY at `qAt` binds to: just past the LAST top-level
@@ -368,6 +416,64 @@ object GraftSqlParser {
         s"WHERE ( $pred ) $tail"
   }
 
+  /** All code-level parenthesis positions of `s`, in order. */
+  private def codeParens(s: String): Seq[(Int, Char)] = {
+    val b = Seq.newBuilder[(Int, Char)]
+    scanCode(s, 0) { (i, _) =>
+      val c = s.charAt(i)
+      if (c == '(' || c == ')') b += ((i, c))
+      false
+    }
+    b.result()
+  }
+
+  /** [[rewriteQualify]] extended past the statement's own level:
+    * QUALIFY inside a parenthesized subquery — a CTE body, a derived
+    * table, an EXISTS/IN subquery — rewrites IN PLACE by applying the
+    * single-level expansion to the content of its innermost enclosing
+    * paren group (where that QUALIFY sits at top level). Iterates
+    * until no claimable QUALIFY remains; an unclaimable one (its
+    * group holds no SELECT/WITH) is left for the delegate's error. */
+  private[graft] def rewriteQualifyDeep(sqlText: String): String = {
+    var cur = sqlText
+    var progress = true
+    while (progress) {
+      progress = false
+      val top = rewriteQualify(cur)
+      if (top ne cur) { cur = top; progress = true }
+      else {
+        val q = keywordOutsideQuotes(cur, "QUALIFY")
+        if (q >= 0) {
+          val parens = codeParens(cur)
+          // innermost code-level open paren still unclosed at q
+          var stack = List.empty[Int]
+          parens.takeWhile(_._1 < q).foreach {
+            case (i, '(') => stack = i :: stack
+            case _ => if (stack.nonEmpty) stack = stack.tail
+          }
+          stack.headOption.foreach { open =>
+            var depth = 0; var close = -1
+            parens.dropWhile(_._1 < open).foreach { case (i, c) =>
+              if (close < 0) {
+                if (c == '(') depth += 1
+                else { depth -= 1; if (depth == 0) close = i }
+              }
+            }
+            if (close > q) {
+              val inner = cur.substring(open + 1, close)
+              val rw = rewriteQualify(inner)
+              if (rw ne inner) {
+                cur = cur.substring(0, open + 1) + rw + cur.substring(close)
+                progress = true
+              }
+            }
+          }
+        }
+      }
+    }
+    cur
+  }
+
   /** Split a partition-spec list on TOP-LEVEL commas only — a
     * transform like `bucket(4, id)` carries its own comma. */
   private def splitSpec(s: String): Seq[String] = {
@@ -397,27 +503,14 @@ object GraftSqlParser {
     * (doubled '' escapes toggle in-and-back-in, which is equivalent
     * for boundary finding); -1 when absent. The quote-aware twin of
     * [[splitSpec]]'s paren tracking (ADVICE r14). */
-  private def keywordOutsideQuotes(s: String, kw: String): Int = {
-    var i = 0
-    // 0 = outside; otherwise the delimiter we're inside of. Spark SQL
-    // treats "…" as a string literal by default (spark.sql.parser
-    // .quotedRegexColumnNames off) and `…` as an identifier run — a
-    // keyword inside EITHER must not split the statement (ADVICE r15;
-    // the single-quote-only scan was the original r14 fix)
-    var quote: Char = 0
-    val n = s.length
-    val kl = kw.length
-    while (i < n) {
-      val c = s.charAt(i)
-      if (quote != 0) { if (c == quote) quote = 0; i += 1 }
-      else if (c == '\'' || c == '"' || c == '`') { quote = c; i += 1 }
-      else if (i + kl <= n && s.regionMatches(true, i, kw, 0, kl) &&
-          (i == 0 || !isIdentChar(s.charAt(i - 1))) &&
-          (i + kl == n || !isIdentChar(s.charAt(i + kl)))) return i
-      else i += 1
-    }
-    -1
-  }
+  /** First whole-token occurrence of `kw` in real code at ANY depth
+    * (the depth-blind twin of [[topLevelKeyword]]). Spark SQL treats
+    * "…" as a string literal by default and `…` as an identifier run —
+    * a keyword inside either, or inside a comment, must not split the
+    * statement (ADVICE r15; comment/escape awareness r19 via
+    * [[scanCode]]). */
+  private def keywordOutsideQuotes(s: String, kw: String): Int =
+    scanCode(s, 0)((i, _) => kwAt(s, i, kw))
 
   // (?i) case-insensitive, (?s) dot-matches-newline; names are either
   // the bare identifier shape (GraftCatalog normalizes case) or a

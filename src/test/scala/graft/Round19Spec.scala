@@ -180,6 +180,35 @@ class Round19Spec extends AnyFunSuite with SparkFixture {
     assert(bare === 2L)
   }
 
+  test("QUALIFY claims inside CTE bodies and derived tables; comments and literals never mis-claim") {
+    Seq((1L, "a", 10L), (2L, "a", 20L), (3L, "b", 30L), (4L, "b", 40L))
+      .toDF("id", "grp", "v").createOrReplaceTempView("r19qn")
+    // CTE body (Snowflake/DuckDB allow QUALIFY there; the deep claim
+    // rewrites the body in place)
+    val cte = spark.sql(
+      """WITH top AS (
+        |  SELECT grp, id, v FROM r19qn
+        |  QUALIFY row_number() OVER (PARTITION BY grp ORDER BY v DESC) = 1)
+        |SELECT grp, id FROM top ORDER BY grp""".stripMargin).collect()
+      .map(r => (r.getString(0), r.getLong(1))).toSeq
+    assert(cte === Seq(("a", 2L), ("b", 4L)))
+    // derived table
+    val dt = spark.sql(
+      """SELECT t.id FROM (
+        |  SELECT id, v FROM r19qn
+        |  QUALIFY rank() OVER (ORDER BY v DESC) <= 2) t
+        |ORDER BY t.id""".stripMargin).collect().map(_.getLong(0)).toSeq
+    assert(dt === Seq(3L, 4L))
+    // the word QUALIFY inside a line comment, a block comment, and a
+    // string literal must never be claimed as the clause
+    assert(spark.sql(
+      "SELECT id FROM r19qn -- QUALIFY is just a word here\nORDER BY id")
+      .count() === 4)
+    assert(spark.sql(
+      "SELECT 'QUALIFY' AS w /* QUALIFY inside /* nested */ comment */ FROM r19qn")
+      .count() === 4)
+  }
+
   test("MERGE WITH SCHEMA EVOLUTION widens the target by the source's new columns") {
     val t = tmp("mevo")
     GraftCatalog.unregister("r19_evo")
