@@ -258,7 +258,9 @@ object GraftSqlParser {
 
   private def kwAt(s: String, i: Int, kw: String): Boolean =
     i + kw.length <= s.length && s.regionMatches(true, i, kw, 0, kw.length) &&
-      (i == 0 || !isIdentChar(s.charAt(i - 1))) &&
+      // a '.'-qualified name part (t.qualify, db.from) is never a
+      // clause keyword
+      (i == 0 || (!isIdentChar(s.charAt(i - 1)) && s.charAt(i - 1) != '.')) &&
       (i + kw.length == s.length || !isIdentChar(s.charAt(i + kw.length)))
 
   /** Index of the first whole-token occurrence of `kw` at paren-depth
@@ -348,20 +350,37 @@ object GraftSqlParser {
       .getOrElse(return sqlText)
     val prefix0 = full.substring(0, selStart)
     val body0 = full.substring(selStart)
-    val qAt0 = topLevelKeyword(body0, "QUALIFY")
-    if (qAt0 < 0) return sqlText
+    // try each top-level QUALIFY occurrence: Spark has no QUALIFY of
+    // its own, so pre-r19 statements may use the word as an
+    // IDENTIFIER (a column `SELECT qualify FROM t`, a table `FROM
+    // qualify`) — a rejected candidate falls through to the next
+    // occurrence, and a statement with only identifier uses reaches
+    // the delegate untouched
+    var qAt0 = topLevelKeyword(body0, "QUALIFY")
+    while (qAt0 >= 0) {
+      claimAt(prefix0, body0, qAt0) match {
+        case Some(rw) => return rw
+        case None =>
+          qAt0 = topLevelKeyword(body0, "QUALIFY", qAt0 + "QUALIFY".length)
+      }
+    }
+    sqlText
+  }
+
+  /** One claim attempt at the QUALIFY occurrence `qAt0` (an index into
+    * `body0`); None when that occurrence is identifier usage. */
+  private def claimAt(prefix0: String, body0: String,
+                      qAt0: Int): Option[String] = {
     // set-operation statement: QUALIFY is a clause of the LAST branch
     val branchAt = lastSetOpBranch(body0, qAt0)
-    val (prefix, body) =
-      if (branchAt < 0) (prefix0, body0)
+    val (prefix, body, qAt) =
+      if (branchAt < 0) (prefix0, body0, qAt0)
       else (prefix0 + body0.substring(0, branchAt),
-        body0.substring(branchAt))
-    val qAt = topLevelKeyword(body, "QUALIFY")
+        body0.substring(branchAt), qAt0 - branchAt)
     val fromAt = topLevelKeyword(body, "FROM")
-    if (fromAt < 0 || fromAt > qAt)
-      throw new IllegalArgumentException(
-        "QUALIFY needs a FROM clause to filter over — " +
-          s"no top-level FROM precedes it in: $body")
+    // a QUALIFY before any FROM is select-list position — an
+    // identifier, never the clause
+    if (fromAt < 0 || fromAt > qAt) return None
     // the predicate runs to the first top-level ORDER/LIMIT/OFFSET —
     // or set-operation keyword, when a LATER branch follows this
     // QUALIFY — after it (window frames inside the predicate hide
@@ -377,43 +396,92 @@ object GraftSqlParser {
       .sorted.headOption.getOrElse(body.length)
     val pred = body.substring(afterPred, tailAt).trim
     val tail = body.substring(tailAt).trim
-    if (pred.isEmpty) throw new IllegalArgumentException(
-      "QUALIFY needs a predicate")
+    // identifier-usage guards (pre-r19 compatibility): a bare `FROM
+    // qualify` leaves an EMPTY predicate, or one that "starts" with
+    // the next clause of ITS query (WHERE/GROUP/JOIN/alias keywords)
+    // or with an operator character from a comparison like
+    // `WHERE t2.qualify = 1`; a real QUALIFY predicate starts with an
+    // expression. The clause keywords are checked as non-function
+    // tokens (LEFT(x,1) is the string function; LEFT JOIN the clause)
+    if (pred.isEmpty || "=<>!%*/+,)-.".contains(pred.charAt(0)))
+      return None
+    val identFollowers = Seq("WHERE", "GROUP", "HAVING", "WINDOW",
+      "JOIN", "LEFT", "RIGHT", "FULL", "INNER", "CROSS", "NATURAL",
+      "AS", "ON", "USING", "DESC", "ASC", "NULLS", "LATERAL",
+      "TABLESAMPLE", "PIVOT", "UNPIVOT",
+      // `FROM qualify QUALIFY <pred>`: the table-name occurrence's
+      // "predicate" starts with the REAL clause keyword — reject the
+      // table-name candidate, the iteration claims the clause next
+      "QUALIFY")
+    val firstTokEnd = {
+      var e = 0
+      while (e < pred.length && isIdentChar(pred.charAt(e))) e += 1
+      e
+    }
+    val firstTok = pred.substring(0, firstTokEnd)
+    if (identFollowers.exists(_.equalsIgnoreCase(firstTok)) && {
+        var j = firstTokEnd
+        while (j < pred.length && pred.charAt(j).isWhitespace) j += 1
+        j >= pred.length || pred.charAt(j) != '(' // LEFT( = function
+      }) return None
     val innerHead = body.substring(0, qAt) // SELECT … [GROUP BY …]
-    // a window function ANYWHERE in the predicate (even inside parens
-    // — `rank() OVER (…) = 1` puts OVER at depth 0 but its frame at
-    // depth 1) forces the compute-in-projection form
-    val hasWindow = keywordOutsideQuotes(pred, "OVER") >= 0
-    if (hasWindow) {
-      // SELECT DISTINCT + window predicate: the helper column would
-      // widen the distinct key AND compute the window before the
-      // dedup — both diverge from QUALIFY's post-DISTINCT contract
+    // head-shape flags the two claim forms depend on
+    val distinctHead = {
       val selAt = topLevelKeyword(innerHead, "SELECT")
       var da = selAt + "SELECT".length
       while (da < innerHead.length && innerHead.charAt(da).isWhitespace)
         da += 1
-      if (selAt >= 0 &&
-          innerHead.regionMatches(true, da, "DISTINCT", 0, 8) &&
-          (da + 8 == innerHead.length ||
-            !isIdentChar(innerHead.charAt(da + 8))))
+      selAt >= 0 &&
+        innerHead.regionMatches(true, da, "DISTINCT", 0, 8) &&
+        (da + 8 == innerHead.length ||
+          !isIdentChar(innerHead.charAt(da + 8)))
+    }
+    val groupByAll = {
+      val gAt = topLevelKeyword(innerHead, "GROUP", fromAt)
+      gAt >= 0 && {
+        val rest = innerHead.substring(gAt + "GROUP".length)
+          .dropWhile(_.isWhitespace)
+        rest.regionMatches(true, 0, "BY", 0, 2) && {
+          val r2 = rest.substring(2).dropWhile(_.isWhitespace)
+          r2.regionMatches(true, 0, "ALL", 0, 3) &&
+            (r2.length == 3 || !isIdentChar(r2.charAt(3)))
+        }
+      }
+    }
+    // a window function ANYWHERE in the predicate (even inside parens
+    // — `rank() OVER (…) = 1` puts OVER at depth 0 but its frame at
+    // depth 1) can only compute inside the projection
+    val hasWindow = keywordOutsideQuotes(pred, "OVER") >= 0
+    Some(if (distinctHead || groupByAll) {
+      // DISTINCT / GROUP BY ALL heads: the helper column must not
+      // join the projection (it would widen the distinct key /
+      // the inferred grouping set), so the predicate filters one
+      // level up — where only SELECT-list aliases are visible. A
+      // window inside the predicate is unplaceable there: refuse
+      // with the alias spelling
+      if (hasWindow)
         throw new IllegalArgumentException(
           "QUALIFY with a window-function predicate over SELECT " +
-            "DISTINCT is not supported — the window would compute " +
-            "over pre-DISTINCT rows. Alias the window function in " +
-            "the SELECT list and QUALIFY on the alias, or spell the " +
-            "DISTINCT in a subquery")
-      // window predicate: compute it in the projection (where window
-      // functions are legal), filter above, drop the helper column —
-      // fromAt indexes into body and qAt > fromAt, so it indexes
-      // innerHead too
+            "DISTINCT or GROUP BY ALL is not supported — the helper " +
+            "column would widen the distinct key / join the inferred " +
+            "grouping set. Alias the window function in the SELECT " +
+            "list and QUALIFY on the alias, or spell the " +
+            "DISTINCT/GROUP BY in a subquery")
+      prefix + s"SELECT * FROM ( $innerHead ) __graft_qualify_sub " +
+        s"WHERE ( $pred ) $tail"
+    } else {
+      // compute the predicate as a helper column inside the original
+      // projection — window functions are legal there, lateral
+      // column aliases resolve references to SELECT-list aliases
+      // (window and aggregate aliases included), and base columns
+      // are still in scope — then filter above and drop the helper.
+      // One form for window AND alias/column predicates; fromAt
+      // indexes into body and qAt > fromAt, so it indexes innerHead
       val augmented = innerHead.substring(0, fromAt) +
         s", ($pred) AS __graft_qualify " + innerHead.substring(fromAt)
       prefix + s"SELECT * EXCEPT (__graft_qualify) FROM ( $augmented ) " +
         s"__graft_qualify_sub WHERE __graft_qualify $tail"
-    } else
-      // alias/column predicate: one level up the aliases are columns
-      prefix + s"SELECT * FROM ( $innerHead ) __graft_qualify_sub " +
-        s"WHERE ( $pred ) $tail"
+    })
   }
 
   /** All code-level parenthesis positions of `s`, in order. */
