@@ -404,12 +404,21 @@ object ManifestTable {
   private def cacheStore(key: (String, Int), e: CachedManifest): Unit =
     manifestTextCache.put(key, e)
 
+  /** A version's manifest is gone — expired by retention or never
+    * committed. A DEDICATED IllegalArgumentException subtype so
+    * callers that can legitimately degrade (the incremental MV
+    * refresh falling back to full when retention races its
+    * availability check) catch exactly this and nothing else —
+    * a blanket IAE catch also swallows real bugs (ADVICE r18). */
+  final class ExpiredVersionException(msg: String)
+    extends IllegalArgumentException(msg)
+
   private def manifestText(spark: SparkSession, table: String, v: Int): String = {
     val p = manifestPath(table, v)
     val st =
       try fs(spark, p).getFileStatus(p)
       catch {
-        case _: java.io.FileNotFoundException => throw new IllegalArgumentException(
+        case _: java.io.FileNotFoundException => throw new ExpiredVersionException(
           s"requirement failed: version $v of $table is expired or was never committed")
       }
     val cached = cacheLookup((table, v))
@@ -1312,6 +1321,27 @@ object ManifestTable {
                                      len: Long, mtime: Long, ords: Long)
   private val dvCache = // ≤ 16M decoded ordinals resident
     new BoundedLru[(String, Int), CachedDvs](16000000L, _.ords)
+
+  /** True when version `v`'s commit removed ROWS without removing
+    * files — its deletion-vector or tombstone state differs from the
+    * parent's (delete-lazy, delete-vector, DV-backed update/merge).
+    * The row-removal evidence the append-only stream guard
+    * ([[graft.streaming.ChangeFeedStream]]) consults for versions
+    * whose FILE census looks append-clean: op names alone over-refuse
+    * (an insert-only MERGE or a zero-match DELETE is append-safe).
+    * Manifest reads ride the text cache. Throws
+    * [[ExpiredVersionException]] when the parent manifest is gone —
+    * callers treat unknowable as unsafe. */
+  private[graft] def rowStateShrunkAt(spark: SparkSession, table: String,
+                                      v: Int): Boolean =
+    v > 1 && {
+      val cur = manifestText(spark, table, v)
+      val par = manifestText(spark, table, v - 1)
+      def tombMap(t: String): Map[String, Set[String]] =
+        tombstonesFromText(t).map { case (k, vs) => k -> vs.toSet }.toMap
+      dvsFromText(cur) != dvsFromText(par) ||
+        tombMap(cur) != tombMap(par)
+    }
 
   private def dvsFromText(text: String): Map[String, Seq[Long]] =
     "\"dvsB64\"\\s*:\\s*\\{([^}]*)\\}".r.findFirstMatchIn(text)

@@ -364,13 +364,18 @@ private[graft] object MviewIncremental {
     val churned = markers.filter { case (n, _) => recByName(n) < vs(n) }
     if (churned.isEmpty)
       (ManifestTable.currentVersion(session, mviewPath), "noop")
-    else if (markers.exists { case (n, p) =>
+    else if (churned.exists { case (n, p) =>
         !ManifestTable.versions(session, p).contains(recByName(n)) })
-      // a marker-version manifest expired out of retention: the deltas
-      // and marker pins are unbuildable — the honest full refresh. An
-      // EXPLICIT availability check, not a catch: the old blanket
-      // IllegalArgumentException handler around the whole rescan also
-      // swallowed real bugs in the term machinery (ADVICE r18)
+      // a churned table's marker-version manifest expired out of
+      // retention: the deltas and marker pins are unbuildable — the
+      // honest full refresh. Only CHURNED tables are listed (an
+      // unchurned marker equals the head, which exists by
+      // definition) — one less O(versions) listing per unchurned
+      // base per refresh. An EXPLICIT availability check, not a
+      // catch: the old blanket IllegalArgumentException handler
+      // around the whole rescan also swallowed real bugs in the term
+      // machinery (ADVICE r18); the narrow ExpiredVersionException
+      // net below covers only the check-to-read retention race
       (fullRefresh(session, mviewPath, sql), "full")
     else {
       // TELESCOPING delta (r18): for inner joins the exact multiset
@@ -383,12 +388,22 @@ private[graft] object MviewIncremental {
       // OCCURRENCE (a self-joined churned table contributes one term
       // per occurrence — the chain steps one occurrence at a time, so
       // no ΔT⋈ΔT term ever appears).
-      val deltaByName: Map[String, DataFrame] = churned.map { case (n, p) =>
-        val (entered, left) =
-          ManifestTable.multisetDelta(session, p, recByName(n), vs(n))
-        n -> entered.unionByName(left)
-      }.toMap
-      incremental(session, sh, mviewPath, deltaByName, recByName, vs)
+      try {
+        val deltaByName: Map[String, DataFrame] = churned.map { case (n, p) =>
+          val (entered, left) =
+            ManifestTable.multisetDelta(session, p, recByName(n), vs(n))
+          n -> entered.unionByName(left)
+        }.toMap
+        incremental(session, sh, mviewPath, deltaByName, recByName, vs)
+      } catch {
+        // retention racing the availability check above: a marker/
+        // delta manifest expired between the listing and the reads.
+        // EXACTLY this exception degrades to the honest full refresh
+        // (under MviewMaintenance an escaped exception would kill the
+        // whole streaming query); term-machinery bugs keep throwing
+        case _: ManifestTable.ExpiredVersionException =>
+          (fullRefresh(session, mviewPath, sql), "full")
+      }
     }
   }
 

@@ -113,6 +113,42 @@ object ChangeFeedStream {
   final class FeedWedgedException(msg: String)
     extends IllegalStateException(msg)
 
+  /** The append-only contract of a live streamed AGGREGATE view was
+    * broken by a commit landing after the stream started
+    * ([[assertAppendOnly]]). [[pump]] stops on it: continuing to
+    * publish would feed a silently-diverging aggregate. */
+  final class AppendContractException(msg: String)
+    extends IllegalStateException(msg)
+
+  // basePath → stream-start head of the earliest-constructed live
+  // aggregate view stream over that base: the version its append-only
+  // contract was verified up to ([[readTableStream]] aggregate path)
+  private val aggContracts =
+    new java.util.concurrent.ConcurrentHashMap[String, Integer]()
+
+  /** Assert `table` took no non-append commit after `sinceVersion` —
+    * the per-tick twin of the aggregate-view stream's construction
+    * check. The session auto-pump calls this for tables with a live
+    * aggregate contract; deployments running [[publishPending]] from
+    * their OWN scheduler should call it there with the version the
+    * stream started at. Throws [[AppendContractException]] naming the
+    * offending commits. */
+  def assertAppendOnly(spark: SparkSession, table: String,
+                       sinceVersion: Int): Unit = {
+    val bad = nonAppendVersions(spark, table).filter(_._1 > sinceVersion)
+    if (bad.nonEmpty) throw new AppendContractException(
+      s"table $table took non-append commits (${bad.take(3).map {
+        case (v, op) => s"v$v=$op" }.mkString(", ")}${
+        if (bad.size > 3) ", …" else ""}) after version $sinceVersion, " +
+        "where a live streamed aggregate view started — the append " +
+        "feed cannot deliver their retractions, so the aggregate " +
+        "would silently diverge from the view's batch result. Stop " +
+        "the aggregate stream (its image is valid up to the last " +
+        "pre-commit batch), or rebuild it from a fresh batch " +
+        "refresh; use MviewMaintenance.maintainView for maintenance " +
+        "that reads manifests instead of the feed")
+  }
+
   /** Bootstrap a NEW feed from the table's current snapshot — the
     * recovery the wedge message prescribes, as an API instead of
     * manual surgery: the full head snapshot is published as the feed's
@@ -392,14 +428,23 @@ object ChangeFeedStream {
     @volatile var running = true
     val t = new Thread(() => {
       while (running) {
-        try publishPending(spark, table, feedDir)
+        try {
+          // live aggregate-view contract: re-assert append-only past
+          // the stream-start head BEFORE publishing this window — a
+          // violating commit stops the pump (loud stall beats a
+          // silently-diverging aggregate)
+          Option(aggContracts.get(table)).foreach(h0 =>
+            assertAppendOnly(spark, table, h0.intValue))
+          publishPending(spark, table, feedDir)
+        }
         catch { case _: InterruptedException => running = false
-                case e: FeedWedgedException =>
-                  // unrecoverable by retrying (expired table versions):
-                  // stop instead of spinning on the same error forever —
-                  // ONLY on the dedicated wedge signal, so a transient
-                  // IllegalStateException from Spark internals does not
-                  // silently kill the feed
+                case e @ (_: FeedWedgedException |
+                          _: AppendContractException) =>
+                  // unrecoverable by retrying (expired table versions /
+                  // broken append contract): stop instead of spinning
+                  // on the same error forever — ONLY on the dedicated
+                  // signals, so a transient IllegalStateException from
+                  // Spark internals does not silently kill the feed
                   System.err.println(s"[change-feed pump] stopping: ${e.getMessage}")
                   running = false
                 case e: Throwable =>
@@ -603,6 +648,14 @@ object ChangeFeedStream {
       val bn = baseName(relName)
       graft.sources.GraftCatalog.lookup(bn).foreach { basePath =>
         val bad = nonAppendVersions(spark, basePath)
+        // the contract holds at construction — record it so the
+        // auto-pump re-asserts it on every tick ([[assertAppendOnly]];
+        // a non-append commit landing AFTER the stream starts would
+        // otherwise diverge just as silently as a historical one)
+        if (bad.isEmpty)
+          aggContracts.merge(basePath,
+            Integer.valueOf(ManifestTable.currentVersion(spark, basePath)),
+            (a, b) => Integer.valueOf(math.min(a.intValue, b.intValue)))
         require(bad.isEmpty,
           s"readTableStream: view graft.$name aggregates the APPEND " +
             s"feed of graft.$bn, but that table's history holds " +
@@ -623,21 +676,26 @@ object ChangeFeedStream {
   /** Versions of `table` whose commit is NOT pure row addition — file
     * removals/rewrites (n_removed > 0: overwrite, compaction, restore,
     * eager deletes) and row-level removals that move no file
-    * (delete-lazy, delete-vector, DV-backed update/merge). The oldest
-    * surviving version after retention (n_removed unknowable) is
-    * trusted only for the explicitly append-shaped ops. */
+    * (delete-lazy, delete-vector, DV-backed update/merge — detected
+    * from the manifest's ACTUAL dv/tombstone delta, so an insert-only
+    * MERGE or a zero-match DELETE stays append-safe instead of
+    * refusing on the op name). The oldest surviving version after
+    * retention (parent manifest gone, delta unknowable) is trusted
+    * only for the explicitly append-shaped ops. */
   private[streaming] def nonAppendVersions(
       spark: SparkSession, table: String): Seq[(Int, String)] = {
-    val rowRemovalOps = Set("delete-lazy", "delete-vector", "update",
-      "merge", "delete", "truncate", "restore")
+    val appendShaped = Set("append", "copy-into", "clone")
     ManifestTable.history(spark, table)
       .select("version", "op", "n_removed")
       .collect().toSeq.flatMap { r =>
         val v = r.getInt(0); val op = r.getString(1)
         val removed = if (r.isNullAt(2)) None else Some(r.getLong(2))
-        val bad = removed.exists(_ > 0) || rowRemovalOps(op) ||
-          (v > 1 && removed.isEmpty &&
-            !Set("append", "copy-into", "clone")(op))
+        val bad = removed.exists(_ > 0) ||
+          (v > 1 && removed.isEmpty && !appendShaped(op)) ||
+          (removed.contains(0L) && !appendShaped(op) &&
+            (try ManifestTable.rowStateShrunkAt(spark, table, v)
+             catch { // parent expired mid-check: unknowable = unsafe
+               case _: ManifestTable.ExpiredVersionException => true }))
         if (bad) Some((v, op)) else None
       }
   }
@@ -648,6 +706,7 @@ object ChangeFeedStream {
     val bare = name.stripPrefix("graft.")
     graft.sources.GraftCatalog.lookup(bare).foreach { path =>
       Option(autoPumps.remove(defaultFeedDir(path))).foreach(_.close())
+      aggContracts.remove(path) // the contract dies with its stream
     }
   }
 }
