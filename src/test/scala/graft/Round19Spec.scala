@@ -46,6 +46,16 @@ class Round19Spec extends AnyFunSuite with SparkFixture {
       "the rewrite must not leak helper columns")
     assert(out.collect().map(r => (r.getString(0), r.getLong(1))).toSeq
       === Seq(("a", 2L), ("b", 3L)))
+    // the predicate may reference BASE columns absent from the SELECT
+    // list (the Snowflake/DuckDB contract): v is not projected, yet
+    // filters alongside the rank alias
+    val base = spark.sql(
+      """SELECT grp, id, rank() OVER (PARTITION BY grp ORDER BY v DESC) AS rk
+        |FROM r19qa
+        |QUALIFY rk = 1 AND v > 15
+        |ORDER BY grp""".stripMargin).collect()
+      .map(r => (r.getString(0), r.getLong(1))).toSeq
+    assert(base === Seq(("a", 2L), ("b", 3L)))
     // GROUP BY ALL + alias-form QUALIFY in one statement (the DuckDB
     // oracle can't combine them yet — pinned here against the
     // subquery spelling instead)
@@ -98,8 +108,11 @@ class Round19Spec extends AnyFunSuite with SparkFixture {
     // still parses through the delegate untouched
     assert(spark.sql(
       "SELECT * FROM (SELECT id FROM r19qs LIMIT 1)").count() === 1)
-    val e = intercept[Exception](spark.sql("SELECT 1 QUALIFY true"))
-    assert(e.getMessage.contains("FROM"), e.getMessage)
+    // QUALIFY without FROM is identifier position — unclaimed, the
+    // delegate's own parse error surfaces (pre-r19 statements where
+    // the word is an alias keep parsing: `1 AS qualify` is fine)
+    intercept[Exception](spark.sql("SELECT 1 QUALIFY true"))
+    assert(spark.sql("SELECT 1 AS qualify").collect().head.getInt(0) === 1)
   }
 
   test("QUALIFY binds to the LAST branch of a set operation") {
@@ -209,6 +222,50 @@ class Round19Spec extends AnyFunSuite with SparkFixture {
       .count() === 4)
   }
 
+  test("the word QUALIFY keeps working as an identifier (pre-r19 statements unbroken)") {
+    // a column named qualify
+    Seq((1L, 5L), (2L, 9L)).toDF("qualify", "v")
+      .createOrReplaceTempView("r19qi")
+    assert(spark.sql("SELECT qualify FROM r19qi ORDER BY qualify")
+      .collect().map(_.getLong(0)).toSeq === Seq(1L, 2L))
+    assert(spark.sql(
+      "SELECT t.qualify FROM r19qi t WHERE t.qualify = 2").count() === 1)
+    // a TABLE named qualify — bare, with WHERE, with GROUP BY
+    Seq((1L, "a"), (2L, "b")).toDF("id", "grp")
+      .createOrReplaceTempView("qualify")
+    assert(spark.sql("SELECT id FROM qualify").count() === 2)
+    assert(spark.sql("SELECT id FROM qualify WHERE id = 1").count() === 1)
+    assert(spark.sql(
+      "SELECT grp, count(*) AS n FROM qualify GROUP BY grp").count() === 2)
+    assert(spark.sql("SELECT id FROM qualify ORDER BY id LIMIT 1")
+      .collect().head.getLong(0) === 1L)
+    // identifier use does not mask a REAL clause later in the
+    // statement: the table named qualify, then a genuine QUALIFY
+    val mixed = spark.sql(
+      """SELECT id, grp FROM qualify
+        |QUALIFY row_number() OVER (PARTITION BY grp ORDER BY id) = 1
+        |ORDER BY id""".stripMargin).collect().map(_.getLong(0)).toSeq
+    assert(mixed === Seq(1L, 2L))
+  }
+
+  test("GROUP BY ALL with a window-form QUALIFY refuses; alias form stays claimed") {
+    Seq((1L, "a", 10L), (2L, "a", 20L), (3L, "b", 30L))
+      .toDF("id", "grp", "v").createOrReplaceTempView("r19gba")
+    val e = intercept[IllegalArgumentException](spark.sql(
+      """SELECT grp, count(*) AS n FROM r19gba GROUP BY ALL
+        |QUALIFY rank() OVER (ORDER BY count(*) DESC) = 1""".stripMargin))
+    assert(e.getMessage.contains("GROUP BY ALL"), e.getMessage)
+    // the alias spelling of the same query works (pinned in the
+    // alias-form test too; re-asserted here as the refusal's guidance)
+    val ok = spark.sql(
+      """SELECT grp, count(*) AS n,
+        |  rank() OVER (ORDER BY count(*) DESC) AS rk
+        |FROM r19gba GROUP BY ALL
+        |QUALIFY rk = 1""".stripMargin).collect()
+      .map(r => (r.getString(0), r.getLong(1))).toSeq
+    assert(ok === Seq(("a", 2L)))
+  }
+
   test("MERGE WITH SCHEMA EVOLUTION widens the target by the source's new columns") {
     val t = tmp("mevo")
     GraftCatalog.unregister("r19_evo")
@@ -269,6 +326,20 @@ class Round19Spec extends AnyFunSuite with SparkFixture {
       val ok = ChangeFeedStream.readTableStream(spark, "graft.r19_guard_v",
         autoPump = false, watermark = Some(("ts", "0 seconds")))
       assert(ok.isStreaming)
+      // an INSERT-ONLY MERGE removes no files and no rows — its op
+      // name alone must not break the append contract (the guard
+      // consults the manifest's actual dv/tombstone delta)
+      Seq((3L, "c", 30L, "2024-01-01 10:02:00"))
+        .toDF("id", "cat", "v", "ts_s")
+        .withColumn("ts", to_timestamp(col("ts_s"))).drop("ts_s")
+        .createOrReplaceTempView("r19_guard_src")
+      spark.sql(
+        """MERGE INTO graft.r19_guard t USING r19_guard_src s
+          |ON t.id = s.id
+          |WHEN NOT MATCHED THEN INSERT *""".stripMargin)
+      assert(ChangeFeedStream.readTableStream(spark, "graft.r19_guard_v",
+        autoPump = false, watermark = Some(("ts", "0 seconds"))).isStreaming,
+        "an insert-only MERGE is append-safe — the stream must construct")
       // a DELETE enters the history: the feed can no longer represent
       // the table to an aggregate — construction refuses with the
       // row-level-CDC pointer
@@ -284,6 +355,16 @@ class Round19Spec extends AnyFunSuite with SparkFixture {
         "SELECT cat, v FROM graft.r19_guard WHERE v > 0")
       assert(ChangeFeedStream.readTableStream(spark, "graft.r19_guard_p",
         autoPump = false).isStreaming)
+      // POST-START enforcement: the contract is re-assertable past
+      // any stream-start head (the auto-pump calls this per tick;
+      // external pumps call it from their scheduler). The DELETE
+      // above broke it relative to the pre-delete head...
+      val hPre = 1 // the table's single append commit
+      intercept[ChangeFeedStream.AppendContractException](
+        ChangeFeedStream.assertAppendOnly(spark, t, hPre))
+      // ...and holds relative to the current head (nothing after it)
+      ChangeFeedStream.assertAppendOnly(spark, t,
+        ManifestTable.currentVersion(spark, t))
     } finally {
       Seq("r19_guard_v", "r19_guard_p").foreach(GraftCatalog.unregisterView)
       GraftCatalog.unregister("r19_guard")
