@@ -54,7 +54,18 @@ class GraftSqlParser(delegate: ParserInterface) extends ParserInterface {
     // parser QUALIFY-free. GROUP BY ALL needs no help here: Spark's
     // own parser accepts it (q_group_by_all judges it).
     val rewritten = rewriteQualifyDeep(sqlText)
-    if (rewritten ne sqlText) return parsePlan(rewritten)
+    if (rewritten ne sqlText) {
+      // mis-claim safety net: the identifier guards are heuristic
+      // (the word `qualify` can be a column/table/alias in shapes no
+      // whitelist enumerates — `FROM qualify t`, `WHERE qualify IS
+      // NULL`). A rewrite of identifier usage produces SYNTACTIC
+      // garbage — so when the rewritten text fails to PARSE, fall
+      // back to the original statement and let the delegate judge it
+      try return parsePlan(rewritten)
+      catch {
+        case _: org.apache.spark.sql.catalyst.parser.ParseException =>
+      }
+    }
     parsePlanClaimed(sqlText)
   }
 
@@ -181,10 +192,16 @@ class GraftSqlParser(delegate: ParserInterface) extends ParserInterface {
   override def parseQuery(sqlText: String): LogicalPlan = {
     // QUALIFY expands here too — materialized-view definitions,
     // REPLACE WHERE bodies, and CTAS queries all parse through
-    // parseQuery (r19)
+    // parseQuery (r19); same mis-claim parse-failure fallback as
+    // parsePlan
     val rewritten = GraftSqlParser.rewriteQualifyDeep(sqlText)
-    if (rewritten ne sqlText) parseQuery(rewritten)
-    else delegate.parseQuery(sqlText)
+    if (rewritten ne sqlText) {
+      try return parseQuery(rewritten)
+      catch {
+        case _: org.apache.spark.sql.catalyst.parser.ParseException =>
+      }
+    }
+    delegate.parseQuery(sqlText)
   }
   override def parseRoutineParam(sqlText: String): StructType =
     delegate.parseRoutineParam(sqlText)
@@ -399,11 +416,13 @@ object GraftSqlParser {
     // identifier-usage guards (pre-r19 compatibility): a bare `FROM
     // qualify` leaves an EMPTY predicate, or one that "starts" with
     // the next clause of ITS query (WHERE/GROUP/JOIN/alias keywords)
-    // or with an operator character from a comparison like
+    // or with a BINARY-operator character from a comparison like
     // `WHERE t2.qualify = 1`; a real QUALIFY predicate starts with an
-    // expression. The clause keywords are checked as non-function
+    // expression — unary `-x`/`!flag` stay claimable ('!' rejects
+    // only as '!='). The clause keywords are checked as non-function
     // tokens (LEFT(x,1) is the string function; LEFT JOIN the clause)
-    if (pred.isEmpty || "=<>!%*/+,)-.".contains(pred.charAt(0)))
+    if (pred.isEmpty || "=<>%*/+,).".contains(pred.charAt(0)) ||
+        (pred.charAt(0) == '!' && pred.length > 1 && pred.charAt(1) == '='))
       return None
     val identFollowers = Seq("WHERE", "GROUP", "HAVING", "WINDOW",
       "JOIN", "LEFT", "RIGHT", "FULL", "INNER", "CROSS", "NATURAL",
@@ -510,8 +529,11 @@ object GraftSqlParser {
       val top = rewriteQualify(cur)
       if (top ne cur) { cur = top; progress = true }
       else {
-        val q = keywordOutsideQuotes(cur, "QUALIFY")
-        if (q >= 0) {
+        // walk EVERY remaining QUALIFY occurrence (an identifier use
+        // of the word in one subquery must not mask a real clause in
+        // a later one); first successful claim restarts the loop
+        var q = keywordOutsideQuotes(cur, "QUALIFY")
+        while (q >= 0 && !progress) {
           val parens = codeParens(cur)
           // innermost code-level open paren still unclosed at q
           var stack = List.empty[Int]
@@ -536,6 +558,8 @@ object GraftSqlParser {
               }
             }
           }
+          if (!progress) q = scanCode(cur, q + "QUALIFY".length)(
+            (i, _) => kwAt(cur, i, "QUALIFY"))
         }
       }
     }

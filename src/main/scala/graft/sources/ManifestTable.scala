@@ -778,9 +778,22 @@ object ManifestTable {
     * tracking re-derive their file set (and their parent's) the old
     * O(files) way. Expired versions are simply absent (their row
     * count starts where retention left off). */
-  def history(spark: SparkSession, table: String): DataFrame = {
+  def history(spark: SparkSession, table: String): DataFrame =
+    historySince(spark, table, 0)
+
+  /** [[history]] restricted to versions AFTER `since` — the windowed
+    * form the per-tick append-only assertion uses so its cost tracks
+    * new commits, not the table's whole retained history. The first
+    * windowed version's added/removed diff derives from its parent
+    * manifest directly (the parent existed when `since` was
+    * asserted); a parent expired by a concurrent retention race
+    * surfaces as [[ExpiredVersionException]]. */
+  private[graft] def historySince(spark: SparkSession, table: String,
+                                  since: Int): DataFrame = {
     import spark.implicits._
-    val vs = versions(spark, table) // contiguous: expiry drops a prefix
+    val vsFull = versions(spark, table) // contiguous: expiry drops a prefix
+    val vsFullSet = vsFull.toSet
+    val vs = if (since <= 0) vsFull else vsFull.filter(_ > since)
     // parent file set, materialized ONLY when a legacy root needs it
     // (either cached from the previous iteration or re-derived)
     var prevV = -1
@@ -791,7 +804,9 @@ object ManifestTable {
       val text = manifestText(spark, table, v)
       // added/removed diff against the parent snapshot — unknowable
       // only for the oldest surviving version when its parent expired
-      val known = v == 1 || i > 0
+      // (a windowed scan's first version derives from its parent
+      // directly while that manifest survives)
+      val known = v == 1 || i > 0 || vsFullSet.contains(v - 1)
       val (nFiles, bytes, addedN, removedN, matSet) =
         rollupFromText(text) match {
           case Some((nf, nb, na, nr)) => (nf.toInt, nb, na, nr, None)

@@ -128,14 +128,22 @@ object ChangeFeedStream {
 
   /** Assert `table` took no non-append commit after `sinceVersion` —
     * the per-tick twin of the aggregate-view stream's construction
-    * check. The session auto-pump calls this for tables with a live
-    * aggregate contract; deployments running [[publishPending]] from
-    * their OWN scheduler should call it there with the version the
-    * stream started at. Throws [[AppendContractException]] naming the
+    * check, windowed so its cost tracks NEW commits only. The session
+    * auto-pump calls this for tables with a live aggregate contract;
+    * deployments running [[publishPending]] from their OWN scheduler
+    * should call it there, feeding each call the previous call's
+    * return value (the asserted-clean head) as the next
+    * `sinceVersion`. Throws [[AppendContractException]] naming the
     * offending commits. */
   def assertAppendOnly(spark: SparkSession, table: String,
-                       sinceVersion: Int): Unit = {
-    val bad = nonAppendVersions(spark, table).filter(_._1 > sinceVersion)
+                       sinceVersion: Int): Int = {
+    // head read BEFORE the scan: the scan covers at least (since,
+    // head], so returning head as the new asserted-clean marker is
+    // race-safe (a commit landing mid-scan is either scanned or
+    // above the returned marker — never silently inside it)
+    val head = ManifestTable.currentVersion(spark, table)
+    val bad = nonAppendVersions(spark, table, sinceVersion)
+      .filter(_._1 > sinceVersion)
     if (bad.nonEmpty) throw new AppendContractException(
       s"table $table took non-append commits (${bad.take(3).map {
         case (v, op) => s"v$v=$op" }.mkString(", ")}${
@@ -147,6 +155,7 @@ object ChangeFeedStream {
         "pre-commit batch), or rebuild it from a fresh batch " +
         "refresh; use MviewMaintenance.maintainView for maintenance " +
         "that reads manifests instead of the feed")
+    math.max(sinceVersion, head)
   }
 
   /** Bootstrap a NEW feed from the table's current snapshot — the
@@ -430,11 +439,15 @@ object ChangeFeedStream {
       while (running) {
         try {
           // live aggregate-view contract: re-assert append-only past
-          // the stream-start head BEFORE publishing this window — a
-          // violating commit stops the pump (loud stall beats a
-          // silently-diverging aggregate)
-          Option(aggContracts.get(table)).foreach(h0 =>
-            assertAppendOnly(spark, table, h0.intValue))
+          // the asserted-clean marker BEFORE publishing this window —
+          // a violating commit stops the pump (loud stall beats a
+          // silently-diverging aggregate). The marker advances to the
+          // scanned head on every clean pass, so the per-tick scan
+          // window covers only NEW commits, not the whole history
+          Option(aggContracts.get(table)).foreach { h0 =>
+            val clean = assertAppendOnly(spark, table, h0.intValue)
+            aggContracts.replace(table, h0, Integer.valueOf(clean))
+          }
           publishPending(spark, table, feedDir)
         }
         catch { case _: InterruptedException => running = false
@@ -647,14 +660,18 @@ object ChangeFeedStream {
         }
       val bn = baseName(relName)
       graft.sources.GraftCatalog.lookup(bn).foreach { basePath =>
+        // head read BEFORE the history scan: a commit racing the
+        // construction lands either inside the scan (refused below)
+        // or above h0 (caught by the pump's per-tick assert) — never
+        // silently inside the recorded contract window
+        val h0 = ManifestTable.currentVersion(spark, basePath)
         val bad = nonAppendVersions(spark, basePath)
         // the contract holds at construction — record it so the
         // auto-pump re-asserts it on every tick ([[assertAppendOnly]];
         // a non-append commit landing AFTER the stream starts would
         // otherwise diverge just as silently as a historical one)
         if (bad.isEmpty)
-          aggContracts.merge(basePath,
-            Integer.valueOf(ManifestTable.currentVersion(spark, basePath)),
+          aggContracts.merge(basePath, Integer.valueOf(h0),
             (a, b) => Integer.valueOf(math.min(a.intValue, b.intValue)))
         require(bad.isEmpty,
           s"readTableStream: view graft.$name aggregates the APPEND " +
@@ -683,9 +700,10 @@ object ChangeFeedStream {
     * retention (parent manifest gone, delta unknowable) is trusted
     * only for the explicitly append-shaped ops. */
   private[streaming] def nonAppendVersions(
-      spark: SparkSession, table: String): Seq[(Int, String)] = {
+      spark: SparkSession, table: String,
+      since: Int = 0): Seq[(Int, String)] = {
     val appendShaped = Set("append", "copy-into", "clone")
-    ManifestTable.history(spark, table)
+    ManifestTable.historySince(spark, table, since)
       .select("version", "op", "n_removed")
       .collect().toSeq.flatMap { r =>
         val v = r.getInt(0); val op = r.getString(1)

@@ -239,6 +239,11 @@ class Round19Spec extends AnyFunSuite with SparkFixture {
       "SELECT grp, count(*) AS n FROM qualify GROUP BY grp").count() === 2)
     assert(spark.sql("SELECT id FROM qualify ORDER BY id LIMIT 1")
       .collect().head.getLong(0) === 1L)
+    // shapes beyond the follower whitelist fall back through the
+    // parse-failure net: a bare table alias, a boolean-operator use
+    assert(spark.sql("SELECT t.id FROM qualify t").count() === 2)
+    assert(spark.sql(
+      "SELECT v FROM r19qi WHERE qualify IS NOT NULL").count() === 2)
     // identifier use does not mask a REAL clause later in the
     // statement: the table named qualify, then a genuine QUALIFY
     val mixed = spark.sql(
@@ -246,6 +251,36 @@ class Round19Spec extends AnyFunSuite with SparkFixture {
         |QUALIFY row_number() OVER (PARTITION BY grp ORDER BY id) = 1
         |ORDER BY id""".stripMargin).collect().map(_.getLong(0)).toSeq
     assert(mixed === Seq(1L, 2L))
+    // …including across SUBQUERIES: an identifier use in the first
+    // derived table, a real clause in the second
+    val sub = spark.sql(
+      """SELECT a.qualify, b.id FROM
+        |  (SELECT qualify FROM r19qi) a
+        |  CROSS JOIN
+        |  (SELECT id FROM qualify
+        |   QUALIFY row_number() OVER (ORDER BY id) = 1) b""".stripMargin)
+      .count()
+    assert(sub === 2)
+    // a unary-operator predicate stays claimable
+    val neg = spark.sql(
+      """SELECT id, rank() OVER (ORDER BY id) AS rk FROM qualify
+        |QUALIFY -rk >= -1""".stripMargin).collect().map(_.getLong(0)).toSeq
+    assert(neg === Seq(1L))
+  }
+
+  test("QUALIFY name shadowing resolves to the base column — the DuckDB/oracle reading") {
+    // SELECT v*2 AS v … QUALIFY v >= 10: DuckDB binds the QUALIFY v
+    // to the BASE column (verified against duckdb directly), and the
+    // helper-in-projection expansion matches (Spark resolves real
+    // columns before lateral aliases)
+    Seq((1L, 5L), (2L, 20L)).toDF("id", "v")
+      .createOrReplaceTempView("r19shadow")
+    val got = spark.sql(
+      """SELECT id, v*2 AS v, row_number() OVER (ORDER BY id) AS rn
+        |FROM r19shadow
+        |QUALIFY v >= 10 ORDER BY id""".stripMargin).collect()
+      .map(_.getLong(0)).toSeq
+    assert(got === Seq(2L), "QUALIFY must read the base v (5, 20), not the alias")
   }
 
   test("GROUP BY ALL with a window-form QUALIFY refuses; alias form stays claimed") {
