@@ -755,6 +755,36 @@ object AggWindowQueries {
              |ORDER BY o_custkey NULLS FIRST, rn NULLS FIRST""".stripMargin)
     ),
 
+    // Q_QUALIFY_CTE (r19 session 2): QUALIFY inside a CTE BODY — the
+    // deep (paren-group) claim, oracle'd by DuckDB's native QUALIFY
+    // in the same position. Top-3 orders per customer filtered in the
+    // CTE, rolled up outside: proves the rewritten body composes with
+    // the outer aggregate exactly as the hand-written subquery would.
+    Entry(
+      "q_qualify_cte",
+      (s, d) => {
+        Tables.orders(s, d).createOrReplaceTempView("v_qualify_cte_orders")
+        s.sql(s"""WITH top AS (
+                 |  SELECT o_custkey, o_orderkey, o_totalprice
+                 |  FROM v_qualify_cte_orders
+                 |  QUALIFY row_number() OVER (PARTITION BY o_custkey
+                 |    ORDER BY o_totalprice DESC, o_orderkey) <= 3)
+                 |SELECT o_custkey, count(*) AS n,
+                 |  ${dsumSql("o_totalprice")} AS sum_top
+                 |FROM top GROUP BY o_custkey
+                 |ORDER BY o_custkey""".stripMargin)
+      },
+      Some(s"""WITH top AS (
+             |  SELECT o_custkey, o_orderkey, o_totalprice
+             |  FROM orders
+             |  QUALIFY row_number() OVER (PARTITION BY o_custkey
+             |    ORDER BY o_totalprice DESC, o_orderkey) <= 3)
+             |SELECT o_custkey, count(*) AS n,
+             |  ${dsumSql("o_totalprice")} AS sum_top
+             |FROM top GROUP BY o_custkey
+             |ORDER BY o_custkey NULLS FIRST""".stripMargin)
+    ),
+
     // Q_GROUP_BY_ALL (r19): GROUP BY ALL — group by every
     // non-aggregate SELECT expression. Spark's parser carries it
     // natively; this entry pins that the engine's SQL surface (with
