@@ -29,6 +29,26 @@ object QueryRegistry {
   def dsumSql(expr: String): String =
     s"CAST(sum(CAST($expr AS DECIMAL(28,6))) AS DOUBLE)"
 
+  /** Scale-adaptive parallelism for CPU-heavy projections over a SCAN
+    * (optimization guide §2: derive partitioning from the input, not a
+    * constant). A single-row-group parquet file scans as ONE task no
+    * matter the core count, and Spark evaluates map-side expressions —
+    * shingling, hashing, per-row text work — inside that scan task, so
+    * on local[32] the whole expensive stage runs serial. When the
+    * scan's planned partition count is below the cluster's default
+    * parallelism, insert one round-robin exchange of the RAW rows so
+    * the heavy projection downstream runs on every core; at scale a
+    * real table's scan already has ≥ cores partitions and this is the
+    * identity — no exchange is added, nothing is reshuffled.
+    *
+    * Call ONLY on scan-stage frames (no exchanges beneath): `.rdd` on
+    * an AQE-planned frame with shuffles would materialize those stages
+    * eagerly at plan time. */
+  def spread(df: DataFrame): DataFrame = {
+    val p = df.sparkSession.sparkContext.defaultParallelism
+    if (df.rdd.getNumPartitions < p) df.repartition(p) else df
+  }
+
   /** Delete a path tree — judged-query scratch teardown (re-runs must
     * not land on a previous run's debris). Hoisted from the per-query
     * copies (r14 verdict ask #8). */

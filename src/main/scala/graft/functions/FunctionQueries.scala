@@ -133,7 +133,11 @@ object FunctionQueries {
     Entry(
       "f3_math",
       (s, d) =>
-        Tables.lineitem(s, d)
+        // spread (r19): decouples the math projection and the global
+        // sort's sample pass from the single-row-group scan — the
+        // parquet decode then runs once (feeding the exchange) instead
+        // of twice serially (sort sampling re-executed the scan)
+        spread(Tables.lineitem(s, d))
           .select(
             col("l_orderkey"), col("l_linenumber"),
             round(col("l_extendedprice"), 1).as("r1"),

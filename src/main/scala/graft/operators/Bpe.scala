@@ -73,7 +73,9 @@ object Bpe {
                   localVocabLimit: Int = LocalVocabLimit): DataFrame = {
     val spark = docs.sparkSession
     import spark.implicits._
-    var vocab: Dataset[(IndexedSeq[String], Long)] = docs
+    // spread (r19): the word explode otherwise runs inside the
+    // single-row-group scan task — serial on any core count
+    var vocab: Dataset[(IndexedSeq[String], Long)] = graft.QueryRegistry.spread(docs)
       .select(explode(split(lower(col(textCol)), " ")).as("w"))
       .filter(length(col("w")) > 0)
       .groupBy("w").agg(count(lit(1)).as("cnt"))
@@ -201,7 +203,10 @@ object Bpe {
                textCol: String = "text"): DataFrame = {
     val spark = docs.sparkSession
     import spark.implicits._
-    docs.select(col(idCol).cast("long").as("id"), lower(col(textCol)).as("t"))
+    // spread (r19): the per-word merge application is the heavy pass —
+    // without it the whole corpus tokenizes inside the single scan task
+    graft.QueryRegistry.spread(docs)
+      .select(col(idCol).cast("long").as("id"), lower(col(textCol)).as("t"))
       .as[(Long, String)]
       .map { case (id, t) =>
         val toks = t.split(" ").filter(_.nonEmpty).flatMap { w =>

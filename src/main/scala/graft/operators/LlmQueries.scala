@@ -195,7 +195,9 @@ object LlmQueries {
       (s, d) => {
         val docs = Tables.documents(s, d)
         val slotCols = (0 until 8).map(i => min(substring(col("dg"), i * 4 + 1, 4)).as(s"s$i"))
-        val sig = docs
+        // spread (r19): the shingle explode + md5 otherwise runs inside
+        // the single-row-group scan task — serial on any core count
+        val sig = spread(docs)
           .select(col("doc_id"),
             explode(array_distinct(MinHash.shingles(lower(trim(col("text"))), 3))).as("g"))
           .select(col("doc_id"), md5(col("g")).as("dg"))
@@ -265,8 +267,9 @@ object LlmQueries {
       "b2_ngram_jaccard",
       (s, d) => {
         // shingle once (interpreted HOF — both join sides would
-        // re-shingle the corpus otherwise)
-        val docs = Tables.documents(s, d)
+        // re-shingle the corpus otherwise); spread (r19): shingling
+        // otherwise runs inside the single scan task
+        val docs = spread(Tables.documents(s, d))
           .select(col("doc_id"), array_distinct(MinHash.shingles(col("text"), 3)).as("g"))
           .localCheckpoint(true)
         val a = docs.select((col("doc_id")).as("doc_a"), col("g").as("ga"))
@@ -333,7 +336,8 @@ object LlmQueries {
     Entry(
       "b2_jaccard_est",
       (s, d) => {
-        val docs = Tables.documents(s, d)
+        // spread (r19): shingling otherwise runs inside the single scan task
+        val docs = spread(Tables.documents(s, d))
           .select(col("doc_id"),
             array_distinct(MinHash.shingles(lower(trim(col("text"))), 3)).as("g"))
           .localCheckpoint(true)
@@ -617,7 +621,9 @@ object LlmQueries {
         // interpreted transform lambda: every expression stays in
         // whole-stage codegen and the min partial-aggregates before the
         // (per-doc single row) shuffle.
-        Tables.documents(s, d)
+        // spread (r19): the explode + md5 otherwise runs inside the
+        // single-row-group scan task — serial on any core count
+        spread(Tables.documents(s, d))
           .select(col("doc_id"), explode(MinHash.shingles(col("text"), 3)).as("sh"))
           .groupBy("doc_id")
           .agg(min(md5(col("sh"))).as("fingerprint"))

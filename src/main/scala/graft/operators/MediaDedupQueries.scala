@@ -16,7 +16,9 @@ object MediaDedupQueries {
     Entry(
       "b2_simhash",
       (s, d) =>
-        Tables.documents(s, d)
+        // spread (r19): the token explode + votes otherwise run inside
+        // the single-row-group scan task — serial on any core count
+        spread(Tables.documents(s, d))
           .select(col("doc_id"), SimHash.simhash(col("text")).as("simhash"))
           .orderBy("doc_id"),
       None
@@ -39,6 +41,8 @@ object MediaDedupQueries {
         val fp = (0 until 16).map { b =>
           when(col(s"n$b") > 0, lit(1L << (15 - b))).otherwise(lit(0L))
         }.reduce(_ + _)
+        // no spread here (r19, measured): the token explode is light —
+        // the exchange cost 0.4 s against a 0.5 s serial stage
         Tables.documents(s, d)
           .select(col("doc_id"),
             explode(array_distinct(split(lower(trim(col("text"))), " "))).as("tok"))

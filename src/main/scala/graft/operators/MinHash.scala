@@ -142,8 +142,15 @@ object MinHash {
     * just to throw the duplicates away at the shuffle. */
   private def distinctShingleSets(docs: DataFrame, textCol: String): DataFrame = {
     val norm = lower(trim(col(textCol)))
-    docs
-      .select(norm.as("_t")).distinct()
+    // distinct FIRST (map-side partial collapse — replicas never
+    // travel), checkpointed so the frame below carries CONCRETE
+    // partitioning, then spread (r19, guide §2): AQE sizes the
+    // distinct's output by BYTES, so a small-but-compute-dense corpus
+    // lands in one partition and the shingling — the expensive pass —
+    // runs serial; spread is the identity once the distinct output
+    // already holds ≥ cores partitions (any at-scale corpus).
+    val dt = docs.select(norm.as("_t")).distinct().localCheckpoint(true)
+    graft.QueryRegistry.spread(dt)
       .select(md5(col("_t")).as("h"),
         array_distinct(shingles(col("_t"), 3)).as("g"))
       .localCheckpoint(true)

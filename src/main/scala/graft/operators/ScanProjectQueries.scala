@@ -359,7 +359,9 @@ object ScanProjectQueries {
       (s, d) => {
         val cols = Seq("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice")
         def canon(c: org.apache.spark.sql.Column) = c.cast("string")
-        val agg = Tables.orders(s, d)
+        // spread (r19): four exact-distinct aggregates expand the scan
+        // 5× and otherwise run inside the single-row-group scan task
+        val agg = spread(Tables.orders(s, d))
           .select(col("o_orderkey"), col("o_custkey"), col("o_orderstatus"),
             round(col("o_totalprice"), 4).as("o_totalprice"))
           .agg(
