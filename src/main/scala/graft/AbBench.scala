@@ -43,19 +43,61 @@ object AbBench {
     try probeOnce() catch { case _: Throwable => () }
     val byName = SparkEntry.queries
     keys.foreach(k => require(byName.contains(k), s"unknown query key $k"))
+    // optional in-JVM property A/B (r19): SPARK_GRAFT_AB_PROP names a
+    // system property, SPARK_GRAFT_AB_VALUES its arms ("unset" clears
+    // it). Each rep runs every key once PER ARM, back to back, so both
+    // arms share the window, the JIT state, and any machine drift —
+    // the cross-window ambiguity this tool exists to remove, applied
+    // to a config toggle instead of a git revision. Keys are suffixed
+    // "@<value>" in the output.
+    val abProp = sys.env.get("SPARK_GRAFT_AB_PROP")
+    val abValues: Seq[Option[String]] = abProp match {
+      case None => Seq(None)
+      case Some(_) => sys.env.getOrElse("SPARK_GRAFT_AB_VALUES", "")
+        .split(",").map(_.trim).filter(_.nonEmpty).toSeq
+        .map(v => if (v == "unset") None else Some(v)) match {
+          case Nil => sys.error("set SPARK_GRAFT_AB_VALUES=v1,v2,…")
+          case vs => vs
+        }
+    }
+    def withArm[A](v: Option[String])(body: => A): A = abProp match {
+      case None => body
+      case Some(p) =>
+        val old = sys.props.get(p)
+        v match { case Some(x) => sys.props(p) = x; case None => sys.props -= p }
+        try body finally old match {
+          case Some(x) => sys.props(p) = x
+          case None => sys.props -= p
+        }
+    }
+    def armKey(k: String, v: Option[String]): String =
+      if (abProp.isEmpty) k else s"$k@${v.getOrElse("unset")}"
     var samples = Map.empty[String, List[Double]].withDefaultValue(Nil)
     var probes = List.empty[Double]
-    (1 to reps).foreach { _ =>
+    (1 to reps).foreach { rep =>
       probes ::= probeOnce()
+      // alternate arm order each rep: with a fixed order the first arm
+      // systematically pays any per-key warm-up (page cache, temp-dir
+      // creation, codegen) and the A/B reads as an arm effect — the
+      // first footer-stats A/B showed exactly that confound (keys whose
+      // code is IDENTICAL in both arms differed by >1 s, always against
+      // the first arm)
+      val armsThisRep = if (rep % 2 == 1) abValues else abValues.reverse
       keys.foreach { k =>
-        val t0 = System.nanoTime()
-        byName(k)(spark, sfDir).write.format("noop").mode("overwrite").save()
-        samples += k -> (((System.nanoTime() - t0) / 1e9) :: samples(k))
+        armsThisRep.foreach { v =>
+          val t0 = System.nanoTime()
+          withArm(v) {
+            byName(k)(spark, sfDir).write.format("noop").mode("overwrite").save()
+          }
+          samples += armKey(k, v) ->
+            (((System.nanoTime() - t0) / 1e9) :: samples(armKey(k, v)))
+        }
       }
     }
     probes ::= probeOnce()
     val probeMed = probes.sorted.apply(probes.length / 2)
-    val body = keys.map { k =>
+    val outKeys = keys.flatMap(k => abValues.map(v => armKey(k, v)))
+    val body = outKeys.map { k =>
       val s = samples(k).reverse
       f""""$k":{"min":${s.min}%.3f,"samples":[${s.map(t => f"$t%.3f").mkString(",")}]}"""
     }.mkString(",")

@@ -57,12 +57,32 @@ object Profile {
         val _ = sid
       }
     })
+    // per-action planning-phase attribution: where the driver time
+    // between jobs goes (parse/analyse/optimize/plan vs execute)
+    val phaseTotals = new java.util.concurrent.ConcurrentHashMap[String, Long]()
+    val actionCount = new java.util.concurrent.atomic.AtomicInteger(0)
+    val execTotal = new java.util.concurrent.atomic.AtomicLong(0L)
+    spark.listenerManager.register(new org.apache.spark.sql.util.QueryExecutionListener {
+      override def onSuccess(funcName: String,
+                             qe: org.apache.spark.sql.execution.QueryExecution,
+                             durationNs: Long): Unit = {
+        actionCount.incrementAndGet()
+        execTotal.addAndGet(durationNs)
+        qe.tracker.phases.foreach { case (ph, summary) =>
+          phaseTotals.merge(ph, summary.durationMs, (a, b) => a + b); ()
+        }
+      }
+      override def onFailure(funcName: String,
+                             qe: org.apache.spark.sql.execution.QueryExecution,
+                             exception: Exception): Unit = ()
+    })
     val byName = SparkEntry.queries
     keys.foreach(k => require(byName.contains(k), s"unknown query key $k"))
     // one warm pass (JIT) then the measured pass, like Bench's min-of-2
     keys.foreach { k =>
       (1 to 2).foreach { pass =>
         jobs.clear(); byId.clear()
+        phaseTotals.clear(); actionCount.set(0); execTotal.set(0L)
         val t0 = System.nanoTime()
         try byName(k)(spark, sfDir).write.format("noop").mode("overwrite").save()
         catch { case e: Throwable => println(s"$k FAILED: ${e.getMessage}") }
@@ -71,12 +91,18 @@ object Profile {
           println(f"\n===== $k%s wall=$wall%.3f s jobs=${jobs.size}%d =====")
           val it = jobs.iterator()
           var i = 0
+          var jobSum = 0.0
           while (it.hasNext) {
             val r = it.next()
             val dur = if (r.end > 0) (r.end - r.start) / 1e9 else -1.0
+            if (dur > 0) jobSum += dur
             println(f"  job#$i%-3d ${dur}%8.3f s stages=${r.stages}%-3d tasks=${r.tasks}%-5d ${r.desc.take(100)}%s")
             i += 1
           }
+          import scala.jdk.CollectionConverters._
+          val phases = phaseTotals.asScala.toSeq.sortBy(-_._2)
+            .map { case (p, ms) => f"$p=${ms / 1e3}%.2f" }.mkString(" ")
+          println(f"  actions=${actionCount.get}%d execSum=${execTotal.get / 1e9}%.3f jobSum=$jobSum%.3f gap=${wall - jobSum}%.3f phases: $phases")
         }
       }
     }

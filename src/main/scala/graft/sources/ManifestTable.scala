@@ -3346,9 +3346,15 @@ object ManifestTable {
     // manifest-relative form via the same last-/data/ convention as
     // [[relFileCol]] (URI relativize is scheme-sensitive; the string
     // split is not)
-    val sizeOfNew: Map[String, Long] = walk(dataDir)
+    val newStatuses = walk(dataDir)
+    val sizeOfNew: Map[String, Long] = newStatuses
       .map(s => ("data/" + s.getPath.toString.split("/data/").last,
         s.getLen)).toMap
+    // absolute path per new file — the footer fast path below reads
+    // the just-written footers without a second directory walk
+    val absOfNew: Map[String, Path] = newStatuses
+      .map(s => ("data/" + s.getPath.toString.split("/data/").last,
+        s.getPath)).toMap
     val files = sizeOfNew.keysIterator.toSeq.sorted
     // partition values, parsed from each file's own path — free
     // (driver-side, one entry per new file) and exact: a partition
@@ -3416,7 +3422,8 @@ object ManifestTable {
           s"stats column name '$c' contains characters the manifest " +
             "grammar cannot carry (quote, backslash, or newline)"))
         if (cols.isEmpty && bloomCols.isEmpty) Map.empty
-        else {
+        else footerScanStats(spark, cols, files, absOfNew, df.schema, physOf,
+          bloomCols.nonEmpty).getOrElse {
           // only columns with a sound stats encoding get (min, max) —
           // an unsupported type (binary, array, …) records no range
           // instead of failing the commit after the data write. NULL
@@ -4322,6 +4329,109 @@ object ManifestTable {
     var i = 0
     while (i < 6) { v = (v << 8) | (if (i < b.length) b(i) & 0xffL else 0L); i += 1 }
     v.toDouble
+  }
+
+  /** A write batch at or under this many files collects its per-file
+    * stats from the parquet FOOTERS the write just produced — one
+    * driver-side footer read per new file — instead of a second Spark
+    * job over the batch (r19 optimization: the stats job was one of
+    * the ~15 fixed actions every lifecycle query pays, ~0.1-0.2 s of
+    * scheduling floor each on a warm local session). Above the cap the
+    * distributed pass runs as before, so at 100 TB a 10k-file batch
+    * never serializes 10k footer reads through the driver. */
+  private[graft] val FooterStatsFileCap = 64
+
+  /** Test/A-B override: `-Dgraft.footerStatsCap=-1` disables the footer
+    * fast path (forcing the distributed pass), a positive value moves
+    * the cap. Read per write so a running session can be toggled. */
+  private[graft] def footerStatsCap: Int =
+    sys.props.get("graft.footerStatsCap")
+      .orElse(sys.env.get("GRAFT_FOOTER_STATS_CAP"))
+      .map(_.trim.toInt).getOrElse(FooterStatsFileCap)
+
+  /** Footer-derived twin of writeData's distributed stats pass, or
+    * None when any gate fails (the caller then runs the Spark pass).
+    * Gates keep the two paths BIT-IDENTICAL where the fast path
+    * engages:
+    *  - no bloom columns (bloom positions need row values, not stats);
+    *  - ≤ [[FooterStatsFileCap]] new files (driver O(files) bound);
+    *  - every stats column is integral / boolean / date — types whose
+    *    footer min/max convert to the stats-space double EXACTLY the
+    *    way the distributed encoder does (long/int/short/byte →
+    *    toDouble = cast(double); boolean → 1/0; date INT32 days →
+    *    toDouble = unix_date cast). Strings are excluded (footer
+    *    truncation may perturb the max prefix), floats/doubles are
+    *    excluded (parquet omits NaN-bearing min/max where the Spark
+    *    pass orders NaN largest), timestamps are excluded (INT96
+    *    legacy footers carry no stats);
+    *  - every non-empty footer chunk of a stats column carries
+    *    min/max + null counts.
+    * Output matches the distributed pass exactly: per file, encoded
+    * (min, max) per column with any non-null value, null/non-null
+    * counts per column, and the RowsKey row count. */
+  private def footerScanStats(spark: SparkSession, cols: Seq[String],
+                              files: Seq[String], absOfNew: Map[String, Path],
+                              batchSchema: StructType,
+                              physOf: Map[String, String],
+                              hasBloom: Boolean)
+      : Option[Map[String, Map[String, (Double, Double)]]] = {
+    import org.apache.spark.sql.types._
+    if (hasBloom || files.size > footerStatsCap) return None
+    val fastTypes: Set[DataType] =
+      Set(ByteType, ShortType, IntegerType, LongType, BooleanType, DateType)
+    val typed: Seq[(String, String)] = cols.flatMap { c =>
+      batchSchema.fields.find(_.name == c) match {
+        case Some(f) if fastTypes(f.dataType) => Some(c -> physOf.getOrElse(c, c))
+        case _ => None
+      }
+    }
+    if (typed.size != cols.size) return None
+    val conf = spark.sparkContext.hadoopConfiguration
+    def toDouble(v: AnyRef): Option[Double] = v match {
+      case i: java.lang.Integer => Some(i.toDouble)
+      case l: java.lang.Long => Some(l.toDouble)
+      case b: java.lang.Boolean => Some(if (b) 1.0 else 0.0)
+      case _ => None // unexpected physical type — fall back
+    }
+    val out = Map.newBuilder[String, Map[String, (Double, Double)]]
+    files.foreach { rel =>
+      val reader =
+        try org.apache.parquet.hadoop.ParquetFileReader.open(
+          org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(absOfNew(rel), conf))
+        catch { case _: Throwable => return None }
+      try {
+        import scala.jdk.CollectionConverters._
+        val blocks = reader.getFooter.getBlocks.asScala.toSeq
+        val rows = blocks.map(_.getRowCount).sum
+        var m = Map.empty[String, (Double, Double)] + (RowsKey -> (rows.toDouble, rows.toDouble))
+        if (rows > 0L) typed.foreach { case (logical, phys) =>
+          var nulls = 0L
+          var mn = Double.NaN
+          var mx = Double.NaN
+          var any = false
+          blocks.foreach { b =>
+            val chunk = b.getColumns.asScala
+              .find(c => c.getPath.size == 1 && c.getPath.toDotString == phys)
+              .getOrElse(return None)
+            val st = chunk.getStatistics
+            if (st == null || !st.isNumNullsSet) return None
+            nulls += st.getNumNulls
+            if (st.hasNonNullValue) {
+              val lo = toDouble(st.genericGetMin.asInstanceOf[AnyRef]).getOrElse(return None)
+              val hi = toDouble(st.genericGetMax.asInstanceOf[AnyRef]).getOrElse(return None)
+              if (!any) { mn = lo; mx = hi; any = true }
+              else { mn = math.min(mn, lo); mx = math.max(mx, hi) }
+            } else if (b.getRowCount > st.getNumNulls) return None // stats suppressed
+          }
+          if (any) m += logical -> (mn, mx)
+          m += NullsKeyPrefix + logical -> (nulls.toDouble, nulls.toDouble)
+          m += NonNullsKeyPrefix + logical ->
+            ((rows - nulls).toDouble, (rows - nulls).toDouble)
+        }
+        out += rel -> m
+      } finally reader.close()
+    }
+    Some(out.result())
   }
 
   /** The column → stats-space encoding shared by every stats producer
