@@ -19,7 +19,7 @@ object AbBench {
     val keys = sys.env.getOrElse("SPARK_GRAFT_KEYS", "")
       .split(",").map(_.trim).filter(_.nonEmpty).toSeq
     require(keys.nonEmpty, "set SPARK_GRAFT_KEYS=k1,k2,…")
-    val spark = SparkSession.builder()
+    val b0 = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
@@ -28,7 +28,14 @@ object AbBench {
         s"${sys.props("java.io.tmpdir")}/graft_warehouse")
       .config("spark.ui.enabled", "false")
       .withExtensions(new GraftExtensions)
-      .getOrCreate()
+    // GRAFT_FS_RAW=1: serve file: through RawLocalFileSystem (no
+    // client-side .crc siblings) — measurement arm for the checksum
+    // overhead question; session-level because FileSystem instances
+    // are cached per scheme
+    val spark = (if (sys.env.get("GRAFT_FS_RAW").contains("1"))
+      b0.config("spark.hadoop.fs.file.impl",
+        "org.apache.hadoop.fs.RawLocalFileSystem")
+    else b0).getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     def probeOnce(): Double = {
       import org.apache.spark.sql.functions._

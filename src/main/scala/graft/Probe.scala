@@ -107,8 +107,7 @@ object Probe {
           .join(dd.select(col("h").as("ha"), col("g").as("ga")), "ha")
           .join(dd.select(col("h").as("hb"), col("g").as("gb")), "hb")
           .select(col("ha"), col("hb"),
-            (size(array_intersect(col("ga"), col("gb"))).cast("double") /
-              size(array_union(col("ga"), col("gb")))).as("j"))
+            (graft.operators.MinHash.setJaccard(col("ga"), col("gb"))).as("j"))
           .filter(round(col("j"), 6) >= 0.5)
         val cross = rpairs
           .join(keyed.select(col("h").as("ha"), col("doc_id").as("ida")), "ha")

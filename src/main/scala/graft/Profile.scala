@@ -35,9 +35,13 @@ object Profile {
     val byId = new java.util.concurrent.ConcurrentHashMap[Int, JobRec]()
     spark.sparkContext.addSparkListener(new SparkListener {
       override def onJobStart(e: SparkListenerJobStart): Unit = {
-        val r = JobRec(e.jobId,
-          Option(e.properties.getProperty("spark.job.description")).getOrElse(""),
-          System.nanoTime())
+        // no explicit description on internal jobs — the final stage's
+        // callsite name ("parquet at Foo.scala:123") identifies them
+        val desc = Option(e.properties.getProperty("spark.job.description"))
+          .filter(_.nonEmpty)
+          .orElse(e.stageInfos.lastOption.map(_.name))
+          .getOrElse("")
+        val r = JobRec(e.jobId, desc, System.nanoTime())
         jobs.add(r); byId.put(e.jobId, r); ()
       }
       override def onJobEnd(e: SparkListenerJobEnd): Unit = {
@@ -78,14 +82,59 @@ object Profile {
     })
     val byName = SparkEntry.queries
     keys.foreach(k => require(byName.contains(k), s"unknown query key $k"))
+    // poor-man's sampling profiler for the MAIN thread (the query body
+    // runs there; Spark jobs run on executor threads): the histogram of
+    // "first interesting frame" attributes the wall-minus-jobs gap to
+    // real driver-side code. Frames in spark's await/submit machinery
+    // count as "waiting-on-job".
+    val sampleHist = new java.util.concurrent.ConcurrentHashMap[String, Int]()
+    @volatile var sampling = false
+    @volatile var nSamples = 0
+    val samplerThreadName = "graft-profile-sampler"
+    val sampler = new Thread(() => {
+      while (true) {
+        if (sampling) {
+          nSamples += 1
+          import scala.jdk.CollectionConverters._
+          Thread.getAllStackTraces.asScala.foreach { case (t, st) =>
+            // only threads actually burning CPU; parked/waiting ones
+            // are someone else's cost
+            if (t.getState == Thread.State.RUNNABLE &&
+                t.getName != samplerThreadName && st.nonEmpty) {
+              val grp =
+                if (t.getName.startsWith("Executor task launch")) "task"
+                else if (t.getName == "main") "main"
+                else if (t.getName.contains("QueryStageCreator")) "aqe"
+                else if (t.getName.contains("broadcast")) "bcast"
+                else "other:" + t.getName.takeWhile(c => !c.isDigit)
+              val frame = st.find { f =>
+                val c = f.getClassName
+                c.startsWith("graft.") || c.startsWith("org.apache.spark.sql.") ||
+                c.startsWith("org.apache.parquet.") ||
+                c.startsWith("org.codehaus.janino.") ||
+                c.startsWith("org.codehaus.commons.") ||
+                c.startsWith("org.apache.hadoop.")
+              }.orElse(st.headOption)
+                .map(f => s"${f.getClassName.split('.').last}.${f.getMethodName}")
+                .getOrElse("?")
+              sampleHist.merge(s"[$grp] $frame", 1, (a: Int, b: Int) => a + b)
+            }
+          }
+        }
+        Thread.sleep(5)
+      }
+    }, samplerThreadName)
+    sampler.setDaemon(true); sampler.start()
     // one warm pass (JIT) then the measured pass, like Bench's min-of-2
     keys.foreach { k =>
       (1 to 2).foreach { pass =>
         jobs.clear(); byId.clear()
         phaseTotals.clear(); actionCount.set(0); execTotal.set(0L)
+        sampleHist.clear(); nSamples = 0; sampling = (pass == 2)
         val t0 = System.nanoTime()
         try byName(k)(spark, sfDir).write.format("noop").mode("overwrite").save()
         catch { case e: Throwable => println(s"$k FAILED: ${e.getMessage}") }
+        sampling = false
         val wall = (System.nanoTime() - t0) / 1e9
         if (pass == 2) {
           println(f"\n===== $k%s wall=$wall%.3f s jobs=${jobs.size}%d =====")
@@ -103,6 +152,13 @@ object Profile {
           val phases = phaseTotals.asScala.toSeq.sortBy(-_._2)
             .map { case (p, ms) => f"$p=${ms / 1e3}%.2f" }.mkString(" ")
           println(f"  actions=${actionCount.get}%d execSum=${execTotal.get / 1e9}%.3f jobSum=$jobSum%.3f gap=${wall - jobSum}%.3f phases: $phases")
+          val ticks = nSamples.max(1)
+          val dt = wall / ticks // seconds per sampling tick
+          println(s"  runnable-thread samples ($ticks ticks, ${sampleHist.asScala.values.sum} thread-samples):")
+          sampleHist.asScala.toSeq.sortBy(-_._2).take(20).foreach {
+            case (tag, n) =>
+              println(f"    ${n * dt}%6.2f thread-s $tag")
+          }
         }
       }
     }

@@ -137,7 +137,15 @@ object FunctionQueries {
         // sort's sample pass from the single-row-group scan — the
         // parquet decode then runs once (feeding the exchange) instead
         // of twice serially (sort sampling re-executed the scan)
+        // sort the 5 SOURCE columns, derive the 8 math columns AFTER
+        // (r19, guide §2 "shuffle fewer bytes": a Project above a Sort
+        // preserves ordering, Catalyst only pushes projections the
+        // other way — this halves the range-exchange and sort width;
+        // the math itself runs once either way)
         spread(Tables.lineitem(s, d))
+          .select(col("l_orderkey"), col("l_linenumber"),
+            col("l_extendedprice"), col("l_discount"), col("l_quantity"))
+          .orderBy("l_orderkey", "l_linenumber")
           .select(
             col("l_orderkey"), col("l_linenumber"),
             round(col("l_extendedprice"), 1).as("r1"),
@@ -147,8 +155,7 @@ object FunctionQueries {
             round(pow(col("l_quantity"), 1.5), 6).as("p15"),
             round(log(col("l_extendedprice")), 6).as("ln_price"),
             round(sqrt(col("l_quantity")), 6).as("sqrt_qty"),
-            pmod(col("l_orderkey"), lit(7)).as("pm7"))
-          .orderBy("l_orderkey", "l_linenumber"),
+            pmod(col("l_orderkey"), lit(7)).as("pm7")),
       Some("""SELECT l_orderkey, l_linenumber,
              |round(l_extendedprice, 1) AS r1,
              |abs(l_discount - 0.05) AS adiff,

@@ -208,13 +208,32 @@ object Bpe {
     graft.QueryRegistry.spread(docs)
       .select(col(idCol).cast("long").as("id"), lower(col(textCol)).as("t"))
       .as[(Long, String)]
-      .map { case (id, t) =>
-        val toks = t.split(" ").filter(_.nonEmpty).flatMap { w =>
-          var syms: IndexedSeq[String] = w.map(_.toString).toIndexedSeq
-          merges.foreach { case (a, b) => syms = applyMerge(syms, a, b) }
-          syms
+      .mapPartitions { it =>
+        // per-task word → tokens memo (r19): word frequencies are
+        // zipfian, so the merge application runs once per DISTINCT word
+        // per task instead of once per occurrence — same output, the
+        // derivation is a pure function of the word and the broadcast
+        // merge table. Bounded: a full memo resets (never grows past
+        // 64k entries), so a pathological all-distinct corpus costs one
+        // map clear, not executor memory.
+        val memo = new java.util.HashMap[String, Array[String]](1 << 12)
+        it.map { case (id, t) =>
+          val toks = scala.collection.mutable.ArrayBuffer.empty[String]
+          t.split(" ").foreach { w =>
+            if (w.nonEmpty) {
+              var arr = memo.get(w)
+              if (arr == null) {
+                var syms: IndexedSeq[String] = w.map(_.toString).toIndexedSeq
+                merges.foreach { case (a, b) => syms = applyMerge(syms, a, b) }
+                arr = syms.toArray
+                if (memo.size >= 65536) memo.clear()
+                memo.put(w, arr)
+              }
+              toks ++= arr
+            }
+          }
+          (id, toks.toSeq)
         }
-        (id, toks.toSeq)
       }
       .toDF("id", "tokens")
   }

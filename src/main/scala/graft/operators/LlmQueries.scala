@@ -277,9 +277,7 @@ object LlmQueries {
         a.join(b, "doc_a")
           .select(
             col("doc_a"), col("doc_b"),
-            round(
-              size(array_intersect(col("ga"), col("gb"))).cast("double") /
-              size(array_union(col("ga"), col("gb"))), 6).as("jaccard"))
+            round(MinHash.setJaccard(col("ga"), col("gb")), 6).as("jaccard"))
           .orderBy("doc_a")
       },
       Some("""WITH w AS (SELECT doc_id, string_split(text,' ') AS ws FROM documents),
@@ -356,8 +354,7 @@ object LlmQueries {
           .select(
             col("a_doc_id").as("doc_a"), col("b_doc_id").as("doc_b"),
             (agree.cast("double") / 8).as("est_j"),
-            (size(array_intersect(col("a_g"), col("b_g"))).cast("double") /
-              size(array_union(col("a_g"), col("b_g")))).as("exact_j"))
+            MinHash.setJaccard(col("a_g"), col("b_g")).as("exact_j"))
           .select(col("doc_a"), col("doc_b"),
             round(col("est_j"), 6).as("est_j"),
             round(col("exact_j"), 6).as("exact_j"),

@@ -18,8 +18,43 @@ object MinHash {
   val Bands     = 4
   val RowsPerBand: Int = NumHashes / Bands
 
-  /** n-word shingles of a text column; whole text when shorter than n. */
-  def shingles(text: Column, n: Int): Column = {
+  /** n-word shingles of a text column; whole text when shorter than n.
+    * One fused byte scan ([[graft.functions.WordShingles]]) — the
+    * built-in spelling [[shinglesHof]] interprets its lambda body per
+    * shingle and was the b2 family's top task cost (r19 profile). */
+  def shingles(text: Column, n: Int): Column =
+    // `-Dgraft.shinglesFused=false` pins the HOF spelling (A/B harness)
+    if (sys.props.get("graft.shinglesFused").contains("false"))
+      shinglesHof(text, n)
+    else {
+      import org.apache.spark.sql.graftbridge.ColumnBridge
+      ColumnBridge.column(
+        graft.functions.WordShingles(ColumnBridge.expression(text), n))
+    }
+
+  /** Exact set-Jaccard of two shingle arrays — one fused pass
+    * ([[graft.functions.SetJaccard]]), bit-identical to
+    * [[setJaccardBuiltin]], which materializes the intersection AND
+    * union arrays per candidate pair only to take their sizes (the
+    * r19 profile's top task cost in b2_prefix_join).
+    * `-Dgraft.setJaccardFused=false` pins the built-in spelling. */
+  def setJaccard(a: Column, b: Column): Column =
+    if (sys.props.get("graft.setJaccardFused").contains("false"))
+      setJaccardBuiltin(a, b)
+    else {
+      import org.apache.spark.sql.graftbridge.ColumnBridge
+      ColumnBridge.column(graft.functions.SetJaccard(
+        ColumnBridge.expression(a), ColumnBridge.expression(b)))
+    }
+
+  /** Built-in-only formulation of [[setJaccard]] (the equivalence
+    * oracle for tests). */
+  def setJaccardBuiltin(a: Column, b: Column): Column =
+    size(array_intersect(a, b)).cast("double") / size(array_union(a, b))
+
+  /** Built-in-only formulation of [[shingles]] (kept as the equivalence
+    * oracle for tests, like [[signatureHof]]). */
+  def shinglesHof(text: Column, n: Int): Column = {
     val w = split(text, " ")
     when(size(w) >= n,
       transform(
@@ -220,8 +255,7 @@ object MinHash {
       .join(dd.select(col("h").as("ha"), col("g").as("ga")), "ha")
       .join(dd.select(col("h").as("hb"), col("g").as("gb")), "hb")
       .select(col("ha"), col("hb"),
-        (size(array_intersect(col("ga"), col("gb"))).cast("double") /
-          size(array_union(col("ga"), col("gb")))).as("j"))
+        setJaccard(col("ga"), col("gb")).as("j"))
       .filter(round(col("j"), 6) >= t)
     // expansion: qualifying distinct-text pairs × their members …
     val cross = rpairs

@@ -2514,27 +2514,36 @@ object ManifestTable {
         // carries the logical one the derived column surfaces under
         val dirName = schema.flatMap(_.fields.find(_.name == c))
           .map(physName).getOrElse(c)
-        val pat = "/" + java.util.regex.Pattern.quote(dirName) + "=([^/]+)/"
         // extract from the table-RELATIVE part (after the LAST /data/,
         // the same anchor relFileCol uses): a table rooted under a
         // directory that happens to contain `<col>=<value>` would
         // otherwise match the root's value for every row. Inside the
         // relative part the pattern is unambiguous — `=` and `/` are
         // hive-escaped inside values, so `/<col>=` occurs only as the
-        // real partition dir.
-        val relPart = element_at(
-          split(col("_metadata.file_path"), "/data/"), -1)
-        val raw = regexp_extract(relPart, pat, 1)
-        // the value is DOUBLY %XX-encoded in file_path: the writer
-        // hive-escapes it into the dir name (%-including), and the
-        // path URI re-encodes each '%' as %25 — decode twice, masking
-        // the legal-unescaped '+' each round against the URL decoder's
-        // plus-is-space rule
-        def dec1(x: Column): Column = url_decode(
-          org.apache.spark.sql.functions.replace(x, lit("+"), lit("%2B")))
-        val dec = dec1(dec1(raw))
-        val v = when(raw === "" || dec === "__HIVE_DEFAULT_PARTITION__",
-          lit(null)).otherwise(dec)
+        // real partition dir. The value is DOUBLY %XX-encoded in
+        // file_path (writer hive-escape, then URI %-escape) — decoded
+        // twice with '+' masked each round. All fused and per-file
+        // memoized in [[graft.functions.PartitionPathValue]] (r19: the
+        // built-in regexp + double-url_decode chain re-derived the
+        // file-constant value per ROW and was a top task cost of every
+        // partitioned read). `-Dgraft.partPathFused=false` pins the
+        // built-in chain (A/B harness; PartitionPathSpec pins equality).
+        val v: Column =
+          if (sys.props.get("graft.partPathFused").contains("false")) {
+            val pat = "/" + java.util.regex.Pattern.quote(dirName) + "=([^/]+)/"
+            val relPart = element_at(
+              split(col("_metadata.file_path"), "/data/"), -1)
+            val raw = regexp_extract(relPart, pat, 1)
+            def dec1(x: Column): Column = url_decode(
+              org.apache.spark.sql.functions.replace(x, lit("+"), lit("%2B")))
+            val dec = dec1(dec1(raw))
+            when(raw === "" || dec === "__HIVE_DEFAULT_PARTITION__",
+              lit(null)).otherwise(dec)
+          } else {
+            import org.apache.spark.sql.graftbridge.ColumnBridge
+            ColumnBridge.column(graft.functions.PartitionPathValue(
+              ColumnBridge.expression(col("_metadata.file_path")), dirName))
+          }
         val typed = schema.flatMap(_.fields.find(_.name == c))
           .map(f => v.cast(f.dataType)).getOrElse(v)
         df.withColumn(c, typed)
@@ -4355,15 +4364,18 @@ object ManifestTable {
     * engages:
     *  - no bloom columns (bloom positions need row values, not stats);
     *  - ≤ [[FooterStatsFileCap]] new files (driver O(files) bound);
-    *  - every stats column is integral / boolean / date — types whose
-    *    footer min/max convert to the stats-space double EXACTLY the
-    *    way the distributed encoder does (long/int/short/byte →
-    *    toDouble = cast(double); boolean → 1/0; date INT32 days →
-    *    toDouble = unix_date cast). Strings are excluded (footer
-    *    truncation may perturb the max prefix), floats/doubles are
-    *    excluded (parquet omits NaN-bearing min/max where the Spark
-    *    pass orders NaN largest), timestamps are excluded (INT96
-    *    legacy footers carry no stats);
+    *  - every stats column is integral / boolean / date / string /
+    *    timestamp / int-backed decimal — types whose footer min/max
+    *    convert to the stats-space double EXACTLY the way the
+    *    distributed encoder does (long/int/short/byte → toDouble =
+    *    cast(double); boolean → 1/0; date INT32 days → unix_date cast;
+    *    string → the monotone 6-byte prefix encoding, so
+    *    enc(min)=min(enc); INT64 timestamp µs → /1e6, the double cast;
+    *    unscaled int32/int64 decimal → BigDecimal.doubleValue, i.e.
+    *    Decimal.toDouble). Floats/doubles are excluded (parquet omits
+    *    NaN-bearing min/max where the Spark pass orders NaN largest);
+    *    INT96 legacy timestamps carry no footer stats and fall back
+    *    via the stats-suppressed guard;
     *  - every non-empty footer chunk of a stats column carries
     *    min/max + null counts.
     * Output matches the distributed pass exactly: per file, encoded
@@ -4377,21 +4389,75 @@ object ManifestTable {
       : Option[Map[String, Map[String, (Double, Double)]]] = {
     import org.apache.spark.sql.types._
     if (hasBloom || files.size > footerStatsCap) return None
-    val fastTypes: Set[DataType] =
-      Set(ByteType, ShortType, IntegerType, LongType, BooleanType, DateType)
-    val typed: Seq[(String, String)] = cols.flatMap { c =>
+    def fastType(dt: DataType): Boolean = dt match {
+      case ByteType | ShortType | IntegerType | LongType | BooleanType |
+           DateType | StringType | TimestampType | TimestampNTZType => true
+      // int-backed decimals only: FIXED_LEN_BYTE_ARRAY stats carry
+      // raw unscaled bytes whose sort order older writers got wrong
+      case d: DecimalType => d.precision <= Decimal.MAX_LONG_DIGITS
+      case _ => false
+    }
+    val typed: Seq[(String, String, DataType)] = cols.flatMap { c =>
       batchSchema.fields.find(_.name == c) match {
-        case Some(f) if fastTypes(f.dataType) => Some(c -> physOf.getOrElse(c, c))
+        case Some(f) if fastType(f.dataType) =>
+          Some((c, physOf.getOrElse(c, c), f.dataType))
         case _ => None
       }
     }
     if (typed.size != cols.size) return None
     val conf = spark.sparkContext.hadoopConfiguration
-    def toDouble(v: AnyRef): Option[Double] = v match {
-      case i: java.lang.Integer => Some(i.toDouble)
-      case l: java.lang.Long => Some(l.toDouble)
-      case b: java.lang.Boolean => Some(if (b) 1.0 else 0.0)
-      case _ => None // unexpected physical type — fall back
+    import org.apache.parquet.schema.LogicalTypeAnnotation
+    import org.apache.parquet.schema.LogicalTypeAnnotation.{TimestampLogicalTypeAnnotation, DecimalLogicalTypeAnnotation}
+    // footer value → the EXACT double the distributed statEncoder
+    // computes, per logical type (None = unexpected physical shape —
+    // the caller falls back to the distributed pass)
+    def toDouble(v: AnyRef, dt: DataType,
+                 ann: LogicalTypeAnnotation): Option[Double] = (dt, v) match {
+      case (ByteType | ShortType | IntegerType | DateType, i: java.lang.Integer) =>
+        Some(i.toDouble)
+      case (LongType, l: java.lang.Long) => Some(l.toDouble)
+      case (BooleanType, b: java.lang.Boolean) => Some(if (b) 1.0 else 0.0)
+      case (StringType, b: org.apache.parquet.io.api.Binary) =>
+        // the order-preserving 6-byte prefix encoding (stringBoundCol):
+        // monotone, so enc(min)=min(enc) and footer truncation (≥64
+        // bytes when configured at all) can never reach byte 6
+        val bytes = b.getBytes
+        var acc = 0L
+        var i = 0
+        while (i < 6) {
+          acc = (acc << 8) | (if (i < bytes.length) bytes(i) & 0xffL else 0L)
+          i += 1
+        }
+        Some(acc.toDouble)
+      case (TimestampType | TimestampNTZType, l: java.lang.Long) => ann match {
+        // epoch seconds via the double cast: micros/1e6; a MILLIS file
+        // scales exactly (×1000 is exact in long) first. INT96 carries
+        // no stats and never reaches here (hasNonNullValue is false).
+        case t: TimestampLogicalTypeAnnotation =>
+          t.getUnit match {
+            case LogicalTypeAnnotation.TimeUnit.MICROS => Some(l.toDouble / 1e6)
+            case LogicalTypeAnnotation.TimeUnit.MILLIS => Some((l * 1000L).toDouble / 1e6)
+            case _ => None
+          }
+        case _ => None
+      }
+      case (d: DecimalType, _) =>
+        // unscaled int32/int64 → BigDecimal.doubleValue, exactly
+        // Spark's Decimal.toDouble (the cast the encoder applies)
+        val unscaled: Option[Long] = v match {
+          case i: java.lang.Integer => Some(i.longValue())
+          case l: java.lang.Long => Some(l.longValue())
+          case _ => None
+        }
+        val scaleOk = ann match {
+          case a: DecimalLogicalTypeAnnotation => a.getScale == d.scale
+          case _ => false
+        }
+        if (!scaleOk) None
+        else unscaled.map(u =>
+          new java.math.BigDecimal(java.math.BigInteger.valueOf(u), d.scale)
+            .doubleValue())
+      case _ => None
     }
     val out = Map.newBuilder[String, Map[String, (Double, Double)]]
     files.foreach { rel =>
@@ -4404,7 +4470,7 @@ object ManifestTable {
         val blocks = reader.getFooter.getBlocks.asScala.toSeq
         val rows = blocks.map(_.getRowCount).sum
         var m = Map.empty[String, (Double, Double)] + (RowsKey -> (rows.toDouble, rows.toDouble))
-        if (rows > 0L) typed.foreach { case (logical, phys) =>
+        if (rows > 0L) typed.foreach { case (logical, phys, dt) =>
           var nulls = 0L
           var mn = Double.NaN
           var mx = Double.NaN
@@ -4416,9 +4482,12 @@ object ManifestTable {
             val st = chunk.getStatistics
             if (st == null || !st.isNumNullsSet) return None
             nulls += st.getNumNulls
+            val ann = chunk.getPrimitiveType.getLogicalTypeAnnotation
             if (st.hasNonNullValue) {
-              val lo = toDouble(st.genericGetMin.asInstanceOf[AnyRef]).getOrElse(return None)
-              val hi = toDouble(st.genericGetMax.asInstanceOf[AnyRef]).getOrElse(return None)
+              val lo = toDouble(st.genericGetMin.asInstanceOf[AnyRef], dt, ann)
+                .getOrElse(return None)
+              val hi = toDouble(st.genericGetMax.asInstanceOf[AnyRef], dt, ann)
+                .getOrElse(return None)
               if (!any) { mn = lo; mx = hi; any = true }
               else { mn = math.min(mn, lo); mx = math.max(mx, hi) }
             } else if (b.getRowCount > st.getNumNulls) return None // stats suppressed

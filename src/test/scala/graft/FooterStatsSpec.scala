@@ -52,6 +52,27 @@ class FooterStatsSpec extends AnyFunSuite with SparkFixture {
       .repartition(3, col("k"))
   }
 
+  /** strings (6-byte-prefix encoding: shared prefixes, high-bit utf8,
+    * empties), timestamps (µs precision, negatives pre-1970) and
+    * int-backed decimals — the r19 gate extension */
+  private def sample2() = {
+    import spark.implicits._
+    (1 to 300).map { i =>
+      val k = i % 3
+      ( k.toLong,
+        if (i % 11 == 0) null
+        else if (i % 5 == 0) "" // empty string sorts first
+        else if (i % 3 == 0) s"prefix-shared-${i}%04d suffix"
+        else if (i % 2 == 0) s"ünïcode-$i"
+        else s"z$i",
+        if (k == 2) null
+        else java.sql.Timestamp.valueOf(f"19${i % 60 + 40}%d-0${i % 9 + 1}%d-15 12:34:56.${i % 1000}%03d"),
+        if (i % 13 == 0) null else BigDecimal((i - 150) * 7, 2).bigDecimal)
+    }.toDF("k", "s", "ts", "dec")
+      .withColumn("dec", col("dec").cast("decimal(12,2)"))
+      .repartition(3, col("k"))
+  }
+
   test("footer fast path records byte-identical stats to the distributed pass") {
     val df = sample()
     val cols = Seq("k", "i", "b", "d")
@@ -67,7 +88,22 @@ class FooterStatsSpec extends AnyFunSuite with SparkFixture {
     assert(a.values.exists(_.contains("d")), "date stats missing entirely")
   }
 
-  test("a non-gated stats type (string, double) falls back whole-batch and still records") {
+  test("string/timestamp/decimal stats are byte-identical to the distributed pass") {
+    val df = sample2()
+    val cols = Seq("k", "s", "ts", "dec")
+    val fast = fresh(); val slow = fresh()
+    ManifestTable.commit(spark, fast, df, SaveMode.Overwrite, statsColumns = cols)
+    withCap("-1") {
+      ManifestTable.commit(spark, slow, df, SaveMode.Overwrite, statsColumns = cols)
+    }
+    val (a, b) = (byPart(fast), byPart(slow))
+    assert(a.keySet === b.keySet)
+    a.keys.foreach { p => assert(a(p) === b(p), s"stats diverge for $p") }
+    assert(a.values.exists(m => m.contains("s") && m.contains("ts") && m.contains("dec")),
+      "new gated types missing entirely")
+  }
+
+  test("a non-gated stats type (double) falls back whole-batch and still records") {
     import spark.implicits._
     val df = Seq((1L, "aa", 1.5), (2L, "zz", -2.5), (3L, null: String, 0.0))
       .toDF("k", "s", "x").coalesce(1)

@@ -1,0 +1,71 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import graft.operators.MinHash
+
+/** r19 optimization: the `size(array_intersect)/size(array_union)`
+  * exact-Jaccard became one fused pass (graft.functions.SetJaccard).
+  * These tests pin bit-identical doubles against the built-in spelling
+  * (MinHash.setJaccardBuiltin) over every set shape the built-ins
+  * distinguish: duplicates, null elements, empty and null arrays. */
+class SetJaccardSpec extends AnyFunSuite with SparkFixture {
+
+  private val cases: Seq[(Seq[String], Seq[String])] = Seq(
+    (Seq("a", "b", "c"), Seq("b", "c", "d")),
+    (Seq("a", "a", "b"), Seq("a", "b", "b", "b")), // duplicates collapse
+    (Seq("a"), Seq("z")),
+    (Seq("same"), Seq("same")),
+    (Seq.empty, Seq("a")),
+    (Seq("a", null, "b"), Seq("b", null)), // null counts once, both sides
+    (Seq(null, null), Seq("x")), // null on one side only
+    (null, Seq("a")), // null array → NULL
+    (Seq("ü", "漢字", ""), Seq("", "漢字", "zz")),
+    ((1 to 300).map(i => s"g$i"), (150 to 450).map(i => s"g$i")))
+
+  test("fused set-Jaccard is bit-identical to the built-in spelling") {
+    import spark.implicits._
+    val df = cases.toDF("a", "b")
+    val rows = df.select(
+      MinHash.setJaccard(col("a"), col("b")).as("fused"),
+      MinHash.setJaccardBuiltin(col("a"), col("b")).as("builtin")).collect()
+    rows.zip(cases).foreach { case (r, c) =>
+      val f = if (r.isNullAt(0)) null else java.lang.Double.valueOf(r.getDouble(0))
+      val b = if (r.isNullAt(1)) null else java.lang.Double.valueOf(r.getDouble(1))
+      assert(f === b, s"case $c")
+    }
+  }
+
+  test("empty-empty follows Divide's 0-divisor contract (ANSI error)") {
+    import spark.implicits._
+    val df = Seq((Seq.empty[String], Seq.empty[String])).toDF("a", "b")
+    def run(c: org.apache.spark.sql.Column) =
+      df.select(c.as("j")).collect().head
+    def divByZero(body: => Any): Unit = {
+      val e = intercept[Exception](body)
+      assert(e.getMessage.contains("DIVIDE_BY_ZERO"), e.getMessage)
+    }
+    if (spark.conf.get("spark.sql.ansi.enabled") == "true") {
+      divByZero(run(MinHash.setJaccard(col("a"), col("b"))))
+      divByZero(run(MinHash.setJaccardBuiltin(col("a"), col("b"))))
+    } else {
+      assert(run(MinHash.setJaccard(col("a"), col("b"))).isNullAt(0))
+      assert(run(MinHash.setJaccardBuiltin(col("a"), col("b"))).isNullAt(0))
+    }
+  }
+
+  test("fused set-Jaccard matches through a join + filter pipeline") {
+    import spark.implicits._
+    val docs = (1 to 100).map(i =>
+      (i.toLong, (0 until 20).map(k => s"w${(i + k) % 60}"))).toDF("id", "g")
+    val a = docs.select(col("id").as("ia"), col("g").as("ga"))
+    val b = docs.select((col("id") - 1).as("ia"), col("g").as("gb"))
+    val out = a.join(b, "ia")
+      .select(col("ia"),
+        MinHash.setJaccard(col("ga"), col("gb")).as("f"),
+        MinHash.setJaccardBuiltin(col("ga"), col("gb")).as("o"))
+      .collect()
+    assert(out.length === 99)
+    out.foreach(r => assert(r.getDouble(1) === r.getDouble(2)))
+  }
+}
