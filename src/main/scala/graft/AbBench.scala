@@ -69,6 +69,14 @@ object AbBench {
     }
     def withArm[A](v: Option[String])(body: => A): A = abProp match {
       case None => body
+      case Some(p) if p.startsWith("spark.") =>
+        // a runtime-settable SQL conf arms through the session
+        val old = spark.conf.getOption(p)
+        v match { case Some(x) => spark.conf.set(p, x); case None => spark.conf.unset(p) }
+        try body finally old match {
+          case Some(x) => spark.conf.set(p, x)
+          case None => spark.conf.unset(p)
+        }
       case Some(p) =>
         val old = sys.props.get(p)
         v match { case Some(x) => sys.props(p) = x; case None => sys.props -= p }

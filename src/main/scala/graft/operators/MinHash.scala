@@ -307,11 +307,24 @@ object MinHash {
           .select(col("band"), col("bh"), col("doc_id").as("doc_a"), col("sig").as("sig_a")),
         Seq("band", "bh"))
       .select(col("doc_a"), col("sig_a"), col("doc_b"), col("sig_b"))
+    // slot agreement fused into one codegen'd loop (r19): the
+    // aggregate-over-zip_with spelling evaluates two lambda layers
+    // interpreted per slot per candidate pair.
+    // `-Dgraft.slotAgreementFused=false` pins the built-in spelling.
+    val agreement: Column =
+      if (sys.props.get("graft.slotAgreementFused").contains("false"))
+        aggregate(
+          zip_with(col("sig_a"), col("sig_b"), (x, y) => when(x === y, 1).otherwise(0)),
+          lit(0), (acc, v) => acc + v)
+      else {
+        import org.apache.spark.sql.graftbridge.ColumnBridge
+        ColumnBridge.column(graft.functions.SlotAgreement(
+          ColumnBridge.expression(col("sig_a")),
+          ColumnBridge.expression(col("sig_b"))))
+      }
     smallPairs.union(bigPairs)
       .select(col("doc_a"), col("doc_b"),
-        (aggregate(
-          zip_with(col("sig_a"), col("sig_b"), (x, y) => when(x === y, 1).otherwise(0)),
-          lit(0), (acc, v) => acc + v).cast("double") / NumHashes).as("est_jaccard"))
+        (agreement.cast("double") / NumHashes).as("est_jaccard"))
       .distinct()
   }
 

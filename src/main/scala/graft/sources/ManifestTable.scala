@@ -944,8 +944,19 @@ object ManifestTable {
     // and i ≤ 15, so i*h2 + h1 < 2^36 — no long overflow under ANSI
     val h1 = pmod(xxhash64(c), lit(bits))
     val h2 = pmod(xxhash64(c, lit(0x9E3779B97F4A7C15L)), lit(bits))
-    transform(sequence(lit(0L), lit((k - 1).toLong)),
-      i => pmod(h1 + i * h2, lit(bits)))
+    // k-position loop fused into one codegen'd expression (r19): the
+    // transform spelling below re-evaluates the whole h1/h2 subtree
+    // interpreted per element — two xxhash64 calls × k per row on
+    // every bloom-indexed write. `-Dgraft.bloomPosFused=false` pins
+    // the built-in spelling (A/B harness; BloomSpec pins equality).
+    if (sys.props.get("graft.bloomPosFused").contains("false"))
+      transform(sequence(lit(0L), lit((k - 1).toLong)),
+        i => pmod(h1 + i * h2, lit(bits)))
+    else {
+      import org.apache.spark.sql.graftbridge.ColumnBridge
+      ColumnBridge.column(graft.functions.HashPositions(
+        ColumnBridge.expression(h1), ColumnBridge.expression(h2), bits, k))
+    }
   }
 
   /** Configure (or replace) the bloom index: later writes — appends,

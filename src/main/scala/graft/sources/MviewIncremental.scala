@@ -546,7 +546,12 @@ private[graft] object MviewIncremental {
     }
     val dirty = termFrames.reduce(_.unionByName(_)).distinct().persist()
     try {
-      if (dirty.isEmpty)
+      // ONE action answers both downstream questions (r19: isEmpty and
+      // the envelope census were two separate jobs per refresh): empty
+      // ⇔ zero rows in the first 1001, and the ≤1000-tuple census is
+      // exactly these rows. Driver state stays bounded at 1001 tuples.
+      val dirtyProbe = dirty.limit(1001).collect()
+      if (dirtyProbe.isEmpty)
         // churn outside the WHERE clause — nothing the view reflects
         // changed; the marker stays put (replay is idempotent) UNLESS
         // the unconsumed window has grown past the threshold, where a
@@ -612,7 +617,7 @@ private[graft] object MviewIncremental {
         // dirty-set membership and the semi join can be skipped
         val prunedBase: Option[(DataFrame, Boolean)] = plainCols.flatMap {
           cols =>
-            val keys = dirty.limit(1001).collect()
+            val keys = dirtyProbe // the probe above IS the census
             if (keys.length > 1000) None
             else {
               import org.apache.spark.sql.functions.lit

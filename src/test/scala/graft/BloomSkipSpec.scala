@@ -209,4 +209,59 @@ class BloomSkipSpec extends AnyFunSuite with SparkFixture {
     val hit = ManifestTable.readWhere(spark, t, col("id") === 500L)
     assert(hit.count() === 1L)
   }
+
+  test("fused bloom positions equal the HOF spelling, and pruning matches (r19)") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.{lit, pmod, sequence, transform, xxhash64}
+    // expression-level: the fused HashPositions against the exact HOF
+    // spelling bloomPosCol replaced, over every input type blooms index
+    val bits = 1L << 17
+    val k = 5
+    def hof(c: org.apache.spark.sql.Column) = {
+      val h1 = pmod(xxhash64(c), lit(bits))
+      val h2 = pmod(xxhash64(c, lit(0x9E3779B97F4A7C15L)), lit(bits))
+      transform(sequence(lit(0L), lit((k - 1).toLong)),
+        i => pmod(h1 + i * h2, lit(bits)))
+    }
+    def fused(c: org.apache.spark.sql.Column) = {
+      import org.apache.spark.sql.graftbridge.ColumnBridge
+      val h1 = pmod(xxhash64(c), lit(bits))
+      val h2 = pmod(xxhash64(c, lit(0x9E3779B97F4A7C15L)), lit(bits))
+      ColumnBridge.column(graft.functions.HashPositions(
+        ColumnBridge.expression(h1), ColumnBridge.expression(h2), bits, k))
+    }
+    val df = ((1 to 2000).map(i => (i.toLong, s"value-$i")) ++
+      Seq((Long.MinValue, ""), (Long.MaxValue, null: String), (0L, "\u0000")))
+      .toDF("id", "s")
+    Seq(col("id"), col("s")).foreach { c =>
+      val rows = df.select(fused(c).as("f"), hof(c).as("h")).collect()
+      rows.foreach(r => assert(r.getSeq[Long](0) === r.getSeq[Long](1), s"col $c"))
+    }
+    // end-to-end: a bloom-indexed table written under each spelling
+    // prunes a point lookup to the same file count with exact results
+    def build(fusedArm: Boolean): String = {
+      val key = "graft.bloomPosFused"
+      val old = sys.props.get(key)
+      sys.props(key) = fusedArm.toString
+      try {
+        val t = java.nio.file.Files.createTempDirectory("graft_bloomab").toString
+        val data = (1 to 4000).map(i => (i.toLong, s"v$i")).toDF("id", "s")
+          .repartition(4, col("id"))
+        ManifestTable.commit(spark, t, data.limit(0), org.apache.spark.sql.SaveMode.Overwrite)
+        ManifestTable.addBloom(spark, t, Seq("id", "s"))
+        ManifestTable.commit(spark, t, data, org.apache.spark.sql.SaveMode.Append)
+        t
+      } finally old match {
+        case Some(v) => sys.props(key) = v
+        case None => sys.props -= key
+      }
+    }
+    val (tf, th) = (build(true), build(false))
+    val hitF = ManifestTable.readWhere(spark, tf, col("id") === 1234L)
+    val hitH = ManifestTable.readWhere(spark, th, col("id") === 1234L)
+    assert(hitF.inputFiles.length === hitH.inputFiles.length)
+    assert(hitF.inputFiles.length < ManifestTable.snapshotFiles(spark, tf).size,
+      "bloom pruning must actually fire")
+    assert(hitF.count() === 1L && hitH.count() === 1L)
+  }
 }

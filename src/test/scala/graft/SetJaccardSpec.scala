@@ -68,4 +68,25 @@ class SetJaccardSpec extends AnyFunSuite with SparkFixture {
     assert(out.length === 99)
     out.foreach(r => assert(r.getDouble(1) === r.getDouble(2)))
   }
+
+  test("fused slot agreement equals the aggregate-over-zip_with spelling") {
+    import spark.implicits._
+    import org.apache.spark.sql.graftbridge.ColumnBridge
+    val cases: Seq[(Seq[Long], Seq[Long])] = Seq(
+      (Seq(1L, 2L, 3L), Seq(1L, 9L, 3L)),
+      (Seq.empty, Seq(1L)),
+      (Seq(5L), Seq(5L, 5L, 5L)), // length mismatch: zip_with null-pads
+      ((1L to 16L), (1L to 16L)),
+      ((1L to 16L), (1L to 16L).map(i => if (i % 2 == 0) -i else i)))
+    val df = cases.toDF("sig_a", "sig_b")
+    val fused = ColumnBridge.column(graft.functions.SlotAgreement(
+      ColumnBridge.expression(col("sig_a")), ColumnBridge.expression(col("sig_b"))))
+    val builtin = aggregate(
+      zip_with(col("sig_a"), col("sig_b"), (x, y) => when(x === y, 1).otherwise(0)),
+      lit(0), (acc, v) => acc + v)
+    df.select(fused.as("f"), builtin.as("b")).collect()
+      .zip(cases).foreach { case (r, c) =>
+        assert(r.getInt(0) === r.getInt(1), s"case $c")
+      }
+  }
 }
