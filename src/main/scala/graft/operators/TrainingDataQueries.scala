@@ -339,15 +339,21 @@ object TrainingDataQueries {
     Entry(
       "b1_span_dedup",
       (s, d) => {
+        // the per-span `array_join(slice(tk, i, 8), " ")` equals the
+        // 8-word shingle byte-slice (single-space split re-joined by
+        // single spaces IS the original substring) — so the span text
+        // comes from the fused one-pass MinHash.shingles (r19, §2 of
+        // OPTIMIZATION_r19.md) instead of an int-sequence explode plus
+        // a fresh array + joined string per span. The ≥8-word gate
+        // guarantees the whole-text fallback branch never fires, so
+        // span count (n_words - 7) and bytes are identical.
         val docs = Tables.documents(s, d)
-          .select(col("doc_id"), split(col("text"), " ").as("tk"))
-          .filter(size(col("tk")) >= 8)
+          .select(col("doc_id"), col("text"))
+          .filter(size(split(col("text"), " ")) >= 8)
         val spans = docs
           .select(col("doc_id"),
-            explode(sequence(lit(1), size(col("tk")) - 7)).as("i"),
-            col("tk"))
-          .select(col("doc_id"),
-            md5(array_join(slice(col("tk"), col("i"), lit(8)), " ")).as("h"))
+            explode(graft.operators.MinHash.shingles(col("text"), 8)).as("sp"))
+          .select(col("doc_id"), md5(col("sp")).as("h"))
         val dupSpans = spans.groupBy("h")
           .agg(countDistinct(col("doc_id")).as("nd"))
         spans.join(dupSpans, Seq("h"))
