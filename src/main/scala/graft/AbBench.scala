@@ -31,11 +31,19 @@ object AbBench {
     // GRAFT_FS_RAW=1: serve file: through RawLocalFileSystem (no
     // client-side .crc siblings) — measurement arm for the checksum
     // overhead question; session-level because FileSystem instances
-    // are cached per scheme
-    val spark = (if (sys.env.get("GRAFT_FS_RAW").contains("1"))
-      b0.config("spark.hadoop.fs.file.impl",
-        "org.apache.hadoop.fs.RawLocalFileSystem")
-    else b0).getOrCreate()
+    // are cached per scheme. GRAFT_FS_SHELL_CHMOD=1: measurement arm
+    // pinning Hadoop's fork-per-chmod LocalFileSystem instead of the
+    // default fork-free GraftLocalFileSystem.
+    val b1 =
+      if (sys.env.get("GRAFT_FS_RAW").contains("1"))
+        b0.config("spark.hadoop.fs.file.impl",
+          "org.apache.hadoop.fs.RawLocalFileSystem")
+      else if (sys.env.get("GRAFT_FS_SHELL_CHMOD").contains("1"))
+        b0.config("spark.hadoop.fs.file.impl",
+          "org.apache.hadoop.fs.LocalFileSystem")
+      else b0.config("spark.hadoop.fs.file.impl",
+        "graft.sources.GraftLocalFileSystem")
+    val spark = b1.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     def probeOnce(): Double = {
       import org.apache.spark.sql.functions._

@@ -54,6 +54,9 @@ object Graft {
       .config("spark.sql.shuffle.partitions", shufflePartitions)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      // fork-free chmod for file: (GraftLocalFileSystem docs)
+      .config("spark.hadoop.fs.file.impl",
+        "graft.sources.GraftLocalFileSystem")
       .withExtensions(new GraftExtensions)
       .getOrCreate()
 

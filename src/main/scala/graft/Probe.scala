@@ -20,6 +20,9 @@ object Probe {
       .config("spark.sql.warehouse.dir",
         s"${sys.props("java.io.tmpdir")}/graft_warehouse")
       .config("spark.ui.enabled", "false")
+      // fork-free chmod for file: (GraftLocalFileSystem docs)
+      .config("spark.hadoop.fs.file.impl",
+        "graft.sources.GraftLocalFileSystem")
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
     import org.apache.spark.sql.functions._

@@ -25,6 +25,9 @@ object Profile {
       .config("spark.sql.warehouse.dir",
         s"${sys.props("java.io.tmpdir")}/graft_warehouse")
       .config("spark.ui.enabled", "false")
+      // fork-free chmod for file: (GraftLocalFileSystem docs)
+      .config("spark.hadoop.fs.file.impl",
+        "graft.sources.GraftLocalFileSystem")
       .withExtensions(new GraftExtensions)
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
@@ -90,6 +93,7 @@ object Profile {
     val sampleHist = new java.util.concurrent.ConcurrentHashMap[String, Int]()
     @volatile var sampling = false
     @volatile var nSamples = 0
+    @volatile var shellDumped = false
     val samplerThreadName = "graft-profile-sampler"
     val sampler = new Thread(() => {
       while (true) {
@@ -118,6 +122,12 @@ object Profile {
                 .map(f => s"${f.getClassName.split('.').last}.${f.getMethodName}")
                 .getOrElse("?")
               sampleHist.merge(s"[$grp] $frame", 1, (a: Int, b: Int) => a + b)
+              // one full stack per run for the opaque Hadoop forks
+              if (frame.contains("Shell.runCommand") && !shellDumped) {
+                shellDumped = true
+                println("---- Shell.runCommand full stack ----")
+                st.take(40).foreach(f => println(s"    at $f"))
+              }
             }
           }
         }

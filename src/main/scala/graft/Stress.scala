@@ -25,6 +25,9 @@ object Stress {
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.ui.enabled", "false")
+      // fork-free chmod for file: (GraftLocalFileSystem docs)
+      .config("spark.hadoop.fs.file.impl",
+        "graft.sources.GraftLocalFileSystem")
       // the SQL face (identity_100k drives real INSERT statements)
       .withExtensions(new GraftExtensions)
       .getOrCreate()

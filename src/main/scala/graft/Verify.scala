@@ -21,6 +21,9 @@ object Verify {
       .config("spark.sql.warehouse.dir",
         s"${sys.props("java.io.tmpdir")}/graft_warehouse")
       .config("spark.ui.enabled", "false")
+      // fork-free chmod for file: (GraftLocalFileSystem docs)
+      .config("spark.hadoop.fs.file.impl",
+        "graft.sources.GraftLocalFileSystem")
       // additive: custom expressions + the graft name-resolution rule
       // (touches only relations the built-in resolver left unresolved),
       // so SQL-surface queries (q_sql_insert) run under the driver too

@@ -16,6 +16,9 @@ object SparkFixture {
       .config("spark.sql.warehouse.dir",
         s"${sys.props("java.io.tmpdir")}/graft_warehouse_test")
       .config("spark.ui.enabled", "false")
+      // fork-free chmod for file: (GraftLocalFileSystem docs)
+      .config("spark.hadoop.fs.file.impl",
+        "graft.sources.GraftLocalFileSystem")
       // the harness sessions (Verify/Bench) run with GraftExtensions;
       // the fixture matches so every judged query — including the
       // SQL-surface ones — smoke-runs under the same analyzer
