@@ -50,6 +50,15 @@ object Profile {
       override def onJobEnd(e: SparkListenerJobEnd): Unit = {
         Option(byId.get(e.jobId)).foreach(_.end = System.nanoTime()); ()
       }
+      override def onStageSubmitted(
+          e: org.apache.spark.scheduler.SparkListenerStageSubmitted): Unit = {
+        // one line per stage, timestamped like log4j, so "Broadcasting
+        // large task binary" WARNs (printed at submit time) can be
+        // attributed to their exact stage by adjacency in the log
+        if (sys.env.contains("SPARK_GRAFT_STAGE_LOG"))
+          println(s"[stage-submit] id=${e.stageInfo.stageId} " +
+            s"name=${e.stageInfo.name.take(120)}")
+      }
       override def onStageCompleted(e: SparkListenerStageCompleted): Unit = {
         val sid = e.stageInfo.stageId
         jobs.forEach { r =>

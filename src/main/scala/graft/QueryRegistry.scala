@@ -49,6 +49,15 @@ object QueryRegistry {
     if (df.rdd.getNumPartitions < p) df.repartition(p) else df
   }
 
+  /** Eager local checkpoint that records the materialized blocks' REAL
+    * byte size as the frame's statistics (CheckpointBridge docs): the
+    * optimizer then sizes runtime bloom filters and broadcast choices
+    * from the truth instead of `defaultSizeInBytes` at every scale.
+    * Used by every operator-level checkpoint of bounded model state.
+    * `-Dgraft.ckptStats=false` pins the stock stats-less checkpoint. */
+  def ckpt(df: DataFrame): DataFrame =
+    org.apache.spark.sql.graftbridge.CheckpointBridge.localCheckpointWithStats(df)
+
   /** Delete a path tree — judged-query scratch teardown (re-runs must
     * not land on a previous run's debris). Hoisted from the per-query
     * copies (r14 verdict ask #8). */

@@ -215,7 +215,7 @@ object LakehouseQueries {
           .select(col("id_a").as("doc_a"), col("id_b").as("doc_b"))
           // the blocked-cosine self-join feeds members AND every CC
           // round — materialize it once, not once per consumer
-          .localCheckpoint(true)
+          .transform(graft.QueryRegistry.ckpt)
         val members = pairs.select(col("doc_a").as("doc_id"))
           .union(pairs.select(col("doc_b").as("doc_id"))).distinct()
         val comp = MinHash.connectedComponents(members, pairs)
@@ -265,7 +265,7 @@ object LakehouseQueries {
           .withColumn("cos", VectorOps.dot(col("va"), col("vb")) / (col("na") * col("nb")))
           .filter(round(col("cos"), 6) >= 0.35)
           .select(col("id_a").as("doc_a"), col("id_b").as("doc_b"))
-          .localCheckpoint(true)
+          .transform(graft.QueryRegistry.ckpt)
         val members = pairs.select(col("doc_a").as("doc_id"))
           .union(pairs.select(col("doc_b").as("doc_id"))).distinct()
         val comp = MinHash.connectedComponents(members, pairs)
@@ -323,7 +323,7 @@ object LakehouseQueries {
       (s, d) => {
         val edges = Similarity
           .similarityEdges(Tables.embeddings(s, d), threshold = 0.35)
-          .localCheckpoint(true)
+          .transform(graft.QueryRegistry.ckpt)
         val ids = Tables.embeddings(s, d).select(col("vec_id").as("id"))
         Similarity.pageRank(ids, edges, iters = 5)
           .select(col("id").as("vec_id"), col("pr_micro"))

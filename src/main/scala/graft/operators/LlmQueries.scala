@@ -208,7 +208,7 @@ object LlmQueries {
           explode(array((0 until 4).map(b =>
             struct(lit(b).as("band"), concat(col(s"s${2 * b}"), col(s"s${2 * b + 1}")).as("bk"))): _*)).as("bs"): _*)
           .select(col("doc_id") +: slots :+ col("bs.band").as("band") :+ col("bs.bk").as("bk"): _*)
-          .localCheckpoint(true)
+          .transform(graft.QueryRegistry.ckpt)
         val a = bands.toDF(bands.columns.map(c => if (c == "band" || c == "bk") c else s"a_$c"): _*)
         val b = bands.toDF(bands.columns.map(c => if (c == "band" || c == "bk") c else s"b_$c"): _*)
         val agree = (0 until 8).map(i =>
@@ -218,7 +218,7 @@ object LlmQueries {
           .filter(agree >= 4)
           .select(col("a_doc_id").as("doc_a"), col("b_doc_id").as("doc_b"))
           .distinct()
-          .localCheckpoint(true)
+          .transform(graft.QueryRegistry.ckpt)
         val members = pairs.select(col("doc_a").as("doc_id"))
           .union(pairs.select(col("doc_b").as("doc_id"))).distinct()
         val comp = MinHash.connectedComponents(members, pairs)
@@ -271,7 +271,7 @@ object LlmQueries {
         // otherwise runs inside the single scan task
         val docs = spread(Tables.documents(s, d))
           .select(col("doc_id"), array_distinct(MinHash.shingles(col("text"), 3)).as("g"))
-          .localCheckpoint(true)
+          .transform(graft.QueryRegistry.ckpt)
         val a = docs.select((col("doc_id")).as("doc_a"), col("g").as("ga"))
         val b = docs.select((col("doc_id") - 1).as("doc_a"), col("doc_id").as("doc_b"), col("g").as("gb"))
         a.join(b, "doc_a")
@@ -338,7 +338,7 @@ object LlmQueries {
         val docs = spread(Tables.documents(s, d))
           .select(col("doc_id"),
             array_distinct(MinHash.shingles(lower(trim(col("text"))), 3)).as("g"))
-          .localCheckpoint(true)
+          .transform(graft.QueryRegistry.ckpt)
         val sig = docs
           .select(col("doc_id"), explode(col("g")).as("gr"))
           .select(col("doc_id"), md5(col("gr")).as("dg"))

@@ -184,11 +184,11 @@ object MinHash {
     // lands in one partition and the shingling — the expensive pass —
     // runs serial; spread is the identity once the distinct output
     // already holds ≥ cores partitions (any at-scale corpus).
-    val dt = docs.select(norm.as("_t")).distinct().localCheckpoint(true)
+    val dt = docs.select(norm.as("_t")).distinct().transform(graft.QueryRegistry.ckpt)
     graft.QueryRegistry.spread(dt)
       .select(md5(col("_t")).as("h"),
         array_distinct(shingles(col("_t"), 3)).as("g"))
-      .localCheckpoint(true)
+      .transform(graft.QueryRegistry.ckpt)
   }
 
   /** The ranked-prefix frame (h, shingle count n, prefix shingle sh),
@@ -213,7 +213,7 @@ object MinHash {
       .select(col("h"), col("n"), col("rk"), col("sh"))
       // both sides of the candidate self-join read this — without the
       // checkpoint the whole explode→df→rank chain computes twice
-      .localCheckpoint(true)
+      .transform(graft.QueryRegistry.ckpt)
   }
 
   def prefixJoin(docs: DataFrame, idCol: String = "doc_id",
@@ -229,7 +229,7 @@ object MinHash {
     // rep-invariant and only the unavoidable output expansion scales).
     // This is the exact-path analogue of the LSH star-edge cap.
     val keyed = docs.select(col(idCol).as("doc_id"), md5(norm).as("h"))
-      .localCheckpoint(true)
+      .transform(graft.QueryRegistry.ckpt)
     val dd = distinctShingleSets(docs, textCol)
     val prefix = prefixFrame(dd, t)
     // PPJoin length bound: J(A,B) ≥ t forces t·max(|A|,|B|) ≤
@@ -283,7 +283,7 @@ object MinHash {
     val sg = signed(docs, idCol, textCol)
       .select(col("doc_id"), col("sig"), explode(col("bands")).as("b"))
       .select(col("doc_id"), col("sig"), col("b.band").as("band"), col("b.bh").as("bh"))
-      .localCheckpoint(true)
+      .transform(graft.QueryRegistry.ckpt)
     // tag rows with bucket size + representative via one window pass:
     // the (band, bh) exchange it introduces is the same partitioning
     // the self-join needs, so Spark reuses it instead of re-shuffling.
@@ -339,7 +339,7 @@ object MinHash {
     val pairs = candidatePairs(docs, idCol, textCol)
       .filter(col("est_jaccard") >= minJaccard)
       .select(col("doc_a"), col("doc_b"))
-      .localCheckpoint(true)
+      .transform(graft.QueryRegistry.ckpt)
     // label-propagate only over docs that HAVE a candidate edge (near
     // dups are a small fraction of any real corpus); everything else is
     // its own singleton group via the final left join.
@@ -370,7 +370,7 @@ object MinHash {
   def connectedComponents(ids: DataFrame, pairs: DataFrame): DataFrame = {
     val undirected = pairs
       .select(col("doc_a").cast("long").as("src"), col("doc_b").cast("long").as("dst"))
-      .localCheckpoint(true)
+      .transform(graft.QueryRegistry.ckpt)
     if (undirected.count() <= LocalEdgeLimit) localComponents(ids, undirected)
     else iterativeComponents(ids, undirected)
   }
@@ -413,9 +413,9 @@ object MinHash {
   private[graft] def iterativeComponents(ids: DataFrame, undirected: DataFrame): DataFrame = {
     val edges = undirected
       .union(undirected.select(col("dst").as("src"), col("src").as("dst")))
-      .localCheckpoint(true)
+      .transform(graft.QueryRegistry.ckpt)
     var labels = ids.select(col("doc_id"), col("doc_id").cast("long").as("dup_group"))
-      .localCheckpoint(true)
+      .transform(graft.QueryRegistry.ckpt)
     var converged = false
     var rounds = 0
     while (!converged && rounds < 16) {
@@ -432,7 +432,7 @@ object MinHash {
         .join(lookup, stepped("mid_group") === lookup("p_id"), "left")
         .select(col("doc_id"), col("old_group"),
           least(col("mid_group"), coalesce(col("p_grp"), col("mid_group"))).as("dup_group"))
-        .localCheckpoint(true)
+        .transform(graft.QueryRegistry.ckpt)
       // next is materialized: the change scan is shuffle-free.
       converged = next.filter(col("dup_group") =!= col("old_group")).isEmpty
       labels = next.select(col("doc_id"), col("dup_group"))

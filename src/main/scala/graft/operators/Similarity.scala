@@ -143,7 +143,7 @@ object Similarity {
     * expensive candidate join. */
   def pageRank(nodes: DataFrame, edges: DataFrame, iters: Int = 5): DataFrame = {
     val deg = edges.groupBy("src").agg(count(lit(1)).as("deg"))
-      .localCheckpoint(true)
+      .transform(graft.QueryRegistry.ckpt)
     val ids = nodes.select(col("id"))
     var pr = ids.withColumn("pr_micro", lit(1000000L))
     for (_ <- 1 to iters) {
@@ -282,7 +282,7 @@ object Similarity {
     stateKey match {
       case Some(_) =>
         memoized(xe.sparkSession, stateKey, s"cells|$k|$iters|$idCol|$vecCol")(
-          cellDistances(xe, cent).localCheckpoint(true))
+          cellDistances(xe, cent).transform(graft.QueryRegistry.ckpt))
       case None => cellDistances(xe, cent)
     }
 
@@ -314,7 +314,7 @@ object Similarity {
       .select(col(idCol).as("vec_id"),
         posexplode(graft.operators.Curation.quantize(col(vecCol))))
       .toDF("vec_id", "pos", "xv")
-      .localCheckpoint(true)
+      .transform(graft.QueryRegistry.ckpt)
     val seeds = seedTable(xe, k)
     var cent = xe.join(broadcast(seeds), Seq("vec_id"))
       .select(col("cid"), col("pos"), (col("xv") * 1000000L).as("cv_micro"))
@@ -330,7 +330,7 @@ object Similarity {
         .agg(sum(col("xv").cast("decimal(38,0)")).as("sx"), count(lit(1)).as("n"))
         .select(col("cid"), col("pos"),
           expr("CAST((sx * 1000000) DIV n AS BIGINT)").as("cv_micro"))
-        .localCheckpoint(true)
+        .transform(graft.QueryRegistry.ckpt)
     (xe, cent)
   }
 
@@ -499,7 +499,7 @@ object Similarity {
     val (xe0, coarse) = kmeansState(embeddings, cells, cellIters, idCol, vecCol, stateKey)
     val dists = memoized(xe0.sparkSession, stateKey,
       s"cells|$cells|$cellIters|$idCol|$vecCol")(
-      cellDistances(xe0, coarse).localCheckpoint(true))
+      cellDistances(xe0, coarse).transform(graft.QueryRegistry.ckpt))
     val cellOf = dists.filter(col("__rn") === 1)
       .select(col("vec_id"), col("cid").as("cell"))
     val probes = dists.filter(queryPred && col("__rn") <= nProbe)
@@ -625,7 +625,7 @@ object Similarity {
           posexplode(graft.operators.Curation.quantize(col(vecCol))))
         .toDF("vec_id", "pos", "xv")
         .withColumn("sub", expr(s"pos DIV $subDim").cast("int"))
-        .localCheckpoint(true)
+        .transform(graft.QueryRegistry.ckpt)
       (xe, pqCodebook(xe, subDim, k, iters))
     }
 
@@ -640,7 +640,7 @@ object Similarity {
       case Some(_) =>
         memoized(xe.sparkSession, stateKey,
           s"pqcodes|$subDim|$k|$iters|$idCol|$vecCol")(
-          pqAssign(xe, cent).localCheckpoint(true))
+          pqAssign(xe, cent).transform(graft.QueryRegistry.ckpt))
       case None => pqAssign(xe, cent)
     }
 
@@ -661,7 +661,7 @@ object Similarity {
         .select(expr(s"pos DIV $subDim").cast("int").as("sub"),
           col("cid"), col("pos"),
           expr("CAST((sx * 1000000) DIV n AS BIGINT)").as("cv_micro"))
-        .localCheckpoint(true)
+        .transform(graft.QueryRegistry.ckpt)
     cent
   }
 
@@ -828,7 +828,7 @@ object Similarity {
                   stateKey: Option[String] = None): DataFrame = {
     val (xe, cent) = kmeansState(embeddings, k, iters, idCol, vecCol, stateKey)
     val dists = memoized(xe.sparkSession, stateKey, s"cells|$k|$iters|$idCol|$vecCol")(
-      cellDistances(xe, cent).localCheckpoint(true))
+      cellDistances(xe, cent).transform(graft.QueryRegistry.ckpt))
     val cells = dists.filter(col("__rn") === 1).select(col("vec_id"), col("cid"))
     val probes = dists.filter(queryPred && col("__rn") <= nProbe)
       .select(col("vec_id").as("qid"), col("cid"))

@@ -85,7 +85,7 @@ object EventStreams {
       .select(
         coalesce(col("user_id"), col("u_key")).as("user_id"),
         coalesce(col("u_value"), col("value")).as("value"))
-      .localCheckpoint(true)
+      .transform(graft.QueryRegistry.ckpt)
     merged.write.mode("overwrite").parquet(targetDir)
   }
 
