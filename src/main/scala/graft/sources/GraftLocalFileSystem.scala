@@ -24,7 +24,75 @@ import org.apache.hadoop.fs.permission.FsPermission
   */
 class GraftLocalFileSystem extends LocalFileSystem(new GraftRawLocalFileSystem)
 
+/** FileStatus whose permission/owner/group load lazily through NIO's
+  * `unix:` attribute view (one statx + getpwuid, JDK-cached) instead
+  * of Hadoop's `DeprecatedRawLocalFileStatus.loadPermissionInfo`,
+  * which — without libhadoop — forks an external `ls -ld` PER STATUS
+  * whose permission is first read (r19 verdict item 2: the remaining
+  * Shell fork source after the chmod fix; fired by every listing that
+  * serializes or compares permissions). Parity: mode & 0x3ff is
+  * exactly FsPermission's 9 permission bits + sticky — the same bits
+  * the NativeIO loader keeps and the `ls` parser can represent — and
+  * NIO follows symlinks like NativeIO's stat(). Any NIO failure falls
+  * back to the original status's shell loader, so behavior is
+  * identical in every case. */
+private[sources] class GraftNioFileStatus(
+    orig: org.apache.hadoop.fs.FileStatus, fs: GraftRawLocalFileSystem)
+    extends org.apache.hadoop.fs.FileStatus(
+      orig.getLen, orig.isDirectory, orig.getReplication, orig.getBlockSize,
+      orig.getModificationTime, orig.getAccessTime, null, null, null,
+      orig.getPath) {
+  @volatile private var loaded = false
+  private def load(): Unit = synchronized {
+    if (!loaded) {
+      try {
+        val p = fs.toLocalFile(getPath).toPath
+        val mode = java.nio.file.Files.getAttribute(p, "unix:mode")
+          .asInstanceOf[java.lang.Integer].intValue()
+        val owner = java.nio.file.Files.getAttribute(p, "unix:owner").toString
+        val group = java.nio.file.Files.getAttribute(p, "unix:group").toString
+        setPermission(new FsPermission((mode & 0x3ff).toShort))
+        setOwner(owner)
+        setGroup(group)
+      } catch {
+        case _: Exception =>
+          // stock lazy loader (ls -ld fork) on the original status
+          setPermission(orig.getPermission)
+          setOwner(orig.getOwner)
+          setGroup(orig.getGroup)
+      }
+      loaded = true
+    }
+  }
+  override def getPermission: FsPermission = { load(); super.getPermission }
+  override def getOwner: String = { load(); super.getOwner }
+  override def getGroup: String = { load(); super.getGroup }
+  override def write(out: java.io.DataOutput): Unit = { load(); super.write(out) }
+}
+
 class GraftRawLocalFileSystem extends RawLocalFileSystem {
+
+  private[sources] def toLocalFile(p: Path): java.io.File = pathToFile(p)
+
+  /** Statuses from the deprecated (fork-on-permission-read) path are
+    * re-wrapped with the NIO lazy loader; GRAFT_FS_SHELL_STATUS=1 pins
+    * the stock statuses (A/B measurement arm). */
+  private def wrap(s: org.apache.hadoop.fs.FileStatus)
+      : org.apache.hadoop.fs.FileStatus =
+    if (s != null &&
+        s.getClass.getName.endsWith("DeprecatedRawLocalFileStatus") &&
+        !sys.env.get("GRAFT_FS_SHELL_STATUS").contains("1"))
+      new GraftNioFileStatus(s, this)
+    else s
+
+  override def getFileStatus(f: Path): org.apache.hadoop.fs.FileStatus =
+    wrap(super.getFileStatus(f))
+
+  override def listStatus(f: Path): Array[org.apache.hadoop.fs.FileStatus] = {
+    val ss = super.listStatus(f)
+    if (ss == null) null else ss.map(wrap)
+  }
+
   override def setPermission(p: Path, permission: FsPermission): Unit = {
     if (permission == null || (permission.toShort & 0xE00) != 0) {
       super.setPermission(p, permission)

@@ -3248,9 +3248,19 @@ object ManifestTable {
     // without it any hive-escaped partition value made the relative
     // path never match the manifest and merge/deleteWhere silently
     // KEPT their victim files while adding the rewrite (duplicates)
-    concat(lit("data/"), url_decode(replace(
-      element_at(split(col("_metadata.file_path"), "/data/"), -1),
-      lit("+"), lit("%2B"))))
+    // fused + per-file memoized (r20, graft.functions.RelFilePath): the
+    // built-in chain re-split and re-url_decoded the path PER ROW on
+    // every merge/DV/delete rewrite read — the value is constant per
+    // file. `-Dgraft.relFileFused=false` pins the chain (A/B harness).
+    if (sys.props.get("graft.relFileFused").contains("false"))
+      concat(lit("data/"), url_decode(replace(
+        element_at(split(col("_metadata.file_path"), "/data/"), -1),
+        lit("+"), lit("%2B"))))
+    else {
+      import org.apache.spark.sql.graftbridge.ColumnBridge
+      ColumnBridge.column(graft.functions.RelFilePath(
+        ColumnBridge.expression(col("_metadata.file_path"))))
+    }
   }
 
   /** Step 1: full data write under a fresh uuid dir — unreferenced (and
