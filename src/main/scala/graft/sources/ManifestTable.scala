@@ -58,6 +58,21 @@ object ManifestTable {
   private def fs(spark: SparkSession, p: Path): FileSystem =
     p.getFileSystem(spark.sparkContext.hadoopConfiguration)
 
+  /** Run `body` with AQE's size-first shuffle coalescing
+    * (parallelismFirst=false) — see the writeData call site. Restores
+    * the session value on exit; correctness-neutral (AQE partition
+    * sizing only). */
+  private def withSizeFirstCoalesce[A](spark: SparkSession)(body: => A): A = {
+    if (sys.props.get("graft.sizeFirstWrites").contains("false")) return body
+    val k = "spark.sql.adaptive.coalescePartitions.parallelismFirst"
+    val old = spark.conf.getOption(k)
+    spark.conf.set(k, "false")
+    try body finally old match {
+      case Some(v) => spark.conf.set(k, v)
+      case None => spark.conf.unset(k)
+    }
+  }
+
   private def manifestDir(table: String) = new Path(table, "_manifests")
   private def versionOf(p: Path): Int =
     p.getName.stripPrefix("v").stripSuffix(".json").toInt
@@ -3365,8 +3380,23 @@ object ManifestTable {
     // and only the recorded schema knows the logical spelling.
     // Transform targets are absent from the mapping and pass through.
     val physPartBy = partitionBy.map(c => physOf.getOrElse(c, c))
-    (if (partitionBy.nonEmpty) w.partitionBy(physPartBy: _*) else w)
-      .parquet(dataDir.toString)
+    // size-first AQE coalescing, SCOPED to the write action (r20,
+    // guide §6 output sizing): the default parallelism-first mode
+    // keeps every post-shuffle rewrite at `defaultParallelism`
+    // partitions however tiny the data, so file counts — and every
+    // downstream per-file cost (stats, manifest census, listing) —
+    // scale with the CORE COUNT instead of the data. Within this one
+    // action the advisory size governs, so a small rewrite lands in
+    // few right-sized files at any core count and a 100 TB rewrite is
+    // untouched (its partitions already exceed the advisory size).
+    // Scoped, not global: r19 measured size-first +0.5 s on
+    // compute-dense scan stages, which want the parallelism; paired
+    // A/B over the MV + lifecycle families measured the write-side
+    // win at −1.3 s. `-Dgraft.sizeFirstWrites=false` pins the default.
+    withSizeFirstCoalesce(spark) {
+      (if (partitionBy.nonEmpty) w.partitionBy(physPartBy: _*) else w)
+        .parquet(dataDir.toString)
+    }
     val f = fs(spark, dataDir)
     def walk(p: Path): Seq[org.apache.hadoop.fs.FileStatus] =
       f.listStatus(p).toSeq.flatMap(s =>
