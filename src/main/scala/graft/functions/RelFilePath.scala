@@ -70,10 +70,17 @@ case class RelFilePath(child: Expression) extends UnaryExpression {
     val ref = ctx.addReferenceObj("relFilePath", this,
       classOf[RelFilePath].getName)
     nullSafeCodeGen(ctx, ev, p => {
-      s"""
-         |${ev.value} = $ref.compute($p);
-         |${ev.isNull} = (${ev.value} == null);
-       """.stripMargin
+      // compute() returns null only for null input; under a
+      // non-nullable child ev.isNull is the LITERAL "false" and must
+      // not be assigned (janino: "not an rvalue" — the whole stage
+      // would silently fall back to interpreted execution)
+      if (nullable)
+        s"""
+           |${ev.value} = $ref.compute($p);
+           |${ev.isNull} = (${ev.value} == null);
+         """.stripMargin
+      else
+        s"${ev.value} = $ref.compute($p);"
     })
   }
 
