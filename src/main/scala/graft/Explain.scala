@@ -23,6 +23,10 @@ object Explain {
       // fork-free chmod for file: (GraftLocalFileSystem docs)
       .config("spark.hadoop.fs.file.impl",
         "graft.sources.GraftLocalFileSystem")
+      // r20: the SQL-surface queries (q_sql_*, q_mv_*) plan only under
+      // the graft extensions — without them Explain printed "failed to
+      // plan: SCHEMA_NOT_FOUND" instead of their plans
+      .withExtensions(new GraftExtensions)
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
     names.foreach { name =>
