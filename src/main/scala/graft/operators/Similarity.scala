@@ -155,6 +155,13 @@ object Similarity {
       pr = ids.join(contrib, ids("id") === contrib("dst"), "left")
         .select(col("id"),
           expr("150000 + (85 * coalesce(contrib, 0)) DIV 100").as("pr_micro"))
+      // measurement arm (r20): -Dgraft.prCkpt=true bounds the plan at
+      // every iteration (one extra materialization job each) — the
+      // iterativeComponents shape. Default OFF: the rank state is
+      // n rows and 5 iterations, the lineage stays ~1 MiB, and the
+      // paired A/B measured the checkpoints as a net cost here.
+      if (sys.props.get("graft.prCkpt").contains("true"))
+        pr = graft.QueryRegistry.ckpt(pr)
     }
     pr
   }
